@@ -1,0 +1,225 @@
+"""Aggregation functions + missing-value filters, compiled to Column exprs.
+
+Reference semantics (``pypond/functions.py``):
+
+- ``sum``: empty list -> 0 (``functions.py:143-155``)
+- ``avg``: empty list -> 0, not NULL (``functions.py:157-172``)
+- ``stddev``: **population** sigma (``functions.py:299-313``) -> ``stddev_pop``
+- ``percentile(q, method)``: numpy-style interpolation with methods
+  ``linear|lower|higher|nearest|midpoint`` (``functions.py:250-297``)
+- ``median``: average of middle two (``functions.py:315-333``) == percentile 50
+- ``first``/``last``: positional in arrival order (``functions.py:216-248``) —
+  here: time order (documented deviation for true ties)
+- ``difference``: max - min (``functions.py:335-347``)
+- ``keep``: first value, NULL if values disagree (``functions.py:123-141``)
+
+Missing-value ``Filters`` (``functions.py:21-96``) become pre-aggregation
+column rewrites so everything stays inside Catalyst:
+
+- ``keep_missing``/``ignore_missing``: invalid (NULL/NaN/'') -> NULL, SQL
+  null-skip does the rest
+- ``zero_missing``: invalid -> 0
+- ``propagate_missing``: any invalid in group -> whole aggregate NULL
+- ``none_if_empty``: empty group -> NULL (overrides sum/avg empty->0)
+
+Functions are *named specs*, never opaque callables, so plans stay in
+whole-stage codegen; opaque Python reducers go through the pandas-UDAF escape
+hatch in :mod:`pypond_spark.operators.aggregate`.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .util import is_valid_col, valid_or_null
+
+FILTERS = ("keep_missing", "ignore_missing", "zero_missing",
+           "propagate_missing", "none_if_empty")
+
+FUNCTION_NAMES = ("sum", "avg", "mean", "max", "min", "count", "first", "last",
+                  "percentile", "median", "stddev", "difference", "keep")
+
+
+def _prefilter(col: Column, flt: str) -> Column:
+    """Rewrite the input column per the missing-value filter."""
+    if flt == "zero_missing":
+        return F.when(is_valid_col(col), col).otherwise(F.lit(0))
+    # keep_missing / ignore_missing / propagate_missing / none_if_empty:
+    # normalize invalid -> NULL; propagate/none_if_empty post-process below.
+    return valid_or_null(col)
+
+
+def _percentile_expr(col: Column, q: float, method: str) -> Column:
+    """Percentile with numpy-style interpolation methods.
+
+    ``linear`` maps to the native ``F.percentile`` (exact, no collect on the
+    driver). The other methods are a small expression over
+    ``sort_array(collect_list(col))`` — acceptable because percentile groups in
+    this engine are time buckets (bounded size), not the whole table.
+    """
+    if not 0 <= q <= 100:
+        raise ValueError("percentile must be between 0 and 100")
+    if method == "linear":
+        return F.percentile(col, F.lit(q / 100.0))
+    vals = F.sort_array(F.collect_list(col))  # collect_list drops NULLs
+    size = F.size(vals)
+    i = q / 100.0
+    idx = F.floor((size - 1) * F.lit(i)).cast("int")
+    frac = (size - 1) * F.lit(i) - idx
+    v0 = F.element_at(vals, idx + 1)
+    v1 = F.element_at(vals, F.least(idx + 2, size))
+    if method == "lower":
+        picked = v0
+    elif method == "higher":
+        picked = F.when(frac == 0, v0).otherwise(v1)
+    elif method == "nearest":
+        picked = F.when(frac < 0.5, v0).otherwise(v1)
+    elif method == "midpoint":
+        picked = F.when(frac == 0, v0).otherwise((v0 + v1) / 2)
+    else:
+        raise ValueError(f"unknown percentile method {method!r}")
+    return (
+        F.when(size == 0, F.lit(None))
+        .when((size == 1) | (F.lit(q) == 0), F.element_at(vals, 1))
+        .when(F.lit(q) == 100, F.element_at(vals, size))
+        .otherwise(picked)
+    )
+
+
+def compile_agg(func, in_col: Column | str, flt: str = "ignore_missing",
+                time_col: str = "time") -> Column:
+    """Compile one named aggregation spec to a Column expression.
+
+    ``func``: name string, or tuple ``('percentile', q)`` /
+    ``('percentile', q, method)``. ``in_col``: input column (deep paths ok).
+    ``time_col``: ordering column for first/last.
+    """
+    if flt not in FILTERS:
+        raise ValueError(f"unknown filter {flt!r}; expected one of {FILTERS}")
+    raw = F.col(in_col) if isinstance(in_col, str) else in_col
+    col = _prefilter(raw, flt)
+
+    method = None
+    if isinstance(func, (tuple, list)):
+        name, *rest = func
+        if name != "percentile":
+            raise ValueError(f"only percentile takes args, got {func!r}")
+        q = rest[0]
+        method = rest[1] if len(rest) > 1 else "linear"
+    else:
+        name, q = func, None
+
+    if name == "sum":
+        agg = F.coalesce(F.sum(col), F.lit(0.0))
+    elif name in ("avg", "mean"):
+        agg = F.coalesce(F.avg(col), F.lit(0.0))
+    elif name == "max":
+        agg = F.max(col)
+    elif name == "min":
+        agg = F.min(col)
+    elif name == "count":
+        # keep_missing counts all arrivals; others count valid values only
+        agg = F.count(F.lit(1)) if flt == "keep_missing" else F.count(col)
+    elif name == "first":
+        agg = F.min_by(col, F.when(col.isNotNull(), F.col(time_col)))
+    elif name == "last":
+        agg = F.max_by(col, F.when(col.isNotNull(), F.col(time_col)))
+    elif name == "percentile":
+        agg = _percentile_expr(col, q, method)
+    elif name == "median":
+        agg = F.percentile(col, F.lit(0.5))
+    elif name == "stddev":
+        agg = F.stddev_pop(col)
+    elif name == "difference":
+        agg = F.max(col) - F.min(col)
+    elif name == "keep":
+        agg = F.when(F.min(col) == F.max(col), F.min(col))
+    else:
+        raise ValueError(f"unknown aggregation function {name!r}")
+
+    if flt == "propagate_missing":
+        agg = F.when(F.max((~is_valid_col(raw)).cast("int")) == 1,
+                     F.lit(None)).otherwise(agg)
+    elif flt == "none_if_empty":
+        agg = F.when(F.count(col) == 0, F.lit(None)).otherwise(agg)
+    return agg
+
+
+def normalize_agg_spec(spec: dict) -> list[tuple[str, str, object, str]]:
+    """Normalize the reference agg-spec dict to (out, in, func, filter) rows.
+
+    Accepted forms per output column (mirrors ``aggregator.py:74-97``)::
+
+        {'in_avg': {'in': 'avg'}}
+        {'in_avg': {'in': ('avg', 'ignore_missing')}}
+        {'p95':    {'in': ('percentile', 95, 'higher')}}
+        {'in_avg': ('in', 'avg')}                    # shorthand
+    """
+    rows = []
+    for out, body in spec.items():
+        if isinstance(body, tuple) and len(body) >= 2 and isinstance(body[0], str) \
+                and not isinstance(body[1], dict):
+            in_col, func, *rest = body
+            flt = rest[0] if rest else "ignore_missing"
+        elif isinstance(body, dict):
+            if len(body) != 1:
+                raise ValueError(
+                    f"agg spec for {out!r} must have exactly one input field")
+            in_col, fspec = next(iter(body.items()))
+            flt = "ignore_missing"
+            if isinstance(fspec, (tuple, list)) and fspec and fspec[0] != "percentile" \
+                    and isinstance(fspec[-1], str) and fspec[-1] in FILTERS:
+                *fparts, flt = fspec
+                func = fparts[0] if len(fparts) == 1 else tuple(fparts)
+            else:
+                func = tuple(fspec) if isinstance(fspec, list) else fspec
+        else:
+            raise ValueError(f"bad agg spec for {out!r}: {body!r}")
+        rows.append((out, in_col, func, flt))
+    return rows
+
+
+def compile_agg_spec(spec: dict, time_col: str = "time") -> list[Column]:
+    """Full spec dict -> list of aliased aggregate Columns."""
+    return [
+        compile_agg(func, in_col, flt, time_col).alias(out)
+        for out, in_col, func, flt in normalize_agg_spec(spec)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# row-wise reducers (for collapse: reduce N columns of one row into 1 value)
+# ---------------------------------------------------------------------------
+
+
+def rowwise_reduce(func: str, cols: Sequence[Column | str]) -> Column:
+    """Apply a named reducer across N columns *within* a row (no shuffle).
+
+    Used by ``collapse`` (reference ``event.py:544-577``).
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cs)
+    if func == "sum":
+        out = cs[0]
+        for c in cs[1:]:
+            out = out + c
+        return out
+    if func in ("avg", "mean"):
+        return rowwise_reduce("sum", cs) / F.lit(n)
+    if func == "max":
+        return F.greatest(*cs) if n > 1 else cs[0]
+    if func == "min":
+        return F.least(*cs) if n > 1 else cs[0]
+    if func == "count":
+        arr = F.array(*cs)
+        return F.size(F.filter(arr, lambda x: x.isNotNull()))
+    if func == "first":
+        return cs[0]
+    if func == "last":
+        return cs[-1]
+    if func == "difference":
+        return F.greatest(*cs) - F.least(*cs) if n > 1 else F.lit(0.0)
+    raise ValueError(f"unknown row-wise reducer {func!r}")

@@ -1,0 +1,105 @@
+"""Windowed + grouped aggregation (reference ``pypond/processors/aggregator.py``).
+
+The reference buckets events one at a time into per-(window, group) collections
+(``io/output.py:109-131``) and reduces each with ``functions.py`` reducers.
+Here the whole thing is one ``groupBy().agg()``:
+
+- fixed windows ``"30s"/"5m"/"1h"/"1d"`` group on the epoch-anchored bucket
+  position ``floor(epoch_ms / dur_ms)`` (``index.py:385-405``) — a LONG key,
+  cheaper to shuffle than the index string, which is derived *after* the agg;
+- calendar windows group on ``date_trunc`` (UTC or a named tz);
+- global window is a plain ``df.groupBy(groups).agg()`` emitting one
+  time-range row spanning the data extents (``aggregator.py:157-163``).
+
+Scale notes: partial aggregation (map-side combine) applies automatically;
+the only shuffle is on (bucket, group) keys which are high-cardinality and
+uniform for time buckets, so no skew handling is needed here.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import compile_agg_spec
+from ..index import CALENDAR_KINDS, window_duration_ms
+
+
+def _group_cols(group_by) -> list[str]:
+    if group_by is None:
+        return []
+    if isinstance(group_by, str):
+        return [group_by]
+    return list(group_by)
+
+
+def windowed_aggregate(
+    df: DataFrame,
+    spec: dict,
+    window: str | None = None,
+    group_by: str | Sequence[str] | None = None,
+    utc: bool = True,
+    tz: str = "UTC",
+    time_col: str = "time",
+) -> DataFrame:
+    """Aggregate ``df`` per (window bucket, group).
+
+    Returns, per window kind:
+
+    - fixed/calendar: columns ``index, begin, end, *groups, *agg_outputs``
+      (IndexedEvent rows);
+    - ``window=None`` (global): ``begin, end, *groups, *agg_outputs``
+      (one TimeRangeEvent row per group, spanning the group's extents).
+    """
+    groups = _group_cols(group_by)
+    aggs = compile_agg_spec(spec, time_col=time_col)
+
+    if window is None:
+        out = df.groupBy(*groups).agg(
+            F.min(time_col).alias("begin"), F.max(time_col).alias("end"), *aggs)
+        return out.select("begin", "end", *groups,
+                          *[r for r in spec])
+
+    if window in CALENDAR_KINDS:
+        tcol = F.col(time_col)
+        local = tcol if utc else F.from_utc_timestamp(tcol, tz)
+        trunc_unit = {"daily": "day", "monthly": "month", "yearly": "year"}[window]
+        bucket = F.date_trunc(trunc_unit, local).alias("__bucket")
+        out = df.groupBy(bucket, *groups).agg(*aggs)
+        fmt = {"daily": "yyyy-MM-dd", "monthly": "yyyy-MM", "yearly": "yyyy"}[window]
+        interval = {"daily": "INTERVAL 1 DAY", "monthly": "INTERVAL 1 MONTH",
+                    "yearly": "INTERVAL 1 YEAR"}[window]
+        begin_local = F.col("__bucket")
+        end_local = F.timestamp_millis(
+            F.unix_millis(begin_local + F.expr(interval)) - 1000)
+        begin = begin_local if utc else F.to_utc_timestamp(begin_local, tz)
+        end = end_local if utc else F.to_utc_timestamp(end_local, tz)
+        return out.select(
+            F.date_format("__bucket", fmt).alias("index"),
+            begin.alias("begin"), end.alias("end"),
+            *groups, *[r for r in spec])
+
+    dur = window_duration_ms(window)
+    if dur is None:
+        raise ValueError(f"bad window spec {window!r}")
+    pos = F.floor(F.unix_millis(F.col(time_col)) / F.lit(dur)).cast("long")
+    out = df.groupBy(pos.alias("__pos"), *groups).agg(*aggs)
+    return out.select(
+        F.concat(F.lit(window + "-"), F.col("__pos").cast("string")).alias("index"),
+        F.timestamp_millis(F.col("__pos") * dur).alias("begin"),
+        F.timestamp_millis((F.col("__pos") + 1) * dur).alias("end"),
+        *groups, *[r for r in spec])
+
+
+def collect_by_fixed_window(df: DataFrame, window: str,
+                            time_col: str = "time") -> DataFrame:
+    """Bucket events per fixed window without aggregating
+    (reference ``series.py:1459-1478``): adds an ``index`` column."""
+    dur = window_duration_ms(window)
+    if dur is None:
+        raise ValueError(f"bad window spec {window!r}")
+    pos = F.floor(F.unix_millis(F.col(time_col)) / F.lit(dur)).cast("long")
+    return df.withColumn(
+        "index", F.concat(F.lit(window + "-"), pos.cast("string")))

@@ -1,0 +1,112 @@
+"""Fill: repair invalid values (NULL / NaN / '').
+
+Reference ``pypond/processor/filler.py:33-437``. Methods:
+
+- ``zero``: invalid -> 0;
+- ``pad``: LOCF — last valid value carried forward (``filler.py:115-162``);
+- ``linear``: time-weighted interpolation between the bracketing valid values,
+  numeric single column only (``filler.py:197-276``, formula
+  ``filler.py:394-400``); leading/trailing gaps cannot be filled.
+
+``fill_limit`` semantics differ by method (verified against
+``tests/clean_test.py``):
+
+- zero/pad: fill only the first ``limit`` invalid rows of each consecutive
+  run (the per-column counter resets on a valid value,
+  ``filler.py:125-160``);
+- linear: a run of ``>= limit`` consecutive invalid rows is emitted entirely
+  UNFILLED (the cache flushes unprocessed and the "last good" anchor resets,
+  ``filler.py:240-258``); shorter runs closed by a valid value fill fully.
+
+Spark recipe: window functions over time order, partitioned by the series key.
+Runs are identified by a cumulative count of valid markers (no UDF); bracketing
+values via ``last(..., ignorenulls)`` / ``first(..., ignorenulls)``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..util import is_valid_col
+
+
+def _fill_one(df: DataFrame, field: str, method: str, fill_limit: int | None,
+              keys: list[str], time_col: str) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(time_col)
+    col = F.col(field)
+    dtype = df.schema[field].dataType if "." not in field else None
+    valid = is_valid_col(col, dtype)
+
+    # run_id: number of valid rows at-or-before this row -> invalid rows that
+    # follow a given valid row share its run_id
+    run_id = F.sum(valid.cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    # 1-based position of an invalid row within its invalid run
+    pos_in_run = F.sum((~valid).cast("int")).over(
+        Window.partitionBy(*keys, run_id).orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0))
+
+    if method == "zero":
+        filled: Column = F.lit(0).cast(df.schema[field].dataType) \
+            if "." not in field else F.lit(0.0)
+        can_fill = F.lit(True)
+    elif method == "pad":
+        prev_valid = F.last(F.when(valid, col), ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1))
+        filled = prev_valid
+        can_fill = prev_valid.isNotNull()
+    elif method == "linear":
+        ms = F.unix_millis(F.col(time_col))
+        num = col.try_cast("double")
+        nvalid = valid & num.isNotNull() & ~F.isnan(num)  # numeric-valid only
+        prev_val = F.last(F.when(nvalid, num), ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1))
+        prev_ms = F.last(F.when(nvalid, ms), ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1))
+        next_val = F.first(F.when(nvalid, num), ignorenulls=True).over(
+            w.rowsBetween(1, Window.unboundedFollowing))
+        next_ms = F.first(F.when(nvalid, ms), ignorenulls=True).over(
+            w.rowsBetween(1, Window.unboundedFollowing))
+        filled = prev_val + (next_val - prev_val) * \
+            (ms - prev_ms) / (next_ms - prev_ms)
+        can_fill = prev_val.isNotNull() & next_val.isNotNull()
+    else:
+        raise ValueError(f"fill method must be zero|pad|linear, got {method!r}")
+
+    if fill_limit is not None:
+        if method == "linear":
+            # whole-run length: count invalid rows in this run
+            run_len = F.sum((~valid).cast("int")).over(
+                Window.partitionBy(*keys, run_id)
+                .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            can_fill = can_fill & (run_len < fill_limit)
+        else:
+            can_fill = can_fill & (pos_in_run <= fill_limit)
+
+    new_col = F.when(valid, col).when(can_fill, filled).otherwise(col)
+    return df.withColumn(field, new_col)
+
+
+def fill(
+    df: DataFrame,
+    field_spec: str | Sequence[str] = "value",
+    method: str = "zero",
+    fill_limit: int | None = None,
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+) -> DataFrame:
+    """Fill invalid values in ``field_spec`` columns; returns df with the same
+    schema (filled columns replaced)."""
+    fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
+    if method == "linear" and len(fields) != 1:
+        # reference: linear processes one column per Filler (series.py:1124-1129
+        # chains fillers); we just loop — same result, still one shuffle per
+        # window partitioning thanks to identical window specs
+        pass
+    out = df
+    for f in fields:
+        out = _fill_one(out, f, method, fill_limit, list(partition_by), time_col)
+    return out

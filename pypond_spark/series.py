@@ -1,0 +1,450 @@
+"""TimeSeries: a DataFrame + metadata, the engine's one core type.
+
+Mirrors the reference's ``TimeSeries`` (``pypond/series.py:30-167``) API
+surface on a lazy Spark DataFrame. Canonical columns by event kind
+(``series.py:89-93`` ``event_type_map``):
+
+- ``time``      -> instant events (``time: timestamp``)
+- ``timerange`` -> interval events (``begin``/``end: timestamp``)
+- ``index``     -> bucket events (``index: string`` + derived begin/end)
+
+Everything is a lazy transformation; ``to_wire`` / ``collect`` / the scalar
+aggregations are the actions. Operators that need time order (align, rate,
+fill) take a ``partition_by`` key so the physical plan is a partitioned window,
+never a driver loop.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import wire as wire_codec
+from .functions import compile_agg, rowwise_reduce
+from .operators import aggregate as agg_ops
+from .operators import convert as convert_ops
+from .operators import merge as merge_ops
+from .operators.align import align as align_op
+from .operators.fill import fill as fill_op
+from .operators.rate import rate as rate_op
+from .operators.take import take as take_op
+from .timerange import TimeRange
+from .util import is_valid_col, ms_from_any, valid_or_null
+
+KEY_COLS = ("time", "begin", "end", "index")
+
+
+class TimeSeries:
+    """Immutable wrapper: every operation returns a new TimeSeries."""
+
+    def __init__(self, df: DataFrame, kind: str = "time",
+                 meta: dict | None = None):
+        if kind not in ("time", "timerange", "index"):
+            raise ValueError(f"unknown event kind {kind!r}")
+        self._df = df
+        self._kind = kind
+        self._meta = dict(meta or {})
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_wire(cls, spark: SparkSession, wire: dict) -> "TimeSeries":
+        df, kind, meta = wire_codec.read_wire(spark, wire)
+        return cls(df, kind, meta)
+
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, path: str,
+                     time_col: str = "time", name: str | None = None,
+                     payload: Sequence[str] | None = None) -> "TimeSeries":
+        df = spark.read.parquet(path)
+        if time_col != "time":
+            df = df.withColumnRenamed(time_col, "time")
+        if payload is not None:
+            df = df.select("time", *payload)
+        return cls(df, "time", {"name": name or path})
+
+    # -- plumbing -------------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def kind(self) -> str:
+        return self._kind
+
+    def _with(self, df: DataFrame, kind: str | None = None) -> "TimeSeries":
+        return TimeSeries(df, kind or self._kind, self._meta)
+
+    @property
+    def time_col(self) -> str:
+        return {"time": "time", "timerange": "begin", "index": "begin"}[self._kind]
+
+    # -- metadata (reference series.py:169-199) -------------------------------
+    def name(self) -> str | None:
+        return self._meta.get("name")
+
+    def set_name(self, name: str) -> "TimeSeries":
+        return TimeSeries(self._df, self._kind, {**self._meta, "name": name})
+
+    def meta(self, key: str | None = None) -> Any:
+        return dict(self._meta) if key is None else self._meta.get(key)
+
+    def set_meta(self, key: str, value: Any) -> "TimeSeries":
+        return TimeSeries(self._df, self._kind, {**self._meta, key: value})
+
+    def is_utc(self) -> bool:
+        return bool(self._meta.get("utc", True))
+
+    # -- structure ------------------------------------------------------------
+    def columns(self) -> list[str]:
+        """Payload column names (reference series.py:554-577)."""
+        return [c for c in self._df.columns if c not in KEY_COLS]
+
+    def size(self) -> int:
+        return self._df.count()
+
+    def count(self) -> int:
+        return self.size()
+
+    def size_valid(self, field_spec: str = "value") -> int:
+        """Count of events with a valid (non NULL/NaN/'') value at the path."""
+        dtype = self._df.schema[field_spec].dataType \
+            if "." not in field_spec else None
+        return self._df.where(is_valid_col(F.col(field_spec), dtype)).count()
+
+    # -- wire / json ----------------------------------------------------------
+    def to_wire(self) -> dict:
+        return wire_codec.to_wire(self._df, self._kind, self._meta)
+
+    def to_json(self) -> dict:
+        return self.to_wire()
+
+    def to_string(self) -> str:
+        return json.dumps(self.to_wire(), default=str)
+
+    def collect(self):
+        order = self.time_col if self.time_col in self._df.columns else None
+        df = self._df.orderBy(order) if order else self._df
+        return df.collect()
+
+    # -- projection / row transforms (SURVEY §2.2) -----------------------------
+    def select(self, field_spec: str | Sequence[str]) -> "TimeSeries":
+        fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
+        keys = [c for c in KEY_COLS if c in self._df.columns]
+        return self._with(self._df.select(*keys, *fields))
+
+    def filter(self, predicate: Column | str) -> "TimeSeries":
+        return self._with(self._df.where(predicate))
+
+    def clean(self, field_spec: str | Sequence[str] = "value") -> "TimeSeries":
+        """Drop rows whose field is invalid (reference series.py:459-480)."""
+        fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
+        df = self._df
+        for f in fields:
+            dtype = df.schema[f].dataType if "." not in f else None
+            df = df.where(is_valid_col(F.col(f), dtype))
+        return self._with(df)
+
+    def map(self, exprs: dict[str, Column | str] |
+            Callable[[DataFrame], DataFrame]) -> "TimeSeries":
+        """Column-expression map (preferred, stays in Catalyst) or an escape
+        hatch taking/returning a DataFrame (e.g. mapInPandas)."""
+        if callable(exprs):
+            return self._with(exprs(self._df))
+        df = self._df
+        for out, expr in exprs.items():
+            df = df.withColumn(out, F.expr(expr) if isinstance(expr, str) else expr)
+        return self._with(df)
+
+    def collapse(self, field_spec_list: Sequence[str], name: str,
+                 reducer: str = "sum", append: bool = True) -> "TimeSeries":
+        """Reduce N columns of each row into one new column
+        (reference collapser.py:18-76) — a row-wise expression, no shuffle."""
+        col = rowwise_reduce(reducer, list(field_spec_list)).alias(name)
+        keys = [c for c in KEY_COLS if c in self._df.columns]
+        if append:
+            return self._with(self._df.withColumn(name, col))
+        return self._with(self._df.select(*keys, col))
+
+    def rename_columns(self, rename_map: dict[str, str]) -> "TimeSeries":
+        for key in rename_map:
+            if key in KEY_COLS:
+                raise ValueError(f"cannot rename key column {key!r}")
+        return self._with(self._df.withColumnsRenamed(rename_map))
+
+    def offset_by(self, by: float,
+                  field_spec: str | Sequence[str] = "value") -> "TimeSeries":
+        fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
+        df = self._df
+        for f in fields:
+            df = df.withColumn(f, F.col(f) + F.lit(by))
+        return self._with(df)
+
+    # -- slicing / search (SURVEY §2.7) ----------------------------------------
+    def sort_by_time(self) -> "TimeSeries":
+        return self._with(self._df.orderBy(self.time_col))
+
+    def sort(self, field_spec: str) -> "TimeSeries":
+        return self._with(self._df.orderBy(field_spec))
+
+    def is_chronological(self) -> bool:
+        return True  # recovered by sort; kept for API parity
+
+    def crop(self, timerange: TimeRange) -> "TimeSeries":
+        """Restrict to a TimeRange, inclusive (reference series.py:440-457)."""
+        tcol = F.col(self.time_col)
+        return self._with(self._df.where(
+            tcol.between(timerange.begin(), timerange.end())))
+
+    def slice(self, begin: int | None = None, end: int | None = None) -> "TimeSeries":
+        """Positional slice in time order (reference series.py:419-438).
+        Positional indexing needs a global row_number — fine on collections,
+        documented as not the scale path."""
+        from pyspark.sql import Window
+        w = Window.orderBy(self.time_col)
+        df = self._df.withColumn("__rn", F.row_number().over(w) - 1)
+        if begin is not None:
+            df = df.where(F.col("__rn") >= begin)
+        if end is not None:
+            df = df.where(F.col("__rn") < end)
+        return self._with(df.drop("__rn"))
+
+    def at(self, pos: int):
+        return self.slice(pos, pos + 1).collect()[0]
+
+    def at_time(self, when: Any):
+        """Event nearest-at-or-before `when` (bisect + at, series.py:494-517)."""
+        rows = (self._df.where(F.col(self.time_col) <= F.lit(_dt(when)))
+                .orderBy(F.col(self.time_col).desc()).limit(1).collect())
+        return rows[0] if rows else None
+
+    def at_first(self):
+        rows = self._df.orderBy(self.time_col).limit(1).collect()
+        return rows[0] if rows else None
+
+    def at_last(self):
+        rows = self._df.orderBy(F.col(self.time_col).desc()).limit(1).collect()
+        return rows[0] if rows else None
+
+    def bisect(self, when: Any) -> int:
+        """Index of the latest event at-or-before `when`."""
+        return self._df.where(F.col(self.time_col) <= F.lit(_dt(when))).count() - 1
+
+    def timerange(self) -> TimeRange | None:
+        end_col = "end" if self._kind != "time" else "time"
+        row = self._df.agg(F.min(self.time_col).alias("b"),
+                           F.max(end_col).alias("e")).collect()[0]
+        if row["b"] is None:
+            return None
+        return TimeRange(_aware(row["b"]), _aware(row["e"]))
+
+    def range(self) -> TimeRange | None:
+        return self.timerange()
+
+    def begin(self):
+        tr = self.timerange()
+        return tr.begin() if tr else None
+
+    def end(self):
+        tr = self.timerange()
+        return tr.end() if tr else None
+
+    # -- scalar aggregations (SURVEY §2.4) -------------------------------------
+    def aggregate(self, func, field_spec: str = "value",
+                  flt: str = "ignore_missing"):
+        col = compile_agg(func, field_spec, flt, self.time_col)
+        return self._df.agg(col.alias("__v")).collect()[0]["__v"]
+
+    def sum(self, field_spec: str = "value"):
+        return self.aggregate("sum", field_spec)
+
+    def avg(self, field_spec: str = "value"):
+        return self.aggregate("avg", field_spec)
+
+    def mean(self, field_spec: str = "value"):
+        return self.avg(field_spec)
+
+    def max(self, field_spec: str = "value"):
+        return self.aggregate("max", field_spec)
+
+    def min(self, field_spec: str = "value"):
+        return self.aggregate("min", field_spec)
+
+    def median(self, field_spec: str = "value"):
+        return self.aggregate("median", field_spec)
+
+    def stdev(self, field_spec: str = "value"):
+        return self.aggregate("stddev", field_spec)
+
+    def first(self, field_spec: str = "value"):
+        return self.aggregate("first", field_spec)
+
+    def last(self, field_spec: str = "value"):
+        return self.aggregate("last", field_spec)
+
+    def percentile(self, perc: float, field_spec: str = "value",
+                   method: str = "linear"):
+        return self.aggregate(("percentile", perc, method), field_spec)
+
+    def quantile(self, num: int, field_spec: str = "value",
+                 method: str = "linear") -> list:
+        """num-quantile cut points (reference collection.py:1022-1089)."""
+        if num < 1:
+            raise ValueError("quantile divisions must be >= 1")
+        fracs = [i / num for i in range(1, num)]
+        col = valid_or_null(F.col(field_spec)).cast("double")
+        if method == "linear":
+            row = self._df.agg(
+                F.percentile(col, F.array(*[F.lit(f) for f in fracs]))
+                .alias("__q")).collect()[0]
+            return list(row["__q"])
+        return [self.percentile(f * 100, field_spec, method) for f in fracs]
+
+    # -- windowed rollups (SURVEY §2.6) ----------------------------------------
+    def fixed_window_rollup(self, window: str, aggregation: dict,
+                            group_by: str | Sequence[str] | None = None
+                            ) -> "TimeSeries":
+        out = agg_ops.windowed_aggregate(
+            self._df, aggregation, window=window, group_by=group_by,
+            time_col=self.time_col)
+        return TimeSeries(out, "index", self._meta)
+
+    def hourly_rollup(self, aggregation: dict, **kw) -> "TimeSeries":
+        return self.fixed_window_rollup("1h", aggregation, **kw)
+
+    def daily_rollup(self, aggregation: dict, utc: bool = True,
+                     tz: str = "UTC") -> "TimeSeries":
+        return self._calendar_rollup("daily", aggregation, utc, tz)
+
+    def monthly_rollup(self, aggregation: dict, utc: bool = True,
+                       tz: str = "UTC") -> "TimeSeries":
+        return self._calendar_rollup("monthly", aggregation, utc, tz)
+
+    def yearly_rollup(self, aggregation: dict, utc: bool = True,
+                      tz: str = "UTC") -> "TimeSeries":
+        return self._calendar_rollup("yearly", aggregation, utc, tz)
+
+    def _calendar_rollup(self, kind: str, aggregation: dict, utc: bool,
+                         tz: str) -> "TimeSeries":
+        out = agg_ops.windowed_aggregate(
+            self._df, aggregation, window=kind, utc=utc, tz=tz,
+            time_col=self.time_col)
+        return TimeSeries(out, "index", self._meta)
+
+    def window_aggregate(self, aggregation: dict, window: str | None = None,
+                         group_by=None, utc: bool = True,
+                         tz: str = "UTC") -> "TimeSeries":
+        out = agg_ops.windowed_aggregate(
+            self._df, aggregation, window=window, group_by=group_by, utc=utc,
+            tz=tz, time_col=self.time_col)
+        return TimeSeries(out, "timerange" if window is None else "index",
+                          self._meta)
+
+    def collect_by_fixed_window(self, window: str) -> "TimeSeries":
+        out = agg_ops.collect_by_fixed_window(self._df, window, self.time_col)
+        return TimeSeries(out, "index", self._meta)
+
+    # -- timeseries transforms (SURVEY §2.8) -----------------------------------
+    def align(self, field_spec="value", window: str = "5m",
+              method: str = "linear", limit: int | None = None,
+              partition_by: Sequence[str] = ()) -> "TimeSeries":
+        if self._kind != "time":
+            raise ValueError("only instant-event series can be aligned")
+        return self._with(align_op(self._df, window, field_spec, method,
+                                   limit, partition_by))
+
+    def rate(self, field_spec="value", allow_negative: bool = True,
+             partition_by: Sequence[str] = ()) -> "TimeSeries":
+        if self._kind != "time":
+            raise ValueError("rate expects instant-event input")
+        out = rate_op(self._df, field_spec, allow_negative, partition_by)
+        return TimeSeries(out, "timerange", self._meta)
+
+    def fill(self, field_spec="value", method: str = "zero",
+             fill_limit: int | None = None,
+             partition_by: Sequence[str] = ()) -> "TimeSeries":
+        return self._with(fill_op(self._df, field_spec, method, fill_limit,
+                                  partition_by, self.time_col))
+
+    def take(self, limit: int, window: str | None = None,
+             group_by=None) -> "TimeSeries":
+        return self._with(take_op(self._df, limit, window, group_by,
+                                  self.time_col))
+
+    def dedup(self) -> "TimeSeries":
+        return self._with(merge_ops.dedup(self._df, self._kind))
+
+    # -- converters (SURVEY §2.8 Converter) ------------------------------------
+    def as_events(self, alignment: str = "center") -> "TimeSeries":
+        if self._kind == "time":
+            return self
+        if self._kind == "timerange":
+            out = convert_ops.timerange_events_to_events(self._df, alignment)
+        else:
+            out = convert_ops.indexed_events_to_events(
+                self._df, "lag" if alignment == "center" else alignment)
+        return TimeSeries(out, "time", self._meta)
+
+    def as_timerange_events(self, duration: str | None = None,
+                            alignment: str = "center") -> "TimeSeries":
+        if self._kind == "timerange":
+            return self
+        if self._kind == "time":
+            if duration is None:
+                raise ValueError("point->range conversion needs a duration")
+            out = convert_ops.events_to_timerange_events(self._df, duration,
+                                                         alignment)
+        else:
+            out = convert_ops.indexed_events_to_timerange_events(self._df)
+        return TimeSeries(out, "timerange", self._meta)
+
+    def as_indexed_events(self, duration: str) -> "TimeSeries":
+        if self._kind == "index":
+            return self
+        if self._kind == "timerange":
+            raise ValueError(
+                "TimeRangeEvent -> IndexedEvent is not supported "
+                "(reference converter.py:167-169)")
+        out = convert_ops.events_to_indexed_events(self._df, duration)
+        return TimeSeries(out, "index", self._meta)
+
+    # -- static multi-series ops (SURVEY §2.3) ---------------------------------
+    @staticmethod
+    def timeseries_list_merge(series: Sequence["TimeSeries"],
+                              name: str | None = None) -> "TimeSeries":
+        kind = series[0]._kind
+        out = merge_ops.timeseries_list_merge([s._df for s in series], kind)
+        return TimeSeries(out, kind, {"name": name} if name else {})
+
+    @staticmethod
+    def timeseries_list_sum(series: Sequence["TimeSeries"],
+                            field_spec="value",
+                            name: str | None = None) -> "TimeSeries":
+        kind = series[0]._kind
+        out = merge_ops.timeseries_list_sum([s._df for s in series],
+                                            field_spec, kind)
+        return TimeSeries(out, kind, {"name": name} if name else {})
+
+    @staticmethod
+    def timeseries_list_reduce(series: Sequence["TimeSeries"], field_spec,
+                               func, name: str | None = None) -> "TimeSeries":
+        kind = series[0]._kind
+        out = merge_ops.timeseries_list_reduce([s._df for s in series],
+                                               field_spec, func, kind)
+        return TimeSeries(out, kind, {"name": name} if name else {})
+
+
+def _dt(when: Any) -> datetime.datetime:
+    from .util import dt_from_ms
+    if isinstance(when, datetime.datetime):
+        return when
+    return dt_from_ms(ms_from_any(when))
+
+
+def _aware(dtime: datetime.datetime) -> datetime.datetime:
+    if dtime.tzinfo is None:
+        return dtime.replace(tzinfo=datetime.timezone.utc)
+    return dtime

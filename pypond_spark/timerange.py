@@ -1,0 +1,123 @@
+"""TimeRange value type + interval algebra (reference ``pypond/range.py``).
+
+Python-side for driver logic (wire codec, crop arguments) and column-expression
+duals for per-row predicates. Intervals are inclusive [begin, end] in epoch ms,
+matching the reference (``range.py:131-182``; algebra ``range.py:358-474``).
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .util import dt_from_ms, ms_from_any
+
+
+class TimeRange:
+    """Immutable inclusive [begin, end] interval of epoch-ms instants."""
+
+    __slots__ = ("_begin", "_end")
+
+    def __init__(self, begin: Any, end: Any = None):
+        if end is None and isinstance(begin, (list, tuple)):
+            begin, end = begin
+        if end is None and isinstance(begin, TimeRange):
+            begin, end = begin._begin, begin._end
+        self._begin = ms_from_any(begin)
+        self._end = ms_from_any(end)
+        if self._begin > self._end:
+            raise ValueError("TimeRange begin must be <= end")
+
+    # -- accessors ----------------------------------------------------------
+    def begin(self) -> datetime.datetime:
+        return dt_from_ms(self._begin)
+
+    def end(self) -> datetime.datetime:
+        return dt_from_ms(self._end)
+
+    def begin_ms(self) -> int:
+        return self._begin
+
+    def end_ms(self) -> int:
+        return self._end
+
+    def to_json(self) -> list[int]:
+        return [self._begin, self._end]
+
+    def duration(self) -> int:
+        return self._end - self._begin
+
+    def __repr__(self) -> str:
+        return f"TimeRange({self.begin().isoformat()}, {self.end().isoformat()})"
+
+    def __eq__(self, other: object) -> bool:
+        return (isinstance(other, TimeRange) and self._begin == other._begin
+                and self._end == other._end)
+
+    def __hash__(self) -> int:
+        return hash((self._begin, self._end))
+
+    # -- algebra (reference range.py:358-474) --------------------------------
+    def contains(self, other: "TimeRange | Any") -> bool:
+        if isinstance(other, TimeRange):
+            return self._begin <= other._begin and self._end >= other._end
+        ms = ms_from_any(other)
+        return self._begin <= ms <= self._end
+
+    def within(self, other: "TimeRange") -> bool:
+        return other.contains(self)
+
+    def overlaps(self, other: "TimeRange") -> bool:
+        return (self.contains(other.begin()) or other.contains(self.begin())
+                or self.contains(other.end()) or other.contains(self.end()))
+
+    def disjoint(self, other: "TimeRange") -> bool:
+        return self._end < other._begin or self._begin > other._end
+
+    def extents(self, other: "TimeRange") -> "TimeRange":
+        return TimeRange(min(self._begin, other._begin), max(self._end, other._end))
+
+    def intersection(self, other: "TimeRange") -> "TimeRange | None":
+        if self.disjoint(other):
+            return None
+        return TimeRange(max(self._begin, other._begin), min(self._end, other._end))
+
+    # -- relative-window constructors (reference range.py:476-582) -----------
+    @staticmethod
+    def last(delta: datetime.timedelta,
+             now: datetime.datetime | None = None) -> "TimeRange":
+        end = now or datetime.datetime.now(datetime.timezone.utc)
+        return TimeRange(end - delta, end)
+
+
+# ---------------------------------------------------------------------------
+# column-expression interval predicates over (begin, end) timestamp columns
+# ---------------------------------------------------------------------------
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def range_contains_time(begin: Column | str, end: Column | str,
+                        time: Column | str) -> Column:
+    return (_c(begin) <= _c(time)) & (_c(time) <= _c(end))
+
+
+def ranges_overlap(b1: Column | str, e1: Column | str,
+                   b2: Column | str, e2: Column | str) -> Column:
+    return (_c(b1) <= _c(e2)) & (_c(b2) <= _c(e1))
+
+
+def ranges_disjoint(b1: Column | str, e1: Column | str,
+                    b2: Column | str, e2: Column | str) -> Column:
+    return (_c(e1) < _c(b2)) | (_c(b1) > _c(e2))
+
+
+def range_within(b1: Column | str, e1: Column | str,
+                 b2: Column | str, e2: Column | str) -> Column:
+    """[b1,e1] within [b2,e2]."""
+    return (_c(b2) <= _c(b1)) & (_c(e1) <= _c(e2))

@@ -1,0 +1,128 @@
+"""Pure-python kernel tests: time utils, index grammar, timerange algebra.
+
+Golden values come from the reference's own tests (index_test.py:206-235,
+range_test.py) — they encode exact semantics.
+"""
+
+import datetime
+
+import pytest
+
+from pypond_spark import index as idx
+from pypond_spark.timerange import TimeRange
+from pypond_spark.util import (dt_from_ms, is_valid_value, ms_from_any,
+                               ms_from_dt, sanitize_dt)
+
+UTC = datetime.timezone.utc
+
+
+def test_ms_round_trip():
+    ms = 1400425947000
+    assert ms_from_dt(dt_from_ms(ms)) == ms
+
+
+def test_naive_rejected():
+    with pytest.raises(ValueError):
+        sanitize_dt(datetime.datetime(2015, 1, 1))
+
+
+def test_non_utc_coerced():
+    tz = datetime.timezone(datetime.timedelta(hours=-5))
+    dt = datetime.datetime(2015, 1, 1, 7, 0, tzinfo=tz)
+    with pytest.warns(UserWarning):
+        out = sanitize_dt(dt)
+    assert out.hour == 12 and out.tzinfo == UTC
+
+
+def test_ms_from_any():
+    assert ms_from_any(1400425947000) == 1400425947000
+    assert ms_from_any("1970-01-01T00:00:01Z") == 1000
+
+
+def test_is_valid_value():
+    assert not is_valid_value(None)
+    assert not is_valid_value(float("nan"))
+    assert not is_valid_value("")
+    assert is_valid_value(0)
+    assert is_valid_value("x")
+
+
+# -- index grammar (reference index_test.py goldens) -------------------------
+
+def test_get_index_string():
+    dt = datetime.datetime(2015, 3, 14, 7, 32, 22, tzinfo=UTC)
+    assert idx.get_index_string("5m", dt) == "5m-4754394"
+
+
+def test_get_index_string_list():
+    d1 = datetime.datetime(2015, 3, 14, 7, 30, 0, tzinfo=UTC)
+    d2 = datetime.datetime(2015, 3, 14, 8, 29, 59, tzinfo=UTC)
+    lst = idx.get_index_string_list("5m", d1, d2)
+    assert len(lst) == 12
+    assert lst[0] == "5m-4754394"
+    assert lst[-1] == "5m-4754405"
+
+
+def test_window_duration():
+    assert idx.window_duration_ms("30s") == 30_000
+    assert idx.window_duration_ms("5m") == 300_000
+    assert idx.window_duration_ms("1h") == 3_600_000
+    assert idx.window_duration_ms("2d") == 172_800_000
+    assert idx.window_duration_ms("daily") is None
+
+
+def test_parse_fixed_index():
+    kind, b, e = idx.parse_index("5m-4754394")
+    assert kind == "index"
+    assert b == 4754394 * 300_000
+    assert e == 4754395 * 300_000
+
+
+def test_parse_calendar_index():
+    kind, b, e = idx.parse_index("2015-07-14")
+    assert kind == "day"
+    assert dt_from_ms(b) == datetime.datetime(2015, 7, 14, tzinfo=UTC)
+    assert dt_from_ms(e) == datetime.datetime(2015, 7, 14, 23, 59, 59, tzinfo=UTC)
+
+    kind, b, e = idx.parse_index("2015-07")
+    assert kind == "month"
+    assert dt_from_ms(e) == datetime.datetime(2015, 7, 31, 23, 59, 59, tzinfo=UTC)
+
+    kind, b, e = idx.parse_index("2015")
+    assert kind == "year"
+    assert dt_from_ms(e) == datetime.datetime(2015, 12, 31, 23, 59, 59, tzinfo=UTC)
+
+
+def test_daily_monthly_yearly_strings():
+    dt = datetime.datetime(2015, 3, 4, 7, 30, tzinfo=UTC)
+    assert idx.get_daily_index_string(dt) == "2015-03-04"
+    assert idx.get_monthly_index_string(dt) == "2015-03"
+    assert idx.get_yearly_index_string(dt) == "2015"
+
+
+# -- timerange algebra (reference range_test.py:266-404) ----------------------
+
+def _tr(b, e):
+    return TimeRange(b, e)
+
+
+def test_timerange_algebra():
+    ta = _tr(0, 10_000)
+    tb = _tr(5_000, 15_000)
+    tc = _tr(20_000, 30_000)
+    assert ta.overlaps(tb) and tb.overlaps(ta)
+    assert ta.disjoint(tc)
+    assert not ta.disjoint(tb)
+    assert ta.contains(5_000)
+    assert not ta.contains(15_000)
+    assert ta.extents(tc) == _tr(0, 30_000)
+    assert ta.intersection(tb) == _tr(5_000, 10_000)
+    assert ta.intersection(tc) is None
+    assert _tr(2_000, 8_000).within(ta)
+    assert ta.contains(_tr(2_000, 8_000))
+
+
+def test_timerange_validation():
+    with pytest.raises(ValueError):
+        TimeRange(10, 0)
+    assert TimeRange([0, 10]).duration() == 10

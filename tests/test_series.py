@@ -1,0 +1,196 @@
+"""TimeSeries core: wire round-trip, row ops, slicing, scalar aggregations.
+
+Goldens from reference series_test.py / event_test.py.
+"""
+
+import math
+
+import pytest
+
+from pypond_spark import TimeRange, TimeSeries
+
+WIRE = {
+    "name": "traffic",
+    "columns": ["time", "value", "status"],
+    "points": [
+        [1400425947000, 52, "ok"],
+        [1400425948000, 18, "ok"],
+        [1400425949000, 26, "fail"],
+        [1400425950000, 93, "offline"],
+    ],
+}
+
+DEEP_WIRE = {
+    "name": "Map Traffic",
+    "columns": ["time", "direction"],
+    "points": [
+        [1400425947000, {"in": 123, "out": 456}],
+        [1400425948000, {"in": 300, "out": 189}],
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def ts(spark):
+    return TimeSeries.from_wire(spark, WIRE)
+
+
+def test_wire_round_trip(ts):
+    out = ts.to_wire()
+    assert out["name"] == "traffic"
+    assert out["columns"] == ["time", "value", "status"]
+    assert out["points"] == WIRE["points"]
+
+
+def test_deep_paths(spark):
+    ts = TimeSeries.from_wire(spark, DEEP_WIRE)
+    assert ts.avg("direction.in") == 211.5
+    assert ts.avg("direction.out") == 322.5
+    out = ts.to_wire()
+    assert out["points"][0][1] == {"in": 123, "out": 456}
+
+
+def test_size_and_columns(ts):
+    assert ts.size() == 4
+    assert set(ts.columns()) == {"value", "status"}
+    assert ts.name() == "traffic"
+
+
+def test_scalar_aggs(ts):
+    assert ts.sum("value") == 189
+    assert ts.avg("value") == 47.25
+    assert ts.max("value") == 93
+    assert ts.min("value") == 18
+    assert ts.first("status") == "ok"
+    assert ts.last("status") == "offline"
+    assert ts.median("value") == 39.0
+
+
+def test_stddev_is_population(ts):
+    # population sigma, reference functions.py:299-313
+    vals = [52, 18, 26, 93]
+    mean = sum(vals) / 4
+    expected = math.sqrt(sum((v - mean) ** 2 for v in vals) / 4)
+    assert abs(ts.stdev("value") - expected) < 1e-9
+
+
+def test_percentile_methods(spark):
+    # reference series_test.py:707-763 goldens
+    vals = [22.3, 32.4, 12.1, 76.8, 87.3, 54.6, 45.5, 87.9]
+    wire = {"name": "p", "columns": ["time", "temperature"],
+            "points": [[(i + 1) * 1000, v] for i, v in enumerate(vals)]}
+    ts = TimeSeries.from_wire(spark, wire)
+    assert ts.percentile(50, "temperature") == 50.05
+    assert abs(ts.percentile(95, "temperature") - 87.69) < 1e-9
+    assert abs(ts.percentile(99, "temperature") - 87.858) < 1e-9
+    assert ts.percentile(99, "temperature", "lower") == 87.3
+    assert ts.percentile(99, "temperature", "higher") == 87.9
+    assert ts.percentile(99, "temperature", "nearest") == 87.9
+    assert abs(ts.percentile(99, "temperature", "midpoint") - 87.6) < 1e-9
+    assert ts.percentile(0, "temperature") == 12.1
+    assert ts.percentile(100, "temperature") == 87.9
+
+    single = TimeSeries.from_wire(
+        spark, {"name": "s", "columns": ["time", "t"], "points": [[1000, 22.3]]})
+    for q in (0, 50, 100):
+        assert single.percentile(q, "t", "higher") == 22.3
+
+
+def test_quantile(spark):
+    wire = {"name": "q", "columns": ["time", "value"],
+            "points": [[i * 1000, v] for i, v in
+                       enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])]}
+    ts = TimeSeries.from_wire(spark, wire)
+    assert ts.quantile(4, "value") == [3.25, 5.5, 7.75]
+
+
+def test_empty_avg_and_sum_are_zero(spark):
+    wire = {"name": "e", "columns": ["time", "value"], "points": []}
+    ts = TimeSeries.from_wire(spark, wire)
+    assert ts.avg("value") == 0
+    assert ts.sum("value") == 0
+
+
+def test_select_collapse_rename_offset(ts):
+    sel = ts.select("value")
+    assert set(sel.columns()) == {"value"}
+
+    wire = {"name": "c", "columns": ["time", "in", "out"],
+            "points": [[1000, 1, 2], [2000, 3, 4]]}
+    ts2 = TimeSeries.from_wire(ts.df.sparkSession, wire)
+    col = ts2.collapse(["in", "out"], "in_out_sum", "sum")
+    assert [p[3] for p in col.to_wire()["points"]] == [3, 7]
+
+    ren = ts2.rename_columns({"in": "new_in"})
+    assert "new_in" in ren.columns() and "in" not in ren.columns()
+
+    off = ts2.offset_by(10, "in")
+    assert [p[1] for p in off.to_wire()["points"]] == [11, 13]
+
+
+def test_clean_and_size_valid(spark):
+    wire = {"name": "n", "columns": ["time", "value"],
+            "points": [[1000, 1.0], [2000, None], [3000, float("nan")],
+                       [4000, 4.0]]}
+    ts = TimeSeries.from_wire(spark, wire)
+    assert ts.size() == 4
+    assert ts.size_valid("value") == 2
+    assert ts.clean("value").size() == 2
+    assert ts.avg("value") == 2.5  # invalid ignored
+
+
+def test_crop_slice_at(ts):
+    tr = TimeRange(1400425948000, 1400425949000)
+    assert ts.crop(tr).size() == 2
+    assert ts.slice(1, 3).size() == 2
+    assert ts.at(0)["value"] == 52
+    assert ts.at_first()["value"] == 52
+    assert ts.at_last()["value"] == 93
+    assert ts.bisect(1400425949500) == 2
+    assert ts.at_time(1400425949500)["value"] == 26
+
+
+def test_timerange_extents(ts):
+    tr = ts.timerange()
+    assert tr.begin_ms() == 1400425947000
+    assert tr.end_ms() == 1400425950000
+
+
+def test_dedup_and_merge(spark):
+    wire = {"name": "d", "columns": ["time", "value"],
+            "points": [[1000, 1], [1000, 2], [2000, 3]]}
+    ts = TimeSeries.from_wire(spark, wire)
+    dd = ts.dedup()
+    assert dd.size() == 2
+    assert [p[1] for p in dd.to_wire()["points"]] == [2, 3]  # last wins
+
+
+def test_timeseries_list_ops(spark):
+    w1 = {"name": "a", "columns": ["time", "in"],
+          "points": [[1000, 1], [2000, 2]]}
+    w2 = {"name": "b", "columns": ["time", "out"],
+          "points": [[1000, 10], [2000, 20]]}
+    t1 = TimeSeries.from_wire(spark, w1)
+    t2 = TimeSeries.from_wire(spark, w2)
+    merged = TimeSeries.timeseries_list_merge([t1, t2], name="m")
+    pts = merged.to_wire()["points"]
+    assert len(pts) == 2
+    cols = merged.to_wire()["columns"]
+    row0 = dict(zip(cols[1:], pts[0][1:]))
+    assert row0 == {"in": 1, "out": 10}
+
+    w3 = {"name": "c", "columns": ["time", "in"],
+          "points": [[1000, 5], [2000, 7]]}
+    t3 = TimeSeries.from_wire(spark, w3)
+    summed = TimeSeries.timeseries_list_sum([t1, t3], field_spec="in")
+    assert [p[1] for p in summed.to_wire()["points"]] == [6, 9]
+
+
+def test_take(spark):
+    wire = {"name": "t", "columns": ["time", "value"],
+            "points": [[i * 60_000, i] for i in range(10)]}
+    ts = TimeSeries.from_wire(spark, wire)
+    taken = ts.take(2, window="5m")
+    # 10 minutes of 1-minute points -> two 5m windows, 2 kept from each
+    assert taken.size() == 4
+    assert [p[1] for p in taken.to_wire()["points"]] == [0, 1, 5, 6]
