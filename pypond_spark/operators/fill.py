@@ -30,14 +30,14 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import is_valid_col
+from ..util import field_dtype, is_valid_col, set_field
 
 
 def _fill_one(df: DataFrame, field: str, method: str, fill_limit: int | None,
               keys: list[str], time_col: str) -> DataFrame:
     w = Window.partitionBy(*keys).orderBy(time_col)
     col = F.col(field)
-    dtype = df.schema[field].dataType if "." not in field else None
+    dtype = field_dtype(df.schema, field)
     valid = is_valid_col(col, dtype)
 
     # run_id: number of valid rows at-or-before this row -> invalid rows that
@@ -50,8 +50,7 @@ def _fill_one(df: DataFrame, field: str, method: str, fill_limit: int | None,
         .rowsBetween(Window.unboundedPreceding, 0))
 
     if method == "zero":
-        filled: Column = F.lit(0).cast(df.schema[field].dataType) \
-            if "." not in field else F.lit(0.0)
+        filled: Column = F.lit(0).cast(dtype) if dtype is not None else F.lit(0.0)
         can_fill = F.lit(True)
     elif method == "pad":
         prev_valid = F.last(F.when(valid, col), ignorenulls=True).over(
@@ -87,7 +86,10 @@ def _fill_one(df: DataFrame, field: str, method: str, fill_limit: int | None,
             can_fill = can_fill & (pos_in_run <= fill_limit)
 
     new_col = F.when(valid, col).when(can_fill, filled).otherwise(col)
-    return df.withColumn(field, new_col)
+    if method == "linear":
+        # interpolated values are fractional: widen the column to double
+        new_col = new_col.cast("double")
+    return set_field(df, field, new_col)
 
 
 def fill(

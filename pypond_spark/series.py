@@ -33,7 +33,7 @@ from .operators.fill import fill as fill_op
 from .operators.rate import rate as rate_op
 from .operators.take import take as take_op
 from .timerange import TimeRange
-from .util import is_valid_col, ms_from_any, valid_or_null
+from .util import field_dtype, is_valid_col, ms_from_any, valid_or_null
 
 KEY_COLS = ("time", "begin", "end", "index")
 
@@ -111,8 +111,7 @@ class TimeSeries:
 
     def size_valid(self, field_spec: str = "value") -> int:
         """Count of events with a valid (non NULL/NaN/'') value at the path."""
-        dtype = self._df.schema[field_spec].dataType \
-            if "." not in field_spec else None
+        dtype = field_dtype(self._df.schema, field_spec)
         return self._df.where(is_valid_col(F.col(field_spec), dtype)).count()
 
     # -- wire / json ----------------------------------------------------------
@@ -144,8 +143,7 @@ class TimeSeries:
         fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
         df = self._df
         for f in fields:
-            dtype = df.schema[f].dataType if "." not in f else None
-            df = df.where(is_valid_col(F.col(f), dtype))
+            df = df.where(is_valid_col(F.col(f), field_dtype(df.schema, f)))
         return self._with(df)
 
     def map(self, exprs: dict[str, Column | str] |

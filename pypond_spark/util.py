@@ -129,3 +129,32 @@ def valid_or_null(col: Column | str, dtype: T.DataType | None = None) -> Column:
     """Normalize: invalid values (NaN/'') -> NULL so SQL agg null-skip applies."""
     col = F.col(col) if isinstance(col, str) else col
     return F.when(is_valid_col(col, dtype), col)
+
+
+# ---------------------------------------------------------------------------
+# deep-path helpers (reference "deep paths" like direction.in,
+# bases.py:87-110) — native struct access, no UDF
+# ---------------------------------------------------------------------------
+
+
+def field_dtype(schema: T.StructType, path: str) -> T.DataType | None:
+    """Resolve the dtype at a dotted path; None if not resolvable."""
+    parts = path.split(".")
+    cur: T.DataType = schema
+    for part in parts:
+        if not isinstance(cur, T.StructType) or part not in cur.fieldNames():
+            return None
+        cur = cur[part].dataType
+    return cur
+
+
+def set_field(df, path: str, col: Column):
+    """Set a (possibly nested) field to a column expression.
+
+    Top-level -> withColumn; nested -> withField on the root struct (dot
+    notation handles deeper nesting).
+    """
+    if "." not in path:
+        return df.withColumn(path, col)
+    root, rest = path.split(".", 1)
+    return df.withColumn(root, F.col(root).withField(rest, col))

@@ -1,0 +1,167 @@
+"""Windowed/grouped aggregation and converters — reference goldens
+(pipeline_test.py:621-677 windowed averages, converter semantics)."""
+
+import datetime
+
+import pytest
+
+from pypond_spark import TimeSeries
+
+UTC = datetime.timezone.utc
+
+
+def _ms(y, mo, d, h, mi):
+    return int(datetime.datetime(y, mo, d, h, mi, tzinfo=UTC).timestamp() * 1000)
+
+
+@pytest.fixture(scope="module")
+def in_out(spark):
+    pts = [
+        [_ms(2015, 3, 14, 7, 57), 3, 1],
+        [_ms(2015, 3, 14, 7, 58), 9, 2],
+        [_ms(2015, 3, 14, 7, 59), 6, 6],
+        [_ms(2015, 3, 14, 8, 0), 4, 7],
+        [_ms(2015, 3, 14, 8, 1), 5, 9],
+    ]
+    return TimeSeries.from_wire(
+        spark, {"name": "events", "columns": ["time", "in", "out"], "points": pts})
+
+
+def test_windowed_average(in_out):
+    """pipeline_test.py:621-677: 1h-396199 -> in_avg 6, out_avg 3."""
+    rolled = in_out.fixed_window_rollup(
+        "1h", {"in_avg": {"in": "avg"}, "out_avg": {"out": "avg"}})
+    rows = {r["index"]: r for r in rolled.df.collect()}
+    assert rows["1h-396199"]["in_avg"] == 6
+    assert rows["1h-396199"]["out_avg"] == 3
+    assert rows["1h-396200"]["in_avg"] == 4.5
+    assert rows["1h-396200"]["out_avg"] == 8
+    # index begin/end round-trip
+    r = rows["1h-396199"]
+    assert r["begin"].replace(tzinfo=UTC) == \
+        datetime.datetime(2015, 3, 14, 7, 0, tzinfo=UTC)
+    assert r["end"].replace(tzinfo=UTC) == \
+        datetime.datetime(2015, 3, 14, 8, 0, tzinfo=UTC)
+
+
+def test_grouped_windowed_aggregate(spark):
+    pts = [
+        [_ms(2015, 3, 14, 7, 57), "a", 3],
+        [_ms(2015, 3, 14, 7, 58), "a", 9],
+        [_ms(2015, 3, 14, 7, 59), "b", 6],
+        [_ms(2015, 3, 14, 8, 0), "a", 4],
+        [_ms(2015, 3, 14, 8, 1), "b", 5],
+    ]
+    ts = TimeSeries.from_wire(
+        spark, {"name": "g", "columns": ["time", "type", "in"], "points": pts})
+    out = ts.fixed_window_rollup("1h", {"in_sum": {"in": "sum"}},
+                                 group_by="type")
+    rows = {(r["index"], r["type"]): r["in_sum"] for r in out.df.collect()}
+    assert rows[("1h-396199", "a")] == 12
+    assert rows[("1h-396199", "b")] == 6
+    assert rows[("1h-396200", "a")] == 4
+    assert rows[("1h-396200", "b")] == 5
+
+
+def test_global_aggregate_emits_timerange(in_out):
+    out = in_out.window_aggregate({"in_max": {"in": "max"}})
+    rows = out.df.collect()
+    assert len(rows) == 1
+    assert rows[0]["in_max"] == 9
+    assert out.kind == "timerange"
+
+
+def test_daily_rollup_utc_and_local(spark):
+    # two points either side of midnight UTC; in US/Pacific they share a day
+    pts = [[_ms(2015, 3, 14, 23, 30), 2], [_ms(2015, 3, 15, 0, 30), 4]]
+    ts = TimeSeries.from_wire(
+        spark, {"name": "d", "columns": ["time", "value"], "points": pts})
+
+    utc_roll = ts.daily_rollup({"avg": {"value": "avg"}})
+    assert {r["index"]: r["avg"] for r in utc_roll.df.collect()} == \
+        {"2015-03-14": 2.0, "2015-03-15": 4.0}
+
+    local = ts.daily_rollup({"avg": {"value": "avg"}}, utc=False,
+                            tz="America/Los_Angeles")
+    assert {r["index"]: r["avg"] for r in local.df.collect()} == \
+        {"2015-03-14": 3.0}
+
+
+def test_monthly_yearly_rollup(spark):
+    pts = [[_ms(2015, 1, 10, 0, 0), 1], [_ms(2015, 1, 20, 0, 0), 3],
+           [_ms(2015, 2, 10, 0, 0), 5], [_ms(2016, 2, 10, 0, 0), 7]]
+    ts = TimeSeries.from_wire(
+        spark, {"name": "m", "columns": ["time", "value"], "points": pts})
+    mo = {r["index"]: r["avg"] for r in
+          ts.monthly_rollup({"avg": {"value": "avg"}}).df.collect()}
+    assert mo == {"2015-01": 2.0, "2015-02": 5.0, "2016-02": 7.0}
+    yr = {r["index"]: r["sum"] for r in
+          ts.yearly_rollup({"sum": {"value": "sum"}}).df.collect()}
+    assert yr == {"2015": 9.0, "2016": 7.0}
+
+
+def test_collect_by_fixed_window(in_out):
+    out = in_out.collect_by_fixed_window("1h")
+    rows = out.df.collect()
+    assert len(rows) == 5
+    assert {r["index"] for r in rows} == {"1h-396199", "1h-396200"}
+
+
+def test_missing_filters(spark):
+    pts = [[1000, 1.0], [2000, None], [3000, 3.0]]
+    ts = TimeSeries.from_wire(
+        spark, {"name": "f", "columns": ["time", "value"], "points": pts})
+    assert ts.aggregate("avg", "value", "ignore_missing") == 2.0
+    assert ts.aggregate("avg", "value", "zero_missing") == pytest.approx(4 / 3)
+    assert ts.aggregate("avg", "value", "propagate_missing") is None
+    assert ts.aggregate("sum", "value", "none_if_empty") == 4.0
+    empty = TimeSeries.from_wire(
+        spark, {"name": "e", "columns": ["time", "value"], "points": []})
+    assert empty.aggregate("sum", "value", "none_if_empty") is None
+    assert ts.aggregate("count", "value", "keep_missing") == 3
+    assert ts.aggregate("count", "value", "ignore_missing") == 2
+    assert ts.aggregate("keep", "value") is None
+    same = TimeSeries.from_wire(
+        spark, {"name": "s", "columns": ["time", "value"],
+                "points": [[1000, 5.0], [2000, 5.0]]})
+    assert same.aggregate("keep", "value") == 5.0
+    assert ts.aggregate("difference", "value") == 2.0
+
+
+# -- converters (converter.py semantics) ---------------------------------------
+
+def test_events_to_timerange_events(spark):
+    ts = TimeSeries.from_wire(
+        spark, {"name": "c", "columns": ["time", "value"],
+                "points": [[60_000, 1]]})
+    front = ts.as_timerange_events("1m", alignment="front").to_wire()
+    assert front["points"][0][0] == [60_000, 120_000]
+    center = ts.as_timerange_events("1m", alignment="center").to_wire()
+    assert center["points"][0][0] == [30_000, 90_000]
+    behind = ts.as_timerange_events("1m", alignment="behind").to_wire()
+    assert behind["points"][0][0] == [0, 60_000]
+
+
+def test_events_to_indexed_and_back(spark):
+    ts = TimeSeries.from_wire(
+        spark, {"name": "c", "columns": ["time", "value"],
+                "points": [[1426316542000, 3]]})
+    idx = ts.as_indexed_events("5m")
+    row = idx.df.collect()[0]
+    assert row["index"] == "5m-4754388"
+    back = idx.as_events(alignment="lag")
+    t = back.df.collect()[0]["time"].replace(tzinfo=UTC)
+    assert int(t.timestamp() * 1000) == 4754388 * 300_000
+
+
+def test_timerange_to_events(spark):
+    tr = {"name": "r", "columns": ["timerange", "value"],
+          "points": [[[0, 60_000], 5]]}
+    ts = TimeSeries.from_wire(spark, tr)
+    assert ts.kind == "timerange"
+    ev = ts.as_events(alignment="center").to_wire()
+    assert ev["points"][0][0] == 30_000
+    lead = ts.as_events(alignment="lead").to_wire()
+    assert lead["points"][0][0] == 60_000
+    with pytest.raises(ValueError):
+        ts.as_indexed_events("1m")
