@@ -1,0 +1,162 @@
+"""Deduplication operators for document corpora.
+
+Scale design notes (100 TB):
+
+- exact dedup is one hash-groupBy — map-side partial agg, one shuffle on the
+  digest (uniform key, no skew);
+- MinHash+LSH: shingle -> per-seed min-hash signature -> band buckets ->
+  self-join *within buckets only* (never all-pairs). The band join key is a
+  digest, so the shuffle is uniform; candidate verification joins back for
+  exact Jaccard only on candidates;
+- SimHash: 64 per-bit partial sums composed into one BIGINT — all map-side
+  expression work, one groupBy per doc (no shuffle beyond the agg);
+- md5 (not xxhash64) is used for signatures so results are reproducible
+  across engines (the DuckDB oracle computes the same strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """One row per n-word shingle: (id, shingle)."""
+    toks = _tokens(text_col)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content digest: (digest, keeper id, duplicate count)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 4,
+                      shingle_n: int = 3) -> DataFrame:
+    """MinHash signature: per seed k, min over shingles of md5(shingle || '#k').
+
+    Returns (id, m0..m{k-1}). One explode + one groupBy; signature columns are
+    independent min aggregates (map-side combinable).
+    """
+    sh = word_shingles(df, text_col, shingle_n, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}"))))
+        .alias(f"m{k}") for k in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", num_hashes: int = 8,
+                        band_size: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding.
+
+    Bands of ``band_size`` minhashes are digested into bucket keys; docs
+    sharing any band bucket become a candidate pair. The join is per-bucket,
+    so cost is sum over buckets of |bucket|^2, not |corpus|^2.
+    """
+    if num_hashes % band_size:
+        raise ValueError("num_hashes must be a multiple of band_size")
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    n_bands = num_hashes // band_size
+    bands = F.array(*[
+        F.md5(F.concat_ws("|", F.lit(str(b)),
+                          *[F.col(f"m{b * band_size + i}")
+                            for i in range(band_size)]))
+        for b in range(n_bands)
+    ])
+    buckets = sig.select(F.col(id_col), F.explode(bands).alias("band"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A ∩ B| / |A ∪ B|.
+
+    Joins shingle sets only for candidate pairs (post-LSH), never all pairs.
+    """
+    sets_df = (word_shingles(df, text_col, shingle_n, id_col)
+               .groupBy(id_col)
+               .agg(F.collect_set("shingle").alias("sh")))
+    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", (inter / union).alias("jaccard")))
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document.
+
+    Per token: a 64-bit hash (xxhash64); per bit b: +1 if set else -1, summed
+    over tokens; simhash bit b = 1 iff sum > 0. All expression work — 64
+    conditional sums in a single aggregate, composed into one BIGINT.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(_tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    sums = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*sums)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius.
+
+    Block on 4 x 16-bit chunks (pigeonhole: any pair within hamming<=3 shares
+    at least one exact chunk), join within blocks, verify with bit_count.
+    """
+    sh = simhash64(df, text_col, id_col)
+    chunks = F.array(*[
+        F.concat(F.lit(f"{c}:"),
+                 F.shiftright(F.col("simhash"), c * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).cast("string"))
+        for c in range(4)
+    ])
+    blocked = sh.select(id_col, "simhash", F.explode(chunks).alias("chunk"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .where(hamming <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                hamming.alias("hamming"))
+        .distinct()
+    )

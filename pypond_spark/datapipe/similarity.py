@@ -1,0 +1,114 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+- ``cosine_topk``: brute-force exact top-k against one query vector. The dot
+  product is a single ``F.aggregate``/``zip_with`` expression (JVM-side); the
+  scan is embarrassingly parallel and the top-k is a global ``orderBy ...
+  limit k`` which Spark executes as per-partition top-k + driver merge
+  (TakeOrderedAndProject) — no full sort, no full shuffle.
+- ``knn_join``: exact k-NN for *every* row against a (small, broadcastable)
+  query set — broadcast nested-loop + per-query top-k via window rank.
+- ``lsh_bucket`` / ``lsh_topk``: the scale path — random-hyperplane LSH
+  buckets (deterministic planes derived from a seed), candidate search within
+  matching buckets only.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine similarity to one literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qn = math.sqrt(sum(float(v) * float(v) for v in query_vec))
+    sim = dot(vec_col, q) / (norm(vec_col) * F.lit(qn))
+    return (df.select(F.col(id_col), sim.alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col)
+            .limit(k))
+
+
+def knn_join(df: DataFrame, queries: DataFrame, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact k nearest neighbors of each query row (broadcast the queries)."""
+    joined = df.crossJoin(F.broadcast(queries))
+    sim = cosine(vec_col, q_vec_col)
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (joined.select(F.col(q_id_col), F.col(id_col),
+                          sim.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def _planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG, no numpy RNG state)."""
+    planes = []
+    state = seed * 6364136223846793005 + 1442695040888963407
+    for _ in range(nbits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2 ** 64)
+            row.append(((state >> 33) % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(df: DataFrame, dim: int, nbits: int = 8, seed: int = 42,
+               vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucket id (a bit per plane, composed to LONG)."""
+    bucket = None
+    for b, plane in enumerate(_planes(dim, nbits, seed)):
+        p = F.array(*[F.lit(w) for w in plane])
+        bit = F.when(dot(vec_col, p) > 0, F.lit(1).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             nbits: int = 8, seed: int = 42, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: search only the query's LSH bucket.
+
+    At 100 TB this turns a full-corpus scan into a single partition-pruned
+    bucket scan (bucket column is a natural partition key for the corpus).
+    """
+    dim = len(query_vec)
+    planes = _planes(dim, nbits, seed)
+    qbucket = 0
+    for b, plane in enumerate(planes):
+        d = sum(p * float(v) for p, v in zip(plane, query_vec))
+        if d > 0:
+            qbucket |= 1 << b
+    bucketed = lsh_bucket(df, dim, nbits, seed, vec_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qn = math.sqrt(sum(float(v) ** 2 for v in query_vec))
+    sim = dot(vec_col, q) / (norm(vec_col) * F.lit(qn))
+    return (bucketed.where(F.col("lsh_bucket") == qbucket)
+            .select(F.col(id_col), sim.alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col)
+            .limit(k))

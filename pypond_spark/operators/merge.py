@@ -56,9 +56,21 @@ def combine(df: DataFrame, field_spec: str | Sequence[str], func,
     return df.groupBy(*keys).agg(*aggs)
 
 
-def dedup(df: DataFrame, kind: str = "time") -> DataFrame:
-    """Drop duplicate-key events, last one wins (via merge semantics)."""
-    return merge(df, kind)
+def dedup(df: DataFrame, kind: str = "time",
+          order_col: str | None = None) -> DataFrame:
+    """Drop duplicate-key events, last one wins (via merge semantics).
+
+    With ``order_col``, "last" is deterministic: the row with the max
+    ``order_col`` per key survives whole (row_number over a desc window) —
+    the scalable form for tables with a natural arrival column.
+    """
+    if order_col is None:
+        return merge(df, kind)
+    from pyspark.sql import Window
+    keys = _keys_for(df, kind)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
 
 
 def union_series(dfs: Sequence[DataFrame]) -> DataFrame:

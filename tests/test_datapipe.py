@@ -1,0 +1,166 @@
+"""Datapipe operators over the driver's synthetic tables (sf0.001)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypond_spark.datapipe import dedup, multimodal, similarity, textstats
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_duplicates(spark, docs):
+    dups = dedup.exact_duplicates(docs)
+    total = docs.count()
+    assert dups.agg(F.sum("n_docs")).collect()[0][0] == total
+    # every digest row keeps the min doc_id
+    row = dups.orderBy("digest").first()
+    assert row["keep_id"] is not None and row["n_docs"] >= 1
+    # synthetic duplicate check
+    doubled = docs.limit(5).union(docs.limit(5))
+    d2 = dedup.exact_duplicates(doubled)
+    assert d2.count() == 5
+    assert d2.agg(F.max("n_docs")).collect()[0][0] == 2
+
+
+def test_minhash_and_lsh(spark, docs):
+    sig = dedup.minhash_signature(docs.limit(50), num_hashes=4)
+    rows = sig.collect()
+    assert len(rows) == 50
+    assert all(len(r["m0"]) == 32 for r in rows)  # md5 hex
+
+    # identical docs must collide in every band -> candidate pair
+    base = docs.limit(3).select("doc_id", "text")
+    clone = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    pairs = dedup.lsh_candidate_pairs(base.union(clone), num_hashes=8,
+                                      band_size=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for r in base.collect():
+        assert (r["doc_id"], r["doc_id"] + 1_000_000) in got
+
+
+def test_ngram_jaccard(spark, docs):
+    base = docs.limit(2).select("doc_id", "text")
+    clone = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = base.union(clone)
+    pairs = spark.createDataFrame(
+        [(r["doc_id"], r["doc_id"] + 1_000_000) for r in base.collect()],
+        "id_a long, id_b long")
+    jac = dedup.ngram_jaccard(both, pairs)
+    for r in jac.collect():
+        assert r["jaccard"] == 1.0
+
+
+def test_simhash(spark, docs):
+    sh = dedup.simhash64(docs.limit(20))
+    rows = sh.collect()
+    assert len(rows) == 20
+    # deterministic: same input -> same hash
+    again = {r["doc_id"]: r["simhash"] for r in
+             dedup.simhash64(docs.limit(20)).collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == r["simhash"]
+
+    # identical docs -> hamming 0 pairs found by the blocked join
+    base = docs.limit(3).select("doc_id", "text")
+    clone = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    near = dedup.simhash_near_dups(base.union(clone), max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in near.collect()}
+    for r in base.collect():
+        assert (r["doc_id"], r["doc_id"] + 1_000_000) in got
+
+
+def test_text_stats(spark, docs):
+    stats = textstats.quality_stats(docs.limit(10))
+    for r in stats.collect():
+        assert r["n_words"] > 0
+        assert r["n_tokens"] >= r["n_words"]
+        assert 0 <= r["stopword_ratio"] <= 1
+        assert 0 <= r["punct_ratio"] <= 1
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat of a house"),
+         (2, "der hund und die katze das haus"),
+         (3, "le chien et la maison les arbres"),
+         (4, "el perro y los gatos que corren"),
+         (5, "xyzzy plugh qwerty")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in textstats.language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_fingerprint_deterministic(spark, docs):
+    fp1 = {r["doc_id"]: r["fingerprint"]
+           for r in textstats.fingerprint(docs.limit(10)).collect()}
+    fp2 = {r["doc_id"]: r["fingerprint"]
+           for r in textstats.fingerprint(docs.limit(10)).collect()}
+    assert fp1 == fp2 and len(fp1) == 10
+
+
+def test_cosine_topk(spark, embs):
+    qvec = embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = similarity.cosine_topk(embs, list(qvec), k=5).collect()
+    assert len(top) == 5
+    assert top[0]["vec_id"] == 0  # self-similarity 1.0 first
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_knn_join(spark, embs):
+    queries = (embs.limit(2)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    knn = similarity.knn_join(embs, queries, k=3)
+    rows = knn.collect()
+    assert len(rows) == 6
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, group in by_q.items():
+        best = min(group, key=lambda r: r["rank"])
+        assert best["vec_id"] == q_id  # self is nearest
+
+
+def test_lsh_topk_contains_self(spark, embs):
+    qvec = embs.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    top = similarity.lsh_topk(embs, list(qvec), k=5, nbits=4).collect()
+    assert top and top[0]["vec_id"] == 7
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.attach_binary(docs.limit(8), "text", "doc_id")
+    assert [f.name for f in media.schema.fields] == \
+        ["media_id", "kind", "content", "meta"]
+    feats = multimodal.extract_features(media, fake=True).collect()
+    assert len(feats) == 8
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert len(r["features"]) == 8
+        assert len(r["digest"]) == 32
+
+    # real decode path is stubbed
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(b"xx"), ("mp4", None, None, 3500))],
+        multimodal.MEDIA_SCHEMA)
+    plan = multimodal.frame_sample_plan(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in plan] == [0, 1000, 2000]
