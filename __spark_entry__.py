@@ -1,38 +1,700 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry, per-operator queries, and DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every SURVEY.md §2 operator family has a ``queries()`` entry running the
+pypond_spark engine on the driver's parquet tables, and (where ANSI-SQL can
+express it) an ``oracle_sql()`` twin for DuckDB. Column names/aliases match
+pairwise; timestamps are exposed as epoch-ms BIGINTs; order-sensitive floats
+are rounded identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pypond_spark import TimeSeries
+from pypond_spark.datapipe import dedup as dp_dedup
+from pypond_spark.datapipe import multimodal as dp_mm
+from pypond_spark.datapipe import similarity as dp_sim
+from pypond_spark.datapipe import textstats as dp_text
+from pypond_spark.operators import merge as merge_ops
+from pypond_spark.operators.take import take as take_op
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ts normalized to TimestampType.
+
+    The driver's events.parquet uses TIMESTAMP(NANOS); with
+    ``nanosAsLong`` it reads as BIGINT nanos — convert via integer division
+    (micros) to match DuckDB's own nanos->micros truncation.
+    """
+    from pyspark.sql import types as T
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _events_ts(spark: SparkSession, sf_dir: str) -> TimeSeries:
+    df = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    return TimeSeries(df, "time", {"name": "events"})
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ms(col: str = "time"):
+    return F.unix_millis(F.col(col))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hourly windowed rollup per event_type on sf0.001 events."""
+    return q_rollup_1h_by_type(spark, SF_DEFAULT)
+
+
+# ---------------------------------------------------------------------------
+# timeseries core (SURVEY §2.4/2.5/2.6): windowed + grouped aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_1h_by_type(spark, sf_dir):
+    ts = _events_ts(spark, sf_dir)
+    out = ts.fixed_window_rollup(
+        "1h",
+        {"value_avg": {"value": "avg"}, "value_sum": {"value": "sum"},
+         "n": {"value": "count"}},
+        group_by="event_type")
+    return out.df.select(
+        "index", "event_type",
+        F.round("value_avg", 6).alias("value_avg"),
+        F.round("value_sum", 6).alias("value_sum"), "n")
+
+
+def q_rollup_daily(spark, sf_dir):
+    ts = _events_ts(spark, sf_dir)
+    out = ts.daily_rollup(
+        {"value_avg": {"value": "avg"}, "n": {"value": "count"}})
+    return out.df.select("index", F.round("value_avg", 6).alias("value_avg"),
+                         "n")
+
+
+def q_global_stats_by_type(spark, sf_dir):
+    ts = _events_ts(spark, sf_dir)
+    out = ts.window_aggregate(
+        {"v_min": {"value": "min"}, "v_max": {"value": "max"},
+         "v_med": {"value": "median"},
+         "v_p95": {"value": ("percentile", 95)},
+         "v_std": {"value": "stddev"},
+         "v_diff": {"value": "difference"},
+         "n": {"value": "count"}},
+        group_by="event_type")
+    return out.df.select(
+        "event_type", "v_min", "v_max",
+        F.round("v_med", 6).alias("v_med"), F.round("v_p95", 6).alias("v_p95"),
+        F.round("v_std", 6).alias("v_std"),
+        F.round("v_diff", 6).alias("v_diff"), "n")
+
+
+# ---------------------------------------------------------------------------
+# §2.8: rate / align / fill
+# ---------------------------------------------------------------------------
+
+
+def q_rate_per_user(spark, sf_dir):
+    ts = _events_ts(spark, sf_dir)
+    out = ts.rate(field_spec="value", partition_by=["user_id"])
+    return out.df.select(
+        "user_id", _ms("begin").alias("begin_ms"), _ms("end").alias("end_ms"),
+        F.round("value_rate", 6).alias("value_rate"))
+
+
+def q_rate_no_negative(spark, sf_dir):
+    ts = _events_ts(spark, sf_dir)
+    out = ts.rate(field_spec="value", allow_negative=False,
+                  partition_by=["user_id"])
+    return out.df.select(
+        "user_id", _ms("begin").alias("begin_ms"),
+        F.round("value_rate", 6).alias("value_rate"))
+
+
+def q_align_10m_linear(spark, sf_dir):
+    ts = _events_ts(spark, sf_dir)
+    out = ts.align(field_spec="value", window="10m", method="linear",
+                   partition_by=["user_id"])
+    return out.df.select("user_id", _ms("time").alias("t_ms"),
+                         F.round("value", 6).alias("value"))
+
+
+def q_align_1h_hold(spark, sf_dir):
+    ts = _events_ts(spark, sf_dir)
+    out = ts.align(field_spec="value", window="1h", method="hold",
+                   partition_by=["user_id"])
+    return out.df.select("user_id", _ms("time").alias("t_ms"),
+                         F.round("value", 6).alias("value"))
+
+
+def _nullified(spark, sf_dir):
+    """events with value nulled for clicks — synthetic invalid values."""
+    df = _events_df(spark, sf_dir)
+    return df.withColumn(
+        "value", F.when(F.col("event_type") == "click", F.lit(None))
+        .otherwise(F.col("value"))).withColumnRenamed("ts", "time")
+
+
+def q_fill_pad_per_user(spark, sf_dir):
+    ts = TimeSeries(_nullified(spark, sf_dir), "time", {"name": "nulled"})
+    out = ts.fill(field_spec="value", method="pad", partition_by=["user_id"])
+    return out.df.select("event_id", "user_id",
+                         F.round("value", 6).alias("value_filled"))
+
+
+def q_fill_zero_limit(spark, sf_dir):
+    ts = TimeSeries(_nullified(spark, sf_dir), "time", {"name": "nulled"})
+    out = ts.fill(field_spec="value", method="zero", fill_limit=2,
+                  partition_by=["user_id"])
+    return out.df.select("event_id", "user_id",
+                         F.round("value", 6).alias("value_filled"))
+
+
+def q_fill_linear_per_user(spark, sf_dir):
+    ts = TimeSeries(_nullified(spark, sf_dir), "time", {"name": "nulled"})
+    out = ts.fill(field_spec="value", method="linear",
+                  partition_by=["user_id"])
+    return out.df.select("event_id", "user_id",
+                         F.round("value", 6).alias("value_filled"))
+
+
+# ---------------------------------------------------------------------------
+# §2.2/2.3/2.7: row ops, merges, take/slice
+# ---------------------------------------------------------------------------
+
+
+def q_select_clean_crop(spark, sf_dir):
+    from pypond_spark import TimeRange
+    ts = _events_ts(spark, sf_dir)
+    out = (ts.crop(TimeRange(1704412800000, 1704844800000))  # Jan 5 - Jan 10
+           .clean("value").select(["value", "event_type"])
+           .filter(F.col("value") > 50))
+    return out.df.select(_ms("time").alias("t_ms"), "value", "event_type")
+
+
+def q_collapse_lineitem(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").withColumnRenamed("l_shipdate", "time")
+    ts = TimeSeries(li, "time", {"name": "lineitem"})
+    out = ts.collapse(["l_quantity", "l_discount", "l_tax"], "qdt_sum", "sum")
+    return out.df.select("l_orderkey", "l_linenumber",
+                         F.round("qdt_sum", 6).alias("qdt_sum"))
+
+
+def q_offset_rename(spark, sf_dir):
+    ts = _events_ts(spark, sf_dir)
+    out = ts.offset_by(100.0, "value").rename_columns({"value": "value_off"})
+    return out.df.select("event_id",
+                         F.round("value_off", 6).alias("value_off"))
+
+
+def q_dedup_last_per_hour(spark, sf_dir):
+    df = (_events_df(spark, sf_dir)
+          .withColumn("time", F.date_trunc("hour", F.col("ts"))))
+    out = merge_ops.dedup(df.select("time", "user_id", "event_id", "value"),
+                          kind="time", order_col="event_id")
+    # dedup key is the event key (time); user_id rides along
+    return out.select(_ms("time").alias("hour_ms"), "event_id", "value")
+
+
+def q_merge_series(spark, sf_dir):
+    df = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    clicks = df.where(F.col("event_type") == "click") \
+        .select("time", F.col("value").alias("click_v"))
+    views = df.where(F.col("event_type") == "view") \
+        .select("time", F.col("value").alias("view_v"))
+    merged = merge_ops.timeseries_list_merge([clicks, views], kind="time")
+    return merged.select(_ms("time").alias("t_ms"), "click_v", "view_v")
+
+
+def q_combine_sum_hourly(spark, sf_dir):
+    df = _events_df(spark, sf_dir)
+    hourly = df.withColumn("time", F.date_trunc("hour", F.col("ts")))
+    clicks = hourly.where(F.col("event_type") == "click").select("time", "value")
+    views = hourly.where(F.col("event_type") == "view").select("time", "value")
+    out = merge_ops.timeseries_list_sum([clicks, views], field_spec="value",
+                                        kind="time")
+    return out.select(_ms("time").alias("hour_ms"),
+                      F.round("value", 6).alias("value_sum"))
+
+
+def q_take2_per_day_type(spark, sf_dir):
+    df = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    out = take_op(df, 2, window="daily", group_by="event_type")
+    return out.select("event_id", "event_type", _ms("time").alias("t_ms"))
+
+
+def q_slice_positional(spark, sf_dir):
+    ts = _events_ts(spark, sf_dir)
+    out = ts.slice(100, 110)
+    return out.df.select("event_id", _ms("time").alias("t_ms"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational rollups (bench anchors)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                     2).alias("sum_disc_price"),
+             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+             F.count("*").alias("count_order"))
+    )
+
+
+def q_orders_daily(spark, sf_dir):
+    ts = TimeSeries.from_parquet(spark, f"{sf_dir}/orders.parquet",
+                                 time_col="o_orderdate", name="orders")
+    out = ts.daily_rollup({"total": {"o_totalprice": "sum"},
+                           "n": {"o_totalprice": "count"}})
+    return out.df.select("index", F.round("total", 2).alias("total"), "n")
+
+
+# ---------------------------------------------------------------------------
+# datapipe: dedup / similarity / text (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return dp_dedup.exact_duplicates(docs)
+
+
+def q_minhash_signature(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return dp_dedup.minhash_signature(docs, num_hashes=4)
+
+
+def q_neardup_pairs_lsh(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return dp_dedup.lsh_candidate_pairs(docs, num_hashes=8, band_size=4)
+
+
+def q_simhash_docs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return dp_dedup.simhash64(docs)  # rows-only: xxhash64 has no DuckDB twin
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_text.quality_stats(docs)
+    return out.select("doc_id", "n_chars", "n_words", "n_tokens",
+                      F.round("avg_word_len", 6).alias("avg_word_len"),
+                      F.round("punct_ratio", 6).alias("punct_ratio"),
+                      F.round("stopword_ratio", 6).alias("stopword_ratio"))
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.language_id(docs)
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.fingerprint(docs)
+
+
+def q_ann_topk(spark, sf_dir):
+    embs = _read(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in
+            embs.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    sim = dp_sim.dot("embedding", F.array(*[F.lit(v) for v in qvec])) / (
+        dp_sim.norm("embedding") *
+        F.lit(sum(v * v for v in qvec) ** 0.5))
+    return (embs.select("vec_id", F.round(sim, 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), "vec_id").limit(10))
+
+
+def q_ann_lsh(spark, sf_dir):
+    embs = _read(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in
+            embs.where(F.col("vec_id") == 1).collect()[0]["embedding"]]
+    out = dp_sim.lsh_topk(embs, qvec, k=10, nbits=4)  # rows-only (approx op)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    media = dp_mm.attach_binary(docs, "text", "doc_id")
+    out = dp_mm.extract_features(media, fake=True)
+    return out.select("media_id", "n_bytes", "digest")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rollup_1h_by_type": q_rollup_1h_by_type,
+        "rollup_daily": q_rollup_daily,
+        "global_stats_by_type": q_global_stats_by_type,
+        "rate_per_user": q_rate_per_user,
+        "rate_no_negative": q_rate_no_negative,
+        "align_10m_linear": q_align_10m_linear,
+        "align_1h_hold": q_align_1h_hold,
+        "fill_pad_per_user": q_fill_pad_per_user,
+        "fill_zero_limit": q_fill_zero_limit,
+        "fill_linear_per_user": q_fill_linear_per_user,
+        "select_clean_crop": q_select_clean_crop,
+        "collapse_lineitem": q_collapse_lineitem,
+        "offset_rename": q_offset_rename,
+        "dedup_last_per_hour": q_dedup_last_per_hour,
+        "merge_series": q_merge_series,
+        "combine_sum_hourly": q_combine_sum_hourly,
+        "take2_per_day_type": q_take2_per_day_type,
+        "slice_positional": q_slice_positional,
+        "tpch_q1": q_tpch_q1,
+        "orders_daily": q_orders_daily,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "minhash_signature": q_minhash_signature,
+        "neardup_pairs_lsh": q_neardup_pairs_lsh,
+        "simhash_docs": q_simhash_docs,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint_docs": q_fingerprint_docs,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_POS_1H = "CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)"
+
+_NULLIFIED = ("SELECT event_id, user_id, epoch_ms(ts) AS ms, "
+              "CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v "
+              "FROM events")
+
+_SHINGLES = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest([array_to_string(w[i:i+2], ' ')
+                     for i in generate_series(1, greatest(len(w) - 2, 1))])
+             AS shingle
+      FROM toks
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    return {
+        "rollup_1h_by_type": f"""
+            SELECT concat('1h-', {_POS_1H}) AS "index", event_type,
+                   round(avg(value), 6) AS value_avg,
+                   round(coalesce(sum(value), 0), 6) AS value_sum,
+                   count(value) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS "index",
+                   round(avg(value), 6) AS value_avg, count(value) AS n
+            FROM events GROUP BY 1
+        """,
+        "global_stats_by_type": """
+            SELECT event_type, min(value) AS v_min, max(value) AS v_max,
+                   round(quantile_cont(value, 0.5), 6) AS v_med,
+                   round(quantile_cont(value, 0.95), 6) AS v_p95,
+                   round(stddev_pop(value), 6) AS v_std,
+                   round(max(value) - min(value), 6) AS v_diff,
+                   count(value) AS n
+            FROM events GROUP BY 1
+        """,
+        "rate_per_user": """
+            SELECT user_id, prev_ms AS begin_ms, ms AS end_ms,
+                   round((value - pv) / ((ms - prev_ms) / 1000.0), 6)
+                   AS value_rate
+            FROM (
+              SELECT user_id, epoch_ms(ts) AS ms, value,
+                     lag(epoch_ms(ts)) OVER w AS prev_ms,
+                     lag(value) OVER w AS pv
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ) WHERE prev_ms IS NOT NULL
+        """,
+        "rate_no_negative": """
+            SELECT user_id, prev_ms AS begin_ms,
+                   CASE WHEN (value - pv) / ((ms - prev_ms) / 1000.0) < 0
+                        THEN NULL
+                        ELSE round((value - pv) / ((ms - prev_ms) / 1000.0), 6)
+                   END AS value_rate
+            FROM (
+              SELECT user_id, epoch_ms(ts) AS ms, value,
+                     lag(epoch_ms(ts)) OVER w AS prev_ms,
+                     lag(value) OVER w AS pv
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ) WHERE prev_ms IS NOT NULL
+        """,
+        "align_10m_linear": _align_oracle(600000, "linear"),
+        "align_1h_hold": _align_oracle(3600000, "hold"),
+        "fill_pad_per_user": f"""
+            SELECT event_id, user_id,
+                   round(coalesce(v, last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ms
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 6)
+                   AS value_filled
+            FROM ({_NULLIFIED})
+        """,
+        "fill_zero_limit": f"""
+            WITH base AS ({_NULLIFIED}),
+            runs AS (
+              SELECT event_id, user_id, ms, v,
+                     sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ms) AS run_id
+              FROM base
+            ), pos AS (
+              SELECT event_id, user_id, v,
+                     sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id, run_id ORDER BY ms)
+                     AS pos_in_run
+              FROM runs
+            )
+            SELECT event_id, user_id,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pos_in_run <= 2 THEN 0 END, 6)
+                   AS value_filled
+            FROM pos
+        """,
+        "fill_linear_per_user": f"""
+            WITH base AS ({_NULLIFIED}),
+            br AS (
+              SELECT event_id, user_id, ms, v,
+                lag(v IGNORE NULLS) OVER w AS pv,
+                lag(CASE WHEN v IS NOT NULL THEN ms END IGNORE NULLS)
+                  OVER w AS pms,
+                lead(v IGNORE NULLS) OVER w AS nv,
+                lead(CASE WHEN v IS NOT NULL THEN ms END IGNORE NULLS)
+                  OVER w AS nms
+              FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+            )
+            SELECT event_id, user_id,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                         WHEN pv IS NOT NULL AND nv IS NOT NULL
+                         THEN pv + (nv - pv) * (ms - pms) / (nms - pms)
+                         END, 6) AS value_filled
+            FROM br
+        """,
+        "select_clean_crop": """
+            SELECT epoch_ms(ts) AS t_ms, value, event_type FROM events
+            WHERE ts BETWEEN to_timestamp(1704412800000 / 1000.0)
+                         AND to_timestamp(1704844800000 / 1000.0)
+              AND value IS NOT NULL AND NOT isnan(value) AND value > 50
+        """,
+        "collapse_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_quantity + l_discount + l_tax, 6) AS qdt_sum
+            FROM lineitem
+        """,
+        "offset_rename": """
+            SELECT event_id, round(value + 100.0, 6) AS value_off FROM events
+        """,
+        "dedup_last_per_hour": """
+            SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+                   arg_max(event_id, event_id) AS event_id,
+                   arg_max(value, event_id) AS value
+            FROM events GROUP BY 1
+        """,
+        "merge_series": """
+            SELECT epoch_ms(ts) AS t_ms,
+                   max(CASE WHEN event_type = 'click' THEN value END)
+                     AS click_v,
+                   max(CASE WHEN event_type = 'view' THEN value END)
+                     AS view_v
+            FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+        """,
+        "combine_sum_hourly": """
+            SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+                   round(coalesce(sum(value), 0), 6) AS value_sum
+            FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+        """,
+        "take2_per_day_type": """
+            SELECT event_id, event_type, epoch_ms(ts) AS t_ms
+            FROM (
+              SELECT event_id, event_type, ts, row_number() OVER (
+                  PARTITION BY event_type, date_trunc('day', ts)
+                  ORDER BY ts) AS rn
+              FROM events
+            ) WHERE rn <= 2
+        """,
+        "slice_positional": """
+            SELECT event_id, epoch_ms(ts) AS t_ms
+            FROM (SELECT event_id, ts,
+                         row_number() OVER (ORDER BY ts) - 1 AS rn
+                  FROM events)
+            WHERE rn >= 100 AND rn < 110
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "orders_daily": """
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS "index",
+                   round(coalesce(sum(o_totalprice), 0), 2) AS total,
+                   count(o_totalprice) AS n
+            FROM orders GROUP BY 1
+        """,
+        "dedup_exact_docs": """
+            SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "minhash_signature": _SHINGLES + """
+            SELECT doc_id,
+                   min(md5(shingle || '#0')) AS m0,
+                   min(md5(shingle || '#1')) AS m1,
+                   min(md5(shingle || '#2')) AS m2,
+                   min(md5(shingle || '#3')) AS m3
+            FROM sh GROUP BY doc_id
+        """,
+        "neardup_pairs_lsh": _SHINGLES + """
+            , sig AS (
+              SELECT doc_id,
+                     min(md5(shingle || '#0')) AS m0,
+                     min(md5(shingle || '#1')) AS m1,
+                     min(md5(shingle || '#2')) AS m2,
+                     min(md5(shingle || '#3')) AS m3,
+                     min(md5(shingle || '#4')) AS m4,
+                     min(md5(shingle || '#5')) AS m5,
+                     min(md5(shingle || '#6')) AS m6,
+                     min(md5(shingle || '#7')) AS m7
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([
+                  md5(concat_ws('|', '0', m0, m1, m2, m3)),
+                  md5(concat_ws('|', '1', m4, m5, m6, m7))]) AS band
+              FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.doc_id < b.doc_id
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\\s+') AS w
+              FROM documents
+            )
+            SELECT doc_id, length(text) AS n_chars, len(w) AS n_words,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+                   round(length(regexp_replace(text, '\\s+', '', 'g'))
+                         / greatest(len(w), 1), 6) AS avg_word_len,
+                   round(CAST(len(regexp_extract_all(text,
+                         '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(CAST(len(list_filter(w, x -> x IN
+                         ('the','a','and','of','to','in','is','it')))
+                         AS DOUBLE) / greatest(len(w), 1), 6)
+                     AS stopword_ratio
+            FROM t
+        """,
+        "lang_id": """
+            WITH s AS (
+              SELECT doc_id,
+                len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x IN ('the','and','of','a'))) AS s_en,
+                len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x IN ('der','die','und','das'))) AS s_de,
+                len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x IN ('le','la','et','les'))) AS s_fr,
+                len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x IN ('el','los','que','y'))) AS s_es
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es)
+                          THEN 'en'
+                        WHEN s_de > 0 AND s_de >= greatest(s_fr, s_es)
+                          THEN 'de'
+                        WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+                        WHEN s_es > 0 THEN 'es'
+                        ELSE 'und' END AS lang_pred,
+                   greatest(s_en, s_de, s_fr, s_es) AS lang_score
+            FROM s
+        """,
+        "fingerprint_docs": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   list_min([md5(array_to_string(w[i:i+2], ' '))
+                             for i in generate_series(1,
+                                 greatest(len(w) - 2, 1))]) AS fingerprint
+            FROM t
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT embedding AS e FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id, round(
+                list_sum([CAST(embedding[i] AS DOUBLE) * CAST(e[i] AS DOUBLE)
+                          for i in generate_series(1, len(embedding))])
+                / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                  for x in embedding]))
+                   * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                    for x in e]))), 6) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS digest
+            FROM documents
+        """,
+    }
+
+
+def _align_oracle(dur_ms: int, method: str) -> str:
+    if method == "linear":
+        val = f"round(pv + (cv - pv) * (bpos * {dur_ms} - prev) / (cur - prev), 6)"
+    else:
+        val = "round(pv, 6)"
+    return f"""
+        WITH base AS (
+          SELECT user_id, epoch_ms(ts) AS cur, value AS cv,
+                 lag(epoch_ms(ts)) OVER w AS prev, lag(value) OVER w AS pv
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), bounds AS (
+          SELECT user_id, cur, cv, prev, pv,
+                 unnest(generate_series(
+                     CAST(floor(prev / {dur_ms}.0) AS BIGINT) + 1,
+                     CAST(floor(cur / {dur_ms}.0) AS BIGINT))) AS bpos
+          FROM base
+          WHERE prev IS NOT NULL
+            AND floor(cur / {dur_ms}.0) > floor(prev / {dur_ms}.0)
+        )
+        SELECT user_id, bpos * {dur_ms} AS t_ms, {val} AS value FROM bounds
+        UNION ALL
+        SELECT user_id, cur AS t_ms, round(cv, 6) AS value
+        FROM base WHERE prev IS NULL AND cur % {dur_ms} = 0
     """
-    return {}

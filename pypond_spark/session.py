@@ -25,6 +25,9 @@ def get_spark(app_name: str = "pypond_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # read TIMESTAMP(NANOS) parquet (unsupported natively) as long nanos;
+        # loaders convert with integer division to keep full precision
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions
                     or os.environ.get("SPARK_GRAFT_SHUFFLE", "32")))

@@ -1,0 +1,101 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same sf dir, then compares row count, sorted column names,
+and an order-insensitive multiset of normalized values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from pypond_spark.session import get_spark  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "item"):
+        return norm(v.item())
+    return v
+
+
+def rowset(df_pandas):
+    cols = sorted(df_pandas.columns)
+    rows = [tuple(norm(v) for v in row)
+            for row in df_pandas[cols].itertuples(index=False, name=None)]
+    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) "
+                  f"[{time.time() - t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        scols, srows = rowset(sdf)
+        ocols, orows = rowset(odf)
+        if scols != ocols:
+            failures.append(name)
+            print(f"FAIL  {name}: columns {scols} != {ocols}")
+            continue
+        if len(srows) != len(orows):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
+            continue
+        if srows != orows:
+            failures.append(name)
+            diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+            print(f"FAIL  {name}: values differ, first diffs: {diffs}")
+            continue
+        print(f"OK    {name}: {len(srows)} rows [{time.time() - t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures
+          else "\nALL OK")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
