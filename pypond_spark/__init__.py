@@ -9,6 +9,7 @@ own the order-dependent operators, Structured Streaming owns stream mode.
 from .series import TimeSeries
 from .timerange import TimeRange
 from .session import get_spark
+from .plans import Pipeline
 
-__all__ = ["TimeSeries", "TimeRange", "get_spark"]
+__all__ = ["TimeSeries", "TimeRange", "Pipeline", "get_spark"]
 __version__ = "0.1.0"

@@ -1,0 +1,239 @@
+"""Streaming semantics (reference SURVEY §2.9) on Structured Streaming.
+
+Mapping of the reference's push-based stream mode:
+
+- ``Stream.add_event`` push chain -> micro-batch source (file/kafka/rate);
+- ``emit_on`` trigger policies (``io/output.py:176-187``) -> output modes:
+  ``eachEvent`` (re-emit running aggregates) -> ``update``;
+  ``discard`` (emit a window once closed) -> ``append`` + watermark;
+  ``flush`` (emit at end of batch) -> ``complete`` with availableNow;
+- the reference has NO late-data support — "window closes on first
+  out-of-window event" (``pipeline.py:603-606``); we default to a 0-second
+  watermark (strictest) and let callers opt into real watermarks, a strict
+  improvement Structured Streaming gives for free;
+- stateful processors (Rate/Filler keep previous-event state,
+  ``rate.py:56``, ``filler.py:64-72``) -> ``applyInPandasWithState`` with the
+  carried (last_ts, last_value) state per series key, so state survives
+  micro-batch boundaries exactly like the reference's long-lived processor
+  objects.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions import compile_agg_spec
+from ..index import window_duration_ms
+
+OUTPUT_MODE = {"eachEvent": "update", "discard": "append", "flush": "complete"}
+
+
+def _dur_str(window: str) -> str:
+    ms = window_duration_ms(window)
+    if ms is None:
+        raise ValueError(f"streaming windows need a fixed spec, got {window!r}")
+    return f"{ms // 1000} seconds"
+
+
+def windowed_stream_aggregate(
+    sdf: DataFrame,
+    spec: dict,
+    window: str,
+    group_by: str | Sequence[str] | None = None,
+    time_col: str = "time",
+    emit_on: str = "eachEvent",
+    watermark: str | None = None,
+) -> tuple[DataFrame, str]:
+    """Tumbling-window streaming aggregate.
+
+    Returns (streaming DataFrame, output mode for writeStream). ``discard``
+    requires a watermark (default '0 seconds' = reference strictness).
+    """
+    groups = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    mode = OUTPUT_MODE[emit_on]
+    if emit_on == "discard":
+        sdf = sdf.withWatermark(time_col, watermark or "0 seconds")
+    aggs = compile_agg_spec(spec, time_col=time_col)
+    win = F.window(F.col(time_col), _dur_str(window))
+    out = (sdf.groupBy(win.alias("__w"), *groups)
+           .agg(*aggs)
+           .select(F.col("__w.start").alias("begin"),
+                   F.col("__w.end").alias("end"), *groups, *list(spec)))
+    return out, mode
+
+
+def _rate_state_fn(fields: list[str], keys: list[str], time_col: str,
+                   allow_negative: bool):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            prev_ms, prev_vals = state.get[0], list(state.get[1:])
+        else:
+            prev_ms, prev_vals = None, [None] * len(fields)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            for _, row in pdf.iterrows():
+                cur_ms = int(row[time_col].value // 10**6)
+                cur_vals = [None if pd.isna(row[f]) else float(row[f])
+                            for f in fields]
+                if prev_ms is not None:
+                    rec = list(key) + [prev_ms, cur_ms]
+                    dt_sec = (cur_ms - prev_ms) / 1000.0
+                    for pv, cv in zip(prev_vals, cur_vals):
+                        if pv is None or cv is None or dt_sec == 0:
+                            rec.append(None)
+                        else:
+                            r = (cv - pv) / dt_sec
+                            rec.append(None if (not allow_negative and r < 0)
+                                       else r)
+                    outs.append(rec)
+                prev_ms, prev_vals = cur_ms, cur_vals
+        state.update((prev_ms, *prev_vals))
+        cols = keys + ["begin_ms", "end_ms"] + [f"{f}_rate" for f in fields]
+        yield pd.DataFrame(outs, columns=cols)
+
+    return fn
+
+
+def stream_rate(
+    sdf: DataFrame,
+    field_spec: str | Sequence[str] = "value",
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+    allow_negative: bool = True,
+) -> DataFrame:
+    """Cross-batch stateful rate: the streaming twin of operators.rate.
+
+    State per series key = (last_ts_ms, last_values...). Output rows span
+    micro-batch boundaries exactly like the reference's persistent Rate
+    processor.
+    """
+    fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
+    keys = list(partition_by)
+    key_fields = [sdf.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields
+        + [T.StructField("begin_ms", T.LongType()),
+           T.StructField("end_ms", T.LongType())]
+        + [T.StructField(f"{f}_rate", T.DoubleType()) for f in fields])
+    state_schema = T.StructType(
+        [T.StructField("ts", T.LongType())]
+        + [T.StructField(f"v{i}", T.DoubleType()) for i in range(len(fields))])
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        _rate_state_fn(fields, keys, time_col, allow_negative),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def _fill_pad_state_fn(fields: list[str], keys: list[str], time_col: str):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        last = list(state.get) if state.exists else [None] * len(fields)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            for _, row in pdf.iterrows():
+                ms = int(row[time_col].value // 10**6)
+                rec = list(key) + [ms]
+                for i, f in enumerate(fields):
+                    v = row[f]
+                    if pd.isna(v):
+                        rec.append(last[i])
+                    else:
+                        v = float(v)
+                        last[i] = v
+                        rec.append(v)
+                outs.append(rec)
+        state.update(tuple(last))
+        yield pd.DataFrame(outs, columns=keys + ["t_ms"] + fields)
+
+    return fn
+
+
+def stream_fill_pad(
+    sdf: DataFrame,
+    field_spec: str | Sequence[str] = "value",
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+) -> DataFrame:
+    """Cross-batch LOCF fill: streaming twin of fill(method='pad')."""
+    fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
+    keys = list(partition_by)
+    key_fields = [sdf.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields + [T.StructField("t_ms", T.LongType())]
+        + [T.StructField(f, T.DoubleType()) for f in fields])
+    state_schema = T.StructType(
+        [T.StructField(f"v{i}", T.DoubleType()) for i in range(len(fields))])
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        _fill_pad_state_fn(fields, keys, time_col),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def run_available_now(sdf: DataFrame, output_mode: str,
+                      name: str | None = None) -> DataFrame:
+    """Drain all available input through a memory sink (the test/flush path:
+    the reference's ``stop()``-flushes-everything protocol)."""
+    name = name or f"q_{uuid.uuid4().hex[:8]}"
+    query = (sdf.writeStream.format("memory").queryName(name)
+             .outputMode(output_mode)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+class StreamPipeline:
+    """Fluent streaming mirror of Pipeline (unbounded sources)."""
+
+    def __init__(self, sdf: DataFrame, time_col: str = "time"):
+        if not sdf.isStreaming:
+            raise ValueError("StreamPipeline needs a streaming DataFrame")
+        self._sdf = sdf
+        self._time_col = time_col
+        self._window: str | None = None
+        self._groups: list[str] = []
+        self._emit = "eachEvent"
+
+    def window_by(self, window: str) -> "StreamPipeline":
+        self._window = window
+        return self
+
+    def group_by(self, key: str | Sequence[str]) -> "StreamPipeline":
+        self._groups = [key] if isinstance(key, str) else list(key)
+        return self
+
+    def emit_on(self, trigger: str) -> "StreamPipeline":
+        if trigger not in OUTPUT_MODE:
+            raise ValueError(f"bad emit_on trigger {trigger!r}")
+        self._emit = trigger
+        return self
+
+    def filter(self, predicate) -> "StreamPipeline":
+        self._sdf = self._sdf.where(predicate)
+        return self
+
+    def aggregate(self, spec: dict) -> tuple[DataFrame, str]:
+        if self._window is None:
+            raise ValueError("streaming aggregate needs window_by()")
+        return windowed_stream_aggregate(
+            self._sdf, spec, self._window, self._groups or None,
+            self._time_col, self._emit)
+
+    def rate(self, field_spec="value", allow_negative=True) -> DataFrame:
+        return stream_rate(self._sdf, field_spec, self._groups,
+                           self._time_col, allow_negative)
+
+    def fill_pad(self, field_spec="value") -> DataFrame:
+        return stream_fill_pad(self._sdf, field_spec, self._groups,
+                               self._time_col)

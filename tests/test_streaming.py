@@ -1,0 +1,112 @@
+"""Structured Streaming mirror: windowed aggregation + cross-batch state.
+
+Stream fed from JSON chunk files with maxFilesPerTrigger=1 so the stateful
+operators genuinely cross micro-batch boundaries.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pypond_spark.streaming import (StreamPipeline, run_available_now,
+                                    stream_fill_pad, stream_rate,
+                                    windowed_stream_aggregate)
+
+SCHEMA = T.StructType([
+    T.StructField("t_ms", T.LongType()),
+    T.StructField("user", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    # two chunks -> two micro-batches; per-user monotone counters with a gap
+    chunk1 = [
+        {"t_ms": 0, "user": "a", "value": 100.0},
+        {"t_ms": 30_000, "user": "a", "value": 130.0},
+        {"t_ms": 0, "user": "b", "value": 10.0},
+        {"t_ms": 60_000, "user": "a", "value": None},
+    ]
+    chunk2 = [
+        {"t_ms": 90_000, "user": "a", "value": 220.0},
+        {"t_ms": 60_000, "user": "b", "value": 40.0},
+        {"t_ms": 120_000, "user": "a", "value": 160.0},
+    ]
+    for i, chunk in enumerate([chunk1, chunk2]):
+        with open(tmp_path / f"part{i}.json", "w") as fh:
+            for rec in chunk:
+                fh.write(json.dumps(rec) + "\n")
+    return str(tmp_path)
+
+
+def _read_stream(spark, stream_dir):
+    return (spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(stream_dir)
+            .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+            .drop("t_ms"))
+
+
+def test_windowed_stream_aggregate(spark, stream_dir):
+    sdf = _read_stream(spark, stream_dir)
+    out, mode = windowed_stream_aggregate(
+        sdf, {"v_sum": {"value": "sum"}, "n": {"value": "count"}},
+        window="1m", group_by="user", emit_on="flush")
+    assert mode == "complete"
+    result = run_available_now(out, mode).collect()
+    got = {(r["begin"].isoformat(), r["user"]): (r["v_sum"], r["n"])
+           for r in result}
+    assert got[("1970-01-01T00:00:00", "a")] == (230.0, 2)
+    assert got[("1970-01-01T00:01:00", "a")] == (220.0, 1)  # null + 220
+    assert got[("1970-01-01T00:02:00", "a")] == (160.0, 1)
+    assert got[("1970-01-01T00:00:00", "b")] == (10.0, 1)
+    assert got[("1970-01-01T00:01:00", "b")] == (40.0, 1)
+
+
+def test_stream_rate_across_batches(spark, stream_dir):
+    sdf = _read_stream(spark, stream_dir)
+    out = stream_rate(sdf, field_spec="value", partition_by=["user"])
+    rows = run_available_now(out, "append").collect()
+    got = {(r["user"], r["begin_ms"], r["end_ms"]): r["value_rate"]
+           for r in rows}
+    # batch 1 pairs
+    assert got[("a", 0, 30_000)] == pytest.approx(1.0)
+    assert got[("a", 30_000, 60_000)] is None  # null value
+    # cross-batch pair: state carried from batch 1 (last=None value at 60s)
+    assert got[("a", 60_000, 90_000)] is None
+    assert got[("a", 90_000, 120_000)] == pytest.approx(-2.0)
+    assert got[("b", 0, 60_000)] == pytest.approx(0.5)
+    assert len(rows) == 5
+
+
+def test_stream_fill_pad_across_batches(spark, stream_dir):
+    sdf = _read_stream(spark, stream_dir)
+    out = stream_fill_pad(sdf, field_spec="value", partition_by=["user"])
+    rows = run_available_now(out, "append").collect()
+    got = {(r["user"], r["t_ms"]): r["value"] for r in rows}
+    assert got[("a", 60_000)] == 130.0  # padded from batch-1 state
+    assert got[("a", 90_000)] == 220.0
+    assert got[("b", 60_000)] == 40.0
+
+
+def test_stream_pipeline_fluent(spark, stream_dir):
+    sdf = _read_stream(spark, stream_dir)
+    out, mode = (StreamPipeline(sdf)
+                 .window_by("2m").group_by("user").emit_on("discard")
+                 .aggregate({"v_max": {"value": "max"}}))
+    assert mode == "append"
+    rows = run_available_now(out, mode).collect()
+    got = {(r["begin"].isoformat(), r["user"]): r["v_max"] for r in rows}
+    # discard + 0s watermark: only windows the watermark closed emit; the
+    # [0,120s) window (events at 0/30/60/90s) closed when t=120s arrived
+    assert got[("1970-01-01T00:00:00", "a")] == 220.0
+    assert ("1970-01-01T00:02:00", "a") not in got  # still open at shutdown
+
+    with pytest.raises(ValueError):
+        StreamPipeline(sdf).aggregate({"x": {"value": "sum"}})
+    with pytest.raises(ValueError):
+        StreamPipeline(sdf).emit_on("bogus")
