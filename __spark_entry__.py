@@ -100,6 +100,43 @@ def q_global_stats_by_type(spark, sf_dir):
         F.round("v_diff", 6).alias("v_diff"), "n")
 
 
+def q_quantile_by_type(spark, sf_dir):
+    ts = _events_ts(spark, sf_dir)
+    out = ts.window_aggregate(
+        {"p25": {"value": ("percentile", 25)},
+         "p50": {"value": ("percentile", 50)},
+         "p75": {"value": ("percentile", 75)}},
+        group_by="event_type")
+    return out.df.select("event_type",
+                         F.round("p25", 6).alias("p25"),
+                         F.round("p50", 6).alias("p50"),
+                         F.round("p75", 6).alias("p75"))
+
+
+def q_percentile_methods(spark, sf_dir):
+    ts = _events_ts(spark, sf_dir)
+    out = ts.window_aggregate(
+        {"p95_lower": {"value": ("percentile", 95, "lower")},
+         "p95_higher": {"value": ("percentile", 95, "higher")},
+         "p95_nearest": {"value": ("percentile", 95, "nearest")},
+         "p95_midpoint": {"value": ("percentile", 95, "midpoint")}},
+        group_by="event_type")
+    return out.df.select(
+        "event_type",
+        F.round("p95_lower", 6).alias("p95_lower"),
+        F.round("p95_higher", 6).alias("p95_higher"),
+        F.round("p95_nearest", 6).alias("p95_nearest"),
+        F.round("p95_midpoint", 6).alias("p95_midpoint"))
+
+
+def q_first_last_by_type(spark, sf_dir):
+    ts = _events_ts(spark, sf_dir)
+    out = ts.window_aggregate(
+        {"v_first": {"value": "first"}, "v_last": {"value": "last"}},
+        group_by="event_type")
+    return out.df.select("event_type", "v_first", "v_last")
+
+
 # ---------------------------------------------------------------------------
 # §2.8: rate / align / fill
 # ---------------------------------------------------------------------------
@@ -343,6 +380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
         "global_stats_by_type": q_global_stats_by_type,
+        "quantile_by_type": q_quantile_by_type,
+        "percentile_methods": q_percentile_methods,
+        "first_last_by_type": q_first_last_by_type,
         "rate_per_user": q_rate_per_user,
         "rate_no_negative": q_rate_no_negative,
         "align_10m_linear": q_align_10m_linear,
@@ -418,6 +458,44 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_pop(value), 6) AS v_std,
                    round(max(value) - min(value), 6) AS v_diff,
                    count(value) AS n
+            FROM events GROUP BY 1
+        """,
+        "quantile_by_type": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.50), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75
+            FROM events GROUP BY 1
+        """,
+        "percentile_methods": """
+            WITH s AS (
+              SELECT event_type, list_sort(list(value)) AS arr
+              FROM events GROUP BY 1
+            ), c AS (
+              SELECT event_type, arr, len(arr) AS n,
+                     CAST(floor((len(arr) - 1) * 0.95) AS BIGINT) AS idx,
+                     (len(arr) - 1) * 0.95 - floor((len(arr) - 1) * 0.95)
+                       AS frac
+              FROM s
+            )
+            SELECT event_type,
+              round(CASE WHEN n = 1 THEN arr[1] ELSE arr[idx + 1] END, 6)
+                AS p95_lower,
+              round(CASE WHEN n = 1 THEN arr[1]
+                         WHEN frac = 0 THEN arr[idx + 1]
+                         ELSE arr[idx + 2] END, 6) AS p95_higher,
+              round(CASE WHEN n = 1 THEN arr[1]
+                         WHEN frac < 0.5 THEN arr[idx + 1]
+                         ELSE arr[idx + 2] END, 6) AS p95_nearest,
+              round(CASE WHEN n = 1 THEN arr[1]
+                         WHEN frac = 0 THEN arr[idx + 1]
+                         ELSE (arr[idx + 1] + arr[idx + 2]) / 2 END, 6)
+                AS p95_midpoint
+            FROM c
+        """,
+        "first_last_by_type": """
+            SELECT event_type, arg_min(value, ts) AS v_first,
+                   arg_max(value, ts) AS v_last
             FROM events GROUP BY 1
         """,
         "rate_per_user": """

@@ -62,12 +62,18 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 8,
-                        band_size: int = 4, shingle_n: int = 3) -> DataFrame:
+                        band_size: int = 4, shingle_n: int = 3,
+                        cache: bool = True) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding.
 
     Bands of ``band_size`` minhashes are digested into bucket keys; docs
     sharing any band bucket become a candidate pair. The join is per-bucket,
     so cost is sum over buckets of |bucket|^2, not |corpus|^2.
+
+    ``cache=True`` persists the (id, band) table so the self-join's two sides
+    share one shingle+signature computation instead of recomputing the whole
+    upstream pipeline per side. At warehouse scale, write the signature table
+    to storage once and join against that instead.
     """
     if num_hashes % band_size:
         raise ValueError("num_hashes must be a multiple of band_size")
@@ -80,6 +86,8 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
         for b in range(n_bands)
     ])
     buckets = sig.select(F.col(id_col), F.explode(bands).alias("band"))
+    if cache:
+        buckets = buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
