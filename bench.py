@@ -45,6 +45,10 @@ def main() -> None:
     spark = get_spark("pypond_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warmup: JVM/codegen spin-up shouldn't be attributed to the
+    # first query
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).collect()
+
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

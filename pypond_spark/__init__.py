@@ -8,8 +8,9 @@ own the order-dependent operators, Structured Streaming owns stream mode.
 
 from .series import TimeSeries
 from .timerange import TimeRange
+from .index_class import Index
 from .session import get_spark
 from .plans import Pipeline
 
-__all__ = ["TimeSeries", "TimeRange", "Pipeline", "get_spark"]
+__all__ = ["TimeSeries", "TimeRange", "Index", "Pipeline", "get_spark"]
 __version__ = "0.1.0"

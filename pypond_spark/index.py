@@ -64,7 +64,18 @@ def parse_index(idx_str: str) -> tuple[str, int, int]:
 
     kind in {'index', 'day', 'month', 'year'}; calendar ends are
     start-of-next-period minus 1s, fixed ends are exact bucket end.
+    Raises ValueError naming the argument on malformed strings
+    (reference IndexException, ``index.py:89-92``).
     """
+    try:
+        return _parse_index(idx_str)
+    except (ValueError, TypeError) as exc:
+        raise ValueError(
+            f"could not determine timerange/index type from {idx_str!r}"
+        ) from exc
+
+
+def _parse_index(idx_str: str) -> tuple[str, int, int]:
     parts = idx_str.split("-")
     utc = datetime.timezone.utc
     if len(parts) == 3:

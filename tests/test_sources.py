@@ -1,0 +1,60 @@
+"""Source readers: parquet/json/csv/wire-file round trips."""
+
+import json
+
+from pypond_spark import sources
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    from pypond_spark import TimeSeries
+    wire = {"name": "t", "columns": ["time", "value"],
+            "points": [[1000, 1.0], [2000, 2.0], [3000, 3.0]]}
+    ts = TimeSeries.from_wire(spark, wire)
+    path = str(tmp_path / "series.parquet")
+    sources.to_parquet(ts, path)
+    back = sources.read_parquet(spark, path, name="t")
+    assert back.to_wire()["points"] == wire["points"]
+
+
+def test_read_json_lines(spark, tmp_path):
+    path = tmp_path / "events.jsonl"
+    with open(path, "w") as fh:
+        for i in range(3):
+            fh.write(json.dumps({"time": 1000 * (i + 1), "value": i * 1.5}) + "\n")
+    ts = sources.read_json_lines(spark, str(path),
+                                 schema="time long, value double")
+    assert ts.size() == 3
+    assert [p[1] for p in ts.to_wire()["points"]] == [0.0, 1.5, 3.0]
+
+
+def test_read_csv(spark, tmp_path):
+    path = tmp_path / "events.csv"
+    path.write_text("time,value\n1000,1.5\n2000,2.5\n")
+    ts = sources.read_csv(spark, str(path))
+    assert ts.size() == 2
+    assert ts.avg("value") == 2.0
+
+
+def test_read_wire_file(spark, tmp_path):
+    wire = {"name": "w", "columns": ["time", "value"],
+            "points": [[1000, 42]]}
+    path = tmp_path / "wire.json"
+    path.write_text(json.dumps(wire))
+    ts = sources.read_wire_file(spark, str(path))
+    assert ts.name() == "w"
+    assert ts.to_wire()["points"] == [[1000, 42]]
+
+
+def test_index_class():
+    from pypond_spark import Index, TimeRange
+    import datetime
+    idx = Index("5m-4754394")
+    assert idx.kind == "index"
+    assert idx.to_string() == "5m-4754394"
+    tr = idx.as_timerange()
+    assert tr.duration() == 300_000
+    assert Index.get_index_string(
+        "5m", datetime.datetime(2015, 3, 14, 7, 32, 22,
+                                tzinfo=datetime.timezone.utc)) == "5m-4754394"
+    assert len(Index.get_index_string_list("5m", tr)) >= 1
+    assert Index("2015-07").to_nice_string() == "July, 2015"
