@@ -67,7 +67,26 @@ class Pipeline:
     def clear_window(self) -> "Pipeline":
         return self._next(window=None)
 
-    def group_by(self, key: str | Sequence[str] | Column) -> "Pipeline":
+    def group_by(self, key) -> "Pipeline":
+        """Group key: column name(s), a Column expression, or — reference
+        parity (``pipeline.py:516-567``) — an arbitrary Python function of a
+        row dict. Callables become a UDF-derived '__group' column (the slow
+        path; prefer expressions)."""
+        if callable(key) and not isinstance(key, Column):
+            ts = self._ts()
+            payload = ts.columns()
+            fn = F.udf(lambda *vals: str(key(dict(zip(payload, vals)))))
+            grouped = ts.df.withColumn("__group", fn(*[F.col(c)
+                                                       for c in payload]))
+            return self._next(
+                source=TimeSeries(grouped, ts.kind, ts.meta()),
+                group_by="__group")
+        if isinstance(key, Column):
+            ts = self._ts()
+            grouped = ts.df.withColumn("__group", key.cast("string"))
+            return self._next(
+                source=TimeSeries(grouped, ts.kind, ts.meta()),
+                group_by="__group")
         return self._next(group_by=key)
 
     def clear_group_by(self) -> "Pipeline":

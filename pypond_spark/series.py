@@ -227,6 +227,20 @@ class TimeSeries:
         rows = self._df.orderBy(F.col(self.time_col).desc()).limit(1).collect()
         return rows[0] if rows else None
 
+    def at_key(self, key: Any):
+        """All events with the exact event key (reference collection.py:238-268
+        — there an O(n) scan; here a keyed filter the optimizer can push)."""
+        if self._kind == "time":
+            rows = self._df.where(F.col("time") == F.lit(_dt(key))).collect()
+        elif self._kind == "index":
+            rows = self._df.where(F.col("index") == F.lit(str(key))).collect()
+        else:
+            begin, end = key
+            rows = self._df.where(
+                (F.col("begin") == F.lit(_dt(begin)))
+                & (F.col("end") == F.lit(_dt(end)))).collect()
+        return rows
+
     def bisect(self, when: Any) -> int:
         """Index of the latest event at-or-before `when`."""
         return self._df.where(F.col(self.time_col) <= F.lit(_dt(when))).count() - 1

@@ -69,6 +69,16 @@ def windowed_stream_aggregate(
     return out, mode
 
 
+def _keyed(sdf: DataFrame, keys: list[str]) -> tuple[DataFrame, list[str], bool]:
+    """Stateful streaming ops need >=1 grouping expression (Spark's
+    StatefulOpClusteredDistribution rejects an empty key list). With no
+    series key, inject a constant key — single state partition, dropped
+    from the output."""
+    if keys:
+        return sdf, keys, False
+    return sdf.withColumn("__k", F.lit(0)), ["__k"], True
+
+
 def _rate_state_fn(fields: list[str], keys: list[str], time_col: str,
                    allow_negative: bool):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -116,7 +126,7 @@ def stream_rate(
     processor.
     """
     fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
-    keys = list(partition_by)
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
     key_fields = [sdf.schema[k] for k in keys]
     out_schema = T.StructType(
         key_fields
@@ -126,12 +136,92 @@ def stream_rate(
     state_schema = T.StructType(
         [T.StructField("ts", T.LongType())]
         + [T.StructField(f"v{i}", T.DoubleType()) for i in range(len(fields))])
-    return sdf.groupBy(*keys).applyInPandasWithState(
+    out = sdf.groupBy(*keys).applyInPandasWithState(
         _rate_state_fn(fields, keys, time_col, allow_negative),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out
+
+
+def _align_state_fn(fields: list[str], keys: list[str], time_col: str,
+                    dur_ms: int, method: str, limit: int | None):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            prev_ms, prev_vals = state.get[0], list(state.get[1:])
+        else:
+            prev_ms, prev_vals = None, [None] * len(fields)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            for _, row in pdf.iterrows():
+                cur_ms = int(row[time_col].value // 10**6)
+                cur_vals = [None if pd.isna(row[f]) else float(row[f])
+                            for f in fields]
+                if prev_ms is None:
+                    if cur_ms % dur_ms == 0:  # first event, already aligned
+                        outs.append(list(key) + [cur_ms] + cur_vals)
+                else:
+                    pos_prev, pos_cur = prev_ms // dur_ms, cur_ms // dur_ms
+                    bounds = [(p + 1) * dur_ms
+                              for p in range(pos_prev, pos_cur)]
+                    over = limit is not None and len(bounds) > limit
+                    for b_ms in bounds:
+                        rec = list(key) + [b_ms]
+                        for pv, cv in zip(prev_vals, cur_vals):
+                            if over or pv is None or (
+                                    method == "linear" and cv is None):
+                                rec.append(None)
+                            elif method == "linear":
+                                rec.append(pv + (cv - pv) * (b_ms - prev_ms)
+                                           / (cur_ms - prev_ms))
+                            else:
+                                rec.append(pv)
+                        outs.append(rec)
+                prev_ms, prev_vals = cur_ms, cur_vals
+        state.update((prev_ms, *prev_vals))
+        yield pd.DataFrame(outs, columns=keys + ["t_ms"] + fields)
+
+    return fn
+
+
+def stream_align(
+    sdf: DataFrame,
+    window: str,
+    field_spec: str | Sequence[str] = "value",
+    method: str = "linear",
+    limit: int | None = None,
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+) -> DataFrame:
+    """Cross-batch stateful align: streaming twin of operators.align.
+
+    Boundary synthesis spans micro-batch boundaries via the carried
+    (last_ts, last_values) state, mirroring the reference's persistent Align
+    processor (``align.py:60``).
+    """
+    if method not in ("linear", "hold"):
+        raise ValueError(f"align method must be linear|hold, got {method!r}")
+    dur = window_duration_ms(window)
+    if dur is None:
+        raise ValueError(f"align needs a fixed window spec, got {window!r}")
+    fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
+    key_fields = [sdf.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields + [T.StructField("t_ms", T.LongType())]
+        + [T.StructField(f, T.DoubleType()) for f in fields])
+    state_schema = T.StructType(
+        [T.StructField("ts", T.LongType())]
+        + [T.StructField(f"v{i}", T.DoubleType()) for i in range(len(fields))])
+    out = sdf.groupBy(*keys).applyInPandasWithState(
+        _align_state_fn(fields, keys, time_col, dur, method, limit),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out
 
 
 def _fill_pad_state_fn(fields: list[str], keys: list[str], time_col: str):
@@ -166,19 +256,20 @@ def stream_fill_pad(
 ) -> DataFrame:
     """Cross-batch LOCF fill: streaming twin of fill(method='pad')."""
     fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
-    keys = list(partition_by)
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
     key_fields = [sdf.schema[k] for k in keys]
     out_schema = T.StructType(
         key_fields + [T.StructField("t_ms", T.LongType())]
         + [T.StructField(f, T.DoubleType()) for f in fields])
     state_schema = T.StructType(
         [T.StructField(f"v{i}", T.DoubleType()) for i in range(len(fields))])
-    return sdf.groupBy(*keys).applyInPandasWithState(
+    out = sdf.groupBy(*keys).applyInPandasWithState(
         _fill_pad_state_fn(fields, keys, time_col),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out
 
 
 def run_available_now(sdf: DataFrame, output_mode: str,
@@ -233,6 +324,11 @@ class StreamPipeline:
     def rate(self, field_spec="value", allow_negative=True) -> DataFrame:
         return stream_rate(self._sdf, field_spec, self._groups,
                            self._time_col, allow_negative)
+
+    def align(self, window: str, field_spec="value", method="linear",
+              limit=None) -> DataFrame:
+        return stream_align(self._sdf, window, field_spec, method, limit,
+                            self._groups, self._time_col)
 
     def fill_pad(self, field_spec="value") -> DataFrame:
         return stream_fill_pad(self._sdf, field_spec, self._groups,

@@ -120,3 +120,34 @@ def test_emit_on_validation(in_out):
         Pipeline().from_source(in_out).emit_on("bogus")
     with pytest.raises(ValueError):
         Pipeline().to_event_list()
+
+
+def test_group_by_callable_and_expr(in_out):
+    from pyspark.sql import functions as F
+    out = (
+        Pipeline().from_source(in_out)
+        .group_by(lambda ev: "high" if ev["in"] >= 5 else "low")
+        .window_by("1h")
+        .aggregate({"in_sum": {"in": "sum"}})
+        .to_keyed_collections()
+    )
+    assert out["1h-396199--high"].df.collect()[0]["in_sum"] == 15
+    assert out["1h-396199--low"].df.collect()[0]["in_sum"] == 3
+
+    out2 = (
+        Pipeline().from_source(in_out)
+        .group_by(F.when(F.col("in") >= 5, "high").otherwise("low"))
+        .window_by("1h")
+        .aggregate({"in_sum": {"in": "sum"}})
+        .to_keyed_collections()
+    )
+    assert out2["1h-396199--high"].df.collect()[0]["in_sum"] == 15
+
+
+def test_at_key(spark):
+    ts = TimeSeries.from_wire(
+        spark, {"name": "k", "columns": ["time", "value"],
+                "points": [[1000, 1], [1000, 2], [2000, 3]]})
+    rows = ts.at_key(1000)
+    assert sorted(r["value"] for r in rows) == [1, 2]
+    assert ts.at_key(9999) == []

@@ -110,3 +110,22 @@ def test_stream_pipeline_fluent(spark, stream_dir):
         StreamPipeline(sdf).aggregate({"x": {"value": "sum"}})
     with pytest.raises(ValueError):
         StreamPipeline(sdf).emit_on("bogus")
+
+
+def test_stream_align_across_batches(spark, stream_dir):
+    from pypond_spark.streaming import stream_align
+    sdf = _read_stream(spark, stream_dir)
+    out = stream_align(sdf, window="1m", field_spec="value",
+                       partition_by=["user"], method="linear")
+    rows = run_available_now(out, "append").collect()
+    got = {(r["user"], r["t_ms"]): r["value"] for r in rows}
+    # user a: first event at 0 is aligned -> emitted with its value
+    assert got[("a", 0)] == 100.0
+    # boundary 60s from pair (30s:130, 60s:None) -> linear with null -> None
+    assert got[("a", 60_000)] is None
+    # cross-batch pair (60s:None, 90s:220): boundary 90s? none (same window)
+    # pair (90s:220, 120s:160) crosses 120s boundary exactly -> value 160
+    assert got[("a", 120_000)] == 160.0
+    # user b: first event at 0 aligned; pair (0:10, 60s:40) -> boundary 60s = 40
+    assert got[("b", 0)] == 10.0
+    assert got[("b", 60_000)] == 40.0
