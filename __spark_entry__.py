@@ -206,6 +206,36 @@ def q_fill_linear_per_user(spark, sf_dir):
                          F.round("value", 6).alias("value_filled"))
 
 
+def q_asof_signup_purchase(spark, sf_dir):
+    from pypond_spark.operators.asof import asof_join
+    ev = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "time", "event_id", F.col("value").alias("purchase_v"))
+    right = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "time", F.col("value").alias("signup_v"))
+    out = asof_join(left, right, on="user_id")
+    return out.select("event_id", "user_id",
+                      F.round("purchase_v", 6).alias("purchase_v"),
+                      F.round("signup_v", 6).alias("signup_v"))
+
+
+def q_sliding_2h_count(spark, sf_dir):
+    ts = _events_ts(spark, sf_dir)
+    out = ts.sliding_window_rollup(
+        "2h", "1h", {"n": {"value": "count"}, "v_sum": {"value": "sum"}})
+    return out.df.select(_ms("begin").alias("begin_ms"),
+                         _ms("end").alias("end_ms"), "n",
+                         F.round("v_sum", 6).alias("v_sum"))
+
+
+def q_session_1h_by_user(spark, sf_dir):
+    ts = _events_ts(spark, sf_dir)
+    out = ts.session_window_rollup("1h", {"n": {"value": "count"}},
+                                   group_by="user_id")
+    return out.df.select("user_id", _ms("begin").alias("begin_ms"),
+                         _ms("end").alias("end_ms"), "n")
+
+
 # ---------------------------------------------------------------------------
 # §2.2/2.3/2.7: row ops, merges, take/slice
 # ---------------------------------------------------------------------------
@@ -387,6 +417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_no_negative": q_rate_no_negative,
         "align_10m_linear": q_align_10m_linear,
         "align_1h_hold": q_align_1h_hold,
+        "asof_signup_purchase": q_asof_signup_purchase,
+        "sliding_2h_count": q_sliding_2h_count,
+        "session_1h_by_user": q_session_1h_by_user,
         "fill_pad_per_user": q_fill_pad_per_user,
         "fill_zero_limit": q_fill_zero_limit,
         "fill_linear_per_user": q_fill_linear_per_user,
@@ -524,6 +557,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "align_10m_linear": _align_oracle(600000, "linear"),
         "align_1h_hold": _align_oracle(3600000, "hold"),
+        "asof_signup_purchase": """
+            SELECT l.event_id, l.user_id,
+                   round(l.value, 6) AS purchase_v,
+                   round(r.value, 6) AS signup_v
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'signup') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "sliding_2h_count": """
+            WITH b AS (SELECT epoch_ms(ts) AS ms, value FROM events),
+            w AS (
+              SELECT unnest(generate_series(
+                       CAST(floor((ms - 7200000) / 3600000.0) AS BIGINT) + 1,
+                       CAST(floor(ms / 3600000.0) AS BIGINT))) AS k,
+                     ms, value
+              FROM b
+            )
+            SELECT k * 3600000 AS begin_ms, k * 3600000 + 7200000 AS end_ms,
+                   count(value) AS n,
+                   round(coalesce(sum(value), 0), 6) AS v_sum
+            FROM w GROUP BY 1, 2
+        """,
+        "session_1h_by_user": """
+            WITH b AS (
+              SELECT user_id, epoch_ms(ts) AS ms,
+                     CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                            OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                               >= 3600000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ms,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ms)
+                       AS sid
+              FROM b
+            )
+            SELECT user_id, min(ms) AS begin_ms,
+                   max(ms) + 3600000 AS end_ms, count(*) AS n
+            FROM s GROUP BY user_id, sid
+        """,
         "fill_pad_per_user": f"""
             SELECT event_id, user_id,
                    round(coalesce(v, last_value(v IGNORE NULLS) OVER (

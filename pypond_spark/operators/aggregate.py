@@ -93,6 +93,53 @@ def windowed_aggregate(
         *groups, *[r for r in spec])
 
 
+def sliding_window_aggregate(
+    df: DataFrame,
+    spec: dict,
+    window: str,
+    slide: str,
+    group_by: str | Sequence[str] | None = None,
+    time_col: str = "time",
+) -> DataFrame:
+    """Sliding (hopping) windows — beyond the reference's tumbling-only
+    windowing (``pipeline.py:407-498``), free from ``F.window``.
+
+    Output: ``begin, end, *groups, *agg_outputs`` — one row per (window
+    instance, group). Epoch-anchored like the fixed windows.
+    """
+    dur_ms = window_duration_ms(window)
+    slide_ms = window_duration_ms(slide)
+    if dur_ms is None or slide_ms is None:
+        raise ValueError(f"bad window/slide spec {window!r}/{slide!r}")
+    groups = _group_cols(group_by)
+    aggs = compile_agg_spec(spec, time_col=time_col)
+    win = F.window(F.col(time_col), f"{dur_ms // 1000} seconds",
+                   f"{slide_ms // 1000} seconds")
+    out = df.groupBy(win.alias("__w"), *groups).agg(*aggs)
+    return out.select(F.col("__w.start").alias("begin"),
+                      F.col("__w.end").alias("end"), *groups, *list(spec))
+
+
+def session_window_aggregate(
+    df: DataFrame,
+    spec: dict,
+    gap: str,
+    group_by: str | Sequence[str] | None = None,
+    time_col: str = "time",
+) -> DataFrame:
+    """Session windows (gap-based) — another beyond-reference bonus
+    (SURVEY §2.9 notes session windows as a Spark freebie)."""
+    gap_ms = window_duration_ms(gap)
+    if gap_ms is None:
+        raise ValueError(f"bad session gap spec {gap!r}")
+    groups = _group_cols(group_by)
+    aggs = compile_agg_spec(spec, time_col=time_col)
+    win = F.session_window(F.col(time_col), f"{gap_ms // 1000} seconds")
+    out = df.groupBy(win.alias("__w"), *groups).agg(*aggs)
+    return out.select(F.col("__w.start").alias("begin"),
+                      F.col("__w.end").alias("end"), *groups, *list(spec))
+
+
 def collect_by_fixed_window(df: DataFrame, window: str,
                             time_col: str = "time") -> DataFrame:
     """Bucket events per fixed window without aggregating

@@ -355,6 +355,32 @@ class TimeSeries:
         return TimeSeries(out, "timerange" if window is None else "index",
                           self._meta)
 
+    def sliding_window_rollup(self, window: str, slide: str,
+                              aggregation: dict,
+                              group_by=None) -> "TimeSeries":
+        """Sliding/hopping-window rollup (beyond-reference bonus)."""
+        out = agg_ops.sliding_window_aggregate(
+            self._df, aggregation, window, slide, group_by, self.time_col)
+        return TimeSeries(out, "timerange", self._meta)
+
+    def session_window_rollup(self, gap: str, aggregation: dict,
+                              group_by=None) -> "TimeSeries":
+        """Session-window rollup (beyond-reference bonus)."""
+        out = agg_ops.session_window_aggregate(
+            self._df, aggregation, gap, group_by, self.time_col)
+        return TimeSeries(out, "timerange", self._meta)
+
+    def asof_join(self, other: "TimeSeries", on=(),
+                  tolerance: str | None = None,
+                  broadcast: bool = False) -> "TimeSeries":
+        """Join each event to the other series' latest event at-or-before it."""
+        from .operators.asof import asof_join as _asof
+        from .operators.asof import asof_join_broadcast as _asof_b
+        fn = _asof_b if broadcast else _asof
+        out = fn(self._df, other._df, on=on, left_time=self.time_col,
+                 right_time=other.time_col, tolerance=tolerance)
+        return TimeSeries(out, self._kind, self._meta)
+
     def collect_by_fixed_window(self, window: str) -> "TimeSeries":
         out = agg_ops.collect_by_fixed_window(self._df, window, self.time_col)
         return TimeSeries(out, "index", self._meta)

@@ -1,0 +1,81 @@
+"""As-of join and sliding/session windows (beyond-reference operators)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypond_spark import TimeSeries
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    quotes = TimeSeries.from_wire(spark, {
+        "name": "quotes", "columns": ["time", "sym", "bid"],
+        "points": [
+            [1_000, "A", 10.0], [5_000, "A", 11.0], [9_000, "A", 12.0],
+            [2_000, "B", 20.0],
+        ]})
+    trades = TimeSeries.from_wire(spark, {
+        "name": "trades", "columns": ["time", "sym", "qty"],
+        "points": [
+            [500, "A", 1], [5_000, "A", 2], [7_000, "A", 3],
+            [1_000, "B", 4], [2_500, "B", 5],
+        ]})
+    return quotes, trades
+
+
+def test_asof_join_union_trick(quotes_trades):
+    quotes, trades = quotes_trades
+    out = trades.asof_join(quotes, on="sym")
+    got = {(r["sym"], r["qty"]): r["bid"] for r in out.df.collect()}
+    assert got == {
+        ("A", 1): None,    # no quote yet at t=500
+        ("A", 2): 11.0,    # exact-time quote matches (at-or-before)
+        ("A", 3): 11.0,
+        ("B", 4): None,
+        ("B", 5): 20.0,
+    }
+
+
+def test_asof_join_tolerance(quotes_trades):
+    quotes, trades = quotes_trades
+    out = trades.asof_join(quotes, on="sym", tolerance="1s")
+    got = {(r["sym"], r["qty"]): r["bid"] for r in out.df.collect()}
+    assert got[("A", 3)] is None   # quote at 5s is 2s stale
+    assert got[("B", 5)] == 20.0   # 500ms fresh
+
+
+def test_asof_join_broadcast_matches_union(quotes_trades):
+    quotes, trades = quotes_trades
+    a = trades.asof_join(quotes, on="sym").df
+    b = trades.asof_join(quotes, on="sym", broadcast=True).df
+    ka = sorted(map(tuple, a.select("sym", "qty", "bid").collect()))
+    kb = sorted(map(tuple, b.select("sym", "qty", "bid").collect()))
+    assert ka == kb
+
+
+def test_asof_collision_guard(quotes_trades):
+    quotes, trades = quotes_trades
+    with pytest.raises(ValueError):
+        trades.asof_join(trades, on="sym")
+
+
+def test_sliding_window_rollup(spark):
+    pts = [[60_000 * i, float(i)] for i in range(6)]  # t=0..5min
+    ts = TimeSeries.from_wire(
+        spark, {"name": "s", "columns": ["time", "value"], "points": pts})
+    out = ts.sliding_window_rollup("2m", "1m", {"n": {"value": "count"}})
+    got = {int(r["begin"].timestamp() // 60): r["n"] for r in out.df.collect()}
+    # window [-1m,1m) holds t=0; [0,2m) holds t=0,1m; ... [5m,7m) holds t=5m
+    assert got[-1] == 1 and got[0] == 2 and got[4] == 2 and got[5] == 1
+
+
+def test_session_window_rollup(spark):
+    pts = [[0, 1.0], [30_000, 2.0], [200_000, 3.0], [230_000, 4.0]]
+    ts = TimeSeries.from_wire(
+        spark, {"name": "s", "columns": ["time", "value"], "points": pts})
+    out = ts.session_window_rollup("1m", {"n": {"value": "count"},
+                                          "v_sum": {"value": "sum"}})
+    rows = sorted(out.df.collect(), key=lambda r: r["begin"])
+    assert len(rows) == 2
+    assert rows[0]["n"] == 2 and rows[0]["v_sum"] == 3.0
+    assert rows[1]["n"] == 2 and rows[1]["v_sum"] == 7.0
