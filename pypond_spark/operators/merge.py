@@ -32,14 +32,28 @@ def _keys_for(df: DataFrame, kind: str) -> list[str]:
     return keys
 
 
+def _merge_agg(col: F.Column, dtype) -> F.Column:
+    """Per-column merge aggregate. Structs merge per LEAF (reference
+    ``event.py:750-843`` deep-merges payload dicts), scalars take the last
+    non-null/valid value."""
+    from pyspark.sql import types as T
+    if isinstance(dtype, T.StructType):
+        return F.struct(*[
+            _merge_agg(col.getField(f.name), f.dataType).alias(f.name)
+            for f in dtype.fields
+        ])
+    return F.last(valid_or_null(col), ignorenulls=True)
+
+
 def merge(df: DataFrame, kind: str = "time") -> DataFrame:
     """Deep-merge events sharing a key; later (by arrival order) non-null
-    values win. In a DataFrame there is no arrival order, so "later" is the
-    last non-null value in time order of the union — for the dominant use
-    (merging series with disjoint columns) results are identical."""
+    values win, per nested leaf for struct payloads. In a DataFrame there is
+    no arrival order, so "later" is the last non-null value in the union's
+    iteration order — for the dominant use (merging series with disjoint
+    columns) results are identical."""
     keys = _keys_for(df, kind)
     payload = [c for c in df.columns if c not in keys]
-    aggs = [F.last(valid_or_null(F.col(c)), ignorenulls=True).alias(c)
+    aggs = [_merge_agg(F.col(c), df.schema[c].dataType).alias(c)
             for c in payload]
     return df.groupBy(*keys).agg(*aggs)
 

@@ -194,3 +194,16 @@ def test_take(spark):
     # 10 minutes of 1-minute points -> two 5m windows, 2 kept from each
     assert taken.size() == 4
     assert [p[1] for p in taken.to_wire()["points"]] == [0, 1, 5, 6]
+
+
+def test_merge_deep_struct_per_leaf(spark):
+    # reference compare_test.py:124-136: nested payloads merge per leaf
+    w1 = {"name": "a", "columns": ["time", "direction"],
+          "points": [[1000, {"in": 1, "out": None}]]}
+    w2 = {"name": "b", "columns": ["time", "direction"],
+          "points": [[1000, {"in": None, "out": 2}]]}
+    t1 = TimeSeries.from_wire(spark, w1)
+    t2 = TimeSeries.from_wire(spark, w2)
+    merged = TimeSeries.timeseries_list_merge([t1, t2])
+    row = merged.df.collect()[0]
+    assert row["direction"]["in"] == 1 and row["direction"]["out"] == 2
