@@ -207,3 +207,19 @@ def test_merge_deep_struct_per_leaf(spark):
     merged = TimeSeries.timeseries_list_merge([t1, t2])
     row = merged.df.collect()[0]
     assert row["direction"]["in"] == 1 and row["direction"]["out"] == 2
+
+
+def test_event_ops_parity(spark):
+    # reference event_test.py:331 test_sum_events_with_combine shapes
+    from pypond_spark import event_ops
+    wire = {"name": "e", "columns": ["time", "in", "out"],
+            "points": [[1000, 2, 6], [1000, 3, 7], [2000, 4, 8]]}
+    ts = TimeSeries.from_wire(spark, wire)
+    summed = event_ops.sum(ts.df, field_spec=["in", "out"])
+    rows = {int(r["time"].timestamp() * 1000): (r["in"], r["out"])
+            for r in summed.collect()}
+    assert rows == {1000: (5.0, 13.0), 2000: (4.0, 8.0)}
+
+    mr = event_ops.map_reduce(ts.sort_by_time().df, ["in", "out"], "max")
+    got = {r["field"]: r["value"] for r in mr.collect()}
+    assert got == {"in": 4, "out": 8}
