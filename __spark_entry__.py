@@ -25,6 +25,42 @@ from pypond_spark.operators.take import take as take_op
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+def _ensure_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs — the driver owns the SparkSession and may not
+    carry our session defaults:
+
+    - ``nanosAsLong``: events.parquet is TIMESTAMP(NANOS), which Spark 4
+      rejects outright without it (runtime-settable, verified);
+    - session timezone UTC: calendar bucketing (date_trunc/date_format) on
+      TZ-aware timestamps must agree with DuckDB's naive-UTC reading.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship pypond_spark to python workers (pandas-UDF closures resolve by
+    module reference; the driver's sys.path does not reach executors)."""
+    if getattr(spark, "_pypond_spark_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "pypond_spark")
+    zpath = os.path.join(tempfile.gettempdir(), "pypond_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark._pypond_spark_shipped = True
+
+
 def _events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ts normalized to TimestampType.
 
@@ -33,6 +69,7 @@ def _events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     (micros) to match DuckDB's own nanos->micros truncation.
     """
     from pyspark.sql import types as T
+    _ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -45,6 +82,7 @@ def _events_ts(spark: SparkSession, sf_dir: str) -> TimeSeries:
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
