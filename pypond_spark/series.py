@@ -189,7 +189,15 @@ class TimeSeries:
         return self._with(self._df.orderBy(field_spec))
 
     def is_chronological(self) -> bool:
-        return True  # recovered by sort; kept for API parity
+        """True iff rows are already in non-decreasing time order as stored
+        (reference collection.py:482-502). Checked per current partitioning
+        order via a monotonicity scan (an action)."""
+        from pyspark.sql import Window
+        w = Window.orderBy(F.monotonically_increasing_id())
+        tcol = F.col(self.time_col)
+        out_of_order = self._df.select(
+            (tcol < F.lag(tcol).over(w)).alias("__o")).where(F.col("__o"))
+        return out_of_order.limit(1).count() == 0
 
     def crop(self, timerange: TimeRange) -> "TimeSeries":
         """Restrict to a TimeRange, inclusive (reference series.py:440-457)."""

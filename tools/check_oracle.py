@@ -44,9 +44,17 @@ def rowset(df_pandas):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle_check")
+    args = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    if bare:
+        # simulate the real driver: default session, no engine configs
+        from pyspark.sql import SparkSession
+        spark = SparkSession.builder.master("local[8]") \
+            .appName("oracle_check_bare").getOrCreate()
+    else:
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
