@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pypond_spark import TimeSeries
@@ -436,6 +436,20 @@ def q_ann_lsh(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    embs = _read(spark, sf_dir, "embeddings")
+    out = dp_sim.embedding_near_dups(embs, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    embs = _read(spark, sf_dir, "embeddings")
+    dim = len(embs.select("embedding").first()["embedding"])
+    out = dp_sim.embedding_near_dups_lsh(embs, dim, threshold=0.4, nbits=4)
+    return out.select("id_a", "id_b",
+                      F.round("cosine", 6).alias("cosine"))  # rows-only
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     media = dp_mm.attach_binary(docs, "text", "doc_id")
@@ -480,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -854,6 +870,25 @@ def oracle_sql() -> dict[str, str]:
                                     for x in e]))), 6) AS cosine
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "embedding_near_dups": """
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                    for x in embedding])) AS nrm
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_sum([CAST(a.embedding[i] AS DOUBLE)
+                                   * CAST(b.embedding[i] AS DOUBLE)
+                                   for i in generate_series(1,
+                                       len(a.embedding))])
+                         / (a.nrm * b.nrm), 6) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE list_sum([CAST(a.embedding[i] AS DOUBLE)
+                            * CAST(b.embedding[i] AS DOUBLE)
+                            for i in generate_series(1, len(a.embedding))])
+                  / (a.nrm * b.nrm) >= 0.4
         """,
         "multimodal_features": """
             SELECT doc_id AS media_id,

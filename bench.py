@@ -36,6 +36,7 @@ HEADLINE = [
     "text_quality",
     "fingerprint_docs",
     "ann_topk",
+    "embedding_near_dups_lsh",
 ]
 
 

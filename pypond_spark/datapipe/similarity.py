@@ -89,6 +89,56 @@ def lsh_bucket(df: DataFrame, dim: int, nbits: int = 8, seed: int = 42,
     return df.withColumn("lsh_bucket", bucket)
 
 
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a < b) with
+    cosine >= threshold.
+
+    Exhaustive O(n^2) — the *correctness baseline*; use
+    ``embedding_near_dups_lsh`` at scale. Norms are precomputed per side so
+    the join condition is one dot product per pair.
+    """
+    with_norm = df.select(F.col(id_col), F.col(vec_col),
+                          norm(vec_col).alias("__n"))
+    a = with_norm.select(F.col(id_col).alias("id_a"),
+                         F.col(vec_col).alias("__va"),
+                         F.col("__n").alias("__na"))
+    b = with_norm.select(F.col(id_col).alias("id_b"),
+                         F.col(vec_col).alias("__vb"),
+                         F.col("__n").alias("__nb"))
+    sim = dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
+def embedding_near_dups_lsh(df: DataFrame, dim: int, threshold: float = 0.95,
+                            nbits: int = 8, seed: int = 42,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Approximate near-dup pairs: compare only within LSH buckets.
+
+    High-cosine pairs land in the same random-hyperplane bucket with high
+    probability; cost is sum over buckets of |bucket|^2 instead of n^2.
+    """
+    bucketed = lsh_bucket(df, dim, nbits, seed, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("lsh_bucket"),
+        norm(vec_col).alias("__n"))
+    a = bucketed.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("__va"),
+                        F.col("__n").alias("__na"), "lsh_bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("__vb"),
+                        F.col("__n").alias("__nb"),
+                        F.col("lsh_bucket").alias("__bb"))
+    sim = dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+    return (a.join(b, (F.col("lsh_bucket") == F.col("__bb"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b", sim.alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
 def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              nbits: int = 8, seed: int = 42, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:

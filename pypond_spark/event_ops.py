@@ -8,7 +8,7 @@ reference user finds the familiar names.
 
 from __future__ import annotations
 
-from typing import Sequence
+
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

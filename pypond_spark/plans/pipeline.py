@@ -16,7 +16,7 @@ recorded and used by the streaming mirror (see pypond_spark.streaming).
 
 from __future__ import annotations
 
-from typing import Sequence
+
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

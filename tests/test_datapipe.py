@@ -164,3 +164,21 @@ def test_frame_sample_plan(spark):
         multimodal.MEDIA_SCHEMA)
     plan = multimodal.frame_sample_plan(df, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in plan] == [0, 1000, 2000]
+
+
+def test_embedding_near_dups(spark, embs):
+    # every LSH pair must appear in the exact pair set (subset property)
+    exact = similarity.embedding_near_dups(embs.limit(200), threshold=0.8)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    lsh = similarity.embedding_near_dups_lsh(embs.limit(200), dim=64,
+                                             threshold=0.8, nbits=4)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert lsh_pairs <= exact_pairs
+    # an identical-vector clone must be found by BOTH at threshold ~1
+    base = embs.limit(3)
+    clone = base.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    both = base.union(clone)
+    found = {(r["id_a"], r["id_b"])
+             for r in similarity.embedding_near_dups(both, 0.999).collect()}
+    for r in base.collect():
+        assert (r["vec_id"], r["vec_id"] + 1_000_000) in found
