@@ -223,3 +223,28 @@ def test_event_ops_parity(spark):
     mr = event_ops.map_reduce(ts.sort_by_time().df, ["in", "out"], "max")
     got = {r["field"]: r["value"] for r in mr.collect()}
     assert got == {"in": 4, "out": 8}
+
+
+def test_indexed_wire_ingest(spark):
+    # F6-style fixture: calendar-month indexed events with string payload
+    wire = {"name": "availability", "columns": ["index", "uptime"],
+            "points": [["2014-07", "100%"], ["2014-08", "88%"],
+                       ["2014-09", "95%"]]}
+    ts = TimeSeries.from_wire(spark, wire)
+    assert ts.kind == "index"
+    assert ts.size() == 3
+    out = ts.to_wire()
+    assert out["columns"] == ["index", "uptime"]
+    assert out["points"][0] == ["2014-07", "100%"]
+    rows = {r["index"]: r for r in ts.df.collect()}
+    import datetime
+    assert rows["2014-07"]["begin"].replace(
+        tzinfo=datetime.timezone.utc) == datetime.datetime(
+            2014, 7, 1, tzinfo=datetime.timezone.utc)
+
+    fixed = {"name": "f", "columns": ["index", "in", "out"],
+             "points": [["5m-4855968", 5.0, 9.0], ["5m-4855969", 4.0, 3.0]]}
+    tf = TimeSeries.from_wire(spark, fixed)
+    assert tf.to_wire()["points"] == fixed["points"]
+    tr = tf.timerange()
+    assert tr.duration() == 600_000
