@@ -393,6 +393,12 @@ def q_neardup_pairs_lsh(spark, sf_dir):
     return dp_dedup.lsh_candidate_pairs(docs, num_hashes=8, band_size=4)
 
 
+def q_dedup_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_dedup.dedup_documents(docs, jaccard_threshold=0.8)
+    return out.select("doc_id", "cluster_id", "is_keeper")
+
+
 def q_simhash_docs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return dp_dedup.simhash64(docs)  # rows-only: xxhash64 has no DuckDB twin
@@ -488,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "minhash_signature": q_minhash_signature,
         "neardup_pairs_lsh": q_neardup_pairs_lsh,
+        "dedup_documents": q_dedup_documents,
         "simhash_docs": q_simhash_docs,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -801,6 +808,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.doc_id < b.doc_id
+        """,
+        "dedup_documents": _SHINGLES.replace(
+            "WITH toks", "WITH RECURSIVE toks") + """
+            , sig AS (
+              SELECT doc_id,
+                     min(md5(shingle || '#0')) AS m0,
+                     min(md5(shingle || '#1')) AS m1,
+                     min(md5(shingle || '#2')) AS m2,
+                     min(md5(shingle || '#3')) AS m3,
+                     min(md5(shingle || '#4')) AS m4,
+                     min(md5(shingle || '#5')) AS m5,
+                     min(md5(shingle || '#6')) AS m6,
+                     min(md5(shingle || '#7')) AS m7
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([
+                  md5(concat_ws('|', '0', m0, m1, m2, m3)),
+                  md5(concat_ws('|', '1', m4, m5, m6, m7))]) AS band
+              FROM sig
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.doc_id < b.doc_id
+            ), sets AS (
+              SELECT doc_id, list(DISTINCT shingle) AS s FROM sh
+              GROUP BY doc_id
+            ), ver AS (
+              SELECT id_a, id_b
+              FROM cand
+              JOIN sets sa ON sa.doc_id = cand.id_a
+              JOIN sets sb ON sb.doc_id = cand.id_b
+              WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                    / (len(sa.s) + len(sb.s)
+                       - len(list_intersect(sa.s, sb.s))) >= 0.8
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM ver
+              UNION SELECT id_b, id_a FROM ver
+            ), reach AS (
+              SELECT src AS id, src AS r FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e
+              JOIN reach ON e.dst = reach.id
+            ), comp AS (
+              SELECT id, min(r) AS cluster FROM reach GROUP BY id
+            )
+            SELECT d.doc_id,
+                   coalesce(c.cluster, d.doc_id) AS cluster_id,
+                   d.doc_id = coalesce(c.cluster, d.doc_id) AS is_keeper
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         """,
         "text_quality": """
             WITH t AS (

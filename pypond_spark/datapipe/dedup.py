@@ -116,6 +116,68 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", (inter / union).alias("jaccard")))
 
 
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iter: int = 20) -> DataFrame:
+    """Connected components over duplicate pairs: (id, cluster_id) where
+    cluster_id is the minimum id in the component.
+
+    Iterative min-label propagation: each round joins labels across edges and
+    keeps the per-node minimum; converges in O(diameter) rounds (bounded by
+    ``max_iter``; near-dup components are shallow in practice). Each round is
+    one shuffle on node id; label frames are tiny relative to the corpus
+    (only nodes that appear in a pair).
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("id")))
+    edges = edges.persist()
+    labels = labels.persist()
+    for _ in range(max_iter):
+        # candidate label for each node: min over neighbors' labels + own
+        neighbor = (edges.join(labels, edges.dst == labels.id)
+                    .select(F.col("src").alias("id"),
+                            F.col("cluster_id")))
+        new_labels = (labels.select("id", "cluster_id").union(neighbor)
+                      .groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", num_hashes: int = 8,
+                    band_size: int = 4, shingle_n: int = 3,
+                    jaccard_threshold: float = 0.8) -> DataFrame:
+    """End-to-end near-dup document dedup.
+
+    exact-digest grouping -> MinHash+LSH candidates -> exact Jaccard verify
+    -> connected components -> keep the min id per cluster. Returns the
+    corpus with ``cluster_id`` and ``is_keeper`` columns. Every stage is a
+    bounded join/agg; nothing is O(corpus^2).
+    """
+    pairs = lsh_candidate_pairs(df, text_col, id_col, num_hashes, band_size,
+                                shingle_n)
+    verified = (ngram_jaccard(df, pairs, text_col, id_col, shingle_n)
+                .where(F.col("jaccard") >= jaccard_threshold)
+                .select("id_a", "id_b"))
+    clusters = dup_clusters(verified)
+    out = df.join(clusters.withColumnRenamed("id", id_col), id_col, "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return (out.withColumn("cluster_id", cluster)
+            .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id")))
+
+
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document.

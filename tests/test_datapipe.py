@@ -182,3 +182,24 @@ def test_embedding_near_dups(spark, embs):
              for r in similarity.embedding_near_dups(both, 0.999).collect()}
     for r in base.collect():
         assert (r["vec_id"], r["vec_id"] + 1_000_000) in found
+
+
+def test_dup_clusters_chain(spark):
+    # chain a-b, b-c, plus isolated pair d-e -> components {a,b,c}, {d,e}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_documents_end_to_end(spark, docs):
+    base = docs.limit(4).select("doc_id", "text")
+    clone = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = dedup.dedup_documents(base.union(clone), jaccard_threshold=0.9)
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+            for r in out.collect()}
+    for r in base.collect():
+        i = r["doc_id"]
+        assert rows[i] == (i, True)                      # original kept
+        assert rows[i + 1_000_000] == (i, False)         # clone clustered
