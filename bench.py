@@ -32,7 +32,6 @@ HEADLINE = [
     "tpch_q1",
     "dedup_exact_docs",
     "neardup_pairs_lsh",
-    "dedup_documents",
     "simhash_docs",
     "text_quality",
     "fingerprint_docs",

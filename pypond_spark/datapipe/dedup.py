@@ -127,15 +127,18 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     one shuffle on node id; label frames are tiny relative to the corpus
     (only nodes that appear in a pair).
     """
+    # localCheckpoint truncates lineage: without it every round's plan
+    # re-derives the whole upstream LSH pipeline and planning cost grows
+    # with iteration count (observed as hundreds of scans in the static plan)
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
                                  F.col(id_a).alias("dst")))
-             .distinct())
+             .distinct()
+             .localCheckpoint())
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
-              .withColumn("cluster_id", F.col("id")))
-    edges = edges.persist()
-    labels = labels.persist()
+              .withColumn("cluster_id", F.col("id"))
+              .localCheckpoint())
     for _ in range(max_iter):
         # candidate label for each node: min over neighbors' labels + own
         neighbor = (edges.join(labels, edges.dst == labels.id)
@@ -143,12 +146,11 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                             F.col("cluster_id")))
         new_labels = (labels.select("id", "cluster_id").union(neighbor)
                       .groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
-                      .persist())
+                      .localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
                    .limit(1).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
