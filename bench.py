@@ -46,9 +46,11 @@ def main() -> None:
     spark = get_spark("pypond_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # untimed warmup: JVM/codegen spin-up shouldn't be attributed to the
-    # first query
-    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).collect()
+    # untimed warmup: exercise scan + shuffle + agg once so JVM/codegen/
+    # shuffle-service spin-up isn't attributed to the first timed query
+    from pyspark.sql import functions as F
+    (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+     .groupBy("l_returnflag").agg(F.count("*")).collect())
 
     qs = entry.queries()
     timings: dict[str, float] = {}

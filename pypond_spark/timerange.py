@@ -92,6 +92,26 @@ class TimeRange:
         end = now or datetime.datetime.now(datetime.timezone.utc)
         return TimeRange(end - delta, end)
 
+    @classmethod
+    def last_day(cls, now=None) -> "TimeRange":
+        return cls.last(datetime.timedelta(days=1), now)
+
+    @classmethod
+    def last_seven_days(cls, now=None) -> "TimeRange":
+        return cls.last(datetime.timedelta(days=7), now)
+
+    @classmethod
+    def last_thirty_days(cls, now=None) -> "TimeRange":
+        return cls.last(datetime.timedelta(days=30), now)
+
+    @classmethod
+    def last_ninety_days(cls, now=None) -> "TimeRange":
+        return cls.last(datetime.timedelta(days=90), now)
+
+    @classmethod
+    def last_year(cls, now=None) -> "TimeRange":
+        return cls.last(datetime.timedelta(days=365), now)
+
 
 # ---------------------------------------------------------------------------
 # column-expression interval predicates over (begin, end) timestamp columns

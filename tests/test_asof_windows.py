@@ -79,3 +79,11 @@ def test_session_window_rollup(spark):
     assert len(rows) == 2
     assert rows[0]["n"] == 2 and rows[0]["v_sum"] == 3.0
     assert rows[1]["n"] == 2 and rows[1]["v_sum"] == 7.0
+
+
+def test_asof_preserves_left_cardinality(quotes_trades):
+    # invariant: as-of join emits exactly one row per left row
+    quotes, trades = quotes_trades
+    for kwargs in [{}, {"tolerance": "1s"}, {"broadcast": True}]:
+        out = trades.asof_join(quotes, on="sym", **kwargs)
+        assert out.df.count() == trades.size()

@@ -126,3 +126,15 @@ def test_timerange_validation():
     with pytest.raises(ValueError):
         TimeRange(10, 0)
     assert TimeRange([0, 10]).duration() == 10
+
+
+def test_timerange_relative_windows():
+    import datetime
+    now = datetime.datetime(2026, 8, 13, tzinfo=datetime.timezone.utc)
+    tr = TimeRange.last_seven_days(now)
+    assert tr.end() == now
+    assert tr.duration() == 7 * 86_400_000
+    assert TimeRange.last_day(now).duration() == 86_400_000
+    assert TimeRange.last_thirty_days(now).duration() == 30 * 86_400_000
+    assert TimeRange.last_ninety_days(now).duration() == 90 * 86_400_000
+    assert TimeRange.last_year(now).duration() == 365 * 86_400_000
