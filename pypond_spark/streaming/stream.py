@@ -36,9 +36,13 @@ OUTPUT_MODE = {"eachEvent": "update", "discard": "append", "flush": "complete"}
 
 
 def _dur_str(window: str) -> str:
+    if window == "daily":
+        # UTC calendar days == epoch-anchored 1d fixed windows
+        window = "1d"
     ms = window_duration_ms(window)
     if ms is None:
-        raise ValueError(f"streaming windows need a fixed spec, got {window!r}")
+        raise ValueError(
+            f"streaming windows need a fixed spec or 'daily', got {window!r}")
     return f"{ms // 1000} seconds"
 
 
