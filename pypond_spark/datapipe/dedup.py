@@ -87,7 +87,11 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     ])
     buckets = sig.select(F.col(id_col), F.explode(bands).alias("band"))
     if cache:
-        buckets = buckets.persist()
+        # localCheckpoint (not persist): materializes once so the self-join's
+        # two sides share one signature computation, and the blocks are
+        # released when the DataFrame is garbage-collected instead of pinning
+        # storage memory for the session lifetime
+        buckets = buckets.localCheckpoint()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

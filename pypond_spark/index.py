@@ -40,10 +40,15 @@ def window_duration_ms(win: str) -> int | None:
 
 
 def window_position(win: str, ms: int) -> int:
+    """Bucket position = floor(ms / dur) — floor for negative ms too, so the
+    bucket always contains the instant and python agrees with the column dual
+    (the reference truncates toward zero pre-epoch, ``index.py:403-405``,
+    which is self-inconsistent with its own range parsing — documented
+    deviation)."""
     dur = window_duration_ms(win)
     if dur is None:
         raise ValueError(f"not a fixed window spec: {win!r}")
-    return int(ms // dur) if ms >= 0 else int(ms / dur)
+    return int(ms // dur)
 
 
 def get_index_string(win: str, dtime: datetime.datetime) -> str:
@@ -75,19 +80,22 @@ def parse_index(idx_str: str) -> tuple[str, int, int]:
         ) from exc
 
 
+_FIXED_FULL_RE = re.compile(r"^([0-9]+)([smhd])-(-?[0-9]+)$")
+
+
 def _parse_index(idx_str: str) -> tuple[str, int, int]:
-    parts = idx_str.split("-")
     utc = datetime.timezone.utc
+    fixed = _FIXED_FULL_RE.match(idx_str)
+    if fixed:
+        length = int(fixed.group(1)) * UNIT_MS[fixed.group(2)]
+        pos = int(fixed.group(3))
+        return "index", pos * length, (pos + 1) * length
+    parts = idx_str.split("-")
     if len(parts) == 3:
         begin = datetime.datetime(int(parts[0]), int(parts[1]), int(parts[2]), tzinfo=utc)
         end = begin + datetime.timedelta(days=1) - datetime.timedelta(seconds=1)
         return "day", ms_from_dt(begin), ms_from_dt(end)
     if len(parts) == 2:
-        match = _FIXED_RE.match(parts[0])
-        if match:
-            length = int(match.group(1)) * UNIT_MS[match.group(2)]
-            pos = int(parts[1])
-            return "index", pos * length, (pos + 1) * length
         year, month = int(parts[0]), int(parts[1])
         begin = datetime.datetime(year, month, 1, tzinfo=utc)
         nxt = datetime.datetime(year + (month == 12), month % 12 + 1, 1, tzinfo=utc)

@@ -43,6 +43,7 @@ def windowed_aggregate(
     utc: bool = True,
     tz: str = "UTC",
     time_col: str = "time",
+    end_col: str | None = None,
 ) -> DataFrame:
     """Aggregate ``df`` per (window bucket, group).
 
@@ -51,14 +52,17 @@ def windowed_aggregate(
     - fixed/calendar: columns ``index, begin, end, *groups, *agg_outputs``
       (IndexedEvent rows);
     - ``window=None`` (global): ``begin, end, *groups, *agg_outputs``
-      (one TimeRangeEvent row per group, spanning the group's extents).
+      (one TimeRangeEvent row per group, spanning the group's extents;
+      ``end_col`` names the interval-end column for range/index input so the
+      extent ends at max(end), not max(begin)).
     """
     groups = _group_cols(group_by)
     aggs = compile_agg_spec(spec, time_col=time_col)
 
     if window is None:
         out = df.groupBy(*groups).agg(
-            F.min(time_col).alias("begin"), F.max(time_col).alias("end"), *aggs)
+            F.min(time_col).alias("begin"),
+            F.max(end_col or time_col).alias("end"), *aggs)
         return out.select("begin", "end", *groups,
                           *[r for r in spec])
 
@@ -143,10 +147,15 @@ def session_window_aggregate(
 def collect_by_fixed_window(df: DataFrame, window: str,
                             time_col: str = "time") -> DataFrame:
     """Bucket events per fixed window without aggregating
-    (reference ``series.py:1459-1478``): adds an ``index`` column."""
+    (reference ``series.py:1459-1478``): adds ``index``/``begin``/``end``
+    columns so the result is a well-formed index-kind series (the original
+    ``time`` stays as a payload column)."""
     dur = window_duration_ms(window)
     if dur is None:
         raise ValueError(f"bad window spec {window!r}")
     pos = F.floor(F.unix_millis(F.col(time_col)) / F.lit(dur)).cast("long")
-    return df.withColumn(
-        "index", F.concat(F.lit(window + "-"), pos.cast("string")))
+    return (df
+            .withColumn("index",
+                        F.concat(F.lit(window + "-"), pos.cast("string")))
+            .withColumn("begin", F.timestamp_millis(pos * dur))
+            .withColumn("end", F.timestamp_millis((pos + 1) * dur)))

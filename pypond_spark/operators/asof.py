@@ -48,29 +48,29 @@ def asof_join(
     if collide:
         raise ValueError(f"column collision between sides: {sorted(collide)}")
 
+    # the whole right row travels as ONE struct so the latest right ROW wins
+    # atomically — carrying columns independently would mix values from
+    # different right rows whenever the latest row has a NULL column
+    r_struct = F.struct(F.col(right_time).alias("__rt"),
+                        *[F.col(c) for c in rpay])
+    r_struct_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
+
     l_tagged = left.select(
         *keys, F.col(left_time).alias("__t"), F.lit(1).alias("__is_left"),
-        *lpay, *[F.lit(None).cast(right.schema[c].dataType).alias(c)
-                 for c in rpay],
-        F.lit(None).cast("timestamp").alias("__rt"))
+        *lpay, F.lit(None).cast(r_struct_type).alias("__r"))
     r_tagged = right.select(
         *keys, F.col(right_time).alias("__t"), F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
-        *rpay, F.col(right_time).alias("__rt"))
+        r_struct.alias("__r"))
 
     # right rows sort before left rows at equal timestamps so an exact-time
     # right row matches ("at-or-before")
     w = (Window.partitionBy(*keys).orderBy("__t", "__is_left")
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = [F.last(F.when(F.col("__is_left") == 0, F.col(c)),
-                      ignorenulls=True).over(w).alias(f"__c_{c}")
-               for c in rpay]
-    carried_rt = F.last(F.when(F.col("__is_left") == 0, F.col("__rt")),
-                        ignorenulls=True).over(w).alias("__c_rt")
+    carried = F.last(F.col("__r"), ignorenulls=True).over(w).alias("__c")
 
     unioned = l_tagged.unionByName(r_tagged)
-    staged = unioned.select("*", *carried, carried_rt) \
-        .where(F.col("__is_left") == 1)
+    staged = unioned.select("*", carried).where(F.col("__is_left") == 1)
 
     out_cols = [F.col(k) for k in keys] + [F.col("__t").alias(left_time)] + \
         [F.col(c) for c in lpay]
@@ -79,10 +79,10 @@ def asof_join(
         if tol_ms is None:
             raise ValueError(f"bad tolerance spec {tolerance!r}")
         fresh = (F.unix_millis(F.col("__t"))
-                 - F.unix_millis(F.col("__c_rt"))) <= tol_ms
-        out_cols += [F.when(fresh, F.col(f"__c_{c}")).alias(c) for c in rpay]
+                 - F.unix_millis(F.col("__c.__rt"))) <= tol_ms
+        out_cols += [F.when(fresh, F.col(f"__c.{c}")).alias(c) for c in rpay]
     else:
-        out_cols += [F.col(f"__c_{c}").alias(c) for c in rpay]
+        out_cols += [F.col(f"__c.{c}").alias(c) for c in rpay]
     return staged.select(*out_cols)
 
 
@@ -102,6 +102,9 @@ def asof_join_broadcast(
     keys = [on] if isinstance(on, str) else list(on)
     rpay = [c for c in right.columns if c != right_time and c not in keys]
     lcols = list(left.columns)
+    # a surrogate row id keeps fully-duplicate left rows distinct through the
+    # group-back (otherwise identical rows would collapse into one)
+    left = left.withColumn("__lid", F.monotonically_increasing_id())
     cond = F.lit(True)
     for k in keys:
         cond = cond & (left[k] == right[k])
@@ -113,5 +116,9 @@ def asof_join_broadcast(
         cond = cond & (F.unix_millis(left[left_time])
                        - F.unix_millis(right[right_time]) <= tol_ms)
     joined = left.join(F.broadcast(right), cond, "left")
-    aggs = [F.max_by(right[c], right[right_time]).alias(c) for c in rpay]
-    return (joined.groupBy(*[left[c] for c in lcols]).agg(*aggs))
+    # whole right row via one max_by so ties can't mix columns across rows
+    rstruct = F.struct(*[right[c] for c in rpay])
+    grouped = (joined.groupBy(left["__lid"], *[left[c] for c in lcols])
+               .agg(F.max_by(rstruct, right[right_time]).alias("__r")))
+    return grouped.select(*lcols,
+                          *[F.col(f"__r.{c}").alias(c) for c in rpay])

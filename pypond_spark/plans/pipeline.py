@@ -181,7 +181,13 @@ class Pipeline:
 
     def to_keyed_collections(self) -> dict[str, TimeSeries]:
         """Result collections keyed '<window>--<group>' / 'all'
-        (reference io/output.py:323-330)."""
+        (reference io/output.py:323-330).
+
+        Materializes the keyed frame in ONE pass and regroups on the driver
+        (results are bounded per-key collections by the reference's contract)
+        — filtering the lazy plan once per key would re-execute the whole
+        upstream aggregation K times.
+        """
         ts = self._ts()
         groups = self._group_cols()
         windowed = "index" in ts.df.columns
@@ -193,9 +199,15 @@ class Pipeline:
         for g in groups:
             key_parts.append(F.col(g).cast("string"))
         keyed = ts.df.withColumn("__key", F.concat_ws("--", *key_parts))
-        out: dict[str, TimeSeries] = {}
-        for row in keyed.select("__key").distinct().collect():
-            key = row["__key"]
-            sub = keyed.where(F.col("__key") == key).drop("__key")
-            out[key] = TimeSeries(sub, ts.kind, ts.meta())
-        return out
+        schema = ts.df.schema
+        spark = ts.df.sparkSession
+        by_key: dict[str, list] = {}
+        for row in keyed.collect():
+            vals = row.asDict()
+            key = vals.pop("__key")
+            by_key.setdefault(key, []).append(tuple(vals.values()))
+        return {
+            key: TimeSeries(spark.createDataFrame(rows, schema), ts.kind,
+                            ts.meta())
+            for key, rows in by_key.items()
+        }

@@ -357,9 +357,11 @@ class TimeSeries:
     def window_aggregate(self, aggregation: dict, window: str | None = None,
                          group_by=None, utc: bool = True,
                          tz: str = "UTC") -> "TimeSeries":
+        end_col = "end" if self._kind != "time" and "end" in self._df.columns \
+            else None
         out = agg_ops.windowed_aggregate(
             self._df, aggregation, window=window, group_by=group_by, utc=utc,
-            tz=tz, time_col=self.time_col)
+            tz=tz, time_col=self.time_col, end_col=end_col)
         return TimeSeries(out, "timerange" if window is None else "index",
                           self._meta)
 
@@ -430,8 +432,7 @@ class TimeSeries:
         if self._kind == "timerange":
             out = convert_ops.timerange_events_to_events(self._df, alignment)
         else:
-            out = convert_ops.indexed_events_to_events(
-                self._df, "lag" if alignment == "center" else alignment)
+            out = convert_ops.indexed_events_to_events(self._df, alignment)
         return TimeSeries(out, "time", self._meta)
 
     def as_timerange_events(self, duration: str | None = None,

@@ -1,0 +1,105 @@
+"""Regression tests for the code-review findings (round 1 review pass)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypond_spark import TimeSeries
+from pypond_spark import index as codec
+from pypond_spark.operators.asof import asof_join, asof_join_broadcast
+
+UTC = datetime.timezone.utc
+
+
+def test_asof_carries_whole_right_row(spark):
+    """A NULL column in the latest right row must NOT be backfilled from an
+    older right row (atomic row carry)."""
+    left = spark.createDataFrame(
+        [(30_000,)], "t long").select(
+            F.timestamp_millis("t").alias("time"))
+    right = spark.createDataFrame(
+        [(10_000, 1.0, 2.0), (20_000, None, 3.0)],
+        "t long, a double, b double").select(
+            F.timestamp_millis("t").alias("time"), "a", "b")
+    for fn in (asof_join, asof_join_broadcast):
+        row = fn(left, right).collect()[0]
+        assert row["a"] is None and row["b"] == 3.0, fn.__name__
+
+    # tolerance is judged by the carried row's own timestamp
+    row = asof_join(left, right, tolerance="15s").collect()[0]
+    assert row["a"] is None and row["b"] == 3.0  # 10s stale, within 15s
+    row = asof_join(left, right, tolerance="5s").collect()[0]
+    assert row["b"] is None  # latest right row is 10s stale
+
+
+def test_asof_broadcast_keeps_duplicate_left_rows(spark):
+    left = spark.createDataFrame(
+        [(30_000, "A"), (30_000, "A")], "t long, sym string").select(
+            F.timestamp_millis("t").alias("time"), "sym")
+    right = spark.createDataFrame(
+        [(10_000, "A", 5.0)], "t long, sym string, bid double").select(
+            F.timestamp_millis("t").alias("time"), "sym", "bid")
+    out = asof_join_broadcast(left, right, on="sym")
+    assert out.count() == 2
+    assert [r["bid"] for r in out.collect()] == [5.0, 5.0]
+
+
+def test_global_aggregate_extent_uses_interval_end(spark):
+    tr = {"name": "r", "columns": ["timerange", "value"],
+          "points": [[[0, 3_600_000], 1], [[3_600_000, 7_200_000], 2]]}
+    ts = TimeSeries.from_wire(spark, tr)
+    out = ts.window_aggregate({"v_max": {"value": "max"}})
+    row = out.df.collect()[0]
+    assert row["end"].replace(tzinfo=UTC) == \
+        datetime.datetime(1970, 1, 1, 2, tzinfo=UTC)  # max(end), not max(begin)
+
+
+def test_indexed_as_events_center_is_midpoint(spark):
+    wire = {"name": "i", "columns": ["index", "value"],
+            "points": [["1h-0", 5]]}
+    ts = TimeSeries.from_wire(spark, wire)
+    center = ts.as_events(alignment="center").df.collect()[0]["time"]
+    assert center.replace(tzinfo=UTC) == \
+        datetime.datetime(1970, 1, 1, 0, 30, tzinfo=UTC)
+    lag = ts.as_events(alignment="lag").df.collect()[0]["time"]
+    assert lag.replace(tzinfo=UTC) == datetime.datetime(1970, 1, 1, tzinfo=UTC)
+
+
+def test_collect_by_fixed_window_is_wellformed_index_series(spark):
+    wire = {"name": "c", "columns": ["time", "value"],
+            "points": [[i * 60_000, i] for i in range(5)]}
+    out = TimeSeries.from_wire(spark, wire).collect_by_fixed_window("2m")
+    assert {"index", "begin", "end"} <= set(out.df.columns)
+    tr = out.timerange()  # used to raise UNRESOLVED_COLUMN `begin`
+    assert tr.begin_ms() == 0 and tr.end_ms() == 360_000
+    assert out.sort_by_time().size() == 5
+
+
+def test_negative_ms_index_floor_and_parse():
+    dt = datetime.datetime(1969, 12, 31, 23, 59, tzinfo=UTC)  # ms = -60000
+    s = codec.get_index_string("5m", dt)
+    assert s == "5m--1"
+    kind, b, e = codec.parse_index(s)
+    assert kind == "index" and b == -300_000 and e == 0
+    assert b <= -60_000 < e  # bucket contains the instant
+
+
+def test_negative_index_matches_column_dual(spark):
+    dt = datetime.datetime(1969, 12, 31, 23, 59, tzinfo=UTC)
+    df = spark.createDataFrame([(dt,)], "time timestamp")
+    got = df.select(
+        codec.fixed_index_col("5m", "time").alias("idx")).collect()[0]["idx"]
+    assert got == codec.get_index_string("5m", dt)
+
+
+def test_keyed_collections_single_pass(spark):
+    wire = {"name": "k", "columns": ["time", "in"],
+            "points": [[3_600_000 * i, i] for i in range(4)]}
+    from pypond_spark import Pipeline
+    ts = TimeSeries.from_wire(spark, wire)
+    out = (Pipeline().from_source(ts).window_by("2h")
+           .aggregate({"in_sum": {"in": "sum"}}).to_keyed_collections())
+    assert set(out) == {"2h-0", "2h-1"}
+    assert out["2h-0"].df.collect()[0]["in_sum"] == 1
+    assert out["2h-1"].df.collect()[0]["in_sum"] == 5
