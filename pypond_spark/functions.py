@@ -123,10 +123,18 @@ def compile_agg(func, in_col: Column | str, flt: str = "ignore_missing",
     elif name == "count":
         # keep_missing counts all arrivals; others count valid values only
         agg = F.count(F.lit(1)) if flt == "keep_missing" else F.count(col)
-    elif name == "first":
-        agg = F.min_by(col, F.when(col.isNotNull(), F.col(time_col)))
-    elif name == "last":
-        agg = F.max_by(col, F.when(col.isNotNull(), F.col(time_col)))
+    elif name in ("first", "last"):
+        if flt == "keep_missing":
+            # faithful: the positionally first/last value INCLUDING invalid
+            # ones (min_by/max_by skip nulls, so they can't express this) —
+            # struct-collect keeps null payloads, sort recovers time order
+            arr = F.sort_array(F.collect_list(
+                F.struct(F.col(time_col).alias("t"), raw.alias("v"))))
+            agg = F.element_at(arr, 1 if name == "first" else -1)["v"]
+        elif name == "first":
+            agg = F.min_by(col, F.when(col.isNotNull(), F.col(time_col)))
+        else:
+            agg = F.max_by(col, F.when(col.isNotNull(), F.col(time_col)))
     elif name == "percentile":
         agg = _percentile_expr(col, q, method)
     elif name == "median":
@@ -136,7 +144,18 @@ def compile_agg(func, in_col: Column | str, flt: str = "ignore_missing",
     elif name == "difference":
         agg = F.max(col) - F.min(col)
     elif name == "keep":
-        agg = F.when(F.min(col) == F.max(col), F.min(col))
+        if flt == "keep_missing":
+            # reference (functions.py:123-141): result = first value (which
+            # may be invalid -> None); disagreement checked among valid
+            # values only
+            arr = F.sort_array(F.collect_list(
+                F.struct(F.col(time_col).alias("t"), raw.alias("v"))))
+            first_all = F.element_at(arr, 1)["v"]
+            agg = (F.when(~is_valid_col(first_all), F.lit(None))
+                   .when(F.min(col) != F.max(col), F.lit(None))
+                   .otherwise(first_all))
+        else:
+            agg = F.when(F.min(col) == F.max(col), F.min(col))
     else:
         raise ValueError(f"unknown aggregation function {name!r}")
 
@@ -170,8 +189,10 @@ def normalize_agg_spec(spec: dict) -> list[tuple[str, str, object, str]]:
                     f"agg spec for {out!r} must have exactly one input field")
             in_col, fspec = next(iter(body.items()))
             flt = "ignore_missing"
-            if isinstance(fspec, (tuple, list)) and fspec and fspec[0] != "percentile" \
+            if isinstance(fspec, (tuple, list)) and fspec \
                     and isinstance(fspec[-1], str) and fspec[-1] in FILTERS:
+                # a trailing filter name applies to any function, including
+                # percentile forms: ('percentile', q[, method], filter)
                 *fparts, flt = fspec
                 func = fparts[0] if len(fparts) == 1 else tuple(fparts)
             else:

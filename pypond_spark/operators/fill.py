@@ -69,9 +69,12 @@ def _fill_one(df: DataFrame, field: str, method: str, fill_limit: int | None,
             w.rowsBetween(1, Window.unboundedFollowing))
         next_ms = F.first(F.when(nvalid, ms), ignorenulls=True).over(
             w.rowsBetween(1, Window.unboundedFollowing))
+        # try_divide: coincident bracketing timestamps yield NULL fill
+        # instead of an ANSI DIVIDE_BY_ZERO crash
         filled = prev_val + (next_val - prev_val) * \
-            (ms - prev_ms) / (next_ms - prev_ms)
-        can_fill = prev_val.isNotNull() & next_val.isNotNull()
+            F.try_divide(ms - prev_ms, next_ms - prev_ms)
+        can_fill = (prev_val.isNotNull() & next_val.isNotNull()
+                    & (next_ms != prev_ms))
     else:
         raise ValueError(f"fill method must be zero|pad|linear, got {method!r}")
 

@@ -38,7 +38,9 @@ def rate(
     for f in fields:
         cur = F.col(f).try_cast("double")
         prev = F.lag(cur).over(w)
-        r = (cur - prev) / sec_delta
+        # try_divide: duplicate timestamps yield NULL instead of an ANSI
+        # DIVIDE_BY_ZERO crash (matches the streaming twin's dt==0 guard)
+        r = F.try_divide(cur - prev, sec_delta)
         if not allow_negative:
             r = F.when(r < 0, F.lit(None).cast("double")).otherwise(r)
         out.append(r.alias(f"{f}_rate"))

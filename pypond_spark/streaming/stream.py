@@ -61,6 +61,10 @@ def windowed_stream_aggregate(
     requires a watermark (default '0 seconds' = reference strictness).
     """
     groups = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    if emit_on not in OUTPUT_MODE:
+        raise ValueError(
+            f"bad emit_on trigger {emit_on!r}; expected one of "
+            f"{tuple(OUTPUT_MODE)}")
     mode = OUTPUT_MODE[emit_on]
     if emit_on == "discard":
         sdf = sdf.withWatermark(time_col, watermark or "0 seconds")
@@ -83,6 +87,20 @@ def _keyed(sdf: DataFrame, keys: list[str]) -> tuple[DataFrame, list[str], bool]
     return sdf.withColumn("__k", F.lit(0)), ["__k"], True
 
 
+def _whole_group(pdfs: Iterator[pd.DataFrame], time_col: str) -> pd.DataFrame:
+    """Concatenate ALL Arrow chunks of the group, then sort by time.
+
+    applyInPandasWithState splits a group larger than the Arrow batch size
+    into multiple chunks in shuffle order — sorting chunks independently
+    silently corrupts any order-dependent state computation.
+    """
+    chunks = list(pdfs)
+    if not chunks:
+        return pd.DataFrame()
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    return pdf.sort_values(time_col)
+
+
 def _rate_state_fn(fields: list[str], keys: list[str], time_col: str,
                    allow_negative: bool):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -91,8 +109,8 @@ def _rate_state_fn(fields: list[str], keys: list[str], time_col: str,
         else:
             prev_ms, prev_vals = None, [None] * len(fields)
         outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(time_col)
+        pdf = _whole_group(pdfs, time_col)
+        if len(pdf):
             for _, row in pdf.iterrows():
                 cur_ms = int(row[time_col].value // 10**6)
                 cur_vals = [None if pd.isna(row[f]) else float(row[f])
@@ -157,8 +175,8 @@ def _align_state_fn(fields: list[str], keys: list[str], time_col: str,
         else:
             prev_ms, prev_vals = None, [None] * len(fields)
         outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(time_col)
+        pdf = _whole_group(pdfs, time_col)
+        if len(pdf):
             for _, row in pdf.iterrows():
                 cur_ms = int(row[time_col].value // 10**6)
                 cur_vals = [None if pd.isna(row[f]) else float(row[f])
@@ -232,8 +250,8 @@ def _fill_pad_state_fn(fields: list[str], keys: list[str], time_col: str):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         last = list(state.get) if state.exists else [None] * len(fields)
         outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(time_col)
+        pdf = _whole_group(pdfs, time_col)
+        if len(pdf):
             for _, row in pdf.iterrows():
                 ms = int(row[time_col].value // 10**6)
                 rec = list(key) + [ms]

@@ -21,6 +21,7 @@ import math
 from typing import Any
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .index import parse_index
@@ -49,6 +50,10 @@ def _infer_type(values: list[Any]) -> T.DataType:
             dicts.append(val)
         else:
             raise TypeError(f"unsupported wire payload value {val!r}")
+    if dicts and (has_float or has_int or has_str or has_bool):
+        raise TypeError(
+            "wire column mixes nested dict and scalar values; "
+            "payload columns must be homogeneous")
     if dicts:
         keys: list[str] = []
         for dct in dicts:
@@ -139,7 +144,9 @@ def read_wire(spark: SparkSession, wire: dict) -> tuple[DataFrame, str, dict]:
 def _from_row_value(val: Any) -> Any:
     if isinstance(val, Row):
         return {k: _from_row_value(v) for k, v in val.asDict().items()}
-    return val
+    # NaN -> None: keeps the wire JSON valid (bare NaN is not JSON) and the
+    # round trip symmetric with read_wire's NaN handling
+    return _nan_to_none(val)
 
 
 def to_wire(df: DataFrame, kind: str, meta: dict | None = None) -> dict:
@@ -153,7 +160,11 @@ def to_wire(df: DataFrame, kind: str, meta: dict | None = None) -> dict:
         df = df.orderBy("begin")
     elif kind == "index":
         key_cols, first_col = ["index"], "index"
-        df = df.orderBy("begin") if "begin" in df.columns else df.orderBy("index")
+        # time order, never lexicographic ('5m-9' > '5m-100' as strings)
+        from .index import index_begin_col
+        sort_key = "begin" if "begin" in df.columns \
+            else index_begin_col(F.col("index"))
+        df = df.orderBy(sort_key)
     else:
         raise ValueError(f"unknown event kind {kind!r}")
 
@@ -161,8 +172,7 @@ def to_wire(df: DataFrame, kind: str, meta: dict | None = None) -> dict:
     points = []
     for row in df.collect():
         if kind == "time":
-            key = ms_from_any(row["time"].replace(tzinfo=__import__("datetime").timezone.utc)
-                              if row["time"].tzinfo is None else row["time"])
+            key = ms_from_any(_aware(row["time"]))
         elif kind == "timerange":
             key = [ms_from_any(_aware(row["begin"])), ms_from_any(_aware(row["end"]))]
         else:

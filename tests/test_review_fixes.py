@@ -103,3 +103,88 @@ def test_keyed_collections_single_pass(spark):
     assert set(out) == {"2h-0", "2h-1"}
     assert out["2h-0"].df.collect()[0]["in_sum"] == 1
     assert out["2h-1"].df.collect()[0]["in_sum"] == 5
+
+
+def test_rate_and_fill_duplicate_timestamps_no_crash(spark):
+    """ANSI mode: duplicate timestamps must yield NULL, not DIVIDE_BY_ZERO."""
+    df = spark.createDataFrame(
+        [(1000, 1.0), (1000, 2.0), (2000, 3.0)], "t long, value double"
+    ).select(F.timestamp_millis("t").alias("time"), "value")
+    from pypond_spark.operators.rate import rate
+    rates = [r["value_rate"] for r in
+             rate(df, "value").orderBy("end").collect()]
+    assert rates[0] is None  # dt == 0
+    assert rates[1] is not None
+
+    from pypond_spark.operators.fill import fill
+    df2 = spark.createDataFrame(
+        [(1000, 1.0), (1000, None), (1000, 3.0)], "t long, value double"
+    ).select(F.timestamp_millis("t").alias("time"), "value")
+    out = fill(df2, "value", method="linear")
+    assert out.count() == 3  # no crash; coincident brackets -> unfilled
+
+
+def test_wire_nan_and_index_ordering(spark):
+    from pypond_spark import wire as wire_codec
+    df = spark.createDataFrame(
+        [(1000, float("nan")), (2000, 2.0)], "t long, value double"
+    ).select(F.timestamp_millis("t").alias("time"), "value")
+    out = wire_codec.to_wire(df, "time")
+    assert out["points"][0][1] is None  # NaN -> null (valid JSON)
+    import json
+    json.dumps(out)  # must not raise / emit bare NaN
+
+    idx = {"name": "i", "columns": ["index", "value"],
+           "points": [["5m-9", 9], ["5m-100", 100], ["5m-10", 10]]}
+    ts = TimeSeries.from_wire(spark, idx)
+    got = [p[0] for p in ts.to_wire()["points"]]
+    assert got == ["5m-9", "5m-10", "5m-100"]  # time order, not lexicographic
+
+
+def test_wire_mixed_dict_scalar_clear_error(spark):
+    from pypond_spark.wire import read_wire
+    with pytest.raises(TypeError, match="homogeneous"):
+        read_wire(spark, {"columns": ["time", "v"],
+                          "points": [[0, {"a": 1}], [1000, 5.0]]})
+
+
+def test_keep_missing_first_last_keep(spark):
+    wire = {"name": "k", "columns": ["time", "value"],
+            "points": [[1000, None], [2000, 5.0], [3000, 5.0]]}
+    ts = TimeSeries.from_wire(spark, wire)
+    # keep_missing keeps the leading invalid value: first -> None
+    assert ts.aggregate("first", "value", "keep_missing") is None
+    assert ts.aggregate("last", "value", "keep_missing") == 5.0
+    assert ts.aggregate("keep", "value", "keep_missing") is None  # first invalid
+    # ignore_missing skips it
+    assert ts.aggregate("first", "value", "ignore_missing") == 5.0
+    uniform = TimeSeries.from_wire(
+        spark, {"name": "u", "columns": ["time", "value"],
+                "points": [[1000, 5.0], [2000, 5.0]]})
+    assert uniform.aggregate("keep", "value", "keep_missing") == 5.0
+
+
+def test_percentile_with_filter_in_spec(spark):
+    from pypond_spark.functions import normalize_agg_spec
+    rows = normalize_agg_spec({"p": {"v": ("percentile", 50, "zero_missing")}})
+    assert rows == [("p", "v", ("percentile", 50), "zero_missing")]
+    rows = normalize_agg_spec(
+        {"p": {"v": ("percentile", 95, "higher", "zero_missing")}})
+    assert rows == [("p", "v", ("percentile", 95, "higher"), "zero_missing")]
+    # and end-to-end: zero_missing turns the None into 0
+    wire = {"name": "p", "columns": ["time", "value"],
+            "points": [[1000, None], [2000, 10.0]]}
+    ts = TimeSeries.from_wire(spark, wire)
+    assert ts.aggregate(("percentile", 0), "value", "zero_missing") == 0.0
+
+
+def test_stream_emit_on_valueerror(spark, tmp_path):
+    import json as _json
+    from pypond_spark.streaming import windowed_stream_aggregate
+    (tmp_path / "a.json").write_text(_json.dumps({"t_ms": 0, "value": 1.0}))
+    sdf = (spark.readStream.schema("t_ms long, value double")
+           .json(str(tmp_path))
+           .withColumn("time", F.timestamp_millis("t_ms")))
+    with pytest.raises(ValueError, match="emit_on"):
+        windowed_stream_aggregate(sdf, {"n": {"value": "count"}}, "1m",
+                                  emit_on="append")

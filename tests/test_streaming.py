@@ -129,3 +129,29 @@ def test_stream_align_across_batches(spark, stream_dir):
     # user b: first event at 0 aligned; pair (0:10, 60s:40) -> boundary 60s = 40
     assert got[("b", 0)] == 10.0
     assert got[("b", 60_000)] == 40.0
+
+
+def test_stream_rate_multi_chunk_group(spark, tmp_path):
+    """Groups larger than the Arrow batch arrive as MULTIPLE chunks in
+    shuffle order; state fns must concat+sort the whole group first."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        recs = [{"t_ms": 60_000, "user": "a", "value": 60.0},
+                {"t_ms": 0, "user": "a", "value": 0.0},
+                {"t_ms": 30_000, "user": "a", "value": 30.0},
+                {"t_ms": 90_000, "user": "a", "value": 90.0},
+                {"t_ms": 120_000, "user": "a", "value": 120.0}]
+        with open(tmp_path / "x.json", "w") as fh:
+            for r in recs:
+                fh.write(json.dumps(r) + "\n")
+        sdf = (spark.readStream.schema(SCHEMA).json(str(tmp_path))
+               .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+               .drop("t_ms"))
+        out = stream_rate(sdf, field_spec="value", partition_by=["user"])
+        rows = run_available_now(out, "append").collect()
+        got = sorted((r["begin_ms"], r["end_ms"], r["value_rate"])
+                     for r in rows)
+        assert got == [(0, 30_000, 1.0), (30_000, 60_000, 1.0),
+                       (60_000, 90_000, 1.0), (90_000, 120_000, 1.0)]
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
