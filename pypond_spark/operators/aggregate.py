@@ -35,6 +35,14 @@ def _group_cols(group_by) -> list[str]:
     return list(group_by)
 
 
+def _group_exprs(groups: list[str]):
+    """Grouping exprs + output names: deep paths ('direction.status') group
+    on the struct field and surface as the leaf name."""
+    exprs = [F.col(g).alias(g.split(".")[-1]) for g in groups]
+    names = [g.split(".")[-1] for g in groups]
+    return exprs, names
+
+
 def windowed_aggregate(
     df: DataFrame,
     spec: dict,
@@ -57,13 +65,14 @@ def windowed_aggregate(
       extent ends at max(end), not max(begin)).
     """
     groups = _group_cols(group_by)
+    gexprs, gnames = _group_exprs(groups)
     aggs = compile_agg_spec(spec, time_col=time_col)
 
     if window is None:
-        out = df.groupBy(*groups).agg(
+        out = df.groupBy(*gexprs).agg(
             F.min(time_col).alias("begin"),
             F.max(end_col or time_col).alias("end"), *aggs)
-        return out.select("begin", "end", *groups,
+        return out.select("begin", "end", *gnames,
                           *[r for r in spec])
 
     if window in CALENDAR_KINDS:
@@ -71,7 +80,7 @@ def windowed_aggregate(
         local = tcol if utc else F.from_utc_timestamp(tcol, tz)
         trunc_unit = {"daily": "day", "monthly": "month", "yearly": "year"}[window]
         bucket = F.date_trunc(trunc_unit, local).alias("__bucket")
-        out = df.groupBy(bucket, *groups).agg(*aggs)
+        out = df.groupBy(bucket, *gexprs).agg(*aggs)
         fmt = {"daily": "yyyy-MM-dd", "monthly": "yyyy-MM", "yearly": "yyyy"}[window]
         interval = {"daily": "INTERVAL 1 DAY", "monthly": "INTERVAL 1 MONTH",
                     "yearly": "INTERVAL 1 YEAR"}[window]
@@ -83,18 +92,18 @@ def windowed_aggregate(
         return out.select(
             F.date_format("__bucket", fmt).alias("index"),
             begin.alias("begin"), end.alias("end"),
-            *groups, *[r for r in spec])
+            *gnames, *[r for r in spec])
 
     dur = window_duration_ms(window)
     if dur is None:
         raise ValueError(f"bad window spec {window!r}")
     pos = F.floor(F.unix_millis(F.col(time_col)) / F.lit(dur)).cast("long")
-    out = df.groupBy(pos.alias("__pos"), *groups).agg(*aggs)
+    out = df.groupBy(pos.alias("__pos"), *gexprs).agg(*aggs)
     return out.select(
         F.concat(F.lit(window + "-"), F.col("__pos").cast("string")).alias("index"),
         F.timestamp_millis(F.col("__pos") * dur).alias("begin"),
         F.timestamp_millis((F.col("__pos") + 1) * dur).alias("end"),
-        *groups, *[r for r in spec])
+        *gnames, *[r for r in spec])
 
 
 def sliding_window_aggregate(
@@ -116,12 +125,13 @@ def sliding_window_aggregate(
     if dur_ms is None or slide_ms is None:
         raise ValueError(f"bad window/slide spec {window!r}/{slide!r}")
     groups = _group_cols(group_by)
+    gexprs, gnames = _group_exprs(groups)
     aggs = compile_agg_spec(spec, time_col=time_col)
     win = F.window(F.col(time_col), f"{dur_ms // 1000} seconds",
                    f"{slide_ms // 1000} seconds")
-    out = df.groupBy(win.alias("__w"), *groups).agg(*aggs)
+    out = df.groupBy(win.alias("__w"), *gexprs).agg(*aggs)
     return out.select(F.col("__w.start").alias("begin"),
-                      F.col("__w.end").alias("end"), *groups, *list(spec))
+                      F.col("__w.end").alias("end"), *gnames, *list(spec))
 
 
 def session_window_aggregate(
@@ -137,11 +147,12 @@ def session_window_aggregate(
     if gap_ms is None:
         raise ValueError(f"bad session gap spec {gap!r}")
     groups = _group_cols(group_by)
+    gexprs, gnames = _group_exprs(groups)
     aggs = compile_agg_spec(spec, time_col=time_col)
     win = F.session_window(F.col(time_col), f"{gap_ms // 1000} seconds")
-    out = df.groupBy(win.alias("__w"), *groups).agg(*aggs)
+    out = df.groupBy(win.alias("__w"), *gexprs).agg(*aggs)
     return out.select(F.col("__w.start").alias("begin"),
-                      F.col("__w.end").alias("end"), *groups, *list(spec))
+                      F.col("__w.end").alias("end"), *gnames, *list(spec))
 
 
 def collect_by_fixed_window(df: DataFrame, window: str,

@@ -246,28 +246,145 @@ def stream_align(
     return out.drop("__k") if dummy else out
 
 
-def _fill_pad_state_fn(fields: list[str], keys: list[str], time_col: str):
+def _fill_state_fn(fields: list[str], keys: list[str], time_col: str,
+                   method: str, fill_limit: int | None):
+    """Streaming fill state machine (reference filler.py semantics):
+
+    - pad: LOCF with a per-column consecutive-fill counter (reset on valid;
+      beyond ``fill_limit`` left invalid) — ``filler.py:125-160``;
+    - zero: same counter, fills 0;
+    - linear: per-column cache of pending invalid rows until the next valid
+      value closes the run, then interpolate and emit; a run reaching
+      ``fill_limit`` is emitted unfilled and the anchor resets
+      (``filler.py:197-276``). Output order across a closed run follows
+      event time (rows are emitted when their run closes, append-mode).
+    """
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        last = list(state.get) if state.exists else [None] * len(fields)
-        outs = []
+        n = len(fields)
+        if state.exists:
+            snap = state.get
+            last = list(snap[0:n])
+            counts = list(snap[n:2 * n])
+            last_ms = list(snap[2 * n:3 * n])
+            import json as _json
+            cache = _json.loads(snap[3 * n]) if method == "linear" else \
+                [[] for _ in range(n)]
+        else:
+            last = [None] * n          # last valid value per column
+            counts = [0] * n           # consecutive fills per column
+            last_ms = [None] * n       # ts of last valid value (linear)
+            cache = [[] for _ in range(n)]  # pending (ms, row_id) per column
+
+        rows: dict[int, list] = {}     # ms -> output values per column
+
+        def slot(ms):
+            return rows.setdefault(ms, [None] * n)
+
         pdf = _whole_group(pdfs, time_col)
         if len(pdf):
             for _, row in pdf.iterrows():
                 ms = int(row[time_col].value // 10**6)
-                rec = list(key) + [ms]
+                out = slot(ms)
                 for i, f in enumerate(fields):
                     v = row[f]
-                    if pd.isna(v):
-                        rec.append(last[i])
-                    else:
-                        v = float(v)
-                        last[i] = v
-                        rec.append(v)
-                outs.append(rec)
-        state.update(tuple(last))
+                    valid = not pd.isna(v)
+                    if method in ("pad", "zero"):
+                        if valid:
+                            v = float(v)
+                            last[i] = v
+                            counts[i] = 0
+                            out[i] = v
+                        elif fill_limit is not None and \
+                                counts[i] >= fill_limit:
+                            out[i] = None
+                        elif method == "zero":
+                            counts[i] += 1
+                            out[i] = 0.0
+                        elif last[i] is not None:
+                            counts[i] += 1
+                            out[i] = last[i]
+                        else:
+                            out[i] = None
+                    else:  # linear (single column; rows held until closure)
+                        if valid:
+                            v = float(v)
+                            for c_ms in cache[i]:
+                                # close the pending run: emit interpolated
+                                frac = (c_ms - last_ms[i]) / (ms - last_ms[i])
+                                slot(c_ms)[i] = last[i] + (v - last[i]) * frac
+                            cache[i] = []
+                            last[i], last_ms[i] = v, ms
+                            out[i] = v
+                        elif last[i] is None:
+                            out[i] = None  # leading gap: emit as-is
+                        else:
+                            # hold the row until a valid value closes the run
+                            rows.pop(ms, None)
+                            cache[i].append(ms)
+                            if fill_limit is not None and \
+                                    len(cache[i]) >= fill_limit:
+                                # run hit the limit: emit unfilled, reset
+                                # anchor (filler.py:240-258)
+                                for c_ms in cache[i]:
+                                    slot(c_ms)[i] = None
+                                cache[i] = []
+                                last[i], last_ms[i] = None, None
+        if method == "linear":
+            import json as _json
+            state.update(tuple(last) + tuple(counts) + tuple(last_ms)
+                         + (_json.dumps(cache),))
+        else:
+            state.update(tuple(last) + tuple(counts) + tuple(last_ms)
+                         + ("",))
+        outs = [list(key) + [ms] + vals for ms, vals in sorted(rows.items())]
         yield pd.DataFrame(outs, columns=keys + ["t_ms"] + fields)
 
     return fn
+
+
+def stream_fill(
+    sdf: DataFrame,
+    field_spec: str | Sequence[str] = "value",
+    method: str = "pad",
+    fill_limit: int | None = None,
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+) -> DataFrame:
+    """Cross-batch stateful fill: streaming twin of fill().
+
+    pad/zero emit every event immediately (LOCF/zero with the per-column
+    consecutive-fill counter); linear (single column, reference
+    ``filler.py:107-110``) holds invalid rows in state until a valid value
+    closes the run, then emits them interpolated — append-mode rows may
+    therefore arrive out of event-time order, and a trailing unclosed run
+    stays in state (the reference's flush-on-stop drains it; use a real
+    timeout policy in production streams).
+    """
+    if method not in ("pad", "zero", "linear"):
+        raise ValueError(f"fill method must be pad|zero|linear, got {method!r}")
+    fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
+    if method == "linear" and len(fields) != 1:
+        raise ValueError("streaming linear fill takes a single column "
+                         "(reference filler.py:107-110)")
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
+    key_fields = [sdf.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields + [T.StructField("t_ms", T.LongType())]
+        + [T.StructField(f, T.DoubleType()) for f in fields])
+    n = len(fields)
+    state_schema = T.StructType(
+        [T.StructField(f"v{i}", T.DoubleType()) for i in range(n)]
+        + [T.StructField(f"c{i}", T.LongType()) for i in range(n)]
+        + [T.StructField(f"t{i}", T.LongType()) for i in range(n)]
+        + [T.StructField("cache", T.StringType())])
+    out = sdf.groupBy(*keys).applyInPandasWithState(
+        _fill_state_fn(fields, keys, time_col, method, fill_limit),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out
 
 
 def stream_fill_pad(
@@ -276,22 +393,8 @@ def stream_fill_pad(
     partition_by: Sequence[str] = (),
     time_col: str = "time",
 ) -> DataFrame:
-    """Cross-batch LOCF fill: streaming twin of fill(method='pad')."""
-    fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
-    sdf, keys, dummy = _keyed(sdf, list(partition_by))
-    key_fields = [sdf.schema[k] for k in keys]
-    out_schema = T.StructType(
-        key_fields + [T.StructField("t_ms", T.LongType())]
-        + [T.StructField(f, T.DoubleType()) for f in fields])
-    state_schema = T.StructType(
-        [T.StructField(f"v{i}", T.DoubleType()) for i in range(len(fields))])
-    out = sdf.groupBy(*keys).applyInPandasWithState(
-        _fill_pad_state_fn(fields, keys, time_col),
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout)
-    return out.drop("__k") if dummy else out
+    """Back-compat alias: LOCF fill (see stream_fill)."""
+    return stream_fill(sdf, field_spec, "pad", None, partition_by, time_col)
 
 
 def run_available_now(sdf: DataFrame, output_mode: str,
@@ -351,6 +454,11 @@ class StreamPipeline:
               limit=None) -> DataFrame:
         return stream_align(self._sdf, window, field_spec, method, limit,
                             self._groups, self._time_col)
+
+    def fill(self, field_spec="value", method="pad",
+             fill_limit=None) -> DataFrame:
+        return stream_fill(self._sdf, field_spec, method, fill_limit,
+                           self._groups, self._time_col)
 
     def fill_pad(self, field_spec="value") -> DataFrame:
         return stream_fill_pad(self._sdf, field_spec, self._groups,

@@ -165,3 +165,21 @@ def test_timerange_to_events(spark):
     assert lead["points"][0][0] == 60_000
     with pytest.raises(ValueError):
         ts.as_indexed_events("1m")
+
+
+def test_deep_path_group_by(spark):
+    """F4 fixture: group by a nested struct field (pipeline_test.py:589-620)."""
+    wire = {"name": "d", "columns": ["time", "direction"],
+            "points": [[60_000 * i,
+                        {"status": "OK" if i % 2 else "FAIL", "in": i}]
+                       for i in range(6)]}
+    ts = TimeSeries.from_wire(spark, wire)
+    out = ts.fixed_window_rollup("1h", {"in_sum": {"direction.in": "sum"}},
+                                 group_by="direction.status")
+    rows = {r["status"]: r["in_sum"] for r in out.df.collect()}
+    assert rows == {"FAIL": 6.0, "OK": 9.0}
+
+    glob = ts.window_aggregate({"in_max": {"direction.in": "max"}},
+                               group_by="direction.status")
+    got = {r["status"]: r["in_max"] for r in glob.df.collect()}
+    assert got == {"FAIL": 4, "OK": 5}

@@ -37,9 +37,12 @@ def stream_dir(tmp_path):
         {"t_ms": 120_000, "user": "a", "value": 160.0},
     ]
     for i, chunk in enumerate([chunk1, chunk2]):
-        with open(tmp_path / f"part{i}.json", "w") as fh:
+        path = tmp_path / f"part{i}.json"
+        with open(path, "w") as fh:
             for rec in chunk:
                 fh.write(json.dumps(rec) + "\n")
+        # deterministic micro-batch order (the file source sorts by mtime)
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
     return str(tmp_path)
 
 
@@ -155,3 +158,50 @@ def test_stream_rate_multi_chunk_group(spark, tmp_path):
                        (60_000, 90_000, 1.0), (90_000, 120_000, 1.0)]
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_stream_fill_zero_with_limit(spark, tmp_path):
+    from pypond_spark.streaming import stream_fill
+    recs = [{"t_ms": 10_000 * i, "user": "a", "value": v} for i, v in
+            enumerate([1.0, None, None, None, 5.0])]
+    with open(tmp_path / "x.json", "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    sdf = (spark.readStream.schema(SCHEMA).json(str(tmp_path))
+           .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+           .drop("t_ms"))
+    out = stream_fill(sdf, "value", method="zero", fill_limit=2,
+                      partition_by=["user"])
+    got = {r["t_ms"]: r["value"] for r in
+           run_available_now(out, "append").collect()}
+    assert got == {0: 1.0, 10_000: 0.0, 20_000: 0.0, 30_000: None,
+                   40_000: 5.0}
+
+
+def test_stream_fill_linear_closes_run_across_batches(spark, tmp_path):
+    """Reference clean_test.py:457-566: cached invalid events are emitted
+    interpolated when a later (cross-batch) valid value closes the run."""
+    from pypond_spark.streaming import stream_fill
+    chunk1 = [{"t_ms": 0, "user": "a", "value": 10.0},
+              {"t_ms": 10_000, "user": "a", "value": None},
+              {"t_ms": 20_000, "user": "a", "value": None}]
+    chunk2 = [{"t_ms": 30_000, "user": "a", "value": 40.0}]
+    for i, chunk in enumerate([chunk1, chunk2]):
+        path = tmp_path / f"p{i}.json"
+        with open(path, "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))  # deterministic order
+    sdf = (spark.readStream.schema(SCHEMA)
+           .option("maxFilesPerTrigger", 1).json(str(tmp_path))
+           .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+           .drop("t_ms"))
+    out = stream_fill(sdf, "value", method="linear", partition_by=["user"])
+    got = {r["t_ms"]: r["value"] for r in
+           run_available_now(out, "append").collect()}
+    assert got == {0: 10.0, 10_000: 20.0, 20_000: 30.0, 30_000: 40.0}
+
+    with pytest.raises(ValueError):
+        stream_fill(sdf, ["a", "b"], method="linear")
+    with pytest.raises(ValueError):
+        stream_fill(sdf, "value", method="bogus")
