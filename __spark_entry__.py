@@ -519,7 +519,9 @@ _NULLIFIED = ("SELECT event_id, user_id, epoch_ms(ts) AS ms, "
 
 _SHINGLES = """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x != '') AS w
       FROM documents
     ), sh AS (
       SELECT doc_id,
@@ -861,7 +863,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": """
             WITH t AS (
               SELECT doc_id, text,
-                     string_split_regex(trim(text), '\\s+') AS w
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS w
               FROM documents
             )
             SELECT doc_id, length(text) AS n_chars, len(w) AS n_words,
@@ -872,24 +875,31 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(regexp_extract_all(text,
                          '[^A-Za-z0-9\\s]')) AS DOUBLE)
                          / greatest(length(text), 1), 6) AS punct_ratio,
-                   round(CAST(len(list_filter(w, x -> x IN
+                   round(CAST(len(list_filter(
+                         list_transform(w, x -> regexp_replace(lower(x),
+                             '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                         x -> x IN
                          ('the','a','and','of','to','in','is','it')))
                          AS DOUBLE) / greatest(len(w), 1), 6)
                      AS stopword_ratio
             FROM t
         """,
         "lang_id": """
-            WITH s AS (
+            WITH tk AS (
               SELECT doc_id,
-                len(list_filter(string_split_regex(trim(text), '\\s+'),
-                    x -> x IN ('the','and','of','a'))) AS s_en,
-                len(list_filter(string_split_regex(trim(text), '\\s+'),
-                    x -> x IN ('der','die','und','das'))) AS s_de,
-                len(list_filter(string_split_regex(trim(text), '\\s+'),
-                    x -> x IN ('le','la','et','les'))) AS s_fr,
-                len(list_filter(string_split_regex(trim(text), '\\s+'),
-                    x -> x IN ('el','los','que','y'))) AS s_es
+                     list_transform(
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x != ''),
+                       x -> regexp_replace(lower(x),
+                           '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')) AS mw
               FROM documents
+            ), s AS (
+              SELECT doc_id,
+                len(list_filter(mw, x -> x IN ('the','and','of','a'))) AS s_en,
+                len(list_filter(mw, x -> x IN ('der','die','und','das'))) AS s_de,
+                len(list_filter(mw, x -> x IN ('le','la','et','les'))) AS s_fr,
+                len(list_filter(mw, x -> x IN ('el','los','que','y'))) AS s_es
+              FROM tk
             )
             SELECT doc_id,
                    CASE WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es)
@@ -904,7 +914,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_docs": """
             WITH t AS (
-              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS w
               FROM documents
             )
             SELECT doc_id,

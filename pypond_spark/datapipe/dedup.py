@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text_col: str) -> F.Column:
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    """Whitespace tokens, empty strings dropped (split('') yields [''])."""
+    return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != F.lit(""))
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,

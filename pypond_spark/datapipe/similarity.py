@@ -36,7 +36,9 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: zero-norm vectors give NULL cosine instead of an ANSI
+    # DIVIDE_BY_ZERO crash (and never float to the top of a desc sort)
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -44,7 +46,7 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     """Exact top-k by cosine similarity to one literal query vector."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     qn = math.sqrt(sum(float(v) * float(v) for v in query_vec))
-    sim = dot(vec_col, q) / (norm(vec_col) * F.lit(qn))
+    sim = F.try_divide(dot(vec_col, q), norm(vec_col) * F.lit(qn))
     return (df.select(F.col(id_col), sim.alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))
@@ -107,7 +109,7 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     b = with_norm.select(F.col(id_col).alias("id_b"),
                          F.col(vec_col).alias("__vb"),
                          F.col("__n").alias("__nb"))
-    sim = dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+    sim = F.try_divide(dot("__va", "__vb"), F.col("__na") * F.col("__nb"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", sim.alias("cosine"))
             .where(F.col("cosine") >= threshold))
@@ -132,7 +134,7 @@ def embedding_near_dups_lsh(df: DataFrame, dim: int, threshold: float = 0.95,
                         F.col(vec_col).alias("__vb"),
                         F.col("__n").alias("__nb"),
                         F.col("lsh_bucket").alias("__bb"))
-    sim = dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+    sim = F.try_divide(dot("__va", "__vb"), F.col("__na") * F.col("__nb"))
     return (a.join(b, (F.col("lsh_bucket") == F.col("__bb"))
                    & (F.col("id_a") < F.col("id_b")))
             .select("id_a", "id_b", sim.alias("cosine"))
@@ -157,7 +159,7 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     bucketed = lsh_bucket(df, dim, nbits, seed, vec_col)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     qn = math.sqrt(sum(float(v) ** 2 for v in query_vec))
-    sim = dot(vec_col, q) / (norm(vec_col) * F.lit(qn))
+    sim = F.try_divide(dot(vec_col, q), norm(vec_col) * F.lit(qn))
     return (bucketed.where(F.col("lsh_bucket") == qbucket)
             .select(F.col(id_col), sim.alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)

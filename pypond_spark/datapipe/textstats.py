@@ -25,7 +25,18 @@ STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
 
 def _tokens(text_col: str) -> Column:
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    """Whitespace tokens, empty strings dropped (split('') yields [''])."""
+    return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != F.lit(""))
+
+
+def _match_tokens(text_col: str) -> Column:
+    """Tokens normalized for marker/stopword matching: lowercased with
+    leading/trailing punctuation stripped ('The' / 'the,' both match 'the')."""
+    return F.transform(
+        _tokens(text_col),
+        lambda t: F.regexp_replace(F.lower(t),
+                                   "(^[^a-z0-9]+)|([^a-z0-9]+$)", ""))
 
 
 def token_count(text_col: str = "text") -> Column:
@@ -38,7 +49,8 @@ def quality_stats(df: DataFrame, text_col: str = "text",
     """Per-document quality features: length, words, punct & stopword ratios."""
     toks = _tokens(text_col)
     n_words = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_hits = F.size(F.filter(_match_tokens(text_col),
+                                lambda t: t.isin(*STOPWORDS)))
     n_punct = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9\\s]"))
     return df.select(
         F.col(id_col),
@@ -58,7 +70,7 @@ def language_id(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Marker-word language heuristic: count marker hits per language,
     argmax wins (ties resolved in LANG_MARKERS order, 'und' if all zero)."""
-    toks = _tokens(text_col)
+    toks = _match_tokens(text_col)
     scores = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()

@@ -91,6 +91,8 @@ def _parse_index(idx_str: str) -> tuple[str, int, int]:
         pos = int(fixed.group(3))
         return "index", pos * length, (pos + 1) * length
     parts = idx_str.split("-")
+    if len(parts) > 3:
+        raise ValueError(f"malformed index string {idx_str!r}")
     if len(parts) == 3:
         begin = datetime.datetime(int(parts[0]), int(parts[1]), int(parts[2]), tzinfo=utc)
         end = begin + datetime.timedelta(days=1) - datetime.timedelta(seconds=1)

@@ -206,10 +206,17 @@ class TimeSeries:
             tcol.between(timerange.begin(), timerange.end())))
 
     def slice(self, begin: int | None = None, end: int | None = None) -> "TimeSeries":
-        """Positional slice in time order (reference series.py:419-438).
+        """Positional slice in time order with python slice semantics incl.
+        negative positions (reference series.py:419-438, collection.py:552).
         Positional indexing needs a global row_number — fine on collections,
         documented as not the scale path."""
         from pyspark.sql import Window
+        if (begin is not None and begin < 0) or (end is not None and end < 0):
+            total = self._df.count()
+            if begin is not None and begin < 0:
+                begin = max(total + begin, 0)
+            if end is not None and end < 0:
+                end = max(total + end, 0)
         w = Window.orderBy(self.time_col)
         df = self._df.withColumn("__rn", F.row_number().over(w) - 1)
         if begin is not None:
@@ -219,7 +226,10 @@ class TimeSeries:
         return self._with(df.drop("__rn"))
 
     def at(self, pos: int):
-        return self.slice(pos, pos + 1).collect()[0]
+        rows = self.slice(pos, pos + 1 if pos != -1 else None).collect()
+        if not rows:
+            raise IndexError(f"event position {pos} out of range")
+        return rows[0]
 
     def at_time(self, when: Any):
         """Event nearest-at-or-before `when` (bisect + at, series.py:494-517)."""
@@ -249,17 +259,28 @@ class TimeSeries:
                 & (F.col("end") == F.lit(_dt(end)))).collect()
         return rows
 
-    def bisect(self, when: Any) -> int:
-        """Index of the latest event at-or-before `when`."""
-        return self._df.where(F.col(self.time_col) <= F.lit(_dt(when))).count() - 1
+    def bisect(self, when: Any) -> int | None:
+        """Index of the latest event at-or-before `when` (reference
+        collection.py:292-348: None for an empty series, clamped to 0 when
+        `when` precedes every event)."""
+        total = self._df.count()
+        if total == 0:
+            return None
+        at_or_before = self._df.where(
+            F.col(self.time_col) <= F.lit(_dt(when))).count()
+        return max(at_or_before - 1, 0)
 
     def timerange(self) -> TimeRange | None:
+        # extents computed as epoch ms IN Spark: collecting TimestampType
+        # yields naive datetimes in the DRIVER's OS timezone, which would
+        # shift the range on any non-UTC machine
         end_col = "end" if self._kind != "time" else "time"
-        row = self._df.agg(F.min(self.time_col).alias("b"),
-                           F.max(end_col).alias("e")).collect()[0]
+        row = self._df.agg(
+            F.min(F.unix_millis(F.col(self.time_col))).alias("b"),
+            F.max(F.unix_millis(F.col(end_col))).alias("e")).collect()[0]
         if row["b"] is None:
             return None
-        return TimeRange(_aware(row["b"]), _aware(row["e"]))
+        return TimeRange(row["b"], row["e"])
 
     def range(self) -> TimeRange | None:
         return self.timerange()

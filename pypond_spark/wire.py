@@ -152,14 +152,20 @@ def _from_row_value(val: Any) -> Any:
 def to_wire(df: DataFrame, kind: str, meta: dict | None = None) -> dict:
     """DataFrame -> wire dict (an action: collects to the driver, time-sorted)."""
     meta = dict(meta or {})
+    # epoch-ms keys are derived IN Spark (unix_millis): collecting raw
+    # TimestampType yields naive datetimes in the driver's OS timezone,
+    # which would shift every key on a non-UTC machine
     if kind == "time":
-        key_cols, first_col = ["time"], "time"
-        df = df.orderBy("time")
+        first_col = "time"
+        df = df.withColumn("__ms", F.unix_millis(F.col("time"))) \
+            .orderBy("__ms")
     elif kind == "timerange":
-        key_cols, first_col = ["begin", "end"], "timerange"
-        df = df.orderBy("begin")
+        first_col = "timerange"
+        df = (df.withColumn("__bms", F.unix_millis(F.col("begin")))
+              .withColumn("__ems", F.unix_millis(F.col("end")))
+              .orderBy("__bms"))
     elif kind == "index":
-        key_cols, first_col = ["index"], "index"
+        first_col = "index"
         # time order, never lexicographic ('5m-9' > '5m-100' as strings)
         from .index import index_begin_col
         sort_key = "begin" if "begin" in df.columns \
@@ -168,13 +174,15 @@ def to_wire(df: DataFrame, kind: str, meta: dict | None = None) -> dict:
     else:
         raise ValueError(f"unknown event kind {kind!r}")
 
-    payload_cols = [c for c in df.columns if c not in ("time", "begin", "end", "index")]
+    payload_cols = [c for c in df.columns
+                    if c not in ("time", "begin", "end", "index",
+                                 "__ms", "__bms", "__ems")]
     points = []
     for row in df.collect():
         if kind == "time":
-            key = ms_from_any(_aware(row["time"]))
+            key = row["__ms"]
         elif kind == "timerange":
-            key = [ms_from_any(_aware(row["begin"])), ms_from_any(_aware(row["end"]))]
+            key = [row["__bms"], row["__ems"]]
         else:
             key = row["index"]
         points.append([key] + [_from_row_value(row[c]) for c in payload_cols])

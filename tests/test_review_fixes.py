@@ -188,3 +188,58 @@ def test_stream_emit_on_valueerror(spark, tmp_path):
     with pytest.raises(ValueError, match="emit_on"):
         windowed_stream_aggregate(sdf, {"n": {"value": "count"}}, "1m",
                                   emit_on="append")
+
+
+def test_cosine_zero_norm_vectors_null_not_crash(spark):
+    from pypond_spark.datapipe import similarity
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<float>")
+    top = similarity.cosine_topk(df, [1.0, 0.0], k=3).collect()
+    sims = {r["vec_id"]: r["cosine"] for r in top}
+    assert sims[1] is None          # zero vector -> NULL, not NaN-at-top
+    assert top[0]["vec_id"] == 0    # real best first (NULLs sort last desc)
+    pairs = similarity.embedding_near_dups(df, threshold=0.1).collect()
+    assert all(1 not in (r["id_a"], r["id_b"]) for r in pairs)
+
+
+def test_malformed_index_rejected():
+    with pytest.raises(ValueError):
+        codec.parse_index("2018-11-12-junk")
+
+
+def test_text_normalization_and_empty(spark):
+    from pypond_spark.datapipe import textstats
+    df = spark.createDataFrame(
+        [(1, "The Cat And The Dog."), (2, ""), (3, "   ")],
+        "doc_id long, text string")
+    stats = {r["doc_id"]: r for r in textstats.quality_stats(df).collect()}
+    assert stats[1]["stopword_ratio"] > 0        # 'The'/'And' now counted
+    assert stats[2]["n_words"] == 0              # empty doc, not 1 phantom word
+    assert stats[3]["n_words"] == 0
+    lang = {r["doc_id"]: r["lang_pred"]
+            for r in textstats.language_id(df).collect()}
+    assert lang[1] == "en"                       # title case classified
+
+
+def test_slice_negative_positions(spark):
+    wire = {"name": "s", "columns": ["time", "value"],
+            "points": [[i * 1000, i] for i in range(5)]}
+    ts = TimeSeries.from_wire(spark, wire)
+    assert [p[1] for p in ts.slice(-2).to_wire()["points"]] == [3, 4]
+    assert [p[1] for p in ts.slice(None, -1).to_wire()["points"]] == [0, 1, 2, 3]
+    assert ts.at(-1)["value"] == 4
+    with pytest.raises(IndexError):
+        ts.at(99)
+
+
+def test_bisect_reference_contract(spark):
+    wire = {"name": "b", "columns": ["time", "value"],
+            "points": [[10_000, 1], [20_000, 2]]}
+    ts = TimeSeries.from_wire(spark, wire)
+    assert ts.bisect(5_000) == 0     # before all -> clamped to 0
+    assert ts.bisect(10_000) == 1 - 1  # exact first
+    assert ts.bisect(25_000) == 1
+    empty = TimeSeries.from_wire(
+        spark, {"name": "e", "columns": ["time", "value"], "points": []})
+    assert empty.bisect(5_000) is None
