@@ -121,6 +121,48 @@ def q_rollup_daily(spark, sf_dir):
                          "n")
 
 
+def q_stream_rollup_1h(spark, sf_dir):
+    """Structured Streaming rollup (SURVEY §2.9): readStream over the events
+    parquet -> tumbling 1h window agg per event_type -> memory sink drained
+    with availableNow (the reference's stop()-flushes protocol,
+    io/input.py:94-97). The streaming plan must reproduce the batch table —
+    the DuckDB oracle is the same SQL as the batch rollup's."""
+    from pyspark.sql import types as T
+
+    from pypond_spark.streaming import (run_available_now,
+                                        windowed_stream_aggregate)
+    _ensure_confs(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # FileStreamSource wants a directory; the testdata table is one file —
+    # expose it through a temp dir of symlinks.
+    import os
+    import tempfile
+    link_dir = os.path.join(tempfile.gettempdir(),
+                            f"pypond_stream_{abs(hash(sf_dir))}")
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    sdf = spark.readStream.schema(batch.schema).parquet(link_dir)
+    if isinstance(batch.schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = sdf.withColumnRenamed("ts", "time")
+    out, mode = windowed_stream_aggregate(
+        sdf, {"v_sum": {"value": "sum"}, "n": {"value": "count"}},
+        "1h", group_by="event_type", emit_on="flush")
+    # Streaming state stores can't use AQE partition coalescing; scope a
+    # local[32]-sized shuffle width to this query and restore after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        result = run_available_now(out, mode)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return result.select(
+        F.unix_millis("begin").alias("begin_ms"), "event_type",
+        F.round("v_sum", 6).alias("v_sum"), "n")
+
+
 def q_global_stats_by_type(spark, sf_dir):
     ts = _events_ts(spark, sf_dir)
     out = ts.window_aggregate(
@@ -467,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
+        "stream_rollup_1h": q_stream_rollup_1h,
         "global_stats_by_type": q_global_stats_by_type,
         "quantile_by_type": q_quantile_by_type,
         "percentile_methods": q_percentile_methods,
@@ -539,6 +582,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT concat('1h-', {_POS_1H}) AS "index", event_type,
                    round(avg(value), 6) AS value_avg,
                    round(coalesce(sum(value), 0), 6) AS value_sum,
+                   count(value) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "stream_rollup_1h": f"""
+            SELECT {_POS_1H} * 3600000 AS begin_ms, event_type,
+                   round(coalesce(sum(value), 0), 6) AS v_sum,
                    count(value) AS n
             FROM events GROUP BY 1, 2
         """,
