@@ -484,6 +484,15 @@ def q_ann_lsh(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    embs = _read(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in
+            embs.where(F.col("vec_id") == 1).collect()[0]["embedding"]]
+    cents = dp_sim.ivf_build(embs, n_cells=8, n_iters=2)
+    out = dp_sim.ivf_topk(embs, qvec, cents, k=10, nprobe=2)  # rows-only
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_embedding_near_dups(spark, sf_dir):
     embs = _read(spark, sf_dir, "embeddings")
     out = dp_sim.embedding_near_dups(embs, threshold=0.4)
@@ -544,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "multimodal_features": q_multimodal_features,

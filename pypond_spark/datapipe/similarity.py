@@ -141,6 +141,83 @@ def embedding_near_dups_lsh(df: DataFrame, dim: int, threshold: float = 0.95,
             .where(F.col("cosine") >= threshold))
 
 
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each row to its nearest centroid (max cosine) as ``__cell``.
+
+    Pure map-side expression: no shuffle, scan-parallel at any corpus size.
+    Ties break to the larger cell id (struct max), deterministically.
+    """
+    pairs = F.array(*[
+        F.struct(F.coalesce(cosine(vec_col, _lit_vec(c)), F.lit(-2.0))
+                 .alias("s"),
+                 F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)])
+    return df.withColumn("__cell", F.array_max(pairs)["i"])
+
+
+def ivf_build(df: DataFrame, n_cells: int = 16, n_iters: int = 2,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: k-means with the first ``n_cells``
+    vectors (by id) as seeds and ``n_iters`` Lloyd rounds.
+
+    Each round is one scan (assignment is map-side) + one shuffle bounded by
+    n_cells x dim (posexplode -> per-(cell,dim) mean); centroids live on the
+    driver (k x dim floats), so the index build is cheap even at 100 TB —
+    optionally run it on a sampled corpus.
+    """
+    seeds = (df.orderBy(id_col).limit(n_cells)
+             .select(vec_col).collect())
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(n_iters):
+        assigned = ivf_assign(df, centroids, vec_col)
+        means = (assigned
+                 .select("__cell", F.posexplode(F.col(vec_col)))
+                 .groupBy("__cell", "pos")
+                 .agg(F.avg(F.col("col").cast("double")).alias("m"))
+                 .groupBy("__cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("dims"))
+                 .collect())
+        new = list(centroids)  # empty cells keep their previous centroid
+        for row in means:
+            new[row["__cell"]] = [d["m"] for d in row["dims"]]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float],
+             centroids: list[list[float]], k: int = 10, nprobe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: score only rows in the ``nprobe`` cells whose
+    centroids are most similar to the query.
+
+    With the corpus written partitioned by ``__cell`` the probe filter is
+    partition pruning at the source; the in-cell search is the same
+    per-partition-heap top-k as ``cosine_topk`` (no global sort). With
+    ``nprobe >= len(centroids)`` this is exactly ``cosine_topk``.
+    """
+    qn = math.sqrt(sum(float(v) ** 2 for v in query_vec))
+    csims = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c))
+        d = sum(x * float(v) for x, v in zip(c, query_vec))
+        csims.append((d / (cn * qn) if cn > 0 and qn > 0 else -2.0, i))
+    probes = [i for _, i in sorted(csims, reverse=True)[:nprobe]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    sim = F.try_divide(dot(vec_col, _lit_vec(query_vec)),
+                       norm(vec_col) * F.lit(qn))
+    return (assigned.where(F.col("__cell").isin(probes))
+            .select(F.col(id_col), sim.alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col)
+            .limit(k))
+
+
 def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              nbits: int = 8, seed: int = 42, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:

@@ -142,6 +142,23 @@ def test_lsh_topk_contains_self(spark, embs):
     assert top and top[0]["vec_id"] == 7
 
 
+def test_ivf_topk(spark, embs):
+    sub = embs.where(F.col("vec_id") < 200)
+    cents = similarity.ivf_build(sub, n_cells=4, n_iters=2)
+    assert len(cents) == 4 and all(len(c) == len(cents[0]) for c in cents)
+    # build is deterministic
+    assert cents == similarity.ivf_build(sub, n_cells=4, n_iters=2)
+    qvec = [float(x) for x in
+            sub.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    top = similarity.ivf_topk(sub, qvec, cents, k=5, nprobe=1).collect()
+    assert top and top[0]["vec_id"] == 7  # self lands in the probed cell
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    # probing every cell degenerates to the exact search
+    full = similarity.ivf_topk(sub, qvec, cents, k=5, nprobe=4).collect()
+    exact = similarity.cosine_topk(sub, qvec, k=5).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+
+
 def test_multimodal_plumbing(spark, docs):
     media = multimodal.attach_binary(docs.limit(8), "text", "doc_id")
     assert [f.name for f in media.schema.fields] == \
