@@ -227,7 +227,8 @@ def q_rate_per_user(spark, sf_dir):
     out = ts.rate(field_spec="value", partition_by=["user_id"])
     return out.df.select(
         "user_id", _ms("begin").alias("begin_ms"), _ms("end").alias("end_ms"),
-        F.round("value_rate", 6).alias("value_rate"))
+        # + 0.0 canonicalizes any IEEE -0.0 to +0.0 (matches the oracle twin)
+        (F.round("value_rate", 6) + F.lit(0.0)).alias("value_rate"))
 
 
 def q_rate_no_negative(spark, sf_dir):
@@ -236,7 +237,7 @@ def q_rate_no_negative(spark, sf_dir):
                   partition_by=["user_id"])
     return out.df.select(
         "user_id", _ms("begin").alias("begin_ms"),
-        F.round("value_rate", 6).alias("value_rate"))
+        (F.round("value_rate", 6) + F.lit(0.0)).alias("value_rate"))
 
 
 def q_align_10m_linear(spark, sf_dir):
@@ -654,8 +655,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "rate_per_user": """
+            -- "+ 0.0" canonicalizes IEEE -0.0 to +0.0: DuckDB round() keeps
+            -- the sign of zero while Spark's HALF_UP round returns +0.0.
             SELECT user_id, prev_ms AS begin_ms, ms AS end_ms,
-                   round((value - pv) / ((ms - prev_ms) / 1000.0), 6)
+                   round((value - pv) / ((ms - prev_ms) / 1000.0), 6) + 0.0
                    AS value_rate
             FROM (
               SELECT user_id, epoch_ms(ts) AS ms, value,
@@ -669,6 +672,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN (value - pv) / ((ms - prev_ms) / 1000.0) < 0
                         THEN NULL
                         ELSE round((value - pv) / ((ms - prev_ms) / 1000.0), 6)
+                             + 0.0
                    END AS value_rate
             FROM (
               SELECT user_id, epoch_ms(ts) AS ms, value,

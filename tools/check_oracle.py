@@ -30,7 +30,12 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        v = round(v, 9)
+        # The driver hashes raw value bytes, so -0.0 vs +0.0 is a real
+        # mismatch there; make the local gate equally strict.
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
+        return v
     if hasattr(v, "item"):
         return norm(v.item())
     return v
