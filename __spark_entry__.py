@@ -49,14 +49,20 @@ def _ship_package(spark: SparkSession) -> None:
     import zipfile
     pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "pypond_spark")
-    zpath = os.path.join(tempfile.gettempdir(), "pypond_spark_pkg.zip")
-    with zipfile.ZipFile(zpath, "w") as zf:
+    # Unique temp file + atomic rename: a fixed world-shared path lets two
+    # drivers on one host race (one ships a half-written or stale zip).
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"pypond_spark_pkg_{os.getpid()}.zip")
+    fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+    os.close(fd)
+    with zipfile.ZipFile(tmp, "w") as zf:
         for root, _, files in os.walk(pkg_dir):
             for fname in files:
                 if fname.endswith(".py"):
                     full = os.path.join(root, fname)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     zf.write(full, rel)
+    os.replace(tmp, zpath)
     spark.sparkContext.addPyFile(zpath)
     spark._pypond_spark_shipped = True
 
@@ -443,8 +449,16 @@ def q_dedup_documents(spark, sf_dir):
 
 
 def q_simhash_docs(spark, sf_dir):
+    """md5-derived token hashes (reproducible in DuckDB); the simhash is
+    emitted as unsigned 32-bit halves so neither engine deals in the sign
+    bit of a 64-bit value."""
     docs = _read(spark, sf_dir, "documents")
-    return dp_dedup.simhash64(docs)  # rows-only: xxhash64 has no DuckDB twin
+    out = dp_dedup.simhash64(docs, hash_fn="md5")
+    mask = F.lit(0xFFFFFFFF)
+    return out.select(
+        "doc_id",
+        F.shiftright(F.col("simhash"), 32).bitwiseAND(mask).alias("sim_hi"),
+        F.col("simhash").bitwiseAND(mask).alias("sim_lo"))
 
 
 def q_text_quality(spark, sf_dir):
@@ -478,19 +492,25 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
+    """Oracle-checked approx op: the LSH hyperplanes are deterministic
+    (seeded LCG), so the oracle inlines the same plane values as SQL
+    literals and reproduces bucket assignment + in-bucket top-k exactly."""
     embs = _read(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in
             embs.where(F.col("vec_id") == 1).collect()[0]["embedding"]]
-    out = dp_sim.lsh_topk(embs, qvec, k=10, nbits=4)  # rows-only (approx op)
+    out = dp_sim.lsh_topk(embs, qvec, k=10, nbits=4)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
 def q_ann_ivf(spark, sf_dir):
+    """Oracle-checked approx op: quantize=6 pins each Lloyd round's centroid
+    means to 6 decimals so the SQL twin (same seeds, same rounds, same
+    rounding) derives bit-identical centroids, probes, and top-k."""
     embs = _read(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in
             embs.where(F.col("vec_id") == 1).collect()[0]["embedding"]]
-    cents = dp_sim.ivf_build(embs, n_cells=8, n_iters=2)
-    out = dp_sim.ivf_topk(embs, qvec, cents, k=10, nprobe=2)  # rows-only
+    cents = dp_sim.ivf_build(embs, n_cells=8, n_iters=2, quantize=6)
+    out = dp_sim.ivf_topk(embs, qvec, cents, k=10, nprobe=2)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -585,6 +605,92 @@ _SHINGLES = """
       FROM toks
     )
 """
+
+
+def _mh_min(k: int) -> str:
+    """SQL twin of minhash_signature's derived hash: one md5 per shingle,
+    seed-k hash = (h1 + k*h2) mod 2^32 from the digest's two 32-bit
+    halves (mirrors datapipe/dedup.py minhash_signature)."""
+    h1 = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+    h2 = "('0x' || substr(md5(shingle), 9, 8))::BIGINT"
+    return f"min(({h1} + {k} * {h2}) % 4294967296)"
+
+
+def _mh_sig_cols(n: int) -> str:
+    return ",\n                     ".join(
+        f"{_mh_min(k)} AS m{k}" for k in range(n))
+
+
+# --- embedding-oracle helpers: the LSH planes and k-means schedule are
+# deterministic, so the SQL twins inline the same constants and reproduce
+# bucket/centroid math exactly (testdata embeddings are dim=64 at every SF).
+
+_EMB_DIM = 64
+
+_EMB_CTE = """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                            for x in embedding])) AS nrm
+      FROM embeddings
+    )
+"""
+
+
+def _sql_vec_lit(vec) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+
+def _sql_dot(a: str, b: str, dim: int = _EMB_DIM) -> str:
+    """Sequential-fold dot product — same accumulation order as the engine's
+    F.aggregate/zip_with fold, so both sides produce identical doubles."""
+    return (f"list_sum([{a}[i] * {b}[i] "
+            f"for i in generate_series(1, {dim})])")
+
+
+def _sql_bucket(vec_expr: str, planes) -> str:
+    """Sign-LSH bucket id from inlined hyperplane literals (the same
+    _planes(dim, nbits, seed) values the Spark path uses)."""
+    terms = []
+    for b, p in enumerate(planes):
+        d = _sql_dot(vec_expr, f"({_sql_vec_lit(p)})")
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + "\n       + ".join(terms) + ")"
+
+
+def _ivf_assign_cte(cent: str) -> str:
+    """Assign every vector to its max-cosine centroid in ``cent`` (cell, c).
+    coalesce(-2.0) mirrors the engine's try_divide NULL on zero norms (no
+    zero-norm vector or centroid exists in this corpus, so the plain SQL
+    division never actually hits inf); ties break to the larger cell id."""
+    cos = (f"coalesce({_sql_dot('e.v', f'{cent}.c')} "
+           f"/ (e.nrm * sqrt(list_sum([x * x for x in {cent}.c]))), -2.0)")
+    return f"""(
+      SELECT e.vec_id, e.v, e.nrm, {cent}.cell
+      FROM e CROSS JOIN {cent}
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {cos} DESC, {cent}.cell DESC) = 1
+    )"""
+
+
+def _ivf_means_cte(assign: str, prev: str) -> str:
+    """One Lloyd round: per-(cell, dim) mean rounded to 6 decimals (the
+    quantize=6 contract — cross-engine mean summation order differs in the
+    last ulp, rounding pins it; + 0.0 drops any -0.0), empty cells keep the
+    previous round's centroid."""
+    return f"""(
+      SELECT {prev}.cell, coalesce(mm.c, {prev}.c) AS c
+      FROM {prev} LEFT JOIN (
+        SELECT cell, list(m ORDER BY pos) AS c
+        FROM (
+          SELECT cell, g.i AS pos, round(avg(v[g.i]), 6) + 0.0 AS m
+          FROM {assign} CROSS JOIN generate_series(1, {_EMB_DIM}) g(i)
+          GROUP BY 1, 2
+        ) GROUP BY cell
+      ) mm ON {prev}.cell = mm.cell
+    )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -844,25 +950,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents GROUP BY 1
         """,
-        "minhash_signature": _SHINGLES + """
+        "minhash_signature": _SHINGLES + f"""
             SELECT doc_id,
-                   min(md5(shingle || '#0')) AS m0,
-                   min(md5(shingle || '#1')) AS m1,
-                   min(md5(shingle || '#2')) AS m2,
-                   min(md5(shingle || '#3')) AS m3
+                     {_mh_sig_cols(4)}
             FROM sh GROUP BY doc_id
         """,
-        "neardup_pairs_lsh": _SHINGLES + """
+        "neardup_pairs_lsh": _SHINGLES + f"""
             , sig AS (
               SELECT doc_id,
-                     min(md5(shingle || '#0')) AS m0,
-                     min(md5(shingle || '#1')) AS m1,
-                     min(md5(shingle || '#2')) AS m2,
-                     min(md5(shingle || '#3')) AS m3,
-                     min(md5(shingle || '#4')) AS m4,
-                     min(md5(shingle || '#5')) AS m5,
-                     min(md5(shingle || '#6')) AS m6,
-                     min(md5(shingle || '#7')) AS m7
+                     {_mh_sig_cols(8)}
               FROM sh GROUP BY doc_id
             ), bands AS (
               SELECT doc_id, unnest([
@@ -875,17 +971,10 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.doc_id < b.doc_id
         """,
         "dedup_documents": _SHINGLES.replace(
-            "WITH toks", "WITH RECURSIVE toks") + """
+            "WITH toks", "WITH RECURSIVE toks") + f"""
             , sig AS (
               SELECT doc_id,
-                     min(md5(shingle || '#0')) AS m0,
-                     min(md5(shingle || '#1')) AS m1,
-                     min(md5(shingle || '#2')) AS m2,
-                     min(md5(shingle || '#3')) AS m3,
-                     min(md5(shingle || '#4')) AS m4,
-                     min(md5(shingle || '#5')) AS m5,
-                     min(md5(shingle || '#6')) AS m6,
-                     min(md5(shingle || '#7')) AS m7
+                     {_mh_sig_cols(8)}
               FROM sh GROUP BY doc_id
             ), bands AS (
               SELECT doc_id, unnest([
@@ -922,6 +1011,38 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.cluster, d.doc_id) AS cluster_id,
                    d.doc_id = coalesce(c.cluster, d.doc_id) AS is_keeper
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        """,
+        "simhash_docs": """
+            -- token hash = md5's first 16 hex chars as (hi<<32 | lo); sums
+            -- of +/-1 per bit; output split into unsigned 32-bit halves so
+            -- the signed 64-bit representation never crosses engines.
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(text),
+                            '\\s+'), x -> x != '')) AS tok
+              FROM documents
+            ), h AS (
+              -- multiply, not <<: DuckDB runs << in signed BIGINT and
+              -- overflows for hi >= 2^31; UBIGINT * stays unsigned
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 8))::UBIGINT * 4294967296
+                     + ('0x' || substr(md5(tok), 9, 8))::UBIGINT AS h
+              FROM toks
+            ), bits AS (
+              SELECT doc_id, g.b AS b,
+                     sum(CASE WHEN ((h >> g.b) & CAST(1 AS UBIGINT)) = 1
+                         THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN generate_series(0, 63) g(b)
+              GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 AND b >= 32
+                        THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END)
+                        AS BIGINT) AS sim_hi,
+                   CAST(sum(CASE WHEN s > 0 AND b < 32
+                        THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+                        AS BIGINT) AS sim_lo
+            FROM bits GROUP BY doc_id
         """,
         "text_quality": """
             WITH t AS (
@@ -1001,6 +1122,69 @@ def oracle_sql() -> dict[str, str]:
                                     for x in e]))), 6) AS cosine
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "ann_lsh": _EMB_CTE + f"""
+            , b AS (
+              SELECT vec_id, v, nrm,
+                     {_sql_bucket("v", dp_sim._planes(_EMB_DIM, 4, 42))}
+                     AS bkt
+              FROM e
+            ),
+            q AS (SELECT v AS qv, nrm AS qn, bkt AS qb
+                  FROM b WHERE vec_id = 1),
+            s AS (
+              SELECT b.vec_id,
+                     {_sql_dot("b.v", "q.qv")} / (b.nrm * q.qn) AS c
+              FROM b, q
+              WHERE b.bkt = q.qb
+              ORDER BY c DESC, b.vec_id
+              LIMIT 10
+            )
+            SELECT vec_id, round(c, 6) AS cosine FROM s
+        """,
+        "ann_ivf": _EMB_CTE + f"""
+            , c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+              FROM e ORDER BY vec_id LIMIT 8
+            ),
+            a1 AS {_ivf_assign_cte("c0")},
+            c1 AS {_ivf_means_cte("a1", "c0")},
+            a2 AS {_ivf_assign_cte("c1")},
+            c2 AS {_ivf_means_cte("a2", "c1")},
+            q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 1),
+            probes AS (
+              SELECT c2.cell
+              FROM c2, q
+              ORDER BY coalesce({_sql_dot("c2.c", "q.qv")}
+                       / (sqrt(list_sum([x * x for x in c2.c])) * q.qn),
+                       -2.0) DESC,
+                       c2.cell DESC
+              LIMIT 2
+            ),
+            af AS {_ivf_assign_cte("c2")},
+            s AS (
+              SELECT af.vec_id,
+                     {_sql_dot("af.v", "q.qv")} / (af.nrm * q.qn) AS c
+              FROM af, q
+              WHERE af.cell IN (SELECT cell FROM probes)
+              ORDER BY c DESC, af.vec_id
+              LIMIT 10
+            )
+            SELECT vec_id, round(c, 6) AS cosine FROM s
+        """,
+        "embedding_near_dups_lsh": _EMB_CTE + f"""
+            , b AS (
+              SELECT vec_id, v, nrm,
+                     {_sql_bucket("v", dp_sim._planes(_EMB_DIM, 4, 42))}
+                     AS bkt
+              FROM e
+            )
+            SELECT id_a, id_b, round(c, 6) AS cosine FROM (
+              SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                     {_sql_dot("a.v", "b2.v")} / (a.nrm * b2.nrm) AS c
+              FROM b a JOIN b b2
+                ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+            ) WHERE c >= 0.4
         """,
         "embedding_near_dups": """
             WITH n AS (

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pypond_spark.datapipe._util import spread
+
 
 def _tokens(text_col: str) -> F.Column:
     """Whitespace tokens, empty strings dropped (split('') yields [''])."""
@@ -34,7 +36,7 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     shingles = F.transform(
         F.sequence(F.lit(1), count),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return spread(df).select(F.col(id_col), F.explode(shingles).alias("shingle"))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -49,24 +51,37 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 4,
                       shingle_n: int = 3, hash_fn: str = "md5") -> DataFrame:
-    """MinHash signature: per seed k, min over shingles of hash(shingle # k).
+    """MinHash signature: per seed k, min over shingles of a derived hash.
 
-    Returns (id, m0..m{k-1}). One explode + one groupBy; signature columns are
-    independent min aggregates (map-side combinable).
+    Returns (id, m0..m{k-1}) BIGINT columns. One explode + one groupBy;
+    signature columns are independent min aggregates (map-side combinable).
+
+    Each shingle is hashed ONCE; the k per-seed hashes are derived from two
+    32-bit halves of that single digest via the double-hashing scheme
+    ``m_k = (h1 + k*h2) mod 2^32`` (Kirsch-Mitzenmacher composition — k
+    universal-enough hash families from one strong hash, standard for Bloom
+    filters and MinHash). This makes signature cost independent of
+    ``num_hashes``: the dominant work at corpus scale is one digest per
+    shingle, not k.
 
     ``hash_fn='md5'`` (default) is reproducible across engines (the DuckDB
-    oracle computes identical strings); ``'xxhash64'`` is the fast path
-    (~10x cheaper, Spark-only) for production-scale corpora.
+    oracle derives identical values from the same md5 hex); ``'xxhash64'``
+    is the fast path (no hex parse, Spark-only) for production corpora.
+    All arithmetic stays in [0, 2^35] — safe under ANSI overflow checks.
     """
     sh = word_shingles(df, text_col, shingle_n, id_col)
+    two32 = F.lit(4294967296)
     if hash_fn == "md5":
-        hashes = [F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}")))
-                  for k in range(num_hashes)]
+        d = F.md5(F.col("shingle"))
+        h1 = F.conv(d.substr(1, 8), 16, 10).cast("long")
+        h2 = F.conv(d.substr(9, 8), 16, 10).cast("long")
     elif hash_fn == "xxhash64":
-        hashes = [F.xxhash64(F.col("shingle"), F.lit(k))
-                  for k in range(num_hashes)]
+        d = F.xxhash64(F.col("shingle"))
+        h1 = F.pmod(d, two32)
+        h2 = F.pmod(F.shiftrightunsigned(d, 32), two32)
     else:
         raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
+    hashes = [F.pmod(h1 + F.lit(k) * h2, two32) for k in range(num_hashes)]
     aggs = [F.min(h).alias(f"m{k}") for k, h in enumerate(hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -94,11 +109,12 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     if hash_fn == "md5":
         bands = F.array(*[
             F.md5(F.concat_ws("|", F.lit(str(b)),
-                              *[F.col(f"m{b * band_size + i}")
+                              *[F.col(f"m{b * band_size + i}").cast("string")
                                 for i in range(band_size)]))
             for b in range(n_bands)
         ])
     else:
+        # m columns are BIGINT; xxhash64 hashes them natively, no casts
         bands = F.array(*[
             F.xxhash64(F.lit(b), *[F.col(f"m{b * band_size + i}")
                                    for i in range(band_size)]).cast("string")
@@ -140,7 +156,7 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 
 
 def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                 max_iter: int = 20) -> DataFrame:
+                 max_iter: int = 20, on_nonconverged: str = "raise") -> DataFrame:
     """Connected components over duplicate pairs: (id, cluster_id) where
     cluster_id is the minimum id in the component.
 
@@ -149,7 +165,15 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     ``max_iter``; near-dup components are shallow in practice). Each round is
     one shuffle on node id; label frames are tiny relative to the corpus
     (only nodes that appear in a pair).
+
+    If labels are still changing after ``max_iter`` rounds (a component with
+    diameter > max_iter), ``on_nonconverged='raise'`` (default) raises
+    RuntimeError instead of silently returning split clusters; ``'ignore'``
+    returns the partial labels (callers that only need a candidate grouping).
     """
+    if on_nonconverged not in ("raise", "ignore"):
+        raise ValueError(
+            f"on_nonconverged must be raise|ignore, got {on_nonconverged!r}")
     # localCheckpoint truncates lineage: without it every round's plan
     # re-derives the whole upstream LSH pipeline and planning cost grows
     # with iteration count (observed as hundreds of scans in the static plan)
@@ -162,6 +186,7 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
               .distinct()
               .withColumn("cluster_id", F.col("id"))
               .localCheckpoint())
+    changed = 1
     for _ in range(max_iter):
         # candidate label for each node: min over neighbors' labels + own
         neighbor = (edges.join(labels, edges.dst == labels.id)
@@ -177,6 +202,11 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0 and on_nonconverged == "raise":
+        raise RuntimeError(
+            f"dup_clusters did not converge in max_iter={max_iter} rounds "
+            "(a duplicate component has diameter > max_iter); raise max_iter "
+            "or pass on_nonconverged='ignore' for partial labels")
     return labels
 
 
@@ -204,22 +234,37 @@ def dedup_documents(df: DataFrame, text_col: str = "text",
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id", hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document.
 
-    Per token: a 64-bit hash (xxhash64), computed ONCE at explode time; per
-    bit b: +1 if set else -1, summed per doc; simhash bit b = 1 iff sum > 0.
-    The groupBy(doc) shuffles only (id, hash) longs with map-side partial
+    Per token: a 64-bit hash, computed ONCE at explode time; per bit b: +1 if
+    set else -1, summed per doc; simhash bit b = 1 iff sum > 0. The
+    groupBy(doc) shuffles only (id, hash) longs with map-side partial
     sums — the scalable classic shape.
+
+    ``hash_fn='xxhash64'`` (default) is the fast path; ``'md5'`` builds the
+    64-bit token hash from the first 16 hex chars of md5 (two 32-bit halves,
+    hi<<32 | lo) so a DuckDB oracle can reproduce it exactly.
 
     (A fully row-wise higher-order-function variant was measured 6x slower:
     Catalyst re-inlines the token-hash expression into each of the 64 bit
     filters, recomputing hashes 64x per row.)
     """
-    toks = df.select(F.col(id_col),
-                     F.explode(F.transform(_tokens(text_col),
-                                           lambda t: F.xxhash64(t)))
-                     .alias("h"))
+    if hash_fn == "xxhash64":
+        def tok_hash(t):
+            return F.xxhash64(t)
+    elif hash_fn == "md5":
+        def tok_hash(t):
+            d = F.md5(t)
+            hi = F.conv(d.substr(1, 8), 16, 10).cast("long")
+            lo = F.conv(d.substr(9, 8), 16, 10).cast("long")
+            return F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
+    toks = spread(df).select(F.col(id_col),
+                             F.explode(F.transform(_tokens(text_col),
+                                                   tok_hash))
+                             .alias("h"))
     sums = [
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
               .otherwise(-1)).alias(f"b{b}")

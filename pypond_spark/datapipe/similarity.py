@@ -161,8 +161,8 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
 
 
 def ivf_build(df: DataFrame, n_cells: int = 16, n_iters: int = 2,
-              vec_col: str = "embedding",
-              id_col: str = "vec_id") -> list[list[float]]:
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              quantize: int | None = None) -> list[list[float]]:
     """Deterministic IVF coarse quantizer: k-means with the first ``n_cells``
     vectors (by id) as seeds and ``n_iters`` Lloyd rounds.
 
@@ -170,16 +170,27 @@ def ivf_build(df: DataFrame, n_cells: int = 16, n_iters: int = 2,
     n_cells x dim (posexplode -> per-(cell,dim) mean); centroids live on the
     driver (k x dim floats), so the index build is cheap even at 100 TB —
     optionally run it on a sampled corpus.
+
+    ``quantize=N`` rounds each centroid component to N decimals after every
+    Lloyd round. Mean-of-doubles depends on summation order (partition
+    arrival in Spark, scan order elsewhere), so two engines computing "the
+    same" k-means diverge in the last ulp; quantizing pins the centroids to
+    identical values so downstream assignments/probes are reproducible
+    cross-engine (used by the DuckDB oracle twin). ``+ 0.0`` canonicalizes
+    any ``-0.0`` the rounding produces.
     """
     seeds = (df.orderBy(id_col).limit(n_cells)
              .select(vec_col).collect())
     centroids = [[float(x) for x in r[0]] for r in seeds]
+    mean_expr = F.avg(F.col("col").cast("double"))
+    if quantize is not None:
+        mean_expr = F.round(mean_expr, quantize) + F.lit(0.0)
     for _ in range(n_iters):
         assigned = ivf_assign(df, centroids, vec_col)
         means = (assigned
                  .select("__cell", F.posexplode(F.col(vec_col)))
                  .groupBy("__cell", "pos")
-                 .agg(F.avg(F.col("col").cast("double")).alias("m"))
+                 .agg(mean_expr.alias("m"))
                  .groupBy("__cell")
                  .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
                       .alias("dims"))

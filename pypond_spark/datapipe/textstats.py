@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pypond_spark.datapipe._util import spread
+
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 # tiny marker-word lists for the n-gram/stopword language heuristic
@@ -52,7 +54,7 @@ def quality_stats(df: DataFrame, text_col: str = "text",
     stop_hits = F.size(F.filter(_match_tokens(text_col),
                                 lambda t: t.isin(*STOPWORDS)))
     n_punct = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9\\s]"))
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         n_words.alias("n_words"),
@@ -111,4 +113,5 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     else:
         raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
     shingles = F.transform(F.sequence(F.lit(1), count), hasher)
-    return df.select(F.col(id_col), F.array_min(shingles).alias("fingerprint"))
+    return spread(df).select(F.col(id_col),
+                             F.array_min(shingles).alias("fingerprint"))

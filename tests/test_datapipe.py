@@ -38,7 +38,15 @@ def test_minhash_and_lsh(spark, docs):
     sig = dedup.minhash_signature(docs.limit(50), num_hashes=4)
     rows = sig.collect()
     assert len(rows) == 50
-    assert all(len(r["m0"]) == 32 for r in rows)  # md5 hex
+    # md5-derived 32-bit hash values (h1 + k*h2 mod 2^32)
+    for k in range(4):
+        assert all(0 <= r[f"m{k}"] < 2 ** 32 for r in rows)
+    # seed columns are genuinely different hash families
+    assert any(r["m0"] != r["m1"] for r in rows)
+    # xxhash64 fast path: same shape, Spark-only values
+    fast = dedup.minhash_signature(docs.limit(50), num_hashes=4,
+                                   hash_fn="xxhash64").collect()
+    assert all(0 <= r["m0"] < 2 ** 32 for r in fast)
 
     # identical docs must collide in every band -> candidate pair
     base = docs.limit(3).select("doc_id", "text")
@@ -79,6 +87,23 @@ def test_simhash(spark, docs):
     got = {(r["id_a"], r["id_b"]) for r in near.collect()}
     for r in base.collect():
         assert (r["doc_id"], r["doc_id"] + 1_000_000) in got
+
+
+def test_simhash_md5_variant(spark, docs):
+    """md5 token hashes: deterministic, oracle-reproducible, and a 64-bit
+    hash distinct from the xxhash64 fast path."""
+    md5_1 = {r["doc_id"]: r["simhash"]
+             for r in dedup.simhash64(docs.limit(20),
+                                      hash_fn="md5").collect()}
+    md5_2 = {r["doc_id"]: r["simhash"]
+             for r in dedup.simhash64(docs.limit(20),
+                                      hash_fn="md5").collect()}
+    assert md5_1 == md5_2 and len(md5_1) == 20
+    fast = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash64(docs.limit(20)).collect()}
+    assert md5_1 != fast  # different hash family, same docs
+    with pytest.raises(ValueError):
+        dedup.simhash64(docs, hash_fn="sha1")
 
 
 def test_text_stats(spark, docs):
@@ -208,6 +233,23 @@ def test_dup_clusters_chain(spark):
     got = {r["id"]: r["cluster_id"]
            for r in dedup.dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_nonconvergence_guard(spark):
+    # a 25-node chain has diameter 24; min-label propagation moves one hop
+    # per round, so max_iter=3 cannot converge -> must raise, not silently
+    # return split clusters
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(24)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(pairs, max_iter=3)
+    # explicit opt-out returns the partial labels
+    got = dedup.dup_clusters(pairs, max_iter=3, on_nonconverged="ignore")
+    assert got.count() == 25
+    # enough rounds -> single component labeled by the min id
+    full = {r["id"]: r["cluster_id"]
+            for r in dedup.dup_clusters(pairs, max_iter=30).collect()}
+    assert set(full.values()) == {0}
 
 
 def test_dedup_documents_end_to_end(spark, docs):
