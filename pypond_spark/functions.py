@@ -22,15 +22,21 @@ column rewrites so everything stays inside Catalyst:
 - ``propagate_missing``: any invalid in group -> whole aggregate NULL
 - ``none_if_empty``: empty group -> NULL (overrides sum/avg empty->0)
 
-Functions are *named specs*, never opaque callables, so plans stay in
-whole-stage codegen; opaque Python reducers go through the pandas-UDAF escape
-hatch in :mod:`pypond_spark.operators.aggregate`.
+Named specs stay in whole-stage codegen. A *callable* reducer
+``f(list_of_values) -> scalar`` (reference ``Collection.aggregate``
+``collection.py:706-760``, ``Event.combine`` ``event.py:845-961``) compiles
+to a pandas grouped-aggregate UDF (Arrow-batched; values arrive as one
+Series per group). Spark cannot mix pandas UDAFs with builtin aggregates in
+one ``agg()`` (INVALID_PANDAS_UDF_PLACEMENT), so the missing-value filter is
+applied *inside* the UDF and mixed specs are split/joined by the windowed
+aggregator.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd  # module-level: pandas_udf type hints resolve from here
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -89,18 +95,52 @@ def _percentile_expr(col: Column, q: float, method: str) -> Column:
     )
 
 
+def is_custom_reducer(func) -> bool:
+    """True for an opaque Python reducer ``f(list) -> scalar``."""
+    return callable(func) and not isinstance(func, str)
+
+
+def _callable_agg_col(fn, col: Column, flt: str) -> Column:
+    """Pandas grouped-agg UDF for a custom reducer. The reducer receives the
+    group's values as a Python list (reference ``Event.map_reduce``
+    semantics); the missing-value filter runs inside the UDF because pandas
+    UDAFs cannot be wrapped in builtin aggregate expressions."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _udaf(v: pd.Series) -> float:
+        if flt == "keep_missing":
+            vals = [None if pd.isna(x) else float(x) for x in v]
+        elif flt == "propagate_missing":
+            if v.isna().any():
+                return None
+            vals = [float(x) for x in v.dropna()]
+        else:
+            vals = [float(x) for x in v.dropna()]
+        if flt == "none_if_empty" and not vals:
+            return None
+        out = fn(vals)
+        return None if out is None else float(out)
+
+    return _udaf(col.cast("double"))
+
+
 def compile_agg(func, in_col: Column | str, flt: str = "ignore_missing",
                 time_col: str = "time") -> Column:
-    """Compile one named aggregation spec to a Column expression.
+    """Compile one aggregation spec to a Column expression.
 
-    ``func``: name string, or tuple ``('percentile', q)`` /
-    ``('percentile', q, method)``. ``in_col``: input column (deep paths ok).
-    ``time_col``: ordering column for first/last.
+    ``func``: name string, tuple ``('percentile', q)`` /
+    ``('percentile', q, method)``, or a callable ``f(list) -> scalar``
+    (pandas-UDAF slow path; numeric fields only). ``in_col``: input column
+    (deep paths ok). ``time_col``: ordering column for first/last.
     """
     if flt not in FILTERS:
         raise ValueError(f"unknown filter {flt!r}; expected one of {FILTERS}")
     raw = F.col(in_col) if isinstance(in_col, str) else in_col
     col = _prefilter(raw, flt)
+
+    if is_custom_reducer(func):
+        return _callable_agg_col(func, col, flt)
 
     method = None
     if isinstance(func, (tuple, list)):
@@ -211,18 +251,50 @@ def compile_agg_spec(spec: dict, time_col: str = "time") -> list[Column]:
     ]
 
 
+def compile_agg_spec_split(spec: dict, time_col: str = "time"
+                           ) -> tuple[list[Column], list[Column]]:
+    """Spec dict -> (builtin agg columns, pandas-UDAF agg columns).
+
+    Spark refuses to run both families in one ``agg()``; callers run two
+    aggregations over the same keys and join (see
+    ``operators.aggregate._grouped_agg``).
+    """
+    named: list[Column] = []
+    custom: list[Column] = []
+    for out, in_col, func, flt in normalize_agg_spec(spec):
+        target = custom if is_custom_reducer(func) else named
+        target.append(compile_agg(func, in_col, flt, time_col).alias(out))
+    return named, custom
+
+
 # ---------------------------------------------------------------------------
 # row-wise reducers (for collapse: reduce N columns of one row into 1 value)
 # ---------------------------------------------------------------------------
 
 
-def rowwise_reduce(func: str, cols: Sequence[Column | str]) -> Column:
-    """Apply a named reducer across N columns *within* a row (no shuffle).
+def rowwise_reduce(func, cols: Sequence[Column | str]) -> Column:
+    """Apply a reducer across N columns *within* a row (no shuffle).
 
-    Used by ``collapse`` (reference ``event.py:544-577``).
+    Used by ``collapse`` (reference ``event.py:544-577``). Named reducers
+    stay column expressions; a callable ``f(list) -> scalar`` runs as a
+    scalar pandas UDF over the packed value array (Arrow-batched, still
+    map-side only).
     """
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     n = len(cs)
+    if is_custom_reducer(func):
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _rw(arr: pd.Series) -> pd.Series:
+            def red(vs):
+                if vs is None:
+                    return None
+                out = func([None if pd.isna(x) else float(x) for x in vs])
+                return None if out is None else float(out)
+            return arr.map(red)
+
+        return _rw(F.array(*[c.cast("double") for c in cs]))
     if func == "sum":
         out = cs[0]
         for c in cs[1:]:

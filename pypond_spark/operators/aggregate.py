@@ -23,7 +23,9 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import compile_agg_spec
+from functools import reduce as _reduce
+
+from ..functions import compile_agg_spec_split
 from ..index import CALENDAR_KINDS, window_duration_ms
 
 
@@ -41,6 +43,32 @@ def _group_exprs(groups: list[str]):
     exprs = [F.col(g).alias(g.split(".")[-1]) for g in groups]
     names = [g.split(".")[-1] for g in groups]
     return exprs, names
+
+
+def _grouped_agg(df: DataFrame, key_exprs: list, key_names: list[str],
+                 spec: dict, time_col: str, extra_aggs: Sequence = ()
+                 ) -> DataFrame:
+    """groupBy().agg() that tolerates custom (pandas-UDAF) reducers.
+
+    Spark rejects pandas UDAFs mixed with builtin aggregates in one agg()
+    (INVALID_PANDAS_UDF_PLACEMENT), so a mixed spec runs as two aggregations
+    over the same keys joined back null-safely. Both sides aggregate first —
+    the join touches only the (small) per-group result frames, and the
+    second aggregation reuses the same shuffle keys.
+    """
+    named, custom = compile_agg_spec_split(spec, time_col)
+    named = list(extra_aggs) + named
+    if not custom:
+        return df.groupBy(*key_exprs).agg(*named)
+    if not named:
+        return df.groupBy(*key_exprs).agg(*custom)
+    a = df.groupBy(*key_exprs).agg(*named)
+    b = df.groupBy(*key_exprs).agg(*custom)
+    if not key_names:
+        return a.crossJoin(b)  # global aggregation: one row each
+    cond = _reduce(lambda x, y: x & y,
+                   [a[k].eqNullSafe(b[k]) for k in key_names])
+    return a.join(b, cond).drop(*[b[k] for k in key_names])
 
 
 def windowed_aggregate(
@@ -66,12 +94,12 @@ def windowed_aggregate(
     """
     groups = _group_cols(group_by)
     gexprs, gnames = _group_exprs(groups)
-    aggs = compile_agg_spec(spec, time_col=time_col)
 
     if window is None:
-        out = df.groupBy(*gexprs).agg(
-            F.min(time_col).alias("begin"),
-            F.max(end_col or time_col).alias("end"), *aggs)
+        out = _grouped_agg(
+            df, gexprs, gnames, spec, time_col,
+            extra_aggs=[F.min(time_col).alias("begin"),
+                        F.max(end_col or time_col).alias("end")])
         return out.select("begin", "end", *gnames,
                           *[r for r in spec])
 
@@ -80,7 +108,8 @@ def windowed_aggregate(
         local = tcol if utc else F.from_utc_timestamp(tcol, tz)
         trunc_unit = {"daily": "day", "monthly": "month", "yearly": "year"}[window]
         bucket = F.date_trunc(trunc_unit, local).alias("__bucket")
-        out = df.groupBy(bucket, *gexprs).agg(*aggs)
+        out = _grouped_agg(df, [bucket, *gexprs], ["__bucket"] + gnames,
+                           spec, time_col)
         fmt = {"daily": "yyyy-MM-dd", "monthly": "yyyy-MM", "yearly": "yyyy"}[window]
         interval = {"daily": "INTERVAL 1 DAY", "monthly": "INTERVAL 1 MONTH",
                     "yearly": "INTERVAL 1 YEAR"}[window]
@@ -98,7 +127,8 @@ def windowed_aggregate(
     if dur is None:
         raise ValueError(f"bad window spec {window!r}")
     pos = F.floor(F.unix_millis(F.col(time_col)) / F.lit(dur)).cast("long")
-    out = df.groupBy(pos.alias("__pos"), *gexprs).agg(*aggs)
+    out = _grouped_agg(df, [pos.alias("__pos"), *gexprs],
+                       ["__pos"] + gnames, spec, time_col)
     return out.select(
         F.concat(F.lit(window + "-"), F.col("__pos").cast("string")).alias("index"),
         F.timestamp_millis(F.col("__pos") * dur).alias("begin"),
@@ -126,10 +156,10 @@ def sliding_window_aggregate(
         raise ValueError(f"bad window/slide spec {window!r}/{slide!r}")
     groups = _group_cols(group_by)
     gexprs, gnames = _group_exprs(groups)
-    aggs = compile_agg_spec(spec, time_col=time_col)
     win = F.window(F.col(time_col), f"{dur_ms // 1000} seconds",
                    f"{slide_ms // 1000} seconds")
-    out = df.groupBy(win.alias("__w"), *gexprs).agg(*aggs)
+    out = _grouped_agg(df, [win.alias("__w"), *gexprs], ["__w"] + gnames,
+                       spec, time_col)
     return out.select(F.col("__w.start").alias("begin"),
                       F.col("__w.end").alias("end"), *gnames, *list(spec))
 
@@ -148,9 +178,9 @@ def session_window_aggregate(
         raise ValueError(f"bad session gap spec {gap!r}")
     groups = _group_cols(group_by)
     gexprs, gnames = _group_exprs(groups)
-    aggs = compile_agg_spec(spec, time_col=time_col)
     win = F.session_window(F.col(time_col), f"{gap_ms // 1000} seconds")
-    out = df.groupBy(win.alias("__w"), *gexprs).agg(*aggs)
+    out = _grouped_agg(df, [win.alias("__w"), *gexprs], ["__w"] + gnames,
+                       spec, time_col)
     return out.select(F.col("__w.start").alias("begin"),
                       F.col("__w.end").alias("end"), *gnames, *list(spec))
 

@@ -1,0 +1,149 @@
+"""Per-event Python-callable map / filter — the reference's lambda surface.
+
+Reference semantics: ``processor/mapper.py:18-67`` (``op(event) -> Event``),
+``processor/filter.py:18-68`` (``op(event) -> bool``), with the same
+callables accepted by ``Collection.map/filter`` (``collection.py:574-631``)
+and ``Pipeline.map/filter`` (``pipeline.py:896-937``).
+
+This is the engine's *slow path by design*: the callable is opaque Python,
+so rows leave the JVM. The adapter keeps the damage bounded:
+
+- transport is Arrow-batched ``mapInPandas`` (columnar transfer, one Python
+  worker per partition) — never a row-at-a-time Python UDF per column and
+  never a driver collect; the operator stays fully distributed and
+  pipeline-able (no shuffle is introduced);
+- the callable sees a tiny :class:`Event` view built per row from the Arrow
+  batch; returning an :class:`Event`, a plain dict of fields, or (for
+  filter) a bool is all it takes to port a reference lambda verbatim.
+
+Prefer column expressions (``TimeSeries.map`` expr-dict form) whenever the
+logic is expressible — those stay in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+KEY_COLS = ("time", "begin", "end", "index")
+
+
+class Event:
+    """Minimal Event view handed to user callables (and constructible by
+    them, mirroring ``Event(ts, data)`` — reference ``event.py:65-120``).
+
+    ``get``/``value`` support dotted deep paths into struct payloads
+    (reference ``event.py:421-468``).
+    """
+
+    __slots__ = ("_keys", "_data")
+
+    def __init__(self, timestamp: Any = None, data: dict | None = None,
+                 _keys: dict | None = None):
+        if _keys is not None:
+            self._keys = _keys
+        else:
+            self._keys = {} if timestamp is None else {"time": timestamp}
+        self._data = dict(data or {})
+
+    # -- accessors (the surface reference lambdas actually use) ------------
+    def get(self, field_path: str = "value", default: Any = None) -> Any:
+        cur: Any = self._data
+        for part in field_path.split("."):
+            if isinstance(cur, dict) and part in cur:
+                cur = cur[part]
+            else:
+                return default
+        return cur
+
+    value = get
+
+    def timestamp(self) -> Any:
+        return self._keys.get("time", self._keys.get("begin"))
+
+    def begin(self) -> Any:
+        return self._keys.get("begin", self._keys.get("time"))
+
+    def end(self) -> Any:
+        return self._keys.get("end", self._keys.get("time"))
+
+    def index(self) -> Any:
+        return self._keys.get("index")
+
+    def data(self) -> dict:
+        return dict(self._data)
+
+    # -- functional updates ------------------------------------------------
+    def set_data(self, data: dict) -> "Event":
+        return Event(_keys=dict(self._keys), data=data)
+
+    def with_field(self, field: str, value: Any) -> "Event":
+        d = dict(self._data)
+        d[field] = value
+        return Event(_keys=dict(self._keys), data=d)
+
+    def __repr__(self) -> str:  # debugging aid only
+        return f"Event({self._keys}, {self._data})"
+
+
+def _row_to_event(row: dict, key_cols: list[str]) -> Event:
+    keys = {k: row[k] for k in key_cols}
+    data = {c: v for c, v in row.items() if c not in key_cols}
+    return Event(_keys=keys, data=data)
+
+
+def map_events(df: DataFrame, op: Callable[[Event], Any],
+               schema: T.StructType | str | None = None) -> DataFrame:
+    """Apply ``op(event) -> Event | dict`` to every row.
+
+    A returned :class:`Event` may change the timestamp and the payload; a
+    returned dict replaces the payload and keeps the original key columns.
+    ``schema`` (DDL string or StructType) declares the output when ``op``
+    changes the column set; default: output schema == input schema.
+    """
+    import pandas as pd
+
+    out_schema = schema if schema is not None else df.schema
+    if isinstance(out_schema, str):
+        out_schema = T._parse_datatype_string(out_schema)
+    in_cols = list(df.columns)
+    key_cols = [c for c in KEY_COLS if c in in_cols]
+    out_cols = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out_rows = []
+            for tup in pdf.itertuples(index=False):
+                row = dict(zip(in_cols, tup))
+                ev = _row_to_event(row, key_cols)
+                res = op(ev)
+                if isinstance(res, Event):
+                    keys, data = res._keys, res._data
+                elif isinstance(res, dict):
+                    keys, data = ev._keys, res
+                else:
+                    raise TypeError(
+                        f"map op must return Event or dict, got {type(res)}")
+                merged = {**keys, **data}
+                out_rows.append(tuple(merged.get(c) for c in out_cols))
+            yield pd.DataFrame(out_rows, columns=out_cols)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def filter_events(df: DataFrame, op: Callable[[Event], bool]) -> DataFrame:
+    """Keep rows where ``op(event)`` is truthy. Output schema == input."""
+    in_cols = list(df.columns)
+    key_cols = [c for c in KEY_COLS if c in in_cols]
+
+    def run(batches):
+        for pdf in batches:
+            mask = [
+                bool(op(_row_to_event(dict(zip(in_cols, tup)), key_cols)))
+                for tup in pdf.itertuples(index=False)
+            ]
+            yield pdf[mask]
+
+    return df.mapInPandas(run, df.schema)

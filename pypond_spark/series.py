@@ -135,8 +135,19 @@ class TimeSeries:
         keys = [c for c in KEY_COLS if c in self._df.columns]
         return self._with(self._df.select(*keys, *fields))
 
-    def filter(self, predicate: Column | str) -> "TimeSeries":
+    def filter(self, predicate: Column | str | Callable) -> "TimeSeries":
+        """Column/SQL predicate (preferred, stays in Catalyst), or — reference
+        parity (``processor/filter.py:18-68``) — a Python callable
+        ``op(event) -> bool`` over the per-event adapter (the slow path)."""
+        if callable(predicate) and not isinstance(predicate, (Column, str)):
+            return self.filter_events(predicate)
         return self._with(self._df.where(predicate))
+
+    def filter_events(self, op: Callable) -> "TimeSeries":
+        """Per-event Python filter (reference ``processor/filter.py:18-68``,
+        ``collection.py:574-602``) via Arrow-batched mapInPandas."""
+        from .operators.events import filter_events as filter_events_op
+        return self._with(filter_events_op(self._df, op))
 
     def clean(self, field_spec: str | Sequence[str] = "value") -> "TimeSeries":
         """Drop rows whose field is invalid (reference series.py:459-480)."""
@@ -146,16 +157,30 @@ class TimeSeries:
             df = df.where(is_valid_col(F.col(f), field_dtype(df.schema, f)))
         return self._with(df)
 
-    def map(self, exprs: dict[str, Column | str] |
-            Callable[[DataFrame], DataFrame]) -> "TimeSeries":
-        """Column-expression map (preferred, stays in Catalyst) or an escape
-        hatch taking/returning a DataFrame (e.g. mapInPandas)."""
+    def map(self, exprs: dict[str, Column | str] | Callable,
+            schema=None) -> "TimeSeries":
+        """Column-expression map (preferred, stays in Catalyst), or — reference
+        parity (``processor/mapper.py:18-67``) — a Python callable
+        ``op(event) -> Event | dict`` over the per-event adapter (the slow
+        path; ``schema`` declares the output columns when they change).
+
+        For whole-DataFrame rewrites use :meth:`transform`."""
         if callable(exprs):
-            return self._with(exprs(self._df))
+            return self.map_events(exprs, schema)
         df = self._df
         for out, expr in exprs.items():
             df = df.withColumn(out, F.expr(expr) if isinstance(expr, str) else expr)
         return self._with(df)
+
+    def map_events(self, op: Callable, schema=None) -> "TimeSeries":
+        """Per-event Python map (reference ``processor/mapper.py:18-67``,
+        ``collection.py:604-631``) via Arrow-batched mapInPandas."""
+        from .operators.events import map_events as map_events_op
+        return self._with(map_events_op(self._df, op, schema))
+
+    def transform(self, fn: Callable[[DataFrame], DataFrame]) -> "TimeSeries":
+        """Whole-DataFrame escape hatch (e.g. a custom mapInPandas stage)."""
+        return self._with(fn(self._df))
 
     def collapse(self, field_spec_list: Sequence[str], name: str,
                  reducer: str = "sum", append: bool = True) -> "TimeSeries":
