@@ -535,6 +535,42 @@ def q_multimodal_features(spark, sf_dir):
     return out.select("media_id", "n_bytes", "digest")
 
 
+def q_multimodal_decode_image(spark, sf_dir):
+    """REAL image decode (not the fake path): a 2x2 binary-PPM image is
+    synthesized per doc (P6 header + 12 of the doc's md5 digest bytes as
+    RGB pixels) and decoded by the pure-Python PPM decoder. Channel means
+    are sums of 4 bytes / 4 — exact doubles — so the oracle reproduces
+    them from the same md5 hex with integer arithmetic."""
+    docs = _read(spark, sf_dir, "documents")
+    content = F.concat(F.lit(b"P6\n2 2\n255\n"),
+                       F.unhex(F.substring(F.md5("text"), 1, 24)))
+    media = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                        content.alias("content"))
+    return dp_mm.image_stats(media)
+
+
+# fixed PCM16 mono 8kHz WAV header for exactly 6 samples (12 data bytes)
+import struct as _struct  # noqa: E402
+
+_WAV_HDR = (b"RIFF" + _struct.pack("<I", 36 + 12) + b"WAVE"
+            + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + _struct.pack("<I", 12))
+
+
+def q_multimodal_decode_audio(spark, sf_dir):
+    """REAL audio decode: a 6-sample PCM16 WAV per doc (fixed RIFF header +
+    12 md5 digest bytes as little-endian samples) decoded with the stdlib
+    wave module; peak/RMS are integer-exact up to the final sqrt."""
+    docs = _read(spark, sf_dir, "documents")
+    content = F.concat(F.lit(_WAV_HDR),
+                       F.unhex(F.substring(F.md5("text"), 1, 24)))
+    media = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                        content.alias("content"))
+    out = dp_mm.audio_stats(media)
+    return out.select("media_id", "n_channels", "sample_rate", "n_samples",
+                      "peak", F.round("rms", 6).alias("rms"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -578,6 +614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode_image": q_multimodal_decode_image,
+        "multimodal_decode_audio": q_multimodal_decode_audio,
     }
 
 
@@ -1210,6 +1248,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS digest
             FROM documents
+        """,
+        "multimodal_decode_image": """
+            -- mirror of the synthesized 2x2 PPM: pixel byte j is md5 hex
+            -- chars (2j+1, 2); channel = j mod 3; mean = sum over 4 px / 4
+            WITH px AS (
+              SELECT doc_id, g.i AS i,
+                     ('0x' || substr(md5(text), 2 * g.i + 1, 2))::BIGINT AS b
+              FROM documents CROSS JOIN generate_series(0, 11) g(i)
+            )
+            SELECT doc_id AS media_id,
+                   CAST(2 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+                   sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) / 4.0 AS mean_r,
+                   sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) / 4.0 AS mean_g,
+                   sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) / 4.0 AS mean_b
+            FROM px GROUP BY doc_id
+        """,
+        "multimodal_decode_audio": """
+            -- little-endian PCM16: sample i = bytes (2i, 2i+1) of the md5
+            -- digest, sign-corrected; peak/RMS over the 6 samples
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN raw > 32767 THEN raw - 65536 ELSE raw END AS v
+              FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5(text), 4 * g.i + 3, 2))::BIGINT
+                       * 256
+                       + ('0x' || substr(md5(text), 4 * g.i + 1, 2))::BIGINT
+                       AS raw
+                FROM documents CROSS JOIN generate_series(0, 5) g(i)
+              )
+            )
+            SELECT doc_id AS media_id,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(6 AS BIGINT) AS n_samples,
+                   max(abs(v)) AS peak,
+                   round(sqrt(sum(v * v) / 6.0), 6) AS rms
+            FROM s GROUP BY doc_id
         """,
     }
 

@@ -2,10 +2,15 @@
 
 Media are opaque ``binary`` columns plus a typed metadata struct. The Spark
 side — schema, partition-friendly layout, Arrow-batched UDF signatures — is
-real and tested; the actual codec calls are STUBBED (this container has no
-image/audio libraries): ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic hash-derived feature vector is
-produced so the distributed plumbing can be exercised end-to-end.
+real and tested. Codecs:
+
+- REAL pure-Python decoders for two formats that need no external library:
+  binary PPM (P6) images (``decode_image``) and PCM16 WAV audio
+  (``decode_audio`` via the stdlib ``wave`` module), with per-media stats
+  operators (``image_stats`` / ``audio_stats``);
+- everything else (JPEG/PNG/MP3/...) raises ``NotImplementedError`` — this
+  container has no imaging/audio libraries; ``extract_features(fake=True)``
+  keeps the deterministic hash-feature path for plumbing tests.
 
 At scale: media bytes stay columnar in parquet; ``mapInPandas`` streams Arrow
 batches so a 100 MB image batch never materializes as Python row objects;
@@ -15,6 +20,10 @@ feature extraction parallelizes per file-split with no shuffle.
 from __future__ import annotations
 
 import hashlib
+import io
+import math
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -48,11 +57,65 @@ def _fake_features(content: bytes, n: int = 8) -> list[float]:
     return [digest[i] / 255.0 for i in range(n)]
 
 
-def decode_image(content: bytes):  # pragma: no cover - stub by design
-    """Real image decode. STUB: no imaging library in this environment."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library (e.g. Pillow); "
-        "use extract_features(..., fake=True) for plumbing tests")
+def decode_image(content: bytes) -> dict:
+    """Real image decode for binary PPM (P6): pure Python, no libraries.
+
+    Returns ``{"format", "width", "height", "maxval", "pixels"}`` where
+    pixels are the raw interleaved RGB bytes. Any other format raises
+    ``NotImplementedError`` (JPEG/PNG need an imaging library this
+    environment lacks).
+    """
+    if not content.startswith(b"P6"):
+        raise NotImplementedError(
+            "only binary PPM (P6) decodes without an imaging library; "
+            "use extract_features(..., fake=True) for plumbing tests")
+    # header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels;
+    # '#' comments may appear between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos:pos + 1].isspace():
+            pos += 1
+        if content[pos:pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(content[start:pos]))
+    pos += 1  # exactly one whitespace byte before pixel data
+    width, height, maxval = tokens
+    n = width * height * 3
+    pixels = content[pos:pos + n]
+    if len(pixels) != n:
+        raise ValueError(
+            f"truncated PPM: expected {n} pixel bytes, got {len(pixels)}")
+    return {"format": "ppm", "width": width, "height": height,
+            "maxval": maxval, "pixels": pixels}
+
+
+def decode_audio(content: bytes) -> dict:
+    """Real audio decode for PCM16 WAV via the stdlib ``wave`` module.
+
+    Returns ``{"n_channels", "sample_rate", "n_samples", "samples"}`` with
+    samples as signed ints (interleaved if multi-channel). Other sample
+    widths/codecs raise ``NotImplementedError``.
+    """
+    try:
+        with wave.open(io.BytesIO(content)) as wav:
+            nch = wav.getnchannels()
+            width = wav.getsampwidth()
+            rate = wav.getframerate()
+            nframes = wav.getnframes()
+            raw = wav.readframes(nframes)
+    except wave.Error as exc:
+        raise NotImplementedError(f"not a decodable WAV: {exc}") from exc
+    if width != 2:
+        raise NotImplementedError(
+            f"only PCM16 decodes here (sample width {width})")
+    samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    return {"n_channels": nch, "sample_rate": rate,
+            "n_samples": nframes, "samples": samples}
 
 
 def attach_binary(df: DataFrame, source_col: str, media_id_col: str,
@@ -81,15 +144,31 @@ def extract_features(df: DataFrame, fake: bool = False,
     batch path.
     """
 
+    def real_features(data: bytes) -> list[float]:
+        try:
+            img = decode_image(data)
+        except NotImplementedError:
+            aud = decode_audio(data)  # raises NotImplementedError if neither
+            s = aud["samples"]
+            peak = float(max((abs(v) for v in s), default=0))
+            rms = math.sqrt(sum(v * v for v in s) / len(s)) if s else 0.0
+            return [float(aud["n_channels"]), float(aud["sample_rate"]),
+                    float(aud["n_samples"]), peak, rms]
+        px = img["pixels"]
+        n_px = max(img["width"] * img["height"], 1)
+        means = [sum(px[c::3]) / n_px for c in range(3)]
+        return [float(img["width"]), float(img["height"]), *means]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             contents = pdf["content"]
             feats, digests, sizes = [], [], []
             for content in contents:
                 data = bytes(content) if content is not None else b""
-                if not fake:
-                    decode_image(data)  # raises NotImplementedError
-                feats.append(_fake_features(data, n_features))
+                if fake:
+                    feats.append(_fake_features(data, n_features))
+                else:
+                    feats.append(real_features(data))
                 digests.append(hashlib.md5(data).hexdigest())
                 sizes.append(len(data))
             yield pd.DataFrame({
@@ -100,6 +179,66 @@ def extract_features(df: DataFrame, fake: bool = False,
             })
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.LongType(), True),
+    T.StructField("height", T.LongType(), True),
+    T.StructField("mean_r", T.DoubleType(), True),
+    T.StructField("mean_g", T.DoubleType(), True),
+    T.StructField("mean_b", T.DoubleType(), True),
+])
+
+AUDIO_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_channels", T.LongType(), True),
+    T.StructField("sample_rate", T.LongType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("peak", T.LongType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+])
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """REAL per-image stats via the pure-Python PPM decoder: width, height,
+    per-channel pixel means. Arrow-batched mapInPandas, no shuffle; the
+    means are exact doubles when width*height is a power of two, so a SQL
+    oracle reproduces them bit-for-bit."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = decode_image(bytes(content))
+                px = img["pixels"]
+                n_px = max(img["width"] * img["height"], 1)
+                rows.append((int(mid), img["width"], img["height"],
+                             *[sum(px[c::3]) / n_px for c in range(3)]))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              IMAGE_STATS_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """REAL per-clip stats via the stdlib WAV/PCM16 decoder: channel count,
+    rate, sample count, peak amplitude, RMS."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                aud = decode_audio(bytes(content))
+                s = aud["samples"]
+                peak = max((abs(v) for v in s), default=0)
+                rms = math.sqrt(sum(v * v for v in s) / len(s)) if s else 0.0
+                rows.append((int(mid), aud["n_channels"], aud["sample_rate"],
+                             aud["n_samples"], peak, rms))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_STATS_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -200,6 +200,56 @@ def test_multimodal_plumbing(spark, docs):
         multimodal.extract_features(media, fake=False).collect()
 
 
+def test_decode_ppm():
+    content = b"P6\n# a comment\n2 2\n255\n" + bytes(range(12))
+    img = multimodal.decode_image(content)
+    assert (img["width"], img["height"], img["maxval"]) == (2, 2, 255)
+    assert img["pixels"] == bytes(range(12))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\n4 4\n255\nshort")
+
+
+def test_decode_wav():
+    import struct
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    hdr = (b"RIFF" + struct.pack("<I", 36 + 12) + b"WAVE" + b"fmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", 12))
+    aud = multimodal.decode_audio(hdr + struct.pack("<6h", *samples))
+    assert aud["samples"] == samples
+    assert (aud["n_channels"], aud["sample_rate"], aud["n_samples"]) == \
+        (1, 8000, 6)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"not a wav at all")
+
+
+def test_image_audio_stats_distributed(spark):
+    import math
+    import struct
+    ppm = b"P6\n2 2\n255\n" + bytes([10, 20, 30] * 4)
+    media = spark.createDataFrame([(1, ppm)], "media_id long, content binary")
+    row = multimodal.image_stats(media).collect()[0]
+    assert (row["width"], row["height"]) == (2, 2)
+    assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (10.0, 20.0, 30.0)
+
+    samples = [100, -200, 300, -400, 500, -600]
+    hdr = (b"RIFF" + struct.pack("<I", 48) + b"WAVE" + b"fmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", 12))
+    wav = hdr + struct.pack("<6h", *samples)
+    amedia = spark.createDataFrame([(2, wav)], "media_id long, content binary")
+    arow = multimodal.audio_stats(amedia).collect()[0]
+    assert arow["peak"] == 600
+    assert arow["rms"] == pytest.approx(
+        math.sqrt(sum(s * s for s in samples) / 6))
+
+    # extract_features(fake=False) routes through the real decoders now
+    feats = multimodal.extract_features(media, fake=False).collect()[0]
+    assert feats["features"] == [2.0, 2.0, 10.0, 20.0, 30.0]
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame(
         [(1, "video", bytearray(b"xx"), ("mp4", None, None, 3500))],
