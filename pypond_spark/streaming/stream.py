@@ -98,7 +98,11 @@ def _whole_group(pdfs: Iterator[pd.DataFrame], time_col: str) -> pd.DataFrame:
     if not chunks:
         return pd.DataFrame()
     pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-    return pdf.sort_values(time_col)
+    # stable mergesort: rows sharing a timestamp keep their concatenated
+    # chunk order, so duplicate-timestamp events replay deterministically
+    # (the default unstable quicksort made stateful rate/align/fill output
+    # order-dependent across runs)
+    return pdf.sort_values(time_col, kind="mergesort")
 
 
 def _rate_state_fn(fields: list[str], keys: list[str], time_col: str,

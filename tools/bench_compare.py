@@ -1,0 +1,53 @@
+"""Round-over-round bench tracker: flag per-query regressions.
+
+Usage::
+
+    python bench.py > /tmp/bench_now.json
+    python tools/bench_compare.py BENCH_r01.json /tmp/bench_now.json
+
+Exits 1 if any query regressed more than ``THRESHOLD`` (default 1.5x) vs
+the baseline round, so a perf regression fails loudly before commit.
+Driver-recorded rounds (``BENCH_r{N}.json``) wrap the bench line under a
+"parsed" key; raw ``bench.py`` output is the line itself — both accepted.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+THRESHOLD = 1.5
+
+
+def load(path: str) -> dict:
+    with open(path) as fh:
+        doc = json.load(fh)
+    return doc.get("parsed", doc)
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    base, now = load(sys.argv[1]), load(sys.argv[2])
+    bq, nq = base["queries"], now["queries"]
+    regressed = []
+    for name, t_now in sorted(nq.items()):
+        t_base = bq.get(name)
+        if t_base is None:
+            print(f"new    {name}: {t_now:.2f}s (no baseline)")
+            continue
+        ratio = t_now / t_base if t_base else float("inf")
+        tag = "REGRESS" if ratio > THRESHOLD else (
+            "better " if ratio < 1 / THRESHOLD else "ok     ")
+        print(f"{tag}{name}: {t_base:.2f}s -> {t_now:.2f}s ({ratio:.2f}x)")
+        if ratio > THRESHOLD:
+            regressed.append(name)
+    print(f"\ntotal: {base['value']:.2f}s -> {now['value']:.2f}s")
+    if regressed:
+        print(f"{len(regressed)} regressions over {THRESHOLD}x: {regressed}")
+        sys.exit(1)
+    print("no per-query regression over threshold")
+
+
+if __name__ == "__main__":
+    main()
