@@ -44,25 +44,39 @@ def _ship_package(spark: SparkSession) -> None:
     module reference; the driver's sys.path does not reach executors)."""
     if getattr(spark, "_pypond_spark_shipped", False):
         return
+    import hashlib
     import os
     import tempfile
     import zipfile
     pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "pypond_spark")
-    # Unique temp file + atomic rename: a fixed world-shared path lets two
-    # drivers on one host race (one ships a half-written or stale zip).
+    sources = sorted(
+        os.path.join(root, fname)
+        for root, _, files in os.walk(pkg_dir)
+        for fname in files if fname.endswith(".py"))
+    # Content-keyed path + atomic rename: two drivers on one host never ship
+    # a half-written or stale zip (different code -> different path; same
+    # code -> byte-identical zips, os.replace is atomic), and reruns reuse
+    # the file instead of leaking one per process.
+    digest = hashlib.md5()
+    for full in sources:
+        digest.update(os.path.relpath(full, pkg_dir).encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
     zpath = os.path.join(tempfile.gettempdir(),
-                         f"pypond_spark_pkg_{os.getpid()}.zip")
-    fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
-    os.close(fd)
-    with zipfile.ZipFile(tmp, "w") as zf:
-        for root, _, files in os.walk(pkg_dir):
-            for fname in files:
-                if fname.endswith(".py"):
-                    full = os.path.join(root, fname)
-                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    zf.write(full, rel)
-    os.replace(tmp, zpath)
+                         f"pypond_spark_pkg_{digest.hexdigest()[:12]}.zip")
+    if not os.path.exists(zpath):
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+        os.close(fd)
+        try:
+            with zipfile.ZipFile(tmp, "w") as zf:
+                for full in sources:
+                    zf.write(full,
+                             os.path.relpath(full, os.path.dirname(pkg_dir)))
+            os.replace(tmp, zpath)
+        except BaseException:
+            os.unlink(tmp)
+            raise
     spark.sparkContext.addPyFile(zpath)
     spark._pypond_spark_shipped = True
 
@@ -525,7 +539,7 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     dim = len(embs.select("embedding").first()["embedding"])
     out = dp_sim.embedding_near_dups_lsh(embs, dim, threshold=0.4, nbits=4)
     return out.select("id_a", "id_b",
-                      F.round("cosine", 6).alias("cosine"))  # rows-only
+                      F.round("cosine", 6).alias("cosine"))
 
 
 def q_multimodal_features(spark, sf_dir):

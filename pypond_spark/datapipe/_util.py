@@ -17,6 +17,10 @@ def spread(df: DataFrame) -> DataFrame:
     end-to-end win at bench scale). At warehouse scale the scan already
     yields thousands of file-splits and this is a no-op — no shuffle added.
     """
+    if df.isStreaming:
+        # .rdd is illegal on streaming DataFrames; micro-batch parallelism
+        # is the source's concern (maxFilesPerTrigger etc.), not ours
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

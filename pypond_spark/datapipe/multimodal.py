@@ -135,6 +135,24 @@ def attach_binary(df: DataFrame, source_col: str, media_id_col: str,
     )
 
 
+def _image_feats(img: dict) -> tuple:
+    """(width, height, mean_r, mean_g, mean_b) from a decoded image — the
+    single source of the channel-mean formula for every image feature path."""
+    px = img["pixels"]
+    n_px = max(img["width"] * img["height"], 1)
+    means = [sum(px[c::3]) / n_px for c in range(3)]
+    return (img["width"], img["height"], *means)
+
+
+def _audio_feats(aud: dict) -> tuple:
+    """(n_channels, sample_rate, n_samples, peak, rms) from a decoded clip."""
+    s = aud["samples"]
+    peak = max((abs(v) for v in s), default=0)
+    rms = math.sqrt(sum(v * v for v in s) / len(s)) if s else 0.0
+    return (aud["n_channels"], aud["sample_rate"], aud["n_samples"],
+            peak, rms)
+
+
 def extract_features(df: DataFrame, fake: bool = False,
                      n_features: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over media rows via mapInPandas.
@@ -149,15 +167,8 @@ def extract_features(df: DataFrame, fake: bool = False,
             img = decode_image(data)
         except NotImplementedError:
             aud = decode_audio(data)  # raises NotImplementedError if neither
-            s = aud["samples"]
-            peak = float(max((abs(v) for v in s), default=0))
-            rms = math.sqrt(sum(v * v for v in s) / len(s)) if s else 0.0
-            return [float(aud["n_channels"]), float(aud["sample_rate"]),
-                    float(aud["n_samples"]), peak, rms]
-        px = img["pixels"]
-        n_px = max(img["width"] * img["height"], 1)
-        means = [sum(px[c::3]) / n_px for c in range(3)]
-        return [float(img["width"]), float(img["height"]), *means]
+            return [float(v) for v in _audio_feats(aud)]
+        return [float(v) for v in _image_feats(img)]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -210,11 +221,8 @@ def image_stats(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                img = decode_image(bytes(content))
-                px = img["pixels"]
-                n_px = max(img["width"] * img["height"], 1)
-                rows.append((int(mid), img["width"], img["height"],
-                             *[sum(px[c::3]) / n_px for c in range(3)]))
+                rows.append((int(mid),
+                             *_image_feats(decode_image(bytes(content)))))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               IMAGE_STATS_SCHEMA.fields])
 
@@ -229,12 +237,8 @@ def audio_stats(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                aud = decode_audio(bytes(content))
-                s = aud["samples"]
-                peak = max((abs(v) for v in s), default=0)
-                rms = math.sqrt(sum(v * v for v in s) / len(s)) if s else 0.0
-                rows.append((int(mid), aud["n_channels"], aud["sample_rate"],
-                             aud["n_samples"], peak, rms))
+                rows.append((int(mid),
+                             *_audio_feats(decode_audio(bytes(content)))))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               AUDIO_STATS_SCHEMA.fields])
 

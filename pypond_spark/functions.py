@@ -100,15 +100,21 @@ def is_custom_reducer(func) -> bool:
     return callable(func) and not isinstance(func, str)
 
 
-def _callable_agg_col(fn, col: Column, flt: str) -> Column:
+def _callable_agg_col(fn, col: Column, flt: str, time_col: str) -> Column:
     """Pandas grouped-agg UDF for a custom reducer. The reducer receives the
-    group's values as a Python list (reference ``Event.map_reduce``
-    semantics); the missing-value filter runs inside the UDF because pandas
-    UDAFs cannot be wrapped in builtin aggregate expressions."""
+    group's values as a Python list **in time order** (reference
+    ``Event.map_reduce`` semantics — a Collection's values are chronological,
+    so order-sensitive reducers like ``vs[0]`` must see a deterministic
+    sequence, not shuffle-arrival order). Ties on time keep arrival order
+    (stable sort), same unspecified tie behavior as ``min_by``/``max_by`` in
+    the named first/last paths. The missing-value filter runs inside the UDF
+    because pandas UDAFs cannot be wrapped in builtin aggregate expressions."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def _udaf(v: pd.Series) -> float:
+    def _udaf(t: pd.Series, v: pd.Series) -> float:
+        order = t.reset_index(drop=True).sort_values(kind="mergesort").index
+        v = v.reset_index(drop=True).iloc[order]
         if flt == "keep_missing":
             vals = [None if pd.isna(x) else float(x) for x in v]
         elif flt == "propagate_missing":
@@ -122,7 +128,7 @@ def _callable_agg_col(fn, col: Column, flt: str) -> Column:
         out = fn(vals)
         return None if out is None else float(out)
 
-    return _udaf(col.cast("double"))
+    return _udaf(F.col(time_col), col.cast("double"))
 
 
 def compile_agg(func, in_col: Column | str, flt: str = "ignore_missing",
@@ -140,7 +146,7 @@ def compile_agg(func, in_col: Column | str, flt: str = "ignore_missing",
     col = _prefilter(raw, flt)
 
     if is_custom_reducer(func):
-        return _callable_agg_col(func, col, flt)
+        return _callable_agg_col(func, col, flt, time_col)
 
     method = None
     if isinstance(func, (tuple, list)):

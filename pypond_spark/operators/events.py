@@ -27,7 +27,7 @@ from typing import Any, Callable, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-KEY_COLS = ("time", "begin", "end", "index")
+from ..series import KEY_COLS
 
 
 class Event:
@@ -94,6 +94,22 @@ def _row_to_event(row: dict, key_cols: list[str]) -> Event:
     return Event(_keys=keys, data=data)
 
 
+def _call_op(op: Callable, ev: Event) -> Any:
+    """Invoke a user callable with a guided error for the common porting
+    mistake: handing ``map``/``filter`` a whole-DataFrame callable (the old
+    escape hatch, now :meth:`TimeSeries.transform`). Such callables call
+    DataFrame methods on the Event and die with a bare AttributeError deep
+    inside an executor — chain a hint instead."""
+    try:
+        return op(ev)
+    except AttributeError as exc:
+        raise TypeError(
+            "map/filter callables receive one Event per row (reference "
+            f"op(event) semantics) but raised: {exc}. If this callable "
+            "expects a whole DataFrame, use TimeSeries.transform instead"
+        ) from exc
+
+
 def map_events(df: DataFrame, op: Callable[[Event], Any],
                schema: T.StructType | str | None = None) -> DataFrame:
     """Apply ``op(event) -> Event | dict`` to every row.
@@ -118,7 +134,7 @@ def map_events(df: DataFrame, op: Callable[[Event], Any],
             for tup in pdf.itertuples(index=False):
                 row = dict(zip(in_cols, tup))
                 ev = _row_to_event(row, key_cols)
-                res = op(ev)
+                res = _call_op(op, ev)
                 if isinstance(res, Event):
                     keys, data = res._keys, res._data
                 elif isinstance(res, dict):
@@ -141,7 +157,8 @@ def filter_events(df: DataFrame, op: Callable[[Event], bool]) -> DataFrame:
     def run(batches):
         for pdf in batches:
             mask = [
-                bool(op(_row_to_event(dict(zip(in_cols, tup)), key_cols)))
+                bool(_call_op(op, _row_to_event(dict(zip(in_cols, tup)),
+                                                key_cols)))
                 for tup in pdf.itertuples(index=False)
             ]
             yield pdf[mask]

@@ -68,6 +68,18 @@ def windowed_stream_aggregate(
     mode = OUTPUT_MODE[emit_on]
     if emit_on == "discard":
         sdf = sdf.withWatermark(time_col, watermark or "0 seconds")
+    from ..functions import is_custom_reducer, normalize_agg_spec
+    for out, _in, func, _flt in normalize_agg_spec(spec):
+        if is_custom_reducer(func):
+            # fail at compile time with an actionable message — Spark would
+            # otherwise reject the grouped-agg pandas UDF deep inside query
+            # start ("Streaming aggregation doesn't support group aggregate
+            # pandas UDF" / INVALID_PANDAS_UDF_PLACEMENT)
+            raise ValueError(
+                f"custom callable reducer for {out!r} is not supported in "
+                "streaming aggregation (Spark disallows grouped-agg pandas "
+                "UDFs over streaming state); use a named spec, or drain to "
+                "batch and aggregate there")
     aggs = compile_agg_spec(spec, time_col=time_col)
     win = F.window(F.col(time_col), _dur_str(window))
     out = (sdf.groupBy(win.alias("__w"), *groups)

@@ -243,3 +243,66 @@ def test_bisect_reference_contract(spark):
     empty = TimeSeries.from_wire(
         spark, {"name": "e", "columns": ["time", "value"], "points": []})
     assert empty.bisect(5_000) is None
+
+
+# -- round 2 review pass ------------------------------------------------------
+
+
+def test_callable_reducer_sees_time_ordered_values(spark):
+    """An order-sensitive custom reducer (vs[0] == reference-style 'first')
+    must see the group's values chronologically, not in shuffle-arrival
+    order (reference Collection.aggregate passes time-ordered lists)."""
+    import random
+    rows = [(i * 1000, float(100 - i)) for i in range(50)]
+    random.Random(7).shuffle(rows)
+    df = (spark.createDataFrame(rows, "t long, value double")
+          .repartition(8)
+          .select(F.timestamp_millis("t").alias("time"), "value"))
+    ts = TimeSeries(df)
+    for _ in range(3):  # nondeterminism guard: stable across repeated runs
+        assert ts.aggregate(lambda vs: vs[0]) == 100.0   # value at t=0
+        assert ts.aggregate(lambda vs: vs[-1]) == 51.0   # value at t=49s
+
+
+def test_streaming_callable_reducer_clear_error(spark, tmp_path):
+    import json as _json
+    from pypond_spark.streaming import windowed_stream_aggregate
+    (tmp_path / "a.json").write_text(_json.dumps({"t_ms": 0, "value": 1.0}))
+    sdf = (spark.readStream.schema("t_ms long, value double")
+           .json(str(tmp_path))
+           .withColumn("time", F.timestamp_millis("t_ms")))
+    with pytest.raises(ValueError, match="callable reducer"):
+        windowed_stream_aggregate(
+            sdf, {"x": {"value": lambda vs: sum(vs)}}, "1m")
+
+
+def test_map_events_dataframe_callable_guided_error(spark):
+    """The pre-round-2 map() escape hatch took a DataFrame callable; such
+    callables must now fail with a hint pointing at transform()."""
+    wire = {"name": "m", "columns": ["time", "value"],
+            "points": [[1000, 1.0]]}
+    ts = TimeSeries.from_wire(spark, wire)
+    with pytest.raises(Exception, match="transform"):
+        ts.map(lambda df: df.withColumn("v2", F.col("value"))).to_wire()
+
+
+def test_spread_noop_on_streaming_df(spark):
+    from pypond_spark.datapipe._util import spread
+    sdf = spark.readStream.format("rate").load()
+    assert spread(sdf) is sdf  # .rdd probe would raise AnalysisException
+
+
+def test_bench_compare_fails_on_missing_query(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+    base = {"value": 2.0, "queries": {"q1": 1.0, "q2": 1.0}}
+    now = {"value": 1.0, "queries": {"q1": 1.0}}
+    bp, np_ = tmp_path / "base.json", tmp_path / "now.json"
+    bp.write_text(_json.dumps(base))
+    np_.write_text(_json.dumps(now))
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_compare.py", str(bp), str(np_)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 1
+    assert "q2" in proc.stdout and "missing" in proc.stdout.lower()

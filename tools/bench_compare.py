@@ -42,9 +42,18 @@ def main() -> None:
         print(f"{tag}{name}: {t_base:.2f}s -> {t_now:.2f}s ({ratio:.2f}x)")
         if ratio > THRESHOLD:
             regressed.append(name)
+    # a query that vanished (crashed, renamed, dropped from bench.py) is
+    # worse than a slow one — fail on it, don't silently skip it
+    missing = sorted(set(bq) - set(nq))
+    for name in missing:
+        print(f"MISSING{name}: {bq[name]:.2f}s in baseline, absent now")
     print(f"\ntotal: {base['value']:.2f}s -> {now['value']:.2f}s")
-    if regressed:
-        print(f"{len(regressed)} regressions over {THRESHOLD}x: {regressed}")
+    if regressed or missing:
+        if regressed:
+            print(f"{len(regressed)} regressions over {THRESHOLD}x: "
+                  f"{regressed}")
+        if missing:
+            print(f"{len(missing)} baseline queries missing: {missing}")
         sys.exit(1)
     print("no per-query regression over threshold")
 
