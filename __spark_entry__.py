@@ -494,6 +494,34 @@ def q_fingerprint_docs(spark, sf_dir):
     return dp_text.fingerprint(docs)
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher §A1.1 quality rules at published defaults; the synthetic
+    corpus (10-99 words/doc, ~1.7 'the'/doc) splits ~50/50 on the
+    min-words and min-stopword-hits rules, so gopher_pass is non-vacuous."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.gopher_quality(docs)
+
+
+def q_c4_stats(spark, sf_dir):
+    """C4 cleaning signals. min_line_words is calibrated to the corpus
+    (single-line docs, median 56 words/line) so short_line_frac varies;
+    the sentence/blocklist columns are constant here by corpus construction
+    but still verify the expression pipeline cross-engine."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.c4_stats(docs, min_line_words=57)
+
+
+def q_repetition_docs(spark, sf_dir):
+    """Gopher repetition signals with thresholds calibrated to the corpus
+    medians (dup2 0.028, top2 0.033, top3 0.021) so repetition_pass splits
+    rather than being all-true at the published large-doc defaults."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.repetition_stats(
+        docs, ns=(2, 3),
+        max_dup_frac={2: 0.03, 3: 0.0},
+        max_top_frac={2: 0.035, 3: 0.02})
+
+
 def q_ann_topk(spark, sf_dir):
     embs = _read(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in
@@ -622,6 +650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint_docs": q_fingerprint_docs,
+        "gopher_quality": q_gopher_quality,
+        "c4_stats": q_c4_stats,
+        "repetition_docs": q_repetition_docs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1160,6 +1191,123 @@ def oracle_sql() -> dict[str, str]:
                              for i in generate_series(1,
                                  greatest(len(w) - 2, 1))]) AS fingerprint
             FROM t
+        """,
+        "gopher_quality": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS w,
+                     string_split(text, chr(10)) AS ls
+              FROM documents
+            ), m AS (
+              SELECT doc_id, len(w) AS n_words,
+                length(regexp_replace(text, '\\s+', '', 'g'))
+                  / greatest(len(w), 1) AS awl,
+                CAST(len(regexp_extract_all(text, '#'))
+                     + len(regexp_extract_all(text, '…|\\.\\.\\.'))
+                     AS DOUBLE) / greatest(len(w), 1) AS symr,
+                CAST(len(list_filter(w,
+                     x -> regexp_matches(x, '[A-Za-z]')))
+                     AS DOUBLE) / greatest(len(w), 1) AS alphaf,
+                len(list_filter(list_transform(w,
+                     x -> regexp_replace(lower(x),
+                         '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                     x -> x IN ('the','be','to','of','and','that',
+                                'have','with'))) AS stop_hits,
+                CAST(len(list_filter(ls,
+                     l -> regexp_matches(trim(l), '^[-*•‣▪]')))
+                     AS DOUBLE) / greatest(len(ls), 1) AS bulletf,
+                CAST(len(list_filter(ls,
+                     l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                     AS DOUBLE) / greatest(len(ls), 1) AS ellf
+              FROM t
+            )
+            SELECT doc_id, n_words,
+                   round(awl, 6) AS avg_word_len,
+                   round(symr, 6) AS symbol_ratio,
+                   round(alphaf, 6) AS alpha_word_frac,
+                   stop_hits AS stopword_hits,
+                   round(bulletf, 6) AS bullet_line_frac,
+                   round(ellf, 6) AS ellipsis_line_frac,
+                   (n_words BETWEEN 50 AND 100000)
+                     AND awl BETWEEN 3.0 AND 10.0
+                     AND symr < 0.1 AND alphaf > 0.8
+                     AND stop_hits >= 2 AND bulletf < 0.9
+                     AND ellf < 0.3 AS gopher_pass
+            FROM m
+        """,
+        "c4_stats": """
+            WITH t AS (
+              SELECT doc_id, text, string_split(text, chr(10)) AS ls
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[.!?]+(\\s|$)'))
+                     AS n_sentences,
+                   len(ls) AS n_lines,
+                   round(CAST(len(list_filter(ls,
+                       l -> len(list_filter(
+                           string_split_regex(trim(l), '\\s+'),
+                           x -> x != '')) < 57)) AS DOUBLE)
+                       / greatest(len(ls), 1), 6) AS short_line_frac,
+                   round(CAST(len(list_filter(ls,
+                       l -> regexp_matches(rtrim(l), '[.!?"'']$')))
+                       AS DOUBLE) / greatest(len(ls), 1), 6)
+                     AS terminal_line_frac,
+                   contains(text, '{') AS has_curly,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   contains(lower(text), 'javascript') AS has_javascript,
+                   len(regexp_extract_all(text, '[.!?]+(\\s|$)')) >= 3
+                     AND NOT contains(text, '{')
+                     AND NOT contains(lower(text), 'lorem ipsum')
+                     AND NOT contains(lower(text), 'javascript') AS c4_pass
+            FROM t
+        """,
+        "repetition_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS w
+              FROM documents
+            ), g2 AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         range(1, greatest(len(w) - 1, 0) + 1),
+                         i -> array_to_string(w[i:i+1], ' '))) AS gram
+              FROM t
+            ), c2 AS (
+              SELECT doc_id, gram, count(*) AS cnt
+              FROM g2 GROUP BY doc_id, gram
+            ), a2 AS (
+              SELECT doc_id,
+                     1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS dup2,
+                     CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top2
+              FROM c2 GROUP BY doc_id
+            ), g3 AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         range(1, greatest(len(w) - 2, 0) + 1),
+                         i -> array_to_string(w[i:i+2], ' '))) AS gram
+              FROM t
+            ), c3 AS (
+              SELECT doc_id, gram, count(*) AS cnt
+              FROM g3 GROUP BY doc_id, gram
+            ), a3 AS (
+              SELECT doc_id,
+                     1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS dup3,
+                     CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top3
+              FROM c3 GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   round(coalesce(dup2, 0.0), 6) AS dup_2gram_frac,
+                   round(coalesce(top2, 0.0), 6) AS top_2gram_frac,
+                   round(coalesce(dup3, 0.0), 6) AS dup_3gram_frac,
+                   round(coalesce(top3, 0.0), 6) AS top_3gram_frac,
+                   coalesce(dup2, 0.0) <= 0.03
+                     AND coalesce(top2, 0.0) <= 0.035
+                     AND coalesce(dup3, 0.0) <= 0.0
+                     AND coalesce(top3, 0.0) <= 0.02 AS repetition_pass
+            FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
         """,
         "ann_topk": """
             WITH q AS (

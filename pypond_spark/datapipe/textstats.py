@@ -115,3 +115,207 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     shingles = F.transform(F.sequence(F.lit(1), count), hasher)
     return spread(df).select(F.col(id_col),
                              F.array_min(shingles).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data quality heuristics (public rule sets)
+#
+# gopher_quality: document-level rules from Rae et al. 2021 ("Scaling
+#   Language Models: ... Gopher", §A1.1 quality filtering).
+# c4_stats: document-level signals from Raffel et al. 2020 (C4 cleaning,
+#   §2.2 of the T5 paper).
+# repetition_stats: intra-document duplicate n-gram fractions (the Gopher
+#   repetition signals, computed over gram counts rather than characters).
+#
+# All three are pure column expressions (scan-speed, no shuffle, no UDF).
+# Thresholds are keyword arguments so callers can tighten them to their
+# corpus; the defaults are the published values.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _lines(text_col: str) -> Column:
+    return F.split(F.col(text_col), "\n")
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", *,
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_avg_word_len: float = 3.0,
+                   max_avg_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   min_alpha_word_frac: float = 0.80,
+                   min_stopword_hits: int = 2,
+                   max_bullet_frac: float = 0.90,
+                   max_ellipsis_frac: float = 0.30) -> DataFrame:
+    """Gopher quality-filter metrics and verdict, one row per document.
+
+    Emits every rule's underlying metric plus ``gopher_pass`` (all rules
+    hold). Rules: word count in [min_words, max_words]; mean word length
+    in [min_avg_word_len, max_avg_word_len]; symbol-to-word ratio
+    ('#', '…', '...') below max_symbol_ratio; fraction of words with
+    at least one alphabetic char above min_alpha_word_frac; at least
+    min_stopword_hits occurrences of GOPHER_STOPWORDS; bullet-start and
+    ellipsis-end line fractions below their maxima.
+    """
+    toks = _tokens(text_col)
+    n_words = F.size(toks)
+    denom_w = F.greatest(n_words, F.lit(1))
+    avg_word_len = (F.length(F.regexp_replace(text_col, r"\s+", "")) /
+                    denom_w)
+    n_symbols = (F.regexp_count(F.col(text_col), F.lit("#")) +
+                 F.regexp_count(F.col(text_col), F.lit("…|\\.\\.\\.")))
+    symbol_ratio = n_symbols.cast("double") / denom_w
+    alpha_word_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / denom_w)
+    stopword_hits = F.size(F.filter(_match_tokens(text_col),
+                                    lambda t: t.isin(*GOPHER_STOPWORDS)))
+    lines = _lines(text_col)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*•‣▪]")))
+        .cast("double") / n_lines)
+    ellipsis_frac = (
+        F.size(F.filter(lines,
+                        lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / n_lines)
+    gopher_pass = (
+        n_words.between(min_words, max_words)
+        & avg_word_len.between(min_avg_word_len, max_avg_word_len)
+        & (symbol_ratio < max_symbol_ratio)
+        & (alpha_word_frac > min_alpha_word_frac)
+        & (stopword_hits >= min_stopword_hits)
+        & (bullet_frac < max_bullet_frac)
+        & (ellipsis_frac < max_ellipsis_frac))
+    return spread(df).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_word_frac, 6).alias("alpha_word_frac"),
+        stopword_hits.alias("stopword_hits"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        gopher_pass.alias("gopher_pass"))
+
+
+def c4_stats(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", *,
+             min_sentences: int = 3,
+             min_line_words: int = 5) -> DataFrame:
+    """C4 cleaning signals, one row per document.
+
+    Emits sentence count (terminal-punctuation runs), line stats (count,
+    fraction shorter than min_line_words words, fraction ending in
+    terminal punctuation), the C4 blocklist triggers (curly brace,
+    'lorem ipsum', 'javascript'), and ``c4_pass``: at least min_sentences
+    sentences and no blocklist trigger.
+    """
+    lines = _lines(text_col)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_sentences = F.regexp_count(F.col(text_col),
+                                 F.lit("[.!?]+(\\s|$)"))
+    short_line_frac = (
+        F.size(F.filter(
+            lines,
+            lambda l: F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                                      lambda t: t != F.lit(""))) <
+            F.lit(min_line_words))).cast("double") / n_lines)
+    terminal_line_frac = (
+        F.size(F.filter(lines,
+                        lambda l: F.rtrim(l).rlike("[.!?\"']$")))
+        .cast("double") / n_lines)
+    lowered = F.lower(F.col(text_col))
+    has_curly = F.col(text_col).contains("{")
+    has_lorem = lowered.contains("lorem ipsum")
+    has_javascript = lowered.contains("javascript")
+    c4_pass = ((n_sentences >= min_sentences)
+               & ~has_curly & ~has_lorem & ~has_javascript)
+    return spread(df).select(
+        F.col(id_col),
+        n_sentences.alias("n_sentences"),
+        F.size(lines).alias("n_lines"),
+        F.round(short_line_frac, 6).alias("short_line_frac"),
+        F.round(terminal_line_frac, 6).alias("terminal_line_frac"),
+        has_curly.alias("has_curly"),
+        has_lorem.alias("has_lorem"),
+        has_javascript.alias("has_javascript"),
+        c4_pass.alias("c4_pass"))
+
+
+def _gram_fold(grams: Column) -> Column:
+    """One fold over the sorted gram array yielding (max run, distinct
+    count) — i.e. the count of the most frequent gram and the number of
+    distinct grams — without exploding rows or shuffling."""
+    sorted_grams = F.array_sort(grams)
+    return F.aggregate(
+        sorted_grams,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).alias("cur"), F.lit(0).alias("best"),
+                 F.lit(0).alias("dist")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc.prev.eqNullSafe(x), acc.cur + 1)
+             .otherwise(F.lit(1)).alias("cur"),
+            F.greatest(F.when(acc.prev.eqNullSafe(x), acc.cur + 1)
+                        .otherwise(F.lit(1)), acc.best).alias("best"),
+            (acc.dist + F.when(acc.prev.eqNullSafe(x), 0)
+                         .otherwise(F.lit(1))).alias("dist")),
+        lambda acc: F.struct(acc.best.alias("best"), acc.dist.alias("dist")))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", *,
+                     ns: tuple = (2, 3),
+                     max_dup_frac: dict | None = None,
+                     max_top_frac: dict | None = None) -> DataFrame:
+    """Duplicate word-n-gram fractions per document (Gopher repetition
+    signals). For each n in ``ns`` emits ``dup_{n}gram_frac`` (fraction of
+    n-gram slots occupied by a repeat: 1 - distinct/total) and
+    ``top_{n}gram_frac`` (count of the most frequent n-gram / total),
+    plus ``repetition_pass``.
+
+    Default thresholds follow Gopher §A1.1 (dup 2-gram 0.20, 3-gram 0.18,
+    4-gram 0.16; top 2-gram 0.20, 3-gram 0.18, 4-gram 0.16), applied to
+    gram-count fractions rather than the paper's character fractions.
+
+    Scale note: everything stays inside one projection — the fold in
+    `_gram_fold` is O(g log g) per document in the document's own gram
+    count, so cost is bounded by row width, never corpus size. Catalyst
+    does not CSE the gram-array subexpression across the per-n metric
+    pairs; each n recomputes its grams a constant number of times
+    (acceptable: grams are cheap transforms over the token array).
+    """
+    dup_default = {2: 0.20, 3: 0.18, 4: 0.16}
+    top_default = {2: 0.20, 3: 0.18, 4: 0.16}
+    max_dup_frac = {**dup_default, **(max_dup_frac or {})}
+    max_top_frac = {**top_default, **(max_top_frac or {})}
+    toks = _tokens(text_col)
+    cols = [F.col(id_col)]
+    pass_expr = F.lit(True)
+    for n in ns:
+        count = F.size(toks) - (n - 1)
+        # sequence(1, 0) is DESCENDING [1, 0], not empty — guard short docs
+        idx = F.when(count > 0, F.sequence(F.lit(1), count)) \
+               .otherwise(F.array().cast("array<int>"))
+        # NB: a second lambda param would be bound to the array *index* by
+        # F.transform, so n must be captured by closure (evaluated eagerly).
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))))
+        fold = _gram_fold(grams)
+        total = F.size(grams)
+        dup_frac = F.when(
+            total > 0,
+            F.lit(1.0) - fold.dist.cast("double") / total).otherwise(0.0)
+        top_frac = F.when(
+            total > 0,
+            fold.best.cast("double") / total).otherwise(0.0)
+        cols.append(F.round(dup_frac, 6).alias(f"dup_{n}gram_frac"))
+        cols.append(F.round(top_frac, 6).alias(f"top_{n}gram_frac"))
+        pass_expr = (pass_expr
+                     & (dup_frac <= max_dup_frac.get(n, 1.0))
+                     & (top_frac <= max_top_frac.get(n, 1.0)))
+    cols.append(pass_expr.alias("repetition_pass"))
+    return spread(df).select(*cols)

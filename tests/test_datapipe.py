@@ -312,3 +312,77 @@ def test_dedup_documents_end_to_end(spark, docs):
         i = r["doc_id"]
         assert rows[i] == (i, True)                      # original kept
         assert rows[i + 1_000_000] == (i, False)         # clone clustered
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule trips on a purpose-built doc; the clean doc passes."""
+    good = " ".join(["the", "quick", "brown", "fox", "jumps", "with",
+                     "energy", "and", "clear", "purpose"] * 6)  # 60 words
+    short = "the quick brown fox with energy"                   # 6 words
+    numeric = " ".join(["12345"] * 60)                          # no alpha
+    bullets = "\n".join(["- item one here today"] * 10)
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, numeric), (4, bullets)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            textstats.gopher_quality(df).collect()}
+    assert rows[1]["n_words"] == 60
+    assert rows[1]["gopher_pass"] is True
+    assert rows[2]["n_words"] == 6 and rows[2]["gopher_pass"] is False
+    assert rows[3]["alpha_word_frac"] == 0.0
+    assert rows[3]["gopher_pass"] is False
+    assert rows[4]["bullet_line_frac"] == 1.0
+    assert rows[4]["gopher_pass"] is False
+    # stopword rule: 60 alpha words but zero Gopher stopwords
+    nostop = " ".join(["lorem", "dolor", "amet", "elit", "magna"] * 12)
+    r = textstats.gopher_quality(
+        spark.createDataFrame([(9, nostop)], "doc_id long, text string")
+    ).collect()[0]
+    assert r["stopword_hits"] == 0 and r["gopher_pass"] is False
+
+
+def test_c4_stats_signals(spark):
+    clean = ("This is a fine sentence. Here is another one! "
+             "And a third one?\nA final line with many words here.")
+    curly = "if (x) { return y; }. More text. Even more."
+    lorem = "Lorem ipsum dolor sit amet. More. Text."
+    js = "Please enable JavaScript to view this page. Thanks. Bye."
+    df = spark.createDataFrame(
+        [(1, clean), (2, curly), (3, lorem), (4, js)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in textstats.c4_stats(df).collect()}
+    assert rows[1]["n_sentences"] == 4 and rows[1]["n_lines"] == 2
+    assert rows[1]["c4_pass"] is True
+    assert rows[2]["has_curly"] is True and rows[2]["c4_pass"] is False
+    assert rows[3]["has_lorem"] is True and rows[3]["c4_pass"] is False
+    assert rows[4]["has_javascript"] is True and rows[4]["c4_pass"] is False
+    # terminal_line_frac: both lines of doc 1 end in . or ?
+    assert rows[1]["terminal_line_frac"] == 1.0
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "a b a b a b": 2-grams = [ab, ba, ab, ba, ab] -> dup 1-2/5, top 3/5
+    #                3-grams = [aba, bab, aba, bab] -> dup 0.5, top 0.5
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),
+         (2, "all words here fully distinct tokens"),
+         (3, "solo")],
+        "doc_id long, text string")
+    # tiny docs have high top-gram fractions by construction (1/4 > the
+    # Gopher default 0.18), so loosen the top thresholds to isolate dup
+    rows = {r["doc_id"]: r for r in
+            textstats.repetition_stats(
+                df, ns=(2, 3),
+                max_top_frac={2: 0.5, 3: 0.5}).collect()}
+    assert rows[1]["dup_2gram_frac"] == pytest.approx(1 - 2 / 5)
+    assert rows[1]["top_2gram_frac"] == pytest.approx(3 / 5)
+    assert rows[1]["dup_3gram_frac"] == pytest.approx(0.5)
+    assert rows[1]["top_3gram_frac"] == pytest.approx(0.5)
+    assert rows[1]["repetition_pass"] is False
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    assert rows[2]["top_2gram_frac"] == pytest.approx(1 / 5)
+    assert rows[2]["repetition_pass"] is True
+    # 1-word doc: no grams at all (sequence guard), fractions are 0
+    assert rows[3]["dup_2gram_frac"] == 0.0
+    assert rows[3]["top_2gram_frac"] == 0.0
+    assert rows[3]["repetition_pass"] is True
