@@ -53,11 +53,22 @@ def main() -> None:
      .groupBy("l_returnflag").agg(F.count("*")).collect())
 
     qs = entry.queries()
+    # Two passes, min per query: a single GC pause or page-cache miss can
+    # inflate one measurement 10-20x (observed: 3.7s query reading 54.7s
+    # once), and min-of-2 is the cheapest robust estimator of steady-state
+    # cost. Pass 2 skips anything that already ran >15s to bound total time.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for rep in range(2):
+        for name in HEADLINE:
+            if rep and timings.get(name, 0.0) > 15.0:
+                continue
+            t0 = time.time()
+            (qs[name](spark, sf_dir)
+             .write.format("noop").mode("overwrite").save())
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    timings = {name: timings[name] for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
