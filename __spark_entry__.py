@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pypond_spark import TimeSeries
+from pypond_spark.datapipe import decontam as dp_decon
 from pypond_spark.datapipe import dedup as dp_dedup
 from pypond_spark.datapipe import multimodal as dp_mm
 from pypond_spark.datapipe import similarity as dp_sim
@@ -511,6 +512,19 @@ def q_c4_stats(spark, sf_dir):
     return dp_text.c4_stats(docs, min_line_words=57)
 
 
+def q_decontam_docs(spark, sf_dir):
+    """Decontamination demo: docs 0-24 stand in for the benchmark suite;
+    every other document is scored against their 3-gram set (n=3 and
+    min_hits=3 are corpus-calibrated: the 31-word synthetic vocabulary
+    makes 3-gram collisions common enough that 214/475 docs trip the
+    threshold, so both output columns vary; real corpora use n=8..13)."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 25)
+    grams = dp_decon.benchmark_grams(bench, n=3)
+    return dp_decon.decontaminate(docs.where(F.col("doc_id") >= 25),
+                                  grams, n=3, min_hits=3)
+
+
 def q_repetition_docs(spark, sf_dir):
     """Gopher repetition signals with thresholds calibrated to the corpus
     medians (dup2 0.028, top2 0.033, top3 0.021) so repetition_pass splits
@@ -653,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_stats": q_c4_stats,
         "repetition_docs": q_repetition_docs,
+        "decontam_docs": q_decontam_docs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1308,6 +1323,32 @@ def oracle_sql() -> dict[str, str]:
                      AND coalesce(dup3, 0.0) <= 0.0
                      AND coalesce(top3, 0.0) <= 0.02 AS repetition_pass
             FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+        """,
+        "decontam_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest([array_to_string(w[i:i+2], ' ')
+                             for i in generate_series(1,
+                                 greatest(len(w) - 2, 1))]) AS gram
+              FROM t
+            ), bench AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id < 25
+            ), hits AS (
+              SELECT g.doc_id,
+                     count(DISTINCT g.gram) AS contaminated_grams
+              FROM g JOIN bench USING (gram)
+              WHERE g.doc_id >= 25 GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.contaminated_grams, 0) AS contaminated_grams,
+                   coalesce(h.contaminated_grams, 0) >= 3 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         "ann_topk": """
             WITH q AS (

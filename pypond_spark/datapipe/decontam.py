@@ -1,0 +1,62 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark corpus.
+
+This is the training-data hygiene step from the GPT-3 / PaLM / Llama data
+pipelines (Brown et al. 2020 appendix C measures eval overlap with 13-gram
+collisions): any document that reproduces enough consecutive tokens of a
+benchmark item must be culled so downstream evals stay uncontaminated.
+
+Scale design: the benchmark side is small (eval suites are thousands of
+items, megabytes of text) while the corpus side is the 100 TB table, so the
+benchmark's distinct-gram set is broadcast and the corpus side never
+shuffles its text — grams explode map-side, hit-counting uses a broadcast
+hash semi-join plus a partial-aggregated groupBy that only carries
+(doc_id, gram-hash) for *matching* grams. Cost is one scan of the corpus,
+linear in token count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pypond_spark.datapipe.dedup import word_shingles
+
+
+def benchmark_grams(bench: DataFrame, text_col: str = "text", n: int = 13,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-grams of the benchmark corpus: one ``shingle`` column.
+
+    The distinct() shuffles only the (small) benchmark side. Collect the
+    result once and reuse it across corpus partitions/days — it is a pure
+    function of the benchmark suite.
+    """
+    return (word_shingles(bench, text_col, n, id_col)
+            .select("shingle").distinct())
+
+
+def decontaminate(docs: DataFrame, bench_grams: DataFrame,
+                  text_col: str = "text", n: int = 13, min_hits: int = 1,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document contamination verdict against a benchmark gram set.
+
+    Returns every input document with ``contaminated_grams`` (count of
+    distinct n-grams shared with the benchmark) and ``contaminated``
+    (shared-gram count >= min_hits). ``bench_grams`` must use the same
+    ``n`` (build it with :func:`benchmark_grams`).
+
+    The benchmark side is broadcast — no shuffle of the corpus text; the
+    only corpus-wide movement is (doc_id, matched-gram) pairs for documents
+    that actually overlap, which at sane n (8-13 words) is a vanishing
+    fraction of the corpus.
+    """
+    grams = word_shingles(docs, text_col, n, id_col)
+    hits = (grams.join(F.broadcast(bench_grams), "shingle")
+            .groupBy(id_col)
+            .agg(F.count_distinct("shingle").alias("contaminated_grams")))
+    return (docs.select(id_col).join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("contaminated_grams", F.lit(0))
+                     .alias("contaminated_grams"),
+                    (F.coalesce("contaminated_grams", F.lit(0))
+                     >= F.lit(min_hits)).alias("contaminated")))

@@ -5,7 +5,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from pypond_spark.datapipe import dedup, multimodal, similarity, textstats
+from pypond_spark.datapipe import (decontam, dedup, multimodal, similarity,
+                                   textstats)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
@@ -386,3 +387,26 @@ def test_repetition_stats_hand_computed(spark):
     assert rows[3]["dup_2gram_frac"] == 0.0
     assert rows[3]["top_2gram_frac"] == 0.0
     assert rows[3]["repetition_pass"] is True
+
+
+def test_decontaminate_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "totally unrelated words appear in this document"),
+         (2, "he said the quick brown fox jumps high today"),
+         (3, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    grams = decontam.benchmark_grams(bench, n=3)
+    out = {r["doc_id"]: r for r in
+           decontam.decontaminate(docs, grams, n=3, min_hits=2).collect()}
+    assert out[1]["contaminated_grams"] == 0
+    assert out[1]["contaminated"] is False
+    # doc2 shares exactly "the quick brown", "quick brown fox",
+    # "brown fox jumps" with the benchmark
+    assert out[2]["contaminated_grams"] == 3
+    assert out[2]["contaminated"] is True
+    # exact clone: all 7 of its 3-grams are benchmark grams
+    assert out[3]["contaminated_grams"] == 7
+    assert out[3]["contaminated"] is True
