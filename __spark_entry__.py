@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pypond_spark import TimeSeries
+from pypond_spark.datapipe import corpus as dp_corpus
 from pypond_spark.datapipe import decontam as dp_decon
 from pypond_spark.datapipe import dedup as dp_dedup
 from pypond_spark.datapipe import multimodal as dp_mm
@@ -512,6 +513,21 @@ def q_c4_stats(spark, sf_dir):
     return dp_text.c4_stats(docs, min_line_words=57)
 
 
+def q_corpus_filter(spark, sf_dir):
+    """End-to-end corpus filter: Gopher rules + repetition signals + exact
+    dedup in one pass, with an auditable cull_reason per document. The
+    synthetic corpus has no exact duplicates, so docs 0-24 are re-unioned
+    under shifted ids to exercise the duplicate stage; repetition
+    thresholds are the corpus-calibrated ones (see q_repetition_docs)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = (docs.where(F.col("doc_id") < 25)
+              .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return dp_corpus.filter_corpus(
+        docs.unionAll(clones),
+        repetition={"max_dup_frac": {2: 0.03, 3: 0.0},
+                    "max_top_frac": {2: 0.035, 3: 0.02}})
+
+
 def q_decontam_docs(spark, sf_dir):
     """Decontamination demo: docs 0-24 stand in for the benchmark suite;
     every other document is scored against their 3-gram set (n=3 and
@@ -668,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_stats": q_c4_stats,
         "repetition_docs": q_repetition_docs,
         "decontam_docs": q_decontam_docs,
+        "corpus_filter": q_corpus_filter,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1349,6 +1366,93 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.contaminated_grams, 0) >= 3 AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "corpus_filter": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id < 25
+            ), t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS w,
+                     string_split(text, chr(10)) AS ls
+              FROM corpus
+            ), gq AS (
+              SELECT doc_id,
+                (len(w) BETWEEN 50 AND 100000)
+                AND (length(regexp_replace(text, '\\s+', '', 'g'))
+                     / greatest(len(w), 1)) BETWEEN 3.0 AND 10.0
+                AND (CAST(len(regexp_extract_all(text, '#'))
+                     + len(regexp_extract_all(text, '…|\\.\\.\\.'))
+                     AS DOUBLE) / greatest(len(w), 1)) < 0.1
+                AND (CAST(len(list_filter(w,
+                     x -> regexp_matches(x, '[A-Za-z]')))
+                     AS DOUBLE) / greatest(len(w), 1)) > 0.8
+                AND len(list_filter(list_transform(w,
+                     x -> regexp_replace(lower(x),
+                         '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                     x -> x IN ('the','be','to','of','and','that',
+                                'have','with'))) >= 2
+                AND (CAST(len(list_filter(ls,
+                     l -> regexp_matches(trim(l), '^[-*•‣▪]')))
+                     AS DOUBLE) / greatest(len(ls), 1)) < 0.9
+                AND (CAST(len(list_filter(ls,
+                     l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                     AS DOUBLE) / greatest(len(ls), 1)) < 0.3
+                AS gopher_pass
+              FROM t
+            ), g2 AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         range(1, greatest(len(w) - 1, 0) + 1),
+                         i -> array_to_string(w[i:i+1], ' '))) AS gram
+              FROM t
+            ), c2 AS (
+              SELECT doc_id, gram, count(*) AS cnt
+              FROM g2 GROUP BY doc_id, gram
+            ), a2 AS (
+              SELECT doc_id,
+                     1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS dup2,
+                     CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top2
+              FROM c2 GROUP BY doc_id
+            ), g3 AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         range(1, greatest(len(w) - 2, 0) + 1),
+                         i -> array_to_string(w[i:i+2], ' '))) AS gram
+              FROM t
+            ), c3 AS (
+              SELECT doc_id, gram, count(*) AS cnt
+              FROM g3 GROUP BY doc_id, gram
+            ), a3 AS (
+              SELECT doc_id,
+                     1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS dup3,
+                     CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top3
+              FROM c3 GROUP BY doc_id
+            ), rep AS (
+              SELECT t.doc_id,
+                     coalesce(dup2, 0.0) <= 0.03
+                       AND coalesce(top2, 0.0) <= 0.035
+                       AND coalesce(dup3, 0.0) <= 0.0
+                       AND coalesce(top3, 0.0) <= 0.02 AS repetition_pass
+              FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+            ), canon AS (
+              SELECT doc_id,
+                     doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                       AS is_canonical
+              FROM corpus
+            )
+            SELECT t.doc_id, gopher_pass, repetition_pass, is_canonical,
+                   gopher_pass AND repetition_pass AND is_canonical AS kept,
+                   CASE WHEN NOT is_canonical THEN 'duplicate'
+                        WHEN NOT gopher_pass THEN 'gopher'
+                        WHEN NOT repetition_pass THEN 'repetition'
+                        ELSE NULL END AS cull_reason
+            FROM t
+            JOIN gq USING (doc_id) JOIN rep USING (doc_id)
+            JOIN canon USING (doc_id)
         """,
         "ann_topk": """
             WITH q AS (

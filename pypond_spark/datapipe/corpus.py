@@ -1,0 +1,95 @@
+"""End-to-end training-corpus filtering: quality rules + dedup + decontam
+composed into one kept/culled verdict per document.
+
+This is the shape of a real pretraining data pipeline (C4, Gopher/MassiveText,
+RefinedWeb all chain the same stages): document-level quality heuristics,
+then duplicate removal, then benchmark decontamination, with a recorded
+reason for every culled document so the pipeline is auditable.
+
+Scale design: every quality signal is a pure column expression, so all of
+them are computed in ONE projection over the scan — composing filters adds
+zero shuffles. The only shuffles are the ones the semantics force: a
+hash-partition on the content digest for exact dedup (window min, one
+exchange) and, when a benchmark is supplied, the slim (doc_id, hits) join
+from :mod:`decontam` (benchmark side broadcast). No metric-table joins, no
+per-stage passes over the text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pypond_spark.datapipe import textstats
+from pypond_spark.datapipe._util import spread
+from pypond_spark.datapipe.decontam import decontaminate
+
+
+def filter_corpus(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *,
+                  gopher: dict | None | bool = None,
+                  repetition: dict | None | bool = None,
+                  c4: dict | None | bool = False,
+                  dedup: bool = True,
+                  bench_grams: DataFrame | None = None,
+                  decontam_n: int = 13,
+                  decontam_min_hits: int = 1) -> DataFrame:
+    """One row per document: pass flags per stage, ``kept``, ``cull_reason``.
+
+    Stage toggles: ``gopher`` / ``repetition`` / ``c4`` take a threshold
+    dict (``{}``/None for published defaults, ``False`` to skip the stage);
+    ``dedup`` keeps only the min-id document per exact content digest;
+    ``bench_grams`` (from :func:`decontam.benchmark_grams`) enables
+    decontamination. ``cull_reason`` is the first failing stage in
+    precedence order duplicate > contaminated > gopher > repetition > c4,
+    NULL for kept documents.
+    """
+    flags: list[str] = []
+    cols = [F.col(id_col)]
+    if gopher is not False:
+        cols.append(textstats.gopher_exprs(
+            text_col, **(gopher or {}))[-1])
+        flags.append("gopher_pass")
+    if repetition is not False:
+        cols.append(textstats.repetition_exprs(
+            text_col, **(repetition or {}))[-1])
+        flags.append("repetition_pass")
+    if c4 is not False:
+        cols.append(textstats.c4_exprs(text_col, **(c4 or {}))[-1])
+        flags.append("c4_pass")
+    if dedup:
+        cols.append(F.md5(F.col(text_col)).alias("__digest"))
+    base = spread(docs).select(*cols)
+
+    if dedup:
+        keep = F.min(id_col).over(Window.partitionBy("__digest"))
+        base = (base.withColumn("is_canonical", F.col(id_col) == keep)
+                .drop("__digest"))
+        flags.append("is_canonical")
+    if bench_grams is not None:
+        hits = decontaminate(docs, bench_grams, text_col, decontam_n,
+                             decontam_min_hits, id_col) \
+            .select(id_col, "contaminated")
+        base = base.join(hits, id_col, "left") \
+            .withColumn("contaminated",
+                        F.coalesce("contaminated", F.lit(False)))
+
+    kept = F.lit(True)
+    for f in flags:
+        kept = kept & F.col(f)
+    reason = F.lit(None).cast("string")
+    # build the when-chain in reverse so the first condition wins
+    precedence = [("c4_pass", "c4"), ("repetition_pass", "repetition"),
+                  ("gopher_pass", "gopher")]
+    for f, label in precedence:
+        if f in flags:
+            reason = F.when(~F.col(f), F.lit(label)).otherwise(reason)
+    if bench_grams is not None:
+        kept = kept & ~F.col("contaminated")
+        reason = F.when(F.col("contaminated"),
+                        F.lit("contaminated")).otherwise(reason)
+    if dedup:
+        reason = F.when(~F.col("is_canonical"),
+                        F.lit("duplicate")).otherwise(reason)
+    return base.withColumn("kept", kept) \
+        .withColumn("cull_reason", reason)

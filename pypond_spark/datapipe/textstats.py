@@ -139,25 +139,20 @@ def _lines(text_col: str) -> Column:
     return F.split(F.col(text_col), "\n")
 
 
-def gopher_quality(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id", *,
-                   min_words: int = 50, max_words: int = 100_000,
-                   min_avg_word_len: float = 3.0,
-                   max_avg_word_len: float = 10.0,
-                   max_symbol_ratio: float = 0.1,
-                   min_alpha_word_frac: float = 0.80,
-                   min_stopword_hits: int = 2,
-                   max_bullet_frac: float = 0.90,
-                   max_ellipsis_frac: float = 0.30) -> DataFrame:
-    """Gopher quality-filter metrics and verdict, one row per document.
+def gopher_exprs(text_col: str = "text", *,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_avg_word_len: float = 3.0,
+                 max_avg_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_word_frac: float = 0.80,
+                 min_stopword_hits: int = 2,
+                 max_bullet_frac: float = 0.90,
+                 max_ellipsis_frac: float = 0.30) -> list[Column]:
+    """Column expressions for the Gopher rules (shared by
+    :func:`gopher_quality` and :func:`corpus.filter_corpus` so composed
+    pipelines stay a single projection instead of joining metric tables).
 
-    Emits every rule's underlying metric plus ``gopher_pass`` (all rules
-    hold). Rules: word count in [min_words, max_words]; mean word length
-    in [min_avg_word_len, max_avg_word_len]; symbol-to-word ratio
-    ('#', '…', '...') below max_symbol_ratio; fraction of words with
-    at least one alphabetic char above min_alpha_word_frac; at least
-    min_stopword_hits occurrences of GOPHER_STOPWORDS; bullet-start and
-    ellipsis-end line fractions below their maxima.
+    Returns aliased metric columns ending with ``gopher_pass``.
     """
     toks = _tokens(text_col)
     n_words = F.size(toks)
@@ -189,8 +184,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
         & (stopword_hits >= min_stopword_hits)
         & (bullet_frac < max_bullet_frac)
         & (ellipsis_frac < max_ellipsis_frac))
-    return spread(df).select(
-        F.col(id_col),
+    return [
         n_words.alias("n_words"),
         F.round(avg_word_len, 6).alias("avg_word_len"),
         F.round(symbol_ratio, 6).alias("symbol_ratio"),
@@ -198,20 +192,33 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
         stopword_hits.alias("stopword_hits"),
         F.round(bullet_frac, 6).alias("bullet_line_frac"),
         F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
-        gopher_pass.alias("gopher_pass"))
+        gopher_pass.alias("gopher_pass"),
+    ]
 
 
-def c4_stats(df: DataFrame, text_col: str = "text",
-             id_col: str = "doc_id", *,
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", **thresholds) -> DataFrame:
+    """Gopher quality-filter metrics and verdict, one row per document.
+
+    Emits every rule's underlying metric plus ``gopher_pass`` (all rules
+    hold). Rules (Rae et al. 2021 §A1.1): word count in
+    [min_words, max_words]; mean word length in [min_avg_word_len,
+    max_avg_word_len]; symbol-to-word ratio ('#', '…', '...') below
+    max_symbol_ratio; fraction of words with at least one alphabetic char
+    above min_alpha_word_frac; at least min_stopword_hits occurrences of
+    GOPHER_STOPWORDS; bullet-start and ellipsis-end line fractions below
+    their maxima. Threshold keywords are those of :func:`gopher_exprs`.
+    """
+    return spread(df).select(F.col(id_col),
+                             *gopher_exprs(text_col, **thresholds))
+
+
+def c4_exprs(text_col: str = "text", *,
              min_sentences: int = 3,
-             min_line_words: int = 5) -> DataFrame:
-    """C4 cleaning signals, one row per document.
-
-    Emits sentence count (terminal-punctuation runs), line stats (count,
-    fraction shorter than min_line_words words, fraction ending in
-    terminal punctuation), the C4 blocklist triggers (curly brace,
-    'lorem ipsum', 'javascript'), and ``c4_pass``: at least min_sentences
-    sentences and no blocklist trigger.
+             min_line_words: int = 5) -> list[Column]:
+    """Column expressions for the C4 signals (shared by :func:`c4_stats`
+    and :func:`corpus.filter_corpus`). Returns metric/flag columns ending
+    with ``c4_pass``.
     """
     lines = _lines(text_col)
     n_lines = F.greatest(F.size(lines), F.lit(1))
@@ -233,8 +240,7 @@ def c4_stats(df: DataFrame, text_col: str = "text",
     has_javascript = lowered.contains("javascript")
     c4_pass = ((n_sentences >= min_sentences)
                & ~has_curly & ~has_lorem & ~has_javascript)
-    return spread(df).select(
-        F.col(id_col),
+    return [
         n_sentences.alias("n_sentences"),
         F.size(lines).alias("n_lines"),
         F.round(short_line_frac, 6).alias("short_line_frac"),
@@ -242,7 +248,23 @@ def c4_stats(df: DataFrame, text_col: str = "text",
         has_curly.alias("has_curly"),
         has_lorem.alias("has_lorem"),
         has_javascript.alias("has_javascript"),
-        c4_pass.alias("c4_pass"))
+        c4_pass.alias("c4_pass"),
+    ]
+
+
+def c4_stats(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", **thresholds) -> DataFrame:
+    """C4 cleaning signals, one row per document.
+
+    Emits sentence count (terminal-punctuation runs), line stats (count,
+    fraction shorter than min_line_words words, fraction ending in
+    terminal punctuation), the C4 blocklist triggers (curly brace,
+    'lorem ipsum', 'javascript'), and ``c4_pass``: at least min_sentences
+    sentences and no blocklist trigger (Raffel et al. 2020 §2.2).
+    Threshold keywords are those of :func:`c4_exprs`.
+    """
+    return spread(df).select(F.col(id_col),
+                             *c4_exprs(text_col, **thresholds))
 
 
 def _gram_fold(grams: Column) -> Column:
@@ -266,34 +288,20 @@ def _gram_fold(grams: Column) -> Column:
         lambda acc: F.struct(acc.best.alias("best"), acc.dist.alias("dist")))
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id", *,
+def repetition_exprs(text_col: str = "text", *,
                      ns: tuple = (2, 3),
                      max_dup_frac: dict | None = None,
-                     max_top_frac: dict | None = None) -> DataFrame:
-    """Duplicate word-n-gram fractions per document (Gopher repetition
-    signals). For each n in ``ns`` emits ``dup_{n}gram_frac`` (fraction of
-    n-gram slots occupied by a repeat: 1 - distinct/total) and
-    ``top_{n}gram_frac`` (count of the most frequent n-gram / total),
-    plus ``repetition_pass``.
-
-    Default thresholds follow Gopher §A1.1 (dup 2-gram 0.20, 3-gram 0.18,
-    4-gram 0.16; top 2-gram 0.20, 3-gram 0.18, 4-gram 0.16), applied to
-    gram-count fractions rather than the paper's character fractions.
-
-    Scale note: everything stays inside one projection — the fold in
-    `_gram_fold` is O(g log g) per document in the document's own gram
-    count, so cost is bounded by row width, never corpus size. Catalyst
-    does not CSE the gram-array subexpression across the per-n metric
-    pairs; each n recomputes its grams a constant number of times
-    (acceptable: grams are cheap transforms over the token array).
+                     max_top_frac: dict | None = None) -> list[Column]:
+    """Column expressions for the repetition signals (shared by
+    :func:`repetition_stats` and :func:`corpus.filter_corpus`). Returns
+    per-n dup/top fraction columns ending with ``repetition_pass``.
     """
     dup_default = {2: 0.20, 3: 0.18, 4: 0.16}
     top_default = {2: 0.20, 3: 0.18, 4: 0.16}
     max_dup_frac = {**dup_default, **(max_dup_frac or {})}
     max_top_frac = {**top_default, **(max_top_frac or {})}
     toks = _tokens(text_col)
-    cols = [F.col(id_col)]
+    cols = []
     pass_expr = F.lit(True)
     for n in ns:
         count = F.size(toks) - (n - 1)
@@ -318,4 +326,28 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                      & (dup_frac <= max_dup_frac.get(n, 1.0))
                      & (top_frac <= max_top_frac.get(n, 1.0)))
     cols.append(pass_expr.alias("repetition_pass"))
-    return spread(df).select(*cols)
+    return cols
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", **kwargs) -> DataFrame:
+    """Duplicate word-n-gram fractions per document (Gopher repetition
+    signals). For each n in ``ns`` emits ``dup_{n}gram_frac`` (fraction of
+    n-gram slots occupied by a repeat: 1 - distinct/total) and
+    ``top_{n}gram_frac`` (count of the most frequent n-gram / total),
+    plus ``repetition_pass``. Keywords are those of
+    :func:`repetition_exprs`.
+
+    Default thresholds follow Gopher §A1.1 (dup 2-gram 0.20, 3-gram 0.18,
+    4-gram 0.16; top likewise), applied to gram-count fractions rather
+    than the paper's character fractions.
+
+    Scale note: everything stays inside one projection — the fold in
+    `_gram_fold` is O(g log g) per document in the document's own gram
+    count, so cost is bounded by row width, never corpus size. Catalyst
+    does not CSE the gram-array subexpression across the per-n metric
+    pairs; each n recomputes its grams a constant number of times
+    (acceptable: grams are cheap transforms over the token array).
+    """
+    return spread(df).select(F.col(id_col),
+                             *repetition_exprs(text_col, **kwargs))

@@ -410,3 +410,34 @@ def test_decontaminate_planted_overlap(spark):
     # exact clone: all 7 of its 3-grams are benchmark grams
     assert out[3]["contaminated_grams"] == 7
     assert out[3]["contaminated"] is True
+
+
+def test_filter_corpus_reasons(spark):
+    from pypond_spark.datapipe import corpus
+    stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    # 60 words, every 2-gram unique: stopwords interleaved with fresh fillers
+    good = " ".join(f"{stop[i % 8]} word{i:02d}" for i in range(30))
+    repetitive = " ".join(
+        "the cat sat with a big red hat and one more".split() * 6)
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, good),            # exact duplicate of 1
+         (3, "too short"),     # gopher min_words fail
+         (4, repetitive)],     # gopher-clean but dup-2gram heavy
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.filter_corpus(
+        docs, repetition={"max_dup_frac": {2: 0.2, 3: 0.2}}).collect()}
+    assert out[1]["kept"] is True and out[1]["cull_reason"] is None
+    assert out[2]["kept"] is False and out[2]["cull_reason"] == "duplicate"
+    assert out[3]["cull_reason"] == "gopher"
+    assert out[4]["gopher_pass"] is True
+    assert out[4]["cull_reason"] == "repetition"
+    # decontamination stage + precedence below duplicate
+    bench = decontam.benchmark_grams(
+        spark.createDataFrame([(99, good)], "doc_id long, text string"), n=3)
+    out2 = {r["doc_id"]: r for r in corpus.filter_corpus(
+        docs, repetition={"max_dup_frac": {2: 0.2, 3: 0.2}},
+        bench_grams=bench, decontam_n=3).collect()}
+    assert out2[1]["cull_reason"] == "contaminated"
+    assert out2[2]["cull_reason"] == "duplicate"
+    assert out2[3]["contaminated"] is False
