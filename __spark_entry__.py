@@ -33,10 +33,15 @@ def _ensure_confs(spark: SparkSession) -> None:
 
     - ``nanosAsLong``: events.parquet is TIMESTAMP(NANOS), which Spark 4
       rejects outright without it (runtime-settable, verified);
+    - ``inferTimestampNTZ`` off: naive-micros parquet (isAdjustedToUTC=false)
+      must read as plain TIMESTAMP holding the stored micros-since-epoch —
+      the same instant DuckDB sees — not as TIMESTAMP_NTZ, which breaks
+      ``unix_millis`` and every epoch-ms projection;
     - session timezone UTC: calendar bucketing (date_trunc/date_format) on
       TZ-aware timestamps must agree with DuckDB's naive-UTC reading.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     _ship_package(spark)
 
@@ -95,6 +100,10 @@ def _events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # Defense in depth if inferTimestampNTZ couldn't be disabled: session
+        # tz is pinned UTC above, so a plain cast keeps the stored instant.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -168,6 +177,8 @@ def q_stream_rollup_1h(spark, sf_dir):
     sdf = spark.readStream.schema(batch.schema).parquet(link_dir)
     if isinstance(batch.schema["ts"].dataType, T.LongType):
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(batch.schema["ts"].dataType, T.TimestampNTZType):
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     sdf = sdf.withColumnRenamed("ts", "time")
     out, mode = windowed_stream_aggregate(
         sdf, {"v_sum": {"value": "sum"}, "n": {"value": "count"}},

@@ -62,6 +62,9 @@ class TimeSeries:
         df = spark.read.parquet(path)
         if time_col != "time":
             df = df.withColumnRenamed(time_col, "time")
+        if dict(df.dtypes).get("time") == "timestamp_ntz":
+            # naive timestamps carry the stored instant; session tz is UTC
+            df = df.withColumn("time", F.col("time").cast("timestamp"))
         if payload is not None:
             df = df.select("time", *payload)
         return cls(df, "time", {"name": name or path})

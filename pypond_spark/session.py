@@ -28,6 +28,9 @@ def get_spark(app_name: str = "pypond_spark",
         # read TIMESTAMP(NANOS) parquet (unsupported natively) as long nanos;
         # loaders convert with integer division to keep full precision
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive-micros parquet must read as plain TIMESTAMP (stored micros ==
+        # UTC instant), not TIMESTAMP_NTZ — keeps unix_millis/epoch math valid
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions
                     or os.environ.get("SPARK_GRAFT_SHUFFLE", "32")))

@@ -25,6 +25,9 @@ def _normalize(df, time_col: str, payload: Sequence[str] | None):
         df = df.withColumnRenamed(time_col, "time")
     if dict(df.dtypes).get("time") in ("bigint", "long"):
         df = df.withColumn("time", F.timestamp_millis(F.col("time")))
+    elif dict(df.dtypes).get("time") == "timestamp_ntz":
+        # naive timestamps carry the stored instant; session tz is UTC
+        df = df.withColumn("time", F.col("time").cast("timestamp"))
     if payload is not None:
         df = df.select("time", *payload)
     return df
