@@ -19,6 +19,8 @@ from pypond_spark.datapipe import corpus as dp_corpus
 from pypond_spark.datapipe import decontam as dp_decon
 from pypond_spark.datapipe import dedup as dp_dedup
 from pypond_spark.datapipe import multimodal as dp_mm
+from pypond_spark.datapipe import privacy as dp_priv
+from pypond_spark.datapipe import sampling as dp_sample
 from pypond_spark.datapipe import similarity as dp_sim
 from pypond_spark.datapipe import textstats as dp_text
 from pypond_spark.operators import merge as merge_ops
@@ -654,6 +656,73 @@ def q_multimodal_decode_audio(spark, sf_dir):
                       "peak", F.round("rms", 6).alias("rms"))
 
 
+# ---------------------------------------------------------------------------
+# sampling / mixing / packing / privacy (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def _salted_pii(docs):
+    """The synthetic corpus has no PII, so graft deterministic PII onto a
+    subset (email on doc_id%3, phone on %5, ipv4 on %7) — the oracle builds
+    the identical text, making counts and redaction fully verifiable."""
+    did = F.col("doc_id").cast("string")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"), did,
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" host 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".1"))).otherwise(F.lit(""))))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII detection + typed-placeholder redaction (datapipe/privacy.py):
+    per-kind regexp_count + a regexp_replace chain, all scan-level column
+    exprs; redacted text compared by md5 to keep the result slim."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_priv.redact_pii(_salted_pii(docs))
+    return out.select("doc_id", F.md5("redacted").alias("redacted_md5"),
+                      "n_email", "n_ipv4", "n_ssn", "n_phone", "has_pii")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (datapipe/sampling.py): per-lang
+    keep fractions via an md5 hash filter — no rand(), no shuffle; the
+    oracle reproduces the exact sample from the same hash arithmetic."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_sample.sample_stratified(
+        docs, {"en": 0.5, "de": 1.0, "zh": 0.25}, strata_col="lang",
+        seed=42)
+    return out.select("doc_id", "lang")
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Per-domain token-budget mixing: hash-ordered greedy prefix per
+    source until the domain budget is met (one shuffle on source + a
+    running-sum window). src2's budget exceeds its total tokens, covering
+    the domain-exhausted path."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_sample.token_budget_mix(
+        docs, {"src0": 4000, "src1": 1500, "src2": 10_000_000})
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: shard by key hash, per-shard
+    running token sum, cut every max_tokens — every doc gets a
+    (shard, seq, offset) slot; spanning docs simply continue into the next
+    sequence."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_sample.pack_sequences(docs, max_tokens=2048, n_shards=8)
+    return out.select("doc_id", "n_tokens", "shard", "seq", "offset")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -704,6 +773,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_decode_image": q_multimodal_decode_image,
         "multimodal_decode_audio": q_multimodal_decode_audio,
+        "pii_redact": q_pii_redact,
+        "sample_stratified": q_sample_stratified,
+        "token_budget_mix": q_token_budget_mix,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1604,6 +1677,93 @@ def oracle_sql() -> dict[str, str]:
                    max(abs(v)) AS peak,
                    round(sqrt(sum(v * v) / 6.0), 6) AS rms
             FROM s GROUP BY doc_id
+        """,
+        "pii_redact": f"""
+            WITH s AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                     || doc_id::VARCHAR || '@example.com' ELSE '' END ||
+                CASE WHEN doc_id % 5 = 0
+                     THEN ' call 555-123-4567' ELSE '' END ||
+                CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.'
+                     || (doc_id % 256)::VARCHAR || '.1' ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                         '{dp_priv.PII_PATTERNS["email"]}', '<email>', 'g'),
+                         '{dp_priv.PII_PATTERNS["ipv4"]}', '<ipv4>', 'g'),
+                         '{dp_priv.PII_PATTERNS["ssn"]}', '<ssn>', 'g'),
+                         '{dp_priv.PII_PATTERNS["phone"]}', '<phone>', 'g'))
+                     AS redacted_md5,
+                   len(regexp_extract_all(text,
+                       '{dp_priv.PII_PATTERNS["email"]}')) AS n_email,
+                   len(regexp_extract_all(text,
+                       '{dp_priv.PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '{dp_priv.PII_PATTERNS["ssn"]}')) AS n_ssn,
+                   len(regexp_extract_all(text,
+                       '{dp_priv.PII_PATTERNS["phone"]}')) AS n_phone,
+                   (len(regexp_extract_all(text,
+                        '{dp_priv.PII_PATTERNS["email"]}')) > 0
+                    OR len(regexp_extract_all(text,
+                        '{dp_priv.PII_PATTERNS["ipv4"]}')) > 0
+                    OR len(regexp_extract_all(text,
+                        '{dp_priv.PII_PATTERNS["ssn"]}')) > 0
+                    OR len(regexp_extract_all(text,
+                        '{dp_priv.PII_PATTERNS["phone"]}')) > 0) AS has_pii
+            FROM s
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))
+                      ::BIGINT / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                              WHEN 'zh' THEN 0.25 ELSE 0.0 END
+        """,
+        "token_budget_mix": """
+            WITH base AS (
+              SELECT doc_id, source,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+                     CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 1500
+                                 WHEN 'src2' THEN 10000000 END AS budget,
+                     ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))
+                         ::BIGINT / 4294967296.0 AS h
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2')
+            ), c AS (
+              SELECT doc_id, source, n_tokens, budget,
+                     sum(n_tokens) OVER (PARTITION BY source
+                         ORDER BY h, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM base
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens FROM c
+            WHERE cum_tokens - n_tokens < budget
+        """,
+        "pack_sequences": """
+            WITH base AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+                     ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))
+                         ::BIGINT % 8 AS shard,
+                     ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))
+                         ::BIGINT / 4294967296.0 AS h
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens, shard,
+                     sum(n_tokens) OVER (PARTITION BY shard
+                         ORDER BY h, doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+              FROM base
+            )
+            SELECT doc_id, n_tokens, shard,
+                   CAST(floor(start / 2048.0) AS BIGINT) AS seq,
+                   start % 2048 AS offset
+            FROM c
         """,
     }
 

@@ -1,0 +1,145 @@
+"""Deterministic corpus sampling, domain mixing, and sequence packing.
+
+A training-data pipeline rarely trains on everything it crawled: it
+samples uniformly for held-out evaluation, samples per-domain at tuned
+rates ("data mixing"), caps each domain at a token budget, and finally
+packs variable-length documents into fixed-length training sequences.
+
+Every operator here is deterministic — selection is driven by an md5-based
+hash of the row key, never ``rand()`` — so reruns (and the DuckDB oracle)
+reproduce the exact same sample. All hot paths are built-in column
+expressions:
+
+- :func:`sample_uniform` / :func:`sample_stratified`: pure filter on a
+  hash expression — zero shuffles, predicate runs at the scan.
+- :func:`token_budget_mix`: one shuffle (hash-partition on the domain
+  column) + a per-domain running sum. The per-domain window is sequential
+  by nature; at 100 TB with few giant domains the two-pass variant applies
+  (approx-quantile the hash to a per-domain cutoff, then filter — the
+  cutoff pass aggregates, the filter pass is embarrassingly parallel).
+  This implementation is the exact single-pass form.
+- :func:`pack_sequences`: concat-and-chunk packing (the GPT-style
+  "concatenate in order, cut every ``max_tokens``" scheme). Sharded: each
+  shard packs independently, so parallelism is ``n_shards`` regardless of
+  corpus size, and a shard's window state is one running sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pypond_spark.datapipe._util import spread
+
+_HASH_DENOM = 4294967296.0  # 2^32; first 8 md5 hex chars -> uniform [0,1)
+
+
+def sample_hash(key: Column, seed: int | str = 0) -> Column:
+    """Deterministic uniform [0,1) from the md5 of ``seed|key``.
+
+    Reproducible across engines: DuckDB twin is
+    ``('0x' || substr(md5(seed || '|' || key), 1, 8))::BIGINT / 2^32``.
+    """
+    d = F.md5(F.concat_ws("|", F.lit(str(seed)), key.cast("string")))
+    return F.conv(d.substr(1, 8), 16, 10).cast("double") / F.lit(_HASH_DENOM)
+
+
+def sample_uniform(df: DataFrame, fraction: float, key_col: str = "doc_id",
+                   seed: int | str = 0) -> DataFrame:
+    """Keep each row iff ``hash(seed|key) < fraction`` — a deterministic
+    Bernoulli sample that is stable under reruns, repartitioning, and
+    engine (unlike ``DataFrame.sample``, whose output depends on partition
+    layout)."""
+    return df.where(sample_hash(F.col(key_col), seed) < F.lit(fraction))
+
+
+def sample_stratified(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str = "lang", key_col: str = "doc_id",
+                      seed: int | str = 0,
+                      default: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling rates (data-mixing weights).
+
+    ``fractions`` maps stratum value -> keep fraction; unlisted strata get
+    ``default``. The rate lookup is an inline when-chain (the dict is
+    driver-side config, not data), so the whole operator stays a single
+    scan-level filter — no join, no shuffle.
+    """
+    rate = F.lit(float(default))
+    for value, frac in sorted(fractions.items()):
+        rate = F.when(F.col(strata_col) == F.lit(value),
+                      F.lit(float(frac))).otherwise(rate)
+    return df.where(sample_hash(F.col(key_col), seed) < rate)
+
+
+def token_budget_mix(df: DataFrame, budgets: dict[str, int],
+                     domain_col: str = "source", token_col: str | None = None,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     seed: int | str = 0) -> DataFrame:
+    """Greedy per-domain prefix until each domain's token budget is reached.
+
+    Documents are ordered inside each domain by their sample hash (a
+    deterministic shuffle), then taken while the budget is not yet
+    exhausted; the document that crosses the budget is the last one kept
+    (budgets are met, not undershot). Domains without a budget are dropped.
+
+    Output: ``id_col, domain_col, n_tokens, cum_tokens`` for kept rows.
+    ``token_col`` names a precomputed token-count column; if None, tokens
+    are counted with :func:`textstats.token_count` in the same projection.
+    """
+    from pypond_spark.datapipe.textstats import token_count
+
+    n_tok = (F.col(token_col) if token_col
+             else token_count(text_col)).alias("n_tokens")
+    budget = F.lit(None).cast("long")
+    for value, b in sorted(budgets.items()):
+        budget = F.when(F.col(domain_col) == F.lit(value),
+                        F.lit(int(b))).otherwise(budget)
+    base = spread(df).select(
+        F.col(id_col), F.col(domain_col), n_tok,
+        budget.alias("__budget"),
+        sample_hash(F.col(id_col), seed).alias("__h")) \
+        .where(F.col("__budget").isNotNull())
+    w = (Window.partitionBy(domain_col).orderBy("__h", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .where(F.col("cum_tokens") - F.col("n_tokens")
+                   < F.col("__budget"))
+            .drop("__budget", "__h"))
+
+
+def pack_sequences(df: DataFrame, max_tokens: int, n_shards: int = 64,
+                   token_col: str | None = None, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   seed: int | str = 0) -> DataFrame:
+    """Concat-and-chunk packing: assign every document a (shard, seq,
+    offset) slot in a stream of fixed-``max_tokens`` training sequences.
+
+    Documents are sharded by key hash (``n_shards`` independent streams —
+    the unit of parallelism), deterministically ordered inside the shard,
+    and concatenated; sequence boundaries fall every ``max_tokens`` tokens.
+    A document starts in sequence ``seq`` at ``offset`` and MAY span into
+    the following sequence(s) — the standard pretraining scheme where
+    sequences are cut regardless of document boundaries (no padding waste;
+    consumers mask across the cut if they care).
+
+    Output: ``id_col, n_tokens, shard, seq, offset``; ``seq`` numbers are
+    per-shard, ``offset`` is the in-sequence start position.
+    """
+    from pypond_spark.datapipe.textstats import token_count
+
+    n_tok = (F.col(token_col) if token_col
+             else token_count(text_col)).alias("n_tokens")
+    key = F.col(id_col).cast("string")
+    shard = F.pmod(F.conv(F.md5(F.concat_ws("|", F.lit(str(seed)), key))
+                          .substr(1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards))
+    base = spread(df).select(
+        F.col(id_col), n_tok, shard.alias("shard"),
+        sample_hash(F.col(id_col), seed).alias("__h"))
+    w = (Window.partitionBy("shard").orderBy("__h", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (base
+            .withColumn("seq", F.floor(start / F.lit(max_tokens)))
+            .withColumn("offset", start % F.lit(max_tokens))
+            .drop("__h"))

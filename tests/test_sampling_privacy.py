@@ -1,0 +1,127 @@
+"""Deterministic sampling/mixing/packing and PII detection/redaction."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypond_spark.datapipe import privacy, sampling
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# privacy
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    rows = [
+        (0, "mail me at john.doe+x@example.co.uk or admin@test.io thanks"),
+        (1, "call +1 555-123-4567; ip 192.168.0.1 ssn 123-45-6789"),
+        (2, "no pii in this one at all"),
+        (3, "edge a@b.cd 999.999.999.999 and 4111 1111 1111 1111"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pii_counts(pii_df):
+    out = {r["doc_id"]: r for r in privacy.pii_stats(pii_df).collect()}
+    assert out[0]["n_email"] == 2 and out[0]["has_pii"]
+    assert out[1]["n_ipv4"] == 1 and out[1]["n_ssn"] == 1
+    assert out[1]["n_phone"] >= 1
+    assert out[2]["n_email"] == out[2]["n_phone"] == 0
+    assert not out[2]["has_pii"]
+    # 999.999... is not a valid ipv4; the card number matches phone
+    assert out[3]["n_ipv4"] == 0 and out[3]["n_phone"] >= 1
+
+
+def test_redact_order_and_placeholders(pii_df):
+    out = {r["doc_id"]: r["redacted"]
+           for r in privacy.redact_pii(pii_df).collect()}
+    assert out[0] == "mail me at <email> or <email> thanks"
+    # ipv4 and ssn must be redacted as themselves, not eaten by phone
+    assert "<ipv4>" in out[1] and "<ssn>" in out[1] and "<phone>" in out[1]
+    assert out[2] == "no pii in this one at all"
+
+
+def test_redact_idempotent_on_clean_text(docs):
+    # synthetic corpus text has no PII: redaction must be the identity
+    changed = privacy.redact_pii(docs.limit(50)) \
+        .join(docs.limit(50), "doc_id") \
+        .where(F.col("redacted") != F.col("text")).count()
+    assert changed == 0
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sample_uniform_deterministic_and_sized(docs):
+    a = sampling.sample_uniform(docs, 0.3, seed=7)
+    b = sampling.sample_uniform(docs.repartition(13), 0.3, seed=7)
+    ids_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b  # stable under repartitioning
+    n = docs.count()
+    assert 0.15 * n < len(ids_a) < 0.45 * n
+    # nested: a 0.1 sample is a subset of the same-seed 0.3 sample
+    ids_c = {r["doc_id"] for r in
+             sampling.sample_uniform(docs, 0.1, seed=7).collect()}
+    assert ids_c <= ids_a
+
+
+def test_sample_stratified_rates(docs):
+    fr = {"en": 1.0, "de": 0.0}
+    out = sampling.sample_stratified(docs, fr, strata_col="lang")
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}  # de sampled at 0, others default 0
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert out.count() == n_en
+
+
+def test_token_budget_mix_budget_met(docs):
+    budgets = {"web": 2000, "books": 500}
+    out = sampling.token_budget_mix(docs, budgets).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["source"], []).append(r)
+    assert set(by_dom) <= set(budgets)
+    for dom, rows in by_dom.items():
+        b = budgets[dom]
+        top = max(r["cum_tokens"] for r in rows)
+        for r in rows:  # every kept row started under budget
+            assert r["cum_tokens"] - r["n_tokens"] < b
+        # budget met (last kept row crosses it) unless domain exhausted
+        n_dom = docs.where(F.col("source") == dom).count()
+        if len(rows) < n_dom:
+            assert top >= b
+
+
+def test_pack_sequences_offsets_consistent(docs):
+    max_t = 512
+    out = sampling.pack_sequences(docs, max_tokens=max_t, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc packed
+    # per shard: offsets advance by n_tokens modulo max_tokens, seqs with it
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(r["shard"] for r in rows) == set(range(4))
+    for shard, srows in by_shard.items():
+        srows.sort(key=lambda r: (r["seq"], r["offset"]))
+        pos = 0
+        for r in srows:
+            assert r["seq"] * max_t + r["offset"] == pos
+            pos += r["n_tokens"]
+    # deterministic under repartitioning
+    again = sampling.pack_sequences(docs.repartition(9), max_tokens=max_t,
+                                    n_shards=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
