@@ -37,6 +37,9 @@ HEADLINE = [
     "fingerprint_docs",
     "ann_topk",
     "embedding_near_dups_lsh",
+    "pii_redact",
+    "pack_sequences",
+    "token_budget_mix",
 ]
 
 

@@ -53,6 +53,21 @@ def sample_uniform(df: DataFrame, fraction: float, key_col: str = "doc_id",
     return df.where(sample_hash(F.col(key_col), seed) < F.lit(fraction))
 
 
+def sample_weighted(df: DataFrame, weight: Column | str,
+                    key_col: str = "doc_id",
+                    seed: int | str = 0) -> DataFrame:
+    """Keep each row with probability = its own weight column (clamped to
+    [0,1]) — deterministic score-proportional sampling, e.g. curriculum
+    selection by a quality score from :mod:`textstats`. Same scan-level
+    hash filter as :func:`sample_uniform`; the weight is just another
+    column expression, so quality-weighted selection still adds zero
+    shuffles."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    return df.where(sample_hash(F.col(key_col), seed)
+                    < F.least(F.greatest(w.cast("double"), F.lit(0.0)),
+                              F.lit(1.0)))
+
+
 def sample_stratified(df: DataFrame, fractions: dict[str, float],
                       strata_col: str = "lang", key_col: str = "doc_id",
                       seed: int | str = 0,

@@ -105,6 +105,46 @@ def test_token_budget_mix_budget_met(docs):
             assert top >= b
 
 
+def test_sample_weighted_monotone(docs, spark):
+    # weight 0 keeps nothing, weight 1 keeps everything; a doc kept at
+    # weight w stays kept at any higher weight (same hash, same seed)
+    zero = sampling.sample_weighted(docs, F.lit(0.0), seed=3)
+    one = sampling.sample_weighted(docs, F.lit(1.0), seed=3)
+    assert zero.count() == 0 and one.count() == docs.count()
+    lo = {r["doc_id"] for r in
+          sampling.sample_weighted(docs, F.lit(0.2), seed=3).collect()}
+    hi = {r["doc_id"] for r in
+          sampling.sample_weighted(docs, F.lit(0.6), seed=3).collect()}
+    assert lo <= hi
+    # column weights: score docs by length, long docs kept more often
+    scored = docs.withColumn(
+        "w", F.when(F.col("n_chars") > 500, 0.9).otherwise(0.1))
+    kept = sampling.sample_weighted(scored, "w", seed=3)
+    n_long = scored.where("n_chars > 500").count()
+    k_long = kept.where("n_chars > 500").count()
+    k_short = kept.where("n_chars <= 500").count()
+    n_short = scored.where("n_chars <= 500").count()
+    if n_long and n_short:
+        assert k_long / n_long > k_short / n_short
+
+
+def test_write_training_shards(docs, tmp_path):
+    from pypond_spark.datapipe.io import write_training_shards
+    out = str(tmp_path / "shards")
+    tasks = write_training_shards(docs, out, records_per_shard=100,
+                                  order_col="doc_id")
+    assert tasks == 5  # 500 docs / 100
+    back = docs.sparkSession.read.parquet(out)
+    assert back.count() == docs.count()
+    import glob
+    files = glob.glob(f"{out}/part-*")
+    assert len(files) >= 5
+    # no shard exceeds the cap
+    for f in files:
+        n = docs.sparkSession.read.parquet(f).count()
+        assert n <= 100
+
+
 def test_pack_sequences_offsets_consistent(docs):
     max_t = 512
     out = sampling.pack_sequences(docs, max_tokens=max_t, n_shards=4)
