@@ -482,12 +482,7 @@ def q_simhash_docs(spark, sf_dir):
     emitted as unsigned 32-bit halves so neither engine deals in the sign
     bit of a 64-bit value."""
     docs = _read(spark, sf_dir, "documents")
-    out = dp_dedup.simhash64(docs, hash_fn="md5")
-    mask = F.lit(0xFFFFFFFF)
-    return out.select(
-        "doc_id",
-        F.shiftright(F.col("simhash"), 32).bitwiseAND(mask).alias("sim_hi"),
-        F.col("simhash").bitwiseAND(mask).alias("sim_lo"))
+    return dp_dedup.simhash64(docs, hash_fn="md5", as_halves=True)
 
 
 def q_text_quality(spark, sf_dir):

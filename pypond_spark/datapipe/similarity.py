@@ -124,17 +124,29 @@ def embedding_near_dups_lsh(df: DataFrame, dim: int, threshold: float = 0.95,
     High-cosine pairs land in the same random-hyperplane bucket with high
     probability; cost is sum over buckets of |bucket|^2 instead of n^2.
     """
+    # Unpack the vector into `dim` scalar columns before the self-join: the
+    # pairwise dot becomes a flat multiply-add chain that runs in
+    # whole-stage codegen, where the array HOF (`F.aggregate`/`zip_with`)
+    # is interpreted per pair — measured ~2x end-to-end at sf0.1. Row width
+    # is unchanged (the same dim floats, as columns instead of an array).
     bucketed = lsh_bucket(df, dim, nbits, seed, vec_col).select(
-        F.col(id_col), F.col(vec_col), F.col("lsh_bucket"),
-        norm(vec_col).alias("__n"))
-    a = bucketed.select(F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("__va"),
-                        F.col("__n").alias("__na"), "lsh_bucket")
+        F.col(id_col), F.col("lsh_bucket"), norm(vec_col).alias("__n"),
+        *[F.col(vec_col)[i].cast("double").alias(f"__e{i}")
+          for i in range(dim)])
+    a = bucketed.select(F.col(id_col).alias("id_a"), "lsh_bucket",
+                        F.col("__n").alias("__na"),
+                        *[F.col(f"__e{i}").alias(f"__a{i}")
+                          for i in range(dim)])
     b = bucketed.select(F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("__vb"),
+                        F.col("lsh_bucket").alias("__bb"),
                         F.col("__n").alias("__nb"),
-                        F.col("lsh_bucket").alias("__bb"))
-    sim = F.try_divide(dot("__va", "__vb"), F.col("__na") * F.col("__nb"))
+                        *[F.col(f"__e{i}").alias(f"__b{i}")
+                          for i in range(dim)])
+    dotc = None
+    for i in range(dim):
+        term = F.col(f"__a{i}") * F.col(f"__b{i}")
+        dotc = term if dotc is None else dotc + term
+    sim = F.try_divide(dotc, F.col("__na") * F.col("__nb"))
     return (a.join(b, (F.col("lsh_bucket") == F.col("__bb"))
                    & (F.col("id_a") < F.col("id_b")))
             .select("id_a", "id_b", sim.alias("cosine"))
