@@ -153,6 +153,51 @@ def embedding_near_dups_lsh(df: DataFrame, dim: int, threshold: float = 0.95,
             .where(F.col("cosine") >= threshold))
 
 
+def embedding_near_dups_arrow(df: DataFrame, dim: int,
+                              threshold: float = 0.95, nbits: int = 8,
+                              seed: int = 42, vec_col: str = "embedding",
+                              id_col: str = "vec_id") -> DataFrame:
+    """Same candidates as :func:`embedding_near_dups_lsh`, computed with a
+    numpy matmul per bucket instead of a pair self-join.
+
+    For dense linear algebra, a vectorized Arrow path beats codegen: each
+    LSH bucket's vectors arrive as ONE Arrow batch, ``V @ V.T`` scores
+    every in-bucket pair in a BLAS call, and only pairs above threshold are
+    emitted. No pair rows are ever materialized pre-filter (the expr
+    variant shuffles |bucket|^2 joined rows before filtering), so shuffle
+    volume is the bucketed input, not the candidate pairs. Scale bound:
+    one bucket must fit one task (|bucket| x dim floats + |bucket|^2
+    scores) — with b bits, E|bucket| = n / 2^b; size nbits so buckets stay
+    ~10k rows and the score matrix ~100M floats. The grouped shuffle is
+    the same hash-partition the join variant needs anyway.
+    """
+    import pandas as pd
+
+    bucketed = lsh_bucket(df, dim, nbits, seed, vec_col) \
+        .select(F.col(id_col), F.col(vec_col), F.col("lsh_bucket"))
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(v, axis=1)
+        nrm[nrm == 0.0] = np.nan  # zero vectors -> NULL cosine, like expr
+        sims = (v @ v.T) / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "cosine": sims[ia[keep], ib[keep]]})
+
+    return bucketed.groupBy("lsh_bucket").applyInPandas(
+        per_bucket, out_schema)
+
+
 def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 

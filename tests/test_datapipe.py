@@ -277,6 +277,19 @@ def test_embedding_near_dups(spark, embs):
         assert (r["vec_id"], r["vec_id"] + 1_000_000) in found
 
 
+def test_embedding_near_dups_arrow_matches_expr(spark, embs):
+    # the numpy-matmul bucket variant must produce the identical pair set
+    # and cosines (to float64 noise) as the expression self-join
+    expr = similarity.embedding_near_dups_lsh(embs, dim=64, threshold=0.4,
+                                              nbits=4)
+    arrow = similarity.embedding_near_dups_arrow(embs, dim=64, threshold=0.4,
+                                                 nbits=4)
+    a = {(r["id_a"], r["id_b"]): r["cosine"] for r in expr.collect()}
+    b = {(r["id_a"], r["id_b"]): r["cosine"] for r in arrow.collect()}
+    assert set(a) == set(b) and len(a) > 0
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+
+
 def test_dup_clusters_chain(spark):
     # chain a-b, b-c, plus isolated pair d-e -> components {a,b,c}, {d,e}
     pairs = spark.createDataFrame(
