@@ -413,6 +413,39 @@ def stream_fill_pad(
     return stream_fill(sdf, field_spec, "pad", None, partition_by, time_col)
 
 
+def stream_exact_dedup(
+    sdf: DataFrame,
+    text_col: str = "text",
+    time_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication: first occurrence of each content
+    digest passes, later duplicates are dropped — across micro-batches.
+
+    This is the ingestion-side twin of ``datapipe.dedup.exact_duplicates``:
+    a crawler stream dedups as documents arrive instead of re-scanning the
+    corpus. Built on ``dropDuplicates`` over an md5 digest column, which
+    Structured Streaming implements with a keyed state store, so the
+    "seen" set survives micro-batch boundaries and executor restarts
+    (checkpointed).
+
+    State size bounds: without a watermark the seen-digest state grows
+    forever (exact global dedup — the reference-semantics default). Pass
+    ``time_col`` + ``watermark`` (e.g. ``"24 hours"``) to bound state:
+    duplicates are then only suppressed within the watermark horizon,
+    trading unbounded memory for windowed dedup — the standard production
+    compromise.
+    """
+    out = sdf.withColumn("__digest", F.md5(F.col(text_col)))
+    if watermark is not None:
+        if time_col is None:
+            raise ValueError("watermark needs time_col")
+        out = out.withWatermark(time_col, watermark)
+        return out.dropDuplicatesWithinWatermark(["__digest"]) \
+            .drop("__digest")
+    return out.dropDuplicates(["__digest"]).drop("__digest")
+
+
 def run_available_now(sdf: DataFrame, output_mode: str,
                       name: str | None = None) -> DataFrame:
     """Drain all available input through a memory sink (the test/flush path:

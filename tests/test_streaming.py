@@ -160,6 +160,48 @@ def test_stream_rate_multi_chunk_group(spark, tmp_path):
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
 
 
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    """Streaming digest dedup: a duplicate arriving in a LATER micro-batch
+    must be dropped by the cross-batch state store."""
+    from pypond_spark.streaming import stream_exact_dedup
+    chunk1 = [{"t_ms": 0, "user": "d1", "value": 1.0},
+              {"t_ms": 1, "user": "d2", "value": 1.0},
+              {"t_ms": 2, "user": "d1", "value": 1.0}]  # in-batch dup
+    chunk2 = [{"t_ms": 3, "user": "d2", "value": 1.0},  # cross-batch dup
+              {"t_ms": 4, "user": "d3", "value": 1.0}]
+    for i, chunk in enumerate([chunk1, chunk2]):
+        path = tmp_path / f"p{i}.json"
+        with open(path, "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    sdf = (spark.readStream.schema(SCHEMA)
+           .option("maxFilesPerTrigger", 1).json(str(tmp_path)))
+    out = stream_exact_dedup(sdf, text_col="user")
+    rows = run_available_now(out, "append").collect()
+    assert sorted(r["user"] for r in rows) == ["d1", "d2", "d3"]
+    # first occurrence wins
+    assert {r["user"]: r["t_ms"] for r in rows} == {"d1": 0, "d2": 1, "d3": 4}
+
+
+def test_stream_exact_dedup_watermarked(spark, tmp_path):
+    """The state-bounded variant still suppresses duplicates inside the
+    watermark horizon."""
+    from pypond_spark.streaming import stream_exact_dedup
+    recs = [{"t_ms": 0, "user": "w1", "value": 1.0},
+            {"t_ms": 60_000, "user": "w1", "value": 1.0},
+            {"t_ms": 120_000, "user": "w2", "value": 1.0}]
+    with open(tmp_path / "x.json", "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    sdf = (spark.readStream.schema(SCHEMA).json(str(tmp_path))
+           .withColumn("time", F.timestamp_millis(F.col("t_ms"))))
+    out = stream_exact_dedup(sdf, text_col="user", time_col="time",
+                             watermark="1 hour")
+    rows = run_available_now(out, "append").collect()
+    assert sorted(r["user"] for r in rows) == ["w1", "w2"]
+
+
 def test_stream_fill_zero_with_limit(spark, tmp_path):
     from pypond_spark.streaming import stream_fill
     recs = [{"t_ms": 10_000 * i, "user": "a", "value": v} for i, v in
