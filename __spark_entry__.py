@@ -718,6 +718,26 @@ def q_pack_sequences(spark, sf_dir):
     return out.select("doc_id", "n_tokens", "shard", "seq", "offset")
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Fixed-token chunking with overlap (datapipe/sampling.py): pure array
+    expressions, no shuffle; 64-token chunks with 8-token overlap so the
+    windowed-slice arithmetic is exercised."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_sample.chunk_documents(docs, chunk_tokens=64, overlap=8)
+    return out.select("doc_id", "chunk_idx",
+                      F.md5("chunk_text").alias("chunk_md5"),
+                      "chunk_n_tokens")
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-relative fluency: mean log2 unigram probability per doc,
+    trained on the corpus itself (two passes over one token explode)."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_text.unigram_logprob(docs)
+    return out.select("doc_id", "n_tokens",
+                      F.round("mean_logprob", 6).alias("mean_logprob"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -772,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
+        "chunk_docs": q_chunk_docs,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -1759,6 +1781,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(start / 2048.0) AS BIGINT) AS seq,
                    start % 2048 AS offset
             FROM c
+        """,
+        "chunk_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS w
+              FROM documents
+            ), c AS (
+              SELECT doc_id, w,
+                     greatest(CAST(ceil((len(w) - 8) / 56.0) AS INT), 1)
+                       AS nc
+              FROM t
+            )
+            , e AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(0, nc - 1)) AS i
+              FROM c
+            )
+            SELECT doc_id, i AS chunk_idx,
+                   md5(array_to_string(
+                       list_slice(w, i * 56 + 1, i * 56 + 64), ' '))
+                     AS chunk_md5,
+                   len(list_slice(w, i * 56 + 1, i * 56 + 64))
+                     AS chunk_n_tokens
+            FROM e
+        """,
+        "unigram_logprob": """
+            WITH tk AS (
+              SELECT doc_id, x AS tok FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x != ''),
+                         x -> regexp_replace(lower(x),
+                             '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g'))) AS x
+                FROM documents)
+              WHERE x != ''
+            ), c AS (
+              SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+            ), tot AS (SELECT count(*) AS t FROM tk),
+            v AS (SELECT count(*) AS nv FROM c)
+            SELECT tk.doc_id, count(*) AS n_tokens,
+                   round(avg(log2((c.cnt + 1.0) / (tot.t + 1.0 * v.nv))), 6)
+                     AS mean_logprob
+            FROM tk JOIN c USING (tok) CROSS JOIN tot CROSS JOIN v
+            GROUP BY tk.doc_id
         """,
     }
 

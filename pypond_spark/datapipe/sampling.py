@@ -122,6 +122,45 @@ def token_budget_mix(df: DataFrame, budgets: dict[str, int],
             .drop("__budget", "__h"))
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
+                    overlap: int = 0, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split each document into fixed-token-count chunks with optional
+    overlap (the RAG/context-window prep step; the complement of
+    :func:`pack_sequences`, which joins short docs instead of splitting
+    long ones).
+
+    Output: ``id_col, chunk_idx, chunk_text, chunk_n_tokens``. Chunk i
+    covers whitespace tokens ``[i*(chunk_tokens-overlap),
+    i*(chunk_tokens-overlap) + chunk_tokens)``; the final chunk may be
+    short; an empty document yields one empty chunk (chunk_idx 0). Pure
+    array expressions over the scan — per-row work is linear in document
+    length and there is no shuffle at all.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}")
+    from pypond_spark.datapipe.textstats import _tokens
+
+    step = chunk_tokens - overlap
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    # ceil((n - overlap) / step), at least 1 chunk even for empty docs
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * step + 1, chunk_tokens)))
+    out = spread(df).select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return out.withColumn(
+        "chunk_n_tokens",
+        F.size(F.filter(F.split(F.col("chunk_text"), " "),
+                        lambda t: t != F.lit(""))))
+
+
 def pack_sequences(df: DataFrame, max_tokens: int, n_shards: int = 64,
                    token_col: str | None = None, text_col: str = "text",
                    id_col: str = "doc_id",

@@ -351,3 +351,40 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     """
     return spread(df).select(F.col(id_col),
                              *repetition_exprs(text_col, **kwargs))
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    alpha: float = 1.0) -> DataFrame:
+    """Per-document mean unigram log2-probability under the corpus's own
+    token distribution — the cheapest corpus-relative fluency score
+    (a document of rare/garbage tokens scores very negative; natural
+    prose scores near the corpus mode). The same two-pass shape scales to
+    a real n-gram LM score.
+
+    Pass 1 aggregates token counts (one shuffle on the token — the
+    "training" pass); pass 2 joins tokens back to their counts (shuffle
+    join on the same key; at warehouse scale both passes co-partition on
+    the token, and a small vocabulary would broadcast) and averages
+    ``log2 p_alpha(tok)`` per document, with add-``alpha`` smoothing over
+    the observed vocabulary.
+
+    Output: ``id_col, n_tokens, mean_logprob``.
+    """
+    toks = spread(df).select(
+        F.col(id_col),
+        F.explode(_match_tokens(text_col)).alias("tok")) \
+        .where(F.col("tok") != "")
+    # materialize once: the token explode feeds three consumers (total
+    # count, vocab count via the agg, and the scoring join)
+    toks = toks.localCheckpoint()
+    counts = toks.groupBy("tok").agg(F.count("*").alias("__c"))
+    # scalar "training" constants: total tokens + vocab size
+    tot = toks.count()
+    vocab = counts.count()
+    denom = float(tot + alpha * vocab)
+    lp = F.log2((F.col("__c") + F.lit(float(alpha))) / F.lit(denom))
+    return (toks.join(counts, "tok")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.avg(lp).alias("mean_logprob")))

@@ -145,6 +145,41 @@ def test_write_training_shards(docs, tmp_path):
         assert n <= 100
 
 
+def test_chunk_documents_slices(spark):
+    rows = [(1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "a b"),                                  # shorter than chunk
+            (3, "")]                                     # empty doc
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sampling.chunk_documents(df, chunk_tokens=4, overlap=1)
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"],
+                                           r["chunk_n_tokens"])
+           for r in out.collect()}
+    # step=3: ceil((10-1)/3)=3 chunks cover tokens [0:4), [3:7), [6:10) —
+    # every token appears, the last chunk ends exactly at n
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert got[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert got[(2, 0)] == ("a b", 2)
+    assert got[(3, 0)] == ("", 0)
+    assert len(got) == 5
+    # overlap tokens appear in consecutive chunks
+    with pytest.raises(ValueError):
+        sampling.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_unigram_logprob_orders_fluency(spark):
+    from pypond_spark.datapipe.textstats import unigram_logprob
+    common = "the cat sat on the mat " * 5
+    rows = [(1, common), (2, common), (3, common),
+            (4, "zxqj vvkw pplm qqrs ttuv")]  # all-rare tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["mean_logprob"]
+           for r in unigram_logprob(df).collect()}
+    # the rare-token doc must score strictly lower than the common docs
+    assert got[4] < got[1]
+    assert abs(got[1] - got[2]) < 1e-12  # identical docs, identical score
+
+
 def test_pack_sequences_offsets_consistent(docs):
     max_t = 512
     out = sampling.pack_sequences(docs, max_tokens=max_t, n_shards=4)
