@@ -738,6 +738,15 @@ def q_unigram_logprob(spark, sf_dir):
                       F.round("mean_logprob", 6).alias("mean_logprob"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-5 characteristic terms per doc by smoothed TF-IDF with a
+    deterministic (score desc, term asc) tie-break both engines share."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_text.tfidf_top_terms(docs, k=5)
+    return out.select("doc_id", "rank", "term",
+                      F.round("tfidf", 6).alias("tfidf"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -794,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
         "unigram_logprob": q_unigram_logprob,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1827,6 +1837,36 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_logprob
             FROM tk JOIN c USING (tok) CROSS JOIN tot CROSS JOIN v
             GROUP BY tk.doc_id
+        """,
+        "tfidf_top_terms": """
+            WITH tk AS (
+              SELECT doc_id, x AS tok FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x != ''),
+                         x -> regexp_replace(lower(x),
+                             '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g'))) AS x
+                FROM documents)
+              WHERE x != ''
+            ), tf AS (
+              SELECT doc_id, tok, count(*) AS tf
+              FROM tk GROUP BY doc_id, tok
+            ), dfreq AS (
+              SELECT tok, count(*) AS df FROM tf GROUP BY tok
+            ), nd AS (SELECT count(DISTINCT doc_id) AS n FROM tk),
+            s AS (
+              SELECT tf.doc_id, tf.tok,
+                     tf.tf * (ln((1.0 + nd.n) / (1.0 + dfreq.df)) + 1.0)
+                       AS tfidf,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * (ln((1.0 + nd.n) / (1.0 + dfreq.df))
+                                         + 1.0) DESC, tf.tok) AS rank
+              FROM tf JOIN dfreq USING (tok) CROSS JOIN nd
+            )
+            SELECT doc_id, rank, tok AS term, round(tfidf, 6) AS tfidf
+            FROM s WHERE rank <= 5
         """,
     }
 

@@ -8,7 +8,7 @@ DuckDB oracle can verify them value-for-value.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pypond_spark.datapipe._util import spread
@@ -388,3 +388,36 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.count("*").alias("n_tokens"),
                  F.avg(lp).alias("mean_logprob")))
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (keyword extraction for topic tagging / cluster labeling).
+
+    ``idf = ln((1 + N) / (1 + df)) + 1`` (the sklearn smoothing, so terms
+    present in every document still score > 0), ``score = tf * idf``.
+    Ties break by term text ascending — fully deterministic, so the DuckDB
+    oracle reproduces the exact top-k.
+
+    Three bounded shuffles: (doc, term) counts, per-term document
+    frequency, and the top-k window partitioned by document. All keys are
+    term or document ids — uniform, skew-free at corpus scale.
+    """
+    toks = spread(df).select(
+        F.col(id_col),
+        F.explode(_match_tokens(text_col)).alias("tok")) \
+        .where(F.col("tok") != "")
+    toks = toks.localCheckpoint()
+    n_docs = toks.select(id_col).distinct().count()
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("__tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("__df"))
+    idf = F.log((1.0 + F.lit(float(n_docs)))
+                / (1.0 + F.col("__df"))) + F.lit(1.0)
+    scored = tf.join(dfreq, "tok") \
+        .withColumn("tfidf", F.col("__tf") * idf)
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (scored.withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= k)
+            .select(F.col(id_col), F.col("__rank").alias("rank"),
+                    F.col("tok").alias("term"), F.col("tfidf")))

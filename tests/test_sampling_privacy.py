@@ -180,6 +180,28 @@ def test_unigram_logprob_orders_fluency(spark):
     assert abs(got[1] - got[2]) < 1e-12  # identical docs, identical score
 
 
+def test_tfidf_top_terms(spark):
+    from pypond_spark.datapipe.textstats import tfidf_top_terms
+    rows = [(1, "apple apple apple banana common common"),
+            (2, "banana banana cherry common common"),
+            (3, "common words only common words")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_top_terms(df, k=2).collect()
+    top = {r["doc_id"]: r["term"] for r in out if r["rank"] == 1}
+    # the doc-specific repeated term must outrank the everywhere-term
+    assert top[1] == "apple"
+    assert top[2] == "banana"
+    # ranks are dense 1..k per doc and scores non-increasing
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i]["tfidf"] >= rs[i + 1]["tfidf"]
+                   for i in range(len(rs) - 1))
+
+
 def test_pack_sequences_offsets_consistent(docs):
     max_t = 512
     out = sampling.pack_sequences(docs, max_tokens=max_t, n_shards=4)
