@@ -40,6 +40,9 @@ HEADLINE = [
     "pii_redact",
     "pack_sequences",
     "token_budget_mix",
+    "chunk_docs",
+    "unigram_logprob",
+    "tfidf_top_terms",
 ]
 
 
