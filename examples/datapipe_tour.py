@@ -1,0 +1,75 @@
+"""Tour of the training-data pipeline operators, end to end on sf0.001.
+
+Run: python examples/datapipe_tour.py
+
+Every stage below is deterministic (hash-driven, never rand()) and has a
+DuckDB-verifiable twin in __spark_entry__.py; this script just strings
+them together the way a corpus build would.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pypond_spark import get_spark  # noqa: E402
+from pypond_spark.datapipe import (corpus, dedup, privacy, sampling,  # noqa: E402
+                                   similarity, textstats)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark("datapipe_tour", master="local[4]",
+                      shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n0 = docs.count()
+    print(f"corpus: {n0} docs")
+
+    # 1. quality + dedup + verdicts in one pass
+    verdicts = corpus.filter_corpus(docs)
+    kept = verdicts.where("kept")
+    print("kept after quality+dedup:", kept.count(),
+          "| cull reasons:", {r["cull_reason"]: r["count"] for r in
+                              verdicts.where("NOT kept")
+                              .groupBy("cull_reason").count().collect()})
+
+    # 2. near-duplicate clusters (MinHash -> LSH -> Jaccard -> components)
+    clusters = dedup.dedup_documents(docs)
+    n_canon = clusters.where("is_keeper").count()
+    print("near-dup canonical docs:", n_canon)
+
+    # 3. PII scrub
+    redacted = privacy.redact_pii(docs)
+    print("docs with PII:", redacted.where("has_pii").count())
+
+    # 4. fluency + keywords
+    flu = textstats.unigram_logprob(docs)
+    lo = flu.orderBy("mean_logprob").first()
+    print(f"least fluent doc: {lo['doc_id']} "
+          f"(mean log2 p = {lo['mean_logprob']:.2f})")
+    kw = textstats.tfidf_top_terms(docs.limit(50), k=3)
+    print("sample keywords:", [r["term"] for r in
+                               kw.where("doc_id = 0").collect()])
+
+    # 5. mix + pack for training
+    mixed = sampling.sample_stratified(
+        docs, {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5})
+    packed = sampling.pack_sequences(mixed, max_tokens=2048, n_shards=4)
+    n_seqs = packed.groupBy("shard", "seq").count().count()
+    print(f"mixed {mixed.count()} docs -> {n_seqs} training sequences")
+
+    # 6. embedding near-dups via the Arrow/BLAS bucket path
+    pairs = similarity.embedding_near_dups_arrow(
+        embs, dim=64, threshold=0.9, nbits=4)
+    print("high-cosine embedding pairs:", pairs.count())
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
