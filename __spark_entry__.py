@@ -738,6 +738,32 @@ def q_unigram_logprob(spark, sf_dir):
                       F.round("mean_logprob", 6).alias("mean_logprob"))
 
 
+def q_rolling_10m_stats(spark, sf_dir):
+    """Trailing-window aggregates per event (operators/rolling.py): RANGE
+    frame on epoch-ms, one shuffle on the series key — moving avg/count/max
+    over the 10 minutes ending at each event."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.rolling("10m", {"avg_10m": {"value": "avg"},
+                             "n_10m": {"value": "count"},
+                             "max_10m": {"value": "max"}},
+                     partition_by=["user_id"])
+    return out.df.select(
+        "event_id", "user_id", _ms().alias("t_ms"),
+        F.round("avg_10m", 6).alias("avg_10m"), "n_10m", "max_10m")
+
+
+def q_zscore_by_user(spark, sf_dir):
+    """Whole-series z-score + anomaly flag per user's events
+    (operators/rolling.py::zscore): unframed partition window, population
+    stddev, NULL z for zero-variance series."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.zscore("value", partition_by=["user_id"], threshold=3.0)
+    return out.df.select(
+        "event_id", "user_id",
+        F.round("value_zscore", 6).alias("value_zscore"),
+        F.col("value_anomaly"))
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-5 characteristic terms per doc by smoothed TF-IDF with a
     deterministic (score desc, term asc) tie-break both engines share."""
@@ -804,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "rolling_10m_stats": q_rolling_10m_stats,
+        "zscore_by_user": q_zscore_by_user,
     }
 
 
@@ -1867,6 +1895,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, rank, tok AS term, round(tfidf, 6) AS tfidf
             FROM s WHERE rank <= 5
+        """,
+        "rolling_10m_stats": """
+            SELECT event_id, user_id, epoch_ms(ts) AS t_ms,
+                   round(avg(value) OVER w, 6) AS avg_10m,
+                   count(value) OVER w AS n_10m,
+                   max(value) OVER w AS max_10m
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                         RANGE BETWEEN 599999 PRECEDING AND CURRENT ROW)
+        """,
+        "zscore_by_user": """
+            WITH s AS (
+              SELECT event_id, user_id, value,
+                     avg(value) OVER w AS mu,
+                     stddev_pop(value) OVER w AS sigma
+              FROM events
+              WINDOW w AS (PARTITION BY user_id)
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN sigma = 0 THEN NULL
+                        ELSE round((value - mu) / sigma, 6) END
+                     AS value_zscore,
+                   coalesce(CASE WHEN sigma = 0 THEN NULL
+                                 ELSE abs((value - mu) / sigma) > 3.0 END,
+                            FALSE) AS value_anomaly
+            FROM s
         """,
     }
 

@@ -43,6 +43,8 @@ HEADLINE = [
     "chunk_docs",
     "unigram_logprob",
     "tfidf_top_terms",
+    "rolling_10m_stats",
+    "zscore_by_user",
 ]
 
 

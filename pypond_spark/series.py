@@ -31,6 +31,8 @@ from .operators import merge as merge_ops
 from .operators.align import align as align_op
 from .operators.fill import fill as fill_op
 from .operators.rate import rate as rate_op
+from .operators.rolling import rolling as rolling_op
+from .operators.rolling import zscore as zscore_op
 from .operators.take import take as take_op
 from .timerange import TimeRange
 from .util import field_dtype, is_valid_col, ms_from_any, valid_or_null
@@ -465,6 +467,25 @@ class TimeSeries:
              partition_by: Sequence[str] = ()) -> "TimeSeries":
         return self._with(fill_op(self._df, field_spec, method, fill_limit,
                                   partition_by, self.time_col))
+
+    def rolling(self, window: str, aggregation: dict,
+                partition_by: Sequence[str] = ()) -> "TimeSeries":
+        """Trailing-window aggregates per event (engine addition; same
+        agg-spec language as the bucketed rollups)."""
+        if self._kind != "time":
+            raise ValueError("rolling expects instant-event input")
+        return self._with(rolling_op(self._df, window, aggregation,
+                                     partition_by, self.time_col))
+
+    def zscore(self, field_spec="value", window: str | None = None,
+               partition_by: Sequence[str] = (),
+               threshold: float = 3.0) -> "TimeSeries":
+        """Per-event z-score + anomaly flag against the whole series or a
+        trailing window (engine addition)."""
+        if self._kind != "time":
+            raise ValueError("zscore expects instant-event input")
+        return self._with(zscore_op(self._df, field_spec, window,
+                                    partition_by, self.time_col, threshold))
 
     def take(self, limit: int, window: str | None = None,
              group_by=None) -> "TimeSeries":

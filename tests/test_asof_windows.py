@@ -87,3 +87,56 @@ def test_asof_preserves_left_cardinality(quotes_trades):
     for kwargs in [{}, {"tolerance": "1s"}, {"broadcast": True}]:
         out = trades.asof_join(quotes, on="sym", **kwargs)
         assert out.df.count() == trades.size()
+
+
+def test_rolling_trailing_avg(spark):
+    ts = TimeSeries.from_wire(spark, {
+        "name": "r", "columns": ["time", "u", "value"],
+        "points": [
+            [0, "a", 10.0], [60_000, "a", 20.0], [120_000, "a", 30.0],
+            [300_000, "a", 40.0],   # outside the 2m window of the previous
+            [0, "b", 100.0],
+        ]})
+    out = ts.rolling("2m", {"avg_2m": {"value": "avg"},
+                            "n_2m": {"value": "count"}},
+                     partition_by=["u"])
+    got = {(r["u"], r["time"].timestamp() * 1000): (r["avg_2m"], r["n_2m"])
+           for r in out.df.collect()}
+    # window (t-120000, t]: at 120s the 0s event is EXCLUDED (> t-2m)
+    assert got[("a", 0)] == (10.0, 1)
+    assert got[("a", 60_000)] == (15.0, 2)
+    assert got[("a", 120_000)] == (25.0, 2)
+    assert got[("a", 300_000)] == (40.0, 1)
+    assert got[("b", 0)] == (100.0, 1)
+
+
+def test_zscore_flags_outlier(spark):
+    pts = [[i * 1_000, "a", 10.0 + (i % 2)] for i in range(20)]
+    pts.append([21_000, "a", 1000.0])  # the outlier
+    ts = TimeSeries.from_wire(spark, {
+        "name": "z", "columns": ["time", "u", "value"], "points": pts})
+    out = ts.zscore("value", partition_by=["u"], threshold=3.0)
+    rows = out.df.collect()
+    flagged = [r for r in rows if r["value_anomaly"]]
+    assert len(flagged) == 1 and flagged[0]["value"] == 1000.0
+    # constant series: no variance -> NULL z, nothing flagged
+    const = TimeSeries.from_wire(spark, {
+        "name": "c", "columns": ["time", "u", "value"],
+        "points": [[i * 1000, "a", 5.0] for i in range(5)]})
+    crows = const.zscore("value", partition_by=["u"]).df.collect()
+    assert all(r["value_zscore"] is None and not r["value_anomaly"]
+               for r in crows)
+
+
+def test_zscore_trailing_window_no_future_leak(spark):
+    # values rise sharply at the end; a trailing-window score must not see
+    # the future spike when scoring early events
+    pts = [[i * 1_000, "a", float(v)]
+           for i, v in enumerate([10, 11, 10, 11, 10, 500])]
+    ts = TimeSeries.from_wire(spark, {
+        "name": "t", "columns": ["time", "u", "value"], "points": pts})
+    out = ts.zscore("value", window="3s", partition_by=["u"], threshold=2.0)
+    got = {r["time"].timestamp() * 1000: r["value_anomaly"]
+           for r in out.df.collect()}
+    assert got[5_000] is True         # the spike vs its trailing window
+    assert not any(got[t] for t in (0, 1_000, 2_000, 3_000, 4_000))
