@@ -764,6 +764,20 @@ def q_zscore_by_user(spark, sf_dir):
         F.col("value_anomaly"))
 
 
+def q_ewma_per_user(spark, sf_dir):
+    """EWMA per user (operators/rolling.py::ewma, Arrow recurrence).
+    alpha=0.5 keeps every step an exact IEEE halving, so the DuckDB
+    list_reduce fold reproduces the values bit-for-bit."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.ewma("value", alpha=0.5, partition_by=["user_id"])
+    # no rounding: both engines produce bit-identical doubles (every step
+    # is exact IEEE halving), and rounding would CREATE mismatches — the
+    # dyadic values land exactly on decimal .5 boundaries where Spark's
+    # HALF_UP and DuckDB's rounding of the underlying binary double differ
+    return out.df.select("event_id", "user_id", _ms().alias("t_ms"),
+                         "value_ewma")
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-5 characteristic terms per doc by smoothed TF-IDF with a
     deterministic (score desc, term asc) tie-break both engines share."""
@@ -832,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "rolling_10m_stats": q_rolling_10m_stats,
         "zscore_by_user": q_zscore_by_user,
+        "ewma_per_user": q_ewma_per_user,
     }
 
 
@@ -1921,6 +1936,26 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE abs((value - mu) / sigma) > 3.0 END,
                             FALSE) AS value_anomaly
             FROM s
+        """,
+        "ewma_per_user": """
+            -- prefix fold per event: O(n^2) in events-per-user, fine as an
+            -- oracle; the Spark side is the O(n) recurrence
+            WITH l AS (
+              SELECT user_id,
+                     list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs,
+                     list(event_id ORDER BY ts, event_id) AS ids,
+                     list(epoch_ms(ts) ORDER BY ts, event_id) AS tms
+              FROM events GROUP BY user_id
+            ), e AS (
+              SELECT user_id, xs, ids, tms,
+                     unnest(generate_series(1, len(xs))) AS k
+              FROM l
+            )
+            SELECT ids[k] AS event_id, user_id, tms[k] AS t_ms,
+                   list_reduce(list_slice(xs, 1, k),
+                               (acc, x) -> 0.5 * x + 0.5 * acc)
+                     AS value_ewma
+            FROM e
         """,
     }
 

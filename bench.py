@@ -45,6 +45,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "rolling_10m_stats",
     "zscore_by_user",
+    "ewma_per_user",
 ]
 
 

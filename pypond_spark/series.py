@@ -31,6 +31,7 @@ from .operators import merge as merge_ops
 from .operators.align import align as align_op
 from .operators.fill import fill as fill_op
 from .operators.rate import rate as rate_op
+from .operators.rolling import ewma as ewma_op
 from .operators.rolling import rolling as rolling_op
 from .operators.rolling import zscore as zscore_op
 from .operators.take import take as take_op
@@ -476,6 +477,15 @@ class TimeSeries:
             raise ValueError("rolling expects instant-event input")
         return self._with(rolling_op(self._df, window, aggregation,
                                      partition_by, self.time_col))
+
+    def ewma(self, field_spec="value", alpha: float = 0.5,
+             partition_by: Sequence[str] = ()) -> "TimeSeries":
+        """Exponentially weighted moving average per series (engine
+        addition; Arrow-batched sequential recurrence)."""
+        if self._kind != "time":
+            raise ValueError("ewma expects instant-event input")
+        return self._with(ewma_op(self._df, field_spec, alpha,
+                                  partition_by, self.time_col))
 
     def zscore(self, field_spec="value", window: str | None = None,
                partition_by: Sequence[str] = (),

@@ -2,9 +2,9 @@
 
 from .push import PushStream
 from .stream import (StreamPipeline, run_available_now, stream_align,
-                     stream_exact_dedup, stream_fill, stream_fill_pad,
-                     stream_rate, windowed_stream_aggregate)
+                     stream_ewma, stream_exact_dedup, stream_fill,
+                     stream_fill_pad, stream_rate, windowed_stream_aggregate)
 
 __all__ = ["PushStream", "StreamPipeline", "windowed_stream_aggregate", "stream_rate",
            "stream_align", "stream_fill", "stream_fill_pad",
-           "stream_exact_dedup", "run_available_now"]
+           "stream_exact_dedup", "stream_ewma", "run_available_now"]

@@ -413,6 +413,59 @@ def stream_fill_pad(
     return stream_fill(sdf, field_spec, "pad", None, partition_by, time_col)
 
 
+def _ewma_state_fn(fields: list[str], keys: list[str], time_col: str,
+                   alpha: float):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        accs = list(state.get) if state.exists else [None] * len(fields)
+        pdf = _whole_group(pdfs, time_col)
+        outs = []
+        for _, row in pdf.iterrows():
+            rec = list(key) + [int(row[time_col].value // 10**6)]
+            for j, f in enumerate(fields):
+                v = row[f]
+                if v is not None and not pd.isna(v):
+                    accs[j] = float(v) if accs[j] is None \
+                        else alpha * float(v) + (1.0 - alpha) * accs[j]
+                rec.append(accs[j])
+            outs.append(rec)
+        state.update(tuple(accs))
+        cols = keys + ["t_ms"] + [f"{f}_ewma" for f in fields]
+        yield pd.DataFrame(outs, columns=cols)
+
+    return fn
+
+
+def stream_ewma(
+    sdf: DataFrame,
+    field_spec: str | Sequence[str] = "value",
+    alpha: float = 0.5,
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+) -> DataFrame:
+    """Cross-batch EWMA: the streaming twin of ``operators.rolling.ewma``.
+
+    State per series key is just the current accumulator per field, so the
+    state store is O(keys), independent of event volume; the recurrence is
+    written identically to the batch operator, so draining a stream and
+    running the batch op on the same data agree bit-for-bit.
+    """
+    fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
+    key_fields = [sdf.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields + [T.StructField("t_ms", T.LongType())]
+        + [T.StructField(f"{f}_ewma", T.DoubleType()) for f in fields])
+    state_schema = T.StructType(
+        [T.StructField(f"s{i}", T.DoubleType()) for i in range(len(fields))])
+    out = sdf.groupBy(*keys).applyInPandasWithState(
+        _ewma_state_fn(fields, keys, time_col, alpha),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out
+
+
 def stream_exact_dedup(
     sdf: DataFrame,
     text_col: str = "text",

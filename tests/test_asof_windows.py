@@ -140,3 +140,20 @@ def test_zscore_trailing_window_no_future_leak(spark):
            for r in out.df.collect()}
     assert got[5_000] is True         # the spike vs its trailing window
     assert not any(got[t] for t in (0, 1_000, 2_000, 3_000, 4_000))
+
+
+def test_ewma_recurrence(spark):
+    ts = TimeSeries.from_wire(spark, {
+        "name": "e", "columns": ["time", "u", "value"],
+        "points": [[0, "a", 10.0], [1_000, "a", 20.0], [2_000, "a", None],
+                   [3_000, "a", 40.0], [0, "b", 8.0]]})
+    out = ts.ewma("value", alpha=0.5, partition_by=["u"])
+    got = {(r["u"], r["time"].timestamp() * 1000): r["value_ewma"]
+           for r in out.df.collect()}
+    assert got[("a", 0)] == 10.0
+    assert got[("a", 1_000)] == 15.0
+    assert got[("a", 2_000)] == 15.0      # None carries previous forward
+    assert got[("a", 3_000)] == 27.5      # 0.5*40 + 0.5*15
+    assert got[("b", 0)] == 8.0
+    with pytest.raises(ValueError):
+        ts.ewma("value", alpha=0.0)

@@ -247,3 +247,36 @@ def test_stream_fill_linear_closes_run_across_batches(spark, tmp_path):
         stream_fill(sdf, ["a", "b"], method="linear")
     with pytest.raises(ValueError):
         stream_fill(sdf, "value", method="bogus")
+
+
+def test_stream_ewma_matches_batch(spark, tmp_path):
+    """Draining the stream in two micro-batches must reproduce the batch
+    recurrence exactly (state carries the accumulator across batches)."""
+    from pypond_spark.operators.rolling import ewma as batch_ewma
+    from pypond_spark.streaming import run_available_now, stream_ewma
+    chunk1 = [{"t_ms": 0, "user": "a", "value": 10.0},
+              {"t_ms": 1_000, "user": "a", "value": 20.0}]
+    chunk2 = [{"t_ms": 2_000, "user": "a", "value": 40.0},
+              {"t_ms": 0, "user": "b", "value": 5.0}]
+    for i, chunk in enumerate([chunk1, chunk2]):
+        path = tmp_path / f"p{i}.json"
+        with open(path, "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    sdf = (spark.readStream.schema(SCHEMA)
+           .option("maxFilesPerTrigger", 1).json(str(tmp_path))
+           .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+           .drop("t_ms"))
+    out = stream_ewma(sdf, "value", alpha=0.5, partition_by=["user"])
+    got = {(r["user"], r["t_ms"]): r["value_ewma"]
+           for r in run_available_now(out, "append").collect()}
+    assert got == {("a", 0): 10.0, ("a", 1_000): 15.0,
+                   ("a", 2_000): 27.5, ("b", 0): 5.0}
+    # batch twin agrees
+    batch = (spark.read.json(str(tmp_path))
+             .withColumn("time", F.timestamp_millis(F.col("t_ms"))))
+    brows = batch_ewma(batch, "value", alpha=0.5, partition_by=["user"],
+                       time_col="time").collect()
+    bgot = {(r["user"], r["t_ms"]): r["value_ewma"] for r in brows}
+    assert bgot == got
