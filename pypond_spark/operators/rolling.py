@@ -1,0 +1,181 @@
+"""Per-event trailing-window aggregates and anomaly scores.
+
+``rolling`` gives every event the aggregate of its series over the
+trailing ``window`` (inclusive of the event itself) — moving averages,
+trailing counts, rolling extremes. It compiles the same agg-spec language
+as the bucketed rollups (`functions.compile_agg`) but evaluates each
+reducer ``.over()`` a RANGE window frame on epoch-ms, so an event at t
+sees exactly the events in ``(t - window, t]`` regardless of sampling
+irregularity.
+
+Scale shape: one exchange (hash-partition on the series key) and one sort
+per partition — identical physical cost to align/rate/fill. The RANGE
+frame is evaluated incrementally by Spark's window operator (no per-event
+rescans for the running reducers: sum/avg/count/min/max).
+
+``zscore`` flags events that sit more than ``threshold`` standard
+deviations from their series' mean — the whole-series variant uses an
+unframed partition window (two passes over each partition, no shuffle
+beyond the partitioning); pass ``window=`` to score against the trailing
+window instead (streaming-friendly: no future leakage).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import _prefilter, normalize_agg_spec
+from ..index import window_duration_ms
+
+
+def _range_window(window: str, partition_by: Sequence[str], time_col: str,
+                  exclude_current: bool = False):
+    dur = window_duration_ms(window)
+    if dur is None:
+        raise ValueError(f"rolling needs a fixed window spec, got {window!r}")
+    ms = F.unix_millis(F.col(time_col))
+    return (Window.partitionBy(*partition_by).orderBy(ms)
+            .rangeBetween(-(dur - 1), -1 if exclude_current else 0))
+
+
+def _over(func, col, w):
+    """Window-frame twin of the named reducers. compile_agg's columns wrap
+    the aggregate in coalesce/when rewrites that `.over()` cannot apply to,
+    so the rolling path compiles the window-function form directly."""
+    simple = {"sum": F.sum, "avg": F.avg, "max": F.max, "min": F.min,
+              "count": F.count, "stddev": F.stddev_pop, "median": F.median,
+              "first": F.first, "last": F.last}
+    if isinstance(func, (tuple, list)):
+        name, q, *rest = list(func) + []
+        if name != "percentile" or rest:
+            raise ValueError(
+                f"rolling supports ('percentile', q) tuples, got {func!r}")
+        return F.percentile(col, F.lit(q / 100.0)).over(w)
+    if func == "difference":
+        return F.max(col).over(w) - F.min(col).over(w)
+    if func not in simple:
+        raise ValueError(
+            f"rolling supports {sorted(simple) + ['difference', 'percentile']},"
+            f" got {func!r}")
+    return simple[func](col).over(w)
+
+
+def rolling(df: DataFrame, window: str, aggregation: dict,
+            partition_by: Sequence[str] = (),
+            time_col: str = "time") -> DataFrame:
+    """Append one column per agg-spec entry holding the trailing-window
+    aggregate at each event. Spec language and missing-value filters are
+    those of the bucketed rollups (named reducers only — a trailing frame
+    always contains the current event, so the empty-window rewrites never
+    apply)."""
+    w = _range_window(window, partition_by, time_col)
+    cols = [
+        _over(func, _prefilter(F.col(in_col), flt), w).alias(out)
+        for out, in_col, func, flt in normalize_agg_spec(aggregation)
+    ]
+    return df.select(*df.columns, *cols)
+
+
+def ewma(df: DataFrame, field_spec: str = "value", alpha: float = 0.5,
+         partition_by: Sequence[str] = (),
+         time_col: str = "time") -> DataFrame:
+    """Exponentially weighted moving average per series:
+    ``s_0 = x_0; s_t = alpha * x_t + (1 - alpha) * s_{t-1}`` in time order.
+
+    The recurrence is inherently sequential, which no window frame can
+    express without numerically explosive ``(1-alpha)^-t`` rescaling — so
+    this is the Arrow escape hatch: hash-partition on the series key,
+    sort each partition by (key, time), then ONE ``mapInPandas`` pass that
+    carries the per-key accumulator across Arrow batch boundaries. This
+    beats per-group ``applyInPandas`` ~2x here because corpora have many
+    small series and the per-group Arrow round trip dominates; the
+    single-pass form touches each row once regardless of group count.
+    The loop writes the recurrence verbatim — not pandas ``ewm``, whose
+    normalized form ``(w_old*s + w_new*x)/(w_old+w_new)`` rounds
+    differently — so a fold in any engine (e.g. the DuckDB oracle's
+    ``list_reduce``) reproduces results bit-for-bit. NaN/None samples
+    carry the previous EWMA forward unchanged.
+
+    Output: input columns plus ``<field>_ewma``.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
+    keys = list(partition_by)
+    from pyspark.sql import types as T
+    out_schema = T.StructType(list(df.schema.fields)
+                              + [T.StructField(f"{f}_ewma", T.DoubleType())
+                                 for f in fields])
+
+    if keys:
+        parts = df.repartition(*[F.col(k) for k in keys]) \
+            .sortWithinPartitions(*keys, time_col)
+    else:  # unkeyed: one global series (same contract as align/rate)
+        parts = df.coalesce(1).sortWithinPartitions(time_col)
+
+    def per_partition(batches):
+        import math
+
+        import numpy as np
+        # groups are contiguous within the sorted partition but may span
+        # Arrow batches — carry (key, accumulators) across batches
+        prev_key = object()
+        accs = [math.nan] * len(fields)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            kcols = [pdf[k].to_numpy() for k in keys]
+            xcols = [pdf[f].to_numpy(dtype="float64", na_value=math.nan)
+                     for f in fields]
+            outs = [np.empty(n) for _ in fields]
+            for i in range(n):
+                key = tuple(kc[i] for kc in kcols) if keys else ()
+                if key != prev_key:
+                    prev_key, accs = key, [math.nan] * len(fields)
+                for j in range(len(fields)):
+                    v = xcols[j][i]
+                    if not math.isnan(v):
+                        accs[j] = v if math.isnan(accs[j]) \
+                            else alpha * v + (1.0 - alpha) * accs[j]
+                    outs[j][i] = accs[j]
+            for j, f in enumerate(fields):
+                pdf[f"{f}_ewma"] = outs[j]
+            yield pdf
+
+    return parts.mapInPandas(per_partition, out_schema)
+
+
+def zscore(df: DataFrame, field_spec: str = "value",
+           window: str | None = None,
+           partition_by: Sequence[str] = (),
+           time_col: str = "time",
+           threshold: float = 3.0) -> DataFrame:
+    """Append ``<field>_zscore`` and ``<field>_anomaly`` per field.
+
+    ``window=None`` scores against the whole series (population stddev,
+    self-inclusive — the classic z-score); a fixed window scores against
+    the trailing window EXCLUDING the current event, so a spike cannot
+    inflate its own baseline and nothing leaks from the future (the
+    streaming-safe form). Series/windows with zero variance yield NULL
+    z-scores (and ``false`` anomaly flags) rather than a division error.
+    """
+    fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
+    if window is None:
+        w = Window.partitionBy(*partition_by)
+    else:
+        w = _range_window(window, partition_by, time_col,
+                          exclude_current=True)
+    out = df
+    for f in fields:
+        col = F.col(f).cast("double")
+        z = F.try_divide(col - F.avg(col).over(w),
+                         F.stddev_pop(col).over(w))
+        out = out.withColumn(f"{f}_zscore", z) \
+            .withColumn(f"{f}_anomaly",
+                        F.coalesce(F.abs(z) > F.lit(float(threshold)),
+                                   F.lit(False)))
+    return out
