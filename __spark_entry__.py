@@ -769,7 +769,8 @@ def q_ewma_per_user(spark, sf_dir):
     alpha=0.5 keeps every step an exact IEEE halving, so the DuckDB
     list_reduce fold reproduces the values bit-for-bit."""
     ts = _events_ts(spark, sf_dir)
-    out = ts.ewma("value", alpha=0.5, partition_by=["user_id"])
+    out = ts.ewma("value", alpha=0.5, partition_by=["user_id"],
+                  tiebreak="event_id")
     # no rounding: both engines produce bit-identical doubles (every step
     # is exact IEEE halving), and rounding would CREATE mismatches — the
     # dyadic values land exactly on decimal .5 boundaries where Spark's
@@ -1286,9 +1287,12 @@ def oracle_sql() -> dict[str, str]:
             -- of +/-1 per bit; output split into unsigned 32-bit halves so
             -- the signed 64-bit representation never crosses engines.
             WITH toks AS (
+              -- list_slice mirrors the engine's 2^20-token-per-doc cap
+              -- (dedup._SIMHASH_MAX_TOKENS)
               SELECT doc_id,
-                     unnest(list_filter(string_split_regex(trim(text),
-                            '\\s+'), x -> x != '')) AS tok
+                     unnest(list_slice(
+                            list_filter(string_split_regex(trim(text),
+                            '\\s+'), x -> x != ''), 1, 1048576)) AS tok
               FROM documents
             ), h AS (
               -- multiply, not <<: DuckDB runs << in signed BIGINT and

@@ -35,8 +35,8 @@ def write_training_shards(df: DataFrame, path: str, *,
     an embarrassingly parallel write; maxRecordsPerFile splits any
     oversized task output without another shuffle.
     """
-    n_rows = df.count()
-    tasks = n_tasks or max(1, math.ceil(n_rows / records_per_shard))
+    # count only when the caller didn't pin parallelism — it's a full pass
+    tasks = n_tasks or max(1, math.ceil(df.count() / records_per_shard))
     if order_col is not None:
         out = (df.repartitionByRange(tasks, F.col(order_col))
                .sortWithinPartitions(order_col))

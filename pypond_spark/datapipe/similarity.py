@@ -129,9 +129,12 @@ def embedding_near_dups_lsh(df: DataFrame, dim: int, threshold: float = 0.95,
     # whole-stage codegen, where the array HOF (`F.aggregate`/`zip_with`)
     # is interpreted per pair — measured ~2x end-to-end at sf0.1. Row width
     # is unchanged (the same dim floats, as columns instead of an array).
+    # F.get, not [i]: a short/corrupt vector yields NULL components (and so
+    # a NULL cosine that the threshold filter drops) instead of an ANSI
+    # INVALID_ARRAY_INDEX error aborting the whole job
     bucketed = lsh_bucket(df, dim, nbits, seed, vec_col).select(
         F.col(id_col), F.col("lsh_bucket"), norm(vec_col).alias("__n"),
-        *[F.col(vec_col)[i].cast("double").alias(f"__e{i}")
+        *[F.get(F.col(vec_col), i).cast("double").alias(f"__e{i}")
           for i in range(dim)])
     a = bucketed.select(F.col(id_col).alias("id_a"), "lsh_bucket",
                         F.col("__n").alias("__na"),

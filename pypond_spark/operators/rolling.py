@@ -41,13 +41,19 @@ def _range_window(window: str, partition_by: Sequence[str], time_col: str,
             .rangeBetween(-(dur - 1), -1 if exclude_current else 0))
 
 
-def _over(func, col, w):
+# filters whose rewrite happens BEFORE the aggregate (column rewrites that
+# compose with .over()); propagate_missing / none_if_empty are post-agg
+# rewrites compile_agg applies around the aggregate, which a window frame
+# cannot express — rolling rejects them instead of silently ignoring them
+_ROLLING_FILTERS = ("keep_missing", "ignore_missing", "zero_missing")
+
+
+def _over(func, col, flt, w):
     """Window-frame twin of the named reducers. compile_agg's columns wrap
     the aggregate in coalesce/when rewrites that `.over()` cannot apply to,
     so the rolling path compiles the window-function form directly."""
     simple = {"sum": F.sum, "avg": F.avg, "max": F.max, "min": F.min,
-              "count": F.count, "stddev": F.stddev_pop, "median": F.median,
-              "first": F.first, "last": F.last}
+              "count": F.count, "stddev": F.stddev_pop, "median": F.median}
     if isinstance(func, (tuple, list)):
         name, q, *rest = list(func) + []
         if name != "percentile" or rest:
@@ -56,9 +62,16 @@ def _over(func, col, w):
         return F.percentile(col, F.lit(q / 100.0)).over(w)
     if func == "difference":
         return F.max(col).over(w) - F.min(col).over(w)
+    if func in ("first", "last"):
+        # match the bucketed reducers: first/last of the VALID values under
+        # ignore_missing (F.first alone would return the frame's first row,
+        # null or not); keep_missing keeps the positional semantics
+        fn = F.first if func == "first" else F.last
+        return fn(col, ignorenulls=(flt == "ignore_missing")).over(w)
     if func not in simple:
         raise ValueError(
-            f"rolling supports {sorted(simple) + ['difference', 'percentile']},"
+            f"rolling supports "
+            f"{sorted(simple) + ['difference', 'first', 'last', 'percentile']},"
             f" got {func!r}")
     return simple[func](col).over(w)
 
@@ -67,21 +80,30 @@ def rolling(df: DataFrame, window: str, aggregation: dict,
             partition_by: Sequence[str] = (),
             time_col: str = "time") -> DataFrame:
     """Append one column per agg-spec entry holding the trailing-window
-    aggregate at each event. Spec language and missing-value filters are
-    those of the bucketed rollups (named reducers only — a trailing frame
-    always contains the current event, so the empty-window rewrites never
-    apply)."""
+    aggregate at each event.
+
+    Spec language is that of the bucketed rollups, restricted to the named
+    reducers listed in ``_over`` and the pre-aggregate missing-value
+    filters (``keep_missing`` / ``ignore_missing`` / ``zero_missing``) —
+    the post-aggregate filters (``propagate_missing``, ``none_if_empty``)
+    have no window-frame form and raise rather than silently degrade.
+    """
     w = _range_window(window, partition_by, time_col)
-    cols = [
-        _over(func, _prefilter(F.col(in_col), flt), w).alias(out)
-        for out, in_col, func, flt in normalize_agg_spec(aggregation)
-    ]
+    cols = []
+    for out, in_col, func, flt in normalize_agg_spec(aggregation):
+        if flt not in _ROLLING_FILTERS:
+            raise ValueError(
+                f"rolling supports filters {_ROLLING_FILTERS}, got {flt!r}"
+                f" for {out!r}")
+        cols.append(
+            _over(func, _prefilter(F.col(in_col), flt), flt, w).alias(out))
     return df.select(*df.columns, *cols)
 
 
 def ewma(df: DataFrame, field_spec: str = "value", alpha: float = 0.5,
          partition_by: Sequence[str] = (),
-         time_col: str = "time") -> DataFrame:
+         time_col: str = "time",
+         tiebreak: str | None = None) -> DataFrame:
     """Exponentially weighted moving average per series:
     ``s_0 = x_0; s_t = alpha * x_t + (1 - alpha) * s_{t-1}`` in time order.
 
@@ -99,7 +121,10 @@ def ewma(df: DataFrame, field_spec: str = "value", alpha: float = 0.5,
     ``list_reduce``) reproduces results bit-for-bit. NaN/None samples
     carry the previous EWMA forward unchanged.
 
-    Output: input columns plus ``<field>_ewma``.
+    Output: input columns plus ``<field>_ewma``. Events sharing a
+    timestamp process in arbitrary shuffle order, which changes the
+    result — pass ``tiebreak=`` (e.g. an event-id column) to pin the
+    order whenever ties are possible.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -112,9 +137,11 @@ def ewma(df: DataFrame, field_spec: str = "value", alpha: float = 0.5,
 
     if keys:
         parts = df.repartition(*[F.col(k) for k in keys]) \
-            .sortWithinPartitions(*keys, time_col)
+            .sortWithinPartitions(*keys, time_col,
+                                  *([tiebreak] if tiebreak else []))
     else:  # unkeyed: one global series (same contract as align/rate)
-        parts = df.coalesce(1).sortWithinPartitions(time_col)
+        parts = df.coalesce(1).sortWithinPartitions(
+            time_col, *([tiebreak] if tiebreak else []))
 
     def per_partition(batches):
         import math
@@ -158,9 +185,12 @@ def zscore(df: DataFrame, field_spec: str = "value",
 
     ``window=None`` scores against the whole series (population stddev,
     self-inclusive — the classic z-score); a fixed window scores against
-    the trailing window EXCLUDING the current event, so a spike cannot
-    inflate its own baseline and nothing leaks from the future (the
-    streaming-safe form). Series/windows with zero variance yield NULL
+    the trailing window EXCLUDING the current event and any events
+    sharing its exact timestamp (a RANGE frame bounds by ORDER BY value,
+    so equal-ms peers fall outside the ``-1`` upper bound too — the
+    conservative choice: a burst of simultaneous events cannot vouch for
+    itself), so a spike cannot inflate its own baseline and nothing leaks
+    from the future (the streaming-safe form). Series/windows with zero variance yield NULL
     z-scores (and ``false`` anomaly flags) rather than a division error.
     """
     fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)

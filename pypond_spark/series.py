@@ -479,13 +479,15 @@ class TimeSeries:
                                      partition_by, self.time_col))
 
     def ewma(self, field_spec="value", alpha: float = 0.5,
-             partition_by: Sequence[str] = ()) -> "TimeSeries":
+             partition_by: Sequence[str] = (),
+             tiebreak: str | None = None) -> "TimeSeries":
         """Exponentially weighted moving average per series (engine
-        addition; Arrow-batched sequential recurrence)."""
+        addition; Arrow-batched sequential recurrence). Pass ``tiebreak=``
+        when duplicate timestamps are possible."""
         if self._kind != "time":
             raise ValueError("ewma expects instant-event input")
         return self._with(ewma_op(self._df, field_spec, alpha,
-                                  partition_by, self.time_col))
+                                  partition_by, self.time_col, tiebreak))
 
     def zscore(self, field_spec="value", window: str | None = None,
                partition_by: Sequence[str] = (),

@@ -88,8 +88,11 @@ def test_sample_stratified_rates(docs):
 
 
 def test_token_budget_mix_budget_met(docs):
-    budgets = {"web": 2000, "books": 500}
+    # src0/src1 totals are ~1.5k tokens at sf0.001, so 700/300 force the
+    # partial path; src2's huge budget covers domain exhaustion
+    budgets = {"src0": 700, "src1": 300, "src2": 10_000_000}
     out = sampling.token_budget_mix(docs, budgets).collect()
+    assert out  # domains must exist in the corpus or the test is vacuous
     by_dom = {}
     for r in out:
         by_dom.setdefault(r["source"], []).append(r)
@@ -103,6 +106,11 @@ def test_token_budget_mix_budget_met(docs):
         n_dom = docs.where(F.col("source") == dom).count()
         if len(rows) < n_dom:
             assert top >= b
+    # partial-selection and exhaustion paths must both be exercised
+    n_src2 = docs.where(F.col("source") == "src2").count()
+    assert len(by_dom["src2"]) == n_src2  # huge budget keeps the domain
+    assert len(by_dom["src0"]) < docs.where(F.col("source") == "src0").count()
+    assert len(by_dom["src1"]) < docs.where(F.col("source") == "src1").count()
 
 
 def test_sample_weighted_monotone(docs, spark):
