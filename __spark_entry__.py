@@ -764,6 +764,14 @@ def q_zscore_by_user(spark, sf_dir):
         F.col("value_anomaly"))
 
 
+def q_take_per_source(spark, sf_dir):
+    """Deterministic k-per-group balancing (datapipe/sampling.py): the 3
+    smallest-hash docs per source — rerun-stable uniform random-k."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_sample.take_per_group(docs, k=3, group_col="source")
+    return out.select("doc_id", "source")
+
+
 def q_ewma_per_user(spark, sf_dir):
     """EWMA per user (operators/rolling.py::ewma, Arrow recurrence).
     alpha=0.5 keeps every step an exact IEEE halving, so the DuckDB
@@ -848,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_10m_stats": q_rolling_10m_stats,
         "zscore_by_user": q_zscore_by_user,
         "ewma_per_user": q_ewma_per_user,
+        "take_per_source": q_take_per_source,
     }
 
 
@@ -1960,6 +1969,20 @@ def oracle_sql() -> dict[str, str]:
                                (acc, x) -> 0.5 * x + 0.5 * acc)
                      AS value_ewma
             FROM e
+        """,
+        "take_per_source": """
+            WITH h AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))
+                         ::BIGINT / 4294967296.0 AS hh
+              FROM documents
+            ), r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY hh, doc_id) AS rn
+              FROM h
+            )
+            SELECT doc_id, source FROM r WHERE rn <= 3
         """,
     }
 

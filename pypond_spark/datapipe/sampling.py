@@ -86,6 +86,21 @@ def sample_stratified(df: DataFrame, fractions: dict[str, float],
     return df.where(sample_hash(F.col(key_col), seed) < rate)
 
 
+def take_per_group(df: DataFrame, k: int, group_col: str = "source",
+                   key_col: str = "doc_id",
+                   seed: int | str = 0) -> DataFrame:
+    """Deterministic k-per-group corpus balancing: keep the k documents
+    with the smallest sample hash inside each group — a uniform random-k
+    per domain that reruns reproduce exactly. One shuffle on the group
+    column; the per-group top-k is a rank window, never a sort of the
+    whole corpus."""
+    w = Window.partitionBy(group_col).orderBy("__h", key_col)
+    return (df.withColumn("__h", sample_hash(F.col(key_col), seed))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__h", "__rn"))
+
+
 def token_budget_mix(df: DataFrame, budgets: dict[str, int],
                      domain_col: str = "source", token_col: str | None = None,
                      text_col: str = "text", id_col: str = "doc_id",

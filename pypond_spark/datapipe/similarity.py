@@ -289,6 +289,43 @@ def ivf_topk(df: DataFrame, query_vec: list[float],
             .limit(k))
 
 
+def write_ann_index(df: DataFrame, path: str, dim: int, nbits: int = 8,
+                    seed: int = 42, vec_col: str = "embedding",
+                    mode: str = "overwrite") -> None:
+    """Materialize the corpus bucket-partitioned on its LSH bucket
+    (``path/lsh_bucket=<b>/...``) so bucket-probing queries become
+    PARTITION PRUNING at the source — the scan never opens files outside
+    the probed bucket. This is the persisted form of the ``lsh_bucket``
+    column; write once, then every :func:`lsh_topk_indexed` query reads
+    1/2^nbits of the corpus.
+    """
+    lsh_bucket(df, dim, nbits, seed, vec_col) \
+        .write.mode(mode).partitionBy("lsh_bucket").parquet(path)
+
+
+def lsh_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
+                     nbits: int = 8, seed: int = 42,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Top-k against a :func:`write_ann_index` layout: the bucket equality
+    filter prunes partitions at planning time (``PartitionFilters`` in
+    the scan — verified in tests), so I/O is one bucket, not the corpus.
+    """
+    planes = _planes(len(query_vec), nbits, seed)
+    qbucket = 0
+    for b, plane in enumerate(planes):
+        if sum(p * float(v) for p, v in zip(plane, query_vec)) > 0:
+            qbucket |= 1 << b
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qn = math.sqrt(sum(float(v) ** 2 for v in query_vec))
+    sim = F.try_divide(dot(vec_col, q), norm(vec_col) * F.lit(qn))
+    return (spark.read.parquet(path)
+            .where(F.col("lsh_bucket") == qbucket)
+            .select(F.col(id_col), sim.alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col)
+            .limit(k))
+
+
 def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              nbits: int = 8, seed: int = 42, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:

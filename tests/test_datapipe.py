@@ -454,3 +454,38 @@ def test_filter_corpus_reasons(spark):
     assert out2[1]["cull_reason"] == "contaminated"
     assert out2[2]["cull_reason"] == "duplicate"
     assert out2[3]["contaminated"] is False
+
+
+def test_write_ann_index_partition_pruning(spark, embs, tmp_path):
+    """The persisted bucket layout must (a) return the same top-k as the
+    in-memory bucket probe and (b) prune partitions at the scan."""
+    path = str(tmp_path / "ann_index")
+    qvec = [float(v) for v in embs.orderBy("vec_id").first()["embedding"]]
+    similarity.write_ann_index(embs, path, dim=64, nbits=4)
+    mem = similarity.lsh_topk(embs, qvec, k=5, nbits=4).collect()
+    idx = similarity.lsh_topk_indexed(spark, path, qvec, k=5, nbits=4)
+    assert [(r["vec_id"], round(r["cosine"], 9)) for r in idx.collect()] \
+        == [(r["vec_id"], round(r["cosine"], 9)) for r in mem]
+    plan = idx._sc._jvm.PythonSQLUtils.explainString(
+        idx._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "lsh_bucket" in pf  # the bucket filter reached the source
+
+
+def test_take_per_group(spark, docs):
+    from pypond_spark.datapipe import sampling
+    out = sampling.take_per_group(docs, k=3, group_col="source")
+    counts = {r["source"]: r["count"] for r in
+              out.groupBy("source").count().collect()}
+    full = {r["source"]: r["count"] for r in
+            docs.groupBy("source").count().collect()}
+    assert set(counts) == set(full)
+    for src, n in counts.items():
+        assert n == min(3, full[src])
+    # deterministic under repartitioning
+    again = sampling.take_per_group(docs.repartition(7), k=3,
+                                    group_col="source")
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in again.select("doc_id").collect())

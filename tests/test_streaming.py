@@ -280,3 +280,21 @@ def test_stream_ewma_matches_batch(spark, tmp_path):
                        time_col="time").collect()
     bgot = {(r["user"], r["t_ms"]): r["value_ewma"] for r in brows}
     assert bgot == got
+
+
+def test_quality_exprs_work_on_streams(spark, tmp_path):
+    """The per-document quality signals are stateless column exprs, so the
+    same gopher/c4 rules drive a streaming ingestion filter unchanged."""
+    from pypond_spark.datapipe.textstats import gopher_exprs
+    recs = [{"doc_id": 1, "text": "short"},
+            {"doc_id": 2, "text": ("the be to of and that have with good "
+                                   "prose text " * 12)}]
+    with open(tmp_path / "docs.json", "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    sdf = (spark.readStream
+           .schema("doc_id long, text string").json(str(tmp_path)))
+    flagged = sdf.select("doc_id", gopher_exprs("text")[-1])
+    rows = run_available_now(flagged, "append").collect()
+    got = {r["doc_id"]: r["gopher_pass"] for r in rows}
+    assert got == {1: False, 2: True}
