@@ -764,6 +764,27 @@ def q_zscore_by_user(spark, sf_dir):
         F.col("value_anomaly"))
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Directional n-gram containment (datapipe/dedup.py): every 5th doc
+    is paired with its own 20-token prefix — the prefix side's containment
+    must be 1.0 (subset duplication Jaccard under-scores)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: t != F.lit(""))
+    trunc = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 20)).alias("text"))
+    both = docs.select("doc_id", "text").union(trunc)
+    pairs = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"))
+    out = dp_dedup.ngram_containment(both, pairs)
+    return out.select(
+        "id_a", "id_b",
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"))
+
+
 def q_take_per_source(spark, sf_dir):
     """Deterministic k-per-group balancing (datapipe/sampling.py): the 3
     smallest-hash docs per source — rerun-stable uniform random-k."""
@@ -857,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_by_user": q_zscore_by_user,
         "ewma_per_user": q_ewma_per_user,
         "take_per_source": q_take_per_source,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -1983,6 +2005,35 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT doc_id, source FROM r WHERE rn <= 3
+        """,
+        "containment_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS w
+              FROM documents
+            ), allw AS (
+              SELECT doc_id, w FROM toks
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, w[1:20] AS w
+              FROM toks WHERE doc_id % 5 = 0
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+2], ' ')
+                       for i in generate_series(1, greatest(len(w) - 2, 1))])
+                     AS s
+              FROM allw
+            ), p AS (
+              SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+              FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT id_a, id_b,
+                   round(len(list_intersect(a.s, b.s))
+                         / CAST(len(a.s) AS DOUBLE), 6) AS containment_a,
+                   round(len(list_intersect(a.s, b.s))
+                         / CAST(len(b.s) AS DOUBLE), 6) AS containment_b
+            FROM p JOIN sh a ON a.doc_id = p.id_a
+                   JOIN sh b ON b.doc_id = p.id_b
         """,
     }
 

@@ -160,6 +160,35 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", (inter / union).alias("jaccard")))
 
 
+def ngram_containment(df: DataFrame, pairs: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      shingle_n: int = 3) -> DataFrame:
+    """Directional n-gram containment for candidate pairs:
+    ``containment(a in b) = |S(a) ∩ S(b)| / |S(a)|`` and its reverse.
+
+    Catches subset duplication that symmetric Jaccard under-scores: a
+    short document quoted whole inside a long one has containment ~1.0
+    but Jaccard ~|a|/|b| (arbitrarily small). Same candidate-only join
+    discipline as :func:`ngram_jaccard` — shingle sets are compared for
+    LSH candidates, never all pairs.
+
+    Output: ``id_a, id_b, containment_a, containment_b`` (fraction of
+    each side's shingles found in the other; NULL for empty sides).
+    """
+    sets_df = (word_shingles(df, text_col, shingle_n, id_col)
+               .groupBy(id_col)
+               .agg(F.collect_set("shingle").alias("sh")))
+    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    F.try_divide(inter, F.size("sh_a").cast("double"))
+                    .alias("containment_a"),
+                    F.try_divide(inter, F.size("sh_b").cast("double"))
+                    .alias("containment_b")))
+
+
 def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                  max_iter: int = 20, on_nonconverged: str = "raise") -> DataFrame:
     """Connected components over duplicate pairs: (id, cluster_id) where

@@ -489,3 +489,25 @@ def test_take_per_group(spark, docs):
                                     group_col="source")
     assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) \
         == sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_ngram_containment_subset(spark, docs):
+    """A doc's prefix is fully contained in the doc (containment 1.0)
+    while Jaccard for the same pair is well below 1."""
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: t != F.lit(""))
+    base = docs.limit(3).select("doc_id", "text")
+    trunc = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                        F.concat_ws(" ", F.slice(toks, 1, 10)).alias("text"))
+    both = base.union(trunc)
+    pairs = base.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 1_000_000).alias("id_b"))
+    cont = {(r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+            for r in dedup.ngram_containment(both, pairs).collect()}
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard(both, pairs).collect()}
+    assert len(cont) == 3
+    for k, (ca, cb) in cont.items():
+        assert cb == 1.0          # prefix shingles all found in the full doc
+        assert ca < 1.0           # full doc not contained in the prefix
+        assert jac[k] < cb        # Jaccard under-scores the subset pair
