@@ -785,6 +785,30 @@ def q_containment_pairs(spark, sf_dir):
         F.round("containment_b", 6).alias("containment_b"))
 
 
+def q_interval_join_events(spark, sf_dir):
+    """Bucketized interval-overlap join (operators/interval.py): per-user
+    high-value episodes [ts, ts+10m) vs click windows [ts, ts+5m) —
+    bucket equi-join + exact predicate, never a nested-loop; the oracle
+    is DuckDB's plain overlap join."""
+    from pypond_spark.operators.interval import interval_join
+    ev = _events_df(spark, sf_dir)
+    left = ev.where(F.col("value") > 90).select(
+        F.col("event_id").alias("lid"), "user_id",
+        F.col("ts").alias("begin"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"))
+    right = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("rid"), "user_id",
+        F.col("ts").alias("begin"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end"))
+    out = interval_join(left, right, on=["user_id"], bucket="10m")
+    return out.select(
+        F.col("l_lid").alias("lid"), F.col("r_rid").alias("rid"), "user_id",
+        F.greatest(F.unix_millis("l_begin"), F.unix_millis("r_begin"))
+        .alias("o_begin_ms"),
+        F.least(F.unix_millis("l_end"), F.unix_millis("r_end"))
+        .alias("o_end_ms"))
+
+
 def q_take_per_source(spark, sf_dir):
     """Deterministic k-per-group balancing (datapipe/sampling.py): the 3
     smallest-hash docs per source — rerun-stable uniform random-k."""
@@ -879,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_per_user": q_ewma_per_user,
         "take_per_source": q_take_per_source,
         "containment_pairs": q_containment_pairs,
+        "interval_join_events": q_interval_join_events,
     }
 
 
@@ -2034,6 +2059,22 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(len(b.s) AS DOUBLE), 6) AS containment_b
             FROM p JOIN sh a ON a.doc_id = p.id_a
                    JOIN sh b ON b.doc_id = p.id_b
+        """,
+        "interval_join_events": """
+            WITH l AS (
+              SELECT event_id AS lid, user_id, epoch_ms(ts) AS lb,
+                     epoch_ms(ts) + 600000 AS le
+              FROM events WHERE value > 90
+            ), r AS (
+              SELECT event_id AS rid, user_id, epoch_ms(ts) AS rb,
+                     epoch_ms(ts) + 300000 AS re
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT lid, rid, user_id,
+                   greatest(lb, rb) AS o_begin_ms,
+                   least(le, re) AS o_end_ms
+            FROM l JOIN r USING (user_id)
+            WHERE lb < re AND rb < le
         """,
     }
 

@@ -1,0 +1,77 @@
+"""Interval (time-range overlap) join — the range-join problem done
+Spark-first.
+
+A naive overlap join (``a.begin < b.end AND b.begin < a.end``) gives
+Catalyst no equality to hash on, so it plans a broadcast-nested-loop or
+cartesian — O(n·m) and a cluster-killer at scale. The standard fix is
+bucketization: map every interval to the fixed time buckets it covers,
+equi-join on the bucket, then apply the exact overlap predicate and
+de-duplicate pairs that share several buckets.
+
+Cost: shuffle volume is Σ(interval_length / bucket) rows per side — the
+bucket size tunes the replication factor vs bucket-population tradeoff
+(pick it near the median interval length). The join itself is a plain
+hash shuffle join on a LONG key, so AQE skew handling applies. This is the
+same strategy Databricks' range-join optimization and the interval-join
+operators in stream processors use; here it composes from public DataFrame
+ops only (reference semantics: pypond's TimeRange.overlaps,
+``range.py:358-474``, lifted from predicate to join).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index import window_duration_ms
+
+
+def _bucketed(df: DataFrame, begin_col: str, end_col: str, dur: int,
+              prefix: str) -> DataFrame:
+    b = F.unix_millis(F.col(begin_col))
+    e = F.unix_millis(F.col(end_col))
+    # half-open [begin, end): the end-1 bucket is the last one covered;
+    # empty/negative intervals cover no bucket and drop out via explode
+    buckets = F.when(
+        e > b, F.sequence(F.floor(b / dur), F.floor((e - 1) / dur))
+    ).otherwise(F.array().cast("array<bigint>"))
+    renamed = df.select(
+        *[F.col(c).alias(f"{prefix}{c}") for c in df.columns],
+        F.explode(buckets).alias("__bucket"))
+    return renamed
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  begin_col: str = "begin", end_col: str = "end",
+                  on: Sequence[str] = (), bucket: str = "1h",
+                  suffixes: tuple[str, str] = ("l_", "r_")) -> DataFrame:
+    """All (left, right) pairs of overlapping half-open intervals
+    ``[begin, end)``, optionally also matching on equality keys ``on``.
+
+    Output columns are the left columns prefixed ``suffixes[0]`` and the
+    right columns prefixed ``suffixes[1]`` (the equality keys appear once,
+    unprefixed). ``bucket`` is the fixed bucketization window — set it
+    near the typical interval length; longer interval outliers just
+    replicate into more buckets, they never break correctness.
+    """
+    dur = window_duration_ms(bucket)
+    if dur is None:
+        raise ValueError(f"bucket must be a fixed window spec, got {bucket!r}")
+    lp, rp = suffixes
+    a = _bucketed(left, begin_col, end_col, dur, lp)
+    b = _bucketed(right, begin_col, end_col, dur, rp)
+    keys = [F.col(f"{lp}{k}") == F.col(f"{rp}{k}") for k in on]
+    overlap = (
+        (F.col(f"{lp}{begin_col}") < F.col(f"{rp}{end_col}"))
+        & (F.col(f"{rp}{begin_col}") < F.col(f"{lp}{end_col}")))
+    joined = a.join(b.withColumnRenamed("__bucket", "__rbucket"),
+                    [F.col("__bucket") == F.col("__rbucket"), *keys])
+    out_cols = ([F.col(f"{lp}{k}").alias(k) for k in on]
+                + [F.col(f"{lp}{c}") for c in left.columns if c not in on]
+                + [F.col(f"{rp}{c}") for c in right.columns if c not in on])
+    # a pair overlapping across k buckets matches k times -> distinct
+    return (joined.where(overlap)
+            .select(*out_cols)
+            .distinct())

@@ -157,3 +157,26 @@ def test_ewma_recurrence(spark):
     assert got[("b", 0)] == 8.0
     with pytest.raises(ValueError):
         ts.ewma("value", alpha=0.0)
+
+
+def test_interval_join_overlaps(spark):
+    from pypond_spark.operators.interval import interval_join
+    mk = lambda rows: spark.createDataFrame(rows, ["name", "b_ms", "e_ms"]) \
+        .select("name",
+                F.timestamp_millis(F.col("b_ms")).alias("begin"),
+                F.timestamp_millis(F.col("e_ms")).alias("end"))
+    left = mk([("a1", 0, 7_200_000),          # spans 2 one-hour buckets
+               ("a2", 10_800_000, 10_860_000),
+               ("a3", 0, 0)])                 # empty interval: no matches
+    right = mk([("b1", 3_600_000, 3_660_000),  # inside a1's 2nd hour
+                ("b2", 7_200_000, 7_260_000),  # touches a1's end: no overlap
+                ("b3", 10_850_000, 10_900_000)])  # overlaps a2
+    out = interval_join(left, right, bucket="1h")
+    got = {(r["l_name"], r["r_name"]) for r in out.collect()}
+    assert got == {("a1", "b1"), ("a2", "b3")}
+    # multi-bucket pair appears exactly once
+    assert out.count() == 2
+    # equality keys restrict the match
+    lk = left.withColumn("k", F.lit("x"))
+    rk = right.withColumn("k", F.lit("y"))
+    assert interval_join(lk, rk, on=["k"], bucket="1h").count() == 0
