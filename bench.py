@@ -46,6 +46,9 @@ HEADLINE = [
     "rolling_10m_stats",
     "zscore_by_user",
     "ewma_per_user",
+    "take_per_source",
+    "containment_pairs",
+    "interval_join_events",
 ]
 
 
