@@ -143,17 +143,25 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def _shingle_sets(df: DataFrame, text_col: str, id_col: str,
+                  shingle_n: int) -> tuple[DataFrame, DataFrame]:
+    """Distinct shingle set per doc, projected as the two join sides
+    (shared by the pair-verify metrics so they can never diverge)."""
+    sets_df = (word_shingles(df, text_col, shingle_n, id_col)
+               .groupBy(id_col)
+               .agg(F.collect_set("shingle").alias("sh")))
+    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return a, b
+
+
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A ∩ B| / |A ∪ B|.
 
     Joins shingle sets only for candidate pairs (post-LSH), never all pairs.
     """
-    sets_df = (word_shingles(df, text_col, shingle_n, id_col)
-               .groupBy(id_col)
-               .agg(F.collect_set("shingle").alias("sh")))
-    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    a, b = _shingle_sets(df, text_col, id_col, shingle_n)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (pairs.join(a, "id_a").join(b, "id_b")
@@ -173,13 +181,13 @@ def ngram_containment(df: DataFrame, pairs: DataFrame,
     LSH candidates, never all pairs.
 
     Output: ``id_a, id_b, containment_a, containment_b`` (fraction of
-    each side's shingles found in the other; NULL for empty sides).
+    each side's shingles found in the other). An empty document carries
+    ``word_shingles``' single empty-string sentinel shingle (two empty
+    docs therefore score containment 1.0 — they ARE exact duplicates);
+    pairs referencing ids absent from ``df`` are dropped by the inner
+    joins, exactly as in :func:`ngram_jaccard`.
     """
-    sets_df = (word_shingles(df, text_col, shingle_n, id_col)
-               .groupBy(id_col)
-               .agg(F.collect_set("shingle").alias("sh")))
-    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    a, b = _shingle_sets(df, text_col, id_col, shingle_n)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     return (pairs.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b",

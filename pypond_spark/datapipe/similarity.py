@@ -289,6 +289,27 @@ def ivf_topk(df: DataFrame, query_vec: list[float],
             .limit(k))
 
 
+def _query_bucket(query_vec: list[float], nbits: int, seed: int) -> int:
+    """Driver-side twin of lsh_bucket's sign test for one query vector —
+    shared by every bucket-probing search so the sign convention (> 0) and
+    summation order can never diverge between probes."""
+    qbucket = 0
+    for b, plane in enumerate(_planes(len(query_vec), nbits, seed)):
+        if sum(p * float(v) for p, v in zip(plane, query_vec)) > 0:
+            qbucket |= 1 << b
+    return qbucket
+
+
+def _score_topk(df: DataFrame, query_vec: list[float], k: int,
+                vec_col: str, id_col: str) -> DataFrame:
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qn = math.sqrt(sum(float(v) ** 2 for v in query_vec))
+    sim = F.try_divide(dot(vec_col, q), norm(vec_col) * F.lit(qn))
+    return (df.select(F.col(id_col), sim.alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col)
+            .limit(k))
+
+
 def write_ann_index(df: DataFrame, path: str, dim: int, nbits: int = 8,
                     seed: int = 42, vec_col: str = "embedding",
                     mode: str = "overwrite") -> None:
@@ -311,19 +332,10 @@ def lsh_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
     filter prunes partitions at planning time (``PartitionFilters`` in
     the scan — verified in tests), so I/O is one bucket, not the corpus.
     """
-    planes = _planes(len(query_vec), nbits, seed)
-    qbucket = 0
-    for b, plane in enumerate(planes):
-        if sum(p * float(v) for p, v in zip(plane, query_vec)) > 0:
-            qbucket |= 1 << b
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    qn = math.sqrt(sum(float(v) ** 2 for v in query_vec))
-    sim = F.try_divide(dot(vec_col, q), norm(vec_col) * F.lit(qn))
-    return (spark.read.parquet(path)
-            .where(F.col("lsh_bucket") == qbucket)
-            .select(F.col(id_col), sim.alias("cosine"))
-            .orderBy(F.desc("cosine"), id_col)
-            .limit(k))
+    qbucket = _query_bucket(query_vec, nbits, seed)
+    return _score_topk(
+        spark.read.parquet(path).where(F.col("lsh_bucket") == qbucket),
+        query_vec, k, vec_col, id_col)
 
 
 def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -334,18 +346,7 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     At 100 TB this turns a full-corpus scan into a single partition-pruned
     bucket scan (bucket column is a natural partition key for the corpus).
     """
-    dim = len(query_vec)
-    planes = _planes(dim, nbits, seed)
-    qbucket = 0
-    for b, plane in enumerate(planes):
-        d = sum(p * float(v) for p, v in zip(plane, query_vec))
-        if d > 0:
-            qbucket |= 1 << b
-    bucketed = lsh_bucket(df, dim, nbits, seed, vec_col)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    qn = math.sqrt(sum(float(v) ** 2 for v in query_vec))
-    sim = F.try_divide(dot(vec_col, q), norm(vec_col) * F.lit(qn))
-    return (bucketed.where(F.col("lsh_bucket") == qbucket)
-            .select(F.col(id_col), sim.alias("cosine"))
-            .orderBy(F.desc("cosine"), id_col)
-            .limit(k))
+    qbucket = _query_bucket(query_vec, nbits, seed)
+    bucketed = lsh_bucket(df, len(query_vec), nbits, seed, vec_col)
+    return _score_topk(bucketed.where(F.col("lsh_bucket") == qbucket),
+                       query_vec, k, vec_col, id_col)

@@ -28,14 +28,17 @@ from pyspark.sql import functions as F
 from ..index import window_duration_ms
 
 
-def _bucketed(df: DataFrame, begin_col: str, end_col: str, dur: int,
+def _bucketed(df: DataFrame, begin_col: str, end_col: str, dur_us: int,
               prefix: str) -> DataFrame:
-    b = F.unix_millis(F.col(begin_col))
-    e = F.unix_millis(F.col(end_col))
+    # microsecond bucketization: TimestampType carries micros, and the
+    # exact overlap predicate compares full precision — millisecond
+    # truncation here could miss an interval's last covered bucket
+    b = F.unix_micros(F.col(begin_col))
+    e = F.unix_micros(F.col(end_col))
     # half-open [begin, end): the end-1 bucket is the last one covered;
     # empty/negative intervals cover no bucket and drop out via explode
     buckets = F.when(
-        e > b, F.sequence(F.floor(b / dur), F.floor((e - 1) / dur))
+        e > b, F.sequence(F.floor(b / dur_us), F.floor((e - 1) / dur_us))
     ).otherwise(F.array().cast("array<bigint>"))
     renamed = df.select(
         *[F.col(c).alias(f"{prefix}{c}") for c in df.columns],
@@ -56,22 +59,28 @@ def interval_join(left: DataFrame, right: DataFrame,
     near the typical interval length; longer interval outliers just
     replicate into more buckets, they never break correctness.
     """
-    dur = window_duration_ms(bucket)
-    if dur is None:
+    dur_ms = window_duration_ms(bucket)
+    if dur_ms is None:
         raise ValueError(f"bucket must be a fixed window spec, got {bucket!r}")
+    dur_us = dur_ms * 1000
     lp, rp = suffixes
-    a = _bucketed(left, begin_col, end_col, dur, lp)
-    b = _bucketed(right, begin_col, end_col, dur, rp)
+    a = _bucketed(left, begin_col, end_col, dur_us, lp)
+    b = _bucketed(right, begin_col, end_col, dur_us, rp)
     keys = [F.col(f"{lp}{k}") == F.col(f"{rp}{k}") for k in on]
     overlap = (
         (F.col(f"{lp}{begin_col}") < F.col(f"{rp}{end_col}"))
         & (F.col(f"{rp}{begin_col}") < F.col(f"{lp}{end_col}")))
+    # a pair overlapping across k buckets matches k times; keep only the
+    # match in the bucket holding the overlap's start — exact single
+    # emission that PRESERVES duplicate input rows (a trailing distinct()
+    # would merge them) and adds no extra shuffle
+    first_shared = F.floor(
+        F.greatest(F.unix_micros(F.col(f"{lp}{begin_col}")),
+                   F.unix_micros(F.col(f"{rp}{begin_col}"))) / dur_us)
     joined = a.join(b.withColumnRenamed("__bucket", "__rbucket"),
                     [F.col("__bucket") == F.col("__rbucket"), *keys])
     out_cols = ([F.col(f"{lp}{k}").alias(k) for k in on]
                 + [F.col(f"{lp}{c}") for c in left.columns if c not in on]
                 + [F.col(f"{rp}{c}") for c in right.columns if c not in on])
-    # a pair overlapping across k buckets matches k times -> distinct
-    return (joined.where(overlap)
-            .select(*out_cols)
-            .distinct())
+    return (joined.where(overlap & (F.col("__bucket") == first_shared))
+            .select(*out_cols))

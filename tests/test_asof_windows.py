@@ -180,3 +180,31 @@ def test_interval_join_overlaps(spark):
     lk = left.withColumn("k", F.lit("x"))
     rk = right.withColumn("k", F.lit("y"))
     assert interval_join(lk, rk, on=["k"], bucket="1h").count() == 0
+
+
+def test_interval_join_matches_naive_on_random_intervals(spark):
+    """Bucketized join == brute-force overlap on seeded random intervals,
+    across bucket sizes (including buckets much smaller/larger than the
+    intervals)."""
+    import random
+    from pypond_spark.operators.interval import interval_join
+    rng = random.Random(1234)
+    n = 40
+    # min length 1ms: interval_join documents empty intervals as matching
+    # nothing, while the naive predicate below would count a zero-length
+    # interval strictly inside another as overlapping
+    mk_rows = lambda pfx: [
+        (f"{pfx}{i}", b, b + rng.randrange(1, 4 * 3_600_000))
+        for i in range(n)
+        for b in [rng.randrange(0, 48 * 3_600_000)]]
+    lrows, rrows = mk_rows("L"), mk_rows("R")
+    to_df = lambda rows: spark.createDataFrame(
+        rows, ["name", "b_ms", "e_ms"]).select(
+        "name", F.timestamp_millis(F.col("b_ms")).alias("begin"),
+        F.timestamp_millis(F.col("e_ms")).alias("end"))
+    expected = {(ln, rn) for ln, lb, le in lrows for rn, rb, re in rrows
+                if lb < re and rb < le}
+    for bucket in ("15m", "1h", "12h"):
+        out = interval_join(to_df(lrows), to_df(rrows), bucket=bucket)
+        got = {(r["l_name"], r["r_name"]) for r in out.collect()}
+        assert got == expected, f"bucket={bucket}"
