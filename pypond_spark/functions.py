@@ -149,12 +149,18 @@ def compile_agg(func, in_col: Column | str, flt: str = "ignore_missing",
         return _callable_agg_col(func, col, flt, time_col)
 
     method = None
+    accuracy = None
     if isinstance(func, (tuple, list)):
         name, *rest = func
-        if name != "percentile":
-            raise ValueError(f"only percentile takes args, got {func!r}")
-        q = rest[0]
-        method = rest[1] if len(rest) > 1 else "linear"
+        if name == "percentile":
+            q = rest[0]
+            method = rest[1] if len(rest) > 1 else "linear"
+        elif name == "approx_percentile":
+            q = rest[0]
+            accuracy = int(rest[1]) if len(rest) > 1 else 10_000
+        else:
+            raise ValueError(
+                f"only (approx_)percentile takes args, got {func!r}")
     else:
         name, q = func, None
 
@@ -183,6 +189,12 @@ def compile_agg(func, in_col: Column | str, flt: str = "ignore_missing",
             agg = F.max_by(col, F.when(col.isNotNull(), F.col(time_col)))
     elif name == "percentile":
         agg = _percentile_expr(col, q, method)
+    elif name == "approx_percentile":
+        # the huge-group scale path: a fixed-size quantile sketch per group
+        # (error <= 1/accuracy of the rank) instead of shuffling every
+        # value; results are approximate, so no oracle twin — pair with
+        # ('percentile', q) when exactness matters
+        agg = F.approx_percentile(col, F.lit(q / 100.0), F.lit(accuracy))
     elif name == "median":
         agg = F.percentile(col, F.lit(0.5))
     elif name == "stddev":

@@ -183,3 +183,22 @@ def test_deep_path_group_by(spark):
                                group_by="direction.status")
     got = {r["status"]: r["in_max"] for r in glob.df.collect()}
     assert got == {"FAIL": 4, "OK": 5}
+
+
+def test_approx_percentile_spec(spark):
+    """('approx_percentile', q[, accuracy]) — the sketch-based scale path:
+    within rank-error tolerance of the exact percentile, and valid inside
+    the same windowed agg-spec language."""
+    from pypond_spark import TimeSeries
+    pts = [[i * 1000, float(i % 1000)] for i in range(5000)]
+    ts = TimeSeries.from_wire(spark, {
+        "name": "p", "columns": ["time", "value"], "points": pts})
+    out = ts.window_aggregate(
+        {"p95x": {"value": ("percentile", 95)},
+         "p95a": {"value": ("approx_percentile", 95)},
+         "p95c": {"value": ("approx_percentile", 95, 100)}}).df.collect()[0]
+    assert abs(out["p95a"] - out["p95x"]) <= 10      # accuracy 10k on 5k rows
+    assert abs(out["p95c"] - out["p95x"]) <= 60      # coarse sketch, looser
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ts.window_aggregate({"x": {"value": ("bogus", 1)}})
