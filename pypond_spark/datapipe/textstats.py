@@ -375,13 +375,14 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.explode(_match_tokens(text_col)).alias("tok")) \
         .where(F.col("tok") != "")
-    # materialize once: the token explode feeds three consumers (total
-    # count, vocab count via the agg, and the scoring join)
+    # materialize once: the token explode feeds both the count agg and the
+    # scoring join
     toks = toks.localCheckpoint()
     counts = toks.groupBy("tok").agg(F.count("*").alias("__c"))
-    # scalar "training" constants: total tokens + vocab size
-    tot = toks.count()
-    vocab = counts.count()
+    counts = counts.localCheckpoint()
+    # scalar "training" constants in ONE action: total tokens = sum of the
+    # per-token counts, vocab = number of count rows
+    tot, vocab = counts.agg(F.sum("__c"), F.count("*")).first()
     denom = float(tot + alpha * vocab)
     lp = F.log2((F.col("__c") + F.lit(float(alpha))) / F.lit(denom))
     return (toks.join(counts, "tok")
