@@ -30,6 +30,7 @@ def filter_corpus(docs: DataFrame, text_col: str = "text",
                   gopher: dict | None | bool = None,
                   repetition: dict | None | bool = None,
                   c4: dict | None | bool = False,
+                  pii: bool = False,
                   dedup: bool = True,
                   bench_grams: DataFrame | None = None,
                   decontam_n: int = 13,
@@ -38,12 +39,16 @@ def filter_corpus(docs: DataFrame, text_col: str = "text",
 
     Stage toggles: ``gopher`` / ``repetition`` / ``c4`` take a threshold
     dict (``{}``/None for published defaults, ``False`` to skip the stage);
-    ``dedup`` keeps only the min-id document per exact content digest;
-    ``bench_grams`` (from :func:`decontam.benchmark_grams`) enables
-    decontamination. ``cull_reason`` is the first failing stage in
-    precedence order duplicate > contaminated > gopher > repetition > c4,
-    NULL for kept documents.
+    ``pii=True`` culls documents with any PII match (pipelines that scrub
+    instead of cull compose :func:`privacy.redact_pii` upstream and leave
+    this off); ``dedup`` keeps only the min-id document per exact content
+    digest; ``bench_grams`` (from :func:`decontam.benchmark_grams`)
+    enables decontamination. ``cull_reason`` is the first failing stage in
+    precedence order duplicate > contaminated > pii > gopher > repetition
+    > c4, NULL for kept documents.
     """
+    from pypond_spark.datapipe import privacy
+
     flags: list[str] = []
     cols = [F.col(id_col)]
     if gopher is not False:
@@ -57,6 +62,9 @@ def filter_corpus(docs: DataFrame, text_col: str = "text",
     if c4 is not False:
         cols.append(textstats.c4_exprs(text_col, **(c4 or {}))[-1])
         flags.append("c4_pass")
+    if pii:
+        cols.append((~privacy.pii_exprs(text_col)[-1]).alias("pii_pass"))
+        flags.append("pii_pass")
     if dedup:
         cols.append(F.md5(F.col(text_col)).alias("__digest"))
     base = spread(docs).select(*cols)
@@ -80,7 +88,7 @@ def filter_corpus(docs: DataFrame, text_col: str = "text",
     reason = F.lit(None).cast("string")
     # build the when-chain in reverse so the first condition wins
     precedence = [("c4_pass", "c4"), ("repetition_pass", "repetition"),
-                  ("gopher_pass", "gopher")]
+                  ("gopher_pass", "gopher"), ("pii_pass", "pii")]
     for f, label in precedence:
         if f in flags:
             reason = F.when(~F.col(f), F.lit(label)).otherwise(reason)

@@ -454,6 +454,14 @@ def test_filter_corpus_reasons(spark):
     assert out2[1]["cull_reason"] == "contaminated"
     assert out2[2]["cull_reason"] == "duplicate"
     assert out2[3]["contaminated"] is False
+    # pii stage: a PII doc is culled with reason 'pii' ranked above gopher
+    piidocs = spark.createDataFrame(
+        [(1, good), (5, good + " contact admin@example.com")],
+        "doc_id long, text string")
+    out3 = {r["doc_id"]: r for r in corpus.filter_corpus(
+        piidocs, repetition=False, pii=True).collect()}
+    assert out3[1]["kept"] is True and out3[1]["pii_pass"] is True
+    assert out3[5]["kept"] is False and out3[5]["cull_reason"] == "pii"
 
 
 def test_write_ann_index_partition_pruning(spark, embs, tmp_path):
