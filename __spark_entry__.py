@@ -1957,7 +1957,7 @@ def oracle_sql() -> dict[str, str]:
               FROM tk GROUP BY doc_id, tok
             ), dfreq AS (
               SELECT tok, count(*) AS df FROM tf GROUP BY tok
-            ), nd AS (SELECT count(DISTINCT doc_id) AS n FROM tk),
+            ), nd AS (SELECT count(*) AS n FROM documents),
             s AS (
               SELECT tf.doc_id, tf.tok,
                      tf.tf * (ln((1.0 + nd.n) / (1.0 + dfreq.df)) + 1.0)
@@ -2063,18 +2063,23 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_events": """
             WITH l AS (
               SELECT event_id AS lid, user_id, epoch_ms(ts) AS lb,
-                     epoch_ms(ts) + 600000 AS le
+                     epoch_ms(ts) + 600000 AS le,
+                     epoch_us(ts) AS lbu, epoch_us(ts) + 600000000 AS leu
               FROM events WHERE value > 90
             ), r AS (
               SELECT event_id AS rid, user_id, epoch_ms(ts) AS rb,
-                     epoch_ms(ts) + 300000 AS re
+                     epoch_ms(ts) + 300000 AS re,
+                     epoch_us(ts) AS rbu, epoch_us(ts) + 300000000 AS reu
               FROM events WHERE event_type = 'click'
             )
+            -- overlap tested at full microsecond precision (the engine
+            -- compares complete timestamps); outputs stay ms — floor is
+            -- monotone, so greatest/least commute with the truncation
             SELECT lid, rid, user_id,
                    greatest(lb, rb) AS o_begin_ms,
                    least(le, re) AS o_end_ms
             FROM l JOIN r USING (user_id)
-            WHERE lb < re AND rb < le
+            WHERE lbu < reu AND rbu < leu
         """,
     }
 

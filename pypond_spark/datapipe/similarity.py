@@ -176,7 +176,11 @@ def embedding_near_dups_arrow(df: DataFrame, dim: int,
     """
     import pandas as pd
 
+    # tolerate short/NULL vectors the same way the expr twin does: its
+    # cosine degrades to NULL and the pair drops; here np.stack would raise
+    # on ragged input, so filter mis-sized vectors before stacking
     bucketed = lsh_bucket(df, dim, nbits, seed, vec_col) \
+        .where(F.size(F.col(vec_col)) == dim) \
         .select(F.col(id_col), F.col(vec_col), F.col("lsh_bucket"))
     out_schema = "id_a long, id_b long, cosine double"
 

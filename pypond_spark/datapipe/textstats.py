@@ -375,9 +375,9 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.explode(_match_tokens(text_col)).alias("tok")) \
         .where(F.col("tok") != "")
-    # materialize once: the token explode feeds both the count agg and the
-    # scoring join
-    toks = toks.localCheckpoint()
+    # only the vocabulary-sized count table is materialized; the corpus-scale
+    # token explode is recomputed from the scan for the scoring join (a scan
+    # is cheaper than corpus-sized executor-local checkpoint disk at 100 TB)
     counts = toks.groupBy("tok").agg(F.count("*").alias("__c"))
     counts = counts.localCheckpoint()
     # scalar "training" constants in ONE action: total tokens = sum of the
@@ -403,14 +403,16 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
 
     Three bounded shuffles: (doc, term) counts, per-term document
     frequency, and the top-k window partitioned by document. All keys are
-    term or document ids — uniform, skew-free at corpus scale.
+    term or document ids — uniform, skew-free at corpus scale. ``N`` is the
+    document count of the *input* table (one metadata-cheap count over the
+    doc-level scan — never a distinct over the exploded token table, which
+    is the corpus's largest intermediate).
     """
+    n_docs = spread(df).count()
     toks = spread(df).select(
         F.col(id_col),
         F.explode(_match_tokens(text_col)).alias("tok")) \
         .where(F.col("tok") != "")
-    toks = toks.localCheckpoint()
-    n_docs = toks.select(id_col).distinct().count()
     tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("__tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("__df"))
     idf = F.log((1.0 + F.lit(float(n_docs)))

@@ -149,6 +149,37 @@ def map_events(df: DataFrame, op: Callable[[Event], Any],
     return df.mapInPandas(run, out_schema)
 
 
+def derive_string_column(df: DataFrame, op: Callable[[dict], Any],
+                         name: str,
+                         payload_cols: list[str] | None = None) -> DataFrame:
+    """Append a string column computed by ``op(row_dict)`` — the adapter
+    behind ``Pipeline.group_by(callable)`` (reference
+    ``pipeline.py:516-567`` accepts arbitrary key functions).
+
+    Same transport discipline as :func:`map_events`: Arrow-batched
+    ``mapInPandas``, no shuffle, no per-row ``F.udf``. ``payload_cols``
+    restricts the dict handed to ``op`` (defaults to all non-key columns).
+    """
+    import pandas as pd
+
+    in_cols = list(df.columns)
+    key_cols = [c for c in KEY_COLS if c in in_cols]
+    pay = payload_cols if payload_cols is not None else \
+        [c for c in in_cols if c not in key_cols]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(name, T.StringType())])
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = (dict(zip(in_cols, tup))
+                    for tup in pdf.itertuples(index=False))
+            pdf = pdf.copy()
+            pdf[name] = [str(op({c: r[c] for c in pay})) for r in rows]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def filter_events(df: DataFrame, op: Callable[[Event], bool]) -> DataFrame:
     """Keep rows where ``op(event)`` is truthy. Output schema == input."""
     in_cols = list(df.columns)

@@ -111,11 +111,9 @@ def fill(
     """Fill invalid values in ``field_spec`` columns; returns df with the same
     schema (filled columns replaced)."""
     fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
-    if method == "linear" and len(fields) != 1:
-        # reference: linear processes one column per Filler (series.py:1124-1129
-        # chains fillers); we just loop — same result, still one shuffle per
-        # window partitioning thanks to identical window specs
-        pass
+    # multi-field linear: the reference chains one Filler per column
+    # (series.py:1124-1129); the loop below gives the same result, and the
+    # identical window specs collapse into one shuffle.
     out = df
     for f in fields:
         out = _fill_one(out, f, method, fill_limit, list(partition_by), time_col)

@@ -70,14 +70,14 @@ class Pipeline:
     def group_by(self, key) -> "Pipeline":
         """Group key: column name(s), a Column expression, or — reference
         parity (``pipeline.py:516-567``) — an arbitrary Python function of a
-        row dict. Callables become a UDF-derived '__group' column (the slow
-        path; prefer expressions)."""
+        row dict. Callables become an Arrow-batched '__group' column
+        (:func:`operators.events.derive_string_column` — the slow path;
+        prefer expressions)."""
         if callable(key) and not isinstance(key, Column):
+            from ..operators.events import derive_string_column
             ts = self._ts()
-            payload = ts.columns()
-            fn = F.udf(lambda *vals: str(key(dict(zip(payload, vals)))))
-            grouped = ts.df.withColumn("__group", fn(*[F.col(c)
-                                                       for c in payload]))
+            grouped = derive_string_column(
+                ts.df, key, "__group", payload_cols=ts.columns())
             return self._next(
                 source=TimeSeries(grouped, ts.kind, ts.meta()),
                 group_by="__group")

@@ -99,22 +99,27 @@ def _keyed(sdf: DataFrame, keys: list[str]) -> tuple[DataFrame, list[str], bool]
     return sdf.withColumn("__k", F.lit(0)), ["__k"], True
 
 
-def _whole_group(pdfs: Iterator[pd.DataFrame], time_col: str) -> pd.DataFrame:
+def _whole_group(pdfs: Iterator[pd.DataFrame], time_col: str,
+                 tiebreak: Sequence[str] = ()) -> pd.DataFrame:
     """Concatenate ALL Arrow chunks of the group, then sort by time.
 
     applyInPandasWithState splits a group larger than the Arrow batch size
     into multiple chunks in shuffle order — sorting chunks independently
     silently corrupts any order-dependent state computation.
+
+    ``tiebreak`` columns extend the sort key for operators whose result
+    depends on the order of equal-timestamp events (e.g. EWMA); without
+    one, the stable mergesort preserves concatenated chunk order, which is
+    deterministic per run but shuffle-dependent across runs.
     """
     chunks = list(pdfs)
     if not chunks:
         return pd.DataFrame()
     pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-    # stable mergesort: rows sharing a timestamp keep their concatenated
-    # chunk order, so duplicate-timestamp events replay deterministically
-    # (the default unstable quicksort made stateful rate/align/fill output
-    # order-dependent across runs)
-    return pdf.sort_values(time_col, kind="mergesort")
+    # stable mergesort: rows sharing the full sort key keep their
+    # concatenated chunk order (the default unstable quicksort made
+    # stateful rate/align/fill output order-dependent across runs)
+    return pdf.sort_values([time_col, *tiebreak], kind="mergesort")
 
 
 def _rate_state_fn(fields: list[str], keys: list[str], time_col: str,
@@ -414,10 +419,11 @@ def stream_fill_pad(
 
 
 def _ewma_state_fn(fields: list[str], keys: list[str], time_col: str,
-                   alpha: float):
+                   alpha: float, tiebreak: str | None = None):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         accs = list(state.get) if state.exists else [None] * len(fields)
-        pdf = _whole_group(pdfs, time_col)
+        pdf = _whole_group(pdfs, time_col,
+                           (tiebreak,) if tiebreak else ())
         outs = []
         for _, row in pdf.iterrows():
             rec = list(key) + [int(row[time_col].value // 10**6)]
@@ -441,13 +447,16 @@ def stream_ewma(
     alpha: float = 0.5,
     partition_by: Sequence[str] = (),
     time_col: str = "time",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Cross-batch EWMA: the streaming twin of ``operators.rolling.ewma``.
 
     State per series key is just the current accumulator per field, so the
     state store is O(keys), independent of event volume; the recurrence is
     written identically to the batch operator, so draining a stream and
-    running the batch op on the same data agree bit-for-bit.
+    running the batch op on the same data agree bit-for-bit — provided
+    equal-timestamp events are impossible or ``tiebreak=`` (same contract
+    as the batch operator) pins their fold order on both sides.
     """
     fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
     sdf, keys, dummy = _keyed(sdf, list(partition_by))
@@ -458,7 +467,7 @@ def stream_ewma(
     state_schema = T.StructType(
         [T.StructField(f"s{i}", T.DoubleType()) for i in range(len(fields))])
     out = sdf.groupBy(*keys).applyInPandasWithState(
-        _ewma_state_fn(fields, keys, time_col, alpha),
+        _ewma_state_fn(fields, keys, time_col, alpha, tiebreak),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
