@@ -475,6 +475,234 @@ def stream_ewma(
     return out.drop("__k") if dummy else out
 
 
+def _py_agg(func: str, vals: list, flt: str):
+    """Python twin of the rolling reducers (operators/rolling.py:_over),
+    evaluated over a trailing-window buffer. Matches the batch window
+    semantics: reducers ignore missing values (zero_missing rewrites them
+    to 0 first), empty frames yield NULL (count yields 0), stddev is
+    population, median interpolates even counts. Sum folds in time order —
+    the same order Spark's RANGE frame recompute uses — so results agree
+    bit-for-bit with the batch operator on the same data."""
+    import math
+    if flt == "zero_missing":
+        valid = [0.0 if v is None else v for v in vals]
+    else:
+        valid = [v for v in vals if v is not None]
+    if func == "count":
+        return len(valid)
+    if not valid:
+        return None
+    if func == "sum":
+        return float(sum(valid))
+    if func == "avg":
+        return float(sum(valid) / len(valid))
+    if func == "min":
+        return float(min(valid))
+    if func == "max":
+        return float(max(valid))
+    if func == "difference":
+        return float(max(valid) - min(valid))
+    if func == "stddev":
+        m = sum(valid) / len(valid)
+        return math.sqrt(sum((x - m) ** 2 for x in valid) / len(valid))
+    if func == "median":
+        s, n = sorted(valid), len(valid)
+        return float(s[n // 2]) if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+    raise ValueError(f"streaming rolling does not support reducer {func!r}")
+
+
+_STREAM_ROLLING_FUNCS = ("sum", "avg", "min", "max", "count", "stddev",
+                         "median", "difference")
+
+
+def _buffer_state_fn(rows_spec, keys: list[str], time_col: str, dur_ms: int,
+                     zscore_threshold: float | None):
+    """Shared state fn for stream_rolling / stream_zscore: per-key buffer
+    of (t_ms, values) trimmed to the trailing window, serialized as one
+    JSON state string (state size = events-per-window per key, not event
+    volume). Events are processed one distinct timestamp at a time so
+    equal-timestamp peers see exactly the batch RANGE-frame semantics:
+    rolling includes all peers of the current ms, zscore excludes them."""
+    import json as _json
+
+    in_cols = list(dict.fromkeys(r[1] for r in rows_spec))
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            d = _json.loads(state.get[0])
+        else:
+            d = {"t": [], **{c: [] for c in in_cols}}
+        tbuf = d["t"]
+        vbuf = {c: d[c] for c in in_cols}
+        pdf = _whole_group(pdfs, time_col)
+        outs = []
+        n = len(pdf)
+        if n:
+            tvals = [int(v.value // 10 ** 6) for v in pdf[time_col]]
+            cvals = {c: [None if pd.isna(v) else float(v) for v in pdf[c]]
+                     for c in in_cols}
+            i = 0
+            while i < n:
+                t_cur = tvals[i]
+                j = i
+                while j < n and tvals[j] == t_cur:
+                    j += 1
+                # evict everything at or before the window's left edge
+                k = 0
+                while k < len(tbuf) and tbuf[k] <= t_cur - dur_ms:
+                    k += 1
+                if k:
+                    del tbuf[:k]
+                    for c in in_cols:
+                        del vbuf[c][:k]
+                if zscore_threshold is None:
+                    # rolling: frame (t-dur, t] INCLUDES the current ms —
+                    # append the whole equal-ts run, then aggregate once
+                    for r in range(i, j):
+                        tbuf.append(t_cur)
+                        for c in in_cols:
+                            vbuf[c].append(cvals[c][r])
+                    aggs = [_py_agg(func, vbuf[in_col], flt)
+                            for _, in_col, func, flt in rows_spec]
+                    for _ in range(i, j):
+                        outs.append(list(key) + [t_cur] + aggs)
+                else:
+                    # zscore: frame (t-dur, t-1] EXCLUDES the current ms —
+                    # score against the buffer, then append the run
+                    stats = {}
+                    for c in in_cols:
+                        m = _py_agg("avg", vbuf[c], "ignore_missing")
+                        s = _py_agg("stddev", vbuf[c], "ignore_missing")
+                        stats[c] = (m, s)
+                    for r in range(i, j):
+                        rec = list(key) + [t_cur]
+                        for _, in_col, _f, _fl in rows_spec:
+                            x = cvals[in_col][r]
+                            m, s = stats[in_col]
+                            z = None if (x is None or not s) \
+                                else (x - m) / s
+                            rec += [x, z,
+                                    bool(z is not None
+                                         and abs(z) > zscore_threshold)]
+                        outs.append(rec)
+                    for r in range(i, j):
+                        tbuf.append(t_cur)
+                        for c in in_cols:
+                            vbuf[c].append(cvals[c][r])
+                i = j
+        state.update((_json.dumps({"t": tbuf,
+                                   **{c: vbuf[c] for c in in_cols}}),))
+        if zscore_threshold is None:
+            cols = keys + ["t_ms"] + [r[0] for r in rows_spec]
+        else:
+            cols = keys + ["t_ms"]
+            for _, in_col, _f, _fl in rows_spec:
+                cols += [in_col, f"{in_col}_zscore", f"{in_col}_anomaly"]
+        yield pd.DataFrame(outs, columns=cols)
+
+    return fn
+
+
+def stream_rolling(
+    sdf: DataFrame,
+    window: str,
+    aggregation: dict,
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+) -> DataFrame:
+    """Cross-batch trailing-window aggregates: the streaming twin of
+    ``operators.rolling.rolling`` — every event carries the aggregate of
+    its series over ``(t - window, t]`` (current ms included).
+
+    Trailing windows only look backward, so the operator is streaming-safe
+    by construction. State per key is the event buffer of the last
+    ``window`` milliseconds — O(events-per-window), not event volume.
+    Agrees with the batch operator when events arrive time-ordered across
+    micro-batches and equal-timestamp runs don't straddle a batch boundary
+    (an already-emitted row cannot be revised in append mode).
+
+    Reducer set: sum/avg/min/max/count/stddev/median/difference with the
+    pre-aggregate missing-value filters; first/last/percentile have no
+    bounded-state streaming form here and raise.
+    """
+    from ..functions import normalize_agg_spec
+    from ..operators.rolling import _ROLLING_FILTERS
+    dur_ms = window_duration_ms(window)
+    if dur_ms is None:
+        raise ValueError(f"stream_rolling needs a fixed window, got {window!r}")
+    rows_spec = normalize_agg_spec(aggregation)
+    for out, _in, func, flt in rows_spec:
+        if not isinstance(func, str) or func not in _STREAM_ROLLING_FUNCS:
+            raise ValueError(
+                f"stream_rolling supports {_STREAM_ROLLING_FUNCS}, got "
+                f"{func!r} for {out!r}")
+        if flt not in _ROLLING_FILTERS:
+            raise ValueError(
+                f"stream_rolling supports filters {_ROLLING_FILTERS}, "
+                f"got {flt!r} for {out!r}")
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
+    key_fields = [sdf.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields + [T.StructField("t_ms", T.LongType())]
+        + [T.StructField(out,
+                         T.LongType() if func == "count" else T.DoubleType())
+           for out, _in, func, _fl in rows_spec])
+    state_schema = T.StructType([T.StructField("buf", T.StringType())])
+    out = sdf.groupBy(*keys).applyInPandasWithState(
+        _buffer_state_fn(rows_spec, keys, time_col, dur_ms, None),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out
+
+
+def stream_zscore(
+    sdf: DataFrame,
+    field_spec: str | Sequence[str] = "value",
+    window: str = "10m",
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Cross-batch trailing-window anomaly scores: the streaming twin of
+    ``operators.rolling.zscore`` with a ``window=`` (the whole-series
+    variant needs future data and has no streaming form).
+
+    Matches the batch semantics exactly: each event scores against the
+    trailing window EXCLUDING the current millisecond (equal-ms peers
+    cannot vouch for each other), population stddev, NULL z-score (and
+    ``false`` anomaly) for zero-variance or empty windows. Exclusion of
+    the current ms makes the operator exact across micro-batch boundaries
+    even when equal-timestamp events straddle one.
+
+    Output: series keys, ``t_ms``, and per field the value, ``<f>_zscore``
+    and ``<f>_anomaly``.
+    """
+    fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
+    dur_ms = window_duration_ms(window)
+    if dur_ms is None:
+        raise ValueError(f"stream_zscore needs a fixed window, got {window!r}")
+    rows_spec = [(f, f, "zscore", "ignore_missing") for f in fields]
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
+    key_fields = [sdf.schema[k] for k in keys]
+    per_field = []
+    for f in fields:
+        per_field += [T.StructField(f, T.DoubleType()),
+                      T.StructField(f"{f}_zscore", T.DoubleType()),
+                      T.StructField(f"{f}_anomaly", T.BooleanType())]
+    out_schema = T.StructType(
+        key_fields + [T.StructField("t_ms", T.LongType())] + per_field)
+    state_schema = T.StructType([T.StructField("buf", T.StringType())])
+    out = sdf.groupBy(*keys).applyInPandasWithState(
+        _buffer_state_fn(rows_spec, keys, time_col, dur_ms, float(threshold)),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out
+
+
 def stream_exact_dedup(
     sdf: DataFrame,
     text_col: str = "text",

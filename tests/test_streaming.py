@@ -298,3 +298,86 @@ def test_quality_exprs_work_on_streams(spark, tmp_path):
     rows = run_available_now(flagged, "append").collect()
     got = {r["doc_id"]: r["gopher_pass"] for r in rows}
     assert got == {1: False, 2: True}
+
+
+def _write_chunks(tmp_path, chunks):
+    for i, chunk in enumerate(chunks):
+        path = tmp_path / f"p{i}.json"
+        with open(path, "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+
+def test_stream_rolling_matches_batch(spark, tmp_path):
+    """Trailing-window aggregates across two micro-batches must equal the
+    batch RANGE-frame operator, including equal-timestamp peer semantics
+    and the null-sample rules, with eviction exercised (one event falls
+    out of the 10m window between batches)."""
+    from pypond_spark.operators.rolling import rolling as batch_rolling
+    from pypond_spark.streaming import run_available_now, stream_rolling
+    chunk1 = [{"t_ms": 0, "user": "a", "value": 10.0},
+              {"t_ms": 60_000, "user": "a", "value": 20.0},
+              {"t_ms": 60_000, "user": "a", "value": 30.0},  # equal-ts peers
+              {"t_ms": 0, "user": "b", "value": None}]
+    chunk2 = [{"t_ms": 120_000, "user": "a", "value": 40.0},
+              {"t_ms": 700_000, "user": "a", "value": 7.0},  # evicts t<=100k
+              {"t_ms": 60_000, "user": "b", "value": 5.0}]
+    _write_chunks(tmp_path, [chunk1, chunk2])
+    spec = {"v_avg": {"value": "avg"}, "v_n": {"value": "count"},
+            "v_max": {"value": "max"}}
+    sdf = _read_stream(spark, str(tmp_path))
+    out = stream_rolling(sdf, "10m", spec, partition_by=["user"])
+    got = {(r["user"], r["t_ms"]): (r["v_avg"], r["v_n"], r["v_max"])
+           for r in run_available_now(out, "append").collect()}
+    batch = (spark.read.json(str(tmp_path / "p0.json"),
+                             schema=SCHEMA)
+             .unionByName(spark.read.json(str(tmp_path / "p1.json"),
+                                          schema=SCHEMA))
+             .withColumn("time", F.timestamp_millis(F.col("t_ms"))))
+    brows = batch_rolling(batch, "10m", spec, partition_by=["user"]).collect()
+    bgot = {(r["user"], r["t_ms"]): (r["v_avg"], r["v_n"], r["v_max"])
+            for r in brows}
+    assert got == bgot
+    # spot-check semantics: equal-ts peers see each other; eviction works
+    assert got[("a", 60_000)] == (20.0, 3, 30.0)
+    assert got[("a", 700_000)] == (23.5, 2, 40.0)   # only t=120k survives
+    assert got[("b", 0)] == (None, 0, None)          # null-only frame
+
+
+def test_stream_zscore_matches_batch(spark, tmp_path):
+    """Windowed z-scores (exclude-current-ms) across micro-batches must
+    equal the batch operator: same mean/stddev window, NULL z for empty or
+    zero-variance windows, anomaly flags coalesced to False."""
+    from pypond_spark.operators.rolling import zscore as batch_zscore
+    from pypond_spark.streaming import run_available_now, stream_zscore
+    chunk1 = [{"t_ms": 0, "user": "a", "value": 10.0},
+              {"t_ms": 60_000, "user": "a", "value": 12.0},
+              {"t_ms": 120_000, "user": "a", "value": 11.0}]
+    chunk2 = [{"t_ms": 180_000, "user": "a", "value": 50.0},  # spike
+              {"t_ms": 240_000, "user": "a", "value": 11.5},
+              {"t_ms": 0, "user": "b", "value": 3.0}]
+    _write_chunks(tmp_path, [chunk1, chunk2])
+    sdf = _read_stream(spark, str(tmp_path))
+    out = stream_zscore(sdf, "value", window="10m", partition_by=["user"],
+                        threshold=2.0)
+    got = {(r["user"], r["t_ms"]): (r["value_zscore"], r["value_anomaly"])
+           for r in run_available_now(out, "append").collect()}
+    batch = (spark.read.json(str(tmp_path / "p0.json"), schema=SCHEMA)
+             .unionByName(spark.read.json(str(tmp_path / "p1.json"),
+                                          schema=SCHEMA))
+             .withColumn("time", F.timestamp_millis(F.col("t_ms"))))
+    brows = batch_zscore(batch, "value", window="10m",
+                         partition_by=["user"], threshold=2.0,
+                         time_col="time").collect()
+    bgot = {(r["user"], r["t_ms"]): (r["value_zscore"], r["value_anomaly"])
+            for r in brows}
+    for k, (bz, ba) in bgot.items():
+        sz, sa = got[k]
+        assert (sz is None) == (bz is None), k
+        if bz is not None:
+            assert abs(sz - bz) < 1e-12, k
+        assert sa == ba, k
+    assert got[("a", 0)] == (None, False)      # empty window
+    assert got[("b", 0)] == (None, False)
+    assert got[("a", 180_000)][1] is True      # the spike flags
