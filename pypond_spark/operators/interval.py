@@ -29,27 +29,51 @@ from ..index import window_duration_ms
 
 
 def _bucketed(df: DataFrame, begin_col: str, end_col: str, dur_us: int,
-              prefix: str) -> DataFrame:
+              prefix: str, max_buckets: int | None = None) -> DataFrame:
     # microsecond bucketization: TimestampType carries micros, and the
     # exact overlap predicate compares full precision — millisecond
     # truncation here could miss an interval's last covered bucket
     b = F.unix_micros(F.col(begin_col))
     e = F.unix_micros(F.col(end_col))
+    cols = [F.col(c).alias(f"{prefix}{c}") for c in df.columns]
+    if max_buckets is not None:
+        # long-interval skew guard: a single interval spanning k buckets
+        # explodes into k rows INSIDE ONE TASK — a year-long outlier under
+        # an hourly bucket would pin 8760 rows (and the sequence() array)
+        # on whatever task holds it. Two-level explode instead: coarse
+        # chunks of max_buckets buckets each, a redistribution on the
+        # chunk key, then at most max_buckets bucket rows per chunk row —
+        # no task ever materializes more than max_buckets rows per input
+        # interval. Chunk boundaries are bucket-aligned, so the bucket set
+        # (and therefore the join result) is identical to the direct form.
+        span_us = max_buckets * dur_us
+        chunks = F.when(
+            e > b, F.sequence(F.floor(b / span_us), F.floor((e - 1) / span_us))
+        ).otherwise(F.array().cast("array<bigint>"))
+        pb, pe = f"{prefix}{begin_col}", f"{prefix}{end_col}"
+        chunked = df.select(*cols, F.explode(chunks).alias("__chunk")) \
+            .repartition(F.col("__chunk"))
+        cb = F.unix_micros(F.col(pb))
+        ce = F.unix_micros(F.col(pe))
+        lo = F.greatest(cb, F.col("__chunk") * span_us)
+        hi = F.least(ce, (F.col("__chunk") + 1) * span_us)
+        buckets = F.sequence(F.floor(lo / dur_us), F.floor((hi - 1) / dur_us))
+        return chunked.select(
+            *[F.col(f"{prefix}{c}") for c in df.columns],
+            F.explode(buckets).alias("__bucket"))
     # half-open [begin, end): the end-1 bucket is the last one covered;
     # empty/negative intervals cover no bucket and drop out via explode
     buckets = F.when(
         e > b, F.sequence(F.floor(b / dur_us), F.floor((e - 1) / dur_us))
     ).otherwise(F.array().cast("array<bigint>"))
-    renamed = df.select(
-        *[F.col(c).alias(f"{prefix}{c}") for c in df.columns],
-        F.explode(buckets).alias("__bucket"))
-    return renamed
+    return df.select(*cols, F.explode(buckets).alias("__bucket"))
 
 
 def interval_join(left: DataFrame, right: DataFrame,
                   begin_col: str = "begin", end_col: str = "end",
                   on: Sequence[str] = (), bucket: str = "1h",
-                  suffixes: tuple[str, str] = ("l_", "r_")) -> DataFrame:
+                  suffixes: tuple[str, str] = ("l_", "r_"),
+                  max_buckets: int | None = None) -> DataFrame:
     """All (left, right) pairs of overlapping half-open intervals
     ``[begin, end)``, optionally also matching on equality keys ``on``.
 
@@ -58,14 +82,21 @@ def interval_join(left: DataFrame, right: DataFrame,
     unprefixed). ``bucket`` is the fixed bucketization window — set it
     near the typical interval length; longer interval outliers just
     replicate into more buckets, they never break correctness.
+
+    ``max_buckets`` bounds per-task explode fan-out when interval lengths
+    are heavy-tailed: intervals spanning more buckets are pre-split into
+    bucket-aligned chunks and redistributed before the bucket explode
+    (one extra shuffle per side, same join result — see ``_bucketed``).
     """
     dur_ms = window_duration_ms(bucket)
     if dur_ms is None:
         raise ValueError(f"bucket must be a fixed window spec, got {bucket!r}")
+    if max_buckets is not None and max_buckets < 1:
+        raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
     dur_us = dur_ms * 1000
     lp, rp = suffixes
-    a = _bucketed(left, begin_col, end_col, dur_us, lp)
-    b = _bucketed(right, begin_col, end_col, dur_us, rp)
+    a = _bucketed(left, begin_col, end_col, dur_us, lp, max_buckets)
+    b = _bucketed(right, begin_col, end_col, dur_us, rp, max_buckets)
     keys = [F.col(f"{lp}{k}") == F.col(f"{rp}{k}") for k in on]
     overlap = (
         (F.col(f"{lp}{begin_col}") < F.col(f"{rp}{end_col}"))

@@ -208,3 +208,35 @@ def test_interval_join_matches_naive_on_random_intervals(spark):
         out = interval_join(to_df(lrows), to_df(rrows), bucket=bucket)
         got = {(r["l_name"], r["r_name"]) for r in out.collect()}
         assert got == expected, f"bucket={bucket}"
+
+
+def test_interval_join_max_buckets_guard(spark):
+    """A pathological interval spanning ~1000 buckets produces the same
+    pairs with the split-long-intervals guard on, and the plan stays an
+    equi-join (no nested loop / cartesian) with the explode fan-out
+    bounded per task."""
+    from pypond_spark.operators.interval import interval_join
+    to_df = lambda rows: spark.createDataFrame(
+        rows, ["name", "b_ms", "e_ms"]).select(
+        "name", F.timestamp_millis(F.col("b_ms")).alias("begin"),
+        F.timestamp_millis(F.col("e_ms")).alias("end"))
+    hour = 3_600_000
+    # one ~6-week interval under a 1h bucket (1000+ buckets) + normal ones
+    left = to_df([("big", 0, 1000 * hour),
+                  ("small", 2 * hour, 3 * hour)])
+    right = to_df([("r0", 500 * hour + 1, 500 * hour + 2),   # inside big
+                   ("r1", 999 * hour, 1001 * hour),          # tail overlap
+                   ("r2", 1000 * hour, 1001 * hour),         # touches: no
+                   ("r3", 2 * hour + 5, 2 * hour + 6)])      # inside small
+    expected = {("big", "r0"), ("big", "r1"), ("big", "r3"),
+                ("small", "r3")}
+    plain = interval_join(left, right, bucket="1h")
+    guarded = interval_join(left, right, bucket="1h", max_buckets=16)
+    assert {(r["l_name"], r["r_name"]) for r in plain.collect()} == expected
+    rows = guarded.collect()
+    assert {(r["l_name"], r["r_name"]) for r in rows} == expected
+    assert len(rows) == len(expected)          # still single-emission
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    with pytest.raises(ValueError):
+        interval_join(left, right, bucket="1h", max_buckets=0)
