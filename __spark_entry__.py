@@ -841,6 +841,29 @@ def q_tfidf_top_terms(spark, sf_dir):
                       F.round("tfidf", 6).alias("tfidf"))
 
 
+def q_deep_path_fill(spark, sf_dir):
+    """Nested-struct deep paths through the engine on driver data: build a
+    two-level payload struct (props-JSON k + direction.v), null v on
+    clicks, LOCF-fill THROUGH the dotted path ``payload.direction.v``
+    (util.set_field drives withField on the root struct; reference deep
+    paths, bases.py:87-110), then read results back out via deep get."""
+    df = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    nested = df.select(
+        "event_id", "user_id", "time",
+        F.struct(
+            F.from_json(F.col("props"), "k int").getField("k").alias("k"),
+            F.struct(
+                F.when(F.col("event_type") != "click", F.col("value"))
+                .alias("v")).alias("direction")).alias("payload"))
+    ts = TimeSeries(nested, "time", {"name": "deep"})
+    filled = ts.fill(field_spec="payload.direction.v", method="pad",
+                     partition_by=["user_id"])
+    return filled.df.select(
+        "event_id", "user_id",
+        F.col("payload.k").alias("k"),
+        F.round(F.col("payload.direction.v"), 6).alias("v_filled"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -904,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "take_per_source": q_take_per_source,
         "containment_pairs": q_containment_pairs,
         "interval_join_events": q_interval_join_events,
+        "deep_path_fill": q_deep_path_fill,
     }
 
 
@@ -2080,6 +2104,19 @@ def oracle_sql() -> dict[str, str]:
                    least(le, re) AS o_end_ms
             FROM l JOIN r USING (user_id)
             WHERE lbu < reu AND rbu < leu
+        """,
+        "deep_path_fill": """
+            WITH base AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                     CAST(props->>'k' AS INTEGER) AS k,
+                     CASE WHEN event_type <> 'click' THEN value END AS v
+              FROM events)
+            SELECT event_id, user_id, k,
+                   round(coalesce(v, last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ms
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+                         6) AS v_filled
+            FROM base
         """,
     }
 
