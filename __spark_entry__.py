@@ -864,6 +864,44 @@ def q_deep_path_fill(spark, sf_dir):
         F.round(F.col("payload.direction.v"), 6).alias("v_filled"))
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic corpus shuffle into 8 export shards
+    (datapipe/sampling.py::shuffle_shards): md5-derived shard + in-shard
+    position, reproducible across engines and reruns."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_sample.shuffle_shards(docs, n_shards=8)
+    return out.select("doc_id", "shard", "pos")
+
+
+def q_upsample_quality(spark, sf_dir):
+    """Quality-tier upsampling (datapipe/sampling.py::upsample): longer
+    documents get 3/2/1 epochs via a pure explode — zero shuffles."""
+    docs = _read(spark, sf_dir, "documents")
+    tier = (F.when(F.col("n_chars") >= 400, F.lit(3))
+            .when(F.col("n_chars") >= 200, F.lit(2))
+            .otherwise(F.lit(1)))
+    out = dp_sample.upsample(docs, tier)
+    return out.select("doc_id", "copy")
+
+
+def q_ngram_top(spark, sf_dir):
+    """Global top-20 bigrams with corpus counts
+    (datapipe/textstats.py::ngram_top): one shuffle on the gram key, heap
+    top-k, deterministic (count desc, gram asc) tie-break."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.ngram_top(docs, n=2, k=20)
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label mean embedding as (label, dim, centroid, n) rows
+    (datapipe/similarity.py::label_centroids): shuffle volume bounded by
+    labels x dims via map-side partial aggregation."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = dp_sim.label_centroids(emb)
+    return out.select("label", "dim",
+                      F.round("centroid", 6).alias("centroid"), "n")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -928,6 +966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "interval_join_events": q_interval_join_events,
         "deep_path_fill": q_deep_path_fill,
+        "shuffle_shards": q_shuffle_shards,
+        "upsample_quality": q_upsample_quality,
+        "ngram_top": q_ngram_top,
+        "label_centroids": q_label_centroids,
     }
 
 
@@ -2104,6 +2146,60 @@ def oracle_sql() -> dict[str, str]:
                    least(le, re) AS o_end_ms
             FROM l JOIN r USING (user_id)
             WHERE lbu < reu AND rbu < leu
+        """,
+        "shuffle_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(floor(('0x' || substr(md5('0-shard|' ||
+                         doc_id::VARCHAR), 1, 8))::BIGINT
+                         / 4294967296.0 * 8) AS INTEGER) AS shard,
+                     ('0x' || substr(md5('0-order|' || doc_id::VARCHAR),
+                         1, 8))::BIGINT / 4294967296.0 AS ho
+              FROM documents)
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY ho, doc_id) AS pos
+            FROM h
+        """,
+        "upsample_quality": """
+            SELECT doc_id,
+                   unnest(generate_series(1,
+                       CASE WHEN n_chars >= 400 THEN 3
+                            WHEN n_chars >= 200 THEN 2 ELSE 1 END))
+                       AS "copy"
+            FROM documents
+        """,
+        "ngram_top": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_transform(
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x != ''),
+                       x -> regexp_replace(lower(x),
+                           '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')) AS w
+              FROM documents
+            ), g AS (
+              SELECT unnest(list_transform(
+                         range(1, greatest(len(w) - 1, 0) + 1),
+                         i -> array_to_string(w[i:i+1], ' '))) AS gram
+              FROM tk
+            )
+            SELECT gram, count(*) AS n_gram
+            FROM g WHERE gram != ''
+            GROUP BY gram
+            ORDER BY n_gram DESC, gram ASC
+            LIMIT 20
+        """,
+        "label_centroids": """
+            SELECT label, dim,
+                   round(avg(v), 6) AS centroid,
+                   count(v) AS n
+            FROM (SELECT label,
+                         unnest(embedding) AS v,
+                         CAST(unnest(range(len(embedding))) AS INTEGER)
+                             AS dim
+                  FROM embeddings)
+            GROUP BY label, dim
         """,
         "deep_path_fill": """
             WITH base AS (

@@ -212,3 +212,51 @@ def pack_sequences(df: DataFrame, max_tokens: int, n_shards: int = 64,
             .withColumn("seq", F.floor(start / F.lit(max_tokens)))
             .withColumn("offset", start % F.lit(max_tokens))
             .drop("__h"))
+
+
+def shuffle_shards(df: DataFrame, n_shards: int,
+                   key_col: str = "doc_id",
+                   seed: int | str = 0) -> DataFrame:
+    """Deterministic global corpus shuffle into ``n_shards`` export shards
+    — the training-export step: data loaders want the corpus in a fixed
+    pseudorandom order, reproducible across reruns, with no coordination
+    between shards.
+
+    ``shard`` comes from one hash of the key, in-shard ``pos`` from an
+    independent hash (separate seed derivations, so shard assignment does
+    not bias in-shard order). One shuffle (hash-partition on the shard) +
+    a per-shard rank window; shards are uniform by construction, so the
+    sort is n_shards independent sorts of corpus/n_shards rows each —
+    never a global sort.
+
+    Output: input columns + ``shard`` (0-based) and ``pos`` (1-based
+    position within the shard).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    hs = sample_hash(F.col(key_col), f"{seed}-shard")
+    ho = sample_hash(F.col(key_col), f"{seed}-order")
+    w = Window.partitionBy("shard").orderBy("__ho", key_col)
+    return (df.withColumn("shard", F.floor(hs * n_shards).cast("int"))
+            .withColumn("__ho", ho)
+            .withColumn("pos", F.row_number().over(w))
+            .drop("__ho"))
+
+
+def upsample(df: DataFrame, repeats: Column | str,
+             copy_col: str = "copy") -> DataFrame:
+    """Weighted upsampling by row repetition: emit each row ``repeats``
+    times with a 1-based ``copy_col`` index — how pretraining mixes give
+    high-quality domains multiple epochs (e.g. Wikipedia x3) while the
+    bulk crawl gets one.
+
+    ``repeats`` is any integer column expression (quality tier, per-domain
+    epoch count); non-positive repeats drop the row. Pure explode at scan
+    speed — zero shuffles, and fan-out is per-row bounded by the repeat
+    cap the caller encodes in the expression.
+    """
+    r = (F.col(repeats) if isinstance(repeats, str) else repeats).cast("int")
+    # sequence(1, 0) is DESCENDING [1, 0], not empty — guard non-positive
+    seq = F.when(r >= 1, F.sequence(F.lit(1), r)) \
+        .otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(seq))

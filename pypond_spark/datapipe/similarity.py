@@ -354,3 +354,23 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     bucketed = lsh_bucket(df, len(query_vec), nbits, seed, vec_col)
     return _score_topk(bucketed.where(F.col("lsh_bucket") == qbucket),
                        query_vec, k, vec_col, id_col)
+
+
+def label_centroids(df: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label mean embedding, emitted as (label, dim, centroid, n)
+    rows — class centroids for nearest-centroid classification, cluster
+    drift monitoring, or seeding :func:`ivf_build`.
+
+    ``posexplode`` the vector once, then ONE shuffle whose volume is
+    bounded by labels x dims (map-side partial aggregation collapses each
+    partition to at most that many rows), never by the row count. Rows
+    whose vector is NULL contribute nothing; ``n`` is the per-(label,dim)
+    sample count, so ragged vectors are visible as differing n within a
+    label rather than silently skewing the mean.
+    """
+    ex = df.select(F.col(label_col),
+                   F.posexplode(F.col(vec_col)).alias("dim", "__v"))
+    return ex.groupBy(label_col, "dim").agg(
+        F.avg("__v").alias("centroid"),
+        F.count("__v").alias("n"))

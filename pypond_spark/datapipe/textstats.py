@@ -424,3 +424,29 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
             .where(F.col("__rank") <= k)
             .select(F.col(id_col), F.col("__rank").alias("rank"),
                     F.col("tok").alias("term"), F.col("tfidf")))
+
+
+def ngram_top(df: DataFrame, n: int = 2, k: int = 20,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Global top-k word n-grams with corpus counts — vocabulary / phrase
+    analysis over the whole corpus (and the aggregate side of n-gram LM
+    training for n > 1; see :func:`unigram_logprob` for n = 1 scoring).
+
+    Grams build per document inside one projection (same array transform
+    as :func:`repetition_exprs`), explode once, then ONE partial-agg
+    shuffle on the gram key; the final top-k is a per-partition heap merge
+    (``TakeOrderedAndProject``) — no global sort, no second shuffle. Ties
+    break by gram text ascending, so the result is fully deterministic.
+    """
+    toks = _match_tokens(text_col)
+    count = F.size(toks) - (n - 1)
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))))
+    return (spread(df)
+            .select(F.explode(grams).alias("gram"))
+            .where(F.col("gram") != "")
+            .groupBy("gram").agg(F.count("*").alias("n_gram"))
+            .orderBy(F.desc("n_gram"), F.asc("gram"))
+            .limit(k))

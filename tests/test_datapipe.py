@@ -519,3 +519,27 @@ def test_ngram_containment_subset(spark, docs):
         assert cb == 1.0          # prefix shingles all found in the full doc
         assert ca < 1.0           # full doc not contained in the prefix
         assert jac[k] < cb        # Jaccard under-scores the subset pair
+
+
+def test_ngram_top_counts(spark):
+    from pypond_spark.datapipe import textstats
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the cat"),
+         (2, "The cat sat down")], ["doc_id", "text"])
+    rows = textstats.ngram_top(df, n=2, k=3).collect()
+    got = [(r["gram"], r["n_gram"]) for r in rows]
+    # "the cat" appears 3x (case-normalized); ties break gram-ascending
+    assert got[0] == ("the cat", 3)
+    assert got[1] == ("cat sat", 2)
+    assert got[2][1] == 1
+
+
+def test_label_centroids_means(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [3.0, 2.0], 0), (3, [5.0, 5.0], 1),
+         (4, None, 1)],
+        "vec_id long, embedding array<double>, label int")
+    rows = similarity.label_centroids(df).collect()
+    got = {(r["label"], r["dim"]): (r["centroid"], r["n"]) for r in rows}
+    assert got == {(0, 0): (2.0, 2), (0, 1): (1.0, 2),
+                   (1, 0): (5.0, 1), (1, 1): (5.0, 1)}

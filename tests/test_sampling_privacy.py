@@ -230,3 +230,39 @@ def test_pack_sequences_offsets_consistent(docs):
     again = sampling.pack_sequences(docs.repartition(9), max_tokens=max_t,
                                     n_shards=4)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_shuffle_shards_deterministic_partition(docs):
+    out = sampling.shuffle_shards(docs, n_shards=8, seed=3)
+    rows = out.select("doc_id", "shard", "pos").collect()
+    n = docs.count()
+    assert len(rows) == n                       # a permutation, not a sample
+    assert {r["shard"] for r in rows} <= set(range(8))
+    # per-shard positions are exactly 1..|shard|
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # deterministic under repartitioning; different seed reorders
+    again = {(r["doc_id"], r["shard"], r["pos"])
+             for r in sampling.shuffle_shards(
+                 docs.repartition(13), n_shards=8, seed=3)
+             .select("doc_id", "shard", "pos").collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    other = {(r["doc_id"], r["shard"], r["pos"])
+             for r in sampling.shuffle_shards(docs, n_shards=8, seed=4)
+             .select("doc_id", "shard", "pos").collect()}
+    assert other != again
+    with pytest.raises(ValueError):
+        sampling.shuffle_shards(docs, n_shards=0)
+
+
+def test_upsample_repeats_and_drops(spark):
+    df = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 0), (4, -2)], ["doc_id", "epochs"])
+    out = sampling.upsample(df, "epochs").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["copy"])
+    assert got == {1: [1, 2, 3], 2: [1]}        # 0/negative repeats drop
