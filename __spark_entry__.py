@@ -154,20 +154,14 @@ def q_rollup_daily(spark, sf_dir):
                          "n")
 
 
-def q_stream_rollup_1h(spark, sf_dir):
-    """Structured Streaming rollup (SURVEY §2.9): readStream over the events
-    parquet -> tumbling 1h window agg per event_type -> memory sink drained
-    with availableNow (the reference's stop()-flushes protocol,
-    io/input.py:94-97). The streaming plan must reproduce the batch table —
-    the DuckDB oracle is the same SQL as the batch rollup's."""
+def _events_stream(spark, sf_dir):
+    """Streaming source over the events parquet with ts normalized —
+    the streaming twin of :func:`_events_ts`'s input. FileStreamSource
+    wants a directory; the testdata table is one file — expose it through
+    a temp dir of symlinks."""
     from pyspark.sql import types as T
-
-    from pypond_spark.streaming import (run_available_now,
-                                        windowed_stream_aggregate)
     _ensure_confs(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # FileStreamSource wants a directory; the testdata table is one file —
-    # expose it through a temp dir of symlinks.
     import os
     import tempfile
     link_dir = os.path.join(tempfile.gettempdir(),
@@ -181,18 +175,34 @@ def q_stream_rollup_1h(spark, sf_dir):
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(batch.schema["ts"].dataType, T.TimestampNTZType):
         sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
-    sdf = sdf.withColumnRenamed("ts", "time")
-    out, mode = windowed_stream_aggregate(
-        sdf, {"v_sum": {"value": "sum"}, "n": {"value": "count"}},
-        "1h", group_by="event_type", emit_on="flush")
-    # Streaming state stores can't use AQE partition coalescing; scope a
-    # local[32]-sized shuffle width to this query and restore after.
+    return sdf.withColumnRenamed("ts", "time")
+
+
+def _run_stream_32(spark, out, mode):
+    """Drain a stateful streaming query at a pinned 32-partition shuffle
+    width (streaming state stores can't use AQE coalescing); restore the
+    session's width after."""
+    from pypond_spark.streaming import run_available_now
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
-        result = run_available_now(out, mode)
+        return run_available_now(out, mode)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def q_stream_rollup_1h(spark, sf_dir):
+    """Structured Streaming rollup (SURVEY §2.9): readStream over the events
+    parquet -> tumbling 1h window agg per event_type -> memory sink drained
+    with availableNow (the reference's stop()-flushes protocol,
+    io/input.py:94-97). The streaming plan must reproduce the batch table —
+    the DuckDB oracle is the same SQL as the batch rollup's."""
+    from pypond_spark.streaming import windowed_stream_aggregate
+    sdf = _events_stream(spark, sf_dir)
+    out, mode = windowed_stream_aggregate(
+        sdf, {"v_sum": {"value": "sum"}, "n": {"value": "count"}},
+        "1h", group_by="event_type", emit_on="flush")
+    result = _run_stream_32(spark, out, mode)
     return result.select(
         F.unix_millis("begin").alias("begin_ms"), "event_type",
         F.round("v_sum", 6).alias("v_sum"), "n")
@@ -902,6 +912,53 @@ def q_label_centroids(spark, sf_dir):
                       F.round("centroid", 6).alias("centroid"), "n")
 
 
+def q_stream_rolling_10m(spark, sf_dir):
+    """Streaming twin of rolling_10m_stats (streaming/stream.py::
+    stream_rolling): trailing 10m aggregates via applyInPandasWithState,
+    drained with availableNow; carry_cols lines output up row-for-row
+    with the batch operator, so the DuckDB oracle is the identical SQL."""
+    from pypond_spark.streaming import stream_rolling
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_rolling(sdf, "10m",
+                         {"avg_10m": {"value": "avg"},
+                          "n_10m": {"value": "count"},
+                          "max_10m": {"value": "max"}},
+                         partition_by=["user_id"],
+                         carry_cols=["event_id"])
+    result = _run_stream_32(spark, out, "append")
+    return result.select("event_id", "user_id", "t_ms",
+                         F.round("avg_10m", 6).alias("avg_10m"),
+                         "n_10m", "max_10m")
+
+
+def q_stream_zscore_10m(spark, sf_dir):
+    """Streaming trailing-window anomaly scores (streaming/stream.py::
+    stream_zscore): each event scored against the prior 10 minutes
+    EXCLUDING its own millisecond — exact across micro-batches."""
+    from pypond_spark.streaming import stream_zscore
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_zscore(sdf, "value", window="10m",
+                        partition_by=["user_id"], threshold=2.0,
+                        carry_cols=["event_id"])
+    result = _run_stream_32(spark, out, "append")
+    return result.select("event_id", "user_id", "t_ms",
+                         F.round("value_zscore", 6).alias("value_zscore"),
+                         "value_anomaly")
+
+
+def q_stream_ewma(spark, sf_dir):
+    """Streaming EWMA (streaming/stream.py::stream_ewma) with the batch
+    operator's tiebreak contract; the recurrence is written identically,
+    so the values are bit-for-bit the batch ewma's and the oracle is the
+    same DuckDB list_reduce fold (no rounding needed)."""
+    from pypond_spark.streaming import stream_ewma
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_ewma(sdf, "value", alpha=0.5, partition_by=["user_id"],
+                      tiebreak="event_id", carry_cols=["event_id"])
+    result = _run_stream_32(spark, out, "append")
+    return result.select("event_id", "user_id", "t_ms", "value_ewma")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -970,6 +1027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_quality": q_upsample_quality,
         "ngram_top": q_ngram_top,
         "label_centroids": q_label_centroids,
+        "stream_rolling_10m": q_stream_rolling_10m,
+        "stream_zscore_10m": q_stream_zscore_10m,
+        "stream_ewma": q_stream_ewma,
     }
 
 
@@ -2200,6 +2260,50 @@ def oracle_sql() -> dict[str, str]:
                              AS dim
                   FROM embeddings)
             GROUP BY label, dim
+        """,
+        "stream_rolling_10m": """
+            SELECT event_id, user_id, epoch_ms(ts) AS t_ms,
+                   round(avg(value) OVER w, 6) AS avg_10m,
+                   count(value) OVER w AS n_10m,
+                   max(value) OVER w AS max_10m
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                         RANGE BETWEEN 599999 PRECEDING AND CURRENT ROW)
+        """,
+        "stream_zscore_10m": """
+            WITH s AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS t_ms, value,
+                     avg(value) OVER w AS mu,
+                     stddev_pop(value) OVER w AS sigma
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                           RANGE BETWEEN 599999 PRECEDING AND 1 PRECEDING))
+            SELECT event_id, user_id, t_ms,
+                   CASE WHEN sigma IS NULL OR sigma = 0 THEN NULL
+                        ELSE round((value - mu) / sigma, 6) END
+                     AS value_zscore,
+                   coalesce(CASE WHEN sigma IS NULL OR sigma = 0 THEN NULL
+                                 ELSE abs((value - mu) / sigma) > 2.0 END,
+                            FALSE) AS value_anomaly
+            FROM s
+        """,
+        "stream_ewma": """
+            WITH l AS (
+              SELECT user_id,
+                     list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs,
+                     list(event_id ORDER BY ts, event_id) AS ids,
+                     list(epoch_ms(ts) ORDER BY ts, event_id) AS tms
+              FROM events GROUP BY user_id
+            ), e AS (
+              SELECT user_id, xs, ids, tms,
+                     unnest(generate_series(1, len(xs))) AS k
+              FROM l
+            )
+            SELECT ids[k] AS event_id, user_id, tms[k] AS t_ms,
+                   list_reduce(list_slice(xs, 1, k),
+                               (acc, x) -> 0.5 * x + 0.5 * acc)
+                     AS value_ewma
+            FROM e
         """,
         "deep_path_fill": """
             WITH base AS (

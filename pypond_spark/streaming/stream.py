@@ -419,14 +419,16 @@ def stream_fill_pad(
 
 
 def _ewma_state_fn(fields: list[str], keys: list[str], time_col: str,
-                   alpha: float, tiebreak: str | None = None):
+                   alpha: float, tiebreak: str | None = None,
+                   carry: Sequence[str] = ()):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         accs = list(state.get) if state.exists else [None] * len(fields)
         pdf = _whole_group(pdfs, time_col,
                            (tiebreak,) if tiebreak else ())
         outs = []
         for _, row in pdf.iterrows():
-            rec = list(key) + [int(row[time_col].value // 10**6)]
+            rec = (list(key) + [int(row[time_col].value // 10**6)]
+                   + [row[c] for c in carry])
             for j, f in enumerate(fields):
                 v = row[f]
                 if v is not None and not pd.isna(v):
@@ -435,7 +437,8 @@ def _ewma_state_fn(fields: list[str], keys: list[str], time_col: str,
                 rec.append(accs[j])
             outs.append(rec)
         state.update(tuple(accs))
-        cols = keys + ["t_ms"] + [f"{f}_ewma" for f in fields]
+        cols = (keys + ["t_ms"] + list(carry)
+                + [f"{f}_ewma" for f in fields])
         yield pd.DataFrame(outs, columns=cols)
 
     return fn
@@ -448,6 +451,7 @@ def stream_ewma(
     partition_by: Sequence[str] = (),
     time_col: str = "time",
     tiebreak: str | None = None,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Cross-batch EWMA: the streaming twin of ``operators.rolling.ewma``.
 
@@ -463,11 +467,13 @@ def stream_ewma(
     key_fields = [sdf.schema[k] for k in keys]
     out_schema = T.StructType(
         key_fields + [T.StructField("t_ms", T.LongType())]
+        + [sdf.schema[c] for c in carry_cols]
         + [T.StructField(f"{f}_ewma", T.DoubleType()) for f in fields])
     state_schema = T.StructType(
         [T.StructField(f"s{i}", T.DoubleType()) for i in range(len(fields))])
     out = sdf.groupBy(*keys).applyInPandasWithState(
-        _ewma_state_fn(fields, keys, time_col, alpha, tiebreak),
+        _ewma_state_fn(fields, keys, time_col, alpha, tiebreak,
+                       list(carry_cols)),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
@@ -516,13 +522,16 @@ _STREAM_ROLLING_FUNCS = ("sum", "avg", "min", "max", "count", "stddev",
 
 
 def _buffer_state_fn(rows_spec, keys: list[str], time_col: str, dur_ms: int,
-                     zscore_threshold: float | None):
+                     zscore_threshold: float | None,
+                     carry: Sequence[str] = ()):
     """Shared state fn for stream_rolling / stream_zscore: per-key buffer
     of (t_ms, values) trimmed to the trailing window, serialized as one
     JSON state string (state size = events-per-window per key, not event
     volume). Events are processed one distinct timestamp at a time so
     equal-timestamp peers see exactly the batch RANGE-frame semantics:
-    rolling includes all peers of the current ms, zscore excludes them."""
+    rolling includes all peers of the current ms, zscore excludes them.
+    ``carry`` columns pass through per row (e.g. an event id), so stream
+    output can line up row-for-row with the batch twin's."""
     import json as _json
 
     in_cols = list(dict.fromkeys(r[1] for r in rows_spec))
@@ -541,6 +550,7 @@ def _buffer_state_fn(rows_spec, keys: list[str], time_col: str, dur_ms: int,
             tvals = [int(v.value // 10 ** 6) for v in pdf[time_col]]
             cvals = {c: [None if pd.isna(v) else float(v) for v in pdf[c]]
                      for c in in_cols}
+            carr = {c: list(pdf[c]) for c in carry}
             i = 0
             while i < n:
                 t_cur = tvals[i]
@@ -564,8 +574,9 @@ def _buffer_state_fn(rows_spec, keys: list[str], time_col: str, dur_ms: int,
                             vbuf[c].append(cvals[c][r])
                     aggs = [_py_agg(func, vbuf[in_col], flt)
                             for _, in_col, func, flt in rows_spec]
-                    for _ in range(i, j):
-                        outs.append(list(key) + [t_cur] + aggs)
+                    for r in range(i, j):
+                        outs.append(list(key) + [t_cur]
+                                    + [carr[c][r] for c in carry] + aggs)
                 else:
                     # zscore: frame (t-dur, t-1] EXCLUDES the current ms —
                     # score against the buffer, then append the run
@@ -575,7 +586,8 @@ def _buffer_state_fn(rows_spec, keys: list[str], time_col: str, dur_ms: int,
                         s = _py_agg("stddev", vbuf[c], "ignore_missing")
                         stats[c] = (m, s)
                     for r in range(i, j):
-                        rec = list(key) + [t_cur]
+                        rec = (list(key) + [t_cur]
+                               + [carr[c][r] for c in carry])
                         for _, in_col, _f, _fl in rows_spec:
                             x = cvals[in_col][r]
                             m, s = stats[in_col]
@@ -593,9 +605,10 @@ def _buffer_state_fn(rows_spec, keys: list[str], time_col: str, dur_ms: int,
         state.update((_json.dumps({"t": tbuf,
                                    **{c: vbuf[c] for c in in_cols}}),))
         if zscore_threshold is None:
-            cols = keys + ["t_ms"] + [r[0] for r in rows_spec]
+            cols = (keys + ["t_ms"] + list(carry)
+                    + [r[0] for r in rows_spec])
         else:
-            cols = keys + ["t_ms"]
+            cols = keys + ["t_ms"] + list(carry)
             for _, in_col, _f, _fl in rows_spec:
                 cols += [in_col, f"{in_col}_zscore", f"{in_col}_anomaly"]
         yield pd.DataFrame(outs, columns=cols)
@@ -609,10 +622,13 @@ def stream_rolling(
     aggregation: dict,
     partition_by: Sequence[str] = (),
     time_col: str = "time",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Cross-batch trailing-window aggregates: the streaming twin of
     ``operators.rolling.rolling`` — every event carries the aggregate of
     its series over ``(t - window, t]`` (current ms included).
+    ``carry_cols`` pass through per row so output can line up
+    row-for-row with the batch operator's.
 
     Trailing windows only look backward, so the operator is streaming-safe
     by construction. State per key is the event buffer of the last
@@ -644,12 +660,14 @@ def stream_rolling(
     key_fields = [sdf.schema[k] for k in keys]
     out_schema = T.StructType(
         key_fields + [T.StructField("t_ms", T.LongType())]
+        + [sdf.schema[c] for c in carry_cols]
         + [T.StructField(out,
                          T.LongType() if func == "count" else T.DoubleType())
            for out, _in, func, _fl in rows_spec])
     state_schema = T.StructType([T.StructField("buf", T.StringType())])
     out = sdf.groupBy(*keys).applyInPandasWithState(
-        _buffer_state_fn(rows_spec, keys, time_col, dur_ms, None),
+        _buffer_state_fn(rows_spec, keys, time_col, dur_ms, None,
+                         list(carry_cols)),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
@@ -664,6 +682,7 @@ def stream_zscore(
     partition_by: Sequence[str] = (),
     time_col: str = "time",
     threshold: float = 3.0,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Cross-batch trailing-window anomaly scores: the streaming twin of
     ``operators.rolling.zscore`` with a ``window=`` (the whole-series
@@ -692,10 +711,12 @@ def stream_zscore(
                       T.StructField(f"{f}_zscore", T.DoubleType()),
                       T.StructField(f"{f}_anomaly", T.BooleanType())]
     out_schema = T.StructType(
-        key_fields + [T.StructField("t_ms", T.LongType())] + per_field)
+        key_fields + [T.StructField("t_ms", T.LongType())]
+        + [sdf.schema[c] for c in carry_cols] + per_field)
     state_schema = T.StructType([T.StructField("buf", T.StringType())])
     out = sdf.groupBy(*keys).applyInPandasWithState(
-        _buffer_state_fn(rows_spec, keys, time_col, dur_ms, float(threshold)),
+        _buffer_state_fn(rows_spec, keys, time_col, dur_ms, float(threshold),
+                         list(carry_cols)),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
