@@ -959,6 +959,57 @@ def q_stream_ewma(spark, sf_dir):
     return result.select("event_id", "user_id", "t_ms", "value_ewma")
 
 
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event_type
+    (operators/histogram.py): map-side floor-binning + one shuffle
+    bounded by groups x occupied bins."""
+    ts = _events_ts(spark, sf_dir)
+    return ts.histogram("value", bin_width=25.0,
+                        partition_by=["event_type"])
+
+
+def q_distinct_users_hourly(spark, sf_dir):
+    """Exact distinct-user cardinality per hour x event_type via the
+    agg-spec language's new count_distinct reducer (functions.py); the
+    approx_distinct HLL++ twin is the huge-group scale path (sketch
+    state, no exact oracle)."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.fixed_window_rollup(
+        "1h", {"u_users": {"user_id": "count_distinct"},
+               "n": {"value": "count"}}, group_by="event_type")
+    return out.df.select("index", "event_type", "u_users", "n")
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority) on the testdata columns: the
+    multi-join showcase — customer dim filtered then BROADCAST to the
+    orders join (no shuffle of the fact side for the dim), one shuffled
+    equi-join lineitem x orders on the orderkey, then group + top-10 via
+    TakeOrderedAndProject. Deterministic full tie-break so both engines
+    agree on the exact top-10."""
+    cust = _read(spark, sf_dir, "customer") \
+        .where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders") \
+        .where(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")) \
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _read(spark, sf_dir, "lineitem") \
+        .where(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")) \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    out = (li.join(orders.join(F.broadcast(cust),
+                               F.col("o_custkey") == F.col("c_custkey")),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy("l_orderkey", "o_orderdate")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 4)
+                .alias("revenue"))
+           .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                    F.asc("l_orderkey"))
+           .limit(10))
+    return out.select("l_orderkey",
+                      F.unix_millis("o_orderdate").alias("o_date_ms"),
+                      "revenue")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -1030,6 +1081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rolling_10m": q_stream_rolling_10m,
         "stream_zscore_10m": q_stream_zscore_10m,
         "stream_ewma": q_stream_ewma,
+        "value_histogram": q_value_histogram,
+        "distinct_users_hourly": q_distinct_users_hourly,
+        "tpch_q3": q_tpch_q3,
     }
 
 
@@ -2260,6 +2314,38 @@ def oracle_sql() -> dict[str, str]:
                              AS dim
                   FROM embeddings)
             GROUP BY label, dim
+        """,
+        "value_histogram": """
+            SELECT event_type, bin,
+                   bin * 25.0 AS bin_lo,
+                   (bin + 1) * 25.0 AS bin_hi,
+                   count(*) AS n
+            FROM (SELECT event_type,
+                         CAST(floor(value / 25.0) AS BIGINT) AS bin
+                  FROM events
+                  WHERE value IS NOT NULL AND NOT isnan(value))
+            GROUP BY event_type, bin
+        """,
+        "distinct_users_hourly": f"""
+            SELECT concat('1h-', {_POS_1H}) AS "index", event_type,
+                   count(DISTINCT user_id) AS u_users,
+                   count(value) AS n
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > TIMESTAMP '1997-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
         """,
         "stream_rolling_10m": """
             SELECT event_id, user_id, epoch_ms(ts) AS t_ms,

@@ -175,6 +175,15 @@ def compile_agg(func, in_col: Column | str, flt: str = "ignore_missing",
     elif name == "count":
         # keep_missing counts all arrivals; others count valid values only
         agg = F.count(F.lit(1)) if flt == "keep_missing" else F.count(col)
+    elif name == "count_distinct":
+        # exact distinct cardinality per group; Spark plans a two-phase
+        # expand+agg (shuffle volume = distinct values, not rows)
+        agg = F.count_distinct(col)
+    elif name == "approx_distinct":
+        # HLL++ sketch: fixed-size state per group — THE 100 TB path for
+        # cardinality over huge groups; approximate, so (like
+        # approx_percentile) it has no value-exact oracle twin
+        agg = F.approx_count_distinct(col)
     elif name in ("first", "last"):
         if flt == "keep_missing":
             # faithful: the positionally first/last value INCLUDING invalid

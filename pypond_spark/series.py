@@ -31,6 +31,7 @@ from .operators import merge as merge_ops
 from .operators.align import align as align_op
 from .operators.fill import fill as fill_op
 from .operators.rate import rate as rate_op
+from .operators.histogram import histogram as histogram_op
 from .operators.rolling import ewma as ewma_op
 from .operators.rolling import rolling as rolling_op
 from .operators.rolling import zscore as zscore_op
@@ -477,6 +478,14 @@ class TimeSeries:
             raise ValueError("rolling expects instant-event input")
         return self._with(rolling_op(self._df, window, aggregation,
                                      partition_by, self.time_col))
+
+    def histogram(self, field: str = "value", bin_width: float = 1.0,
+                  partition_by: Sequence[str] = ()):
+        """Fixed-width value histogram, optionally per group (engine
+        addition; see ``operators.histogram``). Returns a plain DataFrame
+        of ``partition_by..., bin, bin_lo, bin_hi, n`` — a distribution
+        summary, not a series."""
+        return histogram_op(self._df, field, bin_width, partition_by)
 
     def ewma(self, field_spec="value", alpha: float = 0.5,
              partition_by: Sequence[str] = (),

@@ -202,3 +202,35 @@ def test_approx_percentile_spec(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ts.window_aggregate({"x": {"value": ("bogus", 1)}})
+
+
+def test_histogram_bins_and_validity(spark):
+    from pypond_spark.operators.histogram import histogram
+    df = spark.createDataFrame(
+        [("a", -0.5), ("a", 0.0), ("a", 9.9), ("a", 10.0), ("b", 25.0),
+         ("b", None), ("b", float("nan"))],
+        "g string, value double")
+    rows = histogram(df, "value", bin_width=10.0, partition_by=["g"]) \
+        .collect()
+    got = {(r["g"], r["bin"]): (r["bin_lo"], r["bin_hi"], r["n"])
+           for r in rows}
+    assert got == {("a", -1): (-10.0, 0.0, 1),   # negatives floor down
+                   ("a", 0): (0.0, 10.0, 2),
+                   ("a", 1): (10.0, 20.0, 1),
+                   ("b", 2): (20.0, 30.0, 1)}    # NULL/NaN dropped
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        histogram(df, "value", bin_width=0.0)
+
+
+def test_count_distinct_reducers(spark):
+    from pypond_spark.functions import compile_agg_spec
+    df = spark.createDataFrame(
+        [(0, "a", 1), (0, "a", 1), (0, "a", 2), (0, "b", None)],
+        "time long, g string, u int")
+    out = df.groupBy("g").agg(*compile_agg_spec(
+        {"u_exact": {"u": "count_distinct"},
+         "u_approx": {"u": "approx_distinct"}}))
+    got = {r["g"]: (r["u_exact"], r["u_approx"]) for r in out.collect()}
+    assert got["a"] == (2, 2)
+    assert got["b"][0] == 0      # NULLs don't count
