@@ -49,6 +49,14 @@ HEADLINE = [
     "take_per_source",
     "containment_pairs",
     "interval_join_events",
+    "deep_path_fill",
+    "shuffle_shards",
+    "upsample_quality",
+    "ngram_top",
+    "label_centroids",
+    "value_histogram",
+    "distinct_users_hourly",
+    "tpch_q3",
 ]
 
 
