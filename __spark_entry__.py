@@ -1010,6 +1010,27 @@ def q_tpch_q3(spark, sf_dir):
                       "revenue")
 
 
+def q_centroid_classify(spark, sf_dir):
+    """Nearest-centroid classification of every embedding against the
+    per-label centroids (datapipe/similarity.py::nearest_centroid over
+    label_centroids): centroids rounded to 6 decimals on both engines,
+    scores rounded before the argmax, ties to the smallest label — a
+    fully deterministic cross-engine decision. Classification itself is
+    map-side only (no shuffle); the centroid build is one bounded agg."""
+    emb = _read(spark, sf_dir, "embeddings")
+    crows = dp_sim.label_centroids(emb).collect()
+    by_label: dict[int, dict[int, float]] = {}
+    for r in crows:
+        by_label.setdefault(r["label"], {})[r["dim"]] = round(
+            r["centroid"], 6)
+    cents = [(lab, [dims[d] for d in sorted(dims)])
+             for lab, dims in sorted(by_label.items())]
+    out = dp_sim.nearest_centroid(emb, cents)
+    return out.select(
+        "vec_id", "label", "pred_label",
+        (F.col("label") == F.col("pred_label")).cast("int").alias("correct"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -1084,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "distinct_users_hourly": q_distinct_users_hourly,
         "tpch_q3": q_tpch_q3,
+        "centroid_classify": q_centroid_classify,
     }
 
 
@@ -2346,6 +2368,51 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
             LIMIT 10
+        """,
+        "centroid_classify": """
+            WITH cd AS (
+              SELECT label AS clabel, dim, round(avg(v), 6) AS cv
+              FROM (SELECT label, unnest(embedding) AS v,
+                           CAST(unnest(range(len(embedding))) AS INTEGER)
+                               AS dim
+                    FROM embeddings)
+              GROUP BY label, dim
+            ), c AS (
+              SELECT clabel, list(cv ORDER BY dim) AS cvec
+              FROM cd GROUP BY clabel
+            ), s AS (
+              -- dot/norm as ordered list folds so the float summation
+              -- order matches the engine's zip_with/aggregate exactly
+              SELECT e.vec_id, e.label, c.clabel,
+                     coalesce(CASE WHEN
+                         sqrt(list_reduce(list_transform(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                              (a, b) -> a + b))
+                         * sqrt(list_reduce(list_transform(c.cvec,
+                                x -> x * x), (a, b) -> a + b)) = 0
+                       THEN NULL
+                       ELSE round(
+                         list_reduce(list_transform(
+                             range(1, len(c.cvec) + 1),
+                             i -> CAST(e.embedding[i] AS DOUBLE)
+                                  * c.cvec[i]),
+                           (a, b) -> a + b)
+                         / (sqrt(list_reduce(list_transform(e.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                (a, b) -> a + b))
+                            * sqrt(list_reduce(list_transform(c.cvec,
+                                   x -> x * x), (a, b) -> a + b))), 6)
+                       END, -2.0) AS s
+              FROM embeddings e CROSS JOIN c
+            ), r AS (
+              SELECT vec_id, label, clabel AS pred_label, s,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY s DESC, clabel ASC) AS rn
+              FROM s
+            )
+            SELECT vec_id, label, pred_label,
+                   CAST(label = pred_label AS INTEGER) AS correct
+            FROM r WHERE rn = 1
         """,
         "stream_rolling_10m": """
             SELECT event_id, user_id, epoch_ms(ts) AS t_ms,

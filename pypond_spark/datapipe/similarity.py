@@ -374,3 +374,26 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding",
     return ex.groupBy(label_col, "dim").agg(
         F.avg("__v").alias("centroid"),
         F.count("__v").alias("n"))
+
+
+def nearest_centroid(df: DataFrame, centroids: list[tuple[int, list[float]]],
+                     vec_col: str = "embedding",
+                     out_col: str = "pred_label") -> DataFrame:
+    """Nearest-centroid classification: label each row with the centroid
+    of max cosine similarity — the no-index classifier that pairs with
+    :func:`label_centroids` (compute centroids once, classify the corpus).
+
+    Pure map-side expression like :func:`ivf_assign` — no shuffle,
+    scan-parallel at any corpus size; the centroid list is driver-side
+    config (k x dim floats). Scores round to 6 decimals before the argmax
+    so the decision is reproducible cross-engine; ties and degenerate
+    rows (NULL/zero vectors, cosine -> -2.0 sentinel) break to the
+    SMALLEST label, deterministically.
+    """
+    pairs = F.array(*[
+        F.struct(
+            F.round(F.coalesce(cosine(vec_col, _lit_vec(c)), F.lit(-2.0)), 6)
+            .alias("s"),
+            F.lit(-int(lab)).alias("nl"))
+        for lab, c in centroids])
+    return df.withColumn(out_col, -F.array_max(pairs)["nl"])

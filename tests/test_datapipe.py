@@ -543,3 +543,17 @@ def test_label_centroids_means(spark):
     got = {(r["label"], r["dim"]): (r["centroid"], r["n"]) for r in rows}
     assert got == {(0, 0): (2.0, 2), (0, 1): (1.0, 2),
                    (1, 0): (5.0, 1), (1, 1): (5.0, 1)}
+
+
+def test_nearest_centroid_argmax_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]),  # exact tie
+         (4, None), (5, [0.0, 0.0])],                         # degenerate
+        "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    got = {r["vec_id"]: r["pred_label"]
+           for r in similarity.nearest_centroid(df, cents).collect()}
+    assert got[1] == 0 and got[2] == 1
+    assert got[3] == 0        # tie -> smallest label
+    assert got[4] == 0        # NULL vector -> sentinel -> smallest label
+    assert got[5] == 0        # zero vector likewise
