@@ -75,3 +75,30 @@ def to_parquet(ts: TimeSeries, path: str, mode: str = "overwrite",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(df, table: str, bucket_cols: Sequence[str],
+                   n_buckets: int = 32,
+                   sort_cols: Sequence[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist a DataFrame hash-bucketed on join/aggregation keys — the
+    co-location contract that removes the shuffle from every later join or
+    groupBy on those keys.
+
+    Spark records bucketing in the catalog (``bucketBy`` requires
+    ``saveAsTable``); two tables bucketed on the same keys with the same
+    count join with ZERO Exchange operators — at 100 TB the dominant cost
+    of a fact-fact join disappears. ``sort_cols`` additionally pre-sorts
+    within buckets so sort-merge joins skip the per-task sort.
+    """
+    writer = df.write.mode(mode).format("parquet") \
+        .bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str):
+    """Read a catalog table (e.g. one persisted by :func:`write_bucketed`,
+    whose bucketing metadata then feeds exchange-free planning)."""
+    return spark.table(table)

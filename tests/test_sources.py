@@ -58,3 +58,35 @@ def test_index_class():
                                 tzinfo=datetime.timezone.utc)) == "5m-4754394"
     assert len(Index.get_index_string_list("5m", tr)) >= 1
     assert Index("2015-07").to_nice_string() == "July, 2015"
+
+
+def test_bucketed_join_plans_no_exchange(spark):
+    """Two tables bucketed on the join key must sort-merge join with ZERO
+    Exchange operators — the co-location contract write_bucketed sells."""
+    from pyspark.sql import functions as F
+
+    from pypond_spark.sources.readers import read_table, write_bucketed
+    a = spark.range(0, 1000).select(F.col("id").alias("k"),
+                                    (F.col("id") * 2).alias("x"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"),
+                                    (F.col("id") * 3).alias("y"))
+    write_bucketed(a, "bk_a", ["k"], n_buckets=8, sort_cols=["k"])
+    write_bucketed(b, "bk_b", ["k"], n_buckets=8, sort_cols=["k"])
+    # the tables are tiny, so the planner would broadcast (which bypasses
+    # bucketing); disable auto-broadcast to see the at-scale join shape
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "bk_a").join(read_table(spark, "bk_b"),
+                                                "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+        # and a groupBy on the bucket key also plans shuffle-free
+        agg = read_table(spark, "bk_a").groupBy("k").agg(F.sum("x"))
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
