@@ -209,3 +209,123 @@ def zscore(df: DataFrame, field_spec: str = "value",
                         F.coalesce(F.abs(z) > F.lit(float(threshold)),
                                    F.lit(False)))
     return out
+
+
+def ewma_scan(df: DataFrame, field_spec: str = "value", alpha: float = 0.5,
+              time_col: str = "time", n_chunks: int | None = None) -> DataFrame:
+    """Parallel EWMA over ONE giant unkeyed series — the scale path for
+    the case :func:`ewma` documents as its single-partition fallback.
+
+    The recurrence ``s' = alpha*x + (1-alpha)*s`` is an affine map of the
+    carried state, and affine maps compose associatively — the classic
+    parallel-scan trick for linear recurrences (Blelloch scans). So:
+
+    1. range-partition the series by time into ``n_chunks`` ordered chunks;
+    2. pass 1 folds each chunk SYMBOLICALLY into 4 numbers:
+       ``(A, B)`` with "exit state = A * entry + B" (NaN samples are the
+       identity map, so gaps compose for free), plus ``D`` (exit state if
+       the chunk has no entry state) and ``has_valid``;
+    3. a driver-side prefix fold over the k chunk summaries (k floats, not
+       rows) yields each chunk's true entry state;
+    4. pass 2 re-folds each chunk concretely from its entry state.
+
+    Cost: two ordered scans + one k-row collect, plus one materialization
+    of the chunked series (localCheckpoint) so both passes see identical
+    chunk boundaries — wall-clock drops from O(n) sequential to
+    O(n / n_chunks). Numerical caveat: composing
+    ``(1-alpha)^m`` multiplies in a different order than the sequential
+    fold, so results can differ from :func:`ewma` in the last ulp —
+    equal to ~1e-12 relative, not bit-for-bit; the sequential operator
+    remains the oracle-checked form. Events sharing a timestamp at a
+    chunk boundary may land in different chunks (range partitioning);
+    like :func:`ewma`, pin ties upstream if they are possible.
+
+    Output: input columns + ``<field>_ewma``, in series order.
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if isinstance(field_spec, (list, tuple)):
+        if len(field_spec) != 1:
+            raise ValueError("ewma_scan takes a single field")
+        field_spec = field_spec[0]
+    f = field_spec
+    spark = df.sparkSession
+    n = n_chunks or spark.sparkContext.defaultParallelism
+    parts = (df.repartitionByRange(n, F.col(time_col))
+             .sortWithinPartitions(time_col)
+             .withColumn("__pid", F.spark_partition_id()))
+    parts = parts.localCheckpoint()  # pin partitioning across the 2 passes
+
+    def summarize(batches):
+        import pandas as pd
+        pid = None
+        A, B, D = 1.0, 0.0, math.nan
+        has_valid = False
+        for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["__pid"].iloc[0])
+                for v in pdf[f].to_numpy(dtype="float64", na_value=math.nan):
+                    if not math.isnan(v):
+                        A *= (1.0 - alpha)
+                        B = alpha * v + (1.0 - alpha) * B
+                        D = v if not has_valid else alpha * v + (1.0 - alpha) * D
+                        has_valid = True
+        if pid is None:
+            yield pd.DataFrame({"pid": pd.Series(dtype="int32"),
+                                "a": pd.Series(dtype="float64"),
+                                "b": pd.Series(dtype="float64"),
+                                "d": pd.Series(dtype="float64"),
+                                "hv": pd.Series(dtype="bool")})
+        else:
+            yield pd.DataFrame({"pid": [pid], "a": [A], "b": [B],
+                                "d": [D], "hv": [has_valid]})
+
+    summaries = sorted(
+        parts.mapInPandas(
+            summarize,
+            "pid int, a double, b double, d double, hv boolean").collect(),
+        key=lambda r: r["pid"])
+    entry: dict[int, float | None] = {}
+    state: float | None = None
+    for r in summaries:
+        entry[r["pid"]] = state
+        if state is not None:
+            state = r["a"] * state + r["b"]
+        elif r["hv"]:
+            state = r["d"]
+
+    out_schema = T.StructType(
+        [fld for fld in parts.schema.fields if fld.name != "__pid"]
+        + [T.StructField(f"{f}_ewma", T.DoubleType())])
+    out_cols = [fld.name for fld in out_schema.fields]
+
+    def apply_scan(batches):
+        import numpy as np
+        import pandas as pd
+        acc = None
+        primed = False
+        for pdf in batches:
+            m = len(pdf)
+            if not m:
+                continue
+            if not primed:
+                acc = entry.get(int(pdf["__pid"].iloc[0]))
+                primed = True
+            xs = pdf[f].to_numpy(dtype="float64", na_value=math.nan)
+            out = np.empty(m)
+            s = math.nan if acc is None else acc
+            for i in range(m):
+                v = xs[i]
+                if not math.isnan(v):
+                    s = v if math.isnan(s) else alpha * v + (1.0 - alpha) * s
+                out[i] = s
+            acc = None if math.isnan(s) else s
+            pdf = pdf.drop(columns=["__pid"])
+            pdf[f"{f}_ewma"] = out
+            yield pdf[out_cols]
+
+    return parts.mapInPandas(apply_scan, out_schema)

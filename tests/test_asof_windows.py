@@ -240,3 +240,28 @@ def test_interval_join_max_buckets_guard(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     with pytest.raises(ValueError):
         interval_join(left, right, bucket="1h", max_buckets=0)
+
+
+def test_ewma_scan_matches_sequential(spark):
+    """Parallel affine-scan EWMA == the sequential operator (to float
+    tolerance) across chunk boundaries, NaN gaps, and a leading-gap
+    chunk; alpha=0.5 keeps the affine compose exact so equality here is
+    bit-for-bit."""
+    from pypond_spark.operators.rolling import ewma, ewma_scan
+    rows = [(i * 1000, float(v) if v is not None else None)
+            for i, v in enumerate(
+                [10, None, 30, 5, None, None, 8, 100, 2, 40, None, 7])]
+    df = spark.createDataFrame(rows, "t_ms long, value double") \
+        .select(F.timestamp_millis(F.col("t_ms")).alias("time"), "value")
+    seq = {r["time"]: r["value_ewma"]
+           for r in ewma(df, "value", alpha=0.5).collect()}
+    par = {r["time"]: r["value_ewma"]
+           for r in ewma_scan(df, "value", alpha=0.5, n_chunks=4).collect()}
+    assert set(seq) == set(par) and len(par) == 12
+    for t in seq:
+        if seq[t] is None:
+            assert par[t] is None, t
+        else:
+            assert par[t] == seq[t], t
+    with pytest.raises(ValueError):
+        ewma_scan(df, ["a", "b"])
