@@ -79,13 +79,15 @@ def main() -> None:
     # estimator). "queries_warm" = min of passes 2-3, i.e. first pass
     # dropped — separates plan improvements from JIT warm-up noise: a giant
     # generated method can run interpreted on pass 1 and C2-compiled after
-    # (see SCALE.md pitfall #3). Later passes skip anything already >15s
-    # to bound total time.
+    # (see SCALE.md pitfall #3). Pass 3 skips anything already >15s to
+    # bound total time — but passes 1-2 ALWAYS run: a single cold
+    # measurement can be 20x JIT-inflated, and skipping the second run
+    # would report that noise as the query's time.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for rep in range(max(reps, 2)):
         for name in HEADLINE:
-            if rep and min(runs[name]) > 15.0:
+            if rep >= 2 and min(runs[name]) > 15.0:
                 continue
             t0 = time.time()
             (qs[name](spark, sf_dir)

@@ -150,6 +150,7 @@ def compile_agg(func, in_col: Column | str, flt: str = "ignore_missing",
 
     method = None
     accuracy = None
+    tiebreak = None
     if isinstance(func, (tuple, list)):
         name, *rest = func
         if name == "percentile":
@@ -158,9 +159,15 @@ def compile_agg(func, in_col: Column | str, flt: str = "ignore_missing",
         elif name == "approx_percentile":
             q = rest[0]
             accuracy = int(rest[1]) if len(rest) > 1 else 10_000
+        elif name in ("first", "last"):
+            # ('first'|'last', tiebreak_col): deterministic winner among
+            # duplicate timestamps — the struct (time, tiebreak) compares
+            # lexicographically, so equal times fall through to the column
+            q = None
+            tiebreak = rest[0]
         else:
             raise ValueError(
-                f"only (approx_)percentile takes args, got {func!r}")
+                f"only (approx_)percentile/first/last take args, got {func!r}")
     else:
         name, q = func, None
 
@@ -192,10 +199,11 @@ def compile_agg(func, in_col: Column | str, flt: str = "ignore_missing",
             arr = F.sort_array(F.collect_list(
                 F.struct(F.col(time_col).alias("t"), raw.alias("v"))))
             agg = F.element_at(arr, 1 if name == "first" else -1)["v"]
-        elif name == "first":
-            agg = F.min_by(col, F.when(col.isNotNull(), F.col(time_col)))
         else:
-            agg = F.max_by(col, F.when(col.isNotNull(), F.col(time_col)))
+            order = (F.struct(F.col(time_col), F.col(tiebreak))
+                     if tiebreak else F.col(time_col))
+            pick = F.min_by if name == "first" else F.max_by
+            agg = pick(col, F.when(col.isNotNull(), order))
     elif name == "percentile":
         agg = _percentile_expr(col, q, method)
     elif name == "approx_percentile":

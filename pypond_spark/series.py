@@ -29,9 +29,13 @@ from .operators import aggregate as agg_ops
 from .operators import convert as convert_ops
 from .operators import merge as merge_ops
 from .operators.align import align as align_op
+from .operators.correlate import series_correlation as correlate_op
 from .operators.fill import fill as fill_op
+from .operators.gaps import find_gaps as gaps_op
 from .operators.rate import rate as rate_op
 from .operators.histogram import histogram as histogram_op
+from .operators.seasonal import seasonal_anomaly as seasonal_anomaly_op
+from .operators.seasonal import seasonal_profile as seasonal_profile_op
 from .operators.rolling import ewma as ewma_op
 from .operators.rolling import rolling as rolling_op
 from .operators.rolling import zscore as zscore_op
@@ -486,6 +490,61 @@ class TimeSeries:
         of ``partition_by..., bin, bin_lo, bin_hi, n`` — a distribution
         summary, not a series."""
         return histogram_op(self._df, field, bin_width, partition_by)
+
+    def find_gaps(self, min_gap: str | int = "15m",
+                  partition_by: Sequence[str] = ()):
+        """TimeRange rows for silences longer than ``min_gap`` between
+        consecutive events (see ``operators.gaps``). Returns a plain
+        DataFrame of ``partition_by..., gap_start, gap_end, gap_ms``."""
+        if self._kind != "time":
+            raise ValueError("find_gaps expects instant-event input")
+        return gaps_op(self._df, min_gap, partition_by, self.time_col)
+
+    def ohlc_rollup(self, window: str, field: str = "value",
+                    group_by=None, tiebreak: str | None = None
+                    ) -> "TimeSeries":
+        """Open/high/low/close per fixed window (engine addition): the
+        agg-spec first/last/max/min reducers in one rollup. Pass
+        ``tiebreak=`` (a unique column) when duplicate timestamps are
+        possible — open/close then pick the (time, tiebreak)-least/greatest
+        value deterministically."""
+        first = ("first", tiebreak) if tiebreak else "first"
+        last = ("last", tiebreak) if tiebreak else "last"
+        return self.fixed_window_rollup(window, {
+            "open": {field: first}, "high": {field: "max"},
+            "low": {field: "min"}, "close": {field: last},
+        }, group_by=group_by)
+
+    def seasonal_profile(self, field: str = "value",
+                         partition_by: Sequence[str] = ()):
+        """Mean/σ/count per (group, day-of-week, hour-of-day) slot — the
+        weekly rhythm of the series (see ``operators.seasonal``)."""
+        if self._kind != "time":
+            raise ValueError("seasonal_profile expects instant-event input")
+        return seasonal_profile_op(self._df, field, partition_by,
+                                   self.time_col)
+
+    def seasonal_anomaly(self, field: str = "value",
+                         partition_by: Sequence[str] = (),
+                         min_n: int = 2) -> "TimeSeries":
+        """Score each event against its seasonal slot mean/σ (broadcast
+        profile join; see ``operators.seasonal``)."""
+        if self._kind != "time":
+            raise ValueError("seasonal_anomaly expects instant-event input")
+        return self._with(seasonal_anomaly_op(
+            self._df, field, partition_by, self.time_col, min_n))
+
+    def series_correlation(self, series_col: str, series_a: str,
+                           series_b: str, field: str = "value",
+                           bucket: str = "1h", window: str | None = "1d",
+                           partition_by: Sequence[str] = ()):
+        """Pearson r between two series' bucket means per outer window
+        (see ``operators.correlate``). Returns a plain DataFrame."""
+        if self._kind != "time":
+            raise ValueError("series_correlation expects instant-event input")
+        return correlate_op(self._df, series_col, series_a, series_b,
+                            field, bucket, window, partition_by,
+                            self.time_col)
 
     def ewma(self, field_spec="value", alpha: float = 0.5,
              partition_by: Sequence[str] = (),
