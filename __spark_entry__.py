@@ -1031,6 +1031,53 @@ def q_centroid_classify(spark, sf_dir):
         (F.col("label") == F.col("pred_label")).cast("int").alias("correct"))
 
 
+def q_gaps_per_user(spark, sf_dir):
+    """Outage detection (operators/gaps.py::find_gaps): TimeRange rows for
+    silences > 4h between a user's consecutive events. One lag() window on
+    the user key; output bounded by the gap count, not the event count."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.find_gaps("4h", partition_by=["user_id"])
+    return out.select(
+        "user_id", F.unix_millis("gap_start").alias("gap_start_ms"),
+        F.unix_millis("gap_end").alias("gap_end_ms"), "gap_ms")
+
+
+def q_ohlc_hourly(spark, sf_dir):
+    """OHLC rollup per hour x event_type via the agg-spec first/last/max/
+    min reducers; ('first'|'last', tiebreak) makes duplicate-timestamp
+    winners deterministic on both engines (functions.py)."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.ohlc_rollup("1h", "value", group_by="event_type",
+                         tiebreak="event_id")
+    return out.df.select("index", "event_type",
+                         "open", "high", "low", "close")
+
+
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonal (day-of-week, hour-of-day) profile + per-event deviation
+    (operators/seasonal.py): the profile is <= groups x 168 rows so the
+    scoring join is always a broadcast hash join — no shuffle of the
+    event side."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.seasonal_anomaly("value", partition_by=["event_type"]).df
+    return out.select(
+        "event_id", "event_type", "dow", "hod",
+        F.round("slot_mean", 6).alias("slot_mean"),
+        F.round("slot_std", 6).alias("slot_std"),
+        F.round("deviation", 6).alias("deviation"))
+
+
+def q_corr_click_view(spark, sf_dir):
+    """Daily Pearson correlation between hourly click-mean and view-mean
+    (operators/correlate.py): both series bucketed in ONE conditional
+    aggregation (no join/pivot), then corr() per day over the tiny bucket
+    frame."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.series_correlation("event_type", "click", "view",
+                                field="value", bucket="1h", window="1d")
+    return out.select("pos", F.round("r", 6).alias("r"), "n_buckets")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -1106,6 +1153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_hourly": q_distinct_users_hourly,
         "tpch_q3": q_tpch_q3,
         "centroid_classify": q_centroid_classify,
+        "gaps_per_user": q_gaps_per_user,
+        "ohlc_hourly": q_ohlc_hourly,
+        "seasonal_anomaly": q_seasonal_anomaly,
+        "corr_click_view": q_corr_click_view,
     }
 
 
@@ -2470,6 +2521,68 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
                          6) AS v_filled
             FROM base
+        """,
+        "gaps_per_user": """
+            SELECT user_id, prev_ms AS gap_start_ms, ms AS gap_end_ms,
+                   ms - prev_ms AS gap_ms
+            FROM (
+              SELECT user_id, epoch_ms(ts) AS ms,
+                     lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts) AS prev_ms
+              FROM events)
+            WHERE ms - prev_ms > 14400000
+        """,
+        "ohlc_hourly": f"""
+            WITH r AS (
+              SELECT event_type, value, {_POS_1H} AS pos,
+                     row_number() OVER (PARTITION BY {_POS_1H}, event_type
+                                        ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (PARTITION BY {_POS_1H}, event_type
+                                        ORDER BY ts DESC, event_id DESC)
+                       AS rn_d
+              FROM events)
+            SELECT concat('1h-', pos) AS "index", event_type,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   max(value) AS high, min(value) AS low,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS close
+            FROM r GROUP BY 1, 2
+        """,
+        "seasonal_anomaly": """
+            WITH prof AS (
+              SELECT event_type, dayofweek(ts) AS dow, hour(ts) AS hod,
+                     avg(value) AS mean, stddev_pop(value) AS std,
+                     count(value) AS n
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1, 2, 3)
+            SELECT e.event_id, e.event_type,
+                   dayofweek(e.ts) AS dow, hour(e.ts) AS hod,
+                   round(p.mean, 6) AS slot_mean,
+                   round(p.std, 6) AS slot_std,
+                   CASE WHEN p.n >= 2 AND p.std > 0
+                        THEN round((e.value - p.mean) / p.std, 6) END
+                     AS deviation
+            FROM events e
+            LEFT JOIN prof p
+              ON e.event_type = p.event_type
+             AND dayofweek(e.ts) = p.dow AND hour(e.ts) = p.hod
+        """,
+        "corr_click_view": """
+            WITH b AS (
+              SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)
+                       AS bpos,
+                     avg(CASE WHEN event_type = 'click' THEN value END)
+                       AS va,
+                     avg(CASE WHEN event_type = 'view' THEN value END)
+                       AS vb
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1)
+            SELECT CAST(floor(bpos / 24.0) AS BIGINT) AS pos,
+                   round(corr(va, vb), 6) + 0.0 AS r,
+                   count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+                              THEN 1 END) AS n_buckets
+            FROM b GROUP BY 1
         """,
     }
 

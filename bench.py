@@ -57,6 +57,10 @@ HEADLINE = [
     "value_histogram",
     "distinct_users_hourly",
     "tpch_q3",
+    "gaps_per_user",
+    "ohlc_hourly",
+    "seasonal_anomaly",
+    "corr_click_view",
 ]
 
 

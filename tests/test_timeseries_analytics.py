@@ -1,0 +1,132 @@
+"""Gap detection, OHLC, seasonal profiles/anomalies, series correlation."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pypond_spark import TimeSeries
+
+MIN = 60_000
+
+
+def _ts(spark, points, columns=("time", "value"), **extra):
+    wire = {"name": "t", "columns": list(columns), "points": points}
+    wire.update(extra)
+    return TimeSeries.from_wire(spark, wire)
+
+
+def test_find_gaps(spark):
+    # events at minutes 0, 1, 30, 31, 90 -> gaps 1->30 (29m) and 31->90 (59m)
+    pts = [[m * MIN, 1.0] for m in (0, 1, 30, 31, 90)]
+    out = _ts(spark, pts).find_gaps("15m").orderBy("gap_start").collect()
+    assert [(r["gap_start"].minute + r["gap_start"].hour * 60,
+             r["gap_end"].minute + r["gap_end"].hour * 60,
+             r["gap_ms"]) for r in out] == [
+        (1, 30, 29 * MIN), (31, 90, 59 * MIN)]
+
+
+def test_find_gaps_partitioned_and_threshold_exclusive(spark):
+    # per-user series; a gap EXACTLY equal to min_gap does not fire
+    rows = [(0, "a", 1.0), (10 * MIN, "a", 1.0), (40 * MIN, "a", 1.0),
+            (0, "b", 1.0), (25 * MIN, "b", 1.0)]
+    df = spark.createDataFrame(
+        rows, "ms long, user string, value double"
+    ).select(F.timestamp_millis("ms").alias("time"), "user", "value")
+    ts = TimeSeries(df, kind="time")
+    out = ts.find_gaps("10m", partition_by=["user"]).collect()
+    got = {(r["user"], r["gap_ms"]) for r in out}
+    assert got == {("a", 30 * MIN), ("b", 25 * MIN)}
+
+
+def test_ohlc_rollup_basic(spark):
+    pts = [[0, 4.0], [MIN, 9.0], [2 * MIN, 1.0], [3 * MIN, 6.0],
+           [61 * MIN, 5.0]]
+    out = TimeSeries.from_wire(
+        spark, {"name": "t", "columns": ["time", "value"], "points": pts}
+    ).ohlc_rollup("1h").df.orderBy("index").collect()
+    assert [(r["open"], r["high"], r["low"], r["close"]) for r in out] == [
+        (4.0, 9.0, 1.0, 6.0), (5.0, 5.0, 5.0, 5.0)]
+
+
+def test_ohlc_tiebreak_deterministic(spark):
+    # two events share a timestamp; tiebreak column decides open/close
+    df = spark.createDataFrame(
+        [(0, 2, 10.0), (0, 1, 20.0), (MIN, 3, 15.0)],
+        "ms long, seq long, value double"
+    ).select(F.timestamp_millis("ms").alias("time"), "seq", "value")
+    out = TimeSeries(df, kind="time").ohlc_rollup(
+        "1h", tiebreak="seq").df.collect()[0]
+    assert out["open"] == 20.0      # (t=0, seq=1) beats (t=0, seq=2)
+    assert out["close"] == 15.0
+    assert (out["high"], out["low"]) == (20.0, 10.0)
+
+
+def test_seasonal_profile_and_anomaly(spark):
+    # epoch 0 = Thu 1970-01-01; hour-0 samples 10/20 and hour-1 samples
+    # 30/50 on two consecutive Thursdays (dow: Sunday-based, Thu = 4)
+    week = 7 * 24 * 60 * MIN
+    rows = [(0, 10.0), (week, 20.0),
+            (60 * MIN, 30.0), (week + 60 * MIN, 50.0)]
+    df = spark.createDataFrame(rows, "ms long, value double") \
+        .select(F.timestamp_millis("ms").alias("time"), "value")
+    ts = TimeSeries(df, kind="time")
+    prof = {(r["dow"], r["hod"]): (r["mean"], r["std"], r["n"])
+            for r in ts.seasonal_profile().collect()}
+    assert prof == {(4, 0): (15.0, 5.0, 2), (4, 1): (40.0, 10.0, 2)}
+
+    dev = {(r["value"]): r["deviation"]
+           for r in ts.seasonal_anomaly().df.collect()}
+    assert dev[10.0] == -1.0 and dev[20.0] == 1.0
+    assert dev[30.0] == -1.0 and dev[50.0] == 1.0
+
+
+def test_seasonal_anomaly_min_n_and_zero_var(spark):
+    rows = [(0, 10.0), (60 * MIN, 5.0), (7 * 24 * 60 * MIN + 60 * MIN, 5.0)]
+    df = spark.createDataFrame(rows, "ms long, value double") \
+        .select(F.timestamp_millis("ms").alias("time"), "value")
+    out = TimeSeries(df, kind="time").seasonal_anomaly().df.collect()
+    # hour-0 slot has n=1 (< min_n) -> NULL; hour-1 slot has zero variance
+    assert all(r["deviation"] is None for r in out)
+
+
+def test_series_correlation_perfect_and_inverse(spark):
+    # series a rises 1..4 per hour-bucket; b falls 8..5 -> r = -1 per day;
+    # a vs a' (scaled) -> r = +1
+    rows = []
+    for h, (va, vb) in enumerate(zip([1, 2, 3, 4], [8, 7, 6, 5])):
+        rows += [(h * 60 * MIN, "a", float(va)), (h * 60 * MIN, "b", float(vb))]
+    df = spark.createDataFrame(rows, "ms long, series string, value double") \
+        .select(F.timestamp_millis("ms").alias("time"), "series", "value")
+    ts = TimeSeries(df, kind="time")
+    out = ts.series_correlation("series", "a", "b").collect()
+    assert len(out) == 1
+    assert math.isclose(out[0]["r"], -1.0) and out[0]["n_buckets"] == 4
+
+    whole = ts.series_correlation("series", "a", "b", window=None).collect()
+    assert math.isclose(whole[0]["r"], -1.0)
+
+
+def test_series_correlation_pairwise_complete(spark):
+    # bucket 2 has only series a -> contributes nothing to r or n_buckets
+    rows = [(0, "a", 1.0), (0, "b", 2.0),
+            (60 * MIN, "a", 2.0), (60 * MIN, "b", 4.0),
+            (120 * MIN, "a", 99.0)]
+    df = spark.createDataFrame(rows, "ms long, series string, value double") \
+        .select(F.timestamp_millis("ms").alias("time"), "series", "value")
+    out = TimeSeries(df, kind="time").series_correlation(
+        "series", "a", "b", window=None).collect()[0]
+    assert out["n_buckets"] == 2
+    assert math.isclose(out["r"], 1.0)
+
+
+def test_series_correlation_rejects_misaligned_window(spark):
+    df = spark.createDataFrame([(0, "a", 1.0)],
+                               "ms long, series string, value double") \
+        .select(F.timestamp_millis("ms").alias("time"), "series", "value")
+    try:
+        TimeSeries(df, kind="time").series_correlation(
+            "series", "a", "b", bucket="7m", window="1h")
+    except ValueError as exc:
+        assert "multiple" in str(exc)
+    else:
+        raise AssertionError("expected ValueError")
