@@ -1078,6 +1078,37 @@ def q_corr_click_view(spark, sf_dir):
     return out.select("pos", F.round("r", 6).alias("r"), "n_buckets")
 
 
+def q_chunk_dedup_docs(spark, sf_dir):
+    """Chunk-level exact dedup with reassembly (datapipe/dedup.py::
+    chunk_dedup — the C4/CCNet line-dedup stage on 20-word windows):
+    corpus-wide first occurrence of each chunk survives, documents are
+    stitched back in order. Hash-compact output: md5 of the reassembled
+    text."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_dedup.chunk_dedup(docs, chunk_words=20)
+    return out.select("doc_id", "n_kept",
+                      F.md5("text_dedup").alias("text_hash"))
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup against an existing corpus (datapipe/dedup.py::
+    dedup_against): odd doc_ids are the 'new crawl', even doc_ids the
+    already-ingested reference; one left-anti digest join drops re-crawls."""
+    docs = _read(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    return dp_dedup.dedup_against(new, ref).select("doc_id", "source")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (datapipe/similarity.py::semantic_dedup): k-means cells
+    bound the pairwise-cosine work to sum(|cell|^2); quantize=6 +
+    round-before-threshold make the keep/drop set identical cross-engine."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return dp_sim.semantic_dedup(emb, n_cells=8, n_iters=2,
+                                 threshold=0.9, quantize=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -1157,6 +1188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_hourly": q_ohlc_hourly,
         "seasonal_anomaly": q_seasonal_anomaly,
         "corr_click_view": q_corr_click_view,
+        "chunk_dedup_docs": q_chunk_dedup_docs,
+        "incremental_dedup": q_incremental_dedup,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2583,6 +2617,61 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
                               THEN 1 END) AS n_buckets
             FROM b GROUP BY 1
+        """,
+        "chunk_dedup_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents
+            ), ix AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(
+                         0, CAST(greatest(ceil(len(t) / 20.0), 1) AS BIGINT)
+                            - 1)) AS idx
+              FROM toks
+            ), c AS (
+              SELECT doc_id, idx,
+                     array_to_string(t[idx * 20 + 1 : idx * 20 + 20], ' ')
+                       AS chunk
+              FROM ix
+            ), k AS (
+              SELECT doc_id, idx, chunk,
+                     row_number() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, idx) AS rn
+              FROM c
+            )
+            SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(chunk, ' ' ORDER BY idx)) AS text_hash
+            FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        "incremental_dedup": """
+            SELECT doc_id, source FROM documents d
+            WHERE doc_id % 2 = 1
+              AND NOT EXISTS (
+                SELECT 1 FROM documents r
+                WHERE r.doc_id % 2 = 0 AND md5(r.text) = md5(d.text))
+        """,
+        "semantic_dedup": _EMB_CTE + f"""
+            , c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+              FROM e ORDER BY vec_id LIMIT 8
+            ),
+            a1 AS {_ivf_assign_cte("c0")},
+            c1 AS {_ivf_means_cte("a1", "c0")},
+            a2 AS {_ivf_assign_cte("c1")},
+            c2 AS {_ivf_means_cte("a2", "c1")},
+            af AS {_ivf_assign_cte("c2")},
+            d AS (
+              SELECT b.vec_id
+              FROM af a JOIN af b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE round({_sql_dot("a.v", "b.v")} / (a.nrm * b.nrm), 6)
+                    >= 0.9
+              GROUP BY b.vec_id
+            )
+            SELECT af.vec_id, af.cell,
+                   CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+            FROM af LEFT JOIN d ON af.vec_id = d.vec_id
         """,
     }
 

