@@ -1109,6 +1109,33 @@ def q_semantic_dedup(spark, sf_dir):
                                  threshold=0.9, quantize=6)
 
 
+def q_json_props_rollup(spark, sf_dir):
+    """Semi-structured ingestion: parse the props JSON column with a
+    schema'd from_json (JVM-side, no UDF — the parse lives in the same
+    codegen stage as the scan) via TimeSeries.map, then a daily rollup
+    grouped by the extracted k-decile."""
+    ts = _events_ts(spark, sf_dir)
+    ts2 = ts.map({"k_decile": F.floor(
+        F.from_json("props", "k INT")["k"] / 10).cast("bigint")})
+    out = ts2.daily_rollup(
+        {"v_sum": {"value": "sum"}, "n": {"value": "count"}},
+        group_by="k_decile")
+    # v_sum, not v_avg: the true sums carry 2 decimals so round(..., 6)
+    # is ulp-safe, while avg over n=32 creates exact 6-decimal midpoints
+    # (0.01/32) where engines' summation order flips the rounding
+    return out.df.select(
+        "index", "k_decile", F.round("v_sum", 6).alias("v_sum"), "n")
+
+
+def q_source_overlap(spark, sf_dir):
+    """Inter-source duplication matrix (datapipe/dedup.py::source_overlap)
+    on the 20-word-prefix digest: one digest groupBy (shuffle bounded by
+    distinct contents), pair expansion map-side over the tiny per-digest
+    source set — no corpus self-join."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_dedup.source_overlap(docs, prefix_words=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -1191,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup_docs": q_chunk_dedup_docs,
         "incremental_dedup": q_incremental_dedup,
         "semantic_dedup": q_semantic_dedup,
+        "json_props_rollup": q_json_props_rollup,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -2672,6 +2701,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT af.vec_id, af.cell,
                    CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
             FROM af LEFT JOIN d ON af.vec_id = d.vec_id
+        """,
+        "json_props_rollup": """
+            SELECT strftime(ts, '%Y-%m-%d') AS "index",
+                   CAST(floor(CAST(props->>'k' AS INTEGER) / 10.0)
+                        AS BIGINT) AS k_decile,
+                   round(coalesce(sum(value), 0), 6) AS v_sum,
+                   count(value) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "source_overlap": """
+            WITH ds AS (
+              SELECT DISTINCT
+                     md5(array_to_string(
+                         list_filter(string_split(text, ' '),
+                                     x -> x <> '')[1:20], ' ')) AS dig,
+                     source
+              FROM documents)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared
+            FROM ds a JOIN ds b
+              ON a.dig = b.dig AND a.source < b.source
+            GROUP BY 1, 2
         """,
     }
 

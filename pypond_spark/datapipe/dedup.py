@@ -454,3 +454,39 @@ def dedup_against(df: DataFrame, reference: DataFrame,
     return (df.withColumn("__dig", dig)
             .join(ref, "__dig", "left_anti")
             .drop("__dig"))
+
+
+def source_overlap(df: DataFrame, group_col: str = "source",
+                   text_col: str = "text",
+                   prefix_words: int | None = None) -> DataFrame:
+    """Cross-group duplication matrix: for each (group_a < group_b) pair,
+    how many distinct contents appear in BOTH — the cross-crawl overlap
+    report that motivates ``dedup_against``.
+
+    The key is the full-text digest, or (``prefix_words=N``) the digest of
+    the first N tokens — the prefix-collision heuristic that catches
+    boilerplate-prefixed near-recrawls exact dedup misses.
+
+    Scale: one digest groupBy (shuffle bounded by distinct contents), then
+    the per-digest group-set — a handful of names — expands to pairs
+    map-side. No self-join of the corpus, no quadratic blowup: pair count
+    per digest is len(groups choose 2) with groups <= the (tiny) number of
+    distinct sources.
+    """
+    if prefix_words:
+        key = F.md5(F.array_join(
+            F.slice(_tokens(text_col), 1, int(prefix_words)), " "))
+    else:
+        key = F.md5(F.col(text_col))
+    per = (df.groupBy(key.alias("__dig"))
+           .agg(F.array_sort(F.collect_set(group_col)).alias("__grps"))
+           .where(F.size("__grps") >= 2))
+    pairs = per.select(F.explode(F.flatten(F.transform(
+        F.col("__grps"),
+        lambda x, i: F.transform(
+            F.slice(F.col("__grps"), i + 2, F.size(F.col("__grps"))),
+            lambda y: F.array(x, y))))).alias("__pair"))
+    return (pairs.groupBy(
+        F.col("__pair")[0].alias(f"{group_col}_a"),
+        F.col("__pair")[1].alias(f"{group_col}_b"))
+        .agg(F.count("*").alias("n_shared")))

@@ -393,22 +393,23 @@ class TimeSeries:
         return self.fixed_window_rollup("1h", aggregation, **kw)
 
     def daily_rollup(self, aggregation: dict, utc: bool = True,
-                     tz: str = "UTC") -> "TimeSeries":
-        return self._calendar_rollup("daily", aggregation, utc, tz)
+                     tz: str = "UTC", group_by=None) -> "TimeSeries":
+        return self._calendar_rollup("daily", aggregation, utc, tz, group_by)
 
     def monthly_rollup(self, aggregation: dict, utc: bool = True,
-                       tz: str = "UTC") -> "TimeSeries":
-        return self._calendar_rollup("monthly", aggregation, utc, tz)
+                       tz: str = "UTC", group_by=None) -> "TimeSeries":
+        return self._calendar_rollup("monthly", aggregation, utc, tz,
+                                     group_by)
 
     def yearly_rollup(self, aggregation: dict, utc: bool = True,
-                      tz: str = "UTC") -> "TimeSeries":
-        return self._calendar_rollup("yearly", aggregation, utc, tz)
+                      tz: str = "UTC", group_by=None) -> "TimeSeries":
+        return self._calendar_rollup("yearly", aggregation, utc, tz, group_by)
 
     def _calendar_rollup(self, kind: str, aggregation: dict, utc: bool,
-                         tz: str) -> "TimeSeries":
+                         tz: str, group_by=None) -> "TimeSeries":
         out = agg_ops.windowed_aggregate(
             self._df, aggregation, window=kind, utc=utc, tz=tz,
-            time_col=self.time_col)
+            group_by=group_by, time_col=self.time_col)
         return TimeSeries(out, "index", self._meta)
 
     def window_aggregate(self, aggregation: dict, window: str | None = None,

@@ -188,6 +188,61 @@ def stream_rate(
     return out.drop("__k") if dummy else out
 
 
+def _gaps_state_fn(keys: list[str], time_col: str, gap_ms: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        prev_ms = state.get[0] if state.exists else None
+        outs = []
+        pdf = _whole_group(pdfs, time_col)
+        for _, row in pdf.iterrows():
+            cur_ms = int(row[time_col].value // 10**6)
+            if prev_ms is not None and cur_ms - prev_ms > gap_ms:
+                outs.append(list(key) + [prev_ms, cur_ms, cur_ms - prev_ms])
+            prev_ms = cur_ms
+        if prev_ms is not None:
+            state.update((prev_ms,))
+        cols = keys + ["gap_start_ms", "gap_end_ms", "gap_ms"]
+        yield pd.DataFrame(outs, columns=cols)
+
+    return fn
+
+
+def stream_gaps(
+    sdf: DataFrame,
+    min_gap: str | int = "15m",
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+) -> DataFrame:
+    """Cross-batch stateful gap detection: the streaming twin of
+    ``operators.gaps.find_gaps`` — outage alerts as the events arrive.
+
+    State per series key is ONE long (the last-seen timestamp), so state
+    size is flat regardless of throughput; a silence that spans micro-batch
+    boundaries is still detected because the last-seen instant survives in
+    the state store. (A silence ONGOING at stream end is not emitted —
+    detection needs the next event; pair with a processing-time timeout if
+    open-ended alerting is required.)
+    """
+    gap_ms = (window_duration_ms(min_gap)
+              if isinstance(min_gap, str) else int(min_gap))
+    if gap_ms <= 0:
+        raise ValueError(f"min_gap must be positive, got {min_gap!r}")
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
+    key_fields = [sdf.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields
+        + [T.StructField("gap_start_ms", T.LongType()),
+           T.StructField("gap_end_ms", T.LongType()),
+           T.StructField("gap_ms", T.LongType())])
+    state_schema = T.StructType([T.StructField("ts", T.LongType())])
+    out = sdf.groupBy(*keys).applyInPandasWithState(
+        _gaps_state_fn(keys, time_col, gap_ms),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out
+
+
 def _align_state_fn(fields: list[str], keys: list[str], time_col: str,
                     dur_ms: int, method: str, limit: int | None):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -809,6 +864,9 @@ class StreamPipeline:
     def rate(self, field_spec="value", allow_negative=True) -> DataFrame:
         return stream_rate(self._sdf, field_spec, self._groups,
                            self._time_col, allow_negative)
+
+    def find_gaps(self, min_gap: str | int = "15m") -> DataFrame:
+        return stream_gaps(self._sdf, min_gap, self._groups, self._time_col)
 
     def align(self, window: str, field_spec="value", method="linear",
               limit=None) -> DataFrame:

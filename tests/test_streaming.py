@@ -12,8 +12,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pypond_spark.streaming import (StreamPipeline, run_available_now,
-                                    stream_fill_pad, stream_rate,
-                                    windowed_stream_aggregate)
+                                    stream_fill_pad, stream_gaps,
+                                    stream_rate, windowed_stream_aggregate)
 
 SCHEMA = T.StructType([
     T.StructField("t_ms", T.LongType()),
@@ -381,3 +381,37 @@ def test_stream_zscore_matches_batch(spark, tmp_path):
     assert got[("a", 0)] == (None, False)      # empty window
     assert got[("b", 0)] == (None, False)
     assert got[("a", 180_000)][1] is True      # the spike flags
+
+
+def test_stream_gaps_across_batches(spark, stream_dir):
+    # user a: 0, 30s, 60s | 90s, 120s -> with min_gap=20s only the 30s
+    # silences fire; the 60s->90s pair SPANS the micro-batch boundary
+    sdf = _read_stream(spark, stream_dir)
+    out = stream_gaps(sdf, min_gap=20_000, partition_by=["user"])
+    rows = run_available_now(out, "append").collect()
+    got = {(r["user"], r["gap_start_ms"], r["gap_end_ms"]): r["gap_ms"]
+           for r in rows}
+    assert got[("a", 0, 30_000)] == 30_000
+    assert got[("a", 30_000, 60_000)] == 30_000
+    assert got[("a", 60_000, 90_000)] == 30_000  # cross-batch, via state
+    assert got[("a", 90_000, 120_000)] == 30_000
+    assert got[("b", 0, 60_000)] == 60_000
+    assert len(rows) == 5
+
+
+def test_stream_gaps_matches_batch(spark, stream_dir):
+    from pypond_spark import TimeSeries
+    sdf = _read_stream(spark, stream_dir)
+    streamed = run_available_now(
+        stream_gaps(sdf, "1m", partition_by=["user"]), "append").collect()
+    batch_df = (spark.read.schema(SCHEMA).json(str(stream_dir))
+                .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+                .drop("t_ms"))
+    batch = TimeSeries(batch_df, kind="time").find_gaps(
+        "1m", partition_by=["user"]).collect()
+    to_set = lambda rows, s, e: {  # noqa: E731
+        (r["user"], r[s], r[e], r["gap_ms"]) for r in rows}
+    assert to_set(streamed, "gap_start_ms", "gap_end_ms") == {
+        (r["user"], int(r["gap_start"].timestamp() * 1000),
+         int(r["gap_end"].timestamp() * 1000), r["gap_ms"])
+        for r in batch}
