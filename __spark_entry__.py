@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pypond_spark import TimeSeries
@@ -1136,6 +1136,41 @@ def q_source_overlap(spark, sf_dir):
     return dp_dedup.source_overlap(docs, prefix_words=20)
 
 
+def q_cumsum_by_user(spark, sf_dir):
+    """Running aggregates per series (operators/rolling.py::cumulative):
+    cumulative sum + running max of value per user in (ts, event_id)
+    order — one row-framed window shuffle on the user key."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.cumulative(
+        {"v_cum": {"value": "sum"}, "v_runmax": {"value": "max"},
+         "n_seen": {"value": "count"}},
+        partition_by=["user_id"], tiebreak="event_id")
+    return out.df.select(
+        "event_id", "user_id", F.unix_millis("time").alias("t_ms"),
+        F.round("v_cum", 6).alias("v_cum"), "v_runmax", "n_seen")
+
+
+def q_top_movers(spark, sf_dir):
+    """Day-over-day movers: daily mean per event_type, percent change vs
+    the previous day (lag window over the tiny daily frame), rank of the
+    absolute move within each day. All heavy lifting is one partial-agged
+    shuffle to daily rows; the windows run on groups x days rows."""
+    ts = _events_ts(spark, sf_dir)
+    daily = ts.daily_rollup({"v_avg": {"value": "avg"}},
+                            group_by="event_type").df
+    w = Window.partitionBy("event_type").orderBy("index")
+    pct = (F.col("v_avg") - F.lag("v_avg").over(w)) / F.lag("v_avg").over(w)
+    # pct_change (a ratio of two averages) is non-terminating, so 6-decimal
+    # rounding is ulp-safe cross-engine; the raw daily avg is NOT exposed
+    # (see json_props_rollup's midpoint note)
+    scored = daily.select("index", "event_type",
+                          F.round(pct * 100, 6).alias("pct_change"))
+    wr = Window.partitionBy("index").orderBy(
+        F.desc(F.abs(F.col("pct_change"))), "event_type")
+    return (scored.where(F.col("pct_change").isNotNull())
+            .withColumn("move_rank", F.row_number().over(wr)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -1220,6 +1255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "json_props_rollup": q_json_props_rollup,
         "source_overlap": q_source_overlap,
+        "cumsum_by_user": q_cumsum_by_user,
+        "top_movers": q_top_movers,
     }
 
 
@@ -2723,6 +2760,33 @@ def oracle_sql() -> dict[str, str]:
             FROM ds a JOIN ds b
               ON a.dig = b.dig AND a.source < b.source
             GROUP BY 1, 2
+        """,
+        "cumsum_by_user": """
+            SELECT event_id, user_id, epoch_ms(ts) AS t_ms,
+                   round(sum(value) OVER w, 6) AS v_cum,
+                   max(value) OVER w AS v_runmax,
+                   count(value) OVER w AS n_seen
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "top_movers": """
+            WITH d AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS "index", event_type,
+                     avg(value) AS v_avg
+              FROM events GROUP BY 1, 2
+            ), p AS (
+              SELECT "index", event_type,
+                     round((v_avg - lag(v_avg) OVER w)
+                           / lag(v_avg) OVER w * 100, 6) AS pct_change
+              FROM d
+              WINDOW w AS (PARTITION BY event_type ORDER BY "index")
+            )
+            SELECT "index", event_type, pct_change,
+                   row_number() OVER (PARTITION BY "index"
+                                      ORDER BY abs(pct_change) DESC,
+                                               event_type) AS move_rank
+            FROM p WHERE pct_change IS NOT NULL
         """,
     }
 

@@ -100,6 +100,36 @@ def rolling(df: DataFrame, window: str, aggregation: dict,
     return df.select(*df.columns, *cols)
 
 
+def cumulative(df: DataFrame, aggregation: dict,
+               partition_by: Sequence[str] = (),
+               time_col: str = "time",
+               tiebreak: str | None = None) -> DataFrame:
+    """Append running (since-series-start) aggregates at each event — the
+    accumulating-counter view of a series (cumsum, running max, running
+    count...). Same agg-spec language and reducer set as ``rolling``, with
+    an unbounded-preceding ROWS frame instead of a trailing RANGE frame.
+
+    Pass ``tiebreak=`` (a unique column) when duplicate timestamps are
+    possible — the frame is row-ordered, so equal times need a total
+    order for deterministic prefixes.
+
+    Scale: one window shuffle on the series key, identical shape to
+    ``rolling``; no state beyond the frame Spark streams through.
+    """
+    order = [time_col, tiebreak] if tiebreak else [time_col]
+    w = (Window.partitionBy(*partition_by).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cols = []
+    for out, in_col, func, flt in normalize_agg_spec(aggregation):
+        if flt not in _ROLLING_FILTERS:
+            raise ValueError(
+                f"cumulative supports filters {_ROLLING_FILTERS}, got "
+                f"{flt!r} for {out!r}")
+        cols.append(
+            _over(func, _prefilter(F.col(in_col), flt), flt, w).alias(out))
+    return df.select(*df.columns, *cols)
+
+
 def ewma(df: DataFrame, field_spec: str = "value", alpha: float = 0.5,
          partition_by: Sequence[str] = (),
          time_col: str = "time",

@@ -36,6 +36,7 @@ from .operators.rate import rate as rate_op
 from .operators.histogram import histogram as histogram_op
 from .operators.seasonal import seasonal_anomaly as seasonal_anomaly_op
 from .operators.seasonal import seasonal_profile as seasonal_profile_op
+from .operators.rolling import cumulative as cumulative_op
 from .operators.rolling import ewma as ewma_op
 from .operators.rolling import rolling as rolling_op
 from .operators.rolling import zscore as zscore_op
@@ -483,6 +484,18 @@ class TimeSeries:
             raise ValueError("rolling expects instant-event input")
         return self._with(rolling_op(self._df, window, aggregation,
                                      partition_by, self.time_col))
+
+    def cumulative(self, aggregation: dict,
+                   partition_by: Sequence[str] = (),
+                   tiebreak: str | None = None) -> "TimeSeries":
+        """Running since-start aggregates per series (engine addition;
+        same agg-spec language as ``rolling``, unbounded-preceding
+        frame). Pass ``tiebreak=`` for duplicate timestamps."""
+        if self._kind != "time":
+            raise ValueError("cumulative expects instant-event input")
+        return self._with(cumulative_op(self._df, aggregation,
+                                        partition_by, self.time_col,
+                                        tiebreak))
 
     def histogram(self, field: str = "value", bin_width: float = 1.0,
                   partition_by: Sequence[str] = ()):

@@ -130,3 +130,26 @@ def test_series_correlation_rejects_misaligned_window(spark):
         assert "multiple" in str(exc)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_cumulative_running_aggs(spark):
+    pts = [[0, 10.0], [MIN, None], [2 * MIN, 5.0], [3 * MIN, 20.0]]
+    out = _ts(spark, pts).cumulative(
+        {"v_cum": {"value": "sum"}, "v_runmax": {"value": "max"},
+         "n_seen": {"value": "count"}}).df.orderBy("time").collect()
+    assert [r["v_cum"] for r in out] == [10.0, 10.0, 15.0, 35.0]
+    assert [r["v_runmax"] for r in out] == [10.0, 10.0, 10.0, 20.0]
+    assert [r["n_seen"] for r in out] == [1, 1, 2, 3]
+
+
+def test_cumulative_tiebreak(spark):
+    # duplicate timestamps: tiebreak defines the prefix order
+    df = spark.createDataFrame(
+        [(0, 2, 1.0), (0, 1, 10.0), (MIN, 3, 100.0)],
+        "ms long, seq long, value double"
+    ).select(F.timestamp_millis("ms").alias("time"), "seq", "value")
+    from pypond_spark import TimeSeries
+    out = TimeSeries(df, kind="time").cumulative(
+        {"v_cum": {"value": "sum"}}, tiebreak="seq") \
+        .df.orderBy("seq").collect()
+    assert [r["v_cum"] for r in out] == [10.0, 11.0, 111.0]
