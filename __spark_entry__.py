@@ -1171,6 +1171,19 @@ def q_top_movers(spark, sf_dir):
             .withColumn("move_rank", F.row_number().over(wr)))
 
 
+def q_m4_hourly(spark, sf_dir):
+    """M4 visualization downsampling (operators/downsample.py): per
+    (event_type, hour) keep the first/last/min/max points — the
+    pixel-perfect line-rendering reduction (Jugel et al., VLDB 2014).
+    One window shuffle; output bounded by 4 x buckets x groups."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.m4_downsample("1h", "value", partition_by=["event_type"],
+                           tiebreak="event_id")
+    return out.df.select("event_type", "pos",
+                         F.unix_millis("time").alias("t_ms"),
+                         "value", "tags")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -1257,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "cumsum_by_user": q_cumsum_by_user,
         "top_movers": q_top_movers,
+        "m4_hourly": q_m4_hourly,
     }
 
 
@@ -2787,6 +2801,32 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY abs(pct_change) DESC,
                                                event_type) AS move_rank
             FROM p WHERE pct_change IS NOT NULL
+        """,
+        "m4_hourly": f"""
+            WITH b AS (
+              SELECT event_type, ts, value, event_id, {_POS_1H} AS pos
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+            ), r AS (
+              SELECT event_type, pos, ts, value,
+                     row_number() OVER (PARTITION BY event_type, pos
+                         ORDER BY ts, event_id) AS rf,
+                     row_number() OVER (PARTITION BY event_type, pos
+                         ORDER BY ts DESC, event_id) AS rl,
+                     row_number() OVER (PARTITION BY event_type, pos
+                         ORDER BY value, ts, event_id) AS rn,
+                     row_number() OVER (PARTITION BY event_type, pos
+                         ORDER BY value DESC, ts, event_id) AS rx
+              FROM b
+            )
+            SELECT event_type, pos, epoch_ms(ts) AS t_ms, value,
+                   array_to_string(list_sort(list_filter([
+                       CASE WHEN rf = 1 THEN 'first' END,
+                       CASE WHEN rl = 1 THEN 'last' END,
+                       CASE WHEN rn = 1 THEN 'min' END,
+                       CASE WHEN rx = 1 THEN 'max' END],
+                       x -> x IS NOT NULL)), ',') AS tags
+            FROM r WHERE rf = 1 OR rl = 1 OR rn = 1 OR rx = 1
         """,
     }
 

@@ -30,6 +30,7 @@ from .operators import convert as convert_ops
 from .operators import merge as merge_ops
 from .operators.align import align as align_op
 from .operators.correlate import series_correlation as correlate_op
+from .operators.downsample import m4 as m4_op
 from .operators.fill import fill as fill_op
 from .operators.gaps import find_gaps as gaps_op
 from .operators.rate import rate as rate_op
@@ -484,6 +485,17 @@ class TimeSeries:
             raise ValueError("rolling expects instant-event input")
         return self._with(rolling_op(self._df, window, aggregation,
                                      partition_by, self.time_col))
+
+    def m4_downsample(self, window: str = "1h", field: str = "value",
+                      partition_by: Sequence[str] = (),
+                      tiebreak: str | None = None) -> "TimeSeries":
+        """Visualization downsampling: keep first/last/min/max points per
+        bucket (M4; see ``operators.downsample``). Output stays an
+        instant-event series (real points survive, tagged by role)."""
+        if self._kind != "time":
+            raise ValueError("m4_downsample expects instant-event input")
+        return self._with(m4_op(self._df, window, field, partition_by,
+                                self.time_col, tiebreak))
 
     def cumulative(self, aggregation: dict,
                    partition_by: Sequence[str] = (),

@@ -153,3 +153,35 @@ def test_cumulative_tiebreak(spark):
         {"v_cum": {"value": "sum"}}, tiebreak="seq") \
         .df.orderBy("seq").collect()
     assert [r["v_cum"] for r in out] == [10.0, 11.0, 111.0]
+
+
+def test_m4_downsample(spark):
+    # one 1h bucket: first(0s)=3, max(1m)=9, min(2m)=1, last(3m)=6
+    pts = [[0, 3.0], [MIN, 9.0], [2 * MIN, 1.0], [3 * MIN, 6.0],
+           [90 * MIN, 7.0]]
+    out = _ts(spark, pts).m4_downsample("1h").df.orderBy("time").collect()
+    got = [(r["value"], r["tags"]) for r in out]
+    assert got == [(3.0, "first"), (9.0, "max"), (1.0, "min"),
+                   (6.0, "last"), (7.0, "first,last,max,min")]
+
+
+def test_m4_bounded_output(spark):
+    # 100 points, 1 bucket -> at most 4 survivors; invalid samples drop
+    pts = [[i * 1000, float(i % 37)] for i in range(100)]
+    pts[50][1] = None
+    out = _ts(spark, pts).m4_downsample("1h").df.collect()
+    assert 1 <= len(out) <= 4
+    roles = ",".join(sorted(",".join(r["tags"] for r in out).split(",")))
+    assert set(roles.split(",")) == {"first", "last", "min", "max"}
+
+
+def test_m4_tiebreak_duplicate_values(spark):
+    # duplicate extreme values: tiebreak picks the earliest deterministic
+    df = spark.createDataFrame(
+        [(0, 1, 5.0), (1000, 2, 5.0), (2000, 3, 5.0)],
+        "ms long, seq long, value double"
+    ).select(F.timestamp_millis("ms").alias("time"), "seq", "value")
+    from pypond_spark import TimeSeries
+    out = {r["time"].second: r["tags"] for r in TimeSeries(df, kind="time")
+           .m4_downsample("1h", tiebreak="seq").df.collect()}
+    assert out == {0: "first,max,min", 2: "last"}
