@@ -1184,6 +1184,15 @@ def q_m4_hourly(spark, sf_dir):
                          "value", "tags")
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality split (textstats.py::ccnet_buckets):
+    corpus-relative fluency scores cut at the 1/3 and 2/3 quantiles.
+    Scores round to 6 decimals BEFORE the quantile so cuts and
+    comparisons are cross-engine identical."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.ccnet_buckets(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1h_by_type": q_rollup_1h_by_type,
@@ -1271,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumsum_by_user": q_cumsum_by_user,
         "top_movers": q_top_movers,
         "m4_hourly": q_m4_hourly,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -2827,6 +2837,38 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN rx = 1 THEN 'max' END],
                        x -> x IS NOT NULL)), ',') AS tags
             FROM r WHERE rf = 1 OR rl = 1 OR rn = 1 OR rx = 1
+        """,
+        "ccnet_buckets": """
+            WITH tk AS (
+              SELECT doc_id, x AS tok FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x != ''),
+                         x -> regexp_replace(lower(x),
+                             '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g'))) AS x
+                FROM documents)
+              WHERE x != ''
+            ), c AS (
+              SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+            ), tot AS (SELECT count(*) AS t FROM tk),
+            v AS (SELECT count(*) AS nv FROM c),
+            s AS (
+              SELECT tk.doc_id, count(*) AS n_tokens,
+                     round(avg(log2((c.cnt + 1.0) / (tot.t + 1.0 * v.nv))),
+                           6) AS score
+              FROM tk JOIN c USING (tok) CROSS JOIN tot CROSS JOIN v
+              GROUP BY tk.doc_id
+            ), cuts AS (
+              SELECT quantile_cont(score, 1.0/3) AS c1,
+                     quantile_cont(score, 2.0/3) AS c2
+              FROM s
+            )
+            SELECT s.doc_id, s.n_tokens, s.score,
+                   CASE WHEN s.score >= cuts.c2 THEN 'head'
+                        WHEN s.score >= cuts.c1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM s CROSS JOIN cuts
         """,
     }
 

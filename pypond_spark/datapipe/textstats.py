@@ -450,3 +450,35 @@ def ngram_top(df: DataFrame, n: int = 2, k: int = 20,
             .groupBy("gram").agg(F.count("*").alias("n_gram"))
             .orderBy(F.desc("n_gram"), F.asc("gram"))
             .limit(k))
+
+
+def ccnet_buckets(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", alpha: float = 1.0) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020, the CommonCrawl
+    head/middle/tail split): score every document with the corpus-relative
+    unigram fluency, cut the corpus at the 1/3 and 2/3 score quantiles,
+    and label each document head (most fluent), middle, or tail.
+
+    Scores are rounded to 6 decimals BEFORE the quantile so both the cut
+    points and every comparison are computed from cross-engine-identical
+    doubles (mean-of-logs is summation-order sensitive in the last ulp).
+    Boundary docs (score == cut) go to the better bucket.
+
+    Scale: on top of ``unigram_logprob``'s two passes this adds one
+    percentile aggregation over doc-level rows (corpus/1000s smaller than
+    tokens) and a map-side label assignment — the cut points travel to the
+    driver as two floats, never a global sort. At extreme scale swap the
+    exact percentile for ``approx_percentile`` (sketch state, same shape).
+    """
+    scored = (unigram_logprob(df, text_col, id_col, alpha)
+              .select(F.col(id_col), "n_tokens",
+                      F.round("mean_logprob", 6).alias("score")))
+    scored = scored.localCheckpoint()  # doc-level rows; reused by 2 passes
+    c1, c2 = scored.agg(
+        F.percentile("score", F.lit(1.0 / 3)),
+        F.percentile("score", F.lit(2.0 / 3))).first()
+    bucket = (F.when(F.col("score") >= F.lit(float(c2)), "head")
+              .when(F.col("score") >= F.lit(float(c1)), "middle")
+              .otherwise("tail"))
+    return scored.select(id_col, "n_tokens", "score",
+                         bucket.alias("bucket"))

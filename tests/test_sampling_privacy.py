@@ -266,3 +266,20 @@ def test_upsample_repeats_and_drops(spark):
     for r in out:
         got.setdefault(r["doc_id"], []).append(r["copy"])
     assert got == {1: [1, 2, 3], 2: [1]}        # 0/negative repeats drop
+
+
+def test_ccnet_buckets(spark):
+    from pypond_spark.datapipe.textstats import ccnet_buckets
+    # 9 docs: 3 of common tokens (fluent), 3 mixed, 3 rare-token garbage
+    common = "the cat sat on the mat " * 5
+    mixed = "the cat zqx on vbn mat " * 5
+    rare = "zzq qxv bnm wvx qqq jjj " * 5
+    rows = ([(i, common) for i in range(3)]
+            + [(i + 3, mixed + f"u{i}") for i in range(3)]
+            + [(i + 6, rare + f"w{i}") for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(df).collect()}
+    assert len(out) == 9
+    assert all(out[i] == "head" for i in range(3))
+    assert all(out[i + 6] == "tail" for i in range(3))
+    assert set(out.values()) == {"head", "middle", "tail"}
