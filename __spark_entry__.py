@@ -1184,6 +1184,18 @@ def q_m4_hourly(spark, sf_dir):
                          "value", "tags")
 
 
+def q_rate_counter_wrap(spark, sf_dir):
+    """SNMP-counter rate (operators/rate.py counter_wrap=1024): a
+    negative delta is read as a wrap of the 1024-modulus counter —
+    the reference's home-domain (network telemetry) semantics."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.rate(field_spec="value", partition_by=["user_id"],
+                  counter_wrap=1024)
+    return out.df.select(
+        "user_id", _ms("begin").alias("begin_ms"), _ms("end").alias("end_ms"),
+        (F.round("value_rate", 6) + F.lit(0.0)).alias("value_rate"))
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail quality split (textstats.py::ccnet_buckets):
     corpus-relative fluency scores cut at the 1/3 and 2/3 quantiles.
@@ -1281,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_movers": q_top_movers,
         "m4_hourly": q_m4_hourly,
         "ccnet_buckets": q_ccnet_buckets,
+        "rate_counter_wrap": q_rate_counter_wrap,
     }
 
 
@@ -2869,6 +2882,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s.score >= cuts.c1 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM s CROSS JOIN cuts
+        """,
+        "rate_counter_wrap": """
+            SELECT user_id, prev_ms AS begin_ms, ms AS end_ms,
+                   round(CASE WHEN value - pv < 0
+                              THEN (value - pv + 1024.0)
+                              ELSE (value - pv) END
+                         / ((ms - prev_ms) / 1000.0), 6) + 0.0
+                     AS value_rate
+            FROM (
+              SELECT user_id, epoch_ms(ts) AS ms, value,
+                     lag(epoch_ms(ts)) OVER w AS prev_ms,
+                     lag(value) OVER w AS pv
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+            WHERE prev_ms IS NOT NULL
         """,
     }
 

@@ -23,9 +23,21 @@ def rate(
     allow_negative: bool = True,
     partition_by: Sequence[str] = (),
     time_col: str = "time",
+    counter_wrap: int | float | None = None,
 ) -> DataFrame:
     """Returns ``(*partition_by, begin, end, <field>_rate...)`` rows, one per
-    consecutive event pair."""
+    consecutive event pair.
+
+    ``counter_wrap`` (engine addition for the reference's home domain,
+    SNMP-style monotone counters): treat the field as a counter of that
+    modulus — a negative delta is a wrap, corrected to
+    ``cur + wrap - prev`` (e.g. ``2**32``/``2**64`` for ifInOctets-style
+    counters). ``allow_negative=False`` instead NULLs negative rates (the
+    counter-RESET guard, reference ``rate.py:139-157``); the two options
+    are mutually exclusive ways to read a decrease."""
+    if counter_wrap is not None and not allow_negative:
+        raise ValueError("counter_wrap corrects negative deltas; "
+                         "allow_negative=False would mask the correction")
     fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
     keys = list(partition_by)
 
@@ -38,9 +50,13 @@ def rate(
     for f in fields:
         cur = F.col(f).try_cast("double")
         prev = F.lag(cur).over(w)
+        delta = cur - prev
+        if counter_wrap is not None:
+            delta = F.when(delta < 0, delta + F.lit(float(counter_wrap))) \
+                .otherwise(delta)
         # try_divide: duplicate timestamps yield NULL instead of an ANSI
         # DIVIDE_BY_ZERO crash (matches the streaming twin's dt==0 guard)
-        r = F.try_divide(cur - prev, sec_delta)
+        r = F.try_divide(delta, sec_delta)
         if not allow_negative:
             r = F.when(r < 0, F.lit(None).cast("double")).otherwise(r)
         out.append(r.alias(f"{f}_rate"))

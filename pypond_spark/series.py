@@ -465,10 +465,12 @@ class TimeSeries:
                                    limit, partition_by))
 
     def rate(self, field_spec="value", allow_negative: bool = True,
-             partition_by: Sequence[str] = ()) -> "TimeSeries":
+             partition_by: Sequence[str] = (),
+             counter_wrap: int | float | None = None) -> "TimeSeries":
         if self._kind != "time":
             raise ValueError("rate expects instant-event input")
-        out = rate_op(self._df, field_spec, allow_negative, partition_by)
+        out = rate_op(self._df, field_spec, allow_negative, partition_by,
+                      counter_wrap=counter_wrap)
         return TimeSeries(out, "timerange", self._meta)
 
     def fill(self, field_spec="value", method: str = "zero",

@@ -123,7 +123,7 @@ def _whole_group(pdfs: Iterator[pd.DataFrame], time_col: str,
 
 
 def _rate_state_fn(fields: list[str], keys: list[str], time_col: str,
-                   allow_negative: bool):
+                   allow_negative: bool, counter_wrap: float | None = None):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
             prev_ms, prev_vals = state.get[0], list(state.get[1:])
@@ -143,7 +143,10 @@ def _rate_state_fn(fields: list[str], keys: list[str], time_col: str,
                         if pv is None or cv is None or dt_sec == 0:
                             rec.append(None)
                         else:
-                            r = (cv - pv) / dt_sec
+                            delta = cv - pv
+                            if counter_wrap is not None and delta < 0:
+                                delta += counter_wrap
+                            r = delta / dt_sec
                             rec.append(None if (not allow_negative and r < 0)
                                        else r)
                     outs.append(rec)
@@ -161,13 +164,18 @@ def stream_rate(
     partition_by: Sequence[str] = (),
     time_col: str = "time",
     allow_negative: bool = True,
+    counter_wrap: int | float | None = None,
 ) -> DataFrame:
     """Cross-batch stateful rate: the streaming twin of operators.rate.
 
     State per series key = (last_ts_ms, last_values...). Output rows span
     micro-batch boundaries exactly like the reference's persistent Rate
-    processor.
+    processor. ``counter_wrap`` mirrors the batch operator's SNMP-counter
+    wrap correction (mutually exclusive with ``allow_negative=False``).
     """
+    if counter_wrap is not None and not allow_negative:
+        raise ValueError("counter_wrap corrects negative deltas; "
+                         "allow_negative=False would mask the correction")
     fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
     sdf, keys, dummy = _keyed(sdf, list(partition_by))
     key_fields = [sdf.schema[k] for k in keys]
@@ -180,7 +188,9 @@ def stream_rate(
         [T.StructField("ts", T.LongType())]
         + [T.StructField(f"v{i}", T.DoubleType()) for i in range(len(fields))])
     out = sdf.groupBy(*keys).applyInPandasWithState(
-        _rate_state_fn(fields, keys, time_col, allow_negative),
+        _rate_state_fn(fields, keys, time_col, allow_negative,
+                       float(counter_wrap) if counter_wrap is not None
+                       else None),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",

@@ -415,3 +415,15 @@ def test_stream_gaps_matches_batch(spark, stream_dir):
         (r["user"], int(r["gap_start"].timestamp() * 1000),
          int(r["gap_end"].timestamp() * 1000), r["gap_ms"])
         for r in batch}
+
+
+def test_stream_rate_counter_wrap(spark, stream_dir):
+    # user a values 100,130,None,220,160: the 220->160 drop is read as a
+    # wrap of a 256-counter -> (160+256-220)/30 = 6.4/s
+    sdf = _read_stream(spark, stream_dir)
+    out = stream_rate(sdf, field_spec="value", partition_by=["user"],
+                      counter_wrap=256)
+    rows = run_available_now(out, "append").collect()
+    got = {(r["user"], r["begin_ms"]): r["value_rate"] for r in rows}
+    assert got[("a", 90_000)] == pytest.approx((160 + 256 - 220) / 30.0)
+    assert got[("a", 0)] == pytest.approx(1.0)  # positive deltas unchanged

@@ -185,3 +185,20 @@ def test_m4_tiebreak_duplicate_values(spark):
     out = {r["time"].second: r["tags"] for r in TimeSeries(df, kind="time")
            .m4_downsample("1h", tiebreak="seq").df.collect()}
     assert out == {0: "first,max,min", 2: "last"}
+
+
+def test_rate_counter_wrap_batch(spark):
+    pts = [[0, 250.0], [10_000, 5.0], [20_000, 10.0]]
+    out = _ts(spark, pts).rate(counter_wrap=256).df.orderBy("end").collect()
+    # 250 -> 5 wraps: (5 + 256 - 250)/10 = 1.1 ; 5 -> 10: 0.5
+    assert out[0]["value_rate"] == 1.1
+    assert out[1]["value_rate"] == 0.5
+
+
+def test_rate_counter_wrap_rejects_no_negative(spark):
+    try:
+        _ts(spark, [[0, 1.0]]).rate(allow_negative=False, counter_wrap=256)
+    except ValueError as exc:
+        assert "counter_wrap" in str(exc)
+    else:
+        raise AssertionError("expected ValueError")
