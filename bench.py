@@ -61,6 +61,16 @@ HEADLINE = [
     "ohlc_hourly",
     "seasonal_anomaly",
     "corr_click_view",
+    "chunk_dedup_docs",
+    "incremental_dedup",
+    "semantic_dedup",
+    "source_overlap",
+    "json_props_rollup",
+    "cumsum_by_user",
+    "top_movers",
+    "m4_hourly",
+    "ccnet_buckets",
+    "rate_counter_wrap",
 ]
 
 
