@@ -121,3 +121,74 @@ def test_rate_of_linear_series_is_constant(spark):
         spark, {"name": "r", "columns": ["time", "value"], "points": pts})
     rates = [p[1] for p in ts.rate(field_spec="value").to_wire()["points"]]
     assert all(abs(r - 0.5) < 1e-12 for r in rates)
+
+
+def test_gaps_partition_time_span(spark):
+    """Every gap lies strictly inside the series extent; gap count is
+    bounded by events-1; no two gaps overlap (consecutive-pair origin)."""
+    from pypond_spark import TimeSeries
+    import random
+    rnd = random.Random(11)
+    t, pts = 0, []
+    for _ in range(60):
+        t += rnd.randint(1_000, 2_000_000)
+        pts.append([t, 1.0])
+    ts = TimeSeries.from_wire(
+        spark, {"name": "g", "columns": ["time", "value"], "points": pts})
+    gaps = sorted((r["gap_start"], r["gap_end"])
+                  for r in ts.find_gaps("10m").collect())
+    assert len(gaps) <= len(pts) - 1
+    for (s0, e0), (s1, e1) in zip(gaps, gaps[1:]):
+        assert e0 <= s1     # ordered, non-overlapping
+    for s, e in gaps:
+        assert (e - s).total_seconds() * 1000 > 600_000
+
+
+def test_m4_is_subset_and_covers_extremes(spark):
+    """M4 survivors are actual input points and include the global
+    min/max/first/last of every bucket."""
+    from pypond_spark import TimeSeries
+    import random
+    rnd = random.Random(23)
+    pts = [[i * 7_000, rnd.uniform(-50, 50)] for i in range(200)]
+    ts = TimeSeries.from_wire(
+        spark, {"name": "m", "columns": ["time", "value"], "points": pts})
+    out = ts.m4_downsample("5m").df.collect()
+    inputs = {(p[0], round(p[1], 9)) for p in pts}
+    by_bucket = {}
+    for p in pts:
+        by_bucket.setdefault(p[0] // 300_000, []).append(p)
+    for r in out:
+        key = (int(r["time"].timestamp() * 1000), round(r["value"], 9))
+        assert key in inputs                      # survivors are real points
+    for pos, rows in by_bucket.items():
+        sel = [r for r in out if r["pos"] == pos]
+        vals = [r["value"] for r in sel]
+        assert max(vals) == max(p[1] for p in rows)
+        assert min(vals) == min(p[1] for p in rows)
+
+
+def test_cumulative_last_equals_total(spark):
+    """The final cumulative sum equals the series total; prefixes are
+    monotone for non-negative inputs."""
+    from pypond_spark import TimeSeries
+    import random
+    rnd = random.Random(5)
+    pts = [[i * 1000, float(rnd.randint(0, 100))] for i in range(80)]
+    ts = TimeSeries.from_wire(
+        spark, {"name": "c", "columns": ["time", "value"], "points": pts})
+    out = [r["v_cum"] for r in
+           ts.cumulative({"v_cum": {"value": "sum"}}).df
+           .orderBy("time").collect()]
+    assert out[-1] == sum(p[1] for p in pts)
+    assert all(a <= b for a, b in zip(out, out[1:]))
+
+
+def test_chunk_dedup_identity_on_unique_corpus(spark):
+    """With no duplicate chunks, chunk_dedup is the identity on text."""
+    from pypond_spark.datapipe import dedup
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(50))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_dedup"]
+           for r in dedup.chunk_dedup(df, chunk_words=7).collect()}
+    assert out == dict(rows)
