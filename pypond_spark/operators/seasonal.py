@@ -54,15 +54,23 @@ def seasonal_anomaly(
     partition_by: Sequence[str] = (),
     time_col: str = "time",
     min_n: int = 2,
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """Score each event against its seasonal slot: appends ``slot_mean``,
     ``slot_std`` and ``deviation`` ((value − mean) / σ; NULL when the slot
     has fewer than ``min_n`` samples or zero variance).
 
     Two passes over the scan, one broadcast join, zero extra shuffles.
+
+    ``profile=`` scores against a PRE-TRAINED profile (a
+    ``seasonal_profile`` result) instead of re-deriving one — the
+    train-in-batch / score-on-stream pattern: the scoring side is a
+    stateless broadcast join + expressions, so ``df`` may be a streaming
+    DataFrame (stream-static join).
     """
     keys = list(partition_by)
-    prof = seasonal_profile(df, field, keys, time_col)
+    prof = (profile if profile is not None
+            else seasonal_profile(df, field, keys, time_col))
     dow, hod = _slot_cols(time_col)
     scored = df.select("*", dow, hod).join(
         F.broadcast(prof), on=[*keys, "dow", "hod"], how="left")

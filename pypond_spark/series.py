@@ -554,13 +554,15 @@ class TimeSeries:
 
     def seasonal_anomaly(self, field: str = "value",
                          partition_by: Sequence[str] = (),
-                         min_n: int = 2) -> "TimeSeries":
+                         min_n: int = 2, profile=None) -> "TimeSeries":
         """Score each event against its seasonal slot mean/σ (broadcast
-        profile join; see ``operators.seasonal``)."""
+        profile join; see ``operators.seasonal``). ``profile=`` scores
+        against a pre-trained ``seasonal_profile`` result (works on
+        streaming input — stream-static join)."""
         if self._kind != "time":
             raise ValueError("seasonal_anomaly expects instant-event input")
         return self._with(seasonal_anomaly_op(
-            self._df, field, partition_by, self.time_col, min_n))
+            self._df, field, partition_by, self.time_col, min_n, profile))
 
     def series_correlation(self, series_col: str, series_a: str,
                            series_b: str, field: str = "value",

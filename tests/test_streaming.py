@@ -427,3 +427,26 @@ def test_stream_rate_counter_wrap(spark, stream_dir):
     got = {(r["user"], r["begin_ms"]): r["value_rate"] for r in rows}
     assert got[("a", 90_000)] == pytest.approx((160 + 256 - 220) / 30.0)
     assert got[("a", 0)] == pytest.approx(1.0)  # positive deltas unchanged
+
+
+def test_stream_seasonal_scoring_with_batch_profile(spark, stream_dir):
+    """Train-in-batch / score-on-stream: a seasonal profile derived from
+    the batch read scores the stream via a stateless stream-static
+    broadcast join, matching the batch scoring row-for-row."""
+    from pypond_spark.operators.seasonal import (seasonal_anomaly,
+                                                 seasonal_profile)
+    batch_df = (spark.read.schema(SCHEMA).json(str(stream_dir))
+                .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+                .drop("t_ms"))
+    prof = seasonal_profile(batch_df, "value", ["user"])
+    sdf = _read_stream(spark, stream_dir)
+    scored = seasonal_anomaly(sdf, "value", ["user"], profile=prof)
+    q = (scored.writeStream.format("memory").queryName("seasonal_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = {(r["user"], r["time"]): r["deviation"]
+                for r in spark.sql("SELECT * FROM seasonal_mem").collect()}
+    expected = {(r["user"], r["time"]): r["deviation"]
+                for r in seasonal_anomaly(
+                    batch_df, "value", ["user"], profile=prof).collect()}
+    assert streamed == expected and len(streamed) == 7
