@@ -1105,7 +1105,7 @@ def q_semantic_dedup(spark, sf_dir):
     bound the pairwise-cosine work to sum(|cell|^2); quantize=6 +
     round-before-threshold make the keep/drop set identical cross-engine."""
     emb = _read(spark, sf_dir, "embeddings")
-    return dp_sim.semantic_dedup(emb, n_cells=8, n_iters=2,
+    return dp_sim.semantic_dedup(emb, n_cells=16, n_iters=2,
                                  threshold=0.9, quantize=6)
 
 
@@ -2757,7 +2757,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _EMB_CTE + f"""
             , c0 AS (
               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-              FROM e ORDER BY vec_id LIMIT 8
+              FROM e ORDER BY vec_id LIMIT 16
             ),
             a1 AS {_ivf_assign_cte("c0")},
             c1 AS {_ivf_means_cte("a1", "c0")},

@@ -19,6 +19,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pypond_spark.datapipe._util import spread
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
@@ -209,19 +211,44 @@ def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
+def _sql_double_matrix(vecs: list[list[float]]) -> str:
+    """k x dim literal array-of-arrays as ONE SQL fragment."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c)
+        + ")" for c in vecs) + ")"
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """Assign each row to its nearest centroid (max cosine) as ``__cell``.
 
     Pure map-side expression: no shuffle, scan-parallel at any corpus size.
     Ties break to the larger cell id (struct max), deterministically.
+
+    The whole scoring expression is assembled as ONE SQL string parsed
+    JVM-side: composing k x dim literal nodes through the Python Column
+    API costs a py4j round-trip per node (~seconds of driver time per
+    assignment at k=16, dim=64, and ivf_build runs n_iters + 1
+    assignments). The fold order and null semantics are identical to
+    ``cosine``/``dot``/``norm`` above — same left fold, same try_divide,
+    same coalesce(-2.0) — so results are bit-identical to the composed
+    form (the DuckDB oracle twins keep hash-matching).
     """
-    pairs = F.array(*[
-        F.struct(F.coalesce(cosine(vec_col, _lit_vec(c)), F.lit(-2.0))
-                 .alias("s"),
-                 F.lit(i).alias("i"))
-        for i, c in enumerate(centroids)])
-    return df.withColumn("__cell", F.array_max(pairs)["i"])
+    v = f"`{vec_col}`"
+    zero = "CAST(0 AS DOUBLE)"
+    dot_vc = (f"aggregate(zip_with({v}, c, (x, y) -> "
+              f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), {zero}, "
+              f"(acc, w) -> acc + w)")
+    norm_v = (f"sqrt(aggregate(transform({v}, x -> "
+              f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), {zero}, "
+              f"(acc, w) -> acc + w))")
+    norm_c = (f"sqrt(aggregate(transform(c, x -> x * x), {zero}, "
+              f"(acc, w) -> acc + w))")
+    expr = (f"array_max(transform({_sql_double_matrix(centroids)}, "
+            f"(c, i) -> named_struct("
+            f"'s', coalesce(try_divide({dot_vc}, {norm_v} * {norm_c}), "
+            f"CAST(-2.0 AS DOUBLE)), 'i', i))).i")
+    return df.withColumn("__cell", F.expr(expr))
 
 
 def ivf_build(df: DataFrame, n_cells: int = 16, n_iters: int = 2,
@@ -413,16 +440,25 @@ def semantic_dedup(df: DataFrame, n_cells: int = 8, n_iters: int = 2,
 
     Scale: the clustering bounds the candidate quadratic — pair work is
     sum(|cell|^2) over cells, never corpus^2 (the whole point of the
-    SemDeDup recipe); the pair join shuffles on the cell key; assignment
-    itself is map-side. For cross-engine-reproducible results pass
-    ``quantize=6`` (see ``ivf_build``) and note that cosines are rounded
-    to 6 decimals before the threshold test, so the keep/drop decision is
-    identical on both engines.
+    SemDeDup recipe; size ``n_cells ~ sqrt(corpus)`` so pair work stays
+    ~linear); the pair join shuffles on the cell key; assignment itself
+    is map-side, and the assigned table is localCheckpointed so the pair
+    join's two sides and the final verdict share ONE assignment
+    computation instead of re-evaluating n_cells cosines per use (the
+    same single-materialization trick as ``lsh_candidate_pairs``). For
+    cross-engine-reproducible results pass ``quantize=6`` (see
+    ``ivf_build``) and note that cosines are rounded to 6 decimals
+    before the threshold test, so the keep/drop decision is identical on
+    both engines.
     """
     cents = ivf_build(df, n_cells, n_iters, vec_col, id_col, quantize)
-    assigned = ivf_assign(df, cents, vec_col) \
+    # spread: a small-file scan arrives as ONE partition, which would
+    # serialize the n_cells-cosine assignment AND the pair join onto a
+    # single core; fan out to the cluster's parallelism first
+    assigned = ivf_assign(spread(df), cents, vec_col) \
         .select(F.col(id_col), F.col(vec_col), F.col("__cell"),
-                norm(vec_col).alias("__n"))
+                norm(vec_col).alias("__n")) \
+        .localCheckpoint()
     a = assigned.select(F.col(id_col).alias("__ida"),
                         F.col(vec_col).alias("__va"),
                         F.col("__cell"), F.col("__n").alias("__na"))
