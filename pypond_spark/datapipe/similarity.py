@@ -82,15 +82,26 @@ def _planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
 
 def lsh_bucket(df: DataFrame, dim: int, nbits: int = 8, seed: int = 42,
                vec_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane LSH bucket id (a bit per plane, composed to LONG)."""
-    bucket = None
+    """Random-hyperplane LSH bucket id (a bit per plane, composed to LONG).
+
+    Assembled as ONE SQL string (like ``ivf_assign``): nbits x dim plane
+    literals composed through the Python Column API cost a py4j
+    round-trip per node (~1.5s of driver time per query build at 8x64).
+    Same sign test (> 0), same zip_with/aggregate fold order as ``dot`` —
+    bucket ids are bit-identical to the composed form.
+    """
+    v = f"`{vec_col}`"
+    zero = "CAST(0 AS DOUBLE)"
+    terms = []
     for b, plane in enumerate(_planes(dim, nbits, seed)):
-        p = F.array(*[F.lit(w) for w in plane])
-        bit = F.when(dot(vec_col, p) > 0, F.lit(1).cast("long")) \
-            .otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, b)
-        bucket = term if bucket is None else bucket.bitwiseOR(term)
-    return df.withColumn("lsh_bucket", bucket)
+        p = ("array(" + ", ".join(f"CAST({float(w)!r} AS DOUBLE)"
+                                  for w in plane) + ")")
+        d = (f"aggregate(zip_with({v}, {p}, (x, y) -> "
+             f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), {zero}, "
+             f"(acc, w) -> acc + w)")
+        terms.append(f"shiftleft(CAST(CASE WHEN {d} > 0 THEN 1 ELSE 0 END "
+                     f"AS BIGINT), {b})")
+    return df.withColumn("lsh_bucket", F.expr(" | ".join(terms)))
 
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
@@ -131,27 +142,27 @@ def embedding_near_dups_lsh(df: DataFrame, dim: int, threshold: float = 0.95,
     # whole-stage codegen, where the array HOF (`F.aggregate`/`zip_with`)
     # is interpreted per pair — measured ~2x end-to-end at sf0.1. Row width
     # is unchanged (the same dim floats, as columns instead of an array).
-    # F.get, not [i]: a short/corrupt vector yields NULL components (and so
+    # get(), not [i]: a short/corrupt vector yields NULL components (and so
     # a NULL cosine that the threshold filter drops) instead of an ANSI
-    # INVALID_ARRAY_INDEX error aborting the whole job
-    bucketed = lsh_bucket(df, dim, nbits, seed, vec_col).select(
-        F.col(id_col), F.col("lsh_bucket"), norm(vec_col).alias("__n"),
-        *[F.get(F.col(vec_col), i).cast("double").alias(f"__e{i}")
+    # INVALID_ARRAY_INDEX error aborting the whole job.
+    # All dim-wide projections are selectExpr STRINGS (see ivf_assign): the
+    # per-node py4j round-trips of the Column form cost >1s of driver time
+    # per query build at dim=64.
+    norm_sql = (f"sqrt(aggregate(transform(`{vec_col}`, x -> "
+                f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+                f"CAST(0 AS DOUBLE), (acc, w) -> acc + w))")
+    bucketed = lsh_bucket(df, dim, nbits, seed, vec_col).selectExpr(
+        f"`{id_col}`", "lsh_bucket", f"{norm_sql} AS __n",
+        *[f"CAST(get(`{vec_col}`, {i}) AS DOUBLE) AS __e{i}"
           for i in range(dim)])
-    a = bucketed.select(F.col(id_col).alias("id_a"), "lsh_bucket",
-                        F.col("__n").alias("__na"),
-                        *[F.col(f"__e{i}").alias(f"__a{i}")
-                          for i in range(dim)])
-    b = bucketed.select(F.col(id_col).alias("id_b"),
-                        F.col("lsh_bucket").alias("__bb"),
-                        F.col("__n").alias("__nb"),
-                        *[F.col(f"__e{i}").alias(f"__b{i}")
-                          for i in range(dim)])
-    dotc = None
-    for i in range(dim):
-        term = F.col(f"__a{i}") * F.col(f"__b{i}")
-        dotc = term if dotc is None else dotc + term
-    sim = F.try_divide(dotc, F.col("__na") * F.col("__nb"))
+    a = bucketed.selectExpr(f"`{id_col}` AS id_a", "lsh_bucket",
+                            "__n AS __na",
+                            *[f"__e{i} AS __a{i}" for i in range(dim)])
+    b = bucketed.selectExpr(f"`{id_col}` AS id_b",
+                            "lsh_bucket AS __bb", "__n AS __nb",
+                            *[f"__e{i} AS __b{i}" for i in range(dim)])
+    chain = " + ".join(f"__a{i} * __b{i}" for i in range(dim))
+    sim = F.expr(f"try_divide({chain}, __na * __nb)")
     return (a.join(b, (F.col("lsh_bucket") == F.col("__bb"))
                    & (F.col("id_a") < F.col("id_b")))
             .select("id_a", "id_b", sim.alias("cosine"))
