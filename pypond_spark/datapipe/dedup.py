@@ -328,39 +328,36 @@ def simhash64(df: DataFrame, text_col: str = "text",
     # enough that a 2-3 run session still gets it JIT-compiled). With
     # n <= 2^20 tokens the sum is < 2^20 * (1 + 2^21 + 2^42) < 2^63 —
     # lanes can't collide and ANSI can't overflow.
+    # (assembled as SQL strings, not Column nodes: the ~700 py4j
+    # round-trips of the composed form cost ~2s of driver time per query
+    # build — same fix as similarity.ivf_assign; identical bit ops)
     packed = []
     for i in range(22):
-        e = None
+        terms = []
         for lane in range(3):
             b = i + 22 * lane
             if b >= 64:
                 break
-            bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-            term = F.shiftleft(bit, 21 * lane)
-            e = term if e is None else e.bitwiseOR(term)
-        packed.append(F.sum(e).alias(f"p{i}"))
+            terms.append(f"shiftleft(shiftright(h, {b}) & 1, {21 * lane})")
+        packed.append(F.expr(f"sum({' | '.join(terms)})").alias(f"p{i}"))
     agg = toks.groupBy(id_col).agg(*packed, F.count("h").alias("__n"))
 
     # bit b of the simhash: 1 iff the +-1 sum is positive <=> 2*count > n
-    def _bit(b: int) -> Column:
-        cnt = F.shiftright(F.col(f"p{b % 22}"), 21 * (b // 22)) \
-            .bitwiseAND(F.lit((1 << 21) - 1))
-        return F.when(cnt * 2 > F.col("__n"),
-                      F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    def _bit(b: int) -> str:
+        return (f"(CASE WHEN (shiftright(p{b % 22}, {21 * (b // 22)}) & "
+                f"{(1 << 21) - 1}) * 2 > __n THEN CAST(1 AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)")
 
-    def _compose(bits: range) -> Column:
-        out = None
-        for j, b in enumerate(bits):
-            term = F.shiftleft(_bit(b), j)
-            out = term if out is None else out.bitwiseOR(term)
-        return out
+    def _compose(bits: range) -> str:
+        return " | ".join(
+            f"shiftleft({_bit(b)}, {j})" for j, b in enumerate(bits))
 
     if as_halves:
         return agg.select(F.col(id_col),
-                          _compose(range(32, 64)).alias("sim_hi"),
-                          _compose(range(0, 32)).alias("sim_lo"))
-    sim = F.shiftleft(_compose(range(32, 64)), 32) \
-        .bitwiseOR(_compose(range(0, 32)))
+                          F.expr(_compose(range(32, 64))).alias("sim_hi"),
+                          F.expr(_compose(range(0, 32))).alias("sim_lo"))
+    sim = F.expr(f"shiftleft({_compose(range(32, 64))}, 32) | "
+                 f"({_compose(range(0, 32))})")
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
