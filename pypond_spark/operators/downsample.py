@@ -8,19 +8,27 @@ sufficient for pixel-perfect min-max line rendering at one bucket per
 pixel column, and embarrassingly parallel (unlike LTTB, whose
 triangle-area choice chains sequentially through the buckets).
 
-Shape: drop invalid samples, ONE window shuffle on (series key, bucket)
-computing four rank orders, keep rows ranked 1 by any criterion. Output
-is bounded by 4 × buckets × groups regardless of input volume.
+Shape: drop invalid samples, then ONE partial-aggregable groupBy on
+(series key, bucket) computing four ``min_by`` winners — first/last/min/
+max are each "the point minimizing an order struct", so the whole
+reduction is map-side combinable and there is NO sort anywhere (a
+row_number formulation needs four differently-ordered sorts of the full
+partition — measured 6x slower at 20M rows). A second, tiny shuffle over
+the 4 x buckets winner rows merges the roles of physically-identical
+points. Output is bounded by 4 x buckets x groups regardless of input
+volume.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..index import window_duration_ms
+
+_ROLES = ("first", "last", "min", "max")
 
 
 def m4(
@@ -36,37 +44,46 @@ def m4(
     roles it plays (one physical point can be several, e.g. "first,min").
 
     ``tiebreak`` (a unique column) makes duplicate timestamps and
-    duplicate values deterministic; without it ties fall to the earliest
-    (time, value) ordering.
+    duplicate values deterministic (latest-time ties and extreme-value
+    ties resolve to the smallest tiebreak); without it ties fall to the
+    earliest (time, value) ordering.
     """
     dur = window_duration_ms(window)
     keys = list(partition_by)
     col = F.col(field).cast("double")
     valid = col.isNotNull() & ~F.isnan(col)
-    ms = F.unix_millis(F.col(time_col))
-    base = df.where(valid).withColumn("__pos", F.floor(ms / F.lit(dur)))
+    us = F.unix_micros(F.col(time_col))
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    pt = F.struct(F.col(time_col).alias("t"), col.alias("v"),
+                  tb.alias("tb"))
+    base = df.where(valid).select(
+        *keys,
+        F.floor(F.unix_millis(F.col(time_col)) / F.lit(dur)).alias("__pos"),
+        pt.alias("__pt"), us.alias("__us"), col.alias("__v"),
+        tb.alias("__tb"))
 
-    tb = [F.col(tiebreak)] if tiebreak else []
+    # each role = the point minimizing an order struct; negation flips a
+    # component's direction while keeping later tie components ascending
+    # (e.g. "max" = greatest value, then EARLIEST time, then least tb)
+    neg_us = (-F.col("__us")).alias("n")
+    neg_v = (-F.col("__v")).alias("n")
+    agg = base.groupBy(*keys, "__pos").agg(
+        F.min_by("__pt", F.struct(F.col("__us"), F.col("__tb")))
+        .alias("first"),
+        F.min_by("__pt", F.struct(neg_us, F.col("__tb"))).alias("last"),
+        F.min_by("__pt", F.struct(F.col("__v"), F.col("__us"),
+                                  F.col("__tb"))).alias("min"),
+        F.min_by("__pt", F.struct(neg_v, F.col("__us"), F.col("__tb")))
+        .alias("max"))
 
-    def rank(*order):
-        w = Window.partitionBy(*keys, "__pos").orderBy(*order, *tb)
-        return F.row_number().over(w)
-
-    t = F.col(time_col)
-    tagged = base.select(
-        *keys, "__pos", t, col.alias(field),
-        rank(t.asc()).alias("__rf"),
-        rank(t.desc()).alias("__rl"),
-        rank(col.asc(), t.asc()).alias("__rn"),
-        rank(col.desc(), t.asc()).alias("__rx"))
-    tags = F.array_join(F.array_sort(F.filter(F.array(
-        F.when(F.col("__rf") == 1, F.lit("first")),
-        F.when(F.col("__rl") == 1, F.lit("last")),
-        F.when(F.col("__rn") == 1, F.lit("min")),
-        F.when(F.col("__rx") == 1, F.lit("max")),
-    ), lambda x: x.isNotNull())), ",")
-    return (tagged
-            .withColumn("tags", tags)
-            .where(F.col("tags") != "")
-            .select(*keys, F.col("__pos").alias("pos"), time_col, field,
-                    "tags"))
+    roles = F.array(*[
+        F.struct(F.lit(r).alias("role"), F.col(r).alias("pt"))
+        for r in _ROLES])
+    ex = agg.select(*keys, "__pos", F.explode(roles).alias("__rp"))
+    merged = (ex.groupBy(*keys, "__pos", F.col("__rp.pt").alias("__pt"))
+              .agg(F.array_join(F.array_sort(
+                  F.collect_list("__rp.role")), ",").alias("tags")))
+    return merged.select(
+        *keys, F.col("__pos").alias("pos"),
+        F.col("__pt.t").alias(time_col), F.col("__pt.v").alias(field),
+        "tags")
