@@ -43,6 +43,8 @@ def series_correlation(
     semantics — a bucket missing either side contributes nothing).
     """
     b_ms = window_duration_ms(bucket)
+    if b_ms is None:
+        raise ValueError(f"bucket needs a fixed window spec, got {bucket!r}")
     keys = list(partition_by)
     col = F.col(field).cast("double")
     valid = col.isNotNull() & ~F.isnan(col)
@@ -62,8 +64,11 @@ def series_correlation(
     aggs = [F.corr(va, vb).alias("r"), F.count(both).alias("n_buckets")]
     if window is None:
         return buckets.groupBy(*keys).agg(*aggs)
-    ratio = window_duration_ms(window) // b_ms
-    if ratio <= 0 or window_duration_ms(window) % b_ms:
+    w_ms = window_duration_ms(window)
+    if w_ms is None:
+        raise ValueError(f"window needs a fixed window spec, got {window!r}")
+    ratio = w_ms // b_ms
+    if ratio <= 0 or w_ms % b_ms:
         raise ValueError(f"window {window!r} must be a multiple of "
                          f"bucket {bucket!r}")
     wpos = F.floor(F.col("_bpos") / F.lit(ratio))

@@ -49,6 +49,8 @@ def m4(
     earliest (time, value) ordering.
     """
     dur = window_duration_ms(window)
+    if dur is None:
+        raise ValueError(f"m4 needs a fixed window spec, got {window!r}")
     keys = list(partition_by)
     col = F.col(field).cast("double")
     valid = col.isNotNull() & ~F.isnan(col)

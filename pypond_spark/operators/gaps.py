@@ -36,6 +36,8 @@ def find_gaps(
     """
     gap_ms = (window_duration_ms(min_gap)
               if isinstance(min_gap, str) else int(min_gap))
+    if gap_ms is None:
+        raise ValueError(f"min_gap needs a fixed window spec, got {min_gap!r}")
     if gap_ms <= 0:
         raise ValueError(f"min_gap must be positive, got {min_gap!r}")
     keys = list(partition_by)

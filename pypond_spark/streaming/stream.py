@@ -234,6 +234,8 @@ def stream_gaps(
     """
     gap_ms = (window_duration_ms(min_gap)
               if isinstance(min_gap, str) else int(min_gap))
+    if gap_ms is None:
+        raise ValueError(f"min_gap needs a fixed window spec, got {min_gap!r}")
     if gap_ms <= 0:
         raise ValueError(f"min_gap must be positive, got {min_gap!r}")
     sdf, keys, dummy = _keyed(sdf, list(partition_by))
