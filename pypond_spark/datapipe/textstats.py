@@ -477,8 +477,13 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text",
     c1, c2 = scored.agg(
         F.percentile("score", F.lit(1.0 / 3)),
         F.percentile("score", F.lit(2.0 / 3))).first()
-    bucket = (F.when(F.col("score") >= F.lit(float(c2)), "head")
-              .when(F.col("score") >= F.lit(float(c1)), "middle")
-              .otherwise("tail"))
+    if c1 is None or c2 is None:
+        # empty corpus, or every document scored NULL (no tokens): there
+        # is no distribution to cut — bucket is NULL rather than a crash
+        bucket = F.lit(None).cast("string")
+    else:
+        bucket = (F.when(F.col("score") >= F.lit(float(c2)), "head")
+                  .when(F.col("score") >= F.lit(float(c1)), "middle")
+                  .otherwise("tail"))
     return scored.select(id_col, "n_tokens", "score",
                          bucket.alias("bucket"))

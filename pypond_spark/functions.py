@@ -162,9 +162,10 @@ def compile_agg(func, in_col: Column | str, flt: str = "ignore_missing",
         elif name in ("first", "last"):
             # ('first'|'last', tiebreak_col): deterministic winner among
             # duplicate timestamps — the struct (time, tiebreak) compares
-            # lexicographically, so equal times fall through to the column
+            # lexicographically, so equal times fall through to the column.
+            # A bare ('first',) tuple degrades to the plain string spec.
             q = None
-            tiebreak = rest[0]
+            tiebreak = rest[0] if rest else None
         else:
             raise ValueError(
                 f"only (approx_)percentile/first/last take args, got {func!r}")
@@ -195,9 +196,12 @@ def compile_agg(func, in_col: Column | str, flt: str = "ignore_missing",
         if flt == "keep_missing":
             # faithful: the positionally first/last value INCLUDING invalid
             # ones (min_by/max_by skip nulls, so they can't express this) —
-            # struct-collect keeps null payloads, sort recovers time order
+            # struct-collect keeps null payloads, sort recovers time order;
+            # the tiebreak (when given) sorts between time and value so
+            # duplicate timestamps stay deterministic here too
+            tb = [F.col(tiebreak).alias("tb")] if tiebreak else []
             arr = F.sort_array(F.collect_list(
-                F.struct(F.col(time_col).alias("t"), raw.alias("v"))))
+                F.struct(F.col(time_col).alias("t"), *tb, raw.alias("v"))))
             agg = F.element_at(arr, 1 if name == "first" else -1)["v"]
         else:
             order = (F.struct(F.col(time_col), F.col(tiebreak))

@@ -51,15 +51,16 @@ def series_correlation(
     ms = F.unix_millis(F.col(time_col))
     bpos = F.floor(ms / F.lit(b_ms))
 
-    def side(name: str) -> Column:
-        return F.avg(F.when(F.col(series_col) == name, col)) \
-                .alias(f"v_{name}")
+    # internal aliases, never derived from the user's series names (a name
+    # with dots/spaces would break column resolution; a==b would collide)
+    def side(name, alias: str) -> Column:
+        return F.avg(F.when(F.col(series_col) == name, col)).alias(alias)
 
     buckets = (df.where(valid)
                .groupBy(*keys, bpos.alias("_bpos"))
-               .agg(side(series_a), side(series_b)))
+               .agg(side(series_a, "__va"), side(series_b, "__vb")))
 
-    va, vb = F.col(f"v_{series_a}"), F.col(f"v_{series_b}")
+    va, vb = F.col("__va"), F.col("__vb")
     both = F.when(va.isNotNull() & vb.isNotNull(), 1)
     aggs = [F.corr(va, vb).alias("r"), F.count(both).alias("n_buckets")]
     if window is None:

@@ -165,17 +165,23 @@ def derive_string_column(df: DataFrame, op: Callable[[dict], Any],
     in_cols = list(df.columns)
     key_cols = [c for c in KEY_COLS if c in in_cols]
     pay = payload_cols if payload_cols is not None else \
-        [c for c in in_cols if c not in key_cols]
+        [c for c in in_cols if c not in key_cols and c != name]
+    # replace an existing column of the same name (withColumn semantics) —
+    # appending a second StructField would make the declared schema one
+    # column wider than the pandas frame (chained group_by(callable)
+    # re-derives '__group')
     out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(name, T.StringType())])
+        [f for f in df.schema.fields if f.name != name]
+        + [T.StructField(name, T.StringType())])
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            rows = (dict(zip(in_cols, tup))
-                    for tup in pdf.itertuples(index=False))
             pdf = pdf.copy()
-            pdf[name] = [str(op({c: r[c] for c in pay})) for r in rows]
-            yield pdf
+            # one dict per row, only the payload columns (this is the
+            # bounded slow path — no full-row dict materialization)
+            pdf[name] = [str(op(dict(zip(pay, tup)))) for tup in
+                         pdf[pay].itertuples(index=False)]
+            yield pdf[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(run, out_schema)
 

@@ -284,7 +284,10 @@ def ewma_scan(df: DataFrame, field_spec: str = "value", alpha: float = 0.5,
         field_spec = field_spec[0]
     f = field_spec
     spark = df.sparkSession
-    n = n_chunks or spark.sparkContext.defaultParallelism
+    if n_chunks is not None and n_chunks < 1:
+        raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
+    n = n_chunks if n_chunks is not None \
+        else spark.sparkContext.defaultParallelism
     parts = (df.repartitionByRange(n, F.col(time_col))
              .sortWithinPartitions(time_col)
              .withColumn("__pid", F.spark_partition_id()))

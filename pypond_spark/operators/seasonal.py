@@ -71,13 +71,18 @@ def seasonal_anomaly(
     keys = list(partition_by)
     prof = (profile if profile is not None
             else seasonal_profile(df, field, keys, time_col))
+    # internal names for the profile's stat columns: the event side may
+    # legitimately carry 'mean'/'std'/'n' (every rollup emits 'n'), and an
+    # unqualified reference after the join would be ambiguous
+    prof = prof.withColumnsRenamed(
+        {"mean": "__sm", "std": "__ss", "n": "__sn"})
     dow, hod = _slot_cols(time_col)
     scored = df.select("*", dow, hod).join(
         F.broadcast(prof), on=[*keys, "dow", "hod"], how="left")
     dev = F.when(
-        (F.col("n") >= min_n) & (F.col("std") > 0),
-        (F.col(field).cast("double") - F.col("mean")) / F.col("std"))
+        (F.col("__sn") >= min_n) & (F.col("__ss") > 0),
+        (F.col(field).cast("double") - F.col("__sm")) / F.col("__ss"))
     return (scored
             .withColumn("deviation", dev)
-            .withColumnsRenamed({"mean": "slot_mean", "std": "slot_std"})
-            .drop("n"))
+            .withColumnsRenamed({"__sm": "slot_mean", "__ss": "slot_std"})
+            .drop("__sn"))

@@ -21,6 +21,7 @@ Mapping of the reference's push-based stream mode:
 from __future__ import annotations
 
 import uuid
+from bisect import bisect_left
 from typing import Iterator, Sequence
 
 import pandas as pd
@@ -646,11 +647,18 @@ def _buffer_state_fn(rows_spec, keys: list[str], time_col: str, dur_ms: int,
                                     + [carr[c][r] for c in carry] + aggs)
                 else:
                     # zscore: frame (t-dur, t-1] EXCLUDES the current ms —
-                    # score against the buffer, then append the run
+                    # score against the buffer, then append the run.
+                    # Strictly t < t_cur: equal-ts peers buffered from a
+                    # PREVIOUS micro-batch must be excluded too (the batch
+                    # RANGE frame excludes every row at the current ms,
+                    # wherever it arrived) — tbuf is sorted, so the t_cur
+                    # run can only be the tail
+                    lim = bisect_left(tbuf, t_cur)
                     stats = {}
                     for c in in_cols:
-                        m = _py_agg("avg", vbuf[c], "ignore_missing")
-                        s = _py_agg("stddev", vbuf[c], "ignore_missing")
+                        m = _py_agg("avg", vbuf[c][:lim], "ignore_missing")
+                        s = _py_agg("stddev", vbuf[c][:lim],
+                                    "ignore_missing")
                         stats[c] = (m, s)
                     for r in range(i, j):
                         rec = (list(key) + [t_cur]

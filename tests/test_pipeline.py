@@ -144,6 +144,21 @@ def test_group_by_callable_and_expr(in_out):
     assert out2["1h-396199--high"].df.collect()[0]["in_sum"] == 15
 
 
+def test_group_by_callable_chained(in_out):
+    # a second group_by(callable) re-derives '__group': the adapter must
+    # REPLACE the column (duplicate StructField crashed the Arrow path)
+    out = (
+        Pipeline().from_source(in_out)
+        .group_by(lambda ev: "high" if ev["in"] >= 5 else "low")
+        .group_by(lambda ev: "odd" if ev["in"] % 2 else "even")
+        .window_by("1h")
+        .aggregate({"in_sum": {"in": "sum"}})
+        .to_keyed_collections()
+    )
+    keys = {k for k in out if k != "all"}
+    assert {k.split("--")[1] for k in keys} == {"odd", "even"}
+
+
 def test_at_key(spark):
     ts = TimeSeries.from_wire(
         spark, {"name": "k", "columns": ["time", "value"],

@@ -450,3 +450,34 @@ def test_stream_seasonal_scoring_with_batch_profile(spark, stream_dir):
                 for r in seasonal_anomaly(
                     batch_df, "value", ["user"], profile=prof).collect()}
     assert streamed == expected and len(streamed) == 7
+
+
+def test_stream_zscore_equal_ts_across_batches(spark, tmp_path):
+    """Equal-timestamp peers buffered from a PREVIOUS micro-batch must be
+    excluded from the scoring frame, exactly like the batch RANGE frame
+    excludes every row at the current ms."""
+    from pypond_spark.operators.rolling import zscore as batch_zscore
+    from pypond_spark.streaming import run_available_now, stream_zscore
+    chunk1 = [{"t_ms": 40_000, "user": "x", "value": 10.0},
+              {"t_ms": 100_000, "user": "x", "value": 10.0},
+              {"t_ms": 100_000, "user": "x", "value": 20.0}]
+    chunk2 = [{"t_ms": 100_000, "user": "x", "value": 50.0}]
+    _write_chunks(tmp_path, [chunk1, chunk2])
+    sdf = _read_stream(spark, str(tmp_path))
+    out = stream_zscore(sdf, "value", window="10m", partition_by=["user"],
+                        threshold=2.0)
+    rows = run_available_now(out, "append").collect()
+    zs = sorted((r["t_ms"], r["value"], r["value_zscore"]) for r in rows)
+    # every t=100s row scores only against the lone t=40s point:
+    # single-sample frame -> stddev 0 -> NULL z (batch semantics)
+    batch_df = (spark.read.json(str(tmp_path / "p0.json"), schema=SCHEMA)
+                .unionByName(spark.read.json(str(tmp_path / "p1.json"),
+                                             schema=SCHEMA))
+                .withColumn("time", F.timestamp_millis(F.col("t_ms"))))
+    bz = batch_zscore(batch_df, "value", window="10m",
+                      partition_by=["user"], threshold=2.0)
+    expected = sorted(
+        (int(r["time"].timestamp() * 1000), r["value"], r["value_zscore"])
+        for r in bz.collect())
+    assert zs == expected
+    assert all(z is None for t, v, z in zs if t == 100_000)
