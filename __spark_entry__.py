@@ -1196,6 +1196,23 @@ def q_rate_counter_wrap(spark, sf_dir):
         (F.round("value_rate", 6) + F.lit(0.0)).alias("value_rate"))
 
 
+def q_assign_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment (sampling.py::
+    assign_splits): hash-range cut of the unit interval, stable under
+    reruns/repartitioning/corpus growth. Zero shuffles."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_sample.assign_splits(
+        docs, {"train": 0.98, "val": 0.01, "test": 0.01})
+    return out.select("doc_id", "source", "split")
+
+
+def q_corpus_report(spark, sf_dir):
+    """Per-language corpus card (corpus.py::corpus_report): one bounded
+    agg + a window over the per-language frame for the share column."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_corpus.corpus_report(docs)
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail quality split (textstats.py::ccnet_buckets):
     corpus-relative fluency scores cut at the 1/3 and 2/3 quantiles.
@@ -1294,6 +1311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_hourly": q_m4_hourly,
         "ccnet_buckets": q_ccnet_buckets,
         "rate_counter_wrap": q_rate_counter_wrap,
+        "assign_splits": q_assign_splits,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -2897,6 +2916,29 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts))
             WHERE prev_ms IS NOT NULL
+        """,
+        "assign_splits": """
+            SELECT doc_id, source,
+                   CASE WHEN h < 0.98 THEN 'train'
+                        WHEN h < 0.99 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, source,
+                         ('0x' || substr(md5('0|' || doc_id::VARCHAR),
+                                         1, 8))::BIGINT / 4294967296.0 AS h
+                  FROM documents)
+        """,
+        "corpus_report": """
+            WITH per AS (
+              SELECT lang, count(*) AS n_docs,
+                     sum(length(text)) AS total_chars,
+                     sum(len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+                       AS total_tokens
+              FROM documents GROUP BY lang)
+            SELECT lang, n_docs, total_chars, total_tokens,
+                   round(n_docs / (sum(n_docs) OVER ()) * 100, 6)
+                     AS pct_docs
+            FROM per
         """,
     }
 

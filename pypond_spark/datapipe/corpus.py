@@ -101,3 +101,21 @@ def filter_corpus(docs: DataFrame, text_col: str = "text",
                         F.lit("duplicate")).otherwise(reason)
     return base.withColumn("kept", kept) \
         .withColumn("cull_reason", reason)
+
+
+def corpus_report(df, text_col: str = "text", lang_col: str = "lang"):
+    """Per-language corpus card: document counts, char/token volume, and
+    share of the corpus — the summary table a dataset datasheet starts
+    with.
+
+    One partial-aggregated shuffle bounded by the number of languages;
+    the share denominator is a window over the already-tiny per-language
+    frame, so nothing corpus-sized moves twice.
+    """
+    per = (df.groupBy(lang_col)
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.length(text_col)).alias("total_chars"),
+                F.sum(textstats.token_count(text_col)).alias("total_tokens")))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return per.withColumn(
+        "pct_docs", F.round(F.col("n_docs") / total * 100, 6))

@@ -260,3 +260,32 @@ def upsample(df: DataFrame, repeats: Column | str,
     seq = F.when(r >= 1, F.sequence(F.lit(1), r)) \
         .otherwise(F.array().cast("array<int>"))
     return df.withColumn(copy_col, F.explode(seq))
+
+
+def assign_splits(df: DataFrame, splits: dict[str, float],
+                  key_col: str = "doc_id", seed: int | str = 0) -> DataFrame:
+    """Deterministic train/val/test assignment: append a ``split`` column
+    by cutting the ``sample_hash`` unit interval into the given
+    proportions (e.g. ``{"train": 0.98, "val": 0.01, "test": 0.01}``).
+
+    Hash-range assignment (never rand()) means the split is stable under
+    reruns, repartitioning, engine, and corpus growth — a document keeps
+    its split when new data arrives, the property that keeps eval sets
+    uncontaminated across pipeline versions. Proportions must sum to 1
+    (within 1e-9). Zero shuffles: one scan-level expression.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if any(v < 0 for v in splits.values()):
+        raise ValueError(f"split fractions must be >= 0, got {splits}")
+    h = sample_hash(F.col(key_col), seed)
+    expr, acc = None, 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = h < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -283,3 +283,26 @@ def test_ccnet_buckets(spark):
     assert all(out[i] == "head" for i in range(3))
     assert all(out[i + 6] == "tail" for i in range(3))
     assert set(out.values()) == {"head", "middle", "tail"}
+
+
+def test_assign_splits(spark):
+    from pypond_spark.datapipe.sampling import assign_splits
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = assign_splits(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 1450 < counts["train"] < 1750        # ~80% of 2000
+    # stable under repartition AND under corpus growth (ids keep splits)
+    again = assign_splits(df.repartition(7),
+                          {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, again.collect()))
+    small = assign_splits(df.where("doc_id < 100"),
+                          {"train": 0.8, "val": 0.1, "test": 0.1})
+    sub = {r["doc_id"]: r["split"] for r in small.collect()}
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        assign_splits(df, {"train": 0.5, "val": 0.1})
