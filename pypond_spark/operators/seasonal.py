@@ -24,9 +24,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _slot_cols(time_col: str):
-    return ((F.dayofweek(time_col) - 1).alias("dow"),
-            F.hour(time_col).alias("hod"))
+def _slot_cols(time_col: str, tz: str = "UTC"):
+    t = (F.col(time_col) if tz == "UTC"
+         else F.from_utc_timestamp(time_col, tz))
+    return ((F.dayofweek(t) - 1).alias("dow"), F.hour(t).alias("hod"))
 
 
 def seasonal_profile(
@@ -34,13 +35,17 @@ def seasonal_profile(
     field: str = "value",
     partition_by: Sequence[str] = (),
     time_col: str = "time",
+    tz: str = "UTC",
 ) -> DataFrame:
     """Mean / population-σ / count of ``field`` per (group, day-of-week,
-    hour-of-day) slot. NULL/NaN samples drop (``ignore_missing``)."""
+    hour-of-day) slot. NULL/NaN samples drop (``ignore_missing``).
+    ``tz`` names the local zone whose rhythm is being learned (a "Tuesday
+    3pm" in New York is not one in UTC) — same convention as the calendar
+    rollups' ``tz=``."""
     keys = list(partition_by)
     col = F.col(field).cast("double")
     valid = col.isNotNull() & ~F.isnan(col)
-    dow, hod = _slot_cols(time_col)
+    dow, hod = _slot_cols(time_col, tz)
     return (df.where(valid)
             .groupBy(*keys, dow, hod)
             .agg(F.avg(col).alias("mean"),
@@ -55,6 +60,7 @@ def seasonal_anomaly(
     time_col: str = "time",
     min_n: int = 2,
     profile: DataFrame | None = None,
+    tz: str = "UTC",
 ) -> DataFrame:
     """Score each event against its seasonal slot: appends ``slot_mean``,
     ``slot_std`` and ``deviation`` ((value − mean) / σ; NULL when the slot
@@ -70,13 +76,13 @@ def seasonal_anomaly(
     """
     keys = list(partition_by)
     prof = (profile if profile is not None
-            else seasonal_profile(df, field, keys, time_col))
+            else seasonal_profile(df, field, keys, time_col, tz))
     # internal names for the profile's stat columns: the event side may
     # legitimately carry 'mean'/'std'/'n' (every rollup emits 'n'), and an
     # unqualified reference after the join would be ambiguous
     prof = prof.withColumnsRenamed(
         {"mean": "__sm", "std": "__ss", "n": "__sn"})
-    dow, hod = _slot_cols(time_col)
+    dow, hod = _slot_cols(time_col, tz)
     scored = df.select("*", dow, hod).join(
         F.broadcast(prof), on=[*keys, "dow", "hod"], how="left")
     dev = F.when(

@@ -544,17 +544,19 @@ class TimeSeries:
         }, group_by=group_by)
 
     def seasonal_profile(self, field: str = "value",
-                         partition_by: Sequence[str] = ()):
+                         partition_by: Sequence[str] = (),
+                         tz: str = "UTC"):
         """Mean/σ/count per (group, day-of-week, hour-of-day) slot — the
         weekly rhythm of the series (see ``operators.seasonal``)."""
         if self._kind != "time":
             raise ValueError("seasonal_profile expects instant-event input")
         return seasonal_profile_op(self._df, field, partition_by,
-                                   self.time_col)
+                                   self.time_col, tz)
 
     def seasonal_anomaly(self, field: str = "value",
                          partition_by: Sequence[str] = (),
-                         min_n: int = 2, profile=None) -> "TimeSeries":
+                         min_n: int = 2, profile=None,
+                         tz: str = "UTC") -> "TimeSeries":
         """Score each event against its seasonal slot mean/σ (broadcast
         profile join; see ``operators.seasonal``). ``profile=`` scores
         against a pre-trained ``seasonal_profile`` result (works on
@@ -562,7 +564,8 @@ class TimeSeries:
         if self._kind != "time":
             raise ValueError("seasonal_anomaly expects instant-event input")
         return self._with(seasonal_anomaly_op(
-            self._df, field, partition_by, self.time_col, min_n, profile))
+            self._df, field, partition_by, self.time_col, min_n, profile,
+            tz))
 
     def series_correlation(self, series_col: str, series_a: str,
                            series_b: str, field: str = "value",

@@ -202,3 +202,14 @@ def test_rate_counter_wrap_rejects_no_negative(spark):
         assert "counter_wrap" in str(exc)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_seasonal_profile_tz(spark):
+    # 1970-01-01 00:30 UTC is 1969-12-31 19:30 in New York (Wed, hod 19)
+    df = spark.createDataFrame([(30 * MIN, 1.0)], "ms long, value double") \
+        .select(F.timestamp_millis("ms").alias("time"), "value")
+    utc = TimeSeries(df, kind="time").seasonal_profile().collect()[0]
+    ny = TimeSeries(df, kind="time").seasonal_profile(
+        tz="America/New_York").collect()[0]
+    assert (utc["dow"], utc["hod"]) == (4, 0)
+    assert (ny["dow"], ny["hod"]) == (3, 19)
