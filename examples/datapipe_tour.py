@@ -68,6 +68,27 @@ def main() -> None:
         embs, dim=64, threshold=0.9, nbits=4)
     print("high-cosine embedding pairs:", pairs.count())
 
+    # 7. chunk-level dedup (C4/CCNet line dedup on word windows)
+    cd = dedup.chunk_dedup(docs, chunk_words=20)
+    print("docs surviving chunk dedup:", cd.count(), "of", n0)
+
+    # 8. CCNet head/middle/tail quality split
+    buckets = textstats.ccnet_buckets(docs)
+    print("quality buckets:", {r["bucket"]: r["count"] for r in
+                               buckets.groupBy("bucket").count().collect()})
+
+    # 9. SemDeDup on the embedding table
+    sem = similarity.semantic_dedup(embs, n_cells=8, threshold=0.9)
+    print("semantic survivors:", sem.where("kept = 1").count(),
+          "of", sem.count())
+
+    # 10. deterministic train/val/test assignment + corpus card
+    splits = sampling.assign_splits(
+        docs, {"train": 0.98, "val": 0.01, "test": 0.01})
+    print("splits:", {r["split"]: r["count"] for r in
+                      splits.groupBy("split").count().collect()})
+    corpus.corpus_report(docs).show()
+
     spark.stop()
 
 
