@@ -1196,6 +1196,17 @@ def q_rate_counter_wrap(spark, sf_dir):
         (F.round("value_rate", 6) + F.lit(0.0)).alias("value_rate"))
 
 
+def q_stream_gaps(spark, sf_dir):
+    """Streaming twin of gaps_per_user (streaming/stream.py::stream_gaps):
+    one long of state per key, availableNow drain; identical output
+    columns, so the DuckDB oracle is the same SQL as the batch query's."""
+    from pypond_spark.streaming import stream_gaps
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_gaps(sdf, "4h", partition_by=["user_id"])
+    result = _run_stream_32(spark, out, "append")
+    return result.select("user_id", "gap_start_ms", "gap_end_ms", "gap_ms")
+
+
 def q_assign_splits(spark, sf_dir):
     """Deterministic train/val/test assignment (sampling.py::
     assign_splits): hash-range cut of the unit interval, stable under
@@ -1313,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_counter_wrap": q_rate_counter_wrap,
         "assign_splits": q_assign_splits,
         "corpus_report": q_corpus_report,
+        "stream_gaps_4h": q_stream_gaps,
     }
 
 
@@ -1321,6 +1333,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _POS_1H = "CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)"
+
+# shared by the batch and streaming gap queries (identical semantics)
+_GAPS_SQL = """
+    SELECT user_id, prev_ms AS gap_start_ms, ms AS gap_end_ms,
+           ms - prev_ms AS gap_ms
+    FROM (
+      SELECT user_id, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts) AS prev_ms
+      FROM events)
+    WHERE ms - prev_ms > 14400000
+"""
 
 _NULLIFIED = ("SELECT event_id, user_id, epoch_ms(ts) AS ms, "
               "CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v "
@@ -2678,16 +2702,8 @@ def oracle_sql() -> dict[str, str]:
                          6) AS v_filled
             FROM base
         """,
-        "gaps_per_user": """
-            SELECT user_id, prev_ms AS gap_start_ms, ms AS gap_end_ms,
-                   ms - prev_ms AS gap_ms
-            FROM (
-              SELECT user_id, epoch_ms(ts) AS ms,
-                     lag(epoch_ms(ts)) OVER (PARTITION BY user_id
-                                             ORDER BY ts) AS prev_ms
-              FROM events)
-            WHERE ms - prev_ms > 14400000
-        """,
+        "gaps_per_user": _GAPS_SQL,
+        "stream_gaps_4h": _GAPS_SQL,
         "ohlc_hourly": f"""
             WITH r AS (
               SELECT event_type, value, {_POS_1H} AS pos,
