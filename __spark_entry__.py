@@ -1207,6 +1207,21 @@ def q_stream_gaps(spark, sf_dir):
     return result.select("user_id", "gap_start_ms", "gap_end_ms", "gap_ms")
 
 
+def q_funnel_signup(spark, sf_dir):
+    """Funnel progression signup -> click -> purchase within 7 days of
+    signup (operators/funnel.py::funnel_steps): one bounded per-entity
+    aggregation per step, each step's events pre-filtered at the scan."""
+    ts = _events_ts(spark, sf_dir)
+    return ts.funnel(["signup", "click", "purchase"], within="7d")
+
+
+def q_retention_daily(spark, sf_dir):
+    """Daily cohort retention (operators/funnel.py::retention_cohorts):
+    first-seen day x activity-day offset matrix, two bounded aggs."""
+    ts = _events_ts(spark, sf_dir)
+    return ts.retention(period="1d", horizon=30)
+
+
 def q_assign_splits(spark, sf_dir):
     """Deterministic train/val/test assignment (sampling.py::
     assign_splits): hash-range cut of the unit interval, stable under
@@ -1325,6 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_splits": q_assign_splits,
         "corpus_report": q_corpus_report,
         "stream_gaps_4h": q_stream_gaps,
+        "funnel_signup": q_funnel_signup,
+        "retention_daily": q_retention_daily,
     }
 
 
@@ -2942,6 +2959,43 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5('0|' || doc_id::VARCHAR),
                                          1, 8))::BIGINT / 4294967296.0 AS h
                   FROM documents)
+        """,
+        "funnel_signup": """
+            WITH s1 AS (
+              SELECT user_id, min(epoch_ms(ts)) AS t1_ms
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+              SELECT s1.user_id, s1.t1_ms,
+                     min(CASE WHEN epoch_ms(c.ts) > s1.t1_ms
+                              AND epoch_ms(c.ts) <= s1.t1_ms + 604800000
+                              THEN epoch_ms(c.ts) END) AS t2_ms
+              FROM s1 LEFT JOIN events c
+                ON c.user_id = s1.user_id AND c.event_type = 'click'
+              GROUP BY s1.user_id, s1.t1_ms
+            ), s3 AS (
+              SELECT s2.user_id, s2.t1_ms, s2.t2_ms,
+                     min(CASE WHEN epoch_ms(p.ts) > s2.t2_ms
+                              AND epoch_ms(p.ts) <= s2.t1_ms + 604800000
+                              THEN epoch_ms(p.ts) END) AS t3_ms
+              FROM s2 LEFT JOIN events p
+                ON p.user_id = s2.user_id AND p.event_type = 'purchase'
+              GROUP BY s2.user_id, s2.t1_ms, s2.t2_ms
+            )
+            SELECT user_id, t1_ms, t2_ms, t3_ms FROM s3
+        """,
+        "retention_daily": """
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS d
+              FROM events
+            ), f AS (
+              SELECT user_id, min(d) AS cohort FROM p GROUP BY user_id
+            )
+            SELECT f.cohort, p.d - f.cohort AS "offset",
+                   count(DISTINCT p.user_id) AS n_active
+            FROM p JOIN f USING (user_id)
+            WHERE p.d - f.cohort <= 30
+            GROUP BY 1, 2
         """,
         "corpus_report": """
             WITH per AS (

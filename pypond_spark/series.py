@@ -32,6 +32,8 @@ from .operators.align import align as align_op
 from .operators.correlate import series_correlation as correlate_op
 from .operators.downsample import m4 as m4_op
 from .operators.fill import fill as fill_op
+from .operators.funnel import funnel_steps as funnel_op
+from .operators.funnel import retention_cohorts as retention_op
 from .operators.gaps import find_gaps as gaps_op
 from .operators.rate import rate as rate_op
 from .operators.histogram import histogram as histogram_op
@@ -498,6 +500,25 @@ class TimeSeries:
             raise ValueError("m4_downsample expects instant-event input")
         return self._with(m4_op(self._df, window, field, partition_by,
                                 self.time_col, tiebreak))
+
+    def funnel(self, steps: Sequence, step_col: str = "event_type",
+               entity_col: str = "user_id",
+               within: str | None = None):
+        """First completion time of each funnel step in order, per entity
+        (see ``operators.funnel``). Returns a plain DataFrame."""
+        if self._kind != "time":
+            raise ValueError("funnel expects instant-event input")
+        return funnel_op(self._df, steps, step_col, entity_col, within,
+                         self.time_col)
+
+    def retention(self, entity_col: str = "user_id", period: str = "1d",
+                  horizon: int = 30):
+        """Cohort retention matrix (see ``operators.funnel``). Returns a
+        plain DataFrame of ``cohort, offset, n_active``."""
+        if self._kind != "time":
+            raise ValueError("retention expects instant-event input")
+        return retention_op(self._df, entity_col, period, horizon,
+                            self.time_col)
 
     def cumulative(self, aggregation: dict,
                    partition_by: Sequence[str] = (),

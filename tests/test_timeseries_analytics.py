@@ -213,3 +213,52 @@ def test_seasonal_profile_tz(spark):
         tz="America/New_York").collect()[0]
     assert (utc["dow"], utc["hod"]) == (4, 0)
     assert (ny["dow"], ny["hod"]) == (3, 19)
+
+
+def _typed_ts(spark, rows):
+    df = spark.createDataFrame(
+        rows, "ms long, user long, event_type string"
+    ).select(F.timestamp_millis("ms").alias("time"), "user", "event_type")
+    return TimeSeries(df, kind="time")
+
+
+def test_funnel_steps_order_and_window(spark):
+    H = 3_600_000
+    rows = [
+        # user 1 completes A -> B -> C in order
+        (0, 1, "A"), (1 * H, 1, "B"), (2 * H, 1, "C"),
+        # user 2 did B BEFORE A: step 2 must not count it
+        (0, 2, "B"), (1 * H, 2, "A"),
+        # user 3 completes B but outside the within-window
+        (0, 3, "A"), (30 * 24 * H, 3, "B"),
+        # user 4 never did A: absent from the funnel
+        (0, 4, "B"),
+    ]
+    out = {r["user"]: (r["t1_ms"], r["t2_ms"], r["t3_ms"])
+           for r in _typed_ts(spark, rows).funnel(
+               ["A", "B", "C"], entity_col="user", within="7d").collect()}
+    assert out[1] == (0, H, 2 * H)
+    assert out[2] == (H, None, None)
+    assert out[3] == (0, None, None)
+    assert 4 not in out
+
+
+def test_funnel_requires_two_steps(spark):
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        _typed_ts(spark, [(0, 1, "A")]).funnel(["A"], entity_col="user")
+
+
+def test_retention_cohorts(spark):
+    D = 86_400_000
+    rows = [
+        (0, 1, "x"), (1 * D, 1, "x"), (3 * D, 1, "x"),   # cohort 0
+        (0, 2, "x"), (1 * D, 2, "x"),                     # cohort 0
+        (1 * D, 3, "x"), (2 * D, 3, "x"),                 # cohort 1
+    ]
+    out = {(r["cohort"], r["offset"]): r["n_active"]
+           for r in _typed_ts(spark, rows).retention(
+               entity_col="user", period="1d").collect()}
+    assert out[(0, 0)] == 2 and out[(0, 1)] == 2 and out[(0, 3)] == 1
+    assert out[(1, 0)] == 1 and out[(1, 1)] == 1
+    assert (0, 2) not in out
