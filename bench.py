@@ -71,6 +71,10 @@ HEADLINE = [
     "m4_hourly",
     "ccnet_buckets",
     "rate_counter_wrap",
+    "assign_splits",
+    "corpus_report",
+    "funnel_signup",
+    "retention_daily",
 ]
 
 

@@ -13,4 +13,4 @@ from .session import get_spark
 from .plans import Pipeline
 
 __all__ = ["TimeSeries", "TimeRange", "Index", "Pipeline", "get_spark"]
-__version__ = "0.1.0"
+__version__ = "0.3.0"
