@@ -1207,6 +1207,23 @@ def q_stream_gaps(spark, sf_dir):
     return result.select("user_id", "gap_start_ms", "gap_end_ms", "gap_ms")
 
 
+def q_expectations(spark, sf_dir):
+    """Data-quality expectation report (datapipe/validate.py): every rule
+    is a conditional count in ONE global aggregate — a single scan, zero
+    shuffles — plus the digest-keyed uniqueness row."""
+    from pypond_spark.datapipe import validate as dp_val
+    ev = _read(spark, sf_dir, "events")
+    report = dp_val.expect(ev, {
+        "value_not_null": F.col("value").isNotNull(),
+        "value_in_range": (F.col("value") >= 0) & (F.col("value") < 10000),
+        "known_event_type": F.col("event_type").isin(
+            "click", "view", "signup", "purchase", "error"),
+        "ts_in_2024": F.year("ts") == 2024,
+    })
+    uniq = dp_val.expect_unique(ev, "event_id")
+    return report.unionByName(uniq)
+
+
 def q_funnel_signup(spark, sf_dir):
     """Funnel progression signup -> click -> purchase within 7 days of
     signup (operators/funnel.py::funnel_steps): one bounded per-entity
@@ -1342,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_gaps_4h": q_stream_gaps,
         "funnel_signup": q_funnel_signup,
         "retention_daily": q_retention_daily,
+        "expectations": q_expectations,
     }
 
 
@@ -2959,6 +2977,36 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5('0|' || doc_id::VARCHAR),
                                          1, 8))::BIGINT / 4294967296.0 AS h
                   FROM documents)
+        """,
+        "expectations": """
+            WITH agg AS (
+              SELECT count(*) AS n_rows,
+                     sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                       AS v_null,
+                     sum(CASE WHEN NOT coalesce(value >= 0
+                                                AND value < 10000, FALSE)
+                              THEN 1 ELSE 0 END) AS v_range,
+                     sum(CASE WHEN NOT coalesce(event_type IN
+                              ('click','view','signup','purchase','error'),
+                              FALSE) THEN 1 ELSE 0 END) AS v_type,
+                     sum(CASE WHEN NOT coalesce(year(ts) = 2024, FALSE)
+                              THEN 1 ELSE 0 END) AS v_year
+              FROM events
+            ), uniq AS (
+              SELECT sum(c) AS n_rows, sum(c - 1) AS n_violations
+              FROM (SELECT count(*) AS c FROM events GROUP BY event_id)
+            )
+            SELECT 'value_not_null' AS rule, n_rows,
+                   v_null AS n_violations, v_null = 0 AS "pass" FROM agg
+            UNION ALL
+            SELECT 'value_in_range', n_rows, v_range, v_range = 0 FROM agg
+            UNION ALL
+            SELECT 'known_event_type', n_rows, v_type, v_type = 0 FROM agg
+            UNION ALL
+            SELECT 'ts_in_2024', n_rows, v_year, v_year = 0 FROM agg
+            UNION ALL
+            SELECT 'unique_event_id', n_rows, n_violations,
+                   n_violations = 0 FROM uniq
         """,
         "funnel_signup": """
             WITH s1 AS (

@@ -1,0 +1,63 @@
+"""Data-quality expectation checks — the validation gate of a pipeline.
+
+Before a corpus (or an event feed) flows downstream, a pipeline asserts
+expectations: required columns non-null, values in range, keys unique,
+categories in a known set. This module evaluates a rule set in ONE pass
+and returns a violations summary — the "expectations report" that gates
+promotion of a dataset version.
+
+Scale: every rule is a column predicate, so the whole report is a single
+scan with map-side partial counts (one conditional sum per rule) — no
+shuffle at all for row-level rules; the uniqueness rule adds one
+digest-keyed aggregation, the only key-shaped work in the report.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def expect(df: DataFrame, rules: Mapping[str, Column | str]) -> DataFrame:
+    """Evaluate named expectations; each rule is a Column/SQL predicate
+    that should hold for EVERY row.
+
+    Output: one row per rule — ``rule, n_rows, n_violations, pass``
+    (``pass`` iff no violations). NULL predicate results count as
+    violations (an expectation that cannot be evaluated did not hold).
+
+    One scan, zero shuffles: all rules are conditional counts in a single
+    global aggregate.
+    """
+    if not rules:
+        raise ValueError("expect() needs at least one rule")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules.items():
+        p = F.expr(pred) if isinstance(pred, str) else pred
+        aggs.append(
+            F.sum(F.when(~F.coalesce(p, F.lit(False)), 1).otherwise(0))
+            .alias(name))
+    row = df.agg(*aggs)
+    pairs = [
+        F.struct(F.lit(name).alias("rule"),
+                 F.col(name).alias("n_violations"))
+        for name in rules]
+    return (row.select(F.col("__n").alias("n_rows"),
+                       F.explode(F.array(*pairs)).alias("r"))
+            .select(F.col("r.rule").alias("rule"), "n_rows",
+                    F.col("r.n_violations").alias("n_violations"),
+                    (F.col("r.n_violations") == 0).alias("pass")))
+
+
+def expect_unique(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Uniqueness expectation: ``rule, n_rows, n_violations, pass`` where
+    violations = rows beyond the first per key. One digest-keyed
+    aggregation (uniform key), output is a single row."""
+    per = df.groupBy(key_col).count()
+    return (per.agg(F.sum("count").alias("n_rows"),
+                    F.sum(F.col("count") - 1).alias("n_violations"))
+            .select(F.lit(f"unique_{key_col}").alias("rule"), "n_rows",
+                    "n_violations",
+                    (F.col("n_violations") == 0).alias("pass")))

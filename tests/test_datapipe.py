@@ -622,3 +622,27 @@ def test_semantic_dedup_bounded_pairs(spark, embs):
     assert len(rows) == embs.count()          # one verdict per vector
     assert {r["kept"] for r in rows} <= {0, 1}
     assert len({r["cell"] for r in rows}) <= 8
+
+
+def test_expectations(spark):
+    from pypond_spark.datapipe import validate as V
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -1.0, "a"), (3, None, "b"), (3, 7.0, "zz")],
+        "id long, v double, cat string")
+    rep = {r["rule"]: (r["n_violations"], r["pass"])
+           for r in V.expect(df, {
+               "v_not_null": F.col("v").isNotNull(),
+               "v_nonneg": F.col("v") >= 0,      # NULL counts as violation
+               "known_cat": F.col("cat").isin("a", "b"),
+           }).collect()}
+    assert rep["v_not_null"] == (1, False)
+    assert rep["v_nonneg"] == (2, False)         # -1 and the NULL row
+    assert rep["known_cat"] == (1, False)
+    uniq = V.expect_unique(df, "id").collect()[0]
+    assert (uniq["n_violations"], uniq["pass"]) == (1, False)
+    clean = V.expect(df.where("v = 5.0"),
+                     {"v_nonneg": F.col("v") >= 0}).collect()[0]
+    assert clean["pass"] is True
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        V.expect(df, {})
