@@ -481,3 +481,23 @@ def test_stream_zscore_equal_ts_across_batches(spark, tmp_path):
         for r in bz.collect())
     assert zs == expected
     assert all(z is None for t, v, z in zs if t == 100_000)
+
+
+def test_stream_ohlc_via_tiebroken_agg_spec(spark, stream_dir):
+    """The ('first'|'last', tiebreak) agg-spec tuples compile in streaming
+    aggregation too - OHLC per window on a stream."""
+    sdf = _read_stream(spark, stream_dir).withColumn(
+        "seq", F.unix_millis("time"))
+    out, mode = windowed_stream_aggregate(
+        sdf, {"open": {"value": ("first", "seq")},
+              "high": {"value": "max"}, "low": {"value": "min"},
+              "close": {"value": ("last", "seq")}},
+        window="2m", group_by="user", emit_on="flush")
+    rows = run_available_now(out, mode).collect()
+    got = {(r["begin"].isoformat(), r["user"]):
+           (r["open"], r["high"], r["low"], r["close"]) for r in rows}
+    # user a window [0,2m): 100 (t=0), 130 (30s), None (60s), 220 (90s)
+    assert got[("1970-01-01T00:00:00", "a")] == (100.0, 220.0, 100.0, 220.0)
+    assert got[("1970-01-01T00:02:00", "a")] == (160.0, 160.0, 160.0, 160.0)
+    # user b window [0,2m): 10 (t=0), 40 (60s)
+    assert got[("1970-01-01T00:00:00", "b")] == (10.0, 40.0, 10.0, 40.0)
