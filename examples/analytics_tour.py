@@ -1,0 +1,73 @@
+"""Tour of the timeseries analytics tier, end to end on sf0.001 events.
+
+Run: python examples/analytics_tour.py
+
+Every operator below is oracle-checked through the driver contract
+(__spark_entry__.py); this script strings them together the way an
+ops/product-analytics session would.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pypond_spark import TimeSeries, get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark("analytics_tour", master="local[4]",
+                      shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .withColumnRenamed("ts", "time"))
+    ts = TimeSeries(df, kind="time")
+
+    # 1. outage detection: where did each user go silent for > 4h?
+    gaps = ts.find_gaps("4h", partition_by=["user_id"])
+    print("silences > 4h:", gaps.count(),
+          "| longest:", gaps.agg(F.max("gap_ms")).first()[0] // 3_600_000,
+          "hours")
+
+    # 2. OHLC per hour per event type (deterministic tiebreaks)
+    ohlc = ts.ohlc_rollup("1h", group_by="event_type",
+                          tiebreak="event_id")
+    ohlc.df.orderBy("index", "event_type").show(3)
+
+    # 3. seasonal rhythm + profile-relative anomalies
+    anom = ts.seasonal_anomaly("value", partition_by=["event_type"])
+    worst = (anom.df.where("deviation IS NOT NULL")
+             .orderBy(F.desc(F.abs("deviation"))).first())
+    print(f"most seasonal-anomalous event: id={worst['event_id']} "
+          f"deviation={worst['deviation']:.2f}")
+
+    # 4. do clicks and views move together day by day?
+    corr = ts.series_correlation("event_type", "click", "view",
+                                 bucket="1h", window="1d")
+    print("daily click/view correlation range:",
+          [round(x, 3) for x in corr.agg(F.min("r"), F.max("r")).first()])
+
+    # 5. M4 downsampling: the points a pixel-perfect chart needs
+    m4 = ts.m4_downsample("1h", partition_by=["event_type"],
+                          tiebreak="event_id")
+    print("chart points kept:", m4.df.count(), "of", ts.size())
+
+    # 6. funnel: signup -> click -> purchase within 7 days
+    fun = ts.funnel(["signup", "click", "purchase"], within="7d")
+    steps = fun.agg(F.count("t1_ms"), F.count("t2_ms"),
+                    F.count("t3_ms")).first()
+    print("funnel signup -> click -> purchase:", list(steps))
+
+    # 7. daily retention cohorts
+    ret = ts.retention(period="1d", horizon=7)
+    ret.orderBy("cohort", "offset").show(8)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
