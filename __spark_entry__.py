@@ -1207,6 +1207,16 @@ def q_stream_gaps(spark, sf_dir):
     return result.select("user_id", "gap_start_ms", "gap_end_ms", "gap_ms")
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Corpus-relative bigram fluency (textstats.py::bigram_logprob):
+    the n-gram LM step up from unigram_logprob, same two-pass shape —
+    bigram/context counts on uniform keys, scoring joins co-partition."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_text.bigram_logprob(docs)
+    return out.select("doc_id", "n_bigrams",
+                      F.round("mean_logprob", 6).alias("mean_logprob"))
+
+
 def q_expectations(spark, sf_dir):
     """Data-quality expectation report (datapipe/validate.py): every rule
     is a conditional count in ONE global aggregate — a single scan, zero
@@ -1360,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_signup": q_funnel_signup,
         "retention_daily": q_retention_daily,
         "expectations": q_expectations,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -2977,6 +2988,40 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5('0|' || doc_id::VARCHAR),
                                          1, 8))::BIGINT / 4294967296.0 AS h
                   FROM documents)
+        """,
+        "bigram_logprob": """
+            WITH arr AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         list_filter(string_split_regex(trim(text),
+                                                        '\\s+'),
+                                     x -> x != ''),
+                         x -> regexp_replace(lower(x),
+                             '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                       x -> x != '') AS a
+              FROM documents
+            ), bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(a) - 1),
+                         i -> a[i] || ' ' || a[i + 1])) AS bg
+              FROM arr WHERE len(a) >= 2
+            ), c AS (
+              SELECT bg, count(*) AS cb FROM bg GROUP BY bg
+            ), ctx AS (
+              SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cc
+              FROM c GROUP BY 1
+            ), v AS (
+              SELECT count(DISTINCT x) AS nv
+              FROM (SELECT unnest(a) AS x FROM arr) WHERE x != ''
+            )
+            SELECT bg.doc_id, count(*) AS n_bigrams,
+                   round(avg(log2((c.cb + 1.0) / (ctx.cc + 1.0 * v.nv))),
+                         6) AS mean_logprob
+            FROM bg JOIN c USING (bg)
+            JOIN ctx ON split_part(bg.bg, ' ', 1) = ctx.w1
+            CROSS JOIN v
+            GROUP BY bg.doc_id
         """,
         "expectations": """
             WITH agg AS (

@@ -487,3 +487,50 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text",
                   .otherwise("tail"))
     return scored.select(id_col, "n_tokens", "score",
                          bucket.alias("bucket"))
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", alpha: float = 1.0) -> DataFrame:
+    """Per-document mean bigram log2-probability under the corpus's own
+    bigram distribution — the n-gram step up from
+    :func:`unigram_logprob`, proving out the same two-pass shape:
+
+    ``p(w2 | w1) = (c(w1 w2) + alpha) / (ctx(w1) + alpha * V)`` with
+    ``ctx(w1)`` = bigrams starting with ``w1`` and ``V`` = corpus
+    vocabulary size; score = mean log2 p over the document's bigrams.
+    Documents with fewer than two tokens have no bigrams and are absent
+    from the output (mirrored by the oracle).
+
+    Shuffle inventory (all uniform keys): bigram counts, context counts
+    (vocabulary-sized), and the two scoring joins back on those keys; the
+    training constants travel as one scalar action. At warehouse scale
+    the count tables co-partition with the scoring join on the same keys.
+    """
+    arr = _match_tokens(text_col)
+    arr = F.filter(arr, lambda t: t != F.lit(""))
+    n = F.size(arr)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(arr, i),
+                              F.element_at(arr, i + 1)))
+    bg = (spread(df).where(n >= 2)
+          .select(F.col(id_col), F.explode(bigrams).alias("bg")))
+    counts = bg.groupBy("bg").agg(F.count("*").alias("__cb"))
+    counts = counts.localCheckpoint()  # vocabulary^2-bounded, reused twice
+    ctx = (counts
+           .groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+                    .alias("__w1"))
+           .agg(F.sum("__cb").alias("__cc")))
+    vocab = (spread(df)
+             .select(F.explode(arr).alias("tok"))
+             .where(F.col("tok") != "")
+             .agg(F.count_distinct("tok")).first()[0])
+    lp = F.log2((F.col("__cb") + F.lit(float(alpha)))
+                / (F.col("__cc") + F.lit(float(alpha * vocab))))
+    scored = (bg.join(counts, "bg")
+              .withColumn("__w1",
+                          F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+              .join(ctx, "__w1"))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.avg(lp).alias("mean_logprob")))

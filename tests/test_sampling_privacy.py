@@ -306,3 +306,16 @@ def test_assign_splits(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         assign_splits(df, {"train": 0.5, "val": 0.1})
+
+
+def test_bigram_logprob(spark):
+    from pypond_spark.datapipe.textstats import bigram_logprob
+    # "a b" appears in every doc; doc 3's "zq xv" bigram is unique -> lower
+    rows = [(0, "a b a b a b"), (1, "a b a b"), (2, "a b"),
+            (3, "zq xv a b"), (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert 4 not in out                      # single-token doc: no bigrams
+    assert out[2]["n_bigrams"] == 1
+    assert out[0]["n_bigrams"] == 5          # a-b, b-a, a-b, b-a, a-b
+    assert out[3]["mean_logprob"] < out[2]["mean_logprob"]
