@@ -1249,6 +1249,25 @@ def q_retention_daily(spark, sf_dir):
     return ts.retention(period="1d", horizon=30)
 
 
+def q_stream_cumsum(spark, sf_dir):
+    """Streaming twin of cumsum_by_user (streaming/stream.py::
+    stream_cumulative): running sum/max/count with CONSTANT per-key state
+    (four floats per input column), availableNow drain; the sequential
+    accumulation order matches the batch ROWS frame, so the DuckDB
+    oracle is the identical SQL."""
+    from pypond_spark.streaming import stream_cumulative
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_cumulative(
+        sdf, {"v_cum": {"value": "sum"}, "v_runmax": {"value": "max"},
+              "n_seen": {"value": "count"}},
+        partition_by=["user_id"], tiebreak="event_id",
+        carry_cols=["event_id"])
+    result = _run_stream_32(spark, out, "append")
+    return result.select("event_id", "user_id", "t_ms",
+                         F.round("v_cum", 6).alias("v_cum"),
+                         "v_runmax", "n_seen")
+
+
 def q_assign_splits(spark, sf_dir):
     """Deterministic train/val/test assignment (sampling.py::
     assign_splits): hash-range cut of the unit interval, stable under
@@ -1367,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_splits": q_assign_splits,
         "corpus_report": q_corpus_report,
         "stream_gaps_4h": q_stream_gaps,
+        "stream_cumsum": q_stream_cumsum,
         "funnel_signup": q_funnel_signup,
         "retention_daily": q_retention_daily,
         "expectations": q_expectations,
@@ -1379,6 +1399,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _POS_1H = "CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)"
+
+# shared by the batch and streaming cumulative queries
+_CUMSUM_SQL = """
+    SELECT event_id, user_id, epoch_ms(ts) AS t_ms,
+           round(sum(value) OVER w, 6) AS v_cum,
+           max(value) OVER w AS v_runmax,
+           count(value) OVER w AS n_seen
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+"""
 
 # shared by the batch and streaming gap queries (identical semantics)
 _GAPS_SQL = """
@@ -2879,15 +2910,8 @@ def oracle_sql() -> dict[str, str]:
               ON a.dig = b.dig AND a.source < b.source
             GROUP BY 1, 2
         """,
-        "cumsum_by_user": """
-            SELECT event_id, user_id, epoch_ms(ts) AS t_ms,
-                   round(sum(value) OVER w, 6) AS v_cum,
-                   max(value) OVER w AS v_runmax,
-                   count(value) OVER w AS n_seen
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING)
-        """,
+        "cumsum_by_user": _CUMSUM_SQL,
+        "stream_cumsum": _CUMSUM_SQL,
         "top_movers": """
             WITH d AS (
               SELECT strftime(ts, '%Y-%m-%d') AS "index", event_type,

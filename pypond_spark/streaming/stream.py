@@ -256,6 +256,117 @@ def stream_gaps(
     return out.drop("__k") if dummy else out
 
 
+def _cum_state_fn(rows_spec, keys: list[str], time_col: str,
+                  tiebreak: str | None, carry: list[str]):
+    in_cols = list(dict.fromkeys(r[1] for r in rows_spec))
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        # state per input column: (sum, count, min, max) over VALID values
+        if state.exists:
+            st = list(state.get)
+            acc = {c: list(st[4 * i:4 * i + 4])
+                   for i, c in enumerate(in_cols)}
+        else:
+            acc = {c: [0.0, 0, None, None] for c in in_cols}
+        pdf = _whole_group(pdfs, time_col,
+                           (tiebreak,) if tiebreak else ())
+        outs = []
+        for _, row in pdf.iterrows():
+            for c in in_cols:
+                v = row[c]
+                if not pd.isna(v):
+                    a = acc[c]
+                    v = float(v)
+                    a[0] += v
+                    a[1] += 1
+                    a[2] = v if a[2] is None else min(a[2], v)
+                    a[3] = v if a[3] is None else max(a[3], v)
+            rec = list(key) + [int(row[time_col].value // 10 ** 6)]
+            rec += [row[c] for c in carry]
+            for _out, in_col, func, _flt in rows_spec:
+                a = acc[in_col]
+                if func == "count":
+                    rec.append(a[1])
+                elif a[1] == 0:
+                    rec.append(None)
+                elif func == "sum":
+                    rec.append(a[0])
+                elif func in ("avg", "mean"):
+                    rec.append(a[0] / a[1])
+                elif func == "min":
+                    rec.append(a[2])
+                else:  # max
+                    rec.append(a[3])
+            outs.append(rec)
+        flat = []
+        for c in in_cols:
+            flat.extend(acc[c])
+        state.update(tuple(flat))
+        cols = (keys + ["t_ms"] + list(carry) + [r[0] for r in rows_spec])
+        yield pd.DataFrame(outs, columns=cols)
+
+    return fn
+
+
+_CUM_FUNCS = {"sum", "count", "min", "max", "avg", "mean"}
+
+
+def stream_cumulative(
+    sdf: DataFrame,
+    aggregation: dict,
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+    tiebreak: str | None = None,
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Cross-batch running aggregates: the streaming twin of
+    ``operators.rolling.cumulative`` for the reducers whose running state
+    is CONSTANT size (sum/count/min/max/avg) — four floats per input
+    column per key, flat in throughput, unlike the buffer-window state of
+    ``stream_rolling``. NULL/NaN samples are skipped (ignore_missing),
+    matching the batch operator; ``count`` counts valid values.
+
+    Output: series keys, ``t_ms``, carry columns, one column per spec
+    entry (NULL until the first valid sample, count 0).
+    """
+    from ..functions import normalize_agg_spec
+    rows_spec = []
+    for out, in_col, func, flt in normalize_agg_spec(aggregation):
+        if func not in _CUM_FUNCS:
+            raise ValueError(
+                f"stream_cumulative supports {sorted(_CUM_FUNCS)} "
+                f"(constant running state), got {func!r} for {out!r}")
+        if flt not in ("ignore_missing", "keep_missing"):
+            raise ValueError(
+                f"stream_cumulative supports ignore_missing only, got "
+                f"{flt!r} for {out!r}")
+        rows_spec.append((out, in_col, func, flt))
+    carry = list(carry_cols)
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
+    in_cols = list(dict.fromkeys(r[1] for r in rows_spec))
+    key_fields = [sdf.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields
+        + [T.StructField("t_ms", T.LongType())]
+        + [sdf.schema[c] for c in carry]
+        + [T.StructField(r[0], T.LongType() if r[2] == "count"
+                         else T.DoubleType()) for r in rows_spec])
+    state_fields = []
+    for i, c in enumerate(in_cols):
+        state_fields += [
+            T.StructField(f"s{i}", T.DoubleType()),
+            T.StructField(f"c{i}", T.LongType()),
+            T.StructField(f"mn{i}", T.DoubleType()),
+            T.StructField(f"mx{i}", T.DoubleType())]
+    out = sdf.groupBy(*keys).applyInPandasWithState(
+        _cum_state_fn(rows_spec, keys, time_col, tiebreak, carry),
+        outputStructType=out_schema,
+        stateStructType=T.StructType(state_fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out
+
+
 def _align_state_fn(fields: list[str], keys: list[str], time_col: str,
                     dur_ms: int, method: str, limit: int | None):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):

@@ -501,3 +501,36 @@ def test_stream_ohlc_via_tiebroken_agg_spec(spark, stream_dir):
     assert got[("1970-01-01T00:02:00", "a")] == (160.0, 160.0, 160.0, 160.0)
     # user b window [0,2m): 10 (t=0), 40 (60s)
     assert got[("1970-01-01T00:00:00", "b")] == (10.0, 40.0, 10.0, 40.0)
+
+
+def test_stream_cumulative_matches_batch(spark, stream_dir):
+    """Running sum/max/count across micro-batches == batch cumulative
+    (constant per-key state: four floats per input column)."""
+    from pypond_spark import TimeSeries
+    from pypond_spark.streaming import stream_cumulative
+    sdf = _read_stream(spark, stream_dir)
+    spec = {"v_cum": {"value": "sum"}, "v_runmax": {"value": "max"},
+            "n_seen": {"value": "count"}}
+    streamed = run_available_now(
+        stream_cumulative(sdf, spec, partition_by=["user"]),
+        "append").collect()
+    got = {(r["user"], r["t_ms"]): (r["v_cum"], r["v_runmax"], r["n_seen"])
+           for r in streamed}
+    batch_df = (spark.read.schema(SCHEMA).json(str(stream_dir))
+                .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+                .drop("t_ms"))
+    batch = TimeSeries(batch_df, kind="time").cumulative(
+        spec, partition_by=["user"]).df.collect()
+    expected = {(r["user"], int(r["time"].timestamp() * 1000)):
+                (r["v_cum"], r["v_runmax"], r["n_seen"]) for r in batch}
+    assert got == expected
+    # the NULL-value row keeps the prior running values (skip semantics)
+    assert got[("a", 60_000)] == (230.0, 130.0, 2)
+
+
+def test_stream_cumulative_rejects_buffer_reducers(spark, stream_dir):
+    from pypond_spark.streaming import stream_cumulative
+    sdf = _read_stream(spark, stream_dir)
+    with pytest.raises(ValueError):
+        stream_cumulative(sdf, {"m": {"value": "median"}},
+                          partition_by=["user"])
