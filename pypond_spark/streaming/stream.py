@@ -1012,3 +1012,25 @@ class StreamPipeline:
     def fill_pad(self, field_spec="value") -> DataFrame:
         return stream_fill_pad(self._sdf, field_spec, self._groups,
                                self._time_col)
+
+    def rolling(self, window: str, aggregation: dict,
+                carry_cols: Sequence[str] = ()) -> DataFrame:
+        return stream_rolling(self._sdf, window, aggregation,
+                              self._groups, self._time_col, carry_cols)
+
+    def zscore(self, field_spec="value", window: str = "10m",
+               threshold: float = 3.0,
+               carry_cols: Sequence[str] = ()) -> DataFrame:
+        return stream_zscore(self._sdf, field_spec, window, self._groups,
+                             self._time_col, threshold, carry_cols)
+
+    def ewma(self, field_spec="value", alpha: float = 0.5,
+             tiebreak: str | None = None,
+             carry_cols: Sequence[str] = ()) -> DataFrame:
+        return stream_ewma(self._sdf, field_spec, alpha, self._groups,
+                           self._time_col, tiebreak, carry_cols)
+
+    def cumulative(self, aggregation: dict, tiebreak: str | None = None,
+                   carry_cols: Sequence[str] = ()) -> DataFrame:
+        return stream_cumulative(self._sdf, aggregation, self._groups,
+                                 self._time_col, tiebreak, carry_cols)

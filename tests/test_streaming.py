@@ -534,3 +534,21 @@ def test_stream_cumulative_rejects_buffer_reducers(spark, stream_dir):
     with pytest.raises(ValueError):
         stream_cumulative(sdf, {"m": {"value": "median"}},
                           partition_by=["user"])
+
+
+def test_stream_pipeline_stateful_methods(spark, stream_dir):
+    """The fluent StreamPipeline exposes every stateful operator."""
+    sdf = _read_stream(spark, stream_dir)
+    pipe = StreamPipeline(sdf).group_by("user")
+    cum = run_available_now(
+        pipe.cumulative({"c": {"value": "sum"}}), "append").collect()
+    assert {(r["user"], r["t_ms"]): r["c"] for r in cum}[
+        ("a", 120_000)] == 610.0
+    roll = run_available_now(
+        pipe.rolling("1m", {"m": {"value": "max"}}), "append").collect()
+    assert len(roll) == 7
+    z = run_available_now(pipe.zscore("value", "10m"), "append").collect()
+    assert len(z) == 7
+    # only user b's 60s silence exceeds 45s (user a ticks every 30s)
+    gaps = run_available_now(pipe.find_gaps("45s"), "append").collect()
+    assert [(r["user"], r["gap_ms"]) for r in gaps] == [("b", 60_000)]
