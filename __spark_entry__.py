@@ -1249,6 +1249,14 @@ def q_retention_daily(spark, sf_dir):
     return ts.retention(period="1d", horizon=30)
 
 
+def q_value_heatmap(spark, sf_dir):
+    """Time x value heatmap per day (operators/histogram.py::heatmap):
+    map-side floor-binning on both axes, one shuffle bounded by
+    days x occupied bins."""
+    ts = _events_ts(spark, sf_dir)
+    return ts.heatmap("1d", "value", bin_width=50.0)
+
+
 def q_stream_cumsum(spark, sf_dir):
     """Streaming twin of cumsum_by_user (streaming/stream.py::
     stream_cumulative): running sum/max/count with CONSTANT per-key state
@@ -1387,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "stream_gaps_4h": q_stream_gaps,
         "stream_cumsum": q_stream_cumsum,
+        "value_heatmap": q_value_heatmap,
         "funnel_signup": q_funnel_signup,
         "retention_daily": q_retention_daily,
         "expectations": q_expectations,
@@ -3002,6 +3011,15 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts))
             WHERE prev_ms IS NOT NULL
+        """,
+        "value_heatmap": """
+            SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS pos,
+                   bin, bin * 50.0 AS bin_lo, (bin + 1) * 50.0 AS bin_hi,
+                   count(*) AS n
+            FROM (SELECT ts, CAST(floor(value / 50.0) AS BIGINT) AS bin
+                  FROM events
+                  WHERE value IS NOT NULL AND NOT isnan(value))
+            GROUP BY 1, 2
         """,
         "assign_splits": """
             SELECT doc_id, source,

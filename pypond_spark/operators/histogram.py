@@ -40,3 +40,25 @@ def histogram(df: DataFrame, field: str = "value", bin_width: float = 1.0,
                       (F.col("bin") * w).alias("bin_lo"),
                       ((F.col("bin") + 1) * w).alias("bin_hi"),
                       "n")
+
+
+def heatmap(df: DataFrame, window: str = "1h", field: str = "value",
+            bin_width: float = 1.0, partition_by: Sequence[str] = (),
+            time_col: str = "time") -> DataFrame:
+    """Time x value density matrix: count per (``window``-bucket, value
+    bin) — the latency/utilization heatmap behind ops dashboards, and the
+    distribution-over-time complement of :func:`histogram`.
+
+    Same scale shape as the 1-D histogram: map-side floor-binning on both
+    axes, ONE partial-aggregated shuffle bounded by buckets x occupied
+    bins x groups (never rows). Output:
+    ``partition_by..., pos, bin, bin_lo, bin_hi, n``.
+    """
+    from ..index import window_duration_ms
+    dur = window_duration_ms(window)
+    if dur is None:
+        raise ValueError(f"heatmap needs a fixed window spec, got {window!r}")
+    pos = F.floor(F.unix_millis(F.col(time_col)) / F.lit(dur))
+    return histogram(df.withColumn("__pos", pos), field, bin_width,
+                     [*partition_by, "__pos"]) \
+        .withColumnRenamed("__pos", "pos")

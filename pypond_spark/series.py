@@ -36,6 +36,7 @@ from .operators.funnel import funnel_steps as funnel_op
 from .operators.funnel import retention_cohorts as retention_op
 from .operators.gaps import find_gaps as gaps_op
 from .operators.rate import rate as rate_op
+from .operators.histogram import heatmap as heatmap_op
 from .operators.histogram import histogram as histogram_op
 from .operators.seasonal import seasonal_anomaly as seasonal_anomaly_op
 from .operators.seasonal import seasonal_profile as seasonal_profile_op
@@ -599,6 +600,16 @@ class TimeSeries:
         return correlate_op(self._df, series_col, series_a, series_b,
                             field, bucket, window, partition_by,
                             self.time_col)
+
+    def heatmap(self, window: str = "1h", field: str = "value",
+                bin_width: float = 1.0,
+                partition_by: Sequence[str] = ()):
+        """Time x value density matrix (engine addition; see
+        ``operators.histogram.heatmap``). Returns a plain DataFrame."""
+        if self._kind != "time":
+            raise ValueError("heatmap expects instant-event input")
+        return heatmap_op(self._df, window, field, bin_width,
+                          partition_by, self.time_col)
 
     def ewma(self, field_spec="value", alpha: float = 0.5,
              partition_by: Sequence[str] = (),

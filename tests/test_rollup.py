@@ -234,3 +234,15 @@ def test_count_distinct_reducers(spark):
     got = {r["g"]: (r["u_exact"], r["u_approx"]) for r in out.collect()}
     assert got["a"] == (2, 2)
     assert got["b"][0] == 0      # NULLs don't count
+
+
+def test_heatmap(spark):
+    from pypond_spark import TimeSeries
+    from pyspark.sql import functions as F
+    rows = [(0, 5.0), (1000, 15.0), (3_600_000, 5.0), (3_600_001, None)]
+    df = spark.createDataFrame(rows, "ms long, value double") \
+        .select(F.timestamp_millis("ms").alias("time"), "value")
+    out = {(r["pos"], r["bin"]): r["n"] for r in
+           TimeSeries(df, kind="time").heatmap("1h", bin_width=10.0)
+           .collect()}
+    assert out == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
