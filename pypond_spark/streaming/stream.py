@@ -992,9 +992,10 @@ class StreamPipeline:
             self._sdf, spec, self._window, self._groups or None,
             self._time_col, self._emit)
 
-    def rate(self, field_spec="value", allow_negative=True) -> DataFrame:
+    def rate(self, field_spec="value", allow_negative=True,
+             counter_wrap: int | float | None = None) -> DataFrame:
         return stream_rate(self._sdf, field_spec, self._groups,
-                           self._time_col, allow_negative)
+                           self._time_col, allow_negative, counter_wrap)
 
     def find_gaps(self, min_gap: str | int = "15m") -> DataFrame:
         return stream_gaps(self._sdf, min_gap, self._groups, self._time_col)
