@@ -1249,6 +1249,42 @@ def q_retention_daily(spark, sf_dir):
     return ts.retention(period="1d", horizon=30)
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): pure filter + global
+    sum, every predicate pushed to the parquet scan. The money math runs
+    in DECIMAL (2dp x 2dp -> exact 4dp products, exact sum) so the
+    result is bit-identical cross-engine with no rounding epsilon —
+    float sums of ~1e7 magnitude sit too close to 4dp boundaries."""
+    li = _read(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    rev = F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(12,2)"))
+    return f.agg(rev.cast("double").alias("revenue"),
+                 F.count("*").alias("n_items"))
+
+
+def q_tpch_q4_shape(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority check) adapted to the testdata
+    columns: orders in 1995Q3 with AT LEAST ONE lineitem shipped more
+    than 60 days after the order date — a LEFT SEMI join (the EXISTS
+    plan: no row multiplication, no distinct), then a tiny priority agg."""
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp")))
+    li = _read(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li, (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")
+           + F.expr("INTERVAL 60 DAYS")), "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
 def q_value_heatmap(spark, sf_dir):
     """Time x value heatmap per day (operators/histogram.py::heatmap):
     map-side floor-binning on both axes, one shuffle bounded by
@@ -1396,6 +1432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_gaps_4h": q_stream_gaps,
         "stream_cumsum": q_stream_cumsum,
         "value_heatmap": q_value_heatmap,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q4_shape": q_tpch_q4_shape,
         "funnel_signup": q_funnel_signup,
         "retention_daily": q_retention_daily,
         "expectations": q_expectations,
@@ -3011,6 +3049,28 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts))
             WHERE prev_ms IS NOT NULL
+        """,
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_discount AS DECIMAL(12,2)))
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q4_shape": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1995-07-01'
+              AND o.o_orderdate < TIMESTAMP '1995-10-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
         """,
         "value_heatmap": """
             SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS pos,
