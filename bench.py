@@ -75,6 +75,11 @@ HEADLINE = [
     "corpus_report",
     "funnel_signup",
     "retention_daily",
+    "expectations",
+    "bigram_logprob",
+    "value_heatmap",
+    "tpch_q6",
+    "tpch_q4_shape",
 ]
 
 
