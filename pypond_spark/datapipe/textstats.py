@@ -501,10 +501,12 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     Documents with fewer than two tokens have no bigrams and are absent
     from the output (mirrored by the oracle).
 
-    Shuffle inventory (all uniform keys): bigram counts, context counts
-    (vocabulary-sized), and the two scoring joins back on those keys; the
-    training constants travel as one scalar action. At warehouse scale
-    the count tables co-partition with the scoring join on the same keys.
+    Shuffle inventory (all uniform keys): bigram counts (corpus-sized),
+    context counts + the per-bigram probability table (both
+    vocabulary-bounded), and ONE corpus-sized scoring join — the
+    probability is attached to the count table first, so the exploded
+    bigrams shuffle once, not once per statistic. Training constants
+    travel as one scalar action.
     """
     arr = _match_tokens(text_col)
     arr = F.filter(arr, lambda t: t != F.lit(""))
@@ -527,10 +529,15 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
              .agg(F.count_distinct("tok")).first()[0])
     lp = F.log2((F.col("__cb") + F.lit(float(alpha)))
                 / (F.col("__cc") + F.lit(float(alpha * vocab))))
-    scored = (bg.join(counts, "bg")
+    # vocabulary-bounded join: probability lands on the count table, so
+    # the corpus-sized bigram explode shuffles exactly once (the join
+    # below), not once for counts and again for contexts
+    lp_tab = (counts
               .withColumn("__w1",
                           F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
-              .join(ctx, "__w1"))
-    return (scored.groupBy(id_col)
+              .join(ctx, "__w1")
+              .select("bg", lp.alias("__lp")))
+    return (bg.join(lp_tab, "bg")
+            .groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
-                 F.avg(lp).alias("mean_logprob")))
+                 F.avg("__lp").alias("mean_logprob")))
