@@ -1249,6 +1249,31 @@ def q_retention_daily(spark, sf_dir):
     return ts.retention(period="1d", horizon=30)
 
 
+def q_winsorize_by_type(spark, sf_dir):
+    """Percentile clipping per event_type (operators/rolling.py::
+    winsorize): one groups x 2-float aggregation broadcast back — the
+    event side never shuffles; sort-based percentiles make every value
+    cross-engine exact."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.winsorize("value", lower=0.05, upper=0.95,
+                       partition_by=["event_type"]).df
+    return out.select("event_id", "event_type",
+                      F.round("value_w", 6).alias("value_w"),
+                      F.round("value_lo", 6).alias("value_lo"),
+                      F.round("value_hi", 6).alias("value_hi"))
+
+
+def q_robust_zscore(spark, sf_dir):
+    """Median/MAD modified z-score per event_type (operators/rolling.py
+    ::robust_zscore): two bounded aggregations + broadcast joins, every
+    statistic sort-based (order-independent, cross-engine exact)."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.robust_zscore("value", partition_by=["event_type"]).df
+    return out.select("event_id", "event_type",
+                      F.round("value_rz", 6).alias("value_rz"),
+                      "value_outlier")
+
+
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 shape (forecast revenue change): pure filter + global
     sum, every predicate pushed to the parquet scan. The money math runs
@@ -1434,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_heatmap": q_value_heatmap,
         "tpch_q6": q_tpch_q6,
         "tpch_q4_shape": q_tpch_q4_shape,
+        "winsorize_by_type": q_winsorize_by_type,
+        "robust_zscore": q_robust_zscore,
         "funnel_signup": q_funnel_signup,
         "retention_daily": q_retention_daily,
         "expectations": q_expectations,
@@ -3049,6 +3076,44 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts))
             WHERE prev_ms IS NOT NULL
+        """,
+        "winsorize_by_type": """
+            WITH cuts AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1)
+            SELECT e.event_id, e.event_type,
+                   round(least(greatest(e.value, c.lo), c.hi), 6)
+                     AS value_w,
+                   round(c.lo, 6) AS value_lo,
+                   round(c.hi, 6) AS value_hi
+            FROM events e JOIN cuts c USING (event_type)
+        """,
+        "robust_zscore": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1
+            ), mad AS (
+              SELECT e.event_type,
+                     quantile_cont(abs(e.value - med.m), 0.5) AS d
+              FROM events e JOIN med USING (event_type)
+              WHERE e.value IS NOT NULL AND NOT isnan(e.value)
+              GROUP BY e.event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN mad.d > 0
+                        THEN round(0.6745 * (e.value - med.m) / mad.d, 6)
+                   END AS value_rz,
+                   coalesce(CASE WHEN mad.d > 0
+                   THEN abs(0.6745 * (e.value - med.m) / mad.d) > 3.5 END,
+                            FALSE) AS value_outlier
+            FROM events e
+            JOIN med USING (event_type) JOIN mad USING (event_type)
         """,
         "tpch_q6": """
             SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

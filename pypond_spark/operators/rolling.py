@@ -362,3 +362,70 @@ def ewma_scan(df: DataFrame, field_spec: str = "value", alpha: float = 0.5,
             yield pdf[out_cols]
 
     return parts.mapInPandas(apply_scan, out_schema)
+
+
+def winsorize(df: DataFrame, field: str = "value",
+              lower: float = 0.01, upper: float = 0.99,
+              partition_by: Sequence[str] = (),
+              ) -> DataFrame:
+    """Clip ``field`` to its per-group [lower, upper] exact percentiles —
+    the outlier-capping preprocessing step (winsorization). Appends
+    ``<field>_w`` plus the cut points.
+
+    Shape: one percentile aggregation per group (groups x 2 floats) then
+    a BROADCAST join back — the event side never shuffles. The whole
+    computation is order-independent (sort-based percentiles, min/max
+    clips), so results are bit-identical cross-engine. At huge-group
+    scale swap the exact percentile for ``approx_percentile`` (sketch
+    state; same shape).
+    """
+    if not 0 <= lower < upper <= 1:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got "
+                         f"{lower}, {upper}")
+    keys = list(partition_by)
+    col = F.col(field).cast("double")
+    valid = col.isNotNull() & ~F.isnan(col)
+    cuts = (df.where(valid).groupBy(*keys)
+            .agg(F.percentile(col, F.lit(lower)).alias("__lo"),
+                 F.percentile(col, F.lit(upper)).alias("__hi")))
+    joined = (df.join(F.broadcast(cuts), keys, "left") if keys
+              else df.crossJoin(F.broadcast(cuts)))
+    clipped = F.when(valid, F.least(F.greatest(col, F.col("__lo")),
+                                    F.col("__hi")))
+    return (joined.withColumn(f"{field}_w", clipped)
+            .withColumnsRenamed({"__lo": f"{field}_lo",
+                                 "__hi": f"{field}_hi"}))
+
+
+def robust_zscore(df: DataFrame, field: str = "value",
+                  partition_by: Sequence[str] = (),
+                  threshold: float = 3.5) -> DataFrame:
+    """Median/MAD anomaly score: ``0.6745 * (x - median) / MAD`` (the
+    classic robust z — Iglewicz & Hoaglin's modified z-score), immune to
+    the outliers it is hunting, unlike the mean/σ ``zscore``.
+
+    Appends ``<field>_rz`` (NULL when MAD is 0 or the value invalid) and
+    ``<field>_outlier``. Two bounded aggregations (median, then median
+    absolute deviation) + broadcast joins; the event side never
+    shuffles, and every statistic is sort-based (order-independent →
+    cross-engine exact).
+    """
+    keys = list(partition_by)
+    col = F.col(field).cast("double")
+    valid = col.isNotNull() & ~F.isnan(col)
+    med = (df.where(valid).groupBy(*keys)
+           .agg(F.percentile(col, F.lit(0.5)).alias("__med")))
+    j1 = (df.join(F.broadcast(med), keys, "left") if keys
+          else df.crossJoin(F.broadcast(med)))
+    mad = (j1.where(valid).groupBy(*keys)
+           .agg(F.percentile(F.abs(col - F.col("__med")), F.lit(0.5))
+                .alias("__mad")))
+    j2 = (j1.join(F.broadcast(mad), keys, "left") if keys
+          else j1.crossJoin(F.broadcast(mad)))
+    rz = F.when(valid & (F.col("__mad") > 0),
+                F.lit(0.6745) * (col - F.col("__med")) / F.col("__mad"))
+    return (j2.withColumn(f"{field}_rz", rz)
+            .withColumn(f"{field}_outlier",
+                        F.coalesce(F.abs(F.col(f"{field}_rz"))
+                                   > F.lit(float(threshold)), F.lit(False)))
+            .drop("__med", "__mad"))

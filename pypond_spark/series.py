@@ -42,6 +42,8 @@ from .operators.seasonal import seasonal_anomaly as seasonal_anomaly_op
 from .operators.seasonal import seasonal_profile as seasonal_profile_op
 from .operators.rolling import cumulative as cumulative_op
 from .operators.rolling import ewma as ewma_op
+from .operators.rolling import robust_zscore as robust_zscore_op
+from .operators.rolling import winsorize as winsorize_op
 from .operators.rolling import rolling as rolling_op
 from .operators.rolling import zscore as zscore_op
 from .operators.take import take as take_op
@@ -600,6 +602,26 @@ class TimeSeries:
         return correlate_op(self._df, series_col, series_a, series_b,
                             field, bucket, window, partition_by,
                             self.time_col)
+
+    def winsorize(self, field: str = "value", lower: float = 0.01,
+                  upper: float = 0.99,
+                  partition_by: Sequence[str] = ()) -> "TimeSeries":
+        """Clip a field to its per-group exact percentiles (engine
+        addition; see ``operators.rolling.winsorize``)."""
+        if self._kind != "time":
+            raise ValueError("winsorize expects instant-event input")
+        return self._with(winsorize_op(self._df, field, lower, upper,
+                                       partition_by))
+
+    def robust_zscore(self, field: str = "value",
+                      partition_by: Sequence[str] = (),
+                      threshold: float = 3.5) -> "TimeSeries":
+        """Median/MAD modified z-score anomaly detection (engine
+        addition; see ``operators.rolling.robust_zscore``)."""
+        if self._kind != "time":
+            raise ValueError("robust_zscore expects instant-event input")
+        return self._with(robust_zscore_op(self._df, field, partition_by,
+                                           threshold))
 
     def heatmap(self, window: str = "1h", field: str = "value",
                 bin_width: float = 1.0,

@@ -262,3 +262,32 @@ def test_retention_cohorts(spark):
     assert out[(0, 0)] == 2 and out[(0, 1)] == 2 and out[(0, 3)] == 1
     assert out[(1, 0)] == 1 and out[(1, 1)] == 1
     assert (0, 2) not in out
+
+
+def test_winsorize(spark):
+    pts = [[i * 1000, v] for i, v in
+           enumerate([1.0, 2.0, 3.0, 4.0, 100.0, None])]
+    out = _ts(spark, pts).winsorize("value", 0.25, 0.75).df \
+        .orderBy("time").collect()
+    lo, hi = out[0]["value_lo"], out[0]["value_hi"]
+    assert lo == 2.0 and hi == 4.0      # exact quartiles of 1,2,3,4,100
+    ws = [r["value_w"] for r in out]
+    assert ws[:5] == [2.0, 2.0, 3.0, 4.0, 4.0]
+    assert ws[5] is None                 # invalid sample stays invalid
+
+
+def test_robust_zscore_outlier_immunity(spark):
+    # mean/sigma z would be dragged by the 1000 spike; median/MAD is not
+    pts = [[i * 1000, v] for i, v in
+           enumerate([10.0, 11.0, 9.0, 10.0, 12.0, 8.0, 1000.0])]
+    out = {r["value"]: (r["value_rz"], r["value_outlier"]) for r in
+           _ts(spark, pts).robust_zscore("value").df.collect()}
+    assert out[1000.0][1] is True
+    assert all(not flag for v, (rz, flag) in out.items() if v != 1000.0)
+
+
+def test_robust_zscore_zero_mad(spark):
+    pts = [[i * 1000, 5.0] for i in range(4)]
+    out = _ts(spark, pts).robust_zscore("value").df.collect()
+    assert all(r["value_rz"] is None and r["value_outlier"] is False
+               for r in out)
