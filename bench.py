@@ -80,6 +80,8 @@ HEADLINE = [
     "value_heatmap",
     "tpch_q6",
     "tpch_q4_shape",
+    "winsorize_by_type",
+    "robust_zscore",
 ]
 
 
