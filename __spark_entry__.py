@@ -1249,6 +1249,16 @@ def q_retention_daily(spark, sf_dir):
     return ts.retention(period="1d", horizon=30)
 
 
+def q_rank_normalize(spark, sf_dir):
+    """Percent-rank normalization per event_type (operators/rolling.py::
+    rank_normalize): distribution-free [0,1] transform, one window
+    shuffle on the group key."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.rank_normalize("value", partition_by=["event_type"]).df
+    return out.select("event_id", "event_type",
+                      F.round("value_pr", 6).alias("value_pr"))
+
+
 def q_winsorize_by_type(spark, sf_dir):
     """Percentile clipping per event_type (operators/rolling.py::
     winsorize): one groups x 2-float aggregation broadcast back — the
@@ -1461,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_shape": q_tpch_q4_shape,
         "winsorize_by_type": q_winsorize_by_type,
         "robust_zscore": q_robust_zscore,
+        "rank_normalize": q_rank_normalize,
         "funnel_signup": q_funnel_signup,
         "retention_daily": q_retention_daily,
         "expectations": q_expectations,
@@ -3076,6 +3087,14 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts))
             WHERE prev_ms IS NOT NULL
+        """,
+        "rank_normalize": """
+            SELECT event_id, event_type,
+                   round(percent_rank() OVER (PARTITION BY event_type
+                                              ORDER BY value), 6)
+                     AS value_pr
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
         """,
         "winsorize_by_type": """
             WITH cuts AS (

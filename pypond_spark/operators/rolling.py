@@ -429,3 +429,30 @@ def robust_zscore(df: DataFrame, field: str = "value",
                         F.coalesce(F.abs(F.col(f"{field}_rz"))
                                    > F.lit(float(threshold)), F.lit(False)))
             .drop("__med", "__mad"))
+
+
+def rank_normalize(df: DataFrame, field: str = "value",
+                   partition_by: Sequence[str] = (),
+                   tiebreak: str | None = None) -> DataFrame:
+    """Quantile-uniform transform: replace each value by its per-group
+    percent rank in [0, 1] — the distribution-free normalization that
+    makes heterogeneous signals comparable (e.g. mixing quality scores
+    with different scales before a weighted sample).
+
+    Appends ``<field>_pr``. Invalid samples get NULL. Ranks are over the
+    VALUE order; ``tiebreak`` only stabilizes which physical row carries
+    which rank when values tie (percent_rank gives ties equal rank
+    regardless). One window shuffle on the group key.
+    """
+    keys = list(partition_by)
+    col = F.col(field).cast("double")
+    valid = col.isNotNull() & ~F.isnan(col)
+    order = [col, F.col(tiebreak)] if tiebreak else [col]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    pr = F.when(valid, F.percent_rank().over(w))
+    # rank only the valid rows: NULLs sort first and would shift ranks
+    ranked = (df.where(valid)
+              .withColumn(f"{field}_pr", pr))
+    invalid = df.where(~valid).withColumn(
+        f"{field}_pr", F.lit(None).cast("double"))
+    return ranked.unionByName(invalid)

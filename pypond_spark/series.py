@@ -42,6 +42,7 @@ from .operators.seasonal import seasonal_anomaly as seasonal_anomaly_op
 from .operators.seasonal import seasonal_profile as seasonal_profile_op
 from .operators.rolling import cumulative as cumulative_op
 from .operators.rolling import ewma as ewma_op
+from .operators.rolling import rank_normalize as rank_normalize_op
 from .operators.rolling import robust_zscore as robust_zscore_op
 from .operators.rolling import winsorize as winsorize_op
 from .operators.rolling import rolling as rolling_op
@@ -622,6 +623,16 @@ class TimeSeries:
             raise ValueError("robust_zscore expects instant-event input")
         return self._with(robust_zscore_op(self._df, field, partition_by,
                                            threshold))
+
+    def rank_normalize(self, field: str = "value",
+                       partition_by: Sequence[str] = (),
+                       tiebreak: str | None = None) -> "TimeSeries":
+        """Percent-rank normalization to [0, 1] per group (engine
+        addition; see ``operators.rolling.rank_normalize``)."""
+        if self._kind != "time":
+            raise ValueError("rank_normalize expects instant-event input")
+        return self._with(rank_normalize_op(self._df, field, partition_by,
+                                            tiebreak))
 
     def heatmap(self, window: str = "1h", field: str = "value",
                 bin_width: float = 1.0,

@@ -291,3 +291,13 @@ def test_robust_zscore_zero_mad(spark):
     out = _ts(spark, pts).robust_zscore("value").df.collect()
     assert all(r["value_rz"] is None and r["value_outlier"] is False
                for r in out)
+
+
+def test_rank_normalize(spark):
+    pts = [[i * 1000, v] for i, v in
+           enumerate([10.0, 30.0, 20.0, None, 40.0])]
+    out = {r["value"]: r["value_pr"] for r in
+           _ts(spark, pts).rank_normalize("value").df.collect()}
+    assert out[10.0] == 0.0 and out[40.0] == 1.0
+    assert out[20.0] == 1 / 3 and out[30.0] == 2 / 3
+    assert out[None] is None     # invalid rows don't shift ranks
