@@ -1106,7 +1106,7 @@ def q_semantic_dedup(spark, sf_dir):
     round-before-threshold make the keep/drop set identical cross-engine."""
     emb = _read(spark, sf_dir, "embeddings")
     return dp_sim.semantic_dedup(emb, n_cells=16, n_iters=2,
-                                 threshold=0.9, quantize=6)
+                                 threshold=0.9, quantize=6, dim=64)
 
 
 def q_json_props_rollup(spark, sf_dir):
@@ -1373,58 +1373,197 @@ def q_ccnet_buckets(spark, sf_dir):
     return dp_text.ccnet_buckets(docs)
 
 
+def q_stream_align_1h(spark, sf_dir):
+    """Streaming twin of align_1h_hold (streaming/stream.py::stream_align):
+    boundary synthesis spans micro-batches via (last_ts, last_values)
+    state; identical output values, so the DuckDB oracle is the batch
+    query's SQL verbatim."""
+    from pypond_spark.streaming import stream_align
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_align(sdf, window="1h", field_spec="value", method="hold",
+                       partition_by=["user_id"])
+    result = _run_stream_32(spark, out, "append")
+    return result.select("user_id", "t_ms",
+                         F.round("value", 6).alias("value"))
+
+
+def q_stream_fill_pad(spark, sf_dir):
+    """Streaming twin of fill_pad_per_user (streaming/stream.py::
+    stream_fill): LOCF with one carried double per (key, column),
+    availableNow drain. The testdata has zero (user_id, ms) ties (checked
+    at sf0.01 and sf0.1), so keying the oracle on (user_id, t_ms) instead
+    of event_id is unambiguous."""
+    from pypond_spark.streaming import stream_fill
+    sdf = _events_stream(spark, sf_dir)
+    nulled = sdf.withColumn(
+        "value", F.when(F.col("event_type") == "click", F.lit(None))
+        .otherwise(F.col("value")))
+    out = stream_fill(nulled, field_spec="value", method="pad",
+                      partition_by=["user_id"])
+    result = _run_stream_32(spark, out, "append")
+    return result.select("user_id", "t_ms",
+                         F.round("value", 6).alias("value_filled"))
+
+
+def q_ewma_scan(spark, sf_dir):
+    """Parallel-scan EWMA over ONE unkeyed series (operators/rolling.py::
+    ewma_scan, Blelloch affine-map composition): the scale path for a
+    single giant series that the keyed recurrence can't partition.
+    alpha=0.5 keeps every step an exact IEEE halving AND makes the
+    composed (1-alpha)^m products exact powers of two, so the chunked
+    two-pass result is bit-identical to the sequential fold the oracle
+    runs. Restricted to a few users' events so the oracle's O(n^2)
+    prefix fold stays cheap; the Spark path still exercises chunk
+    boundaries (32 range chunks over the series)."""
+    from pypond_spark.operators import rolling as roll_ops
+    df = (_events_df(spark, sf_dir).where(F.col("user_id") <= 5)
+          .withColumnRenamed("ts", "time"))
+    out = roll_ops.ewma_scan(df, "value", alpha=0.5)
+    return out.select("event_id", _ms().alias("t_ms"), "value_ewma")
+
+
+def q_monthly_rollup(spark, sf_dir):
+    """Calendar monthly rollup (series.py::monthly_rollup -> operators/
+    aggregate.py windowed_aggregate, 'monthly' index grammar): one
+    partial-aggregable groupBy on months-x-types keys."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.monthly_rollup(
+        {"value_avg": {"value": "avg"}, "value_max": {"value": "max"},
+         "n": {"value": "count"}},
+        group_by="event_type")
+    return out.df.select("index", "event_type",
+                         F.round("value_avg", 6).alias("value_avg"),
+                         "value_max", "n")
+
+
+def q_stream_rate(spark, sf_dir):
+    """Streaming twin of rate_per_user (streaming/stream.py::stream_rate):
+    (last_ts, last_value) state per key, availableNow drain; identical
+    output columns, so the DuckDB oracle is the batch query's SQL."""
+    from pypond_spark.streaming import stream_rate
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_rate(sdf, field_spec="value", partition_by=["user_id"])
+    result = _run_stream_32(spark, out, "append")
+    return result.select(
+        "user_id", "begin_ms", "end_ms",
+        (F.round("value_rate", 6) + F.lit(0.0)).alias("value_rate"))
+
+
+def q_knn_join(spark, sf_dir):
+    """Exact k-NN for a query SET (datapipe/similarity.py::knn_join):
+    broadcast nested-loop — the corpus never shuffles; per-query top-k
+    via window rank on the q_id partition. round_to=6 pins the rank
+    order cross-engine."""
+    embs = _read(spark, sf_dir, "embeddings")
+    qset = (embs.where(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec")))
+    out = dp_sim.knn_join(embs, qset, k=5, round_to=6)
+    return out.select("q_id", "vec_id", "cosine", "rank")
+
+
+def q_cusum_by_type(spark, sf_dir):
+    """One-sided CUSUM drift detection per event_type (operators/
+    rolling.py::cusum): the sequential max(0, C+x-t-s) recurrence in
+    closed form P_k - min(0, running-min P) — two incremental window
+    aggregates over ONE hash-partition + sort, no Python, O(1) window
+    state. Fixed target keeps both engines' drift sums bit-comparable."""
+    from pypond_spark.operators import rolling as roll_ops
+    df = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    out = roll_ops.cusum(df, "value", target=55.0, slack=1.0,
+                         threshold=500.0, partition_by=["event_type"],
+                         tiebreak="event_id")
+    return out.select("event_id", "event_type",
+                      F.round("value_cusum", 6).alias("value_cusum"),
+                      "value_alarm")
+
+
+def q_tpch_q5_shape(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): revenue by nation for one
+    region-year where supplier and customer share a nation. nation,
+    region, supplier, customer all broadcast (small dims); the only
+    repartition joins are orders-lineitem on the uniform orderkey.
+    DECIMAL money math (see tpch_q6) keeps the per-nation sums exact."""
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _read(spark, sf_dir, "lineitem")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1).cast("decimal(12,2)")
+              - F.col("l_discount").cast("decimal(12,2)")))
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(cust),
+               (F.col("o_custkey") == F.col("c_custkey"))
+               & (F.col("c_nationkey") == F.col("s_nationkey")))
+         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")))
+    return (j.groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def q_tpch_q14_shape(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): promo revenue share for one
+    month. part broadcasts; lineitem's date filter is pushed to the
+    scan; DECIMAL sums -> one exact ratio."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1).cast("decimal(12,2)")
+              - F.col("l_discount").cast("decimal(12,2)")))
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                  .otherwise(F.lit(0).cast("decimal(12,2)")))
+    total = F.sum(rev)
+    return j.agg(
+        (F.lit(100.0) * promo.cast("double") / total.cast("double"))
+        .alias("promo_revenue_pct"),
+        total.cast("double").alias("total_revenue"))
+
+
+def q_tpch_q18_shape(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds 150 — partial-aggregable groupBy on the uniform
+    orderkey, then the small surviving set joins orders + broadcast
+    customer. Quantities are integral doubles, so the HAVING cut is
+    exact."""
+    li = _read(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .where(F.col("sum_qty") > 150))
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "o_orderkey",
+                    F.unix_millis("o_orderdate").alias("odate_ms"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    F.round("sum_qty", 2).alias("sum_qty")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "rollup_1h_by_type": q_rollup_1h_by_type,
-        "rollup_daily": q_rollup_daily,
-        "stream_rollup_1h": q_stream_rollup_1h,
-        "global_stats_by_type": q_global_stats_by_type,
-        "quantile_by_type": q_quantile_by_type,
-        "percentile_methods": q_percentile_methods,
-        "first_last_by_type": q_first_last_by_type,
-        "rate_per_user": q_rate_per_user,
-        "rate_no_negative": q_rate_no_negative,
-        "align_10m_linear": q_align_10m_linear,
-        "align_1h_hold": q_align_1h_hold,
-        "asof_signup_purchase": q_asof_signup_purchase,
-        "sliding_2h_count": q_sliding_2h_count,
-        "session_1h_by_user": q_session_1h_by_user,
-        "fill_pad_per_user": q_fill_pad_per_user,
-        "fill_zero_limit": q_fill_zero_limit,
-        "fill_linear_per_user": q_fill_linear_per_user,
-        "select_clean_crop": q_select_clean_crop,
-        "collapse_lineitem": q_collapse_lineitem,
-        "offset_rename": q_offset_rename,
-        "dedup_last_per_hour": q_dedup_last_per_hour,
-        "merge_series": q_merge_series,
-        "combine_sum_hourly": q_combine_sum_hourly,
-        "take2_per_day_type": q_take2_per_day_type,
-        "slice_positional": q_slice_positional,
-        "tpch_q1": q_tpch_q1,
-        "orders_daily": q_orders_daily,
-        "dedup_exact_docs": q_dedup_exact_docs,
-        "minhash_signature": q_minhash_signature,
-        "neardup_pairs_lsh": q_neardup_pairs_lsh,
-        "dedup_documents": q_dedup_documents,
-        "simhash_docs": q_simhash_docs,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "fingerprint_docs": q_fingerprint_docs,
-        "gopher_quality": q_gopher_quality,
-        "c4_stats": q_c4_stats,
-        "repetition_docs": q_repetition_docs,
-        "decontam_docs": q_decontam_docs,
-        "corpus_filter": q_corpus_filter,
-        "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_near_dups": q_embedding_near_dups,
-        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_decode_image": q_multimodal_decode_image,
-        "multimodal_decode_audio": q_multimodal_decode_audio,
-        "pii_redact": q_pii_redact,
-        "sample_stratified": q_sample_stratified,
+        # Never-driver-verified queries first: the driver snapshot caps at
+        # ~50 entries, and r02/r03 both captured only the first 50 names.
+        # All 101 hash-match the strict local gate (tools/check_oracle.py);
+        # surfacing these gets them their first formal CORRECTNESS row.
+        "stream_align_1h": q_stream_align_1h,
+        "stream_fill_pad": q_stream_fill_pad,
+        "stream_rate": q_stream_rate,
+        "ewma_scan": q_ewma_scan,
+        "monthly_rollup": q_monthly_rollup,
+        "knn_join": q_knn_join,
+        "cusum_by_type": q_cusum_by_type,
+        "tpch_q5_shape": q_tpch_q5_shape,
+        "tpch_q14_shape": q_tpch_q14_shape,
+        "tpch_q18_shape": q_tpch_q18_shape,
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
@@ -1476,6 +1615,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_daily": q_retention_daily,
         "expectations": q_expectations,
         "bigram_logprob": q_bigram_logprob,
+        # --- driver-verified green in r02/r03 (rows on file) ---
+        "rollup_1h_by_type": q_rollup_1h_by_type,
+        "rollup_daily": q_rollup_daily,
+        "stream_rollup_1h": q_stream_rollup_1h,
+        "global_stats_by_type": q_global_stats_by_type,
+        "quantile_by_type": q_quantile_by_type,
+        "percentile_methods": q_percentile_methods,
+        "first_last_by_type": q_first_last_by_type,
+        "rate_per_user": q_rate_per_user,
+        "rate_no_negative": q_rate_no_negative,
+        "align_10m_linear": q_align_10m_linear,
+        "align_1h_hold": q_align_1h_hold,
+        "asof_signup_purchase": q_asof_signup_purchase,
+        "sliding_2h_count": q_sliding_2h_count,
+        "session_1h_by_user": q_session_1h_by_user,
+        "fill_pad_per_user": q_fill_pad_per_user,
+        "fill_zero_limit": q_fill_zero_limit,
+        "fill_linear_per_user": q_fill_linear_per_user,
+        "select_clean_crop": q_select_clean_crop,
+        "collapse_lineitem": q_collapse_lineitem,
+        "offset_rename": q_offset_rename,
+        "dedup_last_per_hour": q_dedup_last_per_hour,
+        "merge_series": q_merge_series,
+        "combine_sum_hourly": q_combine_sum_hourly,
+        "take2_per_day_type": q_take2_per_day_type,
+        "slice_positional": q_slice_positional,
+        "tpch_q1": q_tpch_q1,
+        "orders_daily": q_orders_daily,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "minhash_signature": q_minhash_signature,
+        "neardup_pairs_lsh": q_neardup_pairs_lsh,
+        "dedup_documents": q_dedup_documents,
+        "simhash_docs": q_simhash_docs,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint_docs": q_fingerprint_docs,
+        "gopher_quality": q_gopher_quality,
+        "c4_stats": q_c4_stats,
+        "repetition_docs": q_repetition_docs,
+        "decontam_docs": q_decontam_docs,
+        "corpus_filter": q_corpus_filter,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_decode_image": q_multimodal_decode_image,
+        "multimodal_decode_audio": q_multimodal_decode_audio,
+        "pii_redact": q_pii_redact,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -1710,6 +1900,149 @@ def oracle_sql() -> dict[str, str]:
         """,
         "align_10m_linear": _align_oracle(600000, "linear"),
         "align_1h_hold": _align_oracle(3600000, "hold"),
+        # the streaming twin emits identical values; only the column shape
+        # differs (t_ms instead of a timestamp — _align_oracle already
+        # emits t_ms)
+        "stream_align_1h": _align_oracle(3600000, "hold"),
+        "stream_fill_pad": f"""
+            SELECT user_id, ms AS t_ms,
+                   round(coalesce(v, last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ms
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 6)
+                   AS value_filled
+            FROM ({_NULLIFIED})
+        """,
+        "ewma_scan": """
+            -- sequential-fold oracle over the one unkeyed series; the
+            -- Spark side is the chunked parallel scan, bit-identical for
+            -- dyadic alpha (every step an exact IEEE halving, chunk
+            -- compositions exact powers of two)
+            WITH l AS (
+              SELECT list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs,
+                     list(event_id ORDER BY ts, event_id) AS ids,
+                     list(epoch_ms(ts) ORDER BY ts, event_id) AS tms
+              FROM events WHERE user_id <= 5
+            ), e AS (
+              SELECT xs, ids, tms,
+                     unnest(generate_series(1, len(xs))) AS k
+              FROM l
+            )
+            SELECT ids[k] AS event_id, tms[k] AS t_ms,
+                   list_reduce(list_slice(xs, 1, k),
+                               (acc, x) -> 0.5 * x + 0.5 * acc)
+                     AS value_ewma
+            FROM e
+        """,
+        "monthly_rollup": """
+            SELECT strftime(ts, '%Y-%m') AS "index", event_type,
+                   round(avg(value), 6) AS value_avg,
+                   max(value) AS value_max, count(value) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        # identical values to rate_per_user, streamed (plus end_ms)
+        "stream_rate": """
+            SELECT user_id, prev_ms AS begin_ms, ms AS end_ms,
+                   round((value - pv) / ((ms - prev_ms) / 1000.0), 6) + 0.0
+                   AS value_rate
+            FROM (
+              SELECT user_id, epoch_ms(ts) AS ms, value,
+                     lag(epoch_ms(ts)) OVER w AS prev_ms,
+                     lag(value) OVER w AS pv
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ) WHERE prev_ms IS NOT NULL
+        """,
+        "knn_join": """
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 3
+            ), scored AS (
+              SELECT q.q_id, e.vec_id, round(
+                  list_sum([CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(q.qv[i] AS DOUBLE)
+                            for i in generate_series(1, len(e.embedding))])
+                  / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                    for x in e.embedding]))
+                     * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                      for x in q.qv]))), 6) AS cosine
+              FROM embeddings e CROSS JOIN q
+            )
+            SELECT q_id, vec_id, cosine,
+                   CAST(row_number() OVER (
+                     PARTITION BY q_id
+                     ORDER BY cosine DESC, vec_id) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "cusum_by_type": """
+            -- closed form of max(0, C + x - t - s): running sum of drift
+            -- minus min(0, running min) — same incremental accumulation
+            -- order as Spark's ROWS window, so drift sums agree bit-wise;
+            -- (value - 55.0) - 1.0 mirrors the operator's two subtractions
+            WITH p AS (
+              SELECT event_id, event_type, ts,
+                     sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                              THEN (value - 55.0) - 1.0 ELSE 0.0 END)
+                       OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS ps
+              FROM events
+            )
+            SELECT event_id, event_type,
+                   round(ps - least(0.0, min(ps) OVER w2), 6) AS value_cusum,
+                   (ps - least(0.0, min(ps) OVER w2)) > 500.0 AS value_alarm
+            FROM p
+            WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "tpch_q5_shape": """
+            SELECT n_name,
+                   CAST(sum(l_extendedprice::DECIMAL(12,2)
+                            * (1::DECIMAL(12,2)
+                               - l_discount::DECIMAL(12,2))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "tpch_q14_shape": """
+            SELECT 100.0
+                   * CAST(sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice::DECIMAL(12,2)
+                               * (1::DECIMAL(12,2)
+                                  - l_discount::DECIMAL(12,2))
+                          ELSE 0::DECIMAL(12,2) END) AS DOUBLE)
+                   / CAST(sum(l_extendedprice::DECIMAL(12,2)
+                              * (1::DECIMAL(12,2)
+                                 - l_discount::DECIMAL(12,2))) AS DOUBLE)
+                     AS promo_revenue_pct,
+                   CAST(sum(l_extendedprice::DECIMAL(12,2)
+                            * (1::DECIMAL(12,2)
+                               - l_discount::DECIMAL(12,2))) AS DOUBLE)
+                     AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "tpch_q18_shape": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+            )
+            SELECT c_name, o_orderkey, epoch_ms(o_orderdate) AS odate_ms,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(sum_qty, 2) AS sum_qty
+            FROM big
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
         "asof_signup_purchase": """
             SELECT l.event_id, l.user_id,
                    round(l.value, 6) AS purchase_v,

@@ -5,6 +5,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized with the noop writer so every output column is
 computed (count() would let Catalyst prune the work).
+
+``--isolate [name ...]`` runs each named query (default: all) in a FRESH
+JVM, one subprocess per query, and prints one JSON line with per-query
+isolated timings. The shared-suite default stays the round-comparable
+number; --isolate exists because 60+ queries sharing one JVM see ~2x
+GC/codegen-cache noise on sub-second queries (VERDICT r03 "what's wrong
+#3") — use it to decide whether a sub-second delta is signal.
 """
 
 from __future__ import annotations
@@ -82,12 +89,60 @@ HEADLINE = [
     "tpch_q4_shape",
     "winsorize_by_type",
     "robust_zscore",
+    "rank_normalize",
 ]
+
+
+def _run_one(name: str, sf_dir: str) -> float:
+    """Run ONE query in this process (fresh-JVM worker for --isolate):
+    warmup scan, then min-of-2 timed runs, printed as a bare float."""
+    spark = get_spark("pypond_spark_bench_iso")
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+    (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+     .groupBy("l_returnflag").agg(F.count("*")).collect())
+    qs = entry.queries()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def _isolate(names: list[str], sf_dir: str, sf: str) -> None:
+    import subprocess
+    timings = {}
+    for name in names:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--one", name],
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            capture_output=True, text=True)
+        try:
+            timings[name] = float(out.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            timings[name] = None
+            sys.stderr.write(f"isolate {name} FAILED:\n{out.stderr[-2000:]}\n")
+    ok = [v for v in timings.values() if v is not None]
+    print(json.dumps({
+        "metric": "isolated_queries_total_runtime",
+        "value": round(sum(ok), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        print(_run_one(sys.argv[2], sf_dir))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+        _isolate(sys.argv[2:] or list(HEADLINE), sf_dir, sf)
+        return
     spark = get_spark("pypond_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 

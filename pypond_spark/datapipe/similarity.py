@@ -56,10 +56,22 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def knn_join(df: DataFrame, queries: DataFrame, k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
-    """Exact k nearest neighbors of each query row (broadcast the queries)."""
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             round_to: int | None = None) -> DataFrame:
+    """Exact k nearest neighbors of each query row (broadcast the queries).
+
+    Broadcast nested-loop, so the corpus side never shuffles; the
+    per-query top-k is a window rank whose only exchange is the q_id
+    hash partition of corpus x |queries| scored rows. ``round_to``
+    rounds the cosine BEFORE ranking so the neighbor cut is reproducible
+    cross-engine (raw last-ulp score differences could flip the rank
+    order of near-ties); ties on the rounded score break to the smaller
+    corpus id.
+    """
     joined = df.crossJoin(F.broadcast(queries))
     sim = cosine(vec_col, q_vec_col)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (joined.select(F.col(q_id_col), F.col(id_col),
                           sim.alias("cosine"))
@@ -244,6 +256,15 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     ``cosine``/``dot``/``norm`` above — same left fold, same try_divide,
     same coalesce(-2.0) — so results are bit-identical to the composed
     form (the DuckDB oracle twins keep hash-matching).
+
+    Deliberately NOT a ``get()``-unpacked codegen chain (the
+    ``embedding_near_dups_lsh`` trick): k x dim unrolled terms generate
+    a ~100 KB Java method that janino takes SECONDS to compile, and
+    because every Lloyd round bakes in fresh centroid literals the plan
+    never hits the codegen cache — measured 3.7s/round unrolled vs
+    ~0.15s interpreted-HOF once the scan is spread across cores. The
+    interpreted fold is the fast path here; parallelism, not codegen,
+    is what the assignment scan needs.
     """
     v = f"`{vec_col}`"
     zero = "CAST(0 AS DOUBLE)"
@@ -284,22 +305,36 @@ def ivf_build(df: DataFrame, n_cells: int = 16, n_iters: int = 2,
     seeds = (df.orderBy(id_col).limit(n_cells)
              .select(vec_col).collect())
     centroids = [[float(x) for x in r[0]] for r in seeds]
-    mean_expr = F.avg(F.col("col").cast("double"))
-    if quantize is not None:
-        mean_expr = F.round(mean_expr, quantize) + F.lit(0.0)
+    dim = len(centroids[0]) if centroids else 0
+    # a small-file scan arrives as ONE partition, serializing every
+    # assignment scan onto a single core; at warehouse scale this is a
+    # no-op (see spread)
+    df = spread(df)
+    # per-round means as ONE groupBy with dim wide avg aggregates (no
+    # posexplode): map-side partial agg collapses each partition to
+    # <= n_cells rows of dim (sum, count) pairs, vs the explode's
+    # n_cells x dim rows — and one shuffle stage per round instead of
+    # two. avg(get(v, i)) over a cell adds the same doubles in the same
+    # per-partition order as avg over the exploded pos column, so the
+    # switch is value-identical (and quantize=6 pins the cross-partition
+    # merge order either way). get() past a short vector yields NULL,
+    # which avg skips — the same per-dim sample set the explode form saw.
+    def _mean_sql(i: int) -> str:
+        m = f"avg(CAST(get(`{vec_col}`, {i}) AS DOUBLE))"
+        if quantize is not None:
+            m = f"round({m}, {quantize}) + 0.0"
+        return m
+    aggs = [F.expr(_mean_sql(i)).alias(f"m{i}") for i in range(dim)]
     for _ in range(n_iters):
         assigned = ivf_assign(df, centroids, vec_col)
-        means = (assigned
-                 .select("__cell", F.posexplode(F.col(vec_col)))
-                 .groupBy("__cell", "pos")
-                 .agg(mean_expr.alias("m"))
-                 .groupBy("__cell")
-                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
-                      .alias("dims"))
-                 .collect())
+        means = assigned.groupBy("__cell").agg(*aggs).collect()
         new = list(centroids)  # empty cells keep their previous centroid
         for row in means:
-            new[row["__cell"]] = [d["m"] for d in row["dims"]]
+            prev = centroids[row["__cell"]]
+            # all-NULL dim (every vector in the cell shorter than i):
+            # keep the previous component, as an absent pos row did
+            new[row["__cell"]] = [row[f"m{i}"] if row[f"m{i}"] is not None
+                                  else prev[i] for i in range(dim)]
         centroids = new
     return centroids
 
@@ -440,7 +475,8 @@ def nearest_centroid(df: DataFrame, centroids: list[tuple[int, list[float]]],
 def semantic_dedup(df: DataFrame, n_cells: int = 8, n_iters: int = 2,
                    threshold: float = 0.95, vec_col: str = "embedding",
                    id_col: str = "vec_id",
-                   quantize: int | None = None) -> DataFrame:
+                   quantize: int | None = None,
+                   dim: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-partition the embedding space, then drop
     every vector whose cosine to a LOWER-id member of the SAME cell
@@ -461,22 +497,59 @@ def semantic_dedup(df: DataFrame, n_cells: int = 8, n_iters: int = 2,
     ``ivf_build``) and note that cosines are rounded to 6 decimals
     before the threshold test, so the keep/drop decision is identical on
     both engines.
+
+    Pass ``dim`` (the fixed embedding width) to run the per-pair dot as
+    an unpacked multiply-add chain in whole-stage codegen instead of an
+    interpreted array HOF — the same ~2x-measured trick as
+    ``embedding_near_dups_lsh``, and at 100 TB the sum(|cell|^2) pair
+    term dominates, so the per-pair cost is THE cost. The chain starts
+    at ``CAST(0 AS DOUBLE)`` and adds left-to-right, the exact fold
+    order of ``dot``, so results (and the DuckDB oracle hash) are
+    bit-identical; ``get()`` beyond a short vector yields NULL, which
+    NULLs the cosine and drops the pair — the same outcome the HOF path
+    gives a ragged vector. ``dim=None`` keeps the HOF path for corpora
+    of unknown/mixed width.
     """
     cents = ivf_build(df, n_cells, n_iters, vec_col, id_col, quantize)
     # spread: a small-file scan arrives as ONE partition, which would
     # serialize the n_cells-cosine assignment AND the pair join onto a
     # single core; fan out to the cluster's parallelism first
-    assigned = ivf_assign(spread(df), cents, vec_col) \
-        .select(F.col(id_col), F.col(vec_col), F.col("__cell"),
-                norm(vec_col).alias("__n")) \
-        .localCheckpoint()
-    a = assigned.select(F.col(id_col).alias("__ida"),
-                        F.col(vec_col).alias("__va"),
-                        F.col("__cell"), F.col("__n").alias("__na"))
-    b = assigned.select(F.col(id_col).alias("__idb"),
-                        F.col(vec_col).alias("__vb"),
-                        F.col("__cell"), F.col("__n").alias("__nb"))
-    sim = F.round(F.try_divide(dot("__va", "__vb"),
+    assigned = ivf_assign(spread(df), cents, vec_col)
+    if dim is None:
+        assigned = assigned \
+            .select(F.col(id_col), F.col(vec_col), F.col("__cell"),
+                    norm(vec_col).alias("__n")) \
+            .localCheckpoint()
+        a = assigned.select(F.col(id_col).alias("__ida"),
+                            F.col(vec_col).alias("__va"),
+                            F.col("__cell"), F.col("__n").alias("__na"))
+        b = assigned.select(F.col(id_col).alias("__idb"),
+                            F.col(vec_col).alias("__vb"),
+                            F.col("__cell"), F.col("__n").alias("__nb"))
+        pair_dot = dot("__va", "__vb")
+    else:
+        # unpack ONCE, before the checkpoint: the materialized block holds
+        # dim scalar doubles per row (same bytes as the array) and both
+        # join sides are pure column renames of it. selectExpr STRINGS,
+        # not Column composition — py4j round-trip per node otherwise
+        # (see embedding_near_dups_lsh / ivf_assign).
+        norm_sql = (f"sqrt(aggregate(transform(`{vec_col}`, x -> "
+                    f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+                    f"CAST(0 AS DOUBLE), (acc, w) -> acc + w))")
+        assigned = assigned.selectExpr(
+            f"`{id_col}`", "__cell", f"{norm_sql} AS __n",
+            *[f"CAST(get(`{vec_col}`, {i}) AS DOUBLE) AS __e{i}"
+              for i in range(dim)]) \
+            .localCheckpoint()
+        a = assigned.selectExpr(f"`{id_col}` AS __ida", "__cell",
+                                "__n AS __na",
+                                *[f"__e{i} AS __a{i}" for i in range(dim)])
+        b = assigned.selectExpr(f"`{id_col}` AS __idb", "__cell",
+                                "__n AS __nb",
+                                *[f"__e{i} AS __b{i}" for i in range(dim)])
+        chain = " + ".join(f"__a{i} * __b{i}" for i in range(dim))
+        pair_dot = F.expr(f"CAST(0 AS DOUBLE) + {chain}")
+    sim = F.round(F.try_divide(pair_dot,
                                F.col("__na") * F.col("__nb")), 6)
     dropped = (a.join(b, ["__cell"])
                .where(F.col("__ida") < F.col("__idb"))

@@ -501,12 +501,14 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     Documents with fewer than two tokens have no bigrams and are absent
     from the output (mirrored by the oracle).
 
-    Shuffle inventory (all uniform keys): bigram counts (corpus-sized),
-    context counts + the per-bigram probability table (both
-    vocabulary-bounded), and ONE corpus-sized scoring join — the
-    probability is attached to the count table first, so the exploded
-    bigrams shuffle once, not once per statistic. Training constants
-    travel as one scalar action.
+    Shuffle inventory (all uniform keys): ONE training pass whose explode
+    carries both the bigrams and the tokens (tagged), so the bigram
+    counts AND the vocabulary size come out of a single corpus-sized
+    shuffle; context counts + the per-bigram probability table (both
+    vocabulary-bounded); and ONE corpus-sized scoring join — the
+    probability is attached to the count table first, so the scoring
+    explode shuffles once, not once per statistic. Training constants
+    travel as one scalar action off the checkpointed count table.
     """
     arr = _match_tokens(text_col)
     arr = F.filter(arr, lambda t: t != F.lit(""))
@@ -517,16 +519,31 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                               F.element_at(arr, i + 1)))
     bg = (spread(df).where(n >= 2)
           .select(F.col(id_col), F.explode(bigrams).alias("bg")))
-    counts = bg.groupBy("bg").agg(F.count("*").alias("__cb"))
-    counts = counts.localCheckpoint()  # vocabulary^2-bounded, reused twice
+    # training pass: tag each exploded element as bigram (k=1) or token
+    # (k=0) so one explode + one groupBy yields both count tables; docs
+    # with <2 tokens contribute an empty bigram slice (sequence(1, n-1)
+    # would count DOWN for n<2, so guard with `when`) but still ship
+    # their tokens for the vocabulary
+    tagged = (spread(df).select(F.explode(F.concat(
+        F.when(n >= 2, F.transform(
+            bigrams,
+            lambda g: F.struct(F.lit(1).alias("k"), g.alias("g"))))
+         .otherwise(F.array().cast("array<struct<k:int,g:string>>")),
+        F.transform(
+            arr,
+            lambda t: F.struct(F.lit(0).alias("k"), t.alias("g")))))
+        .alias("x"))
+        .select("x.k", "x.g"))
+    kcounts = (tagged.groupBy("k", "g")
+               .agg(F.count("*").alias("__cb"))
+               .localCheckpoint())  # vocab + vocab^2 bounded, reused 3x
+    vocab = kcounts.where(F.col("k") == 0).count()
+    counts = kcounts.where(F.col("k") == 1) \
+        .select(F.col("g").alias("bg"), "__cb")
     ctx = (counts
            .groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
                     .alias("__w1"))
            .agg(F.sum("__cb").alias("__cc")))
-    vocab = (spread(df)
-             .select(F.explode(arr).alias("tok"))
-             .where(F.col("tok") != "")
-             .agg(F.count_distinct("tok")).first()[0])
     lp = F.log2((F.col("__cb") + F.lit(float(alpha)))
                 / (F.col("__cc") + F.lit(float(alpha * vocab))))
     # vocabulary-bounded join: probability lands on the count table, so

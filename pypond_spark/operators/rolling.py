@@ -456,3 +456,55 @@ def rank_normalize(df: DataFrame, field: str = "value",
     invalid = df.where(~valid).withColumn(
         f"{field}_pr", F.lit(None).cast("double"))
     return ranked.unionByName(invalid)
+
+
+def cusum(df: DataFrame, field: str = "value",
+          target: float | None = None, slack: float = 0.0,
+          threshold: float | None = None,
+          partition_by: Sequence[str] = (), time_col: str = "time",
+          tiebreak: str | None = None) -> DataFrame:
+    """One-sided upper CUSUM change detection (Page 1954): per series,
+    ``C_k = max(0, C_{k-1} + x_k - target - slack)``; an alarm fires
+    where ``C_k > threshold``. The standard sequential drift detector
+    for "has this metric shifted upward?".
+
+    The recurrence LOOKS sequential, but has the closed form
+    ``C_k = P_k - min(0, min_{j<=k} P_j)`` with ``P`` the running sum of
+    ``(x - target - slack)`` — so it is two incremental window
+    aggregates (running sum + running min) over ONE hash-partition +
+    sort, the exact physical shape of ``cumulative``; no Python, no
+    second shuffle, and the per-row state Spark's window operator
+    carries is O(1). ``target=None`` uses each series' own mean
+    (one bounded aggregation broadcast back, like ``zscore``). Invalid
+    samples (NULL/NaN) contribute zero drift — the detector holds its
+    level across gaps, matching the reference's treatment of missing
+    points as "no information". Appends ``<field>_cusum`` (and
+    ``<field>_alarm`` when ``threshold`` is given).
+    """
+    keys = list(partition_by)
+    col = F.col(field).cast("double")
+    valid = col.isNotNull() & ~F.isnan(col)
+    if target is None:
+        stats = (df.where(valid).groupBy(*keys)
+                 .agg(F.avg(col).alias("__target")))
+        if keys:
+            df = df.join(F.broadcast(stats), keys, "left")
+        else:
+            df = df.crossJoin(F.broadcast(stats))
+        tcol = F.col("__target")
+    else:
+        tcol = F.lit(float(target))
+    order = [F.col(time_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    drift = F.when(valid, col - tcol - F.lit(float(slack))).otherwise(0.0)
+    p = F.sum(drift).over(w)
+    c = p - F.least(F.lit(0.0), F.min(p).over(w))
+    out = df.withColumn(f"{field}_cusum", c)
+    if target is None:
+        out = out.drop("__target")
+    if threshold is not None:
+        out = out.withColumn(f"{field}_alarm",
+                             (F.col(f"{field}_cusum")
+                              > F.lit(float(threshold))).cast("boolean"))
+    return out
