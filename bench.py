@@ -90,6 +90,13 @@ HEADLINE = [
     "winsorize_by_type",
     "robust_zscore",
     "rank_normalize",
+    "monthly_rollup",
+    "ewma_scan",
+    "knn_join",
+    "cusum_by_type",
+    "tpch_q5_shape",
+    "tpch_q14_shape",
+    "tpch_q18_shape",
 ]
 
 

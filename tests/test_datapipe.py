@@ -646,3 +646,28 @@ def test_expectations(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         V.expect(df, {})
+
+
+def test_semantic_dedup_dim_chain_parity(spark, embs):
+    """The dim-unpacked codegen pair dot must reproduce the HOF fold's
+    verdicts exactly (same left-fold order, round-to-6 before threshold)."""
+    hof = similarity.semantic_dedup(embs, n_cells=8, n_iters=1,
+                                    threshold=0.9, quantize=6)
+    chain = similarity.semantic_dedup(embs, n_cells=8, n_iters=1,
+                                      threshold=0.9, quantize=6, dim=64)
+    a = {(r["vec_id"], r["cell"], r["kept"]) for r in hof.collect()}
+    b = {(r["vec_id"], r["cell"], r["kept"]) for r in chain.collect()}
+    assert a == b
+
+
+def test_knn_join_round_to(spark, embs):
+    queries = (embs.limit(2)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    knn = similarity.knn_join(embs, queries, k=3, round_to=6).collect()
+    assert len(knn) == 6
+    for r in knn:
+        # cosine is rounded BEFORE ranking: 6 decimals max
+        assert r["cosine"] == round(r["cosine"], 6)
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["q_id"]

@@ -2,6 +2,7 @@
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from pypond_spark import TimeSeries
@@ -301,3 +302,43 @@ def test_rank_normalize(spark):
     assert out[10.0] == 0.0 and out[40.0] == 1.0
     assert out[20.0] == 1 / 3 and out[30.0] == 2 / 3
     assert out[None] is None     # invalid rows don't shift ranks
+
+
+def _cusum_seq(vals, target, slack):
+    c, out = 0.0, []
+    for v in vals:
+        if v is not None and not math.isnan(v):
+            c = max(0.0, c + ((v - target) - slack))
+        out.append(c)
+    return out
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    # closed form (running sum - min(0, running min)) == the textbook
+    # max(0, C + x - t - s) fold, including NULLs holding the level
+    vals = [10.0, 14.0, 9.0, None, 30.0, 2.0, 25.0, 24.0]
+    pts = [[i * 1000, v] for i, v in enumerate(vals)]
+    out = (_ts(spark, pts).cusum("value", target=12.0, slack=1.0,
+                                 threshold=15.0).df
+           .orderBy("time").collect())
+    expect = _cusum_seq(vals, 12.0, 1.0)
+    got = [r["value_cusum"] for r in out]
+    assert got == [pytest.approx(e, abs=1e-12) for e in expect]
+    assert [r["value_alarm"] for r in out] == [e > 15.0 for e in expect]
+
+
+def test_cusum_per_group_mean_target(spark):
+    # target=None scores drift against each series' own mean
+    rows = [(i * 1000, "a", v) for i, v in enumerate([1.0, 1.0, 4.0])] + \
+           [(i * 1000, "b", v) for i, v in enumerate([10.0, 20.0, 30.0])]
+    df = spark.createDataFrame(
+        rows, "ms long, k string, value double"
+    ).select(F.timestamp_millis("ms").alias("time"), "k", "value")
+    out = (TimeSeries(df, kind="time")
+           .cusum("value", partition_by=["k"]).df.orderBy("k", "time")
+           .collect())
+    a = _cusum_seq([1.0, 1.0, 4.0], 2.0, 0.0)
+    b = _cusum_seq([10.0, 20.0, 30.0], 20.0, 0.0)
+    got = [r["value_cusum"] for r in out]
+    assert got == [pytest.approx(e, abs=1e-9) for e in a + b]
+    assert "__target" not in out[0].asDict()
