@@ -1548,6 +1548,46 @@ def q_tpch_q18_shape(spark, sf_dir):
                     F.round("sum_qty", 2).alias("sum_qty")))
 
 
+def q_twa_hourly(spark, sf_dir):
+    """Trapezoidal integral + time-weighted average per (hour, user)
+    (operators/rate.py::integrate): the honest mean of an irregularly
+    sampled gauge. One lag window on the series key + one
+    partial-aggregable groupBy bounded by hours x users."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.integrate("1h", "value", partition_by=["user_id"])
+    return out.select("user_id", "begin_ms",
+                      F.round("integral", 6).alias("integral"),
+                      F.round("twa", 6).alias("twa"), "n_seg")
+
+
+def q_holt_per_user(spark, sf_dir):
+    """Holt double exponential smoothing per user (operators/rolling.py::
+    holt, Arrow recurrence): level + linear trend. alpha=beta=0.5 keeps
+    every step an exact IEEE halving, so the DuckDB struct-fold oracle
+    reproduces both outputs bit-for-bit (no rounding — see
+    ewma_per_user)."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.holt("value", alpha=0.5, beta=0.5, partition_by=["user_id"],
+                  tiebreak="event_id")
+    return out.df.select("event_id", "user_id", _ms().alias("t_ms"),
+                         "value_level", "value_trend")
+
+
+def q_stream_holt(spark, sf_dir):
+    """Streaming twin of holt_per_user (streaming/stream.py::stream_holt):
+    TWO doubles of state per key (level, trend), availableNow drain;
+    identical recurrence, so the DuckDB oracle is the batch query's SQL
+    verbatim."""
+    from pypond_spark.streaming import stream_holt
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_holt(sdf, "value", alpha=0.5, beta=0.5,
+                      partition_by=["user_id"], tiebreak="event_id",
+                      carry_cols=["event_id"])
+    result = _run_stream_32(spark, out, "append")
+    return result.select("event_id", "user_id", "t_ms",
+                         "value_level", "value_trend")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-verified queries first: the driver snapshot caps at
@@ -1564,6 +1604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_shape": q_tpch_q5_shape,
         "tpch_q14_shape": q_tpch_q14_shape,
         "tpch_q18_shape": q_tpch_q18_shape,
+        "twa_hourly": q_twa_hourly,
+        "holt_per_user": q_holt_per_user,
+        "stream_holt": q_stream_holt,
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
@@ -2030,6 +2073,93 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "holt_per_user": """
+            -- recursive-CTE fold: DuckDB 1.0's vectorized struct-lambda
+            -- list_reduce misevaluates two-field state (verified: results
+            -- vary with list LENGTH), so the recurrence iterates as a
+            -- recursive CTE — k-th step = one vectorized scalar pass over
+            -- all users, same halvings as the Arrow recurrence, new_l
+            -- inlined twice (identical ops, identical doubles)
+            WITH RECURSIVE lists AS (
+              SELECT user_id,
+                     list(CAST(value AS DOUBLE)
+                          ORDER BY ts, event_id) AS xs,
+                     list(event_id ORDER BY ts, event_id) AS ids,
+                     list(epoch_ms(ts) ORDER BY ts, event_id) AS tms
+              FROM events GROUP BY user_id
+            ), r AS (
+              SELECT user_id, 1 AS k, xs[1] AS l,
+                     CAST(0.0 AS DOUBLE) AS b
+              FROM lists
+              UNION ALL
+              SELECT l2.user_id, r.k + 1,
+                     0.5 * l2.xs[r.k + 1] + 0.5 * (r.l + r.b),
+                     0.5 * ((0.5 * l2.xs[r.k + 1] + 0.5 * (r.l + r.b))
+                            - r.l) + 0.5 * r.b
+              FROM r JOIN lists l2 USING (user_id)
+              WHERE r.k < len(l2.xs)
+            )
+            SELECT lists.ids[r.k] AS event_id, r.user_id,
+                   lists.tms[r.k] AS t_ms,
+                   r.l AS value_level, r.b AS value_trend
+            FROM r JOIN lists USING (user_id)
+        """,
+        # identical recurrence, drained availableNow
+        "stream_holt": """
+            -- recursive-CTE fold: DuckDB 1.0's vectorized struct-lambda
+            -- list_reduce misevaluates two-field state (verified: results
+            -- vary with list LENGTH), so the recurrence iterates as a
+            -- recursive CTE — k-th step = one vectorized scalar pass over
+            -- all users, same halvings as the Arrow recurrence, new_l
+            -- inlined twice (identical ops, identical doubles)
+            WITH RECURSIVE lists AS (
+              SELECT user_id,
+                     list(CAST(value AS DOUBLE)
+                          ORDER BY ts, event_id) AS xs,
+                     list(event_id ORDER BY ts, event_id) AS ids,
+                     list(epoch_ms(ts) ORDER BY ts, event_id) AS tms
+              FROM events GROUP BY user_id
+            ), r AS (
+              SELECT user_id, 1 AS k, xs[1] AS l,
+                     CAST(0.0 AS DOUBLE) AS b
+              FROM lists
+              UNION ALL
+              SELECT l2.user_id, r.k + 1,
+                     0.5 * l2.xs[r.k + 1] + 0.5 * (r.l + r.b),
+                     0.5 * ((0.5 * l2.xs[r.k + 1] + 0.5 * (r.l + r.b))
+                            - r.l) + 0.5 * r.b
+              FROM r JOIN lists l2 USING (user_id)
+              WHERE r.k < len(l2.xs)
+            )
+            SELECT lists.ids[r.k] AS event_id, r.user_id,
+                   lists.tms[r.k] AS t_ms,
+                   r.l AS value_level, r.b AS value_trend
+            FROM r JOIN lists USING (user_id)
+        """,
+        "twa_hourly": """
+            -- (pv + value) / 2.0 * dt mirrors the operator's float-op
+            -- order exactly; the trapezoid joins the window of its LEFT
+            -- endpoint
+            WITH b AS (
+              SELECT user_id, epoch_ms(ts) AS ms, value,
+                     lag(epoch_ms(ts)) OVER w AS pms,
+                     lag(value) OVER w AS pv
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id,
+                     CAST(floor(pms / 3600000.0) AS BIGINT) AS pos,
+                     (pv + value) / 2.0 * ((ms - pms) / 1000.0) AS area,
+                     (ms - pms) / 1000.0 AS dt
+              FROM b
+              WHERE pms IS NOT NULL AND pv IS NOT NULL
+                AND value IS NOT NULL
+            )
+            SELECT user_id, pos * 3600000 AS begin_ms,
+                   round(sum(area), 6) AS integral,
+                   round(sum(area) / sum(dt), 6) AS twa,
+                   count(*) AS n_seg
+            FROM s GROUP BY 1, 2
         """,
         "tpch_q18_shape": """
             WITH big AS (

@@ -97,6 +97,8 @@ HEADLINE = [
     "tpch_q5_shape",
     "tpch_q14_shape",
     "tpch_q18_shape",
+    "twa_hourly",
+    "holt_per_user",
 ]
 
 

@@ -206,6 +206,85 @@ def ewma(df: DataFrame, field_spec: str = "value", alpha: float = 0.5,
     return parts.mapInPandas(per_partition, out_schema)
 
 
+def holt(df: DataFrame, field: str = "value", alpha: float = 0.5,
+         beta: float = 0.5, partition_by: Sequence[str] = (),
+         time_col: str = "time",
+         tiebreak: str | None = None) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per
+    series — the forecasting step up from :func:`ewma` for drifting
+    signals, where single smoothing lags a trend by ``(1-alpha)/alpha``
+    steps:
+
+    ``l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})``;
+    ``b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}``;
+    first valid sample initializes ``l = x, b = 0``.
+
+    Same Arrow escape hatch and scale shape as :func:`ewma` (the
+    recurrence is inherently sequential per key): hash-partition on the
+    series key, one sorted ``mapInPandas`` pass, accumulators carried
+    across Arrow batches, O(1) state per key. The loop writes the
+    recurrence verbatim, so a fold in any engine reproduces it — for
+    dyadic ``alpha``/``beta`` (0.5, 0.25, ...) every multiply is an
+    exact IEEE scaling and results are bit-identical cross-engine.
+    NaN/None samples carry level and trend forward unchanged. Appends
+    ``<field>_level`` and ``<field>_trend``; the one-step-ahead forecast
+    is ``level + trend``.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    keys = list(partition_by)
+    from pyspark.sql import types as T
+    out_schema = T.StructType(list(df.schema.fields)
+                              + [T.StructField(f"{field}_level",
+                                               T.DoubleType()),
+                                 T.StructField(f"{field}_trend",
+                                               T.DoubleType())])
+
+    if keys:
+        parts = df.repartition(*[F.col(k) for k in keys]) \
+            .sortWithinPartitions(*keys, time_col,
+                                  *([tiebreak] if tiebreak else []))
+    else:
+        parts = df.coalesce(1).sortWithinPartitions(
+            time_col, *([tiebreak] if tiebreak else []))
+
+    def per_partition(batches):
+        import math
+
+        import numpy as np
+        prev_key = object()
+        lv = bt = math.nan
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            kcols = [pdf[k].to_numpy() for k in keys]
+            x = pdf[field].to_numpy(dtype="float64", na_value=math.nan)
+            lev = np.empty(n)
+            trd = np.empty(n)
+            for i in range(n):
+                key = tuple(kc[i] for kc in kcols) if keys else ()
+                if key != prev_key:
+                    prev_key, lv, bt = key, math.nan, math.nan
+                v = x[i]
+                if not math.isnan(v):
+                    if math.isnan(lv):
+                        lv, bt = v, 0.0
+                    else:
+                        new_l = alpha * v + (1.0 - alpha) * (lv + bt)
+                        bt = beta * (new_l - lv) + (1.0 - beta) * bt
+                        lv = new_l
+                lev[i] = lv
+                trd[i] = bt
+            pdf[f"{field}_level"] = lev
+            pdf[f"{field}_trend"] = trd
+            yield pdf
+
+    return parts.mapInPandas(per_partition, out_schema)
+
+
 def zscore(df: DataFrame, field_spec: str = "value",
            window: str | None = None,
            partition_by: Sequence[str] = (),

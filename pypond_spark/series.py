@@ -479,6 +479,18 @@ class TimeSeries:
                       counter_wrap=counter_wrap)
         return TimeSeries(out, "timerange", self._meta)
 
+    def integrate(self, window: str = "1h", field: str = "value",
+                  partition_by: Sequence[str] = (),
+                  tiebreak: str | None = None):
+        """Trapezoidal integral + time-weighted average per fixed window
+        (engine addition; see ``operators.rate.integrate``). Returns a
+        plain DataFrame keyed by (window position, group)."""
+        if self._kind != "time":
+            raise ValueError("integrate expects instant-event input")
+        from .operators.rate import integrate as integrate_op
+        return integrate_op(self._df, window, field, partition_by,
+                            self.time_col, tiebreak)
+
     def fill(self, field_spec="value", method: str = "zero",
              fill_limit: int | None = None,
              partition_by: Sequence[str] = ()) -> "TimeSeries":
@@ -666,6 +678,17 @@ class TimeSeries:
         if self._kind != "time":
             raise ValueError("ewma expects instant-event input")
         return self._with(ewma_op(self._df, field_spec, alpha,
+                                  partition_by, self.time_col, tiebreak))
+
+    def holt(self, field: str = "value", alpha: float = 0.5,
+             beta: float = 0.5, partition_by: Sequence[str] = (),
+             tiebreak: str | None = None) -> "TimeSeries":
+        """Holt double exponential smoothing — level + linear trend per
+        series (engine addition; see ``operators.rolling.holt``)."""
+        if self._kind != "time":
+            raise ValueError("holt expects instant-event input")
+        from .operators.rolling import holt as holt_op
+        return self._with(holt_op(self._df, field, alpha, beta,
                                   partition_by, self.time_col, tiebreak))
 
     def zscore(self, field_spec="value", window: str | None = None,

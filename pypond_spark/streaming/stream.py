@@ -660,6 +660,73 @@ def stream_ewma(
     return out.drop("__k") if dummy else out
 
 
+def _holt_state_fn(field: str, keys: list[str], time_col: str,
+                   alpha: float, beta: float,
+                   tiebreak: str | None = None,
+                   carry: Sequence[str] = ()):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        lv, bt = state.get if state.exists else (None, None)
+        pdf = _whole_group(pdfs, time_col,
+                           (tiebreak,) if tiebreak else ())
+        outs = []
+        for _, row in pdf.iterrows():
+            rec = (list(key) + [int(row[time_col].value // 10**6)]
+                   + [row[c] for c in carry])
+            v = row[field]
+            if v is not None and not pd.isna(v):
+                if lv is None:
+                    lv, bt = float(v), 0.0
+                else:
+                    nl = alpha * float(v) + (1.0 - alpha) * (lv + bt)
+                    bt = beta * (nl - lv) + (1.0 - beta) * bt
+                    lv = nl
+            rec += [lv, bt]
+            outs.append(rec)
+        state.update((lv, bt))
+        cols = (keys + ["t_ms"] + list(carry)
+                + [f"{field}_level", f"{field}_trend"])
+        yield pd.DataFrame(outs, columns=cols)
+
+    return fn
+
+
+def stream_holt(
+    sdf: DataFrame,
+    field: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+    tiebreak: str | None = None,
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Cross-batch Holt double exponential smoothing: the streaming twin
+    of ``operators.rolling.holt``. State per series key is TWO doubles
+    (level, trend) — O(keys) state store regardless of event volume; the
+    recurrence is written identically to the batch operator, so a
+    drained stream and the batch op agree bit-for-bit (same tiebreak
+    contract as stream_ewma).
+    """
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
+    key_fields = [sdf.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields + [T.StructField("t_ms", T.LongType())]
+        + [sdf.schema[c] for c in carry_cols]
+        + [T.StructField(f"{field}_level", T.DoubleType()),
+           T.StructField(f"{field}_trend", T.DoubleType())])
+    state_schema = T.StructType(
+        [T.StructField("l", T.DoubleType()),
+         T.StructField("b", T.DoubleType())])
+    out = sdf.groupBy(*keys).applyInPandasWithState(
+        _holt_state_fn(field, keys, time_col, alpha, beta, tiebreak,
+                       list(carry_cols)),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out
+
+
 def _py_agg(func: str, vals: list, flt: str):
     """Python twin of the rolling reducers (operators/rolling.py:_over),
     evaluated over a trailing-window buffer. Matches the batch window

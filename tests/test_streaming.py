@@ -552,3 +552,39 @@ def test_stream_pipeline_stateful_methods(spark, stream_dir):
     # only user b's 60s silence exceeds 45s (user a ticks every 30s)
     gaps = run_available_now(pipe.find_gaps("45s"), "append").collect()
     assert [(r["user"], r["gap_ms"]) for r in gaps] == [("b", 60_000)]
+
+
+def test_stream_holt_matches_batch(spark, tmp_path):
+    """Level/trend state must carry across micro-batches and reproduce the
+    batch Holt recurrence exactly."""
+    from pypond_spark.operators.rolling import holt as batch_holt
+    from pypond_spark.streaming import run_available_now, stream_holt
+    chunk1 = [{"t_ms": 0, "user": "a", "value": 10.0},
+              {"t_ms": 1_000, "user": "a", "value": 20.0}]
+    chunk2 = [{"t_ms": 2_000, "user": "a", "value": 40.0},
+              {"t_ms": 0, "user": "b", "value": 5.0}]
+    for i, chunk in enumerate([chunk1, chunk2]):
+        path = tmp_path / f"p{i}.json"
+        with open(path, "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    sdf = (spark.readStream.schema(SCHEMA)
+           .option("maxFilesPerTrigger", 1).json(str(tmp_path))
+           .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+           .drop("t_ms"))
+    out = stream_holt(sdf, "value", alpha=0.5, beta=0.5,
+                      partition_by=["user"])
+    got = {(r["user"], r["t_ms"]): (r["value_level"], r["value_trend"])
+           for r in run_available_now(out, "append").collect()}
+    # a: l0=10,b0=0; l1=.5*20+.5*10=15, b1=.5*5+0=2.5;
+    #    l2=.5*40+.5*17.5=28.75, b2=.5*13.75+.5*2.5=8.125
+    assert got == {("a", 0): (10.0, 0.0), ("a", 1_000): (15.0, 2.5),
+                   ("a", 2_000): (28.75, 8.125), ("b", 0): (5.0, 0.0)}
+    batch = (spark.read.json(str(tmp_path))
+             .withColumn("time", F.timestamp_millis(F.col("t_ms"))))
+    brows = batch_holt(batch, "value", alpha=0.5, beta=0.5,
+                       partition_by=["user"], time_col="time").collect()
+    bgot = {(r["user"], r["t_ms"]): (r["value_level"], r["value_trend"])
+            for r in brows}
+    assert bgot == got

@@ -342,3 +342,59 @@ def test_cusum_per_group_mean_target(spark):
     got = [r["value_cusum"] for r in out]
     assert got == [pytest.approx(e, abs=1e-9) for e in a + b]
     assert "__target" not in out[0].asDict()
+
+
+def test_integrate_trapezoid(spark):
+    # samples at 0s/60s/120s in hour 0, then one pair inside hour 1
+    H = 3600_000
+    pts = [[0, 10.0], [60_000, 20.0], [120_000, 30.0],
+           [H + 0, 5.0], [H + 600_000, 15.0]]
+    out = {r["begin_ms"]: r for r in
+           _ts(spark, pts).integrate("1h", "value").collect()}
+    # hour 0: (10+20)/2*60 + (20+30)/2*60 = 900 + 1500; the 120s->1h gap
+    # trapezoid ((30+5)/2 * 3480s) also belongs to hour 0 (left endpoint)
+    assert out[0]["integral"] == pytest.approx(900 + 1500 + 17.5 * 3480)
+    assert out[0]["n_seg"] == 3
+    assert out[H]["integral"] == pytest.approx(10.0 * 600)
+    assert out[H]["twa"] == pytest.approx(10.0)
+    total_dt = 60 + 60 + 3480
+    assert out[0]["twa"] == pytest.approx(
+        (900 + 1500 + 17.5 * 3480) / total_dt)
+
+
+def test_integrate_skips_invalid_pairs(spark):
+    pts = [[0, 10.0], [60_000, None], [120_000, 30.0]]
+    out = _ts(spark, pts).integrate("1h", "value").collect()
+    # both trapezoids touch the NULL sample -> no segments survive
+    assert out == []
+
+
+def test_holt_matches_sequential(spark):
+    vals = [10.0, 12.0, None, 16.0, 13.0, 20.0]
+    pts = [[i * 1000, v] for i, v in enumerate(vals)]
+    out = (_ts(spark, pts).holt("value", alpha=0.3, beta=0.2).df
+           .orderBy("time").collect())
+    lv = bt = None
+    expect = []
+    for v in vals:
+        if v is not None:
+            if lv is None:
+                lv, bt = v, 0.0
+            else:
+                nl = 0.3 * v + 0.7 * (lv + bt)
+                bt = 0.2 * (nl - lv) + 0.8 * bt
+                lv = nl
+        expect.append((lv, bt))
+    got = [(r["value_level"], r["value_trend"]) for r in out]
+    for (gl, gb), (el, eb) in zip(got, expect):
+        assert gl == pytest.approx(el, abs=1e-12)
+        assert gb == pytest.approx(eb, abs=1e-12)
+
+
+def test_holt_tracks_linear_trend(spark):
+    # a perfect line: level converges to the line, trend to the slope
+    pts = [[i * 1000, 5.0 + 3.0 * i] for i in range(40)]
+    last = (_ts(spark, pts).holt("value").df
+            .orderBy("time").collect())[-1]
+    assert last["value_trend"] == pytest.approx(3.0, abs=1e-4)
+    assert last["value_level"] == pytest.approx(5.0 + 3.0 * 39, abs=1e-4)
