@@ -1588,6 +1588,22 @@ def q_stream_holt(spark, sf_dir):
                          "value_level", "value_trend")
 
 
+def q_interval_coverage(spark, sf_dir):
+    """Per-user union coverage of [ts, ts + value sec) intervals
+    (operators/interval.py::coverage over merge_intervals): TimeRange
+    union algebra at table scale — the classic sweep as two window
+    functions + one groupBy sharing ONE shuffle; pure integer-ms math,
+    exact cross-engine."""
+    from pypond_spark.operators.interval import coverage
+    df = _events_df(spark, sf_dir)
+    iv = df.select(
+        "user_id", F.col("ts").alias("begin"),
+        F.timestamp_millis(
+            F.unix_millis("ts")
+            + F.floor(F.col("value") * 1000).cast("long")).alias("end"))
+    return coverage(iv, partition_by=["user_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-verified queries first: the driver snapshot caps at
@@ -1607,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_hourly": q_twa_hourly,
         "holt_per_user": q_holt_per_user,
         "stream_holt": q_stream_holt,
+        "interval_coverage": q_interval_coverage,
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
@@ -2136,6 +2153,38 @@ def oracle_sql() -> dict[str, str]:
                    lists.tms[r.k] AS t_ms,
                    r.l AS value_level, r.b AS value_trend
             FROM r JOIN lists USING (user_id)
+        """,
+        "interval_coverage": """
+            -- the same sweep: new-span flag where begin clears the
+            -- running max of previous ends; span id = running flag sum
+            WITH iv AS (
+              SELECT user_id, epoch_ms(ts) AS b,
+                     epoch_ms(ts)
+                     + CAST(floor(value * 1000) AS BIGINT) AS e
+              FROM events WHERE value IS NOT NULL
+            ), f AS (SELECT * FROM iv WHERE e > b),
+            s AS (
+              SELECT user_id, b, e,
+                     CASE WHEN max(e) OVER wprev IS NULL
+                            OR b > max(e) OVER wprev
+                          THEN 1 ELSE 0 END AS ns
+              FROM f
+              WINDOW wprev AS (PARTITION BY user_id ORDER BY b, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+            ), sp AS (
+              SELECT user_id, b, e,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY b, e
+                                   ROWS UNBOUNDED PRECEDING) AS span
+              FROM s
+            ), m AS (
+              SELECT user_id, span, min(b) AS sb, max(e) AS se,
+                     count(*) AS n
+              FROM sp GROUP BY 1, 2
+            )
+            SELECT user_id, sum(se - sb) AS covered_ms,
+                   count(*) AS n_spans, sum(n) AS n_intervals
+            FROM m GROUP BY user_id
         """,
         "twa_hourly": """
             -- (pv + value) / 2.0 * dt mirrors the operator's float-op

@@ -115,3 +115,71 @@ def interval_join(left: DataFrame, right: DataFrame,
                 + [F.col(f"{rp}{c}") for c in right.columns if c not in on])
     return (joined.where(overlap & (F.col("__bucket") == first_shared))
             .select(*out_cols))
+
+
+def merge_intervals(df: DataFrame, begin_col: str = "begin",
+                    end_col: str = "end",
+                    partition_by: Sequence[str] = (),
+                    min_gap_ms: int = 0) -> DataFrame:
+    """Union of half-open ``[begin, end)`` intervals per key: coalesce
+    every overlapping (or within ``min_gap_ms``) group into one maximal
+    span — TimeRange algebra (the reference's ``TimeRange.overlaps``/
+    extents, ``range.py:358-474``) lifted from two operands to a whole
+    distributed table. The workhorse behind downtime/coverage math,
+    SLA windows, and merging per-source availability ranges.
+
+    The classic sweep, done with windows instead of a loop: order each
+    key's intervals by begin; an interval STARTS a new span when its
+    begin clears the running max of all previous ends (plus the gap
+    tolerance); the running count of starts is the span id; one groupBy
+    (key, span) emits the merged spans. All timestamps travel as LONG
+    millis — every comparison is exact integer math.
+
+    Scale: one hash exchange on the key + one in-partition sort feed
+    BOTH window functions, and the span groupBy reuses the same
+    partitioning (keys are a superset) — Spark plans exactly ONE
+    shuffle. Output: ``(*keys, span_start_ms, span_end_ms, span_ms,
+    n_intervals)``.
+    """
+    from pyspark.sql import Window
+
+    keys = list(partition_by)
+    b = F.unix_millis(F.col(begin_col))
+    e = F.unix_millis(F.col(end_col))
+    base = df.select(*keys, b.alias("__b"), e.alias("__e")) \
+        .where(F.col("__e") > F.col("__b"))
+    w = Window.partitionBy(*keys).orderBy("__b", "__e")
+    prev_max = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_span = F.when(
+        prev_max.isNull()
+        | (F.col("__b") > prev_max + F.lit(int(min_gap_ms))), 1) \
+        .otherwise(0)
+    spans = base.withColumn(
+        "__span", F.sum(new_span).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (spans.groupBy(*keys, "__span")
+            .agg(F.min("__b").alias("span_start_ms"),
+                 F.max("__e").alias("span_end_ms"),
+                 F.count("*").alias("n_intervals"))
+            .withColumn("span_ms",
+                        F.col("span_end_ms") - F.col("span_start_ms"))
+            .drop("__span"))
+
+
+def coverage(df: DataFrame, begin_col: str = "begin",
+             end_col: str = "end",
+             partition_by: Sequence[str] = (),
+             min_gap_ms: int = 0) -> DataFrame:
+    """Total covered time per key — the scalar on top of
+    :func:`merge_intervals`: ``covered_ms`` = union length (overlaps
+    counted once), ``n_spans`` / ``n_intervals`` for density. Same ONE
+    shuffle; the final per-key aggregation is partial-aggregable over
+    the tiny merged-span frame.
+    """
+    keys = list(partition_by)
+    merged = merge_intervals(df, begin_col, end_col, keys, min_gap_ms)
+    return (merged.groupBy(*keys)
+            .agg(F.sum("span_ms").alias("covered_ms"),
+                 F.count("*").alias("n_spans"),
+                 F.sum("n_intervals").alias("n_intervals")))

@@ -265,3 +265,33 @@ def test_ewma_scan_matches_sequential(spark):
             assert par[t] == seq[t], t
     with pytest.raises(ValueError):
         ewma_scan(df, ["a", "b"])
+
+
+def test_merge_intervals_sweep(spark):
+    from pypond_spark.operators.interval import coverage, merge_intervals
+    rows = [("a", 0, 10), ("a", 5, 20), ("a", 20, 25), ("a", 30, 40),
+            ("b", 0, 5), ("b", 100, 101), ("b", 3, 4)]
+    df = spark.createDataFrame(rows, "k string, b long, e long").select(
+        "k", F.timestamp_millis("b").alias("begin"),
+        F.timestamp_millis("e").alias("end"))
+    spans = {(r["k"], r["span_start_ms"], r["span_end_ms"]): r["n_intervals"]
+             for r in merge_intervals(df, partition_by=["k"]).collect()}
+    # a: [0,10)+[5,20) merge; [20,25) touches 20 but half-open [ , ) with
+    # begin > prev_max test: begin 20 > 20 is false -> merges too; [30,40) apart
+    assert spans == {("a", 0, 25): 3, ("a", 30, 40): 1,
+                     ("b", 0, 5): 2, ("b", 100, 101): 1}
+    cov = {r["k"]: (r["covered_ms"], r["n_spans"], r["n_intervals"])
+           for r in coverage(df, partition_by=["k"]).collect()}
+    assert cov == {"a": (35, 2, 4), "b": (6, 2, 3)}
+
+
+def test_merge_intervals_min_gap_and_invalid(spark):
+    from pypond_spark.operators.interval import merge_intervals
+    rows = [("a", 0, 10), ("a", 12, 20), ("a", 50, 50), ("a", 60, 55)]
+    df = spark.createDataFrame(rows, "k string, b long, e long").select(
+        "k", F.timestamp_millis("b").alias("begin"),
+        F.timestamp_millis("e").alias("end"))
+    # gap of 2ms bridged by min_gap_ms=2; empty/negative intervals drop
+    out = merge_intervals(df, partition_by=["k"], min_gap_ms=2).collect()
+    assert [(r["span_start_ms"], r["span_end_ms"], r["n_intervals"])
+            for r in out] == [(0, 20, 2)]
