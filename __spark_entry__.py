@@ -1604,6 +1604,39 @@ def q_interval_coverage(spark, sf_dir):
     return coverage(iv, partition_by=["user_id"])
 
 
+def q_cusum_two_sided(spark, sf_dir):
+    """Both-sided CUSUM per event_type (operators/rolling.py::cusum,
+    side='both'): upper and lower drift statistics share ONE
+    hash-partition + sort (four incremental window aggregates, no second
+    shuffle); alarm fires on either side."""
+    from pypond_spark.operators import rolling as roll_ops
+    df = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    out = roll_ops.cusum(df, "value", target=55.0, slack=1.0,
+                         threshold=500.0, partition_by=["event_type"],
+                         tiebreak="event_id", side="both")
+    return out.select("event_id", "event_type",
+                      F.round("value_cusum", 6).alias("value_cusum"),
+                      F.round("value_cusum_dn", 6).alias("value_cusum_dn"),
+                      "value_alarm")
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index per event_type (datapipe/validate.py::
+    psi): value distribution of 2024-H2 events vs 2024-H1 baseline,
+    floor-binned at 25. ONE shuffle bounded by types x occupied bins;
+    per-type totals broadcast back onto the tiny bin frame."""
+    from pypond_spark.datapipe import validate as dp_val
+    ev = _events_df(spark, sf_dir)
+    out = dp_val.psi(
+        ev, "value",
+        F.col("ts") >= F.lit("2024-07-01").cast("timestamp"),
+        bin_width=25.0, partition_by=["event_type"])
+    return out.select("event_type", "bin", "lo", "c_base", "c_cur",
+                      F.round("p_base", 6).alias("p_base"),
+                      F.round("p_cur", 6).alias("p_cur"),
+                      F.round("contrib", 6).alias("contrib"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-verified queries first: the driver snapshot caps at
@@ -1624,6 +1657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_per_user": q_holt_per_user,
         "stream_holt": q_stream_holt,
         "interval_coverage": q_interval_coverage,
+        "cusum_two_sided": q_cusum_two_sided,
+        "psi_drift": q_psi_drift,
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
@@ -2153,6 +2188,60 @@ def oracle_sql() -> dict[str, str]:
                    lists.tms[r.k] AS t_ms,
                    r.l AS value_level, r.b AS value_trend
             FROM r JOIN lists USING (user_id)
+        """,
+        "cusum_two_sided": """
+            -- both sides share the window; lower drift mirrors the
+            -- operator's (55.0 - value) - 1.0 subtraction order
+            WITH p AS (
+              SELECT event_id, event_type, ts,
+                     sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                              THEN (value - 55.0) - 1.0 ELSE 0.0 END)
+                       OVER w AS ps,
+                     sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                              THEN (55.0 - value) - 1.0 ELSE 0.0 END)
+                       OVER w AS pd
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT event_id, event_type,
+                   round(ps - least(0.0, min(ps) OVER w2), 6)
+                     AS value_cusum,
+                   round(pd - least(0.0, min(pd) OVER w2), 6)
+                     AS value_cusum_dn,
+                   ((ps - least(0.0, min(ps) OVER w2)) > 500.0
+                    OR (pd - least(0.0, min(pd) OVER w2)) > 500.0)
+                     AS value_alarm
+            FROM p
+            WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "psi_drift": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(floor(value / 25.0) AS BIGINT) AS bin,
+                     (ts >= TIMESTAMP '2024-07-01') AS cur
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+            ), c AS (
+              SELECT event_type, bin,
+                     sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS c_base,
+                     sum(CASE WHEN cur THEN 1 ELSE 0 END) AS c_cur
+              FROM b GROUP BY 1, 2
+            ), t AS (
+              SELECT event_type, sum(c_base) AS nb, sum(c_cur) AS nc,
+                     count(*) AS B
+              FROM c GROUP BY 1
+            )
+            SELECT c.event_type, bin, bin * 25.0 AS lo, c_base, c_cur,
+                   round((c_base + 0.5) / (nb + 0.5 * B), 6) AS p_base,
+                   round((c_cur + 0.5) / (nc + 0.5 * B), 6) AS p_cur,
+                   round(((c_cur + 0.5) / (nc + 0.5 * B)
+                          - (c_base + 0.5) / (nb + 0.5 * B))
+                         * ln(((c_cur + 0.5) / (nc + 0.5 * B))
+                              / ((c_base + 0.5) / (nb + 0.5 * B))), 6)
+                     AS contrib
+            FROM c JOIN t USING (event_type)
         """,
         "interval_coverage": """
             -- the same sweep: new-span flag where begin clears the

@@ -61,3 +61,57 @@ def expect_unique(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
             .select(F.lit(f"unique_{key_col}").alias("rule"), "n_rows",
                     "n_violations",
                     (F.col("n_violations") == 0).alias("pass")))
+
+
+def psi(df: DataFrame, field: str, split: Column | str,
+        bin_width: float = 1.0, smooth: float = 0.5,
+        partition_by=()) -> DataFrame:
+    """Population Stability Index between two slices of one table — the
+    standard production-ML drift check ("has this feature's distribution
+    moved between baseline and current?"; rule of thumb: < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 shifted).
+
+    ``split`` is a boolean predicate marking the CURRENT slice (false =
+    baseline). Values floor-bin at ``bin_width`` (fixed edges — no stats
+    pass, deterministic across engines); each observed bin contributes
+    ``(q - p) * ln(q / p)`` with Laplace-smoothed shares
+    ``p = (c_base + smooth) / (n_base + smooth * B)`` over the B bins
+    observed in either slice, so empty-on-one-side bins stay finite.
+    Invalid values (NULL/NaN) are excluded from both slices.
+
+    Output: per (group, bin) rows ``(*partition_by, bin, lo, c_base,
+    c_cur, p_base, p_cur, contrib)`` — ``sum(contrib)`` per group is the
+    PSI. Scale: ONE shuffle bounded by groups x occupied bins (map-side
+    partial counts), then per-group totals broadcast back onto the tiny
+    bin frame.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    keys = list(partition_by)
+    col = F.col(field).cast("double")
+    valid = col.isNotNull() & ~F.isnan(col)
+    pred = F.expr(split) if isinstance(split, str) else split
+    binned = (df.where(valid)
+              .select(*keys,
+                      F.floor(col / F.lit(float(bin_width))).alias("bin"),
+                      F.coalesce(pred, F.lit(False)).alias("__cur")))
+    counts = (binned.groupBy(*keys, "bin")
+              .agg(F.sum(F.when(~F.col("__cur"), 1).otherwise(0))
+                   .alias("c_base"),
+                   F.sum(F.when(F.col("__cur"), 1).otherwise(0))
+                   .alias("c_cur")))
+    totals = (counts.groupBy(*keys)
+              .agg(F.sum("c_base").alias("__nb"),
+                   F.sum("c_cur").alias("__nc"),
+                   F.count("*").alias("__B")))
+    joined = counts.join(F.broadcast(totals), keys) if keys \
+        else counts.crossJoin(F.broadcast(totals))
+    s = F.lit(float(smooth))
+    p = (F.col("c_base") + s) / (F.col("__nb") + s * F.col("__B"))
+    q = (F.col("c_cur") + s) / (F.col("__nc") + s * F.col("__B"))
+    return joined.select(
+        *keys, "bin",
+        (F.col("bin") * F.lit(float(bin_width))).alias("lo"),
+        "c_base", "c_cur",
+        p.alias("p_base"), q.alias("p_cur"),
+        ((q - p) * F.log(q / p)).alias("contrib"))

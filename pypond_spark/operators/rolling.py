@@ -541,25 +541,31 @@ def cusum(df: DataFrame, field: str = "value",
           target: float | None = None, slack: float = 0.0,
           threshold: float | None = None,
           partition_by: Sequence[str] = (), time_col: str = "time",
-          tiebreak: str | None = None) -> DataFrame:
-    """One-sided upper CUSUM change detection (Page 1954): per series,
-    ``C_k = max(0, C_{k-1} + x_k - target - slack)``; an alarm fires
-    where ``C_k > threshold``. The standard sequential drift detector
-    for "has this metric shifted upward?".
+          tiebreak: str | None = None, side: str = "upper") -> DataFrame:
+    """CUSUM change detection (Page 1954): per series,
+    ``C_k = max(0, C_{k-1} + x_k - target - slack)`` (upper side; the
+    lower side accumulates ``target - x_k``); an alarm fires where the
+    statistic exceeds ``threshold``. The standard sequential drift
+    detector for "has this metric shifted?".
 
     The recurrence LOOKS sequential, but has the closed form
     ``C_k = P_k - min(0, min_{j<=k} P_j)`` with ``P`` the running sum of
-    ``(x - target - slack)`` — so it is two incremental window
-    aggregates (running sum + running min) over ONE hash-partition +
-    sort, the exact physical shape of ``cumulative``; no Python, no
-    second shuffle, and the per-row state Spark's window operator
-    carries is O(1). ``target=None`` uses each series' own mean
-    (one bounded aggregation broadcast back, like ``zscore``). Invalid
-    samples (NULL/NaN) contribute zero drift — the detector holds its
-    level across gaps, matching the reference's treatment of missing
-    points as "no information". Appends ``<field>_cusum`` (and
-    ``<field>_alarm`` when ``threshold`` is given).
+    the drift — so each side is two incremental window aggregates
+    (running sum + running min) over ONE hash-partition + sort, the
+    exact physical shape of ``cumulative``; no Python, no second
+    shuffle (``side='both'`` shares the same sort), and the per-row
+    state Spark's window operator carries is O(1). ``target=None`` uses
+    each series' own mean (one bounded aggregation broadcast back, like
+    ``zscore``). Invalid samples (NULL/NaN) contribute zero drift — the
+    detector holds its level across gaps, matching the reference's
+    treatment of missing points as "no information".
+
+    Appends ``<field>_cusum`` (upper), ``<field>_cusum_dn`` (lower), or
+    both for ``side='both'``; with ``threshold``, ``<field>_alarm``
+    fires on whichever sides were computed.
     """
+    if side not in ("upper", "lower", "both"):
+        raise ValueError(f"side must be upper|lower|both, got {side!r}")
     keys = list(partition_by)
     col = F.col(field).cast("double")
     valid = col.isNotNull() & ~F.isnan(col)
@@ -576,14 +582,26 @@ def cusum(df: DataFrame, field: str = "value",
     order = [F.col(time_col)] + ([F.col(tiebreak)] if tiebreak else [])
     w = (Window.partitionBy(*keys).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    drift = F.when(valid, col - tcol - F.lit(float(slack))).otherwise(0.0)
-    p = F.sum(drift).over(w)
-    c = p - F.least(F.lit(0.0), F.min(p).over(w))
-    out = df.withColumn(f"{field}_cusum", c)
+
+    def stat(drift_expr):
+        p = F.sum(F.when(valid, drift_expr).otherwise(0.0)).over(w)
+        return p - F.least(F.lit(0.0), F.min(p).over(w))
+
+    out = df
+    alarms = []
+    if side in ("upper", "both"):
+        out = out.withColumn(f"{field}_cusum",
+                             stat(col - tcol - F.lit(float(slack))))
+        alarms.append(F.col(f"{field}_cusum"))
+    if side in ("lower", "both"):
+        out = out.withColumn(f"{field}_cusum_dn",
+                             stat(tcol - col - F.lit(float(slack))))
+        alarms.append(F.col(f"{field}_cusum_dn"))
     if target is None:
         out = out.drop("__target")
     if threshold is not None:
-        out = out.withColumn(f"{field}_alarm",
-                             (F.col(f"{field}_cusum")
-                              > F.lit(float(threshold))).cast("boolean"))
+        fired = alarms[0] > F.lit(float(threshold))
+        for a in alarms[1:]:
+            fired = fired | (a > F.lit(float(threshold)))
+        out = out.withColumn(f"{field}_alarm", fired.cast("boolean"))
     return out

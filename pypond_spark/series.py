@@ -649,15 +649,16 @@ class TimeSeries:
     def cusum(self, field: str = "value", target: float | None = None,
               slack: float = 0.0, threshold: float | None = None,
               partition_by: Sequence[str] = (),
-              tiebreak: str | None = None) -> "TimeSeries":
-        """One-sided CUSUM drift detection (engine addition; see
-        ``operators.rolling.cusum``)."""
+              tiebreak: str | None = None,
+              side: str = "upper") -> "TimeSeries":
+        """CUSUM drift detection, upper/lower/both sided (engine
+        addition; see ``operators.rolling.cusum``)."""
         if self._kind != "time":
             raise ValueError("cusum expects instant-event input")
         from .operators.rolling import cusum as cusum_op
         return self._with(cusum_op(self._df, field, target, slack,
                                    threshold, partition_by, self.time_col,
-                                   tiebreak))
+                                   tiebreak, side))
 
     def heatmap(self, window: str = "1h", field: str = "value",
                 bin_width: float = 1.0,

@@ -671,3 +671,22 @@ def test_knn_join_round_to(spark, embs):
         assert r["cosine"] == round(r["cosine"], 6)
         if r["rank"] == 1:
             assert r["vec_id"] == r["q_id"]
+
+
+def test_psi_identical_and_shifted(spark):
+    from pypond_spark.datapipe.validate import psi
+    # identical halves -> PSI ~ 0; shifted current -> clearly positive
+    rows = ([(float(v % 10), False) for v in range(100)]
+            + [(float(v % 10), True) for v in range(100)])
+    df = spark.createDataFrame(rows, "value double, cur boolean")
+    same = psi(df, "value", F.col("cur"), bin_width=2.0)
+    total = same.agg(F.sum("contrib")).first()[0]
+    assert abs(total) < 1e-9
+    rows2 = ([(float(v % 10), False) for v in range(100)]
+             + [(float(v % 10) + 6.0, True) for v in range(100)])
+    df2 = spark.createDataFrame(rows2, "value double, cur boolean")
+    shifted = psi(df2, "value", F.col("cur"), bin_width=2.0)
+    total2 = shifted.agg(F.sum("contrib")).first()[0]
+    assert total2 > 0.25
+    # per-bin counts: smoothing keeps one-sided bins finite
+    assert all(r["contrib"] is not None for r in shifted.collect())

@@ -398,3 +398,23 @@ def test_holt_tracks_linear_trend(spark):
             .orderBy("time").collect())[-1]
     assert last["value_trend"] == pytest.approx(3.0, abs=1e-4)
     assert last["value_level"] == pytest.approx(5.0 + 3.0 * 39, abs=1e-4)
+
+
+def test_cusum_lower_side(spark):
+    vals = [10.0, 2.0, 1.0, 12.0, 0.0, 1.0]
+    pts = [[i * 1000, v] for i, v in enumerate(vals)]
+    out = (_ts(spark, pts).cusum("value", target=8.0, slack=0.5,
+                                 threshold=10.0, side="both").df
+           .orderBy("time").collect())
+    up = _cusum_seq(vals, 8.0, 0.5)
+    c = 0.0
+    dn = []
+    for v in vals:
+        c = max(0.0, c + ((8.0 - v) - 0.5))
+        dn.append(c)
+    assert [r["value_cusum"] for r in out] == [
+        pytest.approx(e, abs=1e-12) for e in up]
+    assert [r["value_cusum_dn"] for r in out] == [
+        pytest.approx(e, abs=1e-12) for e in dn]
+    assert [r["value_alarm"] for r in out] == [
+        (u > 10.0) or (d > 10.0) for u, d in zip(up, dn)]
