@@ -1637,6 +1637,22 @@ def q_psi_drift(spark, sf_dir):
                       F.round("contrib", 6).alias("contrib"))
 
 
+def q_rolling_median_10m(spark, sf_dir):
+    """Trailing-window exact median + p90 per event (operators/
+    rolling.py::_frame_quantile): Spark has no frame form of median/
+    percentile, so the frame's values materialize as a sorted array per
+    row — same ONE shuffle + sort as every rolling stat; frame size
+    bounds the per-row buffer."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.rolling("10m", {"med_10m": {"value": "median"},
+                             "p90_10m": {"value": ("percentile", 90)}},
+                     partition_by=["user_id"])
+    return out.df.select(
+        "event_id", "user_id", _ms().alias("t_ms"),
+        F.round("med_10m", 6).alias("med_10m"),
+        F.round("p90_10m", 6).alias("p90_10m"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-verified queries first: the driver snapshot caps at
@@ -1659,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": q_interval_coverage,
         "cusum_two_sided": q_cusum_two_sided,
         "psi_drift": q_psi_drift,
+        "rolling_median_10m": q_rolling_median_10m,
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
@@ -2188,6 +2205,37 @@ def oracle_sql() -> dict[str, str]:
                    lists.tms[r.k] AS t_ms,
                    r.l AS value_level, r.b AS value_trend
             FROM r JOIN lists USING (user_id)
+        """,
+        "rolling_median_10m": """
+            -- same sorted-frame array arithmetic as the Spark compile
+            -- (DuckDB's native median-over-frame might interpolate with
+            -- different float ops; the list form is op-identical)
+            WITH b AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS t_ms,
+                     list_sort(list(value) FILTER (WHERE value IS NOT NULL)
+                       OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                             RANGE BETWEEN 599999 PRECEDING
+                             AND CURRENT ROW)) AS arr
+              FROM events
+            ), m AS (
+              SELECT event_id, user_id, t_ms, arr, len(arr) AS n,
+                     CAST(floor((len(arr) - 1) * 0.9) AS BIGINT) AS lo,
+                     (len(arr) - 1) * 0.9
+                       - CAST(floor((len(arr) - 1) * 0.9) AS BIGINT)
+                       AS frac
+              FROM b
+            )
+            SELECT event_id, user_id, t_ms,
+                   round(CASE WHEN n = 0 THEN NULL
+                         WHEN n % 2 = 1 THEN arr[(n + 1) // 2]
+                         ELSE (arr[n // 2] + arr[n // 2 + 1]) / 2.0
+                         END, 6) AS med_10m,
+                   round(CASE WHEN n = 0 THEN NULL
+                         ELSE arr[lo + 1]
+                              + (arr[least(lo + 2, n)] - arr[lo + 1])
+                                * frac
+                         END, 6) AS p90_10m
+            FROM m
         """,
         "cusum_two_sided": """
             -- both sides share the window; lower drift mirrors the

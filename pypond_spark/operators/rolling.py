@@ -48,18 +48,48 @@ def _range_window(window: str, partition_by: Sequence[str], time_col: str,
 _ROLLING_FILTERS = ("keep_missing", "ignore_missing", "zero_missing")
 
 
+def _frame_quantile(col, w, q: float | None):
+    """Exact quantile of a window FRAME. Spark refuses median()/
+    percentile() over a frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC),
+    so materialize the frame's valid values as a sorted array per row.
+    ``q=None`` -> median (mean of the two middles for even counts);
+    otherwise linear interpolation at rank ``q * (n-1)`` — the same
+    convention as the bucketed 'linear' percentile and quantile_cont.
+    Cost: the frame's values are buffered per row (collect_list), so
+    keep frames modest — an exact order statistic fundamentally needs
+    the frame's contents, unlike the incremental sum/min/max reducers.
+    """
+    arr = F.array_sort(F.collect_list(col).over(w))  # drops NULLs
+    n = F.size(arr)
+    if q is None:
+        odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        even = (F.element_at(arr, (n / 2).cast("int"))
+                + F.element_at(arr, (n / 2 + 1).cast("int"))) / F.lit(2.0)
+        return (F.when(n == 0, F.lit(None).cast("double"))
+                .when(n % 2 == 1, odd).otherwise(even))
+    rank = (n - 1).cast("double") * F.lit(float(q))
+    lo = F.floor(rank).cast("int")
+    frac = rank - lo
+    lo_v = F.element_at(arr, lo + 1)
+    hi_v = F.element_at(arr, F.least(lo + F.lit(2), n))
+    return F.when(n == 0, F.lit(None).cast("double")) \
+        .otherwise(lo_v + (hi_v - lo_v) * frac)
+
+
 def _over(func, col, flt, w):
     """Window-frame twin of the named reducers. compile_agg's columns wrap
     the aggregate in coalesce/when rewrites that `.over()` cannot apply to,
     so the rolling path compiles the window-function form directly."""
     simple = {"sum": F.sum, "avg": F.avg, "max": F.max, "min": F.min,
-              "count": F.count, "stddev": F.stddev_pop, "median": F.median}
+              "count": F.count, "stddev": F.stddev_pop}
     if isinstance(func, (tuple, list)):
         name, q, *rest = list(func) + []
         if name != "percentile" or rest:
             raise ValueError(
                 f"rolling supports ('percentile', q) tuples, got {func!r}")
-        return F.percentile(col, F.lit(q / 100.0)).over(w)
+        return _frame_quantile(col.cast("double"), w, q / 100.0)
+    if func == "median":
+        return _frame_quantile(col.cast("double"), w, None)
     if func == "difference":
         return F.max(col).over(w) - F.min(col).over(w)
     if func in ("first", "last"):
@@ -71,7 +101,7 @@ def _over(func, col, flt, w):
     if func not in simple:
         raise ValueError(
             f"rolling supports "
-            f"{sorted(simple) + ['difference', 'first', 'last', 'percentile']},"
+            f"{sorted(simple) + ['difference', 'first', 'last', 'median', 'percentile']},"
             f" got {func!r}")
     return simple[func](col).over(w)
 

@@ -418,3 +418,23 @@ def test_cusum_lower_side(spark):
         pytest.approx(e, abs=1e-12) for e in dn]
     assert [r["value_alarm"] for r in out] == [
         (u > 10.0) or (d > 10.0) for u, d in zip(up, dn)]
+
+
+def test_rolling_median_and_percentile(spark):
+    # 10m trailing frame; median of frame values, exact interpolated p50
+    pts = [[0, 4.0], [2 * MIN, 9.0], [4 * MIN, 1.0], [20 * MIN, 6.0]]
+    out = {r["time"].minute: (r["med"], r["p50"]) for r in
+           _ts(spark, pts).rolling(
+               "10m", {"med": {"value": "median"},
+                       "p50": {"value": ("percentile", 50)}}).df.collect()}
+    assert out[0] == (4.0, 4.0)
+    assert out[2] == (6.5, 6.5)          # frame {4, 9}
+    assert out[4] == (4.0, 4.0)          # frame {4, 9, 1}
+    assert out[20] == (6.0, 6.0)         # frame {6} (others aged out)
+
+
+def test_rolling_median_skips_nulls(spark):
+    pts = [[0, 4.0], [MIN, None], [2 * MIN, 10.0]]
+    out = [r["med"] for r in _ts(spark, pts).rolling(
+        "10m", {"med": {"value": "median"}}).df.orderBy("time").collect()]
+    assert out == [4.0, 4.0, 7.0]
