@@ -1653,6 +1653,28 @@ def q_rolling_median_10m(spark, sf_dir):
         F.round("p90_10m", 6).alias("p90_10m"))
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weight-proportional Bernoulli sampling (datapipe/
+    sampling.py::sample_weighted): keep probability = clamped per-doc
+    weight (n_chars / 4000), evaluated as a scan-level md5-hash filter —
+    no rand(), zero shuffles, bit-reproducible across engines."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_sample.sample_weighted(
+        docs, F.col("n_chars") / F.lit(4000.0), seed=7)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def q_weighted_take(spark, sf_dir):
+    """Exactly-k weighted sampling without replacement per source
+    (sampling.py::weighted_take_per_group, Efraimidis-Spirakis A-ES):
+    ln(u)/w priorities from the deterministic hash, top-20 per source
+    via one window shuffle on the group key."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_sample.weighted_take_per_group(
+        docs, k=20, weight="n_chars", group_col="source", seed=7)
+    return out.select("doc_id", "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-verified queries first: the driver snapshot caps at
@@ -1676,6 +1698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_two_sided": q_cusum_two_sided,
         "psi_drift": q_psi_drift,
         "rolling_median_10m": q_rolling_median_10m,
+        "sample_weighted": q_sample_weighted,
+        "weighted_take": q_weighted_take,
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
@@ -2205,6 +2229,25 @@ def oracle_sql() -> dict[str, str]:
                    lists.tms[r.k] AS t_ms,
                    r.l AS value_level, r.b AS value_trend
             FROM r JOIN lists USING (user_id)
+        """,
+        "sample_weighted": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ('0x' || substr(md5('7|' || doc_id::VARCHAR), 1, 8))
+                      ::BIGINT / 4294967296.0
+                  < least(greatest(n_chars / 4000.0, 0.0), 1.0)
+        """,
+        "weighted_take": """
+            -- A-ES priorities: ln(u) / w with the same clamped hash u
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     ln(greatest(
+                          ('0x' || substr(md5('7|' || doc_id::VARCHAR),
+                                          1, 8))::BIGINT / 4294967296.0,
+                          pow(2.0, -40))) / CAST(n_chars AS DOUBLE) AS s
+              FROM documents WHERE n_chars > 0
+            )
+            QUALIFY row_number() OVER (
+              PARTITION BY source ORDER BY s DESC, doc_id) <= 20
         """,
         "rolling_median_10m": """
             -- same sorted-frame array arithmetic as the Spark compile

@@ -86,6 +86,41 @@ def sample_stratified(df: DataFrame, fractions: dict[str, float],
     return df.where(sample_hash(F.col(key_col), seed) < rate)
 
 
+def weighted_take_per_group(df: DataFrame, k: int, weight: Column | str,
+                            group_col: str = "source",
+                            key_col: str = "doc_id",
+                            seed: int | str = 0) -> DataFrame:
+    """EXACTLY-k weighted sampling WITHOUT replacement per group
+    (Efraimidis & Spirakis 2006, algorithm A-ES): each row scores
+    ``ln(u) / w`` with the deterministic uniform ``u`` from
+    :func:`sample_hash`; the k largest scores per group are a
+    probability-proportional-to-weight sample without replacement —
+    what :func:`sample_weighted` (Bernoulli, random size) can't give
+    when the budget is exact, e.g. "the best-weighted 10k docs per
+    source under a fixed quota".
+
+    Rows with non-positive or NULL weight are excluded. ``u`` clamps at
+    2^-40 so a zero hash (1-in-2^32 per row — real at corpus scale)
+    scores -inf-free on every engine. Scale: one window shuffle on the
+    group key + per-partition rank, the same shape as ``take_per_group``
+    — no global sort; ties (only possible via hash collision at equal
+    weight) break to the smaller key.
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight) if isinstance(weight, str) else weight
+    wd = w.cast("double")
+    u = F.greatest(sample_hash(F.col(key_col), seed), F.lit(2.0 ** -40))
+    score = F.when(wd > 0, F.log(u) / wd)
+    win = Window.partitionBy(group_col).orderBy(F.desc("__aes"),
+                                                F.col(key_col))
+    return (df.withColumn("__aes", score)
+            .where(F.col("__aes").isNotNull())
+            .withColumn("__rk", F.row_number().over(win))
+            .where(F.col("__rk") <= k)
+            .drop("__aes", "__rk"))
+
+
 def take_per_group(df: DataFrame, k: int, group_col: str = "source",
                    key_col: str = "doc_id",
                    seed: int | str = 0) -> DataFrame:

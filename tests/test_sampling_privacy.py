@@ -319,3 +319,30 @@ def test_bigram_logprob(spark):
     assert out[2]["n_bigrams"] == 1
     assert out[0]["n_bigrams"] == 5          # a-b, b-a, a-b, b-a, a-b
     assert out[3]["mean_logprob"] < out[2]["mean_logprob"]
+
+
+def test_weighted_take_per_group_quota_and_bias(spark):
+    from pypond_spark.datapipe.sampling import weighted_take_per_group
+    rows = [(i, "a" if i < 200 else "b",
+             1000.0 if i % 10 == 0 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+    out = weighted_take_per_group(df, k=10, weight="w", group_col="src",
+                                  seed=3).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["src"], []).append(r)
+    # exact quota per group
+    assert {g: len(v) for g, v in by.items()} == {"a": 10, "b": 10}
+    # heavy weights (1000x) dominate the sample
+    heavy = sum(1 for r in out if r["w"] == 1000.0)
+    assert heavy >= 15
+    # deterministic under rerun
+    again = weighted_take_per_group(df, k=10, weight="w", group_col="src",
+                                    seed=3).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+    # zero/negative weights never selected
+    df2 = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", -5.0), (3, "a", 1.0)],
+        "doc_id long, src string, w double")
+    sel = weighted_take_per_group(df2, k=3, weight="w", group_col="src")
+    assert [r["doc_id"] for r in sel.collect()] == [3]
