@@ -1677,29 +1677,11 @@ def q_weighted_take(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Never-driver-verified queries first: the driver snapshot caps at
-        # ~50 entries, and r02/r03 both captured only the first 50 names.
-        # All 101 hash-match the strict local gate (tools/check_oracle.py);
-        # surfacing these gets them their first formal CORRECTNESS row.
-        "stream_align_1h": q_stream_align_1h,
-        "stream_fill_pad": q_stream_fill_pad,
-        "stream_rate": q_stream_rate,
-        "ewma_scan": q_ewma_scan,
-        "monthly_rollup": q_monthly_rollup,
-        "knn_join": q_knn_join,
-        "cusum_by_type": q_cusum_by_type,
-        "tpch_q5_shape": q_tpch_q5_shape,
-        "tpch_q14_shape": q_tpch_q14_shape,
-        "tpch_q18_shape": q_tpch_q18_shape,
-        "twa_hourly": q_twa_hourly,
-        "holt_per_user": q_holt_per_user,
-        "stream_holt": q_stream_holt,
-        "interval_coverage": q_interval_coverage,
-        "cusum_two_sided": q_cusum_two_sided,
-        "psi_drift": q_psi_drift,
-        "rolling_median_10m": q_rolling_median_10m,
-        "sample_weighted": q_sample_weighted,
-        "weighted_take": q_weighted_take,
+        # Never-driver-verified queries first: the driver snapshot caps
+        # at ~50 entries (r02/r03 each captured exactly the first 50
+        # names). Oldest-missing first: these 51 have waited two rounds
+        # for a formal CORRECTNESS row; the round-4 additions follow.
+        # All pass the strict local gate (tools/check_oracle.py).
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
@@ -1751,6 +1733,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_daily": q_retention_daily,
         "expectations": q_expectations,
         "bigram_logprob": q_bigram_logprob,
+        # --- round-4 additions (gated ALL OK locally) ---
+        "stream_align_1h": q_stream_align_1h,
+        "stream_fill_pad": q_stream_fill_pad,
+        "stream_rate": q_stream_rate,
+        "ewma_scan": q_ewma_scan,
+        "monthly_rollup": q_monthly_rollup,
+        "knn_join": q_knn_join,
+        "cusum_by_type": q_cusum_by_type,
+        "tpch_q5_shape": q_tpch_q5_shape,
+        "tpch_q14_shape": q_tpch_q14_shape,
+        "tpch_q18_shape": q_tpch_q18_shape,
+        "twa_hourly": q_twa_hourly,
+        "holt_per_user": q_holt_per_user,
+        "stream_holt": q_stream_holt,
+        "interval_coverage": q_interval_coverage,
+        "cusum_two_sided": q_cusum_two_sided,
+        "psi_drift": q_psi_drift,
+        "rolling_median_10m": q_rolling_median_10m,
+        "sample_weighted": q_sample_weighted,
+        "weighted_take": q_weighted_take,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
