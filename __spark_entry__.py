@@ -1418,7 +1418,7 @@ def q_ewma_scan(spark, sf_dir):
     from pypond_spark.operators import rolling as roll_ops
     df = (_events_df(spark, sf_dir).where(F.col("user_id") <= 5)
           .withColumnRenamed("ts", "time"))
-    out = roll_ops.ewma_scan(df, "value", alpha=0.5)
+    out = roll_ops.ewma_scan(df, "value", alpha=0.5, tiebreak="event_id")
     return out.select("event_id", _ms().alias("t_ms"), "value_ewma")
 
 
@@ -1639,7 +1639,7 @@ def q_psi_drift(spark, sf_dir):
 
 def q_rolling_median_10m(spark, sf_dir):
     """Trailing-window exact median + p90 per event (operators/
-    rolling.py::_frame_quantile): Spark has no frame form of median/
+    rolling.py::_sorted_frame): Spark has no frame form of median/
     percentile, so the frame's values materialize as a sorted array per
     row — same ONE shuffle + sort as every rolling stat; frame size
     bounds the per-row buffer."""

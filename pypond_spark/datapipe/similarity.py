@@ -305,7 +305,15 @@ def ivf_build(df: DataFrame, n_cells: int = 16, n_iters: int = 2,
     seeds = (df.orderBy(id_col).limit(n_cells)
              .select(vec_col).collect())
     centroids = [[float(x) for x in r[0]] for r in seeds]
-    dim = len(centroids[0]) if centroids else 0
+    if not centroids:
+        return centroids  # empty corpus: nothing to iterate
+    # centroid width is pinned to the first seed's width: vectors SHORTER
+    # than dim contribute NULL components that avg() skips (same per-dim
+    # sample set the explode form saw); vectors LONGER than dim
+    # contribute only their first dim components (the explode form would
+    # have grown the centroid) — ragged corpora are degenerate input
+    # either way, and uniform corpora are unaffected
+    dim = len(centroids[0])
     # a small-file scan arrives as ONE partition, serializing every
     # assignment scan onto a single core; at warehouse scale this is a
     # no-op (see spread)

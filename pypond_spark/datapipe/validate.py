@@ -87,6 +87,11 @@ def psi(df: DataFrame, field: str, split: Column | str,
     """
     if bin_width <= 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    if smooth <= 0:
+        # smooth=0 turns any one-sided bin into q/0 -> ANSI
+        # DIVIDE_BY_ZERO (or an infinite contrib); PSI needs smoothing
+        # to be defined on disjoint supports
+        raise ValueError(f"smooth must be > 0, got {smooth}")
     keys = list(partition_by)
     col = F.col(field).cast("double")
     valid = col.isNotNull() & ~F.isnan(col)

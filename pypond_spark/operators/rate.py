@@ -87,9 +87,11 @@ def integrate(
     LEFT endpoint (segments are not split at window boundaries — the
     cheap, streaming-friendly convention); per (window, key):
     ``integral`` (value-seconds), ``twa`` = integral / covered seconds,
-    and ``n_seg`` segments. Pairs with an invalid endpoint are skipped,
-    matching the reference's missing-data treatment in rate
-    (``rate.py:139``).
+    and ``n_seg`` segments. Pairs with an invalid endpoint (NULL or
+    NaN) are skipped, matching the reference's missing-data treatment
+    in rate (``rate.py:139``); a window whose only segments are
+    zero-length (duplicate timestamps) gets a NULL twa via try_divide
+    rather than an ANSI DIVIDE_BY_ZERO abort.
 
     Scale shape: identical to :func:`rate` — one shuffle on the series
     key + one in-partition sort for the lag, then ONE partial-aggregable
@@ -112,12 +114,14 @@ def integrate(
     dt_sec = (ms - prev_ms) / F.lit(1000.0)
     area = (prev + cur) / F.lit(2.0) * dt_sec
     pos = F.floor(prev_ms / F.lit(dur)).cast("long")
+    pair_valid = (cur.isNotNull() & ~F.isnan(cur)
+                  & prev.isNotNull() & ~F.isnan(prev))
     seg = (df.select(*keys, pos.alias("__pos"), area.alias("__area"),
-                     dt_sec.alias("__dt"))
-           .where(F.col("__area").isNotNull()))
+                     dt_sec.alias("__dt"), pair_valid.alias("__ok"))
+           .where(F.col("__ok") & F.col("__area").isNotNull()))
     return (seg.groupBy(*keys, "__pos")
             .agg(F.sum("__area").alias("integral"),
-                 (F.sum("__area") / F.sum("__dt")).alias("twa"),
+                 F.try_divide(F.sum("__area"), F.sum("__dt")).alias("twa"),
                  F.count("*").alias("n_seg"))
             .withColumnRenamed("__pos", "pos")
             .withColumn("begin_ms", F.col("pos") * F.lit(dur)))

@@ -48,18 +48,21 @@ def _range_window(window: str, partition_by: Sequence[str], time_col: str,
 _ROLLING_FILTERS = ("keep_missing", "ignore_missing", "zero_missing")
 
 
-def _frame_quantile(col, w, q: float | None):
-    """Exact quantile of a window FRAME. Spark refuses median()/
-    percentile() over a frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC),
-    so materialize the frame's valid values as a sorted array per row.
-    ``q=None`` -> median (mean of the two middles for even counts);
-    otherwise linear interpolation at rank ``q * (n-1)`` — the same
-    convention as the bucketed 'linear' percentile and quantile_cont.
-    Cost: the frame's values are buffered per row (collect_list), so
-    keep frames modest — an exact order statistic fundamentally needs
-    the frame's contents, unlike the incremental sum/min/max reducers.
-    """
-    arr = F.array_sort(F.collect_list(col).over(w))  # drops NULLs
+def _sorted_frame(col, w):
+    """The window frame's valid values as a sorted array per row. Spark
+    refuses median()/percentile() over a frame
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so exact frame quantiles
+    materialize the frame instead — keep frames modest: an exact order
+    statistic fundamentally needs the frame's contents, unlike the
+    incremental sum/min/max reducers."""
+    return F.array_sort(F.collect_list(col).over(w))  # drops NULLs
+
+
+def _quantile_of_sorted(arr, q: float | None):
+    """Quantile from a sorted array column. ``q=None`` -> median (mean
+    of the two middles for even counts); otherwise linear interpolation
+    at rank ``q * (n-1)`` — the same convention as the bucketed
+    'linear' percentile and quantile_cont."""
     n = F.size(arr)
     if q is None:
         odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
@@ -87,9 +90,11 @@ def _over(func, col, flt, w):
         if name != "percentile" or rest:
             raise ValueError(
                 f"rolling supports ('percentile', q) tuples, got {func!r}")
-        return _frame_quantile(col.cast("double"), w, q / 100.0)
+        return _quantile_of_sorted(_sorted_frame(col.cast("double"), w),
+                                   q / 100.0)
     if func == "median":
-        return _frame_quantile(col.cast("double"), w, None)
+        return _quantile_of_sorted(_sorted_frame(col.cast("double"), w),
+                                   None)
     if func == "difference":
         return F.max(col).over(w) - F.min(col).over(w)
     if func in ("first", "last"):
@@ -119,14 +124,35 @@ def rolling(df: DataFrame, window: str, aggregation: dict,
     have no window-frame form and raise rather than silently degrade.
     """
     w = _range_window(window, partition_by, time_col)
-    cols = []
-    for out, in_col, func, flt in normalize_agg_spec(aggregation):
+    specs = normalize_agg_spec(aggregation)
+    for out, _, _, flt in specs:
         if flt not in _ROLLING_FILTERS:
             raise ValueError(
                 f"rolling supports filters {_ROLLING_FILTERS}, got {flt!r}"
                 f" for {out!r}")
-        cols.append(
-            _over(func, _prefilter(F.col(in_col), flt), flt, w).alias(out))
+
+    def _is_quantile(func):
+        return func == "median" or (
+            isinstance(func, (tuple, list)) and func
+            and func[0] == "percentile")
+
+    # a spec asking for several quantiles of the same (column, filter)
+    # buffers and sorts the frame ONCE, not once per entry — the sorted
+    # array is the dominant per-row cost of the exact-quantile path
+    shared = {}
+    for out, in_col, func, flt in specs:
+        if _is_quantile(func) and (in_col, flt) not in shared:
+            shared[(in_col, flt)] = _sorted_frame(
+                _prefilter(F.col(in_col), flt).cast("double"), w)
+    cols = []
+    for out, in_col, func, flt in specs:
+        if _is_quantile(func):
+            q = None if func == "median" else func[1] / 100.0
+            cols.append(_quantile_of_sorted(shared[(in_col, flt)], q)
+                        .alias(out))
+        else:
+            cols.append(_over(func, _prefilter(F.col(in_col), flt),
+                              flt, w).alias(out))
     return df.select(*df.columns, *cols)
 
 
@@ -351,7 +377,8 @@ def zscore(df: DataFrame, field_spec: str = "value",
 
 
 def ewma_scan(df: DataFrame, field_spec: str = "value", alpha: float = 0.5,
-              time_col: str = "time", n_chunks: int | None = None) -> DataFrame:
+              time_col: str = "time", n_chunks: int | None = None,
+              tiebreak: str | None = None) -> DataFrame:
     """Parallel EWMA over ONE giant unkeyed series — the scale path for
     the case :func:`ewma` documents as its single-partition fallback.
 
@@ -375,9 +402,10 @@ def ewma_scan(df: DataFrame, field_spec: str = "value", alpha: float = 0.5,
     ``(1-alpha)^m`` multiplies in a different order than the sequential
     fold, so results can differ from :func:`ewma` in the last ulp —
     equal to ~1e-12 relative, not bit-for-bit; the sequential operator
-    remains the oracle-checked form. Events sharing a timestamp at a
-    chunk boundary may land in different chunks (range partitioning);
-    like :func:`ewma`, pin ties upstream if they are possible.
+    remains the oracle-checked form. Pass ``tiebreak=`` (e.g. an
+    event-id column) whenever equal timestamps are possible — it joins
+    both the range partitioning and the in-chunk sort, pinning the fold
+    order exactly like :func:`ewma`'s tiebreak.
 
     Output: input columns + ``<field>_ewma``, in series order.
     """
@@ -397,8 +425,12 @@ def ewma_scan(df: DataFrame, field_spec: str = "value", alpha: float = 0.5,
         raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
     n = n_chunks if n_chunks is not None \
         else spark.sparkContext.defaultParallelism
-    parts = (df.repartitionByRange(n, F.col(time_col))
-             .sortWithinPartitions(time_col)
+    # tiebreak joins BOTH the range partitioning and the in-chunk sort:
+    # equal timestamps would otherwise land in arbitrary chunks/positions
+    # and make the fold order (hence every later value) nondeterministic
+    order_cols = [F.col(time_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    parts = (df.repartitionByRange(n, *order_cols)
+             .sortWithinPartitions(*order_cols)
              .withColumn("__pid", F.spark_partition_id()))
     parts = parts.localCheckpoint()  # pin partitioning across the 2 passes
 

@@ -665,7 +665,18 @@ def _holt_state_fn(field: str, keys: list[str], time_col: str,
                    tiebreak: str | None = None,
                    carry: Sequence[str] = ()):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        lv, bt = state.get if state.exists else (None, None)
+        import math
+
+        # NaN sentinel for "no valid sample yet", matching the batch
+        # operator's per_partition accumulators exactly — None here would
+        # emit Arrow NULLs where batch emits NaN doubles (and would even
+        # vary with micro-batch boundaries via pandas dtype inference)
+        if state.exists:
+            lv, bt = state.get
+            lv = math.nan if lv is None else lv
+            bt = math.nan if bt is None else bt
+        else:
+            lv = bt = math.nan
         pdf = _whole_group(pdfs, time_col,
                            (tiebreak,) if tiebreak else ())
         outs = []
@@ -674,7 +685,7 @@ def _holt_state_fn(field: str, keys: list[str], time_col: str,
                    + [row[c] for c in carry])
             v = row[field]
             if v is not None and not pd.isna(v):
-                if lv is None:
+                if math.isnan(lv):
                     lv, bt = float(v), 0.0
                 else:
                     nl = alpha * float(v) + (1.0 - alpha) * (lv + bt)

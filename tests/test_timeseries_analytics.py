@@ -438,3 +438,18 @@ def test_rolling_median_skips_nulls(spark):
     out = [r["med"] for r in _ts(spark, pts).rolling(
         "10m", {"med": {"value": "median"}}).df.orderBy("time").collect()]
     assert out == [4.0, 4.0, 7.0]
+
+
+def test_integrate_duplicate_ts_and_nan(spark):
+    # duplicate timestamps: zero-length segments -> NULL twa, no ANSI
+    # crash; NaN endpoints invalidate their segments like NULLs do
+    df = spark.createDataFrame(
+        [(0, 10.0), (0, 20.0), (60_000, float("nan")), (120_000, 30.0)],
+        "ms long, value double"
+    ).select(F.timestamp_millis("ms").alias("time"), "value")
+    out = TimeSeries(df, kind="time").integrate("1h", "value").collect()
+    # only the two dup-ts rows form a valid (zero-length) segment pair;
+    # segments touching the NaN drop
+    assert len(out) == 1
+    r = out[0]
+    assert r["twa"] is None and r["n_seg"] == 1 and r["integral"] == 0.0
