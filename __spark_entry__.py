@@ -1675,6 +1675,21 @@ def q_weighted_take(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars")
 
 
+def q_pivot_hourly_types(spark, sf_dir):
+    """Hourly rollup pivoted wide, one column per event_type (operators/
+    aggregate.py::pivot_rollup): conditional aggregates in ONE
+    partial-aggregable groupBy on the bucket key — the wire-format
+    (column-per-series) shape at long-form rollup cost."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.pivot_rollup("1h", "value", "event_type",
+                          ["click", "view", "signup", "purchase", "error"],
+                          agg="avg")
+    return out.df.select(
+        "index",
+        *[F.round(c, 6).alias(c)
+          for c in ["click", "view", "signup", "purchase", "error"]])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-verified queries first: the driver snapshot caps
@@ -1753,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median_10m": q_rolling_median_10m,
         "sample_weighted": q_sample_weighted,
         "weighted_take": q_weighted_take,
+        "pivot_hourly_types": q_pivot_hourly_types,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2231,6 +2247,20 @@ def oracle_sql() -> dict[str, str]:
                    lists.tms[r.k] AS t_ms,
                    r.l AS value_level, r.b AS value_trend
             FROM r JOIN lists USING (user_id)
+        """,
+        "pivot_hourly_types": f"""
+            SELECT concat('1h-', {_POS_1H}) AS "index",
+                   round(avg(CASE WHEN event_type = 'click'
+                             THEN value END), 6) AS click,
+                   round(avg(CASE WHEN event_type = 'view'
+                             THEN value END), 6) AS view,
+                   round(avg(CASE WHEN event_type = 'signup'
+                             THEN value END), 6) AS signup,
+                   round(avg(CASE WHEN event_type = 'purchase'
+                             THEN value END), 6) AS purchase,
+                   round(avg(CASE WHEN event_type = 'error'
+                             THEN value END), 6) AS error
+            FROM events GROUP BY 1
         """,
         "sample_weighted": """
             SELECT doc_id, lang, n_chars FROM documents

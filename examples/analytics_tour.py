@@ -66,6 +66,36 @@ def main() -> None:
     ret = ts.retention(period="1d", horizon=7)
     ret.orderBy("cohort", "offset").show(8)
 
+    # 8. CUSUM drift detection: has value shifted off its own mean?
+    drift = ts.cusum("value", slack=1.0, threshold=500.0,
+                     partition_by=["event_type"], tiebreak="event_id",
+                     side="both")
+    n_alarm = drift.df.where(F.col("value_alarm")).count()
+    print("CUSUM alarm events:", n_alarm)
+
+    # 9. Holt level + trend forecasting state per user
+    fc = ts.holt("value", alpha=0.3, beta=0.2, partition_by=["user_id"],
+                 tiebreak="event_id")
+    last = (fc.df.orderBy(F.desc("time")).select(
+        "user_id", "value_level", "value_trend").first())
+    print(f"user {last['user_id']} one-step forecast: "
+          f"{last['value_level'] + last['value_trend']:.2f}")
+
+    # 10. time-weighted hourly average (honest mean of an irregular gauge)
+    twa = ts.integrate("1h", "value", partition_by=["user_id"])
+    print("hourly TWA rows:", twa.count())
+
+    # 11. interval coverage: union time of [ts, ts + value sec) per user
+    from pypond_spark.operators.interval import coverage
+    iv = ts.df.select(
+        "user_id", F.col("time").alias("begin"),
+        F.timestamp_millis(F.unix_millis("time")
+                           + (F.col("value") * 1000).cast("long"))
+        .alias("end"))
+    cov = coverage(iv, partition_by=["user_id"])
+    print("busiest user by covered time:",
+          cov.orderBy(F.desc("covered_ms")).first()["user_id"])
+
     spark.stop()
 
 

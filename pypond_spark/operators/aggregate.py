@@ -200,3 +200,44 @@ def collect_by_fixed_window(df: DataFrame, window: str,
                         F.concat(F.lit(window + "-"), pos.cast("string")))
             .withColumn("begin", F.timestamp_millis(pos * dur))
             .withColumn("end", F.timestamp_millis((pos + 1) * dur)))
+
+
+def pivot_rollup(df: DataFrame, window: str, field: str,
+                 pivot_col: str, values: Sequence[str],
+                 agg: str = "avg", time_col: str = "time") -> DataFrame:
+    """Windowed rollup pivoted WIDE: one row per window bucket, one
+    column per ``values`` entry — the wire-format-friendly shape (the
+    reference's wire columns are one-per-series), ready to chart or
+    ``to_wire`` directly where the long form needs a client-side pivot.
+
+    ``values`` must be the explicit category list: a deterministic
+    output schema (no discovery scan, no data-dependent columns) is what
+    lets the plan stay ONE partial-aggregable groupBy on the bucket key
+    — each output column is a conditional aggregate, so this costs
+    exactly what the long-form rollup costs, with no second pivot
+    shuffle. Unlisted categories are simply not aggregated.
+
+    ``agg``: avg | sum | min | max | count (empty cells NULL for
+    avg/min/max, 0 for count; sum keeps the reference's empty->0
+    convention via the long-form twin's semantics).
+    """
+    fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+           "count": F.count}
+    if agg not in fns:
+        raise ValueError(f"agg must be one of {sorted(fns)}, got {agg!r}")
+    dur = window_duration_ms(window)
+    if dur is None:
+        raise ValueError(f"bad window spec {window!r}")
+    pos = F.floor(F.unix_millis(F.col(time_col)) / F.lit(dur)).cast("long")
+    col = F.col(field).cast("double")
+    aggs = [
+        fns[agg](F.when(F.col(pivot_col) == F.lit(v), col)).alias(str(v))
+        for v in values]
+    return (df.groupBy(pos.alias("__pos"))
+            .agg(*aggs)
+            .select(F.concat(F.lit(window + "-"),
+                             F.col("__pos").cast("string")).alias("index"),
+                    F.timestamp_millis(F.col("__pos") * dur).alias("begin"),
+                    F.timestamp_millis((F.col("__pos") + 1) * dur)
+                    .alias("end"),
+                    *[F.col(str(v)) for v in values]))

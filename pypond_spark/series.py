@@ -400,6 +400,15 @@ class TimeSeries:
     def hourly_rollup(self, aggregation: dict, **kw) -> "TimeSeries":
         return self.fixed_window_rollup("1h", aggregation, **kw)
 
+    def pivot_rollup(self, window: str, field: str, pivot_col: str,
+                     values: Sequence[str], agg: str = "avg"
+                     ) -> "TimeSeries":
+        """Windowed rollup pivoted wide — one column per category (engine
+        addition; see ``operators.aggregate.pivot_rollup``)."""
+        out = agg_ops.pivot_rollup(self._df, window, field, pivot_col,
+                                   values, agg, self.time_col)
+        return TimeSeries(out, "index", self._meta)
+
     def daily_rollup(self, aggregation: dict, utc: bool = True,
                      tz: str = "UTC", group_by=None) -> "TimeSeries":
         return self._calendar_rollup("daily", aggregation, utc, tz, group_by)

@@ -246,3 +246,22 @@ def test_heatmap(spark):
            TimeSeries(df, kind="time").heatmap("1h", bin_width=10.0)
            .collect()}
     assert out == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
+
+
+def test_pivot_rollup_wide(spark):
+    from pypond_spark import TimeSeries
+    from pyspark.sql import functions as F
+    MIN = 60_000
+    rows = [(0, "a", 10.0), (MIN, "a", 20.0), (2 * MIN, "b", 7.0),
+            (61 * MIN, "b", 3.0)]
+    df = spark.createDataFrame(rows, "ms long, k string, value double") \
+        .select(F.timestamp_millis("ms").alias("time"), "k", "value")
+    out = TimeSeries(df, kind="time").pivot_rollup(
+        "1h", "value", "k", ["a", "b", "c"]).df.orderBy("index").collect()
+    assert [(r["index"], r["a"], r["b"], r["c"]) for r in out] == [
+        ("1h-0", 15.0, 7.0, None), ("1h-1", None, 3.0, None)]
+    # count agg: empty cells are 0, not NULL
+    cnt = TimeSeries(df, kind="time").pivot_rollup(
+        "1h", "value", "k", ["a", "c"], agg="count").df \
+        .orderBy("index").collect()
+    assert [(r["a"], r["c"]) for r in cnt] == [(2, 0), (0, 0)]
