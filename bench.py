@@ -99,6 +99,13 @@ HEADLINE = [
     "tpch_q18_shape",
     "twa_hourly",
     "holt_per_user",
+    "interval_coverage",
+    "cusum_two_sided",
+    "psi_drift",
+    "rolling_median_10m",
+    "sample_weighted",
+    "weighted_take",
+    "pivot_hourly_types",
 ]
 
 

@@ -192,3 +192,89 @@ def test_chunk_dedup_identity_on_unique_corpus(spark):
     out = {r["doc_id"]: r["text_dedup"]
            for r in dedup.chunk_dedup(df, chunk_words=7).collect()}
     assert out == dict(rows)
+
+
+# --- closed-form identities the round-4 operators rely on (pure python,
+# no Spark: these pin the MATH; the Spark/oracle twins pin the plumbing)
+
+float_series = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=60)
+
+
+@given(xs=float_series,
+       target=st.floats(min_value=-100, max_value=100,
+                        allow_nan=False, allow_infinity=False),
+       slack=st.floats(min_value=0, max_value=10,
+                       allow_nan=False, allow_infinity=False))
+@settings(max_examples=300, deadline=None)
+def test_cusum_closed_form_identity(xs, target, slack):
+    """max(0, C + d) fold == P_k - min(0, running-min P_k) — the identity
+    operators/rolling.py::cusum compiles to two window aggregates."""
+    c, p, mn = 0.0, 0.0, 0.0
+    for x in xs:
+        d = (x - target) - slack
+        c = max(0.0, c + d)
+        p = p + d
+        mn = min(mn, p)
+        closed = p - min(0.0, mn)
+        assert abs(closed - c) <= 1e-9 * max(1.0, abs(c))
+
+
+intervals = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=1000),
+              st.integers(min_value=0, max_value=1000)),
+    min_size=1, max_size=40)
+
+
+@given(iv=intervals)
+@settings(max_examples=300, deadline=None)
+def test_interval_sweep_identity(iv):
+    """The new-span-flag sweep (operators/interval.py::merge_intervals)
+    produces exactly the union: same covered point set, disjoint
+    non-adjacent spans, count preserved."""
+    iv = [(b, e) for b, e in iv if e > b]
+    if not iv:
+        return
+    iv.sort()
+    spans, prev_max = [], None
+    for b, e in iv:
+        if prev_max is None or b > prev_max:
+            spans.append([b, e, 1])
+        else:
+            spans[-1][1] = max(spans[-1][1], e)
+            spans[-1][2] += 1
+        prev_max = max(prev_max, e) if prev_max is not None else e
+    covered = set()
+    for b, e in iv:
+        covered.update(range(b, e))
+    span_points = set()
+    for b, e, _ in spans:
+        span_points.update(range(b, e))
+    assert span_points == covered
+    assert sum(n for _, _, n in spans) == len(iv)
+    for (b1, e1, _), (b2, _, _) in zip(spans, spans[1:]):
+        assert b2 > e1  # disjoint AND non-adjacent (half-open merge)
+    assert sum(e - b for b, e, _ in spans) == len(covered)
+
+
+@given(vals=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=1, max_size=50),
+       q=st.floats(min_value=0.0, max_value=1.0,
+                   allow_nan=False))
+@settings(max_examples=300, deadline=None)
+def test_sorted_quantile_interpolation_matches_numpy(vals, q):
+    """_quantile_of_sorted's rank arithmetic == numpy linear percentile."""
+    import numpy as np
+    s = sorted(vals)
+    n = len(s)
+    rank = (n - 1) * q
+    lo = int(rank // 1)
+    frac = rank - lo
+    hi = min(lo + 1, n - 1)
+    mine = s[lo] + (s[hi] - s[lo]) * frac
+    ref = float(np.percentile(np.array(vals), q * 100,
+                              method="linear"))
+    assert abs(mine - ref) <= 1e-9 * max(1.0, abs(ref))
