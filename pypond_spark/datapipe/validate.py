@@ -104,7 +104,11 @@ def psi(df: DataFrame, field: str, split: Column | str,
               .agg(F.sum(F.when(~F.col("__cur"), 1).otherwise(0))
                    .alias("c_base"),
                    F.sum(F.when(F.col("__cur"), 1).otherwise(0))
-                   .alias("c_cur")))
+                   .alias("c_cur"))
+              # bins x groups rows; materialize so the totals branch and
+              # the join read it instead of re-scanning the corpus (the
+              # un-checkpointed plan runs the corpus aggregation twice)
+              .localCheckpoint())
     totals = (counts.groupBy(*keys)
               .agg(F.sum("c_base").alias("__nb"),
                    F.sum("c_cur").alias("__nc"),
