@@ -1690,6 +1690,97 @@ def q_pivot_hourly_types(spark, sf_dir):
           for c in ["click", "view", "signup", "purchase", "error"]])
 
 
+def q_wire_roundtrip(spark, sf_dir):
+    """Wire-format round trip (wire.py::to_wire/from_wire, SURVEY §2.1):
+    events -> pypond wire dict -> back to a DataFrame; the oracle is the
+    identity SELECT, so encode/decode must preserve every ms timestamp
+    and value bit. Driver-side by design (the wire format IS a
+    driver-side interchange dict) — bounded to a few users' events."""
+    ts = _events_ts(spark, sf_dir)
+    sub = TimeSeries(
+        ts.df.where(F.col("user_id") <= 3)
+        .select("time", "event_id", "user_id", "event_type", "value"),
+        "time", {"name": "rt"})
+    back = TimeSeries.from_wire(spark, sub.to_wire())
+    return back.df.select("event_id", "user_id", _ms().alias("t_ms"),
+                          "event_type", F.round("value", 6).alias("value"))
+
+
+def q_rollup_missing_filters(spark, sf_dir):
+    """Missing-value filter plug-ins in one windowed spec (functions.py
+    FILTERS, SURVEY §2.4): zero_missing coalesces invalid samples to 0,
+    propagate_missing NULLs any bucket containing one, keep_missing
+    counts them — all three as conditional aggregates in the same ONE
+    groupBy."""
+    ts = TimeSeries(_nullified(spark, sf_dir), "time", {"name": "nulled"})
+    out = ts.fixed_window_rollup(
+        "1h",
+        {"v_zero": {"value": ("avg", "zero_missing")},
+         "v_prop": {"value": ("sum", "propagate_missing")},
+         "n_keep": {"value": ("count", "keep_missing")}})
+    return out.df.select("index",
+                         F.round("v_zero", 6).alias("v_zero"),
+                         F.round("v_prop", 6).alias("v_prop"), "n_keep")
+
+
+def q_custom_reducer_midrange(spark, sf_dir):
+    """Custom callable reducer (functions.py::_callable_agg_col, SURVEY
+    §2.10): an opaque Python fn(values)->scalar runs as a pandas
+    grouped-agg UDAF inside the hourly grouped rollup; the midrange
+    reducer has an exact SQL twin, so even the UDAF path gets a
+    hash-verified driver row."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.fixed_window_rollup(
+        "1h",
+        {"mid": {"value": (lambda vs: (min(vs) + max(vs)) / 2.0)},
+         "n": {"value": "count"}},
+        group_by="event_type")
+    return out.df.select("index", "event_type",
+                         F.round("mid", 6).alias("mid"), "n")
+
+
+def q_groupby_callable(spark, sf_dir):
+    """group_by(python fn) (plans/pipeline.py::group_by, SURVEY §2.5):
+    the Arrow-batched derived '__group' column drives the same grouped
+    rollup as a named column; the fn mirrors a SQL expression, so the
+    slow-path grouping gets an oracle row."""
+    from pypond_spark import Pipeline
+    ts = _events_ts(spark, sf_dir)
+    out = (Pipeline().from_source(ts)
+           .group_by(lambda ev: f"u{ev['user_id'] % 3}")
+           .window_by("1h")
+           .aggregate({"v_sum": {"value": "sum"}, "n": {"value": "count"}})
+           .to_dataframe())
+    return out.select("index", F.col("__group").alias("grp"),
+                      F.round("v_sum", 6).alias("v_sum"), "n")
+
+
+def q_as_indexed_events(spark, sf_dir):
+    """Event -> IndexedEvent conversion (operators/convert.py::
+    events_to_indexed_events, SURVEY §2.8): pure bucket arithmetic at
+    scan speed, zero shuffles."""
+    from pypond_spark.operators import convert as convert_ops
+    df = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    out = convert_ops.events_to_indexed_events(df, "1h")
+    return out.select("index", F.unix_millis("begin").alias("begin_ms"),
+                      F.unix_millis("end").alias("end_ms"), "event_id",
+                      F.round("value", 6).alias("value"))
+
+
+def q_filter_map_callable(spark, sf_dir):
+    """Per-event Python filter + map (operators/events.py, SURVEY §2.10):
+    Arrow-batched mapInPandas adapters whose lambdas mirror SQL
+    expressions, giving the per-event-callable path a hash-verified
+    row."""
+    ts = _events_ts(spark, sf_dir)
+    out = (ts.filter(lambda ev: (ev.get("value") or 0.0) > 50.0)
+           .map(lambda ev: {"event_id": ev.get("event_id"),
+                            "v2": ev.get("value") * 2.0},
+                schema="time timestamp, event_id long, v2 double"))
+    return out.df.select("event_id", _ms().alias("t_ms"),
+                         F.round("v2", 6).alias("v2"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-verified queries first: the driver snapshot caps
@@ -1769,6 +1860,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "weighted_take": q_weighted_take,
         "pivot_hourly_types": q_pivot_hourly_types,
+        "wire_roundtrip": q_wire_roundtrip,
+        "rollup_missing_filters": q_rollup_missing_filters,
+        "custom_reducer_midrange": q_custom_reducer_midrange,
+        "groupby_callable": q_groupby_callable,
+        "as_indexed_events": q_as_indexed_events,
+        "filter_map_callable": q_filter_map_callable,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2247,6 +2344,47 @@ def oracle_sql() -> dict[str, str]:
                    lists.tms[r.k] AS t_ms,
                    r.l AS value_level, r.b AS value_trend
             FROM r JOIN lists USING (user_id)
+        """,
+        "wire_roundtrip": """
+            SELECT event_id, user_id, epoch_ms(ts) AS t_ms, event_type,
+                   round(value, 6) AS value
+            FROM events WHERE user_id <= 3
+        """,
+        "rollup_missing_filters": f"""
+            WITH n AS ({_NULLIFIED})
+            SELECT concat('1h-', CAST(floor(ms / 3600000.0) AS BIGINT))
+                     AS "index",
+                   round(avg(coalesce(v, 0)), 6) AS v_zero,
+                   round(CASE WHEN count(*) > count(v) THEN NULL
+                         ELSE sum(v) END, 6) AS v_prop,
+                   count(*) AS n_keep
+            FROM n GROUP BY 1
+        """,
+        "custom_reducer_midrange": f"""
+            SELECT concat('1h-', {_POS_1H}) AS "index", event_type,
+                   round((min(value) + max(value)) / 2.0, 6) AS mid,
+                   count(value) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "groupby_callable": f"""
+            SELECT concat('1h-', {_POS_1H}) AS "index",
+                   'u' || (user_id % 3) AS grp,
+                   round(sum(value), 6) AS v_sum, count(value) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "as_indexed_events": f"""
+            SELECT concat('1h-', {_POS_1H}) AS "index",
+                   CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)
+                     * 3600000 AS begin_ms,
+                   (CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) + 1)
+                     * 3600000 AS end_ms,
+                   event_id, round(value, 6) AS value
+            FROM events
+        """,
+        "filter_map_callable": """
+            SELECT event_id, epoch_ms(ts) AS t_ms,
+                   round(value * 2.0, 6) AS v2
+            FROM events WHERE value > 50.0
         """,
         "pivot_hourly_types": f"""
             SELECT concat('1h-', {_POS_1H}) AS "index",
