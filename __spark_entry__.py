@@ -1781,6 +1781,31 @@ def q_filter_map_callable(spark, sf_dir):
                          F.round("v2", 6).alias("v2"))
 
 
+def q_fill_pad_max_gap(spark, sf_dir):
+    """Time-limited LOCF (operators/fill.py max_gap, engine addition):
+    carry a value only while the row is within 2h of its anchoring valid
+    sample — the staleness bound the count-based fill_limit can't
+    express on irregular data. Same one-window shuffle as plain pad."""
+    ts = TimeSeries(_nullified(spark, sf_dir), "time", {"name": "nulled"})
+    out = ts.fill(field_spec="value", method="pad",
+                  partition_by=["user_id"], max_gap="2h")
+    return out.df.select("event_id", "user_id",
+                         F.round("value", 6).alias("value_filled"))
+
+
+def q_rolling_robust_z_1h(spark, sf_dir):
+    """Trailing-1h median/MAD modified z-score per user (operators/
+    rolling.py::rolling_robust_zscore): the frame's sorted array
+    materializes once per row; med and MAD are exact interpolated
+    quantiles of it, so the whole score is reproducible cross-engine."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.rolling_robust_zscore("1h", "value",
+                                   partition_by=["user_id"])
+    return out.df.select("event_id", "user_id", _ms().alias("t_ms"),
+                         F.round("value_rrz", 6).alias("value_rrz"),
+                         "value_outlier")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-verified queries first: the driver snapshot caps
@@ -1866,6 +1891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_callable": q_groupby_callable,
         "as_indexed_events": q_as_indexed_events,
         "filter_map_callable": q_filter_map_callable,
+        "fill_pad_max_gap": q_fill_pad_max_gap,
+        "rolling_robust_z_1h": q_rolling_robust_z_1h,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2344,6 +2371,68 @@ def oracle_sql() -> dict[str, str]:
                    lists.tms[r.k] AS t_ms,
                    r.l AS value_level, r.b AS value_trend
             FROM r JOIN lists USING (user_id)
+        """,
+        "fill_pad_max_gap": f"""
+            SELECT event_id, user_id,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                         WHEN ms - last_value(CASE WHEN v IS NOT NULL
+                                 THEN ms END IGNORE NULLS) OVER wprev
+                              <= 7200000
+                         THEN last_value(v IGNORE NULLS) OVER wprev
+                         ELSE NULL END, 6) AS value_filled
+            FROM ({_NULLIFIED})
+            WINDOW wprev AS (PARTITION BY user_id ORDER BY ms
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING)
+        """,
+        "rolling_robust_z_1h": """
+            -- same sorted-frame quantile arithmetic as the Spark compile
+            WITH b AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS t_ms, value,
+                     list_sort(list(value) FILTER (WHERE value IS NOT NULL)
+                       OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                             RANGE BETWEEN 3599999 PRECEDING
+                             AND CURRENT ROW)) AS arr
+              FROM events
+            ), m AS (
+              SELECT *, len(arr) AS n,
+                     CAST(floor((len(arr) - 1) * 0.5) AS BIGINT) AS lo,
+                     (len(arr) - 1) * 0.5
+                       - CAST(floor((len(arr) - 1) * 0.5) AS BIGINT)
+                       AS frac
+              FROM b
+            ), med AS (
+              SELECT event_id, user_id, t_ms, value, arr, n,
+                     CASE WHEN n = 0 THEN NULL
+                          ELSE arr[lo + 1]
+                               + (arr[least(lo + 2, n)] - arr[lo + 1])
+                                 * frac END AS md
+              FROM m
+            ), dev AS (
+              SELECT *, list_sort([abs(x - md) for x in arr]) AS darr
+              FROM med
+            ), mad AS (
+              SELECT event_id, user_id, t_ms, value, md, n,
+                     CASE WHEN n = 0 THEN NULL
+                          ELSE darr[CAST(floor((n - 1) * 0.5) AS BIGINT)
+                                    + 1]
+                               + (darr[least(CAST(floor((n - 1) * 0.5)
+                                             AS BIGINT) + 2, n)]
+                                  - darr[CAST(floor((n - 1) * 0.5)
+                                         AS BIGINT) + 1])
+                                 * ((n - 1) * 0.5
+                                    - CAST(floor((n - 1) * 0.5)
+                                           AS BIGINT)) END AS mad
+              FROM dev
+            )
+            SELECT event_id, user_id, t_ms,
+                   round(CASE WHEN value IS NOT NULL AND mad > 0
+                         THEN 0.6745 * (value - md) / mad END, 6)
+                     AS value_rrz,
+                   coalesce(abs(CASE WHEN value IS NOT NULL AND mad > 0
+                                THEN 0.6745 * (value - md) / mad END)
+                            > 3.5, false) AS value_outlier
+            FROM mad
         """,
         "wire_roundtrip": """
             SELECT event_id, user_id, epoch_ms(ts) AS t_ms, event_type,

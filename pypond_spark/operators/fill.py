@@ -34,7 +34,8 @@ from ..util import field_dtype, is_valid_col, set_field
 
 
 def _fill_one(df: DataFrame, field: str, method: str, fill_limit: int | None,
-              keys: list[str], time_col: str) -> DataFrame:
+              keys: list[str], time_col: str,
+              max_gap_ms: int | None = None) -> DataFrame:
     w = Window.partitionBy(*keys).orderBy(time_col)
     col = F.col(field)
     dtype = field_dtype(df.schema, field)
@@ -57,6 +58,18 @@ def _fill_one(df: DataFrame, field: str, method: str, fill_limit: int | None,
             w.rowsBetween(Window.unboundedPreceding, -1))
         filled = prev_valid
         can_fill = prev_valid.isNotNull()
+        if max_gap_ms is not None:
+            # time-based limit (engine addition): carry a value only while
+            # the row is within max_gap of the anchoring valid sample —
+            # "don't report a reading as current an hour after the sensor
+            # died", which the count-based fill_limit can't express on
+            # irregular data
+            pv_ms = F.last(F.when(valid, F.unix_millis(F.col(time_col))),
+                           ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, -1))
+            can_fill = can_fill & (
+                F.unix_millis(F.col(time_col)) - pv_ms
+                <= F.lit(int(max_gap_ms)))
     elif method == "linear":
         ms = F.unix_millis(F.col(time_col))
         num = col.try_cast("double")
@@ -80,6 +93,10 @@ def _fill_one(df: DataFrame, field: str, method: str, fill_limit: int | None,
             F.try_divide(ms - prev_ms, next_ms - prev_ms)
         can_fill = (prev_val.isNotNull() & next_val.isNotNull()
                     & (next_ms != prev_ms))
+        if max_gap_ms is not None:
+            # interpolate only across brackets no wider than max_gap
+            can_fill = can_fill & (next_ms - prev_ms
+                                   <= F.lit(int(max_gap_ms)))
     else:
         raise ValueError(f"fill method must be zero|pad|linear, got {method!r}")
 
@@ -107,14 +124,32 @@ def fill(
     fill_limit: int | None = None,
     partition_by: Sequence[str] = (),
     time_col: str = "time",
+    max_gap: str | None = None,
 ) -> DataFrame:
     """Fill invalid values in ``field_spec`` columns; returns df with the same
-    schema (filled columns replaced)."""
+    schema (filled columns replaced).
+
+    ``max_gap`` (engine addition, pad/linear only): a fixed-window spec
+    ("2h") bounding how far in TIME a fill may reach — pad stops carrying
+    a value once the row is further than max_gap from its anchoring valid
+    sample; linear refuses brackets wider than max_gap. The count-based
+    ``fill_limit`` composes with it (both must allow the fill)."""
     fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
+    gap_ms = None
+    if max_gap is not None:
+        from ..index import window_duration_ms
+        gap_ms = window_duration_ms(max_gap)
+        if gap_ms is None:
+            raise ValueError(f"max_gap must be a fixed window spec, "
+                             f"got {max_gap!r}")
+        if method == "zero":
+            raise ValueError("max_gap applies to pad/linear fills only "
+                             "(zero fill has no time anchor)")
     # multi-field linear: the reference chains one Filler per column
     # (series.py:1124-1129); the loop below gives the same result, and the
     # identical window specs collapse into one shuffle.
     out = df
     for f in fields:
-        out = _fill_one(out, f, method, fill_limit, list(partition_by), time_col)
+        out = _fill_one(out, f, method, fill_limit, list(partition_by),
+                        time_col, gap_ms)
     return out

@@ -502,9 +502,10 @@ class TimeSeries:
 
     def fill(self, field_spec="value", method: str = "zero",
              fill_limit: int | None = None,
-             partition_by: Sequence[str] = ()) -> "TimeSeries":
+             partition_by: Sequence[str] = (),
+             max_gap: str | None = None) -> "TimeSeries":
         return self._with(fill_op(self._df, field_spec, method, fill_limit,
-                                  partition_by, self.time_col))
+                                  partition_by, self.time_col, max_gap))
 
     def rolling(self, window: str, aggregation: dict,
                 partition_by: Sequence[str] = ()) -> "TimeSeries":
@@ -644,6 +645,18 @@ class TimeSeries:
             raise ValueError("robust_zscore expects instant-event input")
         return self._with(robust_zscore_op(self._df, field, partition_by,
                                            threshold))
+
+    def rolling_robust_zscore(self, window: str, field: str = "value",
+                              partition_by: Sequence[str] = (),
+                              threshold: float = 3.5) -> "TimeSeries":
+        """Trailing-window median/MAD modified z-score (engine addition;
+        see ``operators.rolling.rolling_robust_zscore``)."""
+        if self._kind != "time":
+            raise ValueError("rolling_robust_zscore expects instant-event "
+                             "input")
+        from .operators.rolling import rolling_robust_zscore as rrz_op
+        return self._with(rrz_op(self._df, window, field, partition_by,
+                                 threshold, self.time_col))
 
     def rank_normalize(self, field: str = "value",
                        partition_by: Sequence[str] = (),

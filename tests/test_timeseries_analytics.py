@@ -453,3 +453,28 @@ def test_integrate_duplicate_ts_and_nan(spark):
     assert len(out) == 1
     r = out[0]
     assert r["twa"] is None and r["n_seg"] == 1 and r["integral"] == 0.0
+
+
+def test_rolling_robust_zscore_frame(spark):
+    # trailing 10m frames; a spike against a stable frame flags
+    pts = [[0, 10.0], [MIN, 10.0], [2 * MIN, 10.0], [3 * MIN, 11.0],
+           [4 * MIN, 500.0]]
+    out = {r["time"].minute: (r["value_rrz"], r["value_outlier"]) for r in
+           _ts(spark, pts).rolling_robust_zscore("10m", "value").df
+           .collect()}
+    # constant frames: MAD 0 -> NULL score, not-outlier
+    assert out[0] == (None, False) and out[2] == (None, False)
+    # the spike's frame {10,10,10,11,500}: med 10, MAD 0 -> NULL... so
+    # check minute 3 instead: frame {10,10,10,11}: med 10, MAD 0.5? ->
+    # dev sorted [0,0,0,1] -> mad = 0 + (0-0)*0.5 = 0.0 -> NULL as well
+    assert out[3] == (None, False)
+    # a frame with genuine spread: rebuild with varied values
+    pts2 = [[0, 10.0], [MIN, 14.0], [2 * MIN, 6.0], [3 * MIN, 100.0]]
+    out2 = {r["time"].minute: (r["value_rrz"], r["value_outlier"])
+            for r in _ts(spark, pts2)
+            .rolling_robust_zscore("10m", "value").df.collect()}
+    # minute 3 frame {6,10,14,100}: med = 10+(14-10)*.5 = 12; devs sorted
+    # [2,2,6,88] -> mad = 2+(6-2)*.5 = 4 -> rz = .6745*88/4 = 14.839
+    rz3, flag3 = out2[3]
+    assert abs(rz3 - 0.6745 * (100 - 12.0) / 4.0) < 1e-9
+    assert flag3 is True

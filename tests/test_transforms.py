@@ -268,3 +268,42 @@ def test_fill_empty(spark):
     ts = TimeSeries.from_wire(
         spark, {"name": "e", "columns": ["time", "temperature"], "points": []})
     assert ts.fill(field_spec="temperature").size() == 0
+
+
+def test_fill_pad_max_gap(spark):
+    from pyspark.sql import functions as F
+
+    from pypond_spark import TimeSeries
+    MIN = 60_000
+    rows = [(0, 10.0), (MIN, None), (90 * MIN, None), (200 * MIN, 5.0),
+            (201 * MIN, None)]
+    df = spark.createDataFrame(rows, "ms long, value double").select(
+        F.timestamp_millis("ms").alias("time"), "value")
+    out = {r["time"].hour * 60 + r["time"].minute: r["value"] for r in
+           TimeSeries(df, kind="time")
+           .fill("value", method="pad", max_gap="1h").df.collect()}
+    assert out[0] == 10.0
+    assert out[1] == 10.0          # 1 min after anchor: filled
+    assert out[90] is None         # 90 min after anchor: too stale
+    assert out[200] == 5.0
+    assert out[201] == 5.0
+
+
+def test_fill_linear_max_gap(spark):
+    from pyspark.sql import functions as F
+
+    from pypond_spark import TimeSeries
+    MIN = 60_000
+    rows = [(0, 10.0), (30 * MIN, None), (60 * MIN, 40.0),
+            (61 * MIN, None), (300 * MIN, 100.0)]
+    df = spark.createDataFrame(rows, "ms long, value double").select(
+        F.timestamp_millis("ms").alias("time"), "value")
+    out = {r["time"].hour * 60 + r["time"].minute: r["value"] for r in
+           TimeSeries(df, kind="time")
+           .fill("value", method="linear", max_gap="2h").df.collect()}
+    assert out[30] == 25.0         # 1h bracket: interpolated
+    assert out[61] is None         # 4h bracket: refused
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        TimeSeries(df, kind="time").fill("value", method="zero",
+                                         max_gap="1h")
