@@ -106,6 +106,13 @@ HEADLINE = [
     "sample_weighted",
     "weighted_take",
     "pivot_hourly_types",
+    "rollup_missing_filters",
+    "custom_reducer_midrange",
+    "groupby_callable",
+    "as_indexed_events",
+    "filter_map_callable",
+    "fill_pad_max_gap",
+    "rolling_robust_z_1h",
 ]
 
 
