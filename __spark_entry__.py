@@ -1809,6 +1809,18 @@ def q_rolling_robust_z_1h(spark, sf_dir):
                          "value_outlier")
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Exact repeated-substring spans across docs (datapipe/dedup.py::
+    repeated_spans, the Lee et al. substring-dedup span step): k-gram
+    rolling fingerprints -> cross-doc duplicate hashes -> per-doc
+    interval merge. Corpus-chars-sized explode on uniform hash keys —
+    the problem's inherent size, never all-pairs."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_dedup.repeated_spans(docs, k=30)
+    return out.select("doc_id", "span_start", "span_end", "span_len",
+                      "n_grams")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-verified queries first: the driver snapshot caps
@@ -1897,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_map_callable": q_filter_map_callable,
         "fill_pad_max_gap": q_fill_pad_max_gap,
         "rolling_robust_z_1h": q_rolling_robust_z_1h,
+        "repeated_spans": q_repeated_spans,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2375,6 +2388,42 @@ def oracle_sql() -> dict[str, str]:
                    lists.tms[r.k] AS t_ms,
                    r.l AS value_level, r.b AS value_trend
             FROM r JOIN lists USING (user_id)
+        """,
+        "repeated_spans": """
+            -- same k-gram fingerprints + interval sweep
+            WITH p AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, len(text) - 29)) AS i
+              FROM documents WHERE len(text) >= 30
+            ), g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(substr(text, i, 30)) AS h
+              FROM p
+            ), d AS (
+              SELECT h FROM g GROUP BY h
+              HAVING count(DISTINCT doc_id) > 1
+            ), c AS (
+              SELECT g.doc_id, g.pos FROM g JOIN d USING (h)
+            ), s AS (
+              SELECT doc_id, pos,
+                     CASE WHEN max(pos + 30) OVER wprev IS NULL
+                            OR pos > max(pos + 30) OVER wprev
+                          THEN 1 ELSE 0 END AS ns
+              FROM c
+              WINDOW wprev AS (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+            ), sp AS (
+              SELECT doc_id, pos,
+                     sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS span
+              FROM s
+            )
+            SELECT doc_id, min(pos) AS span_start,
+                   max(pos) + 30 AS span_end,
+                   max(pos) + 30 - min(pos) AS span_len,
+                   count(*) AS n_grams
+            FROM sp GROUP BY doc_id, span
         """,
         "fill_pad_max_gap": f"""
             SELECT event_id, user_id,

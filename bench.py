@@ -113,6 +113,7 @@ HEADLINE = [
     "filter_map_callable",
     "fill_pad_max_gap",
     "rolling_robust_z_1h",
+    "repeated_spans",
 ]
 
 

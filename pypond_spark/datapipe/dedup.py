@@ -487,3 +487,117 @@ def source_overlap(df: DataFrame, group_col: str = "source",
         F.col("__pair")[0].alias(f"{group_col}_a"),
         F.col("__pair")[1].alias(f"{group_col}_b"))
         .agg(F.count("*").alias("n_shared")))
+
+
+def repeated_spans(df: DataFrame, k: int = 50,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Exact repeated-substring detection across documents (the span step
+    of suffix-array substring dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): every
+    maximal character span covered by some ``k``-char substring that
+    also occurs in ANOTHER document.
+
+    Spark recipe instead of a suffix array: slide a ``k``-gram window
+    over each doc (one md5 per position), keep hashes seen in >1
+    distinct doc, then merge each doc's covered ``[pos, pos + k)``
+    intervals with the same window sweep as
+    ``operators.interval.merge_intervals``. Output:
+    ``(id, span_start, span_end, span_len, n_grams)`` — feed to
+    :func:`strip_spans` to actually cut the text.
+
+    Scale: the explode is corpus-CHARS-sized (that is the problem's
+    inherent size — a suffix array touches every position too); all
+    shuffles are on the uniform gram hash or the doc id, never all
+    pairs. ``k`` trades recall for volume exactly as in the paper;
+    positions travel as (id, pos, 16-byte hash) rows, never the gram
+    text.
+    """
+    t = F.col(text_col)
+    n_pos = F.length(t) - F.lit(k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_pos),
+        lambda i: F.struct((i - 1).cast("long").alias("pos"),
+                           F.md5(F.substring(t, i, F.lit(k))).alias("h")))
+    g = (spread(df).where(n_pos >= 1)
+         .select(F.col(id_col), F.explode(grams).alias("g"))
+         .select(id_col, "g.pos", "g.h"))
+    dup = (g.groupBy("h")
+           .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+           .where(F.col("__nd") > 1)
+           .select("h"))
+    covered = g.join(dup, "h").select(id_col, "pos")
+    # merge [pos, pos+k): new span where pos clears the running max end
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max(F.col("pos") + F.lit(k)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_span = F.when(prev_max.isNull()
+                      | (F.col("pos") > prev_max), 1).otherwise(0)
+    spans = covered.withColumn(
+        "__span", F.sum(new_span).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (spans.groupBy(id_col, "__span")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(k)).alias("span_end"),
+                 F.count("*").alias("n_grams"))
+            .withColumn("span_len",
+                        F.col("span_end") - F.col("span_start"))
+            .drop("__span"))
+
+
+def strip_spans(df: DataFrame, spans: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Cut every ``[span_start, span_end)`` out of each document's text —
+    the removal step of substring dedup. Docs without spans pass through
+    untouched.
+
+    One aggregation of the (tiny relative to text) span table to a
+    per-doc sorted list, one join back on the doc id, then an
+    Arrow-batched cut (string surgery is the one step Column exprs can't
+    do cleanly); appends ``<text_col>_clean`` + ``n_cut`` chars removed.
+    """
+    import pandas as pd
+
+    agg = (spans.groupBy(id_col)
+           .agg(F.array_sort(F.collect_list(
+               F.struct(F.col("span_start").alias("s"),
+                        F.col("span_end").alias("e")))).alias("__spans")))
+    joined = df.join(agg, id_col, "left")
+    from pyspark.sql import types as T
+    out_schema = T.StructType(
+        list(joined.drop("__spans").schema.fields)
+        + [T.StructField(f"{text_col}_clean", T.StringType()),
+           T.StructField("n_cut", T.LongType())])
+
+    def cut(batches):
+        for pdf in batches:
+            cleans, cuts = [], []
+            for txt, sp in zip(pdf[text_col], pdf["__spans"]):
+                if txt is None:
+                    cleans.append(None)
+                    cuts.append(0)
+                    continue
+                if sp is None or len(sp) == 0:
+                    cleans.append(txt)
+                    cuts.append(0)
+                    continue
+                parts, last, cut_n = [], 0, 0
+                for seg in sp:
+                    s, e = int(seg["s"]), int(seg["e"])
+                    s = max(s, last)
+                    e = min(e, len(txt))
+                    if e <= s:
+                        continue
+                    parts.append(txt[last:s])
+                    cut_n += e - s
+                    last = e
+                parts.append(txt[last:])
+                cleans.append("".join(parts))
+                cuts.append(cut_n)
+            out = pdf.drop(columns=["__spans"])
+            out[f"{text_col}_clean"] = cleans
+            out["n_cut"] = pd.array(cuts, dtype="int64")
+            yield out
+
+    return joined.mapInPandas(cut, out_schema)

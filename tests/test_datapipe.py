@@ -690,3 +690,37 @@ def test_psi_identical_and_shifted(spark):
     assert total2 > 0.25
     # per-bin counts: smoothing keeps one-sided bins finite
     assert all(r["contrib"] is not None for r in shifted.collect())
+
+
+def test_repeated_spans_and_strip(spark):
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [(1, "AAAA " + shared + " BBBB"),
+            (2, "CCCCCC " + shared + " DD"),
+            (3, "totally unrelated text with nothing shared here at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.repeated_spans(df, k=20).collect()
+    by = {r["doc_id"]: r for r in spans}
+    assert set(by) == {1, 2}
+    # the maximal shared span includes BOTH surrounding spaces (" " +
+    # shared + " " is common to the two docs): 53 chars starting one
+    # char before `shared`
+    assert by[1]["span_start"] == 4
+    assert by[1]["span_end"] == 4 + len(shared) + 2
+    assert by[2]["span_start"] == 6
+    assert by[2]["span_end"] == 6 + len(shared) + 2
+    # strip: removing the spans leaves the unique prefix/suffix
+    spans_df = dedup.repeated_spans(df, k=20)
+    out = {r["doc_id"]: (r["text_clean"], r["n_cut"]) for r in
+           dedup.strip_spans(df, spans_df).collect()}
+    assert out[1] == ("AAAABBBB", len(shared) + 2)
+    assert out[2] == ("CCCCCCDD", len(shared) + 2)
+    assert out[3][0].startswith("totally") and out[3][1] == 0
+
+
+def test_repeated_spans_within_doc_repeat_not_flagged(spark):
+    # the SAME doc repeating a substring is not a cross-doc duplicate
+    rep = "x" * 40
+    df = spark.createDataFrame(
+        [(1, rep + " middle " + rep), (2, "nothing in common here ok!!")],
+        "doc_id long, text string")
+    assert dedup.repeated_spans(df, k=30).count() == 0
