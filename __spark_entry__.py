@@ -1821,6 +1821,55 @@ def q_repeated_spans(spark, sf_dir):
                       "n_grams")
 
 
+def q_tpch_q10_shape(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item revenue by customer): lineitem
+    filtered to returns at the scan, one repartition join on the uniform
+    orderkey, customer + nation broadcast; DECIMAL money math (see
+    tpch_q6)."""
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1).cast("decimal(12,2)")
+              - F.col("l_discount").cast("decimal(12,2)")))
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .select("c_custkey", "c_name", "n_name",
+                    F.round("c_acctbal", 2).alias("c_acctbal"),
+                    "revenue", "n_items"))
+
+
+def q_tpch_q19_shape(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR'd brand/size/quantity branches evaluated after ONE
+    broadcast join — Catalyst pushes the shared l_quantity bounds to the
+    lineitem scan and the disjunction never forces a second pass."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand",
+                                               "p_size")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1).cast("decimal(12,2)")
+              - F.col("l_discount").cast("decimal(12,2)")))
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#15") & (F.col("p_size") <= 20)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 30)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)))
+    return (j.where(cond)
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-verified queries first: the driver snapshot caps
@@ -1910,6 +1959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_pad_max_gap": q_fill_pad_max_gap,
         "rolling_robust_z_1h": q_rolling_robust_z_1h,
         "repeated_spans": q_repeated_spans,
+        "tpch_q10_shape": q_tpch_q10_shape,
+        "tpch_q19_shape": q_tpch_q19_shape,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2388,6 +2439,37 @@ def oracle_sql() -> dict[str, str]:
                    lists.tms[r.k] AS t_ms,
                    r.l AS value_level, r.b AS value_trend
             FROM r JOIN lists USING (user_id)
+        """,
+        "tpch_q10_shape": """
+            SELECT c_custkey, c_name, n_name,
+                   round(c_acctbal, 2) AS c_acctbal,
+                   CAST(sum(l_extendedprice::DECIMAL(12,2)
+                            * (1::DECIMAL(12,2)
+                               - l_discount::DECIMAL(12,2))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+            GROUP BY 1, 2, 3, 4
+        """,
+        "tpch_q19_shape": """
+            SELECT CAST(sum(l_extendedprice::DECIMAL(12,2)
+                            * (1::DECIMAL(12,2)
+                               - l_discount::DECIMAL(12,2))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size <= 10
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#15' AND p_size <= 20
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#23' AND p_size <= 30
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "repeated_spans": """
             -- same k-gram fingerprints + interval sweep

@@ -89,6 +89,19 @@ def main() -> None:
                       splits.groupBy("split").count().collect()})
     corpus.corpus_report(docs).show()
 
+    # 11. exact substring dedup: find + strip cross-doc repeated spans
+    spans = dedup.repeated_spans(docs, k=30)
+    stripped = dedup.strip_spans(docs, spans)
+    cut = stripped.agg(F.sum("n_cut")).first()[0] or 0
+    print(f"substring dedup: {spans.count()} spans, {cut} chars removed")
+
+    # 12. exactly-k weighted selection per source (A-ES, fixed quota)
+    best = sampling.weighted_take_per_group(
+        docs, k=10, weight="n_chars", group_col="source")
+    print("A-ES quota per source:", {r["source"]: r["count"] for r in
+                                     best.groupBy("source").count()
+                                     .collect()})
+
     spark.stop()
 
 
