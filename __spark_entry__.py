@@ -1876,7 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # at ~50 entries (r02/r03 each captured exactly the first 50
         # names). Oldest-missing first: these 51 have waited two rounds
         # for a formal CORRECTNESS row; the round-4 additions follow.
-        # All 129 pass the strict local gate (tools/check_oracle.py,
+        # All 132 pass the strict local gate (tools/check_oracle.py,
         # ALL OK at sf0.01 re-verified after every wave this round).
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
@@ -2150,6 +2150,39 @@ def _ivf_means_cte(assign: str, prev: str) -> str:
     )"""
 
 
+_HOLT_ORACLE = """
+            -- recursive-CTE fold: DuckDB 1.0's vectorized struct-lambda
+            -- list_reduce misevaluates two-field state (verified: results
+            -- vary with list LENGTH), so the recurrence iterates as a
+            -- recursive CTE — k-th step = one vectorized scalar pass over
+            -- all users, same halvings as the Arrow recurrence, new_l
+            -- inlined twice (identical ops, identical doubles)
+            WITH RECURSIVE lists AS (
+              SELECT user_id,
+                     list(CAST(value AS DOUBLE)
+                          ORDER BY ts, event_id) AS xs,
+                     list(event_id ORDER BY ts, event_id) AS ids,
+                     list(epoch_ms(ts) ORDER BY ts, event_id) AS tms
+              FROM events GROUP BY user_id
+            ), r AS (
+              SELECT user_id, 1 AS k, xs[1] AS l,
+                     CAST(0.0 AS DOUBLE) AS b
+              FROM lists
+              UNION ALL
+              SELECT l2.user_id, r.k + 1,
+                     0.5 * l2.xs[r.k + 1] + 0.5 * (r.l + r.b),
+                     0.5 * ((0.5 * l2.xs[r.k + 1] + 0.5 * (r.l + r.b))
+                            - r.l) + 0.5 * r.b
+              FROM r JOIN lists l2 USING (user_id)
+              WHERE r.k < len(l2.xs)
+            )
+            SELECT lists.ids[r.k] AS event_id, r.user_id,
+                   lists.tms[r.k] AS t_ms,
+                   r.l AS value_level, r.b AS value_trend
+            FROM r JOIN lists USING (user_id)
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "rollup_1h_by_type": f"""
@@ -2377,69 +2410,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
         """,
-        "holt_per_user": """
-            -- recursive-CTE fold: DuckDB 1.0's vectorized struct-lambda
-            -- list_reduce misevaluates two-field state (verified: results
-            -- vary with list LENGTH), so the recurrence iterates as a
-            -- recursive CTE — k-th step = one vectorized scalar pass over
-            -- all users, same halvings as the Arrow recurrence, new_l
-            -- inlined twice (identical ops, identical doubles)
-            WITH RECURSIVE lists AS (
-              SELECT user_id,
-                     list(CAST(value AS DOUBLE)
-                          ORDER BY ts, event_id) AS xs,
-                     list(event_id ORDER BY ts, event_id) AS ids,
-                     list(epoch_ms(ts) ORDER BY ts, event_id) AS tms
-              FROM events GROUP BY user_id
-            ), r AS (
-              SELECT user_id, 1 AS k, xs[1] AS l,
-                     CAST(0.0 AS DOUBLE) AS b
-              FROM lists
-              UNION ALL
-              SELECT l2.user_id, r.k + 1,
-                     0.5 * l2.xs[r.k + 1] + 0.5 * (r.l + r.b),
-                     0.5 * ((0.5 * l2.xs[r.k + 1] + 0.5 * (r.l + r.b))
-                            - r.l) + 0.5 * r.b
-              FROM r JOIN lists l2 USING (user_id)
-              WHERE r.k < len(l2.xs)
-            )
-            SELECT lists.ids[r.k] AS event_id, r.user_id,
-                   lists.tms[r.k] AS t_ms,
-                   r.l AS value_level, r.b AS value_trend
-            FROM r JOIN lists USING (user_id)
-        """,
+        "holt_per_user": _HOLT_ORACLE,
         # identical recurrence, drained availableNow
-        "stream_holt": """
-            -- recursive-CTE fold: DuckDB 1.0's vectorized struct-lambda
-            -- list_reduce misevaluates two-field state (verified: results
-            -- vary with list LENGTH), so the recurrence iterates as a
-            -- recursive CTE — k-th step = one vectorized scalar pass over
-            -- all users, same halvings as the Arrow recurrence, new_l
-            -- inlined twice (identical ops, identical doubles)
-            WITH RECURSIVE lists AS (
-              SELECT user_id,
-                     list(CAST(value AS DOUBLE)
-                          ORDER BY ts, event_id) AS xs,
-                     list(event_id ORDER BY ts, event_id) AS ids,
-                     list(epoch_ms(ts) ORDER BY ts, event_id) AS tms
-              FROM events GROUP BY user_id
-            ), r AS (
-              SELECT user_id, 1 AS k, xs[1] AS l,
-                     CAST(0.0 AS DOUBLE) AS b
-              FROM lists
-              UNION ALL
-              SELECT l2.user_id, r.k + 1,
-                     0.5 * l2.xs[r.k + 1] + 0.5 * (r.l + r.b),
-                     0.5 * ((0.5 * l2.xs[r.k + 1] + 0.5 * (r.l + r.b))
-                            - r.l) + 0.5 * r.b
-              FROM r JOIN lists l2 USING (user_id)
-              WHERE r.k < len(l2.xs)
-            )
-            SELECT lists.ids[r.k] AS event_id, r.user_id,
-                   lists.tms[r.k] AS t_ms,
-                   r.l AS value_level, r.b AS value_trend
-            FROM r JOIN lists USING (user_id)
-        """,
+        "stream_holt": _HOLT_ORACLE,
         "tpch_q10_shape": """
             SELECT c_custkey, c_name, n_name,
                    round(c_acctbal, 2) AS c_acctbal,

@@ -526,23 +526,15 @@ def repeated_spans(df: DataFrame, k: int = 50,
            .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
            .where(F.col("__nd") > 1)
            .select("h"))
-    covered = g.join(dup, "h").select(id_col, "pos")
-    # merge [pos, pos+k): new span where pos clears the running max end
-    w = Window.partitionBy(id_col).orderBy("pos")
-    prev_max = F.max(F.col("pos") + F.lit(k)).over(
-        w.rowsBetween(Window.unboundedPreceding, -1))
-    new_span = F.when(prev_max.isNull()
-                      | (F.col("pos") > prev_max), 1).otherwise(0)
-    spans = covered.withColumn(
-        "__span", F.sum(new_span).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
-    return (spans.groupBy(id_col, "__span")
-            .agg(F.min("pos").alias("span_start"),
-                 (F.max("pos") + F.lit(k)).alias("span_end"),
-                 F.count("*").alias("n_grams"))
+    covered = (g.join(dup, "h")
+               .select(id_col, F.col("pos").alias("__b"),
+                       (F.col("pos") + F.lit(k)).alias("__e")))
+    # merge the covered [pos, pos+k) intervals with the shared sweep
+    from ..operators.interval import span_sweep
+    return (span_sweep(covered, [id_col], "__b", "__e")
+            .withColumnRenamed("n_intervals", "n_grams")
             .withColumn("span_len",
-                        F.col("span_end") - F.col("span_start"))
-            .drop("__span"))
+                        F.col("span_end") - F.col("span_start")))
 
 
 def strip_spans(df: DataFrame, spans: DataFrame,

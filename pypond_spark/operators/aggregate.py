@@ -230,9 +230,14 @@ def pivot_rollup(df: DataFrame, window: str, field: str,
         raise ValueError(f"bad window spec {window!r}")
     pos = F.floor(F.unix_millis(F.col(time_col)) / F.lit(dur)).cast("long")
     col = F.col(field).cast("double")
-    aggs = [
-        fns[agg](F.when(F.col(pivot_col) == F.lit(v), col)).alias(str(v))
-        for v in values]
+
+    def cell(v):
+        a = fns[agg](F.when(F.col(pivot_col) == F.lit(v), col))
+        if agg == "sum":  # reference empty->0 convention (functions.py sum)
+            a = F.coalesce(a, F.lit(0.0))
+        return a.alias(str(v))
+
+    aggs = [cell(v) for v in values]
     return (df.groupBy(pos.alias("__pos"))
             .agg(*aggs)
             .select(F.concat(F.lit(window + "-"),

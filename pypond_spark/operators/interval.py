@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..index import window_duration_ms
@@ -117,6 +117,34 @@ def interval_join(left: DataFrame, right: DataFrame,
             .select(*out_cols))
 
 
+def span_sweep(df: DataFrame, keys: Sequence[str], b_col: str,
+               e_col: str, min_gap: int = 0) -> DataFrame:
+    """Window-sweep union of half-open ``[b, e)`` LONG intervals per key
+    — the shared core of :func:`merge_intervals` (epoch-ms intervals)
+    and ``datapipe.dedup.repeated_spans`` (character positions): an
+    interval starts a new span when its begin clears the running max of
+    previous ends (+ gap tolerance); the running count of starts is the
+    span id; one groupBy emits ``(*keys, span_start, span_end,
+    n_intervals)``. One hash exchange + one sort, both reused by the
+    span groupBy.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(b_col, e_col)
+    prev_max = F.max(F.col(e_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_span = F.when(
+        prev_max.isNull()
+        | (F.col(b_col) > prev_max + F.lit(int(min_gap))), 1).otherwise(0)
+    spans = df.withColumn(
+        "__span", F.sum(new_span).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (spans.groupBy(*keys, "__span")
+            .agg(F.min(b_col).alias("span_start"),
+                 F.max(e_col).alias("span_end"),
+                 F.count("*").alias("n_intervals"))
+            .drop("__span"))
+
+
 def merge_intervals(df: DataFrame, begin_col: str = "begin",
                     end_col: str = "end",
                     partition_by: Sequence[str] = (),
@@ -148,23 +176,11 @@ def merge_intervals(df: DataFrame, begin_col: str = "begin",
     e = F.unix_millis(F.col(end_col))
     base = df.select(*keys, b.alias("__b"), e.alias("__e")) \
         .where(F.col("__e") > F.col("__b"))
-    w = Window.partitionBy(*keys).orderBy("__b", "__e")
-    prev_max = F.max("__e").over(
-        w.rowsBetween(Window.unboundedPreceding, -1))
-    new_span = F.when(
-        prev_max.isNull()
-        | (F.col("__b") > prev_max + F.lit(int(min_gap_ms))), 1) \
-        .otherwise(0)
-    spans = base.withColumn(
-        "__span", F.sum(new_span).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
-    return (spans.groupBy(*keys, "__span")
-            .agg(F.min("__b").alias("span_start_ms"),
-                 F.max("__e").alias("span_end_ms"),
-                 F.count("*").alias("n_intervals"))
+    return (span_sweep(base, keys, "__b", "__e", min_gap_ms)
+            .withColumnRenamed("span_start", "span_start_ms")
+            .withColumnRenamed("span_end", "span_end_ms")
             .withColumn("span_ms",
-                        F.col("span_end_ms") - F.col("span_start_ms"))
-            .drop("__span"))
+                        F.col("span_end_ms") - F.col("span_start_ms")))
 
 
 def coverage(df: DataFrame, begin_col: str = "begin",

@@ -405,6 +405,8 @@ class TimeSeries:
                      ) -> "TimeSeries":
         """Windowed rollup pivoted wide — one column per category (engine
         addition; see ``operators.aggregate.pivot_rollup``)."""
+        if self._kind != "time":
+            raise ValueError("pivot_rollup expects instant-event input")
         out = agg_ops.pivot_rollup(self._df, window, field, pivot_col,
                                    values, agg, self.time_col)
         return TimeSeries(out, "index", self._meta)

@@ -265,3 +265,21 @@ def test_pivot_rollup_wide(spark):
         "1h", "value", "k", ["a", "c"], agg="count").df \
         .orderBy("index").collect()
     assert [(r["a"], r["c"]) for r in cnt] == [(2, 0), (0, 0)]
+
+
+def test_pivot_rollup_sum_empty_is_zero(spark):
+    from pypond_spark import TimeSeries
+    from pyspark.sql import functions as F
+    rows = [(0, "a", 10.0), (60_000, "a", 20.0)]
+    df = spark.createDataFrame(rows, "ms long, k string, value double") \
+        .select(F.timestamp_millis("ms").alias("time"), "k", "value")
+    out = TimeSeries(df, kind="time").pivot_rollup(
+        "1h", "value", "k", ["a", "b"], agg="sum").df.collect()[0]
+    # empty 'b' cell follows the reference sum empty->0 convention
+    assert (out["a"], out["b"]) == (30.0, 0.0)
+    # non-instant input rejected like the sibling wrappers
+    import pytest as _pt
+    tr = TimeSeries(df.withColumnRenamed("time", "begin")
+                    .withColumn("end", F.col("begin")), kind="timerange")
+    with _pt.raises(ValueError):
+        tr.pivot_rollup("1h", "value", "k", ["a"])
