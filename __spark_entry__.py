@@ -1870,13 +1870,25 @@ def q_tpch_q19_shape(spark, sf_dir):
                  F.count("*").alias("n_items")))
 
 
+def q_strip_spans(spark, sf_dir):
+    """Substring-dedup removal step (datapipe/dedup.py::strip_spans):
+    cut every cross-doc repeated span out of the text; the md5 of the
+    cleaned text must match a pure-SQL segment reassembly, verifying the
+    Arrow string surgery byte-for-byte."""
+    docs = _read(spark, sf_dir, "documents")
+    spans = dp_dedup.repeated_spans(docs, k=30)
+    out = dp_dedup.strip_spans(docs, spans)
+    return out.select("doc_id", F.md5("text_clean").alias("clean_md5"),
+                      "n_cut")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-verified queries first: the driver snapshot caps
         # at ~50 entries (r02/r03 each captured exactly the first 50
         # names). Oldest-missing first: these 51 have waited two rounds
         # for a formal CORRECTNESS row; the round-4 additions follow.
-        # All 132 pass the strict local gate (tools/check_oracle.py,
+        # All 133 pass the strict local gate (tools/check_oracle.py,
         # ALL OK at sf0.01 re-verified after every wave this round).
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
@@ -1961,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "tpch_q10_shape": q_tpch_q10_shape,
         "tpch_q19_shape": q_tpch_q19_shape,
+        "strip_spans": q_strip_spans,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2413,6 +2426,67 @@ def oracle_sql() -> dict[str, str]:
         "holt_per_user": _HOLT_ORACLE,
         # identical recurrence, drained availableNow
         "stream_holt": _HOLT_ORACLE,
+        "strip_spans": """
+            -- repeated_spans' CTE chain, then per-doc segment reassembly
+            WITH p AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, len(text) - 29)) AS i
+              FROM documents WHERE len(text) >= 30
+            ), g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(substr(text, i, 30)) AS h
+              FROM p
+            ), d AS (
+              SELECT h FROM g GROUP BY h
+              HAVING count(DISTINCT doc_id) > 1
+            ), c AS (
+              SELECT g.doc_id, g.pos FROM g JOIN d USING (h)
+            ), s AS (
+              SELECT doc_id, pos,
+                     CASE WHEN max(pos + 30) OVER wprev IS NULL
+                            OR pos > max(pos + 30) OVER wprev
+                          THEN 1 ELSE 0 END AS ns
+              FROM c
+              WINDOW wprev AS (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+            ), sp AS (
+              SELECT doc_id, pos,
+                     sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS span
+              FROM s
+            ), spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + 30 AS e
+              FROM sp GROUP BY doc_id, span
+            ), segs AS (
+              SELECT spans.doc_id, doc.text,
+                     coalesce(lag(e) OVER w, 0) AS seg_start,
+                     s AS seg_end
+              FROM spans JOIN documents doc USING (doc_id)
+              WINDOW w AS (PARTITION BY spans.doc_id ORDER BY s)
+              UNION ALL
+              SELECT spans.doc_id, doc.text, max(e), len(doc.text)
+              FROM spans JOIN documents doc USING (doc_id)
+              GROUP BY spans.doc_id, doc.text
+            ), clean AS (
+              SELECT doc_id,
+                     string_agg(substr(text, seg_start + 1,
+                                       seg_end - seg_start),
+                                '' ORDER BY seg_start) AS ctext
+              FROM segs WHERE seg_end > seg_start
+              GROUP BY doc_id
+            ), cuts AS (
+              SELECT doc_id, sum(e - s) AS n_cut FROM spans GROUP BY 1
+            )
+            SELECT doc.doc_id,
+                   md5(CASE WHEN cuts.doc_id IS NOT NULL
+                       THEN coalesce(clean.ctext, '')
+                       ELSE doc.text END) AS clean_md5,
+                   CAST(coalesce(cuts.n_cut, 0) AS BIGINT) AS n_cut
+            FROM documents doc
+            LEFT JOIN clean USING (doc_id)
+            LEFT JOIN cuts USING (doc_id)
+        """,
         "tpch_q10_shape": """
             SELECT c_custkey, c_name, n_name,
                    round(c_acctbal, 2) AS c_acctbal,
