@@ -114,6 +114,10 @@ HEADLINE = [
     "fill_pad_max_gap",
     "rolling_robust_z_1h",
     "repeated_spans",
+    "strip_spans",
+    "trend_per_user",
+    "lexical_stats",
+    "zipf_slope",
 ]
 
 

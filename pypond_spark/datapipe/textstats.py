@@ -558,3 +558,69 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
                  F.avg("__lp").alias("mean_logprob")))
+
+
+def lexical_stats(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document lexical diversity: token count, vocabulary size,
+    type-token ratio, and hapax share (types occurring once) — the
+    classic richness signals (low TTR = template/boilerplate, high
+    hapax = OCR noise or genuinely diverse prose).
+
+    One token explode -> ONE shuffle on (doc, token) with map-side
+    partial counts -> one doc-level aggregation that reuses the
+    partitioning (doc is a prefix of the key). Never materializes a
+    per-doc vocabulary in memory.
+    """
+    toks = _match_tokens(text_col)
+    counts = (spread(df)
+              .select(F.col(id_col), F.explode(toks).alias("tok"))
+              .where(F.col("tok") != "")
+              .groupBy(id_col, "tok")
+              .agg(F.count("*").alias("__c")))
+    return (counts.groupBy(id_col)
+            .agg(F.sum("__c").alias("n_tokens"),
+                 F.count("*").alias("n_types"),
+                 F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+                 .alias("n_hapax"))
+            .select(id_col, "n_tokens", "n_types",
+                    (F.col("n_types") / F.col("n_tokens")).alias("ttr"),
+                    F.try_divide(F.col("n_hapax"), F.col("n_types"))
+                    .alias("hapax_share")))
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus Zipf fit: OLS slope of ln(freq) against ln(rank) over the
+    global token frequency table (healthy natural-language corpora sit
+    near -1; far-off slopes flag template spam or tokenizer damage).
+
+    One corpus token explode -> vocabulary-bounded counts; the rank
+    window and the 5-sum OLS run on the TINY frequency table (rows =
+    vocabulary), with rank ties broken by token for a deterministic
+    rank assignment. Output: one row (slope, intercept, vocab,
+    n_tokens).
+    """
+    from pyspark.sql import Window
+
+    toks = _match_tokens(text_col)
+    freq = (spread(df)
+            .select(F.explode(toks).alias("tok"))
+            .where(F.col("tok") != "")
+            .groupBy("tok").agg(F.count("*").alias("__f")))
+    w = Window.orderBy(F.desc("__f"), F.col("tok"))
+    pts = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("__lr"),
+        F.log(F.col("__f").cast("double")).alias("__lf"))
+    agg = pts.agg(F.count("*").alias("vocab"),
+                  F.sum("__lr").alias("__sx"),
+                  F.sum("__lf").alias("__sy"),
+                  F.sum(F.col("__lr") * F.col("__lr")).alias("__sxx"),
+                  F.sum(F.col("__lr") * F.col("__lf")).alias("__sxy"))
+    total = freq.agg(F.sum("__f")).first()[0] or 0
+    n = F.col("vocab").cast("double")
+    denom = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.try_divide(n * F.col("__sxy")
+                         - F.col("__sx") * F.col("__sy"), denom)
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    return agg.select(slope.alias("slope"), intercept.alias("intercept"),
+                      "vocab", F.lit(int(total)).alias("n_tokens"))

@@ -74,3 +74,48 @@ def series_correlation(
                          f"bucket {bucket!r}")
     wpos = F.floor(F.col("_bpos") / F.lit(ratio))
     return buckets.groupBy(*keys, wpos.alias("pos")).agg(*aggs)
+
+
+def trend(df: DataFrame, field: str = "value",
+          partition_by: Sequence[str] = (),
+          time_unit: str = "1h", time_col: str = "time") -> DataFrame:
+    """Per-series OLS trend: slope (field units per ``time_unit``) and
+    intercept of the least-squares line through (t, x) — "is this metric
+    drifting, and how fast", the fit CUSUM's alarm asks about.
+
+    Times are shifted to each series' own start BEFORE squaring (raw
+    epoch-ms squared exceeds double precision — 1.7e12^2 needs 25
+    digits; hours-since-start keeps every sum well-conditioned). The
+    shift is an unordered whole-partition window min, so the plan is ONE
+    hash exchange feeding the window AND the final per-key aggregation —
+    no second shuffle, partial-aggregable sums. Invalid samples are
+    excluded. Output: ``(*keys, slope, intercept, n)``; intercept is the
+    fitted value at the series' first timestamp.
+    """
+    from pyspark.sql import Window
+
+    dur = window_duration_ms(time_unit)
+    if dur is None:
+        raise ValueError(f"time_unit must be a fixed window spec, "
+                         f"got {time_unit!r}")
+    keys = list(partition_by)
+    x = F.col(field).cast("double")
+    valid = x.isNotNull() & ~F.isnan(x)
+    ms = F.unix_millis(F.col(time_col))
+    w = Window.partitionBy(*keys)
+    t = ((ms - F.min(F.when(valid, ms)).over(w))
+         / F.lit(float(dur))).alias("__t")
+    base = df.where(valid).select(*keys, t, x.alias("__x"))
+    agg = base.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum("__t").alias("__sx"),
+        F.sum("__x").alias("__sy"),
+        F.sum(F.col("__t") * F.col("__t")).alias("__sxx"),
+        F.sum(F.col("__t") * F.col("__x")).alias("__sxy"))
+    n = F.col("n").cast("double")
+    denom = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.try_divide(n * F.col("__sxy")
+                         - F.col("__sx") * F.col("__sy"), denom)
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    return agg.select(*keys, slope.alias("slope"),
+                      intercept.alias("intercept"), "n")

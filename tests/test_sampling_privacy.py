@@ -346,3 +346,19 @@ def test_weighted_take_per_group_quota_and_bias(spark):
         "doc_id long, src string, w double")
     sel = weighted_take_per_group(df2, k=3, weight="w", group_col="src")
     assert [r["doc_id"] for r in sel.collect()] == [3]
+
+
+def test_lexical_stats_and_zipf(spark):
+    from pypond_spark.datapipe.textstats import lexical_stats, zipf_slope
+    rows = [(1, "the cat and the dog and the bird"),
+            (2, "aa bb cc dd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    st = {r["doc_id"]: r for r in lexical_stats(df).collect()}
+    # doc 1: 8 tokens, types {the:3, cat, and:2, dog, bird} = 5 types,
+    # hapax = {cat, dog, bird} = 3
+    assert (st[1]["n_tokens"], st[1]["n_types"]) == (8, 5)
+    assert st[1]["ttr"] == 5 / 8 and st[1]["hapax_share"] == 3 / 5
+    assert (st[2]["n_tokens"], st[2]["n_types"]) == (4, 4)
+    z = zipf_slope(df).collect()[0]
+    assert z["vocab"] == 9 and z["n_tokens"] == 12
+    assert z["slope"] < 0  # frequencies fall with rank

@@ -478,3 +478,21 @@ def test_rolling_robust_zscore_frame(spark):
     rz3, flag3 = out2[3]
     assert abs(rz3 - 0.6745 * (100 - 12.0) / 4.0) < 1e-9
     assert flag3 is True
+
+
+def test_trend_recovers_line(spark):
+    from pypond_spark.operators.correlate import trend
+    # y = 5 + 3*t(hours), exact OLS recovery; invalid samples excluded
+    H = 3600_000
+    rows = [(i * H, 5.0 + 3.0 * i) for i in range(10)] + [(4 * H + 1, None)]
+    df = spark.createDataFrame(rows, "ms long, value double").select(
+        F.timestamp_millis("ms").alias("time"), "value")
+    out = trend(df, "value", time_unit="1h").collect()[0]
+    assert out["slope"] == pytest.approx(3.0, abs=1e-9)
+    assert out["intercept"] == pytest.approx(5.0, abs=1e-9)
+    assert out["n"] == 10
+    # single-point series: NULL slope, not a crash
+    one = spark.createDataFrame([(0, 7.0)], "ms long, value double").select(
+        F.timestamp_millis("ms").alias("time"), "value")
+    r1 = trend(one, "value").collect()[0]
+    assert r1["slope"] is None and r1["n"] == 1
