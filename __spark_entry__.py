@@ -1916,6 +1916,168 @@ def q_zipf_slope(spark, sf_dir):
                       "vocab", "n_tokens")
 
 
+def _rev_decimal():
+    """Shared DECIMAL revenue term (see tpch_q6 for why not double)."""
+    return (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1).cast("decimal(12,2)")
+               - F.col("l_discount").cast("decimal(12,2)")))
+
+
+def q_tpch_q7_shape(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations): lineitem ->
+    orders is the only repartition join (uniform orderkey); supplier,
+    customer and both nation legs broadcast. The (supp, cust) nation-pair
+    disjunction is evaluated after the broadcasts — Catalyst folds the two
+    name filters into the tiny dimension scans, so the fact side never
+    re-scans. DECIMAL money math."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    orders = _read(spark, sf_dir, "orders")
+    supp = _read(spark, sf_dir, "supplier")
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"),
+                    F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"),
+                    F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+         .where(pair))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(_rev_decimal()).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def q_tpch_q8_shape(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_3 suppliers' share
+    of ECONOMY-part revenue sold to AMERICA customers, per order year.
+    Five broadcast dims around one orders<->lineitem repartition join;
+    numerator and denominator are conditional DECIMAL sums in the SAME
+    aggregation — one pass, no self-join."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part") \
+        .where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    orders = _read(spark, sf_dir, "orders")
+    supp = _read(spark, sf_dir, "supplier")
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"),
+                    F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"),
+                    F.col("n_regionkey").alias("n2_region"))
+    rev = _rev_decimal()
+    nat_rev = F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)
+                    .otherwise(F.lit(0).cast("decimal(12,2)")))
+    j = (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+         .join(F.broadcast(reg), F.col("n2_region") == F.col("r_regionkey")))
+    return (j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.try_divide(nat_rev.cast("double"),
+                              F.sum(rev).cast("double")).alias("mkt_share"),
+                 F.sum(rev).cast("double").alias("total_revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def q_tpch_q13_shape(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    customers whose only orders are urgent land in the zero bucket, then
+    a double aggregation. The join shuffles both sides on custkey and the
+    per-customer count REUSES that partitioning (no extra exchange —
+    verified in the plan); the distribution groupBy is over a
+    customer-count-sized frame."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders") \
+        .where(F.col("o_orderpriority") != "1-URGENT") \
+        .select("o_custkey", "o_orderkey")
+    per_cust = (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+def q_tpch_q15_shape(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    keep the max. The "= (SELECT max(..))" scalar subquery becomes a
+    broadcast join against a 1-row aggregate — no single-partition window
+    over the whole supplier frame. Equality is tested on the exact
+    DECIMAL sum (double only at output), so the winner set is
+    bit-deterministic cross-engine."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(_rev_decimal()).alias("__rev")))
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    return (rev.join(F.broadcast(mx), F.col("__rev") == F.col("__mx"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("__rev").cast("double").alias("total_revenue")))
+
+
+def q_tpch_q17_shape(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity revenue): the correlated per-part
+    avg-quantity subquery becomes a self-aggregation of the brand's
+    lineitems joined back by partkey — both the agg and the join-back are
+    broadcast-sized because the brand filter lands on the part scan
+    first. The 0.2*avg threshold is rounded to 6dp on BOTH engines so row
+    membership can't flip on a summation-order ulp."""
+    part = _read(spark, sf_dir, "part") \
+        .where(F.col("p_brand") == "Brand#5").select("p_partkey")
+    li = (_read(spark, sf_dir, "lineitem")
+          .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")))
+    avg_q = (li.groupBy("p_partkey")
+             .agg(F.round(F.lit(0.2) * F.avg("l_quantity"), 6)
+                  .alias("__thresh"))
+             .withColumnRenamed("p_partkey", "__pk"))
+    small = (li.join(F.broadcast(avg_q), F.col("p_partkey") == F.col("__pk"))
+             .where(F.col("l_quantity") < F.col("__thresh")))
+    return small.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+         .cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count("*").alias("n_items"))
+
+
+def q_tpch_q22_shape(spark, sf_dir):
+    """TPC-H Q22 shape (global-balance anti join): customers with
+    above-average positive balance and NO urgent 1998+ order. The global
+    avg is a 1-row aggregate broadcast into the filter (rounded 6dp both
+    engines); NOT EXISTS is a left-anti join shuffling on the uniform
+    custkey; final rollup groups by nation."""
+    cust = _read(spark, sf_dir, "customer")
+    urgent = (_read(spark, sf_dir, "orders")
+              .where((F.col("o_orderpriority") == "1-URGENT")
+                     & (F.col("o_orderdate")
+                        >= F.lit("1998-01-01").cast("timestamp")))
+              .select("o_custkey"))
+    avg_bal = (cust.where(F.col("c_acctbal") > 0)
+               .agg(F.round(F.avg("c_acctbal"), 6).alias("__avg")))
+    rich = (cust.join(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("__avg")))
+    lonely = rich.join(urgent, F.col("c_custkey") == F.col("o_custkey"),
+                       "left_anti")
+    return (lonely.groupBy(F.col("c_nationkey").cast("long")
+                           .alias("c_nationkey"))
+            .agg(F.count("*").alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-verified queries first: the driver snapshot caps
@@ -2011,6 +2173,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_per_user": q_trend_per_user,
         "lexical_stats": q_lexical_stats,
         "zipf_slope": q_zipf_slope,
+        "tpch_q7_shape": q_tpch_q7_shape,
+        "tpch_q8_shape": q_tpch_q8_shape,
+        "tpch_q13_shape": q_tpch_q13_shape,
+        "tpch_q15_shape": q_tpch_q15_shape,
+        "tpch_q17_shape": q_tpch_q17_shape,
+        "tpch_q22_shape": q_tpch_q22_shape,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2459,6 +2627,111 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "tpch_q7_shape": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(sum(l_extendedprice::DECIMAL(12,2)
+                            * (1::DECIMAL(12,2)
+                               - l_discount::DECIMAL(12,2))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q8_shape": """
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                          THEN l_extendedprice::DECIMAL(12,2)
+                               * (1::DECIMAL(12,2)
+                                  - l_discount::DECIMAL(12,2))
+                          ELSE 0::DECIMAL(12,2) END) AS DOUBLE)
+                   / CAST(sum(l_extendedprice::DECIMAL(12,2)
+                              * (1::DECIMAL(12,2)
+                                 - l_discount::DECIMAL(12,2))) AS DOUBLE)
+                     AS mkt_share,
+                   CAST(sum(l_extendedprice::DECIMAL(12,2)
+                            * (1::DECIMAL(12,2)
+                               - l_discount::DECIMAL(12,2))) AS DOUBLE)
+                     AS total_revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region   ON n2.n_regionkey = r_regionkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+            GROUP BY 1
+        """,
+        "tpch_q13_shape": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                              AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "tpch_q15_shape": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(l_extendedprice::DECIMAL(12,2)
+                         * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2)))
+                       AS r
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE r = (SELECT max(r) FROM rev)
+        """,
+        "tpch_q17_shape": """
+            WITH li AS (
+              SELECT l.* FROM lineitem l
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#5'
+            ), thresh AS (
+              SELECT l_partkey AS pk,
+                     round(0.2 * avg(l_quantity), 6) AS t
+              FROM li GROUP BY l_partkey
+            )
+            SELECT CAST(sum(l_extendedprice::DECIMAL(12,2)) AS DOUBLE)
+                     / 7.0 AS avg_yearly,
+                   count(*) AS n_items
+            FROM li JOIN thresh ON l_partkey = pk
+            WHERE l_quantity < t
+        """,
+        "tpch_q22_shape": """
+            WITH avg_bal AS (
+              SELECT round(avg(c_acctbal), 6) AS a
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer, avg_bal
+            WHERE c_acctbal > a
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT'
+                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+            GROUP BY 1
         """,
         "holt_per_user": _HOLT_ORACLE,
         # identical recurrence, drained availableNow

@@ -118,6 +118,12 @@ HEADLINE = [
     "trend_per_user",
     "lexical_stats",
     "zipf_slope",
+    "tpch_q7_shape",
+    "tpch_q8_shape",
+    "tpch_q13_shape",
+    "tpch_q15_shape",
+    "tpch_q17_shape",
+    "tpch_q22_shape",
 ]
 
 
