@@ -1916,6 +1916,35 @@ def q_zipf_slope(spark, sf_dir):
                       "vocab", "n_tokens")
 
 
+def q_acf_hourly_by_type(spark, sf_dir):
+    """Per-type autocorrelation of hourly means at lags 1/2/3/24
+    (operators/correlate.py::autocorrelation): lag lives on the BUCKET
+    axis (missing hours contribute no pair), the corpus shuffles once
+    into the bucket frame, and the lag self-join + corr run on that
+    checkpointed frame only. Lag 24 is the daily-cycle probe."""
+    from pypond_spark.operators.correlate import autocorrelation
+    df = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    out = autocorrelation(df, "value", lags=(1, 2, 3, 24), bucket="1h",
+                          partition_by=["event_type"])
+    return out.select("event_type", "lag",
+                      F.round("r", 6).alias("r"), "n_pairs")
+
+
+def q_theilsen_by_user(spark, sf_dir):
+    """Per-user Theil-Sen robust trend over hourly bucket means
+    (operators/correlate.py::theil_sen): median of pairwise slopes +
+    median intercept. The O(B^2) pair term is bounded by bucketing
+    (~60 buckets/user here); the corpus-sized pass is the one bucket
+    groupBy. Median interpolation matches DuckDB's quantile_cont."""
+    from pypond_spark.operators.correlate import theil_sen
+    df = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    out = theil_sen(df, "value", bucket="1h", partition_by=["user_id"])
+    return out.select("user_id",
+                      F.round("ts_slope", 6).alias("ts_slope"),
+                      F.round("ts_intercept", 6).alias("ts_intercept"),
+                      "n_pairs", "n_buckets")
+
+
 def _rev_decimal():
     """Shared DECIMAL revenue term (see tpch_q6 for why not double)."""
     return (F.col("l_extendedprice").cast("decimal(12,2)")
@@ -2179,6 +2208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_shape": q_tpch_q15_shape,
         "tpch_q17_shape": q_tpch_q17_shape,
         "tpch_q22_shape": q_tpch_q22_shape,
+        "acf_hourly_by_type": q_acf_hourly_by_type,
+        "theilsen_by_user": q_theilsen_by_user,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2627,6 +2658,51 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "acf_hourly_by_type": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS p,
+                     avg(value) AS v
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1, 2
+            )
+            SELECT a.event_type, l.k AS "lag",
+                   round(corr(a.v, c.v), 6) AS r,
+                   count(*) AS n_pairs
+            FROM b a
+            CROSS JOIN (VALUES (1), (2), (3), (24)) l(k)
+            JOIN b c ON c.event_type = a.event_type AND c.p = a.p + l.k
+            GROUP BY 1, 2
+        """,
+        "theilsen_by_user": """
+            WITH b AS (
+              SELECT user_id,
+                     CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS p,
+                     avg(value) AS v
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1, 2
+            ), s AS (
+              SELECT user_id,
+                     CAST(p - min(p) OVER (PARTITION BY user_id)
+                          AS DOUBLE) AS x, v
+              FROM b
+            ), sl AS (
+              SELECT a.user_id,
+                     median((c.v - a.v) / (c.x - a.x)) AS m,
+                     count(*) AS n_pairs
+              FROM s a
+              JOIN s c ON c.user_id = a.user_id AND c.x > a.x
+              GROUP BY 1
+            )
+            SELECT s.user_id, round(any_value(sl.m), 6) AS ts_slope,
+                   round(median(s.v - sl.m * s.x), 6) AS ts_intercept,
+                   any_value(sl.n_pairs) AS n_pairs,
+                   count(*) AS n_buckets
+            FROM s JOIN sl ON s.user_id = sl.user_id
+            GROUP BY s.user_id
         """,
         "tpch_q7_shape": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -124,6 +124,8 @@ HEADLINE = [
     "tpch_q15_shape",
     "tpch_q17_shape",
     "tpch_q22_shape",
+    "acf_hourly_by_type",
+    "theilsen_by_user",
 ]
 
 

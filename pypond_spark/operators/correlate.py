@@ -76,6 +76,132 @@ def series_correlation(
     return buckets.groupBy(*keys, wpos.alias("pos")).agg(*aggs)
 
 
+def autocorrelation(
+    df: DataFrame,
+    field: str = "value",
+    lags: Sequence[int] = (1, 2, 3),
+    bucket: str = "1h",
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+) -> DataFrame:
+    """Per-series autocorrelation of bucket-mean values at each lag.
+
+    ACF is the seasonality probe ``seasonal_anomaly`` assumes an answer
+    to: a spike at lag 24 (hourly buckets) says "daily cycle". Lag is in
+    BUCKET STEPS on the time axis, not row offsets — a missing bucket
+    contributes no pair, so irregular series don't smear their lags the
+    way a row-``lag()`` window would.
+
+    Shape at 100 TB: ONE corpus-sized shuffle (the bucket groupBy);
+    everything after runs on the bucket frame (|keys| x buckets/series
+    rows), which is localCheckpointed so the corpus aggregation isn't
+    recomputed for the self-join's second side. The lag join explodes
+    the LEFT side by len(lags) — still bucket-frame-sized — and joins on
+    (keys, pos+lag) = (keys, pos), a uniform key. Output: ``(*keys, lag,
+    r, n_pairs)`` — ``r`` is sample Pearson (both engines' ``corr``),
+    ``n_pairs`` the bucket pairs that existed at that offset.
+    """
+    b_ms = window_duration_ms(bucket)
+    if b_ms is None:
+        raise ValueError(f"bucket needs a fixed window spec, got {bucket!r}")
+    lag_list = [int(k) for k in lags]
+    if not lag_list or any(k <= 0 for k in lag_list):
+        raise ValueError(f"lags must be positive ints, got {lags!r}")
+    keys = list(partition_by)
+    col = F.col(field).cast("double")
+    valid = col.isNotNull() & ~F.isnan(col)
+    bpos = F.floor(F.unix_millis(F.col(time_col)) / F.lit(b_ms))
+    buckets = (df.where(valid)
+               .groupBy(*keys, bpos.alias("__bpos"))
+               .agg(F.avg(col).alias("__v"))
+               .localCheckpoint())
+    left = (buckets
+            .select(*keys, "__bpos", F.col("__v").alias("__v0"),
+                    F.explode(F.array(*[F.lit(k) for k in lag_list]))
+                    .alias("lag"))
+            .withColumn("__tpos", F.col("__bpos") + F.col("lag")))
+    right = buckets.select(
+        *[F.col(k).alias(f"__r_{k}") for k in keys],
+        F.col("__bpos").alias("__rpos"), F.col("__v").alias("__v1"))
+    cond = F.col("__tpos") == F.col("__rpos")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__r_{k}"))
+    return (left.join(right, cond)
+            .groupBy(*keys, "lag")
+            .agg(F.corr("__v0", "__v1").alias("r"),
+                 F.count("*").alias("n_pairs")))
+
+
+def theil_sen(df: DataFrame, field: str = "value",
+              bucket: str = "1h",
+              partition_by: Sequence[str] = (),
+              time_col: str = "time") -> DataFrame:
+    """Per-series Theil–Sen trend: the MEDIAN of all pairwise slopes,
+    plus the matching median intercept — the robust twin of ``trend``'s
+    OLS fit (one wild outlier can't drag it; breakdown point ~29%).
+
+    Slope units are field-units per BUCKET step; x positions are bucket
+    positions shifted to each series' own start (same conditioning move
+    as ``trend``; for medians it also keeps the intercept interpretable
+    as the fitted value at the series' first bucket).
+
+    Scale bound, stated honestly: Theil–Sen is inherently O(B^2) pairs
+    per series in B buckets. Bucketing IS the lever — the corpus-sized
+    pass is the ONE bucket groupBy shuffle, and the quadratic term runs
+    on the bucket frame (coarsen ``bucket`` until B/series is ~1e3, i.e.
+    <=1e6 pairs/series). Series with a single bucket have no pair and
+    drop from the output, matching the SQL twin's inner join.
+
+    Output: ``(*keys, ts_slope, ts_intercept, n_pairs, n_buckets)``.
+    """
+    from pyspark.sql import Window
+
+    b_ms = window_duration_ms(bucket)
+    if b_ms is None:
+        raise ValueError(f"bucket needs a fixed window spec, got {bucket!r}")
+    keys = list(partition_by)
+    col = F.col(field).cast("double")
+    valid = col.isNotNull() & ~F.isnan(col)
+    bpos = F.floor(F.unix_millis(F.col(time_col)) / F.lit(b_ms))
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    buckets = (df.where(valid)
+               .groupBy(*keys, bpos.alias("__p"))
+               .agg(F.avg(col).alias("__v"))
+               .withColumn("__x", (F.col("__p") - F.min("__p").over(w))
+                           .cast("double"))
+               .drop("__p")
+               .localCheckpoint())
+    a = buckets.select(*keys, F.col("__x").alias("__xa"),
+                       F.col("__v").alias("__va"))
+    b = buckets.select(
+        *[F.col(k).alias(f"__r_{k}") for k in keys],
+        F.col("__x").alias("__xb"), F.col("__v").alias("__vb"))
+    cond = F.col("__xb") > F.col("__xa")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__r_{k}"))
+    slopes = (a.join(b, cond)
+              .groupBy(*keys)
+              .agg(F.median((F.col("__vb") - F.col("__va"))
+                            / (F.col("__xb") - F.col("__xa")))
+                   .alias("ts_slope"),
+                   F.count("*").alias("n_pairs")))
+    sl = slopes.select(
+        *[F.col(k).alias(f"__s_{k}") for k in keys], "ts_slope", "n_pairs")
+    cond2 = F.lit(True)
+    for k in keys:
+        cond2 = cond2 & (F.col(k) == F.col(f"__s_{k}"))
+    joined = (buckets.join(F.broadcast(sl), cond2) if keys
+              else buckets.crossJoin(F.broadcast(sl)))
+    return (joined
+            .groupBy(*keys)
+            .agg(F.first("ts_slope").alias("ts_slope"),
+                 F.median(F.col("__v")
+                          - F.col("ts_slope") * F.col("__x"))
+                 .alias("ts_intercept"),
+                 F.first("n_pairs").alias("n_pairs"),
+                 F.count("*").alias("n_buckets")))
+
+
 def trend(df: DataFrame, field: str = "value",
           partition_by: Sequence[str] = (),
           time_unit: str = "1h", time_col: str = "time") -> DataFrame:

@@ -496,3 +496,60 @@ def test_trend_recovers_line(spark):
         F.timestamp_millis("ms").alias("time"), "value")
     r1 = trend(one, "value").collect()[0]
     assert r1["slope"] is None and r1["n"] == 1
+
+
+def test_autocorrelation_perfect_cycle(spark):
+    from pypond_spark.operators.correlate import autocorrelation
+    # period-2 alternating series: ACF(2) = +1, ACF(1) = -1
+    H = 3600_000
+    rows = [(i * H, 10.0 if i % 2 == 0 else -10.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "ms long, value double").select(
+        F.timestamp_millis("ms").alias("time"), "value")
+    out = {r["lag"]: r for r in
+           autocorrelation(df, "value", lags=(1, 2)).collect()}
+    assert out[1]["r"] == pytest.approx(-1.0, abs=1e-9)
+    assert out[2]["r"] == pytest.approx(1.0, abs=1e-9)
+    assert out[1]["n_pairs"] == 11 and out[2]["n_pairs"] == 10
+
+
+def test_autocorrelation_missing_bucket_is_no_pair(spark):
+    from pypond_spark.operators.correlate import autocorrelation
+    # hours 0,1,2,4 present; lag-1 pairs = (0,1),(1,2) only — the 2->4
+    # gap must NOT smear into a lag-1 pair the way a row-lag would
+    H = 3600_000
+    rows = [(0, 1.0), (H, 2.0), (2 * H, 4.0), (4 * H, 8.0)]
+    df = spark.createDataFrame(rows, "ms long, value double").select(
+        F.timestamp_millis("ms").alias("time"), "value")
+    out = {r["lag"]: r for r in
+           autocorrelation(df, "value", lags=(1, 2)).collect()}
+    assert out[1]["n_pairs"] == 2
+    assert out[2]["n_pairs"] == 2  # (0,2) and (2,4)
+
+
+def test_theil_sen_ignores_outlier(spark):
+    from pypond_spark.operators.correlate import theil_sen
+    # y = 2*t + 1 with one wild outlier: OLS bends, Theil-Sen doesn't
+    from pypond_spark.operators.correlate import trend
+    H = 3600_000
+    # outlier at the END (an outlier at the center t would leave the
+    # OLS slope unchanged — it only shifts the intercept)
+    rows = [(i * H, 1.0 + 2.0 * i) for i in range(11)]
+    rows[10] = (10 * H, 1000.0)
+    df = spark.createDataFrame(rows, "ms long, value double").select(
+        F.timestamp_millis("ms").alias("time"), "value")
+    ts_row = theil_sen(df, "value", bucket="1h").collect()[0]
+    assert ts_row["ts_slope"] == pytest.approx(2.0, abs=1e-9)
+    assert ts_row["ts_intercept"] == pytest.approx(1.0, abs=1e-9)
+    assert ts_row["n_pairs"] == 55 and ts_row["n_buckets"] == 11
+    ols = trend(df, "value", time_unit="1h").collect()[0]
+    assert abs(ols["slope"] - 2.0) > 1.0  # OLS got dragged
+
+
+def test_theil_sen_single_bucket_drops(spark):
+    from pypond_spark.operators.correlate import theil_sen
+    H = 3600_000
+    rows = [("a", i * H, float(i)) for i in range(3)] + [("b", 0, 9.9)]
+    df = spark.createDataFrame(rows, "k string, ms long, value double") \
+        .select("k", F.timestamp_millis("ms").alias("time"), "value")
+    out = theil_sen(df, "value", bucket="1h", partition_by=["k"]).collect()
+    assert {r["k"] for r in out} == {"a"}  # no pair for 'b'
