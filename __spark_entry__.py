@@ -1916,6 +1916,20 @@ def q_zipf_slope(spark, sf_dir):
                       "vocab", "n_tokens")
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Streaming sessionization (streaming/stream.py::stream_sessions):
+    3-long state per key, sessions emitted as they CLOSE across
+    micro-batch boundaries. The oracle is the batch session rollup MINUS
+    each key's final session — the one still open at stream end, whose
+    closure no next event ever signals (documented semantics; pair with
+    a processing-time timeout for open-ended expiry)."""
+    from pypond_spark.streaming import stream_sessions
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_sessions(sdf, window="1h", partition_by=["user_id"])
+    result = _run_stream_32(spark, out, "append")
+    return result.select("user_id", "begin_ms", "end_ms", "n")
+
+
 def q_acf_hourly_by_type(spark, sf_dir):
     """Per-type autocorrelation of hourly means at lags 1/2/3/24
     (operators/correlate.py::autocorrelation): lag lives on the BUCKET
@@ -2210,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_shape": q_tpch_q22_shape,
         "acf_hourly_by_type": q_acf_hourly_by_type,
         "theilsen_by_user": q_theilsen_by_user,
+        "stream_sessions": q_stream_sessions,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2658,6 +2673,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "stream_sessions": """
+            -- strict >: an event at exactly last+window joins the
+            -- session (Spark session_window's inclusive end)
+            WITH b AS (
+              SELECT user_id, epoch_ms(ts) AS ms,
+                     CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                            OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                               > 3600000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ms,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ms)
+                       AS sid
+              FROM b
+            )
+            SELECT user_id, min(ms) AS begin_ms,
+                   max(ms) + 3600000 AS end_ms, count(*) AS n
+            FROM s GROUP BY user_id, sid
+            -- the stream emits a session only when the NEXT one opens:
+            -- each key's final (still-open) session has no closer
+            QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
         """,
         "acf_hourly_by_type": """
             WITH b AS (
@@ -3329,11 +3367,13 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY 1, 2
         """,
         "session_1h_by_user": """
+            -- strict >: an event at exactly last+window joins the
+            -- session (Spark session_window's inclusive end)
             WITH b AS (
               SELECT user_id, epoch_ms(ts) AS ms,
                      CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
                             OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
-                               >= 3600000
+                               > 3600000
                           THEN 1 ELSE 0 END AS new_s
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), s AS (

@@ -256,6 +256,83 @@ def stream_gaps(
     return out.drop("__k") if dummy else out
 
 
+def _sessions_state_fn(keys: list[str], time_col: str, gap_ms: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            begin, last, n = state.get
+        else:
+            begin, last, n = None, None, 0
+        outs = []
+        pdf = _whole_group(pdfs, time_col)
+        for _, row in pdf.iterrows():
+            cur_ms = int(row[time_col].value // 10**6)
+            # strictly greater: an event at EXACTLY last+gap still joins
+            # the session, matching Spark's native session_window (and so
+            # the batch operator) on the boundary
+            if last is not None and cur_ms - last > gap_ms:
+                outs.append(list(key) + [begin, last + gap_ms, n])
+                begin, n = cur_ms, 0
+            if begin is None:
+                begin = cur_ms
+            n += 1
+            last = cur_ms
+        if last is not None:
+            state.update((begin, last, n))
+        cols = keys + ["begin_ms", "end_ms", "n"]
+        yield pd.DataFrame(outs, columns=cols)
+
+    return fn
+
+
+def stream_sessions(
+    sdf: DataFrame,
+    window: str | int = "1h",
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+) -> DataFrame:
+    """Cross-batch stateful sessionization: the streaming twin of
+    ``TimeSeries.session_window_rollup`` — a session is a run of events
+    per key with inter-event silence <= ``window`` (an event at exactly
+    ``last + window`` still joins: Spark's native session_window end is
+    inclusive, and the batch operator inherits that); ``end`` extends
+    the last event by the session window, matching the batch operator
+    exactly.
+
+    State per key is THREE longs (session begin, last-seen ts, event
+    count) — flat regardless of throughput or session length, so a
+    million-key stream holds state proportional to keys, not events.
+    A session is emitted when it CLOSES: the first event >= ``window``
+    after its predecessor both emits the previous session and opens the
+    next, even across micro-batch boundaries (the open session rides the
+    state store). The session still OPEN at stream end is not emitted —
+    closure needs the next event; pair with a processing-time timeout
+    for open-ended session expiry in production alerting.
+    """
+    gap_ms = (window_duration_ms(window)
+              if isinstance(window, str) else int(window))
+    if gap_ms is None:
+        raise ValueError(f"window needs a fixed window spec, got {window!r}")
+    if gap_ms <= 0:
+        raise ValueError(f"window must be positive, got {window!r}")
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
+    key_fields = [sdf.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields
+        + [T.StructField("begin_ms", T.LongType()),
+           T.StructField("end_ms", T.LongType()),
+           T.StructField("n", T.LongType())])
+    state_schema = T.StructType([T.StructField("begin", T.LongType()),
+                                 T.StructField("last", T.LongType()),
+                                 T.StructField("n", T.LongType())])
+    out = sdf.groupBy(*keys).applyInPandasWithState(
+        _sessions_state_fn(keys, time_col, gap_ms),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out
+
+
 def _cum_state_fn(rows_spec, keys: list[str], time_col: str,
                   tiebreak: str | None, carry: list[str]):
     in_cols = list(dict.fromkeys(r[1] for r in rows_spec))
@@ -1077,6 +1154,10 @@ class StreamPipeline:
 
     def find_gaps(self, min_gap: str | int = "15m") -> DataFrame:
         return stream_gaps(self._sdf, min_gap, self._groups, self._time_col)
+
+    def sessions(self, window: str | int = "1h") -> DataFrame:
+        return stream_sessions(self._sdf, window, self._groups,
+                               self._time_col)
 
     def align(self, window: str, field_spec="value", method="linear",
               limit=None) -> DataFrame:

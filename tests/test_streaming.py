@@ -13,7 +13,8 @@ from pyspark.sql import types as T
 
 from pypond_spark.streaming import (StreamPipeline, run_available_now,
                                     stream_fill_pad, stream_gaps,
-                                    stream_rate, windowed_stream_aggregate)
+                                    stream_rate, stream_sessions,
+                                    windowed_stream_aggregate)
 
 SCHEMA = T.StructType([
     T.StructField("t_ms", T.LongType()),
@@ -588,3 +589,67 @@ def test_stream_holt_matches_batch(spark, tmp_path):
     bgot = {(r["user"], r["t_ms"]): (r["value_level"], r["value_trend"])
             for r in brows}
     assert bgot == got
+
+
+def test_stream_sessions_across_batches(spark, stream_dir):
+    # user a: 0, 30s, 60s | 90s, 120s; window=25s -> every 30s gap closes
+    # a session. The 60s->90s closure SPANS the micro-batch boundary, so
+    # it only exists if the open session rode the state store.
+    sdf = _read_stream(spark, stream_dir)
+    rows = run_available_now(
+        stream_sessions(sdf, window=25_000, partition_by=["user"]),
+        "append").collect()
+    got = {(r["user"], r["begin_ms"]): (r["end_ms"], r["n"]) for r in rows}
+    assert got[("a", 0)] == (25_000, 1)
+    assert got[("a", 30_000)] == (55_000, 1)
+    assert got[("a", 60_000)] == (85_000, 1)   # closed by the 90s event
+    assert got[("a", 90_000)] == (115_000, 1)  # closed by the 120s event
+    assert got[("b", 0)] == (25_000, 1)
+    # sessions still open at stream end (a@120s, b@60s) are NOT emitted
+    assert len(rows) == 5
+
+
+def test_stream_sessions_matches_batch_closed_set(spark, stream_dir):
+    from pypond_spark import TimeSeries
+    sdf = _read_stream(spark, stream_dir)
+    # 45s window: user a's 30s gaps all merge (one OPEN session, nothing
+    # emitted); user b's 60s gap splits -> one closed session. Also
+    # checked at 1m: b's exactly-60s gap must MERGE on both paths
+    # (Spark session_window's end is inclusive).
+    streamed = run_available_now(
+        stream_sessions(sdf, window="45s", partition_by=["user"]),
+        "append").collect()
+    batch_df = (spark.read.schema(SCHEMA).json(str(stream_dir))
+                .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+                .drop("t_ms"))
+    batch = TimeSeries(batch_df, kind="time").session_window_rollup(
+        "45s", {"n": {"value": "count"}}, group_by="user").df.collect()
+    b_all = {(r["user"], int(r["begin"].timestamp() * 1000),
+              int(r["end"].timestamp() * 1000)): None for r in batch}
+    # drop each user's LAST (still-open) session from the batch set
+    last = {}
+    for (u, b, e) in b_all:
+        if u not in last or b > last[u][0]:
+            last[u] = (b, e)
+    b_closed = {k for k in b_all if (k[1], k[2]) != last[k[0]]}
+    s_set = {(r["user"], r["begin_ms"], r["end_ms"]) for r in streamed}
+    assert s_set == b_closed
+    assert s_set == {("b", 0, 45_000)}  # non-vacuous: one closed session
+    # exactly-window gap (b: 0 -> 60s at window=1m) merges on BOTH paths
+    at_1m = run_available_now(
+        stream_sessions(sdf, window="1m", partition_by=["user"]),
+        "append").collect()
+    assert at_1m == []  # everything merged -> all sessions still open
+
+
+def test_stream_sessions_counts_multi_event(spark, stream_dir):
+    # window=45s: user a groups 0/30/60 into one session (gaps 30s < 45s),
+    # closed by the 90s event? gap 60->90 is 30s < 45s too -> all five a
+    # events are ONE open session, nothing emitted for a; b's 0->60s gap
+    # (60s >= 45s) closes {0} when 60s arrives.
+    sdf = _read_stream(spark, stream_dir)
+    rows = run_available_now(
+        stream_sessions(sdf, window=45_000, partition_by=["user"]),
+        "append").collect()
+    got = {(r["user"], r["begin_ms"]): (r["end_ms"], r["n"]) for r in rows}
+    assert got == {("b", 0): (45_000, 1)}
