@@ -1916,6 +1916,22 @@ def q_zipf_slope(spark, sf_dir):
                       "vocab", "n_tokens")
 
 
+def q_rolling_corr_24h(spark, sf_dir):
+    """Trailing-24h rolling Pearson r + OLS beta between hourly click
+    and view means (operators/correlate.py::rolling_correlation): one
+    corpus shuffle into the conditional-agg bucket frame, then six
+    incremental RANGE-window sums — O(1) state per row, no UDF, no
+    per-row frame re-scan."""
+    from pypond_spark.operators.correlate import rolling_correlation
+    df = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    out = rolling_correlation(df, "event_type", "click", "view",
+                              field="value", bucket="1h", lookback=24)
+    return out.select("pos",
+                      (F.round("r", 6) + F.lit(0.0)).alias("r"),
+                      (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
+                      "n_pairs")
+
+
 def q_stream_sessions(spark, sf_dir):
     """Streaming sessionization (streaming/stream.py::stream_sessions):
     3-long state per key, sessions emitted as they CLOSE across
@@ -2225,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_hourly_by_type": q_acf_hourly_by_type,
         "theilsen_by_user": q_theilsen_by_user,
         "stream_sessions": q_stream_sessions,
+        "rolling_corr_24h": q_rolling_corr_24h,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2673,6 +2690,44 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "rolling_corr_24h": """
+            WITH b AS (
+              SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)
+                       AS pos,
+                     avg(CASE WHEN event_type = 'click' THEN value END)
+                       AS va,
+                     avg(CASE WHEN event_type = 'view' THEN value END)
+                       AS vb
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1
+            ), s AS (
+              SELECT pos, va, vb,
+                     (va IS NOT NULL AND vb IS NOT NULL) AS is_pair,
+                     count(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+                                THEN 1 END) OVER w AS n,
+                     sum(CASE WHEN vb IS NOT NULL THEN va END) OVER w
+                       AS sx,
+                     sum(CASE WHEN va IS NOT NULL THEN vb END) OVER w
+                       AS sy,
+                     sum(CASE WHEN vb IS NOT NULL THEN va * va END)
+                       OVER w AS sxx,
+                     sum(CASE WHEN va IS NOT NULL THEN vb * vb END)
+                       OVER w AS syy,
+                     sum(va * vb) OVER w AS sxy
+              FROM b
+              WINDOW w AS (ORDER BY pos
+                           RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+            )
+            SELECT pos,
+                   round((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx)
+                                * (n * syy - sy * sy)), 6) + 0.0 AS r,
+                   round((n * sxy - sx * sy)
+                         / (n * sxx - sx * sx), 6) + 0.0 AS beta,
+                   n AS n_pairs
+            FROM s WHERE is_pair
         """,
         "stream_sessions": """
             -- strict >: an event at exactly last+window joins the

@@ -126,6 +126,7 @@ HEADLINE = [
     "tpch_q22_shape",
     "acf_hourly_by_type",
     "theilsen_by_user",
+    "rolling_corr_24h",
 ]
 
 

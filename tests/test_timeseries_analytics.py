@@ -553,3 +553,43 @@ def test_theil_sen_single_bucket_drops(spark):
         .select("k", F.timestamp_millis("ms").alias("time"), "value")
     out = theil_sen(df, "value", bucket="1h", partition_by=["k"]).collect()
     assert {r["k"] for r in out} == {"a"}  # no pair for 'b'
+
+
+def test_rolling_correlation_exact_line(spark):
+    from pypond_spark.operators.correlate import rolling_correlation
+    # view = 2*click + 1 in every hour -> r = 1, beta = 2 at every pos
+    H = 3600_000
+    rows = []
+    for i in range(6):
+        rows.append((i * H, "click", float(i)))
+        rows.append((i * H, "view", 2.0 * i + 1.0))
+    df = spark.createDataFrame(rows, "ms long, event_type string, value double") \
+        .select(F.timestamp_millis("ms").alias("time"), "event_type", "value")
+    out = rolling_correlation(df, "event_type", "click", "view",
+                              bucket="1h", lookback=3).collect()
+    got = {r["pos"]: r for r in out}
+    assert len(got) == 6
+    # pos 0 has a single pair -> var_x = 0 -> NULL r/beta (not a crash)
+    assert got[0]["r"] is None and got[0]["n_pairs"] == 1
+    for p in range(1, 6):
+        assert got[p]["r"] == pytest.approx(1.0, abs=1e-12)
+        assert got[p]["beta"] == pytest.approx(2.0, abs=1e-12)
+        assert got[p]["n_pairs"] == min(p + 1, 3)  # RANGE 2-preceding
+
+
+def test_rolling_correlation_missing_bucket_shrinks_sample(spark):
+    from pypond_spark.operators.correlate import rolling_correlation
+    # click-only hour 1: no pair there; RANGE frame at pos 3 covers
+    # positions 1..3 -> pairs at 2,3 only (a ROWS frame would have
+    # stretched back to pos 0)
+    H = 3600_000
+    rows = [(0, "click", 1.0), (0, "view", 2.0),
+            (1 * H, "click", 5.0),
+            (2 * H, "click", 2.0), (2 * H, "view", 4.0),
+            (3 * H, "click", 3.0), (3 * H, "view", 7.0)]
+    df = spark.createDataFrame(rows, "ms long, event_type string, value double") \
+        .select(F.timestamp_millis("ms").alias("time"), "event_type", "value")
+    out = {r["pos"]: r for r in rolling_correlation(
+        df, "event_type", "click", "view", bucket="1h", lookback=3).collect()}
+    assert set(out) == {0, 2, 3}  # pos 1 has no pair -> dropped
+    assert out[3]["n_pairs"] == 2
