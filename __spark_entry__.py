@@ -1916,6 +1916,23 @@ def q_zipf_slope(spark, sf_dir):
                       "vocab", "n_tokens")
 
 
+def q_salted_join_revenue(spark, sf_dir):
+    """Skew-salted fact/fact join (operators/skew.py::salted_join):
+    lineitem's salt spreads each orderkey over 8 reducers, orders
+    replicates 8x, and the oracle is the PLAIN join — the gate verifies
+    the salted plan is row-for-row identical. The deterministic row-hash
+    salt (never rand()) keeps task retries from corrupting the join."""
+    from pypond_spark.operators.skew import salted_join
+    li = _read(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = _read(spark, sf_dir, "orders") \
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    j = salted_join(li, orders, on="l_orderkey", salt=8)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.sum(_rev_decimal()).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
 def q_rolling_corr_24h(spark, sf_dir):
     """Trailing-24h rolling Pearson r + OLS beta between hourly click
     and view means (operators/correlate.py::rolling_correlation): one
@@ -2242,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen_by_user": q_theilsen_by_user,
         "stream_sessions": q_stream_sessions,
         "rolling_corr_24h": q_rolling_corr_24h,
+        "salted_join_revenue": q_salted_join_revenue,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2690,6 +2708,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "salted_join_revenue": """
+            -- the UNSALTED join: the gate proves the salted plan's
+            -- result is identical
+            SELECT o_orderpriority,
+                   CAST(sum(l_extendedprice::DECIMAL(12,2)
+                            * (1::DECIMAL(12,2)
+                               - l_discount::DECIMAL(12,2))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "rolling_corr_24h": """
             WITH b AS (

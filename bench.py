@@ -127,6 +127,7 @@ HEADLINE = [
     "acf_hourly_by_type",
     "theilsen_by_user",
     "rolling_corr_24h",
+    "salted_join_revenue",
 ]
 
 

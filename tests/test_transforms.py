@@ -307,3 +307,34 @@ def test_fill_linear_max_gap(spark):
     with _pt.raises(ValueError):
         TimeSeries(df, kind="time").fill("value", method="zero",
                                          max_gap="1h")
+
+
+def test_salted_join_matches_plain_inner_and_left(spark):
+    from pypond_spark.operators.skew import salted_join
+    # pathological skew: 90% of fact rows share key 1
+    fact = spark.createDataFrame(
+        [(1 if i < 90 else i, float(i)) for i in range(100)], "k long, v double")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in [1, 2, 95, 99, 777]], "k long, name string")
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, fact.join(dim, "k", how).collect()))
+        salted = sorted(map(tuple,
+                            salted_join(fact, dim, "k", salt=4, how=how)
+                            .collect()))
+        assert salted == plain, how
+    # duplicate dim keys multiply matches identically on both paths
+    dim_dup = dim.union(dim)
+    assert (sorted(map(tuple, salted_join(fact, dim_dup, "k", 3).collect()))
+            == sorted(map(tuple, fact.join(dim_dup, "k").collect())))
+
+
+def test_salted_join_validation(spark):
+    import pytest as _pt
+    from pypond_spark.operators.skew import salted_join
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with _pt.raises(ValueError):
+        salted_join(df, df, on=[], salt=4)
+    with _pt.raises(ValueError):
+        salted_join(df, df, "k", salt=1)
+    with _pt.raises(ValueError):
+        salted_join(df, df, "k", how="right")
