@@ -628,6 +628,53 @@ class TimeSeries:
                             field, bucket, window, partition_by,
                             self.time_col)
 
+    def rolling_correlation(self, series_col: str, series_a: str,
+                            series_b: str, field: str = "value",
+                            bucket: str = "1h", lookback: int = 24,
+                            partition_by: Sequence[str] = ()):
+        """Trailing-window Pearson r + OLS beta between two series'
+        bucket means (see ``operators.correlate.rolling_correlation``).
+        Returns a plain DataFrame."""
+        if self._kind != "time":
+            raise ValueError("rolling_correlation expects instant-event "
+                             "input")
+        from .operators.correlate import rolling_correlation as rc_op
+        return rc_op(self._df, series_col, series_a, series_b, field,
+                     bucket, lookback, partition_by, self.time_col)
+
+    def trend(self, field: str = "value",
+              partition_by: Sequence[str] = (),
+              time_unit: str = "1h"):
+        """Per-series OLS slope/intercept (see
+        ``operators.correlate.trend``). Returns a plain DataFrame."""
+        if self._kind != "time":
+            raise ValueError("trend expects instant-event input")
+        from .operators.correlate import trend as trend_op
+        return trend_op(self._df, field, partition_by, time_unit,
+                        self.time_col)
+
+    def theil_sen(self, field: str = "value", bucket: str = "1h",
+                  partition_by: Sequence[str] = ()):
+        """Per-series Theil-Sen robust trend over bucket means (see
+        ``operators.correlate.theil_sen``). Returns a plain DataFrame."""
+        if self._kind != "time":
+            raise ValueError("theil_sen expects instant-event input")
+        from .operators.correlate import theil_sen as ts_op
+        return ts_op(self._df, field, bucket, partition_by, self.time_col)
+
+    def autocorrelation(self, field: str = "value",
+                        lags: Sequence[int] = (1, 2, 3),
+                        bucket: str = "1h",
+                        partition_by: Sequence[str] = ()):
+        """Per-series ACF at bucket-step lags (see
+        ``operators.correlate.autocorrelation``). Returns a plain
+        DataFrame."""
+        if self._kind != "time":
+            raise ValueError("autocorrelation expects instant-event input")
+        from .operators.correlate import autocorrelation as acf_op
+        return acf_op(self._df, field, lags, bucket, partition_by,
+                      self.time_col)
+
     def winsorize(self, field: str = "value", lower: float = 0.01,
                   upper: float = 0.99,
                   partition_by: Sequence[str] = ()) -> "TimeSeries":
