@@ -1916,6 +1916,39 @@ def q_zipf_slope(spark, sf_dir):
                       "vocab", "n_tokens")
 
 
+def q_holt_winters_per_user(spark, sf_dir):
+    """Holt-Winters additive smoothing per user (operators/rolling.py::
+    holt_winters): level + trend + 8-slot seasonal, sample-indexed
+    phase. alpha=beta=gamma=0.5 keeps every step an exact IEEE halving,
+    so the recursive-CTE oracle (seasonal list carried through the
+    recursion) matches bit-for-bit — no rounding."""
+    from pypond_spark.operators.rolling import holt_winters
+    df = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    out = holt_winters(df, "value", period=8, alpha=0.5, beta=0.5,
+                       gamma=0.5, partition_by=["user_id"],
+                       tiebreak="event_id")
+    return out.select("event_id", "user_id", _ms().alias("t_ms"),
+                      "value_level", "value_trend", "value_seasonal")
+
+
+def q_stream_holt_winters(spark, sf_dir):
+    """Streaming twin of holt_winters_per_user (streaming/stream.py::
+    stream_holt_winters): (level, trend, last-seasonal, phase,
+    seasonal[8]) state per key — O(period), flat in volume; identical
+    recurrence, so the DuckDB oracle is the batch query's SQL
+    verbatim."""
+    from pypond_spark.streaming import stream_holt_winters
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_holt_winters(sdf, "value", period=8, alpha=0.5,
+                              beta=0.5, gamma=0.5,
+                              partition_by=["user_id"],
+                              tiebreak="event_id",
+                              carry_cols=["event_id"])
+    result = _run_stream_32(spark, out, "append")
+    return result.select("event_id", "user_id", "t_ms",
+                         "value_level", "value_trend", "value_seasonal")
+
+
 def q_salted_join_revenue(spark, sf_dir):
     """Skew-salted fact/fact join (operators/skew.py::salted_join):
     lineitem's salt spreads each orderkey over 8 reducers, orders
@@ -2260,6 +2293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "rolling_corr_24h": q_rolling_corr_24h,
         "salted_join_revenue": q_salted_join_revenue,
+        "holt_winters_per_user": q_holt_winters_per_user,
+        "stream_holt_winters": q_stream_holt_winters,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2478,6 +2513,47 @@ _HOLT_ORACLE = """
             SELECT lists.ids[r.k] AS event_id, r.user_id,
                    lists.tms[r.k] AS t_ms,
                    r.l AS value_level, r.b AS value_trend
+            FROM r JOIN lists USING (user_id)
+        """
+
+
+# Holt-Winters additive (period 8, alpha=beta=gamma=0.5): the holt
+# recursive-CTE fold extended with an O(period) seasonal list carried
+# through the recursion; the slot update is list slicing (seas[1:p-1] ||
+# [new] || seas[p+1:m]). new_l is inlined three times (identical ops,
+# identical doubles — same trick as _HOLT_ORACLE).
+_HW_NL = ("0.5 * (l2.xs[r.k + 1] - r.seas[(r.k % 8) + 1]) "
+          "+ 0.5 * (r.l + r.b)")
+_HW_NSV = (f"0.5 * (l2.xs[r.k + 1] - ({_HW_NL})) "
+           "+ 0.5 * r.seas[(r.k % 8) + 1]")
+_HW_ZEROS = "[" + ", ".join(["CAST(0.0 AS DOUBLE)"] * 8) + "]"
+_HW_ORACLE = f"""
+            WITH RECURSIVE lists AS (
+              SELECT user_id,
+                     list(CAST(value AS DOUBLE)
+                          ORDER BY ts, event_id) AS xs,
+                     list(event_id ORDER BY ts, event_id) AS ids,
+                     list(epoch_ms(ts) ORDER BY ts, event_id) AS tms
+              FROM events GROUP BY user_id
+            ), r AS (
+              SELECT user_id, 1 AS k, xs[1] AS l,
+                     CAST(0.0 AS DOUBLE) AS b,
+                     CAST(0.0 AS DOUBLE) AS sv, {_HW_ZEROS} AS seas
+              FROM lists
+              UNION ALL
+              SELECT l2.user_id, r.k + 1,
+                     {_HW_NL},
+                     0.5 * (({_HW_NL}) - r.l) + 0.5 * r.b,
+                     {_HW_NSV},
+                     r.seas[1:(r.k % 8)] || [{_HW_NSV}]
+                       || r.seas[(r.k % 8) + 2:8]
+              FROM r JOIN lists l2 USING (user_id)
+              WHERE r.k < len(l2.xs)
+            )
+            SELECT lists.ids[r.k] AS event_id, r.user_id,
+                   lists.tms[r.k] AS t_ms,
+                   r.l AS value_level, r.b AS value_trend,
+                   r.sv AS value_seasonal
             FROM r JOIN lists USING (user_id)
         """
 
@@ -2935,6 +3011,9 @@ def oracle_sql() -> dict[str, str]:
         "holt_per_user": _HOLT_ORACLE,
         # identical recurrence, drained availableNow
         "stream_holt": _HOLT_ORACLE,
+        "holt_winters_per_user": _HW_ORACLE,
+        # identical recurrence, drained availableNow
+        "stream_holt_winters": _HW_ORACLE,
         "trend_per_user": """
             WITH v AS (
               SELECT user_id, epoch_ms(ts) AS ms, value

@@ -128,6 +128,7 @@ HEADLINE = [
     "theilsen_by_user",
     "rolling_corr_24h",
     "salted_join_revenue",
+    "holt_winters_per_user",
 ]
 
 

@@ -341,6 +341,111 @@ def holt(df: DataFrame, field: str = "value", alpha: float = 0.5,
     return parts.mapInPandas(per_partition, out_schema)
 
 
+def holt_winters(df: DataFrame, field: str = "value", period: int = 24,
+                 alpha: float = 0.5, beta: float = 0.5, gamma: float = 0.5,
+                 partition_by: Sequence[str] = (),
+                 time_col: str = "time",
+                 tiebreak: str | None = None) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing (level + trend
+    + ``period``-slot seasonal) per series — :func:`holt` for signals
+    with a repeating cycle. The phase advances one slot per VALID sample
+    (sample-indexed, like the rest of the smoothing family — irregular
+    series smooth their sample sequence, not wall-clock):
+
+    ``l_t = alpha*(x_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})``;
+    ``b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}``;
+    ``s_t = gamma*(x_t - l_t) + (1-gamma)*s_{t-m}``;
+    seasonal slots start at 0.0 and the first valid sample initializes
+    ``l = x, b = 0`` (so its seasonal update writes exactly 0.0 — the
+    zero-init variant, deterministic and cross-engine foldable; classic
+    HW warm-starts the seasonal from the first cycle's means instead,
+    which is a presentation choice this engine leaves to the caller).
+
+    Same Arrow escape hatch and scale shape as :func:`holt`: one sorted
+    ``mapInPandas`` pass per key partition, O(period) state per key.
+    Dyadic ``alpha``/``beta``/``gamma`` make every multiply an exact
+    IEEE scaling — bit-identical to the DuckDB recursive-CTE fold the
+    driver oracle runs. NaN/None samples carry level/trend/seasonal
+    forward unchanged (phase does not advance). Appends
+    ``<field>_level``, ``<field>_trend``, ``<field>_seasonal`` (the slot
+    just written; the one-step forecast is ``level + trend +
+    s[next phase]``).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError(f"gamma must be in [0, 1], got {gamma}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    keys = list(partition_by)
+    from pyspark.sql import types as T
+    out_schema = T.StructType(list(df.schema.fields)
+                              + [T.StructField(f"{field}_level",
+                                               T.DoubleType()),
+                                 T.StructField(f"{field}_trend",
+                                               T.DoubleType()),
+                                 T.StructField(f"{field}_seasonal",
+                                               T.DoubleType())])
+
+    if keys:
+        parts = df.repartition(*[F.col(k) for k in keys]) \
+            .sortWithinPartitions(*keys, time_col,
+                                  *([tiebreak] if tiebreak else []))
+    else:
+        parts = df.coalesce(1).sortWithinPartitions(
+            time_col, *([tiebreak] if tiebreak else []))
+
+    def per_partition(batches):
+        import math
+
+        import numpy as np
+        prev_key = object()
+        lv = bt = sv = math.nan
+        seas = None
+        kcount = 0
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            kcols = [pdf[k].to_numpy() for k in keys]
+            x = pdf[field].to_numpy(dtype="float64", na_value=math.nan)
+            lev = np.empty(n)
+            trd = np.empty(n)
+            sea = np.empty(n)
+            for i in range(n):
+                key = tuple(kc[i] for kc in kcols) if keys else ()
+                if key != prev_key:
+                    prev_key = key
+                    lv = bt = sv = math.nan
+                    seas = np.zeros(period)
+                    kcount = 0
+                v = x[i]
+                if not math.isnan(v):
+                    p = kcount % period
+                    if math.isnan(lv):
+                        lv, bt = v, 0.0
+                    else:
+                        s_prev = seas[p]
+                        new_l = (alpha * (v - s_prev)
+                                 + (1.0 - alpha) * (lv + bt))
+                        bt = beta * (new_l - lv) + (1.0 - beta) * bt
+                        lv = new_l
+                    sv = gamma * (v - lv) + (1.0 - gamma) * seas[p]
+                    seas[p] = sv
+                    kcount += 1
+                lev[i] = lv
+                trd[i] = bt
+                sea[i] = sv
+            pdf[f"{field}_level"] = lev
+            pdf[f"{field}_trend"] = trd
+            pdf[f"{field}_seasonal"] = sea
+            yield pdf
+
+    return parts.mapInPandas(per_partition, out_schema)
+
+
 def zscore(df: DataFrame, field_spec: str = "value",
            window: str | None = None,
            partition_by: Sequence[str] = (),

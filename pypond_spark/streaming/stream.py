@@ -815,6 +815,99 @@ def stream_holt(
     return out.drop("__k") if dummy else out
 
 
+def _hw_state_fn(field: str, keys: list[str], time_col: str,
+                 period: int, alpha: float, beta: float, gamma: float,
+                 tiebreak: str | None = None,
+                 carry: Sequence[str] = ()):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import math
+
+        if state.exists:
+            lv, bt, sv, kcount, seas = state.get
+            lv = math.nan if lv is None else lv
+            bt = math.nan if bt is None else bt
+            sv = math.nan if sv is None else sv
+            seas = list(seas)
+        else:
+            lv = bt = sv = math.nan
+            kcount, seas = 0, [0.0] * period
+        pdf = _whole_group(pdfs, time_col,
+                           (tiebreak,) if tiebreak else ())
+        outs = []
+        for _, row in pdf.iterrows():
+            rec = (list(key) + [int(row[time_col].value // 10**6)]
+                   + [row[c] for c in carry])
+            v = row[field]
+            if v is not None and not pd.isna(v):
+                p = kcount % period
+                if math.isnan(lv):
+                    lv, bt = float(v), 0.0
+                else:
+                    s_prev = seas[p]
+                    nl = (alpha * (float(v) - s_prev)
+                          + (1.0 - alpha) * (lv + bt))
+                    bt = beta * (nl - lv) + (1.0 - beta) * bt
+                    lv = nl
+                sv = gamma * (float(v) - lv) + (1.0 - gamma) * seas[p]
+                seas[p] = sv
+                kcount += 1
+            rec += [lv, bt, sv]
+            outs.append(rec)
+        state.update((lv, bt, sv, kcount, seas))
+        cols = (keys + ["t_ms"] + list(carry)
+                + [f"{field}_level", f"{field}_trend",
+                   f"{field}_seasonal"])
+        yield pd.DataFrame(outs, columns=cols)
+
+    return fn
+
+
+def stream_holt_winters(
+    sdf: DataFrame,
+    field: str = "value",
+    period: int = 24,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float = 0.5,
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+    tiebreak: str | None = None,
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Cross-batch Holt-Winters additive smoothing: the streaming twin
+    of ``operators.rolling.holt_winters``. State per series key is
+    (level, trend, last-seasonal, phase count, seasonal[period]) —
+    O(period) per key, flat in event volume; recurrence written
+    identically to the batch operator (same zero-init seasonal, same
+    sample-indexed phase), so a drained stream agrees bit-for-bit for
+    dyadic coefficients.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
+    key_fields = [sdf.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields + [T.StructField("t_ms", T.LongType())]
+        + [sdf.schema[c] for c in carry_cols]
+        + [T.StructField(f"{field}_level", T.DoubleType()),
+           T.StructField(f"{field}_trend", T.DoubleType()),
+           T.StructField(f"{field}_seasonal", T.DoubleType())])
+    state_schema = T.StructType(
+        [T.StructField("l", T.DoubleType()),
+         T.StructField("b", T.DoubleType()),
+         T.StructField("sv", T.DoubleType()),
+         T.StructField("k", T.LongType()),
+         T.StructField("seas", T.ArrayType(T.DoubleType()))])
+    out = sdf.groupBy(*keys).applyInPandasWithState(
+        _hw_state_fn(field, keys, time_col, period, alpha, beta, gamma,
+                     tiebreak, list(carry_cols)),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out
+
+
 def _py_agg(func: str, vals: list, flt: str):
     """Python twin of the rolling reducers (operators/rolling.py:_over),
     evaluated over a trailing-window buffer. Matches the batch window

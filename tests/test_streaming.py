@@ -653,3 +653,31 @@ def test_stream_sessions_counts_multi_event(spark, stream_dir):
         "append").collect()
     got = {(r["user"], r["begin_ms"]): (r["end_ms"], r["n"]) for r in rows}
     assert got == {("b", 0): (45_000, 1)}
+
+
+def test_stream_holt_winters_matches_batch(spark, stream_dir):
+    from pypond_spark.operators.rolling import holt_winters
+    from pypond_spark.streaming import stream_holt_winters
+    sdf = _read_stream(spark, stream_dir)
+    streamed = run_available_now(
+        stream_holt_winters(sdf, "value", period=2,
+                            partition_by=["user"]),
+        "append").collect()
+    got = {(r["user"], r["t_ms"]): (r["value_level"], r["value_trend"],
+                                    r["value_seasonal"])
+           for r in streamed}
+    batch_df = (spark.read.schema(SCHEMA).json(str(stream_dir))
+                .withColumn("time", F.timestamp_millis(F.col("t_ms"))))
+    brows = holt_winters(batch_df, "value", period=2,
+                         partition_by=["user"]).collect()
+    bgot = {(r["user"], r["t_ms"]): (r["value_level"], r["value_trend"],
+                                     r["value_seasonal"])
+            for r in brows}
+    # bit-for-bit across the micro-batch boundary, NaN None-row included
+    import math
+    assert set(got) == set(bgot)
+    for k, v in got.items():
+        for a, b in zip(v, bgot[k]):
+            assert (a == b) or (a is None and b is None) \
+                or (math.isnan(a) if a is not None else False) \
+                and (math.isnan(b) if b is not None else False), (k, v, bgot[k])

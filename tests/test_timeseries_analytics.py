@@ -593,3 +593,52 @@ def test_rolling_correlation_missing_bucket_shrinks_sample(spark):
         df, "event_type", "click", "view", bucket="1h", lookback=3).collect()}
     assert set(out) == {0, 2, 3}  # pos 1 has no pair -> dropped
     assert out[3]["n_pairs"] == 2
+
+
+def test_holt_winters_hand_computed(spark):
+    from pypond_spark.operators.rolling import holt_winters
+    # period=2, all coefficients 0.5; x = 10, 20, 30:
+    # k1: l=10 b=0 s=0 | k2: l=15 b=2.5 s=2.5 | k3: l=23.75 b=5.625 s=3.125
+    H = 3600_000
+    rows = [(i * H, v) for i, v in enumerate([10.0, 20.0, 30.0])]
+    df = spark.createDataFrame(rows, "ms long, value double").select(
+        F.timestamp_millis("ms").alias("time"), "value")
+    out = holt_winters(df, "value", period=2).orderBy("time").collect()
+    got = [(r["value_level"], r["value_trend"], r["value_seasonal"])
+           for r in out]
+    assert got == [(10.0, 0.0, 0.0), (15.0, 2.5, 2.5),
+                   (23.75, 5.625, 3.125)]
+
+
+def test_holt_winters_nan_carries_and_phase_holds(spark):
+    from pypond_spark.operators.rolling import holt_winters
+    H = 3600_000
+    rows = [(0, 10.0), (H, None), (2 * H, 20.0), (3 * H, 30.0)]
+    df = spark.createDataFrame(rows, "ms long, value double").select(
+        F.timestamp_millis("ms").alias("time"), "value")
+    out = holt_winters(df, "value", period=2).orderBy("time").collect()
+    got = [(r["value_level"], r["value_trend"], r["value_seasonal"])
+           for r in out]
+    # the None row repeats the k=1 state; valid samples then continue as
+    # if it never existed (phase is sample-indexed)
+    assert got == [(10.0, 0.0, 0.0), (10.0, 0.0, 0.0), (15.0, 2.5, 2.5),
+                   (23.75, 5.625, 3.125)]
+
+
+def test_holt_winters_locks_onto_pure_seasonal(spark):
+    from pypond_spark.operators.rolling import holt_winters
+    # pure period-4 signal, no trend: after enough cycles the one-step
+    # forecast l + b + s[next] approaches the true next value
+    H = 3600_000
+    pat = [10.0, 20.0, 15.0, 5.0]
+    rows = [(i * H, pat[i % 4]) for i in range(64)]
+    df = spark.createDataFrame(rows, "ms long, value double").select(
+        F.timestamp_millis("ms").alias("time"), "value")
+    out = holt_winters(df, "value", period=4).orderBy("time").collect()
+    # reconstruct seasonal state at the end: last 4 rows wrote slots
+    # (60..63 % 4) = 0..3 in order, so row 60+j holds s[j]
+    s = [out[60 + j]["value_seasonal"] for j in range(4)]
+    l, b = out[63]["value_level"], out[63]["value_trend"]
+    nxt = l + b + s[64 % 4]
+    assert abs(nxt - pat[64 % 4]) < 1.5  # locked near the cycle
+    assert abs(b) < 0.5  # no trend in a pure cycle
