@@ -1916,6 +1916,33 @@ def q_zipf_slope(spark, sf_dir):
                       "vocab", "n_tokens")
 
 
+def q_melt_lineitem(spark, sf_dir):
+    """Wide -> long reshape (TimeSeries.melt / Spark native unpivot):
+    three measure columns become (metric, value) pairs — a pure
+    generate-side transform, no shuffle, no UDF; the 3x row fan-out is
+    the reshape's inherent size."""
+    li = _read(spark, sf_dir, "lineitem") \
+        .withColumnRenamed("l_shipdate", "time") \
+        .select("time", "l_orderkey", "l_linenumber", "l_quantity",
+                "l_discount", "l_tax")
+    ts = TimeSeries(li, "time", {"name": "lineitem"})
+    out = ts.melt(["l_quantity", "l_discount", "l_tax"])
+    return out.df.select("l_orderkey", "l_linenumber", "metric",
+                         F.round("value_m", 6).alias("value_m"))
+
+
+def q_quantile_bins(spark, sf_dir):
+    """Equal-frequency decile binning per event_type
+    (TimeSeries.quantile_bins, ntile window): the rank-based dual of
+    ccnet_buckets' fixed cut points; event_id tiebreak pins equal values
+    so both engines assign identical bins. One exchange + sort."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.quantile_bins(10, "value", partition_by=["event_type"],
+                           tiebreak="event_id")
+    return out.df.select("event_id", "event_type",
+                         F.col("value_bin").cast("long").alias("value_bin"))
+
+
 def q_holt_winters_per_user(spark, sf_dir):
     """Holt-Winters additive smoothing per user (operators/rolling.py::
     holt_winters): level + trend + 8-slot seasonal, sample-indexed
@@ -2295,6 +2322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_revenue": q_salted_join_revenue,
         "holt_winters_per_user": q_holt_winters_per_user,
         "stream_holt_winters": q_stream_holt_winters,
+        "melt_lineitem": q_melt_lineitem,
+        "quantile_bins": q_quantile_bins,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2784,6 +2813,23 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "melt_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                   round(l_quantity, 6) AS value_m FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   round(l_discount, 6) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   round(l_tax, 6) FROM lineitem
+        """,
+        "quantile_bins": """
+            SELECT event_id, event_type,
+                   CAST(ntile(10) OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id)
+                        AS BIGINT) AS value_bin
+            FROM events
         """,
         "salted_join_revenue": """
             -- the UNSALTED join: the gate proves the salted plan's

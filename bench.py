@@ -129,6 +129,8 @@ HEADLINE = [
     "rolling_corr_24h",
     "salted_join_revenue",
     "holt_winters_per_user",
+    "melt_lineitem",
+    "quantile_bins",
 ]
 
 

@@ -675,6 +675,41 @@ class TimeSeries:
         return acf_op(self._df, field, lags, bucket, partition_by,
                       self.time_col)
 
+    def melt(self, value_cols: Sequence[str], var_name: str = "metric",
+             value_name: str = "value_m") -> "TimeSeries":
+        """Wide -> long reshape (Spark's native ``unpivot``): every
+        column NOT in ``value_cols`` is carried as an id column; one
+        output row per (row, value column). A pure generate-side
+        transform — no shuffle, no UDF; at 100 TB it streams through the
+        scan like any projection (output is ``len(value_cols)``x rows,
+        the reshape's inherent size)."""
+        vals = list(value_cols)
+        if not vals:
+            raise ValueError("melt needs at least one value column")
+        ids = [c for c in self._df.columns if c not in vals]
+        out = self._df.unpivot(ids, vals, var_name, value_name)
+        return TimeSeries(out, self._kind, self._meta)
+
+    def quantile_bins(self, k: int, field: str = "value",
+                      partition_by: Sequence[str] = (),
+                      tiebreak: str | None = None,
+                      out_col: str | None = None) -> "TimeSeries":
+        """Equal-frequency binning: ``ntile(k)`` over the field per
+        group — the feature-binning step (CCNet's perplexity buckets use
+        fixed cut points; this is the rank-based dual). ``tiebreak``
+        pins the order of equal values so the bin assignment is
+        deterministic cross-engine. One hash exchange + sort per group;
+        ntile is an O(1)-state window function."""
+        from pyspark.sql import Window
+        if k < 2:
+            raise ValueError(f"k must be >= 2, got {k}")
+        order = [F.col(field).asc()]
+        if tiebreak:
+            order.append(F.col(tiebreak).asc())
+        w = Window.partitionBy(*partition_by).orderBy(*order)
+        name = out_col or f"{field}_bin"
+        return self._with(self._df.withColumn(name, F.ntile(k).over(w)))
+
     def winsorize(self, field: str = "value", lower: float = 0.01,
                   upper: float = 0.99,
                   partition_by: Sequence[str] = ()) -> "TimeSeries":

@@ -6,6 +6,7 @@ asymmetric linear fill, counter-reset guards).
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from pypond_spark import TimeSeries
 
@@ -338,3 +339,31 @@ def test_salted_join_validation(spark):
         salted_join(df, df, "k", salt=1)
     with _pt.raises(ValueError):
         salted_join(df, df, "k", how="right")
+
+
+def test_melt_wide_to_long(spark):
+    from pypond_spark import TimeSeries
+    df = spark.createDataFrame(
+        [(0, 1.0, 10.0), (60_000, 2.0, 20.0)], "ms long, a double, b double"
+    ).select(F.timestamp_millis("ms").alias("time"), "a", "b")
+    out = TimeSeries(df, kind="time").melt(["a", "b"]).df.collect()
+    got = {(r["time"].second + r["time"].minute * 60, r["metric"]):
+           r["value_m"] for r in out}
+    assert got == {(0, "a"): 1.0, (0, "b"): 10.0,
+                   (60, "a"): 2.0, (60, "b"): 20.0}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        TimeSeries(df, kind="time").melt([])
+
+
+def test_quantile_bins_deterministic(spark):
+    from pypond_spark import TimeSeries
+    rows = [(i, i * 60_000, float(i % 3)) for i in range(9)]
+    df = spark.createDataFrame(rows, "event_id long, ms long, value double") \
+        .select("event_id", F.timestamp_millis("ms").alias("time"), "value")
+    out = TimeSeries(df, kind="time").quantile_bins(
+        3, "value", tiebreak="event_id").df.collect()
+    got = {r["event_id"]: r["value_bin"] for r in out}
+    # sorted by (value, event_id): values 0,0,0,1,1,1,2,2,2 ->
+    # ids (0,3,6),(1,4,7),(2,5,8) -> bins 1,1,1,2,2,2,3,3,3
+    assert got == {0: 1, 3: 1, 6: 1, 1: 2, 4: 2, 7: 2, 2: 3, 5: 3, 8: 3}
