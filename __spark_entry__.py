@@ -1916,6 +1916,42 @@ def q_zipf_slope(spark, sf_dir):
                       "vocab", "n_tokens")
 
 
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental view maintenance (operators/incremental.py::
+    merge_rollups): the hourly x type rollup is built from a BASE slice
+    (before Jan 20) and a DELTA slice, aggregated separately and merged
+    by algebraic combination — the fact table is scanned once per slice,
+    never re-scanned on merge. The oracle is the from-scratch rollup
+    over the full range: the gate proves merge == recompute."""
+    from pypond_spark.operators.incremental import merge_rollups
+    # mid-hour cut: the 12:00 bucket of Jan 20 has rows in BOTH slices,
+    # so the gate exercises genuine cross-slice bucket merging, not just
+    # a disjoint union
+    cut = F.lit("2024-01-20 12:30:00").cast("timestamp")
+    spec = {"v_sum": {"value": "sum"}, "n": {"value": "count"},
+            "v_min": {"value": "min"}, "v_max": {"value": "max"}}
+
+    def rollup(df):
+        ts = TimeSeries(df.withColumnRenamed("ts", "time"), "time",
+                        {"name": "events"})
+        return ts.fixed_window_rollup("1h", spec, group_by="event_type") \
+            .df.select("index", "event_type", "v_sum", "n", "v_min",
+                       "v_max")
+
+    ev = _events_df(spark, sf_dir)
+    base = rollup(ev.where(F.col("ts") < cut))
+    delta = rollup(ev.where(F.col("ts") >= cut))
+    merged = merge_rollups(
+        [base, delta], keys=["index", "event_type"],
+        merge_spec={"v_sum": "sum", "n": "count",
+                    "v_min": "min", "v_max": "max"},
+        derive={"v_avg": ("v_sum", "n")})
+    return merged.select("index", "event_type",
+                         F.round("v_sum", 6).alias("v_sum"), "n",
+                         "v_min", "v_max",
+                         F.round("v_avg", 6).alias("v_avg"))
+
+
 def q_melt_lineitem(spark, sf_dir):
     """Wide -> long reshape (TimeSeries.melt / Spark native unpivot):
     three measure columns become (metric, value) pairs — a pure
@@ -2324,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_holt_winters": q_stream_holt_winters,
         "melt_lineitem": q_melt_lineitem,
         "quantile_bins": q_quantile_bins,
+        "incremental_rollup": q_incremental_rollup,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2813,6 +2850,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "incremental_rollup": f"""
+            -- from-scratch full-range rollup: the merged base+delta
+            -- must hash-match this exactly
+            SELECT concat('1h-', {_POS_1H}) AS "index", event_type,
+                   round(coalesce(sum(value), 0), 6) AS v_sum,
+                   count(value) AS n,
+                   min(value) AS v_min, max(value) AS v_max,
+                   round(avg(value), 6) AS v_avg
+            FROM events GROUP BY 1, 2
         """,
         "melt_lineitem": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,

@@ -131,6 +131,7 @@ HEADLINE = [
     "holt_winters_per_user",
     "melt_lineitem",
     "quantile_bins",
+    "incremental_rollup",
 ]
 
 

@@ -283,3 +283,36 @@ def test_pivot_rollup_sum_empty_is_zero(spark):
                     .withColumn("end", F.col("begin")), kind="timerange")
     with _pt.raises(ValueError):
         tr.pivot_rollup("1h", "value", "k", ["a"])
+
+
+def test_merge_rollups_split_bucket_and_validation(spark):
+    from pyspark.sql import functions as F
+    from pypond_spark.operators.incremental import merge_rollups
+    a = spark.createDataFrame([("1h-0", 10.0, 2, 3.0, 7.0)],
+                              "idx string, v_sum double, n long, "
+                              "v_min double, v_max double")
+    b = spark.createDataFrame([("1h-0", 5.0, 1, 1.0, 5.0),
+                               ("1h-1", 8.0, 2, 4.0, 4.0)],
+                              "idx string, v_sum double, n long, "
+                              "v_min double, v_max double")
+    out = merge_rollups([a, b], ["idx"],
+                        {"v_sum": "sum", "n": "count",
+                         "v_min": "min", "v_max": "max"},
+                        derive={"v_avg": ("v_sum", "n")}).collect()
+    got = {r["idx"]: (r["v_sum"], r["n"], r["v_min"], r["v_max"],
+                      r["v_avg"]) for r in out}
+    assert got["1h-0"] == (15.0, 3, 1.0, 7.0, 5.0)
+    assert got["1h-1"] == (8.0, 2, 4.0, 4.0, 4.0)
+    # zero-count derive -> NULL (empty-window avg semantics)
+    z = spark.createDataFrame([("1h-9", 0.0, 0, None, None)],
+                              "idx string, v_sum double, n long, "
+                              "v_min double, v_max double")
+    r9 = merge_rollups([z], ["idx"], {"v_sum": "sum", "n": "count"},
+                       derive={"v_avg": ("v_sum", "n")}).collect()[0]
+    assert r9["v_avg"] is None
+    # holistic aggregates are refused, not silently wrong
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        merge_rollups([a], ["idx"], {"v_sum": "median"})
+    with _pt.raises(ValueError):
+        merge_rollups([], ["idx"], {"v_sum": "sum"})
