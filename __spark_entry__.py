@@ -1916,6 +1916,23 @@ def q_zipf_slope(spark, sf_dir):
                       "vocab", "n_tokens")
 
 
+def q_dense_rollup_1h(spark, sf_dir):
+    """Rollup densification (operators/aggregate.py::densify_rollup):
+    every hour in each type's [first, last] span becomes a row — empty
+    hours as explicit (0, 0) — the rollup-level dual of event fill.
+    All work runs on the bucket frame; the fact table is scanned once
+    by the underlying rollup."""
+    from pypond_spark.operators.aggregate import densify_rollup
+    ts = _events_ts(spark, sf_dir)
+    roll = ts.fixed_window_rollup(
+        "1h", {"v_sum": {"value": "sum"}, "n": {"value": "count"}},
+        group_by="event_type").df
+    out = densify_rollup(roll, "1h", group_by="event_type",
+                         fill={"v_sum": 0.0, "n": 0})
+    return out.select("index", "event_type",
+                      F.round("v_sum", 6).alias("v_sum"), "n")
+
+
 def q_incremental_rollup(spark, sf_dir):
     """Incremental view maintenance (operators/incremental.py::
     merge_rollups): the hourly x type rollup is built from a BASE slice
@@ -2361,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_lineitem": q_melt_lineitem,
         "quantile_bins": q_quantile_bins,
         "incremental_rollup": q_incremental_rollup,
+        "dense_rollup_1h": q_dense_rollup_1h,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2850,6 +2868,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "dense_rollup_1h": f"""
+            WITH roll AS (
+              SELECT event_type, {_POS_1H} AS p,
+                     round(coalesce(sum(value), 0), 6) AS v_sum,
+                     count(value) AS n
+              FROM events GROUP BY 1, 2
+            ), spans AS (
+              SELECT event_type, min(p) AS lo, max(p) AS hi
+              FROM roll GROUP BY 1
+            ), scaffold AS (
+              SELECT event_type, unnest(generate_series(lo, hi)) AS p
+              FROM spans
+            )
+            SELECT concat('1h-', scaffold.p) AS "index",
+                   scaffold.event_type,
+                   coalesce(v_sum, 0.0) AS v_sum,
+                   coalesce(n, 0) AS n
+            FROM scaffold LEFT JOIN roll
+              ON scaffold.event_type = roll.event_type
+             AND scaffold.p = roll.p
         """,
         "incremental_rollup": f"""
             -- from-scratch full-range rollup: the merged base+delta

@@ -132,6 +132,7 @@ HEADLINE = [
     "melt_lineitem",
     "quantile_bins",
     "incremental_rollup",
+    "dense_rollup_1h",
 ]
 
 

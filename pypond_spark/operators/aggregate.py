@@ -136,6 +136,54 @@ def windowed_aggregate(
         *gnames, *[r for r in spec])
 
 
+def densify_rollup(rollup: DataFrame, window: str,
+                   group_by: str | Sequence[str] | None = None,
+                   fill: dict | None = None) -> DataFrame:
+    """Emit EVERY bucket in each group's [first, last] range, not just
+    the occupied ones — the rollup-level dual of event-level ``fill``
+    (a dashboard or a downstream join wants the 03:00 outage hour as an
+    explicit zero row, not an absent row).
+
+    ``rollup`` is a fixed-window rollup output (``index/begin/end``,
+    groups, measures); ``fill`` maps measure columns to the literal for
+    scaffolded buckets (``{"v_sum": 0.0, "n": 0}``); unmapped measures
+    stay NULL (the honest value for avg/min/max of nothing).
+
+    Scale shape: everything runs on the ROLLUP frame (buckets x groups),
+    never the fact table — per-group extents are one groupBy of that
+    frame, the scaffold is sequence+explode bounded by the group's own
+    span, and the left join is scaffold-sized. A group spanning the full
+    retention window at 1-minute buckets is ~525k rows/year — still
+    rollup-sized.
+    """
+    dur = window_duration_ms(window)
+    if dur is None:
+        raise ValueError(f"densify_rollup needs a fixed window spec, "
+                         f"got {window!r}")
+    groups = _group_cols(group_by)
+    measures = [c for c in rollup.columns
+                if c not in ("index", "begin", "end", *groups)]
+    bad = set(fill or ()) - set(measures)
+    if bad:
+        raise ValueError(f"fill names non-measure columns: {sorted(bad)}")
+    pos = (F.unix_millis(F.col("begin")) / F.lit(dur)).cast("long")
+    flat = rollup.select(pos.alias("__pos"), *groups, *measures)
+    spans = (flat.groupBy(*groups)
+             .agg(F.min("__pos").alias("__lo"), F.max("__pos").alias("__hi")))
+    scaffold = spans.select(
+        *groups,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__pos"))
+    joined = scaffold.join(flat, [*groups, "__pos"], "left")
+    vals = [F.coalesce(F.col(c), F.lit(fill[c])).alias(c)
+            if fill and c in fill else F.col(c) for c in measures]
+    return joined.select(
+        F.concat(F.lit(window + "-"),
+                 F.col("__pos").cast("string")).alias("index"),
+        F.timestamp_millis(F.col("__pos") * dur).alias("begin"),
+        F.timestamp_millis((F.col("__pos") + 1) * dur).alias("end"),
+        *groups, *vals)
+
+
 def sliding_window_aggregate(
     df: DataFrame,
     spec: dict,

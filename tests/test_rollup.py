@@ -316,3 +316,36 @@ def test_merge_rollups_split_bucket_and_validation(spark):
         merge_rollups([a], ["idx"], {"v_sum": "median"})
     with _pt.raises(ValueError):
         merge_rollups([], ["idx"], {"v_sum": "sum"})
+
+
+def test_densify_rollup_zero_fills_and_bounds(spark):
+    from pyspark.sql import functions as F
+    from pypond_spark import TimeSeries
+    from pypond_spark.operators.aggregate import densify_rollup
+    H = 3600_000
+    # group a occupies hours 0 and 3 (1, 2 missing); group b hour 1 only
+    rows = [(0, "a", 10.0), (3 * H, "a", 30.0), (1 * H, "b", 5.0)]
+    df = spark.createDataFrame(rows, "ms long, g string, value double") \
+        .select(F.timestamp_millis("ms").alias("time"), "g", "value")
+    roll = TimeSeries(df, kind="time").fixed_window_rollup(
+        "1h", {"v_sum": {"value": "sum"}, "n": {"value": "count"},
+               "v_avg": {"value": "avg"}}, group_by="g").df
+    out = densify_rollup(roll, "1h", group_by="g",
+                         fill={"v_sum": 0.0, "n": 0}).collect()
+    got = {(r["g"], r["index"]): (r["v_sum"], r["n"], r["v_avg"])
+           for r in out}
+    assert got[("a", "1h-0")] == (10.0, 1, 10.0)
+    assert got[("a", "1h-1")] == (0.0, 0, None)  # scaffolded: avg NULL
+    assert got[("a", "1h-2")] == (0.0, 0, None)
+    assert got[("a", "1h-3")] == (30.0, 1, 30.0)
+    assert got[("b", "1h-1")] == (5.0, 1, 5.0)
+    assert len(got) == 5  # b gets NO scaffold outside its own span
+    # begin/end rebuilt for scaffolded rows
+    r1 = {(r["g"], r["index"]): r for r in out}[("a", "1h-1")]
+    assert int(r1["begin"].timestamp() * 1000) == H
+    assert int(r1["end"].timestamp() * 1000) == 2 * H
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        densify_rollup(roll, "1h", group_by="g", fill={"nope": 0})
+    with _pt.raises(ValueError):
+        densify_rollup(roll, "monthly", group_by="g")
