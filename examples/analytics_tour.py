@@ -96,6 +96,58 @@ def main() -> None:
     print("busiest user by covered time:",
           cov.orderBy(F.desc("covered_ms")).first()["user_id"])
 
+    # 12. is there a daily cycle? ACF on the bucket axis, lag 24 = 1 day
+    acf = ts.autocorrelation("value", lags=(1, 24),
+                             bucket="1h", partition_by=["event_type"])
+    acf.orderBy("event_type", "lag").show(4)
+
+    # 13. robust trend: Theil-Sen shrugs off the outliers OLS chases
+    rob = ts.theil_sen("value", bucket="1h", partition_by=["user_id"])
+    print("median per-user Theil-Sen slope:",
+          round(rob.agg(F.median("ts_slope")).first()[0], 4),
+          "value-units/hour")
+
+    # 14. rolling click/view correlation over the trailing day
+    rc = ts.rolling_correlation("event_type", "click", "view",
+                                bucket="1h", lookback=24)
+    print("trailing-24h r range:",
+          [round(x, 3) for x in rc.agg(F.min("r"), F.max("r")).first()])
+
+    # 15. Holt-Winters: level + trend + a repeating 24-sample season
+    from pypond_spark.operators.rolling import holt_winters
+    hw = holt_winters(df, "value", period=24, partition_by=["user_id"],
+                      tiebreak="event_id")
+    hlast = hw.orderBy(F.desc("time")).select(
+        "value_level", "value_trend", "value_seasonal").first()
+    print(f"HW state at stream end: level={hlast['value_level']:.2f} "
+          f"trend={hlast['value_trend']:.3f} "
+          f"seasonal={hlast['value_seasonal']:.3f}")
+
+    # 16. materialized-view upkeep: merge a new day into the rollup
+    from pypond_spark.operators.aggregate import densify_rollup
+    from pypond_spark.operators.incremental import merge_rollups
+    cut = F.lit("2024-01-02").cast("timestamp")
+    spec = {"v_sum": {"value": "sum"}, "n": {"value": "count"}}
+
+    def roll(d):
+        return TimeSeries(d, kind="time").fixed_window_rollup(
+            "1h", spec, group_by="event_type").df \
+            .select("index", "event_type", "v_sum", "n")
+
+    merged = merge_rollups([roll(df.where(F.col("time") < cut)),
+                            roll(df.where(F.col("time") >= cut))],
+                           ["index", "event_type"],
+                           {"v_sum": "sum", "n": "count"},
+                           derive={"v_avg": ("v_sum", "n")})
+
+    # 17. densify: every hour in each type's span, empty hours as zeros
+    full = TimeSeries(df, kind="time").fixed_window_rollup(
+        "1h", spec, group_by="event_type").df
+    dense = densify_rollup(full, "1h", group_by="event_type",
+                           fill={"v_sum": 0.0, "n": 0})
+    print("merged rollup rows:", merged.count(),
+          "| densified (empty hours as zeros):", dense.count())
+
     spark.stop()
 
 

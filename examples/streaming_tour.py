@@ -86,6 +86,12 @@ def main() -> None:
     anomalies = [(r["sensor"], r["value"]) for r in z if r["value_anomaly"]]
     print("anomalies:", anomalies)
 
+    # 6. sessionization as events arrive: 3 longs of state per sensor,
+    # sessions emitted the moment the next event closes them
+    sess = run_available_now(pipe.sessions("1m"), "append").collect()
+    print("closed sessions:",
+          [(r["sensor"], r["begin_ms"], r["n"]) for r in sess])
+
     spark.stop()
 
 
