@@ -278,3 +278,78 @@ def test_sorted_quantile_interpolation_matches_numpy(vals, q):
     ref = float(np.percentile(np.array(vals), q * 100,
                               method="linear"))
     assert abs(mine - ref) <= 1e-9 * max(1.0, abs(ref))
+
+
+def test_merge_rollups_equals_full_rollup_any_split(spark):
+    """For ANY cut point, rollup(before) ++ rollup(after) == rollup(all)
+    for algebraic measures — the IVM exactness invariant."""
+    import random
+    from pyspark.sql import functions as F
+    from pypond_spark import TimeSeries
+    from pypond_spark.operators.incremental import merge_rollups
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 10 * 3600_000),
+             rng.choice("ab"), round(rng.uniform(-100, 100), 3))
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ms long, g string, value double").select(
+        "event_id", F.timestamp_millis("ms").alias("time"), "g", "value")
+    spec = {"v_sum": {"value": "sum"}, "n": {"value": "count"},
+            "v_min": {"value": "min"}, "v_max": {"value": "max"}}
+
+    def roll(d):
+        return TimeSeries(d, kind="time").fixed_window_rollup(
+            "1h", spec, group_by="g").df.select(
+            "index", "g", "v_sum", "n", "v_min", "v_max")
+
+    full = {(r["index"], r["g"]): (round(r["v_sum"], 6), r["n"],
+                                   r["v_min"], r["v_max"])
+            for r in roll(df).collect()}
+    for cut_ms in (1, 3 * 3600_000 + 12345, 9 * 3600_000):
+        cut = F.timestamp_millis(F.lit(cut_ms))
+        merged = merge_rollups(
+            [roll(df.where(F.col("time") < cut)),
+             roll(df.where(F.col("time") >= cut))],
+            ["index", "g"],
+            {"v_sum": "sum", "n": "count", "v_min": "min", "v_max": "max"})
+        got = {(r["index"], r["g"]): (round(r["v_sum"], 6), r["n"],
+                                      r["v_min"], r["v_max"])
+               for r in merged.collect()}
+        assert got == full, cut_ms
+
+
+def test_salted_join_row_multiset_invariant(spark):
+    """salted_join == plain join as MULTISETS for random data/salt."""
+    import random
+    from pypond_spark.operators.skew import salted_join
+    rng = random.Random(11)
+    fact = spark.createDataFrame(
+        [(rng.randrange(5), float(i)) for i in range(200)],
+        "k long, v double")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}-{j}") for k in range(4) for j in range(rng.randrange(3))],
+        "k long, name string")
+    for salt in (2, 5, 16):
+        plain = sorted(map(tuple, fact.join(dim, "k").collect()))
+        got = sorted(map(tuple, salted_join(fact, dim, "k", salt).collect()))
+        assert got == plain, salt
+
+
+def test_densify_rollup_is_gapless_and_preserves_occupied(spark):
+    import random
+    from pyspark.sql import functions as F
+    from pypond_spark import TimeSeries
+    from pypond_spark.operators.aggregate import densify_rollup
+    rng = random.Random(3)
+    hours = sorted(rng.sample(range(50), 12))
+    rows = [(h * 3600_000, float(h)) for h in hours]
+    df = spark.createDataFrame(rows, "ms long, value double").select(
+        F.timestamp_millis("ms").alias("time"), "value")
+    roll = TimeSeries(df, kind="time").fixed_window_rollup(
+        "1h", {"v_sum": {"value": "sum"}, "n": {"value": "count"}}).df
+    out = densify_rollup(roll, "1h", fill={"v_sum": 0.0, "n": 0}).collect()
+    pos = sorted(int(r["index"].split("-")[1]) for r in out)
+    assert pos == list(range(hours[0], hours[-1] + 1))  # gapless span
+    occupied = {int(r["index"].split("-")[1]): r["v_sum"] for r in out
+                if r["n"] > 0}
+    assert occupied == {h: float(h) for h in hours}  # originals intact
