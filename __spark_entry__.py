@@ -1916,6 +1916,55 @@ def q_zipf_slope(spark, sf_dir):
                       "vocab", "n_tokens")
 
 
+def q_tpch_q9_shape(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year): profit =
+    revenue - qty * half-retail (p_retailprice stands in for the absent
+    partsupp supplycost — same join topology, same DECIMAL discipline).
+    part/supplier/nation broadcast; lineitem->orders is the one
+    repartition join."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part") \
+        .where(F.col("p_type") == "SMALL") \
+        .select("p_partkey", "p_retailprice")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_orderdate")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey",
+                                                   "s_nationkey")
+    nat = _read(spark, sf_dir, "nation")
+    amount = (_rev_decimal()
+              - (F.col("p_retailprice").cast("decimal(12,2)")
+                 * F.lit(0.5).cast("decimal(12,2)"))
+              .cast("decimal(12,2)")
+              * F.col("l_quantity").cast("decimal(12,2)"))
+    j = (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.sum(amount).cast("double").alias("sum_profit"),
+                 F.count("*").alias("n_items")))
+
+
+def q_tpch_q12_shape(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-priority audit): late lineitems
+    (shipped > 60 days after order) per return flag, split into
+    high/low-priority conditional counts in ONE aggregation — the
+    classic CASE-inside-sum shape; one repartition join on orderkey."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_orderdate",
+                                                   "o_orderpriority")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")) \
+        .where(late)
+    return (j.groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
+
+
 def q_dense_rollup_1h(spark, sf_dir):
     """Rollup densification (operators/aggregate.py::densify_rollup):
     every hour in each type's [first, last] span becomes a row — empty
@@ -2379,6 +2428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": q_quantile_bins,
         "incremental_rollup": q_incremental_rollup,
         "dense_rollup_1h": q_dense_rollup_1h,
+        "tpch_q9_shape": q_tpch_q9_shape,
+        "tpch_q12_shape": q_tpch_q12_shape,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2868,6 +2919,34 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "tpch_q9_shape": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(sum(l_extendedprice::DECIMAL(12,2)
+                            * (1::DECIMAL(12,2)
+                               - l_discount::DECIMAL(12,2))
+                            - CAST(p_retailprice::DECIMAL(12,2)
+                                   * 0.5::DECIMAL(12,2) AS DECIMAL(12,2))
+                              * l_quantity::DECIMAL(12,2)) AS DOUBLE)
+                     AS sum_profit,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_type = 'SMALL'
+            GROUP BY 1, 2
+        """,
+        "tpch_q12_shape": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1
         """,
         "dense_rollup_1h": f"""
             WITH roll AS (

@@ -133,6 +133,8 @@ HEADLINE = [
     "quantile_bins",
     "incremental_rollup",
     "dense_rollup_1h",
+    "tpch_q9_shape",
+    "tpch_q12_shape",
 ]
 
 
