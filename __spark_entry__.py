@@ -1916,6 +1916,37 @@ def q_zipf_slope(spark, sf_dir):
                       "vocab", "n_tokens")
 
 
+def _pq_books(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return emb, dp_sim.pq_build(emb, n_blocks=8, n_codes=16, n_iters=2,
+                                dim=64, quantize=6)
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode (datapipe/similarity.py::pq_build +
+    pq_encode): 64-dim float vectors -> 8 one-byte codes against
+    per-block k-means codebooks (seeds = first 16 vectors, 2 Lloyd
+    rounds, quantize=6). The oracle recomputes the identical k-means in
+    SQL (per-block assign/means CTEs), so every code of every vector is
+    verified — the write path of a memory-bounded ANN index."""
+    emb, books = _pq_books(spark, sf_dir)
+    out = dp_sim.pq_encode(emb, books)
+    return out.select("vec_id", *[f"code{b}" for b in range(8)])
+
+
+def q_pq_topk_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-k (datapipe/similarity.py::pq_topk):
+    the query stays full-precision, the corpus is 8 code bytes per row,
+    scoring is table lookups + an 8-term add — the bandwidth shape that
+    makes billion-vector ANN fit in memory. Rounded distances + id
+    tiebreak pin the ranking cross-engine."""
+    emb, books = _pq_books(spark, sf_dir)
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    out = dp_sim.pq_topk(emb, q, books, k=5)
+    return out.select("rank", "vec_id", "adc")
+
+
 def q_tpch_q9_shape(spark, sf_dir):
     """TPC-H Q9 shape (product-type profit by nation and year): profit =
     revenue - qty * half-retail (p_retailprice stands in for the absent
@@ -2430,6 +2461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_rollup_1h": q_dense_rollup_1h,
         "tpch_q9_shape": q_tpch_q9_shape,
         "tpch_q12_shape": q_tpch_q12_shape,
+        "pq_codes": q_pq_codes,
+        "pq_topk_adc": q_pq_topk_adc,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2618,6 +2651,70 @@ def _ivf_means_cte(assign: str, prev: str) -> str:
       ) mm ON {prev}.cell = mm.cell
     )"""
 
+
+_PQ_B, _PQ_W, _PQ_K = 8, 8, 16
+
+
+def _pq_dist(v: str, off: str, c: str) -> str:
+    """Block squared-L2 as a left-fold list_sum — same accumulation order
+    as the engine's explicit left-to-right chain; round 6 pins libm
+    noise (the ties then break to the LOWEST code on both sides)."""
+    return (f"round(list_sum([({v}[{off} + i] - {c}[i]) * "
+            f"({v}[{off} + i] - {c}[i]) "
+            f"for i in generate_series(1, {_PQ_W})]), 6)")
+
+
+def _pq_assign_cte(cb: str) -> str:
+    """Nearest code per (vector, block): min rounded distance, ties to
+    the lowest code — mirrors array_position(arr, array_min(arr))."""
+    return f"""(
+      SELECT e.vec_id, {cb}.block, {cb}.code, {cb}.off
+      FROM e CROSS JOIN {cb}
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id, {cb}.block
+        ORDER BY {_pq_dist('e.v', f'{cb}.off', f'{cb}.c')},
+                 {cb}.code) = 1
+    )"""
+
+
+def _pq_means_cte(assign: str, prev: str) -> str:
+    """One per-block Lloyd round: per-(block, code, dim) mean rounded to
+    6 (the quantize=6 contract, see _ivf_means_cte); empty codes keep
+    the previous centroid."""
+    return f"""(
+      SELECT {prev}.block, {prev}.code, {prev}.off,
+             coalesce(mm.c, {prev}.c) AS c
+      FROM {prev} LEFT JOIN (
+        SELECT block, code, list(m ORDER BY pos) AS c
+        FROM (
+          SELECT a.block, a.code, g.i AS pos,
+                 round(avg(e.v[a.off + g.i]), 6) + 0.0 AS m
+          FROM {assign} a JOIN e USING (vec_id)
+          CROSS JOIN generate_series(1, {_PQ_W}) g(i)
+          GROUP BY 1, 2, 3
+        ) GROUP BY 1, 2
+      ) mm ON {prev}.block = mm.block AND {prev}.code = mm.code
+    )"""
+
+
+_PQ_CTE = _EMB_CTE.rstrip() + f"""
+    , seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_PQ_K})
+    ), blocks AS (
+      SELECT g.i - 1 AS block, (g.i - 1) * {_PQ_W} AS off
+      FROM generate_series(1, {_PQ_B}) g(i)
+    ), cb0 AS (
+      SELECT blocks.block, seeds.code, blocks.off,
+             seeds.v[blocks.off + 1 : blocks.off + {_PQ_W}] AS c
+      FROM blocks CROSS JOIN seeds
+    ),
+    pa1 AS {_pq_assign_cte("cb0")},
+    cb1 AS {_pq_means_cte("pa1", "cb0")},
+    pa2 AS {_pq_assign_cte("cb1")},
+    cb2 AS {_pq_means_cte("pa2", "cb1")},
+    pe AS {_pq_assign_cte("cb2")}
+"""
 
 _HOLT_ORACLE = """
             -- recursive-CTE fold: DuckDB 1.0's vectorized struct-lambda
@@ -2919,6 +3016,32 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "pq_codes": _PQ_CTE + f"""
+            SELECT vec_id,
+                   {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
+                              f" AS code{b}" for b in range(_PQ_B))}
+            FROM pe GROUP BY vec_id
+        """,
+        "pq_topk_adc": _PQ_CTE + f"""
+            , q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+            tbl AS (
+              SELECT cb2.block, cb2.code,
+                     {_pq_dist('q.qv', 'cb2.off', 'cb2.c')} AS d
+              FROM cb2 CROSS JOIN q
+            ), score AS (
+              -- list(ORDER BY block) -> list_sum: same left-to-right
+              -- block order as the engine's lookup chain
+              SELECT pe.vec_id,
+                     round(list_sum(list(tbl.d ORDER BY tbl.block)), 6)
+                       AS adc
+              FROM pe JOIN tbl ON pe.block = tbl.block
+                              AND pe.code = tbl.code
+              GROUP BY pe.vec_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY adc, vec_id) AS INT)
+                     AS rank, vec_id, adc
+            FROM score ORDER BY adc, vec_id LIMIT 5
         """,
         "tpch_q9_shape": """
             SELECT n_name AS nation, year(o_orderdate) AS o_year,

@@ -135,6 +135,8 @@ HEADLINE = [
     "dense_rollup_1h",
     "tpch_q9_shape",
     "tpch_q12_shape",
+    "pq_codes",
+    "pq_topk_adc",
 ]
 
 

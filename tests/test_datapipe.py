@@ -724,3 +724,54 @@ def test_repeated_spans_within_doc_repeat_not_flagged(spark):
         [(1, rep + " middle " + rep), (2, "nothing in common here ok!!")],
         "doc_id long, text string")
     assert dedup.repeated_spans(df, k=30).count() == 0
+
+
+def test_pq_encode_roundtrip_and_self_rank(spark):
+    """PQ codes match a pure-python k-means fold; the query vector's own
+    row wins its ADC search; seeds smaller than n_codes raise."""
+    import pytest as _pt
+    from pypond_spark.datapipe import similarity as S
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = S.pq_build(df, n_blocks=8, n_codes=16, n_iters=2, dim=64,
+                       quantize=6)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in df.orderBy("vec_id").limit(3).collect()}
+    got = {r["vec_id"]: [r[f"code{b}"] for b in range(8)]
+           for r in S.pq_encode(df, books).where("vec_id < 3").collect()}
+    for vid, v in rows.items():
+        ref = []
+        for b in range(8):
+            dists = []
+            for c in books[b]:
+                d = 0.0
+                for i in range(8):
+                    t = v[b * 8 + i] - c[i]
+                    d = d + t * t
+                dists.append(round(d, 6))
+            ref.append(dists.index(min(dists)))
+        assert got[vid] == ref, vid
+    top = S.pq_topk(df, rows[0], books, k=3).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["rank"] == 1
+    with _pt.raises(ValueError):
+        S.pq_build(df.limit(5), n_codes=16, dim=64)
+    with _pt.raises(ValueError):
+        S.pq_build(df, n_blocks=7, dim=64)
+    with _pt.raises(ValueError):
+        S.pq_build(df, dim=None)
+
+
+def test_pq_adc_approximates_exact_l2(spark):
+    """ADC distance correlates with true L2: the exact nearest neighbor
+    set and the PQ top-10 overlap substantially (recall sanity)."""
+    import numpy as np
+    from pypond_spark.datapipe import similarity as S
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = S.pq_build(df, n_blocks=8, n_codes=16, n_iters=2, dim=64)
+    rows = df.orderBy("vec_id").collect()
+    vecs = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    q = vecs[7]
+    exact = np.argsort(((vecs - q) ** 2).sum(axis=1))[:10]
+    exact_ids = {int(rows[i]["vec_id"]) for i in exact}
+    got = {r["vec_id"] for r in S.pq_topk(df, list(q), books, k=10).collect()}
+    assert len(got & exact_ids) >= 5  # PQ4x16-ish recall on 500 vectors
