@@ -82,6 +82,13 @@ def main() -> None:
     print("semantic survivors:", sem.where("kept = 1").count(),
           "of", sem.count())
 
+    # 9b. product quantization: 64-dim floats -> 8 one-byte codes;
+    # ADC top-k scores codes, not vectors
+    books = similarity.pq_build(embs, n_blocks=8, n_codes=16, dim=64)
+    q = [float(x) for x in embs.where("vec_id = 1").first()["embedding"]]
+    pq_top = similarity.pq_topk(embs, q, books, k=3).collect()
+    print("PQ ADC top-3:", [(r["vec_id"], r["adc"]) for r in pq_top])
+
     # 10. deterministic train/val/test assignment + corpus card
     splits = sampling.assign_splits(
         docs, {"train": 0.98, "val": 0.01, "test": 0.01})

@@ -798,6 +798,20 @@ class TimeSeries:
         return self._with(holt_op(self._df, field, alpha, beta,
                                   partition_by, self.time_col, tiebreak))
 
+    def holt_winters(self, field: str = "value", period: int = 24,
+                     alpha: float = 0.5, beta: float = 0.5,
+                     gamma: float = 0.5,
+                     partition_by: Sequence[str] = (),
+                     tiebreak: str | None = None) -> "TimeSeries":
+        """Holt-Winters additive smoothing — level + trend + seasonal per
+        series (engine addition; see ``operators.rolling.holt_winters``)."""
+        if self._kind != "time":
+            raise ValueError("holt_winters expects instant-event input")
+        from .operators.rolling import holt_winters as hw_op
+        return self._with(hw_op(self._df, field, period, alpha, beta,
+                                gamma, partition_by, self.time_col,
+                                tiebreak))
+
     def zscore(self, field_spec="value", window: str | None = None,
                partition_by: Sequence[str] = (),
                threshold: float = 3.0) -> "TimeSeries":
