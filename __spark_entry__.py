@@ -1947,6 +1947,22 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composition (datapipe/similarity.py::ivfpq_topk): coarse
+    IVF routing prunes to nprobe=2 of 8 cells, PQ ADC scores only those
+    cells' 8-byte codes — the production billion-vector layout, both
+    halves recomputed independently by the SQL oracle (IVF k-means CTEs
+    + PQ k-means CTEs joined on the probe filter)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    cents = dp_sim.ivf_build(emb, n_cells=8, n_iters=2, quantize=6)
+    books = dp_sim.pq_build(emb, n_blocks=8, n_codes=16, n_iters=2,
+                            dim=64, quantize=6)
+    out = dp_sim.ivfpq_topk(emb, q, cents, books, k=5, nprobe=2)
+    return out.select("rank", "vec_id", "adc")
+
+
 def q_tpch_q9_shape(spark, sf_dir):
     """TPC-H Q9 shape (product-type profit by nation and year): profit =
     revenue - qty * half-retail (p_retailprice stands in for the absent
@@ -2463,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_shape": q_tpch_q12_shape,
         "pq_codes": q_pq_codes,
         "pq_topk_adc": q_pq_topk_adc,
+        "ivfpq_topk": q_ivfpq_topk,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -2697,7 +2714,7 @@ def _pq_means_cte(assign: str, prev: str) -> str:
     )"""
 
 
-_PQ_CTE = _EMB_CTE.rstrip() + f"""
+_PQ_BODY = f"""
     , seeds AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_PQ_K})
@@ -2715,6 +2732,8 @@ _PQ_CTE = _EMB_CTE.rstrip() + f"""
     cb2 AS {_pq_means_cte("pa2", "cb1")},
     pe AS {_pq_assign_cte("cb2")}
 """
+
+_PQ_CTE = _EMB_CTE.rstrip() + _PQ_BODY
 
 _HOLT_ORACLE = """
             -- recursive-CTE fold: DuckDB 1.0's vectorized struct-lambda
@@ -3022,6 +3041,46 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "ivfpq_topk": _EMB_CTE + f"""
+            , c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     v AS c
+              FROM e ORDER BY vec_id LIMIT 8
+            ),
+            a1 AS {_ivf_assign_cte("c0")},
+            c1 AS {_ivf_means_cte("a1", "c0")},
+            a2 AS {_ivf_assign_cte("c1")},
+            c2 AS {_ivf_means_cte("a2", "c1")},
+            q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 1),
+            probes AS (
+              SELECT c2.cell
+              FROM c2, q
+              ORDER BY coalesce({_sql_dot("c2.c", "q.qv")}
+                       / (sqrt(list_sum([x * x for x in c2.c])) * q.qn),
+                       -2.0) DESC,
+                       c2.cell DESC
+              LIMIT 2
+            ),
+            af AS {_ivf_assign_cte("c2")}
+            {_PQ_BODY}
+            , tbl AS (
+              SELECT cb2.block, cb2.code,
+                     {_pq_dist('q.qv', 'cb2.off', 'cb2.c')} AS d
+              FROM cb2 CROSS JOIN q
+            ), score AS (
+              SELECT pe.vec_id,
+                     round(list_sum(list(tbl.d ORDER BY tbl.block)), 6)
+                       AS adc
+              FROM pe
+              JOIN af ON af.vec_id = pe.vec_id
+              JOIN tbl ON pe.block = tbl.block AND pe.code = tbl.code
+              WHERE af.cell IN (SELECT cell FROM probes)
+              GROUP BY pe.vec_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY adc, vec_id) AS INT)
+                     AS rank, vec_id, adc
+            FROM score ORDER BY adc, vec_id LIMIT 5
         """,
         "pq_topk_adc": _PQ_CTE + f"""
             , q AS (SELECT v AS qv FROM e WHERE vec_id = 1),

@@ -137,6 +137,7 @@ HEADLINE = [
     "tpch_q12_shape",
     "pq_codes",
     "pq_topk_adc",
+    "ivfpq_topk",
 ]
 
 

@@ -723,3 +723,33 @@ def pq_topk(df: DataFrame, query_vec: list[float],
     out = scored.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(k)
     return out.withColumn("rank", F.row_number().over(
         Window.orderBy(F.col("adc").asc(), F.col(id_col).asc())))
+
+
+def ivfpq_topk(df: DataFrame, query_vec: list[float],
+               centroids: list[list[float]],
+               codebooks: list[list[list[float]]], k: int = 10,
+               nprobe: int = 2, vec_col: str = "embedding",
+               id_col: str = "vec_id", round_to: int = 6) -> DataFrame:
+    """IVF-PQ: the production billion-vector ANN layout — a coarse IVF
+    router prunes the corpus to ``nprobe`` cells, then PQ asymmetric
+    distance scores only those cells' CODES (bytes per row).
+
+    The two compressions compound: the router means the scan touches
+    nprobe/n_cells of the corpus (cell-partitioned storage makes that
+    partition pruning at the source), and ADC means what it does touch
+    is code lookups, not float vectors. Both halves reuse their
+    independently oracle-verified pieces (``ivf_assign`` cosine routing
+    with its tie rule; ``pq_topk`` scoring with rounded distances), so
+    the composition inherits their cross-engine determinism.
+    """
+    qn = math.sqrt(sum(float(v) ** 2 for v in query_vec))
+    csims = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c))
+        d = sum(x * float(v) for x, v in zip(c, query_vec))
+        csims.append((d / (cn * qn) if cn > 0 and qn > 0 else -2.0, i))
+    probes = [i for _, i in sorted(csims, reverse=True)[:nprobe]]
+    routed = ivf_assign(df, centroids, vec_col) \
+        .where(F.col("__cell").isin(probes))
+    return pq_topk(routed, query_vec, codebooks, k, vec_col, id_col,
+                   round_to)

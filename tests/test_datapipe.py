@@ -775,3 +775,23 @@ def test_pq_adc_approximates_exact_l2(spark):
     exact_ids = {int(rows[i]["vec_id"]) for i in exact}
     got = {r["vec_id"] for r in S.pq_topk(df, list(q), books, k=10).collect()}
     assert len(got & exact_ids) >= 5  # PQ4x16-ish recall on 500 vectors
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """nprobe = n_cells makes the router a no-op: IVF-PQ == PQ exactly;
+    a narrower probe returns a subset of the corpus, never new ids."""
+    from pypond_spark.datapipe import similarity as S
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.ivf_build(df, n_cells=4, n_iters=1, quantize=6)
+    books = S.pq_build(df, n_blocks=8, n_codes=16, n_iters=1, dim=64)
+    q = [float(x) for x in
+         df.where("vec_id = 7").first()["embedding"]]
+    full = [(r["vec_id"], r["adc"]) for r in
+            S.ivfpq_topk(df, q, cents, books, k=5, nprobe=4).collect()]
+    plain = [(r["vec_id"], r["adc"]) for r in
+             S.pq_topk(df, q, books, k=5).collect()]
+    assert full == plain
+    narrow = {r["vec_id"] for r in
+              S.ivfpq_topk(df, q, cents, books, k=5, nprobe=1).collect()}
+    all_ids = {r["vec_id"] for r in df.select("vec_id").collect()}
+    assert narrow <= all_ids and len(narrow) == 5
