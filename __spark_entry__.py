@@ -1947,6 +1947,21 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_rollup_daily_local(spark, sf_dir):
+    """Local-time calendar rollup (§2.6's utc=False path, reference
+    series.py:1278-1331 parity): daily buckets in America/New_York wall
+    time via from_utc_timestamp. The events span January only, so the
+    oracle can state the EST offset as an explicit -5h interval — no
+    dependence on the oracle engine's session timezone (a DST-crossing
+    range would need real tz arithmetic; the unit tests cover that)."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.daily_rollup(
+        {"v_sum": {"value": "sum"}, "n": {"value": "count"}},
+        group_by="event_type", utc=False, tz="America/New_York")
+    return out.df.select("index", "event_type",
+                         F.round("v_sum", 6).alias("v_sum"), "n")
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """IVF-PQ composition (datapipe/similarity.py::ivfpq_topk): coarse
     IVF routing prunes to nprobe=2 of 8 cells, PQ ADC scores only those
@@ -2480,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_topk_adc": q_pq_topk_adc,
         "ivfpq_topk": q_ivfpq_topk,
+        "rollup_daily_local": q_rollup_daily_local,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3041,6 +3057,17 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "rollup_daily_local": """
+            -- America/New_York in January == EST == UTC-5 for the whole
+            -- data range; stated as an interval so the oracle does not
+            -- depend on the SQL engine's session timezone
+            SELECT strftime(date_trunc('day', ts - INTERVAL 5 HOUR),
+                            '%Y-%m-%d') AS "index",
+                   event_type,
+                   round(coalesce(sum(value), 0), 6) AS v_sum,
+                   count(value) AS n
+            FROM events GROUP BY 1, 2
         """,
         "ivfpq_topk": _EMB_CTE + f"""
             , c0 AS (

@@ -138,6 +138,7 @@ HEADLINE = [
     "pq_codes",
     "pq_topk_adc",
     "ivfpq_topk",
+    "rollup_daily_local",
 ]
 
 
