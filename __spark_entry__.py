@@ -1947,6 +1947,21 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_stream_distinct_hourly(spark, sf_dir):
+    """Streaming exact distinct users per hour x type (streaming/
+    stream.py::stream_distinct_counts): two CHAINED stateful operators
+    (keyed dedup store -> windowed count store) in one query — the
+    batch count_distinct oracle verifies the drained result exactly,
+    including keys recurring across micro-batch boundaries."""
+    from pypond_spark.streaming import stream_distinct_counts
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_distinct_counts(sdf, "user_id", window="1h",
+                                 partition_by=["event_type"])
+    result = _run_stream_32(spark, out, "complete")
+    return result.select(F.unix_millis("begin").alias("begin_ms"),
+                         "event_type", "u_user_id")
+
+
 def q_rollup_daily_local(spark, sf_dir):
     """Local-time calendar rollup (§2.6's utc=False path, reference
     series.py:1278-1331 parity): daily buckets in America/New_York wall
@@ -2496,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_adc": q_pq_topk_adc,
         "ivfpq_topk": q_ivfpq_topk,
         "rollup_daily_local": q_rollup_daily_local,
+        "stream_distinct_hourly": q_stream_distinct_hourly,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3057,6 +3073,11 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "stream_distinct_hourly": f"""
+            SELECT {_POS_1H} * 3600000 AS begin_ms, event_type,
+                   count(DISTINCT user_id) AS u_user_id
+            FROM events GROUP BY 1, 2
         """,
         "rollup_daily_local": """
             -- America/New_York in January == EST == UTC-5 for the whole

@@ -1191,6 +1191,42 @@ def stream_exact_dedup(
     return out.dropDuplicates(["__digest"]).drop("__digest")
 
 
+def stream_distinct_counts(
+    sdf: DataFrame,
+    key_col: str,
+    window: str = "1h",
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+) -> DataFrame:
+    """Streaming exact distinct-count per window (x group): TWO chained
+    stateful operators — ``dropDuplicates`` on (group, key, bucket)
+    feeds a windowed count — which Spark 4 executes as two keyed state
+    stores in one query. A key seen again in a LATER micro-batch of the
+    same bucket is still suppressed (that is the state store's job), so
+    the drained result is exactly the batch ``count_distinct`` — the
+    oracle is that batch SQL verbatim.
+
+    State honesty at 100 TB: the dedup store holds one entry per
+    DISTINCT (group, key, bucket) — same asymptotics as the batch
+    count_distinct shuffle, but resident until the bucket is evicted;
+    bound it with a watermark on ingestion or fall back to
+    ``approx_count_distinct`` (sketch state) when key cardinality per
+    bucket is unbounded. Drain with output mode ``complete``.
+    """
+    dur = window_duration_ms(window)
+    if dur is None:
+        raise ValueError(f"window needs a fixed window spec, got {window!r}")
+    keys = list(partition_by)
+    bucket = F.timestamp_millis(
+        (F.floor(F.unix_millis(F.col(time_col)) / F.lit(dur))
+         * F.lit(dur)).cast("long"))
+    dd = (sdf.withColumn("__bucket", bucket)
+          .dropDuplicates([*keys, key_col, "__bucket"]))
+    return (dd.groupBy("__bucket", *keys)
+            .agg(F.count("*").alias(f"u_{key_col}"))
+            .withColumnRenamed("__bucket", "begin"))
+
+
 def run_available_now(sdf: DataFrame, output_mode: str,
                       name: str | None = None) -> DataFrame:
     """Drain all available input through a memory sink (the test/flush path:

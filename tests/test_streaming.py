@@ -681,3 +681,18 @@ def test_stream_holt_winters_matches_batch(spark, stream_dir):
             assert (a == b) or (a is None and b is None) \
                 or (math.isnan(a) if a is not None else False) \
                 and (math.isnan(b) if b is not None else False), (k, v, bgot[k])
+
+
+def test_stream_distinct_counts_cross_batch(spark, stream_dir):
+    """A user recurring in a LATER micro-batch of the same bucket is
+    suppressed by the chained dedup state store."""
+    from pypond_spark.streaming import stream_distinct_counts
+    sdf = _read_stream(spark, stream_dir)
+    # 1-minute buckets: user a hits minute-0 twice IN batch 1 (0, 30s)
+    # and minute-1 twice ACROSS batches (60s in b1, 90s in b2)
+    out = stream_distinct_counts(sdf, "user", window="1m")
+    rows = run_available_now(out, "complete").collect()
+    got = {int(r["begin"].timestamp() * 1000): r["u_user"] for r in rows}
+    assert got[0] == 2        # a + b in minute 0
+    assert got[60_000] == 2   # a (deduped across batches) + b
+    assert got[120_000] == 1  # a only
