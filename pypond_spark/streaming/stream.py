@@ -1288,6 +1288,21 @@ class StreamPipeline:
         return stream_sessions(self._sdf, window, self._groups,
                                self._time_col)
 
+    def distinct_counts(self, key_col: str,
+                        window: str = "1h") -> DataFrame:
+        """Drain with output mode ``complete``."""
+        return stream_distinct_counts(self._sdf, key_col, window,
+                                      self._groups, self._time_col)
+
+    def holt_winters(self, field: str = "value", period: int = 24,
+                     alpha: float = 0.5, beta: float = 0.5,
+                     gamma: float = 0.5,
+                     carry_cols: Sequence[str] = ()) -> DataFrame:
+        return stream_holt_winters(self._sdf, field, period, alpha,
+                                   beta, gamma, self._groups,
+                                   self._time_col,
+                                   carry_cols=carry_cols)
+
     def align(self, window: str, field_spec="value", method="linear",
               limit=None) -> DataFrame:
         return stream_align(self._sdf, window, field_spec, method, limit,
