@@ -795,3 +795,29 @@ def test_ivfpq_full_probe_equals_pq(spark):
               S.ivfpq_topk(df, q, cents, books, k=5, nprobe=1).collect()}
     all_ids = {r["vec_id"] for r in df.select("vec_id").collect()}
     assert narrow <= all_ids and len(narrow) == 5
+
+
+def test_pq_encode_arrow_matches_expression_path(spark):
+    """BLAS encode == expression encode on every vector (the rounded
+    argmin pins knife edges — same contract as the near-dups Arrow twin);
+    short vectors are dropped, matching the expr path's NULL-degrade."""
+    from pypond_spark.datapipe import similarity as S
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = S.pq_build(df, n_blocks=8, n_codes=16, n_iters=2, dim=64)
+    a = {r["vec_id"]: tuple(r[f"code{b}"] for b in range(8))
+         for r in S.pq_encode(df, books).collect()}
+    b = {r["vec_id"]: tuple(r[f"code{b}"] for b in range(8))
+         for r in S.pq_encode_arrow(df, books).collect()}
+    assert a == b and len(a) == 500
+
+
+def test_pq_build_arrow_matches_expression_build(spark):
+    """Arrow build (one-hot matmul partial sums) derives the IDENTICAL
+    quantized codebooks as the expression build."""
+    from pypond_spark.datapipe import similarity as S
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = S.pq_build(df, n_blocks=8, n_codes=16, n_iters=2, dim=64,
+                   quantize=6)
+    b = S.pq_build_arrow(df, n_blocks=8, n_codes=16, n_iters=2, dim=64,
+                         quantize=6)
+    assert a == b

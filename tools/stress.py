@@ -1,0 +1,140 @@
+"""Throughput stress for the round-4-continuation operators at 20M rows.
+
+Synthesizes a deterministic 20M-row event frame (5000 series) and a 2M x
+64-dim embedding frame with column expressions (no data files, no rand()),
+then times each operator against the noop sink — the same methodology as
+SCALE.md's original 20M-row table.
+
+Usage: python tools/stress.py [rows_millions] [op ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pypond_spark.session import get_spark  # noqa: E402
+
+
+def events(spark, n_rows: int, n_series: int = 5000):
+    """Deterministic irregular series: ~1 event/series/minute, value =
+    slow trend + daily cycle + hash noise."""
+    ms_per = 60_000 * n_series
+    return (spark.range(n_rows)
+            .withColumn("user_id", (F.col("id") % n_series).cast("long"))
+            .withColumn("time", F.timestamp_millis(
+                (F.col("id") / n_series).cast("long") * 60_000
+                + F.pmod(F.xxhash64("id"), 60_000)))
+            .withColumn("event_type",
+                        F.element_at(F.array(F.lit("click"), F.lit("view"),
+                                             F.lit("buy")),
+                                     (F.col("id") % 3 + 1).cast("int")))
+            .withColumn("value",
+                        (F.col("id") / F.lit(float(ms_per))).cast("double")
+                        + F.sin(F.col("id") % 1440 / F.lit(229.18))
+                        * F.lit(10.0)
+                        + (F.pmod(F.xxhash64("id", F.lit(1)), 1000)
+                           / F.lit(100.0)))
+            .drop("id"))
+
+
+def embeddings(spark, n_rows: int, dim: int = 64):
+    comps = [(F.pmod(F.xxhash64("id", F.lit(i)), 2001) / F.lit(1000.0)
+              - F.lit(1.0)).cast("float") for i in range(dim)]
+    return (spark.range(n_rows)
+            .select(F.col("id").alias("vec_id"),
+                    F.array(*comps).alias("embedding")))
+
+
+def sink(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    mrows = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
+    only = set(sys.argv[2:])
+    n = int(mrows * 1_000_000)
+    spark = get_spark("pypond_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = events(spark, n).localCheckpoint()  # exclude synthesis cost
+    emb = embeddings(spark, max(n // 10, 1)).localCheckpoint()
+
+    from pypond_spark.operators.aggregate import densify_rollup
+    from pypond_spark.operators.correlate import (autocorrelation,
+                                                  rolling_correlation,
+                                                  theil_sen)
+    from pypond_spark.operators.incremental import merge_rollups
+    from pypond_spark.operators.rolling import holt_winters
+    from pypond_spark.operators.skew import salted_join
+    from pypond_spark.datapipe.similarity import (pq_build,
+                                                  pq_build_arrow,
+                                                  pq_encode,
+                                                  pq_encode_arrow)
+
+    half = ev.where(F.col("user_id") < 2500)
+    dim_df = (ev.select("user_id").distinct()
+              .withColumn("segment", F.pmod(F.col("user_id"), 7)))
+    hot = ev.withColumn(
+        "user_id", F.when(F.pmod(F.xxhash64("time"), 10) < 9, F.lit(0))
+        .otherwise(F.col("user_id")))  # 90% of rows on key 0
+
+    def roll(d):
+        from pypond_spark import TimeSeries
+        return TimeSeries(d, kind="time").fixed_window_rollup(
+            "1h", {"v_sum": {"value": "sum"}, "n": {"value": "count"}},
+            group_by="event_type").df
+
+    books_holder = {}
+
+    ops = {
+        "holt_winters": lambda: sink(holt_winters(
+            ev, "value", period=24, partition_by=["user_id"])),
+        "autocorrelation": lambda: sink(autocorrelation(
+            ev, "value", lags=(1, 2, 24), bucket="1h",
+            partition_by=["user_id"])),
+        "theil_sen": lambda: sink(theil_sen(
+            ev, "value", bucket="1h", partition_by=["user_id"])),
+        "rolling_correlation": lambda: sink(rolling_correlation(
+            ev, "event_type", "click", "view", bucket="1h", lookback=24)),
+        "salted_join_hotkey": lambda: sink(
+            salted_join(hot, dim_df, "user_id", salt=32)
+            .groupBy("segment").agg(F.sum("value"))),
+        "plain_join_hotkey": lambda: sink(
+            hot.join(dim_df, "user_id")
+            .groupBy("segment").agg(F.sum("value"))),
+        "merge_rollups": lambda: sink(merge_rollups(
+            [roll(half), roll(ev.where(F.col("user_id") >= 2500))],
+            ["index", "event_type"], {"v_sum": "sum", "n": "count"})),
+        "densify_rollup": lambda: sink(densify_rollup(
+            roll(ev), "1h", group_by="event_type",
+            fill={"v_sum": 0.0, "n": 0})),
+        "pq_build_2m": lambda: books_holder.update(
+            books=pq_build(emb, n_blocks=8, n_codes=16, n_iters=2,
+                           dim=64)),
+        "pq_encode_2m": lambda: sink(pq_encode(
+            emb, books_holder["books"])),
+        "pq_encode_arrow_2m": lambda: sink(pq_encode_arrow(
+            emb, books_holder["books"])),
+        "pq_build_arrow_2m": lambda: books_holder.update(
+            books_a=pq_build_arrow(emb, n_blocks=8, n_codes=16,
+                                   n_iters=2, dim=64)),
+    }
+    print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
+    print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
+    for name, fn in ops.items():
+        if only and name not in only:
+            continue
+        base = max(n // 10, 1) if name.endswith("_2m") else n
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        print(f"{name:24s} {dt:7.1f}s {base / dt:>11,.0f}")
+
+
+if __name__ == "__main__":
+    main()
