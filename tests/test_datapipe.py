@@ -821,3 +821,26 @@ def test_pq_build_arrow_matches_expression_build(spark):
     b = S.pq_build_arrow(df, n_blocks=8, n_codes=16, n_iters=2, dim=64,
                          quantize=6)
     assert a == b
+
+
+def test_ivfpq_indexed_prunes_and_matches(spark, tmp_path):
+    """The persisted IVF-PQ index returns the SAME top-k as the in-memory
+    composition, and the probe filter is partition pruning at the scan."""
+    import re
+    from pypond_spark.datapipe import similarity as S
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.ivf_build(df, n_cells=4, n_iters=1, quantize=6)
+    books = S.pq_build(df, n_blocks=8, n_codes=16, n_iters=1, dim=64)
+    path = str(tmp_path / "ivfpq")
+    S.write_ivfpq_index(df, path, cents, books)
+    q = [float(x) for x in df.where("vec_id = 7").first()["embedding"]]
+    mem = [(r["rank"], r["vec_id"], r["adc"]) for r in
+           S.ivfpq_topk(df, q, cents, books, k=5, nprobe=2).collect()]
+    idx_df = S.ivfpq_topk_indexed(spark, path, q, cents, books,
+                                  k=5, nprobe=2)
+    idx = [(r["rank"], r["vec_id"], r["adc"]) for r in idx_df.collect()]
+    assert idx == mem
+    plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cell" in pf  # probe cells pruned at the source
