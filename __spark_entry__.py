@@ -1947,6 +1947,31 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_split_leakage(spark, sf_dir):
+    """Train/test contamination audit (datapipe/decontam.py::
+    split_leakage): per held-out doc, the share of its distinct 3-gram
+    shingles that occur anywhere in the training split. The split is a
+    pure id-hash recomputed on the shingle frame (no join to attach it);
+    the audit is two distinct frames joined on the uniform shingle
+    key."""
+    docs = _read(spark, sf_dir, "documents")
+    from pypond_spark.datapipe.decontam import split_leakage
+    out = split_leakage(docs, {"train": 0.98, "val": 0.01, "test": 0.01})
+    return out.select("doc_id", "n_shingles", "n_leaked", "leak_share")
+
+
+def q_minhash_jaccard_est(spark, sf_dir):
+    """Estimator audit (datapipe/dedup.py::minhash_jaccard_estimate):
+    per LSH candidate pair, signature-estimated Jaccard (k=8 components,
+    stderr ~0.35) vs exact shingle Jaccard and the absolute error — how
+    you size num_hashes/band geometry on a real corpus."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dp_dedup.lsh_candidate_pairs(docs).select("id_a", "id_b")
+    out = dp_dedup.minhash_jaccard_estimate(docs, pairs)
+    return out.select("id_a", "id_b", "jaccard_est", "jaccard_exact",
+                      "abs_err")
+
+
 def q_stream_distinct_hourly(spark, sf_dir):
     """Streaming exact distinct users per hour x type (streaming/
     stream.py::stream_distinct_counts): two CHAINED stateful operators
@@ -2512,6 +2537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "rollup_daily_local": q_rollup_daily_local,
         "stream_distinct_hourly": q_stream_distinct_hourly,
+        "split_leakage": q_split_leakage,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3073,6 +3100,73 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "split_leakage": _SHINGLES + """
+            , sp AS (
+              SELECT doc_id,
+                     CASE WHEN h < 0.98 THEN 'train'
+                          WHEN h < 0.99 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5('0|' || doc_id::VARCHAR),
+                                           1, 8))::BIGINT
+                             / 4294967296.0 AS h
+                    FROM documents)
+            ), ssh AS (
+              SELECT DISTINCT doc_id, shingle FROM sh
+            ), tr AS (
+              SELECT DISTINCT s.shingle
+              FROM ssh s JOIN sp USING (doc_id)
+              WHERE sp.split = 'train'
+            )
+            SELECT s.doc_id, count(*) AS n_shingles,
+                   count(tr.shingle) AS n_leaked,
+                   round(CAST(count(tr.shingle) AS DOUBLE) / count(*), 6)
+                     AS leak_share
+            FROM ssh s
+            JOIN sp USING (doc_id)
+            LEFT JOIN tr ON s.shingle = tr.shingle
+            WHERE sp.split = 'test'
+            GROUP BY 1
+        """,
+        "minhash_jaccard_est": _SHINGLES + f"""
+            , sig AS (
+              SELECT doc_id,
+                     {_mh_sig_cols(8)}
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([
+                  md5(concat_ws('|', '0', m0, m1, m2, m3)),
+                  md5(concat_ws('|', '1', m4, m5, m6, m7))]) AS band
+              FROM sig
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.doc_id < b.doc_id
+            ), sets AS (
+              SELECT doc_id, list(DISTINCT shingle) AS s FROM sh
+              GROUP BY doc_id
+            )
+            SELECT cand.id_a, cand.id_b,
+                   round(({" + ".join(
+                       f"(CASE WHEN a.m{k} = b.m{k} THEN 1 ELSE 0 END)"
+                       for k in range(8))}) / 8.0, 6) AS jaccard_est,
+                   round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                         / (len(sa.s) + len(sb.s)
+                            - len(list_intersect(sa.s, sb.s))), 6)
+                     AS jaccard_exact,
+                   round(abs(({" + ".join(
+                       f"(CASE WHEN a.m{k} = b.m{k} THEN 1 ELSE 0 END)"
+                       for k in range(8))}) / 8.0
+                         - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                           / (len(sa.s) + len(sb.s)
+                              - len(list_intersect(sa.s, sb.s)))), 6)
+                     AS abs_err
+            FROM cand
+            JOIN sig a ON a.doc_id = cand.id_a
+            JOIN sig b ON b.doc_id = cand.id_b
+            JOIN sets sa ON sa.doc_id = cand.id_a
+            JOIN sets sb ON sb.doc_id = cand.id_b
         """,
         "stream_distinct_hourly": f"""
             SELECT {_POS_1H} * 3600000 AS begin_ms, event_type,

@@ -139,6 +139,8 @@ HEADLINE = [
     "pq_topk_adc",
     "ivfpq_topk",
     "rollup_daily_local",
+    "split_leakage",
+    "minhash_jaccard_est",
 ]
 
 

@@ -60,3 +60,43 @@ def decontaminate(docs: DataFrame, bench_grams: DataFrame,
                      .alias("contaminated_grams"),
                     (F.coalesce("contaminated_grams", F.lit(0))
                      >= F.lit(min_hits)).alias("contaminated")))
+
+
+def split_leakage(df: DataFrame, splits: dict[str, float],
+                  train_split: str = "train", test_split: str = "test",
+                  shingle_n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  seed: int | str = 0) -> DataFrame:
+    """Train/test contamination audit: for every held-out document, how
+    many of its distinct word n-grams also occur ANYWHERE in the training
+    split — the self-inflicted version of benchmark decontamination
+    (splitting AFTER dedup is the rule; this measures what leaked through
+    anyway, e.g. near-duplicates below the dedup threshold).
+
+    The split is recomputed on the shingle frame from the same pure
+    id-hash ``assign_splits`` uses — a function of the id, so NO join is
+    needed to attach it. The comparison is two distinct-shingle frames
+    joined on the uniform shingle key: one shuffle for each distinct,
+    one for the join; nothing quadratic, and the test side is tiny by
+    construction (it's the held-out fraction).
+
+    Output: ``(id, n_shingles, n_leaked, leak_share)`` per test doc —
+    leak_share ~1.0 means the eval doc effectively exists in training.
+    """
+    from pypond_spark.datapipe.sampling import assign_splits
+
+    sh = assign_splits(word_shingles(df, text_col, shingle_n, id_col),
+                       splits, id_col, seed)
+    train_sh = (sh.where(F.col("split") == train_split)
+                .select("shingle").distinct()
+                .withColumn("__hit", F.lit(1)))
+    test_sh = (sh.where(F.col("split") == test_split)
+               .select(id_col, "shingle").distinct())
+    return (test_sh.join(train_sh, "shingle", "left")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_shingles"),
+                 F.count("__hit").alias("n_leaked"))
+            .withColumn("leak_share",
+                        F.round(F.try_divide(
+                            F.col("n_leaked").cast("double"),
+                            F.col("n_shingles").cast("double")), 6)))

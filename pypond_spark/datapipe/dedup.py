@@ -593,3 +593,37 @@ def strip_spans(df: DataFrame, spans: DataFrame,
             yield out
 
     return joined.mapInPandas(cut, out_schema)
+
+
+def minhash_jaccard_estimate(df: DataFrame, pairs: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             num_hashes: int = 8,
+                             shingle_n: int = 3) -> DataFrame:
+    """Estimator-vs-truth audit for the MinHash pipeline: per candidate
+    pair, the signature-based Jaccard ESTIMATE (fraction of equal
+    signature components — an unbiased estimator with stderr
+    ~1/sqrt(k)) next to the EXACT shingle Jaccard, plus the absolute
+    error. This is how you size ``num_hashes``/band geometry on a real
+    corpus: run it on a candidate sample and read the error column.
+
+    Same candidate-only join discipline as :func:`ngram_jaccard` —
+    signatures join on the pair ids, never all-pairs.
+    """
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    a = sig.select(F.col(id_col).alias("id_a"),
+                   *[F.col(f"m{k}").alias(f"__a{k}")
+                     for k in range(num_hashes)])
+    b = sig.select(F.col(id_col).alias("id_b"),
+                   *[F.col(f"m{k}").alias(f"__b{k}")
+                     for k in range(num_hashes)])
+    matches = sum(F.when(F.col(f"__a{k}") == F.col(f"__b{k}"), 1)
+                  .otherwise(0) for k in range(num_hashes))
+    est = (matches.cast("double") / F.lit(float(num_hashes)))
+    exact = ngram_jaccard(df, pairs, text_col, id_col, shingle_n)
+    return (exact.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    F.round(est, 6).alias("jaccard_est"),
+                    F.round("jaccard", 6).alias("jaccard_exact"),
+                    F.round(F.abs(est - F.col("jaccard")), 6)
+                    .alias("abs_err")))
