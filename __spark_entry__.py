@@ -1947,6 +1947,33 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_cube_revenue(spark, sf_dir):
+    """Multi-dimensional CUBE (native Catalyst Expand): revenue over
+    every subset of (returnflag, linestatus) in ONE pass — the Expand
+    operator multiplies rows by 4 grouping sets map-side, then a single
+    partial-aggregable groupBy; grouping_id disambiguates the NULL
+    super-aggregate rows."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.sum(_rev_decimal()).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items"),
+                 F.grouping_id().alias("grp")))
+
+
+def q_rollup_hierarchy(spark, sf_dir):
+    """Hierarchical ROLLUP (year > month > total): the subtotal ladder
+    in one Expand pass — 3 grouping sets, one shuffle, grouping_id
+    labels each level."""
+    orders = _read(spark, sf_dir, "orders")
+    return (orders
+            .withColumn("o_year", F.year("o_orderdate").cast("long"))
+            .withColumn("o_month", F.month("o_orderdate").cast("long"))
+            .rollup("o_year", "o_month")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders"),
+                 F.grouping_id().alias("grp")))
+
+
 def q_split_leakage(spark, sf_dir):
     """Train/test contamination audit (datapipe/decontam.py::
     split_leakage): per held-out doc, the share of its distinct 3-gram
@@ -2539,6 +2566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_distinct_hourly": q_stream_distinct_hourly,
         "split_leakage": q_split_leakage,
         "minhash_jaccard_est": q_minhash_jaccard_est,
+        "cube_revenue": q_cube_revenue,
+        "rollup_hierarchy": q_rollup_hierarchy,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3100,6 +3129,28 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_extendedprice::DECIMAL(12,2)
+                            * (1::DECIMAL(12,2)
+                               - l_discount::DECIMAL(12,2))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_items,
+                   CAST(grouping(l_returnflag, l_linestatus) AS BIGINT)
+                     AS grp
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "rollup_hierarchy": """
+            SELECT year(o_orderdate) AS o_year,
+                   month(o_orderdate) AS o_month,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders,
+                   CAST(grouping(year(o_orderdate), month(o_orderdate))
+                        AS BIGINT) AS grp
+            FROM orders
+            GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
         """,
         "split_leakage": _SHINGLES + """
             , sp AS (

@@ -141,6 +141,8 @@ HEADLINE = [
     "rollup_daily_local",
     "split_leakage",
     "minhash_jaccard_est",
+    "cube_revenue",
+    "rollup_hierarchy",
 ]
 
 

@@ -92,6 +92,15 @@ def main() -> None:
     print("closed sessions:",
           [(r["sensor"], r["begin_ms"], r["n"]) for r in sess])
 
+    # 7. exact distinct sensors per minute: chained stateful dedup + agg
+    # (ungrouped — the per-sensor pipeline would trivially count 1)
+    from pypond_spark.streaming import stream_distinct_counts
+    dc = run_available_now(stream_distinct_counts(source(), "sensor", "1m"),
+                           "complete").collect()
+    print("distinct sensors by minute:",
+          sorted((int(r["begin"].timestamp() * 1000), r["u_sensor"])
+                 for r in dc))
+
     spark.stop()
 
 
