@@ -1947,6 +1947,23 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_anomaly_ensemble(spark, sf_dir):
+    """Majority-vote anomaly ensemble (operators/rolling.py::
+    anomaly_ensemble): mean/sigma z + median/MAD robust z + seasonal
+    deviation, 2-of-3 votes. Three already-oracled detectors composed —
+    the event table is scanned, never shuffled (window + broadcast
+    stats), and an abstaining detector (NULL score) casts no vote."""
+    from pypond_spark.operators.rolling import anomaly_ensemble
+    df = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    out = anomaly_ensemble(df, "value", partition_by=["event_type"])
+    return out.select(
+        "event_id", "event_type",
+        (F.round("value_zscore", 6) + F.lit(0.0)).alias("z"),
+        (F.round("value_rz", 6) + F.lit(0.0)).alias("rz"),
+        (F.round("deviation", 6) + F.lit(0.0)).alias("dev"),
+        "votes", "ensemble_anomaly")
+
+
 def q_cube_revenue(spark, sf_dir):
     """Multi-dimensional CUBE (native Catalyst Expand): revenue over
     every subset of (returnflag, linestatus) in ONE pass — the Expand
@@ -2568,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "cube_revenue": q_cube_revenue,
         "rollup_hierarchy": q_rollup_hierarchy,
+        "anomaly_ensemble": q_anomaly_ensemble,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3129,6 +3147,59 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "anomaly_ensemble": """
+            WITH s AS (
+              SELECT event_id, event_type, ts, value,
+                     avg(value) OVER w AS mu,
+                     stddev_pop(value) OVER w AS sigma
+              FROM events WINDOW w AS (PARTITION BY event_type)
+            ), med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1
+            ), mad AS (
+              SELECT e.event_type,
+                     quantile_cont(abs(e.value - med.m), 0.5) AS d
+              FROM events e JOIN med USING (event_type)
+              WHERE e.value IS NOT NULL AND NOT isnan(e.value)
+              GROUP BY e.event_type
+            ), prof AS (
+              SELECT event_type, dayofweek(ts) AS dow, hour(ts) AS hod,
+                     avg(value) AS mean, stddev_pop(value) AS std,
+                     count(value) AS n
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1, 2, 3
+            ), scored AS (
+              SELECT s.event_id, s.event_type,
+                     CASE WHEN s.sigma = 0 THEN NULL
+                          ELSE (s.value - s.mu) / s.sigma END AS z,
+                     CASE WHEN mad.d > 0
+                          THEN 0.6745 * (s.value - med.m) / mad.d
+                     END AS rz,
+                     CASE WHEN p.n >= 2 AND p.std > 0
+                          THEN (s.value - p.mean) / p.std END AS dev
+              FROM s
+              JOIN med USING (event_type)
+              JOIN mad USING (event_type)
+              LEFT JOIN prof p
+                ON s.event_type = p.event_type
+               AND dayofweek(s.ts) = p.dow AND hour(s.ts) = p.hod
+            )
+            SELECT event_id, event_type,
+                   round(z, 6) + 0.0 AS z,
+                   round(rz, 6) + 0.0 AS rz,
+                   round(dev, 6) + 0.0 AS dev,
+                   coalesce(abs(z) > 3.0, false)::INT
+                   + coalesce(abs(rz) > 3.5, false)::INT
+                   + coalesce(abs(dev) > 3.0, false)::INT AS votes,
+                   (coalesce(abs(z) > 3.0, false)::INT
+                    + coalesce(abs(rz) > 3.5, false)::INT
+                    + coalesce(abs(dev) > 3.0, false)::INT) >= 2
+                     AS ensemble_anomaly
+            FROM scored
         """,
         "cube_revenue": """
             SELECT l_returnflag, l_linestatus,

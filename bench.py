@@ -143,6 +143,7 @@ HEADLINE = [
     "minhash_jaccard_est",
     "cube_revenue",
     "rollup_hierarchy",
+    "anomaly_ensemble",
 ]
 
 

@@ -341,6 +341,47 @@ def holt(df: DataFrame, field: str = "value", alpha: float = 0.5,
     return parts.mapInPandas(per_partition, out_schema)
 
 
+def anomaly_ensemble(df: DataFrame, field: str = "value",
+                     partition_by: Sequence[str] = (),
+                     time_col: str = "time",
+                     z_threshold: float = 3.0,
+                     robust_threshold: float = 3.5,
+                     seasonal_threshold: float = 3.0,
+                     min_votes: int = 2, tz: str = "UTC") -> DataFrame:
+    """Majority-vote anomaly detection: three detectors with disjoint
+    failure modes — mean/sigma z-score (cheap, but outliers inflate their
+    own baseline), median/MAD robust z (breakdown-resistant), and the
+    seasonal-profile deviation (catches "normal value, wrong hour") —
+    each votes, and ``min_votes`` of 3 flags the event. A single fat-tail
+    burst fools the z-score; a corpus-wide level shift fools the
+    seasonal profile; requiring agreement suppresses each detector's
+    solo false-positive mode.
+
+    Composition of three already-oracled operators, so the plan is their
+    union: one whole-partition window (z), two bounded quantile
+    aggregations broadcast back (robust), one slot-profile aggregation
+    broadcast back (seasonal) — the event table is never shuffled, only
+    scanned. A detector that abstains (NULL score: zero variance, thin
+    slot) contributes no vote, not a veto. Appends the three scores,
+    ``votes`` and ``ensemble_anomaly``.
+    """
+    from .seasonal import seasonal_anomaly as seasonal_op
+
+    out = zscore(df, field, window=None, partition_by=partition_by,
+                 time_col=time_col, threshold=z_threshold)
+    out = robust_zscore(out, field, partition_by, robust_threshold)
+    out = seasonal_op(out, field, partition_by, time_col, tz=tz)
+    votes = (
+        F.coalesce(F.col(f"{field}_anomaly").cast("int"), F.lit(0))
+        + F.coalesce(F.col(f"{field}_outlier").cast("int"), F.lit(0))
+        + F.coalesce((F.abs(F.col("deviation"))
+                      > F.lit(float(seasonal_threshold))).cast("int"),
+                     F.lit(0)))
+    return (out.withColumn("votes", votes)
+            .withColumn("ensemble_anomaly",
+                        F.col("votes") >= F.lit(int(min_votes))))
+
+
 def holt_winters(df: DataFrame, field: str = "value", period: int = 24,
                  alpha: float = 0.5, beta: float = 0.5, gamma: float = 0.5,
                  partition_by: Sequence[str] = (),

@@ -642,3 +642,25 @@ def test_holt_winters_locks_onto_pure_seasonal(spark):
     nxt = l + b + s[64 % 4]
     assert abs(nxt - pat[64 % 4]) < 1.5  # locked near the cycle
     assert abs(b) < 0.5  # no trend in a pure cycle
+
+
+def test_anomaly_ensemble_majority_vote(spark):
+    from pypond_spark.operators.rolling import anomaly_ensemble
+    H = 3600_000
+    # 48 calm hourly points + one wild spike: z, robust-z and (weekly
+    # slot has 2+ samples with variance from the spike's absence
+    # elsewhere) -> spike wins >= 2 votes; calm rows win none
+    rows = [(i * H, 10.0 + (i % 3) * 0.1) for i in range(48)]
+    rows.append((48 * H, 500.0))
+    df = spark.createDataFrame(rows, "ms long, value double").select(
+        F.timestamp_millis("ms").alias("time"), "value")
+    out = anomaly_ensemble(df, "value").collect()
+    spike = [r for r in out if r["value"] == 500.0][0]
+    assert spike["votes"] >= 2 and spike["ensemble_anomaly"]
+    calm = [r for r in out if r["value"] != 500.0]
+    assert all(not r["ensemble_anomaly"] for r in calm)
+    # abstention: single-point series -> all detectors NULL, zero votes
+    one = spark.createDataFrame([(0, 5.0)], "ms long, value double") \
+        .select(F.timestamp_millis("ms").alias("time"), "value")
+    r1 = anomaly_ensemble(one, "value").collect()[0]
+    assert r1["votes"] == 0 and not r1["ensemble_anomaly"]
