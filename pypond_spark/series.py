@@ -798,6 +798,24 @@ class TimeSeries:
         return self._with(holt_op(self._df, field, alpha, beta,
                                   partition_by, self.time_col, tiebreak))
 
+    def anomaly_ensemble(self, field: str = "value",
+                         partition_by: Sequence[str] = (),
+                         z_threshold: float = 3.0,
+                         robust_threshold: float = 3.5,
+                         seasonal_threshold: float = 3.0,
+                         min_votes: int = 2,
+                         tz: str = "UTC") -> "TimeSeries":
+        """Majority-vote anomaly detection: z + robust z + seasonal
+        deviation (engine addition; see
+        ``operators.rolling.anomaly_ensemble``)."""
+        if self._kind != "time":
+            raise ValueError("anomaly_ensemble expects instant-event input")
+        from .operators.rolling import anomaly_ensemble as ae_op
+        return self._with(ae_op(self._df, field, partition_by,
+                                self.time_col, z_threshold,
+                                robust_threshold, seasonal_threshold,
+                                min_votes, tz))
+
     def holt_winters(self, field: str = "value", period: int = 24,
                      alpha: float = 0.5, beta: float = 0.5,
                      gamma: float = 0.5,
