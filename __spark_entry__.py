@@ -1947,6 +1947,47 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_transition_matrix(spark, sf_dir):
+    """Per-user event-type transition matrix (Markov step counts +
+    row-normalized probabilities): one lag window over the user
+    partition — the same exchange every per-series operator rides —
+    then a (from, to)-keyed count and a broadcast row-total join.
+    event_id tiebreak pins simultaneous events cross-engine."""
+    df = _events_df(spark, sf_dir)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (df.withColumn("next_type",
+                           F.lead("event_type").over(w))
+             .where(F.col("next_type").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"),
+                      F.col("next_type").alias("to_type"))
+             .agg(F.count("*").alias("n")))
+    totals = steps.groupBy("from_type").agg(F.sum("n").alias("__t"))
+    return (steps.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n") / F.col("__t"), 6).alias("p")))
+
+
+def q_type_affinity(spark, sf_dir):
+    """Within-order co-occurrence of part types (market-basket
+    affinity): the pair join is per-orderkey, so cost is
+    sum(lines-per-order^2) — bounded by the schema's ~7-line orders,
+    never corpus-quadratic; part broadcasts into both legs."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    typed = (li.join(F.broadcast(part),
+                     F.col("l_partkey") == F.col("p_partkey"))
+             .select("l_orderkey", "p_type").distinct())
+    a = typed.select(F.col("l_orderkey").alias("__o"),
+                     F.col("p_type").alias("type_a"))
+    b = typed.select(F.col("l_orderkey").alias("__o"),
+                     F.col("p_type").alias("type_b"))
+    return (a.join(b, "__o")
+            .where(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").alias("n_orders")))
+
+
 def q_anomaly_ensemble(spark, sf_dir):
     """Majority-vote anomaly ensemble (operators/rolling.py::
     anomaly_ensemble): mean/sigma z + median/MAD robust z + seasonal
@@ -2586,6 +2627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": q_cube_revenue,
         "rollup_hierarchy": q_rollup_hierarchy,
         "anomaly_ensemble": q_anomaly_ensemble,
+        "transition_matrix": q_transition_matrix,
+        "type_affinity": q_type_affinity,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3147,6 +3190,34 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "transition_matrix": """
+            WITH steps AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS to_type
+              FROM events
+            ), cnt AS (
+              SELECT from_type, to_type, count(*) AS n
+              FROM steps WHERE to_type IS NOT NULL
+              GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   round(CAST(n AS DOUBLE)
+                         / sum(n) OVER (PARTITION BY from_type), 6) AS p
+            FROM cnt
+        """,
+        "type_affinity": """
+            WITH typed AS (
+              SELECT DISTINCT l_orderkey, p_type
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            )
+            SELECT a.p_type AS type_a, b.p_type AS type_b,
+                   count(*) AS n_orders
+            FROM typed a JOIN typed b
+              ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+            GROUP BY 1, 2
         """,
         "anomaly_ensemble": """
             WITH s AS (

@@ -144,6 +144,8 @@ HEADLINE = [
     "cube_revenue",
     "rollup_hierarchy",
     "anomaly_ensemble",
+    "transition_matrix",
+    "type_affinity",
 ]
 
 
