@@ -1947,6 +1947,20 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_stream_sessions_sum(spark, sf_dir):
+    """stream_sessions with a running value sum in the per-key state
+    (3 longs + 1 double): per closed session, event count AND value
+    total — oracle = the batch session rollup's sum, QUALIFY-trimmed to
+    closed sessions (see stream_sessions)."""
+    from pypond_spark.streaming import stream_sessions
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_sessions(sdf, window="1h", partition_by=["user_id"],
+                          field_spec="value")
+    result = _run_stream_32(spark, out, "append")
+    return result.select("user_id", "begin_ms", "end_ms", "n",
+                         F.round("value_sum", 6).alias("v_sum"))
+
+
 def q_transition_matrix(spark, sf_dir):
     """Per-user event-type transition matrix (Markov step counts +
     row-normalized probabilities): one lag window over the user
@@ -2629,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_ensemble": q_anomaly_ensemble,
         "transition_matrix": q_transition_matrix,
         "type_affinity": q_type_affinity,
+        "stream_sessions_sum": q_stream_sessions_sum,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3190,6 +3205,28 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "stream_sessions_sum": """
+            -- strict > boundary + closed-only emission: see
+            -- stream_sessions
+            WITH b AS (
+              SELECT user_id, epoch_ms(ts) AS ms, value,
+                     CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                            OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                               > 3600000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ms, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ms)
+                       AS sid
+              FROM b
+            )
+            SELECT user_id, min(ms) AS begin_ms,
+                   max(ms) + 3600000 AS end_ms, count(*) AS n,
+                   round(sum(value), 6) AS v_sum
+            FROM s GROUP BY user_id, sid
+            QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
         """,
         "transition_matrix": """
             WITH steps AS (

@@ -256,12 +256,15 @@ def stream_gaps(
     return out.drop("__k") if dummy else out
 
 
-def _sessions_state_fn(keys: list[str], time_col: str, gap_ms: int):
+def _sessions_state_fn(keys: list[str], time_col: str, gap_ms: int,
+                       fields: list[str]):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
-            begin, last, n = state.get
+            begin, last, n = state.get[0], state.get[1], state.get[2]
+            sums = list(state.get[3:])
         else:
             begin, last, n = None, None, 0
+            sums = [0.0] * len(fields)
         outs = []
         pdf = _whole_group(pdfs, time_col)
         for _, row in pdf.iterrows():
@@ -270,15 +273,20 @@ def _sessions_state_fn(keys: list[str], time_col: str, gap_ms: int):
             # the session, matching Spark's native session_window (and so
             # the batch operator) on the boundary
             if last is not None and cur_ms - last > gap_ms:
-                outs.append(list(key) + [begin, last + gap_ms, n])
-                begin, n = cur_ms, 0
+                outs.append(list(key) + [begin, last + gap_ms, n, *sums])
+                begin, n, sums = cur_ms, 0, [0.0] * len(fields)
             if begin is None:
                 begin = cur_ms
             n += 1
+            for i, f in enumerate(fields):
+                v = row[f]
+                if v is not None and not pd.isna(v):
+                    sums[i] = sums[i] + float(v)
             last = cur_ms
         if last is not None:
-            state.update((begin, last, n))
-        cols = keys + ["begin_ms", "end_ms", "n"]
+            state.update((begin, last, n, *sums))
+        cols = (keys + ["begin_ms", "end_ms", "n"]
+                + [f"{f}_sum" for f in fields])
         yield pd.DataFrame(outs, columns=cols)
 
     return fn
@@ -289,6 +297,7 @@ def stream_sessions(
     window: str | int = "1h",
     partition_by: Sequence[str] = (),
     time_col: str = "time",
+    field_spec: str | Sequence[str] = (),
 ) -> DataFrame:
     """Cross-batch stateful sessionization: the streaming twin of
     ``TimeSeries.session_window_rollup`` — a session is a run of events
@@ -299,8 +308,10 @@ def stream_sessions(
     exactly.
 
     State per key is THREE longs (session begin, last-seen ts, event
-    count) — flat regardless of throughput or session length, so a
-    million-key stream holds state proportional to keys, not events.
+    count) plus one running double per ``field_spec`` field (emitted as
+    ``<field>_sum``; invalid samples contribute nothing) — flat
+    regardless of throughput or session length, so a million-key stream
+    holds state proportional to keys, not events.
     A session is emitted when it CLOSES: the first event >= ``window``
     after its predecessor both emits the previous session and opens the
     next, even across micro-batch boundaries (the open session rides the
@@ -314,18 +325,24 @@ def stream_sessions(
         raise ValueError(f"window needs a fixed window spec, got {window!r}")
     if gap_ms <= 0:
         raise ValueError(f"window must be positive, got {window!r}")
+    fields = ([field_spec] if isinstance(field_spec, str)
+              else list(field_spec))
     sdf, keys, dummy = _keyed(sdf, list(partition_by))
     key_fields = [sdf.schema[k] for k in keys]
     out_schema = T.StructType(
         key_fields
         + [T.StructField("begin_ms", T.LongType()),
            T.StructField("end_ms", T.LongType()),
-           T.StructField("n", T.LongType())])
-    state_schema = T.StructType([T.StructField("begin", T.LongType()),
-                                 T.StructField("last", T.LongType()),
-                                 T.StructField("n", T.LongType())])
+           T.StructField("n", T.LongType())]
+        + [T.StructField(f"{f}_sum", T.DoubleType()) for f in fields])
+    state_schema = T.StructType(
+        [T.StructField("begin", T.LongType()),
+         T.StructField("last", T.LongType()),
+         T.StructField("n", T.LongType())]
+        + [T.StructField(f"s{i}", T.DoubleType())
+           for i in range(len(fields))])
     out = sdf.groupBy(*keys).applyInPandasWithState(
-        _sessions_state_fn(keys, time_col, gap_ms),
+        _sessions_state_fn(keys, time_col, gap_ms, fields),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
