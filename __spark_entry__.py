@@ -1947,6 +1947,26 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_funnel_latency(spark, sf_dir):
+    """Conversion-lag distribution on top of the funnel (how long
+    signup -> click -> purchase actually takes): exact interpolated
+    percentiles of the step gaps over converting users — one tiny
+    aggregation over the funnel frame (users x 3 timestamps), nothing
+    corpus-sized after the funnel's own bounded step aggs."""
+    ts = _events_ts(spark, sf_dir)
+    f = ts.funnel(["signup", "click", "purchase"], within="7d")
+    lat12 = (F.col("t2_ms") - F.col("t1_ms")) / F.lit(1000.0)
+    lat23 = (F.col("t3_ms") - F.col("t2_ms")) / F.lit(1000.0)
+    return f.agg(
+        F.count("t1_ms").alias("n_s1"),
+        F.count("t2_ms").alias("n_s2"),
+        F.count("t3_ms").alias("n_s3"),
+        F.round(F.percentile(lat12, 0.5), 6).alias("lat12_p50"),
+        F.round(F.percentile(lat12, 0.9), 6).alias("lat12_p90"),
+        F.round(F.percentile(lat23, 0.5), 6).alias("lat23_p50"),
+        F.round(F.percentile(lat23, 0.9), 6).alias("lat23_p90"))
+
+
 def q_stream_sessions_sum(spark, sf_dir):
     """stream_sessions with a running value sum in the per-key state
     (3 longs + 1 double): per closed session, event count AND value
@@ -2644,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix": q_transition_matrix,
         "type_affinity": q_type_affinity,
         "stream_sessions_sum": q_stream_sessions_sum,
+        "funnel_latency": q_funnel_latency,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3205,6 +3226,39 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "funnel_latency": """
+            WITH s1 AS (
+              SELECT user_id, min(epoch_ms(ts)) AS t1_ms
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+              SELECT s1.user_id, s1.t1_ms,
+                     min(CASE WHEN epoch_ms(c.ts) > s1.t1_ms
+                              AND epoch_ms(c.ts) <= s1.t1_ms + 604800000
+                              THEN epoch_ms(c.ts) END) AS t2_ms
+              FROM s1 LEFT JOIN events c
+                ON c.user_id = s1.user_id AND c.event_type = 'click'
+              GROUP BY s1.user_id, s1.t1_ms
+            ), s3 AS (
+              SELECT s2.user_id, s2.t1_ms, s2.t2_ms,
+                     min(CASE WHEN epoch_ms(p.ts) > s2.t2_ms
+                              AND epoch_ms(p.ts) <= s2.t1_ms + 604800000
+                              THEN epoch_ms(p.ts) END) AS t3_ms
+              FROM s2 LEFT JOIN events p
+                ON p.user_id = s2.user_id AND p.event_type = 'purchase'
+              GROUP BY s2.user_id, s2.t1_ms, s2.t2_ms
+            )
+            SELECT count(t1_ms) AS n_s1, count(t2_ms) AS n_s2,
+                   count(t3_ms) AS n_s3,
+                   round(quantile_cont((t2_ms - t1_ms) / 1000.0, 0.5), 6)
+                     AS lat12_p50,
+                   round(quantile_cont((t2_ms - t1_ms) / 1000.0, 0.9), 6)
+                     AS lat12_p90,
+                   round(quantile_cont((t3_ms - t2_ms) / 1000.0, 0.5), 6)
+                     AS lat23_p50,
+                   round(quantile_cont((t3_ms - t2_ms) / 1000.0, 0.9), 6)
+                     AS lat23_p90
+            FROM s3
         """,
         "stream_sessions_sum": """
             -- strict > boundary + closed-only emission: see

@@ -146,6 +146,7 @@ HEADLINE = [
     "anomaly_ensemble",
     "transition_matrix",
     "type_affinity",
+    "funnel_latency",
 ]
 
 
