@@ -1947,6 +1947,57 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_stream_transitions(spark, sf_dir):
+    """Streaming transition edges (streaming/stream.py::
+    stream_transitions): ONE string of state per user (last event type);
+    the drained edges counted per (from, to) must equal the batch lag
+    window — including pairs that span micro-batch boundaries."""
+    from pypond_spark.streaming import stream_transitions
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_transitions(sdf, "event_type", partition_by=["user_id"],
+                             tiebreak="event_id")
+    result = _run_stream_32(spark, out, "append")
+    return (result.groupBy("from_type", "to_type")
+            .agg(F.count("*").alias("n")))
+
+
+def q_revenue_pareto(spark, sf_dir):
+    """Revenue concentration (Pareto curve by customer decile): rank
+    customers by revenue, bucket into deciles, emit each decile's share
+    and the running cumulative share. The fact table aggregates once on
+    the uniform orderkey/custkey path; the ntile ranking is a GLOBAL
+    sort of the customer-sized aggregate — fine while customers are the
+    small side (TPC-H's 1:10:40 ratios), and the documented swap for a
+    billion-key frame is approx-percentile revenue cutoffs instead of
+    exact ranks. The cumulative window then runs on 10 rows."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    per_cust = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_custkey")
+                .agg(F.sum(_rev_decimal()).alias("__rev")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("__rev").desc(), F.col("o_custkey"))
+    deciles = (per_cust
+               .withColumn("decile", F.ntile(10).over(w))
+               .groupBy("decile")
+               .agg(F.sum("__rev").alias("__drev"),
+                    F.count("*").alias("n_cust")))
+    total = deciles.agg(F.sum("__drev").alias("__t"))
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding,
+                                               Window.currentRow)
+    return (deciles.join(F.broadcast(total))
+            .withColumn("share", F.round(F.col("__drev").cast("double")
+                                         / F.col("__t").cast("double"), 6))
+            .withColumn("cum_share",
+                        F.round(F.sum(F.col("__drev")).over(cum)
+                                .cast("double")
+                                / F.col("__t").cast("double"), 6))
+            .select("decile", "n_cust",
+                    F.col("__drev").cast("double").alias("revenue"),
+                    "share", "cum_share"))
+
+
 def q_funnel_latency(spark, sf_dir):
     """Conversion-lag distribution on top of the funnel (how long
     signup -> click -> purchase actually takes): exact interpolated
@@ -2665,6 +2716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_affinity": q_type_affinity,
         "stream_sessions_sum": q_stream_sessions_sum,
         "funnel_latency": q_funnel_latency,
+        "stream_transitions": q_stream_transitions,
+        "revenue_pareto": q_revenue_pareto,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3226,6 +3279,44 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "stream_transitions": """
+            WITH steps AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS to_type
+              FROM events
+            )
+            SELECT from_type, to_type, count(*) AS n
+            FROM steps WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "revenue_pareto": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     sum(l_extendedprice::DECIMAL(12,2)
+                         * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2)))
+                       AS rev
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_custkey
+            ), deciles AS (
+              SELECT ntile(10) OVER (ORDER BY rev DESC, o_custkey)
+                       AS decile, rev
+              FROM per_cust
+            ), agg AS (
+              SELECT decile, sum(rev) AS drev, count(*) AS n_cust
+              FROM deciles GROUP BY decile
+            )
+            SELECT decile, n_cust, CAST(drev AS DOUBLE) AS revenue,
+                   round(CAST(drev AS DOUBLE)
+                         / CAST(sum(drev) OVER () AS DOUBLE), 6) AS share,
+                   round(CAST(sum(drev) OVER (ORDER BY decile
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS DOUBLE)
+                         / CAST(sum(drev) OVER () AS DOUBLE), 6)
+                     AS cum_share
+            FROM agg
         """,
         "funnel_latency": """
             WITH s1 AS (

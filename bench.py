@@ -147,6 +147,7 @@ HEADLINE = [
     "transition_matrix",
     "type_affinity",
     "funnel_latency",
+    "revenue_pareto",
 ]
 
 

@@ -350,6 +350,58 @@ def stream_sessions(
     return out.drop("__k") if dummy else out
 
 
+def _transitions_state_fn(keys: list[str], time_col: str, type_col: str,
+                          tiebreak: str | None):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        prev = state.get[0] if state.exists else None
+        outs = []
+        pdf = _whole_group(pdfs, time_col,
+                           (tiebreak,) if tiebreak else ())
+        for _, row in pdf.iterrows():
+            cur = row[type_col]
+            if prev is not None:
+                outs.append(list(key)
+                            + [int(row[time_col].value // 10**6),
+                               prev, cur])
+            prev = cur
+        if prev is not None:
+            state.update((prev,))
+        cols = keys + ["t_ms", "from_type", "to_type"]
+        yield pd.DataFrame(outs, columns=cols)
+
+    return fn
+
+
+def stream_transitions(
+    sdf: DataFrame,
+    type_col: str = "event_type",
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Cross-batch event-sequence edges: one (from, to) row per
+    consecutive pair within each key — the streaming feed of the batch
+    transition matrix (count/pivot the drained edges, or window-agg them
+    downstream). State per key is ONE string (the last seen type), so a
+    pair spanning a micro-batch boundary is still emitted.
+    """
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
+    key_fields = [sdf.schema[k] for k in keys]
+    t = sdf.schema[type_col].dataType
+    out_schema = T.StructType(
+        key_fields
+        + [T.StructField("t_ms", T.LongType()),
+           T.StructField("from_type", t), T.StructField("to_type", t)])
+    state_schema = T.StructType([T.StructField("prev", t)])
+    out = sdf.groupBy(*keys).applyInPandasWithState(
+        _transitions_state_fn(keys, time_col, type_col, tiebreak),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out
+
+
 def _cum_state_fn(rows_spec, keys: list[str], time_col: str,
                   tiebreak: str | None, carry: list[str]):
     in_cols = list(dict.fromkeys(r[1] for r in rows_spec))
