@@ -1947,6 +1947,44 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_interarrival_stats(spark, sf_dir):
+    """Inter-arrival distribution per event_type (is traffic bursty or
+    steady): one lag window on the type partition, then exact
+    interpolated percentiles of the gaps — the workload-characterization
+    twin of find_gaps' outage view."""
+    df = _events_df(spark, sf_dir)
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap = (F.unix_millis("ts")
+           - F.unix_millis(F.lag("ts").over(w))) / F.lit(1000.0)
+    gaps = df.withColumn("__gap", gap).where(F.col("__gap").isNotNull())
+    return (gaps.groupBy("event_type")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.round(F.avg("__gap"), 6).alias("gap_mean"),
+                 F.round(F.percentile("__gap", 0.5), 6).alias("gap_p50"),
+                 F.round(F.percentile("__gap", 0.9), 6).alias("gap_p90"),
+                 F.round(F.percentile("__gap", 0.99), 6).alias("gap_p99"),
+                 F.round(F.max("__gap"), 6).alias("gap_max")))
+
+
+def q_series_describe(spark, sf_dir):
+    """Pandas-style describe() per series (TimeSeries.describe): count,
+    mean, population std, min, exact quartiles, max — ONE
+    partial-aggregable groupBy; the quartiles ride the same pass as
+    multi-arg percentile."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.describe("value", group_by="event_type")
+    return out.select(
+        "event_type", "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        "min",
+        F.round("q25", 6).alias("q25"),
+        F.round("q50", 6).alias("q50"),
+        F.round("q75", 6).alias("q75"),
+        "max")
+
+
 def q_stream_transitions(spark, sf_dir):
     """Streaming transition edges (streaming/stream.py::
     stream_transitions): ONE string of state per user (last event type);
@@ -2718,6 +2756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "stream_transitions": q_stream_transitions,
         "revenue_pareto": q_revenue_pareto,
+        "interarrival_stats": q_interarrival_stats,
+        "series_describe": q_series_describe,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3279,6 +3319,36 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "interarrival_stats": """
+            WITH g AS (
+              SELECT event_type,
+                     (epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                        PARTITION BY event_type ORDER BY ts, event_id))
+                       / 1000.0 AS gap
+              FROM events
+            )
+            SELECT event_type, count(*) AS n_gaps,
+                   round(avg(gap), 6) AS gap_mean,
+                   round(quantile_cont(gap, 0.5), 6) AS gap_p50,
+                   round(quantile_cont(gap, 0.9), 6) AS gap_p90,
+                   round(quantile_cont(gap, 0.99), 6) AS gap_p99,
+                   round(max(gap), 6) AS gap_max
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY 1
+        """,
+        "series_describe": """
+            SELECT event_type, count(value) AS n,
+                   round(avg(value), 6) AS mean,
+                   round(stddev_pop(value), 6) AS std,
+                   min(value) AS min,
+                   round(quantile_cont(value, 0.25), 6) AS q25,
+                   round(quantile_cont(value, 0.5), 6) AS q50,
+                   round(quantile_cont(value, 0.75), 6) AS q75,
+                   max(value) AS max
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1
         """,
         "stream_transitions": """
             WITH steps AS (

@@ -148,6 +148,8 @@ HEADLINE = [
     "type_affinity",
     "funnel_latency",
     "revenue_pareto",
+    "interarrival_stats",
+    "series_describe",
 ]
 
 

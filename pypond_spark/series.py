@@ -798,6 +798,26 @@ class TimeSeries:
         return self._with(holt_op(self._df, field, alpha, beta,
                                   partition_by, self.time_col, tiebreak))
 
+    def describe(self, field: str = "value",
+                 group_by: str | Sequence[str] | None = None):
+        """Pandas-style summary per group: count, mean, POPULATION std
+        (the reference's stddev convention), min, exact interpolated
+        quartiles, max — one partial-aggregable groupBy, the quartiles
+        sharing the pass. Returns a plain DataFrame."""
+        groups = ([group_by] if isinstance(group_by, str)
+                  else list(group_by or []))
+        col = F.col(field).cast("double")
+        valid = F.when(col.isNotNull() & ~F.isnan(col), col)
+        return (self._df.groupBy(*groups).agg(
+            F.count(valid).alias("n"),
+            F.avg(valid).alias("mean"),
+            F.stddev_pop(valid).alias("std"),
+            F.min(valid).alias("min"),
+            F.percentile(valid, 0.25).alias("q25"),
+            F.percentile(valid, 0.5).alias("q50"),
+            F.percentile(valid, 0.75).alias("q75"),
+            F.max(valid).alias("max")))
+
     def anomaly_ensemble(self, field: str = "value",
                          partition_by: Sequence[str] = (),
                          z_threshold: float = 3.0,
