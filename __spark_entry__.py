@@ -1947,6 +1947,26 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff audit (datapipe/corpus.py::corpus_diff): the "old"
+    snapshot is synthesized deterministically from the same table —
+    doc_id % 10 == 9 withheld (-> added), text truncated for
+    doc_id % 7 == 0 (-> changed), plus shifted-id rows the new snapshot
+    lacks (-> removed) — so every status branch of the full-outer
+    digest compare is exercised and hash-verified."""
+    from pypond_spark.datapipe.corpus import corpus_diff
+    docs = _read(spark, sf_dir, "documents")
+    old_kept = (docs.where(F.col("doc_id") % 10 != 9)
+                .select("doc_id", "source",
+                        F.when(F.col("doc_id") % 7 == 0,
+                               F.substring("text", 1, 50))
+                        .otherwise(F.col("text")).alias("text")))
+    old_gone = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                           "source", "text").where(F.col("doc_id") % 3 == 0)
+    out = corpus_diff(old_kept.unionByName(old_gone), docs)
+    return out.select("source", "status", "n_docs")
+
+
 def q_interarrival_stats(spark, sf_dir):
     """Inter-arrival distribution per event_type (is traffic bursty or
     steady): one lag window on the type partition, then exact
@@ -2758,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_pareto": q_revenue_pareto,
         "interarrival_stats": q_interarrival_stats,
         "series_describe": q_series_describe,
+        "corpus_diff": q_corpus_diff,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3319,6 +3340,29 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "corpus_diff": """
+            WITH old_kept AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 50)
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 10 != 9
+            ), old_gone AS (
+              SELECT doc_id + 1000000 AS doc_id, source, text
+              FROM documents WHERE (doc_id + 1000000) % 3 = 0
+            ), old AS (
+              SELECT * FROM old_kept UNION ALL SELECT * FROM old_gone
+            ), j AS (
+              SELECT coalesce(n.source, o.source) AS source,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN o.text = n.text THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM old o FULL OUTER JOIN documents n
+                ON o.doc_id = n.doc_id
+            )
+            SELECT source, status, count(*) AS n_docs
+            FROM j GROUP BY 1, 2
         """,
         "interarrival_stats": """
             WITH g AS (

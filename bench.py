@@ -150,6 +150,7 @@ HEADLINE = [
     "revenue_pareto",
     "interarrival_stats",
     "series_describe",
+    "corpus_diff",
 ]
 
 

@@ -119,3 +119,36 @@ def corpus_report(df, text_col: str = "text", lang_col: str = "lang"):
     total = F.sum("n_docs").over(Window.partitionBy())
     return per.withColumn(
         "pct_docs", F.round(F.col("n_docs") / total * 100, 6))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text",
+                group_col: str | None = "source") -> DataFrame:
+    """Snapshot diff between two corpus versions: per group, how many
+    documents were added, removed, changed (same id, different content
+    digest) or unchanged — the audit a pipeline runs before promoting a
+    new crawl (an unexpected 'removed' spike means an upstream source
+    vanished; a 'changed' spike means re-crawls are rewriting text).
+
+    Content compare is an md5 digest computed at the scan (never the
+    raw text through the join); the FULL OUTER join runs on the uniform
+    id key. Cost: two scans + one id-keyed shuffle, independent of
+    document size.
+    """
+    gcols = [group_col] if group_col else []
+    o = old.select(F.col(id_col).alias("__id"),
+                   *[F.col(g).alias(f"__og_{g}") for g in gcols],
+                   F.md5(F.col(text_col)).alias("__od"))
+    n = new.select(F.col(id_col).alias("__id"),
+                   *[F.col(g).alias(f"__ng_{g}") for g in gcols],
+                   F.md5(F.col(text_col)).alias("__nd"))
+    j = o.join(n, "__id", "full_outer")
+    status = (F.when(F.col("__od").isNull(), F.lit("added"))
+              .when(F.col("__nd").isNull(), F.lit("removed"))
+              .when(F.col("__od") == F.col("__nd"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    sel = [F.coalesce(F.col(f"__ng_{g}"), F.col(f"__og_{g}")).alias(g)
+           for g in gcols]
+    return (j.select(*sel, status.alias("status"))
+            .groupBy(*gcols, "status")
+            .agg(F.count("*").alias("n_docs")))
