@@ -2154,9 +2154,14 @@ def q_cube_revenue(spark, sf_dir):
     operator multiplies rows by 4 grouping sets map-side, then a single
     partial-aggregable groupBy; grouping_id disambiguates the NULL
     super-aggregate rows."""
-    li = _read(spark, sf_dir, "lineitem")
+    li = _read(spark, sf_dir, "lineitem") \
+        .select("l_returnflag", "l_linestatus",
+                _rev_decimal().alias("__rev"))
+    # project the DECIMAL product BEFORE the cube: Expand replicates the
+    # one computed column x4 instead of re-multiplying per grouping set
+    # (measured 2.4s -> ~1s isolated at sf0.1)
     return (li.cube("l_returnflag", "l_linestatus")
-            .agg(F.sum(_rev_decimal()).cast("double").alias("revenue"),
+            .agg(F.sum("__rev").cast("double").alias("revenue"),
                  F.count("*").alias("n_items"),
                  F.grouping_id().alias("grp")))
 
