@@ -1947,6 +1947,21 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift (datapipe/similarity.py::embedding_drift):
+    even/odd vec_id halves as old/new snapshots, k-means cells built on
+    the union (the same seeds/rounds/quantize recipe the ann_ivf oracle
+    replays), Laplace-smoothed per-cell PSI terms — the embedding twin
+    of psi_drift."""
+    emb = _read(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    out = dp_sim.embedding_drift(old, new, n_cells=8, n_iters=2,
+                                 quantize=6)
+    return out.select("cell", "n_old", "n_new", "p_old", "p_new",
+                      "psi_term")
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot diff audit (datapipe/corpus.py::corpus_diff): the "old"
     snapshot is synthesized deterministically from the same table —
@@ -2784,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": q_interarrival_stats,
         "series_describe": q_series_describe,
         "corpus_diff": q_corpus_diff,
+        "embedding_drift": q_embedding_drift,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3345,6 +3361,42 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "embedding_drift": _EMB_CTE + f"""
+            , c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     v AS c
+              FROM e ORDER BY vec_id LIMIT 8
+            ),
+            a1 AS {_ivf_assign_cte("c0")},
+            c1 AS {_ivf_means_cte("a1", "c0")},
+            a2 AS {_ivf_assign_cte("c1")},
+            c2 AS {_ivf_means_cte("a2", "c1")},
+            af AS {_ivf_assign_cte("c2")},
+            o AS (
+              SELECT cell, count(*) AS n_old FROM af
+              WHERE vec_id % 2 = 0 GROUP BY 1
+            ), nn AS (
+              SELECT cell, count(*) AS n_new FROM af
+              WHERE vec_id % 2 = 1 GROUP BY 1
+            ), cells AS (
+              SELECT coalesce(o.cell, nn.cell) AS cell,
+                     coalesce(n_old, 0) AS n_old,
+                     coalesce(n_new, 0) AS n_new
+              FROM o FULL OUTER JOIN nn ON o.cell = nn.cell
+            )
+            SELECT cell, n_old, n_new,
+                   round((n_old + 1) / (sum(n_old) OVER () + 8.0), 6)
+                     AS p_old,
+                   round((n_new + 1) / (sum(n_new) OVER () + 8.0), 6)
+                     AS p_new,
+                   round(((n_new + 1) / (sum(n_new) OVER () + 8.0)
+                          - (n_old + 1) / (sum(n_old) OVER () + 8.0))
+                         * ln(((n_new + 1) / (sum(n_new) OVER () + 8.0))
+                              / ((n_old + 1)
+                                 / (sum(n_old) OVER () + 8.0))), 6)
+                     AS psi_term
+            FROM cells
         """,
         "corpus_diff": """
             WITH old_kept AS (

@@ -151,6 +151,7 @@ HEADLINE = [
     "interarrival_stats",
     "series_describe",
     "corpus_diff",
+    "embedding_drift",
 ]
 
 

@@ -951,3 +951,44 @@ def ivfpq_topk_indexed(spark, path: str, query_vec: list[float],
     out = scored.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(k)
     return out.withColumn("rank", F.row_number().over(
         Window.orderBy(F.col("adc").asc(), F.col(id_col).asc())))
+
+
+def embedding_drift(old: DataFrame, new: DataFrame, n_cells: int = 8,
+                    n_iters: int = 2, vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    quantize: int | None = 6) -> DataFrame:
+    """Embedding-distribution drift between two snapshots: k-means cells
+    are built on the UNION (one shared vocabulary of regions), both
+    snapshots are assigned map-side, and each cell contributes a PSI
+    term over its population share — the embedding-space twin of
+    ``psi_drift``'s value-bucket report ("did the new crawl shift where
+    documents live in embedding space").
+
+    Laplace-smoothed shares ((n+1)/(N+k)) keep empty cells finite; PSI
+    > 0.25 is the conventional "investigate" line. Scale shape: the
+    k-means build is the IVF build (centroids driver-side); assignments
+    are map-side; the report aggregation is n_cells rows. Output per
+    cell: counts, shares, and the cell's PSI term (sum them for the
+    corpus PSI).
+    """
+    both = old.select(id_col, vec_col).unionByName(
+        new.select(id_col, vec_col))
+    cents = ivf_build(both, n_cells, n_iters, vec_col, id_col, quantize)
+    o = (ivf_assign(spread(old), cents, vec_col)
+         .groupBy("__cell").agg(F.count("*").alias("n_old")))
+    n = (ivf_assign(spread(new), cents, vec_col)
+         .groupBy("__cell").agg(F.count("*").alias("n_new")))
+    cells = (F.broadcast(o.join(n, "__cell", "full_outer"))
+             .select(F.col("__cell").alias("cell"),
+                     F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                     F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    tot_o = F.sum("n_old").over(Window.partitionBy())
+    tot_n = F.sum("n_new").over(Window.partitionBy())
+    p_old = (F.col("n_old") + 1) / (tot_o + F.lit(n_cells))
+    p_new = (F.col("n_new") + 1) / (tot_n + F.lit(n_cells))
+    return cells.select(
+        "cell", "n_old", "n_new",
+        F.round(p_old, 6).alias("p_old"),
+        F.round(p_new, 6).alias("p_new"),
+        F.round((p_new - p_old) * F.log(p_new / p_old), 6)
+        .alias("psi_term"))
