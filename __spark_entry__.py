@@ -1947,6 +1947,31 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_throttle_30m(spark, sf_dir):
+    """Greedy per-user rate limit (operators/rolling.py::throttle):
+    keep iff >= 30m since the last KEPT event — a sequential fold no
+    window frame expresses; integer-ms state makes it bit-exact against
+    the recursive-CTE oracle."""
+    from pypond_spark.operators.rolling import throttle
+    df = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    out = throttle(df, "30m", partition_by=["user_id"],
+                   tiebreak="event_id")
+    return out.select("user_id", _ms().alias("t_ms"), "throttle_keep")
+
+
+def q_stream_throttle(spark, sf_dir):
+    """Streaming twin of throttle_30m (streaming/stream.py::
+    stream_throttle): ONE long of state per key; suppression windows
+    spanning micro-batch boundaries still suppress; same recursive-CTE
+    oracle verbatim."""
+    from pypond_spark.streaming import stream_throttle
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_throttle(sdf, "30m", partition_by=["user_id"],
+                          tiebreak="event_id")
+    result = _run_stream_32(spark, out, "append")
+    return result.select("user_id", "t_ms", "throttle_keep")
+
+
 def q_embedding_drift(spark, sf_dir):
     """Embedding-space drift (datapipe/similarity.py::embedding_drift):
     even/odd vec_id halves as old/new snapshots, k-means cells built on
@@ -2800,6 +2825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_describe": q_series_describe,
         "corpus_diff": q_corpus_diff,
         "embedding_drift": q_embedding_drift,
+        "throttle_30m": q_throttle_30m,
+        "stream_throttle": q_stream_throttle,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3054,6 +3081,29 @@ _PQ_BODY = f"""
 """
 
 _PQ_CTE = _EMB_CTE.rstrip() + _PQ_BODY
+
+_THROTTLE_ORACLE = """
+            -- integer-ms greedy fold as a recursive CTE (bit-exact:
+            -- no floats anywhere); same shape as _HOLT_ORACLE
+            WITH RECURSIVE lists AS (
+              SELECT user_id,
+                     list(epoch_ms(ts) ORDER BY ts, event_id) AS tms
+              FROM events GROUP BY user_id
+            ), r AS (
+              SELECT user_id, 1 AS k, tms[1] AS last, true AS keep
+              FROM lists
+              UNION ALL
+              SELECT l2.user_id, r.k + 1,
+                     CASE WHEN l2.tms[r.k + 1] - r.last >= 1800000
+                          THEN l2.tms[r.k + 1] ELSE r.last END,
+                     l2.tms[r.k + 1] - r.last >= 1800000
+              FROM r JOIN lists l2 USING (user_id)
+              WHERE r.k < len(l2.tms)
+            )
+            SELECT r.user_id, lists.tms[r.k] AS t_ms,
+                   r.keep AS throttle_keep
+            FROM r JOIN lists USING (user_id)
+        """
 
 _HOLT_ORACLE = """
             -- recursive-CTE fold: DuckDB 1.0's vectorized struct-lambda
@@ -3362,6 +3412,9 @@ def oracle_sql() -> dict[str, str]:
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
         """,
+        "throttle_30m": _THROTTLE_ORACLE,
+        # identical integer fold, drained availableNow
+        "stream_throttle": _THROTTLE_ORACLE,
         "embedding_drift": _EMB_CTE + f"""
             , c0 AS (
               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,

@@ -152,6 +152,7 @@ HEADLINE = [
     "series_describe",
     "corpus_diff",
     "embedding_drift",
+    "throttle_30m",
 ]
 
 

@@ -341,6 +341,66 @@ def holt(df: DataFrame, field: str = "value", alpha: float = 0.5,
     return parts.mapInPandas(per_partition, out_schema)
 
 
+def throttle(df: DataFrame, min_spacing: str | int = "1m",
+             partition_by: Sequence[str] = (),
+             time_col: str = "time",
+             tiebreak: str | None = None) -> DataFrame:
+    """Greedy rate-limit / debounce per series: an event is KEPT iff at
+    least ``min_spacing`` has passed since the last KEPT event — the
+    alert-dedup / notification-throttle primitive. Unlike dedup-last or
+    sampling, keep depends on the previous KEPT event, so the recurrence
+    is inherently sequential (no window frame expresses it); like
+    :func:`ewma`/:func:`holt` it runs as one sorted Arrow pass per key
+    partition with a single long of carried state. Integer-ms state
+    means the fold is BIT-EXACT in any engine — the oracle replays it as
+    a recursive CTE. Appends ``throttle_keep``; first event per key is
+    always kept; an event at exactly ``min_spacing`` is kept.
+    """
+    from ..index import window_duration_ms as _dur
+
+    gap_ms = (_dur(min_spacing) if isinstance(min_spacing, str)
+              else int(min_spacing))
+    if gap_ms is None or gap_ms <= 0:
+        raise ValueError(f"min_spacing must be a positive fixed window, "
+                         f"got {min_spacing!r}")
+    keys = list(partition_by)
+    from pyspark.sql import types as T
+    out_schema = T.StructType(list(df.schema.fields)
+                              + [T.StructField("throttle_keep",
+                                               T.BooleanType())])
+    if keys:
+        parts = df.repartition(*[F.col(k) for k in keys]) \
+            .sortWithinPartitions(*keys, time_col,
+                                  *([tiebreak] if tiebreak else []))
+    else:
+        parts = df.coalesce(1).sortWithinPartitions(
+            time_col, *([tiebreak] if tiebreak else []))
+
+    def per_partition(batches):
+        prev_key = object()
+        last_kept = None
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            kcols = [pdf[k].to_numpy() for k in keys]
+            ts = pdf[time_col].to_numpy()
+            keep = []
+            for i in range(n):
+                key = tuple(kc[i] for kc in kcols) if keys else ()
+                if key != prev_key:
+                    prev_key, last_kept = key, None
+                cur = int(ts[i].astype("datetime64[ms]").astype("int64"))
+                k = last_kept is None or cur - last_kept >= gap_ms
+                if k:
+                    last_kept = cur
+                keep.append(k)
+            pdf["throttle_keep"] = keep
+            yield pdf
+
+    return parts.mapInPandas(per_partition, out_schema)
+
+
 def anomaly_ensemble(df: DataFrame, field: str = "value",
                      partition_by: Sequence[str] = (),
                      time_col: str = "time",

@@ -7,7 +7,7 @@ from .stream import (StreamPipeline, run_available_now, stream_align,
                      stream_fill, stream_fill_pad, stream_gaps, stream_holt,
                      stream_holt_winters,
                      stream_rate, stream_rolling, stream_sessions,
-                     stream_transitions,
+                     stream_throttle, stream_transitions,
                      stream_zscore, windowed_stream_aggregate)
 
 __all__ = ["PushStream", "StreamPipeline", "windowed_stream_aggregate",
@@ -15,5 +15,5 @@ __all__ = ["PushStream", "StreamPipeline", "windowed_stream_aggregate",
            "stream_exact_dedup", "stream_ewma", "stream_gaps", "stream_holt",
            "stream_holt_winters",
            "stream_cumulative", "stream_distinct_counts", "stream_rolling",
-           "stream_sessions", "stream_transitions",
+           "stream_sessions", "stream_throttle", "stream_transitions",
            "stream_zscore", "run_available_now"]

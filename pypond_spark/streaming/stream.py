@@ -350,6 +350,61 @@ def stream_sessions(
     return out.drop("__k") if dummy else out
 
 
+def _throttle_state_fn(keys: list[str], time_col: str, gap_ms: int,
+                       tiebreak: str | None):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        last = state.get[0] if state.exists else None
+        outs = []
+        pdf = _whole_group(pdfs, time_col,
+                           (tiebreak,) if tiebreak else ())
+        for _, row in pdf.iterrows():
+            cur = int(row[time_col].value // 10**6)
+            keep = last is None or cur - last >= gap_ms
+            if keep:
+                last = cur
+            outs.append(list(key) + [cur, keep])
+        if last is not None:
+            state.update((last,))
+        cols = keys + ["t_ms", "throttle_keep"]
+        yield pd.DataFrame(outs, columns=cols)
+
+    return fn
+
+
+def stream_throttle(
+    sdf: DataFrame,
+    min_spacing: str | int = "1m",
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Cross-batch greedy rate-limit: the streaming twin of
+    ``operators.rolling.throttle`` — ONE long of state per key (last
+    KEPT timestamp), so a suppression window spanning micro-batch
+    boundaries still suppresses; integer-ms state makes the drained
+    stream bit-identical to the batch fold.
+    """
+    gap_ms = (window_duration_ms(min_spacing)
+              if isinstance(min_spacing, str) else int(min_spacing))
+    if gap_ms is None or gap_ms <= 0:
+        raise ValueError(f"min_spacing must be a positive fixed window, "
+                         f"got {min_spacing!r}")
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
+    key_fields = [sdf.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields
+        + [T.StructField("t_ms", T.LongType()),
+           T.StructField("throttle_keep", T.BooleanType())])
+    state_schema = T.StructType([T.StructField("last", T.LongType())])
+    out = sdf.groupBy(*keys).applyInPandasWithState(
+        _throttle_state_fn(keys, time_col, gap_ms, tiebreak),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out
+
+
 def _transitions_state_fn(keys: list[str], time_col: str, type_col: str,
                           tiebreak: str | None):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):

@@ -696,3 +696,30 @@ def test_stream_distinct_counts_cross_batch(spark, stream_dir):
     assert got[0] == 2        # a + b in minute 0
     assert got[60_000] == 2   # a (deduped across batches) + b
     assert got[120_000] == 1  # a only
+
+
+def test_stream_throttle_cross_batch(spark, stream_dir):
+    """A suppression window spanning the micro-batch boundary still
+    suppresses: with 90s spacing, user a keeps t=0 (first), suppresses
+    30s/60s in batch 1 AND 90s+120s... 90s is exactly 90s after the
+    kept t=0 -> kept (>= boundary); 120s is 30s after the new kept ->
+    suppressed."""
+    from pypond_spark.streaming import stream_throttle
+    sdf = _read_stream(spark, stream_dir)
+    rows = run_available_now(
+        stream_throttle(sdf, 90_000, partition_by=["user"]),
+        "append").collect()
+    got = {(r["user"], r["t_ms"]): r["throttle_keep"] for r in rows}
+    assert got[("a", 0)] is True
+    assert got[("a", 30_000)] is False
+    assert got[("a", 60_000)] is False
+    assert got[("a", 90_000)] is True    # exactly min_spacing -> kept
+    assert got[("a", 120_000)] is False  # 30s after the cross-batch keep
+    assert got[("b", 0)] is True and got[("b", 60_000)] is False
+    # batch twin agrees bit-for-bit
+    from pypond_spark.operators.rolling import throttle
+    batch_df = (spark.read.schema(SCHEMA).json(str(stream_dir))
+                .withColumn("time", F.timestamp_millis(F.col("t_ms"))))
+    brows = throttle(batch_df, 90_000, partition_by=["user"]).collect()
+    bgot = {(r["user"], r["t_ms"]): r["throttle_keep"] for r in brows}
+    assert bgot == got
