@@ -1947,6 +1947,24 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_langid_confusion(spark, sf_dir):
+    """Classifier evaluation at corpus scale: confusion matrix of the
+    stopword language-ID heuristic against the table's labeled lang
+    column, with per-actual-language recall — the quality report that
+    decides whether a cheap classifier is good enough before a 100 TB
+    labeling pass. One doc-keyed join + a languages^2-sized groupBy."""
+    docs = _read(spark, sf_dir, "documents")
+    pred = dp_text.language_id(docs).select("doc_id", "lang_pred")
+    from pyspark.sql import Window
+    cm = (docs.select("doc_id", F.col("lang").alias("actual"))
+          .join(pred, "doc_id")
+          .groupBy("actual", "lang_pred")
+          .agg(F.count("*").alias("n")))
+    tot = F.sum("n").over(Window.partitionBy("actual"))
+    return cm.select("actual", "lang_pred", "n",
+                     F.round(F.col("n") / tot, 6).alias("recall_share"))
+
+
 def q_throttle_30m(spark, sf_dir):
     """Greedy per-user rate limit (operators/rolling.py::throttle):
     keep iff >= 30m since the last KEPT event — a sequential fold no
@@ -2827,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "throttle_30m": q_throttle_30m,
         "stream_throttle": q_stream_throttle,
+        "langid_confusion": q_langid_confusion,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3411,6 +3430,44 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "langid_confusion": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_transform(
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x != ''),
+                       x -> regexp_replace(lower(x),
+                           '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')) AS mw
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                len(list_filter(mw, x -> x IN ('the','and','of','a'))) AS s_en,
+                len(list_filter(mw, x -> x IN ('der','die','und','das'))) AS s_de,
+                len(list_filter(mw, x -> x IN ('le','la','et','les'))) AS s_fr,
+                len(list_filter(mw, x -> x IN ('el','los','que','y'))) AS s_es
+              FROM tk
+            ), pred AS (
+              SELECT doc_id,
+                     CASE WHEN s_en > 0
+                            AND s_en >= greatest(s_de, s_fr, s_es)
+                            THEN 'en'
+                          WHEN s_de > 0 AND s_de >= greatest(s_fr, s_es)
+                            THEN 'de'
+                          WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+                          WHEN s_es > 0 THEN 'es'
+                          ELSE 'und' END AS lang_pred
+              FROM s
+            ), cm AS (
+              SELECT d.lang AS actual, p.lang_pred, count(*) AS n
+              FROM documents d JOIN pred p USING (doc_id)
+              GROUP BY 1, 2
+            )
+            SELECT actual, lang_pred, n,
+                   round(CAST(n AS DOUBLE)
+                         / sum(n) OVER (PARTITION BY actual), 6)
+                     AS recall_share
+            FROM cm
         """,
         "throttle_30m": _THROTTLE_ORACLE,
         # identical integer fold, drained availableNow

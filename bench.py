@@ -153,6 +153,7 @@ HEADLINE = [
     "corpus_diff",
     "embedding_drift",
     "throttle_30m",
+    "langid_confusion",
 ]
 
 

@@ -96,6 +96,22 @@ def main() -> None:
                       splits.groupBy("split").count().collect()})
     corpus.corpus_report(docs).show()
 
+    # 10b. pipeline audits: split leakage, estimator accuracy, drift
+    from pypond_spark.datapipe.decontam import split_leakage
+    leak = split_leakage(docs, {"train": 0.98, "val": 0.01, "test": 0.01})
+    worst = leak.orderBy(F.desc("leak_share")).first()
+    print(f"worst test-split leakage: doc {worst['doc_id']} "
+          f"{worst['leak_share']:.1%}")
+    pairs = dedup.lsh_candidate_pairs(docs).select("id_a", "id_b")
+    est = dedup.minhash_jaccard_estimate(docs, pairs)
+    print("minhash estimator mean |err|:",
+          round(est.agg(F.avg("abs_err")).first()[0] or 0.0, 4))
+    from pypond_spark.datapipe.similarity import embedding_drift
+    drift = embedding_drift(embs.where("vec_id % 2 = 0"),
+                            embs.where("vec_id % 2 = 1"), n_cells=8)
+    print("embedding PSI:",
+          round(drift.agg(F.sum("psi_term")).first()[0], 4))
+
     # 11. exact substring dedup: find + strip cross-doc repeated spans
     spans = dedup.repeated_spans(docs, k=30)
     stripped = dedup.strip_spans(docs, spans)
