@@ -1947,6 +1947,44 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_session_duration_stats(spark, sf_dir):
+    """Session-length distribution (the product metric on top of
+    session_window_rollup): duration percentiles, events/session, and
+    single-event-session share over all user sessions — one session
+    assignment pass + an aggregation over the session-sized frame."""
+    ts = _events_ts(spark, sf_dir)
+    sess = ts.session_window_rollup(
+        "1h", {"n": {"value": "count"}}, group_by="user_id").df
+    dur = (F.unix_millis("end") - F.unix_millis("begin")) / F.lit(1000.0)
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.percentile(dur, 0.5), 6).alias("dur_p50"),
+        F.round(F.percentile(dur, 0.9), 6).alias("dur_p90"),
+        F.round(F.avg("n"), 6).alias("events_per_session"),
+        F.round(F.avg(F.when(F.col("n") == 1, 1.0).otherwise(0.0)), 6)
+        .alias("single_event_share"))
+
+
+def q_user_lifetimes(spark, sf_dir):
+    """Per-user lifetime metrics (first/last seen, span, active days,
+    events per active day): one partial-aggregable groupBy on the
+    uniform user key; active days via count_distinct of the day
+    bucket."""
+    df = _events_df(spark, sf_dir)
+    day = F.floor(F.unix_millis("ts") / F.lit(86400000))
+    return (df.groupBy("user_id")
+            .agg(F.min(F.unix_millis("ts")).alias("first_ms"),
+                 F.max(F.unix_millis("ts")).alias("last_ms"),
+                 F.count("*").alias("n_events"),
+                 F.count_distinct(day).alias("active_days"))
+            .withColumn("span_days",
+                        F.round((F.col("last_ms") - F.col("first_ms"))
+                                / F.lit(86400000.0), 6))
+            .withColumn("events_per_active_day",
+                        F.round(F.col("n_events")
+                                / F.col("active_days").cast("double"), 6)))
+
+
 def q_langid_confusion(spark, sf_dir):
     """Classifier evaluation at corpus scale: confusion matrix of the
     stopword language-ID heuristic against the table's labeled lang
@@ -2846,6 +2884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "throttle_30m": q_throttle_30m,
         "stream_throttle": q_stream_throttle,
         "langid_confusion": q_langid_confusion,
+        "session_duration_stats": q_session_duration_stats,
+        "user_lifetimes": q_user_lifetimes,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3430,6 +3470,47 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "session_duration_stats": """
+            -- strict > boundary: see stream_sessions
+            WITH b AS (
+              SELECT user_id, epoch_ms(ts) AS ms,
+                     CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                            OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                               > 3600000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ms,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ms)
+                       AS sid
+              FROM b
+            ), sess AS (
+              SELECT user_id, sid,
+                     (max(ms) + 3600000 - min(ms)) / 1000.0 AS dur,
+                     count(*) AS n
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT count(*) AS n_sessions,
+                   round(quantile_cont(dur, 0.5), 6) AS dur_p50,
+                   round(quantile_cont(dur, 0.9), 6) AS dur_p90,
+                   round(avg(n), 6) AS events_per_session,
+                   round(avg(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END), 6)
+                     AS single_event_share
+            FROM sess
+        """,
+        "user_lifetimes": """
+            SELECT user_id, min(epoch_ms(ts)) AS first_ms,
+                   max(epoch_ms(ts)) AS last_ms,
+                   count(*) AS n_events,
+                   count(DISTINCT CAST(floor(epoch_ms(ts) / 86400000.0)
+                                       AS BIGINT)) AS active_days,
+                   round((max(epoch_ms(ts)) - min(epoch_ms(ts)))
+                         / 86400000.0, 6) AS span_days,
+                   round(count(*) / CAST(count(DISTINCT
+                         CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT))
+                         AS DOUBLE), 6) AS events_per_active_day
+            FROM events GROUP BY user_id
         """,
         "langid_confusion": """
             WITH tk AS (

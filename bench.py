@@ -154,6 +154,8 @@ HEADLINE = [
     "embedding_drift",
     "throttle_30m",
     "langid_confusion",
+    "session_duration_stats",
+    "user_lifetimes",
 ]
 
 
