@@ -2200,7 +2200,10 @@ def q_transition_matrix(spark, sf_dir):
              .where(F.col("next_type").isNotNull())
              .groupBy(F.col("event_type").alias("from_type"),
                       F.col("next_type").alias("to_type"))
-             .agg(F.count("*").alias("n")))
+             .agg(F.count("*").alias("n"))
+             # types^2-sized; pinned so the totals branch doesn't re-run
+             # the corpus lag window (was 2 scans / 5 exchanges)
+             .localCheckpoint())
     totals = steps.groupBy("from_type").agg(F.sum("n").alias("__t"))
     return (steps.join(F.broadcast(totals), "from_type")
             .select("from_type", "to_type", "n",
@@ -2216,7 +2219,10 @@ def q_type_affinity(spark, sf_dir):
     part = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
     typed = (li.join(F.broadcast(part),
                      F.col("l_partkey") == F.col("p_partkey"))
-             .select("l_orderkey", "p_type").distinct())
+             .select("l_orderkey", "p_type").distinct()
+             # orders x types-sized; pinned so BOTH legs of the pair
+             # self-join read it instead of re-scanning lineitem
+             .localCheckpoint())
     a = typed.select(F.col("l_orderkey").alias("__o"),
                      F.col("p_type").alias("type_a"))
     b = typed.select(F.col("l_orderkey").alias("__o"),
