@@ -1947,6 +1947,19 @@ def q_pq_topk_adc(spark, sf_dir):
     return out.select("rank", "vec_id", "adc")
 
 
+def q_rollup_7d(spark, sf_dir):
+    """Multi-day fixed window ("7d"): the index grammar's arbitrary
+    fixed durations beyond the calendar kinds — same one-shuffle
+    partial-agg plan as every fixed rollup, epoch-anchored buckets."""
+    ts = _events_ts(spark, sf_dir)
+    out = ts.fixed_window_rollup(
+        "7d", {"v_sum": {"value": "sum"}, "v_max": {"value": "max"},
+               "n": {"value": "count"}}, group_by="event_type")
+    return out.df.select("index", "event_type",
+                         F.round("v_sum", 6).alias("v_sum"),
+                         "v_max", "n")
+
+
 def q_session_duration_stats(spark, sf_dir):
     """Session-length distribution (the product metric on top of
     session_window_rollup): duration percentiles, events/session, and
@@ -2892,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "session_duration_stats": q_session_duration_stats,
         "user_lifetimes": q_user_lifetimes,
+        "rollup_7d": q_rollup_7d,
         # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
@@ -3476,6 +3490,15 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"max(CASE WHEN block = {b} THEN code END)"
                               f" AS code{b}" for b in range(_PQ_B))}
             FROM pe GROUP BY vec_id
+        """,
+        "rollup_7d": """
+            SELECT concat('7d-', CAST(floor(epoch_ms(ts) / 604800000.0)
+                                      AS BIGINT)) AS "index",
+                   event_type,
+                   round(coalesce(sum(value), 0), 6) AS v_sum,
+                   max(value) AS v_max,
+                   count(value) AS n
+            FROM events GROUP BY 1, 2
         """,
         "session_duration_stats": """
             -- strict > boundary: see stream_sessions

@@ -156,6 +156,7 @@ HEADLINE = [
     "langid_confusion",
     "session_duration_stats",
     "user_lifetimes",
+    "rollup_7d",
 ]
 
 
