@@ -1228,7 +1228,11 @@ def q_expectations(spark, sf_dir):
         "value_in_range": (F.col("value") >= 0) & (F.col("value") < 10000),
         "known_event_type": F.col("event_type").isin(
             "click", "view", "signup", "purchase", "error"),
-        "ts_in_2024": F.year("ts") == 2024,
+        # epoch-ms bounds for calendar-2024 UTC rather than year(ts):
+        # year() is session-TZ-ambient in both engines, so the rule would
+        # drift under a non-UTC driver environment
+        "ts_in_2024": (F.unix_millis("ts") >= 1704067200000)
+                      & (F.unix_millis("ts") < 1735689600000),
     })
     uniq = dp_val.expect_unique(ev, "event_id")
     return report.unionByName(uniq)
@@ -2768,14 +2772,97 @@ def q_tpch_q22_shape(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Never-driver-verified queries first: the driver snapshot caps
-        # at ~50 entries (r02/r03 each captured exactly the first 50
-        # names). Oldest-missing first: these 51 have waited two rounds
-        # for a formal CORRECTNESS row; the round-4 additions follow.
-        # All 136 pass the strict local gate (tools/check_oracle.py,
-        # ALL OK at sf0.01 re-verified after every wave this round).
+        # Rotation for round 5 (r4 verdict item 2): the 8 hardened
+        # oracles first (4 driver-red in r4 + 4 latent int-sum/float64
+        # twins the strict local gate caught), then the remaining
+        # never-driver-verified queries, then everything the driver has
+        # already hash-verified (cumulative r1-r4). The driver snapshot
+        # caps at ~50 entries per round.
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
+        "corpus_report": q_corpus_report,
+        "expectations": q_expectations,
+        "interval_coverage": q_interval_coverage,
+        "psi_drift": q_psi_drift,
+        "lexical_stats": q_lexical_stats,
+        "tpch_q12_shape": q_tpch_q12_shape,
+        "bigram_logprob": q_bigram_logprob,
+        "stream_align_1h": q_stream_align_1h,
+        "stream_fill_pad": q_stream_fill_pad,
+        "stream_rate": q_stream_rate,
+        "ewma_scan": q_ewma_scan,
+        "monthly_rollup": q_monthly_rollup,
+        "knn_join": q_knn_join,
+        "cusum_by_type": q_cusum_by_type,
+        "tpch_q5_shape": q_tpch_q5_shape,
+        "tpch_q14_shape": q_tpch_q14_shape,
+        "tpch_q18_shape": q_tpch_q18_shape,
+        "twa_hourly": q_twa_hourly,
+        "holt_per_user": q_holt_per_user,
+        "stream_holt": q_stream_holt,
+        "cusum_two_sided": q_cusum_two_sided,
+        "rolling_median_10m": q_rolling_median_10m,
+        "sample_weighted": q_sample_weighted,
+        "weighted_take": q_weighted_take,
+        "pivot_hourly_types": q_pivot_hourly_types,
+        "wire_roundtrip": q_wire_roundtrip,
+        "rollup_missing_filters": q_rollup_missing_filters,
+        "custom_reducer_midrange": q_custom_reducer_midrange,
+        "groupby_callable": q_groupby_callable,
+        "as_indexed_events": q_as_indexed_events,
+        "filter_map_callable": q_filter_map_callable,
+        "fill_pad_max_gap": q_fill_pad_max_gap,
+        "rolling_robust_z_1h": q_rolling_robust_z_1h,
+        "repeated_spans": q_repeated_spans,
+        "tpch_q10_shape": q_tpch_q10_shape,
+        "tpch_q19_shape": q_tpch_q19_shape,
+        "strip_spans": q_strip_spans,
+        "trend_per_user": q_trend_per_user,
+        "zipf_slope": q_zipf_slope,
+        "tpch_q7_shape": q_tpch_q7_shape,
+        "tpch_q8_shape": q_tpch_q8_shape,
+        "tpch_q13_shape": q_tpch_q13_shape,
+        "tpch_q15_shape": q_tpch_q15_shape,
+        "tpch_q17_shape": q_tpch_q17_shape,
+        "tpch_q22_shape": q_tpch_q22_shape,
+        "acf_hourly_by_type": q_acf_hourly_by_type,
+        "theilsen_by_user": q_theilsen_by_user,
+        "stream_sessions": q_stream_sessions,
+        "rolling_corr_24h": q_rolling_corr_24h,
+        "salted_join_revenue": q_salted_join_revenue,
+        "holt_winters_per_user": q_holt_winters_per_user,
+        "stream_holt_winters": q_stream_holt_winters,
+        "melt_lineitem": q_melt_lineitem,
+        "quantile_bins": q_quantile_bins,
+        "incremental_rollup": q_incremental_rollup,
+        "dense_rollup_1h": q_dense_rollup_1h,
+        "tpch_q9_shape": q_tpch_q9_shape,
+        "pq_codes": q_pq_codes,
+        "pq_topk_adc": q_pq_topk_adc,
+        "ivfpq_topk": q_ivfpq_topk,
+        "rollup_daily_local": q_rollup_daily_local,
+        "stream_distinct_hourly": q_stream_distinct_hourly,
+        "split_leakage": q_split_leakage,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "cube_revenue": q_cube_revenue,
+        "rollup_hierarchy": q_rollup_hierarchy,
+        "anomaly_ensemble": q_anomaly_ensemble,
+        "transition_matrix": q_transition_matrix,
+        "type_affinity": q_type_affinity,
+        "stream_sessions_sum": q_stream_sessions_sum,
+        "funnel_latency": q_funnel_latency,
+        "stream_transitions": q_stream_transitions,
+        "revenue_pareto": q_revenue_pareto,
+        "interarrival_stats": q_interarrival_stats,
+        "series_describe": q_series_describe,
+        "corpus_diff": q_corpus_diff,
+        "embedding_drift": q_embedding_drift,
+        "throttle_30m": q_throttle_30m,
+        "stream_throttle": q_stream_throttle,
+        "langid_confusion": q_langid_confusion,
+        "session_duration_stats": q_session_duration_stats,
+        "user_lifetimes": q_user_lifetimes,
+        "rollup_7d": q_rollup_7d,
         "chunk_docs": q_chunk_docs,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2812,7 +2899,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "rate_counter_wrap": q_rate_counter_wrap,
         "assign_splits": q_assign_splits,
-        "corpus_report": q_corpus_report,
         "stream_gaps_4h": q_stream_gaps,
         "stream_cumsum": q_stream_cumsum,
         "value_heatmap": q_value_heatmap,
@@ -2823,90 +2909,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalize": q_rank_normalize,
         "funnel_signup": q_funnel_signup,
         "retention_daily": q_retention_daily,
-        "expectations": q_expectations,
-        "bigram_logprob": q_bigram_logprob,
-        # --- round-4 additions (gated ALL OK locally) ---
-        "stream_align_1h": q_stream_align_1h,
-        "stream_fill_pad": q_stream_fill_pad,
-        "stream_rate": q_stream_rate,
-        "ewma_scan": q_ewma_scan,
-        "monthly_rollup": q_monthly_rollup,
-        "knn_join": q_knn_join,
-        "cusum_by_type": q_cusum_by_type,
-        "tpch_q5_shape": q_tpch_q5_shape,
-        "tpch_q14_shape": q_tpch_q14_shape,
-        "tpch_q18_shape": q_tpch_q18_shape,
-        "twa_hourly": q_twa_hourly,
-        "holt_per_user": q_holt_per_user,
-        "stream_holt": q_stream_holt,
-        "interval_coverage": q_interval_coverage,
-        "cusum_two_sided": q_cusum_two_sided,
-        "psi_drift": q_psi_drift,
-        "rolling_median_10m": q_rolling_median_10m,
-        "sample_weighted": q_sample_weighted,
-        "weighted_take": q_weighted_take,
-        "pivot_hourly_types": q_pivot_hourly_types,
-        "wire_roundtrip": q_wire_roundtrip,
-        "rollup_missing_filters": q_rollup_missing_filters,
-        "custom_reducer_midrange": q_custom_reducer_midrange,
-        "groupby_callable": q_groupby_callable,
-        "as_indexed_events": q_as_indexed_events,
-        "filter_map_callable": q_filter_map_callable,
-        "fill_pad_max_gap": q_fill_pad_max_gap,
-        "rolling_robust_z_1h": q_rolling_robust_z_1h,
-        "repeated_spans": q_repeated_spans,
-        "tpch_q10_shape": q_tpch_q10_shape,
-        "tpch_q19_shape": q_tpch_q19_shape,
-        "strip_spans": q_strip_spans,
-        "trend_per_user": q_trend_per_user,
-        "lexical_stats": q_lexical_stats,
-        "zipf_slope": q_zipf_slope,
-        "tpch_q7_shape": q_tpch_q7_shape,
-        "tpch_q8_shape": q_tpch_q8_shape,
-        "tpch_q13_shape": q_tpch_q13_shape,
-        "tpch_q15_shape": q_tpch_q15_shape,
-        "tpch_q17_shape": q_tpch_q17_shape,
-        "tpch_q22_shape": q_tpch_q22_shape,
-        "acf_hourly_by_type": q_acf_hourly_by_type,
-        "theilsen_by_user": q_theilsen_by_user,
-        "stream_sessions": q_stream_sessions,
-        "rolling_corr_24h": q_rolling_corr_24h,
-        "salted_join_revenue": q_salted_join_revenue,
-        "holt_winters_per_user": q_holt_winters_per_user,
-        "stream_holt_winters": q_stream_holt_winters,
-        "melt_lineitem": q_melt_lineitem,
-        "quantile_bins": q_quantile_bins,
-        "incremental_rollup": q_incremental_rollup,
-        "dense_rollup_1h": q_dense_rollup_1h,
-        "tpch_q9_shape": q_tpch_q9_shape,
-        "tpch_q12_shape": q_tpch_q12_shape,
-        "pq_codes": q_pq_codes,
-        "pq_topk_adc": q_pq_topk_adc,
-        "ivfpq_topk": q_ivfpq_topk,
-        "rollup_daily_local": q_rollup_daily_local,
-        "stream_distinct_hourly": q_stream_distinct_hourly,
-        "split_leakage": q_split_leakage,
-        "minhash_jaccard_est": q_minhash_jaccard_est,
-        "cube_revenue": q_cube_revenue,
-        "rollup_hierarchy": q_rollup_hierarchy,
-        "anomaly_ensemble": q_anomaly_ensemble,
-        "transition_matrix": q_transition_matrix,
-        "type_affinity": q_type_affinity,
-        "stream_sessions_sum": q_stream_sessions_sum,
-        "funnel_latency": q_funnel_latency,
-        "stream_transitions": q_stream_transitions,
-        "revenue_pareto": q_revenue_pareto,
-        "interarrival_stats": q_interarrival_stats,
-        "series_describe": q_series_describe,
-        "corpus_diff": q_corpus_diff,
-        "embedding_drift": q_embedding_drift,
-        "throttle_30m": q_throttle_30m,
-        "stream_throttle": q_stream_throttle,
-        "langid_confusion": q_langid_confusion,
-        "session_duration_stats": q_session_duration_stats,
-        "user_lifetimes": q_user_lifetimes,
-        "rollup_7d": q_rollup_7d,
-        # --- driver-verified green in r02/r03 (rows on file) ---
         "rollup_1h_by_type": q_rollup_1h_by_type,
         "rollup_daily": q_rollup_daily,
         "stream_rollup_1h": q_stream_rollup_1h,
@@ -4029,11 +4031,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "tpch_q12_shape": """
+            -- CAST: DuckDB sum(<int>) is HUGEINT -> float64 in pandas,
+            -- which byte-mismatches Spark's int64 under the driver hash
             SELECT l_returnflag,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                     AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
             GROUP BY 1
@@ -4354,7 +4362,8 @@ def oracle_sql() -> dict[str, str]:
             ), c AS (
               SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2
             )
-            SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_types,
+            SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types,
                    round(count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS ttr,
                    round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
                          / CAST(count(*) AS DOUBLE), 6) AS hapax_share
@@ -4722,8 +4731,10 @@ def oracle_sql() -> dict[str, str]:
               WHERE value IS NOT NULL AND NOT isnan(value)
             ), c AS (
               SELECT event_type, bin,
-                     sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS c_base,
-                     sum(CASE WHEN cur THEN 1 ELSE 0 END) AS c_cur
+                     CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c_base,
+                     CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c_cur
               FROM b GROUP BY 1, 2
             ), t AS (
               SELECT event_type, sum(c_base) AS nb, sum(c_cur) AS nc,
@@ -4768,8 +4779,9 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n
               FROM sp GROUP BY 1, 2
             )
-            SELECT user_id, sum(se - sb) AS covered_ms,
-                   count(*) AS n_spans, sum(n) AS n_intervals
+            SELECT user_id, CAST(sum(se - sb) AS BIGINT) AS covered_ms,
+                   count(*) AS n_spans,
+                   CAST(sum(n) AS BIGINT) AS n_intervals
             FROM m GROUP BY user_id
         """,
         "twa_hourly": """
@@ -5559,10 +5571,12 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
               WHERE source IN ('src0', 'src1', 'src2')
             ), c AS (
+              -- CAST: DuckDB window sum(<int>) is HUGEINT -> float64 in
+              -- pandas, byte-mismatching Spark's int64 in the driver hash
               SELECT doc_id, source, n_tokens, budget,
-                     sum(n_tokens) OVER (PARTITION BY source
+                     CAST(sum(n_tokens) OVER (PARTITION BY source
                          ORDER BY h, doc_id
-                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
               FROM base
             )
             SELECT doc_id, source, n_tokens, cum_tokens FROM c
@@ -5579,10 +5593,13 @@ def oracle_sql() -> dict[str, str]:
                          ::BIGINT / 4294967296.0 AS h
               FROM documents
             ), c AS (
+              -- CAST: window sum(<int>) is HUGEINT in DuckDB; keep the
+              -- running offset BIGINT so pandas doesn't float64 it
               SELECT doc_id, n_tokens, shard,
-                     sum(n_tokens) OVER (PARTITION BY shard
+                     CAST(sum(n_tokens) OVER (PARTITION BY shard
                          ORDER BY h, doc_id
-                         ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+                         ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                       AS start
               FROM base
             )
             SELECT doc_id, n_tokens, shard,
@@ -6310,21 +6327,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bg.doc_id
         """,
         "expectations": """
+            -- CASTs: DuckDB sum(<int>) is HUGEINT -> float64 in pandas,
+            -- which byte-mismatches Spark's int64 under the driver hash.
+            -- epoch-ms bounds instead of year(ts): TZ-ambient in both
+            -- engines (calendar-2024 UTC = [1704067200000, 1735689600000)).
             WITH agg AS (
               SELECT count(*) AS n_rows,
-                     sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
-                       AS v_null,
-                     sum(CASE WHEN NOT coalesce(value >= 0
+                     CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS v_null,
+                     CAST(sum(CASE WHEN NOT coalesce(value >= 0
                                                 AND value < 10000, FALSE)
-                              THEN 1 ELSE 0 END) AS v_range,
-                     sum(CASE WHEN NOT coalesce(event_type IN
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+                     CAST(sum(CASE WHEN NOT coalesce(event_type IN
                               ('click','view','signup','purchase','error'),
-                              FALSE) THEN 1 ELSE 0 END) AS v_type,
-                     sum(CASE WHEN NOT coalesce(year(ts) = 2024, FALSE)
-                              THEN 1 ELSE 0 END) AS v_year
+                              FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+                     CAST(sum(CASE WHEN NOT coalesce(
+                              epoch_ms(ts) >= 1704067200000
+                              AND epoch_ms(ts) < 1735689600000, FALSE)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_year
               FROM events
             ), uniq AS (
-              SELECT sum(c) AS n_rows, sum(c - 1) AS n_violations
+              SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                     CAST(sum(c - 1) AS BIGINT) AS n_violations
               FROM (SELECT count(*) AS c FROM events GROUP BY event_id)
             )
             SELECT 'value_not_null' AS rule, n_rows,
@@ -6377,11 +6401,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "corpus_report": """
+            -- CASTs: DuckDB sum(<int>) is HUGEINT -> float64 in pandas,
+            -- which byte-mismatches Spark's int64 under the driver hash
             WITH per AS (
               SELECT lang, count(*) AS n_docs,
-                     sum(length(text)) AS total_chars,
-                     sum(len(regexp_extract_all(text,
-                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+                     CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                     CAST(sum(len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
                        AS total_tokens
               FROM documents GROUP BY lang)
             SELECT lang, n_docs, total_chars, total_tokens,

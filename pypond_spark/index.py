@@ -51,6 +51,13 @@ def window_position(win: str, ms: int) -> int:
     return int(ms // dur)
 
 
+def window_position_from_date(win: str, dtime: datetime.datetime) -> int:
+    """Bucket position for an aware datetime — the date-argument variant of
+    :func:`window_position` (reference ``index.py:386-405``
+    ``Index.window_position_from_date``)."""
+    return window_position(win, ms_from_dt(dtime))
+
+
 def get_index_string(win: str, dtime: datetime.datetime) -> str:
     """``('5m', 2015-03-14T07:32:22Z) -> '5m-4754394'``."""
     return f"{win}-{window_position(win, ms_from_dt(dtime))}"

@@ -30,6 +30,12 @@ class Index:
     def window_duration(cls, win: str) -> int | None:
         return codec.window_duration_ms(win)
 
+    @classmethod
+    def window_position_from_date(cls, win: str,
+                                  dtime: datetime.datetime) -> int:
+        """Bucket position for an aware datetime (ref index.py:386-405)."""
+        return codec.window_position_from_date(win, dtime)
+
     def to_string(self) -> str:
         return self._string
 

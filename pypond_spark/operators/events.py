@@ -84,6 +84,20 @@ class Event:
         d[field] = value
         return Event(_keys=dict(self._keys), data=d)
 
+    @staticmethod
+    def same(event1: "Event", event2: "Event") -> bool:
+        """Value equality: same key columns (time/begin/end/index) and same
+        payload (reference ``event.py:636-678`` — type + pmap compare)."""
+        return (isinstance(event1, Event) and isinstance(event2, Event)
+                and event1._keys == event2._keys
+                and event1._data == event2._data)
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Event) and Event.same(self, other)
+
+    def __hash__(self) -> int:
+        return hash((tuple(sorted(self._keys.items())), len(self._data)))
+
     def __repr__(self) -> str:  # debugging aid only
         return f"Event({self._keys}, {self._data})"
 

@@ -117,6 +117,31 @@ class TimeSeries:
     def is_utc(self) -> bool:
         return bool(self._meta.get("utc", True))
 
+    # -- instance / value comparison (reference series.py:1483-1524) ----------
+    @staticmethod
+    def equal(series1: "TimeSeries", series2: "TimeSeries") -> bool:
+        """Same *instance* internals (reference ``equal`` uses ``is`` on the
+        underlying pmap/collection): True for aliases, False for equal-valued
+        but independently-built series."""
+        return series1 is series2 or (
+            series1._df is series2._df and series1._meta is series2._meta
+            and series1._kind == series2._kind)
+
+    @staticmethod
+    def same(series1: "TimeSeries", series2: "TimeSeries") -> bool:
+        """Same *values*: metadata equal, schema equal, and the two frames
+        contain the same multiset of rows (reference ``series.py:1505-1524``).
+        Distributed compare: two ``exceptAll`` anti-diffs (hash-partitioned
+        on all columns, no collect of either side)."""
+        if (series1._kind != series2._kind
+                or series1._meta != series2._meta):
+            return False
+        d1, d2 = series1._df, series2._df
+        if [(f.name, f.dataType) for f in d1.schema.fields] != \
+                [(f.name, f.dataType) for f in d2.schema.fields]:
+            return False
+        return d1.exceptAll(d2).isEmpty() and d2.exceptAll(d1).isEmpty()
+
     # -- structure ------------------------------------------------------------
     def columns(self) -> list[str]:
         """Payload column names (reference series.py:554-577)."""

@@ -8,11 +8,13 @@ matching the reference (``range.py:131-182``; algebra ``range.py:358-474``).
 from __future__ import annotations
 
 import datetime
+import json
 from typing import Any
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from . import humanize
 from .util import dt_from_ms, ms_from_any
 
 
@@ -49,6 +51,40 @@ class TimeRange:
 
     def duration(self) -> int:
         return self._end - self._begin
+
+    # -- display strings (reference range.py:207-265) -------------------------
+    def to_string(self) -> str:
+        """``'[begin_ms, end_ms]'`` serialization form (ref range.py:207)."""
+        return json.dumps(self.to_json())
+
+    def to_local_string(self) -> str:
+        """Range formatted in the machine's local time (ref range.py:217)."""
+        return (f"[{humanize.format_dt(self.begin(), localize=True)}, "
+                f"{humanize.format_dt(self.end(), localize=True)}]")
+
+    def to_utc_string(self) -> str:
+        """Range formatted in UTC (ref range.py:229)."""
+        return (f"[{humanize.format_dt(self.begin())}, "
+                f"{humanize.format_dt(self.end())}]")
+
+    def humanize(self) -> str:
+        """``'Mon, 01 Aug 2014 05:19:59 PDT to ...'`` — local-time display
+        (ref range.py:240-252)."""
+        return (f"{humanize.humanize_dt(self.begin())} to "
+                f"{humanize.humanize_dt(self.end())}")
+
+    def relative_string(self, now: datetime.datetime | None = None) -> str:
+        """``'a day ago to now'`` — relative display (ref range.py:254-265).
+        ``now`` is injectable so tests are deterministic."""
+        return (f"{humanize.naturaltime(self.begin(), now)} to "
+                f"{humanize.naturaltime(self.end(), now)}")
+
+    def humanize_duration(self) -> str:
+        """``'12 hours'`` — duration display (ref range.py:267-276)."""
+        return humanize.humanize_duration(self.end() - self.begin())
+
+    def __str__(self) -> str:
+        return self.to_string()
 
     def __repr__(self) -> str:
         return f"TimeRange({self.begin().isoformat()}, {self.end().isoformat()})"
@@ -103,6 +139,13 @@ class TimeRange:
     @classmethod
     def last_thirty_days(cls, now=None) -> "TimeRange":
         return cls.last(datetime.timedelta(days=30), now)
+
+    @classmethod
+    def last_month(cls, now=None) -> "TimeRange":
+        """Calendar-aware previous month (ref range.py:557-568): the begin
+        is one month back with the day clamped to that month's length."""
+        end = now or datetime.datetime.now(datetime.timezone.utc)
+        return cls(humanize.monthdelta(end, -1), end)
 
     @classmethod
     def last_ninety_days(cls, now=None) -> "TimeRange":

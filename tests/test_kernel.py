@@ -138,3 +138,64 @@ def test_timerange_relative_windows():
     assert TimeRange.last_thirty_days(now).duration() == 30 * 86_400_000
     assert TimeRange.last_ninety_days(now).duration() == 90 * 86_400_000
     assert TimeRange.last_year(now).duration() == 365 * 86_400_000
+    # calendar-aware month step with day clamping (ref util.py:281-302)
+    lm = TimeRange.last_month(now)
+    assert lm.begin() == datetime.datetime(
+        2026, 7, 13, tzinfo=datetime.timezone.utc)
+    mar31 = datetime.datetime(2026, 3, 31, tzinfo=datetime.timezone.utc)
+    assert TimeRange.last_month(mar31).begin() == datetime.datetime(
+        2026, 2, 28, tzinfo=datetime.timezone.utc)
+
+
+# -- human-friendly display strings (reference range_test.py:199-263) ---------
+
+def test_timerange_humanize_strings():
+    """Ports the reference goldens from ``tests/range_test.py`` —
+    ``test_human_friendly_strings`` and the humanize checks in
+    ``test_accessors`` (ref range.py:207-276)."""
+    import datetime
+    utc = datetime.timezone.utc
+    now = datetime.datetime(2026, 8, 13, 12, 0, 0, tzinfo=utc)
+
+    # relative_string goldens (now injected so results are deterministic,
+    # unlike the reference which asserts against wall-clock)
+    assert TimeRange.last_day(now).relative_string(now) == "a day ago to now"
+    assert TimeRange.last_seven_days(now).relative_string(now) \
+        == "7 days ago to now"
+    assert TimeRange.last_ninety_days(now).relative_string(now) \
+        == "2 months ago to now"
+    assert TimeRange.last_year(now).relative_string(now) == "a year ago to now"
+
+    # duration goldens: ref asserts '12 hours' on the canned 12h range
+    half_day = TimeRange(now - datetime.timedelta(hours=12), now)
+    assert half_day.duration() == 43_200_000
+    assert half_day.humanize_duration() == "12 hours"
+    assert TimeRange(now - datetime.timedelta(seconds=30), now) \
+        .humanize_duration() == "30 seconds"
+    assert TimeRange(now - datetime.timedelta(days=1), now) \
+        .humanize_duration() == "a day"
+    assert TimeRange(now - datetime.timedelta(days=400), now) \
+        .humanize_duration() == "1 year, 1 month"
+
+    # serialization + display forms
+    tr = TimeRange(0, 86_400_000)
+    assert tr.to_string() == "[0, 86400000]"
+    assert str(tr) == tr.to_string()
+    assert tr.to_utc_string() == \
+        "[Thu, 01 Jan 1970 00:00:00 UTC, Fri, 02 Jan 1970 00:00:00 UTC]"
+    # humanize/to_local_string display in machine-local time: only assert
+    # shape, the ref test itself skips exact values for this reason
+    human = tr.humanize()
+    assert " to " in human and len(human.split(" to ")) == 2
+    assert tr.to_local_string().startswith("[")
+
+
+def test_index_window_position_from_date():
+    import datetime
+    dt = datetime.datetime(2015, 3, 14, 7, 32, 22,
+                           tzinfo=datetime.timezone.utc)
+    # ref index_test: get_index_string('5m', dt) == '5m-4754394'
+    assert idx.window_position_from_date("5m", dt) == 4754394
+    from pypond_spark.index_class import Index
+    assert Index.window_position_from_date("5m", dt) == 4754394
+    assert Index.get_index_string("5m", dt) == "5m-4754394"

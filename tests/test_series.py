@@ -7,6 +7,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from pypond_spark import TimeRange, TimeSeries
 
 WIRE = {
@@ -248,3 +250,33 @@ def test_indexed_wire_ingest(spark):
     assert tf.to_wire()["points"] == fixed["points"]
     tr = tf.timerange()
     assert tr.duration() == 600_000
+
+
+def test_series_equal_same(spark):
+    """equal = same instance internals, same = same values
+    (reference series.py:1483-1524, collection.py:1104-1147)."""
+    wire = {"name": "s", "columns": ["time", "value"],
+            "points": [[60_000 * i, float(i)] for i in range(5)]}
+    a = TimeSeries.from_wire(spark, wire)
+    b = TimeSeries.from_wire(spark, wire)          # equal values, new frames
+    c = a.map(exprs={"value": F.col("value") * 2})
+
+    assert TimeSeries.equal(a, a)
+    assert not TimeSeries.equal(a, b)
+    assert TimeSeries.same(a, b)
+    assert not TimeSeries.same(a, c)
+
+    renamed = b.set_name("other")                   # metadata differs
+    assert not TimeSeries.same(a, renamed)
+
+
+def test_event_same():
+    from pypond_spark.operators.events import Event
+    e1 = Event(1000, {"value": 1.0, "tag": "a"})
+    e2 = Event(1000, {"value": 1.0, "tag": "a"})
+    e3 = Event(1000, {"value": 2.0, "tag": "a"})
+    e4 = Event(2000, {"value": 1.0, "tag": "a"})
+    assert Event.same(e1, e2) and e1 == e2
+    assert not Event.same(e1, e3)
+    assert not Event.same(e1, e4)
+    assert e1 != "not an event"

@@ -27,17 +27,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(v):
     if v is None:
         return None
+    if hasattr(v, "item"):
+        v = v.item()
+    # The driver hashes raw value bytes, so type drift is a real mismatch
+    # there even when values compare numerically equal (75.0 == 75, or
+    # -0.0 vs +0.0).  Tag ints / floats / bools so the local gate is
+    # equally strict: DuckDB returns HUGEINT for sum(<integer>), which
+    # pandas converts to float64 — against Spark's int64 that is a driver
+    # hash FAIL unless the oracle CASTs the sum back to BIGINT.
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         v = round(v, 9)
-        # The driver hashes raw value bytes, so -0.0 vs +0.0 is a real
-        # mismatch there; make the local gate equally strict.
         if v == 0.0 and math.copysign(1.0, v) < 0:
-            return "-0.0"
-        return v
-    if hasattr(v, "item"):
-        return norm(v.item())
+            return ("f", "-0.0")
+        return ("f", v)
+    if isinstance(v, int):
+        return ("i", v)
     return v
 
 
