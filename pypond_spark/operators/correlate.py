@@ -187,10 +187,17 @@ def theil_sen(df: DataFrame, field: str = "value",
                    F.count("*").alias("n_pairs")))
     sl = slopes.select(
         *[F.col(k).alias(f"__s_{k}") for k in keys], "ts_slope", "n_pairs")
+    # plain shuffle join on the keys: the slopes frame is keys-sized, so
+    # broadcasting it would scale with partition_by cardinality and blow
+    # the broadcast limit at per-user scale (review fix, advice r4); both
+    # sides are already key-partitioned aggregates, and AQE still elects
+    # a broadcast at runtime when the frame really is small. The keyless
+    # variant is a single global series — one row — so broadcast is
+    # bounded there by construction.
     cond2 = F.lit(True)
     for k in keys:
         cond2 = cond2 & (F.col(k) == F.col(f"__s_{k}"))
-    joined = (buckets.join(F.broadcast(sl), cond2) if keys
+    joined = (buckets.join(sl, cond2) if keys
               else buckets.crossJoin(F.broadcast(sl)))
     return (joined
             .groupBy(*keys)

@@ -355,6 +355,13 @@ def throttle(df: DataFrame, min_spacing: str | int = "1m",
     means the fold is BIT-EXACT in any engine — the oracle replays it as
     a recursive CTE. Appends ``throttle_keep``; first event per key is
     always kept; an event at exactly ``min_spacing`` is kept.
+
+    Scale note (same contract as keyless ``ewma``/``holt``): with empty
+    ``partition_by`` the recurrence is one global sequence, so the input
+    coalesces to a SINGLE partition — inherently serial and memory-bound
+    by that one task. Corpus-sized inputs need a ``partition_by`` key
+    (throttling is almost always per alert-source anyway); keyless is
+    for one-series frames.
     """
     from ..index import window_duration_ms as _dur
 

@@ -800,15 +800,25 @@ def test_ivfpq_full_probe_equals_pq(spark):
 def test_pq_encode_arrow_matches_expression_path(spark):
     """BLAS encode == expression encode on every vector (the rounded
     argmin pins knife edges — same contract as the near-dups Arrow twin);
-    short vectors are dropped, matching the expr path's NULL-degrade."""
+    a NULL vector row is EMITTED with NULL codes on both paths, and the
+    id column keeps its input type (review fix: the Arrow path used to
+    drop invalid rows and hardcode long ids)."""
+    from pyspark.sql import functions as F
     from pypond_spark.datapipe import similarity as S
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     books = S.pq_build(df, n_blocks=8, n_codes=16, n_iters=2, dim=64)
+    # inject one NULL-vector row and make ids strings to stress both fixes
+    broken = df.limit(1).select(
+        F.lit(100000).alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"))
+    aug = df.select("vec_id", "embedding").unionByName(broken) \
+        .withColumn("vec_id", F.col("vec_id").cast("string"))
     a = {r["vec_id"]: tuple(r[f"code{b}"] for b in range(8))
-         for r in S.pq_encode(df, books).collect()}
+         for r in S.pq_encode(aug, books).collect()}
     b = {r["vec_id"]: tuple(r[f"code{b}"] for b in range(8))
-         for r in S.pq_encode_arrow(df, books).collect()}
-    assert a == b and len(a) == 500
+         for r in S.pq_encode_arrow(aug, books).collect()}
+    assert a == b and len(a) == 501
+    assert a["100000"] == (None,) * 8
 
 
 def test_pq_build_arrow_matches_expression_build(spark):
