@@ -9,6 +9,8 @@ are rounded identically on both sides.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2899,14 +2901,49 @@ def q_size_valid(spark, sf_dir):
                         F.col("n_events") - F.col("n_valid")))
 
 
+def _driver_verified_names() -> set:
+    """Query names with a green row in any committed CORRECTNESS_r*.json.
+
+    A row counts as driver-verified when it errored out nowhere and either
+    hash-matched its DuckDB oracle, or (for the few rows-only queries with
+    no SQL twin) row-count-matched.  queries() uses this to self-rotate:
+    the driver's per-round snapshot caps at ~50 entries, so queries that
+    have never had a driver row must occupy the head of the dict.  Reading
+    the committed snapshots at call time makes the rotation automatic —
+    the hand-edited rotation was flagged by both the r4 and r5 verdicts.
+    """
+    import glob as _glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    ok = set()
+    for path in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                snap = json.load(fh)
+        except Exception:
+            continue
+        for name, row in snap.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            if row.get("hash_match") or (
+                row.get("hash_match") is None and row.get("rows_match")
+            ):
+                ok.add(name)
+    return ok
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _query_registry()
+    verified = _driver_verified_names()
+    ordered = {k: v for k, v in base.items() if k not in verified}
+    ordered.update(base)
+    return ordered
+
+
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Canonical query map in build order.  Do NOT hand-rotate: queries()
+    reorders never-driver-verified entries to the front automatically from
+    the committed CORRECTNESS_r*.json snapshots."""
     return {
-        # Rotation for round 5 (r4 verdict item 2): the 8 hardened
-        # oracles first (4 driver-red in r4 + 4 latent int-sum/float64
-        # twins the strict local gate caught), then the remaining
-        # never-driver-verified queries, then everything the driver has
-        # already hash-verified (cumulative r1-r4). The driver snapshot
-        # caps at ~50 entries per round.
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "corpus_report": q_corpus_report,
