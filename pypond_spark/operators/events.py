@@ -46,7 +46,22 @@ class Event:
             self._keys = _keys
         else:
             self._keys = {} if timestamp is None else {"time": timestamp}
+        if data is not None and not isinstance(data, dict):
+            # reference event.py:65-120 accepts a scalar payload and wraps
+            # it as {'value': scalar}
+            data = {"value": data}
         self._data = dict(data or {})
+
+    @classmethod
+    def indexed(cls, index: str, data: dict | None = None) -> "Event":
+        """IndexedEvent-shaped view (reference indexed_event.py)."""
+        return cls(_keys={"index": str(index)}, data=data)
+
+    @classmethod
+    def timerange(cls, begin_end: tuple, data: dict | None = None) -> "Event":
+        """TimeRangeEvent-shaped view (reference timerange_event.py)."""
+        begin, end = begin_end
+        return cls(_keys={"begin": begin, "end": end}, data=data)
 
     # -- accessors (the surface reference lambdas actually use) ------------
     def get(self, field_path: str = "value", default: Any = None) -> Any:
@@ -84,6 +99,26 @@ class Event:
         d[field] = value
         return Event(_keys=dict(self._keys), data=d)
 
+    def event_type(self) -> str:
+        """Which reference event variant this row plays: ``"time"``
+        (Event), ``"index"`` (IndexedEvent) or ``"timerange"``
+        (TimeRangeEvent) — determined by the key columns present."""
+        if "index" in self._keys:
+            return "index"
+        if "begin" in self._keys and "time" not in self._keys:
+            return "timerange"
+        return "time"
+
+    def key(self) -> Any:
+        """The event's identity key (reference ``event.py:579-600``):
+        timestamp for time events, the index string for indexed events,
+        ``(begin, end)`` for timerange events."""
+        if "index" in self._keys:
+            return self._keys["index"]
+        if "begin" in self._keys and "time" not in self._keys:
+            return (self._keys.get("begin"), self._keys.get("end"))
+        return self._keys.get("time")
+
     @staticmethod
     def same(event1: "Event", event2: "Event") -> bool:
         """Value equality: same key columns (time/begin/end/index) and same
@@ -91,6 +126,21 @@ class Event:
         return (isinstance(event1, Event) and isinstance(event2, Event)
                 and event1._keys == event2._keys
                 and event1._data == event2._data)
+
+    @staticmethod
+    def is_duplicate(event1: "Event", event2: "Event",
+                     ignore_values: bool = True) -> bool:
+        """True when the two events are duplicates (reference
+        ``event.py:602-632``): same variant and same key; with
+        ``ignore_values=False``, a full value compare as well (the
+        reference's ``type() == type() and Event.same(...)``)."""
+        if not (isinstance(event1, Event) and isinstance(event2, Event)):
+            return False
+        if event1.event_type() != event2.event_type():
+            return False
+        if ignore_values:
+            return bool(event1.key() == event2.key())
+        return Event.same(event1, event2)
 
     def __eq__(self, other: object) -> bool:
         return isinstance(other, Event) and Event.same(self, other)

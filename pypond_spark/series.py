@@ -328,6 +328,33 @@ class TimeSeries:
                 & (F.col("end") == F.lit(_dt(end)))).collect()
         return rows
 
+    def event_list_as_map(self) -> dict:
+        """The series' events as ``{key: [Row, ...]}`` keyed by the
+        reference event key — epoch-ms int for time events
+        (reference ``event.py:579-587``), the index string for indexed
+        events, ``"begin_ms,end_ms"`` for timerange events
+        (``timerange_event.py:93-101``); reference
+        ``collection.py:414-432``.  Client-side by contract (the
+        reference returns a Python dict); keys are computed IN Spark
+        (collected TimestampType values are naive driver-TZ datetimes —
+        the pitfall :meth:`timerange` documents)."""
+        df = self._df
+        if self._kind == "time":
+            key_col = F.unix_millis("time")
+        elif self._kind == "index":
+            key_col = F.col("index")
+        else:
+            key_col = F.concat_ws(",", F.unix_millis("begin"),
+                                  F.unix_millis("end"))
+        keyed = (df.select(key_col.alias("_key"),
+                           F.struct(*df.columns).alias("_ev"),
+                           F.col(self.time_col).alias("_t"))
+                 .orderBy("_t").collect())
+        out: dict = {}
+        for r in keyed:
+            out.setdefault(r["_key"], []).append(r["_ev"])
+        return out
+
     def bisect(self, when: Any) -> int | None:
         """Index of the latest event at-or-before `when` (reference
         collection.py:292-348: None for an empty series, clamped to 0 when

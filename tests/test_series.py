@@ -280,3 +280,67 @@ def test_event_same():
     assert not Event.same(e1, e3)
     assert not Event.same(e1, e4)
     assert e1 != "not an event"
+
+
+def test_event_is_duplicate():
+    """Reference compare_test.py:151-198 goldens: duplicate = same variant
+    + same key; ignore_values=False adds a full value compare
+    (reference event.py:602-632)."""
+    from pypond_spark.operators.events import Event
+
+    # time events — scalar payload wraps as {'value': scalar}
+    e1 = Event(1429673400000, 23)
+    e2 = Event(1429673400000, 23)
+    assert Event.is_duplicate(e1, e2)
+    assert Event.is_duplicate(e1, e2, ignore_values=False)
+    e3 = Event(1429673400000, 25)
+    assert Event.is_duplicate(e1, e3)
+    assert not Event.is_duplicate(e1, e3, ignore_values=False)
+
+    # indexed events
+    ie1 = Event.indexed("1d-12355", {"value": 42})
+    ie2 = Event.indexed("1d-12355", {"value": 42})
+    assert Event.is_duplicate(ie1, ie2)
+    assert Event.is_duplicate(ie1, ie2, ignore_values=False)
+    ie3 = Event.indexed("1d-12355", {"value": 44})
+    assert Event.is_duplicate(ie1, ie3)
+    assert not Event.is_duplicate(ie1, ie3, ignore_values=False)
+
+    # time range events
+    b, e = 1429630000000, 1429673200000
+    tre1 = Event.timerange((b, e), 11)
+    tre2 = Event.timerange((b, e), 11)
+    assert Event.is_duplicate(tre1, tre2)
+    assert Event.is_duplicate(tre1, tre2, ignore_values=False)
+    tre3 = Event.timerange((b, e), 22)
+    assert Event.is_duplicate(tre1, tre3)
+    assert not Event.is_duplicate(tre1, tre3, ignore_values=False)
+
+    # cross-variant is never a duplicate (reference compare_test.py:120
+    # test_new_same: Event vs IndexedEvent)
+    assert not Event.is_duplicate(e1, ie1)
+    assert not Event.same(e1, ie1)
+    assert not Event.is_duplicate(e1, "not an event")
+
+
+def test_event_list_as_map(spark):
+    """Reference compare_test.py:111-118 golden: dict keyed by epoch-ms
+    with dup timestamps grouped (reference collection.py:414-432)."""
+    wire = {"name": "dup", "columns": ["time", "in", "out"],
+            "points": [[1429673400000, 1, 2], [1429673460000, 3, 4],
+                       [1429673460000, 4, 5], [1429673520000, 5, 6]]}
+    ts = TimeSeries.from_wire(spark, wire)
+    cmap = ts.event_list_as_map()
+    assert len(cmap) == 3
+    assert len(cmap[1429673400000]) == 1
+    assert len(cmap[1429673460000]) == 2
+    assert sorted(r["in"] for r in cmap[1429673460000]) == [3, 4]
+
+    # indexed variant keys by the index string
+    iwire = {"name": "idx", "columns": ["index", "value"],
+             "points": [["1d-12354", 42], ["1d-12355", 43],
+                        ["1d-12355", 44], ["1d-12356", 45]]}
+    its = TimeSeries.from_wire(spark, iwire)
+    imap = its.event_list_as_map()
+    assert len(imap) == 3
+    assert [r["value"] for r in imap["1d-12355"]] == [43, 44]
