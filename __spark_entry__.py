@@ -1926,8 +1926,25 @@ def q_zipf_slope(spark, sf_dir):
 # ivfpq_topk / ann_ivf each need the same deterministic k-means artifacts;
 # building them once per (sf_dir, params) saves ~2.5-4s per query in the
 # bench without changing any query's semantics (the build is deterministic,
-# so a cached codebook is bit-identical to a rebuilt one).
+# so a cached codebook is bit-identical to a rebuilt one).  Keys include a
+# data fingerprint (parquet file names + mtimes + sizes) so regenerating
+# the parquet at a path mid-process invalidates the cache (r5 ADVICE).
 _ANN_CACHE: dict = {}
+
+
+def _data_fingerprint(sf_dir: str, table: str) -> tuple:
+    """(name, mtime_ns, size) of each data file under the table's parquet
+    path — cheap (one listdir), and changes whenever the data does."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            entries = sorted(os.scandir(path), key=lambda e: e.name)
+            return tuple((e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                         for e in entries if e.is_file())
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_mtime_ns, st.st_size),)
+    except OSError:
+        return ()
 
 
 def _pq_books(spark, sf_dir):
@@ -1937,7 +1954,8 @@ def _pq_books(spark, sf_dir):
     sf_dir. The expression build stays in the library as the
     SQL-replayable recipe the DuckDB oracle recomputes."""
     emb = _read(spark, sf_dir, "embeddings")
-    key = ("pq_books", sf_dir)
+    key = ("pq_books", sf_dir,
+           _data_fingerprint(sf_dir, "embeddings"))
     if key not in _ANN_CACHE:
         _ANN_CACHE[key] = dp_sim.pq_build_arrow(
             emb, n_blocks=8, n_codes=16, n_iters=2, dim=64, quantize=6)
@@ -1948,7 +1966,8 @@ def _ivf_cents(spark, sf_dir, emb=None):
     """IVF centroids (8 cells, 2 rounds, quantize=6), memoized per sf_dir."""
     if emb is None:
         emb = _read(spark, sf_dir, "embeddings")
-    key = ("ivf_cents", sf_dir)
+    key = ("ivf_cents", sf_dir,
+           _data_fingerprint(sf_dir, "embeddings"))
     if key not in _ANN_CACHE:
         _ANN_CACHE[key] = dp_sim.ivf_build(emb, n_cells=8, n_iters=2,
                                            quantize=6)
@@ -2806,12 +2825,14 @@ def q_timerange_algebra(spark, sf_dir):
     """TimeRange interval algebra at table scale (timerange.py column
     duals of reference range.py:358-474): per user, the [min ts, max ts]
     activity span of each event_type, then every type pair's
-    overlaps/disjoint/contains/within verdicts plus intersection and
-    extents durations. Pair fan-out is bounded by |event_types|^2 per
+    overlaps (reference-strict partial overlap, range.py:396-412) /
+    intersects (any shared instant) / disjoint / contains / within
+    verdicts plus intersection and extents durations. Pair fan-out is bounded by |event_types|^2 per
     user (<=25), so the self-join is a broadcast-sized dimension blow-up,
     never corpus x corpus."""
     from pypond_spark.timerange import (range_within, ranges_disjoint,
-                                        ranges_overlap)
+                                        ranges_overlap,
+                                        ranges_overlap_strict)
     ev = _events_df(spark, sf_dir)
     spans = (ev.groupBy("user_id", "event_type")
              .agg(F.min(F.unix_millis("ts")).alias("b"),
@@ -2827,7 +2848,8 @@ def q_timerange_algebra(spark, sf_dir):
                     F.least("ea", "eb") - F.greatest("ba", "bb")))
     return pairs.select(
         "user_id", "type_a", "type_b",
-        ranges_overlap("ba", "ea", "bb", "eb").alias("overlaps"),
+        ranges_overlap_strict("ba", "ea", "bb", "eb").alias("overlaps"),
+        ranges_overlap("ba", "ea", "bb", "eb").alias("intersects"),
         ranges_disjoint("ba", "ea", "bb", "eb").alias("disjoint"),
         ((F.col("ba") <= F.col("bb"))
          & (F.col("eb") <= F.col("ea"))).alias("a_contains_b"),
@@ -6596,7 +6618,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.user_id, a.event_type AS type_a,
                    c.event_type AS type_b,
-                   (a.b <= c.e AND c.b <= a.e) AS overlaps,
+                   ((  (a.b <= c.b AND c.b <= a.e)
+                       AND NOT (a.b <= c.e AND c.e <= a.e))
+                    OR ((a.b <= c.e AND c.e <= a.e)
+                        AND NOT (a.b <= c.b AND c.b <= a.e))) AS overlaps,
+                   (a.b <= c.e AND c.b <= a.e) AS intersects,
                    (a.e < c.b OR a.b > c.e) AS disjoint,
                    (a.b <= c.b AND c.e <= a.e) AS a_contains_b,
                    (c.b <= a.b AND a.e <= c.e) AS a_within_b,

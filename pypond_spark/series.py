@@ -130,7 +130,13 @@ class TimeSeries:
     @staticmethod
     def same(series1: "TimeSeries", series2: "TimeSeries") -> bool:
         """Same *values*: metadata equal, schema equal, and the two frames
-        contain the same multiset of rows (reference ``series.py:1505-1524``).
+        contain the same multiset of rows.  Deliberate deviation from
+        reference ``series.py:1505-1524``, which compares *ordered* event
+        lists: distributed frames have no stable physical order, so this
+        compares multisets — two series with identical rows in different
+        event order are ``same`` here but not in the reference.  (Series
+        with a time column are totally ordered by (time, payload) anyway,
+        so the distinction only bites on exact-duplicate-key data.)
         Distributed compare: two ``exceptAll`` anti-diffs (hash-partitioned
         on all columns, no collect of either side)."""
         if (series1._kind != series2._kind

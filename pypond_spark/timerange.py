@@ -107,8 +107,21 @@ class TimeRange:
         return other.contains(self)
 
     def overlaps(self, other: "TimeRange") -> bool:
-        return (self.contains(other.begin()) or other.contains(self.begin())
-                or self.contains(other.end()) or other.contains(self.end()))
+        """Strict partial overlap (reference ``range.py:396-412``): True
+        only when exactly one endpoint of ``other`` falls inside this
+        range — identical ranges and full containment are NOT overlaps
+        in the reference's semantics.  For any-intersection, use
+        :meth:`intersects`."""
+        return ((self.contains(other.begin())
+                 and not self.contains(other.end()))
+                or (self.contains(other.end())
+                    and not self.contains(other.begin())))
+
+    def intersects(self, other: "TimeRange") -> bool:
+        """Any shared instant (complement of :meth:`disjoint`) — the
+        predicate interval joins want; the reference has no direct
+        equivalent (its ``overlaps`` is strict partial overlap)."""
+        return not self.disjoint(other)
 
     def disjoint(self, other: "TimeRange") -> bool:
         return self._end < other._begin or self._begin > other._end
@@ -172,7 +185,21 @@ def range_contains_time(begin: Column | str, end: Column | str,
 
 def ranges_overlap(b1: Column | str, e1: Column | str,
                    b2: Column | str, e2: Column | str) -> Column:
+    """Any-intersection ("intersects") — the interval-join predicate.
+    Documented deviation: the reference's ``overlaps`` (range.py:396-412)
+    is strict partial overlap; that dual is
+    :func:`ranges_overlap_strict`."""
     return (_c(b1) <= _c(e2)) & (_c(b2) <= _c(e1))
+
+
+def ranges_overlap_strict(b1: Column | str, e1: Column | str,
+                          b2: Column | str, e2: Column | str) -> Column:
+    """Column dual of reference ``overlaps`` (range.py:396-412): exactly
+    one endpoint of [b2,e2] inside [b1,e1] — containment and identity
+    are not overlaps."""
+    in1 = range_contains_time(b1, e1, b2)
+    in2 = range_contains_time(b1, e1, e2)
+    return (in1 & ~in2) | (in2 & ~in1)
 
 
 def ranges_disjoint(b1: Column | str, e1: Column | str,

@@ -111,8 +111,14 @@ def test_timerange_algebra():
     tb = _tr(5_000, 15_000)
     tc = _tr(20_000, 30_000)
     assert ta.overlaps(tb) and tb.overlaps(ta)
+    assert ta.intersects(tb)
     assert ta.disjoint(tc)
     assert not ta.disjoint(tb)
+    # reference range.py:396-412: identity and containment are NOT
+    # overlaps (strict partial overlap), though they do intersect
+    assert not ta.overlaps(_tr(0, 10_000))
+    outer, inner = _tr(0, 30_000), _tr(5_000, 15_000)
+    assert not outer.overlaps(inner) and outer.intersects(inner)
     assert ta.contains(5_000)
     assert not ta.contains(15_000)
     assert ta.extents(tc) == _tr(0, 30_000)
@@ -176,6 +182,18 @@ def test_timerange_humanize_strings():
         .humanize_duration() == "a day"
     assert TimeRange(now - datetime.timedelta(days=400), now) \
         .humanize_duration() == "1 year, 1 month"
+
+    # sub-second deltas render as 'now' (published humanize grammar: any
+    # <1s delta is 'a moment'; timedelta.seconds truncates so the
+    # microseconds-only branch lands on seconds == 0 — r5 ADVICE golden)
+    from pypond_spark.humanize import naturaltime
+    assert naturaltime(now - datetime.timedelta(milliseconds=500),
+                       now=now) == "now"
+    assert naturaltime(now - datetime.timedelta(microseconds=1),
+                       now=now) == "now"
+    assert naturaltime(now, now=now) == "now"
+    assert naturaltime(now - datetime.timedelta(seconds=1),
+                       now=now) == "a second ago"
 
     # serialization + display forms
     tr = TimeRange(0, 86_400_000)

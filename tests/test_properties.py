@@ -63,8 +63,14 @@ def test_calendar_index_roundtrip(ms):
 @settings(max_examples=200, deadline=None)
 def test_timerange_algebra_consistency(a, b):
     ta, tb = TimeRange(a[0], a[1]), TimeRange(b[0], b[1])
-    assert ta.overlaps(tb) == tb.overlaps(ta)
-    assert ta.disjoint(tb) == (not ta.overlaps(tb))
+    # NOTE reference overlaps (range.py:396-412) is asymmetric at shared
+    # endpoints (a=(0,10) vs b=(5,10): a.overlaps(b) False, b.overlaps(a)
+    # True), so symmetry is NOT a property; intersects is.
+    assert ta.intersects(tb) == tb.intersects(ta)
+    assert ta.intersects(tb) == (not ta.disjoint(tb))
+    # reference-strict overlap implies a shared instant, never disjoint
+    if ta.overlaps(tb):
+        assert ta.intersects(tb)
     inter = ta.intersection(tb)
     if inter is not None:
         assert ta.contains(inter) and tb.contains(inter)

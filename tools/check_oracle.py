@@ -24,7 +24,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
+def norm(v, int_width=None):
     if v is None:
         return None
     if hasattr(v, "item"):
@@ -45,14 +45,24 @@ def norm(v):
             return ("f", "-0.0")
         return ("f", v)
     if isinstance(v, int):
-        return ("i", v)
+        # carry the SOURCE integer width (from the pandas column dtype)
+        # so an int32 Spark column vs a BIGINT oracle column fails
+        # locally too (r5 ADVICE — post-.item() Python ints collapse
+        # widths).  Plain Python ints from object columns default to 64.
+        return ("i", int_width or 64, v)
     return v
 
 
 def rowset(df_pandas):
     cols = sorted(df_pandas.columns)
-    rows = [tuple(norm(v) for v in row)
-            for row in df_pandas[cols].itertuples(index=False, name=None)]
+    sub = df_pandas[cols]
+    widths = []
+    for c in cols:
+        dt = sub[c].dtype
+        widths.append(dt.itemsize * 8
+                      if dt.kind in "iu" else None)
+    rows = [tuple(norm(v, w) for v, w in zip(row, widths))
+            for row in sub.itertuples(index=False, name=None)]
     return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 
