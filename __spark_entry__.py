@@ -2923,6 +2923,53 @@ def q_size_valid(spark, sf_dir):
                         F.col("n_events") - F.col("n_valid")))
 
 
+def q_collect_window_1d(spark, sf_dir):
+    """collect_by_fixed_window as a table op (operators/aggregate.py:236
+    — reference series.py:1459-1478 collectByFixedWindow): every event
+    keeps its payload and gains index/begin/end columns for its 1d
+    bucket; no aggregation, no shuffle (pure narrow projection — the
+    window key is derived per row)."""
+    from pypond_spark.operators.aggregate import collect_by_fixed_window
+    ev = _events_df(spark, sf_dir)
+    out = collect_by_fixed_window(ev.select("event_id", "ts", "value"),
+                                  "1d", time_col="ts")
+    return out.select(
+        "event_id", "index",
+        F.unix_millis("begin").alias("begin_ms"),
+        F.unix_millis("end").alias("end_ms"),
+        F.unix_millis("ts").alias("t_ms"),
+        F.round("value", 6).alias("value"))
+
+
+def q_keyed_collections(spark, sf_dir):
+    """'<window>--<group>' keyed collections at table scale
+    (plans/pipeline.py:182 key composition — reference
+    io/output.py:323-330): window_by 1d x group_by event_type, emitting
+    each collection's key, size via collect_list(struct), and its full
+    (ts,event_id)-ordered event_id roster — so both the key grammar and
+    the collected CONTENT hash against the DuckDB list() twin.  One
+    partial-aggregable groupBy on (bucket, group); per-collection size
+    is bounded (events-per-day-per-type), so collect_list never builds
+    an unbounded state blob."""
+    from pypond_spark.operators.aggregate import collect_by_fixed_window
+    ev = _events_df(spark, sf_dir)
+    bucketed = collect_by_fixed_window(
+        ev.select("event_id", "ts", "event_type", "value"),
+        "1d", time_col="ts")
+    collected = F.collect_list(F.struct("ts", "event_id"))
+    roster = F.concat_ws(
+        ",", F.transform(F.array_sort(collected),
+                         lambda s: s.getField("event_id").cast("string")))
+    return (bucketed.groupBy("index", "event_type")
+            .agg(F.size(collected).cast("long").alias("n_collected"),
+                 roster.alias("event_ids"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.concat_ws("--", F.col("index"),
+                                F.col("event_type")).alias("collection_key"),
+                    "index", "event_type", "n_collected", "event_ids",
+                    "sum_value"))
+
+
 def _driver_verified_names() -> set:
     """Query names with a green row in any committed CORRECTNESS_r*.json.
 
@@ -3057,6 +3104,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chronology": q_chronology,
         "bisect_at_time": q_bisect_at_time,
         "size_valid": q_size_valid,
+        # New in round 6: last §2 rows that were unit-only but could
+        # carry a SQL twin (r5 verdict item 6).
+        "collect_window_1d": q_collect_window_1d,
+        "keyed_collections": q_keyed_collections,
         # --- everything below is driver-verified (cumulative r1-r4) ---
         "chunk_docs": q_chunk_docs,
         "unigram_logprob": q_unigram_logprob,
@@ -6676,6 +6727,34 @@ def oracle_sql() -> dict[str, str]:
                                          AND NOT isnan(value) THEN 1 END)
                      AS n_invalid
             FROM events GROUP BY event_type
+        """,
+        "collect_window_1d": """
+            SELECT event_id,
+                   '1d-' || CAST(CAST(floor(epoch_ms(ts) / 86400000.0)
+                                      AS BIGINT) AS VARCHAR) AS "index",
+                   CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT)
+                     * 86400000 AS begin_ms,
+                   (CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) + 1)
+                     * 86400000 AS end_ms,
+                   epoch_ms(ts) AS t_ms,
+                   round(value, 6) AS value
+            FROM events
+        """,
+        "keyed_collections": """
+            WITH b AS (
+              SELECT event_id, ts, event_type, value,
+                     CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS pos
+              FROM events
+            )
+            SELECT '1d-' || CAST(pos AS VARCHAR) || '--' || event_type
+                     AS collection_key,
+                   '1d-' || CAST(pos AS VARCHAR) AS "index",
+                   event_type,
+                   count(*) AS n_collected,
+                   string_agg(CAST(event_id AS VARCHAR), ','
+                              ORDER BY ts, event_id) AS event_ids,
+                   round(sum(value), 6) AS sum_value
+            FROM b GROUP BY pos, event_type
         """,
     }
 
