@@ -157,6 +157,12 @@ HEADLINE = [
     "session_duration_stats",
     "user_lifetimes",
     "rollup_7d",
+    "timerange_algebra",
+    "chronology",
+    "bisect_at_time",
+    "size_valid",
+    "collect_window_1d",
+    "keyed_collections",
 ]
 
 
@@ -245,7 +251,7 @@ def main() -> None:
     warm = {name: min(runs[name][1:] or runs[name]) for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -253,7 +259,23 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    print(json.dumps(payload))
+
+    # Complete per-query artifact (r5 verdict item 7): the driver's BENCH
+    # tail truncates to ~2000 chars, so round-over-round comparison would
+    # otherwise only see the first ~79 queries.  Written next to the
+    # BENCH_r files, numbered one past the latest driver round.
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [int(m.group(1)) for f in glob.glob(
+        os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r0*(\d+)", os.path.basename(f)))]
+    rnd = (max(rounds) + 1) if rounds else 0
+    full = dict(payload, all_runs={n: runs[n] for n in HEADLINE})
+    with open(os.path.join(here, f"bench_full_r{rnd:02d}.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":
