@@ -1374,9 +1374,22 @@ class StreamPipeline:
         self._window: str | None = None
         self._groups: list[str] = []
         self._emit = "eachEvent"
+        self._watermark: str | None = None
 
     def window_by(self, window: str) -> "StreamPipeline":
         self._window = window
+        return self
+
+    def with_watermark(self, delay: str) -> "StreamPipeline":
+        """Opt into a real late-data horizon for ``discard`` rollups
+        (SURVEY §2.9): a window stays open for ``delay`` (e.g.
+        ``"1 hour"``) of event time past its end and late events within
+        the horizon are aggregated.  Documented improvement over the
+        reference's close-on-next-event rule (io/output.py discard
+        trigger) — the default stays the reference's strictness (0s:
+        any event past a window boundary closes it and later arrivals
+        for it are dropped)."""
+        self._watermark = delay
         return self
 
     def group_by(self, key: str | Sequence[str]) -> "StreamPipeline":
@@ -1398,7 +1411,7 @@ class StreamPipeline:
             raise ValueError("streaming aggregate needs window_by()")
         return windowed_stream_aggregate(
             self._sdf, spec, self._window, self._groups or None,
-            self._time_col, self._emit)
+            self._time_col, self._emit, watermark=self._watermark)
 
     def rate(self, field_spec="value", allow_negative=True,
              counter_wrap: int | float | None = None) -> DataFrame:

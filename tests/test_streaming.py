@@ -723,3 +723,59 @@ def test_stream_throttle_cross_batch(spark, stream_dir):
     brows = throttle(batch_df, 90_000, partition_by=["user"]).collect()
     bgot = {(r["user"], r["t_ms"]): r["throttle_keep"] for r in brows}
     assert bgot == got
+
+
+def test_stream_watermark_optin_late_data(spark, tmp_path):
+    """StreamPipeline.with_watermark (r5 verdict item 8): the default
+    discard rollup keeps the reference's strictness (0s horizon — an
+    event past a window boundary closes it; later arrivals for it are
+    DROPPED), while an explicit watermark keeps the window open for the
+    given event-time delay and late events are aggregated."""
+    chunk1 = [
+        {"t_ms": 0, "user": "a", "value": 1.0},
+        {"t_ms": 30_000, "user": "a", "value": 2.0},
+        {"t_ms": 120_000, "user": "a", "value": 100.0},
+    ]
+    chunk2 = [
+        {"t_ms": 40_000, "user": "a", "value": 50.0},      # LATE for [0,1m)
+        {"t_ms": 1_800_000, "user": "a", "value": 7.0},    # closes all
+    ]
+
+    def run(tag, pipe_builder):
+        # two sequential availableNow drains over a SHARED checkpoint:
+        # the watermark advances at drain-1 commit, so chunk2's 40s row
+        # genuinely arrives behind it (one drain can batch both files
+        # together, which would never mark the row late)
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        rows = []
+        for i, chunk in enumerate([chunk1, chunk2]):
+            with open(src / f"part{i}.json", "w") as fh:
+                for rec in chunk:
+                    fh.write(json.dumps(rec) + "\n")
+            sdf = (spark.readStream.schema(SCHEMA)
+                   .json(str(src))
+                   .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+                   .drop("t_ms"))
+            out, mode = pipe_builder(StreamPipeline(sdf)).aggregate(
+                {"v_sum": {"value": "sum"}})
+            assert mode == "append"
+            q = (out.writeStream.format("parquet")
+                 .outputMode(mode)
+                 .option("path", str(tmp_path / f"out_{tag}"))
+                 .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        rows = spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()
+        return {(r["begin"].isoformat(), r["user"]): r["v_sum"]
+                for r in rows}
+
+    # default: reference strictness — the late 40s event is dropped
+    strict = run("strict", lambda p: p.window_by("1m").group_by("user")
+                 .emit_on("discard"))
+    assert strict[("1970-01-01T00:00:00", "a")] == 3.0
+
+    # opt-in horizon: the same late event is aggregated
+    lenient = run("lenient", lambda p: p.window_by("1m").group_by("user")
+                  .emit_on("discard").with_watermark("5 minutes"))
+    assert lenient[("1970-01-01T00:00:00", "a")] == 53.0

@@ -43,6 +43,28 @@ def events(spark, n_rows: int, n_series: int = 5000):
             .drop("id"))
 
 
+def documents(spark, n_docs: int, n_words: int = 100):
+    """Deterministic doc corpus with guaranteed cross-doc repetition:
+    every doc is ``n_words`` hash-picked words from a 500-word vocab
+    (~6 chars each), and every third doc opens with the same 60-char
+    boilerplate sentence — so repeated_spans finds real shared spans.
+    Corpus size ~= n_docs * n_words * 7 chars."""
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("id") * 1000 + i), 500)
+            .cast("string")))
+    boiler = ("this boilerplate sentence repeats across one third "
+              "of all documents ")
+    text = F.concat_ws(" ", words)
+    return (spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"),
+                    F.when(F.col("id") % 3 == 0,
+                           F.concat(F.lit(boiler), text))
+                    .otherwise(text).alias("text")))
+
+
 def embeddings(spark, n_rows: int, dim: int = 64):
     comps = [(F.pmod(F.xxhash64("id", F.lit(i)), 2001) / F.lit(1000.0)
               - F.lit(1.0)).cast("float") for i in range(dim)]
@@ -61,8 +83,14 @@ def main() -> None:
     n = int(mrows * 1_000_000)
     spark = get_spark("pypond_stress")
     spark.sparkContext.setLogLevel("ERROR")
-    ev = events(spark, n).localCheckpoint()  # exclude synthesis cost
-    emb = embeddings(spark, max(n // 10, 1)).localCheckpoint()
+    emb_ops = {"pq_build_2m", "pq_encode_2m", "pq_encode_arrow_2m",
+               "pq_build_arrow_2m"}
+    ev_needed = not only or bool(only - emb_ops - {"repeated_spans"})
+    emb_needed = not only or bool(only & emb_ops)
+    # exclude synthesis cost; skip when no selected op reads the frame
+    ev = events(spark, n).localCheckpoint() if ev_needed else None
+    emb = embeddings(spark, max(n // 10, 1)).localCheckpoint() \
+        if emb_needed else None
 
     from pypond_spark.operators.aggregate import densify_rollup
     from pypond_spark.operators.correlate import (autocorrelation,
@@ -71,17 +99,19 @@ def main() -> None:
     from pypond_spark.operators.incremental import merge_rollups
     from pypond_spark.operators.rolling import holt_winters
     from pypond_spark.operators.skew import salted_join
+    from pypond_spark.datapipe.dedup import repeated_spans
     from pypond_spark.datapipe.similarity import (pq_build,
                                                   pq_build_arrow,
                                                   pq_encode,
                                                   pq_encode_arrow)
 
-    half = ev.where(F.col("user_id") < 2500)
-    dim_df = (ev.select("user_id").distinct()
-              .withColumn("segment", F.pmod(F.col("user_id"), 7)))
-    hot = ev.withColumn(
-        "user_id", F.when(F.pmod(F.xxhash64("time"), 10) < 9, F.lit(0))
-        .otherwise(F.col("user_id")))  # 90% of rows on key 0
+    if ev_needed:
+        half = ev.where(F.col("user_id") < 2500)
+        dim_df = (ev.select("user_id").distinct()
+                  .withColumn("segment", F.pmod(F.col("user_id"), 7)))
+        hot = ev.withColumn(
+            "user_id", F.when(F.pmod(F.xxhash64("time"), 10) < 9, F.lit(0))
+            .otherwise(F.col("user_id")))  # 90% of rows on key 0
 
     def roll(d):
         from pypond_spark import TimeSeries
@@ -123,6 +153,12 @@ def main() -> None:
         "pq_build_arrow_2m": lambda: books_holder.update(
             books_a=pq_build_arrow(emb, n_blocks=8, n_codes=16,
                                    n_iters=2, dim=64)),
+        # k-gram sweep tier: corpus-CHARS is the inherent size, so the
+        # synthetic corpus targets ~n chars (n/700 docs x ~700 chars);
+        # rows/s reported per CHAR position (lazy: docs built on demand)
+        "repeated_spans": lambda: sink(repeated_spans(
+            documents(spark, max(n // 700, 1)).localCheckpoint(),
+            k=50)),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
