@@ -2827,6 +2827,48 @@ def q_tpch_q22_shape(spark, sf_dir):
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
 
 
+def q_tpch_q21_shape(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema: lineitem has no receipt/commit dates, so "late" is
+    shipped >90 days after o_orderdate — the EXISTS (another supplier on
+    the order) / NOT EXISTS (another LATE supplier) pair is expressed as
+    one per-order distinct-supplier aggregate instead of two correlated
+    self-joins: n_sup > 1 AND n_late_sup = 1 against a late (order,
+    supplier) pair is exactly the exists/not-exists conjunction, and it
+    costs ONE shuffle on the uniform orderkey instead of three.  The
+    supplier->nation dim filter is a broadcast at the end."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (_read(spark, sf_dir, "orders")
+              .where(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    base = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .withColumn("__late",
+                        F.col("l_shipdate")
+                        > F.col("o_orderdate")
+                        + F.expr("INTERVAL 90 DAYS")))
+    per_order = (base.groupBy("l_orderkey")
+                 .agg(F.count_distinct("l_suppkey").alias("__n_sup"),
+                      F.count_distinct(
+                          F.when(F.col("__late"), F.col("l_suppkey")))
+                      .alias("__n_late")))
+    late_pairs = (base.where("__late")
+                  .select("l_orderkey", "l_suppkey").distinct())
+    waiting = late_pairs.join(
+        per_order.where((F.col("__n_sup") > 1) & (F.col("__n_late") == 1)),
+        "l_orderkey")
+    sup = (_read(spark, sf_dir, "supplier")
+           .join(_read(spark, sf_dir, "nation"),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .where(F.col("n_name").isin(*[f"NATION_{i}"
+                                         for i in range(5)]))
+           .select("s_suppkey", "s_name"))
+    return (waiting.join(F.broadcast(sup),
+                         F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait")))
+
+
 def q_timerange_algebra(spark, sf_dir):
     """TimeRange interval algebra at table scale (timerange.py column
     duals of reference range.py:358-474): per user, the [min ts, max ts]
@@ -3066,6 +3108,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_shape": q_tpch_q15_shape,
         "tpch_q17_shape": q_tpch_q17_shape,
         "tpch_q22_shape": q_tpch_q22_shape,
+        "tpch_q21_shape": q_tpch_q21_shape,
         "acf_hourly_by_type": q_acf_hourly_by_type,
         "theilsen_by_user": q_theilsen_by_user,
         "stream_sessions": q_stream_sessions,
@@ -4551,6 +4594,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM li JOIN thresh ON l_partkey = pk
             WHERE l_quantity < t
+        """,
+        "tpch_q21_shape": """
+            WITH base AS (
+              SELECT l.l_orderkey, l.l_suppkey,
+                     (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+                       AS late
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'
+            ), per_order AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_sup,
+                     count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                       AS n_late
+              FROM base GROUP BY 1
+            ), waiting AS (
+              SELECT DISTINCT b.l_orderkey, b.l_suppkey
+              FROM base b JOIN per_order p
+                ON b.l_orderkey = p.l_orderkey
+              WHERE b.late AND p.n_sup > 1 AND p.n_late = 1
+            )
+            SELECT s.s_name, count(*) AS numwait
+            FROM waiting w
+            JOIN supplier s ON w.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+            GROUP BY s.s_name
         """,
         "tpch_q22_shape": """
             WITH avg_bal AS (

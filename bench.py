@@ -163,6 +163,7 @@ HEADLINE = [
     "size_valid",
     "collect_window_1d",
     "keyed_collections",
+    "tpch_q21_shape",
 ]
 
 
