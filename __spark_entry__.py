@@ -2847,16 +2847,20 @@ def q_tpch_q21_shape(spark, sf_dir):
                         F.col("l_shipdate")
                         > F.col("o_orderdate")
                         + F.expr("INTERVAL 90 DAYS")))
+    # ONE shuffle on the uniform orderkey: the per-order distinct late
+    # suppliers travel as a bounded array (lines-per-order is single
+    # digits), so the semi+anti pair needs no second distinct/join-back
+    # (plan: 5 exchanges -> 3, audit below)
     per_order = (base.groupBy("l_orderkey")
                  .agg(F.count_distinct("l_suppkey").alias("__n_sup"),
-                      F.count_distinct(
-                          F.when(F.col("__late"), F.col("l_suppkey")))
-                      .alias("__n_late")))
-    late_pairs = (base.where("__late")
-                  .select("l_orderkey", "l_suppkey").distinct())
-    waiting = late_pairs.join(
-        per_order.where((F.col("__n_sup") > 1) & (F.col("__n_late") == 1)),
-        "l_orderkey")
+                      F.array_distinct(F.collect_list(
+                          F.when(F.col("__late"), F.col("l_suppkey"))))
+                      .alias("__late_sups")))
+    waiting = (per_order
+               .where((F.col("__n_sup") > 1)
+                      & (F.size("__late_sups") == 1))
+               .select("l_orderkey",
+                       F.element_at("__late_sups", 1).alias("l_suppkey")))
     sup = (_read(spark, sf_dir, "supplier")
            .join(_read(spark, sf_dir, "nation"),
                  F.col("s_nationkey") == F.col("n_nationkey"))
