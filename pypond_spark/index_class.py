@@ -39,6 +39,10 @@ class Index:
     def to_string(self) -> str:
         return self._string
 
+    def as_string(self) -> str:
+        """Alias for :meth:`to_string` (reference ``index.py:154-162``)."""
+        return self._string
+
     def to_json(self) -> str:
         return self._string
 

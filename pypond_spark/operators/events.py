@@ -119,6 +119,20 @@ class Event:
             return (self._keys.get("begin"), self._keys.get("end"))
         return self._keys.get("time")
 
+    def to_point(self, cols: list | None = None) -> list:
+        """Wire point form ``[key, v1, v2, ...]`` (reference
+        ``event.py:446-470`` and the indexed/timerange variants): the key
+        is the timestamp, index string, or ``[begin, end]`` pair;
+        ``cols`` fixes the payload order for wire-format alignment."""
+        if "index" in self._keys:
+            key: Any = self._keys["index"]
+        elif "begin" in self._keys and "time" not in self._keys:
+            key = [self._keys["begin"], self._keys["end"]]
+        else:
+            key = self._keys.get("time")
+        names = list(cols) if cols is not None else list(self._data)
+        return [key] + [self._data.get(c) for c in names]
+
     @staticmethod
     def same(event1: "Event", event2: "Event") -> bool:
         """Value equality: same key columns (time/begin/end/index) and same

@@ -395,6 +395,36 @@ class TimeSeries:
         tr = self.timerange()
         return tr.end() if tr else None
 
+    def begin_timestamp(self) -> int | None:
+        """Earliest time in epoch ms (reference ``series.py:298-307``)."""
+        tr = self.timerange()
+        return tr.begin_ms() if tr else None
+
+    def end_timestamp(self) -> int | None:
+        """Latest time in epoch ms (reference ``series.py:309-318``)."""
+        tr = self.timerange()
+        return tr.end_ms() if tr else None
+
+    def index(self):
+        """Series-level Index from metadata, or None (reference
+        ``series.py:520-528`` — a whole series can carry one index, e.g.
+        the ``event_series_with_index`` interop fixture)."""
+        from .index_class import Index
+        idx = self._meta.get("index")
+        if idx is None:
+            return None
+        return idx if isinstance(idx, Index) else Index(str(idx))
+
+    def index_as_string(self) -> str | None:
+        """Reference ``series.py:530-538``."""
+        idx = self.index()
+        return idx.to_string() if idx else None
+
+    def index_as_range(self) -> TimeRange | None:
+        """Reference ``series.py:540-548``."""
+        idx = self.index()
+        return idx.as_timerange() if idx else None
+
     # -- scalar aggregations (SURVEY §2.4) -------------------------------------
     def aggregate(self, func, field_spec: str = "value",
                   flt: str = "ignore_missing"):

@@ -46,6 +46,16 @@ class TimeRange:
     def end_ms(self) -> int:
         return self._end
 
+    def set_begin(self, when: Any) -> "TimeRange":
+        """New TimeRange with a replaced begin bound (functional setter,
+        reference ``range.py:287-312``)."""
+        return TimeRange(when, self._end)
+
+    def set_end(self, when: Any) -> "TimeRange":
+        """New TimeRange with a replaced end bound (reference
+        ``range.py:314-339``)."""
+        return TimeRange(self._begin, when)
+
     def to_json(self) -> list[int]:
         return [self._begin, self._end]
 

@@ -217,3 +217,56 @@ def test_index_window_position_from_date():
     from pypond_spark.index_class import Index
     assert Index.window_position_from_date("5m", dt) == 4754394
     assert Index.get_index_string("5m", dt) == "5m-4754394"
+
+
+def test_round6_parity_conveniences():
+    """Small reference accessors added in round 6: Index.as_string
+    (index.py:154-162), TimeRange.set_begin/set_end (range.py:287-339),
+    Event.to_point (event.py:446-470)."""
+    import datetime
+
+    from pypond_spark.index_class import Index
+    from pypond_spark.operators.events import Event
+
+    idx = Index("5m-4855968")
+    assert idx.as_string() == idx.to_string() == "5m-4855968"
+    # calendar-form index round-trips to a range too
+    month = Index("2014-07")
+    tr = month.as_timerange()
+    assert tr.begin() == datetime.datetime(2014, 7, 1,
+                                           tzinfo=datetime.timezone.utc)
+
+    base = TimeRange(0, 86_400_000)
+    moved = base.set_begin(3_600_000)
+    assert (moved.begin_ms(), moved.end_ms()) == (3_600_000, 86_400_000)
+    assert (base.begin_ms(), base.end_ms()) == (0, 86_400_000)  # unchanged
+    assert base.set_end(7_200_000).end_ms() == 7_200_000
+    import pytest
+    with pytest.raises(ValueError):
+        base.set_end(-1)  # begin > end rejected
+
+    e = Event(1429673400000, {"in": 1, "out": 2})
+    assert e.to_point(["out", "in"]) == [1429673400000, 2, 1]
+    assert Event.indexed("1d-123", {"v": 9}).to_point() == ["1d-123", 9]
+    assert Event.timerange((0, 60_000), {"v": 5}).to_point() \
+        == [[0, 60_000], 5]
+
+
+def test_round6_series_accessors(spark):
+    """TimeSeries.begin_timestamp/end_timestamp (reference
+    series.py:298-318) and series-level index accessors
+    (series.py:520-548)."""
+    from pypond_spark import TimeSeries
+    wire = {"index": "1d-625", "name": "traffic",
+            "columns": ["time", "value"],
+            "points": [[54_000_000_000, 1.0], [54_000_060_000, 2.0]]}
+    ts = TimeSeries.from_wire(spark, wire)
+    assert ts.begin_timestamp() == 54_000_000_000
+    assert ts.end_timestamp() == 54_000_060_000
+    assert ts.index_as_string() == "1d-625"
+    rng = ts.index_as_range()
+    assert rng.begin_ms() == 625 * 86_400_000
+    assert rng.duration() == 86_400_000
+    empty = TimeSeries.from_wire(
+        spark, {"name": "e", "columns": ["time", "value"], "points": []})
+    assert empty.begin_timestamp() is None and empty.index() is None
