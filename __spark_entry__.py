@@ -720,6 +720,20 @@ def q_token_budget_mix(spark, sf_dir):
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-weighted source mixing (datapipe/sampling.py::
+    temperature_mix — mC4/XLM-R n^alpha recipe, arXiv:1911.02116):
+    alpha=0.5 so the source weight is sqrt(n) (IEEE-exact cross-engine),
+    budgets derived in-plan from per-source token totals, then the
+    hash-prefix take. cum_tokens BIGINT-cast both sides (HUGEINT
+    lesson)."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_sample.temperature_mix(docs, total_tokens=15_000, alpha=0.5)
+    return out.select("doc_id", "source", "n_tokens",
+                      F.col("cum_tokens").cast("long").alias("cum_tokens"),
+                      "budget_tokens", "mix_share")
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing: shard by key hash, per-shard
     running token sum, cut every max_tokens — every doc gets a
@@ -3161,6 +3175,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # carry a SQL twin (r5 verdict item 6).
         "collect_window_1d": q_collect_window_1d,
         "keyed_collections": q_keyed_collections,
+        "temperature_mix": q_temperature_mix,
         # --- everything below is driver-verified (cumulative r1-r4) ---
         "chunk_docs": q_chunk_docs,
         "unigram_logprob": q_unigram_logprob,
@@ -5884,6 +5899,37 @@ def oracle_sql() -> dict[str, str]:
                       ::BIGINT / 4294967296.0
                   < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
                               WHEN 'zh' THEN 0.25 ELSE 0.0 END
+        """,
+        "temperature_mix": """
+            WITH tok AS (
+              SELECT doc_id, source,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+                     ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))
+                         ::BIGINT / 4294967296.0 AS h
+              FROM documents
+            ), src AS (
+              SELECT source, sqrt(CAST(sum(n_tokens) AS DOUBLE)) AS w
+              FROM tok GROUP BY source
+            ), z AS (
+              SELECT sum(w) AS z FROM src
+            ), b AS (
+              SELECT source,
+                     CAST(floor(round(15000 * w / z, 6)) AS BIGINT)
+                       AS budget_tokens,
+                     round(w / z, 6) AS mix_share
+              FROM src, z
+            ), c AS (
+              SELECT t.doc_id, t.source, t.n_tokens,
+                     CAST(sum(t.n_tokens) OVER (PARTITION BY t.source
+                         ORDER BY t.h, t.doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                     b.budget_tokens, b.mix_share
+              FROM tok t JOIN b USING (source)
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens, budget_tokens,
+                   mix_share
+            FROM c WHERE cum_tokens - n_tokens < budget_tokens
         """,
         "token_budget_mix": """
             WITH base AS (

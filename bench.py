@@ -164,6 +164,7 @@ HEADLINE = [
     "collect_window_1d",
     "keyed_collections",
     "tpch_q21_shape",
+    "temperature_mix",
 ]
 
 

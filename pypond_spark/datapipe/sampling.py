@@ -172,6 +172,60 @@ def token_budget_mix(df: DataFrame, budgets: dict[str, int],
             .drop("__budget", "__h"))
 
 
+def temperature_mix(df: DataFrame, total_tokens: int, alpha: float = 0.5,
+                    domain_col: str = "source",
+                    token_col: str | None = None, text_col: str = "text",
+                    id_col: str = "doc_id", seed: int | str = 0) -> DataFrame:
+    """Temperature-based source re-weighting: each source's token budget
+    is ``total_tokens * n_s^alpha / sum_s n_s^alpha`` — ``alpha`` in
+    (0, 1) upsamples tail sources relative to their natural share (the
+    multilingual-LM mixing recipe: mC4 / XLM-R, Conneau et al. 2020,
+    arXiv:1911.02116, alpha≈0.3), alpha=1 is proportional sampling.
+    Selection within each source is the same deterministic hash-prefix
+    take as :func:`token_budget_mix` (the crossing document is kept).
+
+    Cross-engine note: ``alpha=0.5`` makes the weight ``sqrt(n)`` —
+    IEEE-exact on every engine, so the budget boundary cannot drift an
+    ulp; other alphas go through ``pow`` whose last ulp is
+    implementation-defined (budgets are rounded to 6dp before flooring
+    to absorb that, but 0.5 is the bit-reproducible choice).
+
+    Shape at 100 TB: one groupBy on the (small) source dimension, the
+    1-row normalizer broadcast back, then ONE window shuffle on
+    ``domain_col`` — identical cost to token_budget_mix.
+
+    Output: kept rows as ``id_col, domain_col, n_tokens, cum_tokens,
+    budget_tokens, mix_share``.
+    """
+    from pypond_spark.datapipe.textstats import token_count
+
+    n_tok = (F.col(token_col) if token_col
+             else token_count(text_col)).alias("n_tokens")
+    base = spread(df).select(
+        F.col(id_col), F.col(domain_col), n_tok,
+        sample_hash(F.col(id_col), seed).alias("__h"))
+    per_src = (base.groupBy(domain_col)
+               .agg(F.sum("n_tokens").alias("__n"))
+               .withColumn("__w", F.pow(F.col("__n").cast("double"),
+                                        F.lit(float(alpha)))))
+    z = per_src.agg(F.sum("__w").alias("__z"))
+    budgets = (per_src.join(F.broadcast(z))
+               .select(domain_col,
+                       F.floor(F.round(F.lit(int(total_tokens))
+                                       * F.col("__w") / F.col("__z"), 6))
+                       .cast("long").alias("__budget"),
+                       F.round(F.col("__w") / F.col("__z"), 6)
+                       .alias("mix_share")))
+    w = (Window.partitionBy(domain_col).orderBy("__h", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base.join(F.broadcast(budgets), domain_col)
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .where(F.col("cum_tokens") - F.col("n_tokens")
+                   < F.col("__budget"))
+            .withColumn("budget_tokens", F.col("__budget"))
+            .drop("__budget", "__h"))
+
+
 def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
                     overlap: int = 0, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

@@ -362,3 +362,36 @@ def test_lexical_stats_and_zipf(spark):
     z = zipf_slope(df).collect()[0]
     assert z["vocab"] == 9 and z["n_tokens"] == 12
     assert z["slope"] < 0  # frequencies fall with rank
+
+
+def test_temperature_mix(spark):
+    """n^alpha source re-weighting (mC4/XLM-R): shares normalize to 1,
+    budgets scale with sqrt(n) at alpha=0.5 (tail sources upsampled vs
+    their natural share), the crossing doc is kept, and alpha=1 gives
+    proportional budgets."""
+    import pyspark.sql.functions as F
+
+    from pypond_spark.datapipe.sampling import temperature_mix
+    rows = ([(i, "big", "w " * 100) for i in range(40)]
+            + [(100 + i, "small", "w " * 100) for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    out = temperature_mix(df, total_tokens=2000, alpha=0.5).toPandas()
+    shares = dict(out.groupby("source")["mix_share"].first())
+    assert abs(sum(shares.values()) - 1.0) < 1e-5
+    # natural shares are 0.8/0.2; sqrt-weighting pulls toward 2:1
+    assert abs(shares["big"] - (2 / 3)) < 1e-6
+    assert abs(shares["small"] - (1 / 3)) < 1e-6
+    budgets = dict(out.groupby("source")["budget_tokens"].first())
+    assert budgets["big"] == 1333 and budgets["small"] == 666
+    # greedy prefix: crossing doc kept, so cum may exceed budget once
+    per = out.groupby("source")["cum_tokens"].max()
+    assert per["big"] >= 1333 and per["small"] >= 666
+    # every doc has 100 tokens -> kept counts are ceil(budget/100)
+    kept = out.groupby("source")["doc_id"].count()
+    assert kept["big"] == 14 and kept["small"] == 7
+
+    # alpha=1: proportional to token mass
+    prop = temperature_mix(df, total_tokens=2000, alpha=1.0).toPandas()
+    pshares = dict(prop.groupby("source")["mix_share"].first())
+    assert abs(pshares["big"] - 0.8) < 1e-6
