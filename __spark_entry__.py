@@ -3126,7 +3126,6 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_shape": q_tpch_q15_shape,
         "tpch_q17_shape": q_tpch_q17_shape,
         "tpch_q22_shape": q_tpch_q22_shape,
-        "tpch_q21_shape": q_tpch_q21_shape,
         "acf_hourly_by_type": q_acf_hourly_by_type,
         "theilsen_by_user": q_theilsen_by_user,
         "stream_sessions": q_stream_sessions,
@@ -3176,6 +3175,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_window_1d": q_collect_window_1d,
         "keyed_collections": q_keyed_collections,
         "temperature_mix": q_temperature_mix,
+        "tpch_q21_shape": q_tpch_q21_shape,
         # --- everything below is driver-verified (cumulative r1-r4) ---
         "chunk_docs": q_chunk_docs,
         "unigram_logprob": q_unigram_logprob,
