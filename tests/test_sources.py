@@ -90,3 +90,24 @@ def test_bucketed_join_plans_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_queries_self_rotation_contract():
+    """The driver snapshot caps at ~50 entries, so queries() must place
+    every never-driver-verified query before every verified one (the
+    rotation the r4 AND r5 verdicts flagged when it was hand-maintained).
+    Also: every query has an oracle twin (zero rows-only)."""
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("_entry_rot", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = list(mod.queries())
+    verified = mod._driver_verified_names()
+    flags = [n in verified for n in names]
+    n_head = flags.count(False)
+    assert all(not f for f in flags[:n_head]), (
+        "verified query ahead of a never-verified one")
+    assert set(mod.oracle_sql()) == set(names)
