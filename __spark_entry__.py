@@ -734,6 +734,18 @@ def q_temperature_mix(spark, sf_dir):
                       "budget_tokens", "mix_share")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (datapipe/sampling.py::dsir_weights —
+    Xie et al. 2023, arXiv:2302.03169): target = src0 documents, raw =
+    whole corpus; hashed unigram+bigram buckets (4096), Laplace
+    smoothing, per-doc log-weight accumulated as exact micro-nat
+    integers so the hash can't drift on summation order."""
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    out = dp_sample.dsir_weights(docs, target, n_buckets=4096)
+    return out.select("doc_id", "n_grams", "log_weight")
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing: shard by key hash, per-shard
     running token sum, cut every max_tokens — every doc gets a
@@ -3181,6 +3193,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyed_collections": q_keyed_collections,
         "temperature_mix": q_temperature_mix,
         "tpch_q21_shape": q_tpch_q21_shape,
+        "dsir_weights": q_dsir_weights,
         # --- everything below is driver-verified (cumulative r1-r4) ---
         "chunk_docs": q_chunk_docs,
         "unigram_logprob": q_unigram_logprob,
@@ -5904,6 +5917,53 @@ def oracle_sql() -> dict[str, str]:
                       ::BIGINT / 4294967296.0
                   < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
                               WHEN 'zh' THEN 0.25 ELSE 0.0 END
+        """,
+        "dsir_weights": """
+            WITH arr AS (
+              SELECT doc_id, source,
+                     list_filter(list_transform(
+                         list_filter(string_split_regex(trim(text),
+                                                        '\\s+'),
+                                     x -> x != ''),
+                         x -> regexp_replace(lower(x),
+                             '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                       x -> x != '') AS a
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, source, unnest(list_concat(a,
+                       CASE WHEN len(a) >= 2
+                            THEN list_transform(
+                                generate_series(1, len(a) - 1),
+                                i -> a[i] || ' ' || a[i + 1])
+                            ELSE [] END)) AS g
+              FROM arr
+            ), bk AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b
+              FROM grams
+            ), tc AS (
+              SELECT b, count(*) AS ct FROM bk
+              WHERE source = 'src0' GROUP BY b
+            ), rc AS (
+              SELECT b, count(*) AS cr FROM bk GROUP BY b
+            ), nt AS (
+              SELECT count(*) AS n FROM bk WHERE source = 'src0'
+            ), nr AS (
+              SELECT count(*) AS n FROM bk
+            ), ratio AS (
+              SELECT rc.b,
+                     CAST(round((ln((COALESCE(tc.ct, 0) + 1.0)
+                                    / (nt.n + 1.0 * 4096))
+                               - ln((rc.cr + 1.0) / (nr.n + 1.0 * 4096)))
+                                * 1000000.0) AS BIGINT) AS lr_micro
+              FROM rc LEFT JOIN tc USING (b)
+              CROSS JOIN nt CROSS JOIN nr
+            )
+            SELECT bk.doc_id, count(*) AS n_grams,
+                   CAST(sum(ratio.lr_micro) AS BIGINT) / 1000000.0
+                     AS log_weight
+            FROM bk JOIN ratio ON bk.b = ratio.b
+            GROUP BY bk.doc_id
         """,
         "temperature_mix": """
             WITH tok AS (

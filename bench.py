@@ -165,6 +165,7 @@ HEADLINE = [
     "keyed_collections",
     "tpch_q21_shape",
     "temperature_mix",
+    "dsir_weights",
 ]
 
 

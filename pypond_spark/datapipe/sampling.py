@@ -226,6 +226,76 @@ def temperature_mix(df: DataFrame, total_tokens: int, alpha: float = 0.5,
             .drop("__budget", "__h"))
 
 
+def dsir_weights(raw: DataFrame, target: DataFrame, n_buckets: int = 4096,
+                 smoothing: float = 1.0, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): score every ``raw``
+    document by how much more likely its hashed-n-gram bag is under the
+    ``target`` distribution than under the raw distribution —
+    ``log_weight = sum_g [ln p_target(bucket(g)) - ln p_raw(bucket(g))]``
+    over the doc's unigrams+bigrams, each md5-hashed into ``n_buckets``
+    (the paper's hashed n-gram generative model), probabilities
+    add-``smoothing`` Laplace-estimated.  Feed the output to
+    :func:`weighted_take` / :func:`sample_weighted` to select the
+    target-like subset.
+
+    Cross-engine determinism: per-bucket log-ratios are stored as
+    MICRO-NAT INTEGERS (``round(lr * 1e6)``), so the per-document
+    accumulation is an exact integer sum — immune to float summation
+    order — and the final ``log_weight`` is one shared division.
+
+    Shape at 100 TB: two corpus-sized explodes (the two "training"
+    passes, one per side — shuffles on the uniform bucket key, count
+    tables bounded by ``n_buckets``), one broadcast of the
+    ``n_buckets``-row ratio table, and ONE scoring pass over the raw
+    explode with a map-side join + per-doc groupBy.
+
+    Output: ``id_col, n_grams, log_weight`` (raw docs with >=1 token).
+    """
+    from pypond_spark.datapipe.textstats import _match_tokens
+
+    def grams() -> Column:
+        arr = F.filter(_match_tokens(text_col), lambda t: t != F.lit(""))
+        n = F.size(arr)
+        bigrams = F.when(n >= 2, F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(arr, i),
+                                  F.element_at(arr, i + 1)))) \
+            .otherwise(F.array().cast("array<string>"))
+        return F.concat(arr, bigrams)
+
+    def bucket(g: Column) -> Column:
+        return (F.conv(F.md5(g).substr(1, 8), 16, 10).cast("long")
+                % F.lit(int(n_buckets)))
+
+    def bucket_counts(df: DataFrame, out: str) -> DataFrame:
+        return (spread(df).select(F.explode(grams()).alias("__g"))
+                .select(bucket(F.col("__g")).alias("__b"))
+                .groupBy("__b").agg(F.count("*").alias(out)))
+
+    tcounts = bucket_counts(target, "__ct").localCheckpoint()
+    rcounts = bucket_counts(raw, "__cr").localCheckpoint()
+    n_t = tcounts.agg(F.sum("__ct")).first()[0] or 0
+    n_r = rcounts.agg(F.sum("__cr")).first()[0] or 0
+    s = float(smoothing)
+    denom_t = float(n_t) + s * n_buckets
+    denom_r = float(n_r) + s * n_buckets
+    lr = (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(s))
+                / F.lit(denom_t))
+          - F.log((F.col("__cr") + F.lit(s)) / F.lit(denom_r)))
+    ratio = (rcounts.join(tcounts, "__b", "left")
+             .select("__b", F.round(lr * F.lit(1e6)).cast("long")
+                     .alias("__lr_micro")))
+    scored = (spread(raw)
+              .select(F.col(id_col), F.explode(grams()).alias("__g"))
+              .select(F.col(id_col), bucket(F.col("__g")).alias("__b"))
+              .join(F.broadcast(ratio), "__b"))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 (F.sum("__lr_micro") / F.lit(1e6)).alias("log_weight")))
+
+
 def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
                     overlap: int = 0, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

@@ -395,3 +395,24 @@ def test_temperature_mix(spark):
     prop = temperature_mix(df, total_tokens=2000, alpha=1.0).toPandas()
     pshares = dict(prop.groupby("source")["mix_share"].first())
     assert abs(pshares["big"] - 0.8) < 1e-6
+
+
+def test_dsir_weights(spark):
+    """DSIR (arXiv:2302.03169): docs made of target-corpus vocabulary
+    must outscore docs of foreign vocabulary, and log-weights accumulate
+    as exact micro-nat integers (value = multiple of 1e-6)."""
+    from pypond_spark.datapipe.sampling import dsir_weights
+    target_rows = [(i, "alpha beta gamma delta " * 5) for i in range(8)]
+    raw_rows = ([(100, "alpha beta gamma delta alpha beta"),
+                 (101, "zork quux blorp frobnitz zork quux")])
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dsir_weights(raw, target, n_buckets=256).collect()}
+    assert out[100]["log_weight"] > out[101]["log_weight"]
+    assert out[100]["log_weight"] > 0 > out[101]["log_weight"]
+    for r in out.values():
+        micro = r["log_weight"] * 1e6
+        assert abs(micro - round(micro)) < 1e-6
+    # unigrams + bigrams: 6 tokens -> 11 grams
+    assert out[100]["n_grams"] == 11
