@@ -359,3 +359,61 @@ def test_densify_rollup_is_gapless_and_preserves_occupied(spark):
     occupied = {int(r["index"].split("-")[1]): r["v_sum"] for r in out
                 if r["n"] > 0}
     assert occupied == {h: float(h) for h in hours}  # originals intact
+
+
+# -- wire codec round trip (SparkSession-backed, so few examples) -------------
+
+_payload_scalar = st.one_of(
+    st.none(),
+    st.integers(min_value=-10**12, max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=12),
+)
+
+
+@given(data=st.data())
+@settings(max_examples=15, deadline=None)
+def test_wire_roundtrip_property(spark, data):
+    """from_wire -> to_wire is the identity on key order + values for
+    arbitrary (time-sorted, distinct-ms) point sets with mixed-type
+    payload columns — the reference wire contract (series.py:35-49)."""
+    from pypond_spark import TimeSeries
+    n_rows = data.draw(st.integers(min_value=1, max_value=6))
+    n_cols = data.draw(st.integers(min_value=1, max_value=3))
+    times = sorted(data.draw(st.sets(
+        st.integers(min_value=0, max_value=2**41),
+        min_size=n_rows, max_size=n_rows)))
+    colnames = [f"c{i}" for i in range(n_cols)]
+    # per-column homogeneous type (the codec's documented contract)
+    cols = [data.draw(st.one_of(
+        st.lists(st.none() | st.integers(-10**12, 10**12),
+                 min_size=n_rows, max_size=n_rows),
+        st.lists(st.none() | st.floats(allow_nan=False,
+                                       allow_infinity=False, width=32),
+                 min_size=n_rows, max_size=n_rows),
+        st.lists(st.none() | st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=12), min_size=n_rows, max_size=n_rows),
+    )) for _ in range(n_cols)]
+    # a column of all None has no inferable type: pin one value
+    for c in cols:
+        if all(v is None for v in c):
+            c[0] = 1.0
+    points = [[t] + [cols[j][i] for j in range(n_cols)]
+              for i, t in enumerate(times)]
+    wire = {"name": "prop", "columns": ["time"] + colnames,
+            "points": points}
+    out = TimeSeries.from_wire(spark, wire).to_wire()
+    assert out["columns"] == wire["columns"]
+    assert len(out["points"]) == n_rows
+    for want, got in zip(points, out["points"]):
+        assert got[0] == want[0]
+        for w, g in zip(want[1:], got[1:]):
+            if isinstance(w, float) and g is not None:
+                assert abs(g - w) < 1e-6 * max(1.0, abs(w))
+            elif isinstance(w, int) and isinstance(g, float):
+                assert g == float(w)  # int column upcast by a float peer
+            else:
+                assert g == w
+
