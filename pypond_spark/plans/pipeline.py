@@ -92,6 +92,29 @@ class Pipeline:
     def clear_group_by(self) -> "Pipeline":
         return self._next(group_by=None)
 
+    # -- state getters (reference pipeline.py:252-300) ------------------------
+    def get_window_type(self) -> str | None:
+        """'fixed' for duration specs, the calendar kind for
+        daily/monthly/yearly, 'global' when unwindowed."""
+        win = self._state["window"]
+        if win is None:
+            return "global"
+        return win if win in ("daily", "monthly", "yearly") else "fixed"
+
+    def get_window_duration(self) -> str | None:
+        """The window spec string ('5m', 'daily', ...), None when
+        unwindowed."""
+        return self._state["window"]
+
+    def get_group_by(self):
+        return self._state["group_by"]
+
+    def get_emit_on(self) -> str:
+        return self._state["emit_on"]
+
+    def get_utc(self) -> bool:
+        return bool(self._state["utc"])
+
     def emit_on(self, trigger: str) -> "Pipeline":
         if trigger not in ("eachEvent", "discard", "flush"):
             raise ValueError(f"bad emit_on trigger {trigger!r}")

@@ -166,3 +166,21 @@ def test_at_key(spark):
     rows = ts.at_key(1000)
     assert sorted(r["value"] for r in rows) == [1, 2]
     assert ts.at_key(9999) == []
+
+
+def test_pipeline_state_getters():
+    """Reference pipeline.py:252-300 getter parity."""
+    from pypond_spark import Pipeline
+    p = Pipeline()
+    assert p.get_window_type() == "global"
+    assert p.get_window_duration() is None
+    assert p.get_emit_on() == "eachEvent"
+    assert p.get_utc() is True
+    q = p.window_by("5m").group_by("event_type").emit_on("discard")
+    assert q.get_window_type() == "fixed"
+    assert q.get_window_duration() == "5m"
+    assert q.get_group_by() == "event_type"
+    assert q.get_emit_on() == "discard"
+    assert p.get_window_type() == "global"  # immutability preserved
+    assert q.window_by("daily", utc=False).get_window_type() == "daily"
+    assert q.window_by("daily", utc=False).get_utc() is False
