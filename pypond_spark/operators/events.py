@@ -119,6 +119,28 @@ class Event:
             return (self._keys.get("begin"), self._keys.get("end"))
         return self._keys.get("time")
 
+    def timestamp_as_utc_string(self) -> str:
+        """Reference ``event.py:476-484``."""
+        from ..humanize import format_dt
+        from ..util import dt_from_ms, ms_from_any
+        return format_dt(dt_from_ms(ms_from_any(self.timestamp())))
+
+    def timestamp_as_local_string(self) -> str:
+        """Reference ``event.py:486-494``."""
+        from ..humanize import format_dt
+        from ..util import dt_from_ms, ms_from_any
+        return format_dt(dt_from_ms(ms_from_any(self.timestamp())),
+                         localize=True)
+
+    def timerange_as_utc_string(self) -> str:
+        """Reference ``timerange_event.py`` / ``indexed_event.py``."""
+        from ..timerange import TimeRange
+        return TimeRange(self.begin(), self.end()).to_utc_string()
+
+    def timerange_as_local_string(self) -> str:
+        from ..timerange import TimeRange
+        return TimeRange(self.begin(), self.end()).to_local_string()
+
     def to_point(self, cols: list | None = None) -> list:
         """Wire point form ``[key, v1, v2, ...]`` (reference
         ``event.py:446-470`` and the indexed/timerange variants): the key

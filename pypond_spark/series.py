@@ -334,6 +334,12 @@ class TimeSeries:
                 & (F.col("end") == F.lit(_dt(end)))).collect()
         return rows
 
+    def event_list_as_list(self) -> list:
+        """The events as a plain time-ordered Python list (reference
+        ``collection.py:404-412`` — there a thaw of the pvector; here an
+        alias of :meth:`collect`)."""
+        return self.collect()
+
     def event_list_as_map(self) -> dict:
         """The series' events as ``{key: [Row, ...]}`` keyed by the
         reference event key — epoch-ms int for time events

@@ -344,3 +344,22 @@ def test_event_list_as_map(spark):
     imap = its.event_list_as_map()
     assert len(imap) == 3
     assert [r["value"] for r in imap["1d-12355"]] == [43, 44]
+
+
+def test_event_display_strings_and_list(spark):
+    """Event display helpers (reference event.py:476-494,
+    timerange_event.py) and Collection.event_list_as_list
+    (collection.py:404-412)."""
+    from pypond_spark.operators.events import Event
+    e = Event(1429673400000, {"v": 1})
+    assert e.timestamp_as_utc_string() == "Wed, 22 Apr 2015 03:30:00 UTC"
+    assert isinstance(e.timestamp_as_local_string(), str)
+    tre = Event.timerange((0, 86_400_000), {"v": 1})
+    assert tre.timerange_as_utc_string() == \
+        "[Thu, 01 Jan 1970 00:00:00 UTC, Fri, 02 Jan 1970 00:00:00 UTC]"
+
+    wire = {"name": "l", "columns": ["time", "value"],
+            "points": [[120_000, 2.0], [60_000, 1.0]]}
+    ts = TimeSeries.from_wire(spark, wire)
+    lst = ts.event_list_as_list()
+    assert [r["value"] for r in lst] == [1.0, 2.0]  # time-ordered
