@@ -606,6 +606,19 @@ def q_ann_ivf(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced sampling (datapipe/similarity.py::
+    cluster_balanced_sample — the coreset quota step beside SemDeDup,
+    arXiv:2303.09540): exactly 40 per k-means cell by deterministic
+    sample hash; centroids from the shared memoized ivf_build the
+    ann_ivf oracle replays, so every cell assignment AND the in-cell
+    hash order is hash-verified."""
+    embs = _read(spark, sf_dir, "embeddings")
+    cents = _ivf_cents(spark, sf_dir, embs)
+    return dp_sim.cluster_balanced_sample(embs, k_per_cell=40,
+                                          centroids=cents, quantize=6)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     embs = _read(spark, sf_dir, "embeddings")
     out = dp_sim.embedding_near_dups(embs, threshold=0.4)
@@ -3194,6 +3207,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "tpch_q21_shape": q_tpch_q21_shape,
         "dsir_weights": q_dsir_weights,
+        "cluster_sample": q_cluster_sample,
         # --- everything below is driver-verified (cumulative r1-r4) ---
         "chunk_docs": q_chunk_docs,
         "unigram_logprob": q_unigram_logprob,
@@ -5766,6 +5780,28 @@ def oracle_sql() -> dict[str, str]:
               LIMIT 10
             )
             SELECT vec_id, round(c, 6) AS cosine FROM s
+        """,
+        "cluster_sample": _EMB_CTE + f"""
+            , c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+              FROM e ORDER BY vec_id LIMIT 8
+            ),
+            a1 AS {_ivf_assign_cte("c0")},
+            c1 AS {_ivf_means_cte("a1", "c0")},
+            a2 AS {_ivf_assign_cte("c1")},
+            c2 AS {_ivf_means_cte("a2", "c1")},
+            af AS {_ivf_assign_cte("c2")},
+            r AS (
+              SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+                     row_number() OVER (PARTITION BY cell
+                        ORDER BY ('0x' || substr(md5('0|' ||
+                                  vec_id::VARCHAR), 1, 8))::BIGINT,
+                                 vec_id) AS rank_in_cell
+              FROM af
+            )
+            SELECT vec_id, cell, CAST(rank_in_cell AS BIGINT)
+                     AS rank_in_cell
+            FROM r WHERE rank_in_cell <= 40
         """,
         "ann_ivf": _EMB_CTE + f"""
             , c0 AS (

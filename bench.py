@@ -166,6 +166,7 @@ HEADLINE = [
     "tpch_q21_shape",
     "temperature_mix",
     "dsir_weights",
+    "cluster_sample",
 ]
 
 

@@ -437,6 +437,45 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                        query_vec, k, vec_col, id_col)
 
 
+def cluster_balanced_sample(df: DataFrame, k_per_cell: int = 20,
+                            n_cells: int = 8, n_iters: int = 2,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            quantize: int | None = None,
+                            centroids: list[list[float]] | None = None,
+                            seed: int | str = 0) -> DataFrame:
+    """Diversity-preserving selection: exactly ``k_per_cell`` rows from
+    every k-means cell of the embedding space (fewer if a cell is
+    smaller), chosen by deterministic sample hash within the cell — the
+    cluster-balanced coreset step used alongside SemDeDup-style pruning
+    (Abbas et al. 2023, arXiv:2303.09540 §cluster sampling): uniform
+    sampling over-represents dense modes, per-cell quotas keep the tails.
+
+    Output: ``(id_col, cell, rank_in_cell)`` for kept rows.
+
+    Scale: assignment is map-side (no shuffle); the per-cell rank is ONE
+    window shuffle on the cell key, and AQE splits a skewed mega-cell's
+    sort across tasks.  Pass ``centroids`` to reuse a memoized
+    deterministic :func:`ivf_build` (same contract as
+    :func:`semantic_dedup`).
+    """
+    from pypond_spark.datapipe._util import spread as _spread
+    from pypond_spark.datapipe.sampling import sample_hash
+
+    cents = centroids if centroids is not None else ivf_build(
+        df, n_cells, n_iters, vec_col, id_col, quantize)
+    assigned = ivf_assign(_spread(df), cents, vec_col)
+    w = Window.partitionBy("__cell").orderBy(
+        sample_hash(F.col(id_col), seed), F.col(id_col))
+    return (assigned
+            .withColumn("rank_in_cell", F.row_number().over(w))
+            .where(F.col("rank_in_cell") <= k_per_cell)
+            .select(F.col(id_col), F.col("__cell").cast("long")
+                    .alias("cell"),
+                    F.col("rank_in_cell").cast("long")
+                    .alias("rank_in_cell")))
+
+
 def label_centroids(df: DataFrame, vec_col: str = "embedding",
                     label_col: str = "label") -> DataFrame:
     """Per-label mean embedding, emitted as (label, dim, centroid, n)

@@ -854,3 +854,25 @@ def test_ivfpq_indexed_prunes_and_matches(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "cell" in pf  # probe cells pruned at the source
+
+
+def test_cluster_balanced_sample(spark):
+    """Per-cell quotas: no cell exceeds k, small cells are kept whole,
+    ranks are 1..n contiguous, selection is deterministic."""
+    import pyspark.sql.functions as F
+
+    from pypond_spark.datapipe.similarity import cluster_balanced_sample
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(df, k_per_cell=5, n_cells=4,
+                                  quantize=6).toPandas()
+    per = out.groupby("cell")["rank_in_cell"]
+    assert (per.max() <= 5).all()
+    for _, g in out.groupby("cell"):
+        assert sorted(g["rank_in_cell"]) == list(range(1, len(g) + 1))
+    again = cluster_balanced_sample(df, k_per_cell=5, n_cells=4,
+                                    quantize=6).toPandas()
+    assert sorted(out["vec_id"]) == sorted(again["vec_id"])
+    # quotas flatten density: every populated cell contributes
+    assert out["cell"].nunique() >= 2
