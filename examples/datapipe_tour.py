@@ -125,6 +125,26 @@ def main() -> None:
                                      best.groupBy("source").count()
                                      .collect()})
 
+    # 13. temperature-weighted mixing (n^alpha source budgets, mC4/XLM-R)
+    tmix = sampling.temperature_mix(docs, total_tokens=10_000, alpha=0.5)
+    print("temperature mix shares:",
+          {r["source"]: r["mix_share"] for r in
+           tmix.select("source", "mix_share").distinct().collect()})
+
+    # 14. DSIR: importance-resample the corpus toward src0's distribution
+    target = docs.where(F.col("source") == "src0")
+    dsir = sampling.dsir_weights(docs, target, n_buckets=1024)
+    top = dsir.orderBy(F.desc("log_weight")).limit(3).collect()
+    print("DSIR top target-like docs:",
+          [(r["doc_id"], round(r["log_weight"], 2)) for r in top])
+
+    # 15. cluster-balanced coreset: equal quotas per embedding cell
+    core = similarity.cluster_balanced_sample(embs, k_per_cell=10,
+                                              n_cells=4, quantize=6)
+    print("cluster-balanced sample:",
+          {int(r["cell"]): r["count"] for r in
+           core.groupBy("cell").count().collect()})
+
     spark.stop()
 
 
