@@ -85,7 +85,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     emb_ops = {"pq_build_2m", "pq_encode_2m", "pq_encode_arrow_2m",
                "pq_build_arrow_2m"}
-    ev_needed = not only or bool(only - emb_ops - {"repeated_spans"})
+    ev_needed = not only or bool(only - emb_ops - {"repeated_spans", "dsir_weights"})
     emb_needed = not only or bool(only & emb_ops)
     # exclude synthesis cost; skip when no selected op reads the frame
     ev = events(spark, n).localCheckpoint() if ev_needed else None
@@ -100,6 +100,7 @@ def main() -> None:
     from pypond_spark.operators.rolling import holt_winters
     from pypond_spark.operators.skew import salted_join
     from pypond_spark.datapipe.dedup import repeated_spans
+    from pypond_spark.datapipe.sampling import dsir_weights
     from pypond_spark.datapipe.similarity import (pq_build,
                                                   pq_build_arrow,
                                                   pq_encode,
@@ -159,6 +160,10 @@ def main() -> None:
         "repeated_spans": lambda: sink(repeated_spans(
             documents(spark, max(n // 700, 1)).localCheckpoint(),
             k=50)),
+        # DSIR tier: ~n chars of raw corpus, every third doc the target
+        "dsir_weights": lambda: (lambda d: sink(dsir_weights(
+            d, d.where(F.col("doc_id") % 3 == 0), n_buckets=4096)))(
+                documents(spark, max(n // 700, 1)).localCheckpoint()),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
