@@ -416,3 +416,26 @@ def test_dsir_weights(spark):
         assert abs(micro - round(micro)) < 1e-6
     # unigrams + bigrams: 6 tokens -> 11 grams
     assert out[100]["n_grams"] == 11
+
+
+def test_dsir_empty_target_and_temperature_token_col(spark):
+    """Edge cases: DSIR with an EMPTY target degrades to the uniform
+    smoothing prior (all-bucket ratios identical, weights negative for
+    every doc since raw mass > prior); temperature_mix accepts a
+    precomputed token column."""
+    import pyspark.sql.functions as F
+
+    from pypond_spark.datapipe.sampling import dsir_weights, temperature_mix
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string")
+    out = dsir_weights(docs, docs.where(F.lit(False)),
+                       n_buckets=64).collect()
+    assert len(out) == 2
+    assert all(r["log_weight"] < 0 for r in out)
+
+    pre = docs.withColumn("toks", F.lit(10))
+    mixed = temperature_mix(pre, total_tokens=100, alpha=0.5,
+                            domain_col="doc_id", token_col="toks")
+    rows = mixed.collect()
+    assert rows and all(r["n_tokens"] == 10 for r in rows)
