@@ -3079,7 +3079,11 @@ def _driver_verified_names() -> set:
     """
     import glob as _glob
     here = os.path.dirname(os.path.abspath(__file__))
-    ok = set()
+    status: dict[str, bool] = {}
+    # LATEST round containing a query wins: a query that was green in r3
+    # but red in the latest snapshot (the r4 token_budget_mix case) must
+    # rotate back to the head for re-verification, not stay masked as
+    # verified by the old green row
     for path in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -3087,13 +3091,13 @@ def _driver_verified_names() -> set:
         except Exception:
             continue
         for name, row in snap.items():
-            if not isinstance(row, dict) or row.get("err") is not None:
+            if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") or (
-                row.get("hash_match") is None and row.get("rows_match")
-            ):
-                ok.add(name)
-    return ok
+            green = row.get("err") is None and (
+                row.get("hash_match")
+                or (row.get("hash_match") is None and row.get("rows_match")))
+            status[name] = bool(green)
+    return {name for name, green in status.items() if green}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

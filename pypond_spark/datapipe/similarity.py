@@ -459,12 +459,11 @@ def cluster_balanced_sample(df: DataFrame, k_per_cell: int = 20,
     deterministic :func:`ivf_build` (same contract as
     :func:`semantic_dedup`).
     """
-    from pypond_spark.datapipe._util import spread as _spread
     from pypond_spark.datapipe.sampling import sample_hash
 
     cents = centroids if centroids is not None else ivf_build(
         df, n_cells, n_iters, vec_col, id_col, quantize)
-    assigned = ivf_assign(_spread(df), cents, vec_col)
+    assigned = ivf_assign(spread(df), cents, vec_col)
     w = Window.partitionBy("__cell").orderBy(
         sample_hash(F.col(id_col), seed), F.col(id_col))
     return (assigned

@@ -113,45 +113,65 @@ class Event:
         """The event's identity key (reference ``event.py:579-600``):
         timestamp for time events, the index string for indexed events,
         ``(begin, end)`` for timerange events."""
-        if "index" in self._keys:
+        kind = self.event_type()
+        if kind == "index":
             return self._keys["index"]
-        if "begin" in self._keys and "time" not in self._keys:
+        if kind == "timerange":
             return (self._keys.get("begin"), self._keys.get("end"))
         return self._keys.get("time")
+
+    @staticmethod
+    def _key_ms(value: Any) -> int:
+        """Epoch ms from an event key value.  Naive datetimes are UTC
+        instants here by construction: rows collected under the engine's
+        pinned UTC session timezone arrive as session-TZ-naive
+        timestamps (see ``session.py``)."""
+        import datetime as _dt
+
+        from ..util import ms_from_any
+        if isinstance(value, _dt.datetime) and value.tzinfo is None:
+            value = value.replace(tzinfo=_dt.timezone.utc)
+        return ms_from_any(value)
 
     def timestamp_as_utc_string(self) -> str:
         """Reference ``event.py:476-484``."""
         from ..humanize import format_dt
-        from ..util import dt_from_ms, ms_from_any
-        return format_dt(dt_from_ms(ms_from_any(self.timestamp())))
+        from ..util import dt_from_ms
+        return format_dt(dt_from_ms(self._key_ms(self.timestamp())))
 
     def timestamp_as_local_string(self) -> str:
         """Reference ``event.py:486-494``."""
         from ..humanize import format_dt
-        from ..util import dt_from_ms, ms_from_any
-        return format_dt(dt_from_ms(ms_from_any(self.timestamp())),
+        from ..util import dt_from_ms
+        return format_dt(dt_from_ms(self._key_ms(self.timestamp())),
                          localize=True)
 
     def timerange_as_utc_string(self) -> str:
         """Reference ``timerange_event.py`` / ``indexed_event.py``."""
         from ..timerange import TimeRange
-        return TimeRange(self.begin(), self.end()).to_utc_string()
+        return TimeRange(self._key_ms(self.begin()),
+                         self._key_ms(self.end())).to_utc_string()
 
     def timerange_as_local_string(self) -> str:
         from ..timerange import TimeRange
-        return TimeRange(self.begin(), self.end()).to_local_string()
+        return TimeRange(self._key_ms(self.begin()),
+                         self._key_ms(self.end())).to_local_string()
 
     def to_point(self, cols: list | None = None) -> list:
         """Wire point form ``[key, v1, v2, ...]`` (reference
         ``event.py:446-470`` and the indexed/timerange variants): the key
-        is the timestamp, index string, or ``[begin, end]`` pair;
-        ``cols`` fixes the payload order for wire-format alignment."""
-        if "index" in self._keys:
+        is the epoch-ms timestamp, the index string, or an
+        ``[begin_ms, end_ms]`` pair — time keys are normalized to ms so
+        the point is JSON-serializable even when the event was built from
+        a collected row (datetime/pandas-Timestamp keys); ``cols`` fixes
+        the payload order for wire-format alignment."""
+        kind = self.event_type()
+        if kind == "index":
             key: Any = self._keys["index"]
-        elif "begin" in self._keys and "time" not in self._keys:
-            key = [self._keys["begin"], self._keys["end"]]
+        elif kind == "timerange":
+            key = [self._key_ms(self.begin()), self._key_ms(self.end())]
         else:
-            key = self._keys.get("time")
+            key = self._key_ms(self.timestamp())
         names = list(cols) if cols is not None else list(self._data)
         return [key] + [self._data.get(c) for c in names]
 

@@ -67,8 +67,13 @@ def windowed_stream_aggregate(
             f"bad emit_on trigger {emit_on!r}; expected one of "
             f"{tuple(OUTPUT_MODE)}")
     mode = OUTPUT_MODE[emit_on]
-    if emit_on == "discard":
-        sdf = sdf.withWatermark(time_col, watermark or "0 seconds")
+    if watermark is not None:
+        # an EXPLICIT horizon applies in every mode (bounds state for
+        # update/complete too); only the 0s reference-strictness default
+        # is discard-specific
+        sdf = sdf.withWatermark(time_col, watermark)
+    elif emit_on == "discard":
+        sdf = sdf.withWatermark(time_col, "0 seconds")
     from ..functions import is_custom_reducer, normalize_agg_spec
     for out, _in, func, _flt in normalize_agg_spec(spec):
         if is_custom_reducer(func):

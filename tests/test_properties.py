@@ -67,7 +67,12 @@ def test_timerange_algebra_consistency(a, b):
     # endpoints (a=(0,10) vs b=(5,10): a.overlaps(b) False, b.overlaps(a)
     # True), so symmetry is NOT a property; intersects is.
     assert ta.intersects(tb) == tb.intersects(ta)
-    assert ta.intersects(tb) == (not ta.disjoint(tb))
+    # independent brute-force check of the endpoint arithmetic (the old
+    # overlaps/disjoint duality died with reference-strict overlaps; a
+    # restated implementation would be tautological)
+    shares_instant = max(a[0], b[0]) <= min(a[1], b[1])
+    assert ta.intersects(tb) == shares_instant
+    assert ta.disjoint(tb) == (not shares_instant)
     # reference-strict overlap implies a shared instant, never disjoint
     if ta.overlaps(tb):
         assert ta.intersects(tb)

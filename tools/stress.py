@@ -87,10 +87,14 @@ def main() -> None:
                "pq_build_arrow_2m"}
     ev_needed = not only or bool(only - emb_ops - {"repeated_spans", "dsir_weights"})
     emb_needed = not only or bool(only & emb_ops)
+    doc_ops = {"repeated_spans", "dsir_weights"}
+    docs_needed = not only or bool(only & doc_ops)
     # exclude synthesis cost; skip when no selected op reads the frame
     ev = events(spark, n).localCheckpoint() if ev_needed else None
     emb = embeddings(spark, max(n // 10, 1)).localCheckpoint() \
         if emb_needed else None
+    docs = documents(spark, max(n // 700, 1)).localCheckpoint() \
+        if docs_needed else None
 
     from pypond_spark.operators.aggregate import densify_rollup
     from pypond_spark.operators.correlate import (autocorrelation,
@@ -156,14 +160,11 @@ def main() -> None:
                                    n_iters=2, dim=64)),
         # k-gram sweep tier: corpus-CHARS is the inherent size, so the
         # synthetic corpus targets ~n chars (n/700 docs x ~700 chars);
-        # rows/s reported per CHAR position (lazy: docs built on demand)
-        "repeated_spans": lambda: sink(repeated_spans(
-            documents(spark, max(n // 700, 1)).localCheckpoint(),
-            k=50)),
+        # docs checkpointed ABOVE so synthesis is excluded from timing
+        "repeated_spans": lambda: sink(repeated_spans(docs, k=50)),
         # DSIR tier: ~n chars of raw corpus, every third doc the target
-        "dsir_weights": lambda: (lambda d: sink(dsir_weights(
-            d, d.where(F.col("doc_id") % 3 == 0), n_buckets=4096)))(
-                documents(spark, max(n // 700, 1)).localCheckpoint()),
+        "dsir_weights": lambda: sink(dsir_weights(
+            docs, docs.where(F.col("doc_id") % 3 == 0), n_buckets=4096)),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
