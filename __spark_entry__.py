@@ -2455,6 +2455,33 @@ def q_rollup_daily_local(spark, sf_dir):
                          F.round("v_sum", 6).alias("v_sum"), "n")
 
 
+def q_rollup_daily_local_dst(spark, sf_dir):
+    """DST-boundary golden for the utc=False calendar rollup (r6 verdict
+    item 5; reference series.py:1278-1331 localtime semantics): the
+    January events are shifted in-plan by whole-day intervals onto the
+    America/New_York 2025 spring-forward (23h local day, transition
+    instant 2025-03-09 07:00 UTC) and fall-back (25h local day,
+    2025-11-02 06:00 UTC) windows, then daily-rolled-up in NY wall time —
+    so the engine's real tz database handles both transitions.  The
+    oracle states each branch's UTC offset as an explicit CASE on the
+    known transition instant (valid for the whole shifted range), never
+    touching the oracle engine's session timezone or ICU — the r4
+    driver-env-drift lesson."""
+    from pypond_spark import TimeSeries
+    ev = _events_df(spark, sf_dir)
+    spring = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 425 DAYS")) \
+        .withColumn("branch", F.lit("spring"))
+    fall = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 655 DAYS")) \
+        .withColumn("branch", F.lit("fall"))
+    df = spring.unionByName(fall).withColumnRenamed("ts", "time")
+    ts = TimeSeries(df, "time", {"name": "events_dst"})
+    out = ts.daily_rollup(
+        {"v_sum": {"value": "sum"}, "n": {"value": "count"}},
+        group_by="branch", utc=False, tz="America/New_York")
+    return out.df.select("index", "branch",
+                         F.round("v_sum", 6).alias("v_sum"), "n")
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """IVF-PQ composition (datapipe/similarity.py::ivfpq_topk,
     arrow=True encode, pq_build_arrow codebooks): coarse IVF routing
@@ -2917,6 +2944,138 @@ def q_tpch_q21_shape(spark, sf_dir):
             .agg(F.count("*").alias("numwait")))
 
 
+def q_tpch_q2_shape(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part), adapted: the schema
+    has no partsupp, so the part-supplier cost relation is derived from
+    lineitem as min unit price per (partkey, suppkey) — a single division
+    (IEEE-identical cross-engine) plus an order-independent min, so the
+    correlated "cost = (SELECT min(cost) ...)" equality join is
+    bit-deterministic.  Plan: the part filter (LARGE, size<=15) broadcasts
+    into the lineitem scan, so the pair agg shuffles only the filtered
+    fact slice; the per-part min is a <=#filtered-parts aggregate joined
+    back by broadcast (the q15/q17 correlated-subquery pattern); supplier
+    -> nation -> region are chained broadcasts. One real shuffle total."""
+    part = (_read(spark, sf_dir, "part")
+            .where((F.col("p_type") == "LARGE") & (F.col("p_size") <= 15))
+            .select("p_partkey", "p_name", "p_size"))
+    li = (_read(spark, sf_dir, "lineitem")
+          .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")))
+    cost = (li.groupBy("p_partkey", "p_name", "p_size", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("__cost")))
+    best = (cost.groupBy(F.col("p_partkey").alias("__pk"))
+            .agg(F.min("__cost").alias("__best")))
+    sup = (_read(spark, sf_dir, "supplier")
+           .join(F.broadcast(_read(spark, sf_dir, "nation")),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(_read(spark, sf_dir, "region")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .where(F.col("r_name") == "EUROPE")
+           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    return (cost.join(F.broadcast(best),
+                      (F.col("p_partkey") == F.col("__pk"))
+                      & (F.col("__cost") == F.col("__best")))
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                    F.col("p_size").cast("long").alias("p_size"),
+                    F.round("__cost", 6).alias("min_cost")))
+
+
+def q_tpch_q11_shape(spark, sf_dir):
+    """TPC-H Q11 shape (important stock HAVING a global-share threshold),
+    adapted: part "value" is the DECIMAL-exact discounted revenue summed
+    over lineitems shipped by ASIA suppliers (the ps_supplycost*availqty
+    stand-in).  The "(SELECT sum(...) * fraction)" scalar becomes a 1-row
+    aggregate broadcast into the HAVING filter; DECIMAL sums make the
+    threshold compare exact on both engines (no summation-order ulp can
+    flip row membership).  Plan: supplier->nation->region broadcast chain
+    prunes the fact scan map-side; ONE groupBy-partkey shuffle; the
+    global total reuses the same aggregate output (tiny frame)."""
+    sup = (_read(spark, sf_dir, "supplier")
+           .join(F.broadcast(_read(spark, sf_dir, "nation")),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(_read(spark, sf_dir, "region")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .where(F.col("r_name") == "ASIA")
+           .select("s_suppkey"))
+    li = (_read(spark, sf_dir, "lineitem")
+          .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")))
+    value = (li.groupBy("l_partkey")
+             .agg(F.sum(_rev_decimal()).alias("__val")))
+    total = value.agg(F.sum("__val").alias("__tot"))
+    return (value.join(F.broadcast(total))
+            .where(F.col("__val")
+                   > F.col("__tot") * F.lit("0.001").cast("decimal(4,3)"))
+            .select("l_partkey",
+                    F.col("__val").cast("double").alias("part_value")))
+
+
+def q_tpch_q16_shape(spark, sf_dir):
+    """TPC-H Q16 shape (supplier count per part descriptor), adapted: the
+    part-supplier relation is the distinct (partkey, suppkey) pairs in
+    lineitem; "customer complaints" suppliers are the s_acctbal<0 ones,
+    removed by a broadcast left-anti join.  Pure count-distinct over
+    strings/ints — no float hazard.  Plan: the part attribute filter
+    broadcasts into the fact scan; ONE shuffle builds the distinct pairs
+    AND the per-descriptor distinct count (partial aggregation map-side);
+    the anti join is a 6-row broadcast."""
+    part = (_read(spark, sf_dir, "part")
+            .where((F.col("p_brand") != "Brand#1")
+                   & (F.col("p_type") != "SMALL")
+                   & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34,
+                                          39, 44, 49))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad_sup = (_read(spark, sf_dir, "supplier")
+               .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    pairs = (_read(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct()
+             .join(F.broadcast(bad_sup),
+                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+             .join(F.broadcast(part),
+                   F.col("l_partkey") == F.col("p_partkey")))
+    return (pairs.groupBy("p_brand", "p_type",
+                          F.col("p_size").cast("long").alias("p_size"))
+            .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q_tpch_q20_shape(spark, sf_dir):
+    """TPC-H Q20 shape (excess-stock suppliers via nested semi-joins),
+    adapted: no ps_availqty, so a pair qualifies when its 1996 shipped
+    quantity exceeds half its 1995 quantity (both DECIMAL-exact sums, so
+    the 0.5x threshold compare cannot flip on summation order).  The
+    reference's IN(part-name-filter) nests as a broadcast-semi into the
+    pair aggregate, and suppliers left-semi join the qualifying pairs —
+    the same two-level semi-join shape as the real Q20, but the inner
+    correlated year-quantity subquery folds into conditional sums inside
+    ONE groupBy(partkey, suppkey) shuffle instead of a second aggregate
+    + join-back."""
+    small = (_read(spark, sf_dir, "part")
+             .where(F.col("p_name").like("small%")).select("p_partkey"))
+    li = (_read(spark, sf_dir, "lineitem")
+          .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+          .withColumn("__q", F.col("l_quantity").cast("decimal(12,2)")))
+    y95 = (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")) \
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    y96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) \
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    pair = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum(F.when(y95, F.col("__q"))).alias("__q95"),
+                 F.sum(F.when(y96, F.col("__q"))).alias("__q96")))
+    qualifying = (pair.where(
+        F.col("__q95").isNotNull() & F.col("__q96").isNotNull()
+        & (F.col("__q96")
+           > F.col("__q95") * F.lit("0.5").cast("decimal(2,1)")))
+        .select("l_suppkey").distinct())
+    sup = (_read(spark, sf_dir, "supplier")
+           .join(F.broadcast(_read(spark, sf_dir, "nation")),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .where(F.col("n_regionkey").isin(0, 1))
+           .select("s_suppkey", "s_name", "n_name"))
+    return sup.join(qualifying,
+                    F.col("s_suppkey") == F.col("l_suppkey"),
+                    "left_semi")
+
+
 def q_timerange_algebra(spark, sf_dir):
     """TimeRange interval algebra at table scale (timerange.py column
     duals of reference range.py:358-474): per user, the [min ts, max ts]
@@ -3066,25 +3225,33 @@ def q_keyed_collections(spark, sf_dir):
                     "sum_value"))
 
 
-def _driver_verified_names() -> set:
-    """Query names with a green row in any committed CORRECTNESS_r*.json.
+def _driver_verified_rounds() -> dict:
+    """``{query name: round of its latest green driver row}`` from the
+    committed CORRECTNESS_r*.json snapshots.
 
     A row counts as driver-verified when it errored out nowhere and either
     hash-matched its DuckDB oracle, or (for the few rows-only queries with
     no SQL twin) row-count-matched.  queries() uses this to self-rotate:
     the driver's per-round snapshot caps at ~50 entries, so queries that
-    have never had a driver row must occupy the head of the dict.  Reading
+    have never had a driver row must occupy the head of the dict, followed
+    by verified queries STALEST-FIRST (lowest last-verified round first) so
+    every green row keeps getting re-verified on a rolling basis instead of
+    the head being re-sampled forever (the r6 verdict's item 1).  Reading
     the committed snapshots at call time makes the rotation automatic —
     the hand-edited rotation was flagged by both the r4 and r5 verdicts.
     """
     import glob as _glob
+    import re as _re
     here = os.path.dirname(os.path.abspath(__file__))
     status: dict[str, bool] = {}
+    last_round: dict[str, int] = {}
     # LATEST round containing a query wins: a query that was green in r3
     # but red in the latest snapshot (the r4 token_budget_mix case) must
     # rotate back to the head for re-verification, not stay masked as
     # verified by the old green row
     for path in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 snap = json.load(fh)
@@ -3097,15 +3264,24 @@ def _driver_verified_names() -> set:
                 row.get("hash_match")
                 or (row.get("hash_match") is None and row.get("rows_match")))
             status[name] = bool(green)
-    return {name for name, green in status.items() if green}
+            last_round[name] = rnd
+    return {name: last_round[name]
+            for name, green in status.items() if green}
+
+
+def _driver_verified_names() -> set:
+    """Query names whose latest driver CORRECTNESS row is green."""
+    return set(_driver_verified_rounds())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _query_registry()
-    verified = _driver_verified_names()
-    ordered = {k: v for k, v in base.items() if k not in verified}
-    ordered.update(base)
-    return ordered
+    rounds = _driver_verified_rounds()
+    names = list(base)
+    # stable sort: never-verified (round -1) first in registry order, then
+    # verified queries by last-verified round ascending (stalest first)
+    names.sort(key=lambda n: rounds.get(n, -1))
+    return {n: base[n] for n in names}
 
 
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3113,6 +3289,11 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reorders never-driver-verified entries to the front automatically from
     the committed CORRECTNESS_r*.json snapshots."""
     return {
+        "rollup_daily_local_dst": q_rollup_daily_local_dst,
+        "tpch_q2_shape": q_tpch_q2_shape,
+        "tpch_q11_shape": q_tpch_q11_shape,
+        "tpch_q16_shape": q_tpch_q16_shape,
+        "tpch_q20_shape": q_tpch_q20_shape,
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "corpus_report": q_corpus_report,
@@ -4302,6 +4483,37 @@ def oracle_sql() -> dict[str, str]:
                    count(value) AS n
             FROM events GROUP BY 1, 2
         """,
+        "rollup_daily_local_dst": """
+            -- America/New_York offsets stated as explicit CASEs on the
+            -- known 2025 transition instants (07:00 UTC Mar 9 spring-
+            -- forward, 06:00 UTC Nov 2 fall-back), so the 23h/25h local
+            -- days are exercised without ICU or session-TZ dependence
+            WITH shifted AS (
+              SELECT value, 'spring' AS branch,
+                     ts + INTERVAL 425 DAY AS t2
+              FROM events
+              UNION ALL
+              SELECT value, 'fall' AS branch,
+                     ts + INTERVAL 655 DAY AS t2
+              FROM events
+            ), localized AS (
+              SELECT value, branch,
+                     t2 - CASE
+                       WHEN branch = 'spring' THEN
+                         CASE WHEN t2 >= TIMESTAMP '2025-03-09 07:00:00'
+                              THEN INTERVAL 4 HOUR ELSE INTERVAL 5 HOUR END
+                       ELSE
+                         CASE WHEN t2 >= TIMESTAMP '2025-11-02 06:00:00'
+                              THEN INTERVAL 5 HOUR ELSE INTERVAL 4 HOUR END
+                     END AS lt
+              FROM shifted
+            )
+            SELECT strftime(date_trunc('day', lt), '%Y-%m-%d') AS "index",
+                   branch,
+                   round(coalesce(sum(value), 0), 6) AS v_sum,
+                   count(value) AS n
+            FROM localized GROUP BY 1, 2
+        """,
         "ivfpq_topk": _EMB_CTE + f"""
             , c0 AS (
               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
@@ -4676,6 +4888,81 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE n.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
             GROUP BY s.s_name
+        """,
+        "tpch_q2_shape": """
+            WITH fpart AS (
+              SELECT p_partkey, p_name, p_size FROM part
+              WHERE p_type = 'LARGE' AND p_size <= 15
+            ), cost AS (
+              SELECT p_partkey, p_name, p_size, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS c
+              FROM lineitem JOIN fpart ON l_partkey = p_partkey
+              GROUP BY 1, 2, 3, 4
+            ), best AS (
+              SELECT p_partkey AS pk, min(c) AS b FROM cost GROUP BY 1
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   CAST(p_size AS BIGINT) AS p_size,
+                   round(c, 6) AS min_cost
+            FROM cost
+            JOIN best ON p_partkey = pk AND c = b
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        """,
+        "tpch_q11_shape": """
+            WITH asup AS (
+              SELECT s_suppkey FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+            ), val AS (
+              SELECT l_partkey,
+                     sum(l_extendedprice::DECIMAL(12,2)
+                         * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2)))
+                       AS v
+              FROM lineitem JOIN asup ON l_suppkey = s_suppkey
+              GROUP BY 1
+            )
+            SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+            FROM val
+            WHERE v > (SELECT sum(v) FROM val) * 0.001
+        """,
+        "tpch_q16_shape": """
+            WITH pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+              WHERE l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            )
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM pairs JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'SMALL'
+              AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q20_shape": """
+            WITH pair AS (
+              SELECT l_partkey, l_suppkey,
+                     sum(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
+                               AND l_shipdate <  TIMESTAMP '1996-01-01'
+                              THEN l_quantity::DECIMAL(12,2) END) AS q95,
+                     sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                               AND l_shipdate <  TIMESTAMP '1997-01-01'
+                              THEN l_quantity::DECIMAL(12,2) END) AS q96
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'small%'
+              GROUP BY 1, 2
+            )
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_regionkey IN (0, 1)
+              AND s_suppkey IN (
+                SELECT l_suppkey FROM pair
+                WHERE q95 IS NOT NULL AND q96 IS NOT NULL
+                  AND q96 > q95 * 0.5)
         """,
         "tpch_q22_shape": """
             WITH avg_bal AS (

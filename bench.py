@@ -167,6 +167,75 @@ HEADLINE = [
     "temperature_mix",
     "dsir_weights",
     "cluster_sample",
+    # r7: complete batch coverage (r6 verdict item 2) — every registry
+    # query that is not a streaming drain is benched, so a perf
+    # regression anywhere is visible round-over-round
+    "align_1h_hold",
+    "ann_ivf",
+    "ann_lsh",
+    "asof_signup_purchase",
+    "c4_stats",
+    "centroid_classify",
+    "collapse_lineitem",
+    "combine_sum_hourly",
+    "corpus_filter",
+    "decontam_docs",
+    "dedup_documents",
+    "embedding_near_dups",
+    "fill_zero_limit",
+    "first_last_by_type",
+    "gopher_quality",
+    "lang_id",
+    "merge_series",
+    "minhash_signature",
+    "multimodal_decode_audio",
+    "multimodal_decode_image",
+    "multimodal_features",
+    "offset_rename",
+    "orders_daily",
+    "percentile_methods",
+    "quantile_by_type",
+    "rate_no_negative",
+    "repetition_docs",
+    "sample_stratified",
+    "select_clean_crop",
+    "session_1h_by_user",
+    "slice_positional",
+    "sliding_2h_count",
+    "tpch_q10_shape",
+    "tpch_q19_shape",
+    "wire_roundtrip",
+    "tpch_q2_shape",
+    "tpch_q11_shape",
+    "tpch_q16_shape",
+    "tpch_q20_shape",
+    "rollup_daily_local_dst",
+]
+
+# Streaming micro-bench tier (r6 verdict item 3): each entry drains the
+# full events table through its stateful streaming query with availableNow
+# (fresh checkpoint per run, same recipe as the correctness gate), so the
+# timing covers source discovery + state-store build + sink drain.
+# Kept out of HEADLINE so the round-comparable batch number stays pure;
+# reported as stream_value / stream_queries.  SPARK_GRAFT_BENCH_STREAMS=0
+# skips the tier.
+STREAM = [
+    "stream_rollup_1h",
+    "stream_rate",
+    "stream_align_1h",
+    "stream_fill_pad",
+    "stream_rolling_10m",
+    "stream_zscore_10m",
+    "stream_ewma",
+    "stream_cumsum",
+    "stream_gaps_4h",
+    "stream_sessions",
+    "stream_sessions_sum",
+    "stream_distinct_hourly",
+    "stream_transitions",
+    "stream_throttle",
+    "stream_holt",
+    "stream_holt_winters",
 ]
 
 
@@ -254,6 +323,20 @@ def main() -> None:
     timings = {name: min(runs[name][:2]) for name in HEADLINE}
     warm = {name: min(runs[name][1:] or runs[name]) for name in HEADLINE}
 
+    # streaming tier: 2 drains each (min-of-2, same robustness rationale);
+    # every drain rebuilds its state stores from a fresh checkpoint, so
+    # this measures the full stateful pipeline, not a warm sink read
+    stream_runs: dict[str, list[float]] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "1") != "0":
+        for rep in range(2):
+            for name in STREAM:
+                t0 = time.time()
+                (qs[name](spark, sf_dir)
+                 .write.format("noop").mode("overwrite").save())
+                stream_runs.setdefault(name, []).append(
+                    round(time.time() - t0, 3))
+    stream_timings = {n: min(v) for n, v in stream_runs.items()}
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_runtime",
@@ -262,6 +345,8 @@ def main() -> None:
         "queries": timings,
         "value_warm": round(sum(warm.values()), 3),
         "queries_warm": warm,
+        "stream_value": round(sum(stream_timings.values()), 3),
+        "stream_queries": stream_timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(payload))
@@ -277,7 +362,8 @@ def main() -> None:
         os.path.join(here, "BENCH_r*.json"))
         if (m := re.search(r"BENCH_r0*(\d+)", os.path.basename(f)))]
     rnd = (max(rounds) + 1) if rounds else 0
-    full = dict(payload, all_runs={n: runs[n] for n in HEADLINE})
+    full = dict(payload, all_runs={n: runs[n] for n in HEADLINE},
+                stream_all_runs=stream_runs)
     with open(os.path.join(here, f"bench_full_r{rnd:02d}.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 

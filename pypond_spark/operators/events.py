@@ -111,26 +111,35 @@ class Event:
 
     def key(self) -> Any:
         """The event's identity key (reference ``event.py:579-600``):
-        timestamp for time events, the index string for indexed events,
-        ``(begin, end)`` for timerange events."""
+        epoch-ms timestamp for time events (the reference's ``ms_from_dt``
+        normalization), the index string for indexed events, an
+        ``(begin_ms, end_ms)`` pair for timerange events
+        (``timerange_event.py:93-101``).  Time keys are normalized through
+        :meth:`_key_ms` so duplicates compare equal regardless of whether
+        the event was built from a collected row (datetime keys) or from
+        wire-format ints."""
         kind = self.event_type()
         if kind == "index":
             return self._keys["index"]
         if kind == "timerange":
-            return (self._keys.get("begin"), self._keys.get("end"))
-        return self._keys.get("time")
+            return (self._key_ms(self._keys.get("begin")),
+                    self._key_ms(self._keys.get("end")))
+        return self._key_ms(self._keys.get("time"))
 
     @staticmethod
     def _key_ms(value: Any) -> int:
-        """Epoch ms from an event key value.  Naive datetimes are UTC
-        instants here by construction: rows collected under the engine's
-        pinned UTC session timezone arrive as session-TZ-naive
-        timestamps (see ``session.py``)."""
+        """Epoch ms from an event key value.  Naive datetimes are
+        interpreted as DRIVER-LOCAL wall time: PySpark's
+        ``TimestampType.fromInternal`` materializes collected timestamps
+        via ``datetime.fromtimestamp`` in the driver process's local
+        timezone (regardless of the pinned UTC *session* timezone), so
+        ``value.timestamp()`` — which applies the same local rules in
+        reverse — recovers the original instant on any driver TZ."""
         import datetime as _dt
 
         from ..util import ms_from_any
         if isinstance(value, _dt.datetime) and value.tzinfo is None:
-            value = value.replace(tzinfo=_dt.timezone.utc)
+            return int(round(value.timestamp() * 1000))
         return ms_from_any(value)
 
     def timestamp_as_utc_string(self) -> str:

@@ -87,6 +87,38 @@ def test_daily_rollup_utc_and_local(spark):
         {"2015-03-14": 3.0}
 
 
+def test_daily_rollup_local_dst_boundaries(spark):
+    """DST goldens (r6 verdict item 5, reference series.py:1278-1331
+    utc=False): an hourly UTC series mapped through America/New_York must
+    land 23 events on the spring-forward local day (2025-03-09) and 25 on
+    the fall-back one (2025-11-02) — the 2am hour vanishes / repeats in
+    wall time while the UTC stream stays dense."""
+    import datetime as dtm
+
+    # 72 hourly points from 2025-03-08 00:00 EST (05:00 UTC)
+    base = int(dtm.datetime(2025, 3, 8, 5,
+                            tzinfo=dtm.timezone.utc).timestamp() * 1000)
+    pts = [[base + i * 3600_000, 1] for i in range(72)]
+    ts = TimeSeries.from_wire(
+        spark, {"name": "dst", "columns": ["time", "value"], "points": pts})
+    spring = {r["index"]: r["n"] for r in ts.daily_rollup(
+        {"n": {"value": "count"}}, utc=False,
+        tz="America/New_York").df.collect()}
+    assert spring == {"2025-03-08": 24, "2025-03-09": 23, "2025-03-10": 24,
+                      "2025-03-11": 1}
+
+    # 72 hourly points from 2025-11-01 00:00 EDT (04:00 UTC)
+    base = int(dtm.datetime(2025, 11, 1, 4,
+                            tzinfo=dtm.timezone.utc).timestamp() * 1000)
+    pts = [[base + i * 3600_000, 1] for i in range(72)]
+    ts = TimeSeries.from_wire(
+        spark, {"name": "dst2", "columns": ["time", "value"], "points": pts})
+    fall = {r["index"]: r["n"] for r in ts.daily_rollup(
+        {"n": {"value": "count"}}, utc=False,
+        tz="America/New_York").df.collect()}
+    assert fall == {"2025-11-01": 24, "2025-11-02": 25, "2025-11-03": 23}
+
+
 def test_monthly_yearly_rollup(spark):
     pts = [[_ms(2015, 1, 10, 0, 0), 1], [_ms(2015, 1, 20, 0, 0), 3],
            [_ms(2015, 2, 10, 0, 0), 5], [_ms(2016, 2, 10, 0, 0), 7]]

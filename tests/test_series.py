@@ -323,6 +323,49 @@ def test_event_is_duplicate():
     assert not Event.is_duplicate(e1, "not an event")
 
 
+def test_event_key_normalizes_across_representations():
+    """Event.key() normalizes to epoch-ms (reference ms_from_dt,
+    event.py:579-587) so a wire-int event and a collected-row event
+    (naive driver-local datetime, the shape PySpark's
+    TimestampType.fromInternal emits) are duplicates — including on a
+    non-UTC driver, simulated here via TZ + tzset."""
+    import datetime as dtm
+    import os
+    import time as time_mod
+
+    from pypond_spark.operators.events import Event
+
+    ms = 1429673400000
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time_mod.tzset()
+    try:
+        # what a collected TimestampType value looks like on this driver:
+        # naive local wall time for the same instant
+        naive_local = dtm.datetime.fromtimestamp(ms / 1000)
+        e_wire = Event(ms, 23)
+        e_row = Event(naive_local, 23)
+        assert e_row.key() == ms
+        assert Event.is_duplicate(e_wire, e_row)
+        assert e_row.to_point() == [ms, 23]
+        assert e_row.timestamp_as_utc_string() == \
+            "Wed, 22 Apr 2015 03:30:00 UTC"
+
+        b_ms, e_ms = 1429630000000, 1429673200000
+        tre_wire = Event.timerange((b_ms, e_ms), 11)
+        tre_row = Event.timerange(
+            (dtm.datetime.fromtimestamp(b_ms / 1000),
+             dtm.datetime.fromtimestamp(e_ms / 1000)), 11)
+        assert tre_row.key() == (b_ms, e_ms)
+        assert Event.is_duplicate(tre_wire, tre_row)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time_mod.tzset()
+
+
 def test_event_list_as_map(spark):
     """Reference compare_test.py:111-118 golden: dict keyed by epoch-ms
     with dup timestamps grouped (reference collection.py:414-432)."""

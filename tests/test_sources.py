@@ -110,4 +110,12 @@ def test_queries_self_rotation_contract():
     n_head = flags.count(False)
     assert all(not f for f in flags[:n_head]), (
         "verified query ahead of a never-verified one")
+    # stalest-first (r6 verdict item 1): verified queries must appear in
+    # ascending last-verified-round order so driver snapshots keep
+    # re-verifying the oldest green rows on a rolling basis
+    rounds = mod._driver_verified_rounds()
+    assert set(rounds) == verified
+    verified_rounds = [rounds[n] for n in names if n in verified]
+    assert verified_rounds == sorted(verified_rounds), (
+        "verified queries not ordered stalest-first")
     assert set(mod.oracle_sql()) == set(names)
