@@ -3071,7 +3071,9 @@ def q_tpch_q20_shape(spark, sf_dir):
                  F.col("s_nationkey") == F.col("n_nationkey"))
            .where(F.col("n_regionkey").isin(0, 1))
            .select("s_suppkey", "s_name", "n_name"))
-    return sup.join(qualifying,
+    # qualifying is a distinct supplier-key set (bounded by |supplier|, a
+    # dimension) — broadcast it so the semi-join never plans as SMJ
+    return sup.join(F.broadcast(qualifying),
                     F.col("s_suppkey") == F.col("l_suppkey"),
                     "left_semi")
 

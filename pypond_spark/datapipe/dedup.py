@@ -106,6 +106,33 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     upstream pipeline per side. At warehouse scale, write the signature table
     to storage once and join against that instead.
     """
+    buckets = lsh_band_buckets(df, text_col, id_col, num_hashes, band_size,
+                               shingle_n, hash_fn)
+    if cache:
+        # localCheckpoint (not persist): materializes once so the self-join's
+        # two sides share one signature computation, and the blocks are
+        # released when the DataFrame is garbage-collected instead of pinning
+        # storage memory for the session lifetime
+        buckets = buckets.localCheckpoint()
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_band_buckets(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", num_hashes: int = 8,
+                     band_size: int = 4, shingle_n: int = 3,
+                     hash_fn: str = "md5") -> DataFrame:
+    """The (id, band-bucket) table LSH banding joins on — factored out of
+    :func:`lsh_candidate_pairs` so scale audits can measure the bucket
+    occupancy distribution (candidate-join cost is Σ|bucket|², the number
+    this table bounds) without re-implementing the banding scheme."""
     if num_hashes % band_size:
         raise ValueError("num_hashes must be a multiple of band_size")
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n,
@@ -125,22 +152,7 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                                    for i in range(band_size)]).cast("string")
             for b in range(n_bands)
         ])
-    buckets = sig.select(F.col(id_col), F.explode(bands).alias("band"))
-    if cache:
-        # localCheckpoint (not persist): materializes once so the self-join's
-        # two sides share one signature computation, and the blocks are
-        # released when the DataFrame is garbage-collected instead of pinning
-        # storage memory for the session lifetime
-        buckets = buckets.localCheckpoint()
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("band"))
 
 
 def _shingle_sets(df: DataFrame, text_col: str, id_col: str,
@@ -198,7 +210,8 @@ def ngram_containment(df: DataFrame, pairs: DataFrame,
 
 
 def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                 max_iter: int = 20, on_nonconverged: str = "raise") -> DataFrame:
+                 max_iter: int = 20, on_nonconverged: str = "raise",
+                 stats: dict | None = None) -> DataFrame:
     """Connected components over duplicate pairs: (id, cluster_id) where
     cluster_id is the minimum id in the component.
 
@@ -212,6 +225,10 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     diameter > max_iter), ``on_nonconverged='raise'`` (default) raises
     RuntimeError instead of silently returning split clusters; ``'ignore'``
     returns the partial labels (callers that only need a candidate grouping).
+
+    Pass a dict as ``stats`` to receive ``{"rounds": <propagation rounds
+    executed>}`` — scale audits use it to confirm near-dup components stay
+    shallow (convergence in O(diameter) rounds).
     """
     if on_nonconverged not in ("raise", "ignore"):
         raise ValueError(
@@ -229,7 +246,9 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
               .withColumn("cluster_id", F.col("id"))
               .localCheckpoint())
     changed = 1
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # candidate label for each node: min over neighbors' labels + own
         neighbor = (edges.join(labels, edges.dst == labels.id)
                     .select(F.col("src").alias("id"),
@@ -244,6 +263,8 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     if changed != 0 and on_nonconverged == "raise":
         raise RuntimeError(
             f"dup_clusters did not converge in max_iter={max_iter} rounds "
@@ -255,20 +276,23 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
 def dedup_documents(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", num_hashes: int = 8,
                     band_size: int = 4, shingle_n: int = 3,
-                    jaccard_threshold: float = 0.8) -> DataFrame:
+                    jaccard_threshold: float = 0.8,
+                    stats: dict | None = None) -> DataFrame:
     """End-to-end near-dup document dedup.
 
     exact-digest grouping -> MinHash+LSH candidates -> exact Jaccard verify
     -> connected components -> keep the min id per cluster. Returns the
     corpus with ``cluster_id`` and ``is_keeper`` columns. Every stage is a
-    bounded join/agg; nothing is O(corpus^2).
+    bounded join/agg; nothing is O(corpus^2).  ``stats`` (optional dict) is
+    forwarded to :func:`dup_clusters`, which records the label-propagation
+    round count in it.
     """
     pairs = lsh_candidate_pairs(df, text_col, id_col, num_hashes, band_size,
                                 shingle_n)
     verified = (ngram_jaccard(df, pairs, text_col, id_col, shingle_n)
                 .where(F.col("jaccard") >= jaccard_threshold)
                 .select("id_a", "id_b"))
-    clusters = dup_clusters(verified)
+    clusters = dup_clusters(verified, stats=stats)
     out = df.join(clusters.withColumnRenamed("id", id_col), id_col, "left")
     cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
     return (out.withColumn("cluster_id", cluster)

@@ -65,6 +65,43 @@ def documents(spark, n_docs: int, n_words: int = 100):
                     .otherwise(text).alias("text")))
 
 
+def documents_dups(spark, n_docs: int, n_words: int = 100):
+    """Planted near-duplicate corpus for the end-to-end dedup stress tier.
+
+    Docs come in groups of 5: the first three are independent; doc g+3 is
+    doc g+2 with 2 of its 100 words re-hashed (expected 3-shingle Jaccard
+    ~0.88, above the 0.8 keeper threshold), and doc g+4 is doc g+3 with 2
+    FURTHER words re-hashed — so (g+2, g+4) sits near ~0.78, below the
+    threshold, and the 3-doc cluster must form by label propagation
+    through g+3 (diameter 2: convergence needs >1 round).  Everything is
+    hash-derived from doc ids — deterministic, no data files."""
+    r = F.col("id") % 5
+    own_id = F.col("id")
+    prev_id = F.col("id") - 1
+    base3 = F.col("id") - 1   # doc g+3 copies g+2
+    base4 = F.col("id") - 2   # doc g+4 copies g+2's words via g+3
+
+    def seed(j):
+        changed = (j == 0) | (j == 50)
+        changed2 = (j == 1) | (j == 51)
+        return (
+            F.when((r == 3) & changed, own_id * 1_000_000 + j)
+            .when((r == 4) & changed2, own_id * 1_000_000 + j)
+            # g+4 inherits g+3's two changed words verbatim
+            .when((r == 4) & changed, prev_id * 1_000_000 + j)
+            .when(r == 3, base3 * 1000 + j)
+            .when(r == 4, base4 * 1000 + j)
+            .otherwise(own_id * 1000 + j))
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda j: F.concat(F.lit("w"),
+                           F.pmod(F.xxhash64(seed(j)), 500).cast("string")))
+    return (spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat_ws(" ", words).alias("text")))
+
+
 def embeddings(spark, n_rows: int, dim: int = 64):
     comps = [(F.pmod(F.xxhash64("id", F.lit(i)), 2001) / F.lit(1000.0)
               - F.lit(1.0)).cast("float") for i in range(dim)]
@@ -75,6 +112,31 @@ def embeddings(spark, n_rows: int, dim: int = 64):
 
 def sink(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _dedup_audit(docs, dedup_documents, lsh_band_buckets) -> None:
+    """Timed full dedup chain + untimed scale diagnostics.
+
+    The stress table's wall number is the sink of the full chain; the
+    extra prints are the quantities the 100-TB argument rests on: bucket
+    occupancy (candidate-join cost is sum over buckets of |bucket|^2 — it
+    must stay linear-ish in docs, never corpus^2), how many pairs survived
+    Jaccard verify, how many docs were dropped, and how many
+    label-propagation rounds the planted diameter-2 clusters took."""
+    stats: dict = {}
+    out = dedup_documents(docs, stats=stats).localCheckpoint()
+    sink(out)
+    n_docs = out.count()
+    n_dropped = out.where(~F.col("is_keeper")).count()
+    buckets = lsh_band_buckets(docs)
+    occ = buckets.groupBy("band").count()
+    row = occ.agg(F.count("*").alias("n_buckets"),
+                  F.max("count").alias("max_occ"),
+                  F.sum(F.col("count") * F.col("count")).alias("sum_sq")
+                  ).first()
+    print(f"    [dedup audit] docs={n_docs:,} dropped={n_dropped:,} "
+          f"rounds={stats.get('rounds')} buckets={row['n_buckets']:,} "
+          f"max|bucket|={row['max_occ']} sum|bucket|^2={row['sum_sq']:,}")
 
 
 def main() -> None:
@@ -89,12 +151,15 @@ def main() -> None:
     emb_needed = not only or bool(only & emb_ops)
     doc_ops = {"repeated_spans", "dsir_weights"}
     docs_needed = not only or bool(only & doc_ops)
+    dup_docs_needed = not only or "dedup_documents" in only
     # exclude synthesis cost; skip when no selected op reads the frame
     ev = events(spark, n).localCheckpoint() if ev_needed else None
     emb = embeddings(spark, max(n // 10, 1)).localCheckpoint() \
         if emb_needed else None
     docs = documents(spark, max(n // 700, 1)).localCheckpoint() \
         if docs_needed else None
+    dup_docs = documents_dups(spark, max(n // 700, 1)).localCheckpoint() \
+        if dup_docs_needed else None
 
     from pypond_spark.operators.aggregate import densify_rollup
     from pypond_spark.operators.correlate import (autocorrelation,
@@ -103,7 +168,9 @@ def main() -> None:
     from pypond_spark.operators.incremental import merge_rollups
     from pypond_spark.operators.rolling import holt_winters
     from pypond_spark.operators.skew import salted_join
-    from pypond_spark.datapipe.dedup import repeated_spans
+    from pypond_spark.datapipe.dedup import (dedup_documents,
+                                             lsh_band_buckets,
+                                             repeated_spans)
     from pypond_spark.datapipe.sampling import dsir_weights
     from pypond_spark.datapipe.similarity import (pq_build,
                                                   pq_build_arrow,
@@ -165,6 +232,13 @@ def main() -> None:
         # DSIR tier: ~n chars of raw corpus, every third doc the target
         "dsir_weights": lambda: sink(dsir_weights(
             docs, docs.where(F.col("doc_id") % 3 == 0), n_buckets=4096)),
+        # end-to-end dedup chain on the planted-dup corpus (~n chars):
+        # LSH -> Jaccard verify -> label propagation -> keeper; the timed
+        # sink is the full chain, then the audit pass reports bucket
+        # occupancy (candidate cost = sum |bucket|^2), verified pairs and
+        # propagation rounds
+        "dedup_documents": lambda: _dedup_audit(dup_docs, dedup_documents,
+                                                lsh_band_buckets),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
