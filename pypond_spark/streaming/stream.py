@@ -866,6 +866,89 @@ def stream_ewma(
     return out.drop("__k") if dummy else out
 
 
+def stream_ewma_tws(
+    sdf: DataFrame,
+    field_spec: str | Sequence[str] = "value",
+    alpha: float = 0.5,
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+    tiebreak: str | None = None,
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """`stream_ewma` on the ``transformWithStateInPandas`` API — a
+    migration spike (r6 verdict item 8), NOT the default path.
+
+    Spark 4 keeps ``applyInPandasWithState`` working but the newer
+    StatefulProcessor API is where composite/TTL state and timers land,
+    so the engine should not be wedded to the older call.  This twin
+    produces bit-identical output to :func:`stream_ewma` (same
+    ``_whole_group`` ordering, same accumulator fold, proven by
+    ``tests/test_streaming.py::test_stream_ewma_tws_spike``).
+
+    Migration cost observed (documented in SCALE.md):
+
+    - TWS requires the RocksDB state store provider
+      (``spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider``);
+      the default HDFS-backed store is rejected at query start.  The
+      drain helper below sets it for the query's session.
+    - State formats are NOT checkpoint-compatible: an
+      ``applyInPandasWithState`` checkpoint cannot be resumed by the TWS
+      operator — migrating a live pipeline means a fresh checkpoint (or
+      the state data source reader to bulk-export/import state).
+    - The per-group handler sees the same whole-group Arrow-chunk
+      iterator, so the operator body ports nearly verbatim; only state
+      access changes (``handle.getValueState`` / ``.get()`` tuple vs
+      ``GroupState.get``).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    fields = [field_spec] if isinstance(field_spec, str) else list(field_spec)
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
+    key_fields = [sdf.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields + [T.StructField("t_ms", T.LongType())]
+        + [sdf.schema[c] for c in carry_cols]
+        + [T.StructField(f"{f}_ewma", T.DoubleType()) for f in fields])
+    state_schema = T.StructType(
+        [T.StructField(f"s{i}", T.DoubleType()) for i in range(len(fields))])
+    carry = list(carry_cols)
+    tb = (tiebreak,) if tiebreak else ()
+
+    class _EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState("acc", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            got = self._acc.get() if self._acc.exists() else None
+            accs = list(got) if got is not None else [None] * len(fields)
+            pdf = _whole_group(rows, time_col, tb)
+            outs = []
+            for _, row in pdf.iterrows():
+                rec = (list(key) + [int(row[time_col].value // 10**6)]
+                       + [row[c] for c in carry])
+                for j, f in enumerate(fields):
+                    v = row[f]
+                    if v is not None and not pd.isna(v):
+                        accs[j] = float(v) if accs[j] is None \
+                            else alpha * float(v) + (1.0 - alpha) * accs[j]
+                    rec.append(accs[j])
+                outs.append(rec)
+            self._acc.update(tuple(accs))
+            cols = (keys + ["t_ms"] + carry + [f"{f}_ewma" for f in fields])
+            yield pd.DataFrame(outs, columns=cols)
+
+        def close(self) -> None:
+            pass
+
+    out = sdf.groupBy(*keys).transformWithStateInPandas(
+        statefulProcessor=_EwmaProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none")
+    return out.drop("__k") if dummy else out
+
+
 def _holt_state_fn(field: str, keys: list[str], time_col: str,
                    alpha: float, beta: float,
                    tiebreak: str | None = None,
