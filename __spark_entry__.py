@@ -489,6 +489,29 @@ def q_dedup_documents(spark, sf_dir):
     return out.select("doc_id", "cluster_id", "is_keeper")
 
 
+def q_dedup_docs_longest(spark, sf_dir):
+    """dedup_documents with the 'longest' keeper policy (datapipe/dedup.py):
+    same LSH -> Jaccard -> components chain as `dedup_documents`, but each
+    cluster keeps its longest member (tie -> min id) — the choice real
+    pipelines make (the most complete variant survives).  Keeper selection
+    is an argmax aggregate over cluster MEMBERS only (dup-set-sized, not
+    corpus) + one join back on cluster_id; the oracle replays the chain
+    and picks keepers with a row_number window."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_dedup.dedup_documents(docs, jaccard_threshold=0.8,
+                                   keeper="longest")
+    return out.select("doc_id", "cluster_id", "is_keeper")
+
+
+def q_char_entropy(spark, sf_dir):
+    """Per-doc Shannon char entropy (datapipe/textstats.py::char_entropy):
+    the cheap degeneracy/quality signal; H = log2(T) - sum(n log2 n)/T in
+    ONE per-doc aggregate after the char explode, rounded 6dp both
+    engines (order-dependent float sum over <=~100 distinct chars)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.char_entropy(docs)
+
+
 def q_simhash_docs(spark, sf_dir):
     """md5-derived token hashes (reproducible in DuckDB); the simhash is
     emitted as unsigned 32-bit halves so neither engine deals in the sign
@@ -3292,6 +3315,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the committed CORRECTNESS_r*.json snapshots."""
     return {
         "rollup_daily_local_dst": q_rollup_daily_local_dst,
+        "dedup_docs_longest": q_dedup_docs_longest,
+        "char_entropy": q_char_entropy,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
         "tpch_q16_shape": q_tpch_q16_shape,
@@ -5710,6 +5735,75 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.cluster, d.doc_id) AS cluster_id,
                    d.doc_id = coalesce(c.cluster, d.doc_id) AS is_keeper
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        """,
+        "dedup_docs_longest": _SHINGLES.replace(
+            "WITH toks", "WITH RECURSIVE toks") + f"""
+            , sig AS (
+              SELECT doc_id,
+                     {_mh_sig_cols(8)}
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([
+                  md5(concat_ws('|', '0', m0, m1, m2, m3)),
+                  md5(concat_ws('|', '1', m4, m5, m6, m7))]) AS band
+              FROM sig
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.doc_id < b.doc_id
+            ), sets AS (
+              SELECT doc_id, list(DISTINCT shingle) AS s FROM sh
+              GROUP BY doc_id
+            ), ver AS (
+              SELECT id_a, id_b
+              FROM cand
+              JOIN sets sa ON sa.doc_id = cand.id_a
+              JOIN sets sb ON sb.doc_id = cand.id_b
+              WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                    / (len(sa.s) + len(sb.s)
+                       - len(list_intersect(sa.s, sb.s))) >= 0.8
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM ver
+              UNION SELECT id_b, id_a FROM ver
+            ), reach AS (
+              SELECT src AS id, src AS r FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e
+              JOIN reach ON e.dst = reach.id
+            ), comp AS (
+              SELECT id, min(r) AS cluster FROM reach GROUP BY id
+            ), ranked AS (
+              SELECT c.cluster, c.id,
+                     row_number() OVER (PARTITION BY c.cluster
+                                        ORDER BY length(d2.text) DESC,
+                                                 c.id ASC) AS rn
+              FROM comp c JOIN documents d2 ON c.id = d2.doc_id
+            ), keepers AS (
+              SELECT cluster, id AS keeper_id FROM ranked WHERE rn = 1
+            )
+            SELECT d.doc_id,
+                   coalesce(c.cluster, d.doc_id) AS cluster_id,
+                   CASE WHEN c.cluster IS NULL THEN TRUE
+                        ELSE d.doc_id = k.keeper_id END AS is_keeper
+            FROM documents d
+            LEFT JOIN comp c ON d.doc_id = c.id
+            LEFT JOIN keepers k ON k.cluster = c.cluster
+        """,
+        "char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents
+            ), cnt AS (
+              SELECT doc_id, c, count(*)::DOUBLE AS n
+              FROM ch WHERE c <> '' GROUP BY 1, 2
+            ), agg AS (
+              SELECT doc_id, sum(n) AS t, sum(n * log2(n)) AS s
+              FROM cnt GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(round(log2(a.t) - a.s / a.t, 6) + 0.0, 0.0)
+                     AS char_entropy
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "simhash_docs": """
             -- token hash = md5's first 16 hex chars as (hi<<32 | lo); sums

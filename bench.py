@@ -210,6 +210,8 @@ HEADLINE = [
     "tpch_q16_shape",
     "tpch_q20_shape",
     "rollup_daily_local_dst",
+    "dedup_docs_longest",
+    "char_entropy",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

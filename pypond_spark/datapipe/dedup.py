@@ -277,16 +277,36 @@ def dedup_documents(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", num_hashes: int = 8,
                     band_size: int = 4, shingle_n: int = 3,
                     jaccard_threshold: float = 0.8,
-                    stats: dict | None = None) -> DataFrame:
+                    stats: dict | None = None,
+                    keeper: str = "min_id",
+                    keeper_col: str | None = None) -> DataFrame:
     """End-to-end near-dup document dedup.
 
     exact-digest grouping -> MinHash+LSH candidates -> exact Jaccard verify
-    -> connected components -> keep the min id per cluster. Returns the
-    corpus with ``cluster_id`` and ``is_keeper`` columns. Every stage is a
-    bounded join/agg; nothing is O(corpus^2).  ``stats`` (optional dict) is
+    -> connected components -> keeper selection. Returns the corpus with
+    ``cluster_id`` and ``is_keeper`` columns. Every stage is a bounded
+    join/agg; nothing is O(corpus^2).  ``stats`` (optional dict) is
     forwarded to :func:`dup_clusters`, which records the label-propagation
     round count in it.
+
+    ``keeper`` picks which cluster member survives:
+
+    - ``"min_id"`` (default): the cluster label itself — zero extra work.
+    - ``"longest"``: the member with the longest text (production near-dup
+      pipelines keep the most complete variant, not an arbitrary one);
+      ties break to the min id, so the choice is deterministic.
+    - ``"max_col"``: the member maximizing ``keeper_col`` (e.g. a quality
+      score); ties break to the min id.
+
+    Score-based keepers cost one argmax aggregate over the LABELED docs
+    only (bounded by the duplicate set, not the corpus) plus one join back
+    on cluster_id.
     """
+    if keeper not in ("min_id", "longest", "max_col"):
+        raise ValueError(
+            f"keeper must be min_id|longest|max_col, got {keeper!r}")
+    if keeper == "max_col" and not keeper_col:
+        raise ValueError("keeper='max_col' requires keeper_col")
     pairs = lsh_candidate_pairs(df, text_col, id_col, num_hashes, band_size,
                                 shingle_n)
     verified = (ngram_jaccard(df, pairs, text_col, id_col, shingle_n)
@@ -295,8 +315,26 @@ def dedup_documents(df: DataFrame, text_col: str = "text",
     clusters = dup_clusters(verified, stats=stats)
     out = df.join(clusters.withColumnRenamed("id", id_col), id_col, "left")
     cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
-    return (out.withColumn("cluster_id", cluster)
-            .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id")))
+    out = out.withColumn("cluster_id", cluster)
+    if keeper == "min_id":
+        return out.withColumn("is_keeper",
+                              F.col(id_col) == F.col("cluster_id"))
+    score = (F.length(F.col(text_col)).cast("long") if keeper == "longest"
+             else F.col(keeper_col))
+    # argmax over cluster MEMBERS (the labeled docs — dup-set-sized):
+    # lexicographic struct max = highest score, then min id on ties
+    members = (clusters.withColumnRenamed("id", id_col)
+               .join(df.select(id_col, score.alias("__score")), id_col))
+    keepers = (members.groupBy("cluster_id")
+               .agg(F.max_by(F.col(id_col),
+                             F.struct(F.col("__score"),
+                                      (-F.col(id_col)).alias("__nid")))
+                    .alias("__keeper")))
+    return (out.join(keepers, "cluster_id", "left")
+            .withColumn("is_keeper",
+                        F.when(F.col("__keeper").isNull(), F.lit(True))
+                        .otherwise(F.col(id_col) == F.col("__keeper")))
+            .drop("__keeper"))
 
 
 def simhash64(df: DataFrame, text_col: str = "text",

@@ -117,6 +117,36 @@ def fingerprint(df: DataFrame, text_col: str = "text",
                              F.array_min(shingles).alias("fingerprint"))
 
 
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon character entropy in bits — the classic
+    cheap degeneracy signal in quality-filter stacks (boilerplate, ASCII
+    art, key-mash and single-char spam all sit far below prose's ~4.0-4.5
+    bits/char; compression-ratio filters approximate exactly this).
+
+    Identity used: ``H = log2(T) - (Σ n_c·log2(n_c)) / T`` with ``n_c``
+    the per-character counts and ``T`` their total, so ONE aggregate per
+    doc suffices after the char explode.  Two shuffles, both map-side
+    combinable and keyed by (doc, char) then doc — linear in corpus
+    chars, skew-free (a doc's rows spread over its distinct chars).
+    Docs with no characters (empty/NULL text) report 0.0.
+    """
+    ch = (df.select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), "")).alias("__c"))
+          .where(F.col("__c") != ""))
+    cnt = (ch.groupBy(id_col, "__c")
+           .agg(F.count("*").cast("double").alias("__n")))
+    agg = (cnt.groupBy(id_col)
+           .agg(F.sum("__n").alias("__t"),
+                F.sum(F.col("__n") * F.log2("__n")).alias("__s")))
+    ent = F.log2("__t") - F.col("__s") / F.col("__t")
+    scored = agg.select(F.col(id_col),
+                        (F.round(ent, 6) + F.lit(0.0)).alias("char_entropy"))
+    return (df.select(id_col).join(scored, id_col, "left")
+            .withColumn("char_entropy",
+                        F.coalesce(F.col("char_entropy"), F.lit(0.0))))
+
+
 # ---------------------------------------------------------------------------
 # Training-data quality heuristics (public rule sets)
 #

@@ -328,6 +328,68 @@ def test_dedup_documents_end_to_end(spark, docs):
         assert rows[i + 1_000_000] == (i, False)         # clone clustered
 
 
+def test_dedup_documents_keeper_policies(spark, docs):
+    """keeper='longest' keeps each cluster's longest member (tie -> min
+    id); keeper='max_col' maximizes an arbitrary score column; singleton
+    docs are always keepers; validation rejects unknown policies."""
+    import pytest as _pt
+    base = docs.limit(3).select("doc_id", "text")
+    # clone with a longer variant (extra suffix keeps Jaccard high at
+    # shingle level but makes the clone strictly longer)
+    clone = base.withColumn("doc_id", F.col("doc_id") + 1_000_000) \
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail")))
+    corpus = base.union(clone)
+    out = dedup.dedup_documents(corpus, jaccard_threshold=0.8,
+                                keeper="longest")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+            for r in out.collect()}
+    for r in base.collect():
+        i = r["doc_id"]
+        assert rows[i] == (i, False)                 # shorter original out
+        assert rows[i + 1_000_000] == (i, True)      # longer clone kept
+
+    # max_col: score favors the ORIGINAL half
+    scored = corpus.withColumn(
+        "score", F.when(F.col("doc_id") < 1_000_000, 10.0).otherwise(1.0))
+    out2 = dedup.dedup_documents(scored, jaccard_threshold=0.8,
+                                 keeper="max_col", keeper_col="score")
+    rows2 = {r["doc_id"]: r["is_keeper"] for r in out2.collect()}
+    for r in base.collect():
+        assert rows2[r["doc_id"]] is True
+        assert rows2[r["doc_id"] + 1_000_000] is False
+
+    # exact-tie on the keeper score -> min id wins (determinism)
+    tied = corpus.withColumn("score", F.lit(1.0))
+    out3 = dedup.dedup_documents(tied, jaccard_threshold=0.8,
+                                 keeper="max_col", keeper_col="score")
+    rows3 = {r["doc_id"]: r["is_keeper"] for r in out3.collect()}
+    for r in base.collect():
+        assert rows3[r["doc_id"]] is True
+
+    with _pt.raises(ValueError):
+        dedup.dedup_documents(corpus, keeper="bogus")
+    with _pt.raises(ValueError):
+        dedup.dedup_documents(corpus, keeper="max_col")
+
+
+def test_char_entropy(spark):
+    """Hand-computed goldens: uniform 4-char doc = 2 bits, single-char
+    doc = 0 bits, empty/NULL docs report 0.0, and 'aab' matches the
+    closed form."""
+    import math
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "aaaa"), (3, "aab"), (4, ""), (5, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["char_entropy"]
+            for r in textstats.char_entropy(df).collect()}
+    assert rows[1] == 2.0
+    assert rows[2] == 0.0
+    h_aab = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(rows[3] - round(h_aab, 6)) < 1e-9
+    assert rows[4] == 0.0
+    assert rows[5] == 0.0
+
+
 def test_gopher_quality_rules(spark):
     """Each Gopher rule trips on a purpose-built doc; the clean doc passes."""
     good = " ".join(["the", "quick", "brown", "fox", "jumps", "with",
