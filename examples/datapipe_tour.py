@@ -145,6 +145,18 @@ def main() -> None:
           {int(r["cell"]): r["count"] for r in
            core.groupBy("cell").count().collect()})
 
+    # 16. keeper policy: each near-dup cluster keeps its LONGEST member
+    kept = dedup.dedup_documents(docs, keeper="longest")
+    print("longest-keeper dedup:",
+          kept.where("is_keeper").count(), "of", kept.count(), "kept")
+
+    # 17. character entropy: the cheap degeneracy filter
+    from pypond_spark.datapipe.textstats import char_entropy
+    ent = char_entropy(docs)
+    lo = ent.orderBy("char_entropy").first()
+    print(f"lowest-entropy doc: {lo['doc_id']} "
+          f"({lo['char_entropy']:.2f} bits/char-distribution)")
+
     spark.stop()
 
 
