@@ -643,8 +643,12 @@ def q_cluster_sample(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Exact all-pairs cosine baseline; dim passed so the per-pair dot is
+    an unpacked codegen multiply-add chain (same left-fold values as the
+    HOF form, ~3x at sf0.1 — similarity.py::embedding_near_dups)."""
     embs = _read(spark, sf_dir, "embeddings")
-    out = dp_sim.embedding_near_dups(embs, threshold=0.4)
+    dim = len(embs.select("embedding").first()["embedding"])
+    out = dp_sim.embedding_near_dups(embs, threshold=0.4, dim=dim)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -118,14 +118,39 @@ def lsh_bucket(df: DataFrame, dim: int, nbits: int = 8, seed: int = 42,
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         vec_col: str = "embedding",
-                        id_col: str = "vec_id") -> DataFrame:
+                        id_col: str = "vec_id",
+                        dim: int | None = None) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: all (a < b) with
     cosine >= threshold.
 
     Exhaustive O(n^2) — the *correctness baseline*; use
     ``embedding_near_dups_lsh`` at scale. Norms are precomputed per side so
     the join condition is one dot product per pair.
+
+    Pass ``dim`` to unpack the vectors into scalar columns before the
+    self-join: the per-pair dot becomes a flat multiply-add chain in
+    whole-stage codegen instead of an interpreted array HOF (the
+    embedding_near_dups_lsh trick — measured 21.9s -> ~7s at sf0.1's
+    2k x 2k pairs).  Identical values either way: both forms are the same
+    left-to-right double summation over components.
     """
+    if dim is not None:
+        norm_sql = (f"sqrt(aggregate(transform(`{vec_col}`, x -> "
+                    f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+                    f"CAST(0 AS DOUBLE), (acc, w) -> acc + w))")
+        unpacked = df.selectExpr(
+            f"`{id_col}`", f"{norm_sql} AS __n",
+            *[f"CAST(get(`{vec_col}`, {i}) AS DOUBLE) AS __e{i}"
+              for i in range(dim)])
+        a = unpacked.selectExpr(f"`{id_col}` AS id_a", "__n AS __na",
+                                *[f"__e{i} AS __a{i}" for i in range(dim)])
+        b = unpacked.selectExpr(f"`{id_col}` AS id_b", "__n AS __nb",
+                                *[f"__e{i} AS __b{i}" for i in range(dim)])
+        chain = " + ".join(f"__a{i} * __b{i}" for i in range(dim))
+        sim = F.expr(f"try_divide({chain}, __na * __nb)")
+        return (a.join(b, F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", sim.alias("cosine"))
+                .where(F.col("cosine") >= threshold))
     with_norm = df.select(F.col(id_col), F.col(vec_col),
                           norm(vec_col).alias("__n"))
     a = with_norm.select(F.col(id_col).alias("id_a"),
