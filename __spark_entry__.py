@@ -512,6 +512,24 @@ def q_char_entropy(spark, sf_dir):
     return dp_text.char_entropy(docs)
 
 
+def q_rrf_quality(spark, sf_dir):
+    """Reciprocal-rank fusion of two scale-incompatible quality signals
+    (datapipe/sampling.py::rrf_fusion; Cormack et al. 2009 k=60): doc
+    length and char entropy fused through COMPETITION ranks computed as
+    a distinct-value cumsum — no corpus-wide window, ties need no
+    tiebreak (min rank shared), so the fused score is deterministic and
+    the oracle's rank() reproduces it exactly.  Entropy is pre-rounded
+    6dp by char_entropy on both engines, so rank ties agree."""
+    docs = _read(spark, sf_dir, "documents")
+    ent = dp_text.char_entropy(docs)
+    scored = docs.select("doc_id", "n_chars").join(ent, "doc_id")
+    out = dp_sample.rrf_fusion(scored, ["n_chars", "char_entropy"], k=60)
+    return out.select("doc_id",
+                      F.col("__rank_n_chars").alias("rank_len"),
+                      F.col("__rank_char_entropy").alias("rank_ent"),
+                      F.round("rrf", 6).alias("rrf"))
+
+
 def q_simhash_docs(spark, sf_dir):
     """md5-derived token hashes (reproducible in DuckDB); the simhash is
     emitted as unsigned 32-bit halves so neither engine deals in the sign
@@ -3321,6 +3339,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_daily_local_dst": q_rollup_daily_local_dst,
         "dedup_docs_longest": q_dedup_docs_longest,
         "char_entropy": q_char_entropy,
+        "rrf_quality": q_rrf_quality,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
         "tpch_q16_shape": q_tpch_q16_shape,
@@ -5792,6 +5811,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN comp c ON d.doc_id = c.id
             LEFT JOIN keepers k ON k.cluster = c.cluster
+        """,
+        "rrf_quality": """
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents
+            ), cnt AS (
+              SELECT doc_id, c, count(*)::DOUBLE AS n
+              FROM ch WHERE c <> '' GROUP BY 1, 2
+            ), agg AS (
+              SELECT doc_id, sum(n) AS t, sum(n * log2(n)) AS s
+              FROM cnt GROUP BY 1
+            ), sc AS (
+              SELECT d.doc_id, d.n_chars,
+                     coalesce(round(log2(a.t) - a.s / a.t, 6) + 0.0, 0.0)
+                       AS ent
+              FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ), r1 AS (
+              SELECT doc_id, rank() OVER (ORDER BY n_chars DESC) AS r
+              FROM sc WHERE n_chars IS NOT NULL
+            ), r2 AS (
+              SELECT doc_id, rank() OVER (ORDER BY ent DESC) AS r
+              FROM sc WHERE ent IS NOT NULL
+            )
+            SELECT sc.doc_id, r1.r AS rank_len, r2.r AS rank_ent,
+                   round(coalesce(1.0 / (60 + r1.r), 0.0)
+                         + coalesce(1.0 / (60 + r2.r), 0.0), 6) AS rrf
+            FROM sc
+            LEFT JOIN r1 ON sc.doc_id = r1.doc_id
+            LEFT JOIN r2 ON sc.doc_id = r2.doc_id
         """,
         "char_entropy": """
             WITH ch AS (

@@ -212,6 +212,7 @@ HEADLINE = [
     "rollup_daily_local_dst",
     "dedup_docs_longest",
     "char_entropy",
+    "rrf_quality",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

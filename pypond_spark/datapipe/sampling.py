@@ -448,3 +448,53 @@ def assign_splits(df: DataFrame, splits: dict[str, float],
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def rrf_fusion(df: DataFrame, score_cols: list[str], k: int = 60,
+               higher_is_better: bool = True, id_col: str = "doc_id",
+               out_col: str = "rrf") -> DataFrame:
+    """Reciprocal-rank fusion of heterogeneous quality signals
+    (Cormack, Clarke & Buettcher 2009): ``rrf = Σ_s 1 / (k + rank_s)``.
+
+    The standard way to ensemble quality scores whose SCALES don't agree
+    (length, entropy, LM fluency, classifier logits): each signal
+    contributes through its rank only, so no per-signal calibration is
+    needed, and ``k`` (=60 in the original paper) damps the head so one
+    signal can't dominate.  Rows where a signal is NULL/NaN contribute 0
+    for that signal (the convention for missing annotators).
+
+    Scale shape — NO corpus-wide window: per signal, ranks are
+    COMPETITION ranks (ties share the min rank, so no tiebreak column is
+    needed and the result is deterministic), computed as a cumulative
+    count over the DISTINCT-value frame: one groupBy(value) per signal
+    (map-side combinable), one ordered cumsum over that aggregate frame
+    (bounded by distinct score values, not rows), and one join back per
+    signal on the score value.  At 100 TB each signal costs one
+    value-keyed shuffle; the rank frames are aggregate-sized.
+    """
+    if not score_cols:
+        raise ValueError("rrf_fusion needs at least one score column")
+    out = df
+    terms: list[Column] = []
+    for s in score_cols:
+        col = F.col(s).cast("double")
+        valid = col.isNotNull() & ~F.isnan(col)
+        vc = (df.where(valid)
+              .groupBy(col.alias("__v")).agg(F.count("*").alias("__c")))
+        order = F.col("__v").desc() if higher_is_better else F.col("__v")
+        w = (Window.orderBy(order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        ranked = (vc.withColumn("__cum", F.sum("__c").over(w))
+                  .select(F.col("__v").alias(f"__v_{s}"),
+                          (F.col("__cum") - F.col("__c") + 1)
+                          .alias(f"__rank_{s}")))
+        out = out.join(ranked,
+                       F.col(s).cast("double") == F.col(f"__v_{s}"),
+                       "left").drop(f"__v_{s}")
+        terms.append(F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"__rank_{s}")),
+            F.lit(0.0)))
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    return out.withColumn(out_col, score)

@@ -439,3 +439,40 @@ def test_dsir_empty_target_and_temperature_token_col(spark):
                             domain_col="doc_id", token_col="toks")
     rows = mixed.collect()
     assert rows and all(r["n_tokens"] == 10 for r in rows)
+
+
+def test_rrf_fusion_goldens(spark):
+    """Hand-computed RRF (k=60): competition ranks (ties share min rank),
+    NULL/NaN signals contribute 0, higher_is_better=False flips order,
+    and the result is repartition-invariant (no physical-order term)."""
+    rows = [
+        # (id, quality, length)
+        (1, 0.9, 100),
+        (2, 0.9, 50),     # quality tie with 1 -> both rank 1
+        (3, 0.5, 200),
+        (4, None, 10),    # missing quality -> contributes 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, q double, l long")
+    out = sampling.rrf_fusion(df, ["q", "l"], k=60)
+    got = {r["doc_id"]: (r["__rank_q"], r["__rank_l"], round(r["rrf"], 9))
+           for r in out.collect()}
+    # q ranks: 0.9 -> 1 (x2), 0.5 -> 3 ; l ranks: 200->1, 100->2, 50->3, 10->4
+    assert got[1] == (1, 2, round(1 / 61 + 1 / 62, 9))
+    assert got[2] == (1, 3, round(1 / 61 + 1 / 63, 9))
+    assert got[3] == (3, 1, round(1 / 63 + 1 / 61, 9))
+    assert got[4] == (None, 4, round(0.0 + 1 / 64, 9))
+
+    # lower-is-better: rank order flips
+    out2 = sampling.rrf_fusion(df.where("q IS NOT NULL"), ["q"], k=60,
+                               higher_is_better=False)
+    got2 = {r["doc_id"]: r["__rank_q"] for r in out2.collect()}
+    assert got2 == {3: 1, 1: 2, 2: 2}
+
+    # partition-invariance
+    out3 = sampling.rrf_fusion(df.repartition(7), ["q", "l"], k=60)
+    got3 = {r["doc_id"]: round(r["rrf"], 9) for r in out3.collect()}
+    assert got3 == {i: v[2] for i, v in got.items()}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sampling.rrf_fusion(df, [])
