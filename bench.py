@@ -348,10 +348,14 @@ def main() -> None:
         "queries": timings,
         "value_warm": round(sum(warm.values()), 3),
         "queries_warm": warm,
-        "stream_value": round(sum(stream_timings.values()), 3),
-        "stream_queries": stream_timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # omit the stream keys entirely when the tier was skipped: a recorded
+    # stream_value of 0 would read as "all 16 drains took 0s" in any
+    # round-over-round comparison
+    if stream_timings:
+        payload["stream_value"] = round(sum(stream_timings.values()), 3)
+        payload["stream_queries"] = stream_timings
     print(json.dumps(payload))
 
     # Complete per-query artifact (r5 verdict item 7): the driver's BENCH

@@ -452,7 +452,8 @@ def assign_splits(df: DataFrame, splits: dict[str, float],
 
 def rrf_fusion(df: DataFrame, score_cols: list[str], k: int = 60,
                higher_is_better: bool = True, id_col: str = "doc_id",
-               out_col: str = "rrf") -> DataFrame:
+               out_col: str = "rrf",
+               quantize: int | None = None) -> DataFrame:
     """Reciprocal-rank fusion of heterogeneous quality signals
     (Cormack, Clarke & Buettcher 2009): ``rrf = Σ_s 1 / (k + rank_s)``.
 
@@ -463,14 +464,20 @@ def rrf_fusion(df: DataFrame, score_cols: list[str], k: int = 60,
     signal can't dominate.  Rows where a signal is NULL/NaN contribute 0
     for that signal (the convention for missing annotators).
 
-    Scale shape — NO corpus-wide window: per signal, ranks are
-    COMPETITION ranks (ties share the min rank, so no tiebreak column is
-    needed and the result is deterministic), computed as a cumulative
-    count over the DISTINCT-value frame: one groupBy(value) per signal
-    (map-side combinable), one ordered cumsum over that aggregate frame
-    (bounded by distinct score values, not rows), and one join back per
-    signal on the score value.  At 100 TB each signal costs one
-    value-keyed shuffle; the rank frames are aggregate-sized.
+    Scale shape: per signal, ranks are COMPETITION ranks (ties share the
+    min rank, so no tiebreak column is needed and the result is
+    deterministic), computed as a cumulative count over the
+    DISTINCT-value frame: one groupBy(value) per signal (map-side
+    combinable), one ordered cumsum over that aggregate frame, and one
+    join back per signal on the score value.  The cumsum window is
+    unpartitioned, so its cost is bounded by the signal's DISTINCT-VALUE
+    cardinality, not the row count — fine for integral or pre-rounded
+    signals, but a continuous double (classifier logits) has ~one
+    distinct value per row and would funnel the corpus through one task.
+    For those, set ``quantize`` (decimal places) to round scores before
+    ranking: ranks then follow the quantized order (documents within the
+    same quantum tie), and the distinct-value frame is bounded by the
+    score range x 10^quantize.
     """
     if not score_cols:
         raise ValueError("rrf_fusion needs at least one score column")
@@ -478,6 +485,8 @@ def rrf_fusion(df: DataFrame, score_cols: list[str], k: int = 60,
     terms: list[Column] = []
     for s in score_cols:
         col = F.col(s).cast("double")
+        if quantize is not None:
+            col = F.round(col, quantize)
         valid = col.isNotNull() & ~F.isnan(col)
         vc = (df.where(valid)
               .groupBy(col.alias("__v")).agg(F.count("*").alias("__c")))
@@ -488,8 +497,10 @@ def rrf_fusion(df: DataFrame, score_cols: list[str], k: int = 60,
                   .select(F.col("__v").alias(f"__v_{s}"),
                           (F.col("__cum") - F.col("__c") + 1)
                           .alias(f"__rank_{s}")))
-        out = out.join(ranked,
-                       F.col(s).cast("double") == F.col(f"__v_{s}"),
+        join_key = F.col(s).cast("double")
+        if quantize is not None:
+            join_key = F.round(join_key, quantize)
+        out = out.join(ranked, join_key == F.col(f"__v_{s}"),
                        "left").drop(f"__v_{s}")
         terms.append(F.coalesce(
             F.lit(1.0) / (F.lit(float(k)) + F.col(f"__rank_{s}")),

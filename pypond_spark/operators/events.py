@@ -128,13 +128,26 @@ class Event:
 
     @staticmethod
     def _key_ms(value: Any) -> int:
-        """Epoch ms from an event key value.  Naive datetimes are
-        interpreted as DRIVER-LOCAL wall time: PySpark's
-        ``TimestampType.fromInternal`` materializes collected timestamps
-        via ``datetime.fromtimestamp`` in the driver process's local
-        timezone (regardless of the pinned UTC *session* timezone), so
-        ``value.timestamp()`` — which applies the same local rules in
-        reverse — recovers the original instant on any driver TZ."""
+        """Epoch ms from an event key value.
+
+        Naive-input contract (documented, since naive values are
+        inherently ambiguous):
+
+        - naive ``datetime`` -> DRIVER-LOCAL wall time.  PySpark's
+          ``TimestampType.fromInternal`` materializes ``.collect()``-ed
+          timestamps via ``datetime.fromtimestamp`` in the driver
+          process's local timezone (regardless of the pinned UTC
+          *session* timezone), so ``value.timestamp()`` — the same local
+          rules in reverse — recovers the original instant on any driver
+          TZ.  This is the dominant naive-datetime source in this
+          library (``event_list_as_*``, ``at_time`` rows).
+        - naive ISO *string* -> UTC (``ms_from_any``): the wire-format
+          convention, where naive strings are UTC by definition.
+        - CAVEAT: pandas ``Timestamp``s from Arrow ``toPandas()`` carry
+          session-TZ (UTC) wall times, not driver-local ones — localize
+          them (``.tz_localize("UTC")``) or pass epoch ms instead of
+          feeding them here naive.  Aware datetimes and ints are always
+          unambiguous; prefer them at API boundaries."""
         import datetime as _dt
 
         from ..util import ms_from_any

@@ -61,9 +61,16 @@ def main() -> None:
         sdf = entry._events_stream(spark, sf_dir)
         out = stream_ewma(sdf, "value", alpha=0.5, partition_by=keys)
         rows, state = drain_with_progress(out, "append")
+
+        def fmt(val, width):
+            # metrics can be absent (no stateful progress recorded) — a
+            # string '?' must not hit a numeric-only ',' format spec
+            s = f"{val:,}" if isinstance(val, int) else str(val)
+            return s.rjust(width)
+
         print(f"{label:24s} {rows:>9,} "
-              f"{state.get('numRowsTotal', '?'):>11,} "
-              f"{state.get('memoryUsedBytes', '?'):>12,}")
+              f"{fmt(state.get('numRowsTotal', '?'), 11)} "
+              f"{fmt(state.get('memoryUsedBytes', '?'), 12)}")
 
 
 if __name__ == "__main__":
