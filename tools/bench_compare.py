@@ -29,7 +29,11 @@ def main() -> None:
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     base, now = load(sys.argv[1]), load(sys.argv[2])
-    bq, nq = base["queries"], now["queries"]
+    # the streaming tier (bench.py STREAM, keys stream_queries) diffs with
+    # the same rules; tiers are merged with distinct names so a query
+    # can't shadow its batch twin
+    bq = dict(base["queries"], **base.get("stream_queries", {}))
+    nq = dict(now["queries"], **now.get("stream_queries", {}))
     regressed = []
     for name, t_now in sorted(nq.items()):
         t_base = bq.get(name)
@@ -43,8 +47,17 @@ def main() -> None:
         if ratio > THRESHOLD:
             regressed.append(name)
     # a query that vanished (crashed, renamed, dropped from bench.py) is
-    # worse than a slow one — fail on it, don't silently skip it
+    # worse than a slow one — fail on it, don't silently skip it.
+    # Exception: a baseline WITH a stream tier diffed against a run that
+    # skipped it (SPARK_GRAFT_BENCH_STREAMS=0) should not fail on the 16
+    # stream rows — they were skipped, not lost
     missing = sorted(set(bq) - set(nq))
+    if base.get("stream_queries") and not now.get("stream_queries"):
+        skipped = set(base["stream_queries"])
+        for name in sorted(missing):
+            if name in skipped:
+                print(f"skip   {name}: stream tier not run this round")
+        missing = [n for n in missing if n not in skipped]
     for name in missing:
         print(f"MISSING{name}: {bq[name]:.2f}s in baseline, absent now")
     print(f"\ntotal: {base['value']:.2f}s -> {now['value']:.2f}s")
