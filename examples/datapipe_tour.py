@@ -157,6 +157,13 @@ def main() -> None:
     print(f"lowest-entropy doc: {lo['doc_id']} "
           f"({lo['char_entropy']:.2f} bits/char-distribution)")
 
+    # 18. reciprocal-rank fusion: ensemble scale-incompatible signals
+    fused = sampling.rrf_fusion(
+        docs.select("doc_id", "n_chars").join(ent, "doc_id"),
+        ["n_chars", "char_entropy"], k=60)
+    best = fused.orderBy(F.desc("rrf")).first()
+    print(f"RRF top doc: {best['doc_id']} (rrf={best['rrf']:.4f})")
+
     spark.stop()
 
 
