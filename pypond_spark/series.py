@@ -283,22 +283,53 @@ class TimeSeries:
     def slice(self, begin: int | None = None, end: int | None = None) -> "TimeSeries":
         """Positional slice in time order with python slice semantics incl.
         negative positions (reference series.py:419-438, collection.py:552).
-        Positional indexing needs a global row_number — fine on collections,
-        documented as not the scale path."""
+
+        Positional indexing needs a GLOBAL row order — but not a
+        single-task sort.  The frame is range-repartitioned on time
+        (globally ordered partitions) and materialized once
+        (localCheckpoint pins the sampled range boundaries so both passes
+        below see the same partitioning); per-partition counts come back
+        to the driver (O(partitions) rows, the accepted bounded pull, and
+        they double as the total for negative indices); the global
+        position is then the partition-local row_number plus the
+        partition's offset — the classic zipWithIndex recipe as a
+        DataFrame plan.  Replaces the unpartitioned-window implementation
+        SCALE.md carried as the one documented non-scale path: cost is
+        two full-width exchanges (range + pid window) and a P-row
+        collect, with no stage bounded by one task."""
         from pyspark.sql import Window
-        if (begin is not None and begin < 0) or (end is not None and end < 0):
-            total = self._df.count()
-            if begin is not None and begin < 0:
-                begin = max(total + begin, 0)
-            if end is not None and end < 0:
-                end = max(total + end, 0)
-        w = Window.orderBy(self.time_col)
-        df = self._df.withColumn("__rn", F.row_number().over(w) - 1)
+        if begin is None and end is None:
+            return self
+        spark = self._df.sparkSession
+        n_parts = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+        part = (self._df
+                .repartitionByRange(n_parts, F.col(self.time_col))
+                .localCheckpoint()
+                .withColumn("__pid", F.spark_partition_id()))
+        counts = sorted(
+            (r["__pid"], r["__c"])
+            for r in part.groupBy("__pid").agg(F.count("*").alias("__c"))
+            .collect())
+        total = sum(c for _, c in counts)
+        if begin is not None and begin < 0:
+            begin = max(total + begin, 0)
+        if end is not None and end < 0:
+            end = max(total + end, 0)
+        offsets, acc = {}, 0
+        for p, c in counts:
+            offsets[p] = acc
+            acc += c
+        off = (F.element_at(
+            F.create_map(*[F.lit(v) for pc in offsets.items() for v in pc]),
+            F.col("__pid")) if offsets else F.lit(0))
+        w = Window.partitionBy("__pid").orderBy(self.time_col)
+        df = part.withColumn("__rn", F.row_number().over(w) - 1 + off)
         if begin is not None:
             df = df.where(F.col("__rn") >= begin)
         if end is not None:
             df = df.where(F.col("__rn") < end)
-        return self._with(df.drop("__rn"))
+        return self._with(df.drop("__rn", "__pid"))
 
     def at(self, pos: int):
         rows = self.slice(pos, pos + 1 if pos != -1 else None).collect()

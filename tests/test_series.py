@@ -150,6 +150,13 @@ def test_crop_slice_at(ts):
     assert ts.at_last()["value"] == 93
     assert ts.bisect(1400425949500) == 2
     assert ts.at_time(1400425949500)["value"] == 26
+    # negative python-slice semantics (reference series.py:419-438) and
+    # the r7 zipWithIndex recipe agreeing with plain head/tail expectations
+    assert [r["value"] for r in ts.slice(-2).collect()] == [26, 93]
+    assert [r["value"] for r in ts.slice(None, -1).collect()] == [52, 18, 26]
+    assert [r["value"] for r in ts.slice(-3, -1).collect()] == [18, 26]
+    assert ts.slice(0, 0).size() == 0
+    assert ts.at(-1)["value"] == 93
 
 
 def test_timerange_extents(ts):
