@@ -602,6 +602,23 @@ def q_decontam_docs(spark, sf_dir):
                                   grams, n=3, min_hits=3)
 
 
+def q_decontam_normalized(spark, sf_dir):
+    """Case/punctuation-insensitive decontamination (decontam.py
+    normalize=True, the GPT-3 appendix-C convention): the benchmark side
+    is an adversarially perturbed copy of docs 0-24 (uppercased, commas
+    injected between words, '!!!' appended) — raw gram matching would
+    find nothing, but normalize_text on BOTH sides recovers exactly the
+    same contamination verdicts as the unperturbed run."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = (docs.where(F.col("doc_id") < 25)
+             .withColumn("text",
+                         F.concat(F.upper(F.regexp_replace(
+                             F.col("text"), " ", " , ")), F.lit(" !!!"))))
+    grams = dp_decon.benchmark_grams(bench, n=3, normalize=True)
+    return dp_decon.decontaminate(docs.where(F.col("doc_id") >= 25),
+                                  grams, n=3, min_hits=3, normalize=True)
+
+
 def q_repetition_docs(spark, sf_dir):
     """Gopher repetition signals with thresholds calibrated to the corpus
     medians (dup2 0.028, top2 0.033, top3 0.021) so repetition_pass splits
@@ -3340,6 +3357,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_docs_longest": q_dedup_docs_longest,
         "char_entropy": q_char_entropy,
         "rrf_quality": q_rrf_quality,
+        "decontam_normalized": q_decontam_normalized,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
         "tpch_q16_shape": q_tpch_q16_shape,
@@ -6073,6 +6091,54 @@ def oracle_sql() -> dict[str, str]:
                      AND coalesce(dup3, 0.0) <= 0.0
                      AND coalesce(top3, 0.0) <= 0.02 AS repetition_pass
             FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+        """,
+        "decontam_normalized": """
+            -- regexp_replace needs the 'g' flag in DuckDB (default
+            -- replaces only the FIRST match; Spark replaces all)
+            WITH nb AS (
+              SELECT doc_id,
+                     lower(regexp_replace(
+                         upper(regexp_replace(text, ' ', ' , ', 'g'))
+                           || ' !!!',
+                         '[^\\p{L}\\p{N}\\s]', ' ', 'g')) AS text
+              FROM documents WHERE doc_id < 25
+            ), nd AS (
+              SELECT doc_id,
+                     lower(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', ' ',
+                                          'g')) AS text
+              FROM documents WHERE doc_id >= 25
+            ), tb AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS w
+              FROM nb
+            ), td AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS w
+              FROM nd
+            ), gb AS (
+              SELECT DISTINCT
+                     unnest([array_to_string(w[i:i+2], ' ')
+                             for i in generate_series(1,
+                                 greatest(len(w) - 2, 1))]) AS gram
+              FROM tb
+            ), gd AS (
+              SELECT doc_id,
+                     unnest([array_to_string(w[i:i+2], ' ')
+                             for i in generate_series(1,
+                                 greatest(len(w) - 2, 1))]) AS gram
+              FROM td
+            ), hits AS (
+              SELECT gd.doc_id,
+                     count(DISTINCT gd.gram) AS contaminated_grams
+              FROM gd JOIN gb USING (gram) GROUP BY gd.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.contaminated_grams, 0) AS contaminated_grams,
+                   coalesce(h.contaminated_grams, 0) >= 3 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id >= 25
         """,
         "decontam_docs": """
             WITH t AS (

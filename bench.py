@@ -213,6 +213,7 @@ HEADLINE = [
     "dedup_docs_longest",
     "char_entropy",
     "rrf_quality",
+    "decontam_normalized",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -23,21 +23,38 @@ from pyspark.sql import functions as F
 from pypond_spark.datapipe.dedup import word_shingles
 
 
+def normalize_text(text_col: str = "text"):
+    """The GPT-3 appendix-C normalization applied before gram matching:
+    lowercase and replace every non-letter/digit/whitespace character
+    with a space, so ``"Hello, World!"`` and ``"hello world"`` produce
+    the same grams.  Kept as a small public expression so corpus and
+    benchmark sides can never normalize differently."""
+    return F.lower(F.regexp_replace(F.col(text_col),
+                                    r"[^\p{L}\p{N}\s]", " "))
+
+
 def benchmark_grams(bench: DataFrame, text_col: str = "text", n: int = 13,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    normalize: bool = False) -> DataFrame:
     """Distinct word n-grams of the benchmark corpus: one ``shingle`` column.
 
     The distinct() shuffles only the (small) benchmark side. Collect the
     result once and reuse it across corpus partitions/days — it is a pure
-    function of the benchmark suite.
+    function of the benchmark suite.  ``normalize=True`` applies
+    :func:`normalize_text` first (use the same flag on
+    :func:`decontaminate` — mismatched normalization silently finds
+    nothing).
     """
+    if normalize:
+        bench = bench.withColumn(text_col, normalize_text(text_col))
     return (word_shingles(bench, text_col, n, id_col)
             .select("shingle").distinct())
 
 
 def decontaminate(docs: DataFrame, bench_grams: DataFrame,
                   text_col: str = "text", n: int = 13, min_hits: int = 1,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  normalize: bool = False) -> DataFrame:
     """Per-document contamination verdict against a benchmark gram set.
 
     Returns every input document with ``contaminated_grams`` (count of
@@ -48,8 +65,12 @@ def decontaminate(docs: DataFrame, bench_grams: DataFrame,
     The benchmark side is broadcast — no shuffle of the corpus text; the
     only corpus-wide movement is (doc_id, matched-gram) pairs for documents
     that actually overlap, which at sane n (8-13 words) is a vanishing
-    fraction of the corpus.
+    fraction of the corpus.  ``normalize=True`` matches grams
+    case/punctuation-insensitively (:func:`normalize_text`, the GPT-3
+    convention) — build ``bench_grams`` with the same flag.
     """
+    if normalize:
+        docs = docs.withColumn(text_col, normalize_text(text_col))
     grams = word_shingles(docs, text_col, n, id_col)
     hits = (grams.join(F.broadcast(bench_grams), "shingle")
             .groupBy(id_col)

@@ -487,6 +487,32 @@ def test_decontaminate_planted_overlap(spark):
     assert out[3]["contaminated"] is True
 
 
+def test_decontaminate_normalize_flag(spark):
+    """normalize=True (GPT-3 appendix-C convention) matches grams across
+    case and punctuation; raw matching finds nothing against a perturbed
+    benchmark — proving the flag is load-bearing, not cosmetic."""
+    bench = spark.createDataFrame(
+        [(100, "The, Quick, BROWN, Fox, Jumps!!!")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different text lives here today")],
+        "doc_id long, text string")
+    raw = {r["doc_id"]: r["contaminated_grams"] for r in
+           decontam.decontaminate(
+               docs, decontam.benchmark_grams(bench, n=3),
+               n=3, min_hits=1).collect()}
+    assert raw == {1: 0, 2: 0}
+    norm = {r["doc_id"]: r for r in
+            decontam.decontaminate(
+                docs, decontam.benchmark_grams(bench, n=3, normalize=True),
+                n=3, min_hits=1, normalize=True).collect()}
+    # doc1 shares the quick/brown/fox/jumps run: 3 normalized 3-grams
+    assert norm[1]["contaminated_grams"] == 3
+    assert norm[1]["contaminated"] is True
+    assert norm[2]["contaminated_grams"] == 0
+
+
 def test_filter_corpus_reasons(spark):
     from pypond_spark.datapipe import corpus
     stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
