@@ -619,6 +619,19 @@ def q_decontam_normalized(spark, sf_dir):
                                   grams, n=3, min_hits=3, normalize=True)
 
 
+def q_pack_bins(spark, sf_dir):
+    """First-fit-decreasing bin packing (sampling.py::pack_bins_ffd,
+    max_tokens=60 so the corpus exercises multi-doc bins AND overflow
+    singletons): per-shard FFD is a sequential fold over one Arrow batch
+    per shard; the oracle replays the identical fold as a recursive CTE
+    carrying the bin-load list, with list_position finding the first fit
+    — bit-for-bit the same packing because both sides sort by
+    (tokens DESC, id) and scan bins in creation order."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_sample.pack_bins_ffd(docs, max_tokens=60, n_shards=8)
+    return out.select("doc_id", "n_tokens", "shard", "bin", "overflow")
+
+
 def q_repetition_docs(spark, sf_dir):
     """Gopher repetition signals with thresholds calibrated to the corpus
     medians (dup2 0.028, top2 0.033, top3 0.021) so repetition_pass splits
@@ -3358,6 +3371,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "rrf_quality": q_rrf_quality,
         "decontam_normalized": q_decontam_normalized,
+        "pack_bins": q_pack_bins,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
         "tpch_q16_shape": q_tpch_q16_shape,
@@ -6559,6 +6573,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_tokens, cum_tokens FROM c
             WHERE cum_tokens - n_tokens < budget
+        """,
+        "pack_bins": """
+            -- exact FFD replay: the recursive CTE walks each shard's
+            -- (tokens DESC, id) order carrying the bin-load list;
+            -- list_position finds the first bin the doc fits (0/NULL
+            -- normalized to NULL for the no-fit case)
+            WITH RECURSIVE base AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                       AS n_tokens,
+                     ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))
+                         ::BIGINT % 8 AS shard
+              FROM documents
+            ), d AS (
+              SELECT *, row_number() OVER (PARTITION BY shard
+                          ORDER BY n_tokens DESC, doc_id) AS rn
+              FROM base
+            ), pack AS (
+              SELECT shard, rn, doc_id, n_tokens,
+                     [n_tokens] AS bins,
+                     CAST(1 AS BIGINT) AS bin,
+                     n_tokens > 60 AS overflow
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+                     CASE
+                       WHEN d.n_tokens > 60
+                            OR nullif(coalesce(list_position(
+                                 list_transform(p.bins,
+                                   b -> b + d.n_tokens <= 60), true), 0), 0)
+                               IS NULL
+                       THEN p.bins || [d.n_tokens]
+                       ELSE list_transform(
+                              generate_series(1, len(p.bins)),
+                              i -> CASE WHEN i = nullif(coalesce(
+                                     list_position(list_transform(p.bins,
+                                       b -> b + d.n_tokens <= 60),
+                                       true), 0), 0)
+                                   THEN p.bins[i] + d.n_tokens
+                                   ELSE p.bins[i] END)
+                     END AS bins,
+                     CASE
+                       WHEN d.n_tokens > 60
+                            OR nullif(coalesce(list_position(
+                                 list_transform(p.bins,
+                                   b -> b + d.n_tokens <= 60), true), 0), 0)
+                               IS NULL
+                       THEN CAST(len(p.bins) + 1 AS BIGINT)
+                       ELSE CAST(nullif(coalesce(list_position(
+                              list_transform(p.bins,
+                                b -> b + d.n_tokens <= 60), true), 0), 0)
+                            AS BIGINT)
+                     END AS bin,
+                     d.n_tokens > 60 AS overflow
+              FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+            )
+            SELECT doc_id, n_tokens, shard, bin, overflow FROM pack
         """,
         "pack_sequences": """
             WITH base AS (

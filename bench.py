@@ -214,6 +214,7 @@ HEADLINE = [
     "char_entropy",
     "rrf_quality",
     "decontam_normalized",
+    "pack_bins",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

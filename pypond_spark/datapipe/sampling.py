@@ -509,3 +509,71 @@ def rrf_fusion(df: DataFrame, score_cols: list[str], k: int = 60,
     for t in terms[1:]:
         score = score + t
     return out.withColumn(out_col, score)
+
+
+def pack_bins_ffd(df: DataFrame, max_tokens: int, n_shards: int = 64,
+                  token_col: str | None = None, text_col: str = "text",
+                  id_col: str = "doc_id", seed: int | str = 0) -> DataFrame:
+    """Bin packing without document splitting: first-fit-decreasing into
+    fixed-capacity bins (Krell & Kosec 2021-style padding-efficient
+    packing for SFT/eval batches, where crossing document boundaries is
+    NOT allowed and the waste is padding, unlike
+    :func:`pack_sequences`'s boundary-free pretraining stream).
+
+    Documents are hash-sharded (``n_shards`` independent packing streams
+    — the unit of parallelism; packing quality is per shard, which is
+    how production packers bound the sequential horizon anyway), sorted
+    inside the shard by (tokens DESC, id) and first-fit-decreased:
+    each doc lands in the lowest-numbered bin it fits, else opens a new
+    bin.  Docs longer than ``max_tokens`` get a bin of their own with
+    ``overflow=true`` (the caller truncates or splits those).
+
+    Output: ``id_col, n_tokens, shard, bin, overflow``; bins are
+    numbered per shard in creation order.  The per-shard fold runs as
+    one Arrow batch per shard (``applyInPandas``) — a deliberate
+    sequential-per-group algorithm whose group size is bounded by the
+    shard count, exactly like the reference's per-series processors.
+    Deterministic: same corpus, seed and shard count -> same packing.
+    """
+    import pandas as pd
+
+    from pypond_spark.datapipe.textstats import token_count
+
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    n_tok = (F.col(token_col).cast("long") if token_col
+             else token_count(text_col)).alias("n_tokens")
+    key = F.col(id_col).cast("string")
+    shard = F.pmod(F.conv(F.md5(F.concat_ws("|", F.lit(str(seed)), key))
+                          .substr(1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards))
+    base = spread(df).select(F.col(id_col), n_tok, shard.alias("shard"))
+    out_schema = (f"{id_col} long, n_tokens long, shard long, "
+                  "bin long, overflow boolean")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", id_col],
+                              ascending=[False, True], kind="mergesort")
+        loads: list[int] = []
+        bins, over = [], []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if t > max_tokens:
+                loads.append(t)
+                bins.append(len(loads))
+                over.append(True)
+                continue
+            for i, ld in enumerate(loads):
+                if ld + t <= max_tokens:
+                    loads[i] = ld + t
+                    bins.append(i + 1)
+                    break
+            else:
+                loads.append(t)
+                bins.append(len(loads))
+            if len(over) < len(bins):
+                over.append(False)
+        pdf = pdf.assign(bin=bins, overflow=over)
+        return pdf
+
+    return base.groupBy("shard").applyInPandas(pack, out_schema)

@@ -476,3 +476,39 @@ def test_rrf_fusion_goldens(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         sampling.rrf_fusion(df, [])
+
+
+def test_pack_bins_ffd_goldens(spark):
+    """Hand-computed first-fit-decreasing: sorted (50,40,30,20,10) at
+    cap 60 packs as [50+10][40+20][30]; an over-cap doc gets its own
+    overflow bin; determinism across repartitioning; validation."""
+    rows = [(i, "w " * n) for i, n in
+            [(1, 50), (2, 40), (3, 30), (4, 20), (5, 10), (6, 70)]]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    out = sampling.pack_bins_ffd(df, max_tokens=60, n_shards=1)
+    got = {r["doc_id"]: (r["bin"], r["overflow"], r["n_tokens"])
+           for r in out.collect()}
+    # order: 70, 50, 40, 30, 20, 10
+    assert got[6] == (1, True, 70)    # overflow singleton opens bin 1
+    assert got[1] == (2, False, 50)   # 50 -> new bin 2 (can't join 70)
+    assert got[2] == (3, False, 40)   # 40 -> new bin 3
+    assert got[3] == (4, False, 30)   # 30 -> new bin 4
+    assert got[4] == (3, False, 20)   # 20 -> first fit: bin 3 (40+20)
+    assert got[5] == (2, False, 10)   # 10 -> first fit: bin 2 (50+10)
+
+    # bin loads respect capacity for non-overflow bins
+    import collections
+    loads = collections.Counter()
+    for _, (b, over, t) in got.items():
+        loads[b] += t
+    assert all(load <= 60 for b, load in loads.items() if b != 1)
+
+    got2 = {r["doc_id"]: r["bin"]
+            for r in sampling.pack_bins_ffd(
+                df.repartition(5), max_tokens=60, n_shards=1).collect()}
+    assert got2 == {i: v[0] for i, v in got.items()}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sampling.pack_bins_ffd(df, max_tokens=0)
