@@ -156,7 +156,8 @@ def main() -> None:
                "pq_build_arrow_2m"}
     ev_needed = not only or bool(only - emb_ops - {"repeated_spans", "dsir_weights"})
     emb_needed = not only or bool(only & emb_ops)
-    doc_ops = {"repeated_spans", "dsir_weights"}
+    doc_ops = {"repeated_spans", "dsir_weights", "pack_bins",
+               "char_entropy", "rrf_fusion"}
     docs_needed = not only or bool(only & doc_ops)
     dup_docs_needed = not only or "dedup_documents" in only
     # exclude synthesis cost; skip when no selected op reads the frame
@@ -178,6 +179,9 @@ def main() -> None:
     from pypond_spark.datapipe.dedup import (dedup_documents,
                                              lsh_band_buckets,
                                              repeated_spans)
+    from pypond_spark.datapipe.sampling import (pack_bins_ffd,
+                                                rrf_fusion)
+    from pypond_spark.datapipe.textstats import char_entropy
     from pypond_spark.datapipe.sampling import dsir_weights
     from pypond_spark.datapipe.similarity import (pq_build,
                                                   pq_build_arrow,
@@ -239,6 +243,14 @@ def main() -> None:
         # DSIR tier: ~n chars of raw corpus, every third doc the target
         "dsir_weights": lambda: sink(dsir_weights(
             docs, docs.where(F.col("doc_id") % 3 == 0), n_buckets=4096)),
+        # r7 text ops over the ~n-char corpus
+        "pack_bins": lambda: sink(pack_bins_ffd(
+            docs, max_tokens=512, n_shards=256)),
+        "char_entropy": lambda: sink(char_entropy(docs)),
+        "rrf_fusion": lambda: sink(rrf_fusion(
+            docs.selectExpr("doc_id", "length(text) AS len",
+                            "length(replace(text, ' ', '')) AS dense"),
+            ["len", "dense"], k=60)),
         # end-to-end dedup chain on the planted-dup corpus (~n chars):
         # LSH -> Jaccard verify -> label propagation -> keeper; the timed
         # sink is the full chain, then the audit pass reports bucket
