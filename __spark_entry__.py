@@ -632,6 +632,17 @@ def q_pack_bins(spark, sf_dir):
     return out.select("doc_id", "n_tokens", "shard", "bin", "overflow")
 
 
+def q_pack_bins_report(spark, sf_dir):
+    """Padding-waste report over the pack_bins packing
+    (sampling.py::packing_report): fill fraction of non-overflow
+    capacity, overflow-bin count, load extremes — all derived from exact
+    integer sums so the single final divisions are IEEE-identical; the
+    oracle reuses the recursive FFD replay and aggregates the same way."""
+    docs = _read(spark, sf_dir, "documents")
+    packed = dp_sample.pack_bins_ffd(docs, max_tokens=60, n_shards=8)
+    return dp_sample.packing_report(packed, max_tokens=60)
+
+
 def q_repetition_docs(spark, sf_dir):
     """Gopher repetition signals with thresholds calibrated to the corpus
     medians (dup2 0.028, top2 0.033, top3 0.021) so repetition_pass splits
@@ -3372,6 +3383,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_quality": q_rrf_quality,
         "decontam_normalized": q_decontam_normalized,
         "pack_bins": q_pack_bins,
+        "pack_bins_report": q_pack_bins_report,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
         "tpch_q16_shape": q_tpch_q16_shape,
@@ -3871,6 +3883,66 @@ _HW_ORACLE = f"""
                    r.sv AS value_seasonal
             FROM r JOIN lists USING (user_id)
         """
+
+
+_PACK_BINS_CTE = """
+    -- exact FFD replay: the recursive CTE walks each shard's
+    -- (tokens DESC, id) order carrying the bin-load list;
+    -- list_position finds the first bin the doc fits (0/NULL
+    -- normalized to NULL for the no-fit case)
+
+            WITH RECURSIVE base AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                       AS n_tokens,
+                     ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))
+                         ::BIGINT % 8 AS shard
+              FROM documents
+            ), d AS (
+              SELECT *, row_number() OVER (PARTITION BY shard
+                          ORDER BY n_tokens DESC, doc_id) AS rn
+              FROM base
+            ), pack AS (
+              SELECT shard, rn, doc_id, n_tokens,
+                     [n_tokens] AS bins,
+                     CAST(1 AS BIGINT) AS bin,
+                     n_tokens > 60 AS overflow
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+                     CASE
+                       WHEN d.n_tokens > 60
+                            OR nullif(coalesce(list_position(
+                                 list_transform(p.bins,
+                                   b -> b + d.n_tokens <= 60), true), 0), 0)
+                               IS NULL
+                       THEN p.bins || [d.n_tokens]
+                       ELSE list_transform(
+                              generate_series(1, len(p.bins)),
+                              i -> CASE WHEN i = nullif(coalesce(
+                                     list_position(list_transform(p.bins,
+                                       b -> b + d.n_tokens <= 60),
+                                       true), 0), 0)
+                                   THEN p.bins[i] + d.n_tokens
+                                   ELSE p.bins[i] END)
+                     END AS bins,
+                     CASE
+                       WHEN d.n_tokens > 60
+                            OR nullif(coalesce(list_position(
+                                 list_transform(p.bins,
+                                   b -> b + d.n_tokens <= 60), true), 0), 0)
+                               IS NULL
+                       THEN CAST(len(p.bins) + 1 AS BIGINT)
+                       ELSE CAST(nullif(coalesce(list_position(
+                              list_transform(p.bins,
+                                b -> b + d.n_tokens <= 60), true), 0), 0)
+                            AS BIGINT)
+                     END AS bin,
+                     d.n_tokens > 60 AS overflow
+              FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6574,63 +6646,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens, cum_tokens FROM c
             WHERE cum_tokens - n_tokens < budget
         """,
-        "pack_bins": """
-            -- exact FFD replay: the recursive CTE walks each shard's
-            -- (tokens DESC, id) order carrying the bin-load list;
-            -- list_position finds the first bin the doc fits (0/NULL
-            -- normalized to NULL for the no-fit case)
-            WITH RECURSIVE base AS (
-              SELECT doc_id,
-                     CAST(len(regexp_extract_all(text,
-                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
-                       AS n_tokens,
-                     ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))
-                         ::BIGINT % 8 AS shard
-              FROM documents
-            ), d AS (
-              SELECT *, row_number() OVER (PARTITION BY shard
-                          ORDER BY n_tokens DESC, doc_id) AS rn
-              FROM base
-            ), pack AS (
-              SELECT shard, rn, doc_id, n_tokens,
-                     [n_tokens] AS bins,
-                     CAST(1 AS BIGINT) AS bin,
-                     n_tokens > 60 AS overflow
-              FROM d WHERE rn = 1
-              UNION ALL
-              SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
-                     CASE
-                       WHEN d.n_tokens > 60
-                            OR nullif(coalesce(list_position(
-                                 list_transform(p.bins,
-                                   b -> b + d.n_tokens <= 60), true), 0), 0)
-                               IS NULL
-                       THEN p.bins || [d.n_tokens]
-                       ELSE list_transform(
-                              generate_series(1, len(p.bins)),
-                              i -> CASE WHEN i = nullif(coalesce(
-                                     list_position(list_transform(p.bins,
-                                       b -> b + d.n_tokens <= 60),
-                                       true), 0), 0)
-                                   THEN p.bins[i] + d.n_tokens
-                                   ELSE p.bins[i] END)
-                     END AS bins,
-                     CASE
-                       WHEN d.n_tokens > 60
-                            OR nullif(coalesce(list_position(
-                                 list_transform(p.bins,
-                                   b -> b + d.n_tokens <= 60), true), 0), 0)
-                               IS NULL
-                       THEN CAST(len(p.bins) + 1 AS BIGINT)
-                       ELSE CAST(nullif(coalesce(list_position(
-                              list_transform(p.bins,
-                                b -> b + d.n_tokens <= 60), true), 0), 0)
-                            AS BIGINT)
-                     END AS bin,
-                     d.n_tokens > 60 AS overflow
-              FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
-            )
+        "pack_bins": _PACK_BINS_CTE + """
             SELECT doc_id, n_tokens, shard, bin, overflow FROM pack
+        """,
+        "pack_bins_report": _PACK_BINS_CTE + """
+            , bins AS (
+              -- CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas turns
+              -- into float64 — keep every integer metric BIGINT
+              SELECT shard, bin, CAST(sum(n_tokens) AS BIGINT) AS load,
+                     bool_or(overflow) AS over, count(*) AS n
+              FROM pack GROUP BY 1, 2
+            )
+            SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+                   count(*) AS n_bins,
+                   CAST(sum(CASE WHEN over THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_overflow_bins,
+                   CAST(sum(load) AS BIGINT) AS total_tokens,
+                   round(sum(CASE WHEN NOT over THEN load END)
+                         / (count(CASE WHEN NOT over THEN 1 END) * 60.0),
+                         6) AS fill_frac,
+                   CAST(min(CASE WHEN NOT over THEN load END) AS BIGINT)
+                     AS min_load,
+                   CAST(max(CASE WHEN NOT over THEN load END) AS BIGINT)
+                     AS max_load,
+                   round(sum(n) / CAST(count(*) AS DOUBLE), 6)
+                     AS docs_per_bin
+            FROM bins
         """,
         "pack_sequences": """
             WITH base AS (

@@ -215,6 +215,7 @@ HEADLINE = [
     "rrf_quality",
     "decontam_normalized",
     "pack_bins",
+    "pack_bins_report",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

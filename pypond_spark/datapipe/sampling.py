@@ -577,3 +577,37 @@ def pack_bins_ffd(df: DataFrame, max_tokens: int, n_shards: int = 64,
         return pdf
 
     return base.groupBy("shard").applyInPandas(pack, out_schema)
+
+
+def packing_report(packed: DataFrame, max_tokens: int,
+                   shard_col: str = "shard", bin_col: str = "bin",
+                   token_col: str = "n_tokens",
+                   overflow_col: str = "overflow") -> DataFrame:
+    """Padding-waste report for a :func:`pack_bins_ffd` packing — the
+    number an ML engineer actually tunes against: what fraction of the
+    (bins x capacity) token budget is padding.
+
+    One row: total docs/bins/tokens, overflow-bin count, ``fill_frac``
+    (filled share of non-overflow capacity; padding waste is
+    ``1 - fill_frac``), min/max non-overflow bin load and mean docs per
+    bin.  Two bounded aggregations (per-bin loads, then one global row);
+    every metric derives from exact integer sums, so the single final
+    divisions are IEEE-identical cross-engine (rounded 6dp anyway).
+    """
+    bins = (packed.groupBy(shard_col, bin_col)
+            .agg(F.sum(F.col(token_col)).alias("__load"),
+                 F.max(F.col(overflow_col)).alias("__over"),
+                 F.count("*").alias("__n")))
+    nonover = F.when(~F.col("__over"), F.col("__load"))
+    return bins.agg(
+        F.sum("__n").alias("n_docs"),
+        F.count("*").alias("n_bins"),
+        F.sum(F.when(F.col("__over"), 1).otherwise(0))
+        .alias("n_overflow_bins"),
+        F.sum("__load").alias("total_tokens"),
+        F.round(F.sum(nonover)
+                / (F.count(nonover) * F.lit(float(max_tokens))), 6)
+        .alias("fill_frac"),
+        F.min(nonover).alias("min_load"),
+        F.max(nonover).alias("max_load"),
+        F.round(F.sum("__n") / F.count("*"), 6).alias("docs_per_bin"))

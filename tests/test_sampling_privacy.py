@@ -512,3 +512,23 @@ def test_pack_bins_ffd_goldens(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         sampling.pack_bins_ffd(df, max_tokens=0)
+
+
+def test_packing_report(spark):
+    """Report over the hand-computed FFD packing: cap-60 bins [70][50+10]
+    [40+20][30] -> 4 bins, 1 overflow, fill = 180/180... no: non-overflow
+    loads are 60, 60, 30 -> fill 150/180."""
+    rows = [(i, "w " * n) for i, n in
+            [(1, 50), (2, 40), (3, 30), (4, 20), (5, 10), (6, 70)]]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    packed = sampling.pack_bins_ffd(df, max_tokens=60, n_shards=1)
+    rep = sampling.packing_report(packed, max_tokens=60).first()
+    assert rep["n_docs"] == 6
+    assert rep["n_bins"] == 4
+    assert rep["n_overflow_bins"] == 1
+    assert rep["total_tokens"] == 220
+    assert rep["fill_frac"] == round(150 / 180, 6)
+    assert rep["min_load"] == 30
+    assert rep["max_load"] == 60
+    assert rep["docs_per_bin"] == 1.5
