@@ -643,6 +643,19 @@ def q_pack_bins_report(spark, sf_dir):
     return dp_sample.packing_report(packed, max_tokens=60)
 
 
+def q_nb_quality(spark, sf_dir):
+    """Hashed-n-gram Naive-Bayes quality classifier
+    (textstats.py::nb_quality_classifier, the closed-form counterpart of
+    the GPT-3 / CCNet fastText quality rankers): train on the documents
+    table with source='src0' as the positive class, score the whole
+    corpus.  Exact-integer micro-nat accumulation makes per-doc log-odds
+    order-independent; the oracle replays the same Laplace-smoothed
+    counts and integer sums in SQL."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.nb_quality_classifier(
+        docs, docs, F.col("source") == "src0", n_buckets=4096)
+
+
 def q_repetition_docs(spark, sf_dir):
     """Gopher repetition signals with thresholds calibrated to the corpus
     medians (dup2 0.028, top2 0.033, top3 0.021) so repetition_pass splits
@@ -3384,6 +3397,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_normalized": q_decontam_normalized,
         "pack_bins": q_pack_bins,
         "pack_bins_report": q_pack_bins_report,
+        "nb_quality": q_nb_quality,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
         "tpch_q16_shape": q_tpch_q16_shape,
@@ -6590,6 +6604,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(ratio.lr_micro) AS BIGINT) / 1000000.0
                      AS log_weight
             FROM bk JOIN ratio ON bk.b = ratio.b
+            GROUP BY bk.doc_id
+        """,
+        "nb_quality": """
+            WITH arr AS (
+              SELECT doc_id, source,
+                     list_filter(list_transform(
+                         list_filter(string_split_regex(trim(text),
+                                                        '\\s+'),
+                                     x -> x != ''),
+                         x -> regexp_replace(lower(x),
+                             '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                       x -> x != '') AS a
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, source, unnest(list_concat(a,
+                       CASE WHEN len(a) >= 2
+                            THEN list_transform(
+                                generate_series(1, len(a) - 1),
+                                i -> a[i] || ' ' || a[i + 1])
+                            ELSE [] END)) AS g
+              FROM arr
+            ), bk AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b
+              FROM grams
+            ), pc AS (
+              SELECT count(*) FILTER (WHERE source = 'src0') AS dp,
+                     count(*) FILTER (WHERE source <> 'src0') AS dn
+              FROM documents
+            ), bc AS (
+              SELECT b,
+                     count(*) FILTER (WHERE source = 'src0') AS cp,
+                     count(*) FILTER (WHERE source <> 'src0') AS cn
+              FROM bk GROUP BY b
+            ), tot AS (
+              SELECT CAST(sum(cp) AS BIGINT) AS np,
+                     CAST(sum(cn) AS BIGINT) AS nn
+              FROM bc
+            ), ratio AS (
+              SELECT b,
+                     CAST(round((ln((cp + 1.0) / (np + 1.0 * 4096))
+                               - ln((cn + 1.0) / (nn + 1.0 * 4096)))
+                                * 1000000.0) AS BIGINT) AS llr
+              FROM bc CROSS JOIN tot
+            ), konst AS (
+              SELECT CAST(round(ln((dp + 1.0) / (dn + 1.0))
+                                * 1000000.0) AS BIGINT) AS prior,
+                     CAST(round((ln(1.0 / (np + 1.0 * 4096))
+                               - ln(1.0 / (nn + 1.0 * 4096)))
+                                * 1000000.0) AS BIGINT) AS dflt
+              FROM pc CROSS JOIN tot
+            )
+            SELECT bk.doc_id, count(*) AS n_grams,
+                   (max(konst.prior)
+                    + CAST(sum(COALESCE(ratio.llr, konst.dflt)) AS BIGINT))
+                     / 1000000.0 AS log_odds
+            FROM bk LEFT JOIN ratio USING (b) CROSS JOIN konst
             GROUP BY bk.doc_id
         """,
         "temperature_mix": """

@@ -216,6 +216,7 @@ HEADLINE = [
     "decontam_normalized",
     "pack_bins",
     "pack_bins_report",
+    "nb_quality",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -253,21 +253,13 @@ def dsir_weights(raw: DataFrame, target: DataFrame, n_buckets: int = 4096,
 
     Output: ``id_col, n_grams, log_weight`` (raw docs with >=1 token).
     """
-    from pypond_spark.datapipe.textstats import _match_tokens
+    from pypond_spark.datapipe.textstats import gram_bucket, hashed_grams
 
     def grams() -> Column:
-        arr = F.filter(_match_tokens(text_col), lambda t: t != F.lit(""))
-        n = F.size(arr)
-        bigrams = F.when(n >= 2, F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(arr, i),
-                                  F.element_at(arr, i + 1)))) \
-            .otherwise(F.array().cast("array<string>"))
-        return F.concat(arr, bigrams)
+        return hashed_grams(text_col)
 
     def bucket(g: Column) -> Column:
-        return (F.conv(F.md5(g).substr(1, 8), 16, 10).cast("long")
-                % F.lit(int(n_buckets)))
+        return gram_bucket(g, n_buckets)
 
     def bucket_counts(df: DataFrame, out: str) -> DataFrame:
         return (spread(df).select(F.explode(grams()).alias("__g"))

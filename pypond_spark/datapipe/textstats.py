@@ -46,6 +46,28 @@ def token_count(text_col: str = "text") -> Column:
     return F.regexp_count(F.col(text_col), F.lit(TOKEN_RE))
 
 
+def hashed_grams(text_col: str = "text") -> Column:
+    """Unigram + bigram bag over normalized tokens — the hashed-n-gram
+    feature set shared by :func:`pypond_spark.datapipe.sampling.dsir_weights`
+    and :func:`nb_quality_classifier` (the DSIR paper's generative-model
+    features, Xie et al. 2023 §3)."""
+    arr = F.filter(_match_tokens(text_col), lambda t: t != F.lit(""))
+    n = F.size(arr)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(arr, i),
+                              F.element_at(arr, i + 1)))) \
+        .otherwise(F.array().cast("array<string>"))
+    return F.concat(arr, bigrams)
+
+
+def gram_bucket(g: Column, n_buckets: int) -> Column:
+    """md5-hash a gram into ``[0, n_buckets)`` — SQL-portable (DuckDB
+    replays it as ``('0x' || substr(md5(g), 1, 8))::BIGINT % n``)."""
+    return (F.conv(F.md5(g).substr(1, 8), 16, 10).cast("long")
+            % F.lit(int(n_buckets)))
+
+
 def quality_stats(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Per-document quality features: length, words, punct & stopword ratios."""
@@ -654,3 +676,84 @@ def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
     intercept = (F.col("__sy") - slope * F.col("__sx")) / n
     return agg.select(slope.alias("slope"), intercept.alias("intercept"),
                       "vocab", F.lit(int(total)).alias("n_tokens"))
+
+
+def nb_quality_classifier(train: DataFrame, corpus: DataFrame,
+                          positive: Column | str, n_buckets: int = 4096,
+                          smoothing: float = 1.0, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Multinomial Naive-Bayes quality classifier over hashed n-grams —
+    the closed-form, one-pass-trainable counterpart of the fastText /
+    logistic quality classifiers used by GPT-3 (Brown et al. 2020
+    appendix A) and CCNet to rank web documents against a high-quality
+    reference corpus.
+
+    Training is a single shuffle: explode ``train`` into hashed
+    unigram+bigram buckets (:func:`hashed_grams` / :func:`gram_bucket`),
+    count per (bucket, class), Laplace-``smoothing`` the per-class
+    likelihoods.  Scoring is one pass over ``corpus``: the
+    ``n_buckets``-row log-likelihood-ratio table is broadcast, so
+
+        ``log_odds = ln P(pos)/P(neg) + sum_g llr(bucket(g))``
+
+    with buckets unseen in training falling back to the smoothing-only
+    constant.  ``log_odds > 0`` means "looks like the positive class".
+
+    Cross-engine determinism: per-bucket ratios, the prior, and the
+    unseen-bucket fallback are MICRO-NAT INTEGERS (``round(x * 1e6)``),
+    so the per-document accumulation is an exact integer sum — immune
+    to float summation order — and the final ``log_odds`` is one shared
+    division (the :func:`~pypond_spark.datapipe.sampling.dsir_weights`
+    recipe).
+
+    Shape at 100 TB: one training explode (shuffle on the uniform
+    bucket key, count table bounded by ``n_buckets``), one broadcast of
+    the ratio table, ONE scoring pass with a map-side join + per-doc
+    groupBy.
+
+    Output: ``id_col, n_grams, log_odds`` (corpus docs with >=1 gram).
+    """
+    import math
+
+    pos = positive if isinstance(positive, Column) else F.expr(positive)
+    t = spread(train).withColumn("__pos", pos.cast("boolean"))
+    row = t.agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("dp"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("dn")).first()
+    dp, dn = row["dp"] or 0, row["dn"] or 0
+    if not dp or not dn:
+        raise ValueError(
+            f"nb_quality_classifier: both classes must be non-empty in "
+            f"train (positive={dp}, negative={dn})")
+    counts = (t.select("__pos", F.explode(hashed_grams(text_col))
+                       .alias("__g"))
+              .select("__pos", gram_bucket(F.col("__g"), n_buckets)
+                      .alias("__b"))
+              .groupBy("__b")
+              .agg(F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("cp"),
+                   F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("cn"))
+              .localCheckpoint())
+    tot = counts.agg(F.sum("cp"), F.sum("cn")).first()
+    n_p, n_n = tot[0] or 0, tot[1] or 0
+    s = float(smoothing)
+    denom_p = float(n_p) + s * n_buckets
+    denom_n = float(n_n) + s * n_buckets
+    llr = (F.log((F.col("cp") + F.lit(s)) / F.lit(denom_p))
+           - F.log((F.col("cn") + F.lit(s)) / F.lit(denom_n)))
+    ratio = counts.select("__b", F.round(llr * F.lit(1e6)).cast("long")
+                          .alias("__llr_micro"))
+    prior_micro = int(round(math.log((dp + s) / (dn + s)) * 1e6))
+    unseen_micro = int(round((math.log(s / denom_p)
+                              - math.log(s / denom_n)) * 1e6))
+    scored = (spread(corpus)
+              .select(F.col(id_col), F.explode(hashed_grams(text_col))
+                      .alias("__g"))
+              .select(F.col(id_col), gram_bucket(F.col("__g"), n_buckets)
+                      .alias("__b"))
+              .join(F.broadcast(ratio), "__b", "left"))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 ((F.lit(prior_micro)
+                   + F.sum(F.coalesce(F.col("__llr_micro"),
+                                      F.lit(unseen_micro))))
+                  / F.lit(1e6)).alias("log_odds")))

@@ -964,3 +964,56 @@ def test_cluster_balanced_sample(spark):
     assert sorted(out["vec_id"]) == sorted(again["vec_id"])
     # quotas flatten density: every populated cell contributes
     assert out["cell"].nunique() >= 2
+
+
+def test_nb_quality_classifier_hand_computed(spark):
+    import math
+    train = spark.createDataFrame(
+        [(1, "good good"), (2, "bad")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(10, "good"), (11, "bad"), (12, "novel"), (13, "")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.nb_quality_classifier(
+        train, corpus, F.col("doc_id") == 1).collect()}
+    # train grams: pos {good:2, 'good good':1} (np=3), neg {bad:1} (nn=1)
+    B, s = 4096, 1.0
+    denp, denn = 3 + s * B, 1 + s * B
+    micro = lambda x: round(x * 1e6) / 1e6  # noqa: E731
+    exp_good = micro(math.log(3 / denp) - math.log(1 / denn))
+    exp_bad = micro(math.log(1 / denp) - math.log(2 / denn))
+    exp_novel = micro(math.log(s / denp) - math.log(s / denn))
+    assert out[10]["log_odds"] == pytest.approx(exp_good, abs=1e-9)
+    assert out[11]["log_odds"] == pytest.approx(exp_bad, abs=1e-9)
+    assert out[12]["log_odds"] == pytest.approx(exp_novel, abs=1e-9)
+    assert 13 not in out          # no grams -> no row
+    assert out[10]["n_grams"] == 1
+    # signs: target-like positive, off-class negative, unseen ~0
+    assert out[10]["log_odds"] > 0 > out[11]["log_odds"]
+    assert abs(out[12]["log_odds"]) < 0.01
+
+
+def test_nb_quality_classifier_prior(spark):
+    # 3 positive vs 1 negative doc, same text: log-odds = prior = ln(4/2)
+    import math
+    train = spark.createDataFrame(
+        [(i, "same text here") for i in range(4)], ["doc_id", "text"])
+    out = textstats.nb_quality_classifier(
+        train, train.limit(1), F.col("doc_id") < 3).collect()
+    prior = math.log((3 + 1.0) / (1 + 1.0))
+    # per-gram llr: counts 3x vs 1x of every gram -> small positive
+    assert out[0]["log_odds"] > prior - 0.01
+
+
+def test_nb_quality_classifier_validates_classes(spark):
+    train = spark.createDataFrame([(1, "x"), (2, "y")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="both classes"):
+        textstats.nb_quality_classifier(train, train, F.lit(True))
+
+
+def test_nb_quality_classifier_separates_sources(spark, docs):
+    scored = textstats.nb_quality_classifier(
+        docs, docs, F.col("source") == "src0")
+    means = {r["pos"]: r["m"] for r in scored.join(
+        docs.select("doc_id", (F.col("source") == "src0").alias("pos")),
+        "doc_id").groupBy("pos").agg(F.avg("log_odds").alias("m")).collect()}
+    assert means[True] > means[False]
