@@ -732,6 +732,37 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine"))
 
 
+def q_embedding_sign_sketch(spark, sf_dir):
+    """Sign-bit binarization of the embedding column
+    (similarity.py::embedding_signs): two unsigned 32-bit sketch words
+    per vector, bit j = 1 iff vec[j] >= 0 — pure scan-level expressions,
+    the 1-bit quantization a binary-hash ANN prefilter stores."""
+    embs = _read(spark, sf_dir, "embeddings")
+    return dp_sim.embedding_signs(embs, dim=64)
+
+
+def q_embedding_hamming_dups(spark, sf_dir):
+    """Hamming near-dup prefilter over sign sketches
+    (similarity.py::embedding_hamming_near_dups, 16-bit-chunk blocking,
+    pigeonhole-complete for hamming<=3).  The corpus' closest natural
+    pair sits at hamming 15, so the query plants twins: vectors 0-49
+    duplicated at id+100000 with dims 1-2 negated — each twin lands
+    within hamming<=2 of its original and nothing else, so the expected
+    output is exactly the planted pairs.  The oracle recomputes sketches
+    and does the all-pairs filter (no blocking) — same pairs iff the
+    blocked join is complete at this radius."""
+    embs = _read(spark, sf_dir, "embeddings")
+    twins = (embs.where(F.col("vec_id") < 50)
+             .select((F.col("vec_id") + 100000).alias("vec_id"),
+                     F.concat(
+                         F.array(-F.element_at("embedding", 1),
+                                 -F.element_at("embedding", 2)),
+                         F.slice("embedding", 3, 62)).alias("embedding")))
+    planted = embs.select("vec_id", "embedding").unionByName(twins)
+    return dp_sim.embedding_hamming_near_dups(planted, dim=64,
+                                              max_hamming=3)
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     media = dp_mm.attach_binary(docs, "text", "doc_id")
@@ -3398,6 +3429,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "pack_bins_report": q_pack_bins_report,
         "nb_quality": q_nb_quality,
+        "embedding_sign_sketch": q_embedding_sign_sketch,
+        "embedding_hamming_dups": q_embedding_hamming_dups,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
         "tpch_q16_shape": q_tpch_q16_shape,
@@ -3897,6 +3930,16 @@ _HW_ORACLE = f"""
                    r.sv AS value_seasonal
             FROM r JOIN lists USING (user_id)
         """
+
+
+def _sign_sketch_sql(word: int) -> str:
+    """32-term CASE chain for sign-sketch word `word` — the DuckDB twin
+    of similarity.py::embedding_signs (bit j = 1 iff embedding[j+1] >= 0)."""
+    lo = 32 * word
+    return " + ".join(
+        f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << (j - lo)} "
+        f"ELSE 0 END)"
+        for j in range(lo, lo + 32))
 
 
 _PACK_BINS_CTE = """
@@ -6451,6 +6494,33 @@ def oracle_sql() -> dict[str, str]:
               FROM b a JOIN b b2
                 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
             ) WHERE c >= 0.4
+        """,
+        "embedding_sign_sketch": f"""
+            SELECT vec_id,
+                   CAST({_sign_sketch_sql(0)} AS BIGINT) AS sk0,
+                   CAST({_sign_sketch_sql(1)} AS BIGINT) AS sk1
+            FROM embeddings
+        """,
+        "embedding_hamming_dups": f"""
+            WITH planted AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     list_concat([-embedding[1], -embedding[2]],
+                                 embedding[3:64])
+              FROM embeddings WHERE vec_id < 50
+            ), sk AS (
+              SELECT vec_id,
+                     CAST({_sign_sketch_sql(0)} AS BIGINT) AS sk0,
+                     CAST({_sign_sketch_sql(1)} AS BIGINT) AS sk1
+              FROM planted
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   bit_count(xor(a.sk0, b.sk0))
+                   + bit_count(xor(a.sk1, b.sk1)) AS hamming
+            FROM sk a JOIN sk b ON a.vec_id < b.vec_id
+            WHERE bit_count(xor(a.sk0, b.sk0))
+                  + bit_count(xor(a.sk1, b.sk1)) <= 3
         """,
         "embedding_near_dups": """
             WITH n AS (

@@ -217,6 +217,8 @@ HEADLINE = [
     "pack_bins",
     "pack_bins_report",
     "nb_quality",
+    "embedding_sign_sketch",
+    "embedding_hamming_dups",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -1076,3 +1076,84 @@ def embedding_drift(old: DataFrame, new: DataFrame, n_cells: int = 8,
         F.round(p_new, 6).alias("p_new"),
         F.round((p_new - p_old) * F.log(p_new / p_old), 6)
         .alias("psi_term"))
+
+
+def embedding_signs(df: DataFrame, dim: int, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Sign-bit binarization of an embedding column — the 1-bit
+    quantization behind binary-hash ANN prefilters (Charikar 2002 SimHash
+    applied to the vector itself: for unit-ish vectors,
+    ``P[sign bits agree] = 1 - angle/pi``, so Hamming distance on the
+    sketch estimates angular distance at 1/32 the bytes of fp32).
+
+    Bit ``j`` of the sketch is 1 iff ``vec[j] >= 0``.  Emitted as
+    unsigned 32-bit words ``sk0, sk1, ...`` (``ceil(dim/32)`` of them):
+    32-term codegen chains per word keep the generated method small, and
+    sign-free words are what cross-engine comparison wants (same
+    rationale as dedup.py::simhash64 as_halves).
+
+    Scale: pure per-row column expressions — map-side only, stream-safe,
+    no shuffle; the 100-TB plan is scan + project.
+    """
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    words = []
+    for w in range((dim + 31) // 32):
+        bits = [
+            F.when(F.element_at(F.col(vec_col), j + 1) >= 0,
+                   F.lit(1 << (j - 32 * w))).otherwise(F.lit(0))
+            for j in range(32 * w, min(32 * w + 32, dim))
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        words.append(acc.cast("long").alias(f"sk{w}"))
+    return spread(df).select(F.col(id_col), *words)
+
+
+def embedding_hamming_near_dups(df: DataFrame, dim: int,
+                                max_hamming: int = 3,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id") -> DataFrame:
+    """Near-duplicate pairs by Hamming distance on the sign-bit sketch —
+    the cheap binary prefilter stage of an embedding dedup stack (pairs
+    it emits are candidates for an exact-cosine verify; at ``dim`` 64,
+    hamming<=3 corresponds to angle <~ 8.4 degrees).
+
+    Blocking mirrors dedup.py::simhash_near_dups: the sketch is cut into
+    16-bit chunks (two per 32-bit word); by pigeonhole any pair within
+    ``max_hamming <= n_chunks - 1`` shares at least one exact chunk, so
+    the join is chunk-equality-keyed — Σ|bucket|² work, never all-pairs.
+    Raises if ``max_hamming`` exceeds what the chunk count guarantees
+    (recall silently lost otherwise).
+    """
+    n_words = (dim + 31) // 32
+    n_chunks = 2 * n_words
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs >= {max_hamming + 1} chunks "
+            f"but dim={dim} only yields {n_chunks}; verify candidates with "
+            f"an exact-cosine pass instead of widening the radius")
+    sk = embedding_signs(df, dim, vec_col, id_col)
+    chunks = F.array(*[
+        F.concat(F.lit(f"{2 * w + half}:"),
+                 F.shiftright(F.col(f"sk{w}"), 16 * half)
+                 .bitwiseAND(F.lit(0xFFFF)).cast("string"))
+        for w in range(n_words) for half in (0, 1)
+    ])
+    cols = [id_col] + [f"sk{w}" for w in range(n_words)]
+    blocked = sk.select(*cols, F.explode(chunks).alias("chunk"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = None
+    for w in range(n_words):
+        term = F.bit_count(F.col(f"a.sk{w}").bitwiseXOR(F.col(f"b.sk{w}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .where(hamming <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                hamming.alias("hamming"))
+        .distinct()
+    )

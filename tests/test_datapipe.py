@@ -1017,3 +1017,49 @@ def test_nb_quality_classifier_separates_sources(spark, docs):
         docs.select("doc_id", (F.col("source") == "src0").alias("pos")),
         "doc_id").groupBy("pos").agg(F.avg("log_odds").alias("m")).collect()}
     assert means[True] > means[False]
+
+
+def test_embedding_signs_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.0, -0.0]), (2, [-1.0, -1.0, -1.0, -1.0])],
+        ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           similarity.embedding_signs(df, dim=4).collect()}
+    # bits: v>=0 -> 1; 0.0 and -0.0 both count as >= 0
+    assert out[1]["sk0"] == 0b1101
+    assert out[2]["sk0"] == 0
+    # dim > 32 spills into sk1: bit 32 is element 33
+    wide = spark.createDataFrame(
+        [(3, [-1.0] * 32 + [1.0, -1.0])], ["vec_id", "embedding"])
+    r = similarity.embedding_signs(wide, dim=34).collect()[0]
+    assert r["sk0"] == 0 and r["sk1"] == 1
+
+
+def test_embedding_hamming_near_dups_blocked_complete(spark, embs):
+    # blocked join must equal the brute-force all-pairs filter
+    planted = embs.limit(30).select("vec_id", "embedding").unionByName(
+        embs.limit(10).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.concat(F.array(-F.element_at("embedding", 1)),
+                     F.slice("embedding", 2, 63)).alias("embedding")))
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+           similarity.embedding_hamming_near_dups(
+               planted, dim=64, max_hamming=3).collect()}
+    sk = similarity.embedding_signs(planted, dim=64)
+    a, b = sk.alias("a"), sk.alias("b")
+    ham = (F.bit_count(F.col("a.sk0").bitwiseXOR(F.col("b.sk0")))
+           + F.bit_count(F.col("a.sk1").bitwiseXOR(F.col("b.sk1"))))
+    brute = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+             a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+             .where(ham <= 3)
+             .select(F.col("a.vec_id").alias("id_a"),
+                     F.col("b.vec_id").alias("id_b"),
+                     ham.alias("hamming")).collect()}
+    assert got == brute
+    # every planted twin is found (negating one dim flips <= 1 bit)
+    assert {(i, i + 1000) for i in range(10)} <= {(x, y) for x, y, _ in got}
+
+
+def test_embedding_hamming_near_dups_validates_radius(spark, embs):
+    with pytest.raises(ValueError, match="chunks"):
+        similarity.embedding_hamming_near_dups(embs, dim=64, max_hamming=4)
