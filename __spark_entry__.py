@@ -763,6 +763,16 @@ def q_embedding_hamming_dups(spark, sf_dir):
                                               max_hamming=3)
 
 
+def q_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss 64→16 Rademacher projection
+    (similarity.py::random_projection, seed 0): sign-woven add/sub
+    chains make the fold order explicit, so the oracle weaving the
+    identical ± pattern matches every coordinate bit-exactly — no
+    rounding on either side."""
+    embs = _read(spark, sf_dir, "embeddings")
+    return dp_sim.random_projection(embs, dim=64, out_dim=16, seed=0)
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     media = dp_mm.attach_binary(docs, "text", "doc_id")
@@ -3431,6 +3441,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality": q_nb_quality,
         "embedding_sign_sketch": q_embedding_sign_sketch,
         "embedding_hamming_dups": q_embedding_hamming_dups,
+        "jl_projection": q_jl_projection,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
         "tpch_q16_shape": q_tpch_q16_shape,
@@ -3930,6 +3941,24 @@ _HW_ORACLE = f"""
                    r.sv AS value_seasonal
             FROM r JOIN lists USING (user_id)
         """
+
+
+def _jl_select_sql(dim: int, out_dim: int, seed: int) -> str:
+    """Sign-woven add/sub chains for the JL projection oracle — the same
+    Rademacher matrix (similarity.py::rademacher_signs) and the same
+    left-to-right fold order as random_projection, so every coordinate
+    matches bit-exactly."""
+    import math as _math
+    cols = []
+    for j, row in enumerate(dp_sim.rademacher_signs(dim, out_dim, seed)):
+        terms = []
+        for i, s in enumerate(row):
+            t = f"CAST(embedding[{i + 1}] AS DOUBLE)"
+            terms.append((t if s > 0 else f"- {t}") if i == 0
+                         else f"{'+' if s > 0 else '-'} {t}")
+        cols.append(f"({' '.join(terms)}) / {_math.sqrt(out_dim)!r} "
+                    f"AS p{j:02d}")
+    return ",\n                   ".join(cols)
 
 
 def _sign_sketch_sql(word: int) -> str:
@@ -6494,6 +6523,11 @@ def oracle_sql() -> dict[str, str]:
               FROM b a JOIN b b2
                 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
             ) WHERE c >= 0.4
+        """,
+        "jl_projection": f"""
+            SELECT vec_id,
+                   {_jl_select_sql(64, 16, 0)}
+            FROM embeddings
         """,
         "embedding_sign_sketch": f"""
             SELECT vec_id,

@@ -219,6 +219,7 @@ HEADLINE = [
     "nb_quality",
     "embedding_sign_sketch",
     "embedding_hamming_dups",
+    "jl_projection",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

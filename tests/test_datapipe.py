@@ -1063,3 +1063,35 @@ def test_embedding_hamming_near_dups_blocked_complete(spark, embs):
 def test_embedding_hamming_near_dups_validates_radius(spark, embs):
     with pytest.raises(ValueError, match="chunks"):
         similarity.embedding_hamming_near_dups(embs, dim=64, max_hamming=4)
+
+
+def test_random_projection_hand_computed(spark):
+    df = spark.createDataFrame([(1, [3.0, 5.0])], ["vec_id", "embedding"])
+    signs = similarity.rademacher_signs(2, 1, seed=0)[0]
+    out = similarity.random_projection(df, dim=2, out_dim=1).collect()[0]
+    assert out["p00"] == signs[0] * 3.0 + signs[1] * 5.0  # /sqrt(1)
+    # different seed -> different sign matrix somewhere in a 64x16 grid
+    assert (similarity.rademacher_signs(64, 16, 0)
+            != similarity.rademacher_signs(64, 16, 1))
+    with pytest.raises(ValueError, match="positive"):
+        similarity.random_projection(df, dim=0, out_dim=1)
+
+
+def test_random_projection_matches_numpy_and_preserves_norms(spark, embs):
+    import numpy as np
+    sub = embs.orderBy("vec_id").limit(50)
+    orig = np.array([r["embedding"] for r in sub.collect()], dtype=np.float64)
+    proj = similarity.random_projection(sub, dim=64, out_dim=16)
+    pcols = [f"p{j:02d}" for j in range(16)]
+    pm = np.array([[r[c] for c in pcols]
+                   for r in proj.orderBy("vec_id").collect()])
+    # exact replay: same sign matrix, same scale (summation order differs,
+    # so approx rather than ==)
+    S = np.array(similarity.rademacher_signs(64, 16, 0), dtype=np.float64)
+    expected = orig @ S.T / np.sqrt(16.0)
+    assert np.allclose(pm, expected, atol=1e-9)
+    # JL unbiasedness: E[||Pv||^2] = ||v||^2 — the per-vector ratio is
+    # noisy at k=16, but its mean over 50 vectors is near 1 (fixed seed
+    # -> deterministic golden)
+    ratio = (pm ** 2).sum(axis=1) / (orig ** 2).sum(axis=1)
+    assert 0.8 < float(ratio.mean()) < 1.2
