@@ -25,6 +25,7 @@ from pypond_spark.datapipe import privacy as dp_priv
 from pypond_spark.datapipe import sampling as dp_sample
 from pypond_spark.datapipe import similarity as dp_sim
 from pypond_spark.datapipe import textstats as dp_text
+from pypond_spark.datapipe import tokenize as dp_tok
 from pypond_spark.operators import merge as merge_ops
 from pypond_spark.operators.take import take as take_op
 
@@ -771,6 +772,45 @@ def q_jl_projection(spark, sf_dir):
     rounding on either side."""
     embs = _read(spark, sf_dir, "embeddings")
     return dp_sim.random_projection(embs, dim=64, out_dim=16, seed=0)
+
+
+# Fixed merge table for the bpe_tokenize query: ranks that assemble the
+# corpus' most frequent words (table/key/scan/value/hash) stepwise, so the
+# output exercises chained merges, rank order, and mid-word stops.
+_BPE_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("k", "e"), ("ke", "y"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("h", "a"), ("ha", "s"), ("has", "h"),
+]
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """BPE inference over a fixed 16-rank merge table
+    (tokenize.py::bpe_apply): one literal left-to-right replace per rank
+    on the separator-encoded symbol string — scan-level codegen, no
+    shuffle; the oracle nests the identical replace chain.  Tokens are
+    emitted space-joined (scalar columns hash across engines; no
+    registry precedent for array-column driver hashes)."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_tok.bpe_apply(docs, _BPE_MERGES)
+    return out.select("doc_id", "n_tokens",
+                      F.concat_ws(" ", "tokens").alias("token_stream"))
+
+
+def q_bpe_train_merges(spark, sf_dir):
+    """BPE training, 6 ranks (tokenize.py::bpe_train, Sennrich et al.
+    2016): per rank ONE adjacent-pair count shuffle + deterministic
+    argmax (count DESC, then lexicographic) + scan-level rewrite.  The
+    oracle replays the full training loop as 6 generated CTE stages —
+    every rank's (pair, count) must match exactly."""
+    docs = _read(spark, sf_dir, "documents")
+    merges = dp_tok.bpe_train(docs, n_merges=6)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, left_sym string, right_sym string, "
+        "pair_count long")
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -3442,6 +3482,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sign_sketch": q_embedding_sign_sketch,
         "embedding_hamming_dups": q_embedding_hamming_dups,
         "jl_projection": q_jl_projection,
+        "bpe_tokenize": q_bpe_tokenize,
+        "bpe_train_merges": q_bpe_train_merges,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
         "tpch_q16_shape": q_tpch_q16_shape,
@@ -3959,6 +4001,56 @@ def _jl_select_sql(dim: int, out_dim: int, seed: int) -> str:
         cols.append(f"({' '.join(terms)}) / {_math.sqrt(out_dim)!r} "
                     f"AS p{j:02d}")
     return ",\n                   ".join(cols)
+
+
+def _bpe_apply_sql(merges: list[tuple[str, str]]) -> str:
+    """Nested-replace oracle for bpe_apply: the identical symbolize +
+    rank-ordered literal replace chain, DuckDB-side."""
+    expr = ("regexp_replace(text, '(?s)(.)', "
+            "chr(31) || '\\1' || chr(31), 'g')")
+    for x, y in merges:
+        expr = (f"replace({expr}, "
+                f"chr(31)||'{x}'||chr(31)||chr(31)||'{y}'||chr(31), "
+                f"chr(31)||'{x}{y}'||chr(31))")
+    return f"""
+            SELECT doc_id, len(toks) AS n_tokens,
+                   array_to_string(toks, ' ') AS token_stream FROM (
+              SELECT doc_id,
+                     list_filter(string_split({expr}, chr(31)),
+                                 t -> t != '' AND trim(t) != '') AS toks
+              FROM documents)
+        """
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    """Full BPE-training replay as generated CTE stages: per rank, a
+    pair-count + deterministic argmax + corpus rewrite — the DuckDB twin
+    of tokenize.py::bpe_train's iteration."""
+    parts = ["st0 AS (SELECT regexp_replace(text, '(?s)(.)', "
+             "chr(31) || '\\1' || chr(31), 'g') AS s FROM documents)"]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS (
+              SELECT u.l AS l, u.r AS r, count(*) AS c FROM (
+                SELECT unnest([{{'l': a[k], 'r': a[k+1]}}
+                               for k in generate_series(
+                                   1, greatest(len(a)-1, 0))]) AS u
+                FROM (SELECT list_filter(string_split(s, chr(31)),
+                                         t -> t != '') AS a FROM st{i - 1})
+              ) WHERE trim(u.l) != '' AND trim(u.r) != ''
+              GROUP BY u.l, u.r)""")
+        parts.append(f"t{i} AS (SELECT l, r, c FROM p{i} "
+                     f"ORDER BY c DESC, l, r LIMIT 1)")
+        if i < n_merges:
+            parts.append(
+                f"st{i} AS (SELECT replace(s, "
+                f"chr(31)||l||chr(31)||chr(31)||r||chr(31), "
+                f"chr(31)||l||r||chr(31)) AS s "
+                f"FROM st{i - 1} CROSS JOIN t{i})")
+    unions = "\n            UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"CAST(c AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(1, n_merges + 1))
+    return "WITH " + ",\n            ".join(parts) + "\n            " + unions
 
 
 def _sign_sketch_sql(word: int) -> str:
@@ -6524,6 +6616,8 @@ def oracle_sql() -> dict[str, str]:
                 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
             ) WHERE c >= 0.4
         """,
+        "bpe_tokenize": _bpe_apply_sql(_BPE_MERGES),
+        "bpe_train_merges": _bpe_train_sql(6),
         "jl_projection": f"""
             SELECT vec_id,
                    {_jl_select_sql(64, 16, 0)}

@@ -220,6 +220,8 @@ HEADLINE = [
     "embedding_sign_sketch",
     "embedding_hamming_dups",
     "jl_projection",
+    "bpe_tokenize",
+    "bpe_train_merges",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

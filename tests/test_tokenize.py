@@ -1,0 +1,77 @@
+"""BPE tokenization: merge-table inference and training."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypond_spark.datapipe import tokenize
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _apply(spark, rows, merges):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {r["doc_id"]: (r["tokens"], r["n_tokens"])
+            for r in tokenize.bpe_apply(df, merges).collect()}
+
+
+def test_bpe_apply_hand_computed(spark):
+    out = _apply(spark, [(1, "the table"), (2, "that  th")],
+                 [("t", "h"), ("th", "e"), ("a", "b")])
+    assert out[1] == (["the", "t", "ab", "l", "e"], 5)
+    assert out[2] == (["th", "a", "t", "th"], 4)
+
+
+def test_bpe_apply_left_to_right_non_overlapping(spark):
+    # "aaa" + (a,a): greedy pass pairs (1,2), leaves the third alone
+    out = _apply(spark, [(1, "aaa"), (2, "aaaa")], [("a", "a")])
+    assert out[1] == (["aa", "a"], 2)
+    assert out[2] == (["aa", "aa"], 2)
+    # a later rank can merge what an earlier rank produced
+    out2 = _apply(spark, [(1, "aaaa")], [("a", "a"), ("aa", "aa")])
+    assert out2[1] == (["aaaa"], 1)
+
+
+def test_bpe_apply_never_crosses_words(spark):
+    # (e,t) must not merge across "the table"'s word boundary
+    out = _apply(spark, [(1, "e t")], [("e", "t")])
+    assert out[1] == (["e", "t"], 2)
+    out2 = _apply(spark, [(1, "et e t")], [("e", "t")])
+    assert out2[1] == (["et", "e", "t"], 3)
+
+
+def test_bpe_apply_edge_docs(spark):
+    out = _apply(spark, [(1, ""), (2, "x"), (3, "   ")], [("x", "y")])
+    assert out[1] == ([], 0)
+    assert out[2] == (["x"], 1)
+    assert out[3] == ([], 0)
+
+
+def test_bpe_apply_validates_merges(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="invalid merge"):
+        tokenize.bpe_apply(df, [("a", "")])
+    with pytest.raises(ValueError, match="invalid merge"):
+        tokenize.bpe_apply(df, [("a", "b", "c")])
+
+
+def test_bpe_train_counts_and_tiebreak(spark):
+    df = spark.createDataFrame([(1, "the table"), (2, "that  th")],
+                               ["doc_id", "text"])
+    merges = tokenize.bpe_train(df, n_merges=3)
+    # (t,h) appears 3x; then all pairs tie at 1 -> lexicographic (l, r)
+    assert merges == [("t", "h", 3), ("a", "b", 1), ("a", "t", 1)]
+    with pytest.raises(ValueError, match="positive"):
+        tokenize.bpe_train(df, n_merges=0)
+
+
+def test_bpe_train_then_apply_compresses(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    learned = [(l, r) for l, r, _ in tokenize.bpe_train(docs, n_merges=6)]
+    base = tokenize.bpe_apply(docs, learned[:1])
+    full = tokenize.bpe_apply(docs, learned)
+    n_base = base.agg(F.sum("n_tokens")).first()[0]
+    n_full = full.agg(F.sum("n_tokens")).first()[0]
+    # each extra rank can only merge more: strictly fewer tokens here
+    assert n_full < n_base
