@@ -715,6 +715,17 @@ def q_cluster_sample(spark, sf_dir):
                                           centroids=cents, quantize=6)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training
+    (similarity.py::hard_negatives): per anchor, the 2 most-similar
+    OTHER-label vectors within its k-means cell — centroids from the
+    shared memoized ivf_build so the oracle replays the identical
+    k-means, then the same cell-bounded different-label top-k."""
+    embs = _read(spark, sf_dir, "embeddings")
+    cents = _ivf_cents(spark, sf_dir, embs)
+    return dp_sim.hard_negatives(embs, k=2, centroids=cents, quantize=6)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Exact all-pairs cosine baseline; dim passed so the per-pair dot is
     an unpacked codegen multiply-add chain (same left-fold values as the
@@ -3484,6 +3495,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_projection": q_jl_projection,
         "bpe_tokenize": q_bpe_tokenize,
         "bpe_train_merges": q_bpe_train_merges,
+        "hard_negatives": q_hard_negatives,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
         "tpch_q16_shape": q_tpch_q16_shape,
@@ -6571,6 +6583,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cell, CAST(rank_in_cell AS BIGINT)
                      AS rank_in_cell
             FROM r WHERE rank_in_cell <= 40
+        """,
+        "hard_negatives": _EMB_CTE + f"""
+            , c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+              FROM e ORDER BY vec_id LIMIT 8
+            ),
+            a1 AS {_ivf_assign_cte("c0")},
+            c1 AS {_ivf_means_cte("a1", "c0")},
+            a2 AS {_ivf_assign_cte("c1")},
+            c2 AS {_ivf_means_cte("a2", "c1")},
+            af AS {_ivf_assign_cte("c2")},
+            lbl AS (SELECT vec_id, label FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+                     round({_sql_dot("a.v", "b.v")} / (a.nrm * b.nrm), 6)
+                       AS cosine
+              FROM af a JOIN af b ON a.cell = b.cell
+              JOIN lbl la ON la.vec_id = a.vec_id
+              JOIN lbl lb ON lb.vec_id = b.vec_id
+              WHERE la.label != lb.label
+            )
+            SELECT anchor_id, neg_id, cosine, neg_rank FROM (
+              SELECT p.*, row_number() OVER (
+                  PARTITION BY anchor_id
+                  ORDER BY cosine DESC, neg_id) AS neg_rank
+              FROM p
+            ) WHERE neg_rank <= 2
         """,
         "ann_ivf": _EMB_CTE + f"""
             , c0 AS (

@@ -222,6 +222,7 @@ HEADLINE = [
     "jl_projection",
     "bpe_tokenize",
     "bpe_train_merges",
+    "hard_negatives",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -1210,3 +1210,56 @@ def random_projection(df: DataFrame, dim: int, out_dim: int, seed: int = 0,
             acc = (acc + e(i)) if row[i] > 0 else (acc - e(i))
         cols.append((acc / F.lit(scale)).alias(f"p{j:02d}"))
     return spread(df).select(F.col(id_col), *cols)
+
+
+def hard_negatives(df: DataFrame, k: int = 3, n_cells: int = 8,
+                   n_iters: int = 2, label_col: str = "label",
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   quantize: int | None = None,
+                   centroids: list[list[float]] | None = None,
+                   round_to: int | None = 6) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training
+    (the in-batch-isn't-enough step of DPR, Karpukhin et al. 2020, and
+    every embedding-model pipeline since): for each anchor vector, the
+    ``k`` most-cosine-similar vectors with a DIFFERENT ``label_col`` —
+    the negatives the model currently confuses with positives.
+
+    Scale contract mirrors :func:`semantic_dedup`: candidates are
+    bounded to the anchor's k-means cell (``sum(|cell|^2)`` pair work,
+    never corpus²; hard negatives are by definition nearby, so the cell
+    bound is the operating recall contract — raise ``n_cells`` with
+    corpus size like any IVF).  One cell-keyed pair shuffle + one
+    anchor-keyed window shuffle.  The assignment table is
+    localCheckpointed so both join sides share one computation.
+
+    ``round_to`` rounds cosines BEFORE ranking (ties → smaller neg id)
+    so the cut is reproducible cross-engine; rows with NULL labels never
+    pair (``!=`` is NULL).  Centroids may be passed in to reuse a
+    memoized deterministic :func:`ivf_build`.
+
+    Output: ``anchor_id, neg_id, cosine, neg_rank`` (1..k per anchor).
+    """
+    cents = centroids if centroids is not None else ivf_build(
+        df, n_cells, n_iters, vec_col, id_col, quantize)
+    assigned = (ivf_assign(spread(df), cents, vec_col)
+                .select(F.col(id_col), F.col(vec_col), F.col(label_col),
+                        F.col("__cell"), norm(vec_col).alias("__n"))
+                .localCheckpoint())
+    a = assigned.select(F.col(id_col).alias("anchor_id"),
+                        F.col(vec_col).alias("__va"),
+                        F.col(label_col).alias("__la"),
+                        "__cell", F.col("__n").alias("__na"))
+    b = assigned.select(F.col(id_col).alias("neg_id"),
+                        F.col(vec_col).alias("__vb"),
+                        F.col(label_col).alias("__lb"),
+                        "__cell", F.col("__n").alias("__nb"))
+    sim = F.try_divide(dot("__va", "__vb"), F.col("__na") * F.col("__nb"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    pairs = (a.join(b, "__cell")
+             .where(F.col("__la") != F.col("__lb"))
+             .select("anchor_id", "neg_id", sim.alias("cosine")))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"),
+                                                F.col("neg_id"))
+    return (pairs.withColumn("neg_rank", F.row_number().over(w))
+            .where(F.col("neg_rank") <= int(k)))

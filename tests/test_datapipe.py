@@ -1095,3 +1095,40 @@ def test_random_projection_matches_numpy_and_preserves_norms(spark, embs):
     # -> deterministic golden)
     ratio = (pm ** 2).sum(axis=1) / (orig ** 2).sum(axis=1)
     assert 0.8 < float(ratio.mean()) < 1.2
+
+
+def test_hard_negatives_exact_single_cell(spark):
+    # n_cells=1 -> cell bound vanishes, mining is exact; hand-checkable
+    # geometry: anchors on axes, label pairs forced
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),     # label 0 cluster
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),     # label 1 cluster
+        (5, [1.0, 0.1], None),                      # NULL label: inert
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.hard_negatives(df, k=1, n_cells=1, n_iters=1)
+    got = {r["anchor_id"]: (r["neg_id"], r["neg_rank"])
+           for r in out.collect()}
+    # for anchor 1 ([1,0]): other-label candidates are 3 ([0,1], cos 0)
+    # and 4 ([.1,.9], cos ~0.110) -> 4 wins
+    assert got[1] == (4, 1)
+    assert got[2] == (4, 1)
+    assert got[3] == (2, 1)
+    assert got[4] == (2, 1)
+    assert 5 not in got          # NULL label never anchors...
+    assert not any(n == 5 for n, _ in got.values())   # ...nor serves
+
+
+def test_hard_negatives_k_and_cell_bound(spark, embs):
+    out = similarity.hard_negatives(embs, k=2, n_cells=4, quantize=6)
+    per = out.groupBy("anchor_id").agg(F.count("*").alias("n"),
+                                       F.max("neg_rank").alias("mr"))
+    assert per.agg(F.max("n")).first()[0] <= 2
+    assert per.agg(F.max("mr")).first()[0] <= 2
+    # negatives really are other-label
+    lab = embs.select("vec_id", "label")
+    j = (out.join(lab.withColumnRenamed("vec_id", "anchor_id")
+                  .withColumnRenamed("label", "la"), "anchor_id")
+         .join(lab.withColumnRenamed("vec_id", "neg_id")
+               .withColumnRenamed("label", "lb"), "neg_id"))
+    assert j.where(F.col("la") == F.col("lb")).count() == 0
