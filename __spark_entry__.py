@@ -715,6 +715,20 @@ def q_cluster_sample(spark, sf_dir):
                                           centroids=cents, quantize=6)
 
 
+def q_leakage_safe_splits(spark, sf_dir):
+    """Cluster-keyed train/val/test assignment
+    (sampling.py::leakage_safe_splits): the dedup chain labels near-dup
+    clusters, then the hash-range split keys on cluster_id so every
+    cluster member shares a split — eval can't contain a train doc's
+    near-duplicate by construction.  Oracle = the shared dedup-chain
+    replay + the same md5 hash cut on the cluster label."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_sample.leakage_safe_splits(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05},
+        jaccard_threshold=0.8)
+    return out.select("doc_id", "cluster_id", "split")
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training
     (similarity.py::hard_negatives): per anchor, the 2 most-similar
@@ -3496,6 +3510,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "bpe_train_merges": q_bpe_train_merges,
         "hard_negatives": q_hard_negatives,
+        "leakage_safe_splits": q_leakage_safe_splits,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
         "tpch_q16_shape": q_tpch_q16_shape,
@@ -3760,6 +3775,49 @@ def _mh_min(k: int) -> str:
 def _mh_sig_cols(n: int) -> str:
     return ",\n                     ".join(
         f"{_mh_min(k)} AS m{k}" for k in range(n))
+
+
+def _dedup_comp_cte() -> str:
+    """Shared dedup-chain replay (appended after _SHINGLES): MinHash
+    signatures -> LSH bands -> candidate pairs -> exact-Jaccard verify at
+    0.8 -> undirected reachability -> min-label components.  Used by the
+    dedup_documents / dedup_docs_longest / leakage_safe_splits oracles."""
+    return f"""
+            , sig AS (
+              SELECT doc_id,
+                     {_mh_sig_cols(8)}
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([
+                  md5(concat_ws('|', '0', m0, m1, m2, m3)),
+                  md5(concat_ws('|', '1', m4, m5, m6, m7))]) AS band
+              FROM sig
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.doc_id < b.doc_id
+            ), sets AS (
+              SELECT doc_id, list(DISTINCT shingle) AS s FROM sh
+              GROUP BY doc_id
+            ), ver AS (
+              SELECT id_a, id_b
+              FROM cand
+              JOIN sets sa ON sa.doc_id = cand.id_a
+              JOIN sets sb ON sb.doc_id = cand.id_b
+              WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                    / (len(sa.s) + len(sb.s)
+                       - len(list_intersect(sa.s, sb.s))) >= 0.8
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM ver
+              UNION SELECT id_b, id_a FROM ver
+            ), reach AS (
+              SELECT src AS id, src AS r FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e
+              JOIN reach ON e.dst = reach.id
+            ), comp AS (
+              SELECT id, min(r) AS cluster FROM reach GROUP BY id
+            )"""
 
 
 # --- embedding-oracle helpers: the LSH planes and k-means schedule are
@@ -6012,84 +6070,15 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.doc_id < b.doc_id
         """,
         "dedup_documents": _SHINGLES.replace(
-            "WITH toks", "WITH RECURSIVE toks") + f"""
-            , sig AS (
-              SELECT doc_id,
-                     {_mh_sig_cols(8)}
-              FROM sh GROUP BY doc_id
-            ), bands AS (
-              SELECT doc_id, unnest([
-                  md5(concat_ws('|', '0', m0, m1, m2, m3)),
-                  md5(concat_ws('|', '1', m4, m5, m6, m7))]) AS band
-              FROM sig
-            ), cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.doc_id < b.doc_id
-            ), sets AS (
-              SELECT doc_id, list(DISTINCT shingle) AS s FROM sh
-              GROUP BY doc_id
-            ), ver AS (
-              SELECT id_a, id_b
-              FROM cand
-              JOIN sets sa ON sa.doc_id = cand.id_a
-              JOIN sets sb ON sb.doc_id = cand.id_b
-              WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                    / (len(sa.s) + len(sb.s)
-                       - len(list_intersect(sa.s, sb.s))) >= 0.8
-            ), edges AS (
-              SELECT id_a AS src, id_b AS dst FROM ver
-              UNION SELECT id_b, id_a FROM ver
-            ), reach AS (
-              SELECT src AS id, src AS r FROM edges
-              UNION
-              SELECT e.src, reach.r FROM edges e
-              JOIN reach ON e.dst = reach.id
-            ), comp AS (
-              SELECT id, min(r) AS cluster FROM reach GROUP BY id
-            )
+            "WITH toks", "WITH RECURSIVE toks") + _dedup_comp_cte() + """
             SELECT d.doc_id,
                    coalesce(c.cluster, d.doc_id) AS cluster_id,
                    d.doc_id = coalesce(c.cluster, d.doc_id) AS is_keeper
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         """,
         "dedup_docs_longest": _SHINGLES.replace(
-            "WITH toks", "WITH RECURSIVE toks") + f"""
-            , sig AS (
-              SELECT doc_id,
-                     {_mh_sig_cols(8)}
-              FROM sh GROUP BY doc_id
-            ), bands AS (
-              SELECT doc_id, unnest([
-                  md5(concat_ws('|', '0', m0, m1, m2, m3)),
-                  md5(concat_ws('|', '1', m4, m5, m6, m7))]) AS band
-              FROM sig
-            ), cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.doc_id < b.doc_id
-            ), sets AS (
-              SELECT doc_id, list(DISTINCT shingle) AS s FROM sh
-              GROUP BY doc_id
-            ), ver AS (
-              SELECT id_a, id_b
-              FROM cand
-              JOIN sets sa ON sa.doc_id = cand.id_a
-              JOIN sets sb ON sb.doc_id = cand.id_b
-              WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                    / (len(sa.s) + len(sb.s)
-                       - len(list_intersect(sa.s, sb.s))) >= 0.8
-            ), edges AS (
-              SELECT id_a AS src, id_b AS dst FROM ver
-              UNION SELECT id_b, id_a FROM ver
-            ), reach AS (
-              SELECT src AS id, src AS r FROM edges
-              UNION
-              SELECT e.src, reach.r FROM edges e
-              JOIN reach ON e.dst = reach.id
-            ), comp AS (
-              SELECT id, min(r) AS cluster FROM reach GROUP BY id
-            ), ranked AS (
+            "WITH toks", "WITH RECURSIVE toks") + _dedup_comp_cte() + """
+            , ranked AS (
               SELECT c.cluster, c.id,
                      row_number() OVER (PARTITION BY c.cluster
                                         ORDER BY length(d2.text) DESC,
@@ -6105,6 +6094,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN comp c ON d.doc_id = c.id
             LEFT JOIN keepers k ON k.cluster = c.cluster
+        """,
+        "leakage_safe_splits": _SHINGLES.replace(
+            "WITH toks", "WITH RECURSIVE toks") + _dedup_comp_cte() + """
+            SELECT doc_id, cluster_id,
+                   CASE WHEN h < 0.9 THEN 'train'
+                        WHEN h < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT d.doc_id,
+                     coalesce(c.cluster, d.doc_id) AS cluster_id,
+                     ('0x' || substr(md5('0|' ||
+                         coalesce(c.cluster, d.doc_id)::VARCHAR), 1, 8))
+                       ::BIGINT / 4294967296.0 AS h
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            )
         """,
         "rrf_quality": """
             WITH ch AS (

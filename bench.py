@@ -223,6 +223,7 @@ HEADLINE = [
     "bpe_tokenize",
     "bpe_train_merges",
     "hard_negatives",
+    "leakage_safe_splits",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -603,3 +603,34 @@ def packing_report(packed: DataFrame, max_tokens: int,
         F.min(nonover).alias("min_load"),
         F.max(nonover).alias("max_load"),
         F.round(F.sum("__n") / F.count("*"), 6).alias("docs_per_bin"))
+
+
+def leakage_safe_splits(df: DataFrame, splits: dict[str, float],
+                        seed: int | str = 0, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        **dedup_kwargs) -> DataFrame:
+    """Train/val/test assignment keyed on the NEAR-DUP CLUSTER instead of
+    the document: run the end-to-end dedup chain
+    (:func:`~pypond_spark.datapipe.dedup.dedup_documents` — LSH →
+    Jaccard verify → connected components), then hash-split on
+    ``cluster_id``, so every member of a near-dup cluster lands in the
+    SAME split.  Splitting documents independently leaks train content
+    into eval whenever near-duplicates exist — the contamination mode
+    split_leakage/decontaminate DETECT; this op prevents it at
+    assignment time (the "split by cluster, not by example" rule).
+
+    Same determinism contract as :func:`assign_splits` (hash-range cut,
+    stable under reruns/repartitioning/growth); singleton documents are
+    their own cluster, so a corpus with no near-dups degrades to exactly
+    ``assign_splits`` keyed on ``id_col``.
+
+    Scale: the dedup chain's published shape (banded buckets, pair work
+    Σ|bucket|², label propagation) plus ONE scan-level split expression.
+
+    Output: the corpus with ``cluster_id, is_keeper, split`` appended.
+    """
+    from pypond_spark.datapipe.dedup import dedup_documents
+
+    labeled = dedup_documents(df, text_col=text_col, id_col=id_col,
+                              **dedup_kwargs)
+    return assign_splits(labeled, splits, key_col="cluster_id", seed=seed)

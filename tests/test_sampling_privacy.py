@@ -532,3 +532,27 @@ def test_packing_report(spark):
     assert rep["min_load"] == 30
     assert rep["max_load"] == 60
     assert rep["docs_per_bin"] == 1.5
+
+
+def test_leakage_safe_splits_cluster_consistent(spark):
+    from pypond_spark.datapipe import sampling
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # plant near-dup pairs: clone 10 docs under new ids
+    planted = docs.select("doc_id", "text").unionByName(
+        docs.limit(10).select((F.col("doc_id") + 100000).alias("doc_id"),
+                              "text"))
+    out = sampling.leakage_safe_splits(
+        planted, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == planted.count()
+    for i in list(rows)[:]:
+        if i >= 100000:
+            twin = rows[i - 100000]
+            # clone pairs share a cluster, hence a split
+            assert rows[i]["cluster_id"] == twin["cluster_id"]
+            assert rows[i]["split"] == twin["split"]
+    assert set(r["split"] for r in rows.values()) <= {"train", "val", "test"}
+    # determinism: rerun gives the identical assignment
+    again = {r["doc_id"]: r["split"] for r in sampling.leakage_safe_splits(
+        planted, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert again == {k: v["split"] for k, v in rows.items()}
