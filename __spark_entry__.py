@@ -715,6 +715,16 @@ def q_cluster_sample(spark, sf_dir):
                                           centroids=cents, quantize=6)
 
 
+def q_oov_stats(spark, sf_dir):
+    """Per-doc OOV rate vs a frequency-built vocabulary
+    (textstats.py::oov_stats, min corpus frequency 30 — above the
+    planted rare token's sf0.01 count, so rates genuinely split):
+    train-broadcast-score shape; exact integer counts so only the final
+    rate divides."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.oov_stats(docs, min_count=30)
+
+
 def q_leakage_safe_splits(spark, sf_dir):
     """Cluster-keyed train/val/test assignment
     (sampling.py::leakage_safe_splits): the dedup chain labels near-dup
@@ -3511,6 +3521,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": q_bpe_train_merges,
         "hard_negatives": q_hard_negatives,
         "leakage_safe_splits": q_leakage_safe_splits,
+        "oov_stats": q_oov_stats,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
         "tpch_q16_shape": q_tpch_q16_shape,
@@ -6846,6 +6857,31 @@ def oracle_sql() -> dict[str, str]:
                      AS log_weight
             FROM bk JOIN ratio ON bk.b = ratio.b
             GROUP BY bk.doc_id
+        """,
+        "oov_stats": """
+            WITH arr AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         list_filter(string_split_regex(trim(text),
+                                                        '\\s+'),
+                                     x -> x != ''),
+                         x -> regexp_replace(lower(x),
+                             '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                       x -> x != '') AS a
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(a) AS t FROM arr
+            ), vocab AS (
+              SELECT t FROM tok GROUP BY t HAVING count(*) >= 30
+            )
+            SELECT tok.doc_id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   round(CAST(sum(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0
+                                  END) AS BIGINT)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0 AS oov_rate
+            FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+            GROUP BY tok.doc_id
         """,
         "nb_quality": """
             WITH arr AS (

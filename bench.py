@@ -224,6 +224,7 @@ HEADLINE = [
     "bpe_train_merges",
     "hard_negatives",
     "leakage_safe_splits",
+    "oov_stats",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

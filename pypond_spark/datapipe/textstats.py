@@ -757,3 +757,37 @@ def nb_quality_classifier(train: DataFrame, corpus: DataFrame,
                    + F.sum(F.coalesce(F.col("__llr_micro"),
                                       F.lit(unseen_micro))))
                   / F.lit(1e6)).alias("log_odds")))
+
+
+def oov_stats(df: DataFrame, min_count: int = 5, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-document out-of-vocabulary rate against a frequency-built
+    vocabulary: the tokenizer/embedding-coverage audit run before
+    committing a vocab (docs with high OOV rate will train as <unk>
+    soup).  The vocabulary is every normalized token with corpus
+    frequency >= ``min_count``.
+
+    Scale: one token-count shuffle builds the vocabulary (bounded by
+    distinct tokens), which broadcasts into the scoring explode; the
+    per-doc aggregate is the only other exchange — the same
+    train-broadcast-score shape as :func:`nb_quality_classifier`.
+
+    Output: ``id_col, n_tokens, n_oov, oov_rate`` (docs with >=1 token;
+    rate rounded to 6 for cross-engine hashing).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = F.filter(_match_tokens(text_col), lambda t: t != F.lit(""))
+    exploded = (spread(df).select(F.col(id_col),
+                                  F.explode(toks).alias("__t")))
+    vocab = (exploded.groupBy("__t").agg(F.count("*").alias("__n"))
+             .where(F.col("__n") >= int(min_count))
+             .select("__t", F.lit(True).alias("__in_vocab")))
+    scored = exploded.join(F.broadcast(vocab), "__t", "left")
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("__in_vocab").isNull(), 1)
+                       .otherwise(0)).alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+                        + F.lit(0.0)))

@@ -1132,3 +1132,18 @@ def test_hard_negatives_k_and_cell_bound(spark, embs):
          .join(lab.withColumnRenamed("vec_id", "neg_id")
                .withColumnRenamed("label", "lb"), "neg_id"))
     assert j.where(F.col("la") == F.col("lb")).count() == 0
+
+
+def test_oov_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "cat cat cat dog"), (2, "cat rare"), (3, "")],
+        ["doc_id", "text"])
+    # vocab at min_count=2: {cat}; dog/rare are OOV
+    out = {r["doc_id"]: r for r in
+           textstats.oov_stats(df, min_count=2).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (4, 1)
+    assert out[1]["oov_rate"] == 0.25
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (2, 1)
+    assert 3 not in out          # no tokens -> no row
+    with pytest.raises(ValueError, match="min_count"):
+        textstats.oov_stats(df, min_count=0)
