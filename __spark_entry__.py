@@ -25,6 +25,7 @@ from pypond_spark.datapipe import privacy as dp_priv
 from pypond_spark.datapipe import sampling as dp_sample
 from pypond_spark.datapipe import similarity as dp_sim
 from pypond_spark.datapipe import textstats as dp_text
+from pypond_spark.datapipe import sketch as dp_sketch
 from pypond_spark.datapipe import tokenize as dp_tok
 from pypond_spark.operators import merge as merge_ops
 from pypond_spark.operators.take import take as take_op
@@ -713,6 +714,16 @@ def q_cluster_sample(spark, sf_dir):
     cents = _ivf_cents(spark, sf_dir, embs)
     return dp_sim.cluster_balanced_sample(embs, k_per_cell=40,
                                           centroids=cents, quantize=6)
+
+
+def q_cms_audit(spark, sf_dir):
+    """Count-min sketch estimate-vs-truth audit (datapipe/sketch.py,
+    Cormode & Muthukrishnan 2005): width 8 forces collisions on the
+    ~30-token vocabulary so overestimates are real and the one-sided
+    est >= exact guarantee is exercised; md5 row hashes make every
+    counter SQL-reproducible."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_sketch.cms_audit(docs, width=8, depth=3)
 
 
 def q_oov_stats(spark, sf_dir):
@@ -3522,6 +3533,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "leakage_safe_splits": q_leakage_safe_splits,
         "oov_stats": q_oov_stats,
+        "cms_audit": q_cms_audit,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
         "tpch_q16_shape": q_tpch_q16_shape,
@@ -6857,6 +6869,42 @@ def oracle_sql() -> dict[str, str]:
                      AS log_weight
             FROM bk JOIN ratio ON bk.b = ratio.b
             GROUP BY bk.doc_id
+        """,
+        "cms_audit": """
+            WITH arr AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         list_filter(string_split_regex(trim(text),
+                                                        '\\s+'),
+                                     x -> x != ''),
+                         x -> regexp_replace(lower(x),
+                             '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                       x -> x != '') AS a
+              FROM documents
+            ), tok AS (
+              SELECT unnest(a) AS t FROM arr
+            ), rows AS (
+              SELECT unnest([0, 1, 2]) AS row
+            ), cells AS (
+              SELECT rows.row,
+                     ('0x' || substr(md5(rows.row::VARCHAR || '|' || t),
+                                     1, 8))::BIGINT % 8 AS bucket
+              FROM tok CROSS JOIN rows
+            ), sk AS (
+              SELECT row, bucket, count(*) AS cnt
+              FROM cells GROUP BY row, bucket
+            ), exact AS (
+              SELECT t, count(*) AS exact FROM tok GROUP BY t
+            ), probes AS (
+              SELECT e.t, e.exact, rows.row,
+                     ('0x' || substr(md5(rows.row::VARCHAR || '|' || e.t),
+                                     1, 8))::BIGINT % 8 AS bucket
+              FROM exact e CROSS JOIN rows
+            )
+            SELECT p.t AS token, p.exact AS exact, min(sk.cnt) AS cms_est,
+                   min(sk.cnt) - p.exact AS overestimate
+            FROM probes p JOIN sk USING (row, bucket)
+            GROUP BY p.t, p.exact
         """,
         "oov_stats": """
             WITH arr AS (

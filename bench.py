@@ -225,6 +225,7 @@ HEADLINE = [
     "hard_negatives",
     "leakage_safe_splits",
     "oov_stats",
+    "cms_audit",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -1147,3 +1147,29 @@ def test_oov_stats_hand_computed(spark):
     assert 3 not in out          # no tokens -> no row
     with pytest.raises(ValueError, match="min_count"):
         textstats.oov_stats(df, min_count=0)
+
+
+def test_cms_guarantees(spark, docs):
+    from pypond_spark.datapipe import sketch
+    audit = sketch.cms_audit(docs, width=8, depth=3).collect()
+    assert audit
+    # one-sided error: the sketch never undercounts
+    assert all(r["overestimate"] >= 0 for r in audit)
+    assert all(r["cms_est"] >= r["exact"] for r in audit)
+    # width 8 on a ~30-token vocab MUST collide somewhere
+    assert any(r["overestimate"] > 0 for r in audit)
+    # wide sketch: no collisions, estimates exact
+    wide = sketch.cms_audit(docs, width=4096, depth=3).collect()
+    assert all(r["overestimate"] == 0 for r in wide)
+    # sketch is mergeable: sum of two half-corpus sketches == full sketch
+    h1 = docs.where(F.col("doc_id") % 2 == 0)
+    h2 = docs.where(F.col("doc_id") % 2 == 1)
+    full = {(r["row"], r["bucket"]): r["cnt"] for r in
+            sketch.cms_token_counts(docs, width=8, depth=3).collect()}
+    merged = (sketch.cms_token_counts(h1, width=8, depth=3)
+              .unionByName(sketch.cms_token_counts(h2, width=8, depth=3))
+              .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")))
+    assert {(r["row"], r["bucket"]): r["cnt"]
+            for r in merged.collect()} == full
+    with pytest.raises(ValueError, match="width"):
+        sketch.cms_token_counts(docs, width=0)
