@@ -182,6 +182,33 @@ def _events_stream(spark, sf_dir):
     return sdf.withColumnRenamed("ts", "time")
 
 
+def _docs_stream(spark, sf_dir):
+    """Streaming source over the documents parquet (same symlink-dir
+    recipe as :func:`_events_stream`)."""
+    _ensure_confs(spark)
+    import os
+    import tempfile
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    link_dir = os.path.join(tempfile.gettempdir(),
+                            f"pypond_docstream_{abs(hash(sf_dir))}")
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"), link)
+    return spark.readStream.schema(batch.schema).parquet(link_dir)
+
+
+def q_stream_cms_sketch(spark, sf_dir):
+    """Streaming count-min sketch (datapipe/sketch.py over a documents
+    readStream, complete mode): the sketch IS the canonical streaming
+    summary — its groupBy state is the fixed depth×width grid however
+    long the stream runs, and the drained grid must equal the batch
+    sketch counter-for-counter (the batch-SQL oracle)."""
+    sdf = _docs_stream(spark, sf_dir)
+    out = dp_sketch.cms_token_counts(sdf, width=8, depth=3)
+    return _run_stream_32(spark, out, "complete")
+
+
 def _run_stream_32(spark, out, mode):
     """Drain a stateful streaming query at a pinned 32-partition shuffle
     width (streaming state stores can't use AQE coalescing); restore the
@@ -3534,6 +3561,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_splits": q_leakage_safe_splits,
         "oov_stats": q_oov_stats,
         "cms_audit": q_cms_audit,
+        "stream_cms_sketch": q_stream_cms_sketch,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
         "tpch_q16_shape": q_tpch_q16_shape,
@@ -6905,6 +6933,30 @@ def oracle_sql() -> dict[str, str]:
                    min(sk.cnt) - p.exact AS overestimate
             FROM probes p JOIN sk USING (row, bucket)
             GROUP BY p.t, p.exact
+        """,
+        "stream_cms_sketch": """
+            WITH arr AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         list_filter(string_split_regex(trim(text),
+                                                        '\\s+'),
+                                     x -> x != ''),
+                         x -> regexp_replace(lower(x),
+                             '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                       x -> x != '') AS a
+              FROM documents
+            ), tok AS (
+              SELECT unnest(a) AS t FROM arr
+            ), rows AS (
+              SELECT unnest([0, 1, 2]) AS row
+            ), cells AS (
+              SELECT rows.row,
+                     ('0x' || substr(md5(rows.row::VARCHAR || '|' || t),
+                                     1, 8))::BIGINT % 8 AS bucket
+              FROM tok CROSS JOIN rows
+            )
+            SELECT row, bucket, count(*) AS cnt
+            FROM cells GROUP BY row, bucket
         """,
         "oov_stats": """
             WITH arr AS (

@@ -252,6 +252,7 @@ STREAM = [
     "stream_throttle",
     "stream_holt",
     "stream_holt_winters",
+    "stream_cms_sketch",
 ]
 
 

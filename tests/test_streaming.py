@@ -844,3 +844,19 @@ def test_stream_watermark_optin_late_data(spark, tmp_path):
     lenient = run("lenient", lambda p: p.window_by("1m").group_by("user")
                   .emit_on("discard").with_watermark("5 minutes"))
     assert lenient[("1970-01-01T00:00:00", "a")] == 53.0
+
+
+def test_stream_cms_equals_batch_sketch(spark):
+    """The drained streaming CMS grid equals the batch sketch
+    counter-for-counter (mergeable-summary property across
+    micro-batches)."""
+    from pypond_spark.datapipe import sketch
+    import __spark_entry__ as E
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    batch = {(r["row"], r["bucket"]): r["cnt"] for r in
+             sketch.cms_token_counts(
+                 spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                 width=8, depth=3).collect()}
+    streamed = {(r["row"], r["bucket"]): r["cnt"] for r in
+                E.q_stream_cms_sketch(spark, sf_dir).collect()}
+    assert streamed == batch
