@@ -164,6 +164,50 @@ def main() -> None:
     best = fused.orderBy(F.desc("rrf")).first()
     print(f"RRF top doc: {best['doc_id']} (rrf={best['rrf']:.4f})")
 
+    # 19. Naive-Bayes quality classifier (train on src0 vs rest, score all)
+    nb = textstats.nb_quality_classifier(docs, docs,
+                                         F.col("source") == "src0")
+    n_pos = nb.where("log_odds > 0").count()
+    print(f"NB classifier: {n_pos}/{nb.count()} docs score src0-like")
+
+    # 20. BPE: learn merges from the corpus, tokenize with them
+    from pypond_spark.datapipe import tokenize
+    learned = tokenize.bpe_train(docs, n_merges=6)
+    print("BPE merges:", [(l, r) for l, r, _ in learned])
+    toks = tokenize.bpe_apply(docs, [(l, r) for l, r, _ in learned])
+    print("mean tokens/doc after BPE:",
+          round(toks.agg(F.avg("n_tokens")).first()[0], 1))
+
+    # 21. OOV audit for a frequency-built vocab
+    oov = textstats.oov_stats(docs, min_count=3)
+    print("max OOV rate:", oov.agg(F.max("oov_rate")).first()[0])
+
+    # 22. JL projection + sign sketch + Hamming prefilter
+    proj = similarity.random_projection(embs, dim=64, out_dim=16)
+    print("JL 64->16 projected rows:", proj.count())
+    ham = similarity.embedding_hamming_near_dups(
+        embs.select("vec_id", "embedding").unionByName(
+            embs.limit(5).select((F.col("vec_id") + 10000).alias("vec_id"),
+                                 "embedding")),
+        dim=64, max_hamming=3)
+    print("hamming near-dup pairs (5 planted):", ham.count())
+
+    # 23. hard negatives for contrastive training
+    hn = similarity.hard_negatives(embs, k=1, n_cells=4, quantize=6)
+    print("hard-negative pairs mined:", hn.count())
+
+    # 24. leakage-safe splits (cluster-keyed)
+    safe = sampling.leakage_safe_splits(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    print("cluster-keyed splits:", {r["split"]: r["count"] for r in
+                                    safe.groupBy("split").count().collect()})
+
+    # 25. count-min sketch audit
+    from pypond_spark.datapipe import sketch
+    aud = sketch.cms_audit(docs, width=8, depth=3)
+    over = aud.agg(F.max("overestimate"), F.count("*")).first()
+    print(f"CMS audit: {over[1]} tokens, max overestimate {over[0]}")
+
     spark.stop()
 
 
