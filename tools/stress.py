@@ -157,7 +157,8 @@ def main() -> None:
     ev_needed = not only or bool(only - emb_ops - {"repeated_spans", "dsir_weights"})
     emb_needed = not only or bool(only & emb_ops)
     doc_ops = {"repeated_spans", "dsir_weights", "pack_bins",
-               "char_entropy", "rrf_fusion"}
+               "char_entropy", "rrf_fusion", "bpe_tokenize", "nb_quality",
+               "cms_sketch"}
     docs_needed = not only or bool(only & doc_ops)
     dup_docs_needed = not only or "dedup_documents" in only
     # exclude synthesis cost; skip when no selected op reads the frame
@@ -251,6 +252,26 @@ def main() -> None:
             docs.selectExpr("doc_id", "length(text) AS len",
                             "length(replace(text, ' ', '')) AS dense"),
             ["len", "dense"], k=60)),
+        # BPE inference: 16-rank replace chain over the ~n-char corpus
+        "bpe_tokenize": lambda: sink(__import__(
+            "pypond_spark.datapipe.tokenize", fromlist=["bpe_apply"])
+            .bpe_apply(docs, [("t", "a"), ("ta", "b"), ("tab", "l"),
+                              ("tabl", "e"), ("k", "e"), ("ke", "y"),
+                              ("s", "c"), ("sc", "a"), ("sca", "n"),
+                              ("v", "a"), ("va", "l"), ("val", "u"),
+                              ("valu", "e"), ("h", "a"), ("ha", "s"),
+                              ("has", "h")])
+            .select("doc_id", "n_tokens")),
+        # NB classifier: train on every third doc as positive, score all
+        "nb_quality": lambda: sink(__import__(
+            "pypond_spark.datapipe.textstats",
+            fromlist=["nb_quality_classifier"])
+            .nb_quality_classifier(docs, docs,
+                                   F.col("doc_id") % 3 == 0)),
+        # CMS: fixed 4x1024 grid however many tokens stream through
+        "cms_sketch": lambda: sink(__import__(
+            "pypond_spark.datapipe.sketch", fromlist=["cms_token_counts"])
+            .cms_token_counts(docs, width=1024, depth=4)),
         # end-to-end dedup chain on the planted-dup corpus (~n chars):
         # LSH -> Jaccard verify -> label propagation -> keeper; the timed
         # sink is the full chain, then the audit pass reports bucket
