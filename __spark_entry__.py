@@ -753,6 +753,32 @@ def q_cms_audit(spark, sf_dir):
     return dp_sketch.cms_audit(docs, width=8, depth=3)
 
 
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership audit (datapipe/sketch.py, Bloom 1970):
+    even-doc_id documents build a 256-bit / 3-hash filter over their
+    text-prefix digests; odd-doc_id documents probe it.  Output pairs
+    the sketch verdict (``maybe_seen``) with exact truth
+    (``actually_seen``) so the one-sided guarantee is exercised: every
+    actually-seen digest MUST probe maybe_seen, while the tiny filter
+    forces real false positives.  The filter is m_bits/32 = 8 rows —
+    broadcast, map-side probing; the incremental-dedup prefilter shape
+    for 100 TB."""
+    docs = _read(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id",
+                        F.md5(F.substring("text", 1, 40)).alias("digest"))
+    seen = keyed.filter(F.col("doc_id") % 2 == 0)
+    batch = keyed.filter(F.col("doc_id") % 2 == 1)
+    bloom = dp_sketch.bloom_build(seen, m_bits=256, k=3)
+    verdict = dp_sketch.bloom_check(bloom, batch, m_bits=256, k=3)
+    truth = seen.select("digest").distinct() \
+        .withColumn("actually_seen", F.lit(True))
+    return (verdict.join(batch, "doc_id")
+            .join(F.broadcast(truth), "digest", "left")
+            .select("doc_id", "maybe_seen",
+                    F.coalesce("actually_seen", F.lit(False))
+                    .alias("actually_seen")))
+
+
 def q_oov_stats(spark, sf_dir):
     """Per-doc OOV rate vs a frequency-built vocabulary
     (textstats.py::oov_stats, min corpus frequency 30 — above the
@@ -3561,6 +3587,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_splits": q_leakage_safe_splits,
         "oov_stats": q_oov_stats,
         "cms_audit": q_cms_audit,
+        "bloom_membership": q_bloom_membership,
         "stream_cms_sketch": q_stream_cms_sketch,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
@@ -6933,6 +6960,40 @@ def oracle_sql() -> dict[str, str]:
                    min(sk.cnt) - p.exact AS overestimate
             FROM probes p JOIN sk USING (row, bucket)
             GROUP BY p.t, p.exact
+        """,
+        "bloom_membership": """
+            -- Bloom semantics replayed as a SET of bit positions: the
+            -- impl packs bits into 32-bit words, the oracle keeps the
+            -- positions relational -- identical membership math.
+            WITH keyed AS (
+              SELECT doc_id, md5(substr(text, 1, 40)) AS digest
+              FROM documents
+            ), seen AS (
+              SELECT * FROM keyed WHERE doc_id % 2 = 0
+            ), batch AS (
+              SELECT * FROM keyed WHERE doc_id % 2 = 1
+            ), hs AS (
+              SELECT unnest([0, 1, 2]) AS h
+            ), bloom AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(hs.h::VARCHAR || '|' || digest),
+                                     1, 8))::BIGINT % 256 AS b
+              FROM seen CROSS JOIN hs
+            ), probe AS (
+              SELECT doc_id, digest,
+                     ('0x' || substr(md5(hs.h::VARCHAR || '|' || digest),
+                                     1, 8))::BIGINT % 256 AS b
+              FROM batch CROSS JOIN hs
+            ), verdict AS (
+              SELECT p.doc_id, p.digest,
+                     min(CASE WHEN bloom.b IS NULL THEN 0 ELSE 1 END) = 1
+                       AS maybe_seen
+              FROM probe p LEFT JOIN bloom USING (b)
+              GROUP BY p.doc_id, p.digest
+            )
+            SELECT v.doc_id, v.maybe_seen,
+                   v.digest IN (SELECT digest FROM seen) AS actually_seen
+            FROM verdict v
         """,
         "stream_cms_sketch": """
             WITH arr AS (

@@ -88,3 +88,64 @@ def cms_audit(df: DataFrame, width: int = 8, depth: int = 3,
     return est.select(F.col("__t").alias("token"), "exact", "cms_est",
                       (F.col("cms_est") - F.col("exact"))
                       .alias("overestimate"))
+
+
+def _bloom_probes(h: int, key, m_bits: int):
+    b = (F.conv(F.md5(F.concat_ws("|", F.lit(str(h)), key))
+                .substr(1, 8), 16, 10).cast("long") % F.lit(int(m_bits)))
+    return F.struct((b / 32).cast("int").alias("word"),
+                    (b % 32).cast("int").alias("bit"))
+
+
+def _check_bloom(m_bits: int, k: int) -> None:
+    if m_bits < 32 or m_bits % 32 or k < 1:
+        raise ValueError(f"m_bits must be a positive multiple of 32 and "
+                         f"k >= 1, got m_bits={m_bits} k={k}")
+
+
+def bloom_build(df: DataFrame, m_bits: int = 2048, k: int = 3,
+                key_col: str = "digest") -> DataFrame:
+    """Bloom filter over a key column (Bloom 1970) — the production
+    membership structure for INCREMENTAL dedup at 100 TB: yesterday's
+    corpus compresses to ``m_bits`` bits; today's batch probes it
+    map-side, and "definitely new" documents skip the expensive exact
+    anti-join entirely (the one-sided guarantee: no false negatives,
+    false positives at the designed rate get re-checked exactly).
+
+    Stored as unsigned 32-bit words ``(word, bits)``: one shuffle on the
+    uniform bucket key, state bounded by ``m_bits/32`` rows, merged with
+    any other filter by ``bit_or`` (union of key sets).  md5-derived
+    probe positions make the filter byte-identical across engines.
+    """
+    _check_bloom(m_bits, k)
+    probes = spread(df).select(F.explode(F.array(*[
+        _bloom_probes(h, F.col(key_col), m_bits) for h in range(k)]))
+        .alias("p"))
+    # shift a LONG: 1 << 31 overflows int32 to a negative, which would
+    # poison the word under bit_or and arithmetic >> on probe
+    return (probes.select("p.word",
+                          F.expr("shiftleft(cast(1 as bigint), p.bit)")
+                          .alias("__b"))
+            .groupBy("word").agg(F.bit_or("__b").alias("bits")))
+
+
+def bloom_check(bloom: DataFrame, df: DataFrame, m_bits: int = 2048,
+                k: int = 3, key_col: str = "digest",
+                id_col: str = "doc_id") -> DataFrame:
+    """Probe every row's key against a built filter: ``maybe_seen`` is
+    true iff ALL ``k`` probe bits are set (one-sided — a false never).
+    The filter broadcasts (it is at most ``m_bits/32`` rows), so the
+    probe pass is map-side; the per-row verdict is one small groupBy on
+    the id."""
+    _check_bloom(m_bits, k)
+    probes = (spread(df).select(F.col(id_col), F.explode(F.array(*[
+        _bloom_probes(h, F.col(key_col), m_bits) for h in range(k)]))
+        .alias("p"))
+        .select(F.col(id_col), F.col("p.word"), F.col("p.bit")))
+    hit = (probes.join(F.broadcast(bloom), "word", "left")
+           .select(F.col(id_col),
+                   F.coalesce(F.expr("shiftright(bits, bit)")
+                              .bitwiseAND(F.lit(1)), F.lit(0))
+                   .alias("__h")))
+    return (hit.groupBy(id_col)
+            .agg((F.min("__h") == 1).alias("maybe_seen")))

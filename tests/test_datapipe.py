@@ -1173,3 +1173,35 @@ def test_cms_guarantees(spark, docs):
             for r in merged.collect()} == full
     with pytest.raises(ValueError, match="width"):
         sketch.cms_token_counts(docs, width=0)
+
+
+def test_bloom_filter_guarantees(spark, docs):
+    from pypond_spark.datapipe import sketch
+    keyed = docs.select("doc_id", F.md5("text").alias("digest"))
+    seen = keyed.where(F.col("doc_id") % 2 == 0)
+    other = keyed.where(F.col("doc_id") % 2 == 1)
+    bloom = sketch.bloom_build(seen, m_bits=256, k=3)
+    # state bounded by m_bits/32 words, every word a valid uint32 image
+    rows = bloom.collect()
+    assert len(rows) <= 256 // 32
+    assert all(0 <= r["word"] < 256 // 32 and 0 <= r["bits"] < (1 << 32)
+               for r in rows)
+    # no false negatives: every inserted key probes maybe_seen
+    self_check = sketch.bloom_check(bloom, seen, m_bits=256, k=3).collect()
+    assert self_check and all(r["maybe_seen"] for r in self_check)
+    # a roomy filter rejects (nearly all of) the disjoint half
+    wide = sketch.bloom_build(seen, m_bits=65536, k=3)
+    miss = sketch.bloom_check(wide, other, m_bits=65536, k=3).collect()
+    assert sum(r["maybe_seen"] for r in miss) < len(miss) * 0.05
+    # mergeable: bit_or of two half filters == filter over the union
+    b1 = sketch.bloom_build(seen, m_bits=256, k=3)
+    b2 = sketch.bloom_build(other, m_bits=256, k=3)
+    merged = (b1.unionByName(b2).groupBy("word")
+              .agg(F.bit_or("bits").alias("bits")))
+    full = sketch.bloom_build(keyed, m_bits=256, k=3)
+    assert ({(r["word"], r["bits"]) for r in merged.collect()}
+            == {(r["word"], r["bits"]) for r in full.collect()})
+    with pytest.raises(ValueError, match="m_bits"):
+        sketch.bloom_build(seen, m_bits=100)
+    with pytest.raises(ValueError, match="m_bits"):
+        sketch.bloom_check(bloom, seen, k=0)
