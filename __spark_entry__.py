@@ -779,6 +779,29 @@ def q_bloom_membership(spark, sf_dir):
                     .alias("actually_seen")))
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog cardinality audit (datapipe/sketch.py, Flajolet et
+    al. 2007) — the third classic mergeable sketch beside CMS and Bloom:
+    per-source token distincts (~31 each, exercising the linear-counting
+    small-range branch) plus the global doc-digest count (500,
+    exercising the raw harmonic branch).  The harmonic sum is dyadic so
+    Spark and the SQL replay agree bit-for-bit; the ln(m/V) branch uses
+    V-indexed precomputed literals (V has only m possible values)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(
+        F.filter(dp_text._match_tokens("text"),
+                 lambda t: t != F.lit(""))).alias("tok"))
+    per_src = (dp_sketch.hll_audit(toks, "tok", m=64,
+                                   group_cols=("source",))
+               .select(F.col("source").alias("scope"), "hll_est",
+                       "exact_distinct", "rel_err"))
+    digests = docs.select(F.md5("text").alias("digest"))
+    overall = (dp_sketch.hll_audit(digests, "digest", m=64)
+               .select(F.lit("__docs__").alias("scope"), "hll_est",
+                       "exact_distinct", "rel_err"))
+    return per_src.unionByName(overall)
+
+
 def q_oov_stats(spark, sf_dir):
     """Per-doc OOV rate vs a frequency-built vocabulary
     (textstats.py::oov_stats, min corpus frequency 30 — above the
@@ -3588,6 +3611,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_stats": q_oov_stats,
         "cms_audit": q_cms_audit,
         "bloom_membership": q_bloom_membership,
+        "hll_distinct": q_hll_distinct,
         "stream_cms_sketch": q_stream_cms_sketch,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
@@ -4269,6 +4293,64 @@ _PACK_BINS_CTE = """
               FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
             )
 """
+
+
+def _hll_oracle() -> str:
+    """HLL replay: register ranks via the same md5 hex-range hashes and
+    string leading-zero math as sketch.py::hll_registers; the harmonic
+    sum is dyadic (bit-exact either engine); alpha*m^2 and the m
+    possible ln(m/V) linear-counting values are inlined as Python-repr
+    literals so both engines parse the identical doubles."""
+    import math
+    m = 64
+    amm = repr(0.709 * m * m)
+    logs = ", ".join(repr(m * math.log(m / i)) for i in range(1, m + 1))
+    est = f"""
+              SELECT grp, round(CASE WHEN {amm} / ((64 - n)::DOUBLE + h)
+                                       <= 160.0 AND 64 - n > 0
+                                THEN [{logs}][(64 - n)::INT]
+                                ELSE {amm} / ((64 - n)::DOUBLE + h)
+                                END, 6) AS hll_est"""
+    return f"""
+            WITH arr AS (
+              SELECT source,
+                     list_filter(list_transform(
+                         list_filter(string_split_regex(trim(text),
+                                                        '\\s+'),
+                                     x -> x != ''),
+                         x -> regexp_replace(lower(x),
+                             '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                       x -> x != '') AS a
+              FROM documents
+            ), keys AS (
+              SELECT source AS grp, unnest(a) AS key FROM arr
+              UNION ALL
+              SELECT '__docs__' AS grp, md5(text) AS key FROM documents
+            ), reg AS (
+              SELECT grp,
+                     ('0x' || substr(md5(key), 1, 8))::BIGINT % 64
+                       AS idx,
+                     33 - length(ltrim(lpad(
+                         bin(('0x' || substr(md5(key), 9, 8))::BIGINT),
+                         32, '0'), '0')) AS rho
+              FROM keys
+            ), sk AS (
+              SELECT grp, idx, max(rho) AS reg
+              FROM reg GROUP BY grp, idx
+            ), agg AS (
+              SELECT grp, count(*) AS n, sum(power(2.0, -reg)) AS h
+              FROM sk GROUP BY grp
+            ), est AS ({est}
+              FROM agg
+            ), exact AS (
+              SELECT grp, count(DISTINCT key) AS exact_distinct
+              FROM keys GROUP BY grp
+            )
+            SELECT est.grp AS scope, est.hll_est, exact.exact_distinct,
+                   round((est.hll_est - exact.exact_distinct)
+                         / exact.exact_distinct, 6) AS rel_err
+            FROM est JOIN exact USING (grp)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6995,6 +7077,7 @@ def oracle_sql() -> dict[str, str]:
                    v.digest IN (SELECT digest FROM seen) AS actually_seen
             FROM verdict v
         """,
+        "hll_distinct": _hll_oracle(),
         "stream_cms_sketch": """
             WITH arr AS (
               SELECT doc_id,

@@ -149,3 +149,94 @@ def bloom_check(bloom: DataFrame, df: DataFrame, m_bits: int = 2048,
                    .alias("__h")))
     return (hit.groupBy(id_col)
             .agg((F.min("__h") == 1).alias("maybe_seen")))
+
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _check_hll(m: int) -> None:
+    if m not in _HLL_ALPHA:
+        raise ValueError(f"m must be one of {sorted(_HLL_ALPHA)}, got {m}")
+
+
+def hll_registers(df: DataFrame, key_col: str, m: int = 64,
+                  group_cols=()) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007) over a key column —
+    the mergeable cardinality sketch completing the trio (CMS =
+    frequency, Bloom = membership, HLL = distinct count).  ``m``
+    registers of "longest run of leading zeros seen"; two sketches merge
+    by element-wise MAX, so per-partition registers combine map-side and
+    per-day sketches union across time.
+
+    Register index and rank come from INDEPENDENT md5 hex ranges
+    (chars 1-8 / 9-16) instead of bit-slicing one word — equally valid,
+    and replayable in any engine with md5 + string ops.  The rank is
+    ``33 - len(regexp_replace(lpad(bin(w), 32, '0'), '^0*', ''))``:
+    pure string math (the anchored pattern has exactly one match, so
+    replace-first and replace-all engines agree).  ONE shuffle on
+    (group, idx); state bounded by ``m`` rows per group, never the key
+    cardinality.
+    """
+    _check_hll(m)
+    hx = F.md5(F.col(key_col))
+    idx = (F.conv(hx.substr(1, 8), 16, 10).cast("long")
+           % F.lit(int(m))).alias("idx")
+    w = F.conv(hx.substr(9, 8), 16, 10).cast("long")
+    rho = (F.lit(33) - F.length(
+        F.regexp_replace(F.lpad(F.bin(w), 32, "0"), "^0*", ""))) \
+        .alias("__rho")
+    gcols = [F.col(c) for c in group_cols]
+    return (spread(df).select(*gcols, idx, rho)
+            .groupBy(*group_cols, "idx").agg(F.max("__rho").alias("reg")))
+
+
+def hll_estimate(regs: DataFrame, m: int = 64,
+                 group_cols=()) -> DataFrame:
+    """Cardinality estimate from a register frame.  The harmonic sum
+    ``S = (m - presentCount) + sum(2^-reg)`` is a sum of dyadic
+    rationals with denominator <= 2^33 — EXACTLY representable in a
+    double regardless of summation order, so Spark and any SQL replay
+    agree bit-for-bit with no rounding.  The small-range branch
+    (raw <= 2.5m with empty registers) needs ``m*ln(m/V)``; V has only
+    ``m`` possible values, so the logs are precomputed literals — the
+    whole estimator stays bit-exact.  Input is at most ``m`` rows per
+    group: this is driver-free scalar math on a tiny frame.
+    """
+    import math
+
+    _check_hll(m)
+    alpha = _HLL_ALPHA[m]
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("__n"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("__h"))
+    s = (F.lit(m) - F.col("__n")).cast("double") + F.col("__h")
+    raw = F.lit(alpha * m * m) / s
+    v = F.lit(m) - F.col("__n")          # empty registers
+    linear = F.element_at(
+        F.array(*[F.lit(m * math.log(m / i)) for i in range(1, m + 1)]),
+        v.cast("int"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), linear).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 6).alias("hll_est"))
+
+
+def hll_audit(df: DataFrame, key_col: str, m: int = 64,
+              group_cols=()) -> DataFrame:
+    """Estimate-vs-truth audit per group: the HLL estimate beside the
+    exact distinct count and the relative error.  The exact side is the
+    audit's cost (production reads only the ``m``-row register frame);
+    both sides are one shuffle each, joined on the group key (or a
+    broadcast scalar cross for the global case)."""
+    _check_hll(m)
+    est = hll_estimate(hll_registers(df, key_col, m, group_cols),
+                       m, group_cols)
+    exact = (spread(df).groupBy(*group_cols)
+             .agg(F.count_distinct(F.col(key_col))
+                  .alias("exact_distinct")))
+    if group_cols:
+        joined = est.join(exact, list(group_cols))
+    else:
+        joined = est.crossJoin(F.broadcast(exact))
+    return joined.select(
+        *group_cols, "hll_est", "exact_distinct",
+        F.round((F.col("hll_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 6).alias("rel_err"))

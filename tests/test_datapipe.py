@@ -1205,3 +1205,32 @@ def test_bloom_filter_guarantees(spark, docs):
         sketch.bloom_build(seen, m_bits=100)
     with pytest.raises(ValueError, match="m_bits"):
         sketch.bloom_check(bloom, seen, k=0)
+
+
+def test_hll_guarantees(spark, docs):
+    from pypond_spark.datapipe import sketch
+    keyed = docs.select("doc_id", F.md5("text").alias("digest"))
+    exact = keyed.select("digest").distinct().count()
+    regs = sketch.hll_registers(keyed, "digest", m=64)
+    est = sketch.hll_estimate(regs, m=64).collect()[0]["hll_est"]
+    # 1.04/sqrt(64) = 13% std error; 3 sigma
+    assert abs(est - exact) / exact < 0.40
+    # linear-counting branch: a tiny set estimates near-exactly
+    tiny = keyed.limit(5)
+    est5 = sketch.hll_estimate(
+        sketch.hll_registers(tiny, "digest", m=64), m=64).collect()
+    assert abs(est5[0]["hll_est"] - 5) <= 2
+    # mergeable: element-wise MAX of half-corpus registers == union regs
+    h1 = keyed.where(F.col("doc_id") % 2 == 0)
+    h2 = keyed.where(F.col("doc_id") % 2 == 1)
+    merged = (sketch.hll_registers(h1, "digest", m=64)
+              .unionByName(sketch.hll_registers(h2, "digest", m=64))
+              .groupBy("idx").agg(F.max("reg").alias("reg")))
+    full = sketch.hll_registers(keyed, "digest", m=64)
+    assert ({(r["idx"], r["reg"]) for r in merged.collect()}
+            == {(r["idx"], r["reg"]) for r in full.collect()})
+    # audit wrapper: grouped + global shapes, rel_err consistent
+    aud = sketch.hll_audit(keyed, "digest", m=64).collect()[0]
+    assert aud["exact_distinct"] == exact and aud["hll_est"] == est
+    with pytest.raises(ValueError, match="m must be"):
+        sketch.hll_registers(keyed, "digest", m=63)
