@@ -779,6 +779,42 @@ def q_bloom_membership(spark, sf_dir):
                     .alias("actually_seen")))
 
 
+def q_stream_hll(spark, sf_dir):
+    """Streaming HyperLogLog (datapipe/sketch.py over a documents
+    readStream, complete mode): cardinality tracking over an unbounded
+    stream with EXACTLY m=64 rows of state store however many keys flow
+    by — max-merge registers are the canonical streaming distinct
+    sketch.  The drained register frame must equal the batch build
+    register-for-register (batch-SQL oracle)."""
+    sdf = _docs_stream(spark, sf_dir)
+    keyed = sdf.select(F.md5("text").alias("digest"))
+    out = dp_sketch.hll_registers(keyed, "digest", m=64)
+    return _run_stream_32(spark, out, "complete")
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact phi-heavy hitters via two-pass Misra-Gries candidates +
+    recount (textstats.py::heavy_hitters): per-partition bounded
+    summaries mean the full vocabulary NEVER shuffles, yet the answer
+    is exact (MG is one-sided complete; the recount kills false
+    positives) — so the oracle is a plain HAVING count.  phi=1/64
+    splits the corpus: 30 common tokens pass, the planted rare one
+    drops."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.heavy_hitters(docs, phi_inv=64)
+
+
+def q_editdist_pairs(spark, sf_dir):
+    """Levenshtein verification of LSH candidate pairs
+    (datapipe/dedup.py::editdist_pairs): character-exact second-stage
+    check after shingle banding — the DP runs only on banded candidates
+    (JVM codegen levenshtein, no Python), never corpus^2.  min_sim=0.95
+    genuinely splits the sf candidates (sims 0.937-0.992)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_dedup.editdist_pairs(docs, min_sim=0.95,
+                                   num_hashes=8, band_size=4)
+
+
 def q_hll_distinct(spark, sf_dir):
     """HyperLogLog cardinality audit (datapipe/sketch.py, Flajolet et
     al. 2007) — the third classic mergeable sketch beside CMS and Bloom:
@@ -3612,6 +3648,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_audit": q_cms_audit,
         "bloom_membership": q_bloom_membership,
         "hll_distinct": q_hll_distinct,
+        "editdist_pairs": q_editdist_pairs,
+        "heavy_hitters": q_heavy_hitters,
+        "stream_hll": q_stream_hll,
         "stream_cms_sketch": q_stream_cms_sketch,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
@@ -7078,6 +7117,64 @@ def oracle_sql() -> dict[str, str]:
             FROM verdict v
         """,
         "hll_distinct": _hll_oracle(),
+        "stream_hll": """
+            WITH reg AS (
+              SELECT ('0x' || substr(md5(md5(text)), 1, 8))::BIGINT % 64
+                       AS idx,
+                     33 - length(ltrim(lpad(
+                         bin(('0x' || substr(md5(md5(text)), 9, 8))
+                             ::BIGINT), 32, '0'), '0')) AS rho
+              FROM documents
+            )
+            SELECT idx, max(rho) AS reg FROM reg GROUP BY idx
+        """,
+        "heavy_hitters": """
+            WITH arr AS (
+              SELECT list_filter(list_transform(
+                         list_filter(string_split_regex(trim(text),
+                                                        '\\s+'),
+                                     x -> x != ''),
+                         x -> regexp_replace(lower(x),
+                             '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                       x -> x != '') AS a
+              FROM documents
+            ), tok AS (
+              SELECT unnest(a) AS token FROM arr
+            ), tot AS (
+              SELECT count(*) AS n FROM tok
+            )
+            SELECT token, count(*) AS cnt,
+                   round(count(*) / (SELECT n FROM tot), 6) AS share
+            FROM tok GROUP BY token
+            HAVING count(*) * 64 >= (SELECT n FROM tot)
+        """,
+        "editdist_pairs": _SHINGLES + f"""
+            , sig AS (
+              SELECT doc_id,
+                     {_mh_sig_cols(8)}
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([
+                  md5(concat_ws('|', '0', m0, m1, m2, m3)),
+                  md5(concat_ws('|', '1', m4, m5, m6, m7))]) AS band
+              FROM sig
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.doc_id < b.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   levenshtein(ta.text, tb.text) AS edit_dist,
+                   round(1.0 - levenshtein(ta.text, tb.text)
+                         / greatest(length(ta.text), length(tb.text), 1),
+                         6) AS edit_sim,
+                   round(1.0 - levenshtein(ta.text, tb.text)
+                         / greatest(length(ta.text), length(tb.text), 1),
+                         6) >= 0.95 AS is_dup
+            FROM cand c
+            JOIN documents ta ON ta.doc_id = c.id_a
+            JOIN documents tb ON tb.doc_id = c.id_b
+        """,
         "stream_cms_sketch": """
             WITH arr AS (
               SELECT doc_id,

@@ -689,3 +689,36 @@ def minhash_jaccard_estimate(df: DataFrame, pairs: DataFrame,
                     F.round("jaccard", 6).alias("jaccard_exact"),
                     F.round(F.abs(est - F.col("jaccard")), 6)
                     .alias("abs_err")))
+
+
+def editdist_pairs(df: DataFrame, pairs: DataFrame | None = None,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   min_sim: float = 0.95,
+                   **lsh_kwargs) -> DataFrame:
+    """Edit-distance verification of near-duplicate candidates: the
+    second-stage exact check when shingle Jaccard is too coarse (e.g.
+    templated text where word-level shingles collide but character
+    edits matter).  ``edit_sim = 1 - lev/max(len)``; ``is_dup`` applies
+    ``min_sim``.
+
+    Levenshtein's O(len_a*len_b) DP runs ONLY on LSH candidate pairs
+    (``pairs`` defaults to :func:`lsh_candidate_pairs`), so total cost
+    is bounded by the banding, never corpus^2 — and the DP itself is
+    Spark's built-in JVM ``levenshtein`` (whole-stage codegen, no
+    Python).  At 100 TB, pass the ``threshold`` arg variant (cap the
+    distance) for the banded early-exit DP when documents are long.
+    """
+    if pairs is None:
+        pairs = lsh_candidate_pairs(df, text_col, id_col, **lsh_kwargs)
+    txt = spread(df).select(F.col(id_col), F.col(text_col))
+    a = txt.select(F.col(id_col).alias("id_a"),
+                   F.col(text_col).alias("__ta"))
+    b = txt.select(F.col(id_col).alias("id_b"),
+                   F.col(text_col).alias("__tb"))
+    dist = F.levenshtein("__ta", "__tb")
+    sim = (F.lit(1.0) - dist / F.greatest(F.length("__ta"),
+                                          F.length("__tb"), F.lit(1)))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", dist.alias("edit_dist"),
+                    F.round(sim, 6).alias("edit_sim"),
+                    (F.round(sim, 6) >= F.lit(min_sim)).alias("is_dup")))

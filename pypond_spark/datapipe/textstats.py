@@ -791,3 +791,56 @@ def oov_stats(df: DataFrame, min_count: int = 5, text_col: str = "text",
             .withColumn("oov_rate",
                         F.round(F.col("n_oov") / F.col("n_tokens"), 6)
                         + F.lit(0.0)))
+
+
+def heavy_hitters(df: DataFrame, phi_inv: int = 64, capacity: int = 127,
+                  text_col: str = "text") -> DataFrame:
+    """Exact heavy hitters (tokens with count*phi_inv >= N) via the
+    two-pass candidate/recount scheme: per-partition Misra-Gries
+    summaries (Misra & Gries 1982; batch-merged with the "subtract the
+    (c+1)-th largest" rule of Agarwal et al. 2013's mergeable
+    summaries) generate a candidate set of at most ``capacity`` tokens
+    per partition, then ONE exact recount of only those candidates.
+
+    The answer is EXACT, not approximate: Misra-Gries is one-sided
+    (every token with partition share > 1/(capacity+1) survives, and a
+    globally phi-heavy token is phi-heavy in at least one partition by
+    pigeonhole, so ``capacity >= phi_inv`` guarantees zero false
+    negatives), and the recount discards the false positives.  At
+    100 TB this is the point: the full-vocabulary groupBy never
+    happens — the only shuffle is over the candidate-bounded recount,
+    with candidates broadcast.  Python cost is Arrow-batched
+    ``mapInPandas`` with a dict of at most ``capacity`` counters.
+    """
+    import pandas as pd
+
+    if capacity < phi_inv or phi_inv < 2:
+        raise ValueError(f"need capacity >= phi_inv >= 2, got "
+                         f"capacity={capacity} phi_inv={phi_inv}")
+    toks = (spread(df)
+            .select(F.explode(F.filter(_match_tokens(text_col),
+                                       lambda t: t != F.lit("")))
+                    .alias("token")))
+    cap = int(capacity)
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for tok, c in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > cap:
+                # subtract the (cap+1)-th largest count; keep positives
+                cut = sorted(counters.values(), reverse=True)[cap]
+                counters = {t: v - cut for t, v in counters.items()
+                            if v > cut}
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    cands = toks.mapInPandas(mg_partition, "token string").distinct()
+    counted = (toks.join(F.broadcast(cands), "token")
+               .groupBy("token").agg(F.count("*").alias("cnt")))
+    total = toks.agg(F.count("*").alias("__n"))
+    return (counted.crossJoin(F.broadcast(total))
+            .where(F.col("cnt") * phi_inv >= F.col("__n"))
+            .select("token", "cnt",
+                    F.round(F.col("cnt") / F.col("__n"), 6)
+                    .alias("share")))

@@ -1234,3 +1234,53 @@ def test_hll_guarantees(spark, docs):
     assert aud["exact_distinct"] == exact and aud["hll_est"] == est
     with pytest.raises(ValueError, match="m must be"):
         sketch.hll_registers(keyed, "digest", m=63)
+
+
+def test_editdist_pairs(spark):
+    from pypond_spark.datapipe import dedup
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely unrelated text body")],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    out = {(r["id_a"], r["id_b"]): r for r in
+           dedup.editdist_pairs(df, pairs=pairs, min_sim=0.9).collect()}
+    # one 3-char substitution over 43 chars
+    assert out[(1, 2)]["edit_dist"] == 3
+    assert abs(out[(1, 2)]["edit_sim"] - (1 - 3 / 43)) < 1e-6
+    assert out[(1, 2)]["is_dup"] is True
+    assert out[(1, 3)]["is_dup"] is False
+    # default path: LSH candidates feed the DP (clone must surface)
+    twin = df.union(spark.createDataFrame(
+        [(4, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"]))
+    via_lsh = dedup.editdist_pairs(twin, min_sim=0.95,
+                                   num_hashes=8, band_size=4).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 4 and r["edit_dist"] == 0
+               and r["is_dup"] for r in via_lsh)
+
+
+def test_heavy_hitters_exact(spark, docs):
+    from pypond_spark.datapipe import textstats
+    # two-pass result == exact full-vocabulary answer
+    hh = {r["token"]: r["cnt"]
+          for r in textstats.heavy_hitters(docs, phi_inv=64).collect()}
+    toks = (docs.select(F.explode(F.filter(
+        textstats._match_tokens("text"),
+        lambda t: t != F.lit(""))).alias("t")))
+    total = toks.count()
+    exact = {r["t"]: r["c"] for r in
+             toks.groupBy("t").agg(F.count("*").alias("c")).collect()
+             if r["c"] * 64 >= total}
+    assert hh == exact and hh
+    # skewed frame with a tiny capacity still finds the heavy token
+    # (one-sided completeness survives the decrement passes)
+    rows = [(i, "heavy " * 50) for i in range(50)] + \
+           [(100 + i, f"rare{i} only once") for i in range(40)]
+    sk = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(4)
+    out = textstats.heavy_hitters(sk, phi_inv=2, capacity=2)
+    got = {r["token"] for r in out.collect()}
+    assert got == {"heavy"}
+    with pytest.raises(ValueError, match="capacity"):
+        textstats.heavy_hitters(docs, phi_inv=64, capacity=10)

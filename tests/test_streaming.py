@@ -860,3 +860,20 @@ def test_stream_cms_equals_batch_sketch(spark):
     streamed = {(r["row"], r["bucket"]): r["cnt"] for r in
                 E.q_stream_cms_sketch(spark, sf_dir).collect()}
     assert streamed == batch
+
+
+def test_stream_hll_equals_batch_registers(spark):
+    """The drained streaming HLL register frame equals the batch build
+    register-for-register (max-merge across micro-batches), with state
+    bounded by m=64 rows."""
+    from pyspark.sql import functions as F
+    from pypond_spark.datapipe import sketch
+    import __spark_entry__ as E
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    keyed = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select(F.md5("text").alias("digest")))
+    batch = {(r["idx"], r["reg"]) for r in
+             sketch.hll_registers(keyed, "digest", m=64).collect()}
+    streamed = {(r["idx"], r["reg"]) for r in
+                E.q_stream_hll(spark, sf_dir).collect()}
+    assert streamed == batch and len(streamed) <= 64
