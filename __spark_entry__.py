@@ -779,6 +779,31 @@ def q_bloom_membership(spark, sf_dir):
                     .alias("actually_seen")))
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality audit: recall@10 of IVF(nprobe=2) against the exact
+    kNN answer for a query set (similarity.py::ivf_knn_join — probe
+    selection IN-PLAN on a queries x cells cross of tiny frames, corpus
+    broadcast-joined on the cell key, so the audit scales to thousands
+    of queries).  This is the measurement loop any production ANN
+    deployment runs to tune nprobe; sf recalls land at 0.7-1.0 so the
+    number is informative, not saturated."""
+    embs = _read(spark, sf_dir, "embeddings")
+    qs = embs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cents = _ivf_cents(spark, sf_dir, embs)
+    exact = dp_sim.knn_join(embs, qs, k=10, round_to=6)
+    approx = dp_sim.ivf_knn_join(embs, qs, cents, k=10, nprobe=2,
+                                 round_to=6)
+    match = (exact.select("q_id", "vec_id")
+             .join(approx.select("q_id", "vec_id"), ["q_id", "vec_id"])
+             .groupBy("q_id").agg(F.count("*").alias("n_match")))
+    return (qs.select("q_id").join(match, "q_id", "left")
+            .select("q_id",
+                    F.coalesce("n_match", F.lit(0)).alias("n_match"),
+                    F.round(F.coalesce("n_match", F.lit(0)) / F.lit(10),
+                            6).alias("recall")))
+
+
 def q_stream_hll(spark, sf_dir):
     """Streaming HyperLogLog (datapipe/sketch.py over a documents
     readStream, complete mode): cardinality tracking over an unbounded
@@ -789,6 +814,20 @@ def q_stream_hll(spark, sf_dir):
     sdf = _docs_stream(spark, sf_dir)
     keyed = sdf.select(F.md5("text").alias("digest"))
     out = dp_sketch.hll_registers(keyed, "digest", m=64)
+    return _run_stream_32(spark, out, "complete")
+
+
+def q_stream_bloom(spark, sf_dir):
+    """Streaming Bloom filter (datapipe/sketch.py over a documents
+    readStream, complete mode): membership state for an unbounded
+    stream bounded at m_bits/32 words — bit_or is the canonical
+    monotone streaming merge.  Drained words must equal the batch
+    filter word-for-word (batch-SQL oracle), completing the trio:
+    stream_cms_sketch (frequency), stream_hll (cardinality),
+    stream_bloom (membership)."""
+    sdf = _docs_stream(spark, sf_dir)
+    keyed = sdf.select(F.md5("text").alias("digest"))
+    out = dp_sketch.bloom_build(keyed, m_bits=2048, k=3)
     return _run_stream_32(spark, out, "complete")
 
 
@@ -3651,6 +3690,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "editdist_pairs": q_editdist_pairs,
         "heavy_hitters": q_heavy_hitters,
         "stream_hll": q_stream_hll,
+        "ann_recall": q_ann_recall,
+        "stream_bloom": q_stream_bloom,
         "stream_cms_sketch": q_stream_cms_sketch,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
@@ -6814,6 +6855,55 @@ def oracle_sql() -> dict[str, str]:
               FROM p
             ) WHERE neg_rank <= 2
         """,
+        "ann_recall": _EMB_CTE + f"""
+            , c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+              FROM e ORDER BY vec_id LIMIT 8
+            ),
+            a1 AS {_ivf_assign_cte("c0")},
+            c1 AS {_ivf_means_cte("a1", "c0")},
+            a2 AS {_ivf_assign_cte("c1")},
+            c2 AS {_ivf_means_cte("a2", "c1")},
+            qs AS (
+              SELECT vec_id AS q_id, v AS qv, nrm AS qn
+              FROM e WHERE vec_id < 8
+            ),
+            ex AS (
+              SELECT qs.q_id, e.vec_id
+              FROM e CROSS JOIN qs
+              QUALIFY row_number() OVER (PARTITION BY qs.q_id
+                ORDER BY round({_sql_dot("e.v", "qs.qv")}
+                               / (e.nrm * qs.qn), 6) DESC,
+                         e.vec_id) <= 10
+            ),
+            probes AS (
+              SELECT qs.q_id, qs.qv, qs.qn, c2.cell
+              FROM qs CROSS JOIN c2
+              QUALIFY row_number() OVER (PARTITION BY qs.q_id
+                ORDER BY coalesce({_sql_dot("c2.c", "qs.qv")}
+                         / (sqrt(list_sum([x * x for x in c2.c]))
+                            * qs.qn), -2.0) DESC,
+                         c2.cell DESC) <= 2
+            ),
+            af AS {_ivf_assign_cte("c2")},
+            ap AS (
+              SELECT p.q_id, af.vec_id
+              FROM af JOIN probes p ON af.cell = p.cell
+              QUALIFY row_number() OVER (PARTITION BY p.q_id
+                ORDER BY round({_sql_dot("af.v", "p.qv")}
+                               / (af.nrm * p.qn), 6) DESC,
+                         af.vec_id) <= 10
+            ),
+            m AS (
+              SELECT ex.q_id, count(*) AS n_match
+              FROM ex JOIN ap
+                ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+              GROUP BY ex.q_id
+            )
+            SELECT qs.q_id, coalesce(m.n_match, 0) AS n_match,
+                   round(coalesce(m.n_match, 0) / 10, 6) AS recall
+            FROM qs LEFT JOIN m USING (q_id)
+        """,
         "ann_ivf": _EMB_CTE + f"""
             , c0 AS (
               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
@@ -7117,6 +7207,19 @@ def oracle_sql() -> dict[str, str]:
             FROM verdict v
         """,
         "hll_distinct": _hll_oracle(),
+        "stream_bloom": """
+            WITH probes AS (
+              SELECT h.h,
+                     ('0x' || substr(md5(h.h::VARCHAR || '|'
+                                         || md5(text)), 1, 8))::BIGINT
+                       % 2048 AS b
+              FROM documents
+              CROSS JOIN (SELECT unnest([0, 1, 2]) AS h) h
+            )
+            SELECT (b // 32)::INT AS word,
+                   bit_or(1::BIGINT << (b % 32)::INT) AS bits
+            FROM probes GROUP BY 1
+        """,
         "stream_hll": """
             WITH reg AS (
               SELECT ('0x' || substr(md5(md5(text)), 1, 8))::BIGINT % 64

@@ -1272,3 +1272,47 @@ def hard_negatives(df: DataFrame, k: int = 3, n_cells: int = 8,
                                                 F.col("neg_id"))
     return (pairs.withColumn("neg_rank", F.row_number().over(w))
             .where(F.col("neg_rank") <= int(k)))
+
+
+def ivf_knn_join(df: DataFrame, queries: DataFrame,
+                 centroids: list[list[float]], k: int = 10,
+                 nprobe: int = 2, vec_col: str = "embedding",
+                 id_col: str = "vec_id", q_id_col: str = "q_id",
+                 q_vec_col: str = "q_vec",
+                 round_to: int | None = None) -> DataFrame:
+    """IVF approximate k-NN for a query SET — the multi-query sibling of
+    :func:`ivf_topk`, with probe selection IN-PLAN so the query side can
+    be thousands of rows, not a driver-side literal.
+
+    Per query, the ``nprobe`` nearest centroids are ranked on a
+    queries x cells cross of two tiny frames; corpus rows (map-side
+    ``ivf_assign``, zero shuffle) then BROADCAST-join the probe table on
+    the cell key, so each corpus row is scored only against queries
+    probing its cell — Σ|cell|·|queries probing it| work, never
+    corpus x queries.  The only exchange is the per-query top-k window
+    on ``q_id``.  Same tie-breaks as ``ivf_topk``/``knn_join``
+    (probe ties to the larger cell, rank ties to the smaller corpus id);
+    ``round_to`` pins the neighbor cut cross-engine.
+    """
+    assigned = ivf_assign(df, centroids, vec_col)
+    cdf = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        f"__cell int, __cvec array<double>")
+    pw = Window.partitionBy(q_id_col).orderBy(F.desc("__csim"),
+                                              F.desc("__cell"))
+    probes = (queries.crossJoin(cdf)
+              .select(F.col(q_id_col), F.col(q_vec_col), F.col("__cell"),
+                      F.coalesce(cosine(q_vec_col, "__cvec"),
+                                 F.lit(-2.0)).alias("__csim"))
+              .withColumn("__r", F.row_number().over(pw))
+              .where(F.col("__r") <= nprobe)
+              .select(q_id_col, q_vec_col, "__cell"))
+    sim = cosine(vec_col, q_vec_col)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"),
+                                             F.col(id_col))
+    return (assigned.join(F.broadcast(probes), "__cell")
+            .select(F.col(q_id_col), F.col(id_col), sim.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -1284,3 +1284,30 @@ def test_heavy_hitters_exact(spark, docs):
     assert got == {"heavy"}
     with pytest.raises(ValueError, match="capacity"):
         textstats.heavy_hitters(docs, phi_inv=64, capacity=10)
+
+
+def test_ivf_knn_join_recall(spark, embs):
+    from pypond_spark.datapipe import similarity as S
+    cents = S.ivf_build(embs, n_cells=8, n_iters=2, quantize=6)
+    qs = embs.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = {(r["q_id"], r["vec_id"], r["rank"]) for r in
+             S.knn_join(embs, qs, k=5, round_to=6).collect()}
+    # probing every cell IS exact kNN — identical ranks included
+    full = {(r["q_id"], r["vec_id"], r["rank"]) for r in
+            S.ivf_knn_join(embs, qs, cents, k=5, nprobe=len(cents),
+                           round_to=6).collect()}
+    assert full == exact
+    # nprobe=2 returns exactly k rows per query with valid rank range,
+    # and each query's own vector is its rank-1 hit (self cell probed)
+    ap = S.ivf_knn_join(embs, qs, cents, k=5, nprobe=2,
+                        round_to=6).collect()
+    per_q = {}
+    for r in ap:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2, 3}
+    for q, rows in per_q.items():
+        assert len(rows) == 5
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4, 5]
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["vec_id"] == q and top["cosine"] == 1.0
