@@ -795,9 +795,10 @@ def q_ann_recall(spark, sf_dir):
     approx = dp_sim.ivf_knn_join(embs, qs, cents, k=10, nprobe=2,
                                  round_to=6)
     match = (exact.select("q_id", "vec_id")
-             .join(approx.select("q_id", "vec_id"), ["q_id", "vec_id"])
+             .join(F.broadcast(approx.select("q_id", "vec_id")),
+                   ["q_id", "vec_id"])
              .groupBy("q_id").agg(F.count("*").alias("n_match")))
-    return (qs.select("q_id").join(match, "q_id", "left")
+    return (qs.select("q_id").join(F.broadcast(match), "q_id", "left")
             .select("q_id",
                     F.coalesce("n_match", F.lit(0)).alias("n_match"),
                     F.round(F.coalesce("n_match", F.lit(0)) / F.lit(10),
