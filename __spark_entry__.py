@@ -779,6 +779,21 @@ def q_bloom_membership(spark, sf_dir):
                     .alias("actually_seen")))
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """The composed end-to-end preprocessing run
+    (datapipe/corpus.py::preprocess_corpus): language gate -> Gopher
+    quality -> exact dedup -> MinHash/LSH near-dedup -> benchmark
+    decontamination, per-doc stage flags + final keep verdict.  One
+    call takes raw documents to a training-corpus keep list — the
+    flagship composition showing the operators ARE a pipeline, not a
+    bag of parts.  Oracle composed from the five verified component
+    oracles (each in its own WITH-subquery namespace)."""
+    docs_all = _read(spark, sf_dir, "documents")
+    bench = docs_all.where(F.col("doc_id") < 25)
+    docs = docs_all.where(F.col("doc_id") >= 25)
+    return dp_corpus.preprocess_corpus(docs, bench)
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN quality audit: recall@10 of IVF(nprobe=2) against the exact
     kNN answer for a query set (similarity.py::ivf_knn_join — probe
@@ -3692,6 +3707,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "stream_hll": q_stream_hll,
         "ann_recall": q_ann_recall,
+        "corpus_pipeline": q_corpus_pipeline,
         "stream_bloom": q_stream_bloom,
         "stream_cms_sketch": q_stream_cms_sketch,
         "tpch_q2_shape": q_tpch_q2_shape,
@@ -4376,6 +4392,51 @@ _PACK_BINS_CTE = """
 """
 
 
+def _pipeline_oracle(d: dict) -> str:
+    """End-to-end preprocessing replay composed from the verified
+    component oracles (DuckDB allows WITH inside a parenthesized
+    subquery, so each component keeps its own CTE namespace).  Corpus =
+    doc_id >= 25, benchmark = doc_id < 25 — identical to the standalone
+    decontam_docs split; lang / gopher / near-dup components are
+    re-scoped to the corpus by substituting the table name."""
+    lang = d["lang_id"].replace("FROM documents", "FROM corpus")
+    qual = d["gopher_quality"].replace("FROM documents", "FROM corpus")
+    near = d["dedup_documents"].replace("FROM documents", "FROM corpus")
+    decon = d["decontam_docs"]
+    return f"""
+        WITH corpus AS (
+          SELECT * FROM documents WHERE doc_id >= 25
+        ), lang AS (
+          SELECT doc_id, lang_pred FROM ({lang}) s
+        ), qual AS (
+          SELECT doc_id, gopher_pass FROM ({qual}) s
+        ), near AS (
+          SELECT doc_id, is_keeper FROM ({near}) s
+        ), decon AS (
+          SELECT doc_id, contaminated FROM ({decon}) s
+        ), exact AS (
+          SELECT doc_id,
+                 doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                   AS exact_keeper
+          FROM corpus
+        )
+        SELECT c.doc_id,
+               l.lang_pred = 'en' AS lang_ok,
+               q.gopher_pass AS quality_ok,
+               e.exact_keeper,
+               n.is_keeper AS near_keeper,
+               dc.contaminated,
+               (l.lang_pred = 'en') AND q.gopher_pass AND e.exact_keeper
+                 AND n.is_keeper AND NOT dc.contaminated AS kept
+        FROM corpus c
+        JOIN lang l ON l.doc_id = c.doc_id
+        JOIN qual q ON q.doc_id = c.doc_id
+        JOIN exact e ON e.doc_id = c.doc_id
+        JOIN near n ON n.doc_id = c.doc_id
+        JOIN decon dc ON dc.doc_id = c.doc_id
+    """
+
+
 def _hll_oracle() -> str:
     """HLL replay: register ranks via the same md5 hex-range hashes and
     string leading-zero math as sketch.py::hll_registers; the harmonic
@@ -4435,7 +4496,7 @@ def _hll_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "rollup_1h_by_type": f"""
             SELECT concat('1h-', {_POS_1H}) AS "index", event_type,
                    round(avg(value), 6) AS value_avg,
@@ -8395,6 +8456,8 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY pos, event_type
         """,
     }
+    d["corpus_pipeline"] = _pipeline_oracle(d)
+    return d
 
 
 def _align_oracle(dur_ms: int, method: str) -> str:

@@ -158,3 +158,51 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     return (j.select(*sel, status.alias("status"))
             .groupBy(*gcols, "status")
             .agg(F.count("*").alias("n_docs")))
+
+
+def preprocess_corpus(docs: DataFrame, bench: DataFrame,
+                      lang: str = "en", jaccard_threshold: float = 0.8,
+                      decontam_n: int = 3, decontam_min_hits: int = 3,
+                      id_col: str = "doc_id") -> DataFrame:
+    """End-to-end training-corpus preprocessing — the composed pipeline
+    a 100-TB ingest actually runs, one audit row per document:
+
+    1. language gate (``textstats.language_id`` == ``lang``)
+    2. Gopher quality rules (``textstats.gopher_quality``)
+    3. exact dedup (min-id keeper per text digest — one window)
+    4. MinHash/LSH near-dedup keeper (``dedup.dedup_documents``)
+    5. benchmark decontamination (``decontam`` vs ``bench``'s n-grams)
+
+    ``kept`` is the AND of all five.  Per-stage flags are kept so the
+    output doubles as the funnel report (how many docs each stage
+    drops).  Every stage is the library's own verified operator; the
+    joins are all on the id key, so at scale they co-partition into one
+    exchange family.
+    """
+    from pypond_spark.datapipe import decontam as dc
+    from pypond_spark.datapipe import dedup as dd
+    from pypond_spark.datapipe import textstats as tx
+
+    w = Window.partitionBy("__digest")
+    exact = (spread(docs)
+             .select(F.col(id_col), F.md5("text").alias("__digest"))
+             .select(id_col, (F.col(id_col) == F.min(id_col).over(w))
+                     .alias("exact_keeper")))
+    lang_f = tx.language_id(docs, id_col=id_col).select(
+        id_col, (F.col("lang_pred") == lang).alias("lang_ok"))
+    qual = tx.gopher_quality(docs, id_col=id_col).select(
+        id_col, F.col("gopher_pass").alias("quality_ok"))
+    near = dd.dedup_documents(
+        docs, jaccard_threshold=jaccard_threshold, id_col=id_col).select(
+        id_col, F.col("is_keeper").alias("near_keeper"))
+    grams = dc.benchmark_grams(bench, n=decontam_n)
+    decon = dc.decontaminate(docs, grams, n=decontam_n,
+                             min_hits=decontam_min_hits).select(
+        id_col, "contaminated")
+    out = (lang_f.join(qual, id_col).join(exact, id_col)
+           .join(near, id_col).join(decon, id_col))
+    kept = (F.col("lang_ok") & F.col("quality_ok")
+            & F.col("exact_keeper") & F.col("near_keeper")
+            & ~F.col("contaminated"))
+    return out.select(id_col, "lang_ok", "quality_ok", "exact_keeper",
+                      "near_keeper", "contaminated", kept.alias("kept"))

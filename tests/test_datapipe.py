@@ -1311,3 +1311,35 @@ def test_ivf_knn_join_recall(spark, embs):
         assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4, 5]
         top = min(rows, key=lambda r: r["rank"])
         assert top["vec_id"] == q and top["cosine"] == 1.0
+
+
+def test_preprocess_corpus_composition(spark, docs):
+    from pypond_spark.datapipe import corpus as C
+    from pypond_spark.datapipe import decontam as dc
+    from pypond_spark.datapipe import dedup as dd
+    from pypond_spark.datapipe import textstats as tx
+    bench = docs.where(F.col("doc_id") < 25)
+    body = docs.where(F.col("doc_id") >= 25)
+    out = {r["doc_id"]: r for r in
+           C.preprocess_corpus(body, bench).collect()}
+    assert len(out) == body.count()
+    # flags agree with the standalone component operators
+    lang = {r["doc_id"]: r["lang_pred"] == "en"
+            for r in tx.language_id(body).collect()}
+    qual = {r["doc_id"]: r["gopher_pass"]
+            for r in tx.gopher_quality(body).collect()}
+    near = {r["doc_id"]: r["is_keeper"]
+            for r in dd.dedup_documents(body).collect()}
+    cont = {r["doc_id"]: r["contaminated"] for r in dc.decontaminate(
+        body, dc.benchmark_grams(bench, n=3), n=3, min_hits=3).collect()}
+    for i, r in out.items():
+        assert r["lang_ok"] == lang[i]
+        assert r["quality_ok"] == qual[i]
+        assert r["near_keeper"] == near[i]
+        assert r["contaminated"] == cont[i]
+        assert r["kept"] == (r["lang_ok"] and r["quality_ok"]
+                             and r["exact_keeper"] and r["near_keeper"]
+                             and not r["contaminated"])
+    # the funnel actually filters (docs survive AND docs drop)
+    kept = sum(r["kept"] for r in out.values())
+    assert 0 < kept < len(out)
