@@ -208,6 +208,47 @@ def main() -> None:
     over = aud.agg(F.max("overestimate"), F.count("*")).first()
     print(f"CMS audit: {over[1]} tokens, max overestimate {over[0]}")
 
+    # 26. the other two classic sketches: Bloom membership + HLL count
+    keyed = docs.select("doc_id", F.md5("text").alias("digest"))
+    bloom = sketch.bloom_build(keyed, m_bits=2048, k=3)
+    seen = sketch.bloom_check(bloom, keyed, m_bits=2048, k=3)
+    print("bloom self-check (must be all true):",
+          seen.agg(F.min("maybe_seen")).first()[0])
+    est = sketch.hll_estimate(sketch.hll_registers(keyed, "digest", m=64),
+                              m=64).first()["hll_est"]
+    print(f"HLL distinct estimate: {est:.1f} "
+          f"(exact {keyed.select('digest').distinct().count()})")
+
+    # 27. exact heavy hitters without shuffling the vocabulary
+    hh = textstats.heavy_hitters(docs, phi_inv=64)
+    print("heavy hitters (count*64 >= N):", hh.count())
+
+    # 28. IVF recall audit for a query set
+    cents = similarity.ivf_build(embs, n_cells=8, n_iters=2, quantize=6)
+    qs = embs.limit(4).select(F.col("vec_id").alias("q_id"),
+                              F.col("embedding").alias("q_vec"))
+    exact_nn = similarity.knn_join(embs, qs, k=10, round_to=6)
+    approx_nn = similarity.ivf_knn_join(embs, qs, cents, k=10, nprobe=2,
+                                        round_to=6)
+    hits = (exact_nn.select("q_id", "vec_id")
+            .join(approx_nn.select("q_id", "vec_id"), ["q_id", "vec_id"])
+            .count())
+    print(f"IVF recall@10 over 4 queries: {hits / 40:.2f}")
+
+    # 29. the whole preprocessing pipeline in one call
+    from pypond_spark.datapipe import corpus as corpus_mod
+    bench = docs.where(F.col("doc_id") < 25)
+    body = docs.where(F.col("doc_id") >= 25)
+    audit = corpus_mod.preprocess_corpus(body, bench)
+    funnel = audit.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("lang_ok").cast("int")).alias("lang"),
+        F.sum(F.col("quality_ok").cast("int")).alias("quality"),
+        F.sum(F.col("near_keeper").cast("int")).alias("near_keep"),
+        F.sum((~F.col("contaminated")).cast("int")).alias("clean"),
+        F.sum(F.col("kept").cast("int")).alias("kept")).first()
+    print("preprocess funnel:", funnel.asDict())
+
     spark.stop()
 
 
