@@ -158,7 +158,8 @@ def main() -> None:
     emb_needed = not only or bool(only & emb_ops)
     doc_ops = {"repeated_spans", "dsir_weights", "pack_bins",
                "char_entropy", "rrf_fusion", "bpe_tokenize", "nb_quality",
-               "cms_sketch"}
+               "cms_sketch", "heavy_hitters", "bloom_roundtrip",
+               "hll_registers"}
     docs_needed = not only or bool(only & doc_ops)
     dup_docs_needed = not only or "dedup_documents" in only
     # exclude synthesis cost; skip when no selected op reads the frame
@@ -272,6 +273,26 @@ def main() -> None:
         "cms_sketch": lambda: sink(__import__(
             "pypond_spark.datapipe.sketch", fromlist=["cms_token_counts"])
             .cms_token_counts(docs, width=1024, depth=4)),
+        # two-pass Misra-Gries heavy hitters: the vocabulary never
+        # shuffles — stress proves candidate generation stays map-side
+        "heavy_hitters": lambda: sink(__import__(
+            "pypond_spark.datapipe.textstats",
+            fromlist=["heavy_hitters"])
+            .heavy_hitters(docs, phi_inv=64)),
+        # Bloom build over even docs + probe of odd docs (m_bits/32
+        # words of state however many digests stream through)
+        "bloom_roundtrip": lambda: sink((lambda sk, keyed: sk.bloom_check(
+            sk.bloom_build(keyed.where(F.col("doc_id") % 2 == 0),
+                           m_bits=1 << 20, k=3),
+            keyed.where(F.col("doc_id") % 2 == 1), m_bits=1 << 20, k=3))(
+            __import__("pypond_spark.datapipe.sketch",
+                       fromlist=["bloom_build"]),
+            docs.select("doc_id", F.md5("text").alias("digest")))),
+        # HLL registers: m=64 rows of state at any corpus size
+        "hll_registers": lambda: sink(__import__(
+            "pypond_spark.datapipe.sketch", fromlist=["hll_registers"])
+            .hll_registers(docs.select(F.md5("text").alias("digest")),
+                           "digest", m=64)),
         # end-to-end dedup chain on the planted-dup corpus (~n chars):
         # LSH -> Jaccard verify -> label propagation -> keeper; the timed
         # sink is the full chain, then the audit pass reports bucket
