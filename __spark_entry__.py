@@ -833,6 +833,27 @@ def q_stream_hll(spark, sf_dir):
     return _run_stream_32(spark, out, "complete")
 
 
+def q_stream_first_seen(spark, sf_dir):
+    """Streaming first-occurrence dedup (streaming/stream.py::
+    stream_first_seen): every doc plus a planted +10000-id clone flow
+    through; exactly the min-id copy of each digest is emitted, clones
+    suppressed by the per-key seen state.  Append mode — the sink IS
+    the deduped corpus.  State is O(distinct digests) by design; the
+    documented production pairing is a Bloom prefilter
+    (sketch.bloom_build) so only maybe-seen keys reach the state
+    store."""
+    sdf = _docs_stream(spark, sf_dir)
+    both = (sdf.select(F.col("doc_id"), F.md5("text").alias("digest"))
+            .unionByName(sdf.select(
+                (F.col("doc_id") + 10000).alias("doc_id"),
+                F.md5("text").alias("digest"))))
+    from pypond_spark.streaming.stream import stream_first_seen
+    out = stream_first_seen(both, key_col="digest",
+                            payload_cols=("doc_id",),
+                            order_col="doc_id")
+    return _run_stream_32(spark, out, "append")
+
+
 def q_stream_bloom(spark, sf_dir):
     """Streaming Bloom filter (datapipe/sketch.py over a documents
     readStream, complete mode): membership state for an unbounded
@@ -3709,6 +3730,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "corpus_pipeline": q_corpus_pipeline,
         "stream_bloom": q_stream_bloom,
+        "stream_first_seen": q_stream_first_seen,
         "stream_cms_sketch": q_stream_cms_sketch,
         "tpch_q2_shape": q_tpch_q2_shape,
         "tpch_q11_shape": q_tpch_q11_shape,
@@ -7269,6 +7291,10 @@ def oracle_sql() -> dict[str, str]:
             FROM verdict v
         """,
         "hll_distinct": _hll_oracle(),
+        "stream_first_seen": """
+            SELECT md5(text) AS digest, min(doc_id) AS doc_id
+            FROM documents GROUP BY 1
+        """,
         "stream_bloom": """
             WITH probes AS (
               SELECT h.h,

@@ -1563,3 +1563,51 @@ class StreamPipeline:
                    carry_cols: Sequence[str] = ()) -> DataFrame:
         return stream_cumulative(self._sdf, aggregation, self._groups,
                                  self._time_col, tiebreak, carry_cols)
+
+
+def _first_seen_state_fn(key_cols: list[str], payload_cols: list[str],
+                         order_col: str):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            # key already emitted in an earlier micro-batch: suppress
+            yield pd.DataFrame(columns=key_cols + payload_cols)
+            return
+        chunks = [p for p in pdfs if len(p)]
+        pdf = pd.concat(chunks) if chunks else pd.DataFrame()
+        if not len(pdf):
+            yield pd.DataFrame(columns=key_cols + payload_cols)
+            return
+        first = pdf.sort_values(order_col, kind="mergesort").iloc[0]
+        state.update((True,))
+        yield pd.DataFrame(
+            [list(key) + [first[c] for c in payload_cols]],
+            columns=key_cols + payload_cols)
+
+    return fn
+
+
+def stream_first_seen(sdf: DataFrame, key_col: str = "digest",
+                      payload_cols: Sequence[str] = ("doc_id",),
+                      order_col: str = "doc_id") -> DataFrame:
+    """Cross-batch first-occurrence keeper: the streaming ingestion
+    dedup — the first row per ``key_col`` ever seen is emitted (ties
+    within a micro-batch break to the smallest ``order_col``), every
+    later occurrence in ANY micro-batch is suppressed.
+
+    State is ONE boolean per distinct key — the honest cost of exact
+    streaming dedup is O(distinct keys); at 100 TB, front it with the
+    Bloom filter (``datapipe.sketch.bloom_build`` over yesterday's
+    corpus) so only maybe-seen keys reach the stateful operator, and
+    age keys out with a retention-window restart.  Append mode: rows
+    emit exactly once, so the sink IS the deduped corpus.
+    """
+    key_fields = [sdf.schema[key_col]]
+    pay_fields = [sdf.schema[c] for c in payload_cols]
+    out_schema = T.StructType(key_fields + pay_fields)
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        _first_seen_state_fn([key_col], list(payload_cols), order_col),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)

@@ -877,3 +877,38 @@ def test_stream_hll_equals_batch_registers(spark):
     streamed = {(r["idx"], r["reg"]) for r in
                 E.q_stream_hll(spark, sf_dir).collect()}
     assert streamed == batch and len(streamed) <= 64
+
+
+def test_stream_first_seen_cross_batch(spark, tmp_path):
+    """A digest first seen in micro-batch 1 stays suppressed when it
+    reappears in micro-batch 2 (per-key seen state survives the
+    checkpoint across drains); within one batch, ties break to the
+    smallest doc_id."""
+    import json as _json
+    from pyspark.sql import types as T2
+    from pypond_spark.streaming.stream import stream_first_seen
+    schema = T2.StructType([T2.StructField("doc_id", T2.LongType()),
+                            T2.StructField("digest", T2.StringType())])
+    chunk1 = [{"doc_id": 5, "digest": "k1"},
+              {"doc_id": 2, "digest": "k1"},      # same-batch tie -> 2
+              {"doc_id": 3, "digest": "k2"}]
+    chunk2 = [{"doc_id": 9, "digest": "k1"},      # cross-batch dup
+              {"doc_id": 7, "digest": "k3"}]      # genuinely new
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate([chunk1, chunk2]):
+        with open(src / f"part{i}.json", "w") as fh:
+            for rec in chunk:
+                fh.write(_json.dumps(rec) + "\n")
+        sdf = spark.readStream.schema(schema).json(str(src))
+        out = stream_first_seen(sdf, key_col="digest",
+                                payload_cols=("doc_id",),
+                                order_col="doc_id")
+        q = (out.writeStream.format("parquet").outputMode("append")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    rows = {r["digest"]: r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert rows == {"k1": 2, "k2": 3, "k3": 7}
