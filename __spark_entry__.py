@@ -779,6 +779,18 @@ def q_bloom_membership(spark, sf_dir):
                     .alias("actually_seen")))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint selection (textstats.py::
+    winnow_fingerprints; Schleimer-Wilkerson-Aiken SIGMOD 2003, the
+    MOSS algorithm): rightmost-min of each 4-window of 3-gram hashes
+    via ONE integer-composite window min — any shared 6-token run
+    between documents shares a selected fingerprint, at ~2/5 selection
+    density.  Scan + one per-doc window exchange + distinct, linear in
+    corpus tokens."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.winnow_fingerprints(docs, k=3, window=4)
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """The composed end-to-end preprocessing run
     (datapipe/corpus.py::preprocess_corpus): language gate -> Gopher
@@ -3729,6 +3741,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": q_stream_hll,
         "ann_recall": q_ann_recall,
         "corpus_pipeline": q_corpus_pipeline,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "stream_bloom": q_stream_bloom,
         "stream_first_seen": q_stream_first_seen,
         "stream_cms_sketch": q_stream_cms_sketch,
@@ -7291,6 +7304,40 @@ def oracle_sql() -> dict[str, str]:
             FROM verdict v
         """,
         "hll_distinct": _hll_oracle(),
+        "winnow_fingerprints": """
+            -- rightmost-min composite: hash * 2^20 + (2^20-1 - pos);
+            -- plain window min == (min hash, then max pos)
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS w
+              FROM documents
+            ), gl AS (
+              SELECT doc_id,
+                     unnest([struct_pack(
+                         pos := i - 1,
+                         h := ('0x' || substr(md5(
+                             array_to_string(w[i:i+2], ' ')),
+                             1, 8))::BIGINT)
+                         for i in generate_series(
+                             1, greatest(len(w) - 2, 0))]) AS u
+              FROM toks
+            ), g AS (
+              SELECT doc_id, u.pos AS pos, u.h AS h FROM gl
+            ), sel AS (
+              SELECT doc_id, pos,
+                     min(h * 1048576 + (1048575 - pos)) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s,
+                     count(*) OVER (PARTITION BY doc_id) AS n
+              FROM g
+            )
+            SELECT DISTINCT doc_id,
+                   (1048575 - s % 1048576)::INT AS pos,
+                   s // 1048576 AS fp
+            FROM sel
+            WHERE pos <= greatest(n - 4, 0)
+        """,
         "stream_first_seen": """
             SELECT md5(text) AS digest, min(doc_id) AS doc_id
             FROM documents GROUP BY 1

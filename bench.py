@@ -226,6 +226,13 @@ HEADLINE = [
     "leakage_safe_splits",
     "oov_stats",
     "cms_audit",
+    "bloom_membership",
+    "hll_distinct",
+    "editdist_pairs",
+    "heavy_hitters",
+    "ann_recall",
+    "corpus_pipeline",
+    "winnow_fingerprints",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the
@@ -253,6 +260,9 @@ STREAM = [
     "stream_holt",
     "stream_holt_winters",
     "stream_cms_sketch",
+    "stream_hll",
+    "stream_bloom",
+    "stream_first_seen",
 ]
 
 

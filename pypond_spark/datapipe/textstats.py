@@ -844,3 +844,49 @@ def heavy_hitters(df: DataFrame, phi_inv: int = 64, capacity: int = 127,
             .select("token", "cnt",
                     F.round(F.col("cnt") / F.col("__n"), 6)
                     .alias("share")))
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 3, window: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS plagiarism-detection algorithm): from every
+    window of ``window`` consecutive word ``k``-gram hashes, keep the
+    minimum (rightmost on ties), then dedupe selections — guaranteeing
+    any shared run of ``k + window - 1`` tokens between two documents
+    shares a selected fingerprint, with ~2/(window+1) selection density.
+
+    The rightmost-minimum rule is encoded as ONE integer composite
+    ``hash * 2^20 + (2^20-1 - pos)`` so a plain window ``min`` picks
+    "min hash, then max position" — deterministic and replayable in any
+    engine with integer windows (no struct-ordering support needed).
+    Plan: scan-level gram explode + one per-document window exchange +
+    distinct — linear in corpus tokens, the fingerprint index then
+    joins documents at Σ|shared-fp|² cost like any LSH bucket table.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"need k >= 1 and window >= 1, "
+                         f"got k={k} window={window}")
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    g = (spread(df)
+         .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram")))
+    h = F.conv(F.md5("gram").substr(1, 8), 16, 10).cast("long")
+    comp = h * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos"))
+    w_starts = Window.partitionBy(id_col).orderBy("pos") \
+        .rowsBetween(Window.currentRow, window - 1)
+    n_grams = Window.partitionBy(id_col)
+    sel = (g.select(F.col(id_col), "pos",
+                    F.min(comp).over(w_starts).alias("__sel"),
+                    F.count("*").over(n_grams).alias("__n"))
+           .where(F.col("pos") <= F.greatest(F.col("__n") - window,
+                                             F.lit(0))))
+    return (sel.select(
+        F.col(id_col),
+        (F.lit((1 << 20) - 1) - F.col("__sel") % F.lit(1 << 20))
+        .cast("int").alias("pos"),
+        (F.col("__sel") / F.lit(1 << 20)).cast("long").alias("fp"))
+        .distinct())

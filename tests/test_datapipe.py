@@ -1343,3 +1343,35 @@ def test_preprocess_corpus_composition(spark, docs):
     # the funnel actually filters (docs survive AND docs drop)
     kept = sum(r["kept"] for r in out.values())
     assert 0 < kept < len(out)
+
+
+def test_winnow_fingerprints(spark, docs):
+    from pypond_spark.datapipe import textstats as tx
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),
+         (2, "x y z a b c d e f q")],      # shares the run "a b c d e f"
+        ["doc_id", "text"])
+    out = tx.winnow_fingerprints(df, k=3, window=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # the winnowing guarantee: a shared run of k+w-1 = 6 tokens MUST
+    # yield at least one common selected fingerprint
+    assert by_doc[1] & by_doc[2]
+    # every selected pos is a valid gram start and fps dedupe per doc
+    for r in out:
+        assert 0 <= r["pos"] <= 7
+    # density ~ 2/(w+1): far fewer selections than grams on real docs
+    n_sel = tx.winnow_fingerprints(docs, k=3, window=4).count()
+    toks = docs.select(F.size(F.filter(
+        F.split(F.trim("text"), r"\s+"),
+        lambda t: t != F.lit(""))).alias("n"))
+    n_grams = toks.agg(F.sum(F.greatest(F.col("n") - 2,
+                                        F.lit(0)))).collect()[0][0]
+    assert n_sel < 0.6 * n_grams
+    # short doc (fewer grams than the window) still fingerprints
+    short = spark.createDataFrame([(9, "p q r s")], ["doc_id", "text"])
+    srows = tx.winnow_fingerprints(short, k=3, window=4).collect()
+    assert len(srows) == 1 and srows[0]["pos"] == 0
+    with pytest.raises(ValueError, match="window"):
+        tx.winnow_fingerprints(df, k=3, window=0)

@@ -119,3 +119,19 @@ def test_queries_self_rotation_contract():
     assert verified_rounds == sorted(verified_rounds), (
         "verified queries not ordered stalest-first")
     assert set(mod.oracle_sql()) == set(names)
+
+
+def test_bench_covers_every_registry_query():
+    """Every registry query is benched: batch rows in bench.HEADLINE,
+    stream_* rows in bench.STREAM — so a perf regression anywhere stays
+    visible round-over-round (r6 verdict item 2, drift-proofed)."""
+    import bench
+    import __spark_entry__ as E
+    names = set(E.queries())
+    batch = {n for n in names if not n.startswith("stream_")}
+    stream = names - batch
+    assert batch - set(bench.HEADLINE) == set()
+    assert stream - set(bench.STREAM) == set()
+    # and nothing stale points at a deleted query
+    assert set(bench.HEADLINE) - names == set()
+    assert set(bench.STREAM) - names == set()
