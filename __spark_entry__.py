@@ -791,6 +791,16 @@ def q_winnow_fingerprints(spark, sf_dir):
     return dp_text.winnow_fingerprints(docs, k=3, window=4)
 
 
+def q_winnow_overlap(spark, sf_dir):
+    """MOSS document comparison (textstats.py::winnow_overlap): pairs
+    sharing >= 3 winnowed fingerprints with containment scores — the
+    fingerprint table acts as the LSH index, pair cost
+    Σ|fp-bucket|², never corpus².  25 pairs at sf0.01 (the planted
+    near-dup set plus genuine template overlaps)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.winnow_overlap(docs, k=3, window=4, min_shared=3)
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """The composed end-to-end preprocessing run
     (datapipe/corpus.py::preprocess_corpus): language gate -> Gopher
@@ -3742,6 +3752,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "corpus_pipeline": q_corpus_pipeline,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_overlap": q_winnow_overlap,
         "stream_bloom": q_stream_bloom,
         "stream_first_seen": q_stream_first_seen,
         "stream_cms_sketch": q_stream_cms_sketch,
@@ -8530,6 +8541,25 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     d["corpus_pipeline"] = _pipeline_oracle(d)
+    d["winnow_overlap"] = f"""
+        WITH fps AS (
+          SELECT DISTINCT doc_id, fp
+          FROM ({d["winnow_fingerprints"]}) s
+        ), nf AS (
+          SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id
+        ), p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS shared
+          FROM fps a JOIN fps b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 3
+        )
+        SELECT p.id_a, p.id_b, p.shared,
+               round(p.shared / least(na.n, nb.n), 6) AS containment
+        FROM p
+        JOIN nf na ON na.doc_id = p.id_a
+        JOIN nf nb ON nb.doc_id = p.id_b
+    """
     return d
 
 

@@ -233,6 +233,7 @@ HEADLINE = [
     "ann_recall",
     "corpus_pipeline",
     "winnow_fingerprints",
+    "winnow_overlap",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -890,3 +890,38 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, window: int = 4,
         .cast("int").alias("pos"),
         (F.col("__sel") / F.lit(1 << 20)).cast("long").alias("fp"))
         .distinct())
+
+
+def winnow_overlap(df: DataFrame, k: int = 3, window: int = 4,
+                   min_shared: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The MOSS comparison step over :func:`winnow_fingerprints`:
+    document pairs ranked by shared selected fingerprints, with
+    ``containment = shared / min(|fps_a|, |fps_b|)``.  By the winnowing
+    guarantee a shared run of ``k + window - 1`` tokens forces a shared
+    fingerprint, so plagiarism/near-dup candidates cannot hide; pair
+    cost is Σ|fingerprint-bucket|² — the fingerprint table IS the LSH
+    index, never corpus².
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = (winnow_fingerprints(df, k, window, text_col, id_col)
+           .select(F.col(id_col), "fp").distinct()
+           .localCheckpoint())
+    nf = fps.groupBy(id_col).agg(F.count("*").alias("__n"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (a.join(b, ["fp"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("shared"))
+             .where(F.col("shared") >= min_shared))
+    na = nf.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = nf.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    # no broadcast hint: nf is corpus-sized (one row per doc); the
+    # verified-pair side is the small one, and AQE picks the build side
+    return (pairs.join(na, "id_a")
+            .join(nb, "id_b")
+            .select("id_a", "id_b", "shared",
+                    F.round(F.col("shared")
+                            / F.least("__na", "__nb"), 6)
+                    .alias("containment")))

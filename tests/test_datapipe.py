@@ -1375,3 +1375,22 @@ def test_winnow_fingerprints(spark, docs):
     assert len(srows) == 1 and srows[0]["pos"] == 0
     with pytest.raises(ValueError, match="window"):
         tx.winnow_fingerprints(df, k=3, window=0)
+
+
+def test_winnow_overlap(spark):
+    from pypond_spark.datapipe import textstats as tx
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten"),
+         (2, "zz one two three four five six seven eight qq"),
+         (3, "completely different words in this entry here now")],
+        ["doc_id", "text"])
+    out = tx.winnow_overlap(df, k=3, window=4, min_shared=1).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    # the 8-token shared run must pair docs 1 and 2...
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["shared"] >= 1
+    assert 0 < pairs[(1, 2)]["containment"] <= 1.0
+    # ...and doc 3 shares no 3-gram with anything
+    assert all(3 not in p for p in pairs)
+    with pytest.raises(ValueError, match="min_shared"):
+        tx.winnow_overlap(df, min_shared=0)
