@@ -779,6 +779,24 @@ def q_bloom_membership(spark, sf_dir):
                     .alias("actually_seen")))
 
 
+_DTW_TEMPLATE = [round(10 * __import__("math").sin(
+    2 * __import__("math").pi * j / 24), 6) for j in range(24)]
+
+
+def q_dtw_daily_template(spark, sf_dir):
+    """Asymmetric DTW of each user's hourly series against a 24-point
+    daily sinusoid (operators/correlate.py::dtw_to_template; Sakoe &
+    Chiba 1978 asymmetric step pattern): the pattern-matching score
+    with time stretching, computed as ONE scan-level aggregate fold in
+    integer micro-units — the SQL twin replays the DP with a recursive
+    CTE carrying the row as a LIST and hash-matches exactly."""
+    from pypond_spark.operators.correlate import dtw_to_template
+    ev = _events_df(spark, sf_dir)
+    return dtw_to_template(ev, _DTW_TEMPLATE, field="value",
+                           bucket="1h", partition_by=("user_id",),
+                           time_col="ts")
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprint selection (textstats.py::
     winnow_fingerprints; Schleimer-Wilkerson-Aiken SIGMOD 2003, the
@@ -3753,6 +3771,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_overlap": q_winnow_overlap,
+        "dtw_daily_template": q_dtw_daily_template,
         "stream_bloom": q_stream_bloom,
         "stream_first_seen": q_stream_first_seen,
         "stream_cms_sketch": q_stream_cms_sketch,
@@ -4436,6 +4455,58 @@ _PACK_BINS_CTE = """
               FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
             )
 """
+
+
+def _dtw_oracle() -> str:
+    """Recursive-CTE replay of dtw_to_template's integer micro-unit DP
+    (one iteration per bucket row, state = the 24-long DP row as a
+    LIST; the INF clamp mirrors the Spark fold literally)."""
+    t = [int(round(v * 1e6)) for v in _DTW_TEMPLATE]
+    tl = "[" + ", ".join(str(x) for x in t) + "]"
+    inf = 1 << 60
+    m = len(t)
+    return f"""
+        WITH RECURSIVE bf AS (
+          SELECT user_id,
+                 CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS pos,
+                 CAST(round(round(avg(value), 6) * 1000000.0) AS BIGINT)
+                   AS v
+          FROM events GROUP BY 1, 2
+        ), rn AS (
+          SELECT user_id, v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY pos) AS i
+          FROM bf
+        ), nmax AS (
+          SELECT user_id, max(i) AS n FROM rn GROUP BY 1
+        ), rec AS (
+          SELECT user_id, 1 AS i,
+                 [CASE WHEN j = 1 THEN abs(v - {tl}[j])
+                       ELSE {inf} END
+                  for j in generate_series(1, {m})] AS d
+          FROM rn WHERE i = 1
+          UNION ALL
+          SELECT r.user_id, p.i + 1,
+                 [CASE WHEN least(p.d[j],
+                          CASE WHEN j = 1 THEN {inf}
+                               ELSE p.d[j - 1] END) >= {inf}
+                       THEN {inf}
+                       ELSE abs(r.v - {tl}[j])
+                            + least(p.d[j],
+                                CASE WHEN j = 1 THEN {inf}
+                                     ELSE p.d[j - 1] END) END
+                  for j in generate_series(1, {m})] AS d
+          FROM rec p JOIN rn r
+            ON r.user_id = p.user_id AND r.i = p.i + 1
+        )
+        SELECT rec.user_id, nmax.n AS n_buckets,
+               CASE WHEN rec.d[{m}] < {inf} THEN rec.d[{m}] END
+                 AS dtw_micro,
+               CASE WHEN rec.d[{m}] < {inf}
+                    THEN round(rec.d[{m}] / 1000000.0, 6) END AS dtw
+        FROM rec JOIN nmax ON nmax.user_id = rec.user_id
+                          AND nmax.n = rec.i
+    """
 
 
 def _pipeline_oracle(d: dict) -> str:
@@ -7315,6 +7386,7 @@ def oracle_sql() -> dict[str, str]:
             FROM verdict v
         """,
         "hll_distinct": _hll_oracle(),
+        "dtw_daily_template": _dtw_oracle(),
         "winnow_fingerprints": """
             -- rightmost-min composite: hash * 2^20 + (2^20-1 - pos);
             -- plain window min == (min hash, then max pos)

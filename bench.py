@@ -234,6 +234,7 @@ HEADLINE = [
     "corpus_pipeline",
     "winnow_fingerprints",
     "winnow_overlap",
+    "dtw_daily_template",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

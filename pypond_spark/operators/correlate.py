@@ -328,3 +328,70 @@ def trend(df: DataFrame, field: str = "value",
     intercept = (F.col("__sy") - slope * F.col("__sx")) / n
     return agg.select(*keys, slope.alias("slope"),
                       intercept.alias("intercept"), "n")
+
+
+def dtw_to_template(
+    df: DataFrame,
+    template: Sequence[float],
+    field: str = "value",
+    bucket: str = "1h",
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+) -> DataFrame:
+    """Asymmetric dynamic-time-warping distance of each series to a
+    fixed template (Sakoe & Chiba 1978, asymmetric step pattern: every
+    input bucket is consumed exactly once and the template index
+    advances 0 or 1 — the slope-constrained form whose DP row depends
+    only on the PREVIOUS row, so the whole recurrence is one
+    ``aggregate`` fold over the ordered bucket values; no Python, no
+    per-row UDF).  The pattern-matching score "how well does this
+    series trace the template shape, allowing time stretching".
+
+    Bit-exact contract: bucket means are pinned to 6 decimals, then the
+    DP runs in INTEGER micro-units (|v*1e6 - t*1e6| costs, min/plus
+    folds) — identical in any engine, so the SQL twin replays the DP
+    with a recursive CTE carrying the row as a LIST and hash-matches.
+
+    Shape at 100 TB: ONE corpus-sized shuffle (bucket groupBy), then a
+    per-key collect of the bucket frame (buckets/series rows — bounded
+    by the series' time span, same contract as ``holt_winters``) and a
+    scan-level fold whose state is ``len(template)`` longs.  Series
+    shorter than the template cannot finish the path -> NULL.
+    """
+    b_ms = window_duration_ms(bucket)
+    if b_ms is None or b_ms <= 0:
+        raise ValueError(f"bucket must be a fixed window, got {bucket!r}")
+    t_micro = [int(round(float(t) * 1e6)) for t in template]
+    m = len(t_micro)
+    if m < 1:
+        raise ValueError("template must be non-empty")
+    inf = 1 << 60
+    keys = [F.col(c) for c in partition_by]
+    pos = (F.floor(F.unix_millis(F.col(time_col))
+                   / F.lit(b_ms))).alias("__pos")
+    bf = (df.groupBy(*keys, pos)
+          .agg(F.round(F.avg(field), 6).alias("__v")))
+    per_key = bf.groupBy(*partition_by).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__v"))),
+            lambda s: F.round(s["__v"] * 1e6).cast("long")).alias("__s"))
+    t_arr = ", ".join(str(t) for t in t_micro)
+    # seed: first value may only sit on template position 1; fold the
+    # rest with D'[j] = cost(v, T[j]) + min(D[j], D[j-1])
+    dp = (
+        f"aggregate(slice(__s, 2, size(__s) - 1), "
+        f"transform(array({t_arr}), (t, j) -> IF(j = 0, "
+        f"abs(element_at(__s, 1) - t), {inf}L)), "
+        f"(acc, v) -> zip_with(array({t_arr}), "
+        f"transform(sequence(1, {m}), j -> "
+        f"least(element_at(acc, j), IF(j = 1, {inf}L, "
+        f"element_at(acc, greatest(j - 1, 1))))), "
+        f"(t, best) -> IF(best >= {inf}L, {inf}L, abs(v - t) + best)))")
+    out = per_key.select(
+        *partition_by, F.size("__s").alias("n_buckets"),
+        F.expr(f"element_at({dp}, {m})").alias("__d"))
+    return out.select(
+        *partition_by, "n_buckets",
+        F.when(F.col("__d") < inf, F.col("__d")).alias("dtw_micro"),
+        F.when(F.col("__d") < inf,
+               F.round(F.col("__d") / 1e6, 6)).alias("dtw"))

@@ -664,3 +664,43 @@ def test_anomaly_ensemble_majority_vote(spark):
         .select(F.timestamp_millis("ms").alias("time"), "value")
     r1 = anomaly_ensemble(one, "value").collect()[0]
     assert r1["votes"] == 0 and not r1["ensemble_anomaly"]
+
+
+def test_dtw_to_template(spark):
+    """The aggregate-fold DP equals a reference Python implementation of
+    the asymmetric step pattern, and series shorter than the template
+    yield NULL (no valid path)."""
+    import datetime as dt
+    from pypond_spark.operators.correlate import dtw_to_template
+    template = [0.0, 1.0, 2.0, 1.0]
+    vals = [0.5, 0.5, 1.5, 2.5, 1.0, 0.0]
+    rows = [("u", dt.datetime(2020, 1, 1, h), v)
+            for h, v in enumerate(vals)]
+    rows += [("short", dt.datetime(2020, 1, 1, 0), 3.0),
+             ("short", dt.datetime(2020, 1, 1, 1), 3.0)]
+    df = spark.createDataFrame(rows, ["user_id", "time", "value"])
+    out = {r["user_id"]: r for r in
+           dtw_to_template(df, template, bucket="1h",
+                           partition_by=("user_id",)).collect()}
+
+    def ref(seq, tpl):
+        inf = float("inf")
+        t = [int(round(x * 1e6)) for x in tpl]
+        s = [int(round(x * 1e6)) for x in seq]
+        d = [abs(s[0] - t[j]) if j == 0 else inf
+             for j in range(len(t))]
+        for v in s[1:]:
+            d = [abs(v - t[j]) + min(d[j], d[j - 1] if j else inf)
+                 for j in range(len(t))]
+        return d[-1]
+
+    assert out["u"]["dtw_micro"] == ref(vals, template)
+    assert out["u"]["n_buckets"] == 6
+    # 2 buckets cannot consume a 4-point template -> no path
+    assert out["short"]["dtw_micro"] is None
+    assert out["short"]["dtw"] is None
+    with pytest.raises(ValueError, match="template"):
+        dtw_to_template(df, [], partition_by=("user_id",))
+    with pytest.raises(ValueError, match="bucket"):
+        dtw_to_template(df, template, bucket="monthly",
+                        partition_by=("user_id",))
