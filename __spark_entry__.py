@@ -797,6 +797,46 @@ def q_dtw_daily_template(spark, sf_dir):
                            time_col="ts")
 
 
+def q_cusum_hourly_by_user(spark, sf_dir):
+    """CUSUM changepoint alarms (Page 1954) over each user's hourly
+    mean series (operators/changepoint.py::cusum_changepoints):
+    self-referenced two-sided cumulative sums with restart, k=2 / h=40
+    in value units.  The whole recurrence runs n-scaled in integers
+    (r_i = n*m_i - sum(m) — exact, order-independent), so the SQL twin
+    replays it with a recursive CTE and hash-matches exactly."""
+    from pypond_spark.operators.changepoint import cusum_changepoints
+    ev = _events_df(spark, sf_dir)
+    return cusum_changepoints(ev, field="value", bucket="1h",
+                              partition_by=("user_id",), k=2.0, h=40.0,
+                              time_col="ts")
+
+
+def q_stream_cusum(spark, sf_dir):
+    """Streaming per-event CUSUM drift alarms (streaming/stream.py::
+    stream_cusum): deviation from an explicit target level (50 — the
+    corpus mean a production monitor would carry in from yesterday's
+    batch), k=10 / h=200, state = TWO longs per user.  Integer
+    micro-unit arithmetic makes the drained stream equal the per-event
+    recursive-CTE replay bit-for-bit."""
+    from pypond_spark.streaming import stream_cusum
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_cusum(sdf, "value", target=50.0, k=10.0, h=200.0,
+                       partition_by=["user_id"], tiebreak="event_id")
+    return _run_stream_32(spark, out, "append")
+
+
+
+def q_rouge2_pairs(spark, sf_dir):
+    """ROUGE-2 overlap scoring of LSH candidate pairs
+    (datapipe/textstats.py::rouge_pairs; Lin 2004): clipped bigram
+    multiset overlap -> recall/precision/F1 per pair — the standard
+    summarization/contamination metric as a corpus-scale pair scorer.
+    Integer counts until the final divisions, so the twin hash-matches;
+    cost bounded by the banding, never corpus^2."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.rouge_pairs(docs, n=2, num_hashes=8, band_size=4)
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprint selection (textstats.py::
     winnow_fingerprints; Schleimer-Wilkerson-Aiken SIGMOD 2003, the
@@ -3745,6 +3785,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reorders never-driver-verified entries to the front automatically from
     the committed CORRECTNESS_r*.json snapshots."""
     return {
+        "cusum_hourly_by_user": q_cusum_hourly_by_user,
+        "rouge2_pairs": q_rouge2_pairs,
+        "stream_cusum": q_stream_cusum,
         "rollup_daily_local_dst": q_rollup_daily_local_dst,
         "dedup_docs_longest": q_dedup_docs_longest,
         "char_entropy": q_char_entropy,
@@ -4506,6 +4549,65 @@ def _dtw_oracle() -> str:
                     THEN round(rec.d[{m}] / 1000000.0, 6) END AS dtw
         FROM rec JOIN nmax ON nmax.user_id = rec.user_id
                           AND nmax.n = rec.i
+    """
+
+
+def _cusum_oracle(k_mic: int = 2_000_000, h_mic: int = 40_000_000) -> str:
+    """Recursive-CTE replay of cusum_changepoints' n-scaled integer
+    fold: one iteration per bucket row, state = (S+, S-) as BIGINTs,
+    alarm rows emitted where either side exceeds h*n, both sides
+    restarting at 0 after an alarm (mirrors the Spark fold literally)."""
+    return f"""
+        WITH RECURSIVE bf AS (
+          SELECT user_id,
+                 CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS p,
+                 CAST(round(round(avg(value), 6) * 1000000.0) AS BIGINT)
+                   AS m
+          FROM events GROUP BY 1, 2
+        ), rn AS (
+          SELECT user_id, p, m,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY p) AS i
+          FROM bf
+        ), ag AS (
+          SELECT user_id, count(*) AS n, sum(m) AS s FROM bf GROUP BY 1
+        ), rec AS (
+          SELECT user_id, 0 AS i, 0::BIGINT AS sp, 0::BIGINT AS sn,
+                 NULL::BIGINT AS p, NULL::VARCHAR AS d,
+                 NULL::BIGINT AS st
+          FROM ag
+          UNION ALL
+          SELECT t.user_id, t.i,
+                 CASE WHEN t.hit THEN 0 ELSE t.sp1 END,
+                 CASE WHEN t.hit THEN 0 ELSE t.sn1 END, t.p,
+                 CASE WHEN t.hit THEN
+                   (CASE WHEN t.sp1 >= t.sn1 THEN 'up' ELSE 'down' END)
+                 END,
+                 CASE WHEN t.hit THEN
+                   (CASE WHEN t.sp1 >= t.sn1 THEN t.sp1 ELSE t.sn1 END)
+                 END
+          FROM (
+            SELECT r.user_id, r.i, r.p,
+                   greatest(0, v.sp + (ag.n * r.m - ag.s)
+                               - {k_mic} * ag.n) AS sp1,
+                   greatest(0, v.sn - (ag.n * r.m - ag.s)
+                               - {k_mic} * ag.n) AS sn1,
+                   (greatest(0, v.sp + (ag.n * r.m - ag.s)
+                                - {k_mic} * ag.n) > {h_mic} * ag.n
+                    OR greatest(0, v.sn - (ag.n * r.m - ag.s)
+                                   - {k_mic} * ag.n) > {h_mic} * ag.n)
+                     AS hit
+            FROM rec v
+            JOIN rn r ON r.user_id = v.user_id AND r.i = v.i + 1
+            JOIN ag ON ag.user_id = v.user_id
+          ) t
+        )
+        SELECT rec.user_id AS user_id, rec.p * 3600000 AS t_ms,
+               rec.d AS direction,
+               round(rec.st / ag.n / 1000000.0, 6) AS stat,
+               ag.n AS n_buckets
+        FROM rec JOIN ag ON ag.user_id = rec.user_id
+        WHERE rec.d IS NOT NULL
     """
 
 
@@ -7387,6 +7489,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_distinct": _hll_oracle(),
         "dtw_daily_template": _dtw_oracle(),
+        "cusum_hourly_by_user": _cusum_oracle(),
+        # per-event replay of the streaming CUSUM state machine:
+        # target 50, k=10, h=200 in integer micro-units, (ts, event_id)
+        # fold order — identical arithmetic to _cusum_state_fn
+        "stream_cusum": """
+            WITH RECURSIVE rn AS (
+              SELECT user_id, event_id, epoch_ms(ts) AS t_ms,
+                     CAST(round(round(value, 6) * 1000000.0) AS BIGINT)
+                       AS m,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS i
+              FROM events WHERE value IS NOT NULL
+            ), rec AS (
+              SELECT user_id, 0 AS i, 0::BIGINT AS sp, 0::BIGINT AS sn,
+                     NULL::BIGINT AS t_ms, NULL::VARCHAR AS d,
+                     NULL::BIGINT AS st
+              FROM (SELECT DISTINCT user_id FROM rn)
+              UNION ALL
+              SELECT t.user_id, t.i,
+                     CASE WHEN t.hit THEN 0 ELSE t.sp1 END,
+                     CASE WHEN t.hit THEN 0 ELSE t.sn1 END, t.t_ms,
+                     CASE WHEN t.hit THEN
+                       (CASE WHEN t.sp1 >= t.sn1
+                             THEN 'up' ELSE 'down' END) END,
+                     CASE WHEN t.hit THEN
+                       (CASE WHEN t.sp1 >= t.sn1
+                             THEN t.sp1 ELSE t.sn1 END) END
+              FROM (
+                SELECT r.user_id, r.i, r.t_ms,
+                       greatest(0, v.sp + (r.m - 50000000)
+                                   - 10000000) AS sp1,
+                       greatest(0, v.sn - (r.m - 50000000)
+                                   - 10000000) AS sn1,
+                       (greatest(0, v.sp + (r.m - 50000000)
+                                    - 10000000) > 200000000
+                        OR greatest(0, v.sn - (r.m - 50000000)
+                                       - 10000000) > 200000000) AS hit
+                FROM rec v
+                JOIN rn r ON r.user_id = v.user_id AND r.i = v.i + 1
+              ) t
+            )
+            SELECT user_id, t_ms, d AS direction,
+                   round(st / 1000000.0, 6) AS stat
+            FROM rec WHERE d IS NOT NULL
+        """,
         "winnow_fingerprints": """
             -- rightmost-min composite: hash * 2^20 + (2^20-1 - pos);
             -- plain window min == (min hash, then max pos)
@@ -7468,6 +7615,60 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*) / (SELECT n FROM tot), 6) AS share
             FROM tok GROUP BY token
             HAVING count(*) * 64 >= (SELECT n FROM tot)
+        """,
+        "rouge2_pairs": _SHINGLES + f"""
+            , sig AS (
+              SELECT doc_id,
+                     {_mh_sig_cols(8)}
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([
+                  md5(concat_ws('|', '0', m0, m1, m2, m3)),
+                  md5(concat_ws('|', '1', m4, m5, m6, m7))]) AS band
+              FROM sig
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.doc_id < b.doc_id
+            ), tk AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       list_filter(string_split_regex(trim(text),
+                                                      '\\s+'),
+                                   x -> x != ''),
+                       x -> regexp_replace(lower(x),
+                           '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                       x -> x != '') AS mw
+              FROM documents
+            ), gc AS (
+              SELECT doc_id, g, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(mw[i:i+1], ' ')
+                               for i in generate_series(1, len(mw) - 1)])
+                       AS g
+                FROM tk)
+              GROUP BY 1, 2
+            ), tot AS (
+              SELECT doc_id, sum(c) AS t FROM gc GROUP BY 1
+            ), ov AS (
+              SELECT c.id_a, c.id_b, sum(least(a.c, b.c)) AS ov
+              FROM cand c
+              JOIN gc a ON a.doc_id = c.id_a
+              JOIN gc b ON b.doc_id = c.id_b AND b.g = a.g
+              GROUP BY 1, 2
+            )
+            SELECT c.id_a, c.id_b,
+                   CAST(coalesce(o.ov, 0) AS BIGINT) AS overlap,
+                   coalesce(round(o.ov / ta.t, 6), 0.0) AS rouge2_recall,
+                   coalesce(round(o.ov / tb.t, 6), 0.0)
+                     AS rouge2_precision,
+                   coalesce(round(2.0 * (o.ov / ta.t) * (o.ov / tb.t)
+                                  / ((o.ov / ta.t) + (o.ov / tb.t)), 6),
+                            0.0) AS rouge2_f1
+            FROM cand c
+            LEFT JOIN ov o ON o.id_a = c.id_a AND o.id_b = c.id_b
+            LEFT JOIN tot ta ON ta.doc_id = c.id_a
+            LEFT JOIN tot tb ON tb.doc_id = c.id_b
         """,
         "editdist_pairs": _SHINGLES + f"""
             , sig AS (

@@ -235,6 +235,8 @@ HEADLINE = [
     "winnow_fingerprints",
     "winnow_overlap",
     "dtw_daily_template",
+    "cusum_hourly_by_user",
+    "rouge2_pairs",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the
@@ -265,6 +267,7 @@ STREAM = [
     "stream_hll",
     "stream_bloom",
     "stream_first_seen",
+    "stream_cusum",
 ]
 
 

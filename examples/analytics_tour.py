@@ -148,6 +148,15 @@ def main() -> None:
     print("merged rollup rows:", merged.count(),
           "| densified (empty hours as zeros):", dense.count())
 
+    # 18. changepoints: WHERE did a user's hourly level actually shift?
+    # (stage 8's cusum flags drifting EVENTS; this emits one restart-
+    #  bounded alarm per level shift on the bucketed series)
+    from pypond_spark.operators.changepoint import cusum_changepoints
+    cp = cusum_changepoints(df, "value", bucket="1h",
+                            partition_by=("user_id",), k=2.0, h=40.0)
+    print("CUSUM changepoint alarms:", cp.count(), "| users alarmed:",
+          cp.select("user_id").distinct().count())
+
     spark.stop()
 
 

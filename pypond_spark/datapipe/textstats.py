@@ -925,3 +925,70 @@ def winnow_overlap(df: DataFrame, k: int = 3, window: int = 4,
                     F.round(F.col("shared")
                             / F.least("__na", "__nb"), 6)
                     .alias("containment")))
+
+
+def rouge_pairs(df: DataFrame, pairs: DataFrame | None = None,
+                text_col: str = "text", id_col: str = "doc_id",
+                n: int = 2, **lsh_kwargs) -> DataFrame:
+    """ROUGE-N overlap scoring between candidate document pairs (Lin
+    2004, *ROUGE: A Package for Automatic Evaluation of Summaries*):
+    clipped n-gram overlap ``sum(min(count_a, count_b))`` over the two
+    documents' n-gram multisets, reported as recall against ``id_a``
+    (the reference), precision against ``id_b`` (the candidate), and
+    their F1 — the standard summarization/contamination metric, here
+    turned into a corpus-scale pair scorer.
+
+    Tokens are the engine's normalized match tokens (lowercased,
+    edge-punctuation stripped, empties dropped); documents with fewer
+    than ``n`` tokens have an empty gram multiset and score 0.
+
+    Like :func:`~pypond_spark.datapipe.dedup.editdist_pairs`, the
+    quadratic surface is avoided by scoring ONLY candidate pairs
+    (default :func:`~pypond_spark.datapipe.dedup.lsh_candidate_pairs`)
+    — cost is sum over pairs of |grams(id_a)|, never corpus². The gram
+    tables themselves are one scan + one (id, gram) groupBy; the pair
+    join carries the gram in its key so it stays a hash join. All
+    arithmetic is exact integer counts until the final divisions, so
+    the SQL twin hash-matches.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if pairs is None:
+        from . import dedup as _dedup
+        pairs = _dedup.lsh_candidate_pairs(df, text_col, id_col,
+                                           **lsh_kwargs)
+    toks = F.filter(_match_tokens(text_col), lambda t: t != F.lit(""))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
+                                         for j in range(n)]))) \
+        .otherwise(F.array().cast("array<string>"))
+    gc = (spread(df)
+          .select(F.col(id_col), F.explode(grams).alias("__g"))
+          .groupBy(id_col, "__g").agg(F.count("*").alias("__c")))
+    tot = gc.groupBy(id_col).agg(F.sum("__c").alias("__t"))
+    ga = gc.select(F.col(id_col).alias("id_a"), "__g",
+                   F.col("__c").alias("__ca"))
+    gb = gc.select(F.col(id_col).alias("id_b"), "__g",
+                   F.col("__c").alias("__cb"))
+    key = pairs.select("id_a", "id_b")
+    ov = (key.join(ga, "id_a").join(gb, ["id_b", "__g"])
+          .groupBy("id_a", "id_b")
+          .agg(F.sum(F.least("__ca", "__cb")).alias("__ov")))
+    out = (key.join(ov, ["id_a", "id_b"], "left")
+           .join(tot.select(F.col(id_col).alias("id_a"),
+                            F.col("__t").alias("__ta")), "id_a", "left")
+           .join(tot.select(F.col(id_col).alias("id_b"),
+                            F.col("__t").alias("__tb")), "id_b", "left"))
+    ov0 = F.coalesce("__ov", F.lit(0))
+    rec = F.try_divide(ov0.cast("double"), F.col("__ta"))
+    prec = F.try_divide(ov0.cast("double"), F.col("__tb"))
+    f1 = F.try_divide(F.lit(2.0) * rec * prec, rec + prec)
+    return out.select(
+        "id_a", "id_b", ov0.alias("overlap"),
+        F.coalesce(F.round(rec, 6), F.lit(0.0)).alias(f"rouge{n}_recall"),
+        F.coalesce(F.round(prec, 6),
+                   F.lit(0.0)).alias(f"rouge{n}_precision"),
+        F.coalesce(F.round(f1, 6), F.lit(0.0)).alias(f"rouge{n}_f1"))

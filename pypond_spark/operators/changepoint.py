@@ -1,0 +1,130 @@
+"""Changepoint detection over bucketed series.
+
+CUSUM (Page 1954, *Continuous Inspection Schemes*): the classic
+sequential drift detector.  Per series key the bucket means ``v_i`` are
+folded through the two one-sided cumulative sums
+
+    S+_i = max(0, S+_{i-1} + (v_i - mu) - k)
+    S-_i = max(0, S-_{i-1} - (v_i - mu) - k)
+
+and an alarm fires whenever either side exceeds the threshold ``h``;
+after an alarm both sides restart at 0 (the standard restart scheme, so
+one level shift yields one alarm, not one per subsequent bucket).
+``mu`` is the series' own mean (self-referenced monitoring) unless an
+explicit ``target`` is given — the streaming twin
+(:func:`pypond_spark.streaming.stream.stream_cusum`) requires the
+explicit target, since a cross-batch stream cannot know its final mean.
+
+Bit-exact contract (the same discipline as ``dtw_to_template`` /
+``dsir_weights``): bucket means are pinned to 6 decimals, then the whole
+recurrence runs in INTEGERS.  With ``n`` buckets and integer micro-unit
+values ``m_i = round(v_i, 6) * 1e6``, the residual against the series
+mean is expressed n-scaled — ``r_i = n * m_i - sum(m)`` — which is exact
+(no division), order-independent (integer sum), and identical in any
+engine; ``k`` and ``h`` scale by the same ``n``.  The SQL twin replays
+the fold with a recursive CTE and hash-matches.
+
+There is no pypond counterpart (the reference has no changepoint
+surface); this extends the timeseries-analytics layer the way
+``theil_sen`` and ``holt_winters`` do.
+
+Shape at 100 TB: ONE corpus-sized shuffle (the bucket groupBy), then a
+per-key fold whose state is two longs plus the alarm list — the same
+collect-the-bucket-frame contract as ``holt_winters`` (rows per key
+bounded by the series' time span in buckets, not by event volume).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index import window_duration_ms
+
+__all__ = ["cusum_changepoints"]
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    field: str = "value",
+    bucket: str = "1h",
+    partition_by: Sequence[str] = (),
+    k: float = 0.5,
+    h: float = 5.0,
+    target: float | None = None,
+    time_col: str = "time",
+) -> DataFrame:
+    """One row per CUSUM alarm: ``(*partition_by, t_ms, direction,
+    stat, n_buckets)`` where ``t_ms`` is the alarmed bucket's start
+    (epoch ms), ``direction`` is ``'up'``/``'down'`` (if both sides
+    exceed ``h`` in the same bucket the larger statistic wins, ties to
+    ``'up'``), and ``stat`` is the exceeding cumulative sum in value
+    units (rounded to 6).
+
+    ``k`` (allowance/drift) and ``h`` (decision threshold) are in
+    absolute value units.  ``target=None`` monitors deviation from the
+    series' own mean; an explicit ``target`` monitors deviation from
+    that level (the streamable form).
+    """
+    b_ms = window_duration_ms(bucket)
+    if b_ms is None or b_ms <= 0:
+        raise ValueError(f"bucket must be a fixed window, got {bucket!r}")
+    k_mic = int(round(float(k) * 1e6))
+    h_mic = int(round(float(h) * 1e6))
+    keys = [F.col(c) for c in partition_by]
+    pos = (F.floor(F.unix_millis(F.col(time_col))
+                   / F.lit(b_ms))).alias("__pos")
+    bf = (df.groupBy(*keys, pos)
+          .agg(F.round(F.avg(field), 6).alias("__v")))
+    per_key = bf.groupBy(*partition_by).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__v"))),
+            lambda s: F.struct(
+                s["__pos"].alias("p"),
+                F.round(s["__v"] * 1e6).cast("long").alias("m"))
+        ).alias("__s"))
+    if target is None:
+        # n-scaled exact residual: r = n*m - sum(m); thresholds scale by n
+        scale = "size(__s)"
+        resid = f"size(__s) * x.m - aggregate(__s, 0L, (a, e) -> a + e.m)"
+    else:
+        t_mic = int(round(float(target) * 1e6))
+        scale = "1"
+        resid = f"x.m - {t_mic}L"
+    # fold state: (sp, sn, alarms[(p, dir, stat)]); sp1/sn1 inlined since
+    # SQL lambdas have no let-binding
+    sp1 = f"greatest(0L, acc.sp + ({resid}) - {k_mic}L * {scale})"
+    sn1 = f"greatest(0L, acc.sn - ({resid}) - {k_mic}L * {scale})"
+    hit = f"({sp1} > {h_mic}L * {scale} OR {sn1} > {h_mic}L * {scale})"
+    up = f"({sp1} >= {sn1})"
+    fold = f"""
+      aggregate(
+        __s,
+        named_struct(
+          'sp', 0L, 'sn', 0L,
+          'al', cast(array() as array<struct<p: bigint, d: string,
+                                             s: bigint>>)),
+        (acc, x) -> named_struct(
+          'sp', IF({hit}, 0L, {sp1}),
+          'sn', IF({hit}, 0L, {sn1}),
+          'al', IF({hit},
+                   array_append(acc.al, named_struct(
+                     'p', x.p,
+                     'd', IF({up}, 'up', 'down'),
+                     's', IF({up}, {sp1}, {sn1}))),
+                   acc.al)),
+        acc -> acc.al)
+    """
+    out = per_key.select(
+        *partition_by,
+        F.size("__s").alias("n_buckets"),
+        F.explode(F.expr(fold)).alias("__a"))
+    denom = (F.lit(1) if target is not None else F.col("n_buckets"))
+    return out.select(
+        *partition_by,
+        (F.col("__a.p") * F.lit(b_ms)).alias("t_ms"),
+        F.col("__a.d").alias("direction"),
+        F.round(F.col("__a.s") / denom / 1e6, 6).alias("stat"),
+        "n_buckets")

@@ -1394,3 +1394,47 @@ def test_winnow_overlap(spark):
     assert all(3 not in p for p in pairs)
     with pytest.raises(ValueError, match="min_shared"):
         tx.winnow_overlap(df, min_shared=0)
+
+
+def test_rouge_pairs(spark):
+    from pypond_spark.datapipe import textstats
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat sat on the rug"),
+         (3, "zz yy xx ww"),
+         (4, "One!")],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)],
+                                  ["id_a", "id_b"])
+    out = {(r["id_a"], r["id_b"]): r for r in
+           textstats.rouge_pairs(df, pairs=pairs, n=2).collect()}
+    # doc1 bigrams: {the cat, cat sat, sat on, on the, the mat};
+    # doc2 shares the first four of five -> R=P=4/5, F1=4/5
+    assert out[(1, 2)]["overlap"] == 4
+    assert abs(out[(1, 2)]["rouge2_recall"] - 0.8) < 1e-9
+    assert abs(out[(1, 2)]["rouge2_precision"] - 0.8) < 1e-9
+    assert abs(out[(1, 2)]["rouge2_f1"] - 0.8) < 1e-9
+    # disjoint pair scores 0 (left join + coalesce, no dropped row)
+    assert out[(1, 3)]["overlap"] == 0
+    assert out[(1, 3)]["rouge2_f1"] == 0.0
+    # '<n tokens' doc has an empty gram multiset -> all zeros, not NULL
+    assert out[(1, 4)]["overlap"] == 0
+    assert out[(1, 4)]["rouge2_recall"] == 0.0
+    # clipping: repeated gram counts min(c_a, c_b), not c_a*c_b
+    rep = spark.createDataFrame(
+        [(1, "ha ha ha ha"), (2, "ha ha x")], ["doc_id", "text"])
+    p2 = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    r = textstats.rouge_pairs(rep, pairs=p2, n=2).collect()[0]
+    # a: {ha ha: 3}, b: {ha ha: 1, ha x: 1} -> overlap 1, R=1/3, P=1/2
+    assert r["overlap"] == 1
+    assert abs(r["rouge2_recall"] - 1 / 3) < 1e-6
+    assert abs(r["rouge2_precision"] - 0.5) < 1e-9
+    # default path: LSH candidates feed the scorer (clone must surface)
+    twin = df.union(spark.createDataFrame(
+        [(5, "the cat sat on the mat")], ["doc_id", "text"]))
+    via = textstats.rouge_pairs(twin, n=2,
+                                num_hashes=8, band_size=4).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 5
+               and r["rouge2_f1"] == 1.0 for r in via)
+    with pytest.raises(ValueError, match="n must be"):
+        textstats.rouge_pairs(df, pairs=pairs, n=0)

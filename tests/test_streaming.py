@@ -912,3 +912,39 @@ def test_stream_first_seen_cross_batch(spark, tmp_path):
     rows = {r["digest"]: r["doc_id"] for r in
             spark.read.parquet(str(tmp_path / "out")).collect()}
     assert rows == {"k1": 2, "k2": 3, "k3": 7}
+
+
+def test_stream_cusum_cross_batch(spark, tmp_path):
+    """The 'up' alarm only fires because S+ accumulated in micro-batch 1
+    survives the checkpoint into micro-batch 2 (batch 2 alone reaches
+    2 < h); direction/stat match the per-event fold; NULLs are skipped."""
+    import json as _json
+    from pypond_spark.streaming import stream_cusum
+    # target 0, k=1, h=5: a walks S+ 2,4 in batch1 then 6>5 in batch2;
+    # b walks S- 3,6>5 inside batch1 (down alarm)
+    chunk1 = [{"t_ms": 0, "user": "a", "value": 3.0},
+              {"t_ms": 1_000, "user": "a", "value": 3.0},
+              {"t_ms": 0, "user": "b", "value": -4.0},
+              {"t_ms": 1_000, "user": "b", "value": -4.0},
+              {"t_ms": 2_000, "user": "b", "value": None}]
+    chunk2 = [{"t_ms": 2_000, "user": "a", "value": 3.0}]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate([chunk1, chunk2]):
+        with open(src / f"p{i}.json", "w") as fh:
+            for r in chunk:
+                fh.write(_json.dumps(r) + "\n")
+        sdf = (spark.readStream.schema(SCHEMA).json(str(src))
+               .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+               .drop("t_ms"))
+        out = stream_cusum(sdf, "value", target=0.0, k=1.0, h=5.0,
+                           partition_by=["user"])
+        q = (out.writeStream.format("parquet").outputMode("append")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    rows = sorted((r["user"], r["t_ms"], r["direction"], r["stat"])
+                  for r in spark.read.parquet(str(tmp_path / "out"))
+                  .collect())
+    assert rows == [("a", 2_000, "up", 6.0), ("b", 1_000, "down", 6.0)]

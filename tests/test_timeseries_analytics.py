@@ -704,3 +704,57 @@ def test_dtw_to_template(spark):
     with pytest.raises(ValueError, match="bucket"):
         dtw_to_template(df, template, bucket="monthly",
                         partition_by=("user_id",))
+
+
+def test_cusum_changepoints(spark):
+    """The aggregate-fold CUSUM equals a reference Python fold; a level
+    shift fires exactly one 'up' alarm (restart drains the statistic);
+    a quiet series fires none; explicit target skips the n-scaling."""
+    import datetime as dt
+    from pypond_spark.operators.changepoint import cusum_changepoints
+    # 6 buckets at 10, then 6 at 20: mean 15, k=1, h=8 ->
+    # S+ walks 0,0,..., then +4/bucket after the shift
+    vals = [10.0] * 6 + [20.0] * 6
+    rows = [("u", dt.datetime(2020, 1, 1, h), v)
+            for h, v in enumerate(vals)]
+    rows += [("quiet", dt.datetime(2020, 1, 1, h), 5.0)
+             for h in range(6)]
+    df = spark.createDataFrame(rows, ["user_id", "time", "value"])
+    out = cusum_changepoints(df, bucket="1h", partition_by=("user_id",),
+                             k=1.0, h=8.0).collect()
+
+    def ref(seq, k, h):
+        n = len(seq)
+        m = [int(round(v * 1e6)) for v in seq]
+        tot = sum(m)
+        sp = sn = 0
+        alarms = []
+        for i, mi in enumerate(m):
+            r = n * mi - tot
+            sp1 = max(0, sp + r - int(k * 1e6) * n)
+            sn1 = max(0, sn - r - int(k * 1e6) * n)
+            if sp1 > int(h * 1e6) * n or sn1 > int(h * 1e6) * n:
+                alarms.append((i, "up" if sp1 >= sn1 else "down",
+                               round(max(sp1, sn1) / n / 1e6, 6)))
+                sp = sn = 0
+            else:
+                sp, sn = sp1, sn1
+        return alarms
+
+    base = int(dt.datetime(2020, 1, 1,
+                           tzinfo=dt.timezone.utc).timestamp()) // 3600
+    expect = ref(vals, 1.0, 8.0)
+    got = sorted(((r["t_ms"] // 3600000 - base, r["direction"], r["stat"])
+                  for r in out if r["user_id"] == "u"))
+    assert got == [(i, d, s) for i, d, s in expect]
+    assert expect, "fixture must actually alarm"
+    assert all(r["user_id"] == "u" for r in out)  # quiet series silent
+    # explicit target: deviation from 0 with k=1,h=8 alarms on the 10s
+    tgt = cusum_changepoints(df.where(F.col("user_id") == "quiet"),
+                             bucket="1h", partition_by=("user_id",),
+                             k=1.0, h=8.0, target=0.0).collect()
+    # 5-1=4 per bucket: crosses 8 at bucket 2 (12>8), restarts, again at 5
+    assert [r["t_ms"] // 3600000 - base for r in tgt] == [2, 5]
+    assert all(r["direction"] == "up" for r in tgt)
+    with pytest.raises(ValueError, match="bucket"):
+        cusum_changepoints(df, bucket="monthly")
