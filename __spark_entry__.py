@@ -1078,6 +1078,21 @@ def q_embedding_hamming_dups(spark, sf_dir):
                                               max_hamming=3)
 
 
+
+def q_pca_embeddings(spark, sf_dir):
+    """Leading-2 principal-component projection (similarity.py::
+    pca_project; Hotelling 1933 power iteration with deflation): fit is
+    ONE bounded-shuffle pass (partial agg caps the exchange at d(d+3)/2
+    cells/partition) + O(d^2) driver math in left-fold float ops;
+    projection inlines mu/component literals into left-associative
+    chains (the jl_projection recipe).  The oracle replays the ENTIRE
+    fit — micro-int moment sums, covariance, 20 power-iteration steps
+    as a recursive CTE carrying v as a LIST, sign pin, deflation — and
+    lands on identical doubles."""
+    embs = _read(spark, sf_dir, "embeddings")
+    return dp_sim.pca_project(embs, n_components=2, iters=20)
+
+
 def q_jl_projection(spark, sf_dir):
     """Johnson-Lindenstrauss 64→16 Rademacher projection
     (similarity.py::random_projection, seed 0): sign-woven add/sub
@@ -3787,6 +3802,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cusum_hourly_by_user": q_cusum_hourly_by_user,
         "rouge2_pairs": q_rouge2_pairs,
+        "pca_embeddings": q_pca_embeddings,
         "stream_cusum": q_stream_cusum,
         "rollup_daily_local_dst": q_rollup_daily_local_dst,
         "dedup_docs_longest": q_dedup_docs_longest,
@@ -4549,6 +4565,96 @@ def _dtw_oracle() -> str:
                     THEN round(rec.d[{m}] / 1000000.0, 6) END AS dtw
         FROM rec JOIN nmax ON nmax.user_id = rec.user_id
                           AND nmax.n = rec.i
+    """
+
+
+
+def _pca_oracle(d: int = 64, iters: int = 20) -> str:
+    """Full replay of pca_fit + pca_project (similarity.py): micro-int
+    moment sums -> covariance -> power iteration (recursive CTE, v as a
+    LIST, per-step normalization) -> sign pin -> deflation -> second
+    component -> projection.  Every float op is a left fold (list_sum /
+    left-assoc chains) mirroring the driver math, so no rounding beyond
+    the engine's shared round(,6) pins is needed for hash equality."""
+    gs = f"generate_series(1, {d})"
+
+    def w_of(it, cm):
+        return (f"[list_sum([{cm}.cm[i][j] * {it}.v[j] for j in {gs}])"
+                f" for i in {gs}]")
+
+    def recursion(it, cm):
+        w = w_of(it, cm)
+        return f"""
+        {it} AS (
+          SELECT 0 AS t,
+                 [CAST(1 AS DOUBLE) / sqrt(CAST({d} AS DOUBLE))
+                  for q in {gs}] AS v
+          UNION ALL
+          SELECT t + 1,
+                 [wx / sqrt(list_sum([wy * wy for wy in {w}]))
+                  for wx in {w}]
+          FROM {it}, {cm} WHERE t < {iters}
+        )"""
+
+    def sign_pin(src, dst):
+        return f"""
+        {dst} AS MATERIALIZED (
+          SELECT CASE WHEN v[list_position([abs(x) for x in v],
+                             list_max([abs(x) for x in v]))] < 0
+                      THEN [-x for x in v] ELSE v END AS v
+          FROM (SELECT v FROM {src} WHERE t = {iters})
+        )"""
+
+    return f"""
+        WITH RECURSIVE mm AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(round(round(CAST(x AS DOUBLE), 6) * 1000000.0)
+                        AS BIGINT)) AS m
+          FROM embeddings WHERE len(embedding) = {d}
+        ), nn AS MATERIALIZED (SELECT count(*) AS n FROM mm
+        ), s1 AS MATERIALIZED (
+          SELECT i, sum(m[i]) AS s
+          FROM mm, {gs} t(i) GROUP BY i
+        ), mul AS MATERIALIZED (
+          SELECT list(CAST(s AS DOUBLE) / (nn.n * 1000000.0)
+                      ORDER BY i) AS mu
+          FROM s1, nn
+        ), p2 AS MATERIALIZED (
+          SELECT i, j, sum(m[i] * m[j]) AS p
+          FROM mm, {gs} t(i), {gs} u(j)
+          WHERE j >= i GROUP BY i, j
+        ), covh AS MATERIALIZED (
+          SELECT p2.i, p2.j,
+                 CAST(p2.p AS DOUBLE) / (nn.n * 1000000000000.0)
+                   - mul.mu[p2.i] * mul.mu[p2.j] AS c
+          FROM p2, nn, mul
+        ), covf AS MATERIALIZED (
+          SELECT i, j, c FROM covh
+          UNION ALL
+          SELECT j AS i, i AS j, c FROM covh WHERE i < j
+        ), cm AS MATERIALIZED (
+          SELECT list(cl ORDER BY i) AS cm FROM (
+            SELECT i, list(c ORDER BY j) AS cl FROM covf GROUP BY i)
+        ),{recursion("it1", "cm")},{sign_pin("it1", "v1s")}, l1 AS (
+          SELECT list_sum([v1s.v[i] *
+                   list_sum([cm.cm[i][j] * v1s.v[j] for j in {gs}])
+                   for i in {gs}]) AS lam
+          FROM v1s, cm
+        ), cm2 AS MATERIALIZED (
+          SELECT [[cm.cm[i][j] - l1.lam * v1s.v[i] * v1s.v[j]
+                   for j in {gs}] for i in {gs}] AS cm
+          FROM cm, v1s, l1
+        ),{recursion("it2", "cm2")},{sign_pin("it2", "v2s")}
+        SELECT e.vec_id AS vec_id,
+               round(list_sum([(round(CAST(e.embedding[i] AS DOUBLE), 6)
+                                - mul.mu[i]) * v1s.v[i]
+                               for i in {gs}]), 6) AS pc1,
+               round(list_sum([(round(CAST(e.embedding[i] AS DOUBLE), 6)
+                                - mul.mu[i]) * v2s.v[i]
+                               for i in {gs}]), 6) AS pc2
+        FROM embeddings e, mul, v1s, v2s
+        WHERE len(e.embedding) = {d}
     """
 
 
@@ -7490,6 +7596,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle(),
         "dtw_daily_template": _dtw_oracle(),
         "cusum_hourly_by_user": _cusum_oracle(),
+        "pca_embeddings": _pca_oracle(),
         # per-event replay of the streaming CUSUM state machine:
         # target 50, k=10, h=200 in integer micro-units, (ts, event_id)
         # fold order — identical arithmetic to _cusum_state_fn

@@ -237,6 +237,7 @@ HEADLINE = [
     "dtw_daily_template",
     "cusum_hourly_by_user",
     "rouge2_pairs",
+    "pca_embeddings",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

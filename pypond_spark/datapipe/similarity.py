@@ -1316,3 +1316,120 @@ def ivf_knn_join(df: DataFrame, queries: DataFrame,
             .select(F.col(q_id_col), F.col(id_col), sim.alias("cosine"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def _lsum(vals) -> float:
+    """Left-fold float sum — mirrors DuckDB ``list_sum`` over a list
+    comprehension (and Spark's left-associative ``+`` chains), so the
+    driver-side PCA math below reproduces the oracle's doubles bit-for-
+    bit (the jl_projection recipe: same fold order == same doubles)."""
+    s = 0.0
+    for v in vals:
+        s = s + v
+    return s
+
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding",
+            id_col: str = "vec_id", dim: int | None = None,
+            n_components: int = 2, iters: int = 20):
+    """Fit principal components by power iteration with deflation
+    (Hotelling 1933; the deterministic-arithmetic PCA a 100-TB corpus
+    can replay): returns ``(mu, components, eigenvalues, n)``.
+
+    Distributed part — ONE pass, ONE bounded shuffle: per row, explode
+    ``(i, j, m_i*m_j)`` micro-int products for ``i <= j`` (plus first
+    moments and a count cell) and ``groupBy(i, j).sum``.  Partial
+    aggregation collapses each partition to d(d+1)/2 + d + 1 cells
+    before the exchange, so the shuffle is O(d²·partitions) rows no
+    matter the corpus.  The driver pull is d(d+3)/2 + 1 BIGINTs — the
+    same O(small) contract as the k-means centroid collect.
+
+    Determinism: values are pinned to 6 decimals then accumulated as
+    exact integers (order-independent — micro-unit products up to
+    1e12/row; at >1e6 rows switch the sums to DECIMAL(38,0), noted
+    here rather than paid everywhere).  The driver-side covariance,
+    power iteration (fixed ``iters``, v0 = 1/sqrt(d)), per-step
+    normalization, sign pinning (first index of max |v_i| made
+    positive) and deflation use only left-fold float ops, so a SQL
+    replay of the identical recipe (recursive CTE carrying v as a
+    LIST) lands on the identical doubles.
+    """
+    if n_components < 1:
+        raise ValueError(f"n_components must be >= 1, got {n_components}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    d = dim or df.select(F.size(vec_col)).first()[0]
+    mm = (f"transform({vec_col}, x -> CAST(round(round(CAST(x AS DOUBLE),"
+          f" 6) * 1000000.0) AS BIGINT))")
+    cells = (
+        "explode(concat("
+        "array(named_struct('i', 0, 'j', 0, 'p', 1L)), "
+        f"transform(sequence(1, {d}), i -> "
+        "named_struct('i', i, 'j', 0, 'p', element_at(__m, i))), "
+        f"flatten(transform(sequence(1, {d}), i -> "
+        f"transform(sequence(i, {d}), j -> named_struct("
+        "'i', i, 'j', j, 'p', element_at(__m, i) * element_at(__m, j)"
+        "))))))")
+    rows = (spread(df).where(F.size(vec_col) == d)
+            .selectExpr(f"{mm} AS __m")
+            .selectExpr(f"{cells} AS s")
+            .groupBy("s.i", "s.j").agg(F.sum("s.p").alias("v"))
+            .collect())
+    cell = {(r["i"], r["j"]): r["v"] for r in rows}
+    n = cell[(0, 0)]
+    mu = [float(cell[(i, 0)]) / (n * 1e6) for i in range(1, d + 1)]
+    cov = [[0.0] * d for _ in range(d)]
+    for i in range(1, d + 1):
+        for j in range(i, d + 1):
+            c = (float(cell[(i, j)]) / (n * 1e12)
+                 - mu[i - 1] * mu[j - 1])
+            cov[i - 1][j - 1] = c
+            cov[j - 1][i - 1] = c
+    comps, lams = [], []
+    for _ in range(n_components):
+        v = [1.0 / math.sqrt(float(d))] * d
+        for _t in range(iters):
+            w = [_lsum(cov[i][j] * v[j] for j in range(d))
+                 for i in range(d)]
+            nrm = math.sqrt(_lsum(x * x for x in w))
+            v = [x / nrm for x in w]
+        mx = max(abs(x) for x in v)
+        if v[[abs(x) for x in v].index(mx)] < 0:
+            v = [-x for x in v]
+        lam = _lsum(v[i] * _lsum(cov[i][j] * v[j] for j in range(d))
+                    for i in range(d))
+        comps.append(v)
+        lams.append(lam)
+        cov = [[cov[i][j] - lam * v[i] * v[j] for j in range(d)]
+               for i in range(d)]
+    return mu, comps, lams, n
+
+
+def pca_project(df: DataFrame, vec_col: str = "embedding",
+                id_col: str = "vec_id", dim: int | None = None,
+                n_components: int = 2, iters: int = 20) -> DataFrame:
+    """Project every vector onto the corpus' leading principal
+    components: ``(id_col, pc1..pc{k})`` — the decorrelated,
+    variance-ranked coordinates that front ANN / clustering /
+    drift monitoring at scale (where :func:`random_projection` is the
+    oblivious cheap cut, this is the data-aware one).
+
+    Fit via :func:`pca_fit` (one bounded-shuffle pass + O(d²) driver
+    math); the projection itself inlines ``mu``/component literals
+    into explicit left-associative chains over unpacked scalar columns
+    (the jl_projection recipe — one parsed select, scan-level codegen,
+    no shuffle, stream-safe), so scoring adds NOTHING to the shuffle
+    plan and the SQL twin replaying the fit lands on identical doubles.
+    """
+    d = dim or df.select(F.size(vec_col)).first()[0]
+    mu, comps, _lams, _n = pca_fit(df, vec_col, id_col, d,
+                                   n_components, iters)
+    unpacked = spread(df).where(F.size(vec_col) == d).selectExpr(
+        id_col, *[f"round(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE),"
+                  f" 6) AS __e{i}" for i in range(d)])
+    projs = []
+    for c, v in enumerate(comps):
+        terms = " + ".join(f"((__e{i} - {mu[i]!r}) * {v[i]!r})"
+                           for i in range(d))
+        projs.append(f"round({terms}, 6) AS pc{c + 1}")
+    return unpacked.selectExpr(id_col, *projs)

@@ -1438,3 +1438,56 @@ def test_rouge_pairs(spark):
                and r["rouge2_f1"] == 1.0 for r in via)
     with pytest.raises(ValueError, match="n must be"):
         textstats.rouge_pairs(df, pairs=pairs, n=0)
+
+
+def test_pca_project(spark):
+    import math
+    from pypond_spark.datapipe import similarity as sim
+    # planted dominant axis: strong spread along e1, weak along e2,
+    # deterministic "noise" from a hash-ish recurrence (no RNG)
+    rows = []
+    for k in range(120):
+        a = ((k * 37) % 120 - 60) / 10.0        # var ~ 12
+        b = ((k * 53) % 40 - 20) / 40.0         # var ~ 0.08
+        c = ((k * 11) % 7 - 3) / 100.0
+        rows.append((k, [a + c, b - c, c, 2 * c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding",
+                    F.col("embedding").cast("array<float>"))
+    mu, comps, lams, n = sim.pca_fit(df, dim=4, n_components=2)
+    assert n == 120
+    # PC1 hugs the planted axis; eigenvalues ranked; components unit+orthogonal
+    assert abs(comps[0][0]) > 0.99
+    assert lams[0] > lams[1] > 0
+    assert abs(sum(x * x for x in comps[0]) - 1.0) < 1e-9
+    assert abs(sum(a * b for a, b in zip(*comps))) < 1e-6
+    # sign pin: the max-|.| coordinate is positive in both components
+    for v in comps:
+        assert v[max(range(4), key=lambda i: abs(v[i]))] > 0
+    # projection equals the driver-side dot product per vector
+    out = {r["vec_id"]: (r["pc1"], r["pc2"])
+           for r in sim.pca_project(df, dim=4, n_components=2).collect()}
+    assert len(out) == 120
+    import numpy as np
+    for k in (0, 7, 119):
+        # values round-trip through the frame's float32 storage
+        x = [round(float(np.float32(v)), 6) for v in [
+            ((k * 37) % 120 - 60) / 10.0 + ((k * 11) % 7 - 3) / 100.0,
+            ((k * 53) % 40 - 20) / 40.0 - ((k * 11) % 7 - 3) / 100.0,
+            ((k * 11) % 7 - 3) / 100.0, 2 * ((k * 11) % 7 - 3) / 100.0]]
+        for c in range(2):
+            want = sum((x[i] - mu[i]) * comps[c][i] for i in range(4))
+            assert abs(out[k][c] - want) < 1e-5, (k, c, out[k][c], want)
+    # variance captured by pc1 ~ lam1
+    import statistics
+    var1 = statistics.pvariance([out[k][0] for k in range(120)])
+    assert abs(var1 - lams[0]) < 1e-3 * max(1.0, lams[0])
+    # mixed-dim rows are filtered, not crashed
+    mixed = df.union(spark.createDataFrame(
+        [(999, [1.0, 2.0])], ["vec_id", "embedding"])
+        .withColumn("embedding", F.col("embedding").cast("array<float>")))
+    assert sim.pca_project(mixed, dim=4).count() == 120
+    with pytest.raises(ValueError, match="n_components"):
+        sim.pca_fit(df, dim=4, n_components=0)
+    with pytest.raises(ValueError, match="iters"):
+        sim.pca_fit(df, dim=4, iters=0)
