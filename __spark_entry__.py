@@ -1093,6 +1093,22 @@ def q_pca_embeddings(spark, sf_dir):
     return dp_sim.pca_project(embs, n_components=2, iters=20)
 
 
+
+def q_mutual_info_type_hour(spark, sf_dir):
+    """Mutual-information audit between event_type and hour-of-day
+    (datapipe/validate.py::mutual_information): MI, marginal entropies
+    and normalized MI in nats — the feature-association gate beside the
+    PSI drift check.  ONE corpus shuffle (the joint groupBy); every
+    term pinned to nano-nat BIGINTs before the order-independent sum
+    (the dsir discipline), so the twin hash-matches."""
+    from pypond_spark.datapipe import validate as dp_val
+    ev = _events_df(spark, sf_dir)
+    ev = ev.withColumn(
+        "hour", F.floor(F.unix_millis(F.col("ts")) / F.lit(3600000))
+        % 24)
+    return dp_val.mutual_information(ev, "event_type", "hour")
+
+
 def q_jl_projection(spark, sf_dir):
     """Johnson-Lindenstrauss 64→16 Rademacher projection
     (similarity.py::random_projection, seed 0): sign-woven add/sub
@@ -3803,6 +3819,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_hourly_by_user": q_cusum_hourly_by_user,
         "rouge2_pairs": q_rouge2_pairs,
         "pca_embeddings": q_pca_embeddings,
+        "mutual_info_type_hour": q_mutual_info_type_hour,
         "stream_cusum": q_stream_cusum,
         "rollup_daily_local_dst": q_rollup_daily_local_dst,
         "dedup_docs_longest": q_dedup_docs_longest,
@@ -7597,6 +7614,53 @@ def oracle_sql() -> dict[str, str]:
         "dtw_daily_template": _dtw_oracle(),
         "cusum_hourly_by_user": _cusum_oracle(),
         "pca_embeddings": _pca_oracle(),
+        "mutual_info_type_hour": """
+            WITH base AS (
+              SELECT event_type AS x,
+                     CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)
+                       % 24 AS y
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            ), joint AS (
+              SELECT x, y, count(*) AS c FROM base GROUP BY 1, 2
+            ), mx AS (
+              SELECT x, CAST(sum(c) AS BIGINT) AS cx
+              FROM joint GROUP BY 1
+            ), my AS (
+              SELECT y, CAST(sum(c) AS BIGINT) AS cy
+              FROM joint GROUP BY 1
+            ), nn AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n,
+                     count(*) AS cells
+              FROM joint
+            ), mi AS (
+              SELECT round(sum(
+                       CAST(round((j.c / nn.n)
+                                  * ln((nn.n * j.c) / (mx.cx * my.cy))
+                                  * 1000000000.0) AS BIGINT))
+                     / 1000000000.0, 6) AS mi_nats
+              FROM joint j
+              JOIN mx USING (x) JOIN my USING (y), nn
+            ), ex AS (
+              SELECT round(-sum(
+                       CAST(round((cx / nn.n) * ln(cx / nn.n)
+                                  * 1000000000.0) AS BIGINT))
+                     / 1000000000.0, 6) AS h_x
+              FROM mx, nn
+            ), ey AS (
+              SELECT round(-sum(
+                       CAST(round((cy / nn.n) * ln(cy / nn.n)
+                                  * 1000000000.0) AS BIGINT))
+                     / 1000000000.0, 6) AS h_y
+              FROM my, nn
+            )
+            SELECT nn.n AS n, nn.cells AS cells, mi.mi_nats AS mi_nats,
+                   ex.h_x AS h_x, ey.h_y AS h_y,
+                   CASE WHEN ex.h_x > 0 AND ey.h_y > 0
+                        THEN round(mi.mi_nats / sqrt(ex.h_x * ey.h_y), 6)
+                        ELSE 0.0 END AS nmi
+            FROM nn, mi, ex, ey
+        """,
         # per-event replay of the streaming CUSUM state machine:
         # target 50, k=10, h=200 in integer micro-units, (ts, event_id)
         # fold order — identical arithmetic to _cusum_state_fn

@@ -238,6 +238,7 @@ HEADLINE = [
     "cusum_hourly_by_user",
     "rouge2_pairs",
     "pca_embeddings",
+    "mutual_info_type_hour",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -124,3 +124,64 @@ def psi(df: DataFrame, field: str, split: Column | str,
         "c_base", "c_cur",
         p.alias("p_base"), q.alias("p_cur"),
         ((q - p) * F.log(q / p)).alias("contrib"))
+
+
+def mutual_information(df: DataFrame, x_col: Column | str,
+                       y_col: Column | str) -> DataFrame:
+    """Mutual information audit between two categorical columns —
+    MI(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) in nats, plus the marginal
+    entropies and the normalized MI (MI/sqrt(H(X)H(Y))).  The feature-
+    association check a pipeline runs before trusting a stratification
+    key ("is `source` just a proxy for `lang`?") or after a drift alarm
+    (PSI says WHAT moved; MI says what it moved WITH).
+
+    One corpus-sized shuffle (the joint groupBy); marginals, totals and
+    the term sum all run on the cells-sized joint table (|X|·|Y| rows),
+    with the 1-row total broadcast.  Rows with NULL in either column
+    are excluded (standard contingency-table semantics).
+
+    Determinism (the dsir_weights discipline): each cell's term is
+    pinned to nano-nats (round(term·1e9) as BIGINT) before the
+    order-independent integer sum; counts and count-products stay exact
+    BIGINTs, so the only floats are one division, one ``ln`` and one
+    multiply per cell — a SQL twin reproduces the hash exactly.
+
+    Output: one row ``(n, cells, mi_nats, h_x, h_y, nmi)``.
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    base = df.where(x.isNotNull() & y.isNotNull()) \
+        .select(x.alias("__x"), y.alias("__y"))
+    # the joint table feeds four consumers (marginals, totals, terms);
+    # localCheckpoint materializes the ONE corpus-sized shuffle so the
+    # plan re-reads |X|*|Y| cells instead of re-aggregating the corpus
+    joint = (base.groupBy("__x", "__y").agg(F.count("*").alias("__c"))
+             .localCheckpoint())
+    mx = joint.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    my = joint.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    nn = joint.agg(F.sum("__c").alias("__n"),
+                   F.count("*").alias("__cells"))
+    t = (joint.join(mx, "__x").join(my, "__y")
+         .crossJoin(F.broadcast(nn)))
+    term = ((F.col("__c") / F.col("__n"))
+            * F.log((F.col("__n") * F.col("__c"))
+                    / (F.col("__cx") * F.col("__cy"))))
+    ent = lambda c: (c / F.col("__n")) * F.log(c / F.col("__n"))  # noqa: E731
+    mic = F.round(term * 1e9).cast("long")
+    hxc = F.round(ent(F.col("__cx")) * 1e9).cast("long")
+    hyc = F.round(ent(F.col("__cy")) * 1e9).cast("long")
+    agg = t.agg(
+        F.first("__n").alias("n"),
+        F.first("__cells").alias("cells"),
+        F.round(F.sum(mic) / 1e9, 6).alias("mi_nats"))
+    hx = (mx.crossJoin(F.broadcast(nn))
+          .agg(F.round(-F.sum(hxc) / 1e9, 6).alias("h_x")))
+    hy = (my.crossJoin(F.broadcast(nn))
+          .agg(F.round(-F.sum(hyc) / 1e9, 6).alias("h_y")))
+    out = agg.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    nmi = F.when((F.col("h_x") > 0) & (F.col("h_y") > 0),
+                 F.round(F.col("mi_nats")
+                         / F.sqrt(F.col("h_x") * F.col("h_y")), 6)) \
+        .otherwise(F.lit(0.0))
+    return out.select("n", "cells", "mi_nats", "h_x", "h_y",
+                      nmi.alias("nmi"))

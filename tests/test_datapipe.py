@@ -1491,3 +1491,39 @@ def test_pca_project(spark):
         sim.pca_fit(df, dim=4, n_components=0)
     with pytest.raises(ValueError, match="iters"):
         sim.pca_fit(df, dim=4, iters=0)
+
+
+def test_mutual_information(spark):
+    import math
+    from pypond_spark.datapipe.validate import mutual_information
+    # perfect dependence: MI == H(X) == H(Y) == ln 2, NMI == 1
+    dep = spark.createDataFrame([("a", 1)] * 10 + [("b", 2)] * 10,
+                                ["x", "y"])
+    r = mutual_information(dep, "x", "y").first()
+    ln2 = round(math.log(2), 6)
+    assert (r["n"], r["cells"]) == (20, 2)
+    assert r["mi_nats"] == ln2 and r["h_x"] == ln2 and r["h_y"] == ln2
+    assert r["nmi"] == 1.0
+    # independence: MI == 0 (and no -0.0 artifacts)
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in (1, 2) for _ in range(5)],
+        ["x", "y"])
+    r2 = mutual_information(ind, "x", "y").first()
+    assert r2["mi_nats"] == 0.0 and r2["nmi"] == 0.0
+    # partial dependence: hand-computed contingency 2x2 (6,2 / 2,6)
+    part = spark.createDataFrame(
+        [("a", 1)] * 6 + [("a", 2)] * 2 + [("b", 1)] * 2 + [("b", 2)] * 6,
+        ["x", "y"])
+    r3 = mutual_information(part, "x", "y").first()
+    want = sum((c / 16) * math.log(16 * c / (8 * 8))
+               for c in (6, 2, 2, 6))
+    assert abs(r3["mi_nats"] - want) < 1e-6
+    assert 0 < r3["nmi"] < 1
+    # NULLs in either column are excluded from the table
+    withnull = dep.union(spark.createDataFrame(
+        [("a", None), (None, 1)], ["x", "y"]))
+    r4 = mutual_information(withnull, "x", "y").first()
+    assert r4["n"] == 20 and r4["mi_nats"] == ln2
+    # Column expressions accepted
+    r5 = mutual_information(dep, F.upper("x"), F.col("y") * 2).first()
+    assert r5["mi_nats"] == ln2
