@@ -1109,6 +1109,22 @@ def q_mutual_info_type_hour(spark, sf_dir):
     return dp_val.mutual_information(ev, "event_type", "hour")
 
 
+
+def q_bursts_by_type(spark, sf_dir):
+    """Kleinberg burst intervals per event_type (operators/burst.py::
+    kleinberg_bursts, KDD 2002): two-state Viterbi over hourly share-
+    of-traffic, costs pinned to micro-nat BIGINTs, the path carried IN
+    the scan-level fold (two candidate state strings — no Python, no
+    extra shuffle beyond the bucket groupBys).  s=1.5, gamma=0.2 fires
+    163 informative bursts at sf.  The oracle replays the exact DP as
+    a recursive CTE and the gaps-and-islands interval assembly."""
+    from pypond_spark.operators.burst import kleinberg_bursts
+    ev = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    return kleinberg_bursts(ev, bucket="1h",
+                            partition_by=("event_type",),
+                            s=1.5, gamma=0.2)
+
+
 def q_jl_projection(spark, sf_dir):
     """Johnson-Lindenstrauss 64→16 Rademacher projection
     (similarity.py::random_projection, seed 0): sign-woven add/sub
@@ -3820,6 +3836,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge2_pairs": q_rouge2_pairs,
         "pca_embeddings": q_pca_embeddings,
         "mutual_info_type_hour": q_mutual_info_type_hour,
+        "bursts_by_type": q_bursts_by_type,
         "stream_cusum": q_stream_cusum,
         "rollup_daily_local_dst": q_rollup_daily_local_dst,
         "dedup_docs_longest": q_dedup_docs_longest,
@@ -7614,6 +7631,84 @@ def oracle_sql() -> dict[str, str]:
         "dtw_daily_template": _dtw_oracle(),
         "cusum_hourly_by_user": _cusum_oracle(),
         "pca_embeddings": _pca_oracle(),
+        "bursts_by_type": """
+            WITH RECURSIVE tot AS MATERIALIZED (
+              SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)
+                       AS p, count(*) AS n
+              FROM events GROUP BY 1
+            ), per AS MATERIALIZED (
+              SELECT event_type AS k,
+                     CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)
+                       AS p, count(*) AS c
+              FROM events GROUP BY 1, 2
+            ), ser AS (SELECT DISTINCT k FROM per
+            ), bf AS MATERIALIZED (
+              SELECT s.k, t.p, CAST(t.n AS BIGINT) AS n,
+                     CAST(coalesce(per.c, 0) AS BIGINT) AS c
+              FROM tot t CROSS JOIN ser s
+              LEFT JOIN per ON per.k = s.k AND per.p = t.p
+            ), ag AS MATERIALIZED (
+              SELECT k, count(*) AS t, CAST(sum(c) AS BIGINT) AS cs,
+                     CAST(sum(n) AS BIGINT) AS ns
+              FROM bf GROUP BY 1
+            ), par AS MATERIALIZED (
+              SELECT k, t,
+                     (CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)) AS p0,
+                     least(1.5 * (CAST(cs AS DOUBLE)
+                                  / CAST(ns AS DOUBLE)), 0.9999) AS p1,
+                     CAST(round(0.2 * ln(CAST(t AS DOUBLE))
+                                * 1000000.0) AS BIGINT) AS tau
+              FROM ag
+            ), rn AS MATERIALIZED (
+              SELECT bf.k, bf.p, bf.n, bf.c,
+                     row_number() OVER (PARTITION BY bf.k
+                                        ORDER BY bf.p) AS i,
+                     CAST(round(-(bf.c * ln(par.p0) + (bf.n - bf.c)
+                                  * ln(1 - par.p0)) * 1000000.0)
+                          AS BIGINT) AS c0,
+                     CAST(round(-(bf.c * ln(par.p1) + (bf.n - bf.c)
+                                  * ln(1 - par.p1)) * 1000000.0)
+                          AS BIGINT) AS c1
+              FROM bf JOIN par ON par.k = bf.k
+            ), rec AS (
+              SELECT k, 0 AS i, 0::BIGINT AS d0, tau AS d1,
+                     '' AS s0, '' AS s1
+              FROM par
+              UNION ALL
+              SELECT r.k, r.i,
+                     (CASE WHEN v.d0 <= v.d1 THEN v.d0 ELSE v.d1 END)
+                       + r.c0,
+                     (CASE WHEN v.d0 + par.tau <= v.d1
+                           THEN v.d0 + par.tau ELSE v.d1 END) + r.c1,
+                     (CASE WHEN v.d0 <= v.d1
+                           THEN v.s0 ELSE v.s1 END) || '0',
+                     (CASE WHEN v.d0 + par.tau <= v.d1
+                           THEN v.s0 ELSE v.s1 END) || '1'
+              FROM rec v
+              JOIN rn r ON r.k = v.k AND r.i = v.i + 1
+              JOIN par ON par.k = v.k
+            ), pth AS MATERIALIZED (
+              SELECT rec.k,
+                     CASE WHEN rec.d0 <= rec.d1
+                          THEN rec.s0 ELSE rec.s1 END AS path
+              FROM rec JOIN ag ON ag.k = rec.k AND rec.i = ag.t
+            ), hits AS (
+              SELECT r.k, r.i, r.p, r.c0 - r.c1 AS g
+              FROM rn r JOIN pth ON pth.k = r.k
+              WHERE substring(pth.path, r.i, 1) = '1'
+            ), isl AS (
+              SELECT k, i, p, g,
+                     i - row_number() OVER (PARTITION BY k
+                                            ORDER BY i) AS grp
+              FROM hits
+            )
+            SELECT k AS event_type, min(p) * 3600000 AS t_start_ms,
+                   max(p) * 3600000 AS t_end_ms,
+                   count(*) AS n_buckets,
+                   round(CAST(sum(g) AS BIGINT) / 1000000.0, 6)
+                     AS weight
+            FROM isl GROUP BY k, grp
+        """,
         "mutual_info_type_hour": """
             WITH base AS (
               SELECT event_type AS x,

@@ -239,6 +239,7 @@ HEADLINE = [
     "rouge2_pairs",
     "pca_embeddings",
     "mutual_info_type_hour",
+    "bursts_by_type",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -758,3 +758,63 @@ def test_cusum_changepoints(spark):
     assert all(r["direction"] == "up" for r in tgt)
     with pytest.raises(ValueError, match="bucket"):
         cusum_changepoints(df, bucket="monthly")
+
+
+def test_kleinberg_bursts(spark):
+    """A planted rate surge yields exactly one interval covering the
+    surged hours; a steady series stays silent; a reference Python
+    Viterbi (same micro-nat integer DP) agrees interval-for-interval."""
+    import datetime as dt
+    import math
+    from pypond_spark.operators.burst import kleinberg_bursts
+    rows = []
+    for h in range(48):
+        k = 20 if 10 <= h <= 12 else 1
+        for i in range(k):
+            rows.append(("u", dt.datetime(2020, 1, 1)
+                         + dt.timedelta(hours=h, seconds=i)))
+        for i in range(10):
+            rows.append(("bg", dt.datetime(2020, 1, 1)
+                         + dt.timedelta(hours=h, seconds=100 + i)))
+    df = spark.createDataFrame(rows, ["user", "time"])
+    out = kleinberg_bursts(df, bucket="1h", partition_by=("user",),
+                           s=3.0, gamma=0.5).collect()
+    assert len(out) == 1 and out[0]["user"] == "u"
+    base = int(dt.datetime(2020, 1, 1,
+                           tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert out[0]["t_start_ms"] == base + 10 * 3600000
+    assert out[0]["t_end_ms"] == base + 12 * 3600000
+    assert out[0]["n_buckets"] == 3 and out[0]["weight"] > 0
+
+    # reference DP on the 'u' series (c_t of n_t, micro-nat ints)
+    def ref(cs, ns, s, gamma):
+        T = len(cs)
+        p0 = float(sum(cs)) / float(sum(ns))
+        p1 = min(s * p0, 0.9999)
+        tau = int(round(gamma * math.log(float(T)) * 1e6))
+
+        def cost(c, n, p):
+            return int(round(-(c * math.log(p)
+                               + (n - c) * math.log(1 - p)) * 1e6))
+        d0, d1, s0, s1 = 0, tau, "", ""
+        for c, n in zip(cs, ns):
+            nd0 = (d0 if d0 <= d1 else d1) + cost(c, n, p0)
+            nd1 = ((d0 + tau if d0 + tau <= d1 else d1)
+                   + cost(c, n, p1))
+            ns0 = (s0 if d0 <= d1 else s1) + "0"
+            ns1 = (s0 if d0 + tau <= d1 else s1) + "1"
+            d0, d1, s0, s1 = nd0, nd1, ns0, ns1
+        return s0 if d0 <= d1 else s1
+
+    cs = [20 if 10 <= h <= 12 else 1 for h in range(48)]
+    ns = [c + 10 for c in cs]
+    path = ref(cs, ns, 3.0, 0.5)
+    assert [i for i, ch in enumerate(path) if ch == "1"] == [10, 11, 12]
+    # prohibitive entry cost: no bursts anywhere
+    quiet = kleinberg_bursts(df, bucket="1h", partition_by=("user",),
+                             s=3.0, gamma=1e6)
+    assert quiet.count() == 0
+    with pytest.raises(ValueError, match="s must be"):
+        kleinberg_bursts(df, s=1.0)
+    with pytest.raises(ValueError, match="bucket"):
+        kleinberg_bursts(df, bucket="monthly")
