@@ -1125,6 +1125,19 @@ def q_bursts_by_type(spark, sf_dir):
                             s=1.5, gamma=0.2)
 
 
+
+def q_chi2_lang_source(spark, sf_dir):
+    """Chi-squared independence audit between lang and source on the
+    documents table (datapipe/validate.py::chi_squared): X² over the
+    FULL r×k grid (zero cells contribute their expectation), dof and
+    Cramér's V — the significance companion to the MI audit.  Exact
+    integer counts into one division per cell, terms pinned to
+    nano-units before the order-independent sum."""
+    from pypond_spark.datapipe import validate as dp_val
+    docs = _read(spark, sf_dir, "documents")
+    return dp_val.chi_squared(docs, "lang", "source")
+
+
 def q_jl_projection(spark, sf_dir):
     """Johnson-Lindenstrauss 64→16 Rademacher projection
     (similarity.py::random_projection, seed 0): sign-woven add/sub
@@ -3837,6 +3850,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embeddings": q_pca_embeddings,
         "mutual_info_type_hour": q_mutual_info_type_hour,
         "bursts_by_type": q_bursts_by_type,
+        "chi2_lang_source": q_chi2_lang_source,
         "stream_cusum": q_stream_cusum,
         "rollup_daily_local_dst": q_rollup_daily_local_dst,
         "dedup_docs_longest": q_dedup_docs_longest,
@@ -7631,6 +7645,44 @@ def oracle_sql() -> dict[str, str]:
         "dtw_daily_template": _dtw_oracle(),
         "cusum_hourly_by_user": _cusum_oracle(),
         "pca_embeddings": _pca_oracle(),
+        "chi2_lang_source": """
+            WITH joint AS (
+              SELECT lang AS x, source AS y, count(*) AS c
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2
+            ), mx AS (
+              SELECT x, CAST(sum(c) AS BIGINT) AS cx
+              FROM joint GROUP BY 1
+            ), my AS (
+              SELECT y, CAST(sum(c) AS BIGINT) AS cy
+              FROM joint GROUP BY 1
+            ), nn AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS cells
+              FROM joint
+            ), grid AS (
+              SELECT mx.cx, my.cy, nn.n,
+                     CAST(coalesce(j.c, 0) AS BIGINT) AS c
+              FROM mx CROSS JOIN my
+              LEFT JOIN joint j ON j.x = mx.x AND j.y = my.y, nn
+            ), ag AS (
+              SELECT round(sum(CAST(round(
+                       (c - (cx * cy) / n) * (c - (cx * cy) / n)
+                       / ((cx * cy) / n) * 1000000000.0) AS BIGINT))
+                     / 1000000000.0, 6) AS chi2
+              FROM grid
+            ), rk AS (
+              SELECT (SELECT count(*) FROM mx) AS r,
+                     (SELECT count(*) FROM my) AS k
+            )
+            SELECT nn.n AS n, nn.cells AS cells,
+                   (rk.r - 1) * (rk.k - 1) AS dof, ag.chi2 AS chi2,
+                   CASE WHEN nn.n * least(rk.r - 1, rk.k - 1) > 0
+                        THEN round(sqrt(ag.chi2
+                             / (nn.n * least(rk.r - 1, rk.k - 1))), 6)
+                        ELSE 0.0 END AS cramers_v
+            FROM nn, ag, rk
+        """,
         "bursts_by_type": """
             WITH RECURSIVE tot AS MATERIALIZED (
               SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)

@@ -240,6 +240,7 @@ HEADLINE = [
     "pca_embeddings",
     "mutual_info_type_hour",
     "bursts_by_type",
+    "chi2_lang_source",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -185,3 +185,56 @@ def mutual_information(df: DataFrame, x_col: Column | str,
         .otherwise(F.lit(0.0))
     return out.select("n", "cells", "mi_nats", "h_x", "h_y",
                       nmi.alias("nmi"))
+
+
+def chi_squared(df: DataFrame, x_col: Column | str,
+                y_col: Column | str) -> DataFrame:
+    """Pearson chi-squared independence audit between two categorical
+    columns: ``X² = Σ (observed - expected)²/expected`` over the FULL
+    r×k grid (zero-observed cells contribute their expectation), plus
+    degrees of freedom and Cramér's V — the significance-flavored
+    companion to :func:`mutual_information` (MI says how much the
+    columns share; V says how far from independence relative to table
+    size).
+
+    Same shape as MI: ONE corpus-sized shuffle (the joint groupBy,
+    localCheckpointed for its consumers); the grid is the marginals'
+    cross join (|X|·|Y| rows).  Terms are pinned to nano-units before
+    the order-independent BIGINT sum; everything upstream of the one
+    division is exact integer counts, so the SQL twin hash-matches.
+
+    Output: one row ``(n, cells, dof, chi2, cramers_v)`` — ``cells``
+    counts OBSERVED cells, ``dof = (r-1)(k-1)``.
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    base = df.where(x.isNotNull() & y.isNotNull()) \
+        .select(x.alias("__x"), y.alias("__y"))
+    joint = (base.groupBy("__x", "__y").agg(F.count("*").alias("__c"))
+             .localCheckpoint())
+    mx = joint.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    my = joint.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    nn = joint.agg(F.sum("__c").alias("__n"),
+                   F.count("*").alias("__cells"))
+    grid = (mx.crossJoin(my)
+            .join(joint, ["__x", "__y"], "left")
+            .crossJoin(F.broadcast(nn))
+            .select("__cx", "__cy", "__n",
+                    F.coalesce("__c", F.lit(0)).alias("__c")))
+    e = (F.col("__cx") * F.col("__cy")) / F.col("__n")
+    term = (F.col("__c") - e) * (F.col("__c") - e) / e
+    tmic = F.round(term * 1e9).cast("long")
+    rk = (mx.agg(F.count("*").alias("__r"))
+          .crossJoin(my.agg(F.count("*").alias("__k"))))
+    agg = (grid.agg(F.round(F.sum(tmic) / 1e9, 6).alias("chi2"))
+           .crossJoin(F.broadcast(nn))
+           .crossJoin(F.broadcast(rk)))
+    dof = (F.col("__r") - 1) * (F.col("__k") - 1)
+    denom = F.col("__n") * F.least(F.col("__r") - 1, F.col("__k") - 1)
+    v = F.when(denom > 0,
+               F.round(F.sqrt(F.col("chi2") / denom), 6)) \
+        .otherwise(F.lit(0.0))
+    return agg.select(F.col("__n").alias("n"),
+                      F.col("__cells").alias("cells"),
+                      dof.alias("dof"), "chi2",
+                      v.alias("cramers_v"))

@@ -1527,3 +1527,34 @@ def test_mutual_information(spark):
     # Column expressions accepted
     r5 = mutual_information(dep, F.upper("x"), F.col("y") * 2).first()
     assert r5["mi_nats"] == ln2
+
+
+def test_chi_squared(spark):
+    from pypond_spark.datapipe.validate import chi_squared
+    # perfect dependence on a 2x2: chi2 == n, V == 1
+    dep = spark.createDataFrame([("a", 1)] * 10 + [("b", 2)] * 10,
+                                ["x", "y"])
+    r = chi_squared(dep, "x", "y").first()
+    assert (r["n"], r["cells"], r["dof"]) == (20, 2, 1)
+    assert r["chi2"] == 20.0 and r["cramers_v"] == 1.0
+    # independence: 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in (1, 2) for _ in range(5)],
+        ["x", "y"])
+    r2 = chi_squared(ind, "x", "y").first()
+    assert r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0
+    # hand-computed 2x2 (6,2 / 2,6): chi2 = 16*(6*6-2*2)^2/(8*8*8*8) = 4
+    part = spark.createDataFrame(
+        [("a", 1)] * 6 + [("a", 2)] * 2 + [("b", 1)] * 2 + [("b", 2)] * 6,
+        ["x", "y"])
+    r3 = chi_squared(part, "x", "y").first()
+    assert abs(r3["chi2"] - 4.0) < 1e-6
+    assert abs(r3["cramers_v"] - 0.5) < 1e-6
+    # zero-observed cell still contributes its expectation:
+    # scipy-checkable 2x2 with a structural zero (10,0 / 5,5)
+    z = spark.createDataFrame(
+        [("a", 1)] * 10 + [("b", 1)] * 5 + [("b", 2)] * 5, ["x", "y"])
+    r4 = chi_squared(z, "x", "y").first()
+    # expected: e(a,2) = 10*5/20 = 2.5; chi2 = sum = 20*(10*5-0*5)^2/(10*10*15*5)
+    want = 20 * (10 * 5 - 0 * 5) ** 2 / (10 * 10 * 15 * 5)
+    assert abs(r4["chi2"] - want) < 1e-6 and r4["cells"] == 3
