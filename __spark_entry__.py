@@ -1138,6 +1138,23 @@ def q_chi2_lang_source(spark, sf_dir):
     return dp_val.chi_squared(docs, "lang", "source")
 
 
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration of document length against the
+    is-English rate (datapipe/validate.py::isotonic_calibration,
+    Ayer 1955 / RWD 1988 minimax identity): rank-cumulative binning of
+    the quantized score onto 8 bins, pooled means from exact micro-unit
+    BIGINT prefix sums, then ``iso_i = max_{j<=i} min_{k>=i}
+    mean(j..k)`` as pure joins over the <=B-row bin frame — flat plan,
+    no sequential recursion, every mean ONE BIGINT/BIGINT division so
+    the SQL twin hash-matches."""
+    from pypond_spark.datapipe import validate as dp_val
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("n_chars").cast("double").alias("score"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("target"))
+    return dp_val.isotonic_calibration(base, "score", "target", bins=8)
+
+
 def q_jl_projection(spark, sf_dir):
     """Johnson-Lindenstrauss 64→16 Rademacher projection
     (similarity.py::random_projection, seed 0): sign-woven add/sub
@@ -1146,6 +1163,48 @@ def q_jl_projection(spark, sf_dir):
     rounding on either side."""
     embs = _read(spark, sf_dir, "embeddings")
     return dp_sim.random_projection(embs, dim=64, out_dim=16, seed=0)
+
+
+# Fixed unigram-LM vocabulary for the unigram_tokenize query: pieces that
+# cover the corpus' frequent words (table/key/scan/value/hash/...) with
+# distinct micro-nat scores (no exact ties), plus the unk single-char
+# fallback for everything else.  Mirrored literally into the oracle's
+# score CASE.
+_UNIGRAM_VOCAB = {
+    p: -800_000 - 7_000 * i for i, p in enumerate([
+        "tab", "le", "key", "sca", "n", "val", "ue", "has", "h",
+        "row", "agg", "slo", "w", "fas", "t", "par", "joi", "dat",
+        "a", "lin", "e", "bat", "ch", "win", "dow", "spa", "rk",
+        "ord", "er", "col", "umn", "sma", "ll", "que", "ry",
+        "cus", "tom", "val", "j", "b", "s", "c", "d",
+    ])
+}
+
+
+def q_unigram_tokenize(spark, sf_dir):
+    """Unigram-LM inference with a fixed integer-score vocabulary
+    (tokenize.py::unigram_apply, Kudo 2018): Viterbi-best segmentation
+    per DISTINCT word — the scan-level aggregate-fold DP with the
+    longer-piece tie-break — then reassembly in document word order.
+    The oracle replays the identical DP as a recursive CTE carrying
+    the D-list and segmentation string per word."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_tok.unigram_apply(docs, _UNIGRAM_VOCAB, max_word_len=12)
+    return out.select("doc_id", "n_tokens",
+                      F.concat_ws(" ", "tokens").alias("token_stream"))
+
+
+def q_unigram_train(spark, sf_dir):
+    """Unigram-LM training (tokenize.py::unigram_train, Kudo 2018 hard
+    EM): substring-seed candidates (all chars + top-80 multi-char by
+    weighted count), two Viterbi-EM rounds over the distinct-word
+    frame, prune to the top-40 pieces.  Integer micro-nat scores and
+    explicit tie-breaks everywhere, so the oracle replays the ENTIRE
+    loop — seed counts, both Viterbi rounds (recursive CTEs), both
+    recounts, the prune — and must match piece-for-piece."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_tok.unigram_train(docs, vocab_size=40, max_piece_len=3,
+                                iters=2, max_word_len=12)
 
 
 # Fixed merge table for the bpe_tokenize query: ranks that assemble the
@@ -3845,6 +3904,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reorders never-driver-verified entries to the front automatically from
     the committed CORRECTNESS_r*.json snapshots."""
     return {
+        "isotonic_calibration": q_isotonic_calibration,
         "cusum_hourly_by_user": q_cusum_hourly_by_user,
         "rouge2_pairs": q_rouge2_pairs,
         "pca_embeddings": q_pca_embeddings,
@@ -7645,6 +7705,63 @@ def oracle_sql() -> dict[str, str]:
         "dtw_daily_template": _dtw_oracle(),
         "cusum_hourly_by_user": _cusum_oracle(),
         "pca_embeddings": _pca_oracle(),
+        "isotonic_calibration": """
+            -- PAV via the minimax identity iso_i = max_{j<=i}
+            -- min_{k>=i} mean(j..k); exact BIGINT prefix sums, one
+            -- double division per segment mean — same fold as Spark
+            WITH base AS (
+              SELECT round(n_chars::DOUBLE, 6) AS v,
+                     CAST(round(round(CASE WHEN lang = 'en'
+                                           THEN 1.0 ELSE 0.0 END, 6)
+                                * 1000000.0) AS BIGINT) AS t
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), vals AS (
+              SELECT v, count(*) AS w, sum(t) AS s
+              FROM base GROUP BY 1
+            ), cums AS (
+              SELECT v, w, s,
+                     coalesce(sum(w) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cb,
+                     sum(w) OVER () AS n
+              FROM vals
+            ), binned AS (
+              SELECT least(7, CAST(floor(cb * 8 / n) AS BIGINT)) AS bin,
+                     w, s, v
+              FROM cums
+            ), bf AS (
+              SELECT bin, CAST(sum(w) AS BIGINT) AS bw,
+                     CAST(sum(s) AS BIGINT) AS bs,
+                     min(v) AS score_lo, max(v) AS score_hi
+              FROM binned GROUP BY 1
+            ), pre AS (
+              SELECT bin,
+                     CAST(sum(bw) OVER (ORDER BY bin) AS BIGINT) AS cw,
+                     CAST(sum(bs) OVER (ORDER BY bin) AS BIGINT) AS cs,
+                     CAST(sum(bw) OVER (ORDER BY bin) - bw AS BIGINT)
+                       AS pw,
+                     CAST(sum(bs) OVER (ORDER BY bin) - bs AS BIGINT)
+                       AS ps
+              FROM bf
+            ), segs AS (
+              SELECT a.bin AS j, b.bin AS k,
+                     (b.cs - a.ps) / (b.cw - a.pw) AS m
+              FROM pre a CROSS JOIN pre b
+              WHERE a.bin <= b.bin
+            ), inner_min AS (
+              SELECT i.bin AS i, s.j, min(s.m) AS mn
+              FROM segs s JOIN pre i
+                ON s.j <= i.bin AND s.k >= i.bin
+              GROUP BY 1, 2
+            ), iso AS (
+              SELECT i, max(mn) AS iso FROM inner_min GROUP BY 1
+            )
+            SELECT bf.bin AS bin, bf.bw AS n, bf.score_lo, bf.score_hi,
+                   round(bf.bs / bf.bw / 1000000.0, 6) AS rate_raw,
+                   round(iso.iso / 1000000.0, 6) AS rate_iso
+            FROM bf JOIN iso ON iso.i = bf.bin
+        """,
         "chi2_lang_source": """
             WITH joint AS (
               SELECT lang AS x, source AS y, count(*) AS c
@@ -7853,7 +7970,7 @@ def oracle_sql() -> dict[str, str]:
             FROM rec WHERE d IS NOT NULL
         """,
         "winnow_fingerprints": """
-            -- rightmost-min composite: hash * 2^20 + (2^20-1 - pos);
+            -- rightmost-min composite: hash * 2^30 + (2^30-1 - pos);
             -- plain window min == (min hash, then max pos)
             WITH toks AS (
               SELECT doc_id,
@@ -7874,15 +7991,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, u.pos AS pos, u.h AS h FROM gl
             ), sel AS (
               SELECT doc_id, pos,
-                     min(h * 1048576 + (1048575 - pos)) OVER (
+                     min(h * 1073741824 + (1073741823 - pos)) OVER (
                        PARTITION BY doc_id ORDER BY pos
                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s,
                      count(*) OVER (PARTITION BY doc_id) AS n
               FROM g
             )
             SELECT DISTINCT doc_id,
-                   (1048575 - s % 1048576)::INT AS pos,
-                   s // 1048576 AS fp
+                   (1073741823 - s % 1073741824)::INT AS pos,
+                   s // 1073741824 AS fp
             FROM sel
             WHERE pos <= greatest(n - 4, 0)
         """,

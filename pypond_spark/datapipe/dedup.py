@@ -322,14 +322,17 @@ def dedup_documents(df: DataFrame, text_col: str = "text",
     score = (F.length(F.col(text_col)).cast("long") if keeper == "longest"
              else F.col(keeper_col))
     # argmax over cluster MEMBERS (the labeled docs — dup-set-sized):
-    # lexicographic struct max = highest score, then min id on ties
+    # max score per cluster, then min id among the max-score members —
+    # type-agnostic on the id (string ids can't be negated for a
+    # mixed-direction struct ordering); one extra broadcast-sized join
+    # over the dup set only
     members = (clusters.withColumnRenamed("id", id_col)
                .join(df.select(id_col, score.alias("__score")), id_col))
-    keepers = (members.groupBy("cluster_id")
-               .agg(F.max_by(F.col(id_col),
-                             F.struct(F.col("__score"),
-                                      (-F.col(id_col)).alias("__nid")))
-                    .alias("__keeper")))
+    best = members.groupBy("cluster_id").agg(F.max("__score").alias("__ms"))
+    keepers = (members.join(best, "cluster_id")
+               .where(F.col("__score").eqNullSafe(F.col("__ms")))
+               .groupBy("cluster_id")
+               .agg(F.min(F.col(id_col)).alias("__keeper")))
     return (out.join(keepers, "cluster_id", "left")
             .withColumn("is_keeper",
                         F.when(F.col("__keeper").isNull(), F.lit(True))

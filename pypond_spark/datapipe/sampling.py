@@ -540,8 +540,17 @@ def pack_bins_ffd(df: DataFrame, max_tokens: int, n_shards: int = 64,
                           .substr(1, 8), 16, 10).cast("long"),
                    F.lit(n_shards))
     base = spread(df).select(F.col(id_col), n_tok, shard.alias("shard"))
-    out_schema = (f"{id_col} long, n_tokens long, shard long, "
-                  "bin long, overflow boolean")
+    # id type derived from the input frame — string doc ids are
+    # first-class everywhere else in datapipe (the shard hash above even
+    # casts to string), so the output schema must not assume long
+    from pyspark.sql import types as T
+    out_schema = T.StructType([
+        T.StructField(id_col, base.schema[id_col].dataType),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("overflow", T.BooleanType()),
+    ])
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["n_tokens", id_col],

@@ -857,9 +857,16 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, window: int = 4,
     shares a selected fingerprint, with ~2/(window+1) selection density.
 
     The rightmost-minimum rule is encoded as ONE integer composite
-    ``hash * 2^20 + (2^20-1 - pos)`` so a plain window ``min`` picks
+    ``hash * 2^30 + (2^30-1 - pos)`` so a plain window ``min`` picks
     "min hash, then max position" — deterministic and replayable in any
     engine with integer windows (no struct-ordering support needed).
+    The 30-bit position field bounds documents at 2^30-1 grams (~1G
+    tokens — far above the 2^20 per-doc token caps elsewhere); beyond
+    that the composite would corrupt silently, so a runtime
+    ``assert_true`` fails loudly instead.  (32 bits would overflow: the
+    hash itself is 32-bit, and 2^(32+32) exceeds BIGINT.)  Decode is
+    shift/mask, not division — double division loses exactness above
+    2^53 and the composite reaches 2^62.
     Plan: scan-level gram explode + one per-document window exchange +
     distinct — linear in corpus tokens, the fingerprint index then
     joins documents at Σ|shared-fp|² cost like any LSH bucket table.
@@ -875,7 +882,13 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, window: int = 4,
     g = (spread(df)
          .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram")))
     h = F.conv(F.md5("gram").substr(1, 8), 16, 10).cast("long")
-    comp = h * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos"))
+    lim = 1 << 30
+    guard = F.assert_true(
+        F.col("pos") < F.lit(lim),
+        F.lit("winnow_fingerprints: document exceeds 2^30-1 grams; "
+              "the packed position field would overflow"))
+    comp = F.when(guard.isNull(),
+                  h * F.lit(lim) + (F.lit(lim - 1) - F.col("pos")))
     w_starts = Window.partitionBy(id_col).orderBy("pos") \
         .rowsBetween(Window.currentRow, window - 1)
     n_grams = Window.partitionBy(id_col)
@@ -886,9 +899,9 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, window: int = 4,
                                              F.lit(0))))
     return (sel.select(
         F.col(id_col),
-        (F.lit((1 << 20) - 1) - F.col("__sel") % F.lit(1 << 20))
+        (F.lit(lim - 1) - F.col("__sel").bitwiseAND(F.lit(lim - 1)))
         .cast("int").alias("pos"),
-        (F.col("__sel") / F.lit(1 << 20)).cast("long").alias("fp"))
+        F.shiftright(F.col("__sel"), 30).alias("fp"))
         .distinct())
 
 

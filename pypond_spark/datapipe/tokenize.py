@@ -120,3 +120,231 @@ def bpe_train(df: DataFrame, n_merges: int = 8,
         cur = cur.select(F.replace("s", F.lit(pat), F.lit(rep))
                          .alias("s")).localCheckpoint()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018) — the other production tokenizer family
+# ---------------------------------------------------------------------------
+
+_UNK_SCORE = -20_000_000  # micro-nats; well below any ln(p) seen in practice
+
+
+def _corpus_words(df: DataFrame, text_col: str,
+                  max_word_len: int) -> DataFrame:
+    """Distinct-word frame ``(w, wc)`` — whitespace tokens truncated to
+    ``max_word_len`` chars, counted over the corpus.  Bounded by the
+    word vocabulary, the frame every later stage runs on (never the
+    corpus)."""
+    return (spread(df)
+            .select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                    .alias("w0"))
+            .where(F.col("w0") != "")
+            .select(F.substring("w0", 1, int(max_word_len)).alias("w"))
+            .groupBy("w").agg(F.count("*").alias("wc")))
+
+
+def _viterbi_segments(words: DataFrame, scores: DataFrame,
+                      max_piece_len: int,
+                      unk_score: int = _UNK_SCORE) -> DataFrame:
+    """Viterbi-best segmentation of each distinct word under integer
+    piece scores: maximize ``sum(score(piece))`` with pieces drawn from
+    ``scores (piece, s)``; unknown single chars fall back to
+    ``unk_score`` so every word is segmentable (the unigram-LM totality
+    guarantee).  Tie-break: the LONGER piece wins an exact score tie
+    (explicit, so a SQL replay can mirror it).
+
+    Plan shape (the dtw/kleinberg scan-level-DP pattern): one bounded
+    (word x position x piece-length) explode, one broadcast join against
+    the piece table, one per-word lookup-array collect, then the whole
+    DP as ONE ``aggregate`` fold carrying ``D`` and the best
+    segmentation string — no Python, no driver loop, cost linear in
+    total word-vocab characters times ``max_piece_len``.
+
+    Returns ``(w, seg)`` with ``seg`` the ``\\x1f``-joined best pieces
+    (leading separator, same encoding as the BPE stages above).
+    """
+    L = int(max_piece_len)
+    if L < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    pos = (words.select("w", F.length("w").alias("n"))
+           .select("w", "n",
+                   F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"))
+           .select("w", "n", "i",
+                   F.explode(F.sequence(F.lit(1), F.lit(L))).alias("l"))
+           .withColumn("piece",
+                       F.expr("IF(l <= i, substring(w, i - l + 1, l), "
+                              "NULL)")))
+    sc = scores.select(F.col("piece").alias("__p"), F.col("s"))
+    looked = (pos.join(F.broadcast(sc), pos["piece"] == F.col("__p"),
+                       "left")
+              .select("w", "n", "i", "l",
+                      F.when(F.col("l") == 1,
+                             F.coalesce(F.col("s"),
+                                        F.lit(int(unk_score))))
+                      .otherwise(F.col("s")).alias("s")))
+    # full n x L lookup array per word, index (i-1)*L + l; entries for
+    # l > i stay NULL and are skipped by the fold
+    arr = (looked.groupBy("w", "n")
+           .agg(F.array_sort(F.collect_list(F.struct("i", "l", "s")))
+                .alias("g"))
+           .withColumn("sarr", F.expr("transform(g, x -> x.s)"))
+           .drop("g"))
+
+    def _sc(length: int) -> str:
+        return f"element_at(sarr, (i - 1) * {L} + {length})"
+
+    # best (d, l) at position i; evaluated l ascending with >= so the
+    # longest piece wins exact ties — D[k] lives at element_at(ds, k+1)
+    best = (f"named_struct('d', element_at(acc.ds, i) + {_sc(1)}, "
+            f"'l', 1)")
+    for length in range(2, L + 1):
+        cand = (f"(element_at(acc.ds, i - {length} + 1) "
+                f"+ {_sc(length)})")
+        best = (f"IF({length} <= i AND {_sc(length)} IS NOT NULL "
+                f"AND {cand} >= ({best}).d, "
+                f"named_struct('d', {cand}, 'l', {length}), {best})")
+    fold = f"""
+      aggregate(
+        sequence(1, n),
+        named_struct('ds', array(0L), 'segs', array('')),
+        (acc, i) -> named_struct(
+          'ds', concat(acc.ds, array(({best}).d)),
+          'segs', concat(acc.segs, array(concat(
+              element_at(acc.segs, i - ({best}).l + 1),
+              '{SEP}', substring(w, i - ({best}).l + 1, ({best}).l))))),
+        acc -> element_at(acc.segs, -1))
+    """
+    return arr.select("w", F.expr(fold).alias("seg"))
+
+
+def _rescore(pieces: DataFrame) -> DataFrame:
+    """Integer log-prob scores over a ``(piece, c)`` frame:
+    ``s = round(ln(c / total) * 1e6)`` micro-nat BIGINTs — ONE double
+    division and one ``ln`` per piece, deterministic cross-engine (the
+    MI/NB discipline)."""
+    tot = pieces.agg(F.sum("c").alias("__t"))
+    return (pieces.crossJoin(F.broadcast(tot))
+            .select("piece", "c",
+                    F.round(F.log(F.col("c") / F.col("__t")) * 1e6)
+                    .cast("long").alias("s")))
+
+
+def unigram_train(df: DataFrame, vocab_size: int = 40,
+                  max_piece_len: int = 3, iters: int = 2,
+                  max_word_len: int = 12,
+                  unk_score: int = _UNK_SCORE,
+                  text_col: str = "text") -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018, *Subword
+    Regularization* §3 — the SentencePiece ``unigram`` model), as hard
+    (Viterbi) EM with explicit deterministic tie-breaks so the whole
+    loop replays as generated SQL:
+
+    1. **Seed**: candidate pieces = every substring of length
+       ``1..max_piece_len`` of the (truncated) distinct words — all
+       single chars plus the top ``2 * vocab_size`` multi-char
+       candidates by corpus-weighted count (ties: lexicographic).
+       Initial scores ``round(ln(c / total) * 1e6)`` micro-nats.
+    2. **EM** (``iters`` rounds): E-step = Viterbi-best segmentation of
+       each distinct word (:func:`_viterbi_segments`; longer piece wins
+       score ties); M-step = recount pieces over best segmentations
+       weighted by word counts, re-score.  Pieces that win no
+       segmentation drop out (their mass flows to the survivors —
+       Kudo's prune, made deterministic).
+    3. **Prune**: keep the top ``vocab_size`` pieces by final count
+       (ties: lexicographic).
+
+    Every stage is bounded by the word/piece vocabulary — the corpus is
+    touched exactly once (the word count).  Returns
+    ``(piece, count, score)``; ``score`` is the final micro-nat
+    log-prob, the input :func:`unigram_apply` expects.
+    """
+    if vocab_size < 1 or iters < 1:
+        raise ValueError(f"need vocab_size >= 1 and iters >= 1, got "
+                         f"{vocab_size}, {iters}")
+    words = _corpus_words(df, text_col, max_word_len).localCheckpoint()
+    L = int(max_piece_len)
+    subs = (words
+            .select("w", "wc",
+                    F.explode(F.sequence(F.lit(1), F.length("w")))
+                    .alias("i"))
+            .select("wc", "i",
+                    F.explode(F.sequence(F.lit(1),
+                                         F.least(F.lit(L), F.col("i"))))
+                    .alias("l"),
+                    F.col("w"))
+            .select(F.expr("substring(w, i - l + 1, l)").alias("piece"),
+                    "wc"))
+    cnt = subs.groupBy("piece").agg(F.sum("wc").alias("c"))
+    chars = cnt.where(F.length("piece") == 1)
+    multi = (cnt.where(F.length("piece") >= 2)
+             .orderBy(F.desc("c"), "piece").limit(2 * int(vocab_size)))
+    scores = _rescore(chars.unionByName(multi))
+    counts = None
+    for _ in range(int(iters)):
+        segs = _viterbi_segments(words.select("w"),
+                                 scores.select("piece", "s"),
+                                 L, unk_score)
+        counts = (segs.join(words, "w")
+                  .select(F.explode(F.expr(
+                      f"filter(split(seg, '{SEP}'), t -> t != '')"))
+                      .alias("piece"), "wc")
+                  .groupBy("piece").agg(F.sum("wc").alias("c")))
+        scores = _rescore(counts)
+    return (scores.orderBy(F.desc("c"), "piece").limit(int(vocab_size))
+            .select("piece", F.col("c").alias("count"),
+                    F.col("s").alias("score")))
+
+
+def unigram_apply(df: DataFrame, vocab, text_col: str = "text",
+                  id_col: str = "doc_id", max_piece_len: int | None = None,
+                  max_word_len: int = 12,
+                  unk_score: int = _UNK_SCORE) -> DataFrame:
+    """Tokenize with a fixed unigram-LM vocabulary: Viterbi-best
+    segmentation per distinct word (:func:`_viterbi_segments`), then
+    reassembly in document word order — the word-vocab frame does the
+    expensive work once per distinct word, not once per occurrence.
+
+    ``vocab``: ``{piece: score}`` / ``[(piece, score), ...]`` with
+    integer micro-nat scores (the :func:`unigram_train` output), or a
+    DataFrame with ``piece``/``score`` columns.  Unknown single chars
+    fall back to ``unk_score`` — segmentation is total.
+
+    Output: ``id_col, tokens (array<string>), n_tokens`` — the
+    :func:`bpe_apply` shape.
+    """
+    if isinstance(vocab, DataFrame):
+        items = [(r["piece"], int(r["score"])) for r in vocab.collect()]
+    elif isinstance(vocab, dict):
+        items = sorted(vocab.items())
+    else:
+        items = [(p, int(s)) for p, s in vocab]
+    if not items:
+        raise ValueError("vocab must be non-empty")
+    L = int(max_piece_len if max_piece_len is not None
+            else max(len(p) for p, _ in items))
+    spark = df.sparkSession
+    scores = spark.createDataFrame(items, "piece string, s long")
+    wp = (spread(df)
+          .select(F.col(id_col),
+                  F.posexplode(F.expr(
+                      f"filter(split(trim({text_col}), '\\\\s+'), "
+                      "t -> t != '')")).alias("pos", "w0"))
+          .select(F.col(id_col), "pos",
+                  F.substring("w0", 1, int(max_word_len)).alias("w")))
+    segs = _viterbi_segments(wp.select("w").distinct(), scores, L,
+                             unk_score)
+    per_doc = (wp.join(segs, "w")
+               .groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "seg")))
+                    .alias("g"))
+               .select(F.col(id_col),
+                       F.expr(f"filter(flatten(transform(g, "
+                              f"x -> split(x.seg, '{SEP}'))), "
+                              "t -> t != '')").alias("tokens")))
+    # docs with no words keep an empty token list (bpe_apply contract)
+    return (spread(df).select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("tokens", F.array().cast("array<string>"))
+                    .alias("tokens"))
+            .withColumn("n_tokens", F.size("tokens")))

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -291,19 +291,40 @@ def isotonic_calibration(df: DataFrame, score_col: Column | str,
           .localCheckpoint())
     # prefix sums over the <=B-row bin frame
     wp = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0)
-    pre = bf.select("__bin",
-                    F.sum("__bw").over(wp).alias("__cw"),
-                    F.sum("__bs").over(wp).alias("__cs"))
-    lo = pre.select(F.col("__bin").alias("__j"),
-                    (F.col("__cw") - bf_w_expr()).alias("__x")) \
-        if False else None  # placeholder removed below
-    # segment means m(j,k) over bin pairs j<=k, from prefix differences
+    pre = (bf.select("__bin", "__bw", "__bs",
+                     F.sum("__bw").over(wp).alias("__cw"),
+                     F.sum("__bs").over(wp).alias("__cs"))
+           .select("__bin", "__cw", "__cs",
+                   (F.col("__cw") - F.col("__bw")).alias("__pw"),
+                   (F.col("__cs") - F.col("__bs")).alias("__ps")))
+    # segment means m(j,k) = pooled target mean over bins j..k, from
+    # exact BIGINT prefix differences; ONE double division each, so
+    # every m is deterministic cross-engine.  Every frame below is at
+    # most B or B^2 rows (B^3 join work) — all broadcast.
     a = pre.select(F.col("__bin").alias("__j"),
-                   F.col("__cw").alias("__wj"), F.col("__cs").alias("__sj"))
+                   F.col("__pw").alias("__pwj"),
+                   F.col("__ps").alias("__psj"))
     b = pre.select(F.col("__bin").alias("__k"),
-                   F.col("__cw").alias("__wk"), F.col("__cs").alias("__sk"))
-    segs = (a.crossJoin(b).where(F.col("__j") <= F.col("__k"))
+                   F.col("__cw").alias("__cwk"),
+                   F.col("__cs").alias("__csk"))
+    segs = (a.crossJoin(F.broadcast(b))
+            .where(F.col("__j") <= F.col("__k"))
             .select("__j", "__k",
-                    ((F.col("__sk") - F.col("__sj") + first_bin_s())
-                     ).alias("__ss")) if False else None)
-    return None
+                    ((F.col("__csk") - F.col("__psj"))
+                     / (F.col("__cwk") - F.col("__pwj"))).alias("__m")))
+    # minimax: iso_i = max_{j<=i} min_{k>=i} m(j,k)  (j<=i and k>=i
+    # imply k>=j, so every referenced segment exists)
+    idx = pre.select(F.col("__bin").alias("__i"))
+    inner = (segs.join(F.broadcast(idx),
+                       (F.col("__j") <= F.col("__i"))
+                       & (F.col("__k") >= F.col("__i")))
+             .groupBy("__i", "__j").agg(F.min("__m").alias("__mn")))
+    iso = inner.groupBy("__i").agg(F.max("__mn").alias("__iso"))
+    return (bf.join(iso, bf["__bin"] == iso["__i"])
+            .select(F.col("__bin").alias("bin"),
+                    F.col("__bw").alias("n"),
+                    "score_lo", "score_hi",
+                    F.round(F.col("__bs") / F.col("__bw") / 1e6, 6)
+                    .alias("rate_raw"),
+                    F.round(F.col("__iso") / 1e6, 6).alias("rate_iso"))
+            .orderBy("bin"))

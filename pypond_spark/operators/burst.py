@@ -63,6 +63,19 @@ def kleinberg_bursts(
     """
     if s <= 1.0:
         raise ValueError(f"s must be > 1, got {s}")
+    if not partition_by:
+        # Degenerate by construction: with one (implicit) series, every
+        # bucket's per-series count equals the frame total (__c == __n),
+        # so p0 = 1 and ln(1-p0) is NULL — the whole Viterbi would go
+        # NULL and silently return zero rows.  The share-based model
+        # needs >= 2 series; fail loudly instead.
+        raise ValueError(
+            "kleinberg_bursts needs partition_by: the share-based burst "
+            "model compares each series' count against the whole frame's "
+            "bucket totals, which is degenerate (p0 = 1) for a single "
+            "unkeyed series. For single-series burst detection against "
+            "bucket capacity, bucket the series yourself and pass the "
+            "bucketing column as partition_by over >= 2 series.")
     b_ms = window_duration_ms(bucket)
     if b_ms is None or b_ms <= 0:
         raise ValueError(f"bucket must be a fixed window, got {bucket!r}")
@@ -86,6 +99,11 @@ def kleinberg_bursts(
             F.struct("__pos", "__n", "__c"))).alias("__b"),
         F.sum("__c").alias("__cs"),
         F.sum("__n").alias("__ns"))
+    # guard p0 < 1: a series owning the ENTIRE stream (__cs == __ns)
+    # makes ln(1-p0) NULL; by the share model such a series cannot
+    # surge, so it legitimately has no bursts — drop it explicitly
+    # rather than letting a NULL Viterbi path do it silently.
+    per_key = per_key.where(F.col("__cs") < F.col("__ns"))
     sr = repr(float(s))
     cr = repr(float(p_cap))
     gr = repr(float(gamma))

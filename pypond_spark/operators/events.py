@@ -130,29 +130,28 @@ class Event:
     def _key_ms(value: Any) -> int:
         """Epoch ms from an event key value.
 
-        Naive-input contract (documented, since naive values are
-        inherently ambiguous):
+        Naive-input contract: naive ``datetime`` and naive ISO string
+        are both **UTC wall time** — the wire-format convention, and
+        the same contract as :func:`~pypond_spark.util.ms_from_any`'s
+        naive-string branch (the reference pypond rejects naive
+        datetimes outright, ``util.py:60-75``; accepting them *as UTC*
+        is the one relaxation, and it is TZ-independent).
 
-        - naive ``datetime`` -> DRIVER-LOCAL wall time.  PySpark's
-          ``TimestampType.fromInternal`` materializes ``.collect()``-ed
-          timestamps via ``datetime.fromtimestamp`` in the driver
-          process's local timezone (regardless of the pinned UTC
-          *session* timezone), so ``value.timestamp()`` — the same local
-          rules in reverse — recovers the original instant on any driver
-          TZ.  This is the dominant naive-datetime source in this
-          library (``event_list_as_*``, ``at_time`` rows).
-        - naive ISO *string* -> UTC (``ms_from_any``): the wire-format
-          convention, where naive strings are UTC by definition.
-        - CAVEAT: pandas ``Timestamp``s from Arrow ``toPandas()`` carry
-          session-TZ (UTC) wall times, not driver-local ones — localize
-          them (``.tz_localize("UTC")``) or pass epoch ms instead of
-          feeding them here naive.  Aware datetimes and ints are always
-          unambiguous; prefer them at API boundaries."""
+        Provenance note: PySpark's ``TimestampType.fromInternal``
+        materializes raw ``.collect()``-ed timestamps as naive
+        DRIVER-LOCAL wall times — those are recovered to aware UTC at
+        the library's own collect boundaries (``TimeSeries.collect`` /
+        ``at_*``), where the provenance is known, so rows obtained
+        through this library carry unambiguous aware datetimes.  Pandas
+        ``Timestamp``s from Arrow paths (``mapInPandas`` batches) are
+        session-TZ (UTC) naive wall times, which this UTC contract
+        interprets correctly.  Aware datetimes and ints are always
+        unambiguous; prefer them at API boundaries."""
         import datetime as _dt
 
         from ..util import ms_from_any
         if isinstance(value, _dt.datetime) and value.tzinfo is None:
-            return int(round(value.timestamp() * 1000))
+            value = value.replace(tzinfo=_dt.timezone.utc)
         return ms_from_any(value)
 
     def timestamp_as_utc_string(self) -> str:

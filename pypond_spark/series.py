@@ -54,6 +54,42 @@ from .util import field_dtype, is_valid_col, ms_from_any, valid_or_null
 KEY_COLS = ("time", "begin", "end", "index")
 
 
+def _aware_utc_value(v: Any) -> Any:
+    """Recover an aware-UTC value from a raw ``.collect()``-ed one.
+
+    PySpark's ``TimestampType.fromInternal`` materializes collected
+    timestamps as naive DRIVER-LOCAL wall times; ``v.timestamp()`` (the
+    same local rules in reverse) recovers the instant on any driver TZ,
+    and the result is tagged ``tzinfo=UTC`` so downstream consumers
+    (``Event._key_ms``, user code) see an unambiguous datetime.  During
+    a DST fold the naive local wall time is inherently ambiguous (two
+    instants collapse — a PySpark collect limitation, not ours); the
+    earlier instant (fold=0) is chosen.  Nested Rows/lists/dicts are
+    rebuilt recursively."""
+    from pyspark.sql import Row
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            return datetime.datetime.fromtimestamp(
+                v.timestamp(), tz=datetime.timezone.utc)
+        return v
+    if isinstance(v, Row):
+        names = list(v.__fields__)
+        return Row(*names)(*[_aware_utc_value(x) for x in v])
+    if isinstance(v, list):
+        return [_aware_utc_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _aware_utc_value(x) for k, x in v.items()}
+    return v
+
+
+def _aware_utc_rows(rows: list) -> list:
+    """Tag collected rows' timestamps as aware UTC (the internal
+    collect() boundary — the one place naive-local provenance is
+    known)."""
+    return [_aware_utc_value(r) for r in rows]
+
+
 class TimeSeries:
     """Immutable wrapper: every operation returns a new TimeSeries."""
 
@@ -177,7 +213,7 @@ class TimeSeries:
     def collect(self):
         order = self.time_col if self.time_col in self._df.columns else None
         df = self._df.orderBy(order) if order else self._df
-        return df.collect()
+        return _aware_utc_rows(df.collect())
 
     # -- projection / row transforms (SURVEY §2.2) -----------------------------
     def select(self, field_spec: str | Sequence[str]) -> "TimeSeries":
@@ -341,15 +377,15 @@ class TimeSeries:
         """Event nearest-at-or-before `when` (bisect + at, series.py:494-517)."""
         rows = (self._df.where(F.col(self.time_col) <= F.lit(_dt(when)))
                 .orderBy(F.col(self.time_col).desc()).limit(1).collect())
-        return rows[0] if rows else None
+        return _aware_utc_rows(rows)[0] if rows else None
 
     def at_first(self):
         rows = self._df.orderBy(self.time_col).limit(1).collect()
-        return rows[0] if rows else None
+        return _aware_utc_rows(rows)[0] if rows else None
 
     def at_last(self):
         rows = self._df.orderBy(F.col(self.time_col).desc()).limit(1).collect()
-        return rows[0] if rows else None
+        return _aware_utc_rows(rows)[0] if rows else None
 
     def at_key(self, key: Any):
         """All events with the exact event key (reference collection.py:238-268
@@ -363,7 +399,7 @@ class TimeSeries:
             rows = self._df.where(
                 (F.col("begin") == F.lit(_dt(begin)))
                 & (F.col("end") == F.lit(_dt(end)))).collect()
-        return rows
+        return _aware_utc_rows(rows)
 
     def event_list_as_list(self) -> list:
         """The events as a plain time-ordered Python list (reference

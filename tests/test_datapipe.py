@@ -1558,3 +1558,45 @@ def test_chi_squared(spark):
     # expected: e(a,2) = 10*5/20 = 2.5; chi2 = sum = 20*(10*5-0*5)^2/(10*10*15*5)
     want = 20 * (10 * 5 - 0 * 5) ** 2 / (10 * 10 * 15 * 5)
     assert abs(r4["chi2"] - want) < 1e-6 and r4["cells"] == 3
+
+
+def test_isotonic_calibration(spark):
+    from pypond_spark.datapipe.validate import isotonic_calibration
+
+    # already-monotone rates pass through unchanged
+    mono = spark.createDataFrame(
+        [(float(b), 1.0 if i < b else 0.0)
+         for b in range(4) for i in range(4)],
+        "score double, target double")
+    out = isotonic_calibration(mono, "score", "target", bins=4) \
+        .orderBy("bin").collect()
+    assert [r["bin"] for r in out] == [0, 1, 2, 3]
+    assert [r["rate_raw"] for r in out] == [0.0, 0.25, 0.5, 0.75]
+    assert [r["rate_iso"] for r in out] == [0.0, 0.25, 0.5, 0.75]
+    assert all(r["n"] == 4 for r in out)
+
+    # a violator pair is pooled to the pair mean (classic PAV):
+    # raw rates 0.0, 0.75, 0.25, 1.0 -> iso 0.0, 0.5, 0.5, 1.0
+    viol_rates = [0, 3, 1, 4]
+    viol = spark.createDataFrame(
+        [(float(b), 1.0 if i < viol_rates[b] else 0.0)
+         for b in range(4) for i in range(4)],
+        "score double, target double")
+    out2 = isotonic_calibration(viol, "score", "target", bins=4) \
+        .orderBy("bin").collect()
+    assert [r["rate_raw"] for r in out2] == [0.0, 0.75, 0.25, 1.0]
+    assert [r["rate_iso"] for r in out2] == [0.0, 0.5, 0.5, 1.0]
+    # iso is monotone non-decreasing by construction
+    isos = [r["rate_iso"] for r in out2]
+    assert isos == sorted(isos)
+
+    # everything-decreasing pools to the global mean
+    dec = spark.createDataFrame(
+        [(float(b), 1.0 if i < (3 - b) else 0.0)
+         for b in range(4) for i in range(4)],
+        "score double, target double")
+    out3 = isotonic_calibration(dec, "score", "target", bins=4) \
+        .orderBy("bin").collect()
+    assert [r["rate_iso"] for r in out3] == [0.375] * 4
+    # score extents per bin are reported
+    assert out3[0]["score_lo"] == 0.0 and out3[3]["score_hi"] == 3.0

@@ -513,6 +513,20 @@ def test_pack_bins_ffd_goldens(spark):
     with _pt.raises(ValueError):
         sampling.pack_bins_ffd(df, max_tokens=0)
 
+    # string doc ids are first-class: schema derives the id type from
+    # the input frame instead of hardcoding long
+    sdf = spark.createDataFrame(
+        [(f"doc-{i}", t) for (i, t) in
+         [(1, "w " * 50), (2, "w " * 40), (3, "w " * 30),
+          (4, "w " * 20), (5, "w " * 10), (6, "w " * 70)]],
+        "doc_id string, text string")
+    sout = sampling.pack_bins_ffd(sdf, max_tokens=60, n_shards=1)
+    assert dict(sout.dtypes)["doc_id"] == "string"
+    sgot = {r["doc_id"]: (r["bin"], r["overflow"])
+            for r in sout.collect()}
+    assert sgot == {f"doc-{i}": (b, o)
+                    for i, (b, o, _) in got.items()}
+
 
 def test_packing_report(spark):
     """Report over the hand-computed FFD packing: cap-60 bins [70][50+10]

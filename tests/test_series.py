@@ -332,10 +332,10 @@ def test_event_is_duplicate():
 
 def test_event_key_normalizes_across_representations():
     """Event.key() normalizes to epoch-ms (reference ms_from_dt,
-    event.py:579-587) so a wire-int event and a collected-row event
-    (naive driver-local datetime, the shape PySpark's
-    TimestampType.fromInternal emits) are duplicates — including on a
-    non-UTC driver, simulated here via TZ + tzset."""
+    event.py:579-587).  The public naive contract is **naive == UTC**
+    (the wire-format convention; the reference rejects naive datetimes
+    outright, util.py:60-75) — TZ-independent, verified here on a
+    simulated non-UTC driver via TZ + tzset."""
     import datetime as dtm
     import os
     import time as time_mod
@@ -347,11 +347,12 @@ def test_event_key_normalizes_across_representations():
     os.environ["TZ"] = "America/New_York"
     time_mod.tzset()
     try:
-        # what a collected TimestampType value looks like on this driver:
-        # naive local wall time for the same instant
-        naive_local = dtm.datetime.fromtimestamp(ms / 1000)
+        # naive == UTC wall time, regardless of the driver TZ
+        naive_utc = dtm.datetime(2015, 4, 22, 3, 30, 0)
+        aware = naive_utc.replace(tzinfo=dtm.timezone.utc)
         e_wire = Event(ms, 23)
-        e_row = Event(naive_local, 23)
+        assert Event(naive_utc, 23).key() == ms
+        e_row = Event(aware, 23)
         assert e_row.key() == ms
         assert Event.is_duplicate(e_wire, e_row)
         assert e_row.to_point() == [ms, 23]
@@ -361,8 +362,8 @@ def test_event_key_normalizes_across_representations():
         b_ms, e_ms = 1429630000000, 1429673200000
         tre_wire = Event.timerange((b_ms, e_ms), 11)
         tre_row = Event.timerange(
-            (dtm.datetime.fromtimestamp(b_ms / 1000),
-             dtm.datetime.fromtimestamp(e_ms / 1000)), 11)
+            (dtm.datetime.fromtimestamp(b_ms / 1000, dtm.timezone.utc),
+             dtm.datetime.fromtimestamp(e_ms / 1000, dtm.timezone.utc)), 11)
         assert tre_row.key() == (b_ms, e_ms)
         assert Event.is_duplicate(tre_wire, tre_row)
     finally:
@@ -371,6 +372,29 @@ def test_event_key_normalizes_across_representations():
         else:
             os.environ["TZ"] = old_tz
         time_mod.tzset()
+
+
+def test_collect_boundary_tags_aware_utc(spark):
+    """TimeSeries.collect()/at_* recover collected timestamps to aware
+    UTC (the internal collect() boundary where naive-local provenance
+    is known) — so an Event built from a collected row round-trips to
+    the wire key on any driver TZ."""
+    import datetime as dtm
+
+    from pypond_spark.operators.events import Event
+    from pypond_spark.series import TimeSeries
+
+    ms = 1429673400000
+    df = spark.createDataFrame(
+        [(dtm.datetime.fromtimestamp(ms / 1000, dtm.timezone.utc), 7)],
+        "time timestamp, value int")
+    ts = TimeSeries(df)
+    row = ts.collect()[0]
+    assert row["time"].tzinfo is not None
+    assert row["time"].utcoffset() == dtm.timedelta(0)
+    assert Event(row["time"], row["value"]).key() == ms
+    assert ts.at_first()["time"].tzinfo is not None
+    assert ts.at_last()["time"] == row["time"]
 
 
 def test_event_list_as_map(spark):

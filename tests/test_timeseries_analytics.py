@@ -815,6 +815,15 @@ def test_kleinberg_bursts(spark):
                              s=3.0, gamma=1e6)
     assert quiet.count() == 0
     with pytest.raises(ValueError, match="s must be"):
-        kleinberg_bursts(df, s=1.0)
+        kleinberg_bursts(df, s=1.0, partition_by=("user",))
     with pytest.raises(ValueError, match="bucket"):
-        kleinberg_bursts(df, bucket="monthly")
+        kleinberg_bursts(df, bucket="monthly", partition_by=("user",))
+    # the share model is degenerate for a single unkeyed series
+    # (p0 == 1 makes ln(1-p0) NULL and would silently return 0 rows)
+    with pytest.raises(ValueError, match="partition_by"):
+        kleinberg_bursts(df)
+    # a keyed series owning the ENTIRE stream has no share to surge:
+    # explicitly dropped, not NULL-pathed
+    solo = df.where(F.col("user") == "u1")
+    assert kleinberg_bursts(solo, bucket="1h",
+                            partition_by=("user",)).count() == 0
