@@ -1176,7 +1176,7 @@ _UNIGRAM_VOCAB = {
         "row", "agg", "slo", "w", "fas", "t", "par", "joi", "dat",
         "a", "lin", "e", "bat", "ch", "win", "dow", "spa", "rk",
         "ord", "er", "col", "umn", "sma", "ll", "que", "ry",
-        "cus", "tom", "val", "j", "b", "s", "c", "d",
+        "cus", "tom", "u", "j", "b", "s", "c", "d",
     ])
 }
 
@@ -3905,6 +3905,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the committed CORRECTNESS_r*.json snapshots."""
     return {
         "isotonic_calibration": q_isotonic_calibration,
+        "unigram_tokenize": q_unigram_tokenize,
+        "unigram_train": q_unigram_train,
         "cusum_hourly_by_user": q_cusum_hourly_by_user,
         "rouge2_pairs": q_rouge2_pairs,
         "pca_embeddings": q_pca_embeddings,
@@ -4926,6 +4928,184 @@ def _hll_oracle() -> str:
                          / exact.exact_distinct, 6) AS rel_err
             FROM est JOIN exact USING (grp)
     """
+
+
+
+
+def _unigram_score_case(expr: str) -> str:
+    """Literal score CASE for the fixed _UNIGRAM_VOCAB (apply oracle)."""
+    whens = " ".join(f"WHEN {expr} = '{p}' THEN CAST({s} AS BIGINT)"
+                     for p, s in sorted(_UNIGRAM_VOCAB.items()))
+    return f"(CASE {whens} END)"
+
+
+def _unigram_viterbi_rec(name: str, d1: str, d2: str, d3: str) -> str:
+    """One recursive-CTE Viterbi stage over the `words` frame: carries
+    the D list and the segmentation string, evaluates piece lengths
+    ascending with >= so the longer piece wins exact ties — the same
+    sequential preference as the Spark fold in
+    tokenize._viterbi_segments."""
+    return f"""{name} AS (
+      SELECT w, n, 0 AS i,
+             [CAST(0 AS BIGINT)] AS ds, [''] AS segs
+      FROM words
+      UNION ALL
+      SELECT w, n, i1,
+             list_append(ds, bd),
+             list_append(segs, segs[i1 - bl + 1] || chr(31)
+                         || substr(w, i1 - bl + 1, bl))
+      FROM (
+        SELECT w, n, ds, segs, i1,
+               CASE WHEN d3 IS NOT NULL AND d3 >= b2
+                    THEN d3 ELSE b2 END AS bd,
+               CASE WHEN d3 IS NOT NULL AND d3 >= b2
+                    THEN 3 ELSE l2 END AS bl
+        FROM (
+          SELECT w, n, ds, segs, i1, d3,
+                 CASE WHEN d2 IS NOT NULL AND d2 >= d1
+                      THEN d2 ELSE d1 END AS b2,
+                 CASE WHEN d2 IS NOT NULL AND d2 >= d1
+                      THEN 2 ELSE 1 END AS l2
+          FROM (
+            SELECT r.w AS w, r.n AS n, r.ds AS ds, r.segs AS segs,
+                   r.i + 1 AS i1,
+                   {d1} AS d1, {d2} AS d2, {d3} AS d3
+            FROM {name} r
+            WHERE r.i < r.n
+          ) q1
+        ) q2
+      ) q3
+    )"""
+
+
+def _unigram_apply_oracle() -> str:
+    """Replay of q_unigram_tokenize: fixed-vocab Viterbi per distinct
+    word (recursive CTE), then reassembly in document word order."""
+    sc1 = _unigram_score_case("substr(r.w, r.i + 1, 1)")
+    sc2 = _unigram_score_case("substr(r.w, r.i, 2)")
+    sc3 = _unigram_score_case("substr(r.w, r.i - 1, 3)")
+    rec = _unigram_viterbi_rec(
+        "rec",
+        f"r.ds[r.i + 1] + coalesce({sc1}, CAST(-20000000 AS BIGINT))",
+        f"CASE WHEN r.i + 1 >= 2 THEN r.ds[r.i] + {sc2} END",
+        f"CASE WHEN r.i + 1 >= 3 THEN r.ds[r.i - 1] + {sc3} END")
+    return f"""
+        WITH RECURSIVE docw AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest([struct_pack(pos := i,
+                         w := substr(ws[i], 1, 12))
+                         for i in generate_series(1, len(ws))]) AS u
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text),
+                                                      '\\s+'),
+                                   x -> x != '') AS ws
+                FROM documents)
+        ), wp AS MATERIALIZED (
+          SELECT doc_id, u.pos AS pos, u.w AS w FROM docw
+        ), words AS MATERIALIZED (
+          SELECT DISTINCT w, length(w) AS n FROM wp
+        ), {rec}, segd AS (
+          SELECT w,
+                 list_filter(string_split(segs[n + 1], chr(31)),
+                             x -> x != '') AS pcs
+          FROM rec WHERE i = n
+        ), perdoc AS (
+          SELECT wp.doc_id AS doc_id,
+                 flatten(list(segd.pcs ORDER BY wp.pos)) AS toks
+          FROM wp JOIN segd ON segd.w = wp.w
+          GROUP BY 1
+        )
+        SELECT d.doc_id AS doc_id,
+               coalesce(len(p.toks), 0) AS n_tokens,
+               coalesce(array_to_string(p.toks, ' '), '') AS token_stream
+        FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+    """
+
+
+def _unigram_train_oracle() -> str:
+    """Replay of q_unigram_train: seed substring counts (all chars +
+    top-80 multi-char), two Viterbi-EM rounds — each a recursive-CTE
+    DP whose scores come from the previous round's recount — then the
+    top-40 prune.  Integer micro-nat scores everywhere; ln parity
+    Spark<->DuckDB is the proven MI/NB discipline."""
+    parts = ["""
+        WITH RECURSIVE words AS MATERIALIZED (
+          SELECT w, CAST(count(*) AS BIGINT) AS wc, length(w) AS n
+          FROM (
+            SELECT substr(x, 1, 12) AS w FROM (
+              SELECT unnest(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       y -> y != '')) AS x
+              FROM documents)
+          ) GROUP BY 1
+        ), s1 AS (
+          SELECT w, wc, n, unnest(generate_series(1, n)) AS i
+          FROM words
+        ), s2 AS (
+          SELECT w, wc, i,
+                 unnest(generate_series(1, least(3, i))) AS l
+          FROM s1
+        ), subs AS MATERIALIZED (
+          SELECT substr(w, i - l + 1, l) AS piece,
+                 CAST(sum(wc) AS BIGINT) AS c
+          FROM s2 GROUP BY 1
+        ), seed AS MATERIALIZED (
+          SELECT piece, c FROM subs WHERE length(piece) = 1
+          UNION ALL
+          SELECT piece, c FROM (
+            SELECT piece, c,
+                   row_number() OVER (ORDER BY c DESC, piece) AS rn
+            FROM subs WHERE length(piece) >= 2)
+          WHERE rn <= 80
+        ), sc0 AS MATERIALIZED (
+          SELECT piece, c,
+                 CAST(round(ln(c / t) * 1000000.0) AS BIGINT) AS s
+          FROM seed,
+               (SELECT CAST(sum(c) AS BIGINT) AS t FROM seed)
+        )"""]
+    prev = "sc0"
+    for rnd in (1, 2):
+        sc1 = f"p1.s"
+        rec = _unigram_viterbi_rec(
+            f"rec{rnd}",
+            f"r.ds[r.i + 1] + coalesce(p1.s, CAST(-20000000 AS BIGINT))",
+            f"CASE WHEN r.i + 1 >= 2 THEN r.ds[r.i] + p2.s END",
+            f"CASE WHEN r.i + 1 >= 3 THEN r.ds[r.i - 1] + p3.s END")
+        # splice the three score joins into the innermost scan
+        rec = rec.replace(
+            f"FROM rec{rnd} r\n            WHERE r.i < r.n",
+            f"""FROM rec{rnd} r
+            LEFT JOIN {prev} p1
+              ON p1.piece = substr(r.w, r.i + 1, 1)
+            LEFT JOIN {prev} p2
+              ON r.i + 1 >= 2 AND p2.piece = substr(r.w, r.i, 2)
+            LEFT JOIN {prev} p3
+              ON r.i + 1 >= 3 AND p3.piece = substr(r.w, r.i - 1, 3)
+            WHERE r.i < r.n""")
+        parts.append(f""", {rec}, cnt{rnd} AS MATERIALIZED (
+          SELECT piece, CAST(sum(wc) AS BIGINT) AS c FROM (
+            SELECT unnest(list_filter(
+                     string_split(r.segs[r.n + 1], chr(31)),
+                     x -> x != '')) AS piece,
+                   wd.wc AS wc
+            FROM rec{rnd} r JOIN words wd ON wd.w = r.w
+            WHERE r.i = r.n
+          ) GROUP BY 1
+        ), sc{rnd} AS MATERIALIZED (
+          SELECT piece, c,
+                 CAST(round(ln(c / t) * 1000000.0) AS BIGINT) AS s
+          FROM cnt{rnd},
+               (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt{rnd})
+        )""")
+        prev = f"sc{rnd}"
+    parts.append("""
+        SELECT piece, c AS count, s AS score FROM (
+          SELECT piece, c, s,
+                 row_number() OVER (ORDER BY c DESC, piece) AS rn
+          FROM sc2)
+        WHERE rn <= 40
+    """)
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9248,6 +9428,8 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY pos, event_type
         """,
     }
+    d["unigram_tokenize"] = _unigram_apply_oracle()
+    d["unigram_train"] = _unigram_train_oracle()
     d["corpus_pipeline"] = _pipeline_oracle(d)
     d["winnow_overlap"] = f"""
         WITH fps AS (

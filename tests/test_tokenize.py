@@ -75,3 +75,45 @@ def test_bpe_train_then_apply_compresses(spark):
     n_full = full.agg(F.sum("n_tokens")).first()[0]
     # each extra rank can only merge more: strictly fewer tokens here
     assert n_full < n_base
+
+
+def test_unigram_apply_viterbi_goldens(spark):
+    """Hand-checked Viterbi: piece scores chosen so the best path is
+    unambiguous, plus the unk fallback and empty-doc contract."""
+    vocab = {"ab": -100, "a": -300, "b": -400, "c": -500, "abc": -250}
+    df = spark.createDataFrame(
+        [(1, "abc ab cab zb"), (2, "")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+           for r in tokenize.unigram_apply(df, vocab).collect()}
+    # abc(-250) beats ab+c(-600); cab -> c+ab(-600); z is unk
+    assert out[1] == (["abc", "ab", "c", "ab", "z", "b"], 6)
+    assert out[2] == ([], 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        tokenize.unigram_apply(df, {})
+
+
+def test_unigram_tie_prefers_longer_piece(spark):
+    # aa(-600) exactly ties a+a(-600): the longer piece wins
+    df = spark.createDataFrame([(1, "aa")], "doc_id long, text string")
+    t = tokenize.unigram_apply(df, {"aa": -600, "a": -300}) \
+        .first()["tokens"]
+    assert t == ["aa"]
+
+
+def test_unigram_train_then_apply_compresses(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    vocab = tokenize.unigram_train(docs, vocab_size=40, max_piece_len=3,
+                                   iters=2)
+    rows = vocab.collect()
+    assert 0 < len(rows) <= 40
+    # scores are negative micro-nat log-probs; counts positive
+    assert all(r["score"] < 0 and r["count"] > 0 for r in rows)
+    trained = {r["piece"]: r["score"] for r in rows}
+    out = tokenize.unigram_apply(docs, trained)
+    n_tok = out.agg(F.sum("n_tokens")).first()[0]
+    # char-level baseline: every non-space char its own token
+    n_char = docs.select(
+        F.sum(F.length(F.regexp_replace("text", r"\s+", "")))).first()[0]
+    assert 0 < n_tok < n_char
+    with pytest.raises(ValueError, match="vocab_size"):
+        tokenize.unigram_train(docs, vocab_size=0)
