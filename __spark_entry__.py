@@ -1267,6 +1267,42 @@ def q_multimodal_decode_image(spark, sf_dir):
     return dp_mm.image_stats(media)
 
 
+def _synth_ppm8(docs):
+    """8x8 binary-PPM per doc: P6 header + 192 pixel bytes drawn from 12
+    chained md5 digests of the text — every byte reproducible in SQL as
+    a hex substring, so perceptual hashes over the DECODED pixels are
+    fully oracle-replayable."""
+    parts = [F.unhex(F.md5(F.concat(F.col("text"), F.lit(f"#{k}"))))
+             for k in range(12)]
+    return docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                       F.concat(F.lit(b"P6\n8 8\n255\n"), *parts)
+                       .alias("content"))
+
+
+def q_image_phash(spark, sf_dir):
+    """Perceptual image hashes over REAL decoded pixels
+    (multimodal.py::image_phash): PPM decode in Arrow-batched
+    mapInPandas, 4x4 box pooling of the 8x8 synthetic image, then
+    all-integer aHash (cell vs image mean, cross-multiplied by areas)
+    and dHash (cell vs right neighbor) packed into BIGINTs.  The oracle
+    rebuilds every pixel byte from the md5 hex and replays the exact
+    integer comparisons."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_mm.image_phash(_synth_ppm8(docs), grid_w=4, grid_h=4)
+
+
+def q_image_near_dups(spark, sf_dir):
+    """Near-duplicate images by Hamming distance on the perceptual
+    aHash (multimodal.py::image_near_dups): the pigeonhole chunk
+    blocker (4 chunks, radius 2 — complete by pigeonhole) keys the
+    candidate join, one XOR popcount verifies.  The oracle filters
+    all pairs directly — identical result set because the blocking is
+    recall-complete at this radius."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_mm.image_near_dups(_synth_ppm8(docs), grid_w=4, grid_h=4,
+                                 max_hamming=2, use="ahash", n_chunks=4)
+
+
 # fixed PCM16 mono 8kHz WAV header for exactly 6 samples (12 data bytes)
 import struct as _struct  # noqa: E402
 
@@ -3906,6 +3942,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "isotonic_calibration": q_isotonic_calibration,
         "unigram_tokenize": q_unigram_tokenize,
+        "image_phash": q_image_phash,
+        "image_near_dups": q_image_near_dups,
         "unigram_train": q_unigram_train,
         "cusum_hourly_by_user": q_cusum_hourly_by_user,
         "rouge2_pairs": q_rouge2_pairs,
@@ -7682,6 +7720,51 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS digest
             FROM documents
         """,
+
+        "image_phash": """
+            -- pixel byte jb of the 8x8 synthetic PPM comes from digest
+            -- jb//16 = md5(text || '#' || d), hex offset jb%16; gray =
+            -- r+g+b; 4x4 box cells; all comparisons integer cross-
+            -- multiplied by areas exactly as _phash_of does
+            WITH px AS (
+              SELECT doc_id, g.p AS p,
+                ('0x' || substr(md5(text || '#' ||
+                   CAST((3 * g.p) // 16 AS VARCHAR)),
+                   2 * ((3 * g.p) % 16) + 1, 2))::BIGINT
+              + ('0x' || substr(md5(text || '#' ||
+                   CAST((3 * g.p + 1) // 16 AS VARCHAR)),
+                   2 * ((3 * g.p + 1) % 16) + 1, 2))::BIGINT
+              + ('0x' || substr(md5(text || '#' ||
+                   CAST((3 * g.p + 2) // 16 AS VARCHAR)),
+                   2 * ((3 * g.p + 2) % 16) + 1, 2))::BIGINT AS gray
+              FROM documents CROSS JOIN generate_series(0, 63) g(p)
+            ), cells AS (
+              SELECT doc_id, (p % 8) // 2 AS xc, (p // 8) // 2 AS yc,
+                     CAST(sum(gray) AS BIGINT) AS cs
+              FROM px GROUP BY 1, 2, 3
+            ), tot AS (
+              SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts
+              FROM cells GROUP BY 1
+            ), ah AS (
+              SELECT c.doc_id AS doc_id,
+                     CAST(sum(CASE WHEN c.cs * 64 > t.ts * 4
+                          THEN (CAST(1 AS BIGINT) << (c.yc * 4 + c.xc))
+                          ELSE 0 END) AS BIGINT) AS ahash
+              FROM cells c JOIN tot t USING (doc_id) GROUP BY 1
+            ), dh AS (
+              SELECT a.doc_id AS doc_id,
+                     CAST(coalesce(sum(CASE WHEN a.cs * 4 > b.cs * 4
+                          THEN (CAST(1 AS BIGINT) << (a.yc * 3 + a.xc))
+                          ELSE 0 END), 0) AS BIGINT) AS dhash
+              FROM cells a JOIN cells b
+                ON b.doc_id = a.doc_id AND b.yc = a.yc
+               AND b.xc = a.xc + 1
+              GROUP BY 1
+            )
+            SELECT ah.doc_id AS media_id, 8 AS width, 8 AS height,
+                   ah.ahash AS ahash, dh.dhash AS dhash
+            FROM ah JOIN dh ON dh.doc_id = ah.doc_id
+        """,
         "multimodal_decode_image": """
             -- mirror of the synthesized 2x2 PPM: pixel byte j is md5 hex
             -- chars (2j+1, 2); channel = j mod 3; mean = sum over 4 px / 4
@@ -9428,6 +9511,13 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY pos, event_type
         """,
     }
+    d["image_near_dups"] = f"""
+        WITH ph AS ({d["image_phash"]})
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               bit_count(xor(a.ahash, b.ahash)) AS hamming
+        FROM ph a JOIN ph b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+    """
     d["unigram_tokenize"] = _unigram_apply_oracle()
     d["unigram_train"] = _unigram_train_oracle()
     d["corpus_pipeline"] = _pipeline_oracle(d)

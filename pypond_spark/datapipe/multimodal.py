@@ -256,3 +256,144 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n - 1)).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing + near-duplicate detection
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("ahash", T.LongType(), True),
+    T.StructField("dhash", T.LongType(), True),
+])
+
+
+def _phash_of(img: dict, grid_w: int, grid_h: int) -> tuple:
+    """(ahash, dhash) over a decoded image, all-integer.
+
+    Grayscale is the raw channel SUM ``r+g+b`` (no division); the image
+    is box-pooled onto a ``grid_w x grid_h`` grid with floor-boundary
+    cells, and every brightness comparison is integer cross-
+    multiplication against cell areas (``cs_a * area_b > cs_b *
+    area_a``) — bit-exact, no floats anywhere, so a SQL replay over the
+    same pixel bytes matches the hashes exactly.
+
+    - aHash bit ``y*grid_w + x``: cell brighter than the image mean
+      (``cell_sum * total_area > total_sum * cell_area``).
+    - dHash bit ``y*(grid_w-1) + x``: cell brighter than its RIGHT
+      neighbor — the classic gradient hash, robust to global
+      brightness/contrast shifts.
+    """
+    W, H = img["width"], img["height"]
+    px = img["pixels"]
+    xb = [x * W // grid_w for x in range(grid_w + 1)]
+    yb = [y * H // grid_h for y in range(grid_h + 1)]
+    cs = [[0] * grid_w for _ in range(grid_h)]
+    area = [[(xb[x + 1] - xb[x]) * (yb[y + 1] - yb[y])
+             for x in range(grid_w)] for y in range(grid_h)]
+    for yc in range(grid_h):
+        for xc in range(grid_w):
+            s = 0
+            for y in range(yb[yc], yb[yc + 1]):
+                base = 3 * (y * W + xb[xc])
+                s += sum(px[base:base + 3 * (xb[xc + 1] - xb[xc])])
+            cs[yc][xc] = s
+    total = sum(map(sum, cs))
+    total_area = W * H
+    ahash = 0
+    for yc in range(grid_h):
+        for xc in range(grid_w):
+            if cs[yc][xc] * total_area > total * area[yc][xc]:
+                ahash |= 1 << (yc * grid_w + xc)
+    dhash = 0
+    for yc in range(grid_h):
+        for xc in range(grid_w - 1):
+            if cs[yc][xc] * area[yc][xc + 1] \
+                    > cs[yc][xc + 1] * area[yc][xc]:
+                dhash |= 1 << (yc * (grid_w - 1) + xc)
+    return ahash, dhash
+
+
+def image_phash(df: DataFrame, grid_w: int = 7, grid_h: int = 7) -> DataFrame:
+    """aHash + dHash perceptual hashes over REAL decoded pixels (the
+    near-duplicate-image analogue of dedup.py::simhash64): PPM decode in
+    an Arrow-batched ``mapInPandas`` (no shuffle, scan-parallel), then
+    the all-integer grid hashes of :func:`_phash_of`.
+
+    ``grid_w * grid_h`` (aHash bits) and ``grid_h * (grid_w - 1)``
+    (dHash bits) must stay <= 63 so each hash packs into one
+    non-negative BIGINT that any engine can XOR/popcount.  Grids must
+    not exceed the image dimensions (a cell must hold >= 1 pixel).
+    """
+    if grid_w < 2 or grid_h < 1:
+        raise ValueError(f"need grid_w >= 2 and grid_h >= 1, "
+                         f"got {grid_w}x{grid_h}")
+    if grid_w * grid_h > 63:
+        raise ValueError(f"grid {grid_w}x{grid_h} = {grid_w * grid_h} "
+                         "bits; one signed BIGINT holds at most 63")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = decode_image(bytes(content))
+                if grid_w > img["width"] or grid_h > img["height"]:
+                    raise ValueError(
+                        f"grid {grid_w}x{grid_h} exceeds image "
+                        f"{img['width']}x{img['height']}")
+                ah, dh = _phash_of(img, grid_w, grid_h)
+                rows.append((int(mid), img["width"], img["height"],
+                             ah, dh))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              PHASH_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def image_near_dups(df: DataFrame, grid_w: int = 7, grid_h: int = 7,
+                    max_hamming: int = 3, use: str = "dhash",
+                    n_chunks: int = 4) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance on a perceptual
+    hash — :func:`image_phash` plus the pigeonhole chunk blocker of
+    similarity.py::embedding_hamming_near_dups: the hash is cut into
+    ``n_chunks`` bit-ranges; any pair within ``max_hamming <=
+    n_chunks - 1`` shares at least one exact chunk, so candidates come
+    from a chunk-equality join (Σ|bucket|² work, never all-pairs) and
+    are verified with one XOR popcount.
+
+    At production bit widths keep chunks >= 16 bits (4 chunks of a
+    64-bit hash); small demo grids need proportionally more, smaller
+    chunks — recall is still guaranteed, the buckets are just coarser.
+    """
+    if use not in ("ahash", "dhash"):
+        raise ValueError(f"use must be ahash|dhash, got {use!r}")
+    bits = grid_h * (grid_w - 1) if use == "dhash" else grid_w * grid_h
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs >= {max_hamming + 1} "
+            f"chunks, got n_chunks={n_chunks}")
+    if n_chunks > bits:
+        raise ValueError(f"n_chunks={n_chunks} exceeds {bits} hash bits")
+    ph = image_phash(df, grid_w, grid_h).select("media_id", use) \
+        .localCheckpoint()  # decode once, not once per join side
+    bounds = [c * bits // n_chunks for c in range(n_chunks + 1)]
+    chunks = F.array(*[
+        F.concat(F.lit(f"{c}:"),
+                 F.shiftright(F.col(use), bounds[c])
+                 .bitwiseAND(F.lit((1 << (bounds[c + 1] - bounds[c])) - 1))
+                 .cast("string"))
+        for c in range(n_chunks)
+    ])
+    blocked = ph.select("media_id", use, F.explode(chunks).alias("chunk"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(F.col(f"a.{use}").bitwiseXOR(F.col(f"b.{use}")))
+    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.media_id") < F.col("b.media_id")))
+            .where(hamming <= max_hamming)
+            .select(F.col("a.media_id").alias("id_a"),
+                    F.col("b.media_id").alias("id_b"),
+                    hamming.alias("hamming"))
+            .distinct())

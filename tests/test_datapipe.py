@@ -251,6 +251,62 @@ def test_image_audio_stats_distributed(spark):
     assert feats["features"] == [2.0, 2.0, 10.0, 20.0, 30.0]
 
 
+def test_image_phash_goldens(spark):
+    """Hand-checkable 4x2 image, 2x2 grid (2x1-pixel cells): left half
+    dark, right half bright -> aHash marks the two right cells, dHash
+    marks the left-of-right-neighbor bits where left is darker (0)."""
+    # pixels (gray = r+g+b): row0 [0, 0, 90, 90], row1 [0, 0, 90, 90]
+    px = bytes([0, 0, 0] * 2 + [30, 30, 30] * 2) * 2
+    ppm = b"P6\n4 2\n255\n" + px
+    media = spark.createDataFrame([(1, ppm)],
+                                  "media_id long, content binary")
+    row = multimodal.image_phash(media, grid_w=2, grid_h=2).collect()[0]
+    assert (row["width"], row["height"]) == (4, 2)
+    # cells (y,x): (0,0)=0 (0,1)=180 (1,0)=0 (1,1)=180; mean > 0
+    # aHash bits y*2+x: bits 1 and 3 -> 0b1010 = 10
+    assert row["ahash"] == 10
+    # dHash bits y*1+x (x=0 only): cell(y,0)=0 > cell(y,1)=180? no -> 0
+    assert row["dhash"] == 0
+
+    # brightness-shifted copy keeps the same dHash (gradient hash)
+    px2 = bytes([20, 20, 20] * 2 + [50, 50, 50] * 2) * 2
+    media2 = spark.createDataFrame(
+        [(1, ppm), (2, b"P6\n4 2\n255\n" + px2)],
+        "media_id long, content binary")
+    rows = {r["media_id"]: r for r in
+            multimodal.image_phash(media2, grid_w=2, grid_h=2).collect()}
+    assert rows[1]["dhash"] == rows[2]["dhash"]
+
+    with pytest.raises(ValueError, match="63"):
+        multimodal.image_phash(media, grid_w=8, grid_h=8)
+    with pytest.raises(Exception, match="exceeds image"):
+        multimodal.image_phash(media, grid_w=5, grid_h=2).collect()
+
+
+def test_image_near_dups_planted(spark):
+    """A planted near-identical pair (one cell nudged) lands within the
+    Hamming radius; an inverted image does not.  Chunk blocking must
+    be recall-complete at radius <= n_chunks - 1."""
+    def ppm(cells):  # 4x4 image from a 4x4 gray grid (1-px cells)
+        b = bytes(v for row in cells for v in row for _ in range(3))
+        return b"P6\n4 4\n255\n" + b
+    base = [[0, 0, 200, 200]] * 2 + [[200, 200, 0, 0]] * 2
+    nudge = [r[:] for r in base]
+    nudge[0][0] = 30          # flips no aHash bit (still below mean)
+    inverted = [[200 - 0 if v == 0 else 0 for v in r] for r in base]
+    media = spark.createDataFrame(
+        [(1, ppm(base)), (2, ppm(nudge)), (3, ppm(inverted))],
+        "media_id long, content binary")
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in multimodal.image_near_dups(
+               media, grid_w=4, grid_h=4, max_hamming=2,
+               use="ahash", n_chunks=4).collect()}
+    assert (1, 2) in out and out[(1, 2)] <= 2
+    assert (1, 3) not in out and (2, 3) not in out
+    with pytest.raises(ValueError, match="chunks"):
+        multimodal.image_near_dups(media, max_hamming=4, n_chunks=4)
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame(
         [(1, "video", bytearray(b"xx"), ("mp4", None, None, 3500))],
