@@ -631,6 +631,21 @@ def q_decontam_docs(spark, sf_dir):
                                   grams, n=3, min_hits=3)
 
 
+def q_longest_match_decontam(spark, sf_dir):
+    """Longest shared token run per (doc, benchmark item)
+    (decontam.py::longest_match): positional 3-gram seeds on a
+    broadcast benchmark side, chained along alignment diagonals with
+    gaps-and-islands — a chain of c consecutive diagonal hits IS a
+    shared run of c+2 tokens, so the audit is exact for every run
+    >= k.  The oracle replays seeds, islands, and the (len DESC,
+    positions ASC) argmax."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = (docs.where(F.col("doc_id") < 25)
+             .select(F.col("doc_id").alias("item_id"), "text"))
+    return dp_decon.longest_match(docs.where(F.col("doc_id") >= 25),
+                                  bench, k=3)
+
+
 def q_decontam_normalized(spark, sf_dir):
     """Case/punctuation-insensitive decontamination (decontam.py
     normalize=True, the GPT-3 appendix-C convention): the benchmark side
@@ -3943,6 +3958,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": q_isotonic_calibration,
         "unigram_tokenize": q_unigram_tokenize,
         "image_phash": q_image_phash,
+        "longest_match_decontam": q_longest_match_decontam,
         "image_near_dups": q_image_near_dups,
         "unigram_train": q_unigram_train,
         "cusum_hourly_by_user": q_cusum_hourly_by_user,
@@ -8024,6 +8040,53 @@ def oracle_sql() -> dict[str, str]:
                    round(bf.bs / bf.bw / 1000000.0, 6) AS rate_raw,
                    round(iso.iso / 1000000.0, 6) AS rate_iso
             FROM bf JOIN iso ON iso.i = bf.bin
+        """,
+
+        "longest_match_decontam": """
+            -- positional 3-gram seeds -> diagonal gaps-and-islands;
+            -- chain of c hits == shared run of c+2 tokens (exact)
+            WITH dt AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text),
+                                                    '\\s+'),
+                                 x -> x != '') AS w
+              FROM documents
+            ), dg AS (
+              SELECT doc_id, u.i AS i, u.g AS g FROM (
+                SELECT doc_id,
+                       unnest([struct_pack(i := i - 1,
+                               g := array_to_string(w[i:i+2], ' '))
+                               for i in generate_series(1, len(w) - 2)])
+                         AS u
+                FROM dt WHERE doc_id >= 25 AND len(w) >= 3)
+            ), bg AS (
+              SELECT doc_id AS item_id, u.i AS j, u.g AS g FROM (
+                SELECT doc_id,
+                       unnest([struct_pack(i := i - 1,
+                               g := array_to_string(w[i:i+2], ' '))
+                               for i in generate_series(1, len(w) - 2)])
+                         AS u
+                FROM dt WHERE doc_id < 25 AND len(w) >= 3)
+            ), hits AS (
+              SELECT dg.doc_id, bg.item_id, dg.i AS i, bg.j AS j,
+                     dg.i - bg.j AS d
+              FROM dg JOIN bg ON bg.g = dg.g
+            ), runs AS (
+              SELECT doc_id, item_id, d, isl,
+                     count(*) + 2 AS len,
+                     min(i) AS di, min(j) AS ji
+              FROM (SELECT *, i - row_number() OVER (
+                      PARTITION BY doc_id, item_id, d ORDER BY i) AS isl
+                    FROM hits)
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_id, item_id, len AS match_tokens,
+                   di AS doc_pos, ji AS item_pos
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id, item_id
+                    ORDER BY len DESC, di, ji) AS rn
+                  FROM runs)
+            WHERE rn = 1
         """,
         "chi2_lang_source": """
             WITH joint AS (

@@ -17,7 +17,7 @@ linear in token count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pypond_spark.datapipe.dedup import word_shingles
@@ -121,3 +121,92 @@ def split_leakage(df: DataFrame, splits: dict[str, float],
                         F.round(F.try_divide(
                             F.col("n_leaked").cast("double"),
                             F.col("n_shingles").cast("double")), 6)))
+
+
+def longest_match(docs: DataFrame, bench: DataFrame, k: int = 5,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text",
+                  bench_id_col: str = "item_id",
+                  min_tokens: int | None = None,
+                  normalize: bool = False) -> DataFrame:
+    """Longest shared token RUN per (document, benchmark item) — the
+    longest-match contamination audit that modern benchmark hygiene
+    uses alongside fixed-n gram hits (e.g. "any >50-character exact
+    match" rules): a document quoting 40 consecutive tokens of an eval
+    item is contamination even if no single fixed 13-gram threshold
+    story tells it well.
+
+    Seed-and-chain, never O(len_a * len_b) per pair: shared ``k``-grams
+    are matched positionally; two grams at consecutive positions on the
+    same alignment diagonal (``doc_pos - item_pos`` constant) overlap
+    in k-1 tokens, so a chain of ``c`` consecutive diagonal hits IS a
+    genuine shared run of exactly ``c + k - 1`` tokens (gram equality
+    at consecutive offsets forces token equality across the union).
+    Runs shorter than ``k`` are invisible by design — ``k`` is the
+    audit's noise floor.  The chain step is gaps-and-islands over the
+    (doc, item, diagonal) hit frame — the repeated_spans machinery
+    pointed at a cross-corpus alignment.
+
+    Scale: the benchmark side is broadcast (eval suites are megabytes);
+    the corpus explodes grams map-side and only MATCHING (doc, item,
+    pos) hits shuffle — cost linear in corpus tokens plus
+    Σ|gram-bucket|² across the two sides, the decontaminate() contract.
+
+    Output: one row per (doc, item) pair with a run of at least
+    ``min_tokens`` (default ``k``): ``(id_col, bench_id_col,
+    match_tokens, doc_pos, item_pos)`` — positions are 0-based token
+    offsets of the LONGEST run (ties: smallest doc_pos, then smallest
+    item_pos).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    floor = int(min_tokens if min_tokens is not None else k)
+    if floor < k:
+        raise ValueError(f"min_tokens={floor} is below the k={k} "
+                         "noise floor — runs shorter than k are not "
+                         "detected; lower k instead")
+    if normalize:
+        docs = docs.withColumn(text_col, normalize_text(text_col))
+        bench = bench.withColumn(bench_text_col,
+                                 normalize_text(bench_text_col))
+
+    def grams(df, tcol, icol, pos_name, out_id):
+        toks = F.filter(F.split(F.trim(F.col(tcol)), r"\s+"),
+                        lambda t: t != F.lit(""))
+        g = F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.concat_ws(" ", F.slice(toks, i + 1, k))
+                    .alias("g")))) \
+            .otherwise(F.array().cast(
+                "array<struct<p:int,g:string>>"))
+        return (df.select(F.col(icol).alias(out_id),
+                          F.explode(g).alias("u"))
+                .select(out_id, F.col("u.p").alias(pos_name),
+                        F.col("u.g").alias("g")))
+
+    dg = grams(docs, text_col, id_col, "i", "__doc")
+    bg = grams(bench, bench_text_col, bench_id_col, "j", "__item")
+    hits = dg.join(F.broadcast(bg), "g") \
+        .select("__doc", "__item", "i", "j",
+                (F.col("i") - F.col("j")).alias("d"))
+    w = Window.partitionBy("__doc", "__item", "d").orderBy("i")
+    isl = (F.col("i") - F.row_number().over(w)).alias("isl")
+    runs = (hits.select("__doc", "__item", "d", "i", "j", isl)
+            .groupBy("__doc", "__item", "d", "isl")
+            .agg((F.count("*") + (k - 1)).alias("len"),
+                 F.min("i").alias("di"), F.min("j").alias("ji")))
+    best = (runs.groupBy("__doc", "__item")
+            .agg(F.max(F.struct(
+                F.col("len"),
+                (-F.col("di")).alias("ndi"),
+                (-F.col("ji")).alias("nji"))).alias("b"))
+            .where(F.col("b.len") >= floor))
+    return best.select(F.col("__doc").alias(id_col),
+                       F.col("__item").alias(bench_id_col),
+                       F.col("b.len").alias("match_tokens"),
+                       (-F.col("b.ndi")).alias("doc_pos"),
+                       (-F.col("b.nji")).alias("item_pos"))

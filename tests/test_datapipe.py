@@ -569,6 +569,44 @@ def test_decontaminate_normalize_flag(spark):
     assert norm[2]["contaminated_grams"] == 0
 
 
+def test_longest_match_goldens(spark):
+    """Hand-checked seed-and-chain: a 5-token shared run found from
+    2-gram seeds; a 3-token run beside a 2-token run picks the longer;
+    no-overlap docs emit nothing; normalize flag recovers perturbed
+    matches; min_tokens floors the output."""
+    docs = spark.createDataFrame([
+        (100, "x y z alpha beta gamma delta epsilon q r"),
+        (101, "alpha beta q gamma delta epsilon"),
+        (102, "nothing shared here at all"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "item_id long, text string")
+    got = {(r["doc_id"], r["item_id"]):
+           (r["match_tokens"], r["doc_pos"], r["item_pos"])
+           for r in decontam.longest_match(docs, bench, k=2).collect()}
+    assert got[(100, 1)] == (5, 3, 0)
+    assert got[(101, 1)] == (3, 3, 2)
+    assert (102, 1) not in got
+    # min_tokens floors: only the 5-run survives
+    flo = decontam.longest_match(docs, bench, k=2,
+                                 min_tokens=4).collect()
+    assert [(r["doc_id"], r["match_tokens"]) for r in flo] == [(100, 5)]
+    # normalized matching recovers a perturbed quote
+    pdocs = spark.createDataFrame(
+        [(200, "he said ALPHA, Beta, GAMMA! delta epsilon indeed")],
+        "doc_id long, text string")
+    # raw matching sees only the unpunctuated "delta epsilon" tail...
+    assert decontam.longest_match(pdocs, bench, k=2) \
+        .first()["match_tokens"] == 2
+    # ...normalization recovers the full 5-token quote
+    nrm = decontam.longest_match(pdocs, bench, k=2,
+                                 normalize=True).first()
+    assert nrm["match_tokens"] == 5
+    with pytest.raises(ValueError, match="noise floor"):
+        decontam.longest_match(docs, bench, k=3, min_tokens=2)
+
+
 def test_filter_corpus_reasons(spark):
     from pypond_spark.datapipe import corpus
     stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
