@@ -512,6 +512,20 @@ def q_neardup_pairs_lsh(spark, sf_dir):
     return dp_dedup.lsh_candidate_pairs(docs, num_hashes=8, band_size=4)
 
 
+def q_lsh_capped_pairs(spark, sf_dir):
+    """LSH candidate pairs under the adversarial-skew bucket cap
+    (dedup.py::lsh_candidate_pairs max_bucket=4): each band bucket
+    emits the clique over a deterministic 4-member sample (ordered by
+    md5(band:id) so bands sample different members) plus a star edge
+    from every overflow member to the bucket representative — per-
+    bucket cost max_bucket² + |bucket| instead of |bucket|², with every
+    member keeping an edge.  The oracle replays the ranking, clique,
+    and star exactly."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_dedup.lsh_candidate_pairs(docs, num_hashes=8, band_size=4,
+                                        max_bucket=4)
+
+
 def q_dedup_documents(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     out = dp_dedup.dedup_documents(docs, jaccard_threshold=0.8)
@@ -946,6 +960,25 @@ def q_stream_first_seen(spark, sf_dir):
     out = stream_first_seen(both, key_col="digest",
                             payload_cols=("doc_id",),
                             order_col="doc_id")
+    return _run_stream_32(spark, out, "append")
+
+
+def q_stream_simhash_dedup(spark, sf_dir):
+    """Streaming NEAR-dup ingestion gate (streaming/stream.py::
+    stream_simhash_dedup): every doc plus a perturbed +10000-id clone
+    (text || ' extra') flows through; per 16-bit SimHash band key the
+    first arrival claims it, later hits are suppressed — clones share
+    most bands with their originals, so they claim few or none.
+    Append-mode output is the claim table (band, doc_id); the batch
+    twin computes the identical md5 SimHash halves and takes min
+    doc_id per band key."""
+    sdf = _docs_stream(spark, sf_dir)
+    both = (sdf.select("doc_id", "text")
+            .unionByName(sdf.select(
+                (F.col("doc_id") + 10000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra")).alias("text"))))
+    from pypond_spark.streaming.stream import stream_simhash_dedup
+    out = stream_simhash_dedup(both, n_bands=4)
     return _run_stream_32(spark, out, "append")
 
 
@@ -3959,6 +3992,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokenize": q_unigram_tokenize,
         "image_phash": q_image_phash,
         "longest_match_decontam": q_longest_match_decontam,
+        "lsh_capped_pairs": q_lsh_capped_pairs,
+        "stream_simhash_dedup": q_stream_simhash_dedup,
         "image_near_dups": q_image_near_dups,
         "unigram_train": q_unigram_train,
         "cusum_hourly_by_user": q_cusum_hourly_by_user,
@@ -7023,6 +7058,35 @@ def oracle_sql() -> dict[str, str]:
                      {_mh_sig_cols(4)}
             FROM sh GROUP BY doc_id
         """,
+        "lsh_capped_pairs": _SHINGLES + f"""
+            , sig AS (
+              SELECT doc_id,
+                     {_mh_sig_cols(8)}
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([
+                  md5(concat_ws('|', '0', m0, m1, m2, m3)),
+                  md5(concat_ws('|', '1', m4, m5, m6, m7))]) AS band
+              FROM sig
+            ), ranked AS (
+              SELECT doc_id, band,
+                     row_number() OVER (PARTITION BY band
+                       ORDER BY md5(band || ':' || doc_id::VARCHAR))
+                       AS rn
+              FROM bands
+            )
+            SELECT DISTINCT id_a, id_b FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ranked a JOIN ranked b
+                ON b.band = a.band AND a.rn <= 4 AND b.rn <= 4
+               AND a.doc_id < b.doc_id
+              UNION ALL
+              SELECT least(o.doc_id, r.doc_id) AS id_a,
+                     greatest(o.doc_id, r.doc_id) AS id_b
+              FROM ranked o JOIN ranked r
+                ON r.band = o.band AND r.rn = 1 AND o.rn > 4
+            )
+        """,
         "neardup_pairs_lsh": _SHINGLES + f"""
             , sig AS (
               SELECT doc_id,
@@ -8328,6 +8392,51 @@ def oracle_sql() -> dict[str, str]:
                    s // 1073741824 AS fp
             FROM sel
             WHERE pos <= greatest(n - 4, 0)
+        """,
+
+        "stream_simhash_dedup": """
+            -- batch twin: md5 SimHash halves over originals + perturbed
+            -- clones, 16-bit band keys, first-arrival == min doc_id
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text || ' extra' AS text
+              FROM documents
+            ), toks AS (
+              SELECT doc_id,
+                     unnest(list_slice(
+                            list_filter(string_split_regex(trim(text),
+                            '\\s+'), x -> x != ''), 1, 1048576)) AS tok
+              FROM corpus
+            ), h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 8))::UBIGINT * 4294967296
+                     + ('0x' || substr(md5(tok), 9, 8))::UBIGINT AS h
+              FROM toks
+            ), bits AS (
+              SELECT doc_id, g.b AS b,
+                     sum(CASE WHEN ((h >> g.b) & CAST(1 AS UBIGINT)) = 1
+                         THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN generate_series(0, 63) g(b)
+              GROUP BY 1, 2
+            ), sim AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0 AND b >= 32
+                          THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END)
+                          AS BIGINT) AS hi,
+                     CAST(sum(CASE WHEN s > 0 AND b < 32
+                          THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+                          AS BIGINT) AS lo
+              FROM bits GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([
+                  '0:' || (lo & 65535)::VARCHAR,
+                  '1:' || ((lo >> 16) & 65535)::VARCHAR,
+                  '2:' || (hi & 65535)::VARCHAR,
+                  '3:' || ((hi >> 16) & 65535)::VARCHAR]) AS band
+              FROM sim
+            )
+            SELECT band, min(doc_id) AS doc_id FROM bands GROUP BY 1
         """,
         "stream_first_seen": """
             SELECT md5(text) AS digest, min(doc_id) AS doc_id

@@ -272,6 +272,7 @@ STREAM = [
     "stream_bloom",
     "stream_first_seen",
     "stream_cusum",
+    "stream_simhash_dedup",
 ]
 
 

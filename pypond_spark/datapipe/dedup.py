@@ -94,12 +94,30 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 8,
                         band_size: int = 4, shingle_n: int = 3,
-                        cache: bool = True, hash_fn: str = "md5") -> DataFrame:
+                        cache: bool = True, hash_fn: str = "md5",
+                        max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding.
 
     Bands of ``band_size`` minhashes are digested into bucket keys; docs
     sharing any band bucket become a candidate pair. The join is per-bucket,
     so cost is sum over buckets of |bucket|^2, not |corpus|^2.
+
+    ``max_bucket`` is the adversarial-skew guard: real crawls contain
+    mega-clusters (boilerplate shared by 10^6 documents) that make one
+    band bucket — and its |bucket|^2 — huge.  With a cap, each bucket
+    emits (a) the full clique over a deterministic ``max_bucket``-member
+    sample (ordered by ``md5(band:id)``, so each band samples
+    DIFFERENT members) and (b) one star edge from every overflow member
+    to the bucket's first sampled representative.  Per-bucket cost
+    drops from |bucket|² to ``max_bucket² + |bucket|`` while every
+    member keeps at least one candidate edge, so connected-component
+    labeling still reaches the whole cluster THROUGH the
+    representatives.  The tradeoff is honest: overflow members are
+    verified only against a representative, so a mega-cluster whose
+    members are mutually similar but dissimilar to the sampled rep can
+    shed edges at the Jaccard verify — the standard sample-and-cap
+    recall concession, which exact-digest dedup upstream (identical
+    boilerplate never reaches LSH) keeps small in practice.
 
     ``cache=True`` persists the (id, band) table so the self-join's two sides
     share one shingle+signature computation instead of recomputing the whole
@@ -114,6 +132,32 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
         # released when the DataFrame is garbage-collected instead of pinning
         # storage memory for the session lifetime
         buckets = buckets.localCheckpoint()
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        from pyspark.sql import Window
+        order = F.md5(F.concat_ws(":", F.col("band"),
+                                  F.col(id_col).cast("string")))
+        w = Window.partitionBy("band").orderBy(order)
+        ranked = (buckets
+                  .select(id_col, "band", F.row_number().over(w)
+                          .alias("__rn"))
+                  .localCheckpoint())
+        core = ranked.where(F.col("__rn") <= max_bucket)
+        a, b = core.alias("a"), core.alias("b")
+        clique = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                  .select(F.col(f"a.{id_col}").alias("id_a"),
+                          F.col(f"b.{id_col}").alias("id_b")))
+        rep = (ranked.where(F.col("__rn") == 1)
+               .select("band", F.col(id_col).alias("__rep")))
+        star = (ranked.where(F.col("__rn") > max_bucket)
+                .join(rep, "band")
+                .select(F.least(F.col(id_col), F.col("__rep"))
+                        .alias("id_a"),
+                        F.greatest(F.col(id_col), F.col("__rep"))
+                        .alias("id_b")))
+        return clique.unionByName(star).distinct()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

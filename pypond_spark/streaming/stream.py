@@ -1691,3 +1691,112 @@ def stream_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
     return out.drop("__k") if dummy else out
+
+
+# ---------------------------------------------------------------------------
+# streaming near-duplicate (SimHash) ingestion gate
+# ---------------------------------------------------------------------------
+
+def _simhash64_py(text: str, max_tokens: int = 1 << 20) -> tuple[int, int] | None:
+    """Row-wise SimHash identical to the batch
+    ``dedup.simhash64(hash_fn='md5', as_halves=True)`` semantics: ASCII
+    ``\\s+`` word split (Java's ``\\s`` class), 2^20-token cap, per
+    token md5's first 16 hex chars as an unsigned 64-bit hash, ±1 per
+    bit, sign of the sum.  Returns unsigned 32-bit ``(sim_hi,
+    sim_lo)`` — the cross-engine-safe halves."""
+    import hashlib
+    import re as _re
+
+    toks = [t for t in _re.split("[ \t\n\x0b\f\r]+", text.strip())
+            if t][:max_tokens]
+    if not toks:
+        # the batch simhash64 explode drops token-less docs; mirror it
+        return None
+    cnt = [0] * 64
+    for t in toks:
+        hx = hashlib.md5(t.encode("utf-8")).hexdigest()
+        h = (int(hx[:8], 16) << 32) | int(hx[8:16], 16)
+        for b in range(64):
+            cnt[b] += 1 if (h >> b) & 1 else -1
+    hi = lo = 0
+    for b in range(64):
+        if cnt[b] > 0:
+            if b >= 32:
+                hi |= 1 << (b - 32)
+            else:
+                lo |= 1 << b
+    return hi, lo
+
+
+def simhash_rowwise(sdf: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Stateless per-row SimHash for streaming frames — the batch
+    ``simhash64`` is an explode + per-doc aggregate, which on a stream
+    would be a streaming aggregation and could not feed a downstream
+    stateful operator in append mode; this Arrow-batched ``mapInPandas``
+    computes the identical halves row-locally instead (same md5 token
+    hashes, same ±1 fold), trading the JVM codegen path for
+    chain-ability.  Output: ``(id_col, sim_hi, sim_lo)``."""
+    out_schema = T.StructType([sdf.schema[id_col],
+                               T.StructField("sim_hi", T.LongType()),
+                               T.StructField("sim_lo", T.LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                res = _simhash64_py(txt if isinstance(txt, str) else "")
+                if res is not None:  # token-less docs: batch parity
+                    rows.append((i, *res))
+            yield pd.DataFrame(rows, columns=[id_col, "sim_hi", "sim_lo"])
+
+    return sdf.mapInPandas(run, out_schema)
+
+
+def stream_simhash_dedup(sdf: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         n_bands: int = 4) -> DataFrame:
+    """Streaming NEAR-duplicate ingestion gate — the near-dup
+    counterpart of :func:`stream_first_seen`: each document's 64-bit
+    SimHash is cut into ``n_bands`` equal band keys; per band key the
+    FIRST document ever seen claims it (one boolean of state per
+    claimed band key), and every later document hitting that key is
+    suppressed on it.  Append-mode output is the claim table
+    ``(band, doc_id)``: a document that claims no band is a near-dup of
+    earlier traffic (every one of its bands was already taken) and is
+    dropped by the gate; distinct claimed doc_ids ARE the admitted
+    corpus.  Ties inside a micro-batch break to the smallest id.
+
+    State is O(distinct band keys) — 4x the admitted-doc count,
+    independent of stream length; the Bloom-prefilter pairing and
+    retention-window restart notes on :func:`stream_first_seen` apply
+    unchanged.  Recall/precision follow SimHash banding: documents
+    within a small Hamming radius share band keys with high
+    probability (16 identical bits per shared band), exactly the batch
+    ``simhash_near_dups`` blocking contract, applied temporally.
+    """
+    if n_bands < 2 or n_bands % 2 or 64 % n_bands:
+        raise ValueError(f"n_bands must be even and divide 64, "
+                         f"got {n_bands}")
+    width = 64 // n_bands
+    sh = simhash_rowwise(sdf, text_col, id_col)
+    # band values from the unsigned 32-bit halves directly — never
+    # reassemble the 64-bit hash (hi << 32 overflows a signed BIGINT)
+    bands = F.array(*[
+        F.concat(F.lit(f"{k}:"),
+                 F.shiftright(
+                     F.col("sim_hi" if k >= n_bands // 2 else "sim_lo"),
+                     (k % (n_bands // 2)) * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).cast("string"))
+        for k in range(n_bands)
+    ])
+    keyed = sh.select(F.col(id_col), F.explode(bands).alias("band"))
+    out_schema = T.StructType([T.StructField("band", T.StringType()),
+                               sdf.schema[id_col]])
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    return keyed.groupBy("band").applyInPandasWithState(
+        _first_seen_state_fn(["band"], [id_col], id_col),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)

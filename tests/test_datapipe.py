@@ -59,6 +59,34 @@ def test_minhash_and_lsh(spark, docs):
         assert (r["doc_id"], r["doc_id"] + 1_000_000) in got
 
 
+def test_lsh_max_bucket_mega_cluster(spark):
+    """A planted mega-cluster (120 identical docs: worst-case skew —
+    every band bucket holds all 120) under max_bucket=8: pair count
+    collapses from |bucket|² to max_bucket² + |bucket| per band, every
+    member keeps at least one edge (the star links), and connected-
+    component labeling still reaches the WHOLE cluster through the
+    representatives."""
+    n = 120
+    mega = spark.createDataFrame(
+        [(i, "the same boilerplate text shared by every page")
+         for i in range(n)], "doc_id long, text string")
+    capped = dedup.lsh_candidate_pairs(mega, num_hashes=8, band_size=4,
+                                       max_bucket=8)
+    pairs = capped.collect()
+    # bounded: 2 bands x (C(8,2) clique + (120-8) star) = 280 max,
+    # far below the uncapped C(120,2) = 7140
+    assert len(pairs) <= 2 * (28 + (n - 8))
+    touched = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert touched == set(range(n))
+    stats = {}
+    comp = dedup.dup_clusters(
+        capped.select(F.col("id_a"), F.col("id_b")), stats=stats)
+    labels = {r["cluster_id"] for r in comp.collect()}
+    assert labels == {0} and comp.count() == n
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup.lsh_candidate_pairs(mega, max_bucket=1)
+
+
 def test_ngram_jaccard(spark, docs):
     base = docs.limit(2).select("doc_id", "text")
     clone = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)

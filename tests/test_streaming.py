@@ -948,3 +948,60 @@ def test_stream_cusum_cross_batch(spark, tmp_path):
                   for r in spark.read.parquet(str(tmp_path / "out"))
                   .collect())
     assert rows == [("a", 2_000, "up", 6.0), ("b", 1_000, "down", 6.0)]
+
+
+def test_stream_simhash_dedup_cross_batch(spark, tmp_path):
+    """Near-dup suppression ACROSS micro-batches: batch 1 admits the
+    original (claims all 4 band keys); batch 2's perturbed near-clone
+    shares most SimHash bands and claims only whatever bands shifted —
+    an exact clone claims NONE — while a genuinely different doc claims
+    all four.  Band-claim state survives the checkpoint."""
+    import json as _json
+    from pyspark.sql import types as T2
+    from pypond_spark.streaming.stream import (_simhash64_py,
+                                               stream_simhash_dedup)
+    schema = T2.StructType([T2.StructField("doc_id", T2.LongType()),
+                            T2.StructField("text", T2.StringType())])
+    base = ("spark window batch order data column agg join small line "
+            "customer query value table part hash row scan key fast")
+    other = ("entirely different words nothing shared with anything "
+             "above in any token position at all whatsoever")
+    chunk1 = [{"doc_id": 1, "text": base}]
+    chunk2 = [{"doc_id": 2, "text": base},               # exact clone
+              {"doc_id": 3, "text": base + " extra"},    # near clone
+              {"doc_id": 4, "text": other}]              # novel
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate([chunk1, chunk2]):
+        with open(src / f"p{i}.json", "w") as fh:
+            for rec in chunk:
+                fh.write(_json.dumps(rec) + "\n")
+        sdf = spark.readStream.schema(schema).json(str(src))
+        out = stream_simhash_dedup(sdf, n_bands=4)
+        q = (out.writeStream.format("parquet").outputMode("append")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    claims = {}
+    for r in spark.read.parquet(str(tmp_path / "out")).collect():
+        claims.setdefault(r["doc_id"], set()).add(r["band"])
+    # original claimed all 4 bands; exact clone claimed zero
+    assert len(claims[1]) == 4
+    assert 2 not in claims
+    # novel doc claimed all 4 of ITS bands
+    assert len(claims[4]) == 4
+    # near clone: only bands its perturbed simhash shifted (checked
+    # against the row-wise reference hash — exact, not probabilistic)
+    hb, lb = _simhash64_py(base)
+    hn, ln_ = _simhash64_py(base + " extra")
+    shifted = {k for k, (a, b) in enumerate(
+        [(lb & 0xFFFF, ln_ & 0xFFFF), (lb >> 16, ln_ >> 16),
+         (hb & 0xFFFF, hn & 0xFFFF), (hb >> 16, hn >> 16)]) if a != b}
+    assert claims.get(3, set()) == {f"{k}:{v}" for k, v in
+                                    [(k, [ln_ & 0xFFFF, ln_ >> 16,
+                                          hn & 0xFFFF, hn >> 16][k])
+                                     for k in shifted]}
+    with pytest.raises(ValueError, match="n_bands"):
+        stream_simhash_dedup(spark.readStream.schema(schema)
+                             .json(str(src)), n_bands=3)

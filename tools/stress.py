@@ -146,6 +146,67 @@ def _dedup_audit(docs, dedup_documents, lsh_band_buckets) -> float:
     return wall
 
 
+
+
+def documents_mega(spark, n_docs: int, cluster_size: int = 100_000,
+                   n_words: int = 100):
+    """Adversarial-skew corpus: the first ``cluster_size`` docs are one
+    planted near-dup mega-cluster (98 of 100 words shared boilerplate,
+    2 member-specific — the web-crawl "same template everywhere" case),
+    the rest independent.  Every member's minhash bands collide on the
+    shared shingles, so one LSH bucket holds the whole cluster — the
+    |bucket|² blowup max_bucket= exists to stop."""
+    in_c = F.col("id") < cluster_size
+
+    def seed(j):
+        member_specific = (j == 0) | (j == 50)
+        return (F.when(in_c & member_specific,
+                       F.col("id") * 1_000_000 + j)
+                .when(in_c, F.lit(777_000_000) + j)
+                .otherwise(F.col("id") * 1000 + j))
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda j: F.concat(F.lit("w"),
+                           F.pmod(F.xxhash64(seed(j)), 500)
+                           .cast("string")))
+    return (spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat_ws(" ", words).alias("text")))
+
+
+def _mega_audit(mega_docs, cluster_size, lsh_candidate_pairs,
+                lsh_band_buckets, dup_clusters) -> float:
+    """Timed capped-LSH pairs + label propagation over the planted
+    mega-cluster; untimed occupancy audit after the clock stops.
+    The numbers the skew argument rests on: max bucket occupancy (the
+    cluster size — the adversarial input), capped pair count
+    (max_bucket² + |bucket| per band, NOT |bucket|²), propagation
+    rounds, and how much of the planted cluster one label reached."""
+    import time as _time
+    stats: dict = {}
+    t0 = _time.time()
+    pairs = lsh_candidate_pairs(mega_docs, num_hashes=8, band_size=4,
+                                max_bucket=8).localCheckpoint()
+    comp = dup_clusters(pairs, stats=stats, max_iter=50).localCheckpoint()
+    wall = _time.time() - t0
+    n_pairs = pairs.count()
+    buckets = lsh_band_buckets(mega_docs)
+    occ = buckets.groupBy("band").count()
+    row = occ.agg(F.max("count").alias("max_occ"),
+                  F.sum(F.col("count") * F.col("count"))
+                  .alias("sum_sq_uncapped")).first()
+    in_main = (comp.where(F.col("id") < cluster_size)
+               .groupBy("cluster_id").count()
+               .agg(F.max("count")).first()[0])
+    print(f"    [mega audit] cluster={cluster_size:,} "
+          f"max|bucket|={row['max_occ']:,} "
+          f"uncapped sum|bucket|^2={row['sum_sq_uncapped']:,} "
+          f"capped pairs={n_pairs:,} rounds={stats.get('rounds')} "
+          f"largest label covers={in_main:,}/{cluster_size:,}")
+    return wall
+
+
 def main() -> None:
     mrows = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
     only = set(sys.argv[2:])
@@ -154,7 +215,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     emb_ops = {"pq_build_2m", "pq_encode_2m", "pq_encode_arrow_2m",
                "pq_build_arrow_2m"}
-    ev_needed = not only or bool(only - emb_ops - {"repeated_spans", "dsir_weights"})
+    ev_needed = not only or bool(
+        only - emb_ops - {"repeated_spans", "dsir_weights",
+                          "dedup_mega_cluster", "dedup_documents"})
     emb_needed = not only or bool(only & emb_ops)
     doc_ops = {"repeated_spans", "dsir_weights", "pack_bins",
                "char_entropy", "rrf_fusion", "bpe_tokenize", "nb_quality",
@@ -162,6 +225,7 @@ def main() -> None:
                "hll_registers"}
     docs_needed = not only or bool(only & doc_ops)
     dup_docs_needed = not only or "dedup_documents" in only
+    mega_needed = "dedup_mega_cluster" in only
     # exclude synthesis cost; skip when no selected op reads the frame
     ev = events(spark, n).localCheckpoint() if ev_needed else None
     emb = embeddings(spark, max(n // 10, 1)).localCheckpoint() \
@@ -170,6 +234,10 @@ def main() -> None:
         if docs_needed else None
     dup_docs = documents_dups(spark, max(n // 700, 1)).localCheckpoint() \
         if dup_docs_needed else None
+    # mega tier: cluster = 1/10 of the corpus, floor 1000
+    mega_cluster = max(min(n // 700 // 10, 1_000_000), 1000)
+    mega_docs = documents_mega(spark, max(n // 700, 1), mega_cluster) \
+        .localCheckpoint() if mega_needed else None
 
     from pypond_spark.operators.aggregate import densify_rollup
     from pypond_spark.operators.correlate import (autocorrelation,
@@ -179,7 +247,9 @@ def main() -> None:
     from pypond_spark.operators.rolling import holt_winters
     from pypond_spark.operators.skew import salted_join
     from pypond_spark.datapipe.dedup import (dedup_documents,
+                                             dup_clusters,
                                              lsh_band_buckets,
+                                             lsh_candidate_pairs,
                                              repeated_spans)
     from pypond_spark.datapipe.sampling import (pack_bins_ffd,
                                                 rrf_fusion)
@@ -300,6 +370,12 @@ def main() -> None:
         # propagation rounds
         "dedup_documents": lambda: _dedup_audit(dup_docs, dedup_documents,
                                                 lsh_band_buckets),
+        # adversarial skew: one planted near-dup mega-cluster (1/10 of
+        # the corpus) — capped LSH + label propagation must stay
+        # bounded where uncapped sum|bucket|^2 would be cluster^2
+        "dedup_mega_cluster": lambda: _mega_audit(
+            mega_docs, mega_cluster, lsh_candidate_pairs,
+            lsh_band_buckets, dup_clusters),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
