@@ -241,6 +241,14 @@ HEADLINE = [
     "mutual_info_type_hour",
     "bursts_by_type",
     "chi2_lang_source",
+    # r8 additions
+    "isotonic_calibration",
+    "unigram_tokenize",
+    "unigram_train",
+    "image_phash",
+    "image_near_dups",
+    "longest_match_decontam",
+    "lsh_capped_pairs",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the
@@ -317,6 +325,38 @@ def _isolate(names: list[str], sf_dir: str, sf: str) -> None:
     }))
 
 
+def _mgmt(spark):
+    """JVM ManagementFactory handle (local mode: driver == executors, so
+    process-wide GC/heap numbers ARE the query's numbers)."""
+    return spark.sparkContext._jvm.java.lang.management.ManagementFactory
+
+
+def _gc_ms(mf) -> int:
+    """Cumulative JVM GC milliseconds across all collectors."""
+    total, beans = 0, mf.getGarbageCollectorMXBeans()
+    for i in range(beans.size()):
+        t = beans.get(i).getCollectionTime()
+        if t > 0:
+            total += t
+    return int(total)
+
+
+def _reset_heap_peaks(mf) -> None:
+    pools = mf.getMemoryPoolMXBeans()
+    for i in range(pools.size()):
+        pools.get(i).resetPeakUsage()
+
+
+def _peak_heap_mb(mf) -> float:
+    """Sum of per-pool peak heap usage since the last reset, in MiB."""
+    peak, pools = 0, mf.getMemoryPoolMXBeans()
+    for i in range(pools.size()):
+        p = pools.get(i)
+        if p.getType().toString() == "Heap memory":
+            peak += p.getPeakUsage().getUsed()
+    return round(peak / 1048576, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -348,14 +388,26 @@ def main() -> None:
     # would report that noise as the query's time.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # per-run GC time and peak heap (r7 verdict item 8): shared-JVM GC
+    # noise is the biggest source of round-over-round variance, and
+    # these columns let bench_compare separate a plan regression (time
+    # up, GC flat) from GC/memory noise (time and GC up together)
+    # without reruns.  ~4 py4j calls per measurement — negligible.
+    mf = _mgmt(spark)
+    gc_runs: dict[str, list[int]] = {name: [] for name in HEADLINE}
+    peak_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for rep in range(max(reps, 2)):
         for name in HEADLINE:
             if rep >= 2 and min(runs[name]) > 15.0:
                 continue
+            _reset_heap_peaks(mf)
+            g0 = _gc_ms(mf)
             t0 = time.time()
             (qs[name](spark, sf_dir)
              .write.format("noop").mode("overwrite").save())
             runs[name].append(round(time.time() - t0, 3))
+            gc_runs[name].append(_gc_ms(mf) - g0)
+            peak_runs[name].append(_peak_heap_mb(mf))
 
     timings = {name: min(runs[name][:2]) for name in HEADLINE}
     warm = {name: min(runs[name][1:] or runs[name]) for name in HEADLINE}
@@ -404,7 +456,9 @@ def main() -> None:
         if (m := re.search(r"BENCH_r0*(\d+)", os.path.basename(f)))]
     rnd = (max(rounds) + 1) if rounds else 0
     full = dict(payload, all_runs={n: runs[n] for n in HEADLINE},
-                stream_all_runs=stream_runs)
+                stream_all_runs=stream_runs,
+                gc_ms={n: gc_runs[n] for n in HEADLINE},
+                peak_heap_mb={n: peak_runs[n] for n in HEADLINE})
     with open(os.path.join(here, f"bench_full_r{rnd:02d}.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
