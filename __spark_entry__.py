@@ -4864,11 +4864,19 @@ def _cusum_oracle(k_mic: int = 2_000_000, h_mic: int = 40_000_000) -> str:
     restarting at 0 after an alarm (mirrors the Spark fold literally)."""
     return f"""
         WITH RECURSIVE bf AS (
-          SELECT user_id,
-                 CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS p,
-                 CAST(round(round(avg(value), 6) * 1000000.0) AS BIGINT)
-                   AS m
-          FROM events GROUP BY 1, 2
+          -- integer bucket mean: order-free micro-unit sum, then one
+          -- round-half-away integer division (matches the Spark fold)
+          SELECT user_id, p,
+                 CASE WHEN S >= 0 THEN (2 * S + C) // (2 * C)
+                      ELSE -((-2 * S + C) // (2 * C)) END AS m
+          FROM (
+            SELECT user_id,
+                   CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS p,
+                   CAST(sum(CAST(round(round(value, 6) * 1000000.0)
+                        AS BIGINT)) AS BIGINT) AS S,
+                   count(value) AS C
+            FROM events GROUP BY 1, 2
+          ) WHERE C > 0
         ), rn AS (
           SELECT user_id, p, m,
                  row_number() OVER (PARTITION BY user_id
@@ -4909,7 +4917,8 @@ def _cusum_oracle(k_mic: int = 2_000_000, h_mic: int = 40_000_000) -> str:
         )
         SELECT rec.user_id AS user_id, rec.p * 3600000 AS t_ms,
                rec.d AS direction,
-               round(rec.st / ag.n / 1000000.0, 6) AS stat,
+               round(((2 * rec.st + ag.n) // (2 * ag.n))
+                     / 1000000.0, 6) AS stat,
                ag.n AS n_buckets
         FROM rec JOIN ag ON ag.user_id = rec.user_id
         WHERE rec.d IS NOT NULL

@@ -76,14 +76,26 @@ def cusum_changepoints(
     keys = [F.col(c) for c in partition_by]
     pos = (F.floor(F.unix_millis(F.col(time_col))
                    / F.lit(b_ms))).alias("__pos")
+    # bucket mean in PURE integers: per-event micro values summed
+    # (order-free BIGINT sum — a double avg's summation order varies
+    # with partitioning and its round(,6) can tie-break differently
+    # across engines; caught by the sf0.1 gate), then one integer
+    # round-half-away division (2S+C) div (2C)
+    ev_mic = F.round(F.round(F.col(field).cast("double"), 6) * 1e6) \
+        .cast("long")
     bf = (df.groupBy(*keys, pos)
-          .agg(F.round(F.avg(field), 6).alias("__v")))
+          .agg(F.sum(ev_mic).alias("__S"),
+               F.count(F.col(field)).alias("__C"))
+          .where(F.col("__C") > 0)
+          .withColumn("__v", F.expr(
+              "IF(__S >= 0, (2 * __S + __C) div (2 * __C), "
+              "-((-2 * __S + __C) div (2 * __C)))")))
     per_key = bf.groupBy(*partition_by).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("__pos", "__v"))),
             lambda s: F.struct(
                 s["__pos"].alias("p"),
-                F.round(s["__v"] * 1e6).cast("long").alias("m"))
+                s["__v"].alias("m"))
         ).alias("__s"))
     if target is None:
         # n-scaled exact residual: r = n*m - sum(m); thresholds scale by n
@@ -121,10 +133,14 @@ def cusum_changepoints(
         *partition_by,
         F.size("__s").alias("n_buckets"),
         F.explode(F.expr(fold)).alias("__a"))
-    denom = (F.lit(1) if target is not None else F.col("n_buckets"))
+    # stat via integer round-half-away division, ONE double division at
+    # the end: round(s/n/1e6, 6) compounds two double divisions and its
+    # 6dp rounding can tie-break differently across engines
+    d = "1" if target is not None else "n_buckets"
+    smic = F.expr(f"(2 * __a.s + {d}) div (2 * {d})")
     return out.select(
         *partition_by,
         (F.col("__a.p") * F.lit(b_ms)).alias("t_ms"),
         F.col("__a.d").alias("direction"),
-        F.round(F.col("__a.s") / denom / 1e6, 6).alias("stat"),
+        F.round(smic / F.lit(1e6), 6).alias("stat"),
         "n_buckets")
