@@ -1229,6 +1229,33 @@ _UNIGRAM_VOCAB = {
 }
 
 
+# Fixed WordPiece vocabulary for the wordpiece_tokenize query: whole
+# corpus words, a few pieces that force multi-piece greedy splits, and
+# the single-letter floor (plain + ## continuations) so UNK stays rare
+# but real.  Mirrored literally into the oracle's VALUES list.
+_WORDPIECE_VOCAB = (
+    ["table", "key", "scan", "value", "hash", "row", "agg", "join",
+     "spark", "batch", "window", "order", "column", "line", "query",
+     "part", "small", "fast", "slow", "data",
+     "cust", "##omer", "tab", "##le", "val", "##ue", "sc", "##an"]
+    + list("abcdefghijklmnopqrstuvwxyz")
+    + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz"])
+
+
+def q_wordpiece_tokenize(spark, sf_dir):
+    """WordPiece inference (tokenize.py::wordpiece_apply, Wu et al.
+    2016 / the BERT tokenizer): greedy longest-match-first per DISTINCT
+    word over a broadcast vocabulary presence array, ##-prefixed
+    continuations, whole-word [UNK] on any unmatchable position — the
+    third tokenizer family beside BPE (merge-based) and unigram-LM
+    (likelihood-based).  The oracle replays the greedy scan as a
+    recursive CTE over the same presence lists."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_tok.wordpiece_apply(docs, _WORDPIECE_VOCAB, max_word_len=12)
+    return out.select("doc_id", "n_tokens",
+                      F.concat_ws(" ", "tokens").alias("token_stream"))
+
+
 def q_unigram_tokenize(spark, sf_dir):
     """Unigram-LM inference with a fixed integer-score vocabulary
     (tokenize.py::unigram_apply, Kudo 2018): Viterbi-best segmentation
@@ -3989,6 +4016,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the committed CORRECTNESS_r*.json snapshots."""
     return {
         "isotonic_calibration": q_isotonic_calibration,
+        "wordpiece_tokenize": q_wordpiece_tokenize,
         "unigram_tokenize": q_unigram_tokenize,
         "image_phash": q_image_phash,
         "longest_match_decontam": q_longest_match_decontam,
@@ -5074,6 +5102,84 @@ def _unigram_viterbi_rec(name: str, d1: str, d2: str, d3: str) -> str:
         ) q2
       ) q3
     )"""
+
+
+def _wordpiece_oracle() -> str:
+    """Replay of q_wordpiece_tokenize: per-word presence lists over the
+    literal vocabulary, then the greedy longest-first scan as a
+    recursive CTE with (pos, seg, bad) state."""
+    L = max(len(p) - (2 if p.startswith("##") else 0)
+            for p in _WORDPIECE_VOCAB)
+    vals = ", ".join(f"('{p}')" for p in sorted(set(_WORDPIECE_VOCAB)))
+    picks = "0"
+    for length in range(1, L + 1):
+        picks = (f"CASE WHEN parr[(pos - 1) * {L} + {length}] "
+                 f"THEN {length} ELSE {picks} END")
+    return f"""
+        WITH RECURSIVE vv (piece) AS (VALUES {vals}),
+        docw AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest([struct_pack(pos := i,
+                         w := substr(ws[i], 1, 12))
+                         for i in generate_series(1, len(ws))]) AS u
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text),
+                                                      '\\s+'),
+                                   x -> x != '') AS ws
+                FROM documents)
+        ), wp AS MATERIALIZED (
+          SELECT doc_id, u.pos AS pos, u.w AS w FROM docw
+        ), words AS MATERIALIZED (
+          SELECT DISTINCT w, length(w) AS n FROM wp
+        ), grid AS (
+          SELECT w, n, i, l,
+                 CASE WHEN i + l - 1 <= n THEN
+                   CASE WHEN i = 1 THEN substr(w, i, l)
+                        ELSE '##' || substr(w, i, l) END
+                 END AS key
+          FROM (SELECT w, n, unnest(generate_series(1, n)) AS i
+                FROM words),
+               (SELECT unnest(generate_series(1, {L})) AS l)
+        ), pres AS MATERIALIZED (
+          SELECT g.w AS w, any_value(g.n) AS n,
+                 list(v.piece IS NOT NULL ORDER BY g.i, g.l) AS parr
+          FROM grid g LEFT JOIN vv v ON v.piece = g.key
+          GROUP BY g.w
+        ), rec AS (
+          SELECT w, n, parr, 1 AS pos, '' AS seg, false AS bad
+          FROM pres
+          UNION ALL
+          SELECT w, n, parr,
+                 CASE WHEN bl > 0 THEN pos + bl ELSE n + 1 END,
+                 CASE WHEN bl > 0 THEN seg || chr(31)
+                      || CASE WHEN pos = 1 THEN '' ELSE '##' END
+                      || substr(w, pos, bl)
+                      ELSE '' END,
+                 bl = 0
+          FROM (
+            SELECT w, n, parr, pos, seg, {picks} AS bl
+            FROM rec WHERE NOT bad AND pos <= n
+          )
+        ), segd AS (
+          SELECT w,
+                 list_filter(string_split(
+                   CASE WHEN bad THEN chr(31) || '[UNK]' ELSE seg END,
+                   chr(31)), x -> x != '') AS pcs
+          FROM (SELECT *, row_number() OVER (PARTITION BY w
+                  ORDER BY pos DESC, bad DESC) AS rn
+                FROM rec)
+          WHERE rn = 1
+        ), perdoc AS (
+          SELECT wp.doc_id AS doc_id,
+                 flatten(list(segd.pcs ORDER BY wp.pos)) AS toks
+          FROM wp JOIN segd ON segd.w = wp.w
+          GROUP BY 1
+        )
+        SELECT d.doc_id AS doc_id,
+               coalesce(len(p.toks), 0) AS n_tokens,
+               coalesce(array_to_string(p.toks, ' '), '') AS token_stream
+        FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+    """
 
 
 def _unigram_apply_oracle() -> str:
@@ -9699,6 +9805,7 @@ def oracle_sql() -> dict[str, str]:
         FROM ph a JOIN ph b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
     """
+    d["wordpiece_tokenize"] = _wordpiece_oracle()
     d["unigram_tokenize"] = _unigram_apply_oracle()
     d["unigram_train"] = _unigram_train_oracle()
     d["corpus_pipeline"] = _pipeline_oracle(d)

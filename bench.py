@@ -249,6 +249,7 @@ HEADLINE = [
     "image_near_dups",
     "longest_match_decontam",
     "lsh_capped_pairs",
+    "wordpiece_tokenize",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

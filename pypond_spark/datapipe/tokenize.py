@@ -348,3 +348,107 @@ def unigram_apply(df: DataFrame, vocab, text_col: str = "text",
                     F.coalesce("tokens", F.array().cast("array<string>"))
                     .alias("tokens"))
             .withColumn("n_tokens", F.size("tokens")))
+
+
+def wordpiece_apply(df: DataFrame, vocab, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    max_piece_len: int | None = None,
+                    max_word_len: int = 12,
+                    unk_token: str = "[UNK]") -> DataFrame:
+    """WordPiece inference (Wu et al. 2016 §4.1 / the BERT tokenizer):
+    greedy longest-match-first segmentation — at each position take the
+    LONGEST vocabulary piece, continuation pieces carry the ``##``
+    prefix, and a word with any unmatchable position becomes one
+    ``unk_token`` (whole-word UNK, the BERT contract; contrast
+    :func:`unigram_apply`, which optimizes a global objective and
+    falls back per character).
+
+    Same engine shape as the unigram Viterbi: work per DISTINCT word —
+    a bounded (word × pos × len) explode joined (broadcast) against
+    the vocabulary builds a presence lookup array, and the greedy scan
+    folds over it with O(1) state ``(pos, seg, bad)``; each fold step
+    consumes >= 1 characters, so ``length(w)`` iterations always
+    suffice.  Deterministic by construction (longest match is unique).
+
+    ``vocab``: iterable of piece strings (continuations ``##``-prefixed)
+    or a DataFrame with a ``piece`` column.  Output: ``(id_col, tokens,
+    n_tokens)`` — the :func:`bpe_apply` shape.
+    """
+    if isinstance(vocab, DataFrame):
+        pieces = [r["piece"] for r in vocab.collect()]
+    else:
+        pieces = list(vocab)
+    if not pieces:
+        raise ValueError("vocab must be non-empty")
+    L = int(max_piece_len if max_piece_len is not None
+            else max(len(p) - (2 if p.startswith("##") else 0)
+                     for p in pieces))
+    if L < 1:
+        raise ValueError("vocab has no usable piece")
+    spark = df.sparkSession
+    vdf = spark.createDataFrame([(p,) for p in sorted(set(pieces))],
+                                "piece string")
+    wp = (spread(df)
+          .select(F.col(id_col),
+                  F.posexplode(F.expr(
+                      f"filter(split(trim({text_col}), '\\\\s+'), "
+                      "t -> t != '')")).alias("pos", "w0"))
+          .select(F.col(id_col), "pos",
+                  F.substring("w0", 1, int(max_word_len)).alias("w")))
+    words = wp.select("w").distinct()
+    grid = (words.select("w", F.length("w").alias("n"))
+            .select("w", "n",
+                    F.explode(F.sequence(F.lit(1), F.col("n")))
+                    .alias("i"))
+            .select("w", "n", "i",
+                    F.explode(F.sequence(F.lit(1), F.lit(L)))
+                    .alias("l"))
+            .withColumn("key", F.expr(
+                "IF(i + l - 1 <= n, "
+                "IF(i = 1, substring(w, i, l), "
+                "concat('##', substring(w, i, l))), NULL)")))
+    looked = (grid.join(F.broadcast(vdf),
+                        grid["key"] == vdf["piece"], "left")
+              .select("w", "n", "i", "l",
+                      F.col("piece").isNotNull().alias("ok")))
+    arr = (looked.groupBy("w", "n")
+           .agg(F.array_sort(F.collect_list(F.struct("i", "l", "ok")))
+                .alias("g"))
+           .withColumn("parr", F.expr("transform(g, x -> x.ok)"))
+           .drop("g"))
+    # greedy longest-first: nested IFs from l = L down to 1
+    pick = "named_struct('l', 0, 'hit', false)"
+    for length in range(1, L + 1):
+        pick = (f"IF(element_at(parr, (acc.pos - 1) * {L} + {length}), "
+                f"named_struct('l', {length}, 'hit', true), {pick})")
+    sepu = SEP + unk_token.replace("'", "''")
+    fold = f"""
+      aggregate(
+        sequence(1, n),
+        named_struct('pos', 1, 'seg', '', 'bad', false),
+        (acc, i) -> IF(acc.bad OR acc.pos > n, acc,
+          IF(NOT ({pick}).hit,
+             named_struct('pos', n + 1, 'seg', '', 'bad', true),
+             named_struct(
+               'pos', acc.pos + ({pick}).l,
+               'seg', concat(acc.seg, '{SEP}',
+                             IF(acc.pos = 1, '', '##'),
+                             substring(w, acc.pos, ({pick}).l)),
+               'bad', false))),
+        acc -> IF(acc.bad, '{sepu}', acc.seg))
+    """
+    segs = arr.select("w", F.expr(fold).alias("seg"))
+    per_doc = (wp.join(segs, "w")
+               .groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "seg")))
+                    .alias("g"))
+               .select(F.col(id_col),
+                       F.expr(f"filter(flatten(transform(g, "
+                              f"x -> split(x.seg, '{SEP}'))), "
+                              "t -> t != '')").alias("tokens")))
+    return (spread(df).select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("tokens", F.array().cast("array<string>"))
+                    .alias("tokens"))
+            .withColumn("n_tokens", F.size("tokens")))

@@ -117,3 +117,23 @@ def test_unigram_train_then_apply_compresses(spark):
     assert 0 < n_tok < n_char
     with pytest.raises(ValueError, match="vocab_size"):
         tokenize.unigram_train(docs, vocab_size=0)
+
+
+def test_wordpiece_apply_goldens(spark):
+    """BERT greedy longest-match-first: multi-piece split with ##
+    continuations, whole-word [UNK] on any unmatchable position,
+    empty-doc contract, validation."""
+    vocab = ["un", "##aff", "##able", "##ff", "aff", "table", "tab",
+             "##le", "##a", "##b", "a", "b", "t"]
+    df = spark.createDataFrame(
+        [(1, "unaffable table tab atb zzz"), (2, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+           for r in tokenize.wordpiece_apply(df, vocab).collect()}
+    # greedy: un + ##aff + ##able (not aff/##ff splits); atb fails at
+    # '##t' (absent) -> whole-word [UNK]; zzz has no 'z' at all
+    assert out[1] == (["un", "##aff", "##able", "table", "tab",
+                       "[UNK]", "[UNK]"], 7)
+    assert out[2] == ([], 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        tokenize.wordpiece_apply(df, [])
