@@ -1386,6 +1386,50 @@ _WAV_HDR = (b"RIFF" + _struct.pack("<I", 36 + 12) + b"WAVE"
             + b"data" + _struct.pack("<I", 12))
 
 
+# fixed PCM16 mono 8kHz WAV header for exactly 128 samples (256 data
+# bytes) — the audio_fingerprint query's synthetic clip
+_WAV_HDR_128 = (b"RIFF" + _struct.pack("<I", 36 + 256) + b"WAVE"
+                + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                         16000, 2, 16)
+                + b"data" + _struct.pack("<I", 256))
+
+
+def _synth_wav128(docs):
+    """128-sample PCM16 WAV per doc: fixed RIFF header + 256 bytes from
+    16 chained md5 digests — every little-endian sample reproducible in
+    SQL, so perceptual fingerprints over the DECODED samples are fully
+    oracle-replayable."""
+    parts = [F.unhex(F.md5(F.concat(F.col("text"), F.lit(f"~{k}"))))
+             for k in range(16)]
+    return docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                       F.concat(F.lit(_WAV_HDR_128), *parts)
+                       .alias("content"))
+
+
+def q_audio_fingerprint(spark, sf_dir):
+    """Perceptual audio fingerprint over REAL decoded PCM16 samples
+    (multimodal.py::audio_fingerprint, the energy-delta-sign family):
+    16 frames of 8 samples, exact integer frame energies sum(v^2), bit
+    f-1 = energy[f] > energy[f-1] — gain-invariant and fully integer,
+    so the oracle rebuilding every sample from md5 hex replays the
+    fingerprint bit-for-bit."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_mm.audio_fingerprint(_synth_wav128(docs), frame_size=8,
+                                   max_frames=16)
+
+
+def q_audio_near_dups(spark, sf_dir):
+    """Near-duplicate audio by Hamming distance on the energy-delta
+    fingerprint (multimodal.py::audio_near_dups): the pigeonhole chunk
+    blocker (4 chunks over 15 bits, radius 2 — recall-complete) keys
+    the candidate join; the oracle filters all pairs directly, so a
+    hash match PROVES blocking completeness."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_mm.audio_near_dups(_synth_wav128(docs), frame_size=8,
+                                 max_frames=16, max_hamming=2,
+                                 n_chunks=4)
+
+
 def q_multimodal_decode_audio(spark, sf_dir):
     """REAL audio decode: a 6-sample PCM16 WAV per doc (fixed RIFF header +
     12 md5 digest bytes as little-endian samples) decoded with the stdlib
@@ -4017,6 +4061,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "isotonic_calibration": q_isotonic_calibration,
         "wordpiece_tokenize": q_wordpiece_tokenize,
+        "audio_fingerprint": q_audio_fingerprint,
+        "audio_near_dups": q_audio_near_dups,
         "unigram_tokenize": q_unigram_tokenize,
         "image_phash": q_image_phash,
         "longest_match_decontam": q_longest_match_decontam,
@@ -7975,6 +8021,40 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) / 4.0 AS mean_b
             FROM px GROUP BY doc_id
         """,
+
+        "audio_fingerprint": """
+            -- sample i of the 128-sample clip: little-endian int16 from
+            -- bytes (2i, 2i+1) of md5(text || '~' || (2i)//16) hex;
+            -- frame f energy = exact sum(v^2) over samples 8f..8f+7
+            WITH s AS (
+              SELECT doc_id, i,
+                     CASE WHEN raw > 32767 THEN raw - 65536
+                          ELSE raw END AS v
+              FROM (
+                SELECT doc_id, g.i AS i,
+                       ('0x' || substr(md5(text || '~' ||
+                          CAST((2 * g.i + 1) // 16 AS VARCHAR)),
+                          2 * ((2 * g.i + 1) % 16) + 1, 2))::BIGINT
+                       * 256
+                     + ('0x' || substr(md5(text || '~' ||
+                          CAST((2 * g.i) // 16 AS VARCHAR)),
+                          2 * ((2 * g.i) % 16) + 1, 2))::BIGINT AS raw
+                FROM documents CROSS JOIN generate_series(0, 127) g(i)
+              )
+            ), e AS (
+              SELECT doc_id, i // 8 AS f,
+                     CAST(sum(v * v) AS BIGINT) AS en
+              FROM s GROUP BY 1, 2
+            )
+            SELECT a.doc_id AS media_id,
+                   CAST(16 AS INT) AS n_frames,
+                   CAST(coalesce(sum(CASE WHEN b.en > a.en
+                        THEN (CAST(1 AS BIGINT) << (b.f - 1))
+                        ELSE 0 END), 0) AS BIGINT) AS fingerprint
+            FROM e a JOIN e b
+              ON b.doc_id = a.doc_id AND b.f = a.f + 1
+            GROUP BY 1
+        """,
         "multimodal_decode_audio": """
             -- little-endian PCM16: sample i = bytes (2i, 2i+1) of the md5
             -- digest, sign-corrected; peak/RMS over the 6 samples
@@ -9804,6 +9884,13 @@ def oracle_sql() -> dict[str, str]:
                bit_count(xor(a.ahash, b.ahash)) AS hamming
         FROM ph a JOIN ph b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+    """
+    d["audio_near_dups"] = f"""
+        WITH fp AS ({d["audio_fingerprint"]})
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+        FROM fp a JOIN fp b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2
     """
     d["wordpiece_tokenize"] = _wordpiece_oracle()
     d["unigram_tokenize"] = _unigram_apply_oracle()

@@ -250,6 +250,8 @@ HEADLINE = [
     "longest_match_decontam",
     "lsh_capped_pairs",
     "wordpiece_tokenize",
+    "audio_fingerprint",
+    "audio_near_dups",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -397,3 +397,99 @@ def image_near_dups(df: DataFrame, grid_w: int = 7, grid_h: int = 7,
                     F.col("b.media_id").alias("id_b"),
                     hamming.alias("hamming"))
             .distinct())
+
+
+# ---------------------------------------------------------------------------
+# perceptual audio fingerprinting + near-duplicate detection
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("fingerprint", T.LongType(), True),
+])
+
+
+def audio_fingerprint(df: DataFrame, frame_size: int = 8,
+                      max_frames: int = 64) -> DataFrame:
+    """Perceptual audio fingerprint over REAL decoded PCM16 samples —
+    the energy-delta-sign family (the robust core of
+    Haitsma-Kalker-style audio hashing, minus the filterbank this
+    container has no FFT library for): samples are framed, each
+    frame's energy is the exact integer ``sum(v^2)``, and bit ``f-1``
+    of the fingerprint is ``energy[f] > energy[f-1]``.  The
+    sign-of-delta structure is invariant to uniform gain scaling (both
+    comparison sides scale together) and fully integer, so a SQL
+    replay over the same sample bytes matches bit-for-bit.
+
+    Frames past ``max_frames`` are ignored (the fingerprint packs into
+    one non-negative BIGINT: ``max_frames - 1 <= 63`` bits); a trailing
+    partial frame is dropped.  Arrow-batched ``mapInPandas``, no
+    shuffle — scan-parallel like :func:`image_phash`.
+    """
+    if frame_size < 1:
+        raise ValueError(f"frame_size must be >= 1, got {frame_size}")
+    if not 2 <= max_frames <= 64:
+        raise ValueError(f"max_frames must be in [2, 64], "
+                         f"got {max_frames}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                aud = decode_audio(bytes(content))
+                s = aud["samples"]
+                n_fr = min(len(s) // frame_size, max_frames)
+                e = [sum(v * v for v in
+                         s[f * frame_size:(f + 1) * frame_size])
+                     for f in range(n_fr)]
+                fp = 0
+                for f in range(1, n_fr):
+                    if e[f] > e[f - 1]:
+                        fp |= 1 << (f - 1)
+                rows.append((int(mid), n_fr, fp))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_FP_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_near_dups(df: DataFrame, frame_size: int = 8,
+                    max_frames: int = 64, max_hamming: int = 2,
+                    n_chunks: int = 4) -> DataFrame:
+    """Near-duplicate audio pairs by Hamming distance on the
+    energy-delta fingerprint — the same pigeonhole chunk blocker as
+    :func:`image_near_dups` / embedding_hamming_near_dups: candidates
+    from a chunk-equality join (complete for ``max_hamming <=
+    n_chunks - 1``), one XOR popcount verify.  Output:
+    ``(id_a, id_b, hamming)``.
+    """
+    bits = max_frames - 1
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs >= {max_hamming + 1} "
+            f"chunks, got n_chunks={n_chunks}")
+    if n_chunks > bits:
+        raise ValueError(f"n_chunks={n_chunks} exceeds {bits} bits")
+    fp = audio_fingerprint(df, frame_size, max_frames) \
+        .select("media_id", "fingerprint").localCheckpoint()
+    bounds = [c * bits // n_chunks for c in range(n_chunks + 1)]
+    chunks = F.array(*[
+        F.concat(F.lit(f"{c}:"),
+                 F.shiftright(F.col("fingerprint"), bounds[c])
+                 .bitwiseAND(F.lit((1 << (bounds[c + 1] - bounds[c])) - 1))
+                 .cast("string"))
+        for c in range(n_chunks)
+    ])
+    blocked = fp.select("media_id", "fingerprint",
+                        F.explode(chunks).alias("chunk"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(F.col("a.fingerprint")
+                          .bitwiseXOR(F.col("b.fingerprint")))
+    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.media_id") < F.col("b.media_id")))
+            .where(hamming <= max_hamming)
+            .select(F.col("a.media_id").alias("id_a"),
+                    F.col("b.media_id").alias("id_b"),
+                    hamming.alias("hamming"))
+            .distinct())

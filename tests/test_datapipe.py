@@ -1722,3 +1722,59 @@ def test_isotonic_calibration(spark):
     assert [r["rate_iso"] for r in out3] == [0.375] * 4
     # score extents per bin are reported
     assert out3[0]["score_lo"] == 0.0 and out3[3]["score_hi"] == 3.0
+
+
+def test_audio_fingerprint_goldens(spark):
+    """Hand-checked energy-delta fingerprint: frame energies
+    (1,4,1,9) -> bits (e1>e0)=1, (e2>e1)=0, (e3>e2)=1 -> 0b101 = 5;
+    uniform gain scaling leaves the fingerprint unchanged; partial
+    trailing frames drop; validation."""
+    import struct as _s
+    def wav(samples):
+        hdr = (b"RIFF" + _s.pack("<I", 36 + 2 * len(samples)) + b"WAVE"
+               + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, 8000, 16000,
+                                   2, 16)
+               + b"data" + _s.pack("<I", 2 * len(samples)))
+        return hdr + _s.pack(f"<{len(samples)}h", *samples)
+    # frames of 2: energies 1+0=1, 0+4=4, 1+0=1, 4+5=... pick simple
+    s = [1, 0, 0, 2, 1, 0, 3, 0, 7]          # 9 samples: last drops
+    media = spark.createDataFrame(
+        [(1, wav(s)), (2, wav([v * 3 for v in s]))],
+        "media_id long, content binary")
+    rows = {r["media_id"]: r for r in
+            multimodal.audio_fingerprint(media, frame_size=2,
+                                         max_frames=8).collect()}
+    assert rows[1]["n_frames"] == 4
+    assert rows[1]["fingerprint"] == 0b101
+    # gain x3 scales every energy by 9 -> identical comparisons
+    assert rows[2]["fingerprint"] == rows[1]["fingerprint"]
+    with pytest.raises(ValueError, match="frame_size"):
+        multimodal.audio_fingerprint(media, frame_size=0)
+    with pytest.raises(ValueError, match="max_frames"):
+        multimodal.audio_fingerprint(media, max_frames=65)
+
+
+def test_audio_near_dups_planted(spark):
+    """A nudged copy (one sample tweaked without flipping any energy
+    comparison) stays at Hamming 0; an energy-inverted clip is
+    excluded at radius 2."""
+    import struct as _s
+    def wav(samples):
+        hdr = (b"RIFF" + _s.pack("<I", 36 + 2 * len(samples)) + b"WAVE"
+               + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, 8000, 16000,
+                                   2, 16)
+               + b"data" + _s.pack("<I", 2 * len(samples)))
+        return hdr + _s.pack(f"<{len(samples)}h", *samples)
+    base = [0, 1, 5, 5, 0, 1, 6, 6, 0, 0, 7, 7, 1, 0, 8, 8]
+    nudge = base[:]
+    nudge[2] = 4                      # frame energy drops but order holds
+    inverted = [8, 8, 0, 1, 7, 7, 0, 0, 6, 6, 0, 1, 5, 5, 0, 0]
+    media = spark.createDataFrame(
+        [(1, wav(base)), (2, wav(nudge)), (3, wav(inverted))],
+        "media_id long, content binary")
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           multimodal.audio_near_dups(media, frame_size=2, max_frames=8,
+                                      max_hamming=2, n_chunks=4)
+           .collect()}
+    assert out.get((1, 2)) == 0
+    assert (1, 3) not in out

@@ -1,16 +1,22 @@
-"""Round-over-round bench comparison with GC-noise attribution.
+"""Round-over-round bench tracker: flag per-query regressions.
 
-Compares two ``bench_full_r*.json`` artifacts (written by bench.py) and
-prints every query whose ratio crosses the threshold, annotated with the
-GC-time delta so a reader can separate a genuine plan regression (time
-up, GC flat) from shared-JVM GC/memory noise (time and GC up together —
-the r7 verdict's `embedding_near_dups` 9.2s-shared vs 5.2s-isolated
-case).  A query is tagged ``gc-suspect`` when the GC-time growth explains
-at least half of the wall-time growth.
+Usage::
 
-Usage:
-    python tools/bench_compare.py bench_full_rA.json bench_full_rB.json \
-        [--threshold 1.3]
+    python bench.py > /tmp/bench_now.json
+    python tools/bench_compare.py BENCH_r01.json /tmp/bench_now.json
+
+Exits 1 if any query regressed more than ``THRESHOLD`` (default 1.5x) vs
+the baseline round, so a perf regression fails loudly before commit.
+Driver-recorded rounds (``BENCH_r{N}.json``) wrap the bench line under a
+"parsed" key; raw ``bench.py`` output is the line itself — both accepted.
+
+When both artifacts carry the ``gc_ms`` columns (bench_full_r* written
+from round 8 on), each regression is annotated with the GC-time delta of
+the best run and tagged ``gc-suspect`` when GC growth explains at least
+half of the wall growth — separating a genuine plan regression (time up,
+GC flat) from shared-JVM GC/memory noise (time and GC up together, the
+r7 `embedding_near_dups` 9.2s-shared vs 5.2s-isolated case) without
+reruns.
 """
 
 from __future__ import annotations
@@ -18,61 +24,75 @@ from __future__ import annotations
 import json
 import sys
 
+THRESHOLD = 1.5
+
+
+def load(path: str) -> dict:
+    with open(path) as fh:
+        doc = json.load(fh)
+    return doc.get("parsed", doc)
+
 
 def _min_or_none(xs):
     xs = [x for x in (xs or []) if x is not None]
     return min(xs) if xs else None
 
 
-def compare(old_path: str, new_path: str, threshold: float = 1.3) -> int:
-    with open(old_path) as fh:
-        old = json.load(fh)
-    with open(new_path) as fh:
-        new = json.load(fh)
-    o_t, n_t = old.get("queries", {}), new.get("queries", {})
-    o_gc, n_gc = old.get("gc_ms", {}), new.get("gc_ms", {})
-    common = sorted(set(o_t) & set(n_t))
-    rows = []
-    for q in common:
-        a, b = o_t.get(q), n_t.get(q)
-        if not a or b is None:
+def main() -> None:
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    base, now = load(sys.argv[1]), load(sys.argv[2])
+    # the streaming tier (bench.py STREAM, keys stream_queries) diffs with
+    # the same rules; tiers are merged with distinct names so a query
+    # can't shadow its batch twin
+    bq = dict(base["queries"], **base.get("stream_queries", {}))
+    nq = dict(now["queries"], **now.get("stream_queries", {}))
+    b_gc, n_gc = base.get("gc_ms", {}), now.get("gc_ms", {})
+    regressed = []
+    for name, t_now in sorted(nq.items()):
+        t_base = bq.get(name)
+        if t_base is None:
+            print(f"new    {name}: {t_now:.2f}s (no baseline)")
             continue
-        ratio = b / a if a else float("inf")
-        # GC of the best (min-time) run on each side, when recorded
-        ga = _min_or_none(o_gc.get(q))
-        gb = _min_or_none(n_gc.get(q))
+        ratio = t_now / t_base if t_base else float("inf")
+        tag = "REGRESS" if ratio > THRESHOLD else (
+            "better " if ratio < 1 / THRESHOLD else "ok     ")
         gc_note = ""
+        ga, gb = _min_or_none(b_gc.get(name)), _min_or_none(n_gc.get(name))
         if ga is not None and gb is not None:
-            d_wall_ms = (b - a) * 1000.0
-            d_gc_ms = gb - ga
-            if ratio >= threshold and d_wall_ms > 0 \
-                    and d_gc_ms >= 0.5 * d_wall_ms:
-                gc_note = "gc-suspect"
-            gc_note = f"gc {ga}->{gb}ms {gc_note}".rstrip()
-        rows.append((ratio, q, a, b, gc_note))
-    rows.sort(reverse=True)
-    flagged = [r for r in rows if r[0] >= threshold]
-    tot_n = sum(v for q, v in n_t.items() if q in common and v)
-    tot_oc = sum(v for q, v in o_t.items() if q in common and v)
-    print(f"{len(common)} comparable queries; "
-          f"sum {tot_oc:.1f}s -> {tot_n:.1f}s "
-          f"({tot_n / tot_oc:.2f}x); {len(flagged)} over "
-          f"{threshold:.2f}x")
-    for ratio, q, a, b, gc_note in rows[:25]:
-        mark = " <-- " if ratio >= threshold else "     "
-        print(f"{mark}{q:32s} {a:7.2f}s -> {b:7.2f}s  "
-              f"{ratio:5.2f}x  {gc_note}")
-    return 1 if any("gc-suspect" not in r[4] and r[0] >= threshold
-                    and r[3] - r[2] > 0.5 for r in flagged) else 0
+            gc_note = f"  gc {ga}->{gb}ms"
+            d_wall_ms = (t_now - t_base) * 1000.0
+            if ratio > THRESHOLD and d_wall_ms > 0 \
+                    and (gb - ga) >= 0.5 * d_wall_ms:
+                gc_note += " gc-suspect"
+        print(f"{tag}{name}: {t_base:.2f}s -> {t_now:.2f}s "
+              f"({ratio:.2f}x){gc_note}")
+        if ratio > THRESHOLD:
+            regressed.append(name)
+    # a query that vanished (crashed, renamed, dropped from bench.py) is
+    # worse than a slow one — fail on it, don't silently skip it.
+    # Exception: a baseline WITH a stream tier diffed against a run that
+    # skipped it (SPARK_GRAFT_BENCH_STREAMS=0) should not fail on the 16
+    # stream rows — they were skipped, not lost
+    missing = sorted(set(bq) - set(nq))
+    if base.get("stream_queries") and not now.get("stream_queries"):
+        skipped = set(base["stream_queries"])
+        for name in sorted(missing):
+            if name in skipped:
+                print(f"skip   {name}: stream tier not run this round")
+        missing = [n for n in missing if n not in skipped]
+    for name in missing:
+        print(f"MISSING{name}: {bq[name]:.2f}s in baseline, absent now")
+    print(f"\ntotal: {base['value']:.2f}s -> {now['value']:.2f}s")
+    if regressed or missing:
+        if regressed:
+            print(f"{len(regressed)} regressions over {THRESHOLD}x: "
+                  f"{regressed}")
+        if missing:
+            print(f"{len(missing)} baseline queries missing: {missing}")
+        sys.exit(1)
+    print("no per-query regression over threshold")
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.3
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a
-                        else sys.argv[sys.argv.index(a) + 1])
-    if len(args) < 2:
-        sys.exit(__doc__)
-    sys.exit(compare(args[0], args[1], thr))
+    main()
