@@ -963,6 +963,23 @@ def q_stream_first_seen(spark, sf_dir):
     return _run_stream_32(spark, out, "append")
 
 
+def q_stream_minhash_dedup(spark, sf_dir):
+    """Streaming MinHash-LSH near-dup gate (streaming/stream.py::
+    stream_minhash_dedup): row-local HOF minhash signatures (identical
+    md5 derivation to the batch minhash_signature — JVM codegen, no
+    Python outside the state op), 2 band keys per doc, first arrival
+    claims each band.  Docs plus exact +10000-id clones flow through;
+    clones share every band and claim nothing.  Batch twin: min doc_id
+    per band bucket over the combined corpus."""
+    sdf = _docs_stream(spark, sf_dir)
+    both = (sdf.select("doc_id", "text")
+            .unionByName(sdf.select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text")))
+    from pypond_spark.streaming.stream import stream_minhash_dedup
+    out = stream_minhash_dedup(both, num_hashes=8, band_size=4)
+    return _run_stream_32(spark, out, "append")
+
+
 def q_stream_simhash_dedup(spark, sf_dir):
     """Streaming NEAR-dup ingestion gate (streaming/stream.py::
     stream_simhash_dedup): every doc plus a perturbed +10000-id clone
@@ -4068,6 +4085,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "longest_match_decontam": q_longest_match_decontam,
         "lsh_capped_pairs": q_lsh_capped_pairs,
         "stream_simhash_dedup": q_stream_simhash_dedup,
+        "stream_minhash_dedup": q_stream_minhash_dedup,
         "image_near_dups": q_image_near_dups,
         "unigram_train": q_unigram_train,
         "cusum_hourly_by_user": q_cusum_hourly_by_user,
@@ -8589,6 +8607,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE pos <= greatest(n - 4, 0)
         """,
 
+
+        "stream_minhash_dedup": _SHINGLES.replace(
+            "FROM documents", "FROM corpus").replace(
+            "WITH toks", """WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text FROM documents
+            ), toks""") + f"""
+            , sig AS (
+              SELECT doc_id,
+                     {_mh_sig_cols(8)}
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([
+                  md5(concat_ws('|', '0', m0, m1, m2, m3)),
+                  md5(concat_ws('|', '1', m4, m5, m6, m7))]) AS band
+              FROM sig
+            )
+            SELECT band, min(doc_id) AS doc_id FROM bands GROUP BY 1
+        """,
         "stream_simhash_dedup": """
             -- batch twin: md5 SimHash halves over originals + perturbed
             -- clones, 16-bit band keys, first-arrival == min doc_id

@@ -284,6 +284,7 @@ STREAM = [
     "stream_first_seen",
     "stream_cusum",
     "stream_simhash_dedup",
+    "stream_minhash_dedup",
 ]
 
 

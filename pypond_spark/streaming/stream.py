@@ -1800,3 +1800,81 @@ def stream_simhash_dedup(sdf: DataFrame, text_col: str = "text",
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def minhash_bands_rowwise(sdf: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", num_hashes: int = 8,
+                          band_size: int = 4,
+                          shingle_n: int = 3) -> DataFrame:
+    """Stateless per-row MinHash band keys for streaming frames — the
+    batch ``minhash_signature`` is a shingle explode + per-doc min
+    aggregate (a streaming agg that could not feed append-mode state);
+    this computes the IDENTICAL md5-derived signatures row-locally with
+    higher-order-function folds, entirely JVM-side (no Python at all —
+    contrast :func:`simhash_rowwise`, whose 64-bit counting genuinely
+    needs an Arrow batch).  Same shingling (``greatest(n_toks-2, 1)``
+    slices), same Kirsch-Mitzenmacher ``(h1 + k*h2) mod 2^32``
+    derivation, same band digests — a batch SQL twin over
+    ``word_shingles`` replays it exactly.
+
+    Output: ``(id_col, band)`` — one row per band per document.
+    """
+    if num_hashes % band_size:
+        raise ValueError("num_hashes must be a multiple of band_size")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != F.lit(""))
+    count = F.greatest(F.size(toks) - (shingle_n - 1), F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_n)))
+    hs = F.transform(
+        sh, lambda s: F.struct(
+            F.conv(F.md5(s).substr(1, 8), 16, 10).cast("long")
+            .alias("h1"),
+            F.conv(F.md5(s).substr(9, 8), 16, 10).cast("long")
+            .alias("h2")))
+    two32 = 4294967296
+    mins = [
+        F.aggregate(
+            hs, F.lit(two32).cast("long"),
+            lambda a, x: F.least(a, F.pmod(x["h1"] + F.lit(k) * x["h2"],
+                                           F.lit(two32))))
+        .alias(f"m{k}")
+        for k in range(num_hashes)
+    ]
+    sig = sdf.select(F.col(id_col), *mins)
+    n_bands = num_hashes // band_size
+    bands = F.array(*[
+        F.md5(F.concat_ws("|", F.lit(str(b)),
+                          *[F.col(f"m{b * band_size + i}").cast("string")
+                            for i in range(band_size)]))
+        for b in range(n_bands)
+    ])
+    return sig.select(F.col(id_col), F.explode(bands).alias("band"))
+
+
+def stream_minhash_dedup(sdf: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", num_hashes: int = 8,
+                         band_size: int = 4,
+                         shingle_n: int = 3) -> DataFrame:
+    """Streaming MinHash-LSH near-dup ingestion gate — the shingle-set
+    (Jaccard) counterpart of :func:`stream_simhash_dedup`'s bit-vector
+    (Hamming) gate, completing the streaming near-dup pair: per LSH
+    band key the FIRST document claims it, later hits are suppressed.
+    Documents whose every band was claimed earlier are near-dups of
+    prior traffic by exactly the batch ``lsh_candidate_pairs``
+    banding contract, applied temporally.  Append-mode claim table
+    ``(band, doc_id)``; state O(distinct band keys); ties inside a
+    micro-batch break to the smallest id.
+    """
+    keyed = minhash_bands_rowwise(sdf, text_col, id_col, num_hashes,
+                                  band_size, shingle_n)
+    out_schema = T.StructType([T.StructField("band", T.StringType()),
+                               sdf.schema[id_col]])
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    return keyed.groupBy("band").applyInPandasWithState(
+        _first_seen_state_fn(["band"], [id_col], id_col),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)

@@ -1005,3 +1005,49 @@ def test_stream_simhash_dedup_cross_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="n_bands"):
         stream_simhash_dedup(spark.readStream.schema(schema)
                              .json(str(src)), n_bands=3)
+
+
+def test_stream_minhash_dedup_cross_batch(spark, tmp_path):
+    """MinHash-band claim state survives the checkpoint: batch 1 admits
+    the original (claims both bands); batch 2's exact clone claims
+    nothing, and a different doc claims both of its own bands.  The
+    band keys are checked against the BATCH lsh_band_buckets values —
+    the row-wise HOF signatures are the same md5 derivation."""
+    import json as _json
+    from pyspark.sql import types as T2
+    from pypond_spark.datapipe.dedup import lsh_band_buckets
+    from pypond_spark.streaming.stream import stream_minhash_dedup
+    schema = T2.StructType([T2.StructField("doc_id", T2.LongType()),
+                            T2.StructField("text", T2.StringType())])
+    base = "spark window batch order data column agg join small line"
+    other = "entirely different words nothing shared with anything here"
+    chunk1 = [{"doc_id": 1, "text": base}]
+    chunk2 = [{"doc_id": 2, "text": base},
+              {"doc_id": 3, "text": other}]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate([chunk1, chunk2]):
+        with open(src / f"p{i}.json", "w") as fh:
+            for rec in chunk:
+                fh.write(_json.dumps(rec) + "\n")
+        sdf = spark.readStream.schema(schema).json(str(src))
+        out = stream_minhash_dedup(sdf)
+        q = (out.writeStream.format("parquet").outputMode("append")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    claims = {}
+    for r in spark.read.parquet(str(tmp_path / "out")).collect():
+        claims.setdefault(r["doc_id"], set()).add(r["band"])
+    batch_bands = {}
+    bdf = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], schema)
+    for r in lsh_band_buckets(bdf).collect():
+        batch_bands.setdefault(r["doc_id"], set()).add(r["band"])
+    assert claims[1] == batch_bands[1] and len(claims[1]) == 2
+    assert 2 not in claims                      # exact clone suppressed
+    assert claims[3] == batch_bands[3]
+    with pytest.raises(ValueError, match="multiple"):
+        stream_minhash_dedup(spark.readStream.schema(schema)
+                             .json(str(src)), num_hashes=7)
