@@ -1447,6 +1447,23 @@ def q_audio_near_dups(spark, sf_dir):
                                  n_chunks=4)
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity + l-diversity audit (datapipe/privacy.py::
+    k_anonymity, Sweeney 2002 / Machanavajjhala et al. 2007): events
+    rows keyed by the (user_id, event_type) quasi-identifier pair with
+    the hour-of-day as the sensitive attribute — groups below k=5 are
+    linkage-re-identifiable, groups with one distinct hour leak it
+    outright (homogeneity attack).  ONE map-side-combinable groupBy;
+    the oracle is the same grouped count/count-distinct."""
+    from pypond_spark.datapipe import privacy as dp_priv
+    ev = _events_df(spark, sf_dir)
+    ev = ev.withColumn(
+        "hour", (F.floor(F.unix_millis(F.col("ts")) / F.lit(3600000))
+                 % 24).cast("int"))
+    return dp_priv.k_anonymity(ev, ["user_id", "event_type"], k=5,
+                               sensitive_col="hour")
+
+
 def q_multimodal_decode_audio(spark, sf_dir):
     """REAL audio decode: a 6-sample PCM16 WAV per doc (fixed RIFF header +
     12 md5 digest bytes as little-endian samples) decoded with the stdlib
@@ -4080,6 +4097,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "audio_fingerprint": q_audio_fingerprint,
         "audio_near_dups": q_audio_near_dups,
+        "k_anonymity": q_k_anonymity,
         "unigram_tokenize": q_unigram_tokenize,
         "image_phash": q_image_phash,
         "longest_match_decontam": q_longest_match_decontam,
@@ -8072,6 +8090,19 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b
               ON b.doc_id = a.doc_id AND b.f = a.f + 1
             GROUP BY 1
+        """,
+
+        "k_anonymity": """
+            SELECT user_id, event_type,
+                   count(*) AS group_size,
+                   count(DISTINCT CAST(
+                     (epoch_ms(ts) // 3600000) % 24 AS INT))
+                     AS l_diversity,
+                   count(*) < 5 AS at_risk,
+                   count(DISTINCT CAST(
+                     (epoch_ms(ts) // 3600000) % 24 AS INT)) < 2
+                     AS l_at_risk
+            FROM events GROUP BY 1, 2
         """,
         "multimodal_decode_audio": """
             -- little-endian PCM16: sample i = bytes (2i, 2i+1) of the md5

@@ -252,6 +252,7 @@ HEADLINE = [
     "wordpiece_tokenize",
     "audio_fingerprint",
     "audio_near_dups",
+    "k_anonymity",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

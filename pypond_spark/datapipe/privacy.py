@@ -17,6 +17,8 @@ AND redacted text value-for-value.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -85,3 +87,39 @@ def redact_pii(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         redact(text_col, kinds, token_fmt).alias("redacted"),
         *pii_exprs(text_col, kinds))
+
+
+def k_anonymity(df: DataFrame, quasi_cols: Sequence[str], k: int = 5,
+                sensitive_col: str | None = None) -> DataFrame:
+    """k-anonymity (Sweeney 2002) audit over quasi-identifier columns —
+    the re-identification risk gate a dataset release runs: every row
+    whose quasi-identifier combination is shared by fewer than ``k``
+    records is individually re-identifiable by linkage.
+
+    One row per distinct QI combination: ``(*quasi_cols, group_size,
+    at_risk)`` — plus, when ``sensitive_col`` is given, ``l_diversity``
+    (distinct sensitive values in the group; Machanavajjhala et al.
+    2007) and ``l_at_risk`` (``l_diversity < 2``: everyone in the group
+    shares one sensitive value, so k-anonymity alone leaks it — the
+    homogeneity attack).
+
+    ONE corpus-sized groupBy on the QI key (map-side combinable counts
+    and a distinct-count sketch-free exact agg) — the cheapest possible
+    shape; no joins, no windows.  NULL quasi-identifier values are a
+    legitimate combination of their own (NULL-linkage is still
+    linkage).
+    """
+    qi = list(quasi_cols)
+    if not qi:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    aggs = [F.count("*").alias("group_size")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col))
+                    .alias("l_diversity"))
+    out = spread(df).groupBy(*qi).agg(*aggs) \
+        .withColumn("at_risk", F.col("group_size") < k)
+    if sensitive_col is not None:
+        out = out.withColumn("l_at_risk", F.col("l_diversity") < 2)
+    return out

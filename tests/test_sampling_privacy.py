@@ -570,3 +570,31 @@ def test_leakage_safe_splits_cluster_consistent(spark):
     again = {r["doc_id"]: r["split"] for r in sampling.leakage_safe_splits(
         planted, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
     assert again == {k: v["split"] for k, v in rows.items()}
+
+
+def test_k_anonymity(spark):
+    from pypond_spark.datapipe import privacy
+    rows = ([("a", "x", 1)] * 5 + [("a", "y", 1)] * 2
+            + [("b", "x", 1), ("b", "x", 2), ("b", "x", 3)])
+    df = spark.createDataFrame(rows, "qi1 string, qi2 string, s int")
+    got = {(r["qi1"], r["qi2"]):
+           (r["group_size"], r["l_diversity"], r["at_risk"],
+            r["l_at_risk"])
+           for r in privacy.k_anonymity(df, ["qi1", "qi2"], k=5,
+                                        sensitive_col="s").collect()}
+    # (a,x): size 5 not at risk, but ONE sensitive value -> homogeneity
+    assert got[("a", "x")] == (5, 1, False, True)
+    # (a,y): tiny group, homogeneous
+    assert got[("a", "y")] == (2, 1, True, True)
+    # (b,x): small but diverse
+    assert got[("b", "x")] == (3, 3, True, False)
+    # NULL QI values form their own (linkable) group
+    ndf = spark.createDataFrame([(None, "x", 1)] * 2,
+                                "qi1 string, qi2 string, s int")
+    nrow = privacy.k_anonymity(ndf, ["qi1", "qi2"], k=5).first()
+    assert nrow["group_size"] == 2 and nrow["at_risk"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="quasi_cols"):
+        privacy.k_anonymity(df, [], k=5)
+    with _pt.raises(ValueError, match="k must"):
+        privacy.k_anonymity(df, ["qi1"], k=1)
