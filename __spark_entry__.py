@@ -1447,6 +1447,20 @@ def q_audio_near_dups(spark, sf_dir):
                                  n_chunks=4)
 
 
+def q_control_chart(spark, sf_dir):
+    """Western Electric control-chart zone rules per user
+    (operators/changepoint.py::control_chart_rules, the 1956 SPC
+    handbook): hourly integer-micro-unit bucket means vs the explicit
+    target 50 / sigma 25, four window-aggregate rules (3-sigma point,
+    2-of-3 beyond 2-sigma, 4-of-5 beyond 1-sigma, 8 same-side) —
+    pattern alarms beside CUSUM's drift alarms.  Fully integer, so the
+    oracle's identical windows hash-match."""
+    from pypond_spark.operators.changepoint import control_chart_rules
+    ev = _events_df(spark, sf_dir).withColumnRenamed("ts", "time")
+    return control_chart_rules(ev, "value", "1h", ["user_id"],
+                               target=50.0, sigma=25.0)
+
+
 def q_k_anonymity(spark, sf_dir):
     """k-anonymity + l-diversity audit (datapipe/privacy.py::
     k_anonymity, Sweeney 2002 / Machanavajjhala et al. 2007): events
@@ -4098,6 +4112,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": q_audio_fingerprint,
         "audio_near_dups": q_audio_near_dups,
         "k_anonymity": q_k_anonymity,
+        "control_chart": q_control_chart,
         "unigram_tokenize": q_unigram_tokenize,
         "image_phash": q_image_phash,
         "longest_match_decontam": q_longest_match_decontam,
@@ -8092,6 +8107,71 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
 
+
+        "control_chart": """
+            -- integer bucket means (recipe #5), then the four zone
+            -- rules as the same count-over-window tests, both sides
+            WITH bf AS (
+              SELECT user_id, p,
+                     CASE WHEN S >= 0 THEN (2 * S + C) // (2 * C)
+                          ELSE -((-2 * S + C) // (2 * C)) END AS m
+              FROM (
+                SELECT user_id,
+                       CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)
+                         AS p,
+                       CAST(sum(CAST(round(round(value, 6) * 1000000.0)
+                            AS BIGINT)) AS BIGINT) AS S,
+                       count(value) AS C
+                FROM events GROUP BY 1, 2
+              ) WHERE C > 0
+            ), z AS (
+              SELECT user_id, p, m, m - 50000000 AS d,
+                     sum(CASE WHEN m - 50000000 > 50000000
+                         THEN 1 ELSE 0 END) OVER w3 AS h2c,
+                     sum(CASE WHEN m - 50000000 > 25000000
+                         THEN 1 ELSE 0 END) OVER w5 AS h1c,
+                     sum(CASE WHEN m - 50000000 > 0
+                         THEN 1 ELSE 0 END) OVER w8 AS h0c,
+                     sum(CASE WHEN 50000000 - m > 50000000
+                         THEN 1 ELSE 0 END) OVER w3 AS l2c,
+                     sum(CASE WHEN 50000000 - m > 25000000
+                         THEN 1 ELSE 0 END) OVER w5 AS l1c,
+                     sum(CASE WHEN 50000000 - m > 0
+                         THEN 1 ELSE 0 END) OVER w8 AS l0c
+              FROM bf
+              WINDOW w3 AS (PARTITION BY user_id ORDER BY p
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                     w5 AS (PARTITION BY user_id ORDER BY p
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                     w8 AS (PARTITION BY user_id ORDER BY p
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+            ), fired AS (
+              SELECT user_id, p, m, 'R1' AS rule, 'high' AS side
+              FROM z WHERE d > 75000000
+              UNION ALL
+              SELECT user_id, p, m, 'R2', 'high' FROM z
+              WHERE h2c >= 2 AND d > 50000000
+              UNION ALL
+              SELECT user_id, p, m, 'R3', 'high' FROM z
+              WHERE h1c >= 4 AND d > 25000000
+              UNION ALL
+              SELECT user_id, p, m, 'R4', 'high' FROM z WHERE h0c >= 8
+              UNION ALL
+              SELECT user_id, p, m, 'R1', 'low' FROM z
+              WHERE -d > 75000000
+              UNION ALL
+              SELECT user_id, p, m, 'R2', 'low' FROM z
+              WHERE l2c >= 2 AND -d > 50000000
+              UNION ALL
+              SELECT user_id, p, m, 'R3', 'low' FROM z
+              WHERE l1c >= 4 AND -d > 25000000
+              UNION ALL
+              SELECT user_id, p, m, 'R4', 'low' FROM z WHERE l0c >= 8
+            )
+            SELECT user_id, p * 3600000 AS t_ms, rule, side,
+                   round(m / 1000000.0, 6) AS mean
+            FROM fired
+        """,
         "k_anonymity": """
             SELECT user_id, event_type,
                    count(*) AS group_size,

@@ -253,6 +253,7 @@ HEADLINE = [
     "audio_fingerprint",
     "audio_near_dups",
     "k_anonymity",
+    "control_chart",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

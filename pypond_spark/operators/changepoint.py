@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..index import window_duration_ms
@@ -144,3 +144,89 @@ def cusum_changepoints(
         F.col("__a.d").alias("direction"),
         F.round(smic / F.lit(1e6), 6).alias("stat"),
         "n_buckets")
+
+
+def control_chart_rules(
+    df: DataFrame,
+    field: str = "value",
+    bucket: str = "1h",
+    partition_by: Sequence[str] = (),
+    target: float = 0.0,
+    sigma: float = 1.0,
+    time_col: str = "time",
+) -> DataFrame:
+    """Western Electric control-chart zone rules (the 1956 SPC
+    handbook; Shewhart-chart patterns) over bucketed means — the
+    classic complement to CUSUM: CUSUM accumulates small persistent
+    drifts, zone rules catch PATTERNS (one wild point, runs hugging a
+    control limit, persistent same-side bias):
+
+    - ``R1``: one point beyond 3σ;
+    - ``R2``: >= 2 of the last 3 points beyond 2σ on the same side;
+    - ``R3``: >= 4 of the last 5 points beyond 1σ on the same side;
+    - ``R4``: 8 consecutive points on the same side of the target.
+
+    ``target``/``sigma`` are explicit parameters (the streamable form —
+    a monitored SLO level and its historical σ), so every comparison is
+    an INTEGER micro-unit test against fixed thresholds: bucket means
+    use the order-free micro-unit sum + ``(2S + C) div (2C)`` recipe
+    (float-parity recipe #5), so the whole evaluation is
+    engine-portable with no rounding boundaries anywhere.
+
+    One row per (bucket, fired rule): ``(*partition_by, t_ms, rule,
+    side, mean)``.  Plan: ONE corpus-sized bucket groupBy + four window
+    aggregates over the per-series bucket frame (ordered by bucket
+    position — the rolling-stats shape), no Python.
+    """
+    b_ms = window_duration_ms(bucket)
+    if b_ms is None or b_ms <= 0:
+        raise ValueError(f"bucket must be a fixed window, got {bucket!r}")
+    if sigma <= 0:
+        raise ValueError(f"sigma must be positive, got {sigma}")
+    t_mic = int(round(float(target) * 1e6))
+    s_mic = int(round(float(sigma) * 1e6))
+    keys = [F.col(c) for c in partition_by]
+    pos = (F.floor(F.unix_millis(F.col(time_col))
+                   / F.lit(b_ms))).alias("__pos")
+    ev_mic = F.round(F.round(F.col(field).cast("double"), 6) * 1e6) \
+        .cast("long")
+    bf = (df.groupBy(*keys, pos)
+          .agg(F.sum(ev_mic).alias("__S"),
+               F.count(F.col(field)).alias("__C"))
+          .where(F.col("__C") > 0)
+          .withColumn("__m", F.expr(
+              "IF(__S >= 0, (2 * __S + __C) div (2 * __C), "
+              "-((-2 * __S + __C) div (2 * __C)))"))
+          .withColumn("__d", F.col("__m") - F.lit(t_mic)))
+    w = Window.partitionBy(*(keys or [F.lit(1)])).orderBy("__pos")
+
+    def run_count(cond, span):
+        return F.sum(F.when(cond, 1).otherwise(0)) \
+            .over(w.rowsBetween(-(span - 1), 0))
+
+    d = F.col("__d")
+    rules = []
+    for side, sgn in (("high", 1), ("low", -1)):
+        sd = d * sgn
+        rules += [
+            (F.lit("R1"), F.lit(side), sd > 3 * s_mic),
+            (F.lit("R2"), F.lit(side),
+             (run_count(sd > 2 * s_mic, 3) >= 2) & (sd > 2 * s_mic)),
+            (F.lit("R3"), F.lit(side),
+             (run_count(sd > 1 * s_mic, 5) >= 4) & (sd > 1 * s_mic)),
+            (F.lit("R4"), F.lit(side), run_count(sd > 0, 8) >= 8),
+        ]
+    fired = F.filter(
+        F.array(*[F.when(cond, F.struct(r.alias("rule"),
+                                        s.alias("side")))
+                  for r, s, cond in rules]),
+        lambda x: x.isNotNull())
+    return (bf.select(*keys, "__pos", "__m", fired.alias("__f"))
+            .where(F.size("__f") > 0)
+            .select(*partition_by,
+                    (F.col("__pos") * F.lit(b_ms)).alias("t_ms"),
+                    F.explode("__f").alias("__r"),
+                    F.round(F.col("__m") / 1e6, 6).alias("mean"))
+            .select(*partition_by, "t_ms",
+                    F.col("__r.rule").alias("rule"),
+                    F.col("__r.side").alias("side"), "mean"))

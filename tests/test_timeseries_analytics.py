@@ -827,3 +827,42 @@ def test_kleinberg_bursts(spark):
     solo = df.where(F.col("user") == "u1")
     assert kleinberg_bursts(solo, bucket="1h",
                             partition_by=("user",)).count() == 0
+
+
+def test_control_chart_rules(spark):
+    """Western Electric zone rules, hand-walked: R1 at the 3σ spike,
+    R2 where 2-of-3 exceed 2σ, R3 where 4-of-5 exceed 1σ, R4 at the
+    8th consecutive same-side point; the low side mirrors; quiet
+    series silent; validation."""
+    import datetime as dt
+
+    from pypond_spark.operators.changepoint import control_chart_rules
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc) \
+            + dt.timedelta(hours=h)
+
+    vals = [0.5, 3.5, 2.5, 2.5, 0.2, 1.5, 1.5, 1.5, 1.5, -0.5]
+    rows = [("u", ts(h), v) for h, v in enumerate(vals)]
+    # a mirrored low-side series and a quiet one
+    rows += [("d", ts(h), -v) for h, v in enumerate(vals)]
+    rows += [("q", ts(h), 0.1 * (-1) ** h) for h in range(10)]
+    df = spark.createDataFrame(rows,
+                               "user string, time timestamp, value double")
+    out = control_chart_rules(df, "value", "1h", ["user"],
+                              target=0.0, sigma=1.0)
+    base = 473352  # epoch hours of 2024-01-01T00Z
+    got = sorted((r["user"], r["t_ms"] // 3600000 - base, r["rule"],
+                  r["side"]) for r in out.collect())
+    exp_u = [(1, "R1"), (2, "R2"), (3, "R2"), (5, "R3"), (6, "R3"),
+             (7, "R3"), (7, "R4"), (8, "R3"), (8, "R4")]
+    exp = sorted([("u", h, r, "high") for h, r in exp_u]
+                 + [("d", h, r, "low") for h, r in exp_u])
+    assert got == exp
+    # mean column reports the bucket mean in value units
+    r1 = out.where("user = 'u' AND rule = 'R1'").first()
+    assert r1["mean"] == 3.5
+    with pytest.raises(ValueError, match="sigma"):
+        control_chart_rules(df, sigma=0.0)
+    with pytest.raises(ValueError, match="bucket"):
+        control_chart_rules(df, bucket="monthly")
