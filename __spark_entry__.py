@@ -855,6 +855,20 @@ def q_stream_cusum(spark, sf_dir):
 
 
 
+def q_stream_xchart(spark, sf_dir):
+    """Streaming individuals (XmR) control chart per user
+    (streaming/stream.py::stream_xchart): the four Western Electric
+    zone rules on every event against target 50 / sigma 60, state =
+    the last 8 micro-unit deviations per user (a fixed 8-long ring).
+    Integer arithmetic end to end, so the drained alarms equal the
+    batch window replay bit-for-bit."""
+    from pypond_spark.streaming.stream import stream_xchart
+    sdf = _events_stream(spark, sf_dir)
+    out = stream_xchart(sdf, "value", target=50.0, sigma=60.0,
+                        partition_by=["user_id"], tiebreak="event_id")
+    return _run_stream_32(spark, out, "append")
+
+
 def q_rouge2_pairs(spark, sf_dir):
     """ROUGE-2 overlap scoring of LSH candidate pairs
     (datapipe/textstats.py::rouge_pairs; Lin 2004): clipped bigram
@@ -4113,6 +4127,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dups": q_audio_near_dups,
         "k_anonymity": q_k_anonymity,
         "control_chart": q_control_chart,
+        "stream_xchart": q_stream_xchart,
         "unigram_tokenize": q_unigram_tokenize,
         "image_phash": q_image_phash,
         "longest_match_decontam": q_longest_match_decontam,
@@ -8108,6 +8123,76 @@ def oracle_sql() -> dict[str, str]:
         """,
 
 
+
+        "stream_xchart": """
+            -- per-event zone rules over (ts, event_id)-ordered valid
+            -- values; micro-unit deviations vs target 50 / sigma 60
+            WITH z AS (
+              SELECT user_id, epoch_ms(ts) AS t_ms,
+                     CAST(round(round(value, 6) * 1000000.0) AS BIGINT)
+                       AS m,
+                     CAST(round(round(value, 6) * 1000000.0) AS BIGINT)
+                       - 50000000 AS d,
+                     row_number() OVER wo AS rn,
+                     sum(CASE WHEN CAST(round(round(value, 6)
+                         * 1000000.0) AS BIGINT) - 50000000 > 120000000
+                         THEN 1 ELSE 0 END) OVER w3 AS h2c,
+                     sum(CASE WHEN CAST(round(round(value, 6)
+                         * 1000000.0) AS BIGINT) - 50000000 > 60000000
+                         THEN 1 ELSE 0 END) OVER w5 AS h1c,
+                     sum(CASE WHEN CAST(round(round(value, 6)
+                         * 1000000.0) AS BIGINT) - 50000000 > 0
+                         THEN 1 ELSE 0 END) OVER w8 AS h0c,
+                     sum(CASE WHEN 50000000 - CAST(round(round(value, 6)
+                         * 1000000.0) AS BIGINT) > 120000000
+                         THEN 1 ELSE 0 END) OVER w3 AS l2c,
+                     sum(CASE WHEN 50000000 - CAST(round(round(value, 6)
+                         * 1000000.0) AS BIGINT) > 60000000
+                         THEN 1 ELSE 0 END) OVER w5 AS l1c,
+                     sum(CASE WHEN 50000000 - CAST(round(round(value, 6)
+                         * 1000000.0) AS BIGINT) > 0
+                         THEN 1 ELSE 0 END) OVER w8 AS l0c
+              FROM events WHERE value IS NOT NULL
+              WINDOW wo AS (PARTITION BY user_id
+                            ORDER BY ts, event_id),
+                     w3 AS (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                     w5 AS (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                     w8 AS (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+            ), fired AS (
+              SELECT user_id, t_ms, 'R1' AS rule, 'high' AS side, m
+              FROM z WHERE d > 180000000
+              UNION ALL
+              SELECT user_id, t_ms, 'R2', 'high', m FROM z
+              WHERE h2c >= 2 AND d > 120000000
+              UNION ALL
+              SELECT user_id, t_ms, 'R3', 'high', m FROM z
+              WHERE h1c >= 4 AND d > 60000000
+              UNION ALL
+              SELECT user_id, t_ms, 'R4', 'high', m FROM z
+              WHERE h0c >= 8 AND rn >= 8
+              UNION ALL
+              SELECT user_id, t_ms, 'R1', 'low', m FROM z
+              WHERE -d > 180000000
+              UNION ALL
+              SELECT user_id, t_ms, 'R2', 'low', m FROM z
+              WHERE l2c >= 2 AND -d > 120000000
+              UNION ALL
+              SELECT user_id, t_ms, 'R3', 'low', m FROM z
+              WHERE l1c >= 4 AND -d > 60000000
+              UNION ALL
+              SELECT user_id, t_ms, 'R4', 'low', m FROM z
+              WHERE l0c >= 8 AND rn >= 8
+            )
+            SELECT user_id, t_ms, rule, side,
+                   round(m / 1000000.0, 6) AS value
+            FROM fired
+        """,
         "control_chart": """
             -- integer bucket means (recipe #5), then the four zone
             -- rules as the same count-over-window tests, both sides

@@ -287,6 +287,7 @@ STREAM = [
     "stream_cusum",
     "stream_simhash_dedup",
     "stream_minhash_dedup",
+    "stream_xchart",
 ]
 
 

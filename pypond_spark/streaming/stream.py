@@ -1878,3 +1878,86 @@ def stream_minhash_dedup(sdf: DataFrame, text_col: str = "text",
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def _xchart_state_fn(field: str, keys: list[str], time_col: str,
+                     t_mic: int, s_mic: int, tiebreak: str | None):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        hist: list[int] = list(state.get[0]) if state.exists else []
+        pdf = _whole_group(pdfs, time_col,
+                           (tiebreak,) if tiebreak else ())
+        outs = []
+        for _, row in pdf.iterrows():
+            v = row[field]
+            if v is None or pd.isna(v):
+                continue
+            d = int(round(round(float(v), 6) * 1e6)) - t_mic
+            hist.append(d)
+            if len(hist) > 8:
+                hist.pop(0)
+            t_ms = int(row[time_col].value // 10**6)
+            val = round((d + t_mic) / 1e6, 6)
+            for side, sgn in (("high", 1), ("low", -1)):
+                sd = [x * sgn for x in hist]
+                cur = sd[-1]
+                if cur > 3 * s_mic:
+                    outs.append(list(key) + [t_ms, "R1", side, val])
+                if cur > 2 * s_mic and \
+                        sum(1 for x in sd[-3:] if x > 2 * s_mic) >= 2:
+                    outs.append(list(key) + [t_ms, "R2", side, val])
+                if cur > 1 * s_mic and \
+                        sum(1 for x in sd[-5:] if x > 1 * s_mic) >= 4:
+                    outs.append(list(key) + [t_ms, "R3", side, val])
+                if len(sd) >= 8 and all(x > 0 for x in sd[-8:]):
+                    outs.append(list(key) + [t_ms, "R4", side, val])
+        state.update(([int(x) for x in hist],))
+        yield pd.DataFrame(
+            outs, columns=keys + ["t_ms", "rule", "side", "value"])
+
+    return fn
+
+
+def stream_xchart(
+    sdf: DataFrame,
+    field: str = "value",
+    target: float = 0.0,
+    sigma: float = 1.0,
+    partition_by: Sequence[str] = (),
+    time_col: str = "time",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming individuals (XmR) control chart — the per-EVENT twin
+    of :func:`~pypond_spark.operators.changepoint.control_chart_rules`:
+    the four Western Electric zone rules evaluated on every measurement
+    as it arrives, against an explicit ``target``/``sigma`` (the
+    streamable SPC form).  Deviations are pinned to integer micro-units
+    (float-parity recipe #5's discipline), so a drained stream equals a
+    batch window replay bit-for-bit.
+
+    State is the last EIGHT micro-unit deviations per series key — a
+    fixed ring buffer (8 longs), the window every rule needs and
+    nothing more; alarms emit append-mode as ``(*keys, t_ms, rule,
+    side, value)``.  An event can legitimately fire several rules at
+    once (a 3σ spike usually completes 2σ and 1σ patterns too) — each
+    fires as its own row, matching the batch operator.
+    """
+    if sigma <= 0:
+        raise ValueError(f"sigma must be positive, got {sigma}")
+    t_mic = int(round(float(target) * 1e6))
+    s_mic = int(round(float(sigma) * 1e6))
+    sdf, keys, dummy = _keyed(sdf, list(partition_by))
+    key_fields = [sdf.schema[k_] for k_ in keys]
+    out_schema = T.StructType(
+        key_fields + [T.StructField("t_ms", T.LongType()),
+                      T.StructField("rule", T.StringType()),
+                      T.StructField("side", T.StringType()),
+                      T.StructField("value", T.DoubleType())])
+    state_schema = T.StructType(
+        [T.StructField("hist", T.ArrayType(T.LongType()))])
+    out = sdf.groupBy(*keys).applyInPandasWithState(
+        _xchart_state_fn(field, keys, time_col, t_mic, s_mic, tiebreak),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out.drop("__k") if dummy else out

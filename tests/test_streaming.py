@@ -1051,3 +1051,43 @@ def test_stream_minhash_dedup_cross_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="multiple"):
         stream_minhash_dedup(spark.readStream.schema(schema)
                              .json(str(src)), num_hashes=7)
+
+
+def test_stream_xchart_cross_batch(spark, tmp_path):
+    """The R4 same-side run completes ACROSS the micro-batch boundary
+    (ring-buffer state carries 7 deviations into batch 2); a single
+    3-sigma spike fires R1 alone (R2/R3 need 2-of-3 / 4-of-5
+    qualifying points — same as the batch goldens); NULLs skip."""
+    import json as _json
+    from pypond_spark.streaming.stream import stream_xchart
+    # target 0, sigma 1: user a sends 7 positive points in batch 1,
+    # then 1 more in batch 2 -> R4 fires exactly at event 8
+    chunk1 = [{"t_ms": i * 1000, "user": "a", "value": 0.5}
+              for i in range(7)]
+    chunk1.append({"t_ms": 7_000, "user": "b", "value": 4.0})  # spike
+    chunk1.append({"t_ms": 8_000, "user": "b", "value": None})
+    chunk2 = [{"t_ms": 9_000, "user": "a", "value": 0.5}]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate([chunk1, chunk2]):
+        with open(src / f"p{i}.json", "w") as fh:
+            for r in chunk:
+                fh.write(_json.dumps(r) + "\n")
+        sdf = (spark.readStream.schema(SCHEMA).json(str(src))
+               .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+               .drop("t_ms"))
+        out = stream_xchart(sdf, "value", target=0.0, sigma=1.0,
+                            partition_by=["user"])
+        q = (out.writeStream.format("parquet").outputMode("append")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    rows = sorted((r["user"], r["t_ms"], r["rule"], r["side"])
+                  for r in spark.read.parquet(str(tmp_path / "out"))
+                  .collect())
+    assert rows == [("a", 9_000, "R4", "high"),
+                    ("b", 7_000, "R1", "high")]
+    with pytest.raises(ValueError, match="sigma"):
+        stream_xchart(spark.readStream.schema(SCHEMA).json(str(src)),
+                      sigma=0.0)
