@@ -1804,8 +1804,8 @@ def stream_simhash_dedup(sdf: DataFrame, text_col: str = "text",
 
 def minhash_bands_rowwise(sdf: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", num_hashes: int = 8,
-                          band_size: int = 4,
-                          shingle_n: int = 3) -> DataFrame:
+                          band_size: int = 4, shingle_n: int = 3,
+                          hash_fn: str = "md5") -> DataFrame:
     """Stateless per-row MinHash band keys for streaming frames — the
     batch ``minhash_signature`` is a shingle explode + per-doc min
     aggregate (a streaming agg that could not feed append-mode state);
@@ -1827,36 +1827,68 @@ def minhash_bands_rowwise(sdf: DataFrame, text_col: str = "text",
     sh = F.transform(
         F.sequence(F.lit(1), count),
         lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_n)))
-    hs = F.transform(
-        sh, lambda s: F.struct(
-            F.conv(F.md5(s).substr(1, 8), 16, 10).cast("long")
-            .alias("h1"),
-            F.conv(F.md5(s).substr(9, 8), 16, 10).cast("long")
-            .alias("h2")))
     two32 = 4294967296
-    mins = [
-        F.aggregate(
-            hs, F.lit(two32).cast("long"),
-            lambda a, x: F.least(a, F.pmod(x["h1"] + F.lit(k) * x["h2"],
-                                           F.lit(two32))))
-        .alias(f"m{k}")
-        for k in range(num_hashes)
-    ]
-    sig = sdf.select(F.col(id_col), *mins)
+    # ONE fold carrying all k mins as a struct — k separate aggregate()
+    # folds would each re-inline the shingle/md5 transform upstream
+    # (Catalyst collapses the projections), hashing every shingle k
+    # times interpreted; measured 7.6x slower at sf0.1
+    init = ", ".join(f"'m{k}', CAST({two32} AS BIGINT)"
+                     for k in range(num_hashes))
+    if hash_fn == "md5":
+        def _sh_hash(s):
+            return F.struct(
+                F.conv(F.md5(s).substr(1, 8), 16, 10).cast("long")
+                .alias("h1"),
+                F.conv(F.md5(s).substr(9, 8), 16, 10).cast("long")
+                .alias("h2"))
+    elif hash_fn == "xxhash64":
+        # the production fast path (same split as the batch
+        # minhash_signature): no hex parse, Spark-only values
+        def _sh_hash(s):
+            d = F.xxhash64(s)
+            return F.struct(
+                F.pmod(d, F.lit(two32)).alias("h1"),
+                F.pmod(F.shiftrightunsigned(d, 32), F.lit(two32))
+                .alias("h2"))
+    else:
+        raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
+    hs = F.transform(sh, _sh_hash)
+
+    def _merge(acc, x):
+        return F.struct(*[
+            F.least(acc[f"m{k}"],
+                    F.pmod(x["h1"] + F.lit(k) * x["h2"], F.lit(two32)))
+            .alias(f"m{k}")
+            for k in range(num_hashes)])
+
+    folded = F.aggregate(hs, F.expr(f"named_struct({init})"), _merge)
+    sig = sdf.select(F.col(id_col), folded.alias("__mh")).select(
+        F.col(id_col),
+        *[F.col(f"__mh.m{k}").alias(f"m{k}")
+          for k in range(num_hashes)])
     n_bands = num_hashes // band_size
-    bands = F.array(*[
-        F.md5(F.concat_ws("|", F.lit(str(b)),
-                          *[F.col(f"m{b * band_size + i}").cast("string")
-                            for i in range(band_size)]))
-        for b in range(n_bands)
-    ])
+    if hash_fn == "md5":
+        bands = F.array(*[
+            F.md5(F.concat_ws("|", F.lit(str(b)),
+                              *[F.col(f"m{b * band_size + i}")
+                                .cast("string")
+                                for i in range(band_size)]))
+            for b in range(n_bands)
+        ])
+    else:
+        bands = F.array(*[
+            F.xxhash64(F.lit(b), *[F.col(f"m{b * band_size + i}")
+                                   for i in range(band_size)])
+            .cast("string")
+            for b in range(n_bands)
+        ])
     return sig.select(F.col(id_col), F.explode(bands).alias("band"))
 
 
 def stream_minhash_dedup(sdf: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", num_hashes: int = 8,
-                         band_size: int = 4,
-                         shingle_n: int = 3) -> DataFrame:
+                         band_size: int = 4, shingle_n: int = 3,
+                         hash_fn: str = "md5") -> DataFrame:
     """Streaming MinHash-LSH near-dup ingestion gate — the shingle-set
     (Jaccard) counterpart of :func:`stream_simhash_dedup`'s bit-vector
     (Hamming) gate, completing the streaming near-dup pair: per LSH
@@ -1868,7 +1900,7 @@ def stream_minhash_dedup(sdf: DataFrame, text_col: str = "text",
     micro-batch break to the smallest id.
     """
     keyed = minhash_bands_rowwise(sdf, text_col, id_col, num_hashes,
-                                  band_size, shingle_n)
+                                  band_size, shingle_n, hash_fn)
     out_schema = T.StructType([T.StructField("band", T.StringType()),
                                sdf.schema[id_col]])
     state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
