@@ -1234,6 +1234,26 @@ def q_isotonic_calibration(spark, sf_dir):
     return dp_val.isotonic_calibration(base, "score", "target", bins=8)
 
 
+def q_calibrate_scores(spark, sf_dir):
+    """Isotonic fit APPLY (datapipe/validate.py::calibrate_scores):
+    the step-function companion of isotonic_calibration — every doc's
+    length score maps to the rate_iso of the last fitted bin whose
+    score_lo does not exceed it (right-continuous step, below-range
+    clamps to bin 0).  Fit composed in-plan (no collect); lookup is a
+    broadcast theta-join over the 8-row bin frame + one per-row
+    argmax."""
+    from pypond_spark.datapipe import validate as dp_val
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id"),
+        F.col("n_chars").cast("double").alias("score"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+        .alias("target"))
+    fit = dp_val.isotonic_calibration(base, "score", "target", bins=8)
+    return dp_val.calibrate_scores(base.select("doc_id", "score"),
+                                   fit, "score")
+
+
 def q_jl_projection(spark, sf_dir):
     """Johnson-Lindenstrauss 64→16 Rademacher projection
     (similarity.py::random_projection, seed 0): sign-woven add/sub
@@ -4128,6 +4148,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "control_chart": q_control_chart,
         "stream_xchart": q_stream_xchart,
+        "calibrate_scores": q_calibrate_scores,
         "unigram_tokenize": q_unigram_tokenize,
         "image_phash": q_image_phash,
         "longest_match_decontam": q_longest_match_decontam,
@@ -10125,6 +10146,22 @@ def oracle_sql() -> dict[str, str]:
                bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
         FROM fp a JOIN fp b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2
+    """
+    d["calibrate_scores"] = f"""
+        WITH fit AS ({d["isotonic_calibration"]}),
+        base AS (
+          SELECT doc_id, n_chars::DOUBLE AS score FROM documents
+        ), j AS (
+          SELECT b.doc_id AS doc_id, b.score AS score,
+                 f.rate_iso AS rate_iso,
+                 CASE WHEN f.score_lo <= round(b.score, 6)
+                      THEN f.bin ELSE -1 END AS k
+          FROM base b JOIN fit f
+            ON f.score_lo <= round(b.score, 6) OR f.bin = 0
+        )
+        SELECT doc_id, score,
+               arg_max(rate_iso, k) AS rate_calibrated
+        FROM j GROUP BY 1, 2
     """
     d["wordpiece_tokenize"] = _wordpiece_oracle()
     d["unigram_tokenize"] = _unigram_apply_oracle()

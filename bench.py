@@ -254,6 +254,7 @@ HEADLINE = [
     "audio_near_dups",
     "k_anonymity",
     "control_chart",
+    "calibrate_scores",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -328,3 +328,37 @@ def isotonic_calibration(df: DataFrame, score_col: Column | str,
                     .alias("rate_raw"),
                     F.round(F.col("__iso") / 1e6, 6).alias("rate_iso"))
             .orderBy("bin"))
+
+
+def calibrate_scores(df: DataFrame, fit: DataFrame,
+                     score_col: Column | str,
+                     out_col: str = "rate_calibrated",
+                     quantize: int = 6) -> DataFrame:
+    """Apply an :func:`isotonic_calibration` fit as a step function:
+    each row's (quantized) score maps to the ``rate_iso`` of the LAST
+    fitted bin whose ``score_lo`` does not exceed it — the standard
+    right-continuous isotonic step — with scores below the first bin
+    clamping to bin 0.  Monotone by construction because the fit is.
+
+    The fit frame is <= B rows, so the lookup is a broadcast
+    theta-join (``score >= score_lo``) + one per-row argmax — |rows|×B
+    comparisons, map-side, no shuffle of the corpus beyond the argmax
+    aggregation keyed by a generated row id (or use this on an
+    id-keyed frame and group by that id).  Adds ``out_col`` (and keeps
+    every input column).
+    """
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    qv = F.round(sc.cast("double"), quantize)
+    marked = df.withColumn("__rid", F.monotonically_increasing_id()) \
+        .withColumn("__qv", qv)
+    fit_b = F.broadcast(fit.select(F.col("bin").alias("__bin"),
+                                   F.col("score_lo").alias("__lo"),
+                                   F.col("rate_iso").alias("__ri")))
+    joined = (marked.join(fit_b, (F.col("__qv") >= F.col("__lo"))
+                          | (F.col("__bin") == 0), "left")
+              .groupBy(*[c for c in marked.columns])
+              .agg(F.max_by(F.col("__ri"),
+                            F.when(F.col("__qv") >= F.col("__lo"),
+                                   F.col("__bin")).otherwise(F.lit(-1)))
+                   .alias(out_col)))
+    return joined.drop("__rid", "__qv")

@@ -1778,3 +1778,27 @@ def test_audio_near_dups_planted(spark):
            .collect()}
     assert out.get((1, 2)) == 0
     assert (1, 3) not in out
+
+
+def test_calibrate_scores_step_function(spark):
+    from pypond_spark.datapipe.validate import (calibrate_scores,
+                                                isotonic_calibration)
+    # deterministic rates per integer score level: 0.0/0.25/0.5/0.75
+    mono = spark.createDataFrame(
+        [(b * 4 + i, float(b), 1.0 if i < b else 0.0)
+         for b in range(4) for i in range(4)],
+        "id long, score double, target double")
+    fit = isotonic_calibration(mono, "score", "target", bins=4)
+    out = {r["score"]: r["rate_calibrated"] for r in
+           calibrate_scores(mono.select("id", "score"), fit,
+                            "score").collect()}
+    assert out == {0.0: 0.0, 1.0: 0.25, 2.0: 0.5, 3.0: 0.75}
+    # unseen scores: step holds right-continuously; out-of-range clamps
+    probes = spark.createDataFrame(
+        [(90, -7.0), (91, 1.5), (92, 99.0)], "id long, score double")
+    got = {r["id"]: r["rate_calibrated"] for r in
+           calibrate_scores(probes, fit, "score").collect()}
+    assert got == {90: 0.0, 91: 0.25, 92: 0.75}
+    # calibrated output is monotone in score by construction
+    rates = [v for _, v in sorted(out.items())]
+    assert rates == sorted(rates)
