@@ -215,14 +215,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     emb_ops = {"pq_build_2m", "pq_encode_2m", "pq_encode_arrow_2m",
                "pq_build_arrow_2m"}
-    ev_needed = not only or bool(
-        only - emb_ops - {"repeated_spans", "dsir_weights",
-                          "dedup_mega_cluster", "dedup_documents"})
-    emb_needed = not only or bool(only & emb_ops)
     doc_ops = {"repeated_spans", "dsir_weights", "pack_bins",
                "char_entropy", "rrf_fusion", "bpe_tokenize", "nb_quality",
                "cms_sketch", "heavy_hitters", "bloom_roundtrip",
-               "hll_registers"}
+               "hll_registers", "unigram_apply", "wordpiece_apply",
+               "longest_match"}
+    ev_needed = not only or bool(
+        only - emb_ops - doc_ops
+        - {"dedup_mega_cluster", "dedup_documents"})
+    emb_needed = not only or bool(only & emb_ops)
     docs_needed = not only or bool(only & doc_ops)
     dup_docs_needed = not only or "dedup_documents" in only
     mega_needed = "dedup_mega_cluster" in only
@@ -376,6 +377,37 @@ def main() -> None:
         "dedup_mega_cluster": lambda: _mega_audit(
             mega_docs, mega_cluster, lsh_candidate_pairs,
             lsh_band_buckets, dup_clusters),
+        # r8 tokenizer/decontam tiers: the expensive work is per
+        # DISTINCT word (the synthetic 500-word vocab makes that
+        # contract measurable: wall must be corpus-scan-bound, with the
+        # Viterbi/greedy DP cost pinned to the tiny word frame)
+        "unigram_apply": lambda: sink(__import__(
+            "pypond_spark.datapipe.tokenize",
+            fromlist=["unigram_apply"])
+            .unigram_apply(docs, {"ta": -900000, "ble": -1000000,
+                                  "w": -1200000, "1": -1300000,
+                                  "2": -1310000, "3": -1320000,
+                                  "4": -1330000, "5": -1340000,
+                                  "6": -1350000, "7": -1360000,
+                                  "8": -1370000, "9": -1380000,
+                                  "0": -1390000})
+            .select("doc_id", "n_tokens")),
+        "wordpiece_apply": lambda: sink(__import__(
+            "pypond_spark.datapipe.tokenize",
+            fromlist=["wordpiece_apply"])
+            .wordpiece_apply(docs, ["w"] + [str(d) for d in range(10)]
+                             + ["##" + str(d) for d in range(10)]
+                             + ["##w"])
+            .select("doc_id", "n_tokens")),
+        # benchmark side = docs 0-999 (megabytes, the broadcast
+        # contract); longest shared run per (doc, item)
+        "longest_match": lambda: sink(__import__(
+            "pypond_spark.datapipe.decontam",
+            fromlist=["longest_match"])
+            .longest_match(docs.where(F.col("doc_id") >= 1000),
+                           docs.where(F.col("doc_id") < 1000)
+                           .withColumnRenamed("doc_id", "item_id"),
+                           k=5)),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
