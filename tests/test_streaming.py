@@ -1048,9 +1048,19 @@ def test_stream_minhash_dedup_cross_batch(spark, tmp_path):
     assert claims[1] == batch_bands[1] and len(claims[1]) == 2
     assert 2 not in claims                      # exact clone suppressed
     assert claims[3] == batch_bands[3]
+    # the xxhash64 production path matches the batch fast path too
+    from pypond_spark.streaming.stream import minhash_bands_rowwise
+    fast_row = {(r["doc_id"], r["band"]) for r in
+                minhash_bands_rowwise(bdf, hash_fn="xxhash64").collect()}
+    fast_batch = {(r["doc_id"], r["band"]) for r in
+                  lsh_band_buckets(bdf, hash_fn="xxhash64").collect()}
+    assert fast_row == fast_batch
     with pytest.raises(ValueError, match="multiple"):
         stream_minhash_dedup(spark.readStream.schema(schema)
                              .json(str(src)), num_hashes=7)
+    with pytest.raises(ValueError, match="hash_fn"):
+        stream_minhash_dedup(spark.readStream.schema(schema)
+                             .json(str(src)), hash_fn="sha1")
 
 
 def test_stream_xchart_cross_batch(spark, tmp_path):
