@@ -1254,6 +1254,17 @@ def q_calibrate_scores(spark, sf_dir):
                                    fit, "score")
 
 
+def q_quantize_int8(spark, sf_dir):
+    """Symmetric absmax int8 embedding quantization
+    (similarity.py::quantize_int8, Jacob et al. 2018 per-vector): one
+    HOF absmax fold + one codes transform per row, scan-level only.
+    Codes use floor(x + 0.5) instead of round() — deterministic in
+    IEEE doubles on any engine (the recipe-#5 near-tie family) — so
+    the oracle's identical expression hash-matches every component."""
+    embs = _read(spark, sf_dir, "embeddings")
+    return dp_sim.quantize_int8(embs, dim=64)
+
+
 def q_jl_projection(spark, sf_dir):
     """Johnson-Lindenstrauss 64→16 Rademacher projection
     (similarity.py::random_projection, seed 0): sign-woven add/sub
@@ -4149,6 +4160,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "control_chart": q_control_chart,
         "stream_xchart": q_stream_xchart,
         "calibrate_scores": q_calibrate_scores,
+        "quantize_int8": q_quantize_int8,
         "unigram_tokenize": q_unigram_tokenize,
         "image_phash": q_image_phash,
         "longest_match_decontam": q_longest_match_decontam,
@@ -8478,6 +8490,24 @@ def oracle_sql() -> dict[str, str]:
         "dtw_daily_template": _dtw_oracle(),
         "cusum_hourly_by_user": _cusum_oracle(),
         "pca_embeddings": _pca_oracle(),
+
+        "quantize_int8": """
+            -- absmax via list fold; code_i = floor(v*127/am + 0.5)
+            -- (floor-of-shifted is engine-portable; round() is not)
+            WITH base AS (
+              SELECT vec_id, embedding AS v,
+                     list_aggregate(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE))), 'max') AS am
+              FROM embeddings WHERE len(embedding) = 64
+            )
+            SELECT vec_id,
+                   round(coalesce(am, 0), 6) AS absmax,
+                   array_to_string(list_transform(v,
+                     x -> CASE WHEN am > 0 THEN CAST(floor(
+                            CAST(x AS DOUBLE) * 127 / am + 0.5)
+                            AS INT) ELSE 0 END), ',') AS codes
+            FROM base
+        """,
         "isotonic_calibration": """
             -- PAV via the minimax identity iso_i = max_{j<=i}
             -- min_{k>=i} mean(j..k); exact BIGINT prefix sums, one

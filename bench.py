@@ -255,6 +255,7 @@ HEADLINE = [
     "k_anonymity",
     "control_chart",
     "calibrate_scores",
+    "quantize_int8",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -1433,3 +1433,46 @@ def pca_project(df: DataFrame, vec_col: str = "embedding",
                            for i in range(d))
         projs.append(f"round({terms}, 6) AS pc{c + 1}")
     return unpacked.selectExpr(id_col, *projs)
+
+
+def quantize_int8(df: DataFrame, dim: int, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Symmetric absmax int8 quantization of an embedding column — the
+    standard 4x storage/bandwidth cut for vector stores (Jacob et al.
+    2018's symmetric per-tensor scheme, applied per vector): ``scale =
+    max|v| / 127``; ``code_i = floor(v_i / scale * 127 / max|v| ...``
+    precisely: ``code_i = floor(v_i * 127 / absmax + 0.5)`` — one
+    double multiply/divide then ``floor(x + 0.5)``, which is
+    deterministic in IEEE doubles on ANY engine (unlike ``round()``,
+    whose near-tie behavior differs between BigDecimal-exact and
+    float-space implementations — the recipe-#5 family of bugs).
+
+    All-zero vectors quantize to all-zero codes with ``absmax = 0``
+    (no division happens: the code expression is guarded).  Scan-level
+    column expressions only — no shuffle, stream-safe; codes are
+    emitted as one comma-joined string (``codes``) plus ``absmax``
+    rounded to 6, because scalar columns are what cross-engine
+    comparison hashes (array cells don't hash).
+
+    De-quantization is ``code * absmax / 127`` with worst-case error
+    ``absmax / 254`` per component — the documented contract; pair with
+    :func:`cosine_topk` re-ranking over the fp32 originals for
+    recall-critical paths.
+    """
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    v = F.col(vec_col)
+    absmax = F.aggregate(
+        v, F.lit(0.0),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))))
+    code = F.transform(
+        v, lambda x: F.when(
+            F.col("__am") > 0,
+            F.floor(x.cast("double") * 127 / F.col("__am") + 0.5)
+            .cast("int")).otherwise(F.lit(0)).cast("string"))
+    return (spread(df)
+            .where(F.size(v) == dim)
+            .withColumn("__am", absmax)
+            .select(F.col(id_col),
+                    F.round(F.col("__am"), 6).alias("absmax"),
+                    F.concat_ws(",", code).alias("codes")))

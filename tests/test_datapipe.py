@@ -1802,3 +1802,25 @@ def test_calibrate_scores_step_function(spark):
     # calibrated output is monotone in score by construction
     rates = [v for _, v in sorted(out.items())]
     assert rates == sorted(rates)
+
+
+def test_quantize_int8_goldens(spark):
+    from pypond_spark.datapipe.similarity import quantize_int8
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5, 2.0]), (2, [0.0, 0.0, 0.0, 0.0]),
+         (3, [1.0, 2.0, 3.0])],                       # wrong dim: dropped
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["absmax"], r["codes"])
+           for r in quantize_int8(df, 4).collect()}
+    # absmax 2.0; codes floor(v*63.5 + 0.5): 64, -127, 32, 127
+    assert out[1] == (2.0, "64,-127,32,127")
+    # all-zero vector: zero codes, no division
+    assert out[2] == (0.0, "0,0,0,0")
+    assert 3 not in out
+    # dequant error bound: |v - c*am/127| <= am/254 on every component
+    am, codes = out[1]
+    vs = [1.0, -2.0, 0.5, 2.0]
+    for v, c in zip(vs, map(int, codes.split(","))):
+        assert abs(v - c * am / 127) <= am / 254 + 1e-12
+    with pytest.raises(ValueError, match="dim"):
+        quantize_int8(df, 0)
