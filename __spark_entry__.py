@@ -1265,6 +1265,17 @@ def q_quantize_int8(spark, sf_dir):
     return dp_sim.quantize_int8(embs, dim=64)
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty vs the id-ordered corpus prefix
+    (datapipe/textstats.py::ngram_novelty): share of a doc's distinct
+    3-grams whose FIRST corpus occurrence is this doc — the
+    contribution/curation score (boilerplate ~0, fresh text ~1).  Two
+    bounded shuffles (distinct pairs, gram-keyed min) + one join; the
+    oracle is the same min-per-gram replay."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.ngram_novelty(docs, n=3)
+
+
 def q_jl_projection(spark, sf_dir):
     """Johnson-Lindenstrauss 64→16 Rademacher projection
     (similarity.py::random_projection, seed 0): sign-woven add/sub
@@ -4161,6 +4172,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_xchart": q_stream_xchart,
         "calibrate_scores": q_calibrate_scores,
         "quantize_int8": q_quantize_int8,
+        "ngram_novelty": q_ngram_novelty,
         "unigram_tokenize": q_unigram_tokenize,
         "image_phash": q_image_phash,
         "longest_match_decontam": q_longest_match_decontam,
@@ -8491,6 +8503,23 @@ def oracle_sql() -> dict[str, str]:
         "cusum_hourly_by_user": _cusum_oracle(),
         "pca_embeddings": _pca_oracle(),
 
+
+        "ngram_novelty": _SHINGLES + """
+            , pairs AS (
+              SELECT DISTINCT doc_id, shingle FROM sh
+            ), first AS (
+              SELECT shingle, min(doc_id) AS f FROM pairs GROUP BY 1
+            )
+            SELECT p.doc_id AS doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN p.doc_id = f.f THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   round(CAST(sum(CASE WHEN p.doc_id = f.f
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                         / count(*), 6) AS novelty
+            FROM pairs p JOIN first f ON f.shingle = p.shingle
+            GROUP BY 1
+        """,
         "quantize_int8": """
             -- absmax via list fold; code_i = floor(v*127/am + 0.5)
             -- (floor-of-shifted is engine-portable; round() is not)

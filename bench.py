@@ -256,6 +256,7 @@ HEADLINE = [
     "control_chart",
     "calibrate_scores",
     "quantize_int8",
+    "ngram_novelty",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -1005,3 +1005,35 @@ def rouge_pairs(df: DataFrame, pairs: DataFrame | None = None,
         F.coalesce(F.round(prec, 6),
                    F.lit(0.0)).alias(f"rouge{n}_precision"),
         F.coalesce(F.round(f1, 6), F.lit(0.0)).alias(f"rouge{n}_f1"))
+
+
+def ngram_novelty(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document novelty against the id-ordered corpus prefix: the
+    share of a document's distinct word ``n``-grams whose FIRST corpus
+    occurrence (minimum ``id_col``) is this document — the
+    "contribution" curation signal (a doc whose grams all appeared in
+    earlier documents adds nothing; boilerplate and quotes score near
+    0, fresh text near 1).  The same first-occurrence frame that
+    drives streaming ingestion dedup, used as a *score* instead of a
+    gate.
+
+    Two bounded shuffles: distinct (id, gram) pairs, then the
+    gram-keyed min-id aggregate (map-side combinable) joined back on
+    the gram key — cost linear in corpus grams, never corpus².
+    Output: ``(id_col, n_grams, n_novel, novelty)`` with ``novelty``
+    rounded to 6 (one integer division).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pypond_spark.datapipe.dedup import word_shingles
+    pairs = word_shingles(df, text_col, n, id_col) \
+        .select(id_col, "shingle").distinct().localCheckpoint()
+    first = pairs.groupBy("shingle").agg(F.min(id_col).alias("__first"))
+    return (pairs.join(first, "shingle")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.when(F.col(id_col) == F.col("__first"), 1)
+                       .otherwise(0)).alias("n_novel"))
+            .withColumn("novelty",
+                        F.round(F.col("n_novel") / F.col("n_grams"), 6)))

@@ -1824,3 +1824,23 @@ def test_quantize_int8_goldens(spark):
         assert abs(v - c * am / 127) <= am / 254 + 1e-12
     with pytest.raises(ValueError, match="dim"):
         quantize_int8(df, 0)
+
+
+def test_ngram_novelty(spark):
+    from pypond_spark.datapipe.textstats import ngram_novelty
+    df = spark.createDataFrame([
+        (1, "a b c d"),        # both 3-grams first-seen here
+        (2, "a b c d"),        # exact copy: zero novelty
+        (3, "a b c x y z"),    # 1 of 4 grams previously seen
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+           for r in ngram_novelty(df).collect()}
+    assert out[1] == (2, 2, 1.0)
+    assert out[2] == (2, 0, 0.0)
+    assert out[3] == (4, 3, 0.75)
+    # repartitioning cannot change first-occurrence (min id is order-free)
+    out2 = {r["doc_id"]: r["novelty"]
+            for r in ngram_novelty(df.repartition(7)).collect()}
+    assert out2 == {k: v[2] for k, v in out.items()}
+    with pytest.raises(ValueError, match="n must"):
+        ngram_novelty(df, n=0)
