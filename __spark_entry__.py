@@ -1265,6 +1265,25 @@ def q_quantize_int8(spark, sf_dir):
     return dp_sim.quantize_int8(embs, dim=64)
 
 
+def q_script_stats(spark, sf_dir):
+    """Unicode script composition (datapipe/textstats.py::
+    script_stats): the ASCII corpus is salted with deterministic
+    Cyrillic (doc_id%7==0) and CJK (doc_id%11==0) suffixes so every
+    ratio column varies — wrong-script contamination detection, the
+    pre-filter beside marker-word language ID.  Explicit code-point
+    ranges (Java and RE2 agree on ranges, not on property names), so
+    the oracle counts the identical classes."""
+    docs = _read(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 7 == 0,
+                        F.lit(" привет мир")).otherwise(F.lit("")),
+                 F.when(F.col("doc_id") % 11 == 0,
+                        F.lit(" 漢字文字")).otherwise(F.lit(""))))
+    return dp_text.script_stats(salted)
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Per-doc n-gram novelty vs the id-ordered corpus prefix
     (datapipe/textstats.py::ngram_novelty): share of a doc's distinct
@@ -4173,6 +4192,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibrate_scores": q_calibrate_scores,
         "quantize_int8": q_quantize_int8,
         "ngram_novelty": q_ngram_novelty,
+        "script_stats": q_script_stats,
         "unigram_tokenize": q_unigram_tokenize,
         "image_phash": q_image_phash,
         "longest_match_decontam": q_longest_match_decontam,
@@ -8504,6 +8524,37 @@ def oracle_sql() -> dict[str, str]:
         "pca_embeddings": _pca_oracle(),
 
 
+
+        "script_stats": """
+            WITH s AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 7 = 0
+                     THEN ' привет мир' ELSE '' END ||
+                CASE WHEN doc_id % 11 = 0
+                     THEN ' 漢字文字' ELSE '' END AS t
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     length(regexp_replace(t, '\\s+', '', 'g'))
+                       AS n_chars,
+                     len(regexp_extract_all(t, '[A-Za-z]')) AS n_latin,
+                     len(regexp_extract_all(t, '[0-9]')) AS n_digit,
+                     len(regexp_extract_all(t, '[Ѐ-ӿ]'))
+                       AS n_cyrillic,
+                     len(regexp_extract_all(t, '[一-鿿]')) AS n_cjk
+              FROM s
+            )
+            SELECT doc_id, n_chars, n_latin, n_digit, n_cyrillic,
+                   n_cjk,
+                   n_chars - n_latin - n_digit - n_cyrillic - n_cjk
+                     AS n_other,
+                   round(n_latin / greatest(n_chars, 1), 6)
+                     AS latin_ratio,
+                   round(n_cyrillic / greatest(n_chars, 1), 6)
+                     AS cyrillic_ratio,
+                   round(n_cjk / greatest(n_chars, 1), 6) AS cjk_ratio
+            FROM c
+        """,
         "ngram_novelty": _SHINGLES + """
             , pairs AS (
               SELECT DISTINCT doc_id, shingle FROM sh

@@ -257,6 +257,7 @@ HEADLINE = [
     "calibrate_scores",
     "quantize_int8",
     "ngram_novelty",
+    "script_stats",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -1037,3 +1037,38 @@ def ngram_novelty(df: DataFrame, n: int = 3, text_col: str = "text",
                        .otherwise(0)).alias("n_novel"))
             .withColumn("novelty",
                         F.round(F.col("n_novel") / F.col("n_grams"), 6)))
+
+
+def script_stats(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode script composition — the script-mix signal
+    language filters run before (or beside) marker-word language ID:
+    wrong-script contamination (Cyrillic spam in an English crawl,
+    mojibake runs) shows up as ratio anomalies even when marker words
+    still match.
+
+    Counts and ratios for five coarse classes over NON-whitespace
+    characters: ``latin`` (A-Za-z), ``digit``, ``cyrillic``
+    (U+0400-04FF), ``cjk`` (U+4E00-9FFF unified ideographs), and
+    ``other`` (everything else — punctuation, symbols, all remaining
+    scripts).  Explicit code-point ranges, not ``\\p{...}`` classes:
+    Java and RE2 agree on literal ranges but diverge on property-name
+    spellings, so ranges are what a cross-engine oracle can replay.
+    Pure scan-level ``regexp_count`` expressions — no shuffle.
+    """
+    t = F.col(text_col)
+    nonws = F.length(F.regexp_replace(t, r"\s+", ""))
+    latin = F.regexp_count(t, F.lit("[A-Za-z]"))
+    digit = F.regexp_count(t, F.lit("[0-9]"))
+    cyr = F.regexp_count(t, F.lit("[Ѐ-ӿ]"))
+    cjk = F.regexp_count(t, F.lit("[一-鿿]"))
+    denom = F.greatest(nonws, F.lit(1))
+    return spread(df).select(
+        F.col(id_col),
+        nonws.alias("n_chars"),
+        latin.alias("n_latin"), digit.alias("n_digit"),
+        cyr.alias("n_cyrillic"), cjk.alias("n_cjk"),
+        (nonws - latin - digit - cyr - cjk).alias("n_other"),
+        F.round(latin / denom, 6).alias("latin_ratio"),
+        F.round(cyr / denom, 6).alias("cyrillic_ratio"),
+        F.round(cjk / denom, 6).alias("cjk_ratio"))

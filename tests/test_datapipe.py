@@ -1844,3 +1844,24 @@ def test_ngram_novelty(spark):
     assert out2 == {k: v[2] for k, v in out.items()}
     with pytest.raises(ValueError, match="n must"):
         ngram_novelty(df, n=0)
+
+
+def test_script_stats(spark):
+    from pypond_spark.datapipe.textstats import script_stats
+    df = spark.createDataFrame([
+        (1, "hello world 42"),
+        (2, "привет мир"),
+        (3, "漢字 kanji mix"),
+        (4, "!!! ..."),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in script_stats(df).collect()}
+    assert (out[1]["n_latin"], out[1]["n_digit"],
+            out[1]["n_other"]) == (10, 2, 0)
+    assert out[2]["n_cyrillic"] == 9 and out[2]["cyrillic_ratio"] == 1.0
+    assert out[3]["n_cjk"] == 2 and out[3]["n_latin"] == 8
+    # pure punctuation: everything lands in other, ratios zero
+    assert out[4]["n_other"] == 6 and out[4]["latin_ratio"] == 0.0
+    # class counts always partition the non-whitespace total
+    for r in out.values():
+        assert (r["n_latin"] + r["n_digit"] + r["n_cyrillic"]
+                + r["n_cjk"] + r["n_other"]) == r["n_chars"]
