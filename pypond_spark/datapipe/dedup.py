@@ -323,7 +323,8 @@ def dedup_documents(df: DataFrame, text_col: str = "text",
                     jaccard_threshold: float = 0.8,
                     stats: dict | None = None,
                     keeper: str = "min_id",
-                    keeper_col: str | None = None) -> DataFrame:
+                    keeper_col: str | None = None,
+                    max_bucket: int | None = None) -> DataFrame:
     """End-to-end near-dup document dedup.
 
     exact-digest grouping -> MinHash+LSH candidates -> exact Jaccard verify
@@ -345,6 +346,12 @@ def dedup_documents(df: DataFrame, text_col: str = "text",
     Score-based keepers cost one argmax aggregate over the LABELED docs
     only (bounded by the duplicate set, not the corpus) plus one join back
     on cluster_id.
+
+    ``max_bucket`` forwards to :func:`lsh_candidate_pairs` — the
+    adversarial-skew guard for crawl-scale corpora where boilerplate
+    mega-clusters make one band bucket (and its |bucket|²) explode; see
+    that function's docstring for the clique+star semantics and the
+    measured 100k-cluster numbers.
     """
     if keeper not in ("min_id", "longest", "max_col"):
         raise ValueError(
@@ -352,7 +359,7 @@ def dedup_documents(df: DataFrame, text_col: str = "text",
     if keeper == "max_col" and not keeper_col:
         raise ValueError("keeper='max_col' requires keeper_col")
     pairs = lsh_candidate_pairs(df, text_col, id_col, num_hashes, band_size,
-                                shingle_n)
+                                shingle_n, max_bucket=max_bucket)
     verified = (ngram_jaccard(df, pairs, text_col, id_col, shingle_n)
                 .where(F.col("jaccard") >= jaccard_threshold)
                 .select("id_a", "id_b"))

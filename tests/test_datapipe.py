@@ -85,6 +85,11 @@ def test_lsh_max_bucket_mega_cluster(spark):
     assert labels == {0} and comp.count() == n
     with pytest.raises(ValueError, match="max_bucket"):
         dedup.lsh_candidate_pairs(mega, max_bucket=1)
+    # the end-to-end entrypoint forwards the lever: the whole planted
+    # cluster still collapses to one keeper under the cap
+    out = dedup.dedup_documents(mega, max_bucket=8)
+    assert out.where(F.col("is_keeper")).count() == 1
+    assert out.select("cluster_id").distinct().count() == 1
 
 
 def test_ngram_jaccard(spark, docs):
