@@ -249,6 +249,44 @@ def main() -> None:
         F.sum(F.col("kept").cast("int")).alias("kept")).first()
     print("preprocess funnel:", funnel.asDict())
 
+    # 30. round-8 tier: tokenizers, calibration, novelty, privacy
+    from pypond_spark.datapipe.tokenize import (unigram_apply,
+                                                unigram_train,
+                                                wordpiece_apply)
+    vocab = unigram_train(docs, vocab_size=32, max_piece_len=3, iters=2)
+    toks = unigram_apply(docs, vocab)
+    print("unigram tokens/doc:",
+          toks.agg(F.avg("n_tokens")).first()[0])
+    wp = wordpiece_apply(docs, ["table", "key", "scan", "value",
+                                "hash", "tab", "##le"]
+                         + list("abcdefghijklmnopqrstuvwxyz")
+                         + ["##" + c for c in
+                            "abcdefghijklmnopqrstuvwxyz"])
+    print("wordpiece tokens/doc:",
+          wp.agg(F.avg("n_tokens")).first()[0])
+
+    from pypond_spark.datapipe.validate import (calibrate_scores,
+                                                isotonic_calibration)
+    scored = docs.select(
+        "doc_id", F.col("n_chars").cast("double").alias("score"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+        .alias("target"))
+    fit = isotonic_calibration(scored, "score", "target", bins=6)
+    cal = calibrate_scores(scored.select("doc_id", "score"), fit,
+                           "score")
+    print("calibrated rate range:",
+          cal.agg(F.min("rate_calibrated"),
+                  F.max("rate_calibrated")).first())
+
+    from pypond_spark.datapipe.textstats import ngram_novelty
+    nov = ngram_novelty(docs)
+    print("mean novelty:", nov.agg(F.round(F.avg("novelty"), 3))
+          .first()[0])
+
+    from pypond_spark.datapipe.privacy import k_anonymity
+    risky = k_anonymity(docs, ["lang", "source"], k=5).where("at_risk")
+    print("at-risk (lang, source) groups:", risky.count())
+
     spark.stop()
 
 
