@@ -1265,6 +1265,23 @@ def q_quantize_int8(spark, sf_dir):
     return dp_sim.quantize_int8(embs, dim=64)
 
 
+# demo blocklist for q_blocklist_stats: spam/CTA markers plus corpus
+# words so counts vary (real deployments supply their curated lists)
+_BLOCKLIST = ["click here", "buy now", "free trial",
+              "table scan", "hash join", "key value"]
+
+
+def q_blocklist_stats(spark, sf_dir):
+    """Phrase-blocklist filter (datapipe/textstats.py::blocklist_stats,
+    the C4 word-filter rule generalized): case-insensitive whole-word
+    occurrence counts for a caller-supplied phrase list, summed per
+    doc — the demo list mixes spam markers with corpus bigrams so the
+    counts vary.  Scan-level regexp chain; the oracle counts the same
+    \\b-bounded matches."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.blocklist_stats(docs, _BLOCKLIST, min_hits=2)
+
+
 def q_script_stats(spark, sf_dir):
     """Unicode script composition (datapipe/textstats.py::
     script_stats): the ASCII corpus is salted with deterministic
@@ -4193,6 +4210,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_int8": q_quantize_int8,
         "ngram_novelty": q_ngram_novelty,
         "script_stats": q_script_stats,
+        "blocklist_stats": q_blocklist_stats,
         "unigram_tokenize": q_unigram_tokenize,
         "image_phash": q_image_phash,
         "longest_match_decontam": q_longest_match_decontam,
@@ -8525,6 +8543,32 @@ def oracle_sql() -> dict[str, str]:
 
 
 
+
+        "blocklist_stats": """
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text),
+                         '\\bclick here\\b')) AS c0,
+                     len(regexp_extract_all(lower(text),
+                         '\\bbuy now\\b')) AS c1,
+                     len(regexp_extract_all(lower(text),
+                         '\\bfree trial\\b')) AS c2,
+                     len(regexp_extract_all(lower(text),
+                         '\\btable scan\\b')) AS c3,
+                     len(regexp_extract_all(lower(text),
+                         '\\bhash join\\b')) AS c4,
+                     len(regexp_extract_all(lower(text),
+                         '\\bkey value\\b')) AS c5
+              FROM documents
+            )
+            SELECT doc_id,
+                   c0 + c1 + c2 + c3 + c4 + c5 AS n_hits,
+                   (c0 > 0)::INT + (c1 > 0)::INT + (c2 > 0)::INT
+                 + (c3 > 0)::INT + (c4 > 0)::INT + (c5 > 0)::INT
+                     AS n_phrases_hit,
+                   c0 + c1 + c2 + c3 + c4 + c5 >= 2 AS flagged
+            FROM c
+        """,
         "script_stats": """
             WITH s AS (
               SELECT doc_id, text ||

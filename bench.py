@@ -258,6 +258,7 @@ HEADLINE = [
     "quantize_int8",
     "ngram_novelty",
     "script_stats",
+    "blocklist_stats",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -1072,3 +1072,44 @@ def script_stats(df: DataFrame, text_col: str = "text",
         F.round(latin / denom, 6).alias("latin_ratio"),
         F.round(cyr / denom, 6).alias("cyrillic_ratio"),
         F.round(cjk / denom, 6).alias("cjk_ratio"))
+
+
+def blocklist_stats(df: DataFrame, phrases, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_hits: int = 1) -> DataFrame:
+    """Caller-supplied phrase-blocklist filter — the C4 §2.2 word-filter
+    rule generalized (Raffel et al. 2020 drop documents containing
+    listed words; production stacks run the same machinery for spam
+    markers, boilerplate CTAs, and policy lists the caller curates):
+    case-insensitive whole-word occurrence counts per phrase, summed
+    per document.
+
+    ``phrases`` is the caller's list (plain words or multi-word
+    phrases; regex metacharacters are escaped).  Word boundaries are
+    ``\\b`` — ASCII-identical between Java and RE2, so a SQL oracle
+    counts the same hits.  Scan-level ``regexp_count`` chain, one
+    expression per phrase — no shuffle; at production list sizes
+    (thousands), compile tiers of alternation groups instead of one
+    per phrase (the expression stays scan-level either way).
+
+    Output: ``(id_col, n_hits, n_phrases_hit, flagged)`` with
+    ``flagged = n_hits >= min_hits``.
+    """
+    import re as _re
+    plist = [p for p in phrases if p and p.strip()]
+    if not plist:
+        raise ValueError("phrases must contain at least one phrase")
+    low = F.lower(F.col(text_col))
+    counts = [F.regexp_count(
+        low, F.lit(r"\b" + _re.escape(p.lower()) + r"\b"))
+        for p in plist]
+    total = counts[0]
+    hit = F.when(counts[0] > 0, 1).otherwise(0)
+    for c in counts[1:]:
+        total = total + c
+        hit = hit + F.when(c > 0, 1).otherwise(0)
+    return spread(df).select(
+        F.col(id_col),
+        total.alias("n_hits"),
+        hit.alias("n_phrases_hit"),
+        (total >= F.lit(int(min_hits))).alias("flagged"))

@@ -1870,3 +1870,28 @@ def test_script_stats(spark):
     for r in out.values():
         assert (r["n_latin"] + r["n_digit"] + r["n_cyrillic"]
                 + r["n_cjk"] + r["n_other"]) == r["n_chars"]
+
+
+def test_blocklist_stats(spark):
+    from pypond_spark.datapipe.textstats import blocklist_stats
+    df = spark.createDataFrame([
+        (1, "CLICK HERE to buy now, click here again"),
+        (2, "clean prose about nothing in particular"),
+        (3, "clickhere is one word so no boundary match"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_hits"], r["n_phrases_hit"], r["flagged"])
+           for r in blocklist_stats(df, ["click here", "buy now"])
+           .collect()}
+    # case-insensitive, multiple hits counted, phrase distinctness
+    assert out[1] == (3, 2, True)
+    assert out[2] == (0, 0, False)
+    # \b boundaries: 'clickhere' does not match 'click here'
+    assert out[3] == (0, 0, False)
+    # regex metacharacters in phrases are literal
+    m = blocklist_stats(
+        spark.createDataFrame([(9, "price is $9.99 (sale)")],
+                              "doc_id long, text string"),
+        ["9.99"]).first()
+    assert m["n_hits"] == 1
+    with pytest.raises(ValueError, match="phrase"):
+        blocklist_stats(df, [])
