@@ -1087,7 +1087,12 @@ def blocklist_stats(df: DataFrame, phrases, text_col: str = "text",
     ``phrases`` is the caller's list (plain words or multi-word
     phrases; regex metacharacters are escaped).  Word boundaries are
     ``\\b`` — ASCII-identical between Java and RE2, so a SQL oracle
-    counts the same hits.  Scan-level ``regexp_count`` chain, one
+    counts the same hits.  ``\\b`` requires a word character on the
+    *inside* of the boundary, so it is emitted only when the phrase
+    edge is a word char ``[A-Za-z0-9_]`` — phrases like ``c++`` or
+    ``$100`` anchor the word-char edge only and still match
+    (an unconditional ``\\b`` would make them silently never match).
+    Scan-level ``regexp_count`` chain, one
     expression per phrase — no shuffle; at production list sizes
     (thousands), compile tiers of alternation groups instead of one
     per phrase (the expression stays scan-level either way).
@@ -1099,10 +1104,20 @@ def blocklist_stats(df: DataFrame, phrases, text_col: str = "text",
     plist = [p for p in phrases if p and p.strip()]
     if not plist:
         raise ValueError("phrases must contain at least one phrase")
+    def _word_edge(ch: str) -> bool:
+        # ASCII word class — the same [A-Za-z0-9_] Java's \b tests,
+        # so the Python-side edge decision agrees with the engine's
+        return ("a" <= ch <= "z" or "A" <= ch <= "Z"
+                or "0" <= ch <= "9" or ch == "_")
+
+    def _pattern(p: str) -> str:
+        p = p.lower()
+        head = r"\b" if _word_edge(p[0]) else ""
+        tail = r"\b" if _word_edge(p[-1]) else ""
+        return head + _re.escape(p) + tail
+
     low = F.lower(F.col(text_col))
-    counts = [F.regexp_count(
-        low, F.lit(r"\b" + _re.escape(p.lower()) + r"\b"))
-        for p in plist]
+    counts = [F.regexp_count(low, F.lit(_pattern(p))) for p in plist]
     total = counts[0]
     hit = F.when(counts[0] > 0, 1).otherwise(0)
     for c in counts[1:]:

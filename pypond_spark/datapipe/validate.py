@@ -340,25 +340,32 @@ def calibrate_scores(df: DataFrame, fit: DataFrame,
     right-continuous isotonic step — with scores below the first bin
     clamping to bin 0.  Monotone by construction because the fit is.
 
-    The fit frame is <= B rows, so the lookup is a broadcast
-    theta-join (``score >= score_lo``) + one per-row argmax — |rows|×B
-    comparisons, map-side, no shuffle of the corpus beyond the argmax
-    aggregation keyed by a generated row id (or use this on an
-    id-keyed frame and group by that id).  Adds ``out_col`` (and keeps
-    every input column).
+    The fit frame is <= B rows and the step value depends ONLY on the
+    quantized score, so the theta-join (``score >= score_lo``) + argmax
+    runs over the DISTINCT quantized scores — a frame bounded by score
+    cardinality, not corpus size — and the per-score rate joins back on
+    the quantized value (null-safe, so NULL scores keep their bin-0
+    clamp).  Input columns pass through untouched (grouping on every
+    input column would shuffle the full row as the key and raise
+    AnalysisException for non-groupable columns like MapType), and no
+    generated row id is needed — the recompute hazard of joining a
+    frame back to itself on ``monotonically_increasing_id`` never
+    arises.  Adds ``out_col`` (and keeps every input column).
     """
     sc = F.col(score_col) if isinstance(score_col, str) else score_col
     qv = F.round(sc.cast("double"), quantize)
-    marked = df.withColumn("__rid", F.monotonically_increasing_id()) \
-        .withColumn("__qv", qv)
+    marked = df.withColumn("__qv", qv)
     fit_b = F.broadcast(fit.select(F.col("bin").alias("__bin"),
                                    F.col("score_lo").alias("__lo"),
                                    F.col("rate_iso").alias("__ri")))
-    joined = (marked.join(fit_b, (F.col("__qv") >= F.col("__lo"))
-                          | (F.col("__bin") == 0), "left")
-              .groupBy(*[c for c in marked.columns])
-              .agg(F.max_by(F.col("__ri"),
-                            F.when(F.col("__qv") >= F.col("__lo"),
-                                   F.col("__bin")).otherwise(F.lit(-1)))
-                   .alias(out_col)))
-    return joined.drop("__rid", "__qv")
+    rates = (marked.select("__qv").distinct()
+             .join(fit_b, (F.col("__qv") >= F.col("__lo"))
+                   | (F.col("__bin") == 0), "left")
+             .groupBy("__qv")
+             .agg(F.max_by(F.col("__ri"),
+                           F.when(F.col("__qv") >= F.col("__lo"),
+                                  F.col("__bin")).otherwise(F.lit(-1)))
+                  .alias(out_col)))
+    return (marked.join(rates.withColumnRenamed("__qv", "__qr"),
+                        F.col("__qv").eqNullSafe(F.col("__qr")), "left")
+            .drop("__qv", "__qr"))

@@ -415,8 +415,11 @@ class TimeSeries:
         (``timerange_event.py:93-101``); reference
         ``collection.py:414-432``.  Client-side by contract (the
         reference returns a Python dict); keys are computed IN Spark
-        (collected TimestampType values are naive driver-TZ datetimes —
-        the pitfall :meth:`timerange` documents)."""
+        and the Row structs pass the same collect boundary as
+        :meth:`collect` — timestamps inside them are aware UTC, so
+        feeding them back into the library (Event construction,
+        ``at_key``, ``is_duplicate``) preserves the instant on any
+        driver TZ."""
         df = self._df
         if self._kind == "time":
             key_col = F.unix_millis("time")
@@ -431,7 +434,8 @@ class TimeSeries:
                  .orderBy("_t").collect())
         out: dict = {}
         for r in keyed:
-            out.setdefault(r["_key"], []).append(r["_ev"])
+            out.setdefault(r["_key"], []).append(
+                _aware_utc_value(r["_ev"]))
         return out
 
     def bisect(self, when: Any) -> int | None:

@@ -1707,7 +1707,12 @@ def _simhash64_py(text: str, max_tokens: int = 1 << 20) -> tuple[int, int] | Non
     import hashlib
     import re as _re
 
-    toks = [t for t in _re.split("[ \t\n\x0b\f\r]+", text.strip())
+    # NB: plain str.strip() would remove *Unicode* whitespace
+    # (U+00A0, U+2028, ...) that Java's \s / Spark trim does not —
+    # strip only the ASCII class the split uses so edge tokens match
+    # the batch twin bit-for-bit.
+    toks = [t for t in _re.split("[ \t\n\x0b\f\r]+",
+                                 text.strip(" \t\n\x0b\f\r"))
             if t][:max_tokens]
     if not toks:
         # the batch simhash64 explode drops token-less docs; mirror it

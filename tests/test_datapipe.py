@@ -1895,3 +1895,53 @@ def test_blocklist_stats(spark):
     assert m["n_hits"] == 1
     with pytest.raises(ValueError, match="phrase"):
         blocklist_stats(df, [])
+
+
+def test_blocklist_stats_nonword_edge_phrases(spark):
+    """Phrases whose edges are NOT word characters ('c++', '$100',
+    'free!') must still match: \\b needs a word char on the inside of
+    the boundary, so an unconditional anchor would make these silently
+    never match.  Anchors are emitted only on word-char edges."""
+    from pypond_spark.datapipe.textstats import blocklist_stats
+    df = spark.createDataFrame([
+        (1, "we write c++ here and won $100 -- free! stuff"),
+        (2, "cc++x embeds the token mid-word only"),
+        (3, "freely spending $1000 is not free"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_hits"], r["n_phrases_hit"]) for r in
+           blocklist_stats(df, ["c++", "$100", "free!"]).collect()}
+    assert out[1] == (3, 3)
+    # leading anchor on 'c' still requires a word boundary before it,
+    # so 'cc++x' does NOT start a match ('c' preceded by word char 'c')
+    assert out[2] == (0, 0)
+    # '$100' has a word-char tail -> trailing \b blocks '$1000';
+    # 'free!' tail is non-word so no trailing anchor, but 'freely'
+    # lacks the '!' so neither matches
+    assert out[3] == (0, 0)
+
+
+def test_calibrate_scores_nongroupable_columns(spark):
+    """calibrate_scores must keep every input column even when one is
+    non-groupable (MapType): the fan-out is undone per distinct
+    quantized score, never by grouping on the full row."""
+    from pypond_spark.datapipe.validate import (calibrate_scores,
+                                                isotonic_calibration)
+    mono = spark.createDataFrame(
+        [(b * 4 + i, float(b), 1.0 if i < b else 0.0)
+         for b in range(4) for i in range(4)],
+        "id long, score double, target double")
+    fit = isotonic_calibration(mono, "score", "target", bins=4)
+    withmap = mono.withColumn(
+        "attrs", F.create_map(F.lit("k"), F.col("id").cast("string")))
+    out = calibrate_scores(withmap, fit, "score").collect()
+    assert len(out) == 16
+    got = {r["id"]: (r["score"], r["attrs"]["k"], r["rate_calibrated"])
+           for r in out}
+    for b in range(4):
+        for i in range(4):
+            rid = b * 4 + i
+            assert got[rid] == (float(b), str(rid), b * 0.25)
+    # NULL scores clamp to the bin-0 rate (left-join + bin-0 arm)
+    nulls = spark.createDataFrame([(99, None)], "id long, score double")
+    r = calibrate_scores(nulls, fit, "score").first()
+    assert r["rate_calibrated"] == 0.0

@@ -419,6 +419,15 @@ def test_event_list_as_map(spark):
     assert len(imap) == 3
     assert [r["value"] for r in imap["1d-12355"]] == [43, 44]
 
+    # rows pass the collect boundary: timestamps are aware UTC, so the
+    # key recomputed from the row matches the Spark-computed map key on
+    # any driver TZ (feeding rows back into Event/at_key is lossless)
+    from pypond_spark.operators.events import Event
+    for ms, rows in cmap.items():
+        for r in rows:
+            assert r["time"].tzinfo is not None
+            assert Event(r["time"], {"in": r["in"]}).key() == ms
+
 
 def test_event_display_strings_and_list(spark):
     """Event display helpers (reference event.py:476-494,

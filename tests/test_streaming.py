@@ -1007,6 +1007,30 @@ def test_stream_simhash_dedup_cross_batch(spark, tmp_path):
                              .json(str(src)), n_bands=3)
 
 
+def test_simhash_py_unicode_whitespace_parity(spark):
+    """_simhash64_py must match the batch simhash64(hash_fn='md5')
+    bit-for-bit even when the text carries *Unicode* whitespace at the
+    edges: Python str.strip() removes U+00A0/U+2028/U+0085 etc. that
+    Java's \\s (Spark trim / the batch split) does not, so a naive
+    strip() would tokenize edge tokens differently and the streaming
+    gate would silently diverge from its batch twin."""
+    from pypond_spark.datapipe.dedup import simhash64
+    from pypond_spark.streaming.stream import _simhash64_py
+    texts = [
+        "\u00a0leading nbsp glues to the first token",
+        "trailing line-sep glues to the last token\u2028",
+        "\u0085both\u00a0ends\u2029",
+        "  plain ascii edges survive too \t",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    batch = {r["doc_id"]: (r["sim_hi"], r["sim_lo"]) for r in
+             simhash64(df, hash_fn="md5", as_halves=True).collect()}
+    for i, t in enumerate(texts):
+        assert _simhash64_py(t) == batch[i], f"doc {i} diverged"
+
+
 def test_stream_minhash_dedup_cross_batch(spark, tmp_path):
     """MinHash-band claim state survives the checkpoint: batch 1 admits
     the original (claims both bands); batch 2's exact clone claims
