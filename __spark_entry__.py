@@ -1487,6 +1487,42 @@ def q_image_near_dups(spark, sf_dir):
                                  max_hamming=2, use="ahash", n_chunks=4)
 
 
+def _synth_png8(docs):
+    """8x8 REAL PNG per doc: the SAME chained-md5 pixel recipe as
+    :func:`_synth_ppm8`, encoded by ``multimodal.encode_png`` (zlib
+    IDAT, scanline filters 0-4 cycled so the decoder exercises every
+    unfilter path) in an Arrow batch.  The oracle replays the DECODED
+    pixels straight from the md5 hex, so a driver-green row proves the
+    full PNG encode->decode roundtrip is pixel-lossless."""
+    import pandas as _pd
+
+    from pypond_spark.datapipe.multimodal import encode_png
+
+    ppm = _synth_ppm8(docs)
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = bytes(content)[len(b"P6\n8 8\n255\n"):]
+                rows.append((int(mid),
+                             encode_png(8, 8, px, filters=(0, 1, 2, 3, 4))))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return ppm.mapInPandas(enc, "media_id long, content binary")
+
+
+def q_image_phash_png(spark, sf_dir):
+    """Perceptual hashes over pixels decoded from REAL PNG bytes
+    (multimodal.py::_decode_png — stdlib-zlib critical-chunk decoder,
+    all five scanline filters, CRC-verified): identical downstream
+    aHash/dHash chain as ``image_phash``, identical oracle, because the
+    synthetic PNG encodes the same chained-md5 pixels — the driver row
+    certifies the codec roundtrip, not just the hash."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_mm.image_phash(_synth_png8(docs), grid_w=4, grid_h=4)
+
+
 # fixed PCM16 mono 8kHz WAV header for exactly 6 samples (12 data bytes)
 import struct as _struct  # noqa: E402
 
@@ -4199,6 +4235,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reorders never-driver-verified entries to the front automatically from
     the committed CORRECTNESS_r*.json snapshots."""
     return {
+        "image_phash_png": q_image_phash_png,
         "isotonic_calibration": q_isotonic_calibration,
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "audio_fingerprint": q_audio_fingerprint,
@@ -10317,6 +10354,9 @@ def oracle_sql() -> dict[str, str]:
                arg_max(rate_iso, k) AS rate_calibrated
         FROM j GROUP BY 1, 2
     """
+    # PNG row: same pixels by construction (the encode->decode roundtrip
+    # is the thing under test), so the PPM oracle replays it verbatim
+    d["image_phash_png"] = d["image_phash"]
     d["wordpiece_tokenize"] = _wordpiece_oracle()
     d["unigram_tokenize"] = _unigram_apply_oracle()
     d["unigram_train"] = _unigram_train_oracle()

@@ -4,11 +4,13 @@ Media are opaque ``binary`` columns plus a typed metadata struct. The Spark
 side — schema, partition-friendly layout, Arrow-batched UDF signatures — is
 real and tested. Codecs:
 
-- REAL pure-Python decoders for two formats that need no external library:
-  binary PPM (P6) images (``decode_image``) and PCM16 WAV audio
+- REAL pure-Python decoders for the formats that need no external library:
+  binary PPM (P6) and 8-bit non-interlaced PNG images (``decode_image`` —
+  PNG via stdlib ``zlib``, all five scanline filters, gray/RGB/alpha
+  variants, plus a minimal ``encode_png``) and PCM16 WAV audio
   (``decode_audio`` via the stdlib ``wave`` module), with per-media stats
   operators (``image_stats`` / ``audio_stats``);
-- everything else (JPEG/PNG/MP3/...) raises ``NotImplementedError`` — this
+- everything else (JPEG/MP3/...) raises ``NotImplementedError`` — this
   container has no imaging/audio libraries; ``extract_features(fake=True)``
   keeps the deterministic hash-feature path for plumbing tests.
 
@@ -24,6 +26,7 @@ import io
 import math
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -57,18 +60,212 @@ def _fake_features(content: bytes, n: int = 8) -> list[float]:
     return [digest[i] / 255.0 for i in range(n)]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left
+    to the linear estimate a + b - c, ties breaking left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunks(content: bytes):
+    """Yield (type, data) for each chunk, CRC-verified."""
+    pos = len(_PNG_SIG)
+    while pos + 12 <= len(content):
+        (length,) = struct.unpack(">I", content[pos:pos + 4])
+        ctype = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack(
+            ">I", content[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+
+
+def _unfilter_scanline(ftype: int, line: bytearray, prev: bytes,
+                       bpp: int) -> bytearray:
+    """Invert one scanline filter in place (RFC 2083 §6: None, Sub, Up,
+    Average, Paeth). ``prev`` is the RECONSTRUCTED previous scanline."""
+    n = len(line)
+    if ftype == 0:
+        return line
+    if ftype == 1:      # Sub
+        for i in range(bpp, n):
+            line[i] = (line[i] + line[i - bpp]) & 0xFF
+    elif ftype == 2:    # Up
+        for i in range(n):
+            line[i] = (line[i] + prev[i]) & 0xFF
+    elif ftype == 3:    # Average
+        for i in range(n):
+            left = line[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:    # Paeth
+        for i in range(n):
+            left = line[i - bpp] if i >= bpp else 0
+            ul = prev[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+    else:
+        raise ValueError(f"unknown PNG filter type {ftype}")
+    return line
+
+
+def _decode_png(content: bytes) -> dict:
+    """Pure-Python PNG decode (stdlib ``zlib`` only): critical chunks,
+    non-interlaced 8-bit gray / RGB / gray+alpha / RGBA, all five
+    scanline filters. Pixels are normalized to interleaved RGB (gray
+    replicated across channels, alpha dropped) so every downstream
+    image operator — stats, aHash/dHash, near-dups — is format-blind.
+    Palette (color type 3), 16-bit, and Adam7 interlacing raise
+    ``NotImplementedError``; corrupt structure raises ``ValueError``."""
+    ihdr = None
+    idat = []
+    for ctype, data in _png_chunks(content):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG (depth {depth})")
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG color type {color} (palette needs PLTE handling)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if comp or filt:
+        raise ValueError(f"bad PNG compression/filter method "
+                         f"({comp}/{filt})")
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data: expected {height * (stride + 1)} bytes, "
+            f"got {len(raw)}")
+    out = bytearray(width * height * 3)
+    prev: bytes = bytes(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        line = _unfilter_scanline(raw[off], bytearray(
+            raw[off + 1:off + 1 + stride]), prev, ch)
+        base = y * width * 3
+        if color == 2:                     # RGB passthrough
+            out[base:base + stride] = line
+        elif color == 6:                   # RGBA -> drop alpha
+            for x in range(width):
+                out[base + 3 * x:base + 3 * x + 3] = \
+                    line[4 * x:4 * x + 3]
+        elif color == 0:                   # gray -> replicate
+            for x in range(width):
+                g = line[x]
+                out[base + 3 * x] = out[base + 3 * x + 1] = \
+                    out[base + 3 * x + 2] = g
+        else:                              # gray+alpha -> replicate gray
+            for x in range(width):
+                g = line[2 * x]
+                out[base + 3 * x] = out[base + 3 * x + 1] = \
+                    out[base + 3 * x + 2] = g
+        prev = bytes(line)
+    return {"format": "png", "width": width, "height": height,
+            "maxval": 255, "pixels": bytes(out)}
+
+
+def _filter_scanline(ftype: int, line: bytes, prev: bytes,
+                     bpp: int) -> bytes:
+    """Apply one scanline filter (the encode direction of
+    :func:`_unfilter_scanline`)."""
+    n = len(line)
+    if ftype == 0:
+        return line
+    out = bytearray(n)
+    if ftype == 1:
+        for i in range(n):
+            left = line[i - bpp] if i >= bpp else 0
+            out[i] = (line[i] - left) & 0xFF
+    elif ftype == 2:
+        for i in range(n):
+            out[i] = (line[i] - prev[i]) & 0xFF
+    elif ftype == 3:
+        for i in range(n):
+            left = line[i - bpp] if i >= bpp else 0
+            out[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:
+        for i in range(n):
+            left = line[i - bpp] if i >= bpp else 0
+            ul = prev[i - bpp] if i >= bpp else 0
+            out[i] = (line[i] - _paeth(left, prev[i], ul)) & 0xFF
+    else:
+        raise ValueError(f"unknown PNG filter type {ftype}")
+    return bytes(out)
+
+
+def encode_png(width: int, height: int, pixels: bytes,
+               filters: tuple[int, ...] = (0,)) -> bytes:
+    """Minimal RGB PNG encoder (stdlib ``zlib`` only): 8-bit color type
+    2, one IDAT. ``filters`` cycles per scanline (``(0,1,2,3,4)``
+    exercises every decoder filter path — any choice decodes to the
+    same pixels; smarter per-line selection only changes size). The
+    synthesis half of the oracle-replayable PNG pipeline: pixels in ==
+    pixels out of :func:`_decode_png`, bit-for-bit."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, "
+                         f"got {len(pixels)}")
+    prev: bytes = bytes(width * 3)
+    lines = []
+    for y in range(height):
+        line = bytes(pixels[y * width * 3:(y + 1) * width * 3])
+        f = filters[y % len(filters)]
+        lines.append(bytes([f]) + _filter_scanline(f, line, prev, 3))
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)
+                              & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    # level 9 with a fixed strategy: zlib output is deterministic for a
+    # given input+level across CPython builds (same bundled zlib API
+    # contract the test suite pins), and the DECODED pixels are what
+    # the oracle replays anyway
+    idat = zlib.compress(b"".join(lines), 9)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
 def decode_image(content: bytes) -> dict:
-    """Real image decode for binary PPM (P6): pure Python, no libraries.
+    """Real image decode, pure Python, no libraries: binary PPM (P6)
+    and 8-bit non-interlaced PNG (gray/RGB/gray+alpha/RGBA — see
+    :func:`_decode_png`).
 
     Returns ``{"format", "width", "height", "maxval", "pixels"}`` where
-    pixels are the raw interleaved RGB bytes. Any other format raises
-    ``NotImplementedError`` (JPEG/PNG need an imaging library this
-    environment lacks).
+    pixels are raw interleaved RGB bytes regardless of source format.
+    Any other format raises ``NotImplementedError`` (JPEG needs a DCT
+    imaging library this environment lacks).
     """
+    if content.startswith(_PNG_SIG):
+        return _decode_png(content)
     if not content.startswith(b"P6"):
         raise NotImplementedError(
-            "only binary PPM (P6) decodes without an imaging library; "
-            "use extract_features(..., fake=True) for plumbing tests")
+            "only binary PPM (P6) and 8-bit PNG decode without an "
+            "imaging library; use extract_features(..., fake=True) "
+            "for plumbing tests")
     # header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels;
     # '#' comments may appear between tokens
     pos, tokens = 2, []

@@ -1566,19 +1566,50 @@ class StreamPipeline:
 
 
 def _first_seen_state_fn(key_cols: list[str], payload_cols: list[str],
-                         order_col: str):
+                         order_col: str, ttl_ms: int | None = None,
+                         time_col: str | None = None):
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame(columns=key_cols + payload_cols)
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        if state.exists:
-            # key already emitted in an earlier micro-batch: suppress
-            yield pd.DataFrame(columns=key_cols + payload_cols)
+        if ttl_ms is not None and state.hasTimedOut:
+            # event-time TTL expiry: the watermark passed the claim's
+            # deadline — drop it so state stays bounded; a later
+            # arrival re-claims (and re-emits) the key.
+            state.remove()
+            yield empty()
             return
         chunks = [p for p in pdfs if len(p)]
         pdf = pd.concat(chunks) if chunks else pd.DataFrame()
+
+        def arm() -> None:
+            # deadline = ttl past the key's NEWEST sighting (event
+            # time) — a sliding window, monotone under late data via
+            # the max with the stored deadline — clamped above the
+            # current watermark (Spark rejects timers at/below it)
+            new_dl = int(pdf[time_col].max().value // 10**6) + ttl_ms
+            old_dl = state.get[1] if state.exists else 0
+            dl = max(new_dl, old_dl, state.getCurrentWatermarkMs() + 1)
+            state.update((True, dl))
+            state.setTimeoutTimestamp(dl)
+
+        if state.exists:
+            # key already emitted in an earlier micro-batch: suppress
+            # (and slide the claim deadline forward — Spark clears a
+            # previously-set timer whenever the function is invoked
+            # with data, so it must be re-set every sighting)
+            if ttl_ms is not None and len(pdf):
+                arm()
+            yield empty()
+            return
         if not len(pdf):
-            yield pd.DataFrame(columns=key_cols + payload_cols)
+            yield empty()
             return
         first = pdf.sort_values(order_col, kind="mergesort").iloc[0]
-        state.update((True,))
+        if ttl_ms is not None:
+            arm()
+        else:
+            state.update((True,))
         yield pd.DataFrame(
             [list(key) + [first[c] for c in payload_cols]],
             columns=key_cols + payload_cols)
@@ -1586,31 +1617,85 @@ def _first_seen_state_fn(key_cols: list[str], payload_cols: list[str],
     return fn
 
 
+_FIRST_SEEN_TTL_NOTE = """\
+Claim-TTL design note (shared by stream_first_seen and the two near-dup
+gates): the TTL is EVENT-TIME, watermark-bounded — a claim expires when
+the stream's watermark passes the key's newest sighting + ttl, at which
+point the state-store row is physically deleted and a later arrival
+re-claims (re-emits) the key.  Event time was chosen over
+GroupStateTimeout.ProcessingTimeTimeout deliberately: processing-time
+timeouts make Spark's shouldRunAnotherBatch unconditionally true, so an
+availableNow drain NEVER terminates (measured: the drain hangs), and
+wall-clock eviction is not replayable — re-running yesterday's data
+today would evict different keys.  Event-time TTL is deterministic,
+replay-safe, and terminates: after the last data batch the engine runs
+exactly the extra batches needed to fire timers the advanced watermark
+unlocked."""
+
+
+def _first_seen_ttl_prep(keyed: DataFrame, ttl, time_col: str,
+                         late: str):
+    """Validate + normalize the claim-TTL options: returns
+    (watermarked frame, ttl_ms, extra state fields).  ``ttl=None``
+    passes the frame through untouched with the 1-field seen schema."""
+    if ttl is None:
+        return keyed, None, [T.StructField("seen", T.BooleanType())]
+    ms = ttl if isinstance(ttl, int) else window_duration_ms(ttl)
+    if not ms or ms <= 0:
+        raise ValueError(f"ttl must be a positive duration, got {ttl!r}")
+    if time_col not in keyed.columns:
+        raise ValueError(
+            f"ttl needs event-time column {time_col!r} in the frame "
+            f"(claim expiry is watermark-bounded)")
+    return (keyed.withWatermark(time_col, late), ms,
+            [T.StructField("seen", T.BooleanType()),
+             T.StructField("deadline", T.LongType())])
+
+
 def stream_first_seen(sdf: DataFrame, key_col: str = "digest",
                       payload_cols: Sequence[str] = ("doc_id",),
-                      order_col: str = "doc_id") -> DataFrame:
+                      order_col: str = "doc_id",
+                      ttl: str | int | None = None,
+                      time_col: str = "time",
+                      late: str = "0 seconds") -> DataFrame:
     """Cross-batch first-occurrence keeper: the streaming ingestion
     dedup — the first row per ``key_col`` ever seen is emitted (ties
     within a micro-batch break to the smallest ``order_col``), every
     later occurrence in ANY micro-batch is suppressed.
 
     State is ONE boolean per distinct key — the honest cost of exact
-    streaming dedup is O(distinct keys); at 100 TB, front it with the
-    Bloom filter (``datapipe.sketch.bloom_build`` over yesterday's
-    corpus) so only maybe-seen keys reach the stateful operator, and
-    age keys out with a retention-window restart.  Append mode: rows
-    emit exactly once, so the sink IS the deduped corpus.
+    streaming dedup is O(distinct keys), which grows MONOTONICALLY over
+    an unbounded stream.  ``ttl`` bounds it: a claim expires once the
+    stream's event-time watermark (over ``time_col``, lateness
+    allowance ``late``) passes the key's newest sighting + ``ttl``
+    (window string or ms) — a SLIDING window re-armed by every arrival
+    (claimed or suppressed), implemented as an event-time state timeout
+    so expired keys are physically removed from the state store.  The
+    documented trade: a duplicate arriving more than ``ttl`` of event
+    time after its key's last traffic is RE-ADMITTED (emitted again) —
+    exact dedup within the horizon, bounded state beyond it, the same
+    retention contract as a windowed-restart pipeline but without the
+    restart.  At 100 TB, pair it with the Bloom prefilter
+    (``datapipe.sketch.bloom_build`` over yesterday's corpus) so only
+    maybe-seen keys reach the stateful operator.  Append mode: each
+    admitted row emits exactly once per claim epoch, so the sink IS
+    the deduped corpus (dedup the sink offline if ``ttl`` re-admits
+    matter downstream).  See ``_FIRST_SEEN_TTL_NOTE`` for why the TTL
+    is event-time rather than processing-time.
     """
     key_fields = [sdf.schema[key_col]]
     pay_fields = [sdf.schema[c] for c in payload_cols]
     out_schema = T.StructType(key_fields + pay_fields)
-    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    sdf, ms, state_fields = _first_seen_ttl_prep(sdf, ttl, time_col,
+                                                 late)
     return sdf.groupBy(key_col).applyInPandasWithState(
-        _first_seen_state_fn([key_col], list(payload_cols), order_col),
+        _first_seen_state_fn([key_col], list(payload_cols), order_col,
+                             ms, time_col),
         outputStructType=out_schema,
-        stateStructType=state_schema,
+        stateStructType=T.StructType(state_fields),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout)
+        timeoutConf=(GroupStateTimeout.EventTimeTimeout
+                     if ms is not None else GroupStateTimeout.NoTimeout))
 
 
 def _cusum_state_fn(field: str, keys: list[str], time_col: str,
@@ -1734,33 +1819,44 @@ def _simhash64_py(text: str, max_tokens: int = 1 << 20) -> tuple[int, int] | Non
 
 
 def simhash_rowwise(sdf: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    carry_cols: Sequence[str] = ()) -> DataFrame:
     """Stateless per-row SimHash for streaming frames — the batch
     ``simhash64`` is an explode + per-doc aggregate, which on a stream
     would be a streaming aggregation and could not feed a downstream
     stateful operator in append mode; this Arrow-batched ``mapInPandas``
     computes the identical halves row-locally instead (same md5 token
     hashes, same ±1 fold), trading the JVM codegen path for
-    chain-ability.  Output: ``(id_col, sim_hi, sim_lo)``."""
-    out_schema = T.StructType([sdf.schema[id_col],
-                               T.StructField("sim_hi", T.LongType()),
-                               T.StructField("sim_lo", T.LongType())])
+    chain-ability.  Output: ``(id_col, *carry_cols, sim_hi,
+    sim_lo)`` — ``carry_cols`` pass through untouched (the TTL'd gates
+    thread the event-time column through here)."""
+    carry = list(carry_cols)
+    out_schema = T.StructType([sdf.schema[id_col]]
+                              + [sdf.schema[c] for c in carry]
+                              + [T.StructField("sim_hi", T.LongType()),
+                                 T.StructField("sim_lo", T.LongType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, txt in zip(pdf[id_col], pdf[text_col]):
+            for idx, (i, txt) in enumerate(zip(pdf[id_col],
+                                               pdf[text_col])):
                 res = _simhash64_py(txt if isinstance(txt, str) else "")
                 if res is not None:  # token-less docs: batch parity
-                    rows.append((i, *res))
-            yield pd.DataFrame(rows, columns=[id_col, "sim_hi", "sim_lo"])
+                    rows.append((i, *[pdf[c].iloc[idx] for c in carry],
+                                 *res))
+            yield pd.DataFrame(rows, columns=[id_col, *carry,
+                                              "sim_hi", "sim_lo"])
 
     return sdf.mapInPandas(run, out_schema)
 
 
 def stream_simhash_dedup(sdf: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
-                         n_bands: int = 4) -> DataFrame:
+                         n_bands: int = 4,
+                         ttl: str | int | None = None,
+                         time_col: str = "time",
+                         late: str = "0 seconds") -> DataFrame:
     """Streaming NEAR-duplicate ingestion gate — the near-dup
     counterpart of :func:`stream_first_seen`: each document's 64-bit
     SimHash is cut into ``n_bands`` equal band keys; per band key the
@@ -1772,10 +1868,14 @@ def stream_simhash_dedup(sdf: DataFrame, text_col: str = "text",
     dropped by the gate; distinct claimed doc_ids ARE the admitted
     corpus.  Ties inside a micro-batch break to the smallest id.
 
-    State is O(distinct band keys) — 4x the admitted-doc count,
-    independent of stream length; the Bloom-prefilter pairing and
-    retention-window restart notes on :func:`stream_first_seen` apply
-    unchanged.  Recall/precision follow SimHash banding: documents
+    State is O(distinct band keys) — 4x the admitted-doc count, which
+    still grows monotonically over an unbounded stream; ``ttl`` bounds
+    it with the same sliding idle-window claim expiry as
+    :func:`stream_first_seen` (a band key idle for ``ttl`` is evicted
+    and re-claimable — near-dups are then only guaranteed caught
+    within the idle horizon), and the Bloom-prefilter pairing note
+    there applies unchanged.  Recall/precision follow SimHash
+    banding: documents
     within a small Hamming radius share band keys with high
     probability (16 identical bits per shared band), exactly the batch
     ``simhash_near_dups`` blocking contract, applied temporally.
@@ -1784,7 +1884,9 @@ def stream_simhash_dedup(sdf: DataFrame, text_col: str = "text",
         raise ValueError(f"n_bands must be even and divide 64, "
                          f"got {n_bands}")
     width = 64 // n_bands
-    sh = simhash_rowwise(sdf, text_col, id_col)
+    sh = simhash_rowwise(sdf, text_col, id_col,
+                         carry_cols=(time_col,) if ttl is not None
+                         else ())
     # band values from the unsigned 32-bit halves directly — never
     # reassemble the 64-bit hash (hi << 32 overflows a signed BIGINT)
     bands = F.array(*[
@@ -1795,22 +1897,27 @@ def stream_simhash_dedup(sdf: DataFrame, text_col: str = "text",
                  .bitwiseAND(F.lit((1 << width) - 1)).cast("string"))
         for k in range(n_bands)
     ])
-    keyed = sh.select(F.col(id_col), F.explode(bands).alias("band"))
+    carry = [F.col(time_col)] if ttl is not None else []
+    keyed = sh.select(F.col(id_col), *carry,
+                      F.explode(bands).alias("band"))
     out_schema = T.StructType([T.StructField("band", T.StringType()),
                                sdf.schema[id_col]])
-    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    keyed, ms, state_fields = _first_seen_ttl_prep(keyed, ttl, time_col,
+                                                   late)
     return keyed.groupBy("band").applyInPandasWithState(
-        _first_seen_state_fn(["band"], [id_col], id_col),
+        _first_seen_state_fn(["band"], [id_col], id_col, ms, time_col),
         outputStructType=out_schema,
-        stateStructType=state_schema,
+        stateStructType=T.StructType(state_fields),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout)
+        timeoutConf=(GroupStateTimeout.EventTimeTimeout
+                     if ms is not None else GroupStateTimeout.NoTimeout))
 
 
 def minhash_bands_rowwise(sdf: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", num_hashes: int = 8,
                           band_size: int = 4, shingle_n: int = 3,
-                          hash_fn: str = "md5") -> DataFrame:
+                          hash_fn: str = "md5",
+                          carry_cols: Sequence[str] = ()) -> DataFrame:
     """Stateless per-row MinHash band keys for streaming frames — the
     batch ``minhash_signature`` is a shingle explode + per-doc min
     aggregate (a streaming agg that could not feed append-mode state);
@@ -1857,6 +1964,7 @@ def minhash_bands_rowwise(sdf: DataFrame, text_col: str = "text",
                 .alias("h2"))
     else:
         raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
+    carry = [F.col(c) for c in carry_cols]
     hs = F.transform(sh, _sh_hash)
 
     def _merge(acc, x):
@@ -1867,8 +1975,9 @@ def minhash_bands_rowwise(sdf: DataFrame, text_col: str = "text",
             for k in range(num_hashes)])
 
     folded = F.aggregate(hs, F.expr(f"named_struct({init})"), _merge)
-    sig = sdf.select(F.col(id_col), folded.alias("__mh")).select(
-        F.col(id_col),
+    sig = sdf.select(F.col(id_col), *carry,
+                     folded.alias("__mh")).select(
+        F.col(id_col), *[F.col(c) for c in carry_cols],
         *[F.col(f"__mh.m{k}").alias(f"m{k}")
           for k in range(num_hashes)])
     n_bands = num_hashes // band_size
@@ -1887,13 +1996,17 @@ def minhash_bands_rowwise(sdf: DataFrame, text_col: str = "text",
             .cast("string")
             for b in range(n_bands)
         ])
-    return sig.select(F.col(id_col), F.explode(bands).alias("band"))
+    return sig.select(F.col(id_col), *[F.col(c) for c in carry_cols],
+                      F.explode(bands).alias("band"))
 
 
 def stream_minhash_dedup(sdf: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", num_hashes: int = 8,
                          band_size: int = 4, shingle_n: int = 3,
-                         hash_fn: str = "md5") -> DataFrame:
+                         hash_fn: str = "md5",
+                         ttl: str | int | None = None,
+                         time_col: str = "time",
+                         late: str = "0 seconds") -> DataFrame:
     """Streaming MinHash-LSH near-dup ingestion gate — the shingle-set
     (Jaccard) counterpart of :func:`stream_simhash_dedup`'s bit-vector
     (Hamming) gate, completing the streaming near-dup pair: per LSH
@@ -1901,55 +2014,92 @@ def stream_minhash_dedup(sdf: DataFrame, text_col: str = "text",
     Documents whose every band was claimed earlier are near-dups of
     prior traffic by exactly the batch ``lsh_candidate_pairs``
     banding contract, applied temporally.  Append-mode claim table
-    ``(band, doc_id)``; state O(distinct band keys); ties inside a
-    micro-batch break to the smallest id.
+    ``(band, doc_id)``; state O(distinct band keys), bounded by the
+    same sliding idle-window ``ttl`` claim expiry as
+    :func:`stream_first_seen`; ties inside a micro-batch break to the
+    smallest id.
     """
     keyed = minhash_bands_rowwise(sdf, text_col, id_col, num_hashes,
-                                  band_size, shingle_n, hash_fn)
+                                  band_size, shingle_n, hash_fn,
+                                  carry_cols=(time_col,)
+                                  if ttl is not None else ())
     out_schema = T.StructType([T.StructField("band", T.StringType()),
                                sdf.schema[id_col]])
-    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    keyed, ms, state_fields = _first_seen_ttl_prep(keyed, ttl, time_col,
+                                                   late)
     return keyed.groupBy("band").applyInPandasWithState(
-        _first_seen_state_fn(["band"], [id_col], id_col),
+        _first_seen_state_fn(["band"], [id_col], id_col, ms, time_col),
         outputStructType=out_schema,
-        stateStructType=state_schema,
+        stateStructType=T.StructType(state_fields),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout)
+        timeoutConf=(GroupStateTimeout.EventTimeTimeout
+                     if ms is not None else GroupStateTimeout.NoTimeout))
 
 
 def _xchart_state_fn(field: str, keys: list[str], time_col: str,
                      t_mic: int, s_mic: int, tiebreak: str | None):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        hist: list[int] = list(state.get[0]) if state.exists else []
+        import numpy as np
+
+        prior = list(state.get[0]) if state.exists else []
         pdf = _whole_group(pdfs, time_col,
                            (tiebreak,) if tiebreak else ())
+        cols = keys + ["t_ms", "rule", "side", "value"]
+        vals = pdf[field]
+        mask = vals.notna()
+        n = int(mask.sum())
+        if not n:
+            state.update(([int(x) for x in prior],))
+            yield pd.DataFrame([], columns=cols)
+            return
+        # micro-unit deviations: element-wise Python round (half-even
+        # at 6dp, then the 1e6 pin) — EXACTLY the scalar fold's double
+        # rounding, which np.round does not reproduce for every double
+        ds = np.fromiter(
+            (int(round(round(float(v), 6) * 1e6)) - t_mic
+             for v in vals[mask]), dtype=np.int64, count=n)
+        t_ms = np.fromiter(
+            (t.value // 10**6 for t in pdf.loc[mask, time_col]),
+            dtype=np.int64, count=n)
+        # vectorized window rules over the ring-prefixed sequence: the
+        # per-event ring of the scalar version is reconstructable as
+        # "the <=8 deviations ending at position j", so every Western
+        # Electric count becomes a cumulative-sum difference.  j is the
+        # absolute position of batch event i in (prior + batch); the
+        # j>=7 guard is the scalar len(sd)>=8 ring-full condition.
+        seq = np.concatenate([np.asarray(prior, dtype=np.int64), ds])
+        j = np.arange(len(prior), len(seq))
+        fire: dict[str, tuple] = {}
+        for side, sgn in (("high", 1), ("low", -1)):
+            s = sgn * seq
+            c1 = np.concatenate([[0], np.cumsum(s > s_mic)])
+            c2 = np.concatenate([[0], np.cumsum(s > 2 * s_mic)])
+            cp = np.concatenate([[0], np.cumsum(s > 0)])
+            cur = s[j]
+            fire[side] = (
+                cur > 3 * s_mic,
+                (cur > 2 * s_mic)
+                & (c2[j + 1] - c2[np.maximum(j - 2, 0)] >= 2),
+                (cur > s_mic)
+                & (c1[j + 1] - c1[np.maximum(j - 4, 0)] >= 4),
+                (j >= 7) & (cp[j + 1] - cp[np.maximum(j - 7, 0)] >= 8),
+            )
+        any_fire = np.zeros(n, dtype=bool)
+        for rules in fire.values():
+            for r in rules:
+                any_fire |= r
         outs = []
-        for _, row in pdf.iterrows():
-            v = row[field]
-            if v is None or pd.isna(v):
-                continue
-            d = int(round(round(float(v), 6) * 1e6)) - t_mic
-            hist.append(d)
-            if len(hist) > 8:
-                hist.pop(0)
-            t_ms = int(row[time_col].value // 10**6)
-            val = round((d + t_mic) / 1e6, 6)
-            for side, sgn in (("high", 1), ("low", -1)):
-                sd = [x * sgn for x in hist]
-                cur = sd[-1]
-                if cur > 3 * s_mic:
-                    outs.append(list(key) + [t_ms, "R1", side, val])
-                if cur > 2 * s_mic and \
-                        sum(1 for x in sd[-3:] if x > 2 * s_mic) >= 2:
-                    outs.append(list(key) + [t_ms, "R2", side, val])
-                if cur > 1 * s_mic and \
-                        sum(1 for x in sd[-5:] if x > 1 * s_mic) >= 4:
-                    outs.append(list(key) + [t_ms, "R3", side, val])
-                if len(sd) >= 8 and all(x > 0 for x in sd[-8:]):
-                    outs.append(list(key) + [t_ms, "R4", side, val])
-        state.update(([int(x) for x in hist],))
-        yield pd.DataFrame(
-            outs, columns=keys + ["t_ms", "rule", "side", "value"])
+        base = list(key)
+        for i in np.nonzero(any_fire)[0]:
+            val = round((int(ds[i]) + t_mic) / 1e6, 6)
+            tm = int(t_ms[i])
+            for side in ("high", "low"):
+                for rule, r in zip(("R1", "R2", "R3", "R4"),
+                                   fire[side]):
+                    if r[i]:
+                        outs.append(base + [tm, rule, side, val])
+        state.update(([int(x) for x in seq[-8:]],))
+        yield pd.DataFrame(outs, columns=cols)
 
     return fn
 

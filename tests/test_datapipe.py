@@ -245,6 +245,95 @@ def test_decode_ppm():
         multimodal.decode_image(b"P6\n4 4\n255\nshort")
 
 
+def test_png_roundtrip_all_filters():
+    """encode_png -> decode_image reproduces the RGB bytes exactly for
+    every scanline filter type (None/Sub/Up/Average/Paeth), alone and
+    cycled, on power-of-two and odd sizes."""
+    import hashlib
+    for w, h in [(8, 8), (5, 3), (1, 1), (2, 7)]:
+        n = w * h * 3
+        px = (b"".join(hashlib.md5(f"png{w}x{h}~{k}".encode()).digest()
+                       for k in range(n // 16 + 1)))[:n]
+        for filters in [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)]:
+            content = multimodal.encode_png(w, h, px, filters=filters)
+            img = multimodal.decode_image(content)
+            assert (img["format"], img["width"], img["height"],
+                    img["maxval"]) == ("png", w, h, 255)
+            assert img["pixels"] == px, (w, h, filters)
+    with pytest.raises(ValueError, match="RGB bytes"):
+        multimodal.encode_png(2, 2, b"short")
+
+
+def test_png_decode_color_types_and_errors():
+    """Gray and alpha color types normalize to RGB (gray replicated,
+    alpha dropped); unsupported variants raise NotImplementedError and
+    corrupt chunks raise ValueError."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+    def png(width, height, depth, color, interlace, scanlines):
+        ihdr = _s.pack(">IIBBBBB", width, height, depth, color, 0, 0,
+                       interlace)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _z.compress(scanlines))
+                + chunk(b"IEND", b""))
+
+    # gray 2x2: values 10,20 / 30,40 -> each replicated to RGB
+    g = png(2, 2, 8, 0, 0, bytes([0, 10, 20, 0, 30, 40]))
+    img = multimodal.decode_image(g)
+    assert img["pixels"] == bytes([10] * 3 + [20] * 3 + [30] * 3
+                                  + [40] * 3)
+    # RGBA 1x2: alpha dropped
+    ra = png(1, 2, 8, 6, 0, bytes([0, 1, 2, 3, 99, 0, 4, 5, 6, 7]))
+    assert multimodal.decode_image(ra)["pixels"] == bytes([1, 2, 3,
+                                                           4, 5, 6])
+    # gray+alpha 2x1: gray replicated, alpha dropped
+    ga = png(2, 1, 8, 4, 0, bytes([0, 50, 255, 60, 0]))
+    assert multimodal.decode_image(ga)["pixels"] == bytes(
+        [50] * 3 + [60] * 3)
+    with pytest.raises(NotImplementedError, match="16|depth"):
+        multimodal.decode_image(png(1, 1, 16, 0, 0, bytes(3)))
+    with pytest.raises(NotImplementedError, match="color type 3"):
+        multimodal.decode_image(png(1, 1, 8, 3, 0, bytes(2)))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        multimodal.decode_image(png(1, 1, 8, 0, 1, bytes(2)))
+    # flip a byte inside the IDAT chunk data so its CRC check fails
+    good = png(1, 1, 8, 0, 0, bytes([0, 7]))
+    idat_pos = good.index(b"IDAT")
+    corrupted = bytearray(good)
+    corrupted[idat_pos + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_image(bytes(corrupted))
+    # truncated pixel stream
+    with pytest.raises(ValueError, match="pixel data"):
+        multimodal.decode_image(png(2, 2, 8, 0, 0, bytes([0, 1, 2])))
+
+
+def test_png_feeds_image_operators(spark):
+    """A PNG-encoded image flows through image_stats and image_phash
+    identically to the same pixels as PPM — the operators are
+    format-blind."""
+    import hashlib
+    px = (b"".join(hashlib.md5(f"op{k}".encode()).digest()
+                   for k in range(12)))[:192]   # 8x8 RGB
+    ppm = b"P6\n8 8\n255\n" + px
+    png = multimodal.encode_png(8, 8, px, filters=(0, 1, 2, 3, 4))
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(png))],
+        "media_id long, content binary")
+    stats = {r["media_id"]: (r["width"], r["height"], r["mean_r"],
+                             r["mean_g"], r["mean_b"])
+             for r in multimodal.image_stats(media).collect()}
+    assert stats[1] == stats[2]
+    ph = {r["media_id"]: (r["ahash"], r["dhash"]) for r in
+          multimodal.image_phash(media, grid_w=4, grid_h=4).collect()}
+    assert ph[1] == ph[2]
+
+
 def test_decode_wav():
     import struct
     samples = [0, 1000, -1000, 32767, -32768, 5]

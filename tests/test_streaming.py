@@ -914,6 +914,68 @@ def test_stream_first_seen_cross_batch(spark, tmp_path):
     assert rows == {"k1": 2, "k2": 3, "k3": 7}
 
 
+def test_stream_first_seen_ttl_eviction(spark, tmp_path):
+    """ttl= bounds the claim-table state with EVENT-TIME expiry: a
+    claim whose key sees no traffic for ttl of event time is physically
+    evicted once the watermark passes its deadline, and a later arrival
+    RE-claims it (emitted again); a key with ongoing traffic slides its
+    deadline forward, so its dups stay suppressed.  Event-time timers
+    make this fully deterministic — no sleeps — and availableNow drains
+    terminate (a processing-time timer would hang the drain:
+    shouldRunAnotherBatch is unconditionally true for it)."""
+    import json as _json
+    from pyspark.sql import types as T2
+    from pypond_spark.streaming.stream import stream_first_seen
+    schema = T2.StructType([T2.StructField("doc_id", T2.LongType()),
+                            T2.StructField("digest", T2.StringType()),
+                            T2.StructField("t_ms", T2.LongType())])
+    chunks = [
+        # drain 1 (event time 1000s — NOT 0: rows at/below the initial
+        # watermark of 0 would be dropped as late): A and B claimed,
+        # deadlines t=1060s
+        [{"doc_id": 1, "digest": "A", "t_ms": 1_000_000},
+         {"doc_id": 2, "digest": "B", "t_ms": 1_000_000}],
+        # drain 2 (event time 1100s): A has traffic -> dup suppressed,
+        # deadline slides to 1160s; C fresh -> claimed; after the data
+        # batch the watermark advances to 1100s > B's 1060s deadline,
+        # so the drain's timer batch evicts B
+        [{"doc_id": 3, "digest": "A", "t_ms": 1_100_000},
+         {"doc_id": 4, "digest": "C", "t_ms": 1_100_000}],
+        # drain 3 (event time 1110s): B re-claimed (emitted AGAIN — the
+        # bounded-state trade); A still live (deadline 1160s) ->
+        # suppressed
+        [{"doc_id": 5, "digest": "B", "t_ms": 1_110_000},
+         {"doc_id": 6, "digest": "A", "t_ms": 1_110_000}],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate(chunks):
+        with open(src / f"p{i}.json", "w") as fh:
+            for rec in chunk:
+                fh.write(_json.dumps(rec) + "\n")
+        sdf = (spark.readStream.schema(schema).json(str(src))
+               .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+               .drop("t_ms"))
+        out = stream_first_seen(sdf, key_col="digest",
+                                payload_cols=("doc_id",),
+                                order_col="doc_id", ttl="1m")
+        q = (out.writeStream.format("parquet").outputMode("append")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120), "drain did not terminate"
+    got = sorted((r["digest"], r["doc_id"]) for r in
+                 spark.read.parquet(str(tmp_path / "out")).collect())
+    assert got == [("A", 1), ("B", 2), ("B", 5), ("C", 4)]
+    sdf = (spark.readStream.schema(schema).json(str(src))
+           .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+           .drop("t_ms"))
+    with pytest.raises(ValueError, match="ttl"):
+        stream_first_seen(sdf, ttl="bogus")
+    with pytest.raises(ValueError, match="event-time"):
+        stream_first_seen(sdf.drop("time"), ttl="1m")
+
+
 def test_stream_cusum_cross_batch(spark, tmp_path):
     """The 'up' alarm only fires because S+ accumulated in micro-batch 1
     survives the checkpoint into micro-batch 2 (batch 2 alone reaches
@@ -1005,6 +1067,58 @@ def test_stream_simhash_dedup_cross_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="n_bands"):
         stream_simhash_dedup(spark.readStream.schema(schema)
                              .json(str(src)), n_bands=3)
+
+
+def test_stream_simhash_dedup_ttl_eviction(spark, tmp_path):
+    """The near-dup gate's band-claim state is bounded by the same
+    event-time TTL: claims idle past ttl are evicted once the watermark
+    passes their deadline, so an exact clone arriving after eviction
+    re-claims every band (without ttl it would claim none — the
+    unbounded-state behavior test_stream_simhash_dedup_cross_batch
+    pins)."""
+    import json as _json
+    from pyspark.sql import types as T2
+    from pypond_spark.streaming.stream import stream_simhash_dedup
+    schema = T2.StructType([T2.StructField("doc_id", T2.LongType()),
+                            T2.StructField("text", T2.StringType()),
+                            T2.StructField("t_ms", T2.LongType())])
+    base = ("spark window batch order data column agg join small line "
+            "customer query value table part hash row scan key fast")
+    other = ("entirely different words nothing shared with anything "
+             "above in any token position at all whatsoever")
+    chunks = [
+        # drain 1 (t=1000s): base claims its 4 bands, deadlines 1060s
+        [{"doc_id": 1, "text": base, "t_ms": 1_000_000}],
+        # drain 2 (t=1200s): unrelated doc claims its own bands; the
+        # post-batch watermark (1200s) passes base's 1060s deadlines,
+        # so the timer batch evicts all of base's claims
+        [{"doc_id": 2, "text": other, "t_ms": 1_200_000}],
+        # drain 3 (t=1300s): an EXACT clone of base re-claims all 4
+        # bands (with unbounded state it would claim zero)
+        [{"doc_id": 3, "text": base, "t_ms": 1_300_000}],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate(chunks):
+        with open(src / f"p{i}.json", "w") as fh:
+            for rec in chunk:
+                fh.write(_json.dumps(rec) + "\n")
+        sdf = (spark.readStream.schema(schema).json(str(src))
+               .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+               .drop("t_ms"))
+        out = stream_simhash_dedup(sdf, n_bands=4, ttl="1m")
+        q = (out.writeStream.format("parquet").outputMode("append")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120), "drain did not terminate"
+    claims = {}
+    for r in spark.read.parquet(str(tmp_path / "out")).collect():
+        claims.setdefault(r["doc_id"], set()).add(r["band"])
+    assert len(claims[1]) == 4
+    assert len(claims[2]) == 4
+    # the clone re-claimed base's exact band set after eviction
+    assert claims[3] == claims[1]
 
 
 def test_simhash_py_unicode_whitespace_parity(spark):
