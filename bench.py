@@ -421,7 +421,18 @@ def main() -> None:
             gc_runs[name].append(_gc_ms(mf) - g0)
             peak_runs[name].append(_peak_heap_mb(mf))
 
-    timings = {name: min(runs[name][:2]) for name in HEADLINE}
+    # sub-2s rows swing ±80% run-to-run in a shared JVM (r8 verdict
+    # item 8: ewma_scan-class noise) — a min-of-2 there reports lottery
+    # luck, so report the MEDIAN of all reps for them; heavier rows
+    # keep min-of-first-2 (JIT-warmup rationale above), where the
+    # relative noise floor is far below the 1.5x regression threshold
+    import statistics
+
+    def _pick(rs: list[float]) -> float:
+        return (round(statistics.median(rs), 3)
+                if min(rs[:2]) < 2.0 else min(rs[:2]))
+
+    timings = {name: _pick(runs[name]) for name in HEADLINE}
     warm = {name: min(runs[name][1:] or runs[name]) for name in HEADLINE}
 
     # streaming tier: 2 drains each (min-of-2, same robustness rationale);
@@ -447,6 +458,9 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # schema marker (r8 verdict item 8): how per-query times were
+        # picked, so bench_compare can normalize across rounds
+        "timing_method": "median_all_reps_under_2s_else_min_first2",
     }
     # omit the stream keys entirely when the tier was skipped: a recorded
     # stream_value of 0 would read as "all 16 drains took 0s" in any

@@ -292,6 +292,34 @@ def test_spread_noop_on_streaming_df(spark):
     assert spread(sdf) is sdf  # .rdd probe would raise AnalysisException
 
 
+def test_bench_compare_normalizes_sub2s_rows_to_median(tmp_path):
+    """When all_runs are present, sub-2s rows diff on the MEDIAN of all
+    reps, not min-of-2 (r8 verdict item 8): a baseline whose recorded
+    min was lottery luck (one 0.5s fluke among 1.4s runs) must not make
+    a steady 0.5s current run look like a win, nor a steady 1.4s look
+    like a regression.  Rows >= 2s keep min-of-first-2."""
+    import json as _json
+    import subprocess
+    import sys
+    base = {"value": 0.5, "queries": {"q1": 0.5, "big": 9.0},
+            "all_runs": {"q1": [1.4, 0.5, 1.45], "big": [9.0, 9.5]}}
+    now = {"value": 1.38, "queries": {"q1": 1.38, "big": 9.1},
+           "all_runs": {"q1": [1.38, 1.4, 1.36], "big": [9.1, 9.6]}}
+    bp, np_ = tmp_path / "base.json", tmp_path / "now.json"
+    bp.write_text(_json.dumps(base))
+    np_.write_text(_json.dumps(now))
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_compare.py", str(bp), str(np_)],
+        capture_output=True, text=True, cwd="/root/repo")
+    # median(1.4, .5, 1.45)=1.4 vs median(now)=1.38 -> ~1.0x, NOT the
+    # 2.8x the recorded 0.5 min would scream; exit 0, no regression
+    assert proc.returncode == 0, proc.stdout
+    assert "REGRESS" not in proc.stdout
+    assert "1.40s -> 1.38s" in proc.stdout
+    # the >=2s row used min-of-first-2 on both sides
+    assert "9.00s -> 9.10s" in proc.stdout
+
+
 def test_bench_compare_fails_on_missing_query(tmp_path):
     import json as _json
     import subprocess

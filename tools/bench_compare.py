@@ -22,6 +22,7 @@ reruns.
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 
 THRESHOLD = 1.5
@@ -31,6 +32,23 @@ def load(path: str) -> dict:
     with open(path) as fh:
         doc = json.load(fh)
     return doc.get("parsed", doc)
+
+
+def _normalize_timings(doc: dict) -> dict:
+    """Per-query times, normalized to the round-9 picking rule when the
+    raw reps are available (``all_runs`` in bench_full artifacts):
+    median of all reps for sub-2s rows, min-of-first-2 otherwise.  This
+    lets a post-r9 median artifact diff fairly against a pre-r9 min
+    artifact — both sides are recomputed from the same rule instead of
+    comparing a median to a lottery-luck min.  Artifacts without
+    all_runs (driver BENCH_r files) are used as recorded."""
+    q = dict(doc.get("queries", {}))
+    for name, rs in (doc.get("all_runs") or {}).items():
+        rs = [x for x in (rs or []) if x is not None]
+        if rs and name in q:
+            q[name] = (round(statistics.median(rs), 3)
+                       if min(rs[:2]) < 2.0 else min(rs[:2]))
+    return q
 
 
 def _min_or_none(xs):
@@ -45,8 +63,8 @@ def main() -> None:
     # the streaming tier (bench.py STREAM, keys stream_queries) diffs with
     # the same rules; tiers are merged with distinct names so a query
     # can't shadow its batch twin
-    bq = dict(base["queries"], **base.get("stream_queries", {}))
-    nq = dict(now["queries"], **now.get("stream_queries", {}))
+    bq = dict(_normalize_timings(base), **base.get("stream_queries", {}))
+    nq = dict(_normalize_timings(now), **now.get("stream_queries", {}))
     b_gc, n_gc = base.get("gc_ms", {}), now.get("gc_ms", {})
     regressed = []
     for name, t_now in sorted(nq.items()):
