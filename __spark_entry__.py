@@ -1394,6 +1394,92 @@ def q_unigram_train(spark, sf_dir):
 # Fixed merge table for the bpe_tokenize query: ranks that assemble the
 # corpus' most frequent words (table/key/scan/value/hash) stepwise, so the
 # output exercises chained merges, rank order, and mid-word stops.
+# byte-level merges in GPT-2 MAPPED space (Ġ = the 0x20 space byte):
+# the space-gluing ranks are what distinguish the byte-level family
+_BPE_BYTES_MERGES = [
+    ("t", "h"), ("th", "e"), ("Ġ", "the"),
+    ("a", "n"), ("an", "d"), ("Ġ", "and"),
+    ("i", "n"), ("Ġ", "in"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"), ("Ġ", "scan"),
+    ("e", "r"),
+]
+
+
+def q_bpe_bytes_tokenize(spark, sf_dir):
+    """Byte-level (GPT-2) BPE inference (tokenize.py::bpe_bytes_apply):
+    GPT-2-style chunk pre-tokenization, UTF-8 byte symbolization via
+    the fixed bytes-to-unicode alphabet, then the rank-ordered literal
+    replace chain — run once per DISTINCT chunk (the per-distinct-word
+    cost contract) and reassembled in chunk order.  The oracle rebuilds
+    every byte from hex with pure strpos arithmetic (no hex casts) and
+    replays the identical replace chain."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_tok.bpe_bytes_apply(docs, _BPE_BYTES_MERGES)
+    return out.select("doc_id", "n_tokens",
+                      F.concat_ws(" ", "tokens").alias("token_stream"))
+
+
+def _bpe_bytes_sql(merges) -> str:
+    """DuckDB twin of bpe_bytes_apply: chunk split (same RE2/Java
+    pattern), hex -> alphabet substr per byte (strpos arithmetic, no
+    '0x' casts per the r4 drift note), nested replace chain, ordered
+    per-doc reassembly."""
+    from pypond_spark.datapipe.tokenize import (BYTE_ALPHABET,
+                                                BYTE_CHUNK_PATTERN)
+    alpha = BYTE_ALPHABET.replace("'", "''")
+    expr = "s"
+    for x, y in merges:
+        qx, qy, qxy = (v.replace("'", "''") for v in (x, y, x + y))
+        expr = (f"replace({expr}, "
+                f"chr(31)||'{qx}'||chr(31)||chr(31)||'{qy}'||chr(31), "
+                f"chr(31)||'{qxy}'||chr(31))")
+    return f"""
+        WITH ch AS (
+          SELECT doc_id, unnest(cs) AS chunk,
+                 generate_subscripts(cs, 1) AS pos
+          FROM (SELECT doc_id,
+                       regexp_extract_all(text,
+                           '{BYTE_CHUNK_PATTERN}', 0) AS cs
+                FROM documents)
+        ), dc AS (
+          SELECT DISTINCT chunk FROM ch
+        ), hx AS (
+          SELECT chunk, hex(encode(chunk)) AS h FROM dc
+        ), hxi AS (
+          -- generate_series must be an expression list + unnest here:
+          -- DuckDB's table-function form rejects lateral column args
+          SELECT chunk, h,
+                 unnest(generate_series(1, len(h) // 2)) AS i
+          FROM hx
+        ), sym AS (
+          SELECT chunk,
+                 string_agg(chr(31) || substr('{alpha}',
+                     (strpos('0123456789ABCDEF',
+                             substr(h, 2 * i - 1, 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF', substr(h, 2 * i, 1)),
+                     1) || chr(31), '' ORDER BY i) AS s
+          FROM hxi
+          GROUP BY chunk
+        ), tok AS (
+          SELECT chunk,
+                 list_filter(string_split({expr}, chr(31)),
+                             t -> t != '') AS toks
+          FROM sym
+        ), flat AS (
+          SELECT ch.doc_id,
+                 string_agg(array_to_string(toks, ' '), ' '
+                            ORDER BY ch.pos) AS stream,
+                 sum(len(toks)) AS n
+          FROM ch JOIN tok USING (chunk)
+          GROUP BY ch.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(f.n, 0) AS BIGINT) AS n_tokens,
+               coalesce(f.stream, '') AS token_stream
+        FROM documents d LEFT JOIN flat f USING (doc_id)
+    """
+
+
 _BPE_MERGES = [
     ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
     ("k", "e"), ("ke", "y"),
@@ -4236,6 +4322,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the committed CORRECTNESS_r*.json snapshots."""
     return {
         "image_phash_png": q_image_phash_png,
+        "bpe_bytes_tokenize": q_bpe_bytes_tokenize,
         "isotonic_calibration": q_isotonic_calibration,
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "audio_fingerprint": q_audio_fingerprint,
@@ -10357,6 +10444,7 @@ def oracle_sql() -> dict[str, str]:
     # PNG row: same pixels by construction (the encode->decode roundtrip
     # is the thing under test), so the PPM oracle replays it verbatim
     d["image_phash_png"] = d["image_phash"]
+    d["bpe_bytes_tokenize"] = _bpe_bytes_sql(_BPE_BYTES_MERGES)
     d["wordpiece_tokenize"] = _wordpiece_oracle()
     d["unigram_tokenize"] = _unigram_apply_oracle()
     d["unigram_train"] = _unigram_train_oracle()

@@ -123,6 +123,121 @@ def bpe_train(df: DataFrame, n_merges: int = 8,
 
 
 # ---------------------------------------------------------------------------
+# Byte-level BPE (the GPT-2 family, Radford et al. 2019)
+# ---------------------------------------------------------------------------
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's bytes-to-unicode bijection (the public encoder recipe):
+    visibly-printable latin-1 bytes map to themselves; the other 68
+    bytes map to U+0100.. in order, so EVERY byte is a visible,
+    standalone character and merge symbols never contain whitespace or
+    control characters.  Fixed 256-entry table, identical everywhere."""
+    bs = (list(range(0x21, 0x7F)) + list(range(0xA1, 0xAD))
+          + list(range(0xAE, 0x100)))
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(0x100 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+BYTE_UNICODE = _bytes_to_unicode()
+#: the 256 mapped characters ordered by byte value — ONE string literal,
+#: so the byte->char lookup is substr(alphabet, byte+1, 1) on any engine
+#: (no 512-literal map construct, no quote-escaping risk in oracles)
+BYTE_ALPHABET = "".join(BYTE_UNICODE[b] for b in range(256))
+UNICODE_BYTE = {c: b for b, c in BYTE_UNICODE.items()}
+
+#: simplified GPT-2 pre-tokenizer: a chunk is an optionally
+#: space-prefixed letter run, digit run, or punctuation run, or a
+#: whitespace run — merges apply WITHIN a chunk and never across, the
+#: property that keeps GPT-2 merge tables word-aligned.  (The reference
+#: pattern's apostrophe-contraction alternatives are folded into the
+#: punctuation branch — documented simplification.)  Same regex
+#: dialect meaning in Java and RE2, so oracles replay the split.
+BYTE_CHUNK_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def byte_symbolize(col: Column) -> Column:
+    """UTF-8 bytes of a string as a bracketed byte-level symbol string:
+    encode -> hex -> per-byte lookup in the 256-char alphabet ->
+    ``␟c␟`` brackets.  The hex detour keeps everything expression-only
+    (binary has no element iteration in SQL); the per-element lambda is
+    an interpreted HOF by contract run on the DISTINCT-chunk frame, so
+    its volume is vocabulary-bounded, never corpus-bounded."""
+    hx = F.hex(F.encode(col, "UTF-8"))
+    pairs = F.filter(F.split(F.regexp_replace(hx, "(..)", "$1,"), ","),
+                     lambda p: p != F.lit(""))
+    alpha = F.lit(BYTE_ALPHABET)
+    return F.concat_ws("", F.transform(
+        pairs,
+        lambda h: F.concat(
+            F.lit(SEP),
+            alpha.substr(F.conv(h, 16, 10).cast("int") + 1, F.lit(1)),
+            F.lit(SEP))))
+
+
+def bpe_bytes_apply(df: DataFrame, merges: list[tuple[str, str]],
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Byte-level BPE inference — the fourth tokenizer family, and the
+    production-relevant one: unlike char-level :func:`bpe_apply`, ANY
+    input tokenizes (multibyte characters, emoji, binary-ish junk)
+    because the base vocabulary is the 256 byte symbols, and the mapped
+    token stream is losslessly invertible back to the original bytes.
+
+    Shape: pre-tokenize into GPT-2-style chunks
+    (:data:`BYTE_CHUNK_PATTERN`, posexplode), tokenize each DISTINCT
+    chunk once (byte symbolize + the rank-ordered literal replace chain
+    of :func:`bpe_apply` — merges are pairs of MAPPED-space symbols
+    like ``('Ġ', 't')``), then join back and reassemble per doc in
+    chunk order.  The distinct-chunk frame is the same
+    per-DISTINCT-word cost contract as the WordPiece/unigram operators:
+    the merge chain runs on the chunk vocabulary, not the corpus.
+
+    Output: ``id_col, tokens (array<string>, mapped space), n_tokens``.
+    """
+    _check_merges(merges)
+    ch = spread(df).select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.regexp_extract_all(F.col(text_col),
+                                 F.lit(BYTE_CHUNK_PATTERN), 0))
+        .alias("__pos", "__chunk"))
+    dc = (ch.select("__chunk")
+          .where(F.col("__chunk").isNotNull()).distinct())
+    s = byte_symbolize(F.col("__chunk"))
+    for x, y in merges:
+        pat, rep = _merge_pat(x, y)
+        s = F.replace(s, F.lit(pat), F.lit(rep))
+    # byte-level keeps every token (whitespace bytes are real symbols —
+    # Ġ etc. — and belong to tokens), unlike the char-level trim filter
+    toks = F.filter(F.split(s, SEP), lambda t: t != F.lit(""))
+    dtok = dc.select("__chunk", toks.alias("__toks"))
+    joined = ch.join(dtok, "__chunk", "left")
+    tokens = F.flatten(F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("__pos"),
+                                             F.col("__toks")))),
+        lambda st: F.coalesce(st["__toks"],
+                              F.array().cast("array<string>"))))
+    return (joined.groupBy(id_col)
+            .agg(tokens.alias("tokens"))
+            .select(F.col(id_col), "tokens",
+                    F.size("tokens").alias("n_tokens")))
+
+
+def bytes_detokenize(tokens: list[str]) -> str:
+    """Client-side inverse of :func:`bpe_bytes_apply`: mapped token
+    chars -> bytes -> UTF-8 text.  The lossless-roundtrip property the
+    byte-level family exists for (tests pin it)."""
+    return bytes(UNICODE_BYTE[c] for t in tokens for c in t) \
+        .decode("utf-8")
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM tokenizer (Kudo 2018) — the other production tokenizer family
 # ---------------------------------------------------------------------------
 

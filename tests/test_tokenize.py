@@ -137,3 +137,78 @@ def test_wordpiece_apply_goldens(spark):
     assert out[2] == ([], 0)
     with pytest.raises(ValueError, match="non-empty"):
         tokenize.wordpiece_apply(df, [])
+
+
+def _bapply(spark, rows, merges):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {r["doc_id"]: (r["tokens"], r["n_tokens"])
+            for r in tokenize.bpe_bytes_apply(df, merges).collect()}
+
+
+def test_bpe_bytes_hand_computed(spark):
+    # chunks: "the" / " the" / " them"; merge chain th -> the; the
+    # mapped space (0x20 -> 'Ġ' per the GPT-2 table) is a real symbol
+    g = tokenize.BYTE_UNICODE[0x20]
+    out = _bapply(spark, [(1, "the the them")],
+                  [("t", "h"), ("th", "e")])
+    assert out[1] == (["the", g, "the", g, "the", "m"], 6)
+    # a space-inclusive merge glues the leading space to the word —
+    # the whole point of byte-level space handling
+    out2 = _bapply(spark, [(1, "the the")],
+                   [("t", "h"), ("th", "e"), (g, "the")])
+    assert out2[1] == (["the", g + "the"], 2)
+
+
+def test_bpe_bytes_never_crosses_chunks(spark):
+    # ('e', mapped-space) can never fire: the space starts the NEXT
+    # chunk, so the pair is never adjacent inside one chunk
+    g = tokenize.BYTE_UNICODE[0x20]
+    out = _bapply(spark, [(1, "be to")], [("e", g)])
+    assert out[1] == (["b", "e", g, "t", "o"], 5)
+    assert all(g not in t or t == g for t in out[1][0])
+
+
+def test_bpe_bytes_multibyte_roundtrip(spark):
+    """The byte-level family's reason to exist: emoji/multibyte input
+    that char-level bpe_apply can only emit as out-of-vocabulary raw
+    characters tokenizes into in-vocabulary byte symbols and roundtrips
+    LOSSLESSLY back to the original text."""
+    text = "héllo 🚀 naïve"
+    out = _bapply(spark, [(1, text)], [])
+    toks, n = out[1]
+    # every emitted symbol is inside the fixed 256-char byte alphabet
+    assert all(c in tokenize.BYTE_ALPHABET for t in toks for c in t)
+    # 🚀 is 4 UTF-8 bytes -> 4 byte symbols; é/ï are 2 each
+    assert n == len(text.encode("utf-8"))
+    assert tokenize.bytes_detokenize(toks) == text
+    # char-level contrast: its token for the emoji IS the raw char,
+    # which no byte-level vocabulary contains
+    char_out = {r["doc_id"]: r["tokens"] for r in tokenize.bpe_apply(
+        spark.createDataFrame([(1, text)], ["doc_id", "text"]),
+        [("h", "e")]).collect()}
+    assert "🚀" in char_out[1]
+    assert "🚀" not in tokenize.BYTE_ALPHABET
+
+
+def test_bpe_bytes_edge_docs(spark):
+    out = _bapply(spark, [(1, ""), (2, "  "), (3, "a")],
+                  [("a", "b")])
+    assert out[1] == ([], 0)
+    # pure-whitespace doc: one \s+ chunk of two mapped space symbols
+    g = tokenize.BYTE_UNICODE[0x20]
+    assert out[2] == ([g, g], 2)
+    assert out[3] == (["a"], 1)
+    with pytest.raises(ValueError, match="non-empty"):
+        tokenize.bpe_bytes_apply(
+            spark.createDataFrame([(1, "x")], ["doc_id", "text"]),
+            [("a", "")])
+
+
+def test_byte_unicode_table_is_the_gpt2_bijection():
+    t = tokenize.BYTE_UNICODE
+    assert len(t) == 256 and len(set(t.values())) == 256
+    # printable latin maps to itself
+    assert t[ord("a")] == "a" and t[ord("!")] == "!"
+    # the classic anchors: space -> Ġ, newline -> Ċ
+    assert t[0x20] == "Ġ" and t[0x0A] == "Ċ"
+    assert tokenize.BYTE_ALPHABET[0x41] == "A"
