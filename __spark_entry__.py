@@ -2293,6 +2293,81 @@ def q_bigram_logprob(spark, sf_dir):
                       F.round("mean_logprob", 6).alias("mean_logprob"))
 
 
+def q_kn3_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney trigram fluency
+    (textstats.py::kn3_logprob, Chen & Goodman 1998, D=0.75 dyadic):
+    the CCNet/KenLM-style filter completing the LM ladder.  All KN
+    statistics are marginals of ONE distinct-trigram count table;
+    per-trigram log2 p pins to integer micro-nats and the per-doc mean
+    uses the recipe-#5 round-half-away integer division, so the oracle
+    replays hash-exact."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.kn3_logprob(docs)
+
+
+_KN3_ORACLE = """
+    -- every CTE MATERIALIZED: with default inlining DuckDB's join-order
+    -- enumeration over the expanded 6-relation DAG stalls for minutes
+    -- even at 500 docs (measured); materialization makes it 0.14s
+    WITH arr AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(list_transform(
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x != ''),
+                 x -> regexp_replace(lower(x),
+                     '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+               x -> x != '') AS a
+      FROM documents
+    ), tg AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(a) - 2),
+                 i -> a[i] || ' ' || a[i + 1] || ' ' || a[i + 2])) AS tg
+      FROM arr WHERE len(a) >= 3
+    ), c3 AS MATERIALIZED (
+      SELECT tg, count(*) AS c3 FROM tg GROUP BY tg
+    ), w AS MATERIALIZED (
+      SELECT tg, c3, split_part(tg, ' ', 1) AS w1,
+             split_part(tg, ' ', 2) AS w2,
+             split_part(tg, ' ', 3) AS w3
+      FROM c3
+    ), ctx12 AS MATERIALIZED (
+      SELECT w1, w2, sum(c3) AS c12, count(*) AS n1p12
+      FROM w GROUP BY w1, w2
+    ), mid AS MATERIALIZED (
+      SELECT w2, w3, count(*) AS nc23 FROM w GROUP BY w2, w3
+    ), mid2 AS MATERIALIZED (
+      SELECT w2, sum(nc23) AS nmid2, count(*) AS n1pfw2
+      FROM mid GROUP BY w2
+    ), end3 AS MATERIALIZED (
+      SELECT w3, count(*) AS nend3 FROM mid GROUP BY w3
+    ), nt AS MATERIALIZED (
+      SELECT CAST(count(*) AS DOUBLE) AS nt FROM mid
+    ), lp AS (
+      -- explicit ON predicates, NOT a USING chain: chaining
+      -- USING (w1,w2) then USING (w2,w3) sends DuckDB's planner into a
+      -- multi-minute stall at 500 docs (measured; explicit ON is 90ms)
+      SELECT w.tg,
+             CAST(round(log2(
+                 (w.c3 - 0.75) / ctx12.c12
+                 + (0.75 * ctx12.n1p12 / ctx12.c12)
+                 * ((mid.nc23 - 0.75) / mid2.nmid2
+                    + (0.75 * mid2.n1pfw2 / mid2.nmid2)
+                    * (end3.nend3 / nt.nt))) * 1e6) AS BIGINT) AS mic
+      FROM w
+      JOIN ctx12 ON w.w1 = ctx12.w1 AND w.w2 = ctx12.w2
+      JOIN mid ON w.w2 = mid.w2 AND w.w3 = mid.w3
+      JOIN mid2 ON w.w2 = mid2.w2
+      JOIN end3 ON w.w3 = end3.w3
+      CROSS JOIN nt
+    )
+    SELECT tg.doc_id, count(*) AS n_trigrams,
+           -(CAST((-2 * sum(lp.mic) + count(*))
+                  // (2 * count(*)) AS BIGINT)) / 1e6 AS mean_logprob
+    FROM tg JOIN lp ON tg.tg = lp.tg
+    GROUP BY tg.doc_id
+"""
+
+
 def q_expectations(spark, sf_dir):
     """Data-quality expectation report (datapipe/validate.py): every rule
     is a conditional count in ONE global aggregate — a single scan, zero
@@ -4323,6 +4398,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "image_phash_png": q_image_phash_png,
         "bpe_bytes_tokenize": q_bpe_bytes_tokenize,
+        "kn3_logprob": q_kn3_logprob,
         "isotonic_calibration": q_isotonic_calibration,
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "audio_fingerprint": q_audio_fingerprint,
@@ -10445,6 +10521,7 @@ def oracle_sql() -> dict[str, str]:
     # is the thing under test), so the PPM oracle replays it verbatim
     d["image_phash_png"] = d["image_phash"]
     d["bpe_bytes_tokenize"] = _bpe_bytes_sql(_BPE_BYTES_MERGES)
+    d["kn3_logprob"] = _KN3_ORACLE
     d["wordpiece_tokenize"] = _wordpiece_oracle()
     d["unigram_tokenize"] = _unigram_apply_oracle()
     d["unigram_train"] = _unigram_train_oracle()

@@ -612,6 +612,95 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                  F.avg("__lp").alias("mean_logprob")))
 
 
+def kn3_logprob(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                discount: float = 0.75) -> DataFrame:
+    """Per-document mean trigram log2-probability under an interpolated
+    Kneser-Ney LM trained on the corpus itself — the actual
+    CCNet/KenLM-style fluency filter, completing the
+    unigram/bigram/KN-trigram ladder.  Chen & Goodman 1998 interpolated
+    KN with a single fixed ``discount`` D (default 0.75 — DYADIC, so
+    every discounted numerator is exact in doubles on any engine):
+
+    - ``p(w3|w1w2) = (c3 - D)/c12 + D·N1+(w1w2·)/c12 · p(w3|w2)``
+    - ``p(w3|w2) = (N1+(·w2w3) - D)/N1+(·w2·)
+      + D·N1+(w2·)/N1+(·w2·) · p_cont(w3)``
+    - ``p_cont(w3) = N1+(·w3) / |bigram types|``
+
+    with every denominator a marginal of the distinct-trigram count
+    table, so the model is properly normalized (Σ_w3 p = 1 — the unit
+    test asserts it) and self-training guarantees every scored trigram
+    has nonzero counts (no backoff-only branches).  Per-trigram scores
+    pin to integer micro-nats (one ``round(log2(p)·1e6)``), per-doc
+    sums are order-free BIGINT adds, and the mean uses the
+    round-half-away integer division of float-parity recipe #5 — the
+    whole score replays hash-exact in SQL.
+
+    Shuffle inventory: ONE corpus-sized trigram explode + count (the
+    training pass, map-side combinable); every marginal
+    (``c12``/``N1+``/continuation) is an agg of the VOCABULARY-bounded
+    trigram-type table; ONE corpus-sized scoring join against the
+    assembled probability table, co-partitioned on the trigram key.
+    Docs with fewer than three tokens are absent (mirrored by the
+    oracle).  Output: ``id_col, n_trigrams, mean_logprob``.
+    """
+    if not 0 < discount < 1:
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    dd = float(discount)
+    arr = F.filter(_match_tokens(text_col), lambda t: t != F.lit(""))
+    n = F.size(arr)
+    trigrams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(arr, i),
+                              F.element_at(arr, i + 1),
+                              F.element_at(arr, i + 2)))
+    tg = (spread(df).where(n >= 3)
+          .select(F.col(id_col), F.explode(trigrams).alias("tg")))
+    # distinct-trigram count table: unique on (w1,w2,w3), so COUNT(*)
+    # of any grouping of it is a distinct-type count — every KN N1+
+    # statistic is one agg over this vocabulary-bounded frame
+    c3 = (tg.groupBy("tg").agg(F.count("*").alias("__c3"))
+          .select(F.split_part("tg", F.lit(" "), F.lit(1)).alias("w1"),
+                  F.split_part("tg", F.lit(" "), F.lit(2)).alias("w2"),
+                  F.split_part("tg", F.lit(" "), F.lit(3)).alias("w3"),
+                  "tg", "__c3")
+          .localCheckpoint())
+    ctx12 = c3.groupBy("w1", "w2").agg(
+        F.sum("__c3").alias("__c12"),       # trigram-marginal c(w1 w2)
+        F.count("*").alias("__n1p12"))      # N1+(w1 w2 ·)
+    mid = c3.groupBy("w2", "w3").agg(
+        F.count("*").alias("__nc23"))       # N1+(· w2 w3)
+    mid2 = mid.groupBy("w2").agg(
+        F.sum("__nc23").alias("__nmid2"),   # N1+(· w2 ·)
+        F.count("*").alias("__n1pfw2"))     # N1+(w2 ·)
+    end3 = mid.groupBy("w3").agg(
+        F.count("*").alias("__nend3"))      # N1+(· w3)
+    ntypes = mid.count()                    # |bigram types| (scalar)
+    # assemble p on the vocabulary-bounded table, ONE corpus join below.
+    # Expression shape (parenthesization, operand order) is mirrored
+    # verbatim by the oracle — same doubles, same log2 input.
+    p2 = ((F.col("__nc23") - F.lit(dd)) / F.col("__nmid2")
+          + (F.lit(dd) * F.col("__n1pfw2") / F.col("__nmid2"))
+          * (F.col("__nend3") / F.lit(float(ntypes))))
+    p3 = ((F.col("__c3") - F.lit(dd)) / F.col("__c12")
+          + (F.lit(dd) * F.col("__n1p12") / F.col("__c12")) * p2)
+    lp_tab = (c3.join(ctx12, ["w1", "w2"])
+              .join(mid, ["w2", "w3"])
+              .join(mid2, "w2")
+              .join(end3, "w3")
+              .select("tg", F.round(F.log2(p3) * 1e6)
+                      .cast("long").alias("__mic")))
+    # round-half-away mean of non-positive micro-nats (recipe #5): the
+    # per-doc sum is an order-free integer add; DIV on the positive
+    # operands (-2S >= 0) matches DuckDB's //
+    return (tg.join(lp_tab, "tg")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_trigrams"),
+                 (-F.expr("(-2 * sum(__mic) + count(*)) "
+                          "DIV (2 * count(*))") / 1e6)
+                 .alias("mean_logprob")))
+
+
 def lexical_stats(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Per-document lexical diversity: token count, vocabulary size,

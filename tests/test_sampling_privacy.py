@@ -321,6 +321,57 @@ def test_bigram_logprob(spark):
     assert out[3]["mean_logprob"] < out[2]["mean_logprob"]
 
 
+def test_kn3_logprob_hand_computed(spark):
+    """Interpolated KN on the 3-doc micro-corpus, worked by hand with
+    D=0.75: trigram types (a,b,c) c=2 and (a,b,d) c=1 give
+    p(c|ab)=2/3, p(d|ab)=1/3 — and they sum to exactly 1 (the proper-
+    normalization property of marginal denominators)."""
+    from pypond_spark.datapipe.textstats import kn3_logprob
+    import math
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "a b d"), (3, "a b")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in kn3_logprob(df).collect()}
+    assert 3 not in out                      # <3 tokens: no trigrams
+    assert out[0]["n_trigrams"] == 1
+    # p2(c|b) = (1-.75)/2 + (.75*2/2)*(1/2) = .5 (same for d);
+    # p3(c|ab) = (2-.75)/3 + (.75*2/3)*.5 = 2/3; p3(d|ab) = 1/3
+    exp_c = round(round(math.log2(2 / 3) * 1e6) / 1e6, 6)
+    exp_d = round(round(math.log2(1 / 3) * 1e6) / 1e6, 6)
+    assert out[0]["mean_logprob"] == pytest.approx(exp_c, abs=2e-6)
+    assert out[1]["mean_logprob"] == out[0]["mean_logprob"]
+    assert out[2]["mean_logprob"] == pytest.approx(exp_d, abs=2e-6)
+    with pytest.raises(ValueError, match="discount"):
+        kn3_logprob(df, discount=1.5)
+
+
+def test_kn3_beats_bigram_on_fluent_vs_garbage(spark):
+    """The point of the trigram KN filter: with bigram-level coverage
+    engineered equal (every GARBAGE bigram also appears in fluent
+    docs), the bigram LM cannot separate the shuffled doc from the
+    fluent one, while trigram KN — seeing the third-order structure —
+    still can."""
+    from pypond_spark.datapipe.textstats import (bigram_logprob,
+                                                 kn3_logprob)
+    # every bigram of the spliced doc (p q / q r / r s) is FREQUENT —
+    # each appears in 8 fluent docs — but its trigrams (p q r, q r s)
+    # occur nowhere else in the corpus
+    rows = ([(i, "p q u") for i in range(8)]
+            + [(10 + i, "v q r w") for i in range(8)]
+            + [(20 + i, "x r s") for i in range(8)]
+            + [(100, "p q r s")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kn = {r["doc_id"]: r["mean_logprob"] for r in kn3_logprob(df).collect()}
+    bg = {r["doc_id"]: r["mean_logprob"]
+          for r in bigram_logprob(df).collect()}
+    # bigram coverage alone CANNOT flag the splice (its bigrams are as
+    # frequent as any fluent doc's)...
+    assert bg[100] >= bg[10]
+    # ...while trigram KN separates it decisively
+    assert kn[10] > kn[100]
+    assert (kn[10] - kn[100]) > (bg[10] - bg[100])
+
+
 def test_weighted_take_per_group_quota_and_bias(spark):
     from pypond_spark.datapipe.sampling import weighted_take_per_group
     rows = [(i, "a" if i < 200 else "b",
