@@ -977,6 +977,27 @@ def q_stream_first_seen(spark, sf_dir):
     return _run_stream_32(spark, out, "append")
 
 
+def q_stream_attribution_join(spark, sf_dir):
+    """Stream-stream watermarked interval join (streaming/stream.py::
+    stream_attribution_join) — the one Structured Streaming capability
+    the single-input stream tier didn't exercise: view and click
+    streams (two file sources over events) inner-join on user within a
+    1h horizon; Spark bounds both sides' join state by the watermark +
+    time-range condition.  All matching pairs emit (batch interval-join
+    semantics), so the oracle is the plain batch interval join."""
+    from pypond_spark.streaming.stream import stream_attribution_join
+    views = (_events_stream(spark, sf_dir)
+             .where(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     "time"))
+    clicks = (_events_stream(spark, sf_dir)
+              .where(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      "time"))
+    out = stream_attribution_join(views, clicks, horizon="1h")
+    return _run_stream_32(spark, out, "append")
+
+
 def q_stream_minhash_dedup(spark, sf_dir):
     """Streaming MinHash-LSH near-dup gate (streaming/stream.py::
     stream_minhash_dedup): row-local HOF minhash signatures (identical
@@ -4399,6 +4420,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_png": q_image_phash_png,
         "bpe_bytes_tokenize": q_bpe_bytes_tokenize,
         "kn3_logprob": q_kn3_logprob,
+        "stream_attribution_join": q_stream_attribution_join,
         "isotonic_calibration": q_isotonic_calibration,
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "audio_fingerprint": q_audio_fingerprint,
@@ -10522,6 +10544,15 @@ def oracle_sql() -> dict[str, str]:
     d["image_phash_png"] = d["image_phash"]
     d["bpe_bytes_tokenize"] = _bpe_bytes_sql(_BPE_BYTES_MERGES)
     d["kn3_logprob"] = _KN3_ORACLE
+    d["stream_attribution_join"] = """
+        SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+               epoch_ms(v.ts) AS view_ms, epoch_ms(c.ts) AS click_ms,
+               epoch_ms(c.ts) - epoch_ms(v.ts) AS lag_ms
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """
     d["wordpiece_tokenize"] = _wordpiece_oracle()
     d["unigram_tokenize"] = _unigram_apply_oracle()
     d["unigram_train"] = _unigram_train_oracle()

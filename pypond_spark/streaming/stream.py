@@ -2148,3 +2148,64 @@ def stream_xchart(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
     return out.drop("__k") if dummy else out
+
+
+# ---------------------------------------------------------------------------
+# stream-stream watermarked interval join (attribution)
+# ---------------------------------------------------------------------------
+
+def stream_attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    key_col: str = "user_id",
+    view_id_col: str = "view_id",
+    click_id_col: str = "click_id",
+    horizon: str | int = "1h",
+    time_col: str = "time",
+    late: str = "0 seconds",
+) -> DataFrame:
+    """Stream-stream watermarked interval join — click↔view attribution
+    within a horizon, the one Structured Streaming capability the
+    single-input stream tier doesn't exercise: every (view, click) pair
+    with the same ``key_col`` and ``view.time <= click.time <=
+    view.time + horizon`` emits as an append-mode row the moment both
+    sides have arrived.
+
+    ALL matching pairs emit (the batch interval-join semantic, so a SQL
+    twin replays it exactly); last-touch/first-touch attribution is a
+    downstream argmax over ``lag_ms``.  Both inputs carry a watermark
+    (lateness allowance ``late``): Spark bounds the join state by
+    evicting views once the watermark passes ``view.time + horizon``
+    and clicks once it passes their own usable window — state is
+    O(events inside the horizon), the property that makes the join
+    runnable forever.  The documented trade (the same one every
+    watermark makes): an event arriving later than ``late`` behind the
+    watermark is DROPPED and its pairs never emit — the late-arrival
+    test pins this.
+
+    Output: ``(key_col, view_id_col, click_id_col, view_ms, click_ms,
+    lag_ms)``.
+    """
+    ms = (horizon if isinstance(horizon, int)
+          else window_duration_ms(horizon))
+    if not ms or ms <= 0:
+        raise ValueError(f"horizon must be a positive duration, "
+                         f"got {horizon!r}")
+    v = (views.select(F.col(key_col), F.col(view_id_col),
+                      F.col(time_col).alias("__vt"))
+         .withWatermark("__vt", late))
+    c = (clicks.select(F.col(key_col).alias("__ck"),
+                       F.col(click_id_col),
+                       F.col(time_col).alias("__ct"))
+         .withWatermark("__ct", late))
+    cond = ((F.col(key_col) == F.col("__ck"))
+            & (F.col("__ct") >= F.col("__vt"))
+            & (F.col("__ct") <= F.col("__vt")
+               + F.expr(f"INTERVAL {int(ms)} MILLISECOND")))
+    return (v.join(c, cond, "inner")
+            .select(F.col(key_col), F.col(view_id_col),
+                    F.col(click_id_col),
+                    F.unix_millis("__vt").alias("view_ms"),
+                    F.unix_millis("__ct").alias("click_ms"),
+                    (F.unix_millis("__ct") - F.unix_millis("__vt"))
+                    .alias("lag_ms")))

@@ -1239,3 +1239,68 @@ def test_stream_xchart_cross_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="sigma"):
         stream_xchart(spark.readStream.schema(SCHEMA).json(str(src)),
                       sigma=0.0)
+
+
+def test_stream_attribution_join_cross_batch_and_late_drop(spark, tmp_path):
+    """Stream-stream watermarked interval join: (1) a click matching a
+    view buffered from an EARLIER micro-batch still pairs (join state
+    survives the checkpoint); (2) events arriving behind the watermark
+    are dropped and their pairs never emit — the watermark trade; (3)
+    pairs respect the horizon bound."""
+    import json as _json
+    from pyspark.sql import types as T2
+    from pypond_spark.streaming.stream import stream_attribution_join
+    vschema = T2.StructType([T2.StructField("user_id", T2.StringType()),
+                             T2.StructField("view_id", T2.LongType()),
+                             T2.StructField("t_ms", T2.LongType())])
+    cschema = T2.StructType([T2.StructField("user_id", T2.StringType()),
+                             T2.StructField("click_id", T2.LongType()),
+                             T2.StructField("t_ms", T2.LongType())])
+    # horizon 1h; times in seconds*1000
+    view_chunks = [
+        [{"user_id": "u1", "view_id": 1, "t_ms": 1_000_000},
+         {"user_id": "u2", "view_id": 2, "t_ms": 1_000_000},
+         {"user_id": "u5", "view_id": 5, "t_ms": 1_000_000}],
+        # u3's view arrives 500s BEHIND the 1000s watermark -> dropped
+        [{"user_id": "u3", "view_id": 3, "t_ms": 500_000},
+         {"user_id": "u4", "view_id": 4, "t_ms": 2_500_000}],
+    ]
+    click_chunks = [
+        # in-batch pair for u1 (lag 200s); u5's click is OUTSIDE the
+        # horizon (2h later) -> never pairs
+        [{"user_id": "u1", "click_id": 11, "t_ms": 1_200_000},
+         {"user_id": "u5", "click_id": 15, "t_ms": 8_300_000}],
+        # u2's click pairs with the batch-1 view (cross-batch state);
+        # u3's click is also late -> dropped
+        [{"user_id": "u2", "click_id": 12, "t_ms": 2_000_000},
+         {"user_id": "u3", "click_id": 13, "t_ms": 510_000},
+         {"user_id": "u4", "click_id": 14, "t_ms": 2_600_000}],
+    ]
+    vsrc, csrc = tmp_path / "views", tmp_path / "clicks"
+    vsrc.mkdir(), csrc.mkdir()
+    for i in range(2):
+        for src, chunk in [(vsrc, view_chunks[i]), (csrc, click_chunks[i])]:
+            with open(src / f"p{i}.json", "w") as fh:
+                for rec in chunk:
+                    fh.write(_json.dumps(rec) + "\n")
+        views = (spark.readStream.schema(vschema).json(str(vsrc))
+                 .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+                 .drop("t_ms"))
+        clicks = (spark.readStream.schema(cschema).json(str(csrc))
+                  .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+                  .drop("t_ms"))
+        out = stream_attribution_join(views, clicks, horizon="1h")
+        q = (out.writeStream.format("parquet").outputMode("append")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(180), "drain did not terminate"
+    rows = {(r["user_id"], r["view_id"], r["click_id"]): r["lag_ms"]
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert rows == {("u1", 1, 11): 200_000,     # in-batch pair
+                    ("u2", 2, 12): 1_000_000,   # cross-batch pair
+                    ("u4", 4, 14): 100_000}     # both sides in batch 2
+    # u3 (late behind watermark) and u5 (outside horizon) never paired
+    assert not any(k[0] in ("u3", "u5") for k in rows)
+    with pytest.raises(ValueError, match="horizon"):
+        stream_attribution_join(views, clicks, horizon="bogus")
