@@ -259,6 +259,9 @@ HEADLINE = [
     "ngram_novelty",
     "script_stats",
     "blocklist_stats",
+    "image_phash_png",
+    "bpe_bytes_tokenize",
+    "kn3_logprob",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the
@@ -293,6 +296,7 @@ STREAM = [
     "stream_simhash_dedup",
     "stream_minhash_dedup",
     "stream_xchart",
+    "stream_attribution_join",
 ]
 
 
