@@ -287,6 +287,30 @@ def main() -> None:
     risky = k_anonymity(docs, ["lang", "source"], k=5).where("at_risk")
     print("at-risk (lang, source) groups:", risky.count())
 
+    # 31. round-9 tier: byte-level BPE, KN trigram fluency, PNG decode
+    from pypond_spark.datapipe.tokenize import (bpe_bytes_apply,
+                                                bytes_detokenize)
+    g = "\u0120"  # the GPT-2 mapped space byte
+    bb = bpe_bytes_apply(docs, [("t", "h"), ("th", "e"), (g, "the")])
+    print("byte-BPE tokens/doc:",
+          bb.agg(F.avg("n_tokens")).first()[0])
+    sample = bb.where(F.col("doc_id") == 0).first()
+    roundtrip = bytes_detokenize(sample["tokens"])
+    print("byte-BPE roundtrip lossless:",
+          roundtrip == docs.where("doc_id = 0").first()["text"])
+
+    from pypond_spark.datapipe.textstats import kn3_logprob
+    kn = kn3_logprob(docs)
+    print("KN trigram mean logprob (corpus):",
+          kn.agg(F.round(F.avg("mean_logprob"), 3)).first()[0])
+
+    from pypond_spark.datapipe.multimodal import (decode_image,
+                                                  encode_png)
+    px = bytes(range(12))
+    assert decode_image(encode_png(2, 2, px,
+                                   filters=(0, 1, 2, 3, 4)))["pixels"] == px
+    print("PNG encode->decode roundtrip: OK")
+
     spark.stop()
 
 

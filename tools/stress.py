@@ -219,7 +219,7 @@ def main() -> None:
                "char_entropy", "rrf_fusion", "bpe_tokenize", "nb_quality",
                "cms_sketch", "heavy_hitters", "bloom_roundtrip",
                "hll_registers", "unigram_apply", "wordpiece_apply",
-               "longest_match"}
+               "longest_match", "bpe_bytes_apply", "kn3_logprob"}
     ev_needed = not only or bool(
         only - emb_ops - doc_ops
         - {"dedup_mega_cluster", "dedup_documents"})
@@ -408,6 +408,20 @@ def main() -> None:
                            docs.where(F.col("doc_id") < 1000)
                            .withColumnRenamed("doc_id", "item_id"),
                            k=5)),
+        # r9: byte-level BPE — the per-DISTINCT-chunk contract (chunk
+        # vocab is the 500-word synthetic alphabet + digit runs), so
+        # wall must stay corpus-scan-bound like the other tokenizers
+        "bpe_bytes_apply": lambda: sink(__import__(
+            "pypond_spark.datapipe.tokenize",
+            fromlist=["bpe_bytes_apply"])
+            .bpe_bytes_apply(docs, [("w", "1"), ("w1", "2"),
+                                    ("\u0120", "w"), ("\u0120w", "3")])
+            .select("doc_id", "n_tokens")),
+        # r9: KN trigram — two corpus shuffles + vocab-bounded marginals
+        "kn3_logprob": lambda: sink(__import__(
+            "pypond_spark.datapipe.textstats",
+            fromlist=["kn3_logprob"])
+            .kn3_logprob(docs)),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
