@@ -1440,6 +1440,75 @@ def q_bpe_bytes_tokenize(spark, sf_dir):
                       F.concat_ws(" ", "tokens").alias("token_stream"))
 
 
+def q_bpe_bytes_train_merges(spark, sf_dir):
+    """Byte-level BPE training, 6 ranks (tokenize.py::bpe_bytes_train):
+    per rank ONE pair-count shuffle over the CHUNK VOCABULARY weighted
+    by chunk frequency + deterministic argmax (weighted count DESC,
+    then lexicographic in mapped space) + scan-level rewrite.  The
+    oracle replays the full loop as generated MATERIALIZED CTE stages
+    (inlined stages double per rank — 2^6 re-expansions of the
+    symbolize chain without materialization)."""
+    docs = _read(spark, sf_dir, "documents")
+    merges = dp_tok.bpe_bytes_train(docs, n_merges=6)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, left_sym string, right_sym string, "
+        "pair_count long")
+
+
+def _bpe_bytes_train_sql(n_merges: int) -> str:
+    """DuckDB twin of bpe_bytes_train: the _bpe_bytes_sql symbolize
+    machinery over the DISTINCT-chunk frame with counts, then the
+    generated per-rank pair-count/argmax/rewrite chain of
+    _bpe_train_sql, weighted by chunk frequency."""
+    from pypond_spark.datapipe.tokenize import (BYTE_ALPHABET,
+                                                BYTE_CHUNK_PATTERN)
+    alpha = BYTE_ALPHABET.replace("'", "''")
+    parts = [f"""cc AS MATERIALIZED (
+          SELECT chunk, count(*) AS wc FROM (
+            SELECT unnest(regexp_extract_all(text,
+                '{BYTE_CHUNK_PATTERN}', 0)) AS chunk
+            FROM documents)
+          GROUP BY chunk
+        ), hxi AS MATERIALIZED (
+          SELECT chunk, wc, h, unnest(generate_series(1, len(h) // 2)) AS i
+          FROM (SELECT chunk, wc, hex(encode(chunk)) AS h FROM cc)
+        ), st0 AS MATERIALIZED (
+          SELECT string_agg(chr(31) || substr('{alpha}',
+                     (strpos('0123456789ABCDEF',
+                             substr(h, 2 * i - 1, 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF', substr(h, 2 * i, 1)),
+                     1) || chr(31), '' ORDER BY i) AS s,
+                 any_value(wc) AS wc
+          FROM hxi GROUP BY chunk
+        )"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS (
+              SELECT u.l AS l, u.r AS r, CAST(sum(wc) AS BIGINT) AS c
+              FROM (
+                SELECT wc, unnest([{{'l': a[k], 'r': a[k+1]}}
+                               for k in generate_series(
+                                   1, greatest(len(a)-1, 0))]) AS u
+                FROM (SELECT wc, list_filter(string_split(s, chr(31)),
+                                             t -> t != '') AS a
+                      FROM st{i - 1})
+              )
+              GROUP BY u.l, u.r)""")
+        parts.append(f"t{i} AS (SELECT l, r, c FROM p{i} "
+                     f"ORDER BY c DESC, l, r LIMIT 1)")
+        if i < n_merges:
+            parts.append(
+                f"st{i} AS MATERIALIZED (SELECT replace(s, "
+                f"chr(31)||l||chr(31)||chr(31)||r||chr(31), "
+                f"chr(31)||l||r||chr(31)) AS s, wc "
+                f"FROM st{i - 1} CROSS JOIN t{i})")
+    unions = "\n            UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"c AS pair_count FROM t{i}"
+        for i in range(1, n_merges + 1))
+    return "WITH " + ",\n            ".join(parts) + "\n            " + unions
+
+
 def _bpe_bytes_sql(merges) -> str:
     """DuckDB twin of bpe_bytes_apply: chunk split (same RE2/Java
     pattern), hex -> alphabet substr per byte (strpos arithmetic, no
@@ -4419,6 +4488,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "image_phash_png": q_image_phash_png,
         "bpe_bytes_tokenize": q_bpe_bytes_tokenize,
+        "bpe_bytes_train_merges": q_bpe_bytes_train_merges,
         "kn3_logprob": q_kn3_logprob,
         "stream_attribution_join": q_stream_attribution_join,
         "isotonic_calibration": q_isotonic_calibration,
@@ -10543,6 +10613,7 @@ def oracle_sql() -> dict[str, str]:
     # is the thing under test), so the PPM oracle replays it verbatim
     d["image_phash_png"] = d["image_phash"]
     d["bpe_bytes_tokenize"] = _bpe_bytes_sql(_BPE_BYTES_MERGES)
+    d["bpe_bytes_train_merges"] = _bpe_bytes_train_sql(6)
     d["kn3_logprob"] = _KN3_ORACLE
     d["stream_attribution_join"] = """
         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,

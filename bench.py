@@ -261,6 +261,7 @@ HEADLINE = [
     "blocklist_stats",
     "image_phash_png",
     "bpe_bytes_tokenize",
+    "bpe_bytes_train_merges",
     "kn3_logprob",
 ]
 

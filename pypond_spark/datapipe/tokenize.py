@@ -229,6 +229,59 @@ def bpe_bytes_apply(df: DataFrame, merges: list[tuple[str, str]],
                     F.size("tokens").alias("n_tokens")))
 
 
+def bpe_bytes_train(df: DataFrame, n_merges: int = 8,
+                    text_col: str = "text") -> list[tuple[str, str, int]]:
+    """Learn a byte-level BPE merge table (the GPT-2 training loop):
+    chunk pre-tokenize, byte-symbolize each DISTINCT chunk once with
+    its corpus count, then repeat ``n_merges`` times — count adjacent
+    symbol pairs WEIGHTED by chunk frequency (the classic word-frequency
+    formulation), pick the most frequent (ties: lexicographic (left,
+    right) in mapped space — deterministic across engines), rewrite the
+    chunk vocabulary with that merge.
+
+    Pairs never cross chunks by construction, so learned merges respect
+    word boundaries exactly as the reference pre-tokenizer guarantees.
+    Each iteration is one pair-count shuffle over the CHUNK VOCABULARY
+    (not the corpus — the per-distinct-chunk contract makes training
+    sublinear in corpus size) + an O(1) driver argmax + a scan-level
+    rewrite pinned with ``localCheckpoint``.  Returns ``[(left, right,
+    weighted_count), ...]`` in rank order, symbols in mapped space.
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    chunks = (spread(df)
+              .select(F.explode(
+                  F.regexp_extract_all(F.col(text_col),
+                                       F.lit(BYTE_CHUNK_PATTERN), 0))
+                  .alias("__chunk"))
+              .groupBy("__chunk").agg(F.count("*").alias("wc")))
+    cur = chunks.select(byte_symbolize(F.col("__chunk")).alias("s"),
+                        "wc").localCheckpoint()
+    out: list[tuple[str, str, int]] = []
+    for _ in range(int(n_merges)):
+        arr = F.filter(F.split(F.col("s"), SEP), lambda t: t != F.lit(""))
+        idx = F.when(F.size(arr) >= 2,
+                     F.sequence(F.lit(1), F.size(arr) - 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        pair = (cur.select(arr.alias("a"), idx.alias("ks"), "wc")
+                .select(F.col("wc"), F.explode(F.transform(
+                    F.col("ks"),
+                    lambda k: F.struct(
+                        F.element_at(F.col("a"), k).alias("l"),
+                        F.element_at(F.col("a"), k + 1).alias("r"))))
+                    .alias("p"))
+                .groupBy("p.l", "p.r").agg(F.sum("wc").alias("c"))
+                .orderBy(F.desc("c"), "l", "r").limit(1).collect())
+        if not pair:
+            break
+        l, r, c = pair[0]["l"], pair[0]["r"], pair[0]["c"]
+        out.append((l, r, int(c)))
+        pat, rep = _merge_pat(l, r)
+        cur = cur.select(F.replace("s", F.lit(pat), F.lit(rep))
+                         .alias("s"), "wc").localCheckpoint()
+    return out
+
+
 def bytes_detokenize(tokens: list[str]) -> str:
     """Client-side inverse of :func:`bpe_bytes_apply`: mapped token
     chars -> bytes -> UTF-8 text.  The lossless-roundtrip property the

@@ -212,3 +212,22 @@ def test_byte_unicode_table_is_the_gpt2_bijection():
     # the classic anchors: space -> Ġ, newline -> Ċ
     assert t[0x20] == "Ġ" and t[0x0A] == "Ċ"
     assert tokenize.BYTE_ALPHABET[0x41] == "A"
+
+
+def test_bpe_bytes_train_hand_computed(spark):
+    """Weighted byte-level training on a 2-doc corpus: chunk counts
+    weight the pair counts ('the' x2 + ' the' x1), ties break
+    lexicographically in mapped space, and learned merges feed
+    bpe_bytes_apply directly."""
+    g = tokenize.BYTE_UNICODE[0x20]
+    df = spark.createDataFrame([(1, "the the"), (2, "the")],
+                               ["doc_id", "text"])
+    merges = tokenize.bpe_bytes_train(df, n_merges=3)
+    # (t,h) and (h,e) both weigh 3; 'h' < 't' wins the tie
+    assert merges == [("h", "e", 3), ("t", "he", 3), (g, "the", 1)]
+    toks = {r["doc_id"]: r["tokens"] for r in tokenize.bpe_bytes_apply(
+        df, [(l, r) for l, r, _ in merges]).collect()}
+    assert toks[1] == ["the", g + "the"]
+    assert toks[2] == ["the"]
+    with pytest.raises(ValueError, match="n_merges"):
+        tokenize.bpe_bytes_train(df, n_merges=0)
