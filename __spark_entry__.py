@@ -998,6 +998,30 @@ def q_stream_attribution_join(spark, sf_dir):
     return _run_stream_32(spark, out, "append")
 
 
+def q_stream_attribution_outer(spark, sf_dir):
+    """Click-side OUTER stream-stream join (unmatched='emit'):
+    conversions with no attributable view surface with NULL view
+    columns once the watermark proves no view can still arrive — the
+    expiry-driven outer-join machinery the inner form never touches.
+    The oracle is the batch anti-join UNION the inner pairs, with the
+    measured emission cutoff: a null row emits iff the click's event
+    time is STRICTLY below the final global watermark
+    (min of the two sides' max event times) — clicks at the frontier
+    stay held in state."""
+    from pypond_spark.streaming.stream import stream_attribution_join
+    views = (_events_stream(spark, sf_dir)
+             .where(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     "time"))
+    clicks = (_events_stream(spark, sf_dir)
+              .where(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      "time"))
+    out = stream_attribution_join(views, clicks, horizon="1h",
+                                  unmatched="emit")
+    return _run_stream_32(spark, out, "append")
+
+
 def q_stream_minhash_dedup(spark, sf_dir):
     """Streaming MinHash-LSH near-dup gate (streaming/stream.py::
     stream_minhash_dedup): row-local HOF minhash signatures (identical
@@ -4491,6 +4515,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_bytes_train_merges": q_bpe_bytes_train_merges,
         "kn3_logprob": q_kn3_logprob,
         "stream_attribution_join": q_stream_attribution_join,
+        "stream_attribution_outer": q_stream_attribution_outer,
         "isotonic_calibration": q_isotonic_calibration,
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "audio_fingerprint": q_audio_fingerprint,
@@ -10615,6 +10640,34 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_bytes_tokenize"] = _bpe_bytes_sql(_BPE_BYTES_MERGES)
     d["bpe_bytes_train_merges"] = _bpe_bytes_train_sql(6)
     d["kn3_logprob"] = _KN3_ORACLE
+    d["stream_attribution_outer"] = """
+        WITH wm AS (
+          SELECT least(
+            (SELECT max(epoch_ms(ts)) FROM events
+             WHERE event_type = 'view'),
+            (SELECT max(epoch_ms(ts)) FROM events
+             WHERE event_type = 'click')) AS w
+        )
+        SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+               epoch_ms(v.ts) AS view_ms, epoch_ms(c.ts) AS click_ms,
+               epoch_ms(c.ts) - epoch_ms(v.ts) AS lag_ms
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        UNION ALL
+        SELECT c.user_id, CAST(NULL AS BIGINT) AS view_id,
+               c.event_id AS click_id, CAST(NULL AS BIGINT) AS view_ms,
+               epoch_ms(c.ts) AS click_ms, CAST(NULL AS BIGINT) AS lag_ms
+        FROM events c CROSS JOIN wm
+        WHERE c.event_type = 'click'
+          AND NOT EXISTS (SELECT 1 FROM events v
+                          WHERE v.event_type = 'view'
+                            AND v.user_id = c.user_id
+                            AND c.ts >= v.ts
+                            AND c.ts <= v.ts + INTERVAL 1 HOUR)
+          AND epoch_ms(c.ts) < wm.w
+    """
     d["stream_attribution_join"] = """
         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
                epoch_ms(v.ts) AS view_ms, epoch_ms(c.ts) AS click_ms,

@@ -298,6 +298,7 @@ STREAM = [
     "stream_minhash_dedup",
     "stream_xchart",
     "stream_attribution_join",
+    "stream_attribution_outer",
 ]
 
 

@@ -2163,6 +2163,7 @@ def stream_attribution_join(
     horizon: str | int = "1h",
     time_col: str = "time",
     late: str = "0 seconds",
+    unmatched: str = "drop",
 ) -> DataFrame:
     """Stream-stream watermarked interval join — click↔view attribution
     within a horizon, the one Structured Streaming capability the
@@ -2170,6 +2171,15 @@ def stream_attribution_join(
     with the same ``key_col`` and ``view.time <= click.time <=
     view.time + horizon`` emits as an append-mode row the moment both
     sides have arrived.
+
+    ``unmatched="emit"`` switches to the click-side OUTER join: a click
+    with no attributable view emits once with NULL view columns — but
+    only when the watermark has passed the click's matchable window and
+    Spark can PROVE no view can still arrive (null rows materialize on
+    state expiry, a later micro-batch than the inner matches; clicks
+    still inside the final watermark frontier never get their null
+    row).  This exercises the expiry-driven outer-join machinery that
+    the inner form never touches.
 
     ALL matching pairs emit (the batch interval-join semantic, so a SQL
     twin replays it exactly); last-touch/first-touch attribution is a
@@ -2191,6 +2201,8 @@ def stream_attribution_join(
     if not ms or ms <= 0:
         raise ValueError(f"horizon must be a positive duration, "
                          f"got {horizon!r}")
+    if unmatched not in ("drop", "emit"):
+        raise ValueError(f"unmatched must be drop|emit, got {unmatched!r}")
     v = (views.select(F.col(key_col), F.col(view_id_col),
                       F.col(time_col).alias("__vt"))
          .withWatermark("__vt", late))
@@ -2202,10 +2214,17 @@ def stream_attribution_join(
             & (F.col("__ct") >= F.col("__vt"))
             & (F.col("__ct") <= F.col("__vt")
                + F.expr(f"INTERVAL {int(ms)} MILLISECOND")))
-    return (v.join(c, cond, "inner")
-            .select(F.col(key_col), F.col(view_id_col),
-                    F.col(click_id_col),
-                    F.unix_millis("__vt").alias("view_ms"),
-                    F.unix_millis("__ct").alias("click_ms"),
-                    (F.unix_millis("__ct") - F.unix_millis("__vt"))
-                    .alias("lag_ms")))
+    if unmatched == "emit":
+        # clicks on the OUTER side: unmatched conversions surface with
+        # NULL view columns, keyed to the click's own key column
+        j = c.join(v, cond, "left_outer")
+        key_out = F.col("__ck").alias(key_col)
+    else:
+        j = v.join(c, cond, "inner")
+        key_out = F.col(key_col)
+    return (j.select(key_out, F.col(view_id_col),
+                     F.col(click_id_col),
+                     F.unix_millis("__vt").alias("view_ms"),
+                     F.unix_millis("__ct").alias("click_ms"),
+                     (F.unix_millis("__ct") - F.unix_millis("__vt"))
+                     .alias("lag_ms")))

@@ -1304,3 +1304,58 @@ def test_stream_attribution_join_cross_batch_and_late_drop(spark, tmp_path):
     assert not any(k[0] in ("u3", "u5") for k in rows)
     with pytest.raises(ValueError, match="horizon"):
         stream_attribution_join(views, clicks, horizon="bogus")
+
+
+def test_stream_attribution_outer_emits_unmatched_on_expiry(spark, tmp_path):
+    """unmatched='emit' (click-side outer join): a conversion with no
+    attributable view emits exactly once with NULL view columns — and
+    only after the watermark proves no view can still arrive; clicks at
+    the watermark frontier stay held in state with no null row."""
+    import json as _json
+    from pyspark.sql import types as T2
+    from pypond_spark.streaming.stream import stream_attribution_join
+    vschema = T2.StructType([T2.StructField("user_id", T2.StringType()),
+                             T2.StructField("view_id", T2.LongType()),
+                             T2.StructField("t_ms", T2.LongType())])
+    cschema = T2.StructType([T2.StructField("user_id", T2.StringType()),
+                             T2.StructField("click_id", T2.LongType()),
+                             T2.StructField("t_ms", T2.LongType())])
+    view_chunks = [
+        [{"user_id": "u1", "view_id": 1, "t_ms": 1_000_000}],
+        [{"user_id": "u9", "view_id": 9, "t_ms": 5_000_000}],
+    ]
+    click_chunks = [
+        # c11 matches v1; c12 (u2) has no view ever
+        [{"user_id": "u1", "click_id": 11, "t_ms": 1_200_000},
+         {"user_id": "u2", "click_id": 12, "t_ms": 1_100_000}],
+        # frontier click: watermark never passes it inside this run
+        [{"user_id": "u3", "click_id": 13, "t_ms": 5_000_000}],
+    ]
+    vsrc, csrc = tmp_path / "views", tmp_path / "clicks"
+    vsrc.mkdir(), csrc.mkdir()
+    for i in range(2):
+        for src, chunk in [(vsrc, view_chunks[i]), (csrc, click_chunks[i])]:
+            with open(src / f"p{i}.json", "w") as fh:
+                for rec in chunk:
+                    fh.write(_json.dumps(rec) + "\n")
+        views = (spark.readStream.schema(vschema).json(str(vsrc))
+                 .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+                 .drop("t_ms"))
+        clicks = (spark.readStream.schema(cschema).json(str(csrc))
+                  .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+                  .drop("t_ms"))
+        out = stream_attribution_join(views, clicks, horizon="1h",
+                                      unmatched="emit")
+        q = (out.writeStream.format("parquet").outputMode("append")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(180), "drain did not terminate"
+    rows = {(r["user_id"], r["view_id"], r["click_id"])
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert ("u1", 1, 11) in rows                 # matched pair intact
+    assert ("u2", None, 12) in rows              # expired unmatched click
+    # exactly-once: no duplicate null row, no spurious match for u2
+    assert sum(1 for r in rows if r[2] == 12) == 1
+    with pytest.raises(ValueError, match="unmatched"):
+        stream_attribution_join(views, clicks, unmatched="bogus")
