@@ -2482,6 +2482,118 @@ _KN3_ORACLE = """
 """
 
 
+def q_kn3_heldout(spark, sf_dir):
+    """HELD-OUT Kneser-Ney trigram scoring (textstats.py::kn3_score):
+    fit on the even-doc_id half of the corpus, score the odd half with
+    the FULL backoff ladder — unseen trigram contexts back off to the
+    bigram level, unseen middles to the discounted continuation
+    unigram, OOV words to the uniform 1/(V+1) mass.  Every branch is
+    exact integer statistics; the oracle replays the CASE ladder."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.kn3_score(docs.where(F.col("doc_id") % 2 == 1),
+                             docs.where(F.col("doc_id") % 2 == 0))
+
+
+def _kn3_heldout_sql() -> str:
+    """DuckDB twin of q_kn3_heldout: the _KN3_ORACLE stat machinery on
+    the even half, the backoff CASE ladder on the odd half's trigrams.
+    MATERIALIZED CTEs + explicit ONs per the kn3_logprob planner
+    findings."""
+    toks = """list_filter(list_transform(
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x != ''),
+                 x -> regexp_replace(lower(x),
+                     '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+               x -> x != '')"""
+    tg = """unnest(list_transform(generate_series(1, len(a) - 2),
+                 i -> a[i] || ' ' || a[i + 1] || ' ' || a[i + 2]))"""
+    return f"""
+    WITH arr_t AS MATERIALIZED (
+      SELECT doc_id, {toks} AS a FROM documents WHERE doc_id % 2 = 0
+    ), tg_t AS MATERIALIZED (
+      SELECT {tg} AS tg FROM arr_t WHERE len(a) >= 3
+    ), c3 AS MATERIALIZED (
+      SELECT tg, count(*) AS c3 FROM tg_t GROUP BY tg
+    ), w AS MATERIALIZED (
+      SELECT tg, c3, split_part(tg, ' ', 1) AS w1,
+             split_part(tg, ' ', 2) AS w2,
+             split_part(tg, ' ', 3) AS w3
+      FROM c3
+    ), ctx12 AS MATERIALIZED (
+      SELECT w1, w2, sum(c3) AS c12, count(*) AS n1p12
+      FROM w GROUP BY w1, w2
+    ), mid AS MATERIALIZED (
+      SELECT w2, w3, count(*) AS nc23 FROM w GROUP BY w2, w3
+    ), mid2 AS MATERIALIZED (
+      SELECT w2, sum(nc23) AS nmid2, count(*) AS n1pfw2
+      FROM mid GROUP BY w2
+    ), end3 AS MATERIALIZED (
+      SELECT w3, count(*) AS nend3 FROM mid GROUP BY w3
+    ), consts AS MATERIALIZED (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM mid) AS nt,
+             (SELECT CAST(count(*) AS DOUBLE) FROM end3) AS e,
+             (SELECT CAST(count(DISTINCT t) AS DOUBLE)
+              FROM (SELECT unnest(a) AS t FROM arr_t)) AS v
+    ), tg_s AS MATERIALIZED (
+      SELECT doc_id, tg, split_part(tg, ' ', 1) AS w1,
+             split_part(tg, ' ', 2) AS w2,
+             split_part(tg, ' ', 3) AS w3
+      FROM (
+        SELECT doc_id, {tg} AS tg
+        FROM (SELECT doc_id, {toks} AS a FROM documents
+              WHERE doc_id % 2 = 1)
+        WHERE len(a) >= 3)
+    ), lp AS (
+      SELECT s.doc_id,
+             CASE WHEN c3.c3 IS NULL THEN 1 ELSE 0 END AS unseen,
+             CAST(round(log2(
+               CASE WHEN ctx12.c12 IS NOT NULL THEN
+                 greatest(coalesce(c3.c3, 0) - 0.75, 0.0) / ctx12.c12
+                 + (0.75 * ctx12.n1p12 / ctx12.c12)
+                 * (CASE WHEN mid2.nmid2 IS NOT NULL THEN
+                      greatest(coalesce(mid.nc23, 0) - 0.75, 0.0)
+                        / mid2.nmid2
+                      + (0.75 * mid2.n1pfw2 / mid2.nmid2)
+                      * (greatest(coalesce(end3.nend3, 0) - 0.75, 0.0)
+                           / consts.nt
+                         + (0.75 * consts.e / consts.nt)
+                         * (1.0 / (consts.v + 1.0)))
+                    ELSE
+                      greatest(coalesce(end3.nend3, 0) - 0.75, 0.0)
+                        / consts.nt
+                      + (0.75 * consts.e / consts.nt)
+                      * (1.0 / (consts.v + 1.0))
+                    END)
+               WHEN mid2.nmid2 IS NOT NULL THEN
+                 greatest(coalesce(mid.nc23, 0) - 0.75, 0.0)
+                   / mid2.nmid2
+                 + (0.75 * mid2.n1pfw2 / mid2.nmid2)
+                 * (greatest(coalesce(end3.nend3, 0) - 0.75, 0.0)
+                      / consts.nt
+                    + (0.75 * consts.e / consts.nt)
+                    * (1.0 / (consts.v + 1.0)))
+               ELSE
+                 greatest(coalesce(end3.nend3, 0) - 0.75, 0.0)
+                   / consts.nt
+                 + (0.75 * consts.e / consts.nt)
+                 * (1.0 / (consts.v + 1.0))
+               END) * 1e6) AS BIGINT) AS mic
+      FROM tg_s s
+      LEFT JOIN c3 ON s.tg = c3.tg
+      LEFT JOIN ctx12 ON s.w1 = ctx12.w1 AND s.w2 = ctx12.w2
+      LEFT JOIN mid ON s.w2 = mid.w2 AND s.w3 = mid.w3
+      LEFT JOIN mid2 ON s.w2 = mid2.w2
+      LEFT JOIN end3 ON s.w3 = end3.w3
+      CROSS JOIN consts
+    )
+    SELECT doc_id, count(*) AS n_trigrams,
+           CAST(sum(unseen) AS BIGINT) AS n_unseen,
+           -(CAST((-2 * sum(mic) + count(*))
+                  // (2 * count(*)) AS BIGINT)) / 1e6 AS mean_logprob
+    FROM lp GROUP BY doc_id
+    """
+
+
 def q_expectations(spark, sf_dir):
     """Data-quality expectation report (datapipe/validate.py): every rule
     is a conditional count in ONE global aggregate — a single scan, zero
@@ -4514,6 +4626,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_bytes_tokenize": q_bpe_bytes_tokenize,
         "bpe_bytes_train_merges": q_bpe_bytes_train_merges,
         "kn3_logprob": q_kn3_logprob,
+        "kn3_heldout": q_kn3_heldout,
         "stream_attribution_join": q_stream_attribution_join,
         "stream_attribution_outer": q_stream_attribution_outer,
         "isotonic_calibration": q_isotonic_calibration,
@@ -10640,6 +10753,7 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_bytes_tokenize"] = _bpe_bytes_sql(_BPE_BYTES_MERGES)
     d["bpe_bytes_train_merges"] = _bpe_bytes_train_sql(6)
     d["kn3_logprob"] = _KN3_ORACLE
+    d["kn3_heldout"] = _kn3_heldout_sql()
     d["stream_attribution_outer"] = """
         WITH wm AS (
           SELECT least(

@@ -263,6 +263,7 @@ HEADLINE = [
     "bpe_bytes_tokenize",
     "bpe_bytes_train_merges",
     "kn3_logprob",
+    "kn3_heldout",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -701,6 +701,112 @@ def kn3_logprob(df: DataFrame, text_col: str = "text",
                  .alias("mean_logprob")))
 
 
+def kn3_score(df: DataFrame, train_df: DataFrame,
+              text_col: str = "text", id_col: str = "doc_id",
+              discount: float = 0.75) -> DataFrame:
+    """HELD-OUT interpolated Kneser-Ney trigram scoring — the
+    production form of :func:`kn3_logprob`: fit the KN statistics on
+    ``train_df`` (yesterday's corpus), score ``df``'s documents with
+    the FULL backoff ladder, so unseen trigrams/bigrams/words get
+    principled probability mass instead of the self-trained guarantee:
+
+    - unseen trigram context → back off to ``p(w3|w2)``;
+    - ``w2`` never seen as a middle word → back off to the
+      continuation unigram;
+    - the continuation unigram itself is DISCOUNTED and interpolated
+      with the uniform ``1/(V+1)`` distribution (``V`` = train
+      vocabulary), so even an OOV ``w3`` scores a positive probability
+      (this is where it deviates from :func:`kn3_logprob`'s undiscounted
+      lowest level — mass must be reserved for OOV).
+
+    Every branch of the ladder is exact integer statistics + the same
+    micro-nat pinning, so the oracle replays the CASE ladder hash-exact.
+    Scoring is ONE corpus-sized trigram explode left-joined against the
+    five vocabulary-bounded stat tables (broadcast at sane vocab
+    sizes).  Output: ``id_col, n_trigrams, n_unseen, mean_logprob``
+    (``n_unseen`` = scored trigrams absent from training).
+    """
+    if not 0 < discount < 1:
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    dd = float(discount)
+
+    def _tg(frame: DataFrame) -> DataFrame:
+        arr = F.filter(_match_tokens(text_col), lambda t: t != F.lit(""))
+        n = F.size(arr)
+        trigrams = F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(" ", F.element_at(arr, i),
+                                  F.element_at(arr, i + 1),
+                                  F.element_at(arr, i + 2)))
+        return (spread(frame).where(n >= 3)
+                .select(F.col(id_col), F.explode(trigrams).alias("tg")))
+
+    c3 = (_tg(train_df).groupBy("tg").agg(F.count("*").alias("__c3"))
+          .select(F.split_part("tg", F.lit(" "), F.lit(1)).alias("w1"),
+                  F.split_part("tg", F.lit(" "), F.lit(2)).alias("w2"),
+                  F.split_part("tg", F.lit(" "), F.lit(3)).alias("w3"),
+                  "tg", "__c3")
+          .localCheckpoint())
+    ctx12 = c3.groupBy("w1", "w2").agg(
+        F.sum("__c3").alias("__c12"), F.count("*").alias("__n1p12"))
+    mid = c3.groupBy("w2", "w3").agg(F.count("*").alias("__nc23"))
+    mid2 = mid.groupBy("w2").agg(
+        F.sum("__nc23").alias("__nmid2"),
+        F.count("*").alias("__n1pfw2"))
+    end3 = mid.groupBy("w3").agg(F.count("*").alias("__nend3"))
+    scalars = mid.agg(F.count("*").alias("nt")).collect()[0]
+    ntypes = int(scalars["nt"])
+    if ntypes == 0:
+        raise ValueError("train_df yields no trigrams (need docs with "
+                         ">= 3 tokens)")
+    n_end = end3.count()
+    vocab = (spread(train_df)
+             .select(F.explode(F.filter(_match_tokens(text_col),
+                                        lambda t: t != F.lit("")))
+                     .alias("t"))
+             .agg(F.countDistinct("t")).collect()[0][0])
+    # continuation unigram with OOV mass: discounted seen types +
+    # uniform interpolation over V+1 — identical shape in the oracle
+    pc = (F.greatest(F.coalesce(F.col("__nend3"), F.lit(0))
+                     - F.lit(dd), F.lit(0.0)) / F.lit(float(ntypes))
+          + (F.lit(dd) * F.lit(float(n_end)) / F.lit(float(ntypes)))
+          * (F.lit(1.0) / F.lit(float(vocab) + 1.0)))
+    p2 = F.when(
+        F.col("__nmid2").isNotNull(),
+        F.greatest(F.coalesce(F.col("__nc23"), F.lit(0)) - F.lit(dd),
+                   F.lit(0.0)) / F.col("__nmid2")
+        + (F.lit(dd) * F.col("__n1pfw2") / F.col("__nmid2")) * pc
+    ).otherwise(pc)
+    p3 = F.when(
+        F.col("__c12").isNotNull(),
+        F.greatest(F.coalesce(F.col("__c3"), F.lit(0)) - F.lit(dd),
+                   F.lit(0.0)) / F.col("__c12")
+        + (F.lit(dd) * F.col("__n1p12") / F.col("__c12")) * p2
+    ).otherwise(p2)
+    score_tg = _tg(df).select(
+        F.col(id_col), "tg",
+        F.split_part("tg", F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part("tg", F.lit(" "), F.lit(2)).alias("w2"),
+        F.split_part("tg", F.lit(" "), F.lit(3)).alias("w3"))
+    scored = (score_tg
+              .join(c3.select("tg", "__c3"), "tg", "left")
+              .join(ctx12, ["w1", "w2"], "left")
+              .join(mid, ["w2", "w3"], "left")
+              .join(mid2, "w2", "left")
+              .join(end3, "w3", "left")
+              .select(F.col(id_col),
+                      F.round(F.log2(p3) * 1e6).cast("long")
+                      .alias("__mic"),
+                      F.col("__c3").isNull().cast("int")
+                      .alias("__unseen")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_trigrams"),
+                 F.sum("__unseen").alias("n_unseen"),
+                 (-F.expr("(-2 * sum(__mic) + count(*)) "
+                          "DIV (2 * count(*))") / 1e6)
+                 .alias("mean_logprob")))
+
+
 def lexical_stats(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Per-document lexical diversity: token count, vocabulary size,

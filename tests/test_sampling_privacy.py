@@ -372,6 +372,50 @@ def test_kn3_beats_bigram_on_fluent_vs_garbage(spark):
     assert (kn[10] - kn[100]) > (bg[10] - bg[100])
 
 
+def test_kn3_score_heldout_backoff_ladder(spark):
+    """Held-out KN with the full backoff ladder, hand-computed on the
+    micro-corpus (train: 'a b c' x2 + 'a b d'; NT=2 bigram types, E=2
+    continuation types, V=4): a fully-seen trigram, an unseen-w3
+    trigram (backs off through the discounted continuation + uniform
+    OOV mass), and an all-unseen trigram (bottoms out at the
+    continuation floor) all score the worked values."""
+    import math
+    from pypond_spark.datapipe.textstats import kn3_score
+    train = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "a b d")],
+        "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(10, "a b c"), (11, "a b x"), (12, "x y z")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in kn3_score(score, train).collect()}
+
+    def pin(p):
+        return round(math.log2(p) * 1e6) / 1e6
+
+    # seen: pc(c)=.275, p2=.33125, p3=(2-.75)/3 + .5*.33125
+    assert out[10]["n_unseen"] == 0
+    assert out[10]["mean_logprob"] == pytest.approx(
+        pin(1.25 / 3 + 0.5 * 0.33125), abs=2e-6)
+    # unseen w3: pc(x)=.15 (pure OOV mass), p2=.75*.15, p3=.5*p2
+    assert out[11]["n_unseen"] == 1
+    assert out[11]["mean_logprob"] == pytest.approx(
+        pin(0.5 * 0.75 * 0.15), abs=2e-6)
+    # all unseen: bottoms out at pc(z)=.15
+    assert out[12]["n_unseen"] == 1
+    assert out[12]["mean_logprob"] == pytest.approx(pin(0.15), abs=2e-6)
+    # the seen trigram outscores both backoff paths (note the partial
+    # path can land BELOW the bare continuation floor — two discount
+    # multipliers compound — so no total order is asserted between
+    # the two unseen shapes)
+    assert out[10]["mean_logprob"] > out[11]["mean_logprob"]
+    assert out[10]["mean_logprob"] > out[12]["mean_logprob"]
+    with pytest.raises(ValueError, match="discount"):
+        kn3_score(score, train, discount=0)
+    with pytest.raises(ValueError, match="trigram"):
+        kn3_score(score, spark.createDataFrame(
+            [(0, "a b")], "doc_id long, text string"))
+
+
 def test_weighted_take_per_group_quota_and_bias(spark):
     from pypond_spark.datapipe.sampling import weighted_take_per_group
     rows = [(i, "a" if i < 200 else "b",
