@@ -1533,6 +1533,77 @@ def _bpe_bytes_train_sql(n_merges: int) -> str:
     return "WITH " + ",\n            ".join(parts) + "\n            " + unions
 
 
+def q_wordpiece_train_merges(spark, sf_dir):
+    """WordPiece training, 5 ranks (tokenize.py::wordpiece_train,
+    Schuster & Nakajima 2012 / the BERT recipe): per rank ONE tagged
+    pair+unit count shuffle over the distinct-word frame, argmax on the
+    likelihood gain count(xy)/(count(x)count(y)) — an IEEE ratio of
+    exact integers, identical doubles on any engine — ties breaking
+    lexicographically.  Output is all-integer evidence; the oracle
+    replays the full loop as generated MATERIALIZED CTE stages."""
+    docs = _read(spark, sf_dir, "documents")
+    merges = dp_tok.wordpiece_train(docs, n_merges=5)
+    return spark.createDataFrame(
+        [(i + 1, *m) for i, m in enumerate(merges)],
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long, left_count long, "
+        "right_count long")
+
+
+def _wordpiece_train_sql(n_merges: int) -> str:
+    """DuckDB twin of wordpiece_train: ##-marked symbolization of the
+    distinct-word frame, then per rank a tagged pair+unit count, the
+    ratio argmax (same integer-derived doubles), and the rewrite."""
+    parts = ["""st0 AS MATERIALIZED (
+          SELECT chr(31) || substr(w, 1, 1) || chr(31)
+                 || coalesce(array_to_string(list_transform(
+                        generate_series(2, len(w)),
+                        i -> chr(31) || '##' || substr(w, i, 1)
+                             || chr(31)), ''), '') AS s,
+                 wc
+          FROM (SELECT substr(w0, 1, 12) AS w, count(*) AS wc
+                FROM (SELECT unnest(string_split_regex(trim(text),
+                                                       '\\s+')) AS w0
+                      FROM documents)
+                WHERE w0 != '' GROUP BY substr(w0, 1, 12))
+        )"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""c{i} AS MATERIALIZED (
+              SELECT u.k AS k, u.l AS l, u.r AS r,
+                     CAST(sum(wc) AS BIGINT) AS c
+              FROM (
+                SELECT wc, unnest(
+                  [{{'k': 1, 'l': a[k], 'r': a[k+1]}}
+                   for k in generate_series(1, greatest(len(a)-1, 0))]
+                  || [{{'k': 0, 'l': a[k], 'r': ''}}
+                      for k in generate_series(1, len(a))]) AS u
+                FROM (SELECT wc, list_filter(string_split(s, chr(31)),
+                                             t -> t != '') AS a
+                      FROM st{i - 1})
+              )
+              GROUP BY u.k, u.l, u.r)""")
+        parts.append(f"""t{i} AS (
+              SELECT p.l AS l, p.r AS r, p.c AS cp,
+                     ul.c AS cl, ur.c AS cr
+              FROM c{i} p
+              JOIN c{i} ul ON ul.k = 0 AND ul.l = p.l
+              JOIN c{i} ur ON ur.k = 0 AND ur.l = p.r
+              WHERE p.k = 1
+              ORDER BY p.c / (ul.c * ur.c) DESC, p.l, p.r LIMIT 1)""")
+        if i < n_merges:
+            parts.append(
+                f"st{i} AS MATERIALIZED (SELECT replace(s, "
+                f"chr(31)||l||chr(31)||chr(31)||r||chr(31), "
+                f"chr(31)||l||substr(r, 3)||chr(31)) AS s, wc "
+                f"FROM st{i - 1} CROSS JOIN t{i})")
+    unions = "\n            UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"l || substr(r, 3) AS merged, cp AS pair_count, "
+        f"cl AS left_count, cr AS right_count FROM t{i}"
+        for i in range(1, n_merges + 1))
+    return "WITH " + ",\n            ".join(parts) + "\n            " + unions
+
+
 def _bpe_bytes_sql(merges) -> str:
     """DuckDB twin of bpe_bytes_apply: chunk split (same RE2/Java
     pattern), hex -> alphabet substr per byte (strpos arithmetic, no
@@ -4625,6 +4696,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_png": q_image_phash_png,
         "bpe_bytes_tokenize": q_bpe_bytes_tokenize,
         "bpe_bytes_train_merges": q_bpe_bytes_train_merges,
+        "wordpiece_train_merges": q_wordpiece_train_merges,
         "kn3_logprob": q_kn3_logprob,
         "kn3_heldout": q_kn3_heldout,
         "stream_attribution_join": q_stream_attribution_join,
@@ -10752,6 +10824,7 @@ def oracle_sql() -> dict[str, str]:
     d["image_phash_png"] = d["image_phash"]
     d["bpe_bytes_tokenize"] = _bpe_bytes_sql(_BPE_BYTES_MERGES)
     d["bpe_bytes_train_merges"] = _bpe_bytes_train_sql(6)
+    d["wordpiece_train_merges"] = _wordpiece_train_sql(5)
     d["kn3_logprob"] = _KN3_ORACLE
     d["kn3_heldout"] = _kn3_heldout_sql()
     d["stream_attribution_outer"] = """

@@ -262,6 +262,7 @@ HEADLINE = [
     "image_phash_png",
     "bpe_bytes_tokenize",
     "bpe_bytes_train_merges",
+    "wordpiece_train_merges",
     "kn3_logprob",
     "kn3_heldout",
 ]

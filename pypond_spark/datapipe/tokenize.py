@@ -620,3 +620,87 @@ def wordpiece_apply(df: DataFrame, vocab, text_col: str = "text",
                     F.coalesce("tokens", F.array().cast("array<string>"))
                     .alias("tokens"))
             .withColumn("n_tokens", F.size("tokens")))
+
+
+def wordpiece_train(df: DataFrame, n_merges: int = 8,
+                    text_col: str = "text",
+                    max_word_len: int = 12) -> list[tuple]:
+    """Learn a WordPiece vocabulary (Schuster & Nakajima 2012; the BERT
+    recipe): like BPE training, but each rank merges the adjacent pair
+    maximizing the unigram-LM LIKELIHOOD GAIN ``count(xy) / (count(x)
+    · count(y))`` instead of the raw pair count — rare-but-cohesive
+    pairs win over merely-frequent ones.  Symbols carry the ``##``
+    continuation marker from the start (word ``the`` seeds as ``t``,
+    ``##h``, ``##e``; merging ``(t, ##h)`` yields ``th``), so the
+    learned pieces feed :func:`wordpiece_apply` directly.
+
+    Each iteration: ONE tagged explode over the DISTINCT-word frame
+    counts pairs (k=1) and unit symbols (k=0) in the same shuffle,
+    weighted by word frequency; the argmax orders by the IEEE ratio of
+    exact integer counts (identical doubles on any engine), ties
+    breaking lexicographically — fully replayable.  Cost is bounded by
+    the word vocabulary, never the corpus.
+
+    Returns ``[(left, right, merged, pair_count, left_count,
+    right_count), ...]`` in rank order — all-integer evidence, the
+    ratio is only the ordering key.
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    words = _corpus_words(df, text_col, max_word_len)
+    first = F.concat(F.lit(SEP), F.substring("w", 1, 1), F.lit(SEP))
+    idx = F.when(F.length("w") >= 2,
+                 F.sequence(F.lit(2), F.length("w"))) \
+        .otherwise(F.array().cast("array<int>"))
+    rest = F.concat_ws("", F.transform(
+        idx, lambda i: F.concat(F.lit(SEP + "##"),
+                                F.col("w").substr(i, F.lit(1)),
+                                F.lit(SEP))))
+    cur = words.select(F.concat(first, rest).alias("s"),
+                       "wc").localCheckpoint()
+    out: list[tuple] = []
+    empty_pairs = "array<struct<k:int,l:string,r:string>>"
+    for _ in range(int(n_merges)):
+        arr = F.filter(F.split(F.col("s"), SEP),
+                       lambda t: t != F.lit(""))
+        ks = F.when(F.size(arr) >= 2,
+                    F.sequence(F.lit(1), F.size(arr) - 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        tagged = (cur.select("wc", arr.alias("a"), ks.alias("ks"))
+                  .select("wc", F.explode(F.concat(
+                      F.transform(F.col("ks"), lambda k: F.struct(
+                          F.lit(1).alias("k"),
+                          F.element_at(F.col("a"), k).alias("l"),
+                          F.element_at(F.col("a"), k + 1).alias("r")))
+                      .cast(empty_pairs),
+                      F.transform(F.col("a"), lambda t: F.struct(
+                          F.lit(0).alias("k"), t.alias("l"),
+                          F.lit("").alias("r"))))).alias("x"))
+                  .select("wc", "x.k", "x.l", "x.r"))
+        cnt = (tagged.groupBy("k", "l", "r")
+               .agg(F.sum("wc").alias("c")).localCheckpoint())
+        units = cnt.where(F.col("k") == 0) \
+            .select(F.col("l").alias("u"), F.col("c").alias("cu"))
+        pick = (cnt.where(F.col("k") == 1)
+                .join(F.broadcast(units.withColumnRenamed("u", "__ul")
+                                  .withColumnRenamed("cu", "cl")),
+                      F.col("l") == F.col("__ul"))
+                .join(F.broadcast(units.withColumnRenamed("u", "__ur")
+                                  .withColumnRenamed("cu", "cr")),
+                      F.col("r") == F.col("__ur"))
+                .select("l", "r", F.col("c").alias("cp"), "cl", "cr",
+                        (F.col("c") / (F.col("cl") * F.col("cr")))
+                        .alias("ratio"))
+                .orderBy(F.desc("ratio"), "l", "r").limit(1).collect())
+        if not pick:
+            break
+        row = pick[0]
+        l, r = row["l"], row["r"]
+        merged = l + (r[2:] if r.startswith("##") else r)
+        out.append((l, r, merged, int(row["cp"]), int(row["cl"]),
+                    int(row["cr"])))
+        pat = SEP + l + SEP + SEP + r + SEP
+        cur = cur.select(F.replace("s", F.lit(pat),
+                                   F.lit(SEP + merged + SEP))
+                         .alias("s"), "wc").localCheckpoint()
+    return out

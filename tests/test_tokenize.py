@@ -231,3 +231,35 @@ def test_bpe_bytes_train_hand_computed(spark):
     assert toks[2] == ["the"]
     with pytest.raises(ValueError, match="n_merges"):
         tokenize.bpe_bytes_train(df, n_merges=0)
+
+
+def test_wordpiece_train_likelihood_objective(spark):
+    """WordPiece training maximizes count(xy)/(count(x)count(y)), not
+    the raw pair count: on 'aa aa aa ab' BPE would merge (a,a) (count
+    3) but WordPiece merges (a, ##b): pair counts 3 vs 1, yet the
+    ratios are 3/(4*5) vs 1/(4*1) — rare but perfectly cohesive
+    wins."""
+    df = spark.createDataFrame([(1, "aa aa aa ba ba ab")],
+                               ["doc_id", "text"])
+    merges = tokenize.wordpiece_train(df, n_merges=1)
+    assert merges[0][:3] == ("a", "##b", "ab")
+    assert merges[0][3:] == (1, 4, 1)     # pair, left, right counts
+    bpe_pick = tokenize.bpe_train(df, n_merges=1)[0]
+    assert (bpe_pick[0], bpe_pick[1]) == ("a", "a")   # the contrast
+
+
+def test_wordpiece_train_hand_computed_and_feeds_apply(spark):
+    """Three hand-walked ranks on 'the the th' (incl. two exact ratio
+    ties broken lexicographically), and the learned pieces drive
+    wordpiece_apply directly."""
+    df = spark.createDataFrame([(1, "the the th")], ["doc_id", "text"])
+    merges = tokenize.wordpiece_train(df, n_merges=3)
+    assert merges == [("##h", "##e", "##he", 2, 3, 2),
+                      ("t", "##h", "th", 1, 3, 1),
+                      ("t", "##he", "the", 2, 2, 2)]
+    vocab = (["t", "h", "e"] + ["##h", "##e"]
+             + [m[2] for m in merges])
+    toks = tokenize.wordpiece_apply(df, vocab).first()["tokens"]
+    assert toks == ["the", "the", "th"]
+    with pytest.raises(ValueError, match="n_merges"):
+        tokenize.wordpiece_train(df, n_merges=0)
