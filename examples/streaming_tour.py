@@ -101,6 +101,30 @@ def main() -> None:
           sorted((int(r["begin"].timestamp() * 1000), r["u_sensor"])
                  for r in dc))
 
+    # 8. round-9: bounded ingestion dedup — an event-time ttl= evicts
+    # idle claims once the watermark passes (state plateaus instead of
+    # growing forever; a post-expiry duplicate is re-admitted)
+    from pypond_spark.streaming.stream import stream_first_seen
+    keyed = source().selectExpr("sensor AS digest",
+                                "CAST(value AS LONG) AS doc_id", "time")
+    fs = run_available_now(
+        stream_first_seen(keyed, ttl="2m"), "append").collect()
+    print("first-seen claims (ttl=2m):",
+          sorted((r["digest"], r["doc_id"]) for r in fs))
+
+    # 9. round-9: stream-stream attribution join within a horizon;
+    # unmatched='emit' surfaces expired conversions with NULL views
+    from pypond_spark.streaming.stream import stream_attribution_join
+    views = source().selectExpr("sensor AS user_id",
+                                "CAST(value AS LONG) AS view_id", "time")
+    clicks = source().selectExpr("sensor AS user_id",
+                                 "CAST(value + 1 AS LONG) AS click_id",
+                                 "time")
+    pairs = run_available_now(
+        stream_attribution_join(views, clicks, horizon="1m"),
+        "append").collect()
+    print("attributed pairs within 1m:", len(pairs))
+
     spark.stop()
 
 
