@@ -2565,7 +2565,20 @@ def q_kn3_heldout(spark, sf_dir):
                              docs.where(F.col("doc_id") % 2 == 0))
 
 
-def _kn3_heldout_sql() -> str:
+def q_kn3_heldout_pruned(spark, sf_dir):
+    """kn3_score with the min_count=2 SCALE lever: singleton trigram
+    types are dropped before the marginals, routing their mass through
+    the backoff ladder — the documented fix for the adversarial
+    low-reuse corpus where nearly every type is a singleton (the 100M
+    stress measured ~12M types / 823s unpruned).  Same even/odd split;
+    the oracle prunes the same c3 CTE."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.kn3_score(docs.where(F.col("doc_id") % 2 == 1),
+                             docs.where(F.col("doc_id") % 2 == 0),
+                             min_count=2)
+
+
+def _kn3_heldout_sql(min_count: int = 1) -> str:
     """DuckDB twin of q_kn3_heldout: the _KN3_ORACLE stat machinery on
     the even half, the backoff CASE ladder on the odd half's trigrams.
     MATERIALIZED CTEs + explicit ONs per the kn3_logprob planner
@@ -2585,6 +2598,7 @@ def _kn3_heldout_sql() -> str:
       SELECT {tg} AS tg FROM arr_t WHERE len(a) >= 3
     ), c3 AS MATERIALIZED (
       SELECT tg, count(*) AS c3 FROM tg_t GROUP BY tg
+      HAVING count(*) >= {min_count}
     ), w AS MATERIALIZED (
       SELECT tg, c3, split_part(tg, ' ', 1) AS w1,
              split_part(tg, ' ', 2) AS w2,
@@ -4699,6 +4713,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_train_merges": q_wordpiece_train_merges,
         "kn3_logprob": q_kn3_logprob,
         "kn3_heldout": q_kn3_heldout,
+        "kn3_heldout_pruned": q_kn3_heldout_pruned,
         "stream_attribution_join": q_stream_attribution_join,
         "stream_attribution_outer": q_stream_attribution_outer,
         "isotonic_calibration": q_isotonic_calibration,
@@ -10827,6 +10842,7 @@ def oracle_sql() -> dict[str, str]:
     d["wordpiece_train_merges"] = _wordpiece_train_sql(5)
     d["kn3_logprob"] = _KN3_ORACLE
     d["kn3_heldout"] = _kn3_heldout_sql()
+    d["kn3_heldout_pruned"] = _kn3_heldout_sql(min_count=2)
     d["stream_attribution_outer"] = """
         WITH wm AS (
           SELECT least(

@@ -265,6 +265,7 @@ HEADLINE = [
     "wordpiece_train_merges",
     "kn3_logprob",
     "kn3_heldout",
+    "kn3_heldout_pruned",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -703,7 +703,8 @@ def kn3_logprob(df: DataFrame, text_col: str = "text",
 
 def kn3_score(df: DataFrame, train_df: DataFrame,
               text_col: str = "text", id_col: str = "doc_id",
-              discount: float = 0.75) -> DataFrame:
+              discount: float = 0.75,
+              min_count: int = 1) -> DataFrame:
     """HELD-OUT interpolated Kneser-Ney trigram scoring — the
     production form of :func:`kn3_logprob`: fit the KN statistics on
     ``train_df`` (yesterday's corpus), score ``df``'s documents with
@@ -725,9 +726,20 @@ def kn3_score(df: DataFrame, train_df: DataFrame,
     five vocabulary-bounded stat tables (broadcast at sane vocab
     sizes).  Output: ``id_col, n_trigrams, n_unseen, mean_logprob``
     (``n_unseen`` = scored trigrams absent from training).
+
+    ``min_count`` is the SCALE lever: trigram types with training count
+    below it are dropped BEFORE the marginals (their mass routes
+    through the backoff ladder like any unseen event — standard KN
+    count pruning).  This is what bounds the stat tables on adversarial
+    low-reuse corpora: the 100M-char random-text stress measured ~12M
+    trigram TYPES (nearly all singletons) driving an 823s wall;
+    ``min_count=2`` collapses exactly that singleton mass.  Natural
+    Zipfian corpora barely move.  Default 1 = no pruning.
     """
     if not 0 < discount < 1:
         raise ValueError(f"discount must be in (0,1), got {discount}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     dd = float(discount)
 
     def _tg(frame: DataFrame) -> DataFrame:
@@ -742,6 +754,7 @@ def kn3_score(df: DataFrame, train_df: DataFrame,
                 .select(F.col(id_col), F.explode(trigrams).alias("tg")))
 
     c3 = (_tg(train_df).groupBy("tg").agg(F.count("*").alias("__c3"))
+          .where(F.col("__c3") >= F.lit(int(min_count)))
           .select(F.split_part("tg", F.lit(" "), F.lit(1)).alias("w1"),
                   F.split_part("tg", F.lit(" "), F.lit(2)).alias("w2"),
                   F.split_part("tg", F.lit(" "), F.lit(3)).alias("w3"),

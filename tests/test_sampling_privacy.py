@@ -409,8 +409,24 @@ def test_kn3_score_heldout_backoff_ladder(spark):
     # the two unseen shapes)
     assert out[10]["mean_logprob"] > out[11]["mean_logprob"]
     assert out[10]["mean_logprob"] > out[12]["mean_logprob"]
+    # min_count pruning: dropping the singleton type (a,b,d) routes its
+    # mass through the backoff ladder — hand-worked: pc(d) has no
+    # continuation mass left (0.15 pure OOV), p = .375 * .75 * .15
+    pruned = {r["doc_id"]: r for r in
+              kn3_score(score, train, min_count=2).collect()}
+    assert pruned[11]["n_unseen"] == 1
+    assert pruned[10]["mean_logprob"] == pytest.approx(
+        pin(0.625 + 0.375 * 0.55), abs=2e-6)
+    probe = spark.createDataFrame([(13, "a b d")],
+                                  "doc_id long, text string")
+    pd_ = kn3_score(probe, train, min_count=2).first()
+    assert pd_["n_unseen"] == 1
+    assert pd_["mean_logprob"] == pytest.approx(
+        pin(0.375 * 0.75 * 0.15), abs=2e-6)
     with pytest.raises(ValueError, match="discount"):
         kn3_score(score, train, discount=0)
+    with pytest.raises(ValueError, match="min_count"):
+        kn3_score(score, train, min_count=0)
     with pytest.raises(ValueError, match="trigram"):
         kn3_score(score, spark.createDataFrame(
             [(0, "a b")], "doc_id long, text string"))
