@@ -977,6 +977,19 @@ def q_stream_first_seen(spark, sf_dir):
     return _run_stream_32(spark, out, "append")
 
 
+def _attrib_streams(spark, sf_dir):
+    """The (views, clicks) stream pair both attribution rows share."""
+    views = (_events_stream(spark, sf_dir)
+             .where(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     "time"))
+    clicks = (_events_stream(spark, sf_dir)
+              .where(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      "time"))
+    return views, clicks
+
+
 def q_stream_attribution_join(spark, sf_dir):
     """Stream-stream watermarked interval join (streaming/stream.py::
     stream_attribution_join) — the one Structured Streaming capability
@@ -986,14 +999,7 @@ def q_stream_attribution_join(spark, sf_dir):
     time-range condition.  All matching pairs emit (batch interval-join
     semantics), so the oracle is the plain batch interval join."""
     from pypond_spark.streaming.stream import stream_attribution_join
-    views = (_events_stream(spark, sf_dir)
-             .where(F.col("event_type") == "view")
-             .select("user_id", F.col("event_id").alias("view_id"),
-                     "time"))
-    clicks = (_events_stream(spark, sf_dir)
-              .where(F.col("event_type") == "click")
-              .select("user_id", F.col("event_id").alias("click_id"),
-                      "time"))
+    views, clicks = _attrib_streams(spark, sf_dir)
     out = stream_attribution_join(views, clicks, horizon="1h")
     return _run_stream_32(spark, out, "append")
 
@@ -1009,14 +1015,7 @@ def q_stream_attribution_outer(spark, sf_dir):
     (min of the two sides' max event times) — clicks at the frontier
     stay held in state."""
     from pypond_spark.streaming.stream import stream_attribution_join
-    views = (_events_stream(spark, sf_dir)
-             .where(F.col("event_type") == "view")
-             .select("user_id", F.col("event_id").alias("view_id"),
-                     "time"))
-    clicks = (_events_stream(spark, sf_dir)
-              .where(F.col("event_type") == "click")
-              .select("user_id", F.col("event_id").alias("click_id"),
-                      "time"))
+    views, clicks = _attrib_streams(spark, sf_dir)
     out = stream_attribution_join(views, clicks, horizon="1h",
                                   unmatched="emit")
     return _run_stream_32(spark, out, "append")
@@ -1464,6 +1463,19 @@ def q_bpe_bytes_tokenize(spark, sf_dir):
                       F.concat_ws(" ", "tokens").alias("token_stream"))
 
 
+def _byte_sym_agg() -> str:
+    """The ONE hex->byte-symbol string_agg both byte-BPE oracles share
+    (per the r4 no-hex-cast drift note: strpos arithmetic only): input
+    rows must carry (h hex string, i 1-based byte index)."""
+    from pypond_spark.datapipe.tokenize import BYTE_ALPHABET
+    alpha = BYTE_ALPHABET.replace("'", "''")
+    return f"""string_agg(chr(31) || substr('{alpha}',
+                     (strpos('0123456789ABCDEF',
+                             substr(h, 2 * i - 1, 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF', substr(h, 2 * i, 1)),
+                     1) || chr(31), '' ORDER BY i)"""
+
+
 def q_bpe_bytes_train_merges(spark, sf_dir):
     """Byte-level BPE training, 6 ranks (tokenize.py::bpe_bytes_train):
     per rank ONE pair-count shuffle over the CHUNK VOCABULARY weighted
@@ -1485,9 +1497,7 @@ def _bpe_bytes_train_sql(n_merges: int) -> str:
     machinery over the DISTINCT-chunk frame with counts, then the
     generated per-rank pair-count/argmax/rewrite chain of
     _bpe_train_sql, weighted by chunk frequency."""
-    from pypond_spark.datapipe.tokenize import (BYTE_ALPHABET,
-                                                BYTE_CHUNK_PATTERN)
-    alpha = BYTE_ALPHABET.replace("'", "''")
+    from pypond_spark.datapipe.tokenize import BYTE_CHUNK_PATTERN
     parts = [f"""cc AS MATERIALIZED (
           SELECT chunk, count(*) AS wc FROM (
             SELECT unnest(regexp_extract_all(text,
@@ -1498,11 +1508,7 @@ def _bpe_bytes_train_sql(n_merges: int) -> str:
           SELECT chunk, wc, h, unnest(generate_series(1, len(h) // 2)) AS i
           FROM (SELECT chunk, wc, hex(encode(chunk)) AS h FROM cc)
         ), st0 AS MATERIALIZED (
-          SELECT string_agg(chr(31) || substr('{alpha}',
-                     (strpos('0123456789ABCDEF',
-                             substr(h, 2 * i - 1, 1)) - 1) * 16
-                     + strpos('0123456789ABCDEF', substr(h, 2 * i, 1)),
-                     1) || chr(31), '' ORDER BY i) AS s,
+          SELECT {_byte_sym_agg()} AS s,
                  any_value(wc) AS wc
           FROM hxi GROUP BY chunk
         )"""]
@@ -1609,9 +1615,7 @@ def _bpe_bytes_sql(merges) -> str:
     pattern), hex -> alphabet substr per byte (strpos arithmetic, no
     '0x' casts per the r4 drift note), nested replace chain, ordered
     per-doc reassembly."""
-    from pypond_spark.datapipe.tokenize import (BYTE_ALPHABET,
-                                                BYTE_CHUNK_PATTERN)
-    alpha = BYTE_ALPHABET.replace("'", "''")
+    from pypond_spark.datapipe.tokenize import BYTE_CHUNK_PATTERN
     expr = "s"
     for x, y in merges:
         qx, qy, qxy = (v.replace("'", "''") for v in (x, y, x + y))
@@ -1638,11 +1642,7 @@ def _bpe_bytes_sql(merges) -> str:
           FROM hx
         ), sym AS (
           SELECT chunk,
-                 string_agg(chr(31) || substr('{alpha}',
-                     (strpos('0123456789ABCDEF',
-                             substr(h, 2 * i - 1, 1)) - 1) * 16
-                     + strpos('0123456789ABCDEF', substr(h, 2 * i, 1)),
-                     1) || chr(31), '' ORDER BY i) AS s
+                 {_byte_sym_agg()} AS s
           FROM hxi
           GROUP BY chunk
         ), tok AS (

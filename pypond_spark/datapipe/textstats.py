@@ -612,6 +612,52 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                  F.avg("__lp").alias("mean_logprob")))
 
 
+def _kn3_trigrams(frame: DataFrame, text_col: str,
+                  id_col: str) -> DataFrame:
+    """(id, tg) trigram explode over normalized tokens — the single
+    tokenization both KN operators (and their oracles) mirror; docs
+    with <3 tokens are absent."""
+    arr = F.filter(_match_tokens(text_col), lambda t: t != F.lit(""))
+    n = F.size(arr)
+    trigrams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(arr, i),
+                              F.element_at(arr, i + 1),
+                              F.element_at(arr, i + 2)))
+    return (spread(frame).where(n >= 3)
+            .select(F.col(id_col), F.explode(trigrams).alias("tg")))
+
+
+def _kn3_stats(tg: DataFrame, min_count: int = 1):
+    """Every KN statistic from ONE distinct-trigram count table (unique
+    on (w1,w2,w3), so COUNT(*) of any grouping is a distinct-type
+    count): returns ``(c3, ctx12, mid, mid2, end3, ntypes, n_end)``.
+    ``c3`` and ``mid`` are checkpointed (each feeds 2+ downstream
+    aggs); the two scalars come out of one action."""
+    c3 = (tg.groupBy("tg").agg(F.count("*").alias("__c3"))
+          .where(F.col("__c3") >= F.lit(int(min_count)))
+          .select(F.split_part("tg", F.lit(" "), F.lit(1)).alias("w1"),
+                  F.split_part("tg", F.lit(" "), F.lit(2)).alias("w2"),
+                  F.split_part("tg", F.lit(" "), F.lit(3)).alias("w3"),
+                  "tg", "__c3")
+          .localCheckpoint())
+    ctx12 = c3.groupBy("w1", "w2").agg(
+        F.sum("__c3").alias("__c12"),       # trigram-marginal c(w1 w2)
+        F.count("*").alias("__n1p12"))      # N1+(w1 w2 ·)
+    mid = (c3.groupBy("w2", "w3")
+           .agg(F.count("*").alias("__nc23"))   # N1+(· w2 w3)
+           .localCheckpoint())
+    mid2 = mid.groupBy("w2").agg(
+        F.sum("__nc23").alias("__nmid2"),   # N1+(· w2 ·)
+        F.count("*").alias("__n1pfw2"))     # N1+(w2 ·)
+    end3 = mid.groupBy("w3").agg(
+        F.count("*").alias("__nend3"))      # N1+(· w3)
+    scal = mid.agg(F.count("*").alias("nt"),
+                   F.countDistinct("w3").alias("ne")).collect()[0]
+    return (c3, ctx12, mid, mid2, end3, int(scal["nt"]),
+            int(scal["ne"] or 0))
+
+
 def kn3_logprob(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id",
                 discount: float = 0.75) -> DataFrame:
@@ -647,35 +693,8 @@ def kn3_logprob(df: DataFrame, text_col: str = "text",
     if not 0 < discount < 1:
         raise ValueError(f"discount must be in (0,1), got {discount}")
     dd = float(discount)
-    arr = F.filter(_match_tokens(text_col), lambda t: t != F.lit(""))
-    n = F.size(arr)
-    trigrams = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(" ", F.element_at(arr, i),
-                              F.element_at(arr, i + 1),
-                              F.element_at(arr, i + 2)))
-    tg = (spread(df).where(n >= 3)
-          .select(F.col(id_col), F.explode(trigrams).alias("tg")))
-    # distinct-trigram count table: unique on (w1,w2,w3), so COUNT(*)
-    # of any grouping of it is a distinct-type count — every KN N1+
-    # statistic is one agg over this vocabulary-bounded frame
-    c3 = (tg.groupBy("tg").agg(F.count("*").alias("__c3"))
-          .select(F.split_part("tg", F.lit(" "), F.lit(1)).alias("w1"),
-                  F.split_part("tg", F.lit(" "), F.lit(2)).alias("w2"),
-                  F.split_part("tg", F.lit(" "), F.lit(3)).alias("w3"),
-                  "tg", "__c3")
-          .localCheckpoint())
-    ctx12 = c3.groupBy("w1", "w2").agg(
-        F.sum("__c3").alias("__c12"),       # trigram-marginal c(w1 w2)
-        F.count("*").alias("__n1p12"))      # N1+(w1 w2 ·)
-    mid = c3.groupBy("w2", "w3").agg(
-        F.count("*").alias("__nc23"))       # N1+(· w2 w3)
-    mid2 = mid.groupBy("w2").agg(
-        F.sum("__nc23").alias("__nmid2"),   # N1+(· w2 ·)
-        F.count("*").alias("__n1pfw2"))     # N1+(w2 ·)
-    end3 = mid.groupBy("w3").agg(
-        F.count("*").alias("__nend3"))      # N1+(· w3)
-    ntypes = mid.count()                    # |bigram types| (scalar)
+    tg = _kn3_trigrams(df, text_col, id_col)
+    c3, ctx12, mid, mid2, end3, ntypes, _ = _kn3_stats(tg)
     # assemble p on the vocabulary-bounded table, ONE corpus join below.
     # Expression shape (parenthesization, operand order) is mirrored
     # verbatim by the oracle — same doubles, same log2 input.
@@ -742,37 +761,12 @@ def kn3_score(df: DataFrame, train_df: DataFrame,
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     dd = float(discount)
 
-    def _tg(frame: DataFrame) -> DataFrame:
-        arr = F.filter(_match_tokens(text_col), lambda t: t != F.lit(""))
-        n = F.size(arr)
-        trigrams = F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(" ", F.element_at(arr, i),
-                                  F.element_at(arr, i + 1),
-                                  F.element_at(arr, i + 2)))
-        return (spread(frame).where(n >= 3)
-                .select(F.col(id_col), F.explode(trigrams).alias("tg")))
-
-    c3 = (_tg(train_df).groupBy("tg").agg(F.count("*").alias("__c3"))
-          .where(F.col("__c3") >= F.lit(int(min_count)))
-          .select(F.split_part("tg", F.lit(" "), F.lit(1)).alias("w1"),
-                  F.split_part("tg", F.lit(" "), F.lit(2)).alias("w2"),
-                  F.split_part("tg", F.lit(" "), F.lit(3)).alias("w3"),
-                  "tg", "__c3")
-          .localCheckpoint())
-    ctx12 = c3.groupBy("w1", "w2").agg(
-        F.sum("__c3").alias("__c12"), F.count("*").alias("__n1p12"))
-    mid = c3.groupBy("w2", "w3").agg(F.count("*").alias("__nc23"))
-    mid2 = mid.groupBy("w2").agg(
-        F.sum("__nc23").alias("__nmid2"),
-        F.count("*").alias("__n1pfw2"))
-    end3 = mid.groupBy("w3").agg(F.count("*").alias("__nend3"))
-    scalars = mid.agg(F.count("*").alias("nt")).collect()[0]
-    ntypes = int(scalars["nt"])
+    tg_train = _kn3_trigrams(train_df, text_col, id_col)
+    c3, ctx12, mid, mid2, end3, ntypes, n_end = _kn3_stats(tg_train,
+                                                           min_count)
     if ntypes == 0:
         raise ValueError("train_df yields no trigrams (need docs with "
                          ">= 3 tokens)")
-    n_end = end3.count()
     vocab = (spread(train_df)
              .select(F.explode(F.filter(_match_tokens(text_col),
                                         lambda t: t != F.lit("")))
@@ -796,7 +790,7 @@ def kn3_score(df: DataFrame, train_df: DataFrame,
                    F.lit(0.0)) / F.col("__c12")
         + (F.lit(dd) * F.col("__n1p12") / F.col("__c12")) * p2
     ).otherwise(p2)
-    score_tg = _tg(df).select(
+    score_tg = _kn3_trigrams(df, text_col, id_col).select(
         F.col(id_col), "tg",
         F.split_part("tg", F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part("tg", F.lit(" "), F.lit(2)).alias("w2"),

@@ -1883,6 +1883,12 @@ def stream_simhash_dedup(sdf: DataFrame, text_col: str = "text",
     if n_bands < 2 or n_bands % 2 or 64 % n_bands:
         raise ValueError(f"n_bands must be even and divide 64, "
                          f"got {n_bands}")
+    if ttl is not None and time_col not in sdf.columns:
+        # the carry-schema build below would KeyError first — raise the
+        # same clear contract error _first_seen_ttl_prep gives
+        raise ValueError(
+            f"ttl needs event-time column {time_col!r} in the frame "
+            f"(claim expiry is watermark-bounded)")
     width = 64 // n_bands
     sh = simhash_rowwise(sdf, text_col, id_col,
                          carry_cols=(time_col,) if ttl is not None
@@ -2019,6 +2025,10 @@ def stream_minhash_dedup(sdf: DataFrame, text_col: str = "text",
     :func:`stream_first_seen`; ties inside a micro-batch break to the
     smallest id.
     """
+    if ttl is not None and time_col not in sdf.columns:
+        raise ValueError(
+            f"ttl needs event-time column {time_col!r} in the frame "
+            f"(claim expiry is watermark-bounded)")
     keyed = minhash_bands_rowwise(sdf, text_col, id_col, num_hashes,
                                   band_size, shingle_n, hash_fn,
                                   carry_cols=(time_col,)

@@ -34,6 +34,12 @@ def load(path: str) -> dict:
     return doc.get("parsed", doc)
 
 
+#: the one picking rule this comparer knows how to recompute; bench.py
+#: stamps it in ``timing_method`` — if a future artifact declares a
+#: DIFFERENT method, we must NOT re-derive with a stale rule
+_KNOWN_METHOD = "median_all_reps_under_2s_else_min_first2"
+
+
 def _normalize_timings(doc: dict) -> dict:
     """Per-query times, normalized to the round-9 picking rule when the
     raw reps are available (``all_runs`` in bench_full artifacts):
@@ -41,8 +47,14 @@ def _normalize_timings(doc: dict) -> dict:
     lets a post-r9 median artifact diff fairly against a pre-r9 min
     artifact — both sides are recomputed from the same rule instead of
     comparing a median to a lottery-luck min.  Artifacts without
-    all_runs (driver BENCH_r files) are used as recorded."""
+    all_runs (driver BENCH_r files) are used as recorded, and an
+    artifact whose ``timing_method`` marker names a rule this comparer
+    does not know is used as recorded too (re-deriving with a stale
+    rule would manufacture spurious regressions)."""
     q = dict(doc.get("queries", {}))
+    method = doc.get("timing_method")
+    if method is not None and method != _KNOWN_METHOD:
+        return q
     for name, rs in (doc.get("all_runs") or {}).items():
         rs = [x for x in (rs or []) if x is not None]
         if rs and name in q:
