@@ -1119,6 +1119,15 @@ def test_stream_simhash_dedup_ttl_eviction(spark, tmp_path):
     assert len(claims[2]) == 4
     # the clone re-claimed base's exact band set after eviction
     assert claims[3] == claims[1]
+    # ttl on a frame with no event-time column: the designed contract
+    # error, not a schema KeyError from the carry-column build
+    from pypond_spark.streaming.stream import stream_minhash_dedup
+    no_time = (spark.readStream.schema(schema).json(str(src))
+               .drop("t_ms"))
+    with pytest.raises(ValueError, match="event-time"):
+        stream_simhash_dedup(no_time, ttl="1m")
+    with pytest.raises(ValueError, match="event-time"):
+        stream_minhash_dedup(no_time, ttl="1m")
 
 
 def test_simhash_py_unicode_whitespace_parity(spark):
