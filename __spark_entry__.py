@@ -1595,7 +1595,9 @@ def _wordpiece_train_sql(n_merges: int) -> str:
               JOIN c{i} ul ON ul.k = 0 AND ul.l = p.l
               JOIN c{i} ur ON ur.k = 0 AND ur.l = p.r
               WHERE p.k = 1
-              ORDER BY p.c / (ul.c * ur.c) DESC, p.l, p.r LIMIT 1)""")
+              ORDER BY p.c / (CAST(ul.c AS DOUBLE)
+                              * CAST(ur.c AS DOUBLE)) DESC,
+                       p.l, p.r LIMIT 1)""")
         if i < n_merges:
             parts.append(
                 f"st{i} AS MATERIALIZED (SELECT replace(s, "

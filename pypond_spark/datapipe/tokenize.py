@@ -689,7 +689,14 @@ def wordpiece_train(df: DataFrame, n_merges: int = 8,
                                   .withColumnRenamed("cu", "cr")),
                       F.col("r") == F.col("__ur"))
                 .select("l", "r", F.col("c").alias("cp"), "cl", "cr",
-                        (F.col("c") / (F.col("cl") * F.col("cr")))
+                        # cast BOTH unit counts to double BEFORE the
+                        # product: a BIGINT*BIGINT wraps silently in
+                        # Spark's default non-ANSI mode at extreme
+                        # corpus scale while DuckDB raises; the double
+                        # product keeps the argmax an IEEE computation
+                        # on both engines (oracle mirrors the casts)
+                        (F.col("c") / (F.col("cl").cast("double")
+                                       * F.col("cr").cast("double")))
                         .alias("ratio"))
                 .orderBy(F.desc("ratio"), "l", "r").limit(1).collect())
         if not pick:

@@ -320,6 +320,29 @@ def test_bench_compare_normalizes_sub2s_rows_to_median(tmp_path):
     assert "9.00s -> 9.10s" in proc.stdout
 
 
+def test_bench_compare_tiers_once_per_query_from_both_artifacts(tmp_path):
+    """A query whose min(rs[:2]) straddles the 2.0s boundary between
+    rounds must get the SAME statistic on both sides (r9 ADVICE): tier
+    from the smaller of the two mins -> median-vs-median here, so the
+    steady ~2.05s row diffs ~1.0x instead of median(2.1) vs min(1.9)."""
+    import json as _json
+    import subprocess
+    import sys
+    base = {"value": 2.1, "queries": {"q1": 2.1},
+            "all_runs": {"q1": [2.1, 2.2, 2.05]}}
+    now = {"value": 1.9, "queries": {"q1": 1.9},
+           "all_runs": {"q1": [1.9, 2.15, 2.1]}}
+    bp, np_ = tmp_path / "base.json", tmp_path / "now.json"
+    bp.write_text(_json.dumps(base))
+    np_.write_text(_json.dumps(now))
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_compare.py", str(bp), str(np_)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stdout
+    # both sides median: 2.10s -> 2.10s, not 2.10s -> 1.90s
+    assert "2.10s -> 2.10s" in proc.stdout
+
+
 def test_bench_compare_fails_on_missing_query(tmp_path):
     import json as _json
     import subprocess

@@ -40,27 +40,49 @@ def load(path: str) -> dict:
 _KNOWN_METHOD = "median_all_reps_under_2s_else_min_first2"
 
 
-def _normalize_timings(doc: dict) -> dict:
-    """Per-query times, normalized to the round-9 picking rule when the
-    raw reps are available (``all_runs`` in bench_full artifacts):
-    median of all reps for sub-2s rows, min-of-first-2 otherwise.  This
-    lets a post-r9 median artifact diff fairly against a pre-r9 min
-    artifact — both sides are recomputed from the same rule instead of
-    comparing a median to a lottery-luck min.  Artifacts without
-    all_runs (driver BENCH_r files) are used as recorded, and an
-    artifact whose ``timing_method`` marker names a rule this comparer
-    does not know is used as recorded too (re-deriving with a stale
-    rule would manufacture spurious regressions)."""
-    q = dict(doc.get("queries", {}))
+def _usable_runs(doc: dict) -> dict:
+    """``all_runs`` with Nones dropped, or {} when the artifact's
+    ``timing_method`` names a rule this comparer does not know (re-
+    deriving with a stale rule would manufacture spurious
+    regressions)."""
     method = doc.get("timing_method")
     if method is not None and method != _KNOWN_METHOD:
-        return q
-    for name, rs in (doc.get("all_runs") or {}).items():
-        rs = [x for x in (rs or []) if x is not None]
+        return {}
+    return {name: [x for x in (rs or []) if x is not None]
+            for name, rs in (doc.get("all_runs") or {}).items()}
+
+
+def _normalize_timings(doc: dict, runs: dict, tiers: dict) -> dict:
+    """Per-query times recomputed from raw reps under the round-9
+    picking rule — median of all reps for sub-2s rows, min-of-first-2
+    otherwise — with the sub-2s/over-2s TIER decided once per query
+    from BOTH artifacts together (``tiers``, from :func:`_joint_tiers`)
+    rather than per artifact.  A per-artifact tier pick lets a query
+    whose min(rs[:2]) straddles the 2.0s boundary between rounds get a
+    median-vs-min comparison — exactly the asymmetry this normalization
+    exists to remove.  Artifacts without all_runs (driver BENCH_r
+    files) are used as recorded."""
+    q = dict(doc.get("queries", {}))
+    for name, rs in runs.items():
         if rs and name in q:
             q[name] = (round(statistics.median(rs), 3)
-                       if min(rs[:2]) < 2.0 else min(rs[:2]))
+                       if tiers.get(name) == "median" else min(rs[:2]))
     return q
+
+
+def _joint_tiers(base_runs: dict, now_runs: dict) -> dict:
+    """One statistic per query, shared by both sides: ``median`` if the
+    SMALLER of the two artifacts' min(rs[:2]) is under 2.0s (so a row
+    that is sub-2s in either round diffs median-vs-median), ``min``
+    otherwise.  Queries with reps in only one artifact tier on that
+    artifact alone."""
+    tiers = {}
+    for name in set(base_runs) | set(now_runs):
+        mins = [min(rs[:2]) for rs in (base_runs.get(name),
+                                       now_runs.get(name)) if rs]
+        if mins:
+            tiers[name] = "median" if min(mins) < 2.0 else "min"
+    return tiers
 
 
 def _min_or_none(xs):
@@ -75,8 +97,12 @@ def main() -> None:
     # the streaming tier (bench.py STREAM, keys stream_queries) diffs with
     # the same rules; tiers are merged with distinct names so a query
     # can't shadow its batch twin
-    bq = dict(_normalize_timings(base), **base.get("stream_queries", {}))
-    nq = dict(_normalize_timings(now), **now.get("stream_queries", {}))
+    base_runs, now_runs = _usable_runs(base), _usable_runs(now)
+    tiers = _joint_tiers(base_runs, now_runs)
+    bq = dict(_normalize_timings(base, base_runs, tiers),
+              **base.get("stream_queries", {}))
+    nq = dict(_normalize_timings(now, now_runs, tiers),
+              **now.get("stream_queries", {}))
     b_gc, n_gc = base.get("gc_ms", {}), now.get("gc_ms", {})
     regressed = []
     for name, t_now in sorted(nq.items()):
