@@ -21,9 +21,9 @@ Mapping of the reference's push-based stream mode:
 from __future__ import annotations
 
 import uuid
-from bisect import bisect_left
 from typing import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -128,38 +128,75 @@ def _whole_group(pdfs: Iterator[pd.DataFrame], time_col: str,
     return pdf.sort_values([time_col, *tiebreak], kind="mergesort")
 
 
+def _t_ms(pdf: pd.DataFrame, time_col: str) -> "np.ndarray":
+    """Event times of a (sorted) group chunk as int64 epoch-ms — the
+    vectorized twin of the old per-row ``row[time_col].value // 10**6``
+    (``astype('int64')`` is ns-since-epoch for both naive and tz-aware
+    pandas datetime columns)."""
+    return (pdf[time_col].astype("int64") // 10**6).to_numpy()
+
+
+def _f64(pdf: pd.DataFrame, col: str) -> "np.ndarray":
+    """A value column as float64 with NaN for missing (None/NaN alike)."""
+    return pdf[col].to_numpy(dtype="float64", na_value=np.nan)
+
+
+def _key_frame(key, keys: list[str], n: int, cols: dict) -> pd.DataFrame:
+    """Output frame builder: the group key broadcast over ``n`` rows,
+    followed by the value columns (all length ``n``) in ``cols`` order."""
+    data = {k: np.full(n, kv, dtype=object) for k, kv in zip(keys, key)}
+    data.update(cols)
+    return pd.DataFrame(data)
+
+
 def _rate_state_fn(fields: list[str], keys: list[str], time_col: str,
                    allow_negative: bool, counter_wrap: float | None = None):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        """Vectorized: consecutive-pair rates via shifted numpy arrays
+        (state-prepended), elementwise IEEE-identical to the former
+        per-row loop ((cv - pv) / ((cur - prev) / 1000.0), same wrap
+        add), so drained output is bit-for-bit unchanged."""
         if state.exists:
             prev_ms, prev_vals = state.get[0], list(state.get[1:])
         else:
             prev_ms, prev_vals = None, [None] * len(fields)
-        outs = []
         pdf = _whole_group(pdfs, time_col)
-        if len(pdf):
-            for _, row in pdf.iterrows():
-                cur_ms = int(row[time_col].value // 10**6)
-                cur_vals = [None if pd.isna(row[f]) else float(row[f])
-                            for f in fields]
-                if prev_ms is not None:
-                    rec = list(key) + [prev_ms, cur_ms]
-                    dt_sec = (cur_ms - prev_ms) / 1000.0
-                    for pv, cv in zip(prev_vals, cur_vals):
-                        if pv is None or cv is None or dt_sec == 0:
-                            rec.append(None)
-                        else:
-                            delta = cv - pv
-                            if counter_wrap is not None and delta < 0:
-                                delta += counter_wrap
-                            r = delta / dt_sec
-                            rec.append(None if (not allow_negative and r < 0)
-                                       else r)
-                    outs.append(rec)
-                prev_ms, prev_vals = cur_ms, cur_vals
-        state.update((prev_ms, *prev_vals))
         cols = keys + ["begin_ms", "end_ms"] + [f"{f}_rate" for f in fields]
-        yield pd.DataFrame(outs, columns=cols)
+        if not len(pdf):
+            yield pd.DataFrame([], columns=cols)
+            return
+        t_new = _t_ms(pdf, time_col)
+        vals = {f: _f64(pdf, f) for f in fields}
+        if prev_ms is not None:
+            t_all = np.concatenate(
+                [np.array([prev_ms], dtype=np.int64), t_new])
+            v_all = {f: np.concatenate(
+                [np.array([np.nan if prev_vals[i] is None
+                           else prev_vals[i]]), vals[f]])
+                for i, f in enumerate(fields)}
+        else:
+            t_all, v_all = t_new, vals
+        state.update((int(t_all[-1]),
+                      *(None if np.isnan(v_all[f][-1]) else float(v_all[f][-1])
+                        for f in fields)))
+        if len(t_all) < 2:
+            yield pd.DataFrame([], columns=cols)
+            return
+        begin, end = t_all[:-1], t_all[1:]
+        dt_sec = (end - begin) / 1000.0
+        out_cols = {"begin_ms": begin, "end_ms": end}
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for f in fields:
+                pv, cv = v_all[f][:-1], v_all[f][1:]
+                delta = cv - pv
+                if counter_wrap is not None:
+                    delta = np.where(delta < 0, delta + counter_wrap, delta)
+                r = delta / dt_sec
+                bad = np.isnan(pv) | np.isnan(cv) | (dt_sec == 0)
+                if not allow_negative:
+                    bad |= ~np.isnan(r) & (r < 0)
+                out_cols[f"{f}_rate"] = np.where(bad, np.nan, r)
+        yield _key_frame(key, keys, len(begin), out_cols)
 
     return fn
 
@@ -206,18 +243,25 @@ def stream_rate(
 
 def _gaps_state_fn(keys: list[str], time_col: str, gap_ms: int):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        """Vectorized: one ``np.diff`` over the state-prepended sorted
+        times replaces the former per-row loop — integer arithmetic, so
+        output is identical by construction."""
         prev_ms = state.get[0] if state.exists else None
-        outs = []
         pdf = _whole_group(pdfs, time_col)
-        for _, row in pdf.iterrows():
-            cur_ms = int(row[time_col].value // 10**6)
-            if prev_ms is not None and cur_ms - prev_ms > gap_ms:
-                outs.append(list(key) + [prev_ms, cur_ms, cur_ms - prev_ms])
-            prev_ms = cur_ms
-        if prev_ms is not None:
-            state.update((prev_ms,))
         cols = keys + ["gap_start_ms", "gap_end_ms", "gap_ms"]
-        yield pd.DataFrame(outs, columns=cols)
+        if not len(pdf):
+            yield pd.DataFrame([], columns=cols)
+            return
+        t = _t_ms(pdf, time_col)
+        t_all = (np.concatenate([np.array([prev_ms], dtype=np.int64), t])
+                 if prev_ms is not None else t)
+        state.update((int(t_all[-1]),))
+        d = np.diff(t_all)
+        idx = np.nonzero(d > gap_ms)[0]
+        yield _key_frame(key, keys, len(idx),
+                         {"gap_start_ms": t_all[idx],
+                          "gap_end_ms": t_all[idx + 1],
+                          "gap_ms": d[idx]})
 
     return fn
 
@@ -358,20 +402,32 @@ def stream_sessions(
 def _throttle_state_fn(keys: list[str], time_col: str, gap_ms: int,
                        tiebreak: str | None):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        """Vectorized: the greedy keep-chain only re-enters Python once
+        per KEPT event (``searchsorted`` jumps to the next time >=
+        last + gap), not once per event — O(kept * log n) instead of
+        O(n) Python rows, identical keep set by construction (the
+        sequential rule "keep iff cur - last >= gap" admits exactly
+        this next-fit chain on sorted times; equal-ts peers after the
+        first kept are skipped by searchsorted side='left')."""
         last = state.get[0] if state.exists else None
-        outs = []
         pdf = _whole_group(pdfs, time_col,
                            (tiebreak,) if tiebreak else ())
-        for _, row in pdf.iterrows():
-            cur = int(row[time_col].value // 10**6)
-            keep = last is None or cur - last >= gap_ms
-            if keep:
-                last = cur
-            outs.append(list(key) + [cur, keep])
+        cols = keys + ["t_ms", "throttle_keep"]
+        if not len(pdf):
+            yield pd.DataFrame([], columns=cols)
+            return
+        t = _t_ms(pdf, time_col)
+        n = len(t)
+        keep = np.zeros(n, dtype=bool)
+        i = 0 if last is None else int(np.searchsorted(t, last + gap_ms,
+                                                       side="left"))
+        while i < n:
+            keep[i] = True
+            last = int(t[i])
+            i = int(np.searchsorted(t, last + gap_ms, side="left"))
         if last is not None:
             state.update((last,))
-        cols = keys + ["t_ms", "throttle_keep"]
-        yield pd.DataFrame(outs, columns=cols)
+        yield _key_frame(key, keys, n, {"t_ms": t, "throttle_keep": keep})
 
     return fn
 
@@ -413,21 +469,28 @@ def stream_throttle(
 def _transitions_state_fn(keys: list[str], time_col: str, type_col: str,
                           tiebreak: str | None):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        """Vectorized: (prev, cur) pairs via a shifted object array with
+        the cross-batch state prepended — same rows as the former
+        per-row loop (every event with a non-None predecessor emits)."""
         prev = state.get[0] if state.exists else None
-        outs = []
         pdf = _whole_group(pdfs, time_col,
                            (tiebreak,) if tiebreak else ())
-        for _, row in pdf.iterrows():
-            cur = row[type_col]
-            if prev is not None:
-                outs.append(list(key)
-                            + [int(row[time_col].value // 10**6),
-                               prev, cur])
-            prev = cur
-        if prev is not None:
-            state.update((prev,))
         cols = keys + ["t_ms", "from_type", "to_type"]
-        yield pd.DataFrame(outs, columns=cols)
+        if not len(pdf):
+            yield pd.DataFrame([], columns=cols)
+            return
+        t = _t_ms(pdf, time_col)
+        cur = pdf[type_col].to_numpy(dtype=object)
+        prevs = np.empty(len(cur), dtype=object)
+        prevs[1:] = cur[:-1]
+        prevs[0] = prev
+        if cur[-1] is not None:   # None tail keeps the old state,
+            state.update((cur[-1],))  # matching the sequential version
+        mask = np.fromiter((p is not None for p in prevs), dtype=bool,
+                           count=len(prevs))
+        yield _key_frame(key, keys, int(mask.sum()),
+                         {"t_ms": t[mask], "from_type": prevs[mask],
+                          "to_type": cur[mask]})
 
     return fn
 
@@ -1120,44 +1183,52 @@ def stream_holt_winters(
     return out.drop("__k") if dummy else out
 
 
-def _py_agg(func: str, vals: list, flt: str):
-    """Python twin of the rolling reducers (operators/rolling.py:_over),
-    evaluated over a trailing-window buffer. Matches the batch window
-    semantics: reducers ignore missing values (zero_missing rewrites them
-    to 0 first), empty frames yield NULL (count yields 0), stddev is
-    population, median interpolates even counts. Sum folds in time order —
-    the same order Spark's RANGE frame recompute uses — so results agree
-    bit-for-bit with the batch operator on the same data."""
-    import math
-    if flt == "zero_missing":
-        valid = [0.0 if v is None else v for v in vals]
-    else:
-        valid = [v for v in vals if v is not None]
-    if func == "count":
-        return len(valid)
-    if not valid:
-        return None
-    if func == "sum":
-        return float(sum(valid))
-    if func == "avg":
-        return float(sum(valid) / len(valid))
-    if func == "min":
-        return float(min(valid))
-    if func == "max":
-        return float(max(valid))
-    if func == "difference":
-        return float(max(valid) - min(valid))
-    if func == "stddev":
-        m = sum(valid) / len(valid)
-        return math.sqrt(sum((x - m) ** 2 for x in valid) / len(valid))
-    if func == "median":
-        s, n = sorted(valid), len(valid)
-        return float(s[n // 2]) if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
-    raise ValueError(f"streaming rolling does not support reducer {func!r}")
-
-
 _STREAM_ROLLING_FUNCS = ("sum", "avg", "min", "max", "count", "stddev",
                          "median", "difference")
+
+
+def _np_agg(func: str, arr: "np.ndarray", flt: str):
+    """Rolling reducers (the Python twin of operators/rolling.py:_over)
+    over a float64 window slice (NaN = missing). Matches the batch
+    window semantics: reducers ignore missing values (zero_missing
+    rewrites them to 0 first), empty frames yield NULL (count yields 0),
+    stddev is population, median interpolates even counts. Sums fold in
+    time order — ``np.cumsum`` is a sequential left-to-right
+    accumulation (every prefix is emitted), the same order Spark's
+    RANGE-frame recompute uses, so sum/avg agree bit-for-bit with the
+    batch operator. stddev's squared deviations are one
+    correctly-rounded multiply each (``d*d``; CPython's ``d**2`` goes
+    through libm pow and can differ in the last ulp) — within 1 ulp of
+    any other one-op square, and all stddev consumers compare at 6dp
+    (driver oracles) or 1e-12 (parity tests)."""
+    import math
+    if flt == "zero_missing":
+        valid = np.where(np.isnan(arr), 0.0, arr)
+    else:
+        valid = arr[~np.isnan(arr)]
+    n = valid.size
+    if func == "count":
+        return n
+    if not n:
+        return None
+    if func == "sum":
+        return float(np.cumsum(valid)[-1])
+    if func == "avg":
+        return float(np.cumsum(valid)[-1] / n)
+    if func == "min":
+        return float(valid.min())
+    if func == "max":
+        return float(valid.max())
+    if func == "difference":
+        return float(valid.max() - valid.min())
+    if func == "stddev":
+        m = np.cumsum(valid)[-1] / n
+        return math.sqrt(np.cumsum((valid - m) ** 2)[-1] / n)
+    if func == "median":
+        s = np.sort(valid)
+        return (float(s[n // 2]) if n % 2
+                else (s[n // 2 - 1] + s[n // 2]) / 2.0)
+    raise ValueError(f"streaming rolling does not support reducer {func!r}")
 
 
 def _buffer_state_fn(rows_spec, keys: list[str], time_col: str, dur_ms: int,
@@ -1176,80 +1247,20 @@ def _buffer_state_fn(rows_spec, keys: list[str], time_col: str, dur_ms: int,
     in_cols = list(dict.fromkeys(r[1] for r in rows_spec))
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        """Vectorized (r10): the buffer and batch concatenate into one
+        sorted int64/float64 array pair; every distinct timestamp's
+        window is a contiguous slice located by ONE vectorized
+        searchsorted over all runs (the old per-ts head-scan eviction
+        and list `del` are gone), aggregated by :func:`_np_agg` whose
+        cumsum folds are bit-identical to the old Python sums. Python
+        re-enters once per DISTINCT timestamp (the windows genuinely
+        differ), not once per row; per-row work (carry passthrough,
+        z-scores, run broadcast) is numpy repeat/elementwise."""
         if state.exists:
             d = _json.loads(state.get[0])
         else:
             d = {"t": [], **{c: [] for c in in_cols}}
-        tbuf = d["t"]
-        vbuf = {c: d[c] for c in in_cols}
         pdf = _whole_group(pdfs, time_col)
-        outs = []
-        n = len(pdf)
-        if n:
-            tvals = [int(v.value // 10 ** 6) for v in pdf[time_col]]
-            cvals = {c: [None if pd.isna(v) else float(v) for v in pdf[c]]
-                     for c in in_cols}
-            carr = {c: list(pdf[c]) for c in carry}
-            i = 0
-            while i < n:
-                t_cur = tvals[i]
-                j = i
-                while j < n and tvals[j] == t_cur:
-                    j += 1
-                # evict everything at or before the window's left edge
-                k = 0
-                while k < len(tbuf) and tbuf[k] <= t_cur - dur_ms:
-                    k += 1
-                if k:
-                    del tbuf[:k]
-                    for c in in_cols:
-                        del vbuf[c][:k]
-                if zscore_threshold is None:
-                    # rolling: frame (t-dur, t] INCLUDES the current ms —
-                    # append the whole equal-ts run, then aggregate once
-                    for r in range(i, j):
-                        tbuf.append(t_cur)
-                        for c in in_cols:
-                            vbuf[c].append(cvals[c][r])
-                    aggs = [_py_agg(func, vbuf[in_col], flt)
-                            for _, in_col, func, flt in rows_spec]
-                    for r in range(i, j):
-                        outs.append(list(key) + [t_cur]
-                                    + [carr[c][r] for c in carry] + aggs)
-                else:
-                    # zscore: frame (t-dur, t-1] EXCLUDES the current ms —
-                    # score against the buffer, then append the run.
-                    # Strictly t < t_cur: equal-ts peers buffered from a
-                    # PREVIOUS micro-batch must be excluded too (the batch
-                    # RANGE frame excludes every row at the current ms,
-                    # wherever it arrived) — tbuf is sorted, so the t_cur
-                    # run can only be the tail
-                    lim = bisect_left(tbuf, t_cur)
-                    stats = {}
-                    for c in in_cols:
-                        m = _py_agg("avg", vbuf[c][:lim], "ignore_missing")
-                        s = _py_agg("stddev", vbuf[c][:lim],
-                                    "ignore_missing")
-                        stats[c] = (m, s)
-                    for r in range(i, j):
-                        rec = (list(key) + [t_cur]
-                               + [carr[c][r] for c in carry])
-                        for _, in_col, _f, _fl in rows_spec:
-                            x = cvals[in_col][r]
-                            m, s = stats[in_col]
-                            z = None if (x is None or not s) \
-                                else (x - m) / s
-                            rec += [x, z,
-                                    bool(z is not None
-                                         and abs(z) > zscore_threshold)]
-                        outs.append(rec)
-                    for r in range(i, j):
-                        tbuf.append(t_cur)
-                        for c in in_cols:
-                            vbuf[c].append(cvals[c][r])
-                i = j
-        state.update((_json.dumps({"t": tbuf,
-                                   **{c: vbuf[c] for c in in_cols}}),))
         if zscore_threshold is None:
             cols = (keys + ["t_ms"] + list(carry)
                     + [r[0] for r in rows_spec])
@@ -1257,7 +1268,76 @@ def _buffer_state_fn(rows_spec, keys: list[str], time_col: str, dur_ms: int,
             cols = keys + ["t_ms"] + list(carry)
             for _, in_col, _f, _fl in rows_spec:
                 cols += [in_col, f"{in_col}_zscore", f"{in_col}_anomaly"]
-        yield pd.DataFrame(outs, columns=cols)
+        n = len(pdf)
+        if not n:
+            state.update((state.get[0] if state.exists else
+                          _json.dumps(d),))
+            yield pd.DataFrame([], columns=cols)
+            return
+        t_new = _t_ms(pdf, time_col)
+        t_all = np.concatenate([np.asarray(d["t"], dtype=np.int64), t_new])
+        v_all = {c: np.concatenate([
+            np.array([np.nan if x is None else x for x in d[c]],
+                     dtype=np.float64),
+            _f64(pdf, c)]) for c in in_cols}
+        # distinct-timestamp runs of the batch, and each run's window
+        # slice bounds over the combined array: (t-dur, t] for rolling,
+        # (t-dur, t) for zscore (equal-ts peers excluded, wherever they
+        # arrived — the batch RANGE-frame rule)
+        starts = np.nonzero(np.r_[True, t_new[1:] != t_new[:-1]])[0]
+        lens = np.diff(np.r_[starts, n])
+        tu = t_new[starts]
+        lo = np.searchsorted(t_all, tu - dur_ms, side="right")
+        hi = np.searchsorted(t_all, tu, side="right")
+        lim = np.searchsorted(t_all, tu, side="left")
+        out_cols = {"t_ms": t_new}
+        for c in carry:
+            out_cols[c] = pdf[c].to_numpy(dtype=object)
+        if zscore_threshold is None:
+            per_run = {out: [] for out, _i, _f, _fl in rows_spec}
+            for r in range(len(tu)):
+                for out, in_col, func, flt in rows_spec:
+                    per_run[out].append(
+                        _np_agg(func, v_all[in_col][lo[r]:hi[r]], flt))
+            for out, _i, func, _fl in rows_spec:
+                vals = per_run[out]
+                if func == "count":
+                    out_cols[out] = np.repeat(
+                        np.array(vals, dtype=np.int64), lens)
+                else:
+                    out_cols[out] = np.repeat(np.array(
+                        [np.nan if v is None else v for v in vals],
+                        dtype=np.float64), lens)
+        else:
+            mu_run = {c: np.empty(len(tu)) for c in in_cols}
+            sd_run = {c: np.empty(len(tu)) for c in in_cols}
+            for r in range(len(tu)):
+                for c in in_cols:
+                    w = v_all[c][lo[r]:lim[r]]
+                    m = _np_agg("avg", w, "ignore_missing")
+                    s = _np_agg("stddev", w, "ignore_missing")
+                    mu_run[c][r] = np.nan if m is None else m
+                    sd_run[c][r] = np.nan if s is None else s
+            for _o, in_col, _f, _fl in rows_spec:
+                x = v_all[in_col][-n:]
+                mu = np.repeat(mu_run[in_col], lens)
+                sd = np.repeat(sd_run[in_col], lens)
+                bad = np.isnan(x) | np.isnan(sd) | (sd == 0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    z = np.where(bad, np.nan, (x - mu) / sd)
+                out_cols[in_col] = x
+                out_cols[f"{in_col}_zscore"] = z
+                out_cols[f"{in_col}_anomaly"] = (
+                    ~np.isnan(z) & (np.abs(z) > zscore_threshold))
+        # state: everything still inside the LAST timestamp's window,
+        # current ms included — exactly the old progressive eviction's
+        # end state on sorted times
+        keep = int(np.searchsorted(t_all, tu[-1] - dur_ms, side="right"))
+        state.update((_json.dumps(
+            {"t": [int(x) for x in t_all[keep:]],
+             **{c: [None if np.isnan(x) else float(x)
+                    for x in v_all[c][keep:]] for c in in_cols}}),))
+        yield _key_frame(key, keys, n, out_cols)
 
     return fn
 
@@ -1702,30 +1782,62 @@ def _cusum_state_fn(field: str, keys: list[str], time_col: str,
                     t_mic: int, k_mic: int, h_mic: int,
                     tiebreak: str | None):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        """Vectorized: the clipped recurrence s_j = max(0, s_{j-1} + a_j)
+        has the closed form s_j = P_j - min(0, runmin(P)_j) with
+        P = s_0 + cumsum(a) (the same identity the batch operator uses,
+        __spark_entry__ cusum oracle), so whole alarm-free stretches are
+        two int64 cumsums; Python re-enters only once per ALARM (reset
+        to 0 breaks the closed form there, like xchart's firing events).
+        All arithmetic is exact int64 micro-units -> outputs identical
+        to the former per-row fold by construction. Per-element
+        ``round(round(v, 6) * 1e6)`` stays Python: decimal
+        correctly-rounded round() has no numpy twin (np.round scales by
+        1e6 in float space — the documented half-even trap)."""
         sp, sn = state.get if state.exists else (0, 0)
         pdf = _whole_group(pdfs, time_col,
                            (tiebreak,) if tiebreak else ())
-        outs = []
-        for _, row in pdf.iterrows():
-            v = row[field]
-            if v is None or pd.isna(v):
+        cols = keys + ["t_ms", "direction", "stat"]
+        if not len(pdf):
+            yield pd.DataFrame([], columns=cols)
+            return
+        v = _f64(pdf, field)
+        ok = ~np.isnan(v)
+        t = _t_ms(pdf, time_col)[ok]
+        m = np.fromiter((int(round(round(x, 6) * 1e6)) for x in v[ok]),
+                        dtype=np.int64, count=int(ok.sum()))
+        a_p = (m - t_mic) - k_mic       # + side increments
+        a_n = (t_mic - m) - k_mic       # - side increments
+        outs_t, outs_dir, outs_stat = [], [], []
+        i, n = 0, len(m)
+        # blocked: an alarm resets the fold, so the closed form restarts
+        # after each one — bounding the restart to a 2048-element block
+        # keeps dense-alarm batches O(n + alarms*B) instead of the
+        # quadratic O(alarms * n) a whole-suffix recompute would cost
+        blk = 2048
+        while i < n:
+            e = min(i + blk, n)
+            p = sp + np.cumsum(a_p[i:e])
+            q = sn + np.cumsum(a_n[i:e])
+            sp_arr = p - np.minimum(np.minimum.accumulate(p), 0)
+            sn_arr = q - np.minimum(np.minimum.accumulate(q), 0)
+            alarm = (sp_arr > h_mic) | (sn_arr > h_mic)
+            j = int(np.argmax(alarm)) if alarm.any() else -1
+            if j < 0:
+                sp, sn = int(sp_arr[-1]), int(sn_arr[-1])
+                i = e
                 continue
-            m = int(round(round(float(v), 6) * 1e6))
-            r = m - t_mic
-            sp1 = max(0, sp + r - k_mic)
-            sn1 = max(0, sn - r - k_mic)
-            if sp1 > h_mic or sn1 > h_mic:
-                up = sp1 >= sn1
-                outs.append(list(key)
-                            + [int(row[time_col].value // 10**6),
-                               "up" if up else "down",
-                               round((sp1 if up else sn1) / 1e6, 6)])
-                sp = sn = 0
-            else:
-                sp, sn = sp1, sn1
+            sp1, sn1 = int(sp_arr[j]), int(sn_arr[j])
+            up = sp1 >= sn1
+            outs_t.append(int(t[i + j]))
+            outs_dir.append("up" if up else "down")
+            outs_stat.append(round((sp1 if up else sn1) / 1e6, 6))
+            sp = sn = 0
+            i += j + 1
         state.update((sp, sn))
-        yield pd.DataFrame(outs,
-                           columns=keys + ["t_ms", "direction", "stat"])
+        yield _key_frame(key, keys, len(outs_t),
+                         {"t_ms": np.array(outs_t, dtype=np.int64),
+                          "direction": np.array(outs_dir, dtype=object),
+                          "stat": np.array(outs_stat, dtype=np.float64)})
 
     return fn
 
