@@ -532,6 +532,30 @@ def q_dedup_documents(spark, sf_dir):
     return out.select("doc_id", "cluster_id", "is_keeper")
 
 
+def q_dedup_against_neardup(spark, sf_dir):
+    """Incremental near-dup dedup against a PERSISTED band-key index
+    (datapipe/dedup.py::write_neardup_index / dedup_against_neardup):
+    even-id docs play the already-ingested corpus (band table written
+    partitioned by band prefix), odd-id docs the incoming batch. The
+    batch's band prefixes become a partition filter on the index scan
+    (PartitionFilters — pinned by unit test), so the corpus side is
+    never recomputed OR rescanned in full. keep_scores=True returns
+    the verified hits; the oracle replays the band join over the
+    union with the shared MinHash/shingle replay blocks."""
+    import hashlib
+    import tempfile
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    path = (tempfile.gettempdir() + "/pypond_neardup_idx_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    dp_dedup.write_neardup_index(corpus, path)
+    hits = dp_dedup.dedup_against_neardup(new, path, threshold=0.8,
+                                          keep_scores=True)
+    return hits.select(F.col("doc_id_new"), F.col("doc_id_ref"),
+                       F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_docs_longest(spark, sf_dir):
     """dedup_documents with the 'longest' keeper policy (datapipe/dedup.py):
     same LSH -> Jaccard -> components chain as `dedup_documents`, but each
@@ -4709,6 +4733,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reorders never-driver-verified entries to the front automatically from
     the committed CORRECTNESS_r*.json snapshots."""
     return {
+        "dedup_against_neardup": q_dedup_against_neardup,
         "image_phash_png": q_image_phash_png,
         "bpe_bytes_tokenize": q_bpe_bytes_tokenize,
         "bpe_bytes_train_merges": q_bpe_bytes_train_merges,
@@ -7915,6 +7940,33 @@ def oracle_sql() -> dict[str, str]:
               FROM ranked o JOIN ranked r
                 ON r.band = o.band AND r.rn = 1 AND o.rn > 4
             )
+        """,
+        "dedup_against_neardup": _SHINGLES + f"""
+            , sig AS (
+              SELECT doc_id,
+                     {_mh_sig_cols(8)}
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([
+                  md5(concat_ws('|', '0', m0, m1, m2, m3)),
+                  md5(concat_ws('|', '1', m4, m5, m6, m7))]) AS band
+              FROM sig
+            ), cand AS (
+              SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_ref
+              FROM bands n JOIN bands c ON n.band = c.band
+              WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+            ), sets AS (
+              SELECT doc_id, list_distinct(list(shingle)) AS s
+              FROM sh GROUP BY doc_id
+            )
+            SELECT p.id_new AS doc_id_new, p.id_ref AS doc_id_ref,
+                   round(len(list_intersect(sn.s, sr.s))::DOUBLE
+                         / len(list_distinct(sn.s || sr.s)), 6) AS jaccard
+            FROM cand p
+            JOIN sets sn ON sn.doc_id = p.id_new
+            JOIN sets sr ON sr.doc_id = p.id_ref
+            WHERE len(list_intersect(sn.s, sr.s))::DOUBLE
+                  / len(list_distinct(sn.s || sr.s)) >= 0.8
         """,
         "neardup_pairs_lsh": _SHINGLES + f"""
             , sig AS (

@@ -266,6 +266,7 @@ HEADLINE = [
     "kn3_logprob",
     "kn3_heldout",
     "kn3_heldout_pruned",
+    "dedup_against_neardup",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -569,6 +569,96 @@ def dedup_against(df: DataFrame, reference: DataFrame,
             .drop("__dig"))
 
 
+def write_neardup_index(df: DataFrame, path: str, text_col: str = "text",
+                        id_col: str = "doc_id", num_hashes: int = 8,
+                        band_size: int = 4, shingle_n: int = 3,
+                        hash_fn: str = "md5",
+                        mode: str = "overwrite") -> None:
+    """Persist the corpus's MinHash band table (plus the shingle sets
+    the Jaccard verify needs) so incremental ingest can ask "is this
+    new document a near-duplicate of ANYTHING already in the corpus"
+    without recomputing the corpus side — the near-dup twin of
+    persisting the digest set for :func:`dedup_against`.
+
+    Layout (the :func:`~pypond_spark.datapipe.similarity.write_ann_index`
+    pattern):
+
+    - ``path/bands/band_pfx=<xx>/...`` — the (id, band-bucket) rows,
+      PARTITION-pruned on the band key's 2-hex-char prefix (256
+      directories): a query batch touching a handful of prefixes scans
+      a handful of directories, never the corpus-wide table.
+    - ``path/shingles/...`` — one shingle-set row per corpus doc, read
+      only for candidate ids (semi-join bound).
+
+    Write once per crawl generation; each
+    :func:`dedup_against_neardup` batch then reads
+    O(new-batch band prefixes) of the index.
+    """
+    buckets = lsh_band_buckets(df, text_col, id_col, num_hashes,
+                               band_size, shingle_n, hash_fn)
+    (buckets.withColumn("band_pfx", F.substring("band", 1, 2))
+     .write.mode(mode).partitionBy("band_pfx")
+     .parquet(path.rstrip("/") + "/bands"))
+    (word_shingles(df, text_col, shingle_n, id_col)
+     .groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+     .write.mode(mode).parquet(path.rstrip("/") + "/shingles"))
+
+
+def dedup_against_neardup(df: DataFrame, index_path: str,
+                          threshold: float = 0.8,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          num_hashes: int = 8, band_size: int = 4,
+                          shingle_n: int = 3, hash_fn: str = "md5",
+                          keep_scores: bool = False) -> DataFrame:
+    """Incremental NEAR-dup dedup: drop new documents whose n-gram
+    Jaccard against some already-indexed corpus document reaches
+    ``threshold`` (``keep_scores=True`` instead returns every verified
+    (new id, corpus id, jaccard) hit for auditing).
+
+    The banding parameters MUST match the :func:`write_neardup_index`
+    call that built ``index_path`` — band keys are parameter-dependent.
+
+    Scale shape (the production ingest path): the new batch's band
+    table is computed once and broadcast; its distinct 2-hex band
+    prefixes (<= 256 values, collected driver-side) become a partition
+    filter on the index scan, so I/O is the matching prefix directories
+    only, never the corpus-wide band table. Candidates then verify by
+    exact shingle Jaccard — the new side's shingle sets broadcast, the
+    corpus side's are read semi-join-bound to candidate ids.
+    """
+    spark = df.sparkSession
+    base = index_path.rstrip("/")
+    nb = lsh_band_buckets(df, text_col, id_col, num_hashes, band_size,
+                          shingle_n, hash_fn) \
+        .withColumnRenamed(id_col, "__new_id").localCheckpoint()
+    pfx = [r["p"] for r in
+           nb.select(F.substring("band", 1, 2).alias("p"))
+           .distinct().collect()]
+    idx = (spark.read.parquet(base + "/bands")
+           .where(F.col("band_pfx").isin(pfx))
+           .withColumnRenamed(id_col, "__ref_id"))
+    cand = (idx.join(F.broadcast(nb), "band")
+            .select("__new_id", "__ref_id").distinct())
+    new_sets = (word_shingles(df, text_col, shingle_n, id_col)
+                .groupBy(id_col).agg(F.collect_set("shingle").alias("__shn"))
+                .withColumnRenamed(id_col, "__new_id"))
+    ref_sets = (spark.read.parquet(base + "/shingles")
+                .withColumnRenamed(id_col, "__ref_id")
+                .withColumnRenamed("sh", "__shr"))
+    jac = (F.size(F.array_intersect("__shn", "__shr")).cast("double")
+           / F.size(F.array_union("__shn", "__shr")).cast("double"))
+    hits = (cand.join(F.broadcast(new_sets), "__new_id")
+            .join(ref_sets, "__ref_id")
+            .select("__new_id", "__ref_id", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+    if keep_scores:
+        return hits.select(F.col("__new_id").alias(f"{id_col}_new"),
+                           F.col("__ref_id").alias(f"{id_col}_ref"),
+                           "jaccard")
+    dup_ids = hits.select(F.col("__new_id").alias(id_col)).distinct()
+    return df.join(F.broadcast(dup_ids), id_col, "left_anti")
+
+
 def source_overlap(df: DataFrame, group_col: str = "source",
                    text_col: str = "text",
                    prefix_words: int | None = None) -> DataFrame:

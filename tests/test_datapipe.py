@@ -786,6 +786,48 @@ def test_write_ann_index_partition_pruning(spark, embs, tmp_path):
     assert "lsh_bucket" in pf  # the bucket filter reached the source
 
 
+def test_dedup_against_neardup_index_pruning(spark, tmp_path):
+    """Incremental near-dup dedup against a persisted band index must
+    (a) drop a new doc that is a near-duplicate of an INDEXED corpus
+    doc, keep novel docs, (b) prune the index scan to the new batch's
+    band prefixes (PartitionFilters on band_pfx), and (c) agree with
+    the recompute-everything band join over the union."""
+    from pypond_spark.datapipe import dedup
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again every single day without fail in the morning")
+    corpus = spark.createDataFrame(
+        [(2, base), (4, "completely unrelated corpus text about spark "
+                        "partitions and shuffle boundaries at scale")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, base + " tonight"),   # near-dup of doc 2
+         (3, "a totally novel document with fresh content nobody has "
+             "ever indexed before in any crawl generation")],
+        "doc_id long, text string")
+    path = str(tmp_path / "nd_idx")
+    dedup.write_neardup_index(corpus, path)
+    kept = dedup.dedup_against_neardup(new, path, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
+    hits = dedup.dedup_against_neardup(new, path, threshold=0.5,
+                                       keep_scores=True)
+    rows = hits.collect()
+    assert [(r["doc_id_new"], r["doc_id_ref"]) for r in rows] == [(1, 2)]
+    assert 0.5 <= rows[0]["jaccard"] <= 1.0
+    # (b) the index scan is partition-pruned on the band prefix
+    plan = hits._sc._jvm.PythonSQLUtils.explainString(
+        hits._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
+    import re
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("band_pfx" in pf for pf in pfs)
+    # (c) recompute-everything replay: same verified pair survives
+    pairs = dedup.lsh_candidate_pairs(corpus.unionByName(new))
+    jac = dedup.ngram_jaccard(corpus.unionByName(new), pairs)
+    replay = {(r["id_a"], r["id_b"]) for r in
+              jac.where(F.col("jaccard") >= 0.5).collect()}
+    assert (1, 2) in replay
+
+
 def test_take_per_group(spark, docs):
     from pypond_spark.datapipe import sampling
     out = sampling.take_per_group(docs, k=3, group_col="source")
