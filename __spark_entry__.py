@@ -1809,6 +1809,47 @@ def _synth_png8(docs):
     return ppm.mapInPandas(enc, "media_id long, content binary")
 
 
+def _synth_png_palette8(docs):
+    """8x8 REAL palette (color type 3) PNG per doc: the PLTE is the
+    SAME 192 chained-md5 pixel bytes as :func:`_synth_ppm8` (64 RGB
+    triples — duplicate colors are legal) and the index scanlines are
+    0..63 with all five filters cycled, so the DECODED image is
+    pixel-identical to the PPM/PNG8 rows while exercising the palette
+    decode path end to end (PLTE parse, bpp=1 unfilter, index
+    lookup)."""
+    import pandas as _pd
+
+    from pypond_spark.datapipe.multimodal import encode_png_indexed
+
+    ppm = _synth_ppm8(docs)
+
+    def enc(batches):
+        idx = bytes(range(64))
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = bytes(content)[len(b"P6\n8 8\n255\n"):]
+                rows.append((int(mid),
+                             encode_png_indexed(8, 8, idx, px,
+                                                filters=(0, 1, 2, 3, 4))))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return ppm.mapInPandas(enc, "media_id long, content binary")
+
+
+def q_image_phash_png_palette(spark, sf_dir):
+    """Perceptual hashes over pixels decoded from a REAL palette PNG
+    (multimodal.py::_decode_png color type 3 + encode_png_indexed —
+    verdict r9 item 4: palette PNGs are common in real crawls):
+    identical downstream aHash/dHash chain and identical oracle as
+    ``image_phash``, because the palette maps indices 0..63 onto the
+    same chained-md5 pixel bytes — a green row certifies the PLTE
+    encode->decode roundtrip."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_mm.image_phash(_synth_png_palette8(docs), grid_w=4,
+                             grid_h=4)
+
+
 def q_image_phash_png(spark, sf_dir):
     """Perceptual hashes over pixels decoded from REAL PNG bytes
     (multimodal.py::_decode_png — stdlib-zlib critical-chunk decoder,
@@ -2516,6 +2557,17 @@ def q_kn3_logprob(spark, sf_dir):
     return dp_text.kn3_logprob(docs)
 
 
+def _kn3_logprob_sql(min_count: int = 1) -> str:
+    """The kn3_logprob replay, parametrized on the min_count pruning
+    lever (a HAVING on the c3 type CTE — pruned types vanish from
+    every marginal AND from the scoring join, exactly the Spark
+    semantics)."""
+    having = (f" HAVING count(*) >= {int(min_count)}"
+              if min_count > 1 else "")
+    return _KN3_ORACLE.replace(
+        "FROM tg GROUP BY tg", "FROM tg GROUP BY tg" + having)
+
+
 _KN3_ORACLE = """
     -- every CTE MATERIALIZED: with default inlining DuckDB's join-order
     -- enumeration over the expanded 6-relation DAG stalls for minutes
@@ -2577,6 +2629,17 @@ _KN3_ORACLE = """
     FROM tg JOIN lp ON tg.tg = lp.tg
     GROUP BY tg.doc_id
 """
+
+
+def q_kn3_logprob_pruned(spark, sf_dir):
+    """kn3_logprob with the min_count=2 SCALE lever forwarded (verdict
+    r9 item 3): singleton trigram types drop before the marginals AND
+    the scoring join — the self-scored form has no backoff ladder, so
+    pruned occurrences are excluded from the per-doc mean (docs losing
+    every trigram are absent). Same oracle with the HAVING threshold
+    on the c3 type CTE."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.kn3_logprob(docs, min_count=2)
 
 
 def q_kn3_heldout(spark, sf_dir):
@@ -4734,6 +4797,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the committed CORRECTNESS_r*.json snapshots."""
     return {
         "dedup_against_neardup": q_dedup_against_neardup,
+        "kn3_logprob_pruned": q_kn3_logprob_pruned,
+        "image_phash_png_palette": q_image_phash_png_palette,
         "image_phash_png": q_image_phash_png,
         "bpe_bytes_tokenize": q_bpe_bytes_tokenize,
         "bpe_bytes_train_merges": q_bpe_bytes_train_merges,
@@ -10891,10 +10956,13 @@ def oracle_sql() -> dict[str, str]:
     # PNG row: same pixels by construction (the encode->decode roundtrip
     # is the thing under test), so the PPM oracle replays it verbatim
     d["image_phash_png"] = d["image_phash"]
+    # palette row: PLTE holds the same pixels, indices are the identity
+    d["image_phash_png_palette"] = d["image_phash"]
     d["bpe_bytes_tokenize"] = _bpe_bytes_sql(_BPE_BYTES_MERGES)
     d["bpe_bytes_train_merges"] = _bpe_bytes_train_sql(6)
     d["wordpiece_train_merges"] = _wordpiece_train_sql(5)
     d["kn3_logprob"] = _KN3_ORACLE
+    d["kn3_logprob_pruned"] = _kn3_logprob_sql(min_count=2)
     d["kn3_heldout"] = _kn3_heldout_sql()
     d["kn3_heldout_pruned"] = _kn3_heldout_sql(min_count=2)
     d["stream_attribution_outer"] = """

@@ -266,7 +266,9 @@ HEADLINE = [
     "kn3_logprob",
     "kn3_heldout",
     "kn3_heldout_pruned",
+    "kn3_logprob_pruned",
     "dedup_against_neardup",
+    "image_phash_png_palette",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

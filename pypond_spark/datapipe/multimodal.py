@@ -5,9 +5,11 @@ side — schema, partition-friendly layout, Arrow-batched UDF signatures — is
 real and tested. Codecs:
 
 - REAL pure-Python decoders for the formats that need no external library:
-  binary PPM (P6) and 8-bit non-interlaced PNG images (``decode_image`` —
+  binary PPM (P6) and non-interlaced PNG images (``decode_image`` —
   PNG via stdlib ``zlib``, all five scanline filters, gray/RGB/alpha
-  variants, plus a minimal ``encode_png``) and PCM16 WAV audio
+  variants at depth 8 and 16, palette (PLTE) at depth 1/2/4/8, plus
+  minimal ``encode_png`` / ``encode_png_indexed`` / ``encode_png16``
+  encoders) and PCM16 WAV audio
   (``decode_audio`` via the stdlib ``wave`` module), with per-media stats
   operators (``image_stats`` / ``audio_stats``);
 - everything else (JPEG/MP3/...) raises ``NotImplementedError`` — this
@@ -122,37 +124,68 @@ def _unfilter_scanline(ftype: int, line: bytearray, prev: bytes,
     return line
 
 
+def _unpack_indices(line: bytes, width: int, depth: int) -> list[int]:
+    """Unpack sub-byte palette indices (depth 1/2/4; PNG packs MSB
+    first within each byte, scanlines padded to a byte boundary)."""
+    if depth == 8:
+        return list(line[:width])
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    out = []
+    for b in line:
+        for k in range(per - 1, -1, -1):
+            out.append((b >> (k * depth)) & mask)
+            if len(out) == width:
+                return out
+    return out
+
+
 def _decode_png(content: bytes) -> dict:
     """Pure-Python PNG decode (stdlib ``zlib`` only): critical chunks,
-    non-interlaced 8-bit gray / RGB / gray+alpha / RGBA, all five
-    scanline filters. Pixels are normalized to interleaved RGB (gray
-    replicated across channels, alpha dropped) so every downstream
-    image operator — stats, aHash/dHash, near-dups — is format-blind.
-    Palette (color type 3), 16-bit, and Adam7 interlacing raise
-    ``NotImplementedError``; corrupt structure raises ``ValueError``."""
+    non-interlaced gray / RGB / gray+alpha / RGBA at depth 8 or 16,
+    palette (color type 3, PLTE) at depth 1/2/4/8, all five scanline
+    filters. Pixels are normalized to interleaved 8-bit RGB (gray
+    replicated across channels, alpha dropped, 16-bit samples take the
+    HIGH byte — the standard 16->8 downsample, exact for the common
+    ``v*257`` widening) so every downstream image operator — stats,
+    aHash/dHash, near-dups — is format-blind. Adam7 interlacing raises
+    ``NotImplementedError``; corrupt structure (bad CRC, truncation,
+    palette without PLTE, out-of-range index) raises ``ValueError``."""
     ihdr = None
     idat = []
+    plte = None
     for ctype, data in _png_chunks(content):
         if ctype == b"IHDR":
             ihdr = data
         elif ctype == b"IDAT":
             idat.append(data)
+        elif ctype == b"PLTE":
+            plte = data
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr)
-    if depth != 8:
-        raise NotImplementedError(f"only 8-bit PNG (depth {depth})")
-    if color not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG color type {color} (palette needs PLTE handling)")
     if interlace:
         raise NotImplementedError("Adam7-interlaced PNG")
     if comp or filt:
         raise ValueError(f"bad PNG compression/filter method "
                          f"({comp}/{filt})")
-    ch = _PNG_CHANNELS[color]
-    stride = width * ch
+    if color == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"palette PNG with bit depth {depth}")
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG missing/odd PLTE chunk")
+        stride = (width * depth + 7) // 8
+        bpp = 1
+    elif color in _PNG_CHANNELS:
+        if depth not in (8, 16):
+            raise NotImplementedError(
+                f"PNG color type {color} at depth {depth}")
+        ch = _PNG_CHANNELS[color]
+        bpp = ch * (depth // 8)
+        stride = width * bpp
+    else:
+        raise ValueError(f"unknown PNG color type {color}")
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != height * (stride + 1):
         raise ValueError(
@@ -160,25 +193,40 @@ def _decode_png(content: bytes) -> dict:
             f"got {len(raw)}")
     out = bytearray(width * height * 3)
     prev: bytes = bytes(stride)
+    n_pal = len(plte) // 3 if plte is not None else 0
     for y in range(height):
         off = y * (stride + 1)
         line = _unfilter_scanline(raw[off], bytearray(
-            raw[off + 1:off + 1 + stride]), prev, ch)
+            raw[off + 1:off + 1 + stride]), prev, bpp)
         base = y * width * 3
-        if color == 2:                     # RGB passthrough
-            out[base:base + stride] = line
-        elif color == 6:                   # RGBA -> drop alpha
-            for x in range(width):
+        if color == 3:                     # palette lookup -> RGB
+            for x, ix in enumerate(_unpack_indices(line, width, depth)):
+                if ix >= n_pal:
+                    raise ValueError(
+                        f"palette index {ix} >= PLTE size {n_pal}")
                 out[base + 3 * x:base + 3 * x + 3] = \
-                    line[4 * x:4 * x + 3]
-        elif color == 0:                   # gray -> replicate
+                    plte[3 * ix:3 * ix + 3]
+        elif color == 2:                   # RGB passthrough
+            if depth == 8:
+                out[base:base + stride] = line
+            else:
+                out[base:base + width * 3] = line[0::2]
+        elif color == 6:                   # RGBA -> drop alpha
+            step = 4 * (depth // 8)
             for x in range(width):
-                g = line[x]
+                px = line[step * x:step * x + 3 * (depth // 8)]
+                out[base + 3 * x:base + 3 * x + 3] = \
+                    px if depth == 8 else px[0::2]
+        elif color == 0:                   # gray -> replicate
+            samp = line if depth == 8 else line[0::2]
+            for x in range(width):
+                g = samp[x]
                 out[base + 3 * x] = out[base + 3 * x + 1] = \
                     out[base + 3 * x + 2] = g
         else:                              # gray+alpha -> replicate gray
+            step = 2 * (depth // 8)
             for x in range(width):
-                g = line[2 * x]
+                g = line[step * x]
                 out[base + 3 * x] = out[base + 3 * x + 1] = \
                     out[base + 3 * x + 2] = g
         prev = bytes(line)
@@ -249,10 +297,81 @@ def encode_png(width: int, height: int, pixels: bytes,
             + chunk(b"IEND", b""))
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png_indexed(width: int, height: int, indices: bytes,
+                       plte: bytes, depth: int = 8,
+                       filters: tuple[int, ...] = (0,)) -> bytes:
+    """Palette (color type 3) PNG encoder: one index per pixel mapped
+    through ``plte`` (RGB triples, <= 256 entries — duplicates legal),
+    sub-byte depths packed MSB-first per the spec. The synthesis half
+    of the palette decode path: :func:`_decode_png` returns exactly
+    ``plte[ix]`` per pixel, so choosing PLTE = the target pixel bytes
+    and indices = 0..n-1 makes the decoded image any RGB content at
+    all while still exercising the palette machinery."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth must be 1/2/4/8, got {depth}")
+    if len(plte) % 3 or not 0 < len(plte) // 3 <= 256:
+        raise ValueError(f"PLTE must be 1..256 RGB triples, "
+                         f"got {len(plte)} bytes")
+    if len(indices) != width * height:
+        raise ValueError(f"need {width * height} indices, "
+                         f"got {len(indices)}")
+    if max(indices) >= len(plte) // 3 or max(indices) >= (1 << depth):
+        raise ValueError("palette index out of range for depth/PLTE")
+    per = 8 // depth
+    lines = []
+    prev = bytes((width * depth + 7) // 8)
+    for y in range(height):
+        row = indices[y * width:(y + 1) * width]
+        if depth == 8:
+            line = bytes(row)
+        else:
+            packed = bytearray((width + per - 1) // per)
+            for x, ix in enumerate(row):
+                packed[x // per] |= ix << ((per - 1 - x % per) * depth)
+            line = bytes(packed)
+        f = filters[y % len(filters)]
+        lines.append(bytes([f]) + _filter_scanline(f, line, prev, 1))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", plte)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 9))
+            + _png_chunk(b"IEND", b""))
+
+
+def encode_png16(width: int, height: int, pixels: bytes,
+                 filters: tuple[int, ...] = (0,)) -> bytes:
+    """16-bit RGB PNG encoder: each 8-bit sample ``v`` widens to
+    ``v*257`` (= ``(v<<8)|v``), the exact inverse of the decoder's
+    high-byte downsample — so decode(encode16(px)) == px bit-for-bit
+    and the 16-bit path is oracle-replayable with the same pixel
+    recipe."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, "
+                         f"got {len(pixels)}")
+    prev = bytes(width * 6)
+    lines = []
+    for y in range(height):
+        row = pixels[y * width * 3:(y + 1) * width * 3]
+        line = bytes(b for v in row for b in (v, v))
+        f = filters[y % len(filters)]
+        lines.append(bytes([f]) + _filter_scanline(f, line, prev, 6))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 9))
+            + _png_chunk(b"IEND", b""))
+
+
 def decode_image(content: bytes) -> dict:
     """Real image decode, pure Python, no libraries: binary PPM (P6)
-    and 8-bit non-interlaced PNG (gray/RGB/gray+alpha/RGBA — see
-    :func:`_decode_png`).
+    and non-interlaced PNG (gray/RGB/gray+alpha/RGBA at depth 8/16 and
+    palette at depth 1/2/4/8 — see :func:`_decode_png`).
 
     Returns ``{"format", "width", "height", "maxval", "pixels"}`` where
     pixels are raw interleaved RGB bytes regardless of source format.
@@ -263,7 +382,7 @@ def decode_image(content: bytes) -> dict:
         return _decode_png(content)
     if not content.startswith(b"P6"):
         raise NotImplementedError(
-            "only binary PPM (P6) and 8-bit PNG decode without an "
+            "only binary PPM (P6) and PNG decode without an "
             "imaging library; use extract_features(..., fake=True) "
             "for plumbing tests")
     # header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels;

@@ -660,7 +660,8 @@ def _kn3_stats(tg: DataFrame, min_count: int = 1):
 
 def kn3_logprob(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id",
-                discount: float = 0.75) -> DataFrame:
+                discount: float = 0.75,
+                min_count: int = 1) -> DataFrame:
     """Per-document mean trigram log2-probability under an interpolated
     Kneser-Ney LM trained on the corpus itself — the actual
     CCNet/KenLM-style fluency filter, completing the
@@ -689,12 +690,24 @@ def kn3_logprob(df: DataFrame, text_col: str = "text",
     assembled probability table, co-partitioned on the trigram key.
     Docs with fewer than three tokens are absent (mirrored by the
     oracle).  Output: ``id_col, n_trigrams, mean_logprob``.
+
+    ``min_count`` is the same SCALE lever :func:`kn3_score` has
+    (trigram types below it drop before the marginals — what bounds
+    the stat tables on adversarial low-reuse corpora, see the 100M
+    stress tier in SCALE.md).  The self-scored form has no backoff
+    ladder to route pruned mass through, so pruned trigram OCCURRENCES
+    are simply excluded from the per-doc mean (``n_trigrams`` counts
+    scored trigrams) and a doc whose every trigram was pruned is
+    absent — the honest semantics of pruning a backoff-free model.
+    Default 1 = no pruning.
     """
     if not 0 < discount < 1:
         raise ValueError(f"discount must be in (0,1), got {discount}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     dd = float(discount)
     tg = _kn3_trigrams(df, text_col, id_col)
-    c3, ctx12, mid, mid2, end3, ntypes, _ = _kn3_stats(tg)
+    c3, ctx12, mid, mid2, end3, ntypes, _ = _kn3_stats(tg, min_count)
     # assemble p on the vocabulary-bounded table, ONE corpus join below.
     # Expression shape (parenthesization, operand order) is mirrored
     # verbatim by the oracle — same doubles, same log2 input.

@@ -295,9 +295,11 @@ def test_png_decode_color_types_and_errors():
     ga = png(2, 1, 8, 4, 0, bytes([0, 50, 255, 60, 0]))
     assert multimodal.decode_image(ga)["pixels"] == bytes(
         [50] * 3 + [60] * 3)
-    with pytest.raises(NotImplementedError, match="16|depth"):
-        multimodal.decode_image(png(1, 1, 16, 0, 0, bytes(3)))
-    with pytest.raises(NotImplementedError, match="color type 3"):
+    # 16-bit gray decodes via the high byte (r10): 0x0A0B -> 10
+    g16 = png(1, 1, 16, 0, 0, bytes([0, 10, 11]))
+    assert multimodal.decode_image(g16)["pixels"] == bytes([10] * 3)
+    # palette without PLTE is corrupt, not unsupported (r10)
+    with pytest.raises(ValueError, match="PLTE"):
         multimodal.decode_image(png(1, 1, 8, 3, 0, bytes(2)))
     with pytest.raises(NotImplementedError, match="interlaced"):
         multimodal.decode_image(png(1, 1, 8, 0, 1, bytes(2)))
@@ -311,6 +313,68 @@ def test_png_decode_color_types_and_errors():
     # truncated pixel stream
     with pytest.raises(ValueError, match="pixel data"):
         multimodal.decode_image(png(2, 2, 8, 0, 0, bytes([0, 1, 2])))
+
+
+def test_png_palette_and_16bit_roundtrip():
+    """encode_png_indexed / encode_png16 -> decode_image reproduce the
+    target RGB bytes exactly: palette at every legal depth (sub-byte
+    MSB-first packing, filters over index bytes), 16-bit via the v*257
+    widening that makes the high-byte downsample lossless."""
+    import hashlib
+
+    # palette: PLTE IS the pixel content, indices 0..n-1 (duplicates
+    # of a color in PLTE are legal, so ANY rgb content is expressible)
+    for w, h, depth in [(8, 8, 8), (4, 4, 4), (4, 2, 2), (8, 2, 1),
+                        (5, 3, 4)]:
+        n = w * h
+        if depth < 8 and n > (1 << depth):
+            # sub-byte depths: cycle indices within range
+            idx = bytes(i % (1 << depth) for i in range(n))
+        else:
+            idx = bytes(range(n))
+        n_pal = max(idx) + 1
+        plte = (b"".join(hashlib.md5(f"plte{depth}~{k}".encode()).digest()
+                         for k in range(n_pal)))[:n_pal * 3]
+        content = multimodal.encode_png_indexed(
+            w, h, idx, plte, depth=depth, filters=(0, 1, 2, 3, 4))
+        img = multimodal.decode_image(content)
+        want = b"".join(plte[3 * i:3 * i + 3] for i in idx)
+        assert (img["width"], img["height"]) == (w, h)
+        assert img["pixels"] == want, (w, h, depth)
+    # 16-bit RGB roundtrip, every filter
+    for filters in [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)]:
+        px = (b"".join(hashlib.md5(f"p16~{k}".encode()).digest()
+                       for k in range(12)))[:5 * 3 * 3]
+        content = multimodal.encode_png16(5, 3, px, filters=filters)
+        assert multimodal.decode_image(content)["pixels"] == px
+    # error paths
+    with pytest.raises(ValueError, match="index out of range"):
+        multimodal.encode_png_indexed(1, 1, bytes([5]), bytes(9), depth=2)
+    with pytest.raises(ValueError, match="PLTE"):
+        multimodal.encode_png_indexed(1, 1, bytes([0]), bytes(4))
+    with pytest.raises(ValueError, match="depth"):
+        multimodal.encode_png_indexed(1, 1, bytes([0]), bytes(3), depth=3)
+
+
+def test_png_palette_16bit_feed_phash(spark):
+    """The same pixels as palette PNG, 16-bit PNG, 8-bit PNG and PPM
+    produce IDENTICAL image_stats and perceptual hashes — the decode
+    normalization makes every operator format-blind."""
+    import hashlib
+    px = (b"".join(hashlib.md5(f"op{k}".encode()).digest()
+                   for k in range(12)))[:192]   # 8x8 RGB
+    ppm = b"P6\n8 8\n255\n" + px
+    png8 = multimodal.encode_png(8, 8, px, filters=(0, 1, 2, 3, 4))
+    pal = multimodal.encode_png_indexed(8, 8, bytes(range(64)), px,
+                                        filters=(0, 1, 2, 3, 4))
+    p16 = multimodal.encode_png16(8, 8, px, filters=(0, 1, 2, 3, 4))
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(png8)),
+         (3, bytearray(pal)), (4, bytearray(p16))],
+        "media_id long, content binary")
+    ph = {r["media_id"]: (r["ahash"], r["dhash"]) for r in
+          multimodal.image_phash(media, grid_w=4, grid_h=4).collect()}
+    assert ph[1] == ph[2] == ph[3] == ph[4]
 
 
 def test_png_feeds_image_operators(spark):

@@ -345,6 +345,28 @@ def test_kn3_logprob_hand_computed(spark):
         kn3_logprob(df, discount=1.5)
 
 
+def test_kn3_logprob_min_count_pruning(spark):
+    """min_count forwarded to the SELF-scored form (r10): singleton
+    trigram types drop before the marginals AND the scoring join — on
+    the micro-corpus only (a,b,c) c=2 survives min_count=2, so its
+    whole probability mass concentrates (p3 = (2-.75)/2 +
+    (.75*1/2)*((1-.75)/1 + .75*1) = exactly 1 -> logprob 0), the doc
+    whose only trigram was pruned is ABSENT (no backoff ladder to
+    route mass through), and n_trigrams counts scored trigrams."""
+    from pypond_spark.datapipe.textstats import kn3_logprob
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "a b d"), (3, "a b")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           kn3_logprob(df, min_count=2).collect()}
+    assert set(out) == {0, 1}              # doc 2's trigram pruned
+    assert out[0]["n_trigrams"] == 1
+    assert out[0]["mean_logprob"] == 0.0   # p = exactly 1
+    assert out[1]["mean_logprob"] == 0.0
+    with pytest.raises(ValueError, match="min_count"):
+        kn3_logprob(df, min_count=0)
+
+
 def test_kn3_beats_bigram_on_fluent_vs_garbage(spark):
     """The point of the trigram KN filter: with bigram-level coverage
     engineered equal (every GARBAGE bigram also appears in fluent

@@ -219,7 +219,8 @@ def main() -> None:
                "char_entropy", "rrf_fusion", "bpe_tokenize", "nb_quality",
                "cms_sketch", "heavy_hitters", "bloom_roundtrip",
                "hll_registers", "unigram_apply", "wordpiece_apply",
-               "longest_match", "bpe_bytes_apply", "kn3_logprob"}
+               "longest_match", "bpe_bytes_apply", "kn3_logprob",
+               "kn3_logprob_pruned"}
     ev_needed = not only or bool(
         only - emb_ops - doc_ops
         - {"dedup_mega_cluster", "dedup_documents"})
@@ -422,6 +423,13 @@ def main() -> None:
             "pypond_spark.datapipe.textstats",
             fromlist=["kn3_logprob"])
             .kn3_logprob(docs)),
+        # r10: the min_count lever forwarded to the self-scored form —
+        # on this adversarial corpus (~all-singleton trigram types)
+        # pruning collapses the stat tables (SCALE.md tier)
+        "kn3_logprob_pruned": lambda: sink(__import__(
+            "pypond_spark.datapipe.textstats",
+            fromlist=["kn3_logprob"])
+            .kn3_logprob(docs, min_count=2)),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
