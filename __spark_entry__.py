@@ -2557,6 +2557,68 @@ def q_kn3_logprob(spark, sf_dir):
     return dp_text.kn3_logprob(docs)
 
 
+def _langid_ngram_sql(final_select: str) -> str:
+    """Multiclass hashed char-3-gram NB replay (the nb_quality recipe,
+    one ll column per (bucket, label) in a DENSE table): train on the
+    even half's lang labels, score the odd half; ``final_select``
+    consumes the ``pred`` CTE (doc_id, lang_pred, n_grams, sc BIGINT
+    micro-nats) so the prediction row and the confusion row share one
+    verified body."""
+    return """
+    WITH norm AS MATERIALIZED (
+      SELECT doc_id, doc_id % 2 AS par, lang,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), bk AS MATERIALIZED (
+      SELECT doc_id, par, lang,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b
+      FROM (
+        SELECT doc_id, par, lang,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                                     i -> substr(t, i, 3))) AS g
+        FROM norm WHERE len(t) >= 3
+      )
+    ), labs AS MATERIALIZED (
+      SELECT lang AS l, count(*) AS dl FROM documents
+      WHERE doc_id % 2 = 0 GROUP BY 1
+    ), dtot AS (
+      SELECT CAST(sum(dl) AS BIGINT) AS d, count(*) AS nl FROM labs
+    ), cnt AS MATERIALIZED (
+      SELECT lang AS l, b, count(*) AS c FROM bk
+      WHERE par = 0 GROUP BY 1, 2
+    ), nlt AS (
+      SELECT l, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY l
+    ), dense AS MATERIALIZED (
+      SELECT bb.b, labs.l,
+             CAST(round(ln((coalesce(c.c, 0) + 1.0)
+                           / (coalesce(nlt.t, 0) + 1.0 * 4096))
+                        * 1000000.0) AS BIGINT) AS ll
+      FROM (SELECT unnest(generate_series(0, 4095)) AS b) bb
+      CROSS JOIN labs
+      LEFT JOIN nlt ON nlt.l = labs.l
+      LEFT JOIN cnt c ON c.l = labs.l AND c.b = bb.b
+    ), prior AS (
+      SELECT labs.l,
+             CAST(round(ln((labs.dl + 1.0) / (dtot.d + 1.0 * dtot.nl))
+                        * 1000000.0) AS BIGINT) AS pr
+      FROM labs CROSS JOIN dtot
+    ), per AS MATERIALIZED (
+      SELECT bk.doc_id, dense.l, count(*) AS n,
+             max(prior.pr) + sum(dense.ll) AS sc
+      FROM bk
+      JOIN dense ON dense.b = bk.b
+      JOIN prior ON prior.l = dense.l
+      WHERE bk.par = 1
+      GROUP BY 1, 2
+    ), pred AS (
+      SELECT doc_id, l AS lang_pred, n AS n_grams, sc
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY sc DESC, l ASC) AS rn FROM per)
+      WHERE rn = 1
+    )
+    """ + final_select
+
+
 def _kn3_logprob_sql(min_count: int = 1) -> str:
     """The kn3_logprob replay, parametrized on the min_count pruning
     lever (a HAVING on the c3 type CTE — pruned types vanish from
@@ -3617,6 +3679,41 @@ def q_langid_confusion(spark, sf_dir):
     pred = dp_text.language_id(docs).select("doc_id", "lang_pred")
     from pyspark.sql import Window
     cm = (docs.select("doc_id", F.col("lang").alias("actual"))
+          .join(pred, "doc_id")
+          .groupBy("actual", "lang_pred")
+          .agg(F.count("*").alias("n")))
+    tot = F.sum("n").over(Window.partitionBy("actual"))
+    return cm.select("actual", "lang_pred", "n",
+                     F.round(F.col("n") / tot, 6).alias("recall_share"))
+
+
+def q_langid_ngram(spark, sf_dir):
+    """Trainable char-3-gram Naive-Bayes language ID
+    (textstats.py::langid_ngram — verdict r9 item 5: the marker-word
+    heuristic is brittle on short/non-European docs): fit on the
+    even-id half's labeled lang column, score the odd half. Dense
+    (bucket x label) micro-nat table broadcast, integer per-doc sums,
+    argmax with score-then-label tiebreak — the multiclass nb_quality
+    recipe, replayed in full by the oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.langid_ngram(docs.where(F.col("doc_id") % 2 == 0),
+                                docs.where(F.col("doc_id") % 2 == 1))
+
+
+def q_langid_ngram_confusion(spark, sf_dir):
+    """Confusion matrix + per-language recall of the TRAINED char-gram
+    classifier on the held-out half — the side-by-side quality report
+    against `langid_confusion` (marker words). The unit test asserts
+    the trained recall beats marker words where markers go blind
+    (short docs, zh)."""
+    docs = _read(spark, sf_dir, "documents")
+    pred = dp_text.langid_ngram(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1)) \
+        .select("doc_id", "lang_pred")
+    from pyspark.sql import Window
+    cm = (docs.where(F.col("doc_id") % 2 == 1)
+          .select("doc_id", F.col("lang").alias("actual"))
           .join(pred, "doc_id")
           .groupBy("actual", "lang_pred")
           .agg(F.count("*").alias("n")))
@@ -4799,6 +4896,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_neardup": q_dedup_against_neardup,
         "kn3_logprob_pruned": q_kn3_logprob_pruned,
         "image_phash_png_palette": q_image_phash_png_palette,
+        "langid_ngram": q_langid_ngram,
+        "langid_ngram_confusion": q_langid_ngram_confusion,
         "image_phash_png": q_image_phash_png,
         "bpe_bytes_tokenize": q_bpe_bytes_tokenize,
         "bpe_bytes_train_merges": q_bpe_bytes_train_merges,
@@ -10963,6 +11062,20 @@ def oracle_sql() -> dict[str, str]:
     d["wordpiece_train_merges"] = _wordpiece_train_sql(5)
     d["kn3_logprob"] = _KN3_ORACLE
     d["kn3_logprob_pruned"] = _kn3_logprob_sql(min_count=2)
+    d["langid_ngram"] = _langid_ngram_sql("""
+        SELECT doc_id, lang_pred, n_grams,
+               sc / 1000000.0 AS score
+        FROM pred""")
+    d["langid_ngram_confusion"] = _langid_ngram_sql("""
+        SELECT actual, lang_pred, n,
+               round(n / CAST(sum(n) OVER (PARTITION BY actual)
+                              AS DOUBLE), 6) AS recall_share
+        FROM (
+          SELECT d.lang AS actual, p.lang_pred, count(*) AS n
+          FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+          WHERE d.doc_id % 2 = 1
+          GROUP BY 1, 2
+        )""")
     d["kn3_heldout"] = _kn3_heldout_sql()
     d["kn3_heldout_pruned"] = _kn3_heldout_sql(min_count=2)
     d["stream_attribution_outer"] = """

@@ -269,6 +269,8 @@ HEADLINE = [
     "kn3_logprob_pruned",
     "dedup_against_neardup",
     "image_phash_png_palette",
+    "langid_ngram",
+    "langid_ngram_confusion",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -116,6 +116,106 @@ def language_id(df: DataFrame, text_col: str = "text",
                      best_score.alias("lang_score"))
 
 
+def char_ngram_buckets(text_col: str = "text", n: int = 3,
+                       n_buckets: int = 4096) -> Column:
+    """Hashed character n-gram bag for language ID: lowercase, collapse
+    whitespace runs to single spaces (so the SPACE-adjacent grams that
+    carry most language signal are stable), slide an ``n``-char window,
+    md5-bucket each gram (the SQL-portable :func:`gram_bucket`). Docs
+    shorter than ``n`` chars produce an empty array."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                            r"\s+", " ")
+    grams = F.when(
+        F.length(norm) >= n,
+        F.transform(F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+                    lambda i: norm.substr(i, F.lit(n)))) \
+        .otherwise(F.array().cast("array<string>"))
+    return F.transform(grams, lambda g: gram_bucket(g, n_buckets))
+
+
+def langid_ngram(train: DataFrame, corpus: DataFrame,
+                 label_col: str = "lang", text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3,
+                 n_buckets: int = 4096,
+                 smoothing: float = 1.0) -> DataFrame:
+    """TRAINABLE character-n-gram language identifier: multinomial
+    Naive Bayes over hashed char ``n``-grams (Cavnar & Trenkle 1994
+    n-gram language categorization, in the closed-form hashed-NB
+    discipline of :func:`nb_quality_classifier`) — the production
+    replacement for the marker-word heuristic :func:`language_id`,
+    which is brittle on short or non-European-language docs.
+
+    Training is ONE shuffle: explode ``train`` into char-gram buckets,
+    count per (bucket, label); the DENSE (bucket x label) log-likelihood
+    table (``n_buckets * |labels|`` rows — broadcastable by
+    construction, and dense so unseen buckets need no fallback branch)
+    plus per-label doc priors come out Laplace-smoothed. Scoring is one
+    pass over ``corpus``: gram explode, broadcast join, per-(doc,
+    label) integer micro-nat sum, argmax (ties break to the
+    lexicographically smallest label — deterministic cross-engine).
+
+    Cross-engine determinism: per-cell log-likelihoods and priors are
+    micro-nat integers (``round(ln(p) * 1e6)``), per-doc accumulation
+    is an exact integer sum, one shared /1e6 at the end — the
+    :func:`nb_quality_classifier` recipe, multiclass.
+
+    Output: ``id_col, lang_pred, n_grams, score`` (mean-free total
+    log-likelihood in nats; docs with no grams are absent — mirrored by
+    the oracle).
+    """
+    import math
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    s = float(smoothing)
+    if s <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    spark = train.sparkSession
+    dl = {r["l"]: r["c"] for r in
+          spread(train).groupBy(F.col(label_col).alias("l"))
+          .agg(F.count("*").alias("c")).collect()}
+    if not dl:
+        raise ValueError("langid_ngram: empty training frame")
+    labels = sorted(dl)
+    d_tot = sum(dl.values())
+    counts = (spread(train)
+              .select(F.col(label_col).alias("__l"),
+                      F.explode(char_ngram_buckets(text_col, n, n_buckets))
+                      .alias("__b"))
+              .groupBy("__l", "__b").agg(F.count("*").alias("__c"))
+              .localCheckpoint())
+    n_l = {r["__l"]: r["t"] for r in
+           counts.groupBy("__l").agg(F.sum("__c").alias("t")).collect()}
+    lab_df = spark.createDataFrame(
+        [(lab,
+          int(round(math.log((dl[lab] + s) / (d_tot + s * len(labels)))
+                    * 1e6)),
+          float(n_l.get(lab, 0) + s * n_buckets))
+         for lab in labels],
+        "__l string, __prior long, __denom double")
+    dense = (spark.range(n_buckets).select(F.col("id").alias("__b"))
+             .crossJoin(lab_df)
+             .join(counts, ["__l", "__b"], "left")
+             .select("__b", "__l", "__prior",
+                     F.round(F.log((F.coalesce(F.col("__c"), F.lit(0))
+                                    + F.lit(s)) / F.col("__denom"))
+                             * 1e6).cast("long").alias("__ll")))
+    scored = (spread(corpus)
+              .select(F.col(id_col),
+                      F.explode(char_ngram_buckets(text_col, n, n_buckets))
+                      .alias("__b"))
+              .join(F.broadcast(dense), "__b"))
+    per = (scored.groupBy(id_col, "__l")
+           .agg(F.count("*").alias("__n"),
+                (F.first("__prior") + F.sum("__ll")).alias("__sc")))
+    best = F.min(F.struct((-F.col("__sc")).alias("neg"),
+                          F.col("__l").alias("l"),
+                          F.col("__n").alias("n")))
+    return (per.groupBy(id_col).agg(best.alias("__best"))
+            .select(F.col(id_col), F.col("__best.l").alias("lang_pred"),
+                    F.col("__best.n").alias("n_grams"),
+                    (-F.col("__best.neg") / F.lit(1e6)).alias("score")))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", shingle_n: int = 3,
                 hash_fn: str = "md5") -> DataFrame:

@@ -162,6 +162,52 @@ def test_language_id(spark):
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
 
 
+def test_langid_ngram_beats_markers_where_markers_go_blind(spark):
+    """The trained char-3-gram NB (r10) identifies SHORT docs with NO
+    marker words — exactly where the marker heuristic returns 'und' —
+    because character n-grams (accents, digraphs, word endings) carry
+    the signal. Per-language recall on the brittle held-out set is
+    strictly higher than marker-word recall; ties break to the
+    lexicographically smallest label deterministically."""
+    from pypond_spark.datapipe.textstats import langid_ngram, language_id
+    train = spark.createDataFrame(
+        [(0, "bonjour je voudrais acheter quelques croissants "
+             "aujourd'hui s'il vous plait merci beaucoup monsieur", "fr"),
+         (2, "nous allons souvent au marche pour acheter des legumes "
+             "frais chaque semaine pendant toute l'annee", "fr"),
+         (4, "good morning i would like to buy some fresh bread "
+             "today please thank you very much sir", "en"),
+         (6, "we often go to teh market to buy fresh vegetables "
+             "every week throughout entire year", "en"),
+         (8, "guten morgen ich moechte heute frisches brot kaufen "
+             "bitte vielen dank mein herr", "de"),
+         (10, "wir gehen oft zum markt um frisches gemuese zu kaufen "
+              "jede woche waehrend des ganzen jahres", "de")],
+        "doc_id long, text string, lang string")
+    # short held-out snippets with NO marker words
+    test = spark.createDataFrame(
+        [(1, "acheter aujourd'hui beaucoup", "fr"),
+         (3, "fresh bread morning", "en"),
+         (5, "moechte frisches gemuese", "de")],
+        "doc_id long, text string, lang string")
+    trained = {r["doc_id"]: r["lang_pred"] for r in
+               langid_ngram(train, test).collect()}
+    marker = {r["doc_id"]: r["lang_pred"] for r in
+              language_id(test).collect()}
+    want = {1: "fr", 3: "en", 5: "de"}
+    assert trained == want
+    # markers are blind here: no doc hits a single marker word
+    n_marker_right = sum(marker[k] == v for k, v in want.items())
+    assert n_marker_right < 3
+    assert sum(trained[k] == v for k, v in want.items()) > n_marker_right
+    # validation
+    import pytest as _pt
+    with _pt.raises(ValueError, match="smoothing"):
+        langid_ngram(train, test, smoothing=0)
+    with _pt.raises(ValueError, match="n must"):
+        langid_ngram(train, test, n=0)
+
+
 def test_fingerprint_deterministic(spark, docs):
     fp1 = {r["doc_id"]: r["fingerprint"]
            for r in textstats.fingerprint(docs.limit(10)).collect()}
