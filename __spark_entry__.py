@@ -1045,6 +1045,23 @@ def q_stream_attribution_outer(spark, sf_dir):
     return _run_stream_32(spark, out, "append")
 
 
+def q_stream_attribution_last_touch(spark, sf_dir):
+    """Last-touch streaming attribution (streaming/stream.py::
+    stream_attribution_touch — verdict r9 item 6): exactly ONE view per
+    click, maintained across micro-batches by a second stateful
+    operator (append-mode windowed argmax downstream of the interval
+    join — a better view arriving in a later batch replaces the held
+    candidate).  The oracle replays the batch interval join + a
+    row_number argmax (min lag, tie min view_id) with the measured
+    emission cutoff: a click's winner emits iff its tumbling-window end
+    is at or below the final global watermark (min of the two sides'
+    max event times)."""
+    from pypond_spark.streaming.stream import stream_attribution_touch
+    views, clicks = _attrib_streams(spark, sf_dir)
+    out = stream_attribution_touch(views, clicks, horizon="1h")
+    return _run_stream_32(spark, out, "append")
+
+
 def q_stream_minhash_dedup(spark, sf_dir):
     """Streaming MinHash-LSH near-dup gate (streaming/stream.py::
     stream_minhash_dedup): row-local HOF minhash signatures (identical
@@ -4898,6 +4915,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_png_palette": q_image_phash_png_palette,
         "langid_ngram": q_langid_ngram,
         "langid_ngram_confusion": q_langid_ngram_confusion,
+        "stream_attribution_last_touch": q_stream_attribution_last_touch,
         "image_phash_png": q_image_phash_png,
         "bpe_bytes_tokenize": q_bpe_bytes_tokenize,
         "bpe_bytes_train_merges": q_bpe_bytes_train_merges,
@@ -11114,6 +11132,34 @@ def oracle_sql() -> dict[str, str]:
           ON v.user_id = c.user_id
          AND v.event_type = 'view' AND c.event_type = 'click'
          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """
+    d["stream_attribution_last_touch"] = """
+        WITH wm AS (
+          SELECT least(
+            (SELECT max(epoch_ms(ts)) FROM events
+             WHERE event_type = 'view'),
+            (SELECT max(epoch_ms(ts)) FROM events
+             WHERE event_type = 'click')) AS w
+        ), pairs AS (
+          SELECT c.user_id, c.event_id AS click_id,
+                 v.event_id AS view_id,
+                 epoch_ms(v.ts) AS vm, epoch_ms(c.ts) AS cm,
+                 epoch_ms(c.ts) - epoch_ms(v.ts) AS lag
+          FROM events c JOIN events v
+            ON v.user_id = c.user_id
+           AND v.event_type = 'view' AND c.event_type = 'click'
+           AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        ), best AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id, click_id
+                   ORDER BY lag ASC, view_id ASC, vm ASC) AS rn
+          FROM pairs
+        )
+        SELECT b.user_id, b.click_id, b.view_id,
+               b.vm AS view_ms, b.cm AS click_ms, b.lag AS lag_ms
+        FROM best b CROSS JOIN wm
+        WHERE b.rn = 1
+          AND (b.cm // 3600000) * 3600000 + 3600000 <= wm.w
     """
     d["wordpiece_tokenize"] = _wordpiece_oracle()
     d["unigram_tokenize"] = _unigram_apply_oracle()

@@ -307,6 +307,7 @@ STREAM = [
     "stream_xchart",
     "stream_attribution_join",
     "stream_attribution_outer",
+    "stream_attribution_last_touch",
 ]
 
 

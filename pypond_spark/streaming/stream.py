@@ -2350,3 +2350,79 @@ def stream_attribution_join(
                      F.unix_millis("__ct").alias("click_ms"),
                      (F.unix_millis("__ct") - F.unix_millis("__vt"))
                      .alias("lag_ms")))
+
+
+def stream_attribution_touch(
+    views: DataFrame,
+    clicks: DataFrame,
+    key_col: str = "user_id",
+    view_id_col: str = "view_id",
+    click_id_col: str = "click_id",
+    horizon: str | int = "1h",
+    time_col: str = "time",
+    late: str = "0 seconds",
+    touch: str = "last",
+) -> DataFrame:
+    """Last-touch / first-touch streaming attribution: exactly ONE view
+    per click — the production attribution contract on top of
+    :func:`stream_attribution_join`'s all-pairs semantics.
+
+    TWO chained stateful operators, both native (zero Python): the
+    watermarked interval join emits candidate pairs as both sides
+    arrive, and a downstream append-mode windowed aggregation keeps the
+    best-so-far view per click ACROSS micro-batches (a better view
+    arriving in a later batch replaces the held candidate — the
+    cross-batch test pins it), emitting each click's single winner only
+    once the watermark proves no candidate view can still arrive (every
+    last-touch candidate has ``view.time <= click.time``, so once the
+    watermark passes the click's window no new pair for it can form —
+    late views would have been dropped at the join already).
+
+    ``touch="last"`` keeps the view closest before the click (min
+    ``lag_ms``), ``"first"`` the earliest view within the horizon (max
+    ``lag_ms``); ties break to the smallest ``view_id_col`` then
+    ``view_ms`` — deterministic, SQL-replayable. Clicks with no view
+    never appear (pair with ``stream_attribution_join(unmatched="emit")``
+    for the null rows).
+
+    State: the join side is O(events in horizon) as before; the agg
+    side is ONE best-candidate row per open click, evicted at emission
+    — both watermark-bounded, runnable forever.
+
+    Output: ``(key_col, click_id_col, view_id_col, view_ms, click_ms,
+    lag_ms)``.
+    """
+    ms = (horizon if isinstance(horizon, int)
+          else window_duration_ms(horizon))
+    if not ms or ms <= 0:
+        raise ValueError(f"horizon must be a positive duration, "
+                         f"got {horizon!r}")
+    if touch not in ("last", "first"):
+        raise ValueError(f"touch must be last|first, got {touch!r}")
+    v = (views.select(F.col(key_col), F.col(view_id_col),
+                      F.col(time_col).alias("__vt"))
+         .withWatermark("__vt", late))
+    c = (clicks.select(F.col(key_col).alias("__ck"),
+                       F.col(click_id_col),
+                       F.col(time_col).alias("__ct"))
+         .withWatermark("__ct", late))
+    cond = ((F.col(key_col) == F.col("__ck"))
+            & (F.col("__ct") >= F.col("__vt"))
+            & (F.col("__ct") <= F.col("__vt")
+               + F.expr(f"INTERVAL {int(ms)} MILLISECOND")))
+    lag = F.unix_millis("__ct") - F.unix_millis("__vt")
+    sort_key = lag if touch == "last" else -lag
+    best = F.min(F.struct(
+        sort_key.alias("s"), F.col(view_id_col).alias("v"),
+        F.unix_millis("__vt").alias("vm"),
+        F.unix_millis("__ct").alias("cm"), lag.alias("lg")))
+    return (v.join(c, cond, "inner")
+            .groupBy(F.window("__ct", f"{int(ms)} milliseconds")
+                     .alias("__w"),
+                     F.col(key_col), F.col(click_id_col))
+            .agg(best.alias("__b"))
+            .select(F.col(key_col), F.col(click_id_col),
+                    F.col("__b.v").alias(view_id_col),
+                    F.col("__b.vm").alias("view_ms"),
+                    F.col("__b.cm").alias("click_ms"),
+                    F.col("__b.lg").alias("lag_ms")))

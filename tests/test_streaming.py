@@ -1315,6 +1315,74 @@ def test_stream_attribution_join_cross_batch_and_late_drop(spark, tmp_path):
         stream_attribution_join(views, clicks, horizon="bogus")
 
 
+def test_stream_attribution_last_touch_cross_batch(spark, tmp_path):
+    """Last-touch attribution holds the best-so-far view per click
+    ACROSS micro-batches: the closer view arriving in a LATER batch
+    replaces the batch-1 candidate, and the single winner emits only
+    once the watermark closes the click's window. first-touch flips
+    the argmax."""
+    import json as _json
+    from pyspark.sql import types as T2
+    from pypond_spark.streaming.stream import stream_attribution_touch
+    vschema = T2.StructType([T2.StructField("user_id", T2.StringType()),
+                             T2.StructField("view_id", T2.LongType()),
+                             T2.StructField("t_ms", T2.LongType())])
+    cschema = T2.StructType([T2.StructField("user_id", T2.StringType()),
+                             T2.StructField("click_id", T2.LongType()),
+                             T2.StructField("t_ms", T2.LongType())])
+    view_chunks = [
+        [{"user_id": "u1", "view_id": 1, "t_ms": 1_000_000}],
+        # closer view, LATER batch (still ahead of the 1,000,000
+        # watermark): must replace view 1 as u1's last touch
+        [{"user_id": "u1", "view_id": 2, "t_ms": 1_030_000}],
+        # frontier pusher: advances the watermark past the click window
+        [{"user_id": "u9", "view_id": 9, "t_ms": 10_000_000}],
+    ]
+    click_chunks = [
+        [{"user_id": "u1", "click_id": 11, "t_ms": 1_060_000}],
+        [],
+        [{"user_id": "u9", "click_id": 19, "t_ms": 10_000_000}],
+    ]
+    for touch, want_view, want_lag in [("last", 2, 30_000),
+                                       ("first", 1, 60_000)]:
+        base = tmp_path / touch
+        vsrc, csrc = base / "views", base / "clicks"
+        vsrc.mkdir(parents=True), csrc.mkdir(parents=True)
+        for i in range(3):
+            for src, chunk in [(vsrc, view_chunks[i]),
+                               (csrc, click_chunks[i])]:
+                with open(src / f"p{i}.json", "w") as fh:
+                    for rec in chunk:
+                        fh.write(_json.dumps(rec) + "\n")
+            views = (spark.readStream.schema(vschema).json(str(vsrc))
+                     .withColumn("time", F.timestamp_millis(F.col("t_ms")))
+                     .drop("t_ms"))
+            clicks = (spark.readStream.schema(cschema).json(str(csrc))
+                      .withColumn("time",
+                                  F.timestamp_millis(F.col("t_ms")))
+                      .drop("t_ms"))
+            out = stream_attribution_touch(views, clicks, horizon="1h",
+                                           touch=touch)
+            q = (out.writeStream.format("parquet").outputMode("append")
+                 .option("path", str(base / "out"))
+                 .option("checkpointLocation", str(base / "ck"))
+                 .trigger(availableNow=True).start())
+            assert q.awaitTermination(180), "drain did not terminate"
+        rows = spark.read.parquet(str(base / "out")).collect()
+        got = {(r["user_id"], r["click_id"]):
+               (r["view_id"], r["lag_ms"]) for r in rows}
+        # exactly ONE view for u1's click — the cross-batch winner;
+        # u9's frontier click stays held (its window is not closed)
+        assert got == {("u1", 11): (want_view, want_lag)}, (touch, got)
+    from pypond_spark.streaming.stream import stream_attribution_touch \
+        as sat
+    import pytest as _pt
+    with _pt.raises(ValueError, match="touch"):
+        sat(views, clicks, touch="bogus")
+    with _pt.raises(ValueError, match="horizon"):
+        sat(views, clicks, horizon="bogus")
+
+
 def test_stream_attribution_outer_emits_unmatched_on_expiry(spark, tmp_path):
     """unmatched='emit' (click-side outer join): a conversion with no
     attributable view emits exactly once with NULL view columns — and
