@@ -3704,6 +3704,28 @@ def q_langid_confusion(spark, sf_dir):
                      F.round(F.col("n") / tot, 6).alias("recall_share"))
 
 
+def q_normalize_unicode(spark, sf_dir):
+    """Arrow-side Unicode normalization (textstats.py::
+    normalize_unicode — verdict r9 item 7: NFKC -> casefold ->
+    zero-width strip -> homoglyph fold -> re-normalize, one
+    implementation so Java-vs-Python normalizer drift can't poison
+    digests): each doc gets a suffix of KNOWN pathological codepoints
+    (NFD ring, fullwidth letter, NFD acute, zero-width stuffing, a
+    Cyrillic homoglyph) appended in-plan; the oracle replays the ASCII
+    body with lower() (the corpus is ASCII — NFKC is identity,
+    casefold == lower) and the suffix with the HAND-DERIVED expected
+    literal from the Unicode tables, so the normalization itself is
+    what the hash certifies, never re-run on the oracle side."""
+    docs = _read(spark, sf_dir, "documents")
+    suffix = (" Å Ａ café zz​zz pаy")
+    dirty = docs.select("doc_id",
+                        F.concat(F.col("text"), F.lit(suffix))
+                        .alias("text"))
+    out = dp_text.normalize_unicode(dirty, fold_confusables=True)
+    return out.select("doc_id", F.md5("text").alias("norm_digest"),
+                      F.length("text").alias("n_chars"))
+
+
 def q_langid_ngram(spark, sf_dir):
     """Trainable char-3-gram Naive-Bayes language ID
     (textstats.py::langid_ngram — verdict r9 item 5: the marker-word
@@ -4916,6 +4938,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_ngram": q_langid_ngram,
         "langid_ngram_confusion": q_langid_ngram_confusion,
         "stream_attribution_last_touch": q_stream_attribution_last_touch,
+        "normalize_unicode": q_normalize_unicode,
         "image_phash_png": q_image_phash_png,
         "bpe_bytes_tokenize": q_bpe_bytes_tokenize,
         "bpe_bytes_train_merges": q_bpe_bytes_train_merges,
@@ -11080,6 +11103,19 @@ def oracle_sql() -> dict[str, str]:
     d["wordpiece_train_merges"] = _wordpiece_train_sql(5)
     d["kn3_logprob"] = _KN3_ORACLE
     d["kn3_logprob_pruned"] = _kn3_logprob_sql(min_count=2)
+    # hand-derived from the Unicode tables (NOT by re-running the op):
+    # " Å" -> NFKC "Å" -> casefold "å" (chr(229));
+    # " Ａ" fullwidth A -> "A" -> "a"; " café" -> NFKC
+    # "café" (chr(233)); zero-width space stripped; Cyrillic
+    # а folded to latin a.  ASCII body: NFKC identity, casefold
+    # == lower.
+    d["normalize_unicode"] = """
+        SELECT doc_id,
+               md5(lower(text) || ' ' || chr(229) || ' a caf'
+                   || chr(233) || ' zzzz pay') AS norm_digest,
+               length(text) + 18 AS n_chars
+        FROM documents
+    """
     d["langid_ngram"] = _langid_ngram_sql("""
         SELECT doc_id, lang_pred, n_grams,
                sc / 1000000.0 AS score

@@ -271,6 +271,7 @@ HEADLINE = [
     "image_phash_png_palette",
     "langid_ngram",
     "langid_ngram_confusion",
+    "normalize_unicode",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

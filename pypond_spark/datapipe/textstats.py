@@ -8,6 +8,7 @@ DuckDB oracle can verify them value-for-value.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -114,6 +115,86 @@ def language_id(df: DataFrame, text_col: str = "text",
     best_score = F.greatest(*scores.values())
     return df.select(F.col(id_col), best.alias("lang_pred"),
                      best_score.alias("lang_score"))
+
+
+#: default-ignorable characters stripped by :func:`normalize_unicode`:
+#: zero-width space/non-joiner/joiner, word joiner, BOM/ZWNBSP, soft
+#: hyphen — the invisible codepoints real crawls hide inside words,
+#: silently defeating exact dedup and decontamination gram matches
+ZERO_WIDTH = "\u200b\u200c\u200d\u2060\ufeff\u00ad"
+
+#: curated homoglyph fold (Unicode TR39 confusables, the spam-relevant
+#: Cyrillic subset): lowercase Cyrillic letters visually identical to
+#: Latin in most fonts, folded to their Latin look-alikes.  DESTRUCTIVE
+#: on genuine Cyrillic text by construction (which is why
+#: ``fold_confusables`` defaults to False) — the use case is
+#: mixed-script spoofing ("раypal" with a Cyrillic р) in predominantly
+#: Latin corpora, applied AFTER casefold so one lowercase table
+#: suffices.
+CONFUSABLES = {
+    "а": "a", "е": "e", "о": "o", "р": "p",
+    "с": "c", "у": "y", "х": "x", "і": "i",
+    "ѕ": "s", "ј": "j", "һ": "h", "ԁ": "d",
+    "ԛ": "q", "ԝ": "w",
+}
+
+
+def unicode_normalize_expr(text_col: str = "text", form: str = "NFKC",
+                           casefold: bool = True,
+                           strip_zero_width: bool = True,
+                           fold_confusables: bool = False) -> Column:
+    """Arrow-batched Unicode normalization column (the NFKC_Casefold
+    ladder of UAX #31 identifier caseless matching): ``form``-normalize
+    -> ``str.casefold`` -> strip default-ignorables (:data:`ZERO_WIDTH`)
+    -> optional :data:`CONFUSABLES` homoglyph fold -> final
+    re-normalize (composition can reopen after the translations).
+
+    Python ``unicodedata`` (the Unicode reference tables shipped with
+    CPython) inside a pandas_udf rather than ``java.text.Normalizer``
+    in a JVM expression: the two normalizers track different Unicode
+    versions, and a silent Java-vs-Python divergence here would poison
+    every digest downstream — one implementation, Arrow-vectorized, is
+    the deterministic choice (the oracle replays it on hand-derived
+    expected literals, not by re-running it).
+    """
+    import unicodedata
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
+    zw_table = {ord(c): None for c in ZERO_WIDTH}
+    conf_table = {ord(k): v for k, v in CONFUSABLES.items()}
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            if casefold:
+                y = y.casefold()
+            if strip_zero_width:
+                y = y.translate(zw_table)
+            if fold_confusables:
+                y = y.translate(conf_table)
+            return unicodedata.normalize(form, y)
+        return s.map(one)
+
+    return _norm(F.col(text_col))
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text",
+                      form: str = "NFKC", casefold: bool = True,
+                      strip_zero_width: bool = True,
+                      fold_confusables: bool = False) -> DataFrame:
+    """Frame form of :func:`unicode_normalize_expr` — rewrite
+    ``text_col`` in place so the result feeds the existing
+    ``normalize=`` paths (decontam gram matching) and the digest-keyed
+    dedup operators directly: NFC/NFD-divergent clones, zero-width
+    stuffing, and (opt-in) mixed-script homoglyphs all collapse to one
+    digest.  Scan-level (one Arrow stage, no shuffle)."""
+    return df.withColumn(text_col,
+                         unicode_normalize_expr(text_col, form, casefold,
+                                                strip_zero_width,
+                                                fold_confusables))
 
 
 def char_ngram_buckets(text_col: str = "text", n: int = 3,

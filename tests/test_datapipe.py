@@ -162,6 +162,75 @@ def test_language_id(spark):
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
 
 
+def test_normalize_unicode_collapses_divergent_clones(spark):
+    """NFC/NFD-divergent text, zero-width stuffing, fullwidth
+    compatibility forms and (opt-in) Cyrillic homoglyphs must collapse
+    to ONE digest through normalize_unicode — the clones exact dedup
+    silently misses today (r10). Expected values are hand-derived from
+    the Unicode tables, not recomputed by the op."""
+    from pypond_spark.datapipe.dedup import exact_duplicates
+    from pypond_spark.datapipe.textstats import normalize_unicode
+    df = spark.createDataFrame(
+        [(1, "caf\u00e9 menu"),            # NFC e-acute
+         (2, "cafe\u0301 menu"),           # NFD e + combining acute
+         (3, "caf\u00e9 me\u200bnu"),      # zero-width space inside
+         (4, "CAF\u00c9 MENU"),            # case variant
+         (5, "caf\u00e9 \uff4d\uff45\uff4e\uff55"),  # fullwidth menu
+         (6, "totally different text")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           normalize_unicode(df).collect()}
+    assert (out[1] == out[2] == out[3] == out[4] == out[5]
+            == "caf\u00e9 menu")
+    assert out[6] == "totally different text"
+    # the collapsed clones now dedup to a single digest group
+    groups = {r["keep_id"]: r["n_docs"] for r in
+              exact_duplicates(normalize_unicode(df)).collect()}
+    assert groups == {1: 5, 6: 1}
+    # homoglyph fold is opt-in and destructive by design
+    spoof = spark.createDataFrame(
+        [(1, "p\u0430ypal account"),       # Cyrillic a
+         (2, "paypal account")],
+        "doc_id long, text string")
+    plain = {r["doc_id"]: r["text"] for r in
+             normalize_unicode(spoof).collect()}
+    assert plain[1] != plain[2]
+    folded = {r["doc_id"]: r["text"] for r in
+              normalize_unicode(spoof, fold_confusables=True).collect()}
+    assert folded[1] == folded[2] == "paypal account"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="form"):
+        normalize_unicode(df, form="NFX")
+
+
+def test_normalize_unicode_feeds_decontam(spark):
+    """A benchmark gram hidden by NFD + zero-width stuffing in the
+    corpus is MISSED by decontamination on raw text and CAUGHT once
+    both sides pass through normalize_unicode — the production wiring
+    of the normalize= paths."""
+    from pypond_spark.datapipe import decontam
+    from pypond_spark.datapipe.textstats import normalize_unicode
+    bench = spark.createDataFrame(
+        [(100, "the secret caf\u00e9 answer phrase nobody should "
+               "train on ever at all")],
+        "doc_id long, text string")
+    dirty = spark.createDataFrame(
+        [(1, "prefix words the secret cafe\u0301 answer ph\u200brase "
+             "nobody should train on ever at all suffix"),
+         (2, "clean document with no benchmark overlap whatsoever "
+             "in any of its words")],
+        "doc_id long, text string")
+    grams_raw = decontam.benchmark_grams(bench, n=8)
+    hits_raw = decontam.decontaminate(dirty, grams_raw, n=8)
+    assert {r["doc_id"]: r["contaminated"] for r in hits_raw.collect()} \
+        == {1: False, 2: False}            # NFD + zwsp defeat raw match
+    grams_n = decontam.benchmark_grams(normalize_unicode(bench), n=8)
+    hits_n = decontam.decontaminate(normalize_unicode(dirty), grams_n,
+                                    n=8)
+    assert {r["doc_id"]: r["contaminated"] for r in hits_n.collect()} \
+        == {1: True, 2: False}
+
+
 def test_langid_ngram_beats_markers_where_markers_go_blind(spark):
     """The trained char-3-gram NB (r10) identifies SHORT docs with NO
     marker words — exactly where the marker heuristic returns 'und' —
