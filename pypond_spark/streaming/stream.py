@@ -308,35 +308,70 @@ def stream_gaps(
 def _sessions_state_fn(keys: list[str], time_col: str, gap_ms: int,
                        fields: list[str]):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        """Vectorized (r10): session breaks come from one ``np.diff``
+        (strictly greater than the gap — an event at EXACTLY last+gap
+        still joins, matching Spark's native session_window boundary);
+        Python re-enters once per SEGMENT (closed session + the one
+        left open), not once per event. Per-segment field sums keep
+        the sequential left-fold order by seeding a ``np.cumsum`` with
+        the carried state sum (missing samples add an exact 0.0), so
+        drained output is bit-identical to the former per-row loop."""
         if state.exists:
-            begin, last, n = state.get[0], state.get[1], state.get[2]
-            sums = list(state.get[3:])
+            begin, last, n0 = state.get[0], state.get[1], state.get[2]
+            sums0 = list(state.get[3:])
         else:
-            begin, last, n = None, None, 0
-            sums = [0.0] * len(fields)
-        outs = []
+            begin, last, n0 = None, None, 0
+            sums0 = [0.0] * len(fields)
         pdf = _whole_group(pdfs, time_col)
-        for _, row in pdf.iterrows():
-            cur_ms = int(row[time_col].value // 10**6)
-            # strictly greater: an event at EXACTLY last+gap still joins
-            # the session, matching Spark's native session_window (and so
-            # the batch operator) on the boundary
-            if last is not None and cur_ms - last > gap_ms:
-                outs.append(list(key) + [begin, last + gap_ms, n, *sums])
-                begin, n, sums = cur_ms, 0, [0.0] * len(fields)
-            if begin is None:
-                begin = cur_ms
-            n += 1
-            for i, f in enumerate(fields):
-                v = row[f]
-                if v is not None and not pd.isna(v):
-                    sums[i] = sums[i] + float(v)
-            last = cur_ms
-        if last is not None:
-            state.update((begin, last, n, *sums))
         cols = (keys + ["begin_ms", "end_ms", "n"]
                 + [f"{f}_sum" for f in fields])
-        yield pd.DataFrame(outs, columns=cols)
+        nr = len(pdf)
+        if not nr:
+            yield pd.DataFrame([], columns=cols)
+            return
+        t = _t_ms(pdf, time_col)
+        vals = {f: _f64(pdf, f) for f in fields}
+        zvals = {f: np.where(np.isnan(v), 0.0, v)
+                 for f, v in vals.items()}
+        # segment boundaries WITHIN the batch
+        cuts = (np.nonzero(np.diff(t) > gap_ms)[0] + 1)
+        starts = np.r_[0, cuts]
+        ends = np.r_[cuts, nr]
+        outs_b, outs_e, outs_n = [], [], []
+        outs_s = {f: [] for f in fields}
+        held_open = last is not None
+        if held_open and t[0] - last > gap_ms:
+            # the held session closes before the batch's first event
+            outs_b.append(begin)
+            outs_e.append(last + gap_ms)
+            outs_n.append(n0)
+            for i, f in enumerate(fields):
+                outs_s[f].append(sums0[i])
+            held_open = False
+        for si in range(len(starts)):
+            s, e = int(starts[si]), int(ends[si])
+            merged = held_open and si == 0
+            seg_begin = begin if merged else int(t[s])
+            seg_n = (n0 if merged else 0) + (e - s)
+            seg_sums = []
+            for i, f in enumerate(fields):
+                seed = sums0[i] if merged else 0.0
+                seg_sums.append(float(np.cumsum(
+                    np.concatenate([[seed], zvals[f][s:e]]))[-1]))
+            if si < len(starts) - 1:
+                outs_b.append(seg_begin)
+                outs_e.append(int(t[e - 1]) + gap_ms)
+                outs_n.append(seg_n)
+                for f, v in zip(fields, seg_sums):
+                    outs_s[f].append(v)
+            else:
+                state.update((seg_begin, int(t[-1]), seg_n, *seg_sums))
+        out_cols = {"begin_ms": np.array(outs_b, dtype=np.int64),
+                    "end_ms": np.array(outs_e, dtype=np.int64),
+                    "n": np.array(outs_n, dtype=np.int64)}
+        for f in fields:
+            out_cols[f"{f}_sum"] = np.array(outs_s[f], dtype=np.float64)
+        yield _key_frame(key, keys, len(outs_b), out_cols)
 
     return fn
 
