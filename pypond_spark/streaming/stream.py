@@ -565,6 +565,12 @@ def _cum_state_fn(rows_spec, keys: list[str], time_col: str,
     in_cols = list(dict.fromkeys(r[1] for r in rows_spec))
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        """Vectorized (r10): every cumulative reducer is a prefix scan
+        — state-seeded ``np.cumsum`` for sum/count (sequential
+        left-to-right, bit-identical to the former per-row ``+=``),
+        ``np.minimum/maximum.accumulate`` with ±inf for invalid samples
+        — so the whole batch is a handful of C scans, zero per-row
+        Python."""
         # state per input column: (sum, count, min, max) over VALID values
         if state.exists:
             st = list(state.get)
@@ -574,40 +580,51 @@ def _cum_state_fn(rows_spec, keys: list[str], time_col: str,
             acc = {c: [0.0, 0, None, None] for c in in_cols}
         pdf = _whole_group(pdfs, time_col,
                            (tiebreak,) if tiebreak else ())
-        outs = []
-        for _, row in pdf.iterrows():
-            for c in in_cols:
-                v = row[c]
-                if not pd.isna(v):
-                    a = acc[c]
-                    v = float(v)
-                    a[0] += v
-                    a[1] += 1
-                    a[2] = v if a[2] is None else min(a[2], v)
-                    a[3] = v if a[3] is None else max(a[3], v)
-            rec = list(key) + [int(row[time_col].value // 10 ** 6)]
-            rec += [row[c] for c in carry]
-            for _out, in_col, func, _flt in rows_spec:
-                a = acc[in_col]
-                if func == "count":
-                    rec.append(a[1])
-                elif a[1] == 0:
-                    rec.append(None)
-                elif func == "sum":
-                    rec.append(a[0])
-                elif func in ("avg", "mean"):
-                    rec.append(a[0] / a[1])
-                elif func == "min":
-                    rec.append(a[2])
-                else:  # max
-                    rec.append(a[3])
-            outs.append(rec)
-        flat = []
-        for c in in_cols:
-            flat.extend(acc[c])
-        state.update(tuple(flat))
         cols = (keys + ["t_ms"] + list(carry) + [r[0] for r in rows_spec])
-        yield pd.DataFrame(outs, columns=cols)
+        nr = len(pdf)
+        if not nr:
+            state.update(tuple(x for c in in_cols for x in acc[c]))
+            yield pd.DataFrame([], columns=cols)
+            return
+        scans: dict = {}
+        for c in in_cols:
+            v = _f64(pdf, c)
+            ok = ~np.isnan(v)
+            s0, n0, mn0, mx0 = acc[c]
+            cs = np.cumsum(np.concatenate(
+                [[s0], np.where(ok, v, 0.0)]))[1:]
+            cn = n0 + np.cumsum(ok.astype(np.int64))
+            cmn = np.minimum.accumulate(np.concatenate(
+                [[np.inf if mn0 is None else mn0],
+                 np.where(ok, v, np.inf)]))[1:]
+            cmx = np.maximum.accumulate(np.concatenate(
+                [[-np.inf if mx0 is None else mx0],
+                 np.where(ok, v, -np.inf)]))[1:]
+            scans[c] = (cs, cn, cmn, cmx)
+            acc[c] = [float(cs[-1]), int(cn[-1]),
+                      None if cn[-1] == 0 else float(cmn[-1]),
+                      None if cn[-1] == 0 else float(cmx[-1])]
+        out_cols = {"t_ms": _t_ms(pdf, time_col)}
+        for c in carry:
+            out_cols[c] = pdf[c].to_numpy(dtype=object)
+        for out, in_col, func, _flt in rows_spec:
+            cs, cn, cmn, cmx = scans[in_col]
+            if func == "count":
+                out_cols[out] = cn
+                continue
+            empty = cn == 0
+            if func == "sum":
+                vals = cs
+            elif func in ("avg", "mean"):
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    vals = cs / cn
+            elif func == "min":
+                vals = cmn
+            else:  # max
+                vals = cmx
+            out_cols[out] = np.where(empty, np.nan, vals)
+        state.update(tuple(x for c in in_cols for x in acc[c]))
+        yield _key_frame(key, keys, nr, out_cols)
 
     return fn
 
