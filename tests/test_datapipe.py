@@ -1007,6 +1007,36 @@ def test_dedup_against_neardup_index_pruning(spark, tmp_path):
     assert (1, 2) in replay
 
 
+def test_neardup_index_append_generation(spark, tmp_path):
+    """The full incremental-ingest loop: dedup a batch against the
+    index, then APPEND the survivors' bands/shingles
+    (write_neardup_index mode='append') so the NEXT batch dedups
+    against generation N+1 — a re-sent copy of a survivor is caught
+    without ever rebuilding the corpus side."""
+    from pypond_spark.datapipe import dedup
+    novel = ("a totally novel document with fresh content nobody has "
+             "ever indexed before in any crawl generation")
+    corpus = spark.createDataFrame(
+        [(2, "completely unrelated corpus text about spark partitions "
+             "and shuffle boundaries at scale")],
+        "doc_id long, text string")
+    path = str(tmp_path / "gen_idx")
+    dedup.write_neardup_index(corpus, path)
+    batch1 = spark.createDataFrame([(1, novel)],
+                                   "doc_id long, text string")
+    kept1 = dedup.dedup_against_neardup(batch1, path, threshold=0.5)
+    assert [r["doc_id"] for r in kept1.collect()] == [1]
+    # survivors join the index for the next generation
+    dedup.write_neardup_index(kept1, path, mode="append")
+    batch2 = spark.createDataFrame(
+        [(3, novel + " resent"),    # near-dup of the batch-1 survivor
+         (4, "yet another entirely distinct piece of text with its own "
+             "unique vocabulary and phrasing")],
+        "doc_id long, text string")
+    kept2 = dedup.dedup_against_neardup(batch2, path, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [4]
+
+
 def test_take_per_group(spark, docs):
     from pypond_spark.datapipe import sampling
     out = sampling.take_per_group(docs, k=3, group_col="source")
