@@ -163,8 +163,7 @@ def _rate_state_fn(fields: list[str], keys: list[str], time_col: str,
         pdf = _whole_group(pdfs, time_col)
         cols = keys + ["begin_ms", "end_ms"] + [f"{f}_rate" for f in fields]
         if not len(pdf):
-            yield pd.DataFrame([], columns=cols)
-            return
+            return  # yield nothing: no output rows for this group
         t_new = _t_ms(pdf, time_col)
         vals = {f: _f64(pdf, f) for f in fields}
         if prev_ms is not None:
@@ -180,8 +179,7 @@ def _rate_state_fn(fields: list[str], keys: list[str], time_col: str,
                       *(None if np.isnan(v_all[f][-1]) else float(v_all[f][-1])
                         for f in fields)))
         if len(t_all) < 2:
-            yield pd.DataFrame([], columns=cols)
-            return
+            return  # yield nothing: no output rows for this group
         begin, end = t_all[:-1], t_all[1:]
         dt_sec = (end - begin) / 1000.0
         out_cols = {"begin_ms": begin, "end_ms": end}
@@ -250,8 +248,7 @@ def _gaps_state_fn(keys: list[str], time_col: str, gap_ms: int):
         pdf = _whole_group(pdfs, time_col)
         cols = keys + ["gap_start_ms", "gap_end_ms", "gap_ms"]
         if not len(pdf):
-            yield pd.DataFrame([], columns=cols)
-            return
+            return  # yield nothing: no output rows for this group
         t = _t_ms(pdf, time_col)
         t_all = (np.concatenate([np.array([prev_ms], dtype=np.int64), t])
                  if prev_ms is not None else t)
@@ -327,8 +324,7 @@ def _sessions_state_fn(keys: list[str], time_col: str, gap_ms: int,
                 + [f"{f}_sum" for f in fields])
         nr = len(pdf)
         if not nr:
-            yield pd.DataFrame([], columns=cols)
-            return
+            return  # yield nothing: no output rows for this group
         t = _t_ms(pdf, time_col)
         vals = {f: _f64(pdf, f) for f in fields}
         zvals = {f: np.where(np.isnan(v), 0.0, v)
@@ -449,8 +445,7 @@ def _throttle_state_fn(keys: list[str], time_col: str, gap_ms: int,
                            (tiebreak,) if tiebreak else ())
         cols = keys + ["t_ms", "throttle_keep"]
         if not len(pdf):
-            yield pd.DataFrame([], columns=cols)
-            return
+            return  # yield nothing: no output rows for this group
         t = _t_ms(pdf, time_col)
         n = len(t)
         keep = np.zeros(n, dtype=bool)
@@ -512,8 +507,7 @@ def _transitions_state_fn(keys: list[str], time_col: str, type_col: str,
                            (tiebreak,) if tiebreak else ())
         cols = keys + ["t_ms", "from_type", "to_type"]
         if not len(pdf):
-            yield pd.DataFrame([], columns=cols)
-            return
+            return  # yield nothing: no output rows for this group
         t = _t_ms(pdf, time_col)
         cur = pdf[type_col].to_numpy(dtype=object)
         prevs = np.empty(len(cur), dtype=object)
@@ -584,8 +578,7 @@ def _cum_state_fn(rows_spec, keys: list[str], time_col: str,
         nr = len(pdf)
         if not nr:
             state.update(tuple(x for c in in_cols for x in acc[c]))
-            yield pd.DataFrame([], columns=cols)
-            return
+            return  # yield nothing: no output rows for this group
         scans: dict = {}
         for c in in_cols:
             v = _f64(pdf, c)
@@ -1324,8 +1317,7 @@ def _buffer_state_fn(rows_spec, keys: list[str], time_col: str, dur_ms: int,
         if not n:
             state.update((state.get[0] if state.exists else
                           _json.dumps(d),))
-            yield pd.DataFrame([], columns=cols)
-            return
+            return  # yield nothing: no output rows for this group
         t_new = _t_ms(pdf, time_col)
         t_all = np.concatenate([np.asarray(d["t"], dtype=np.int64), t_new])
         v_all = {c: np.concatenate([
@@ -1850,8 +1842,7 @@ def _cusum_state_fn(field: str, keys: list[str], time_col: str,
                            (tiebreak,) if tiebreak else ())
         cols = keys + ["t_ms", "direction", "stat"]
         if not len(pdf):
-            yield pd.DataFrame([], columns=cols)
-            return
+            return  # yield nothing: no output rows for this group
         v = _f64(pdf, field)
         ok = ~np.isnan(v)
         t = _t_ms(pdf, time_col)[ok]
@@ -2224,8 +2215,7 @@ def _xchart_state_fn(field: str, keys: list[str], time_col: str,
         n = int(mask.sum())
         if not n:
             state.update(([int(x) for x in prior],))
-            yield pd.DataFrame([], columns=cols)
-            return
+            return  # yield nothing: no output rows for this group
         # micro-unit deviations: element-wise Python round (half-even
         # at 6dp, then the 1e6 pin) — EXACTLY the scalar fold's double
         # rounding, which np.round does not reproduce for every double
