@@ -311,6 +311,41 @@ def main() -> None:
                                    filters=(0, 1, 2, 3, 4)))["pixels"] == px
     print("PNG encode->decode roundtrip: OK")
 
+    # 32. round-10 tier: persisted near-dup index, trained language ID,
+    # unicode normalization, palette/16-bit PNG
+    import tempfile
+
+    from pypond_spark.datapipe.dedup import (dedup_against_neardup,
+                                             write_neardup_index)
+    idx = tempfile.mkdtemp(prefix="tour_ndidx_")
+    corpus_half = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    write_neardup_index(corpus_half, idx)
+    kept = dedup_against_neardup(batch, idx, threshold=0.8)
+    print("incremental near-dup ingest:",
+          batch.count() - kept.count(), "dropped against the index")
+
+    from pypond_spark.datapipe.textstats import (langid_ngram,
+                                                 normalize_unicode)
+    pred = langid_ngram(corpus_half, batch)
+    print("trained language-ID predictions:",
+          pred.groupBy("lang_pred").count().orderBy(
+              F.desc("count")).first())
+
+    messy = spark.createDataFrame(
+        [(1, "café me​nu"), (2, "café menu")],
+        "doc_id long, text string")
+    norm = normalize_unicode(messy)
+    print("NFD + zero-width clones collapse:",
+          norm.select("text").distinct().count() == 1)
+
+    from pypond_spark.datapipe.multimodal import (encode_png16,
+                                                  encode_png_indexed)
+    pal = encode_png_indexed(2, 2, bytes(range(4)), px)
+    assert decode_image(pal)["pixels"] == px
+    assert decode_image(encode_png16(2, 2, px))["pixels"] == px
+    print("palette + 16-bit PNG decode: OK")
+
     spark.stop()
 
 
