@@ -199,13 +199,21 @@ def lsh_band_buckets(df: DataFrame, text_col: str = "text",
     return sig.select(F.col(id_col), F.explode(bands).alias("band"))
 
 
+def _doc_shingle_sets(df: DataFrame, text_col: str, id_col: str,
+                      shingle_n: int) -> DataFrame:
+    """ONE distinct-shingle-set frame per doc — the single definition
+    every Jaccard consumer (pair verify, persisted near-dup index,
+    incremental verify) builds on, so the sides can never diverge."""
+    return (word_shingles(df, text_col, shingle_n, id_col)
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("sh")))
+
+
 def _shingle_sets(df: DataFrame, text_col: str, id_col: str,
                   shingle_n: int) -> tuple[DataFrame, DataFrame]:
     """Distinct shingle set per doc, projected as the two join sides
     (shared by the pair-verify metrics so they can never diverge)."""
-    sets_df = (word_shingles(df, text_col, shingle_n, id_col)
-               .groupBy(id_col)
-               .agg(F.collect_set("shingle").alias("sh")))
+    sets_df = _doc_shingle_sets(df, text_col, id_col, shingle_n)
     a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return a, b
@@ -599,8 +607,7 @@ def write_neardup_index(df: DataFrame, path: str, text_col: str = "text",
     (buckets.withColumn("band_pfx", F.substring("band", 1, 2))
      .write.mode(mode).partitionBy("band_pfx")
      .parquet(path.rstrip("/") + "/bands"))
-    (word_shingles(df, text_col, shingle_n, id_col)
-     .groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+    (_doc_shingle_sets(df, text_col, id_col, shingle_n)
      .write.mode(mode).parquet(path.rstrip("/") + "/shingles"))
 
 
@@ -639,8 +646,8 @@ def dedup_against_neardup(df: DataFrame, index_path: str,
            .withColumnRenamed(id_col, "__ref_id"))
     cand = (idx.join(F.broadcast(nb), "band")
             .select("__new_id", "__ref_id").distinct())
-    new_sets = (word_shingles(df, text_col, shingle_n, id_col)
-                .groupBy(id_col).agg(F.collect_set("shingle").alias("__shn"))
+    new_sets = (_doc_shingle_sets(df, text_col, id_col, shingle_n)
+                .withColumnRenamed("sh", "__shn")
                 .withColumnRenamed(id_col, "__new_id"))
     ref_sets = (spark.read.parquet(base + "/shingles")
                 .withColumnRenamed(id_col, "__ref_id")

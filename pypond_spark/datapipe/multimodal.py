@@ -282,19 +282,14 @@ def encode_png(width: int, height: int, pixels: bytes,
         lines.append(bytes([f]) + _filter_scanline(f, line, prev, 3))
         prev = line
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + ctype + data
-                + struct.pack(">I", zlib.crc32(ctype + data)
-                              & 0xFFFFFFFF))
-
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     # level 9 with a fixed strategy: zlib output is deterministic for a
     # given input+level across CPython builds (same bundled zlib API
     # contract the test suite pins), and the DECODED pixels are what
     # the oracle replays anyway
     idat = zlib.compress(b"".join(lines), 9)
-    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
-            + chunk(b"IEND", b""))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:

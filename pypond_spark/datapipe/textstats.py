@@ -251,14 +251,19 @@ def langid_ngram(train: DataFrame, corpus: DataFrame,
     if s <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     spark = train.sparkSession
+    # NULL labels are unlabeled rows, not a class: drop them up front
+    # (a None in the label set would crash sorted() and silently train
+    # a ghost class — r10 review finding)
+    train = spread(train).where(F.col(label_col).isNotNull())
     dl = {r["l"]: r["c"] for r in
-          spread(train).groupBy(F.col(label_col).alias("l"))
+          train.groupBy(F.col(label_col).alias("l"))
           .agg(F.count("*").alias("c")).collect()}
     if not dl:
-        raise ValueError("langid_ngram: empty training frame")
+        raise ValueError("langid_ngram: no labeled training rows "
+                         f"({label_col} all NULL or frame empty)")
     labels = sorted(dl)
     d_tot = sum(dl.values())
-    counts = (spread(train)
+    counts = (train
               .select(F.col(label_col).alias("__l"),
                       F.explode(char_ngram_buckets(text_col, n, n_buckets))
                       .alias("__b"))

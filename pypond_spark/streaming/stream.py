@@ -500,26 +500,34 @@ def _transitions_state_fn(keys: list[str], time_col: str, type_col: str,
                           tiebreak: str | None):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         """Vectorized: (prev, cur) pairs via a shifted object array with
-        the cross-batch state prepended — same rows as the former
-        per-row loop (every event with a non-None predecessor emits)."""
+        the cross-batch state prepended. A NULL type value is a REAL
+        observation: it participates as both `to_type` and the next
+        row's `from_type` (the batch lead()-pairs semantics), so the
+        only row without an edge is each key's very first event — state
+        carries an explicit `seen` flag to tell "no predecessor yet"
+        apart from "predecessor was null" (the r10 review found the
+        per-row version silently bridging over null events across
+        micro-batch boundaries, fabricating never-adjacent edges)."""
+        seen = state.exists and bool(state.get[1])
         prev = state.get[0] if state.exists else None
         pdf = _whole_group(pdfs, time_col,
                            (tiebreak,) if tiebreak else ())
-        cols = keys + ["t_ms", "from_type", "to_type"]
         if not len(pdf):
             return  # yield nothing: no output rows for this group
         t = _t_ms(pdf, time_col)
         cur = pdf[type_col].to_numpy(dtype=object)
+        cur = np.array([None if (x is None or (isinstance(x, float)
+                                               and np.isnan(x))) else x
+                        for x in cur], dtype=object)
         prevs = np.empty(len(cur), dtype=object)
         prevs[1:] = cur[:-1]
         prevs[0] = prev
-        if cur[-1] is not None:   # None tail keeps the old state,
-            state.update((cur[-1],))  # matching the sequential version
-        mask = np.fromiter((p is not None for p in prevs), dtype=bool,
-                           count=len(prevs))
-        yield _key_frame(key, keys, int(mask.sum()),
-                         {"t_ms": t[mask], "from_type": prevs[mask],
-                          "to_type": cur[mask]})
+        state.update((cur[-1], True))
+        if not seen:                 # first event ever has no edge
+            t, prevs, cur = t[1:], prevs[1:], cur[1:]
+        yield _key_frame(key, keys, len(t),
+                         {"t_ms": t, "from_type": prevs,
+                          "to_type": cur})
 
     return fn
 
@@ -534,8 +542,11 @@ def stream_transitions(
     """Cross-batch event-sequence edges: one (from, to) row per
     consecutive pair within each key — the streaming feed of the batch
     transition matrix (count/pivot the drained edges, or window-agg them
-    downstream). State per key is ONE string (the last seen type), so a
-    pair spanning a micro-batch boundary is still emitted.
+    downstream). State per key is ONE string (the last seen type) plus a
+    seen flag, so a pair spanning a micro-batch boundary is still
+    emitted and a NULL type is reported as a real edge endpoint rather
+    than bridged over (filter ``from_type/to_type IS NOT NULL``
+    downstream for the oracle's lead()-pairs view).
     """
     sdf, keys, dummy = _keyed(sdf, list(partition_by))
     key_fields = [sdf.schema[k] for k in keys]
@@ -544,7 +555,8 @@ def stream_transitions(
         key_fields
         + [T.StructField("t_ms", T.LongType()),
            T.StructField("from_type", t), T.StructField("to_type", t)])
-    state_schema = T.StructType([T.StructField("prev", t)])
+    state_schema = T.StructType([T.StructField("prev", t),
+                                 T.StructField("seen", T.BooleanType())])
     out = sdf.groupBy(*keys).applyInPandasWithState(
         _transitions_state_fn(keys, time_col, type_col, tiebreak),
         outputStructType=out_schema,
@@ -1850,6 +1862,19 @@ def _cusum_state_fn(field: str, keys: list[str], time_col: str,
                         dtype=np.int64, count=int(ok.sum()))
         a_p = (m - t_mic) - k_mic       # + side increments
         a_n = (t_mic - m) - k_mic       # - side increments
+        # overflow guard (r10 review): the carried side never exceeds
+        # h (it resets above), so the block prefix sum is bounded by
+        # h + blk*max|increment| — the old Python-int fold was exact at
+        # any magnitude, the int64 cumsum would WRAP silently instead.
+        # 2048 increments of |a| <= 2^51 stay ~2^62 < 2^63: plenty for
+        # any physical series (|value| < 2.2e9 at 1e-6 resolution);
+        # beyond that, fail loudly with the rescale hint.
+        if len(m) and max(int(np.abs(a_p).max()),
+                          int(np.abs(a_n).max())) > (1 << 51):
+            raise ValueError(
+                "stream_cusum: |value - target| too large for exact "
+                "micro-unit arithmetic (>~2.2e9 above the target); "
+                "rescale the series or move the target")
         outs_t, outs_dir, outs_stat = [], [], []
         i, n = 0, len(m)
         # blocked: an alarm resets the fold, so the closed form restarts
@@ -1915,6 +1940,10 @@ def stream_cusum(
     t_mic = int(round(float(target) * 1e6))
     k_mic = int(round(float(k) * 1e6))
     h_mic = int(round(float(h) * 1e6))
+    if max(abs(t_mic), abs(k_mic), abs(h_mic)) > (1 << 51):
+        raise ValueError("stream_cusum: |target|/k/h above ~2.2e9 "
+                         "overflow exact micro-unit arithmetic; "
+                         "rescale the series")
     sdf, keys, dummy = _keyed(sdf, list(partition_by))
     key_fields = [sdf.schema[k_] for k_ in keys]
     out_schema = T.StructType(

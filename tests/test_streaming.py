@@ -1315,6 +1315,43 @@ def test_stream_attribution_join_cross_batch_and_late_drop(spark, tmp_path):
         stream_attribution_join(views, clicks, horizon="bogus")
 
 
+def test_stream_transitions_null_types_not_bridged(spark, tmp_path):
+    """A NULL type value is a real edge endpoint (the batch
+    lead()-pairs semantics): batches [A], [null], [C] must emit
+    (A->null), (null->C) — never a fabricated (A->C) bridging the null
+    across micro-batch boundaries (r10 review finding). The very first
+    event per key has no edge."""
+    import json as _json
+    from pyspark.sql import types as T2
+    from pypond_spark.streaming.stream import stream_transitions
+    schema = T2.StructType([T2.StructField("user", T2.StringType()),
+                            T2.StructField("t_ms", T2.LongType()),
+                            T2.StructField("et", T2.StringType())])
+    chunks = [[{"user": "u", "t_ms": 1000, "et": "A"}],
+              [{"user": "u", "t_ms": 2000, "et": None}],
+              [{"user": "u", "t_ms": 3000, "et": "C"},
+               {"user": "u", "t_ms": 4000, "et": "D"}]]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, ch in enumerate(chunks):
+        with open(src / f"p{i}.json", "w") as fh:
+            for rec in ch:
+                fh.write(_json.dumps(rec) + "\n")
+        sdf = (spark.readStream.schema(schema).json(str(src))
+               .withColumn("time", F.timestamp_millis(F.col("t_ms"))))
+        out = stream_transitions(sdf, type_col="et",
+                                 partition_by=["user"])
+        q = (out.writeStream.format("parquet").outputMode("append")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+    rows = sorted((r["t_ms"], r["from_type"], r["to_type"]) for r in
+                  spark.read.parquet(str(tmp_path / "out")).collect())
+    assert rows == [(2000, "A", None), (3000, None, "C"),
+                    (4000, "C", "D")]
+
+
 def test_stream_attribution_last_touch_cross_batch(spark, tmp_path):
     """Last-touch attribution holds the best-so-far view per click
     ACROSS micro-batches: the closer view arriving in a LATER batch
