@@ -3704,6 +3704,27 @@ def q_langid_confusion(spark, sf_dir):
                      F.round(F.col("n") / tot, 6).alias("recall_share"))
 
 
+def q_strip_html(spark, sf_dir):
+    """HTML -> text extraction (textstats.py::strip_html): each doc is
+    wrapped in-plan in a synthetic HTML page (script+style subtrees, a
+    heading, a comment, entities), then stripped by the pure
+    regexp_replace chain — JVM codegen, no UDF.  Every pattern is
+    RE2-and-Java compatible (no backreferences — one pattern per
+    subtree tag — (?is) inline flags), so the oracle replays the chain
+    verbatim on the same wrap."""
+    docs = _read(spark, sf_dir, "documents")
+    wrapped = docs.select("doc_id", F.concat(
+        F.lit('<html><head><script src="a.js">var x=1;</script>'
+              '<style>.c{}</style></head><body><h1>'),
+        F.substring("text", 1, 20),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit(' &amp; more&nbsp;&lt;tags&gt;</p><!-- hidden -->'
+              "<br></body></html>")).alias("text"))
+    out = dp_text.strip_html(wrapped)
+    return out.select("doc_id", F.md5("text").alias("text_digest"),
+                      F.length("text").alias("n_chars"))
+
+
 def q_normalize_unicode(spark, sf_dir):
     """Arrow-side Unicode normalization (textstats.py::
     normalize_unicode — verdict r9 item 7: NFKC -> casefold ->
@@ -4939,6 +4960,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_ngram_confusion": q_langid_ngram_confusion,
         "stream_attribution_last_touch": q_stream_attribution_last_touch,
         "normalize_unicode": q_normalize_unicode,
+        "strip_html": q_strip_html,
         "image_phash_png": q_image_phash_png,
         "bpe_bytes_tokenize": q_bpe_bytes_tokenize,
         "bpe_bytes_train_merges": q_bpe_bytes_train_merges,
@@ -11103,6 +11125,47 @@ def oracle_sql() -> dict[str, str]:
     d["wordpiece_train_merges"] = _wordpiece_train_sql(5)
     d["kn3_logprob"] = _KN3_ORACLE
     d["kn3_logprob_pruned"] = _kn3_logprob_sql(min_count=2)
+    # the identical RE2-compatible regex chain over the identical wrap;
+    # every regexp_replace carries the 'g' flag (DuckDB replaces only
+    # the first match by default), entity replaces in the same order
+    # (&amp; last — single-pass decode)
+    d["strip_html"] = r"""
+        WITH wrapped AS (
+          SELECT doc_id,
+                 '<html><head><script src="a.js">var x=1;</script>'
+                 || '<style>.c{}</style></head><body><h1>'
+                 || substr(text, 1, 20) || '</h1><p>' || text
+                 || ' &amp; more&nbsp;&lt;tags&gt;</p><!-- hidden -->'
+                 || '<br></body></html>' AS t
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+            trim(regexp_replace(regexp_replace(
+              replace(replace(replace(replace(replace(replace(replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(t,
+                          '(?is)<script\b[^>]*>.*?</script\s*>', ' ',
+                          'g'),
+                        '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                    '(?i)<br\s*/?>|</(p|div|li|tr|h[1-6])\s*>',
+                    chr(10), 'g'),
+                  '(?s)<[^>]*>', ' ', 'g'),
+                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+                '&amp;', '&'),
+              '[ ' || chr(9) || chr(13) || ']+', ' ', 'g'),
+              ' ?' || chr(10) || '[ ' || chr(10) || ']*', chr(10),
+              'g')) AS text
+          FROM wrapped
+        )
+        SELECT doc_id, md5(text) AS text_digest,
+               length(text) AS n_chars
+        FROM s
+    """
     # hand-derived from the Unicode tables (NOT by re-running the op):
     # " Å" -> NFKC "Å" -> casefold "å" (chr(229));
     # " Ａ" fullwidth A -> "A" -> "a"; " café" -> NFKC

@@ -272,6 +272,7 @@ HEADLINE = [
     "langid_ngram",
     "langid_ngram_confusion",
     "normalize_unicode",
+    "strip_html",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -117,6 +117,47 @@ def language_id(df: DataFrame, text_col: str = "text",
                      best_score.alias("lang_score"))
 
 
+#: named HTML entities :func:`strip_html` decodes (the high-frequency
+#: set; arbitrary numeric entities need a char-decode UDF — documented
+#: scope cut, they survive as literals)
+HTML_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                 ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+                 ("&amp;", "&"))  # &amp; LAST: single-pass decode
+
+
+def strip_html_expr(text_col: str = "text") -> Column:
+    """HTML -> text as a pure JVM expression chain (regexp_replace,
+    whole-stage codegen — no UDF in the hot path): drop
+    ``<script>``/``<style>`` subtrees and comments, turn the block-level
+    closers (``</p>``, ``</div>``, ``</li>``, ``</tr>``, headings) and
+    ``<br>`` into newlines so words from different blocks never glue
+    together, strip every remaining tag, decode the high-frequency
+    named entities (:data:`HTML_ENTITIES`), collapse runs of
+    blanks/newlines. The simplified trafilatura-class extraction stage
+    every crawl pipeline runs before quality/dedup — each pattern is
+    RE2-and-Java compatible ((?is) inline flags, non-greedy subtree
+    bodies), so the oracle replays the chain verbatim."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, r"(?i)<br\s*/?>|</(p|div|li|tr|h[1-6])\s*>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n[ \n]*", "\n")
+    return F.trim(c)
+
+
+def strip_html(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frame form of :func:`strip_html_expr` — rewrite ``text_col`` in
+    place so the extraction stage feeds quality scoring, dedup and
+    tokenization directly. Scan-level, zero shuffle, zero Python."""
+    return df.withColumn(text_col, strip_html_expr(text_col))
+
+
 #: default-ignorable characters stripped by :func:`normalize_unicode`:
 #: zero-width space/non-joiner/joiner, word joiner, BOM/ZWNBSP, soft
 #: hyphen — the invisible codepoints real crawls hide inside words,

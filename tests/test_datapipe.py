@@ -162,6 +162,29 @@ def test_language_id(spark):
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
 
 
+def test_strip_html_extraction(spark):
+    """HTML -> text: script/style subtrees and comments vanish, block
+    closers become newlines (words never glue across blocks), tags
+    strip, the named entities decode in ONE pass (&amp;lt; ends as
+    &lt;, never double-decodes to <), whitespace collapses."""
+    from pypond_spark.datapipe.textstats import strip_html
+    df = spark.createDataFrame(
+        [(1, '<html><head><SCRIPT src="x">var a=1;</script>'
+             '<style>.c{color:red}</style></head><body><h1>Title</h1>'
+             '<p>Hello &amp; <b>world</b>!</p><!-- hidden -->'
+             '<ul><li>one</li><li>two&nbsp;&lt;3</li></ul>'
+             '<br>tail</body></html>'),
+         (2, 'plain text already'),
+         (3, '&amp;lt; stays encoded once'),
+         (4, 'a<div>b</div>c')],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in strip_html(df).collect()}
+    assert got[1] == "Title\nHello & world !\none\ntwo <3\ntail"
+    assert got[2] == "plain text already"
+    assert got[3] == "&lt; stays encoded once"
+    assert got[4] == "a b\nc"         # div closer breaks the block
+
+
 def test_normalize_unicode_collapses_divergent_clones(spark):
     """NFC/NFD-divergent text, zero-width stuffing, fullwidth
     compatibility forms and (opt-in) Cyrillic homoglyphs must collapse
