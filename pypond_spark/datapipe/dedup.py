@@ -604,7 +604,13 @@ def write_neardup_index(df: DataFrame, path: str, text_col: str = "text",
     """
     buckets = lsh_band_buckets(df, text_col, id_col, num_hashes,
                                band_size, shingle_n, hash_fn)
+    # repartition ON the partition column first: without it every
+    # shuffle task writes into every prefix directory (up to
+    # tasks x 256 small files — measured as the dominant scan cost of
+    # the per-batch path); with it each directory is one file per
+    # holding task
     (buckets.withColumn("band_pfx", F.substring("band", 1, 2))
+     .repartition("band_pfx")
      .write.mode(mode).partitionBy("band_pfx")
      .parquet(path.rstrip("/") + "/bands"))
     (_doc_shingle_sets(df, text_col, id_col, shingle_n)
@@ -616,7 +622,8 @@ def dedup_against_neardup(df: DataFrame, index_path: str,
                           text_col: str = "text", id_col: str = "doc_id",
                           num_hashes: int = 8, band_size: int = 4,
                           shingle_n: int = 3, hash_fn: str = "md5",
-                          keep_scores: bool = False) -> DataFrame:
+                          keep_scores: bool = False,
+                          checkpoint: bool = True) -> DataFrame:
     """Incremental NEAR-dup dedup: drop new documents whose n-gram
     Jaccard against some already-indexed corpus document reaches
     ``threshold`` (``keep_scores=True`` instead returns every verified
@@ -649,9 +656,19 @@ def dedup_against_neardup(df: DataFrame, index_path: str,
     new_sets = (_doc_shingle_sets(df, text_col, id_col, shingle_n)
                 .withColumnRenamed("sh", "__shn")
                 .withColumnRenamed(id_col, "__new_id"))
+    # semi-join the corpus shingle side down to candidate ids FIRST
+    # (broadcast — candidates are batch-bounded): the verify join then
+    # never shuffles the corpus-sized shingle table.  The checkpoint
+    # materializes the pruned band join ONCE (both the id semi-join and
+    # the verify consume it); checkpoint=False keeps the plan lazy so
+    # tests can assert the PartitionFilters on the index scan
+    if checkpoint:
+        cand = cand.localCheckpoint()
     ref_sets = (spark.read.parquet(base + "/shingles")
                 .withColumnRenamed(id_col, "__ref_id")
-                .withColumnRenamed("sh", "__shr"))
+                .withColumnRenamed("sh", "__shr")
+                .join(F.broadcast(cand.select("__ref_id").distinct()),
+                      "__ref_id", "left_semi"))
     jac = (F.size(F.array_intersect("__shn", "__shr")).cast("double")
            / F.size(F.array_union("__shn", "__shr")).cast("double"))
     hits = (cand.join(F.broadcast(new_sets), "__new_id")

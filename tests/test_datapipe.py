@@ -1011,7 +1011,8 @@ def test_dedup_against_neardup_index_pruning(spark, tmp_path):
     kept = dedup.dedup_against_neardup(new, path, threshold=0.5)
     assert sorted(r["doc_id"] for r in kept.collect()) == [3]
     hits = dedup.dedup_against_neardup(new, path, threshold=0.5,
-                                       keep_scores=True)
+                                       keep_scores=True,
+                                       checkpoint=False)
     rows = hits.collect()
     assert [(r["doc_id_new"], r["doc_id_ref"]) for r in rows] == [(1, 2)]
     assert 0.5 <= rows[0]["jaccard"] <= 1.0

@@ -114,6 +114,35 @@ def sink(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _neardup_index_stress(docs) -> None:
+    """Index 90% of the (planted-dup) corpus once, then dedup the other
+    10% against it — the per-batch wall is what the stress table rows
+    report (the build is printed separately)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F2
+
+    from pypond_spark.datapipe.dedup import (dedup_against_neardup,
+                                             write_neardup_index)
+    path = tempfile.mkdtemp(prefix="stress_ndidx_")
+    try:
+        corpus = docs.where(F2.col("doc_id") % 10 != 0)
+        batch = docs.where(F2.col("doc_id") % 10 == 0).localCheckpoint()
+        t0 = _time.time()
+        write_neardup_index(corpus, path)
+        print(f"    [neardup_index] index build (untimed row): "
+              f"{_time.time() - t0:.1f}s")
+        t1 = _time.time()
+        kept = dedup_against_neardup(batch, path, threshold=0.8)
+        n_kept = kept.count()
+        print(f"    [neardup_index] batch phase {_time.time() - t1:.1f}s: "
+              f"{batch.count():,} docs -> kept {n_kept:,}")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _dedup_audit(docs, dedup_documents, lsh_band_buckets) -> float:
     """Timed full dedup chain + untimed scale diagnostics.
 
@@ -220,7 +249,7 @@ def main() -> None:
                "cms_sketch", "heavy_hitters", "bloom_roundtrip",
                "hll_registers", "unigram_apply", "wordpiece_apply",
                "longest_match", "bpe_bytes_apply", "kn3_logprob",
-               "kn3_logprob_pruned"}
+               "kn3_logprob_pruned", "neardup_index"}
     ev_needed = not only or bool(
         only - emb_ops - doc_ops
         - {"dedup_mega_cluster", "dedup_documents"})
@@ -430,6 +459,12 @@ def main() -> None:
             "pypond_spark.datapipe.textstats",
             fromlist=["kn3_logprob"])
             .kn3_logprob(docs, min_count=2)),
+        # r10: incremental near-dup ingest against the persisted
+        # band-prefix index — TIMED PHASES: the write-once index build
+        # is printed untimed; the row times the per-batch path (band
+        # computation on the 10% batch + pruned index scan + Jaccard
+        # verify), the cost a production ingest pays per batch
+        "neardup_index": lambda: _neardup_index_stress(docs),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
