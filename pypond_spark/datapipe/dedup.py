@@ -623,7 +623,8 @@ def dedup_against_neardup(df: DataFrame, index_path: str,
                           num_hashes: int = 8, band_size: int = 4,
                           shingle_n: int = 3, hash_fn: str = "md5",
                           keep_scores: bool = False,
-                          checkpoint: bool = True) -> DataFrame:
+                          checkpoint: bool = True,
+                          max_candidates: int | None = None) -> DataFrame:
     """Incremental NEAR-dup dedup: drop new documents whose n-gram
     Jaccard against some already-indexed corpus document reaches
     ``threshold`` (``keep_scores=True`` instead returns every verified
@@ -653,6 +654,24 @@ def dedup_against_neardup(df: DataFrame, index_path: str,
            .withColumnRenamed(id_col, "__ref_id"))
     cand = (idx.join(F.broadcast(nb), "band")
             .select("__new_id", "__ref_id").distinct())
+    if max_candidates is not None:
+        # mega-cluster guard (the lsh_capped_pairs concession, index
+        # form): a boilerplate band shared by 10^6 INDEXED docs turns
+        # one batch doc into 10^6 verify pairs. Keep a deterministic
+        # md5-ordered sample of refs per new doc — for DEDUP one
+        # confirmed hit suffices to drop the doc, so recall is lost
+        # only when the sampled refs are all below threshold while an
+        # unsampled one is not (rare for boilerplate clusters, whose
+        # members are mutually similar).
+        if max_candidates < 1:
+            raise ValueError(
+                f"max_candidates must be >= 1, got {max_candidates}")
+        order = F.md5(F.concat_ws(":", F.col("__new_id").cast("string"),
+                                  F.col("__ref_id").cast("string")))
+        w = Window.partitionBy("__new_id").orderBy(order)
+        cand = (cand.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= int(max_candidates))
+                .drop("__rn"))
     new_sets = (_doc_shingle_sets(df, text_col, id_col, shingle_n)
                 .withColumnRenamed("sh", "__shn")
                 .withColumnRenamed(id_col, "__new_id"))

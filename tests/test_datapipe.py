@@ -1031,6 +1031,39 @@ def test_dedup_against_neardup_index_pruning(spark, tmp_path):
     assert (1, 2) in replay
 
 
+def test_neardup_index_max_candidates_cap(spark, tmp_path):
+    """A mega-cluster band in the INDEX (many indexed copies of the
+    same boilerplate) must not explode one batch doc into
+    |cluster| verify pairs: max_candidates caps the per-doc candidate
+    set deterministically, and the near-dup batch doc is STILL dropped
+    (one confirmed hit suffices for dedup)."""
+    from pypond_spark.datapipe import dedup
+    boiler = ("identical boilerplate paragraph repeated across many "
+              "indexed pages word for word every single time always")
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(2, 42, 2)],   # 20 indexed copies
+        "doc_id long, text string")
+    path = str(tmp_path / "mega_idx")
+    dedup.write_neardup_index(corpus, path)
+    batch = spark.createDataFrame(
+        [(1, boiler + " extra"), (3, "an unrelated fresh document with "
+                                     "completely different words here")],
+        "doc_id long, text string")
+    hits = dedup.dedup_against_neardup(batch, path, threshold=0.5,
+                                       keep_scores=True,
+                                       max_candidates=3)
+    rows = hits.collect()
+    # at most 3 verify pairs for the near-dup doc, all confirming
+    assert 1 <= len(rows) <= 3
+    assert {r["doc_id_new"] for r in rows} == {1}
+    kept = dedup.dedup_against_neardup(batch, path, threshold=0.5,
+                                       max_candidates=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_candidates"):
+        dedup.dedup_against_neardup(batch, path, max_candidates=0)
+
+
 def test_neardup_index_append_generation(spark, tmp_path):
     """The full incremental-ingest loop: dedup a batch against the
     index, then APPEND the survivors' bands/shingles
