@@ -11140,7 +11140,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ), s AS (
           SELECT doc_id,
-            trim(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(
               replace(replace(replace(replace(replace(replace(replace(
                 regexp_replace(
                   regexp_replace(
@@ -11151,7 +11151,7 @@ def oracle_sql() -> dict[str, str]:
                           'g'),
                         '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
                       '(?s)<!--.*?-->', ' ', 'g'),
-                    '(?i)<br\s*/?>|</(p|div|li|tr|h[1-6])\s*>',
+                    '(?i)<br\b[^>]*>|</(p|div|li|tr|h[1-6])\s*>',
                     chr(10), 'g'),
                   '(?s)<[^>]*>', ' ', 'g'),
                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
@@ -11159,7 +11159,9 @@ def oracle_sql() -> dict[str, str]:
                 '&amp;', '&'),
               '[ ' || chr(9) || chr(13) || ']+', ' ', 'g'),
               ' ?' || chr(10) || '[ ' || chr(10) || ']*', chr(10),
-              'g')) AS text
+              'g'),
+              '^[' || chr(10) || ' ]+|[' || chr(10) || ' ]+$', '',
+              'g') AS text
           FROM wrapped
         )
         SELECT doc_id, md5(text) AS text_digest,

@@ -581,7 +581,8 @@ def write_neardup_index(df: DataFrame, path: str, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 8,
                         band_size: int = 4, shingle_n: int = 3,
                         hash_fn: str = "md5",
-                        mode: str = "overwrite") -> None:
+                        mode: str = "overwrite",
+                        files_per_prefix: int = 4) -> None:
     """Persist the corpus's MinHash band table (plus the shingle sets
     the Jaccard verify needs) so incremental ingest can ask "is this
     new document a near-duplicate of ANYTHING already in the corpus"
@@ -604,13 +605,17 @@ def write_neardup_index(df: DataFrame, path: str, text_col: str = "text",
     """
     buckets = lsh_band_buckets(df, text_col, id_col, num_hashes,
                                band_size, shingle_n, hash_fn)
-    # repartition ON the partition column first: without it every
-    # shuffle task writes into every prefix directory (up to
-    # tasks x 256 small files — measured as the dominant scan cost of
-    # the per-batch path); with it each directory is one file per
-    # holding task
+    # repartition on (prefix, salt) first: a bare write lets every
+    # shuffle task spray into every prefix directory (up to tasks x 256
+    # small files — measured as the dominant scan cost of the per-batch
+    # path), while repartition("band_pfx") alone caps the WRITE at 256
+    # tasks and funnels each prefix's whole slice (corpus/256 at the
+    # 100 TB design point) through one writer. The salt keeps write
+    # parallelism at 256 x files_per_prefix with files-per-directory
+    # bounded at files_per_prefix.
+    salt = F.pmod(F.xxhash64("band"), F.lit(int(files_per_prefix)))
     (buckets.withColumn("band_pfx", F.substring("band", 1, 2))
-     .repartition("band_pfx")
+     .repartition(F.col("band_pfx"), salt)
      .write.mode(mode).partitionBy("band_pfx")
      .parquet(path.rstrip("/") + "/bands"))
     (_doc_shingle_sets(df, text_col, id_col, shingle_n)
@@ -641,6 +646,9 @@ def dedup_against_neardup(df: DataFrame, index_path: str,
     exact shingle Jaccard — the new side's shingle sets broadcast, the
     corpus side's are read semi-join-bound to candidate ids.
     """
+    if max_candidates is not None and max_candidates < 1:
+        raise ValueError(
+            f"max_candidates must be >= 1, got {max_candidates}")
     spark = df.sparkSession
     base = index_path.rstrip("/")
     nb = lsh_band_buckets(df, text_col, id_col, num_hashes, band_size,
@@ -663,9 +671,6 @@ def dedup_against_neardup(df: DataFrame, index_path: str,
         # only when the sampled refs are all below threshold while an
         # unsampled one is not (rare for boilerplate clusters, whose
         # members are mutually similar).
-        if max_candidates < 1:
-            raise ValueError(
-                f"max_candidates must be >= 1, got {max_candidates}")
         order = F.md5(F.concat_ws(":", F.col("__new_id").cast("string"),
                                   F.col("__ref_id").cast("string")))
         w = Window.partitionBy("__new_id").orderBy(order)

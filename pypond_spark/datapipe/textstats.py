@@ -142,13 +142,15 @@ def strip_html_expr(text_col: str = "text") -> Column:
     c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(
-        c, r"(?i)<br\s*/?>|</(p|div|li|tr|h[1-6])\s*>", "\n")
+        c, r"(?i)<br\b[^>]*>|</(p|div|li|tr|h[1-6])\s*>", "\n")
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
     for ent, rep in HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
     c = F.regexp_replace(c, r"[ \t\r]+", " ")
     c = F.regexp_replace(c, r" ?\n[ \n]*", "\n")
-    return F.trim(c)
+    # F.trim strips only spaces: take newlines off the edges explicitly
+    # so '<p>hi</p>' is 'hi', not 'hi\n' (digest-poisoning otherwise)
+    return F.regexp_replace(c, r"^[\n ]+|[\n ]+$", "")
 
 
 def strip_html(df: DataFrame, text_col: str = "text") -> DataFrame:

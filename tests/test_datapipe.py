@@ -183,6 +183,13 @@ def test_strip_html_extraction(spark):
     assert got[2] == "plain text already"
     assert got[3] == "&lt; stays encoded once"
     assert got[4] == "a b\nc"         # div closer breaks the block
+    more = spark.createDataFrame(
+        [(5, "<p>hi</p>"),                       # edges fully trimmed
+         (6, '<br class="x">a<br clear=all>b')],  # attr-carrying <br>
+        "doc_id long, text string")
+    got2 = {r["doc_id"]: r["text"] for r in strip_html(more).collect()}
+    assert got2[5] == "hi"            # no trailing newline (r10 review)
+    assert got2[6] == "a\nb"
 
 
 def test_normalize_unicode_collapses_divergent_clones(spark):

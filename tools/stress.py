@@ -114,7 +114,7 @@ def sink(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _neardup_index_stress(docs) -> None:
+def _neardup_index_stress(docs) -> float:
     """Index 90% of the (planted-dup) corpus once, then dedup the other
     10% against it — the per-batch wall is what the stress table rows
     report (the build is printed separately)."""
@@ -137,8 +137,10 @@ def _neardup_index_stress(docs) -> None:
         t1 = _time.time()
         kept = dedup_against_neardup(batch, path, threshold=0.8)
         n_kept = kept.count()
-        print(f"    [neardup_index] batch phase {_time.time() - t1:.1f}s: "
+        wall = _time.time() - t1      # the TABLE ROW: per-batch path only
+        print(f"    [neardup_index] batch phase {wall:.1f}s: "
               f"{batch.count():,} docs -> kept {n_kept:,}")
+        return wall
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
