@@ -1062,6 +1062,18 @@ def q_stream_attribution_last_touch(spark, sf_dir):
     return _run_stream_32(spark, out, "append")
 
 
+def q_stream_attribution_first_touch(spark, sf_dir):
+    """First-touch variant of stream_attribution_touch: the EARLIEST
+    view within the horizon wins (max lag_ms; ties min view_id) — same
+    two chained stateful operators, flipped argmax, same emission
+    cutoff."""
+    from pypond_spark.streaming.stream import stream_attribution_touch
+    views, clicks = _attrib_streams(spark, sf_dir)
+    out = stream_attribution_touch(views, clicks, horizon="1h",
+                                   touch="first")
+    return _run_stream_32(spark, out, "append")
+
+
 def q_stream_minhash_dedup(spark, sf_dir):
     """Streaming MinHash-LSH near-dup gate (streaming/stream.py::
     stream_minhash_dedup): row-local HOF minhash signatures (identical
@@ -4959,6 +4971,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_ngram": q_langid_ngram,
         "langid_ngram_confusion": q_langid_ngram_confusion,
         "stream_attribution_last_touch": q_stream_attribution_last_touch,
+        "stream_attribution_first_touch": q_stream_attribution_first_touch,
         "normalize_unicode": q_normalize_unicode,
         "strip_html": q_strip_html,
         "image_phash_png": q_image_phash_png,
@@ -11262,6 +11275,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE b.rn = 1
           AND (b.cm // 3600000) * 3600000 + 3600000 <= wm.w
     """
+    d["stream_attribution_first_touch"] = d[
+        "stream_attribution_last_touch"].replace(
+        "ORDER BY lag ASC, view_id ASC, vm ASC",
+        "ORDER BY lag DESC, view_id ASC, vm ASC")
     d["wordpiece_tokenize"] = _wordpiece_oracle()
     d["unigram_tokenize"] = _unigram_apply_oracle()
     d["unigram_train"] = _unigram_train_oracle()

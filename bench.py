@@ -310,6 +310,7 @@ STREAM = [
     "stream_attribution_join",
     "stream_attribution_outer",
     "stream_attribution_last_touch",
+    "stream_attribution_first_touch",
 ]
 
 
