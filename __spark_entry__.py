@@ -542,16 +542,20 @@ def q_dedup_against_neardup(spark, sf_dir):
     never recomputed OR rescanned in full. keep_scores=True returns
     the verified hits; the oracle replays the band join over the
     union with the shared MinHash/shingle replay blocks."""
-    import hashlib
+    import shutil
     import tempfile
     docs = _read(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(F.col("doc_id") % 2 == 1)
-    path = (tempfile.gettempdir() + "/pypond_neardup_idx_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
-    dp_dedup.write_neardup_index(corpus, path)
-    hits = dp_dedup.dedup_against_neardup(new, path, threshold=0.8,
-                                          keep_scores=True)
+    # per-run unique dir: a shared sf_dir-keyed path races when two
+    # driver/bench runs overwrite + read the same index concurrently
+    path = tempfile.mkdtemp(prefix="pypond_neardup_idx_")
+    try:
+        dp_dedup.write_neardup_index(corpus, path)
+        hits = dp_dedup.dedup_against_neardup(
+            new, path, threshold=0.8, keep_scores=True).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
     return hits.select(F.col("doc_id_new"), F.col("doc_id_ref"),
                        F.round("jaccard", 6).alias("jaccard"))
 

@@ -577,6 +577,22 @@ def dedup_against(df: DataFrame, reference: DataFrame,
             .drop("__dig"))
 
 
+def _band_pfx(band: Column) -> Column:
+    """Partition-prefix for a band key: 2 hex chars of a RE-hash of the
+    band string. Re-hashing (rather than ``substring(band, 1, 2)``)
+    keeps the 256-way prefix distribution uniform for EVERY
+    ``hash_fn`` — ``xxhash64`` band keys are signed decimal strings
+    whose leading characters concentrate on a handful of values
+    ('-1', '1', ...), which would skew both the directory layout and
+    the pruned scan. Write and query side both call this, so the
+    derivation can never drift. The 'x' sentinel keeps every partition
+    value non-numeric: a small index whose prefixes happen to be all
+    digits would otherwise have Spark's partition-column type
+    inference read band_pfx back as BIGINT and fail the string
+    .isin() partition filter."""
+    return F.concat(F.lit("x"), F.substring(F.md5(band), 1, 2))
+
+
 def write_neardup_index(df: DataFrame, path: str, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 8,
                         band_size: int = 4, shingle_n: int = 3,
@@ -593,8 +609,8 @@ def write_neardup_index(df: DataFrame, path: str, text_col: str = "text",
     pattern):
 
     - ``path/bands/band_pfx=<xx>/...`` — the (id, band-bucket) rows,
-      PARTITION-pruned on the band key's 2-hex-char prefix (256
-      directories): a query batch touching a handful of prefixes scans
+      PARTITION-pruned on a 2-hex-char re-hash prefix of the band key
+      (256 directories, uniform for every hash_fn): a query batch touching a handful of prefixes scans
       a handful of directories, never the corpus-wide table.
     - ``path/shingles/...`` — one shingle-set row per corpus doc, read
       only for candidate ids (semi-join bound).
@@ -614,7 +630,7 @@ def write_neardup_index(df: DataFrame, path: str, text_col: str = "text",
     # parallelism at 256 x files_per_prefix with files-per-directory
     # bounded at files_per_prefix.
     salt = F.pmod(F.xxhash64("band"), F.lit(int(files_per_prefix)))
-    (buckets.withColumn("band_pfx", F.substring("band", 1, 2))
+    (buckets.withColumn("band_pfx", _band_pfx(F.col("band")))
      .repartition(F.col("band_pfx"), salt)
      .write.mode(mode).partitionBy("band_pfx")
      .parquet(path.rstrip("/") + "/bands"))
@@ -639,7 +655,7 @@ def dedup_against_neardup(df: DataFrame, index_path: str,
     call that built ``index_path`` — band keys are parameter-dependent.
 
     Scale shape (the production ingest path): the new batch's band
-    table is computed once and broadcast; its distinct 2-hex band
+    table is computed once and broadcast; its distinct re-hash band
     prefixes (<= 256 values, collected driver-side) become a partition
     filter on the index scan, so I/O is the matching prefix directories
     only, never the corpus-wide band table. Candidates then verify by
@@ -655,7 +671,7 @@ def dedup_against_neardup(df: DataFrame, index_path: str,
                           shingle_n, hash_fn) \
         .withColumnRenamed(id_col, "__new_id").localCheckpoint()
     pfx = [r["p"] for r in
-           nb.select(F.substring("band", 1, 2).alias("p"))
+           nb.select(_band_pfx(F.col("band")).alias("p"))
            .distinct().collect()]
     idx = (spark.read.parquet(base + "/bands")
            .where(F.col("band_pfx").isin(pfx))

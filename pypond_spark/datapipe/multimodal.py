@@ -307,6 +307,9 @@ def encode_png_indexed(width: int, height: int, indices: bytes,
     ``plte[ix]`` per pixel, so choosing PLTE = the target pixel bytes
     and indices = 0..n-1 makes the decoded image any RGB content at
     all while still exercising the palette machinery."""
+    if width < 1 or height < 1:
+        raise ValueError(
+            f"image dimensions must be >= 1, got {width}x{height}")
     if depth not in (1, 2, 4, 8):
         raise ValueError(f"palette depth must be 1/2/4/8, got {depth}")
     if len(plte) % 3 or not 0 < len(plte) // 3 <= 256:
