@@ -2,7 +2,61 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_prefix_sums(df: DataFrame, order_exprs: list[Column],
+                       cols: list[str],
+                       prefix: str = "__pre_") -> DataFrame:
+    """Exclusive prefix sums of ``cols`` in a GLOBAL order, with no
+    single-partition window stage.
+
+    ``Window.orderBy(...)`` with no partitionBy funnels the whole frame
+    through ONE task — fine for a few thousand rows, fatal for the
+    corpus-sized frames a web-scale run produces (a 10^8-value distinct
+    frame is still 10^8 rows).  This is the distributed two-pass
+    zipWithIndex recipe generalized from ranks to running sums
+    (:meth:`pypond_spark.series.TimeSeries.slice`): range-repartition
+    on the order, materialize once (localCheckpoint pins the sampled
+    range boundaries so both passes see identical partitioning), pull
+    the O(partitions) per-partition column totals to the driver, and
+    add each partition's cumulative offset to a partition-LOCAL
+    exclusive window sum.  Cost: one range exchange + one bounded
+    collect; every stage is cluster-wide.
+
+    Adds ``{prefix}{col}`` (BIGINT, exclusive — the sum over all
+    strictly-earlier rows) per requested column.  Ties in the order are
+    resolved by the caller's order_exprs; pass a tiebreak column when
+    exclusive sums must be deterministic under ties.
+    """
+    spark = df.sparkSession
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    part = (df.repartitionByRange(n_parts, *order_exprs)
+            .localCheckpoint()
+            .withColumn("__gps_pid", F.spark_partition_id()))
+    totals = sorted(
+        (r["__gps_pid"], tuple(r[c] or 0 for c in cols))
+        for r in part.groupBy("__gps_pid")
+        .agg(*[F.sum(c).alias(c) for c in cols]).collect())
+    offsets: dict[int, tuple[int, ...]] = {}
+    acc = tuple(0 for _ in cols)
+    for pid, sums in totals:
+        offsets[pid] = acc
+        acc = tuple(a + s for a, s in zip(acc, sums))
+    w = (Window.partitionBy("__gps_pid").orderBy(*order_exprs)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = part
+    for i, c in enumerate(cols):
+        off = (F.element_at(
+            F.create_map(*[F.lit(v) for pid in offsets
+                           for v in (pid, offsets[pid][i])]),
+            F.col("__gps_pid")) if offsets else F.lit(0))
+        out = out.withColumn(
+            prefix + c,
+            F.coalesce(F.sum(c).over(w), F.lit(0)) + off)
+    return out.drop("__gps_pid")
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pypond_spark.datapipe._util import spread
+from pypond_spark.datapipe._util import global_prefix_sums, spread
 
 _HASH_DENOM = 4294967296.0  # 2^32; first 8 md5 hex chars -> uniform [0,1)
 
@@ -483,11 +483,12 @@ def rrf_fusion(df: DataFrame, score_cols: list[str], k: int = 60,
         vc = (df.where(valid)
               .groupBy(col.alias("__v")).agg(F.count("*").alias("__c")))
         order = F.col("__v").desc() if higher_is_better else F.col("__v")
-        w = (Window.orderBy(order)
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        ranked = (vc.withColumn("__cum", F.sum("__c").over(w))
+        # competition rank = exclusive prefix count + 1, computed with
+        # the distributed two-pass prefix-sum (no single-task window
+        # even when the distinct-value frame is corpus-sized)
+        ranked = (global_prefix_sums(vc, [order], ["__c"])
                   .select(F.col("__v").alias(f"__v_{s}"),
-                          (F.col("__cum") - F.col("__c") + 1)
+                          (F.col("__pre___c") + 1)
                           .alias(f"__rank_{s}")))
         join_key = F.col(s).cast("double")
         if quantize is not None:

@@ -1090,11 +1090,18 @@ def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
     global token frequency table (healthy natural-language corpora sit
     near -1; far-off slopes flag template spam or tokenizer damage).
 
-    One corpus token explode -> vocabulary-bounded counts; the rank
-    window and the 5-sum OLS run on the TINY frequency table (rows =
-    vocabulary), with rank ties broken by token for a deterministic
-    rank assignment. Output: one row (slope, intercept, vocab,
-    n_tokens).
+    One corpus token explode -> vocabulary-bounded counts; ranks are
+    assigned DISTRIBUTED (a web-scale corpus has a 10^8..10^9-token
+    vocabulary — a global unpartitioned rank window would funnel it
+    through one task): range-repartition the frequency table on the
+    rank order (__f desc, tok — ties broken by token for determinism),
+    materialize once so the sampled range boundaries are pinned for
+    both passes, pull the O(partitions) per-partition counts to the
+    driver, and add each partition's offset to its local row_number —
+    the :meth:`~pypond_spark.series.TimeSeries.slice` zipWithIndex
+    recipe.  The same bounded pull supplies n_tokens (sum of __f), so
+    the fit needs no extra action.  Output: one row (slope, intercept,
+    vocab, n_tokens).
     """
     from pyspark.sql import Window
 
@@ -1103,16 +1110,36 @@ def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
             .select(F.explode(toks).alias("tok"))
             .where(F.col("tok") != "")
             .groupBy("tok").agg(F.count("*").alias("__f")))
-    w = Window.orderBy(F.desc("__f"), F.col("tok"))
-    pts = freq.select(
-        F.log(F.row_number().over(w).cast("double")).alias("__lr"),
+    spark = df.sparkSession
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    part = (freq
+            .repartitionByRange(n_parts, F.desc("__f"), F.asc("tok"))
+            .localCheckpoint()
+            .withColumn("__pid", F.spark_partition_id()))
+    counts = sorted(
+        (r["__pid"], r["__c"], r["__t"])
+        for r in part.groupBy("__pid")
+        .agg(F.count("*").alias("__c"), F.sum("__f").alias("__t"))
+        .collect())
+    total = sum(t for _, _, t in counts)
+    offsets, acc = {}, 0
+    for p, c, _ in counts:
+        offsets[p] = acc
+        acc += c
+    off = (F.element_at(
+        F.create_map(*[F.lit(v) for p, c, _ in counts
+                       for v in (p, offsets[p])]),
+        F.col("__pid")) if counts else F.lit(0))
+    w = Window.partitionBy("__pid").orderBy(F.desc("__f"), F.col("tok"))
+    pts = part.select(
+        F.log((F.row_number().over(w) + off).cast("double")).alias("__lr"),
         F.log(F.col("__f").cast("double")).alias("__lf"))
     agg = pts.agg(F.count("*").alias("vocab"),
                   F.sum("__lr").alias("__sx"),
                   F.sum("__lf").alias("__sy"),
                   F.sum(F.col("__lr") * F.col("__lr")).alias("__sxx"),
                   F.sum(F.col("__lr") * F.col("__lf")).alias("__sxy"))
-    total = freq.agg(F.sum("__f")).first()[0] or 0
     n = F.col("vocab").cast("double")
     denom = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
     slope = F.try_divide(n * F.col("__sxy")

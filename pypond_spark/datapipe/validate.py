@@ -19,6 +19,8 @@ from typing import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pypond_spark.datapipe._util import global_prefix_sums
+
 
 def expect(df: DataFrame, rules: Mapping[str, Column | str]) -> DataFrame:
     """Evaluate named expectations; each rule is a Column/SQL predicate
@@ -275,11 +277,15 @@ def isotonic_calibration(df: DataFrame, score_col: Column | str,
         .alias("__t"))
     vals = (base.groupBy("__v")
             .agg(F.count("*").alias("__w"), F.sum("__t").alias("__s")))
-    wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    nn = vals.agg(F.sum("__w").alias("__n"))
-    binned = (vals
-              .withColumn("__cb", F.coalesce(F.sum("__w").over(wv),
-                                             F.lit(0)))
+    # exclusive prefix count in score order via the distributed
+    # two-pass recipe: the distinct-value frame is bounded by
+    # 10^quantize per unit of score range, which for continuous scores
+    # is still far too large for a single-task window
+    pre0 = global_prefix_sums(vals, [F.col("__v")], ["__w"],
+                              prefix="__cb_")
+    nn = pre0.agg(F.sum("__w").alias("__n"))
+    binned = (pre0
+              .withColumnRenamed("__cb___w", "__cb")
               .crossJoin(F.broadcast(nn))
               .withColumn("__bin", F.least(
                   F.lit(bins - 1),
