@@ -1894,6 +1894,53 @@ def q_image_phash_png(spark, sf_dir):
     return dp_mm.image_phash(_synth_png8(docs), grid_w=4, grid_h=4)
 
 
+def _synth_jpeg32(docs):
+    """32x32 grayscale baseline JPEG per doc: 16 block values (one per
+    8x8 block, row-major) are the 16 bytes of ONE md5 digest of the
+    text.  JPEG is lossy, but DC-only (block-constant) content with an
+    all-ones quant table decodes EXACTLY (datapipe/jpeg.py module
+    docstring), so the oracle replays the decoded pixels straight from
+    the digest hex — the PNG driver-row recipe carried to a lossy
+    codec.  restart_interval=2 keeps RST markers on the decode path."""
+    import numpy as _np
+    import pandas as _pd
+
+    from pypond_spark.datapipe.jpeg import encode_jpeg
+
+    raw = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      F.unhex(F.md5(F.concat(F.col("text"),
+                                             F.lit("&j"))))
+                      .alias("content"))
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for mid, dig in zip(pdf["media_id"], pdf["content"]):
+                vals = _np.frombuffer(bytes(dig),
+                                      dtype=_np.uint8).reshape(4, 4)
+                img = _np.repeat(_np.repeat(vals, 8, axis=0), 8, axis=1)
+                rows.append((int(mid),
+                             encode_jpeg(32, 32, img.tobytes(),
+                                         gray=True, qtable=[1] * 64,
+                                         restart_interval=2)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return raw.mapInPandas(enc, "media_id long, content binary")
+
+
+def q_image_phash_jpeg(spark, sf_dir):
+    """Perceptual hashes over pixels decoded from REAL baseline JPEG
+    bytes (datapipe/jpeg.py::decode_jpeg — marker parse, Huffman
+    entropy decode with restart markers and byte unstuffing, dequant,
+    numpy IDCT): same downstream aHash/dHash chain as ``image_phash``.
+    The synthetic JPEG is block-constant with an all-ones quant table,
+    the one regime where the lossy roundtrip is pixel-exact, so a
+    driver-green row certifies the whole encode->entropy->IDCT path
+    against an oracle that never runs the codec."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_mm.image_phash(_synth_jpeg32(docs), grid_w=4, grid_h=4)
+
+
 # fixed PCM16 mono 8kHz WAV header for exactly 6 samples (12 data bytes)
 import struct as _struct  # noqa: E402
 
@@ -4969,6 +5016,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reorders never-driver-verified entries to the front automatically from
     the committed CORRECTNESS_r*.json snapshots."""
     return {
+        "image_phash_jpeg": q_image_phash_jpeg,
         "dedup_against_neardup": q_dedup_against_neardup,
         "kn3_logprob_pruned": q_kn3_logprob_pruned,
         "image_phash_png_palette": q_image_phash_png_palette,
@@ -8926,6 +8974,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
 
+        "image_phash_jpeg": """
+            -- block value b_i (8x8 block i, row-major, of the 32x32
+            -- grayscale JPEG) = byte i of md5(text || '&j'); all-ones
+            -- quant table makes the DC-only decode EXACT, so decoded
+            -- gray(cell) = 3 * 64 * b_i and every comparison reduces
+            -- to the block values (equal areas cancel): aHash bit i =
+            -- 16*b_i > sum(b); dHash bit = b > right neighbor
+            WITH v AS (
+              SELECT doc_id, g.i AS i,
+                     ('0x' || substr(md5(text || '&j'),
+                                     2 * g.i + 1, 2))::BIGINT AS b
+              FROM documents CROSS JOIN generate_series(0, 15) g(i)
+            ), tot AS (
+              SELECT doc_id, CAST(sum(b) AS BIGINT) AS ts
+              FROM v GROUP BY 1
+            ), ah AS (
+              SELECT v.doc_id AS doc_id,
+                     CAST(sum(CASE WHEN 16 * v.b > t.ts
+                          THEN (CAST(1 AS BIGINT) << v.i)
+                          ELSE 0 END) AS BIGINT) AS ahash
+              FROM v JOIN tot t USING (doc_id) GROUP BY 1
+            ), dh AS (
+              SELECT a.doc_id AS doc_id,
+                     CAST(coalesce(sum(CASE WHEN a.b > c.b
+                          THEN (CAST(1 AS BIGINT)
+                                << ((a.i // 4) * 3 + (a.i % 4)))
+                          ELSE 0 END), 0) AS BIGINT) AS dhash
+              FROM v a JOIN v c
+                ON c.doc_id = a.doc_id AND c.i = a.i + 1
+               AND a.i % 4 < 3
+              GROUP BY 1
+            )
+            SELECT ah.doc_id AS media_id, 32 AS width, 32 AS height,
+                   ah.ahash AS ahash, dh.dhash AS dhash
+            FROM ah JOIN dh ON dh.doc_id = ah.doc_id
+        """,
         "image_phash": """
             -- pixel byte jb of the 8x8 synthetic PPM comes from digest
             -- jb//16 = md5(text || '#' || d), hex offset jb%16; gray =

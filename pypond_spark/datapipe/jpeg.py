@@ -1,0 +1,706 @@
+"""Baseline-sequential JPEG (JFIF) codec, pure Python + numpy.
+
+The single most common image format in any real crawl; without it every
+JPEG in a 100-TB ingest is dropped at ``decode_image``.  This module
+implements the baseline DCT process of the public ITU-T T.81 spec —
+marker parse, DQT/DHT/DRI/SOF0/SOS, Huffman entropy decode with byte
+unstuffing and restart markers, dequantization, 8x8 inverse DCT
+(numpy-batched), nearest-neighbor chroma upsampling, and YCbCr->RGB —
+plus a matching encoder so tests and driver rows can synthesize real
+JPEG bytes without any imaging library.
+
+Honest scope limits (each raises, never silently wrong):
+
+- progressive (SOF2), lossless (SOF3/7), differential and
+  arithmetic-coded (SOF9..15) processes -> ``NotImplementedError``;
+- 12-bit precision and CMYK/4-component scans -> ``NotImplementedError``;
+- structural corruption (truncation, bad marker stream, Huffman
+  overrun) -> ``ValueError``.
+
+Determinism contract (what makes driver rows oracle-replayable): JPEG
+is lossy, but an 8x8 block whose pixels are all equal is DC-ONLY — its
+AC coefficients are exactly zero after quantization, and with a
+quantization table of all ones the decoded block equals the source
+block EXACTLY (DC = 8*(v-128) survives quantize/dequantize unchanged
+and the inverse DCT of a DC-only block is the constant DC/8, a dyadic
+product whose float error ~1e-13 never moves an integer across the
+round boundary).  Synthesizing images from block-constant md5-derived
+values therefore gives a pixel-exact encode->decode roundtrip that a
+SQL oracle replays straight from the hex digest — the PNG driver-row
+recipe carried over to a lossy codec.
+
+Rounding is ``floor(x + 0.5)`` (half away from zero for the positive
+pixel domain) everywhere a float meets an integer, so decode results
+are reproducible bit-for-bit across platforms for a given file.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# zigzag index k -> natural (row-major) position in the 8x8 block
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive JPEG (SOF2)",
+    0xC3: "lossless JPEG (SOF3)",
+    0xC5: "differential sequential JPEG (SOF5)",
+    0xC6: "differential progressive JPEG (SOF6)",
+    0xC7: "differential lossless JPEG (SOF7)",
+    0xC9: "arithmetic-coded sequential JPEG (SOF9)",
+    0xCA: "arithmetic-coded progressive JPEG (SOF10)",
+    0xCB: "arithmetic-coded lossless JPEG (SOF11)",
+    0xCD: "differential arithmetic sequential JPEG (SOF13)",
+    0xCE: "differential arithmetic progressive JPEG (SOF14)",
+    0xCF: "differential arithmetic lossless JPEG (SOF15)",
+}
+
+# orthonormal 8-point DCT-II matrix: A[u, x] = c_u/2 * cos((2x+1)u pi/16)
+_A = np.array([[(math.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                for x in range(8)] for u in range(8)])
+
+
+def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
+    """Batched 2-D inverse DCT: (n, 8, 8) dequantized coefficients ->
+    (n, 8, 8) float samples (before +128 level shift)."""
+    return np.einsum("vy,nvu,ux->nyx", _A, coeffs, _A)
+
+
+def _fdct_blocks(samples: np.ndarray) -> np.ndarray:
+    """Batched 2-D forward DCT of (n, 8, 8) level-shifted samples."""
+    return np.einsum("vy,nyx,ux->nvu", _A, samples, _A)
+
+
+class _BitReader:
+    """MSB-first bit reader over a byte-unstuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data overrun (truncated scan)")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _build_decode_table(bits: list[int], vals: bytes) -> dict:
+    """Canonical JPEG Huffman decode table: (length, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code (corrupt scan data)")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map an s-bit received value to its signed level."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split the scan's entropy-coded bytes at restart markers.
+
+    Returns (segments, position-of-terminating-marker).  Stuffed 0x00
+    bytes after 0xFF are removed; RST0..7 delimit segments (DC
+    predictors reset per segment); any other marker terminates."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError("truncated JPEG: scan ends inside a marker")
+        m = data[i + 1]
+        if m == 0x00:             # stuffed literal 0xFF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:   # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif m == 0xFF:           # fill byte
+            i += 1
+        else:
+            segs.append(bytes(cur))
+            return segs, i
+    raise ValueError("truncated JPEG: no terminating marker after scan")
+
+
+def _decode_block(r: _BitReader, dc_tab: dict, ac_tab: dict,
+                  pred: int) -> tuple[np.ndarray, int]:
+    """Decode one 8x8 block's quantized coefficients (zigzag order)."""
+    zz = np.zeros(64, dtype=np.int32)
+    t = _huff_decode(r, dc_tab)
+    diff = _extend(r.read_bits(t), t) if t else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(r, ac_tab)
+        rr, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if rr == 15:          # ZRL: sixteen zeros
+                k += 16
+                continue
+            break                 # EOB
+        k += rr
+        if k > 63:
+            raise ValueError("JPEG AC run past end of block")
+        zz[k] = _extend(r.read_bits(s), s)
+        k += 1
+    return zz, pred
+
+
+def decode_jpeg(content: bytes) -> dict:
+    """Decode a baseline-sequential JFIF/JPEG to interleaved 8-bit RGB.
+
+    Returns the :func:`~pypond_spark.datapipe.multimodal.decode_image`
+    dict shape: ``{"format": "jpeg", "width", "height", "maxval": 255,
+    "pixels"}`` with grayscale replicated across channels, exactly like
+    the PNG path.  Chroma subsampling is handled by nearest-neighbor
+    (replication) upsampling.  Unsupported processes raise
+    ``NotImplementedError``; corrupt structure raises ``ValueError``.
+    """
+    if content[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG: missing SOI marker")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}   # (class, id) -> decode table
+    restart_interval = 0
+    frame = None
+    i = 2
+    n = len(content)
+    while True:
+        if i + 4 > n:
+            raise ValueError("truncated JPEG: ran out of markers")
+        if content[i] != 0xFF:
+            raise ValueError(f"bad JPEG marker stream at byte {i}")
+        marker = content[i + 1]
+        if marker == 0xD9:
+            raise ValueError("JPEG EOI before any scan")
+        seglen = struct.unpack(">H", content[i + 2:i + 4])[0]
+        seg = content[i + 4:i + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"{_SOF_UNSUPPORTED[marker]} — only baseline sequential "
+                "Huffman (SOF0/SOF1) is supported")
+        if marker == 0xDB:                      # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg[p:p + 128],
+                                        dtype=">u2")
+                    p += 128
+                qt[tq] = tbl.astype(np.int32)
+        elif marker == 0xC4:                    # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = seg[p + 17:p + 17 + nv]
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:                    # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker in (0xC0, 0xC1):            # SOF0 / SOF1
+            prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG precision (only 8-bit baseline)")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (only grayscale and YCbCr)")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"w": width, "h": height, "comps": comps}
+        elif marker == 0xDA:                    # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 0x0F)
+            return _decode_scan(content, i + 2 + seglen, frame, sel, qt,
+                                huff, restart_interval)
+        # APPn / COM / anything else: skip
+        i += 2 + seglen
+
+
+def _decode_scan(content: bytes, start: int, frame: dict, sel: dict,
+                 qt: dict, huff: dict, restart_interval: int) -> dict:
+    width, height, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("JPEG component with zero sampling factor")
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        if c["id"] not in sel:
+            raise NotImplementedError(
+                "non-interleaved multi-scan JPEG (every frame component "
+                "must appear in the single scan)")
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+        dc_id, ac_id = sel[c["id"]]
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("JPEG missing Huffman table for scan")
+        c["dc"] = huff[(0, dc_id)]
+        c["ac"] = huff[(1, ac_id)]
+        c["q"] = qt[c["tq"]]
+        c["bw"] = mcux * c["h"]          # blocks per row
+        c["bh"] = mcuy * c["v"]
+        c["blocks"] = np.zeros((c["bw"] * c["bh"], 64), dtype=np.int32)
+    segs, _ = _entropy_segments(content, start)
+    total_mcus = mcux * mcuy
+    per_seg = restart_interval if restart_interval else total_mcus
+    mcu = 0
+    for seg in segs:
+        if mcu >= total_mcus:
+            break
+        r = _BitReader(seg)
+        preds = {c["id"]: 0 for c in comps}
+        for _ in range(min(per_seg, total_mcus - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz, preds[c["id"]] = _decode_block(
+                            r, c["dc"], c["ac"], preds[c["id"]])
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["blocks"][row * c["bw"] + col] = zz
+            mcu += 1
+    if mcu < total_mcus:
+        raise ValueError(
+            f"truncated JPEG scan: {mcu}/{total_mcus} MCUs decoded")
+    planes = []
+    for c in comps:
+        deq = (c["blocks"] * c["q"][None, :]).astype(np.float64)
+        nat = np.zeros_like(deq)
+        nat[:, list(ZIGZAG)] = deq
+        sam = _idct_blocks(nat.reshape(-1, 8, 8)) + 128.0
+        sam = np.clip(np.floor(sam + 0.5), 0, 255).astype(np.uint8)
+        # stitch blocks into the component plane
+        plane = (sam.reshape(c["bh"], c["bw"], 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(c["bh"] * 8, c["bw"] * 8))
+        # nearest-neighbor upsample to full resolution
+        ys = (np.arange(height) * c["v"]) // vmax
+        xs = (np.arange(width) * c["h"]) // hmax
+        planes.append(plane[np.ix_(ys, xs)].astype(np.int32))
+    if len(planes) == 1:
+        g = planes[0].astype(np.uint8)
+        rgb = np.stack([g, g, g], axis=-1)
+    else:
+        y, cb, cr = (p.astype(np.float64) for p in planes)
+        r_ = y + 1.402 * (cr - 128.0)
+        g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b_ = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([
+            np.clip(np.floor(ch + 0.5), 0, 255).astype(np.uint8)
+            for ch in (r_, g_, b_)], axis=-1)
+    return {"format": "jpeg", "width": width, "height": height,
+            "maxval": 255, "pixels": rgb.tobytes()}
+
+
+# ---------------------------------------------------------------- encoder
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)     # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _huff_table_from_freqs(freqs: dict[int, int]) -> tuple[list[int],
+                                                           list[int]]:
+    """JPEG-legal optimal Huffman table from symbol frequencies — the
+    T.81 Annex K.2 code-length derivation (CODE_SIZE / COUNT_BITS /
+    ADJUST_BITS / SORT_INPUT), with the reserved extra symbol that
+    guarantees no real symbol is assigned the all-ones code.  Returns
+    (BITS[16], HUFFVAL) ready for a DHT segment."""
+    freq = [0] * 257
+    for s, c in freqs.items():
+        freq[s] = c
+    freq[256] = 1                         # reserved: claims all-ones code
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1 = min((f, -v) for v, f in enumerate(freq) if f > 0)
+        v1 = -c1[1]
+        rest = [(f, -v) for v, f in enumerate(freq)
+                if f > 0 and v != v1]
+        if not rest:
+            break
+        v2 = -min(rest)[1]
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for v in range(257):
+        if codesize[v]:
+            bits[codesize[v]] += 1
+    # ADJUST_BITS: fold code lengths > 16 back into the tree
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 1
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    # drop the reserved symbol's code (the longest one)
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1
+    huffval = [v for _, v in sorted(
+        (codesize[v], v) for v in range(256) if codesize[v])]
+    return bits[1:17], huffval
+
+
+def _encode_table(bits: list[int], huffval: list[int]) -> dict[int,
+                                                               tuple]:
+    """(BITS, HUFFVAL) -> symbol -> (code, length) map."""
+    enc: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _block_symbols(zz: np.ndarray, pred: int) -> tuple[list, int]:
+    """One quantized zigzag block -> [(is_dc, symbol, value, nbits)]."""
+    syms = []
+    diff = int(zz[0]) - pred
+    s = _category(diff)
+    syms.append((True, s, diff, s))
+    k = 63
+    while k >= 1 and zz[k] == 0:
+        k -= 1
+    run = 0
+    for j in range(1, k + 1):
+        v = int(zz[j])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            syms.append((False, 0xF0, 0, 0))      # ZRL
+            run -= 16
+        s = _category(v)
+        syms.append((False, (run << 4) | s, v, s))
+        run = 0
+    if k < 63:
+        syms.append((False, 0x00, 0, 0))          # EOB
+    return syms, int(zz[0])
+
+
+def _quantize(coeffs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero quantization of natural-order blocks,
+    returned in zigzag order (n, 64)."""
+    nat = coeffs.reshape(-1, 64)
+    zz = nat[:, list(ZIGZAG)]
+    return np.sign(zz) * np.floor(np.abs(zz) / q[None, :] + 0.5)
+
+
+def _component_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) uint8 plane (H, W multiples of 8) -> (n, 8, 8) float
+    level-shifted blocks in row-major block order."""
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8).astype(np.float64) - 128.0)
+
+
+def _pad_edge(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate a plane up to (bh*8, bw*8)."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+
+
+_STD_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+
+_STD_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """The public libjpeg quality scaling: 50 -> base table, 100 -> all
+    ones, 1 -> 50x base; clamped to [1, 255]."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def encode_jpeg(width: int, height: int, pixels: bytes,
+                quality: int = 90, gray: bool = False,
+                qtable: np.ndarray | list[int] | None = None,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Baseline-sequential JFIF encoder (the synthesis half of
+    :func:`decode_jpeg`): forward DCT, quality-scaled (or caller-fixed
+    ``qtable``, NATURAL order, e.g. all ones for the exact DC-only
+    driver-row recipe) quantization, optimal per-image Huffman tables
+    derived with the T.81 Annex K.2 procedure, byte stuffing, optional
+    restart markers.  ``gray=True`` takes ``width*height`` single-
+    channel bytes; otherwise interleaved RGB with ``subsampling`` in
+    {'444', '420'} (4:2:0 box-averages each 2x2 chroma neighborhood).
+    """
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444|420, got {subsampling}")
+    if width < 1 or height < 1:
+        raise ValueError(f"bad JPEG dimensions {width}x{height}")
+    need = width * height * (1 if gray else 3)
+    if len(pixels) != need:
+        raise ValueError(f"need {need} pixel bytes, got {len(pixels)}")
+    if qtable is not None:
+        qt_l = np.asarray(qtable, dtype=np.int32).reshape(64)
+        qt_c = qt_l
+    else:
+        qt_l = _scaled_qt(_STD_QT_LUMA, quality)
+        qt_c = _scaled_qt(_STD_QT_CHROMA, quality)
+    zz_l = qt_l[list(ZIGZAG)]
+    zz_c = qt_c[list(ZIGZAG)]
+
+    if gray:
+        y = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+        planes = [(y.astype(np.float64), zz_l, 1, 1)]
+        hmax = vmax = 1
+    else:
+        rgb = np.frombuffer(pixels, dtype=np.uint8) \
+            .reshape(height, width, 3).astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        yy = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        yy, cb, cr = (np.clip(np.floor(p + 0.5), 0, 255)
+                      for p in (yy, cb, cr))
+        if subsampling == "420":
+            he, we = (height + 1) // 2 * 2, (width + 1) // 2 * 2
+            cbp = _pad_edge(cb, (he + 7) // 8, (we + 7) // 8)[:he, :we]
+            crp = _pad_edge(cr, (he + 7) // 8, (we + 7) // 8)[:he, :we]
+            cb = np.floor(
+                (cbp[0::2, 0::2] + cbp[0::2, 1::2]
+                 + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0 + 0.5)
+            cr = np.floor(
+                (crp[0::2, 0::2] + crp[0::2, 1::2]
+                 + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0 + 0.5)
+            hmax = vmax = 2
+            planes = [(yy, zz_l, 2, 2), (cb, zz_c, 1, 1),
+                      (cr, zz_c, 1, 1)]
+        else:
+            hmax = vmax = 1
+            planes = [(yy, zz_l, 1, 1), (cb, zz_c, 1, 1),
+                      (cr, zz_c, 1, 1)]
+
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    comp_zz = []
+    for plane, zzq, h, v in planes:
+        bw, bh = mcux * h, mcuy * v
+        padded = _pad_edge(plane.astype(np.uint8), bh, bw)
+        blocks = _component_blocks(padded)
+        comp_zz.append((_quantize(_fdct_blocks(blocks), zzq)
+                        .astype(np.int64), bw, h, v))
+
+    # walk the MCU order once, yielding (component-class, symbol,
+    # value, nbits) plus restart boundaries; consumed twice — counting
+    # symbol frequencies, then writing bits
+    total = mcux * mcuy
+    per_seg = restart_interval if restart_interval else total
+
+    def walk():
+        preds = [0] * len(comp_zz)
+        for mcu in range(total):
+            if mcu and mcu % per_seg == 0:
+                yield ("rst",)
+                preds = [0] * len(comp_zz)
+            my, mx = divmod(mcu, mcux)
+            for ci, (zzb, bw, h, v) in enumerate(comp_zz):
+                cls = 0 if ci == 0 else 1      # luma vs chroma tables
+                for by in range(v):
+                    for bx in range(h):
+                        idx = (my * v + by) * bw + (mx * h + bx)
+                        syms, preds[ci] = _block_symbols(
+                            zzb[idx], preds[ci])
+                        for is_dc, sym, val, nbits in syms:
+                            yield ("sym", cls, is_dc, sym, val, nbits)
+
+    # pass 1: symbol frequencies (luma tables vs chroma tables)
+    freqs = {(0, True): {}, (0, False): {},
+             (1, True): {}, (1, False): {}}
+    for item in walk():
+        if item[0] == "sym":
+            _, cls, is_dc, sym, _, _ = item
+            t = freqs[(cls, is_dc)]
+            t[sym] = t.get(sym, 0) + 1
+    tables = [(0, 0, *_huff_table_from_freqs(freqs[(0, True)])),
+              (1, 0, *_huff_table_from_freqs(freqs[(0, False)]))]
+    if not gray:
+        tables += [(0, 1, *_huff_table_from_freqs(freqs[(1, True)])),
+                   (1, 1, *_huff_table_from_freqs(freqs[(1, False)]))]
+    enc = {(tc, th): _encode_table(bits, vals)
+           for tc, th, bits, vals in tables}
+
+    # pass 2: entropy-coded scan with restart markers
+    scan = bytearray()
+    w = _BitWriter()
+    rst = 0
+    for item in walk():
+        if item[0] == "rst":
+            scan.extend(w.flush())
+            scan.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+            rst += 1
+            w = _BitWriter()
+            continue
+        _, cls, is_dc, sym, val, nbits = item
+        th = 0 if gray else cls
+        code, length = enc[(0 if is_dc else 1, th)][sym]
+        w.write(code, length)
+        if nbits:
+            if val < 0:
+                val += (1 << nbits) - 1
+            w.write(val, nbits)
+    scan.extend(w.flush())
+
+    out = bytearray(b"\xFF\xD8")                      # SOI
+    out += (b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+            + bytes([0, 0]))                          # APP0
+    out += (b"\xFF\xDB" + struct.pack(">H", 67) + bytes([0x00])
+            + bytes(int(x) for x in qt_l[list(ZIGZAG)]))
+    if not gray:
+        out += (b"\xFF\xDB" + struct.pack(">H", 67) + bytes([0x01])
+                + bytes(int(x) for x in qt_c[list(ZIGZAG)]))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, height, width, nc)
+    samp = [(hmax, vmax), (1, 1), (1, 1)]
+    for c in range(nc):
+        h, v = samp[c] if not gray else (1, 1)
+        sof += bytes([c + 1, (h << 4) | v, 0 if c == 0 else 1])
+    out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, th, bits, vals in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for c in range(nc):
+        tid = 0 if c == 0 else 1 if not gray else 0
+        sos += bytes([c + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+    out += scan
+    out += b"\xFF\xD9"                                # EOI
+    return bytes(out)

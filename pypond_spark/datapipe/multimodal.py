@@ -5,14 +5,18 @@ side — schema, partition-friendly layout, Arrow-batched UDF signatures — is
 real and tested. Codecs:
 
 - REAL pure-Python decoders for the formats that need no external library:
-  binary PPM (P6) and non-interlaced PNG images (``decode_image`` —
+  binary PPM (P6), non-interlaced PNG images (``decode_image`` —
   PNG via stdlib ``zlib``, all five scanline filters, gray/RGB/alpha
   variants at depth 8 and 16, palette (PLTE) at depth 1/2/4/8, plus
   minimal ``encode_png`` / ``encode_png_indexed`` / ``encode_png16``
-  encoders) and PCM16 WAV audio
+  encoders), baseline-sequential JPEG
+  (:mod:`pypond_spark.datapipe.jpeg` — Huffman + dequant + numpy IDCT +
+  chroma upsampling + YCbCr->RGB, with a matching ``encode_jpeg``;
+  progressive/arithmetic/12-bit raise ``NotImplementedError``) and
+  PCM16 WAV audio
   (``decode_audio`` via the stdlib ``wave`` module), with per-media stats
   operators (``image_stats`` / ``audio_stats``);
-- everything else (JPEG/MP3/...) raises ``NotImplementedError`` — this
+- everything else (MP3/MP4/...) raises ``NotImplementedError`` — this
   container has no imaging/audio libraries; ``extract_features(fake=True)``
   keeps the deterministic hash-feature path for plumbing tests.
 
@@ -373,16 +377,21 @@ def decode_image(content: bytes) -> dict:
 
     Returns ``{"format", "width", "height", "maxval", "pixels"}`` where
     pixels are raw interleaved RGB bytes regardless of source format.
-    Any other format raises ``NotImplementedError`` (JPEG needs a DCT
-    imaging library this environment lacks).
+    Baseline-sequential JPEG decodes via
+    :mod:`pypond_spark.datapipe.jpeg` (progressive / arithmetic /
+    12-bit raise ``NotImplementedError`` there); any other format
+    raises ``NotImplementedError``.
     """
     if content.startswith(_PNG_SIG):
         return _decode_png(content)
+    if content.startswith(b"\xFF\xD8"):
+        from pypond_spark.datapipe.jpeg import decode_jpeg
+        return decode_jpeg(content)
     if not content.startswith(b"P6"):
         raise NotImplementedError(
-            "only binary PPM (P6) and PNG decode without an "
-            "imaging library; use extract_features(..., fake=True) "
-            "for plumbing tests")
+            "only binary PPM (P6), PNG and baseline JPEG decode "
+            "without an imaging library; use extract_features(..., "
+            "fake=True) for plumbing tests")
     # header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels;
     # '#' comments may appear between tokens
     pos, tokens = 2, []

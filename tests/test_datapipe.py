@@ -501,6 +501,139 @@ def test_png_palette_and_16bit_roundtrip():
         multimodal.encode_png_indexed(1, 1, bytes([0]), bytes(3), depth=3)
 
 
+def test_jpeg_constant_block_exact_roundtrip():
+    """JPEG is lossy, but 8x8-block-constant images with an all-ones
+    quant table roundtrip EXACTLY (DC-only blocks survive quantization
+    unchanged; jpeg.py module docstring) — the property the driver
+    row's oracle-replayability rests on.  Holds for gray and RGB-gray,
+    non-multiple-of-8 dimensions (edge-replication padding keeps edge
+    blocks constant), and restart-marker streams."""
+    import hashlib
+
+    import numpy as np
+
+    from pypond_spark.datapipe import jpeg
+
+    for w, h in [(32, 32), (24, 16), (20, 12), (8, 8)]:
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        dig = hashlib.md5(f"jpg{w}x{h}".encode()).digest()
+        vals = (dig * ((bw * bh) // 16 + 1))[:bw * bh]
+        img = np.repeat(np.repeat(
+            np.frombuffer(bytes(vals), dtype=np.uint8).reshape(bh, bw),
+            8, axis=0), 8, axis=1)[:h, :w]
+        for rst in (0, 2):
+            data = jpeg.encode_jpeg(w, h, img.tobytes(), gray=True,
+                                    qtable=[1] * 64,
+                                    restart_interval=rst)
+            out = multimodal.decode_image(data)
+            assert (out["format"], out["width"], out["height"]) \
+                == ("jpeg", w, h)
+            px = np.frombuffer(out["pixels"],
+                               dtype=np.uint8).reshape(h, w, 3)
+            assert (px == img[..., None]).all(), (w, h, rst)
+        if rst and bw * bh > rst:     # multi-segment stream emitted
+            assert any(bytes([0xFF, 0xD0 + k]) in data for k in range(8))
+
+
+def test_jpeg_decode_accuracy_and_color():
+    """Random gray at quant=1 decodes within +-1 of the source (the
+    T.81 IDCT accuracy envelope — only Huffman-exact entropy coding and
+    a correct IDCT can achieve it); color 4:4:4 and 4:2:0 stay within
+    honest lossy bounds."""
+    import numpy as np
+
+    from pypond_spark.datapipe import jpeg
+
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 256, size=(24, 17)).astype(np.uint8)
+    out = multimodal.decode_image(jpeg.encode_jpeg(
+        17, 24, g.tobytes(), gray=True, qtable=[1] * 64))
+    px = np.frombuffer(out["pixels"], dtype=np.uint8) \
+        .reshape(24, 17, 3)[..., 0]
+    assert np.abs(px.astype(int) - g.astype(int)).max() <= 1
+
+    c = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    out = multimodal.decode_image(jpeg.encode_jpeg(
+        16, 16, c.tobytes(), quality=95))
+    px = np.frombuffer(out["pixels"], dtype=np.uint8).reshape(16, 16, 3)
+    err = np.abs(px.astype(int) - c.astype(int))
+    assert err.max() <= 32 and err.mean() < 8
+
+    xx, yy = np.meshgrid(np.arange(32), np.arange(32))
+    sm = np.stack([(xx * 4) % 256, (yy * 4) % 256,
+                   ((xx + yy) * 2) % 256], axis=-1).astype(np.uint8)
+    out = multimodal.decode_image(jpeg.encode_jpeg(
+        32, 32, sm.tobytes(), quality=90, subsampling="420"))
+    px = np.frombuffer(out["pixels"], dtype=np.uint8).reshape(32, 32, 3)
+    assert np.abs(px.astype(int) - sm.astype(int)).max() <= 12
+
+
+def test_jpeg_unsupported_and_corrupt():
+    """Progressive/arithmetic/12-bit raise NotImplementedError with the
+    process named; structural corruption raises ValueError."""
+    import numpy as np
+
+    from pypond_spark.datapipe import jpeg
+
+    img = (np.zeros((8, 8), dtype=np.uint8) + 100).tobytes()
+    d = jpeg.encode_jpeg(8, 8, img, gray=True, qtable=[1] * 64)
+    i = d.find(b"\xFF\xC0")
+    for sof, pat in [(0xC2, "progressive"), (0xC9, "arithmetic"),
+                     (0xC3, "lossless")]:
+        bad = bytearray(d)
+        bad[i + 1] = sof
+        with pytest.raises(NotImplementedError, match=pat):
+            multimodal.decode_image(bytes(bad))
+    prec12 = bytearray(d)
+    prec12[i + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        multimodal.decode_image(bytes(prec12))
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_image(d[:len(d) // 2])
+    with pytest.raises(ValueError, match="marker"):
+        multimodal.decode_image(b"\xFF\xD8\x00\x01junk")
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"GIF89a")
+    with pytest.raises(ValueError, match="dimensions"):
+        jpeg.encode_jpeg(0, 5, b"", gray=True)
+    with pytest.raises(ValueError, match="pixel bytes"):
+        jpeg.encode_jpeg(2, 2, b"short", gray=True)
+    with pytest.raises(ValueError, match="quality"):
+        jpeg.encode_jpeg(2, 2, bytes(12), quality=0)
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg.encode_jpeg(2, 2, bytes(12), subsampling="422")
+
+
+def test_jpeg_feeds_image_operators(spark):
+    """A block-constant JPEG flows through image_stats and image_phash
+    identically to the same pixels as PPM — the decode normalization
+    keeps every operator format-blind across a LOSSY codec too."""
+    import hashlib
+
+    import numpy as np
+
+    from pypond_spark.datapipe import jpeg
+
+    dig = hashlib.md5(b"jop").digest()
+    img = np.repeat(np.repeat(
+        np.frombuffer(dig, dtype=np.uint8).reshape(4, 4),
+        8, axis=0), 8, axis=1)           # 32x32 gray
+    rgb = np.stack([img] * 3, axis=-1).tobytes()
+    ppm = b"P6\n32 32\n255\n" + rgb
+    jpg = jpeg.encode_jpeg(32, 32, img.tobytes(), gray=True,
+                           qtable=[1] * 64)
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(jpg))],
+        "media_id long, content binary")
+    stats = {r["media_id"]: (r["width"], r["height"], r["mean_r"],
+                             r["mean_g"], r["mean_b"])
+             for r in multimodal.image_stats(media).collect()}
+    assert stats[1] == stats[2]
+    ph = {r["media_id"]: (r["ahash"], r["dhash"]) for r in
+          multimodal.image_phash(media, grid_w=4, grid_h=4).collect()}
+    assert ph[1] == ph[2]
+
+
 def test_png_palette_16bit_feed_phash(spark):
     """The same pixels as palette PNG, 16-bit PNG, 8-bit PNG and PPM
     produce IDENTICAL image_stats and perceptual hashes — the decode
