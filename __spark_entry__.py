@@ -3788,6 +3788,39 @@ def q_strip_html(spark, sf_dir):
                       F.length("text").alias("n_chars"))
 
 
+def q_extract_content(spark, sf_dir):
+    """Main-content extraction beyond tag-stripping
+    (textstats.py::extract_content — the jusText-class block scorer):
+    each doc becomes a synthetic page with REAL chrome (nav links,
+    cookie banner, footer) around the doc text as article prose; the
+    block rules (short / link-density > 1/3 / stopword share >= 1/4 /
+    near-good length — all integer cross-mults) keep the prose and
+    drop the chrome.  The oracle replays the whole chain: block split,
+    per-block text + anchor-text lengths, the rule CASE, and ordered
+    reassembly."""
+    docs = _read(spark, sf_dir, "documents")
+    wrapped = docs.select("doc_id", F.concat(
+        F.lit('<html><head><title>T</title><script>var x=1;</script>'
+              '</head><body><nav><ul><li><a href="/">Home</a></li>'
+              '<li><a href="/about">About us</a></li>'
+              '<li><a href="/contact">Contact</a></li></ul></nav>'
+              '<div class="cookie">We use cookies. '
+              '<a href="#">Accept</a> <a href="#">Decline</a></div>'
+              '<article><h1>'),
+        F.substring("text", 1, 20),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p></article><footer><a href="/p">Privacy</a> | '
+              '<a href="/t">Terms</a> | (c) 2026</footer>'
+              "</body></html>")).alias("text"))
+    out = dp_text.extract_content(wrapped)
+    return out.select("doc_id",
+                      F.col("n_blocks").cast("long").alias("n_blocks"),
+                      F.col("n_content").cast("long")
+                      .alias("n_content"),
+                      F.md5("text").alias("text_digest"),
+                      F.length("text").alias("n_chars"))
+
+
 def q_normalize_unicode(spark, sf_dir):
     """Arrow-side Unicode normalization (textstats.py::
     normalize_unicode — verdict r9 item 7: NFKC -> casefold ->
@@ -5017,6 +5050,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the committed CORRECTNESS_r*.json snapshots."""
     return {
         "image_phash_jpeg": q_image_phash_jpeg,
+        "extract_content": q_extract_content,
         "dedup_against_neardup": q_dedup_against_neardup,
         "kn3_logprob_pruned": q_kn3_logprob_pruned,
         "image_phash_png_palette": q_image_phash_png_palette,
@@ -11269,6 +11303,100 @@ def oracle_sql() -> dict[str, str]:
                length(text) AS n_chars
         FROM s
     """
+    # extract_content: full jusText-chain replay.  _bt(x) = block
+    # fragment -> plain text (tags stripped, entities decoded in the
+    # operator's order with &amp; LAST, whitespace collapsed) — applied
+    # to the block AND to each <a> inner capture for link_chars.  All
+    # rule comparisons are integer cross-mults, so the CASE is exact.
+    def _bt(x):
+        return (r"trim(regexp_replace("
+                r"replace(replace(replace(replace(replace(replace("
+                r"replace(regexp_replace(" + x +
+                r", '(?s)<[^>]*>', ' ', 'g'),"
+                r" '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),"
+                r" '&quot;', '\"'), '&#39;', chr(39)),"
+                r" '&apos;', chr(39)), '&amp;', '&'),"
+                r" '\s+', ' ', 'g'))")
+
+    _chrome_a = ('<html><head><title>T</title><script>var x=1;'
+                 '</script></head><body><nav><ul><li>'
+                 '<a href="/">Home</a></li>'
+                 '<li><a href="/about">About us</a></li>'
+                 '<li><a href="/contact">Contact</a></li></ul></nav>'
+                 '<div class="cookie">We use cookies. '
+                 '<a href="#">Accept</a> <a href="#">Decline</a></div>'
+                 '<article><h1>')
+    _chrome_b = ('</p></article><footer><a href="/p">Privacy</a> | '
+                 '<a href="/t">Terms</a> | (c) 2026</footer>'
+                 '</body></html>')
+    _block_tags = ("p|div|li|tr|td|th|h[1-6]|section|article|main"
+                   "|header|footer|nav|aside|ul|ol|table|blockquote"
+                   "|form|figure|pre")
+    d["extract_content"] = rf"""
+        WITH wrapped AS (
+          SELECT doc_id,
+                 '{_chrome_a}' || substr(text, 1, 20) || '</h1><p>'
+                 || text || '{_chrome_b}' AS t
+          FROM documents
+        ), pre AS (
+          SELECT doc_id,
+                 string_split_regex(
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                     '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                     '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   '(?i)</?(?:{_block_tags})\b[^>]*>') AS blocks
+          FROM wrapped
+        ), idx AS (
+          SELECT doc_id, blocks,
+                 unnest(generate_series(1, len(blocks))) AS pos
+          FROM pre
+        ), raw AS (
+          SELECT doc_id, pos, blocks[pos] AS frag FROM idx
+        ), scored AS (
+          SELECT doc_id, pos,
+                 {_bt('frag')} AS btext,
+                 coalesce(list_sum(list_transform(
+                   regexp_extract_all(frag,
+                     '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
+                   a -> length({_bt('a')}))), 0) AS link_chars
+          FROM raw
+        ), feats AS (
+          SELECT doc_id, pos, btext, link_chars,
+                 length(btext) AS n_chars,
+                 list_filter(list_transform(
+                   string_split_regex(trim(btext), '\s+'),
+                   x -> regexp_replace(lower(x),
+                        '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                   x -> x != '') AS toks
+          FROM scored
+        ), labeled AS (
+          SELECT doc_id, pos, btext,
+                 CASE
+                   WHEN len(toks) < 3 THEN 'short'
+                   WHEN 3 * link_chars > n_chars THEN 'link'
+                   WHEN 4 * len(list_filter(toks, x -> list_contains(
+                        ['the','a','and','of','to','in','is','it'],
+                        x))) >= len(toks) THEN 'content'
+                   WHEN n_chars >= 80 THEN 'content'
+                   ELSE 'low'
+                 END AS label
+          FROM feats
+        ), agg AS (
+          SELECT doc_id,
+                 count(*) AS n_blocks,
+                 CAST(sum(CASE WHEN label = 'content' THEN 1 ELSE 0
+                     END) AS BIGINT) AS n_content,
+                 coalesce(string_agg(btext, chr(10) ORDER BY pos)
+                          FILTER (WHERE label = 'content'),
+                          '') AS text
+          FROM labeled GROUP BY doc_id
+        )
+        SELECT doc_id, n_blocks, n_content,
+               md5(text) AS text_digest, length(text) AS n_chars
+        FROM agg
+    """
+
     # hand-derived from the Unicode tables (NOT by re-running the op):
     # " Å" -> NFKC "Å" -> casefold "å" (chr(229));
     # " Ａ" fullwidth A -> "A" -> "a"; " café" -> NFKC

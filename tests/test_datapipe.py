@@ -192,6 +192,68 @@ def test_strip_html_extraction(spark):
     assert got2[6] == "a\nb"
 
 
+def test_html_blocks_boilerplate_classification(spark):
+    """The jusText-class block scorer on a golden page: nav and footer
+    (link-dense or too short), a cookie banner (link-dense) drop;
+    article prose and its heading survive via the stopword rule; a
+    long stopword-free block survives via the near-good length rule.
+    All classification comparisons are exact integer cross-mults."""
+    from pypond_spark.datapipe.textstats import (extract_content,
+                                                 html_blocks)
+    page = (
+        '<html><head><title>T</title><script>var x;</script>'
+        '<style>.c{}</style></head><body>'
+        '<nav><ul><li><a href="/">Home</a></li>'
+        '<li><a href="/about">About us</a></li></ul></nav>'
+        '<div class="cookie">We use cookies. <a href="#">Accept</a> '
+        '<a href="#">Decline</a></div>'
+        '<article><h1>The quick brown fox</h1>'
+        '<p>The quick brown fox jumps over the lazy dog and it is a '
+        'fine day in the meadow where the animals like to play all '
+        'of the time.</p></article>'
+        '<footer><a href="/privacy">Privacy</a> | '
+        '<a href="/terms">Terms</a> | (c) 2026</footer>'
+        '</body></html>')
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    rows = {r["block_text"]: r for r in html_blocks(df).collect()
+            if r["block_text"]}
+    assert rows["Home"]["label"] == "short"
+    assert rows["We use cookies. Accept Decline"]["label"] == "link"
+    assert rows["We use cookies. Accept Decline"]["link_chars"] == 13
+    assert rows["The quick brown fox"]["label"] == "content"
+    assert rows["Privacy | Terms | (c) 2026"]["label"] == "link"
+    long_p = [k for k in rows if k.startswith("The quick brown fox j")]
+    assert rows[long_p[0]]["label"] == "content"
+    assert rows[long_p[0]]["stop_hits"] >= 10
+
+    out = {r["doc_id"]: r for r in extract_content(df).collect()}
+    assert out[1]["n_content"] == 2
+    assert out[1]["text"].startswith("The quick brown fox\nThe quick")
+    assert "cookies" not in out[1]["text"]
+    assert "Privacy" not in out[1]["text"]
+
+    # near-good rule: long block, zero stopwords (no 'the/a/and/...')
+    nostop = "xylophones glimmer brightly under moonlit skies " * 3
+    df2 = spark.createDataFrame(
+        [(2, f"<p>{nostop.strip()}</p>"),
+         (3, "<p>short link row</p>"),       # 3 words, no stopwords
+         (4, "plain untagged text with the usual flow of words in it"),
+         (5, "")],
+        "doc_id long, text string")
+    got = {(r["doc_id"]): r["label"] for r in html_blocks(df2).collect()
+           if r["block_text"]}
+    assert got[2] == "content"      # length rule (stop_hits == 0)
+    assert got[3] == "low"          # >= min_words but no evidence
+    assert got[4] == "content"      # tag-free doc is one prose block
+    out2 = {r["doc_id"]: r for r in extract_content(df2).collect()}
+    assert out2[5]["text"] == "" and out2[5]["n_content"] == 0
+    assert out2[4]["text"].startswith("plain untagged")
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="min_words"):
+        html_blocks(df, min_words=0)
+
+
 def test_normalize_unicode_collapses_divergent_clones(spark):
     """NFC/NFD-divergent text, zero-width stuffing, fullwidth
     compatibility forms and (opt-in) Cyrillic homoglyphs must collapse
