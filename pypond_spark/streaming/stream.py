@@ -696,40 +696,77 @@ def stream_cumulative(
 def _align_state_fn(fields: list[str], keys: list[str], time_col: str,
                     dur_ms: int, method: str, limit: int | None):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        """Vectorized (r11): boundary synthesis per consecutive pair via
+        np.repeat over per-gap boundary counts; the interpolation
+        ``pv + (cv - pv) * (b - prev) / (cur - prev)`` runs elementwise
+        in float64 with int64 time deltas promoted exactly, so every
+        emitted value is IEEE-identical to the former per-row loop."""
         if state.exists:
             prev_ms, prev_vals = state.get[0], list(state.get[1:])
         else:
             prev_ms, prev_vals = None, [None] * len(fields)
-        outs = []
         pdf = _whole_group(pdfs, time_col)
-        if len(pdf):
-            for _, row in pdf.iterrows():
-                cur_ms = int(row[time_col].value // 10**6)
-                cur_vals = [None if pd.isna(row[f]) else float(row[f])
-                            for f in fields]
-                if prev_ms is None:
-                    if cur_ms % dur_ms == 0:  # first event, already aligned
-                        outs.append(list(key) + [cur_ms] + cur_vals)
-                else:
-                    pos_prev, pos_cur = prev_ms // dur_ms, cur_ms // dur_ms
-                    bounds = [(p + 1) * dur_ms
-                              for p in range(pos_prev, pos_cur)]
-                    over = limit is not None and len(bounds) > limit
-                    for b_ms in bounds:
-                        rec = list(key) + [b_ms]
-                        for pv, cv in zip(prev_vals, cur_vals):
-                            if over or pv is None or (
-                                    method == "linear" and cv is None):
-                                rec.append(None)
-                            elif method == "linear":
-                                rec.append(pv + (cv - pv) * (b_ms - prev_ms)
-                                           / (cur_ms - prev_ms))
-                            else:
-                                rec.append(pv)
-                        outs.append(rec)
-                prev_ms, prev_vals = cur_ms, cur_vals
-        state.update((prev_ms, *prev_vals))
-        yield pd.DataFrame(outs, columns=keys + ["t_ms"] + fields)
+        if not len(pdf):
+            return  # yield nothing: no output rows for this group
+        t_new = _t_ms(pdf, time_col)
+        vals = {f: _f64(pdf, f) for f in fields}
+        head = None
+        if prev_ms is None:
+            if int(t_new[0]) % dur_ms == 0:   # first event, already aligned
+                head = (int(t_new[0]),
+                        {f: vals[f][0] for f in fields})
+            t_all, v_all = t_new, vals
+        else:
+            t_all = np.concatenate(
+                [np.array([prev_ms], dtype=np.int64), t_new])
+            v_all = {f: np.concatenate(
+                [np.array([np.nan if prev_vals[i] is None
+                           else prev_vals[i]]), vals[f]])
+                for i, f in enumerate(fields)}
+        state.update((int(t_all[-1]),
+                      *(None if np.isnan(v_all[f][-1])
+                        else float(v_all[f][-1]) for f in fields)))
+        pos = t_all // dur_ms
+        nb = pos[1:] - pos[:-1] if len(t_all) > 1 \
+            else np.zeros(0, dtype=np.int64)
+        total = int(nb.sum())
+        n_head = 1 if head is not None else 0
+        if total + n_head == 0:
+            return  # yield nothing: no output rows for this group
+        out_cols: dict[str, np.ndarray] = {}
+        if total:
+            gi = np.repeat(np.arange(len(nb)), nb)
+            base = np.repeat(np.cumsum(nb) - nb, nb)
+            off = np.arange(total) - base
+            b_ms = (pos[:-1][gi] + off + 1) * dur_ms
+            over = np.zeros(len(nb), dtype=bool) if limit is None \
+                else nb > limit
+            o = over[gi]
+            pms, cms = t_all[:-1][gi], t_all[1:][gi]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for f in fields:
+                    pv, cv = v_all[f][:-1][gi], v_all[f][1:][gi]
+                    if method == "linear":
+                        res = pv + (cv - pv) * (b_ms - pms) / (cms - pms)
+                        bad = o | np.isnan(pv) | np.isnan(cv)
+                    else:
+                        res = pv
+                        bad = o | np.isnan(pv)
+                    out_cols[f] = np.where(bad, np.nan, res)
+            t_out = b_ms
+        else:
+            t_out = np.zeros(0, dtype=np.int64)
+            for f in fields:
+                out_cols[f] = np.zeros(0)
+        if head is not None:
+            t_out = np.concatenate(
+                [np.array([head[0]], dtype=np.int64), t_out])
+            for f in fields:
+                out_cols[f] = np.concatenate(
+                    [np.array([head[1][f]]), out_cols[f]])
+        yield _key_frame(key, keys, len(t_out),
+                         {"t_ms": t_out, **{f: out_cols[f]
+                                            for f in fields}})
 
     return fn
 
@@ -808,54 +845,107 @@ def _fill_state_fn(fields: list[str], keys: list[str], time_col: str,
             return rows.setdefault(ms, [None] * n)
 
         pdf = _whole_group(pdfs, time_col)
-        if len(pdf):
-            for _, row in pdf.iterrows():
-                ms = int(row[time_col].value // 10**6)
-                out = slot(ms)
-                for i, f in enumerate(fields):
-                    v = row[f]
-                    valid = not pd.isna(v)
-                    if method in ("pad", "zero"):
-                        if valid:
-                            v = float(v)
-                            last[i] = v
-                            counts[i] = 0
-                            out[i] = v
-                        elif fill_limit is not None and \
-                                counts[i] >= fill_limit:
-                            out[i] = None
-                        elif method == "zero":
-                            counts[i] += 1
-                            out[i] = 0.0
-                        elif last[i] is not None:
-                            counts[i] += 1
-                            out[i] = last[i]
-                        else:
-                            out[i] = None
-                    else:  # linear (single column; rows held until closure)
-                        if valid:
-                            v = float(v)
+        if not len(pdf):
+            return  # yield nothing: no rows, state unchanged
+        t_arr = _t_ms(pdf, time_col)
+        v_arrs = [_f64(pdf, f) for f in fields]
+        if method in ("pad", "zero") and \
+                len(np.unique(t_arr)) == len(t_arr):
+            # vectorized LOCF (r11): last-valid index via
+            # np.maximum.accumulate; the consecutive-fill counter has
+            # the closed form cnt_j = j - last_valid_idx_j, with the
+            # carried counter extending a leading invalid run as a
+            # virtual valid at index -(1 + carried).  Pure copies and
+            # integer compares — no float arithmetic — so output is
+            # trivially identical to the loop.  Duplicate timestamps
+            # fall through to the sequential slot()-merging path (the
+            # legacy per-ms overwrite semantics).
+            m = len(t_arr)
+            idx = np.arange(m, dtype=np.int64)
+            out_cols = {}
+            for i in range(n):
+                x = v_arrs[i]
+                valid = ~np.isnan(x)
+                lv = np.where(valid, idx, np.int64(-1))
+                np.maximum.accumulate(lv, out=lv)
+                has_carry = last[i] is not None
+                lastval = np.where(
+                    lv >= 0, x[np.clip(lv, 0, None)],
+                    last[i] if has_carry else np.nan)
+                cnt = np.where(lv >= 0, idx - lv,
+                               idx + 1 + int(counts[i] or 0))
+                fillable = np.ones(m, dtype=bool) if fill_limit is None \
+                    else cnt <= fill_limit
+                if method == "zero":
+                    fill = np.zeros(m)
+                    can = fillable
+                else:
+                    fill = lastval
+                    can = fillable & ~np.isnan(lastval)
+                out_cols[fields[i]] = np.where(
+                    valid, x, np.where(can, fill, np.nan))
+                # end-of-batch state (the loop's exact carry rules)
+                if valid[-1]:
+                    counts[i] = 0
+                elif method == "pad" and np.isnan(lastval[-1]):
+                    pass                      # uncounted leading gap
+                else:
+                    c_end = int(cnt[-1])
+                    counts[i] = c_end if fill_limit is None \
+                        else min(c_end, int(fill_limit))
+                last[i] = None if np.isnan(lastval[-1]) \
+                    else float(lastval[-1])
+            state.update(tuple(last) + tuple(counts) + tuple(last_ms)
+                         + ("",))
+            yield _key_frame(key, keys, m, {"t_ms": t_arr, **out_cols})
+            return
+        for j in range(len(t_arr)):
+            ms = int(t_arr[j])
+            out = slot(ms)
+            for i in range(n):
+                v = v_arrs[i][j]
+                valid = not np.isnan(v)
+                if method in ("pad", "zero"):
+                    if valid:
+                        v = float(v)
+                        last[i] = v
+                        counts[i] = 0
+                        out[i] = v
+                    elif fill_limit is not None and \
+                            counts[i] >= fill_limit:
+                        out[i] = None
+                    elif method == "zero":
+                        counts[i] += 1
+                        out[i] = 0.0
+                    elif last[i] is not None:
+                        counts[i] += 1
+                        out[i] = last[i]
+                    else:
+                        out[i] = None
+                else:  # linear (single column; rows held until closure)
+                    if valid:
+                        v = float(v)
+                        for c_ms in cache[i]:
+                            # close the pending run: emit interpolated
+                            frac = (c_ms - last_ms[i]) / (ms - last_ms[i])
+                            slot(c_ms)[i] = last[i] + (v - last[i]) * frac
+                        cache[i] = []
+                        last[i], last_ms[i] = v, ms
+                        out[i] = v
+                    elif last[i] is None:
+                        out[i] = None  # leading gap: emit as-is
+                    else:
+                        # hold the row until a valid value closes the run
+                        rows.pop(ms, None)
+                        cache[i].append(ms)
+                        if fill_limit is not None and \
+                                len(cache[i]) >= fill_limit:
+                            # run hit the limit: emit unfilled, reset
+                            # anchor (filler.py:240-258)
                             for c_ms in cache[i]:
-                                # close the pending run: emit interpolated
-                                frac = (c_ms - last_ms[i]) / (ms - last_ms[i])
-                                slot(c_ms)[i] = last[i] + (v - last[i]) * frac
+                                slot(c_ms)[i] = None
                             cache[i] = []
-                            last[i], last_ms[i] = v, ms
-                            out[i] = v
-                        elif last[i] is None:
-                            out[i] = None  # leading gap: emit as-is
-                        else:
-                            # hold the row until a valid value closes the run
-                            rows.pop(ms, None)
-                            cache[i].append(ms)
-                            if fill_limit is not None and \
-                                    len(cache[i]) >= fill_limit:
-                                # run hit the limit: emit unfilled, reset
-                                # anchor (filler.py:240-258)
-                                for c_ms in cache[i]:
-                                    slot(c_ms)[i] = None
-                                cache[i] = []
-                                last[i], last_ms[i] = None, None
+                            last[i], last_ms[i] = None, None
         if method == "linear":
             import json as _json
             state.update(tuple(last) + tuple(counts) + tuple(last_ms)
@@ -927,16 +1017,28 @@ def _ewma_state_fn(fields: list[str], keys: list[str], time_col: str,
                    alpha: float, tiebreak: str | None = None,
                    carry: Sequence[str] = ()):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        # array-based loop (r11): the EWMA recurrence rounds at every
+        # step, so any reassociated closed form (the ewma_scan affine
+        # compose) drifts in the last ulp and would break the
+        # bit-for-bit drained==batch parity contract; the per-event
+        # cost that mattered was iterrows row materialization, not the
+        # two flops — plain indexing over numpy arrays removes it while
+        # keeping the scalar float ops identical
         accs = list(state.get) if state.exists else [None] * len(fields)
         pdf = _whole_group(pdfs, time_col,
                            (tiebreak,) if tiebreak else ())
+        if not len(pdf):
+            return  # yield nothing: no rows, state unchanged
+        t_arr = _t_ms(pdf, time_col)
+        v_arrs = [_f64(pdf, f) for f in fields]
+        c_arrs = [pdf[c].to_list() for c in carry]
         outs = []
-        for _, row in pdf.iterrows():
-            rec = (list(key) + [int(row[time_col].value // 10**6)]
-                   + [row[c] for c in carry])
-            for j, f in enumerate(fields):
-                v = row[f]
-                if v is not None and not pd.isna(v):
+        for r in range(len(t_arr)):
+            rec = (list(key) + [int(t_arr[r])]
+                   + [c[r] for c in c_arrs])
+            for j in range(len(fields)):
+                v = v_arrs[j][r]
+                if not np.isnan(v):
                     accs[j] = float(v) if accs[j] is None \
                         else alpha * float(v) + (1.0 - alpha) * accs[j]
                 rec.append(accs[j])
@@ -1088,12 +1190,19 @@ def _holt_state_fn(field: str, keys: list[str], time_col: str,
             lv = bt = math.nan
         pdf = _whole_group(pdfs, time_col,
                            (tiebreak,) if tiebreak else ())
+        # array-based loop (r11): Holt is a genuinely order-1 sequential
+        # recurrence (level feeds trend feeds level) — no parallel
+        # decomposition reproduces the fold's per-step rounding, so the
+        # win is dropping iterrows, not the arithmetic
+        t_arr = _t_ms(pdf, time_col)
+        v_arr = _f64(pdf, field)
+        c_arrs = [pdf[c].to_list() for c in carry]
         outs = []
-        for _, row in pdf.iterrows():
-            rec = (list(key) + [int(row[time_col].value // 10**6)]
-                   + [row[c] for c in carry])
-            v = row[field]
-            if v is not None and not pd.isna(v):
+        for r in range(len(t_arr)):
+            rec = (list(key) + [int(t_arr[r])]
+                   + [c[r] for c in c_arrs])
+            v = v_arr[r]
+            if not np.isnan(v):
                 if math.isnan(lv):
                     lv, bt = float(v), 0.0
                 else:
@@ -1165,12 +1274,18 @@ def _hw_state_fn(field: str, keys: list[str], time_col: str,
             kcount, seas = 0, [0.0] * period
         pdf = _whole_group(pdfs, time_col,
                            (tiebreak,) if tiebreak else ())
+        # array-based loop (r11): like Holt, the seasonal recurrence is
+        # order-1 sequential per key (level/trend/seasonal all feed the
+        # next step) — iterrows was the cost, not the arithmetic
+        t_arr = _t_ms(pdf, time_col)
+        v_arr = _f64(pdf, field)
+        c_arrs = [pdf[c].to_list() for c in carry]
         outs = []
-        for _, row in pdf.iterrows():
-            rec = (list(key) + [int(row[time_col].value // 10**6)]
-                   + [row[c] for c in carry])
-            v = row[field]
-            if v is not None and not pd.isna(v):
+        for r in range(len(t_arr)):
+            rec = (list(key) + [int(t_arr[r])]
+                   + [c[r] for c in c_arrs])
+            v = v_arr[r]
+            if not np.isnan(v):
                 p = kcount % period
                 if math.isnan(lv):
                     lv, bt = float(v), 0.0
