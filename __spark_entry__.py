@@ -1095,6 +1095,35 @@ def q_stream_minhash_dedup(spark, sf_dir):
     return _run_stream_32(spark, out, "append")
 
 
+def q_stream_minhash_dedup_indexed(spark, sf_dir):
+    """Streaming near-dup gate against a PERSISTED corpus index
+    (streaming/stream.py::stream_minhash_dedup(index_path=), r11):
+    even docs are indexed via write_neardup_index (the same band keys
+    as the stream's row-local HOF signatures — one banding contract);
+    odd docs then stream through the gate.  Bands already in the
+    corpus index count as claimed before the stream started (a
+    stream-static LEFT ANTI join per micro-batch), so the claim table
+    holds only bands NOVEL to the whole corpus+stream.  Batch twin:
+    bands of odd docs minus bands of even docs, min doc_id per
+    band."""
+    import shutil
+    import tempfile
+    corpus = _read(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 2 == 0)
+    path = tempfile.mkdtemp(prefix="pypond_ndidx_stream_")
+    try:
+        dp_dedup.write_neardup_index(corpus, path)
+        sdf = _docs_stream(spark, sf_dir)
+        odd = (sdf.where(F.col("doc_id") % 2 == 1)
+               .select("doc_id", "text"))
+        from pypond_spark.streaming.stream import stream_minhash_dedup
+        out = stream_minhash_dedup(odd, num_hashes=8, band_size=4,
+                                   index_path=path)
+        return _run_stream_32(spark, out, "append")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_stream_simhash_dedup(spark, sf_dir):
     """Streaming NEAR-dup ingestion gate (streaming/stream.py::
     stream_simhash_dedup): every doc plus a perturbed +10000-id clone
@@ -5051,6 +5080,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "image_phash_jpeg": q_image_phash_jpeg,
         "extract_content": q_extract_content,
+        "stream_minhash_dedup_indexed": q_stream_minhash_dedup_indexed,
         "dedup_against_neardup": q_dedup_against_neardup,
         "kn3_logprob_pruned": q_kn3_logprob_pruned,
         "image_phash_png_palette": q_image_phash_png_palette,
@@ -9930,6 +9960,25 @@ def oracle_sql() -> dict[str, str]:
               FROM sig
             )
             SELECT band, min(doc_id) AS doc_id FROM bands GROUP BY 1
+        """,
+        "stream_minhash_dedup_indexed": _SHINGLES + f"""
+            , sig AS (
+              SELECT doc_id,
+                     {_mh_sig_cols(8)}
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, unnest([
+                  md5(concat_ws('|', '0', m0, m1, m2, m3)),
+                  md5(concat_ws('|', '1', m4, m5, m6, m7))]) AS band
+              FROM sig
+            )
+            -- bands of ODD (streamed) docs not pre-claimed by the
+            -- EVEN (indexed) corpus; first arrival == min doc_id
+            SELECT band, min(doc_id) AS doc_id
+            FROM bands WHERE doc_id % 2 = 1
+              AND band NOT IN (SELECT band FROM bands
+                               WHERE doc_id % 2 = 0)
+            GROUP BY 1
         """,
         "stream_simhash_dedup": """
             -- batch twin: md5 SimHash halves over originals + perturbed

@@ -723,6 +723,75 @@ def dedup_against_neardup(df: DataFrame, index_path: str,
     return df.join(F.broadcast(dup_ids), id_col, "left_anti")
 
 
+def compact_neardup_index(spark, path: str,
+                          files_per_prefix: int = 4) -> dict:
+    """Rewrite a :func:`write_neardup_index` index so each band-prefix
+    directory holds at most ``files_per_prefix`` files (and the shingle
+    table one file per shuffle partition).
+
+    Why: the incremental-ingest loop appends each generation's
+    surviving bands (``write_neardup_index(..., mode='append')``), so
+    after N generations every prefix directory holds N times the
+    original file count — and the pruned scan's cost at the 100-TB
+    design point is dominated by files OPENED, not bytes read, so the
+    per-batch wall degrades linearly in generation count exactly like
+    the pre-salt write did.  Periodic compaction (every K generations,
+    or when files/prefix exceeds a threshold) restores the flat batch
+    phase; `tools/stress.py neardup_generations` measures the effect.
+
+    Mechanics: read -> repartition on (band_pfx, salt) (the write-path
+    layout contract) -> write to a staging dir -> swap via the Hadoop
+    FileSystem API (rename is atomic on HDFS and local file systems;
+    on object stores without atomic rename, schedule compaction when
+    no reader is active — same contract as any parquet table rewrite).
+    Returns ``{"bands_files_before", "bands_files_after",
+    "shingles_files_before", "shingles_files_after"}``.
+    """
+    if files_per_prefix < 1:
+        raise ValueError(
+            f"files_per_prefix must be >= 1, got {files_per_prefix}")
+    base = path.rstrip("/")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(base).getFileSystem(conf)
+
+    def _n_parquet_files(p: str) -> int:
+        it = fs.listFiles(hpath(p), True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    def _swap(cur: str, staged: str) -> None:
+        fs.delete(hpath(cur), True)
+        if not fs.rename(hpath(staged), hpath(cur)):
+            raise IOError(f"compaction swap failed for {cur}")
+
+    stats = {}
+    bands = base + "/bands"
+    staged = base + "/bands.compacting"
+    stats["bands_files_before"] = _n_parquet_files(bands)
+    salt = F.pmod(F.xxhash64("band"), F.lit(int(files_per_prefix)))
+    (spark.read.parquet(bands)
+     .repartition(F.col("band_pfx"), salt)
+     .write.mode("overwrite").partitionBy("band_pfx").parquet(staged))
+    _swap(bands, staged)
+    stats["bands_files_after"] = _n_parquet_files(bands)
+
+    sh = base + "/shingles"
+    staged = base + "/shingles.compacting"
+    stats["shingles_files_before"] = _n_parquet_files(sh)
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    (spark.read.parquet(sh).repartition(n_parts)
+     .write.mode("overwrite").parquet(staged))
+    _swap(sh, staged)
+    stats["shingles_files_after"] = _n_parquet_files(sh)
+    return stats
+
+
 def source_overlap(df: DataFrame, group_col: str = "source",
                    text_col: str = "text",
                    prefix_words: int | None = None) -> DataFrame:

@@ -2311,7 +2311,8 @@ def stream_minhash_dedup(sdf: DataFrame, text_col: str = "text",
                          hash_fn: str = "md5",
                          ttl: str | int | None = None,
                          time_col: str = "time",
-                         late: str = "0 seconds") -> DataFrame:
+                         late: str = "0 seconds",
+                         index_path: str | None = None) -> DataFrame:
     """Streaming MinHash-LSH near-dup ingestion gate — the shingle-set
     (Jaccard) counterpart of :func:`stream_simhash_dedup`'s bit-vector
     (Hamming) gate, completing the streaming near-dup pair: per LSH
@@ -2323,6 +2324,23 @@ def stream_minhash_dedup(sdf: DataFrame, text_col: str = "text",
     same sliding idle-window ``ttl`` claim expiry as
     :func:`stream_first_seen`; ties inside a micro-batch break to the
     smallest id.
+
+    ``index_path`` (r11) points the gate at a PERSISTED corpus band
+    index (:func:`pypond_spark.datapipe.dedup.write_neardup_index` —
+    banding parameters MUST match): bands already in the corpus index
+    count as claimed before the stream started, so a live ingest
+    checks "near-dup of the EXISTING corpus" and not just "near-dup
+    within the stream".  Mechanics: a stream-static LEFT ANTI join
+    against the index's distinct band keys ahead of the state op —
+    index-claimed bands are suppressed per micro-batch AND never enter
+    stream state (state stays bounded by NOVEL bands only).  The
+    static side is persisted so repeated micro-batches hit the
+    materialized table, not the parquet scan; at corpus scale where
+    even the distinct band table cannot persist, swap it for a
+    broadcast Bloom filter of band keys (bounded memory; the
+    documented false-positive rate then over-suppresses a ~1e-4 share
+    of genuinely novel bands — banding is already heuristic, but that
+    trade must be opted into, so it is not the default here).
     """
     if ttl is not None and time_col not in sdf.columns:
         raise ValueError(
@@ -2332,6 +2350,11 @@ def stream_minhash_dedup(sdf: DataFrame, text_col: str = "text",
                                   band_size, shingle_n, hash_fn,
                                   carry_cols=(time_col,)
                                   if ttl is not None else ())
+    if index_path is not None:
+        idx = (sdf.sparkSession.read
+               .parquet(index_path.rstrip("/") + "/bands")
+               .select("band").distinct().persist())
+        keyed = keyed.join(idx, "band", "left_anti")
     out_schema = T.StructType([T.StructField("band", T.StringType()),
                                sdf.schema[id_col]])
     keyed, ms, state_fields = _first_seen_ttl_prep(keyed, ttl, time_col,

@@ -1296,6 +1296,57 @@ def test_neardup_index_append_generation(spark, tmp_path):
     assert sorted(r["doc_id"] for r in kept2.collect()) == [4]
 
 
+def test_compact_neardup_index(spark, tmp_path):
+    """N append generations multiply the per-prefix file count;
+    compact_neardup_index rewrites each prefix to <= files_per_prefix
+    files and the shingle table to the shuffle-partition count, with
+    dedup results identical before and after the swap."""
+    from pypond_spark.datapipe import dedup
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again every single day without fail in the morning")
+    path = str(tmp_path / "cmp_idx")
+    corpus = spark.createDataFrame(
+        [(2, base)], "doc_id long, text string")
+    dedup.write_neardup_index(corpus, path)
+    for g in range(5):   # five append generations
+        gen = spark.createDataFrame(
+            [(100 + g, f"generation {g} text with its own fresh and "
+                       f"unique vocabulary number {g} repeated "
+                       f"nowhere else at all")],
+            "doc_id long, text string")
+        dedup.write_neardup_index(gen, path, mode="append")
+    # a re-append of the SAME corpus bands doubles those prefixes'
+    # file counts — the degenerate form of what N generations do to
+    # every hot prefix
+    dedup.write_neardup_index(corpus, path, mode="append")
+    import collections
+    import glob
+
+    def per_dir():
+        return collections.Counter(
+            f.rsplit("/", 1)[0]
+            for f in glob.glob(f"{path}/bands/band_pfx=*/*.parquet"))
+    assert max(per_dir().values()) >= 2      # generations piled up
+    probe = spark.createDataFrame(
+        [(1, base + " tonight"),
+         (3, "a totally novel probe document no index generation has "
+             "ever seen before anywhere")],
+        "doc_id long, text string")
+    before = sorted(r["doc_id"] for r in dedup.dedup_against_neardup(
+        probe, path, threshold=0.5).collect())
+    stats = dedup.compact_neardup_index(spark, path, files_per_prefix=1)
+    assert stats["bands_files_after"] < stats["bands_files_before"]
+    assert stats["shingles_files_after"] <= max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    # per-prefix bound: no directory holds more than files_per_prefix
+    assert per_dir() and max(per_dir().values()) <= 1
+    after = sorted(r["doc_id"] for r in dedup.dedup_against_neardup(
+        probe, path, threshold=0.5).collect())
+    assert after == before == [3]
+    with pytest.raises(ValueError, match="files_per_prefix"):
+        dedup.compact_neardup_index(spark, path, files_per_prefix=0)
+
+
 def test_take_per_group(spark, docs):
     from pypond_spark.datapipe import sampling
     out = sampling.take_per_group(docs, k=3, group_col="source")

@@ -1210,6 +1210,49 @@ def test_stream_minhash_dedup_cross_batch(spark, tmp_path):
                              .json(str(src)), hash_fn="sha1")
 
 
+def test_stream_minhash_dedup_against_index(spark, tmp_path):
+    """index_path= pre-claims the persisted corpus's bands (r11): a
+    streaming near-dup of an INDEXED document claims nothing even
+    though it is the first of its kind inside the stream; novel docs
+    claim their bands; within-stream dedup still works across the
+    checkpoint for non-indexed bands."""
+    import json as _json
+
+    from pyspark.sql import types as T2
+
+    from pypond_spark.datapipe.dedup import write_neardup_index
+    from pypond_spark.streaming.stream import stream_minhash_dedup
+    schema = T2.StructType([T2.StructField("doc_id", T2.LongType()),
+                            T2.StructField("text", T2.StringType())])
+    base = "spark window batch order data column agg join small line"
+    other = "entirely different words nothing shared with anything here"
+    corpus = spark.createDataFrame([(100, base)], schema)
+    idx = str(tmp_path / "idx")
+    write_neardup_index(corpus, idx)
+    chunk1 = [{"doc_id": 1, "text": base},     # near-dup of the CORPUS
+              {"doc_id": 3, "text": other}]    # novel
+    chunk2 = [{"doc_id": 4, "text": other}]    # within-stream clone
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate([chunk1, chunk2]):
+        with open(src / f"p{i}.json", "w") as fh:
+            for rec in chunk:
+                fh.write(_json.dumps(rec) + "\n")
+        sdf = spark.readStream.schema(schema).json(str(src))
+        out = stream_minhash_dedup(sdf, index_path=idx)
+        q = (out.writeStream.format("parquet").outputMode("append")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    claims = {}
+    for r in spark.read.parquet(str(tmp_path / "out")).collect():
+        claims.setdefault(r["doc_id"], set()).add(r["band"])
+    assert 1 not in claims            # suppressed by the corpus index
+    assert len(claims[3]) == 2        # novel doc claims both bands
+    assert 4 not in claims            # within-stream clone still gated
+
+
 def test_stream_xchart_cross_batch(spark, tmp_path):
     """The R4 same-side run completes ACROSS the micro-batch boundary
     (ring-buffer state carries 7 deviations into batch 2); a single

@@ -145,6 +145,52 @@ def _neardup_index_stress(docs) -> float:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _neardup_generations_stress(docs, n_generations: int = 10) -> float:
+    """Verdict r10 item 5: N append generations grow every hot prefix's
+    file count linearly, and the pruned scan pays per file OPENED — so
+    the per-batch wall degrades with generation count until
+    compact_neardup_index rewrites each prefix.  Prints the batch-phase
+    wall at generation 1, at generation N (uncompacted), and at
+    generation N after compaction; the TABLE ROW is the compacted wall
+    (the steady state a compacting ingest loop actually runs at)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F2
+
+    from pypond_spark.datapipe.dedup import (compact_neardup_index,
+                                             dedup_against_neardup,
+                                             write_neardup_index)
+    spark = docs.sparkSession
+    path = tempfile.mkdtemp(prefix="stress_ndgen_")
+    try:
+        gen = F2.pmod(F2.col("doc_id"), n_generations + 1)
+        batch = docs.where(gen == n_generations).localCheckpoint()
+
+        def batch_wall() -> float:
+            t = _time.time()
+            dedup_against_neardup(batch, path, threshold=0.8).count()
+            return _time.time() - t
+
+        write_neardup_index(docs.where(gen == 0), path)
+        w1 = batch_wall()
+        print(f"    [neardup_generations] gen 1: batch {w1:.1f}s")
+        for g in range(1, n_generations):
+            write_neardup_index(docs.where(gen == g), path,
+                                mode="append")
+        wn = batch_wall()
+        stats = compact_neardup_index(spark, path)
+        wc = batch_wall()
+        print(f"    [neardup_generations] gen {n_generations}: batch "
+              f"{wn:.1f}s uncompacted ({stats['bands_files_before']} "
+              f"band files) -> {wc:.1f}s compacted "
+              f"({stats['bands_files_after']} files)")
+        return wc
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _dedup_audit(docs, dedup_documents, lsh_band_buckets) -> float:
     """Timed full dedup chain + untimed scale diagnostics.
 
@@ -251,7 +297,8 @@ def main() -> None:
                "cms_sketch", "heavy_hitters", "bloom_roundtrip",
                "hll_registers", "unigram_apply", "wordpiece_apply",
                "longest_match", "bpe_bytes_apply", "kn3_logprob",
-               "kn3_logprob_pruned", "neardup_index"}
+               "kn3_logprob_pruned", "neardup_index",
+               "neardup_generations"}
     ev_needed = not only or bool(
         only - emb_ops - doc_ops
         - {"dedup_mega_cluster", "dedup_documents"})
@@ -467,6 +514,7 @@ def main() -> None:
         # computation on the 10% batch + pruned index scan + Jaccard
         # verify), the cost a production ingest pays per batch
         "neardup_index": lambda: _neardup_index_stress(docs),
+        "neardup_generations": lambda: _neardup_generations_stress(docs),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
