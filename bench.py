@@ -273,6 +273,8 @@ HEADLINE = [
     "langid_ngram_confusion",
     "normalize_unicode",
     "strip_html",
+    "image_phash_jpeg",
+    "extract_content",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the
@@ -311,6 +313,7 @@ STREAM = [
     "stream_attribution_outer",
     "stream_attribution_last_touch",
     "stream_attribution_first_touch",
+    "stream_minhash_dedup_indexed",
 ]
 
 
