@@ -191,6 +191,56 @@ def _neardup_generations_stress(docs, n_generations: int = 10) -> float:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _attribution_chain_stress(ev) -> float:
+    """sf1-class tier for the chained stateful attribution (stream-
+    stream interval join -> append-mode windowed argmax): write the
+    event frame to parquet, drain stream_attribution_touch(horizon=1h)
+    with availableNow at a pinned 32-way state width, report the drain
+    wall.  The per-key state is one open window row per click plus the
+    join buffers the watermark hasn't released — O(active horizon),
+    not O(events) — so the wall should scale ~linearly in event count."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F2
+
+    from pypond_spark.streaming.stream import (run_available_now,
+                                               stream_attribution_touch)
+    spark = ev.sparkSession
+    src = tempfile.mkdtemp(prefix="stress_attr_")
+    try:
+        (ev.withColumn("event_id",
+                       F2.xxhash64("user_id", "time", "event_type"))
+         .write.mode("overwrite").parquet(src))
+        schema = spark.read.parquet(src).schema
+        # two independent source instances (the driver-row pattern):
+        # both sides carrying their own watermark over one shared
+        # source node stalls emission
+        views = (spark.readStream.schema(schema).parquet(src)
+                 .where(F2.col("event_type") == "view")
+                 .select("user_id", F2.col("event_id").alias("view_id"),
+                         "time"))
+        clicks = (spark.readStream.schema(schema).parquet(src)
+                  .where(F2.col("event_type") == "click")
+                  .select("user_id",
+                          F2.col("event_id").alias("click_id"), "time"))
+        out = stream_attribution_touch(views, clicks, horizon="1h")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            t0 = _time.time()
+            n = run_available_now(out, "append").count()
+            wall = _time.time() - t0
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        print(f"    [attribution_chain] drain {wall:.1f}s -> "
+              f"{n:,} attributed clicks")
+        return wall
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def _dedup_audit(docs, dedup_documents, lsh_band_buckets) -> float:
     """Timed full dedup chain + untimed scale diagnostics.
 
@@ -514,6 +564,7 @@ def main() -> None:
         # computation on the 10% batch + pruned index scan + Jaccard
         # verify), the cost a production ingest pays per batch
         "neardup_index": lambda: _neardup_index_stress(docs),
+        "attribution_chain": lambda: _attribution_chain_stress(ev),
         "neardup_generations": lambda: _neardup_generations_stress(docs),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
