@@ -1923,6 +1923,45 @@ def q_image_phash_png(spark, sf_dir):
     return dp_mm.image_phash(_synth_png8(docs), grid_w=4, grid_h=4)
 
 
+def _synth_gif8(docs):
+    """8x8 REAL GIF per doc: the palette is the SAME 192 chained-md5
+    pixel bytes as :func:`_synth_ppm8` (64 RGB triples) and the index
+    stream is 0..63 with interlace alternating by doc parity, so the
+    DECODED image is pixel-identical to the PPM/PNG rows while
+    exercising the full GIF path (LZW decode, color-table lookup,
+    4-pass interlace reorder) end to end."""
+    import pandas as _pd
+
+    from pypond_spark.datapipe.gif import encode_gif
+
+    ppm = _synth_ppm8(docs)
+
+    def enc(batches):
+        idx = bytes(range(64))
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = bytes(content)[len(b"P6\n8 8\n255\n"):]
+                rows.append((int(mid),
+                             encode_gif(8, 8, idx, px,
+                                        interlace=bool(mid % 2))))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return ppm.mapInPandas(enc, "media_id long, content binary")
+
+
+def q_image_phash_gif(spark, sf_dir):
+    """Perceptual hashes over pixels decoded from REAL GIF bytes
+    (datapipe/gif.py::decode_gif — variable-width LZW, color table,
+    interlace reorder on odd-id docs): identical downstream aHash/dHash
+    chain as ``image_phash``, identical oracle, because the synthetic
+    GIF's palette IS the same chained-md5 pixel bytes — GIF is lossless
+    for paletted content, so a green row certifies the LZW
+    encode->decode roundtrip bit-for-bit."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_mm.image_phash(_synth_gif8(docs), grid_w=4, grid_h=4)
+
+
 def _synth_jpeg32(docs):
     """32x32 grayscale baseline JPEG per doc: 16 block values (one per
     8x8 block, row-major) are the 16 bytes of ONE md5 digest of the
@@ -5079,6 +5118,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the committed CORRECTNESS_r*.json snapshots."""
     return {
         "image_phash_jpeg": q_image_phash_jpeg,
+        "image_phash_gif": q_image_phash_gif,
         "extract_content": q_extract_content,
         "stream_minhash_dedup_indexed": q_stream_minhash_dedup_indexed,
         "dedup_against_neardup": q_dedup_against_neardup,
@@ -11302,6 +11342,7 @@ def oracle_sql() -> dict[str, str]:
     # PNG row: same pixels by construction (the encode->decode roundtrip
     # is the thing under test), so the PPM oracle replays it verbatim
     d["image_phash_png"] = d["image_phash"]
+    d["image_phash_gif"] = d["image_phash"]
     # palette row: PLTE holds the same pixels, indices are the identity
     d["image_phash_png_palette"] = d["image_phash"]
     d["bpe_bytes_tokenize"] = _bpe_bytes_sql(_BPE_BYTES_MERGES)

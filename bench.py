@@ -274,6 +274,7 @@ HEADLINE = [
     "normalize_unicode",
     "strip_html",
     "image_phash_jpeg",
+    "image_phash_gif",
     "extract_content",
 ]
 

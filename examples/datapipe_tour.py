@@ -346,6 +346,27 @@ def main() -> None:
     assert decode_image(encode_png16(2, 2, px))["pixels"] == px
     print("palette + 16-bit PNG decode: OK")
 
+    # r11: baseline JPEG — block-constant + all-ones quant table is
+    # the pixel-exact regime (DC-only blocks survive quantization)
+    from pypond_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+    gray = bytes([40] * 64 + [200] * 64)         # two constant blocks
+    jpg = encode_jpeg(8, 16, gray, gray=True, qtable=[1] * 64)
+    out = decode_jpeg(jpg)
+    assert out["pixels"][0::3] == gray
+    print("baseline JPEG decode (exact DC-only roundtrip): OK")
+
+    # r11: main-content extraction — nav/footer chrome dropped
+    from pypond_spark.datapipe.textstats import extract_content
+    page = spark.createDataFrame(
+        [(1, '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+             '<p>The quick brown fox jumps over the lazy dog and it '
+             'is a fine day in the meadow for all of the animals.</p>'
+             '<footer><a href="/p">Privacy</a> | <a>Terms</a></footer>')],
+        "doc_id long, text string")
+    got = extract_content(page).select("text").first()[0]
+    assert "fox" in got and "Privacy" not in got
+    print("jusText-class content extraction: OK")
+
     spark.stop()
 
 

@@ -387,9 +387,12 @@ def decode_image(content: bytes) -> dict:
     if content.startswith(b"\xFF\xD8"):
         from pypond_spark.datapipe.jpeg import decode_jpeg
         return decode_jpeg(content)
+    if content.startswith(b"GIF8"):
+        from pypond_spark.datapipe.gif import decode_gif
+        return decode_gif(content)
     if not content.startswith(b"P6"):
         raise NotImplementedError(
-            "only binary PPM (P6), PNG and baseline JPEG decode "
+            "only binary PPM (P6), PNG, GIF and baseline JPEG decode "
             "without an imaging library; use extract_features(..., "
             "fake=True) for plumbing tests")
     # header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels;

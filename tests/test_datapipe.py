@@ -563,6 +563,58 @@ def test_png_palette_and_16bit_roundtrip():
         multimodal.encode_png_indexed(1, 1, bytes([0]), bytes(3), depth=3)
 
 
+def test_gif_roundtrip_and_errors():
+    """encode_gif -> decode_image reproduces the palette bytes exactly
+    (GIF is lossless for paletted content): plain and interlaced, odd
+    sizes, real LZW through dictionary growth; structural corruption
+    raises ValueError."""
+    import hashlib
+
+    from pypond_spark.datapipe import gif
+
+    px = (b"".join(hashlib.md5(f"gop{k}".encode()).digest()
+                   for k in range(12)))[:192]   # 64 RGB triples
+    for interlace in (False, True):
+        data = gif.encode_gif(8, 8, bytes(range(64)), px,
+                              interlace=interlace)
+        img = multimodal.decode_image(data)
+        assert (img["format"], img["width"], img["height"]) \
+            == ("gif", 8, 8)
+        assert img["pixels"] == px, interlace
+    # odd size + repeated indices (exercises real LZW runs)
+    pal = bytes([10, 20, 30, 200, 100, 0])
+    idx = bytes([0, 1, 1, 0, 0, 0, 1, 0, 1, 1, 1, 0, 0, 1, 0])  # 5x3
+    img = multimodal.decode_image(gif.encode_gif(5, 3, idx, pal))
+    assert img["pixels"] == b"".join(pal[3 * i:3 * i + 3] for i in idx)
+    # big frame forces width growth + dict resets inside the decoder
+    import random
+    rng = random.Random(11)
+    big = bytes(rng.randrange(64) for _ in range(120 * 90))
+    img = multimodal.decode_image(gif.encode_gif(120, 90, big, px))
+    assert img["pixels"][::3] == bytes(px[3 * i] for i in big)
+
+    with pytest.raises(ValueError, match="signature"):
+        gif.decode_gif(b"NOTGIF" + bytes(20))
+    with pytest.raises(ValueError, match="truncated"):
+        gif.decode_gif(gif.encode_gif(5, 3, idx, pal)[:-10])
+    with pytest.raises(ValueError, match="no image"):
+        gif.decode_gif(b"GIF89a" + bytes([2, 0, 2, 0, 0, 0, 0, 0x3B]))
+    with pytest.raises(ValueError, match="indices"):
+        gif.encode_gif(2, 2, bytes(3), pal)
+    with pytest.raises(ValueError, match="palette"):
+        gif.encode_gif(2, 2, bytes(4), b"xy")
+    with pytest.raises(ValueError, match="out of range"):
+        gif.encode_gif(2, 2, bytes([0, 1, 2, 9]), pal)
+    # extensions (comment / graphic control) are skipped cleanly:
+    # splice a comment extension right before the image descriptor
+    plain = gif.encode_gif(5, 3, idx, pal)
+    gct_end = 13 + (2 << (plain[10] & 0x07)) * 3
+    commented = (plain[:gct_end] + b"\x21\xfe\x05hello\x00"
+                 + plain[gct_end:])
+    assert multimodal.decode_image(commented)["pixels"] \
+        == multimodal.decode_image(plain)["pixels"]
+
+
 def test_jpeg_constant_block_exact_roundtrip():
     """JPEG is lossy, but 8x8-block-constant images with an all-ones
     quant table roundtrip EXACTLY (DC-only blocks survive quantization
