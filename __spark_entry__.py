@@ -25,6 +25,7 @@ from pypond_spark.datapipe import privacy as dp_priv
 from pypond_spark.datapipe import sampling as dp_sample
 from pypond_spark.datapipe import similarity as dp_sim
 from pypond_spark.datapipe import textstats as dp_text
+from pypond_spark.datapipe import urls as dp_urls
 from pypond_spark.datapipe import sketch as dp_sketch
 from pypond_spark.datapipe import tokenize as dp_tok
 from pypond_spark.operators import merge as merge_ops
@@ -3889,6 +3890,53 @@ def q_extract_content(spark, sf_dir):
                       F.length("text").alias("n_chars"))
 
 
+def _synth_urls(docs):
+    """Deterministic messy URLs per doc: uppercase scheme/host,
+    userinfo, default ports, tracking params, unsorted params and
+    fragments on even ids; a second shape on odd ids — every
+    normalization rule has work to do, and every piece is a plain
+    string function of doc_id, so the oracle rebuilds both the input
+    AND the expected canonical form directly."""
+    d = F.col("doc_id")
+    even = (d % 2 == 0)
+    url = F.when(even, F.concat(
+        F.lit("HTTP://User:pw@WWW.Ex"), (d % 7).cast("string"),
+        F.lit(".CO.UK:80/p/"), d.cast("string"),
+        F.lit("?utm_source=x&b="), (d % 5).cast("string"),
+        F.lit("&a=1#frag"))).otherwise(F.concat(
+            F.lit("https://Blog.Ex"), (d % 7).cast("string"),
+            F.lit(".com:443/q/"), d.cast("string"),
+            F.lit("?gclid=9")))
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (datapipe/urls.py::normalize_urls +
+    url_parts — the C4-style URL-dedup key): lowercase scheme/host,
+    strip userinfo/default ports/fragments, drop tracking params, sort
+    survivors; registered domain via the co.uk-aware two/three-label
+    heuristic.  All scan-level regexp/HOF expressions; the oracle
+    rebuilds the canonical string and domain parts from doc_id with
+    plain string functions."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dp_urls.normalize_urls(dp_urls.url_parts(
+        _synth_urls(docs)))
+    return out.select("doc_id", "url_norm", "host",
+                      "registered_domain", "tld")
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-registered-domain corpus composition (datapipe/urls.py::
+    domain_stats — the domain-mixing/blocklist audit): one groupBy on
+    the registered domain, total joined back as a broadcast 1-row
+    aggregate (never a corpus-wide window).  14 synthesized registered
+    domains (ex0..ex6 under co.uk and com); the oracle reproduces each
+    directly from doc_id parity and d%7."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_urls.domain_stats(_synth_urls(docs)) \
+        .select("registered_domain", "n_docs", "share")
+
+
 def q_normalize_unicode(spark, sf_dir):
     """Arrow-side Unicode normalization (textstats.py::
     normalize_unicode — verdict r9 item 7: NFKC -> casefold ->
@@ -5119,6 +5167,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "image_phash_jpeg": q_image_phash_jpeg,
         "image_phash_gif": q_image_phash_gif,
+        "url_normalize": q_url_normalize,
+        "domain_stats": q_domain_stats,
         "extract_content": q_extract_content,
         "stream_minhash_dedup_indexed": q_stream_minhash_dedup_indexed,
         "dedup_against_neardup": q_dedup_against_neardup,
@@ -11392,6 +11442,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(text) AS text_digest,
                length(text) AS n_chars
         FROM s
+    """
+    # url rows: the oracle rebuilds input AND canonical form from
+    # doc_id with plain string functions — the rules are string
+    # identities on the synthesized shapes
+    d["url_normalize"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN
+                 'http://www.ex' || (doc_id % 7)::VARCHAR
+                 || '.co.uk/p/' || doc_id::VARCHAR
+                 || '?a=1&b=' || (doc_id % 5)::VARCHAR
+               ELSE
+                 'https://blog.ex' || (doc_id % 7)::VARCHAR
+                 || '.com/q/' || doc_id::VARCHAR
+               END AS url_norm,
+               CASE WHEN doc_id % 2 = 0 THEN
+                 'www.ex' || (doc_id % 7)::VARCHAR || '.co.uk'
+               ELSE
+                 'blog.ex' || (doc_id % 7)::VARCHAR || '.com'
+               END AS host,
+               CASE WHEN doc_id % 2 = 0 THEN
+                 'ex' || (doc_id % 7)::VARCHAR || '.co.uk'
+               ELSE
+                 'ex' || (doc_id % 7)::VARCHAR || '.com'
+               END AS registered_domain,
+               CASE WHEN doc_id % 2 = 0 THEN 'uk'
+                    ELSE 'com' END AS tld
+        FROM documents
+    """
+    d["domain_stats"] = """
+        WITH dom AS (
+          SELECT CASE WHEN doc_id % 2 = 0 THEN
+                   'ex' || (doc_id % 7)::VARCHAR || '.co.uk'
+                 ELSE
+                   'ex' || (doc_id % 7)::VARCHAR || '.com'
+                 END AS registered_domain
+          FROM documents
+        ), per AS (
+          SELECT registered_domain, count(*) AS n_docs
+          FROM dom GROUP BY 1
+        )
+        SELECT registered_domain, n_docs,
+               round(n_docs / CAST((SELECT sum(n_docs) FROM per)
+                              AS DOUBLE), 6) AS share
+        FROM per
     """
     # extract_content: full jusText-chain replay.  _bt(x) = block
     # fragment -> plain text (tags stripped, entities decoded in the

@@ -276,6 +276,8 @@ HEADLINE = [
     "image_phash_jpeg",
     "image_phash_gif",
     "extract_content",
+    "url_normalize",
+    "domain_stats",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -563,6 +563,48 @@ def test_png_palette_and_16bit_roundtrip():
         multimodal.encode_png_indexed(1, 1, bytes([0]), bytes(3), depth=3)
 
 
+def test_url_parts_normalize_and_domains(spark):
+    """URL canonicalization goldens: userinfo/default-port/fragment
+    stripped, tracking params dropped, surviving params sorted, hosts
+    lowercased; registered-domain heuristic handles co.uk-style
+    second-level TLDs; unparseable input yields NULLs, never a
+    half-built collision key."""
+    from pypond_spark.datapipe import urls
+    df = spark.createDataFrame([
+        (1, "HTTP://User:pw@WWW.Example.CO.UK:80/Path?utm_source=x"
+            "&b=2&a=1#frag"),
+        (2, "https://blog.example.com:443/post/?gclid=9&z=1&a=2"),
+        (3, "https://example.com"),
+        (4, "ftp://files.example.org:2121/pub"),
+        (5, "not a url"),
+        (6, "https://sub.deep.example.com.au/x?fbclid=1"),
+    ], "doc_id long, url string")
+    parts = {r["doc_id"]: r for r in urls.url_parts(df).collect()}
+    assert parts[1]["host"] == "www.example.co.uk"
+    assert parts[1]["registered_domain"] == "example.co.uk"
+    assert parts[1]["tld"] == "uk" and parts[1]["port"] == 80
+    assert parts[2]["registered_domain"] == "example.com"
+    assert parts[3]["path"] == "/" and parts[3]["query"] == ""
+    assert parts[4]["scheme"] == "ftp" and parts[4]["port"] == 2121
+    assert parts[5]["host"] is None
+    assert parts[5]["registered_domain"] is None
+    assert parts[6]["registered_domain"] == "example.com.au"
+
+    norm = {r["doc_id"]: r["url_norm"] for r in
+            urls.normalize_urls(df).collect()}
+    assert norm[1] == "http://www.example.co.uk/Path?a=1&b=2"
+    assert norm[2] == "https://blog.example.com/post/?a=2&z=1"
+    assert norm[3] == "https://example.com/"
+    assert norm[4] == "ftp://files.example.org:2121/pub"  # port kept
+    assert norm[5] is None
+    assert norm[6] == "https://sub.deep.example.com.au/x"
+
+    doms = {r["registered_domain"]: (r["n_docs"], r["share"]) for r in
+            urls.domain_stats(df).collect()}
+    assert doms["example.com"] == (2, 0.333333)
+    assert doms[None][0] == 1                  # unparseable accounted
+
+
 def test_gif_roundtrip_and_errors():
     """encode_gif -> decode_image reproduces the palette bytes exactly
     (GIF is lossless for paletted content): plain and interlaced, odd
