@@ -3910,6 +3910,45 @@ def _synth_urls(docs):
     return docs.select("doc_id", url.alias("url"))
 
 
+def q_warc_responses(spark, sf_dir):
+    """WARC container ingest (datapipe/warc.py — the format crawl
+    corpora actually arrive in): each doc becomes a 3-record WARC
+    (warcinfo + response + metadata) whose response block is an
+    HTTP/1.1 envelope around the doc text WITH an embedded blank line
+    — Content-Length framing must carry the parse past it (newline
+    splitting would mis-frame every later record).  warc_responses
+    keeps response records and strips the envelope; the oracle
+    rebuilds uri/payload/lengths from doc_id and text with plain
+    string functions."""
+    from pypond_spark.datapipe import warc as dp_warc
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    # HTTP envelope: 17 + 25 + 2 = 44 chars before the entity body;
+    # body = text + CRLFCRLF + trailer (corpus text is ASCII, so char
+    # length == byte length and the oracle's length() matches)
+    body_len = F.length("text") + F.lit(44 + 4 + 7)
+    warc = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+              "Content-Length: 5\r\n\r\nnote!\r\n\r\n"
+              "WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: http://ex"),
+        (d % 7).cast("string"), F.lit(".com/"), d.cast("string"),
+        F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+              "Content-Type: application/http\r\nContent-Length: "),
+        body_len.cast("string"),
+        F.lit("\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+              "\r\n"),
+        F.col("text"), F.lit("\r\n\r\ntrailer"),
+        F.lit("\r\n\r\nWARC/1.0\r\nWARC-Type: metadata\r\n"
+              "Content-Length: 2\r\n\r\nxy\r\n\r\n"))
+    src = docs.select("doc_id", warc.alias("warc"))
+    out = dp_warc.warc_responses(src)
+    return out.select("doc_id",
+                      F.col("record_no").cast("long").alias("record_no"),
+                      "target_uri", "content_length",
+                      F.md5("payload").alias("payload_digest"))
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization (datapipe/urls.py::normalize_urls +
     url_parts — the C4-style URL-dedup key): lowercase scheme/host,
@@ -5169,6 +5208,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_gif": q_image_phash_gif,
         "url_normalize": q_url_normalize,
         "domain_stats": q_domain_stats,
+        "warc_responses": q_warc_responses,
         "extract_content": q_extract_content,
         "stream_minhash_dedup_indexed": q_stream_minhash_dedup_indexed,
         "dedup_against_neardup": q_dedup_against_neardup,
@@ -11446,6 +11486,18 @@ def oracle_sql() -> dict[str, str]:
     # url rows: the oracle rebuilds input AND canonical form from
     # doc_id with plain string functions — the rules are string
     # identities on the synthesized shapes
+    d["warc_responses"] = """
+        -- response record is record_no 1 (after warcinfo);
+        -- payload = text || CRLFCRLF || 'trailer';
+        -- content_length = 44-char HTTP envelope + payload length
+        SELECT doc_id, 1 AS record_no,
+               'http://ex' || (doc_id % 7)::VARCHAR || '.com/'
+                 || doc_id::VARCHAR AS target_uri,
+               length(text) + 55 AS content_length,
+               md5(text || chr(13) || chr(10) || chr(13) || chr(10)
+                   || 'trailer') AS payload_digest
+        FROM documents
+    """
     d["url_normalize"] = """
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN

@@ -278,6 +278,7 @@ HEADLINE = [
     "extract_content",
     "url_normalize",
     "domain_stats",
+    "warc_responses",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -563,6 +563,52 @@ def test_png_palette_and_16bit_roundtrip():
         multimodal.encode_png_indexed(1, 1, bytes([0]), bytes(3), depth=3)
 
 
+def test_warc_parse_and_payload(spark):
+    """WARC framing honors Content-Length (bodies may contain blank
+    lines — newline splitting would mis-frame), headers parse
+    case-insensitively, multiple records stream in order, the HTTP
+    envelope strips to the entity body, and truncation/garbage raise
+    ValueError."""
+    from pypond_spark.datapipe import warc as W
+    body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            "<p>hello</p>\r\n\r\nafter a blank line")
+    rec1 = (f"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            f"Content-Length: 5\r\n\r\nnote!\r\n\r\n")
+    rec2 = (f"WARC/1.0\r\nwarc-type: response\r\n"
+            f"WARC-Target-URI: http://ex.com/1\r\n"
+            f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"content-length: {len(body)}\r\n"
+            f"Content-Type: application/http\r\n\r\n{body}\r\n\r\n")
+    rec3 = ("WARC/1.0\r\nWARC-Type: metadata\r\n"
+            "Content-Length: 2\r\n\r\nxy\r\n\r\n")
+    doc = rec1 + rec2 + rec3
+    recs = W.parse_warc_text(doc)
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response",
+                                              "metadata"]
+    assert recs[1]["target_uri"] == "http://ex.com/1"
+    assert recs[1]["block"] == body       # blank line inside survives
+    assert recs[2]["block"] == "xy"
+    with pytest.raises(ValueError, match="not a WARC"):
+        W.parse_warc_text("HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated"):
+        W.parse_warc_text(doc[:len(rec1) + 40])
+    with pytest.raises(ValueError, match="Content-Length"):
+        W.parse_warc_text("WARC/1.0\r\nWARC-Type: x\r\n\r\n")
+
+    df = spark.createDataFrame([(1, doc)], "doc_id long, warc string")
+    rows = W.parse_warc(df).orderBy("record_no").collect()
+    assert [r["warc_type"] for r in rows] == ["warcinfo", "response",
+                                              "metadata"]
+    resp = W.warc_responses(df).collect()
+    assert len(resp) == 1
+    assert resp[0]["payload"] == "<p>hello</p>\r\n\r\nafter a blank line"
+    # WET-style bare text block passes through http_payload unchanged
+    from pyspark.sql import functions as F2
+    bare = spark.createDataFrame([("just text",)], "block string")
+    assert bare.select(W.http_payload_expr("block")).first()[0] \
+        == "just text"
+
+
 def test_url_parts_normalize_and_domains(spark):
     """URL canonicalization goldens: userinfo/default-port/fragment
     stripped, tracking params dropped, surviving params sorted, hosts
