@@ -3949,6 +3949,57 @@ def q_warc_responses(spark, sf_dir):
                       F.md5("payload").alias("payload_digest"))
 
 
+def q_crawl_ingest(spark, sf_dir):
+    """End-to-end crawl ingest composition (the front half of a real
+    pipeline, each stage separately driver-verified): a WARC response
+    record whose HTTP body is the chrome-wrapped page from
+    ``extract_content``'s row and whose WARC-Target-URI is the messy
+    URL from ``url_normalize``'s row -> Content-Length record framing
+    -> HTTP envelope strip -> jusText block extraction -> URL
+    canonicalization.  The oracle is the extract_content oracle joined
+    with the rebuilt canonical URL — composition of verified
+    components, the corpus_pipeline discipline."""
+    from pypond_spark.datapipe import warc as dp_warc
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    page = F.concat(
+        F.lit('<html><head><title>T</title><script>var x=1;</script>'
+              '</head><body><nav><ul><li><a href="/">Home</a></li>'
+              '<li><a href="/about">About us</a></li>'
+              '<li><a href="/contact">Contact</a></li></ul></nav>'
+              '<div class="cookie">We use cookies. '
+              '<a href="#">Accept</a> <a href="#">Decline</a></div>'
+              '<article><h1>'),
+        F.substring("text", 1, 20),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p></article><footer><a href="/p">Privacy</a> | '
+              '<a href="/t">Terms</a> | (c) 2026</footer>'
+              "</body></html>"))
+    body = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        page)
+    warc = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: HTTP://User:pw@WWW.Ex"),
+        (d % 7).cast("string"), F.lit(".CO.UK:80/p/"),
+        d.cast("string"), F.lit("?utm_source=x&b="),
+        (d % 5).cast("string"), F.lit("&a=1#frag"),
+        F.lit("\r\nContent-Length: "),
+        F.length(body).cast("string"),
+        F.lit("\r\n\r\n"), body, F.lit("\r\n\r\n"))
+    recs = dp_warc.warc_responses(
+        docs.select("doc_id", warc.alias("warc")))
+    ext = dp_text.extract_content(
+        recs.withColumnRenamed("payload", "text"))
+    return ext.select(
+        "doc_id",
+        dp_urls.normalize_url_expr("target_uri").alias("url_norm"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_content").cast("long").alias("n_content"),
+        F.md5("text").alias("text_digest"),
+        F.length("text").alias("n_chars"))
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization (datapipe/urls.py::normalize_urls +
     url_parts — the C4-style URL-dedup key): lowercase scheme/host,
@@ -5209,6 +5260,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "domain_stats": q_domain_stats,
         "warc_responses": q_warc_responses,
+        "crawl_ingest": q_crawl_ingest,
         "extract_content": q_extract_content,
         "stream_minhash_dedup_indexed": q_stream_minhash_dedup_indexed,
         "dedup_against_neardup": q_dedup_against_neardup,
@@ -11631,6 +11683,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_blocks, n_content,
                md5(text) AS text_digest, length(text) AS n_chars
         FROM agg
+    """
+    d["crawl_ingest"] = f"""
+        WITH ec AS ({d["extract_content"]})
+        SELECT doc_id,
+               'http://www.ex' || (doc_id % 7)::VARCHAR
+                 || '.co.uk/p/' || doc_id::VARCHAR
+                 || '?a=1&b=' || (doc_id % 5)::VARCHAR AS url_norm,
+               n_blocks, n_content, text_digest, n_chars
+        FROM ec
     """
 
     # hand-derived from the Unicode tables (NOT by re-running the op):

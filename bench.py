@@ -279,6 +279,7 @@ HEADLINE = [
     "url_normalize",
     "domain_stats",
     "warc_responses",
+    "crawl_ingest",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the
