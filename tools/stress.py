@@ -205,8 +205,7 @@ def _attribution_chain_stress(ev) -> float:
 
     from pyspark.sql import functions as F2
 
-    from pypond_spark.streaming.stream import (run_available_now,
-                                               stream_attribution_touch)
+    from pypond_spark.streaming.stream import stream_attribution_touch
     spark = ev.sparkSession
     src = tempfile.mkdtemp(prefix="stress_attr_")
     try:
@@ -230,8 +229,16 @@ def _attribution_chain_stress(ev) -> float:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         try:
             t0 = _time.time()
-            n = run_available_now(out, "append").count()
+            # parquet sink, not memory: the memory sink collects every
+            # result row into the driver and OOMs at the 10x tiers
+            q = (out.writeStream.format("parquet")
+                 .option("path", src + "/out")
+                 .option("checkpointLocation", src + "/ck")
+                 .outputMode("append")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
             wall = _time.time() - t0
+            n = spark.read.parquet(src + "/out").count()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         print(f"    [attribution_chain] drain {wall:.1f}s -> "
