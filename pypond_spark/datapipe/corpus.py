@@ -163,10 +163,14 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
 def preprocess_corpus(docs: DataFrame, bench: DataFrame,
                       lang: str = "en", jaccard_threshold: float = 0.8,
                       decontam_n: int = 3, decontam_min_hits: int = 3,
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      extract_html: bool = False) -> DataFrame:
     """End-to-end training-corpus preprocessing — the composed pipeline
     a 100-TB ingest actually runs, one audit row per document:
 
+    0. (``extract_html=True``) main-content extraction
+       (``textstats.extract_content`` — jusText block rules); every
+       later stage then scores the CONTENT, not page chrome
     1. language gate (``textstats.language_id`` == ``lang``)
     2. Gopher quality rules (``textstats.gopher_quality``)
     3. exact dedup (min-id keeper per text digest — one window)
@@ -182,6 +186,9 @@ def preprocess_corpus(docs: DataFrame, bench: DataFrame,
     from pypond_spark.datapipe import decontam as dc
     from pypond_spark.datapipe import dedup as dd
     from pypond_spark.datapipe import textstats as tx
+
+    if extract_html:
+        docs = tx.extract_content(docs, id_col=id_col)
 
     w = Window.partitionBy("__digest")
     exact = (spread(docs)

@@ -577,20 +577,34 @@ def dedup_against(df: DataFrame, reference: DataFrame,
             .drop("__dig"))
 
 
-def _band_pfx(band: Column) -> Column:
-    """Partition-prefix for a band key: 2 hex chars of a RE-hash of the
-    band string. Re-hashing (rather than ``substring(band, 1, 2)``)
-    keeps the 256-way prefix distribution uniform for EVERY
-    ``hash_fn`` — ``xxhash64`` band keys are signed decimal strings
-    whose leading characters concentrate on a handful of values
-    ('-1', '1', ...), which would skew both the directory layout and
-    the pruned scan. Write and query side both call this, so the
-    derivation can never drift. The 'x' sentinel keeps every partition
-    value non-numeric: a small index whose prefixes happen to be all
-    digits would otherwise have Spark's partition-column type
-    inference read band_pfx back as BIGINT and fail the string
-    .isin() partition filter."""
-    return F.concat(F.lit("x"), F.substring(F.md5(band), 1, 2))
+def _band_pfx(band: Column, prefix_chars: int = 2) -> Column:
+    """Partition-prefix for a band key: ``prefix_chars`` hex chars of a
+    RE-hash of the band string. Re-hashing (rather than
+    ``substring(band, 1, k)``) keeps the 16^k-way prefix distribution
+    uniform for EVERY ``hash_fn`` — ``xxhash64`` band keys are signed
+    decimal strings whose leading characters concentrate on a handful
+    of values ('-1', '1', ...), which would skew both the directory
+    layout and the pruned scan. Write and query side both call this,
+    so the derivation can never drift. The 'x' sentinel keeps every
+    partition value non-numeric: a small index whose prefixes happen
+    to be all digits would otherwise have Spark's partition-column
+    type inference read band_pfx back as BIGINT and fail the string
+    .isin() partition filter.
+
+    Choosing ``prefix_chars`` is the small-batch pruning lever: a batch
+    with B band keys touches an expected ``16^k * (1 - (1-16^-k)^B)``
+    prefix directories — at k=2 any batch past ~1,500 bands touches
+    ALL 256 directories and the scan degenerates to the whole index,
+    while k=4 keeps a 2,000-band batch inside ~2,000 of 65,536
+    directories (~3% of the index). The cost of larger k is write-side
+    file count (16^k x files_per_prefix), which is why it is a knob
+    and not a constant; both sides must use the SAME value (it is part
+    of the index layout, like the banding parameters)."""
+    if not 1 <= prefix_chars <= 4:
+        raise ValueError(
+            f"prefix_chars must be 1..4, got {prefix_chars}")
+    return F.concat(F.lit("x"),
+                    F.substring(F.md5(band), 1, int(prefix_chars)))
 
 
 def write_neardup_index(df: DataFrame, path: str, text_col: str = "text",
@@ -598,7 +612,8 @@ def write_neardup_index(df: DataFrame, path: str, text_col: str = "text",
                         band_size: int = 4, shingle_n: int = 3,
                         hash_fn: str = "md5",
                         mode: str = "overwrite",
-                        files_per_prefix: int = 4) -> None:
+                        files_per_prefix: int = 4,
+                        prefix_chars: int = 2) -> None:
     """Persist the corpus's MinHash band table (plus the shingle sets
     the Jaccard verify needs) so incremental ingest can ask "is this
     new document a near-duplicate of ANYTHING already in the corpus"
@@ -630,7 +645,8 @@ def write_neardup_index(df: DataFrame, path: str, text_col: str = "text",
     # parallelism at 256 x files_per_prefix with files-per-directory
     # bounded at files_per_prefix.
     salt = F.pmod(F.xxhash64("band"), F.lit(int(files_per_prefix)))
-    (buckets.withColumn("band_pfx", _band_pfx(F.col("band")))
+    (buckets.withColumn("band_pfx",
+                        _band_pfx(F.col("band"), prefix_chars))
      .repartition(F.col("band_pfx"), salt)
      .write.mode(mode).partitionBy("band_pfx")
      .parquet(path.rstrip("/") + "/bands"))
@@ -645,33 +661,56 @@ def dedup_against_neardup(df: DataFrame, index_path: str,
                           shingle_n: int = 3, hash_fn: str = "md5",
                           keep_scores: bool = False,
                           checkpoint: bool = True,
-                          max_candidates: int | None = None) -> DataFrame:
+                          max_candidates: int | None = None,
+                          prefix_chars: int = 2) -> DataFrame:
     """Incremental NEAR-dup dedup: drop new documents whose n-gram
     Jaccard against some already-indexed corpus document reaches
     ``threshold`` (``keep_scores=True`` instead returns every verified
     (new id, corpus id, jaccard) hit for auditing).
 
-    The banding parameters MUST match the :func:`write_neardup_index`
-    call that built ``index_path`` — band keys are parameter-dependent.
+    The banding parameters AND ``prefix_chars`` MUST match the
+    :func:`write_neardup_index` call that built ``index_path`` — band
+    keys are parameter-dependent and the prefix width is part of the
+    directory layout (a mismatch is detected and raised, because the
+    failure mode would otherwise be a silently EMPTY partition filter
+    that keeps every duplicate).
 
     Scale shape (the production ingest path): the new batch's band
     table is computed once and broadcast; its distinct re-hash band
-    prefixes (<= 256 values, collected driver-side) become a partition
-    filter on the index scan, so I/O is the matching prefix directories
-    only, never the corpus-wide band table. Candidates then verify by
-    exact shingle Jaccard — the new side's shingle sets broadcast, the
-    corpus side's are read semi-join-bound to candidate ids.
+    prefixes (<= 16^prefix_chars values, collected driver-side) become
+    a partition filter on the index scan, so I/O is the matching
+    prefix directories only, never the corpus-wide band table — see
+    :func:`_band_pfx` for the batch-size/width math.  Candidates then
+    verify by exact shingle Jaccard — the new side's shingle sets
+    broadcast, the corpus side's are read semi-join-bound to candidate
+    ids.
     """
     if max_candidates is not None and max_candidates < 1:
         raise ValueError(
             f"max_candidates must be >= 1, got {max_candidates}")
     spark = df.sparkSession
     base = index_path.rstrip("/")
+    # layout guard: one first-level listing (O(dirs), driver-side)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(base).getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(hpath(base + "/bands")):
+        name = st.getPath().getName()
+        if name.startswith("band_pfx="):
+            got = len(name) - len("band_pfx=") - 1   # minus sentinel
+            if got != prefix_chars:
+                raise ValueError(
+                    f"index at {index_path} was written with "
+                    f"prefix_chars={got}, queried with "
+                    f"{prefix_chars} — the partition filter would be "
+                    f"empty and every duplicate would pass")
+            break
     nb = lsh_band_buckets(df, text_col, id_col, num_hashes, band_size,
                           shingle_n, hash_fn) \
         .withColumnRenamed(id_col, "__new_id").localCheckpoint()
     pfx = [r["p"] for r in
-           nb.select(_band_pfx(F.col("band")).alias("p"))
+           nb.select(_band_pfx(F.col("band"), prefix_chars)
+                     .alias("p"))
            .distinct().collect()]
     idx = (spark.read.parquet(base + "/bands")
            .where(F.col("band_pfx").isin(pfx))

@@ -1436,6 +1436,35 @@ def test_neardup_index_append_generation(spark, tmp_path):
     assert sorted(r["doc_id"] for r in kept2.collect()) == [4]
 
 
+def test_neardup_prefix_chars(spark, tmp_path):
+    """prefix_chars widens the partition layout (16^k dirs) for
+    small-batch pruning at mega-corpus scale: a k=3 index roundtrips
+    identically to k=2, and a WIDTH MISMATCH raises instead of
+    silently keeping every duplicate through an empty filter."""
+    from pypond_spark.datapipe import dedup
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again every single day without fail in the morning")
+    corpus = spark.createDataFrame([(2, base)],
+                                   "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, base + " tonight"), (3, "a wholly different doc with its "
+                                     "own fresh words all over")],
+        "doc_id long, text string")
+    path = str(tmp_path / "k3_idx")
+    dedup.write_neardup_index(corpus, path, prefix_chars=3)
+    kept = dedup.dedup_against_neardup(new, path, threshold=0.5,
+                                       prefix_chars=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
+    import glob
+    dirs = glob.glob(f"{path}/bands/band_pfx=*")
+    assert dirs and all(
+        len(d.rsplit("=", 1)[1]) == 4 for d in dirs)   # x + 3 hex
+    with pytest.raises(ValueError, match="prefix_chars"):
+        dedup.dedup_against_neardup(new, path, threshold=0.5)
+    with pytest.raises(ValueError, match="prefix_chars"):
+        dedup.write_neardup_index(corpus, path, prefix_chars=9)
+
+
 def test_compact_neardup_index(spark, tmp_path):
     """N append generations multiply the per-prefix file count;
     compact_neardup_index rewrites each prefix to <= files_per_prefix
@@ -2260,6 +2289,27 @@ def test_preprocess_corpus_composition(spark, docs):
     # the funnel actually filters (docs survive AND docs drop)
     kept = sum(r["kept"] for r in out.values())
     assert 0 < kept < len(out)
+
+    # extract_html=True: the funnel scores CONTENT, not page chrome —
+    # a doc whose prose is wrapped in link-heavy boilerplate gets the
+    # same flags as its bare-text twin
+    wrapped = body.withColumn("text", F.concat(
+        F.lit('<nav><a href="/">Home</a> <a href="/a">About</a>'
+              '<a href="/c">More</a></nav><p>'),
+        F.col("text"),
+        F.lit('</p><footer><a href="/p">Privacy</a> | '
+              '<a href="/t">Terms</a></footer>')))
+    out_w = {r["doc_id"]: r for r in C.preprocess_corpus(
+        wrapped, bench, extract_html=True).collect()}
+    # compare on docs whose own prose passes the block-evidence rules
+    # (a tag-free doc is one block); low-evidence docs are legitimately
+    # emptied by extraction — that is the operator working
+    content_ids = {r["doc_id"] for r in tx.html_blocks(body).collect()
+                   if r["label"] == "content"}
+    assert len(content_ids) > len(out) * 0.8
+    for i in content_ids:
+        assert out_w[i]["lang_ok"] == out[i]["lang_ok"], i
+        assert out_w[i]["quality_ok"] == out[i]["quality_ok"], i
 
 
 def test_winnow_fingerprints(spark, docs):
