@@ -191,6 +191,45 @@ def _neardup_generations_stress(docs, n_generations: int = 10) -> float:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _neardup_small_batch_stress(docs, batch_docs: int = 1000) -> float:
+    """The production incremental-ingest shape: a SMALL fixed batch
+    against a large index.  At prefix_chars=2 any batch past ~1,500
+    band keys touches all 256 directories and the scan degenerates to
+    the whole index; prefix_chars=4 keeps a 2,000-band batch inside
+    ~2,000 of 65,536 directories.  Builds the same index at k=2 and
+    k=4 and times the same batch against both; the TABLE ROW is the
+    k=4 wall."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F2
+
+    from pypond_spark.datapipe.dedup import (dedup_against_neardup,
+                                             write_neardup_index)
+    corpus = docs.where(F2.col("doc_id") >= batch_docs)
+    batch = docs.where(F2.col("doc_id") < batch_docs).localCheckpoint()
+    walls = {}
+    for k in (2, 4):
+        path = tempfile.mkdtemp(prefix=f"stress_ndk{k}_")
+        try:
+            t0 = _time.time()
+            write_neardup_index(corpus, path, prefix_chars=k)
+            build = _time.time() - t0
+            # warm + timed batch phase
+            dedup_against_neardup(batch, path, threshold=0.8,
+                                  prefix_chars=k).count()
+            t1 = _time.time()
+            dedup_against_neardup(batch, path, threshold=0.8,
+                                  prefix_chars=k).count()
+            walls[k] = _time.time() - t1
+            print(f"    [neardup_small_batch] k={k}: build {build:.1f}s,"
+                  f" {batch_docs}-doc batch {walls[k]:.1f}s warm")
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+    return walls[4]
+
+
 def _attribution_chain_stress(ev) -> float:
     """sf1-class tier for the chained stateful attribution (stream-
     stream interval join -> append-mode windowed argmax): write the
@@ -355,7 +394,7 @@ def main() -> None:
                "hll_registers", "unigram_apply", "wordpiece_apply",
                "longest_match", "bpe_bytes_apply", "kn3_logprob",
                "kn3_logprob_pruned", "neardup_index",
-               "neardup_generations"}
+               "neardup_generations", "neardup_small_batch"}
     ev_needed = not only or bool(
         only - emb_ops - doc_ops
         - {"dedup_mega_cluster", "dedup_documents"})
@@ -573,6 +612,7 @@ def main() -> None:
         "neardup_index": lambda: _neardup_index_stress(docs),
         "attribution_chain": lambda: _attribution_chain_stress(ev),
         "neardup_generations": lambda: _neardup_generations_stress(docs),
+        "neardup_small_batch": lambda: _neardup_small_batch_stress(docs),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
