@@ -12,8 +12,9 @@ real and tested. Codecs:
   encoders), baseline-sequential JPEG
   (:mod:`pypond_spark.datapipe.jpeg` — Huffman + dequant + numpy IDCT +
   chroma upsampling + YCbCr->RGB, with a matching ``encode_jpeg``;
-  progressive/arithmetic/12-bit raise ``NotImplementedError``) and
-  PCM16 WAV audio
+  progressive/arithmetic/12-bit raise ``NotImplementedError``),
+  uncompressed 24-bpp / 8-bpp-palette BMP
+  (:mod:`pypond_spark.datapipe.bmp`) and PCM16 WAV audio
   (``decode_audio`` via the stdlib ``wave`` module), with per-media stats
   operators (``image_stats`` / ``audio_stats``);
 - everything else (MP3/MP4/...) raises ``NotImplementedError`` — this
@@ -390,11 +391,14 @@ def decode_image(content: bytes) -> dict:
     if content.startswith(b"GIF8"):
         from pypond_spark.datapipe.gif import decode_gif
         return decode_gif(content)
+    if content.startswith(b"BM"):
+        from pypond_spark.datapipe.bmp import decode_bmp
+        return decode_bmp(content)
     if not content.startswith(b"P6"):
         raise NotImplementedError(
-            "only binary PPM (P6), PNG, GIF and baseline JPEG decode "
-            "without an imaging library; use extract_features(..., "
-            "fake=True) for plumbing tests")
+            "only binary PPM (P6), PNG, GIF, BMP and baseline JPEG "
+            "decode without an imaging library; use extract_features"
+            "(..., fake=True) for plumbing tests")
     # header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels;
     # '#' comments may appear between tokens
     pos, tokens = 2, []
@@ -582,6 +586,226 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n - 1)).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+# ---------------------------------------------------------------------------
+# resize + header-only metadata sniffing
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("content", T.BinaryType(), False),
+])
+
+
+def _resize_pixels(img: dict, out_w: int, out_h: int, method: str):
+    """All-integer resize of a decoded image -> raw RGB bytes.
+
+    ``nearest``: source pixel at the pixel-CENTER mapping
+    ``sx = (2x+1)*W // (2*out_w)`` (both directions legal).
+    ``box``: area-average over floor-boundary cells (the
+    :func:`_phash_of` grid), each output sample the FLOOR of
+    ``cell_sum / cell_area`` — integer-exact, downsample only.
+    """
+    import numpy as np
+    W, H = img["width"], img["height"]
+    px = np.frombuffer(img["pixels"], np.uint8).reshape(H, W, 3)
+    if method == "nearest":
+        xs = ((2 * np.arange(out_w) + 1) * W) // (2 * out_w)
+        ys = ((2 * np.arange(out_h) + 1) * H) // (2 * out_h)
+        out = px[ys][:, xs]
+    else:  # box
+        if out_w > W or out_h > H:
+            raise ValueError(
+                f"box resize only downsamples: {W}x{H} -> "
+                f"{out_w}x{out_h}")
+        xb = (np.arange(out_w + 1) * W) // out_w
+        yb = (np.arange(out_h + 1) * H) // out_h
+        s = px.astype(np.int64)
+        s = np.add.reduceat(s, xb[:-1], axis=1)
+        s = np.add.reduceat(s, yb[:-1], axis=0)
+        area = ((yb[1:] - yb[:-1])[:, None]
+                * (xb[1:] - xb[:-1])[None, :])
+        out = (s // area[:, :, None]).astype(np.uint8)
+    return np.ascontiguousarray(out).tobytes()
+
+
+def resize_image(df: DataFrame, out_w: int, out_h: int,
+                 method: str = "box") -> DataFrame:
+    """Resize decoded images to ``out_w x out_h`` — the normalize step
+    every multimodal training pipeline runs before feature extraction
+    (thumbnails, fixed-grid model inputs).
+
+    Two all-integer methods so a SQL replay over the same source bytes
+    matches bit-for-bit (the :func:`_phash_of` exactness discipline):
+    ``nearest`` (pixel-center source sampling, up- or downsample) and
+    ``box`` (floor-boundary area average, downsample only — the
+    anti-aliasing choice).
+
+    Output ``content`` is a binary PPM (P6), so the result feeds
+    straight back into :func:`decode_image` / :func:`image_phash` /
+    :func:`image_stats` — resize composes with the whole tier.
+
+    At scale: one Arrow ``mapInPandas`` stage, zero shuffle, numpy
+    slicing per image (no per-pixel Python); bytes never leave the
+    columnar batch. Plan shape identical to the decode rows.
+    """
+    if method not in ("nearest", "box"):
+        raise ValueError(f"method must be nearest|box, got {method!r}")
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"output dimensions must be >= 1, "
+                         f"got {out_w}x{out_h}")
+    header = f"P6\n{out_w} {out_h}\n255\n".encode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = decode_image(bytes(content))
+                raw = _resize_pixels(img, out_w, out_h, method)
+                rows.append((int(mid), out_w, out_h, header + raw))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              RESIZED_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+IMAGE_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _sniff_meta(content: bytes):
+    """(format, width, height) from HEADER bytes only — no pixel
+    decompression, no full-file scan.  Returns (None, None, None) for
+    unrecognized magic instead of raising (triage must not abort on
+    junk bytes)."""
+    if content.startswith(_PNG_SIG) and len(content) >= 24:
+        w, h = struct.unpack(">II", content[16:24])
+        return "png", w, h
+    if content.startswith(b"GIF8") and len(content) >= 10:
+        w, h = struct.unpack("<HH", content[6:10])
+        return "gif", w, h
+    if content.startswith(b"BM") and len(content) >= 26:
+        w, h = struct.unpack("<ii", content[18:26])
+        return "bmp", w, abs(h)
+    if content.startswith(b"P6"):
+        try:
+            img = None
+            pos, tokens = 2, []
+            while len(tokens) < 2:
+                while pos < len(content) \
+                        and content[pos:pos + 1].isspace():
+                    pos += 1
+                if content[pos:pos + 1] == b"#":
+                    while pos < len(content) and content[pos] != 0x0A:
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(content) \
+                        and not content[pos:pos + 1].isspace():
+                    pos += 1
+                tokens.append(int(content[start:pos]))
+            return "ppm", tokens[0], tokens[1]
+        except (ValueError, IndexError):
+            return "ppm", None, None
+    if content.startswith(b"\xFF\xD8"):
+        # walk marker segments to the first SOFn (T.81 B.2): each
+        # non-standalone segment carries a 2-byte length, so the walk
+        # touches O(#segments) bytes, never the entropy-coded data
+        pos = 2
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                break
+            while pos < len(content) and content[pos] == 0xFF:
+                pos += 1
+            if pos >= len(content):
+                break
+            marker = content[pos]
+            pos += 1
+            if marker in _SOF_MARKERS:
+                if pos + 7 <= len(content):
+                    h, w = struct.unpack(">HH", content[pos + 3:pos + 7])
+                    return "jpeg", w, h
+                break
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                continue  # standalone, no length
+            if marker == 0xD9 or pos + 2 > len(content):
+                break
+            (seg_len,) = struct.unpack(">H", content[pos:pos + 2])
+            pos += seg_len
+        return "jpeg", None, None
+    return None, None, None
+
+
+def sniff_image_meta(df: DataFrame, engine: str = "arrow") -> DataFrame:
+    """Header-only format/dimension probe — the 100-TB triage
+    operator: filtering a crawl to "images between 64px and 8192px"
+    must not decompress a single pixel.  Cost is O(header bytes) per
+    file, not O(pixels); a 50 MB PNG costs the same 24 bytes as an
+    icon.
+
+    ``engine="arrow"``: one ``mapInPandas`` stage covering every
+    format this tier decodes (PNG/GIF/BMP/PPM + the JPEG SOF marker
+    walk).  ``engine="expr"``: pure JVM column expressions — zero
+    Python — for the FIXED-OFFSET formats (PNG/GIF/BMP); JPEG rows
+    come back with NULL dimensions there (SOF position varies per
+    file), format still identified by magic.  Unknown magic yields
+    NULL format (triage, not validation — junk must not abort a
+    100-TB scan).
+    """
+    if engine == "arrow":
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for mid, content in zip(pdf["media_id"], pdf["content"]):
+                    fmt, w, h = _sniff_meta(bytes(content))
+                    rows.append((int(mid), fmt, w, h))
+                yield pd.DataFrame(rows, columns=[f.name for f in
+                                                  IMAGE_META_SCHEMA.fields])
+
+        return df.mapInPandas(run, schema=IMAGE_META_SCHEMA)
+    if engine != "expr":
+        raise ValueError(f"engine must be arrow|expr, got {engine!r}")
+
+    content = F.col("content")
+
+    def be(off: int, n: int):  # 1-based offset, big-endian unsigned
+        return F.conv(F.hex(F.substring(content, off, n)), 16, 10) \
+            .cast("long")
+
+    def le(off: int, n: int):  # little-endian unsigned
+        return sum(be(off + i, 1) * (1 << (8 * i)) for i in range(n))
+
+    is_png = F.substring(content, 1, 8) == F.lit(_PNG_SIG)
+    is_gif = F.substring(content, 1, 4) == F.lit(b"GIF8")
+    is_bmp = F.substring(content, 1, 2) == F.lit(b"BM")
+    is_jpg = F.substring(content, 1, 2) == F.lit(b"\xFF\xD8")
+    # BMP height is SIGNED int32 (negative = top-down)
+    bmp_h_raw = le(23, 4)
+    bmp_h = F.abs(F.when(bmp_h_raw >= F.lit(1 << 31),
+                         bmp_h_raw - F.lit(1 << 32)).otherwise(bmp_h_raw))
+    fmt = (F.when(is_png, "png").when(is_gif, "gif")
+           .when(is_bmp, "bmp").when(is_jpg, "jpeg")
+           .otherwise(F.lit(None).cast("string")))
+    width = (F.when(is_png, be(17, 4)).when(is_gif, le(7, 2))
+             .when(is_bmp, le(19, 4))
+             .otherwise(F.lit(None).cast("long")))
+    height = (F.when(is_png, be(21, 4)).when(is_gif, le(9, 2))
+              .when(is_bmp, bmp_h)
+              .otherwise(F.lit(None).cast("long")))
+    return df.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        fmt.alias("format"),
+        width.cast("int").alias("width"),
+        height.cast("int").alias("height"))
 
 
 # ---------------------------------------------------------------------------
