@@ -2010,6 +2010,158 @@ def q_image_phash_jpeg(spark, sf_dir):
     return dp_mm.image_phash(_synth_jpeg32(docs), grid_w=4, grid_h=4)
 
 
+def _synth_bmp8(docs):
+    """8x8 REAL BMP per doc: the SAME chained-md5 pixel recipe as
+    :func:`_synth_ppm8`, encoded by ``datapipe.bmp.encode_bmp``
+    (bottom-up BGR rows on even ids, negative-height top-down on odd
+    ids, so both row orders hit the decoder).  BMP is lossless, so the
+    PPM oracle replays the decoded pixels verbatim — a green row
+    certifies the BMP encode->decode roundtrip bit-for-bit."""
+    import pandas as _pd
+
+    from pypond_spark.datapipe.bmp import encode_bmp
+
+    ppm = _synth_ppm8(docs)
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = bytes(content)[len(b"P6\n8 8\n255\n"):]
+                rows.append((int(mid),
+                             encode_bmp(8, 8, px,
+                                        top_down=bool(mid % 2))))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return ppm.mapInPandas(enc, "media_id long, content binary")
+
+
+def q_image_phash_bmp(spark, sf_dir):
+    """Perceptual hashes over pixels decoded from REAL BMP bytes
+    (datapipe/bmp.py::decode_bmp — BITMAPINFOHEADER parse, row
+    unpadding, BGR->RGB, bottom-up flip on even ids / top-down on odd
+    ids): identical downstream aHash/dHash chain as ``image_phash``,
+    identical oracle, because BMP is lossless."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_mm.image_phash(_synth_bmp8(docs), grid_w=4, grid_h=4)
+
+
+def q_image_resize(spark, sf_dir):
+    """Integer-exact image resize (multimodal.py::resize_image): the
+    8x8 synthetic PPM box-downsampled to 4x4 (floor-boundary area
+    average, each output sample = floor(cell_sum / cell_area)) and
+    nearest-resampled to 2x2 (pixel-center mapping sx =
+    (2x+1)*W // (2*out_w)).  Output PPM bytes are exploded to one row
+    per (method, pixel byte) so the driver hash covers every byte; the
+    oracle rebuilds the source pixels from the md5 hex and replays both
+    integer formulas."""
+    docs = _read(spark, sf_dir, "documents")
+    media = _synth_ppm8(docs)
+
+    def pxrows(out_w, out_h, method):
+        n = out_w * out_h * 3
+        # output header is b"P6\\n{w} {h}\\n255\\n" = 11 bytes for
+        # single-digit dims -> pixel hex starts at position 23 (1-based)
+        return (dp_mm.resize_image(media, out_w, out_h, method)
+                .select("media_id", F.hex("content").alias("hx"))
+                .select("media_id",
+                        F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+                        .alias("p"), "hx")
+                .select("media_id", F.lit(method).alias("method"), "p",
+                        F.conv(F.col("hx").substr(
+                            F.lit(23) + F.col("p") * 2, F.lit(2)),
+                            16, 10).cast("long").alias("v")))
+
+    return pxrows(4, 4, "box").unionByName(pxrows(2, 2, "nearest"))
+
+
+def _synth_meta_mix(docs):
+    """Per-doc image whose FORMAT and DIMENSIONS derive from doc_id
+    (format = doc_id%3 in png/gif/bmp, width = 1+doc_id%7, height =
+    1+doc_id%5, pixels from the md5 chain): the sniffing queries'
+    synthesis half — the oracle predicts (format, width, height)
+    from doc_id alone, no pixel replay needed."""
+    import pandas as _pd
+
+    from pypond_spark.datapipe.bmp import encode_bmp
+    from pypond_spark.datapipe.gif import encode_gif
+    from pypond_spark.datapipe.multimodal import encode_png
+
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.concat(*[F.unhex(F.md5(F.concat(F.col("text"),
+                                          F.lit(f"@m{k}"))))
+                   for k in range(7)]).alias("raw"))
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                mid = int(mid)
+                w, h = 1 + mid % 7, 1 + mid % 5
+                px = bytes(raw)[:w * h * 3]
+                k = mid % 3
+                if k == 0:
+                    content = encode_png(w, h, px)
+                elif k == 1:
+                    content = encode_gif(w, h, bytes(range(w * h)), px)
+                else:
+                    content = encode_bmp(w, h, px,
+                                         top_down=bool(mid % 2))
+                rows.append((mid, content))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return base.mapInPandas(enc, "media_id long, content binary")
+
+
+def q_image_meta_sniff(spark, sf_dir):
+    """Header-only metadata triage with ZERO Python
+    (multimodal.py::sniff_image_meta engine='expr'): format from magic
+    bytes, dimensions from the fixed header offsets (PNG IHDR
+    big-endian, GIF screen descriptor little-endian, BMP signed-height
+    BITMAPINFOHEADER) — pure JVM column expressions over the binary
+    column, the shape that filters a 100-TB crawl by size without
+    decompressing a pixel.  The oracle predicts every value from
+    doc_id (the synthesis recipe), so a green row proves the offset
+    arithmetic against three independently-encoded formats."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_mm.sniff_image_meta(_synth_meta_mix(docs), engine="expr")
+
+
+def q_image_meta_jpeg(spark, sf_dir):
+    """JPEG dimensions via the SOF marker walk
+    (multimodal.py::sniff_image_meta engine='arrow'): JPEG headers
+    have no fixed offset, so the sniffer walks marker segments
+    (O(#segments) bytes, never the entropy-coded data) to the first
+    SOFn and reads the frame dimensions.  Per-doc dims derive from
+    doc_id (w = 8+id%9, h = 8+id%7, grayscale baseline encode), so
+    the oracle predicts the full result without running a codec."""
+    docs = _read(spark, sf_dir, "documents")
+    import pandas as _pd
+
+    from pypond_spark.datapipe.jpeg import encode_jpeg
+
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.concat(*[F.unhex(F.md5(F.concat(F.col("text"),
+                                          F.lit(f"@j{k}"))))
+                   for k in range(14)]).alias("raw"))
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                mid = int(mid)
+                w, h = 8 + mid % 9, 8 + mid % 7
+                rows.append((mid, encode_jpeg(w, h,
+                                              bytes(raw)[:w * h],
+                                              gray=True)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = base.mapInPandas(enc, "media_id long, content binary")
+    return dp_mm.sniff_image_meta(media, engine="arrow")
+
+
 # fixed PCM16 mono 8kHz WAV header for exactly 6 samples (12 data bytes)
 import struct as _struct  # noqa: E402
 
@@ -5255,6 +5407,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reorders never-driver-verified entries to the front automatically from
     the committed CORRECTNESS_r*.json snapshots."""
     return {
+        "image_phash_bmp": q_image_phash_bmp,
+        "image_resize": q_image_resize,
+        "image_meta_sniff": q_image_meta_sniff,
+        "image_meta_jpeg": q_image_meta_jpeg,
         "image_phash_jpeg": q_image_phash_jpeg,
         "image_phash_gif": q_image_phash_gif,
         "url_normalize": q_url_normalize,
@@ -11487,6 +11643,57 @@ def oracle_sql() -> dict[str, str]:
     d["image_phash_gif"] = d["image_phash"]
     # palette row: PLTE holds the same pixels, indices are the identity
     d["image_phash_png_palette"] = d["image_phash"]
+    # BMP is lossless: same pixels by construction, same oracle
+    d["image_phash_bmp"] = d["image_phash"]
+    d["image_resize"] = """
+        -- source pixel byte j of the 8x8 synthetic PPM (j = 3*(y*8+x)+c)
+        -- comes from digest j//16 = md5(text || '#' || d), hex offset
+        -- j%16; box 4x4 = floor(2x2-block sum / 4); nearest 2x2 reads
+        -- the pixel-center source sx = (2*xo+1)*8 // 4
+        WITH px AS (
+          SELECT doc_id, g.j AS j,
+                 ('0x' || substr(md5(text || '#' ||
+                    CAST(g.j // 16 AS VARCHAR)),
+                    2 * (g.j % 16) + 1, 2))::BIGINT AS b
+          FROM documents CROSS JOIN generate_series(0, 191) g(j)
+        ), src AS (
+          SELECT doc_id, j % 3 AS c, (j // 3) % 8 AS x, j // 24 AS y, b
+          FROM px
+        ), box AS (
+          SELECT doc_id, 'box' AS method,
+                 CAST(3 * ((y // 2) * 4 + (x // 2)) + c AS INT) AS p,
+                 CAST(sum(b) // 4 AS BIGINT) AS v
+          FROM src GROUP BY doc_id, y // 2, x // 2, c
+        ), near AS (
+          SELECT doc_id, 'nearest' AS method,
+                 CAST(3 * (ys.yo * 2 + xs.xo) + c AS INT) AS p,
+                 CAST(b AS BIGINT) AS v
+          FROM src
+          JOIN (VALUES (0), (1)) xs(xo)
+            ON x = ((2 * xs.xo + 1) * 8) // 4
+          JOIN (VALUES (0), (1)) ys(yo)
+            ON y = ((2 * ys.yo + 1) * 8) // 4
+        )
+        SELECT doc_id AS media_id, method, p, v FROM box
+        UNION ALL
+        SELECT doc_id AS media_id, method, p, v FROM near
+    """
+    d["image_meta_sniff"] = """
+        -- the synthesis recipe IS the oracle: format/dims derive from
+        -- doc_id, so a match proves the header-offset arithmetic
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                    ELSE 'bmp' END AS format,
+               CAST(1 + doc_id % 7 AS INT) AS width,
+               CAST(1 + doc_id % 5 AS INT) AS height
+        FROM documents
+    """
+    d["image_meta_jpeg"] = """
+        SELECT doc_id AS media_id, 'jpeg' AS format,
+               CAST(8 + doc_id % 9 AS INT) AS width,
+               CAST(8 + doc_id % 7 AS INT) AS height
+        FROM documents
+    """
     d["bpe_bytes_tokenize"] = _bpe_bytes_sql(_BPE_BYTES_MERGES)
     d["bpe_bytes_train_merges"] = _bpe_bytes_train_sql(6)
     d["wordpiece_train_merges"] = _wordpiece_train_sql(5)

@@ -280,6 +280,10 @@ HEADLINE = [
     "domain_stats",
     "warc_responses",
     "crawl_ingest",
+    "image_phash_bmp",
+    "image_resize",
+    "image_meta_sniff",
+    "image_meta_jpeg",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the
