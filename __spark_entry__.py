@@ -4167,6 +4167,63 @@ def q_url_normalize(spark, sf_dir):
                       "registered_domain", "tld")
 
 
+def q_robots_rules(spark, sf_dir):
+    """robots.txt parsing (datapipe/urls.py::parse_robots, RFC 9309):
+    per doc a 5-line synthetic robots body — a two-rule specific
+    group (allow/disallow alternating by parity, a $-anchored
+    pattern) followed by a one-rule ``*`` group — is built IN-PLAN
+    from doc_id and parsed by the expression-only REP grammar (line
+    split + per-host group window).  The oracle predicts every output
+    row straight from the synthesis recipe, so a green row proves
+    comment-free line parsing, key case-folding, group boundaries and
+    pattern extraction."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    txt = F.concat_ws(
+        "\n",
+        F.concat(F.lit("User-Agent: bot"), F.pmod(d, 3)),
+        F.concat(F.when(F.pmod(d, 2) == 0, F.lit("Allow"))
+                 .otherwise(F.lit("Disallow")),
+                 F.lit(": /p"), F.pmod(d, 5), F.lit("/")),
+        F.concat(F.lit("Disallow: /q"), F.pmod(d, 4), F.lit("$")),
+        F.lit("user-agent: *"),
+        F.concat(F.lit("Disallow: /tmp"), F.pmod(d, 7), F.lit("/")))
+    robots = docs.select(F.concat(F.lit("h"), d).alias("host"),
+                         txt.alias("robots_txt"))
+    return dp_urls.parse_robots(robots)
+
+
+def q_robots_allowed(spark, sf_dir):
+    """robots.txt URL filtering (datapipe/urls.py::robots_filter, RFC
+    9309 decision: most-specific matching user-agent group, longest
+    matching pattern wins, allow wins length ties, default allow):
+    synthetic URLs over 4 hosts — one with wildcard + $-anchor + an
+    allow-override that TIES a disallow on length, one where a
+    specific trainbot group shadows a Disallow-everything ``*``
+    group, one with a fully-anchored rule, one with no robots at all.
+    The oracle hand-derives each decision from the REP semantics (an
+    independent derivation — the Spark side runs the general
+    engine)."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("http://s"), F.pmod(d, 4), F.lit(".com/p"),
+                   F.pmod(d, 5), F.lit("/f"), F.pmod(d, 9),
+                   F.when(F.pmod(d, 2) == 0, F.lit(".pdf"))
+                   .otherwise(F.lit(".html")))
+    urls_df = docs.select("doc_id", url.alias("url"))
+    robots = spark.createDataFrame([
+        ("s0.com", "User-agent: *\nDisallow: /p1/\n"
+                   "Allow: /p1/f3*\nDisallow: /*.pdf$"),
+        ("s1.com", "User-agent: trainbot\nDisallow: /p2/\n"
+                   "User-agent: *\nDisallow: /"),
+        ("s2.com", "User-agent: *\nDisallow: /p3/f5.html$"),
+    ], "host string, robots_txt string")
+    rules = dp_urls.parse_robots(robots)
+    out = dp_urls.robots_filter(urls_df, rules, agent="trainbot/2.0")
+    return out.select("doc_id", "url",
+                      F.col("robots_allowed").alias("allowed"))
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-registered-domain corpus composition (datapipe/urls.py::
     domain_stats — the domain-mixing/blocklist audit): one groupBy on
@@ -5407,6 +5464,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reorders never-driver-verified entries to the front automatically from
     the committed CORRECTNESS_r*.json snapshots."""
     return {
+        "robots_rules": q_robots_rules,
+        "robots_allowed": q_robots_allowed,
         "image_phash_bmp": q_image_phash_bmp,
         "image_resize": q_image_resize,
         "image_meta_sniff": q_image_meta_sniff,
@@ -11692,6 +11751,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS media_id, 'jpeg' AS format,
                CAST(8 + doc_id % 9 AS INT) AS width,
                CAST(8 + doc_id % 7 AS INT) AS height
+        FROM documents
+    """
+    d["robots_rules"] = """
+        -- the synthesis recipe IS the oracle: 5 lines per doc ->
+        -- group 1 = (UA bot{d%3}; allow-or-disallow /p{d%5}/;
+        -- disallow /q{d%4}$), group 2 = (UA *; disallow /tmp{d%7}/)
+        WITH d AS (
+          SELECT doc_id, 'h' || CAST(doc_id AS VARCHAR) AS host
+          FROM documents
+        )
+        SELECT host, 'bot' || CAST(doc_id % 3 AS VARCHAR) AS agent,
+               CASE WHEN doc_id % 2 = 0 THEN 'allow'
+                    ELSE 'disallow' END AS rule,
+               '/p' || CAST(doc_id % 5 AS VARCHAR) || '/' AS pattern,
+               1 AS line_no
+        FROM d
+        UNION ALL
+        SELECT host, 'bot' || CAST(doc_id % 3 AS VARCHAR), 'disallow',
+               '/q' || CAST(doc_id % 4 AS VARCHAR) || '$', 2
+        FROM d
+        UNION ALL
+        SELECT host, '*', 'disallow',
+               '/tmp' || CAST(doc_id % 7 AS VARCHAR) || '/', 4
+        FROM d
+    """
+    d["robots_allowed"] = """
+        -- independent hand-derivation of the RFC 9309 decisions for
+        -- the fixed 3-host rule corpus (see q_robots_allowed):
+        -- s0: allow /p1/f3* (len 7) beats both /p1/ (4) and the
+        --     length-7 /*.pdf$ tie; s1: the trainbot group shadows
+        --     Disallow: /; s2: fully-anchored single rule; s3: no
+        --     robots.txt -> default allow
+        SELECT doc_id,
+               'http://s' || CAST(doc_id % 4 AS VARCHAR) || '.com/p'
+                 || CAST(doc_id % 5 AS VARCHAR) || '/f'
+                 || CAST(doc_id % 9 AS VARCHAR)
+                 || CASE WHEN doc_id % 2 = 0 THEN '.pdf'
+                         ELSE '.html' END AS url,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN
+                   CASE WHEN doc_id % 5 = 1 AND doc_id % 9 = 3
+                        THEN TRUE
+                        WHEN doc_id % 2 = 0 THEN FALSE
+                        WHEN doc_id % 5 = 1 THEN FALSE
+                        ELSE TRUE END
+                 WHEN 1 THEN doc_id % 5 <> 2
+                 WHEN 2 THEN NOT (doc_id % 5 = 3 AND doc_id % 9 = 5
+                                  AND doc_id % 2 = 1)
+                 ELSE TRUE END AS allowed
         FROM documents
     """
     d["bpe_bytes_tokenize"] = _bpe_bytes_sql(_BPE_BYTES_MERGES)

@@ -282,6 +282,8 @@ HEADLINE = [
     "crawl_ingest",
     "image_phash_bmp",
     "image_resize",
+    "robots_rules",
+    "robots_allowed",
     "image_meta_sniff",
     "image_meta_jpeg",
 ]

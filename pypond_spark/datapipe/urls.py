@@ -171,3 +171,174 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
             .select("registered_domain", "n_docs",
                     F.round(F.col("n_docs") / F.col("__t"), 6)
                     .alias("share")))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (Robots Exclusion Protocol, RFC 9309)
+# ---------------------------------------------------------------------------
+
+def parse_robots(df: DataFrame, robots_col: str = "robots_txt",
+                 host_col: str = "host") -> DataFrame:
+    """Parse robots.txt bodies into one row per (host, agent, rule).
+
+    RFC 9309 grammar, scan-level expressions only: lines split, comments
+    stripped, ``user-agent`` / ``allow`` / ``disallow`` keys matched
+    case-insensitively; CONSECUTIVE user-agent lines share the group of
+    rules that follows them (a user-agent line preceded by a non-UA line
+    starts a new group).  Output columns: ``host, agent`` (lowercased
+    token), ``rule`` (allow|disallow), ``pattern``, ``line_no``.
+
+    A group with UA lines but NO rules still emits one row with NULL
+    rule/pattern — group EXISTENCE must survive, because RFC group
+    selection says a matched specific group (even an empty one,
+    meaning "everything allowed") shadows the ``*`` group.
+
+    Empty-value rules (``Disallow:`` with nothing after the colon) are
+    RFC no-ops and are dropped; ``sitemap``/``crawl-delay`` and other
+    non-group keys are ignored here.
+
+    Scale: one window per host over the parsed LINES of that host's
+    robots.txt (a few hundred rows each — the partition is the file,
+    never the corpus); everything else is scan-level.
+    """
+    from pyspark.sql import Window
+
+    host = F.lower(F.col(host_col))
+    lines = (df.select(host.alias("host"),
+                       F.posexplode(F.split(F.col(robots_col),
+                                            r"\r?\n"))
+                       .alias("line_no", "line"))
+             .withColumn("clean",
+                         F.trim(F.regexp_replace("line", r"#.*$", "")))
+             .withColumn("key", F.lower(F.regexp_extract(
+                 "clean", r"^([A-Za-z-]+)\s*:", 1)))
+             .withColumn("value", F.trim(F.regexp_replace(
+                 "clean", r"^[A-Za-z-]+\s*:", ""))))
+    sig = lines.where(F.col("key").isin("user-agent", "allow",
+                                        "disallow"))
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = F.col("key") == "user-agent"
+    new_group = is_ua & (~F.coalesce(F.lag(is_ua).over(w),
+                                     F.lit(False)))
+    grouped = sig.withColumn(
+        "group_id",
+        F.sum(new_group.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    agents = (grouped.where(is_ua)
+              .select("host", "group_id",
+                      F.lower(F.col("value")).alias("agent")))
+    rules = (grouped.where(~is_ua & (F.col("value") != ""))
+             .select("host", "group_id",
+                     F.col("key").alias("rule"),
+                     F.col("value").alias("pattern"), "line_no"))
+    # LEFT join keeps empty groups as (agent, NULL rule) rows
+    return (agents.join(rules, ["host", "group_id"], "left")
+            .select("host", "agent", "rule", "pattern", "line_no"))
+
+
+def _rep_like_pattern(pattern: Column) -> Column:
+    """REP path pattern -> SQL LIKE pattern with ESCAPE '!'.
+
+    REP wildcards are glob-shaped: ``*`` matches any run, a TRAILING
+    ``$`` anchors the end, everything else is literal, and a pattern
+    without ``$`` matches any path it PREFIXES.  LIKE replays that
+    exactly — escape ``!``/``%``/``_``, map ``*`` to ``%``, and append
+    ``%`` unless $-anchored — and, unlike a regex translation, the
+    escape rules are byte-identical in Spark and DuckDB (no
+    backslash-literal divergence).
+    """
+    anchored = pattern.endswith("$")
+    core = F.when(anchored,
+                  pattern.substr(F.lit(1), F.length(pattern) - 1)) \
+        .otherwise(pattern)
+    esc = F.replace(F.replace(F.replace(core, F.lit("!"), F.lit("!!")),
+                              F.lit("%"), F.lit("!%")),
+                    F.lit("_"), F.lit("!_"))
+    globd = F.replace(esc, F.lit("*"), F.lit("%"))
+    return F.when(anchored, globd).otherwise(F.concat(globd,
+                                                      F.lit("%")))
+
+
+def select_robots_group(rules: DataFrame, agent: str) -> DataFrame:
+    """RFC 9309 group selection: keep only the rules of the MOST
+    SPECIFIC matching user-agent per host.
+
+    A group matches when its agent token is ``*`` or is a substring of
+    the crawler's product token (case-insensitive — the
+    ``urllib.robotparser`` convention); specificity is the token
+    length, with ``*`` at 0, so any specific match shadows the ``*``
+    group — including an EMPTY specific group (its NULL-pattern row
+    carries the specificity and imposes no rules = everything
+    allowed).  One tiny groupBy over the RULES frame (rows ~ robots
+    lines, never the URL corpus).
+    """
+    from pyspark.sql import Window
+
+    tok = F.lit(agent.lower())
+    matched = rules.where((F.col("agent") == "*")
+                          | (F.instr(tok, F.col("agent")) > 0))
+    spec = F.when(F.col("agent") == "*", F.lit(0)) \
+        .otherwise(F.length("agent"))
+    # per-host max as an unordered window (one shuffle, no self-join);
+    # the partition is one host's robots lines, never the corpus
+    best = F.max(spec).over(Window.partitionBy("host"))
+    return (matched.withColumn("__best", best)
+            .where(spec == F.col("__best"))
+            .drop("__best"))
+
+
+def robots_filter(df: DataFrame, rules: DataFrame, agent: str = "*",
+                  url_col: str = "url",
+                  out_col: str = "robots_allowed",
+                  broadcast_rules: bool = True) -> DataFrame:
+    """Add ``out_col``: may ``agent`` fetch each row's URL under the
+    corpus's robots rules?  The crawl-frontier / corpus-compliance
+    filter (licensing audits re-check robots AFTER the crawl too).
+
+    RFC 9309 decision: among the selected group's rules whose pattern
+    matches the URL's path+query, the LONGEST pattern wins, allow
+    winning length ties; no matching rule, no matching group, or no
+    robots.txt for the host means allowed.
+
+    Scale shape: group selection is one per-host window over the rules
+    frame; the match itself runs on the DISTINCT (host, path) keys —
+    one distinct + one join back, so a billion-URL corpus with the
+    usual heavy URL duplication pays the rule fan-out once per
+    distinct path.  The selected-rules side is robots-corpus-sized
+    (lines x hosts, orders of magnitude below the URL corpus) and is
+    broadcast by default; pass ``broadcast_rules=False`` when the
+    robots corpus itself is too large to ship to every executor.
+    """
+    url = F.col(url_col)
+    host = F.nullif(_host_expr(url), F.lit(""))
+    after = F.regexp_replace(url, _AUTH, "")
+    path = F.regexp_extract(after, r"^([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(after, r"\?([^#]*)", 1)
+    mpath = F.concat(path, F.when(query != "",
+                                  F.concat(F.lit("?"), query))
+                     .otherwise(F.lit("")))
+
+    sel = (select_robots_group(rules, agent)
+           .where(F.col("pattern").isNotNull())
+           .select(F.col("host").alias("__rhost"),
+                   F.col("rule"), F.col("pattern"),
+                   _rep_like_pattern(F.col("pattern"))
+                   .alias("__like")))
+    if broadcast_rules:
+        sel = F.broadcast(sel)
+    keys = (df.select(host.alias("__host"), mpath.alias("__mpath"))
+            .where(F.col("__host").isNotNull()).distinct())
+    hits = (keys.join(sel, keys["__host"] == sel["__rhost"])
+            .where(F.expr("__mpath LIKE __like ESCAPE '!'"))
+            .groupBy("__host", "__mpath")
+            .agg(F.max_by(F.col("rule") == "allow",
+                          F.struct(F.length("pattern"),
+                                   (F.col("rule") == "allow")
+                                   .alias("a")))
+                 .alias("__allowed")))
+    out = (df.withColumn("__host", host).withColumn("__mpath", mpath)
+           .join(hits, ["__host", "__mpath"], "left")
+           .withColumn(out_col, F.coalesce("__allowed", F.lit(True)))
+           .drop("__host", "__mpath", "__allowed"))
+    return out

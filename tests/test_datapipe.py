@@ -2967,3 +2967,94 @@ def test_sniff_meta_formats(spark):
     assert expr[99] == (None, None, None)
     with pytest.raises(ValueError, match="arrow|expr"):
         multimodal.sniff_image_meta(media, engine="fast")
+
+
+def test_parse_robots_groups(spark):
+    """parse_robots: comment stripping, case-insensitive keys,
+    consecutive-UA group sharing, new-group boundaries, empty groups
+    surviving as NULL-rule rows, empty-value rules dropped."""
+    from pypond_spark.datapipe import urls
+
+    txt = "\n".join([
+        "# header comment",
+        "User-Agent: GoodBot",
+        "user-agent: OtherBot",
+        "Disallow: /private/   # trailing comment",
+        "Allow: /private/ok",
+        "",
+        "User-agent: *",
+        "disallow: /tmp/",
+        "Disallow:",          # empty value: no-op, dropped
+        "Sitemap: https://x.example/s.xml",
+        "User-agent: EmptyBot",   # empty group: NULL-rule row
+    ])
+    df = spark.createDataFrame([("X.Example", txt)],
+                               "host string, robots_txt string")
+    rows = urls.parse_robots(df).collect()
+    got = {(r["agent"], r["rule"], r["pattern"]) for r in rows}
+    assert got == {
+        ("goodbot", "disallow", "/private/"),
+        ("goodbot", "allow", "/private/ok"),
+        ("otherbot", "disallow", "/private/"),
+        ("otherbot", "allow", "/private/ok"),
+        ("*", "disallow", "/tmp/"),
+        ("emptybot", None, None),
+    }
+    assert all(r["host"] == "x.example" for r in rows)
+
+
+def test_robots_filter_decisions(spark):
+    """robots_filter: longest-match precedence, allow tie-break,
+    wildcard * and $ anchor, LIKE metacharacters in paths treated
+    literally, specific-group shadowing (incl. empty groups), default
+    allow for unmatched paths and unlisted hosts."""
+    from pypond_spark.datapipe import urls
+
+    robots = spark.createDataFrame([
+        ("a.com", "\n".join([
+            "User-agent: *",
+            "Disallow: /private/",
+            "Allow: /private/pub*",
+            "Disallow: /*.pdf$",
+            "Disallow: /x_y%z/",
+        ])),
+        ("b.com", "\n".join([
+            "User-agent: SpecBot",
+            "Disallow: /only-spec/",
+            "User-agent: *",
+            "Disallow: /",
+        ])),
+        # RFC 9309: consecutive UA lines share one group, so a truly
+        # EMPTY specific group can only close the file
+        ("c.com", "\n".join([
+            "User-agent: *",
+            "Disallow: /",
+            "User-agent: SpecBot",   # empty specific group
+        ])),
+    ], "host string, robots_txt string")
+    rules = urls.parse_robots(robots)
+
+    cases = [
+        # (url, agent, expected)
+        ("http://a.com/", "*", True),
+        ("http://a.com/private/doc", "*", False),
+        ("http://a.com/private/pub/doc", "*", True),   # longer allow
+        ("http://a.com/file.pdf", "*", False),         # $ anchor
+        ("http://a.com/file.pdf.html", "*", True),     # anchor miss
+        ("http://a.com/x_y%z/q", "*", False),          # literal %/_
+        ("http://a.com/xAy%z/q", "*", True),           # _ not a wildcard
+        ("http://unlisted.com/anything", "*", True),
+        ("http://b.com/anything", "*", False),         # * group
+        ("http://b.com/anything", "SpecBot/1.0", True),  # spec shadows *
+        ("http://b.com/only-spec/x", "SpecBot/1.0", False),
+        ("http://c.com/anything", "SpecBot/1.0", True),  # empty group
+        ("http://c.com/anything", "*", False),
+    ]
+    for agent in {a for _, a, _ in cases}:
+        sub = [(i, u) for i, (u, a, _) in enumerate(cases) if a == agent]
+        df = spark.createDataFrame(sub, "id long, url string")
+        out = {r["id"]: r["robots_allowed"]
+               for r in urls.robots_filter(df, rules, agent).collect()}
+        for i, (u, a, want) in enumerate(cases):
+            if a == agent:
+                assert out[i] == want, (u, a)
