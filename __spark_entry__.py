@@ -4224,6 +4224,90 @@ def q_robots_allowed(spark, sf_dir):
                       F.col("robots_allowed").alias("allowed"))
 
 
+def q_extract_links(spark, sf_dir):
+    """Link extraction + resolution (datapipe/urls.py::extract_links):
+    per doc a synthetic page with a root-relative, a path-relative, an
+    absolute, a mailto: and a fragment-only href; the op must keep
+    exactly three links and resolve each against the doc's base URL
+    (origin for ``/..``, base directory for relative, verbatim for
+    absolute).  Pure regexp + explode; the oracle predicts every
+    resolved URL from doc_id."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = F.concat(F.lit("https://w"), F.pmod(d, 4), F.lit(".site"),
+                    F.pmod(d, 6), F.lit(".com/dir"), F.pmod(d, 3),
+                    F.lit("/page.html"))
+    html = F.concat(
+        F.lit('<p>t</p><a class="l" href="/r'), F.pmod(d, 5),
+        F.lit('">a</a><a href=\'rel'), F.pmod(d, 7),
+        F.lit(".html'>b</a><a href=\"https://abs"), F.pmod(d, 8),
+        F.lit('.org/p">c</a><a href="mailto:x@y.z">m</a>'
+              '<a href="#f">g</a>'))
+    frame = docs.select("doc_id", base.alias("url"),
+                        html.alias("html"))
+    out = dp_urls.extract_links(frame)
+    return out.select("doc_id", "url", "href", "link_url")
+
+
+def q_pagerank3(spark, sf_dir):
+    """Fixed-iteration PageRank (datapipe/urls.py::pagerank) over a
+    20-node synthetic domain graph (edges s = d%20 -> t = (3d+1)%20,
+    self-loops dropped): three rounds of the un-normalized
+    recurrence pr = 0.15 + 0.85 * sum(pr_in/outdeg_in) from pr = 1.
+    Per iteration one edges-to-ranks join + one dst groupBy; the
+    oracle unrolls the identical three CTE stages, values rounded to
+    6 dp on both sides."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    e = (docs.select(F.pmod(d, 20).alias("s"),
+                     F.pmod(3 * d + 1, 20).alias("t"))
+         .where(F.col("s") != F.col("t")).distinct())
+    edges = e.select(F.concat(F.lit("n"), "s").alias("src_domain"),
+                     F.concat(F.lit("n"), "t").alias("dst_domain"))
+    out = dp_urls.pagerank(edges, iters=3)
+    return out.select("node",
+                      F.round("pagerank", 6).alias("pagerank"))
+
+
+def q_sitemap_locs(spark, sf_dir):
+    """Sitemap <loc> extraction (datapipe/urls.py::sitemap_urls): per
+    doc a urlset with two url entries (one with <lastmod> BEFORE the
+    loc — the tempered-dot entry matcher must skip element content,
+    not just tags) plus a sitemapindex entry that must come back
+    is_index=true.  The oracle predicts all three rows from
+    doc_id."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    xml = F.concat(
+        F.lit("<urlset><url><lastmod>2026-01-01</lastmod><loc> "
+              "https://m"), F.pmod(d, 5),
+        F.lit(".com/a </loc></url><url><loc>https://m"),
+        F.pmod(d, 5), F.lit(".com/b"), F.pmod(d, 7),
+        F.lit("</loc></url></urlset><sitemapindex><sitemap>"
+              "<loc>https://m"), F.pmod(d, 5), F.lit(".com/s"),
+        F.pmod(d, 3), F.lit(".xml</loc></sitemap></sitemapindex>"))
+    frame = docs.select("doc_id", xml.alias("sitemap_xml"))
+    return dp_urls.sitemap_urls(frame)
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap: lines of robots.txt (datapipe/urls.py::
+    robots_sitemaps — RFC 9309 allows them anywhere, outside group
+    structure): per doc two lines in different key casings, one with
+    a trailing comment, host folded to lowercase.  Scan-level split +
+    regexp; the oracle predicts both rows from doc_id."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /\nSitemap: https://h"),
+        F.pmod(d, 6), F.lit(".com/s"), F.pmod(d, 4),
+        F.lit(".xml  # nightly\nsitemap:https://h"), F.pmod(d, 6),
+        F.lit(".com/extra.xml"))
+    robots = docs.select(F.concat(F.lit("H"), d).alias("host"),
+                         txt.alias("robots_txt"))
+    return dp_urls.robots_sitemaps(robots)
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-registered-domain corpus composition (datapipe/urls.py::
     domain_stats — the domain-mixing/blocklist audit): one groupBy on
@@ -5466,6 +5550,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
+        "extract_links": q_extract_links,
+        "pagerank3": q_pagerank3,
+        "sitemap_locs": q_sitemap_locs,
+        "robots_sitemaps": q_robots_sitemaps,
         "image_phash_bmp": q_image_phash_bmp,
         "image_resize": q_image_resize,
         "image_meta_sniff": q_image_meta_sniff,
@@ -11775,6 +11863,104 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, '*', 'disallow',
                '/tmp' || CAST(doc_id % 7 AS VARCHAR) || '/', 4
         FROM d
+    """
+    d["extract_links"] = """
+        -- the synthesis recipe IS the oracle: three kept links per
+        -- doc (root-relative -> origin, path-relative -> base dir,
+        -- absolute verbatim); mailto:/#fragment dropped
+        WITH b AS (
+          SELECT doc_id,
+                 'https://w' || CAST(doc_id % 4 AS VARCHAR) || '.site'
+                   || CAST(doc_id % 6 AS VARCHAR) || '.com' AS origin,
+                 '/dir' || CAST(doc_id % 3 AS VARCHAR) || '/' AS dirp
+          FROM documents
+        )
+        SELECT doc_id, origin || dirp || 'page.html' AS url,
+               '/r' || CAST(doc_id % 5 AS VARCHAR) AS href,
+               origin || '/r' || CAST(doc_id % 5 AS VARCHAR)
+                 AS link_url
+        FROM b
+        UNION ALL
+        SELECT doc_id, origin || dirp || 'page.html',
+               'rel' || CAST(doc_id % 7 AS VARCHAR) || '.html',
+               origin || dirp || 'rel' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.html'
+        FROM b
+        UNION ALL
+        SELECT doc_id, origin || dirp || 'page.html',
+               'https://abs' || CAST(doc_id % 8 AS VARCHAR)
+                 || '.org/p',
+               'https://abs' || CAST(doc_id % 8 AS VARCHAR)
+                 || '.org/p'
+        FROM b
+    """
+    d["pagerank3"] = """
+        -- three unrolled iterations of the identical recurrence
+        WITH e AS (
+          SELECT DISTINCT doc_id % 20 AS s, (3 * doc_id + 1) % 20 AS t
+          FROM documents
+          WHERE doc_id % 20 <> (3 * doc_id + 1) % 20
+        ), nodes AS (
+          SELECT DISTINCT n
+          FROM (SELECT s AS n FROM e UNION ALL SELECT t FROM e)
+        ), od AS (
+          SELECT s, count(*) AS deg FROM e GROUP BY s
+        ), p0 AS (
+          SELECT n, 1.0::DOUBLE AS pr FROM nodes
+        ), c1 AS (
+          SELECT e.t AS n, sum(p.pr / od.deg) AS c
+          FROM e JOIN p0 p ON p.n = e.s JOIN od ON od.s = e.s
+          GROUP BY e.t
+        ), p1 AS (
+          SELECT nodes.n AS n, 0.15 + 0.85 * coalesce(c1.c, 0) AS pr
+          FROM nodes LEFT JOIN c1 ON c1.n = nodes.n
+        ), c2 AS (
+          SELECT e.t AS n, sum(p.pr / od.deg) AS c
+          FROM e JOIN p1 p ON p.n = e.s JOIN od ON od.s = e.s
+          GROUP BY e.t
+        ), p2 AS (
+          SELECT nodes.n AS n, 0.15 + 0.85 * coalesce(c2.c, 0) AS pr
+          FROM nodes LEFT JOIN c2 ON c2.n = nodes.n
+        ), c3 AS (
+          SELECT e.t AS n, sum(p.pr / od.deg) AS c
+          FROM e JOIN p2 p ON p.n = e.s JOIN od ON od.s = e.s
+          GROUP BY e.t
+        ), p3 AS (
+          SELECT nodes.n AS n, 0.15 + 0.85 * coalesce(c3.c, 0) AS pr
+          FROM nodes LEFT JOIN c3 ON c3.n = nodes.n
+        )
+        SELECT 'n' || CAST(n AS VARCHAR) AS node,
+               round(pr, 6) AS pagerank
+        FROM p3
+    """
+    d["sitemap_locs"] = """
+        WITH d AS (SELECT doc_id FROM documents)
+        SELECT doc_id,
+               'https://m' || CAST(doc_id % 5 AS VARCHAR) || '.com/a'
+                 AS loc, FALSE AS is_index
+        FROM d
+        UNION ALL
+        SELECT doc_id,
+               'https://m' || CAST(doc_id % 5 AS VARCHAR) || '.com/b'
+                 || CAST(doc_id % 7 AS VARCHAR), FALSE
+        FROM d
+        UNION ALL
+        SELECT doc_id,
+               'https://m' || CAST(doc_id % 5 AS VARCHAR) || '.com/s'
+                 || CAST(doc_id % 3 AS VARCHAR) || '.xml', TRUE
+        FROM d
+    """
+    d["robots_sitemaps"] = """
+        WITH d AS (
+          SELECT doc_id, 'h' || CAST(doc_id AS VARCHAR) AS host,
+                 'https://h' || CAST(doc_id % 6 AS VARCHAR) AS base
+          FROM documents
+        )
+        SELECT host, base || '.com/s' || CAST(doc_id % 4 AS VARCHAR)
+                 || '.xml' AS sitemap_url
+        FROM d
+        UNION ALL
+        SELECT host, base || '.com/extra.xml' FROM d
     """
     d["robots_allowed"] = """
         -- independent hand-derivation of the RFC 9309 decisions for

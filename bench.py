@@ -284,6 +284,10 @@ HEADLINE = [
     "image_resize",
     "robots_rules",
     "robots_allowed",
+    "extract_links",
+    "pagerank3",
+    "sitemap_locs",
+    "robots_sitemaps",
     "image_meta_sniff",
     "image_meta_jpeg",
 ]

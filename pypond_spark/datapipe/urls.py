@@ -342,3 +342,172 @@ def robots_filter(df: DataFrame, rules: DataFrame, agent: str = "*",
            .withColumn(out_col, F.coalesce("__allowed", F.lit(True)))
            .drop("__host", "__mpath", "__allowed"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# link extraction, sitemaps, link graph
+# ---------------------------------------------------------------------------
+
+_HREF_RE = r"""(?i)<a[^>]*\shref\s*=\s*["']([^"'#>\s]+)"""
+
+
+def extract_links(df: DataFrame, html_col: str = "html",
+                  base_col: str = "url") -> DataFrame:
+    """One row per ``<a href>`` link: raw ``href`` plus ``link_url``
+    resolved against the row's base URL — the crawl-frontier /
+    link-graph extraction step.
+
+    Resolution is the scan-level subset of RFC 3986 a link graph
+    needs: absolute http(s) kept, protocol-relative ``//host/..``
+    gets the base scheme, root-relative ``/path`` gets scheme://host,
+    other relative paths resolve against the base URL's directory
+    (no ``..`` normalization — graph keys tolerate it);
+    ``javascript:``/``mailto:``/``data:``/``tel:`` and
+    fragment-only hrefs are dropped by the extraction regex or the
+    scheme filter.  Pure regexp + explode, zero UDFs, zero shuffles.
+    """
+    base = F.col(base_col)
+    scheme = F.lower(F.regexp_extract(
+        base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1))
+    host = _host_expr(base)
+    after = F.regexp_replace(base, _AUTH, "")
+    path = F.regexp_extract(after, r"^([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    dirp = F.regexp_replace(path, r"[^/]*$", "")
+    origin = F.concat(scheme, F.lit("://"), host)
+
+    out = df.withColumn(
+        "href", F.explode(F.regexp_extract_all(F.col(html_col),
+                                               F.lit(_HREF_RE), 1)))
+    href = F.col("href")
+    is_abs = href.rlike(r"(?i)^https?://")
+    has_scheme = href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+    resolved = (F.when(is_abs, href)
+                .when(has_scheme, F.lit(None))     # mailto:, tel:, ...
+                .when(href.startswith("//"),
+                      F.concat(scheme, F.lit(":"), href))
+                .when(href.startswith("/"), F.concat(origin, href))
+                .otherwise(F.concat(origin, dirp, href)))
+    return (out.withColumn("link_url", resolved)
+            .where(F.col("link_url").isNotNull())
+            .drop(html_col))
+
+
+def sitemap_urls(df: DataFrame, xml_col: str = "sitemap_xml",
+                 id_col: str = "doc_id") -> DataFrame:
+    """``<loc>`` entries of a sitemap / sitemap-index document
+    (sitemaps.org protocol): one output row per location, with
+    ``is_index`` true when the loc sits inside a ``<sitemap>`` entry
+    (an index pointing at further sitemap files) rather than a
+    ``<url>`` entry.  Regexp extraction + explode — the protocol is
+    rigid enough that the two entry shapes are matched directly,
+    whitespace-tolerantly, with no XML parser dependency."""
+    def locs(tag: str) -> Column:
+        # tempered dot: stay inside this <tag> entry (never cross its
+        # close tag) up to the entry's first <loc>
+        pat = (rf"(?is)<{tag}\b[^>]*>(?:(?!</{tag}>).)*?"
+               rf"<loc>\s*([^<\s][^<]*?)\s*</loc>")
+        return F.regexp_extract_all(F.col(xml_col), F.lit(pat), 1)
+
+    return (df.select(
+        F.col(id_col),
+        F.explode(F.concat(
+            F.transform(locs("url"),
+                        lambda u: F.struct(u.alias("loc"),
+                                           F.lit(False)
+                                           .alias("is_index"))),
+            F.transform(locs("sitemap"),
+                        lambda u: F.struct(u.alias("loc"),
+                                           F.lit(True)
+                                           .alias("is_index")))))
+        .alias("e"))
+        .select(id_col, F.col("e.loc").alias("loc"),
+                F.col("e.is_index").alias("is_index")))
+
+
+def robots_sitemaps(df: DataFrame, robots_col: str = "robots_txt",
+                    host_col: str = "host") -> DataFrame:
+    """``Sitemap:`` lines of robots.txt (RFC 9309 §2.3 allows them
+    anywhere in the file, outside group structure): one row per
+    (host, sitemap URL).  Scan-level split + regexp, no window."""
+    host = F.lower(F.col(host_col))
+    return (df.select(host.alias("host"),
+                      F.explode(F.split(F.col(robots_col), r"\r?\n"))
+                      .alias("line"))
+            .withColumn("clean",
+                        F.trim(F.regexp_replace("line", r"#.*$", "")))
+            .where(F.lower("clean").rlike(r"^sitemap\s*:"))
+            .select("host",
+                    F.trim(F.regexp_replace(
+                        "clean", r"(?i)^sitemap\s*:", ""))
+                    .alias("sitemap_url"))
+            .where(F.col("sitemap_url") != ""))
+
+
+def link_graph(df: DataFrame, src_col: str = "url",
+               dst_col: str = "link_url") -> DataFrame:
+    """Registered-domain edge list with weights from resolved links:
+    ``(src_domain, dst_domain, n_links)``, self-edges dropped — the
+    input to :func:`pagerank` and to domain-authority audits.  One
+    groupBy (map-side combinable)."""
+    def dom(c: Column) -> Column:
+        h = F.nullif(_host_expr(c), F.lit(""))
+        return F.when(h.isNotNull(), registered_domain_expr(h))
+
+    src, dst = dom(F.col(src_col)), dom(F.col(dst_col))
+    return (df.select(src.alias("src_domain"), dst.alias("dst_domain"))
+            .where(F.col("src_domain").isNotNull()
+                   & F.col("dst_domain").isNotNull()
+                   & (F.col("src_domain") != F.col("dst_domain")))
+            .groupBy("src_domain", "dst_domain")
+            .agg(F.count("*").alias("n_links")))
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
+             src_col: str = "src_domain", dst_col: str = "dst_domain",
+             cache_static: bool = True) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list — domain authority
+    for crawl prioritization and quality priors.
+
+    The classic un-normalized recurrence ``pr = (1-d) + d * sum(
+    pr_in / outdeg_in)`` from ``pr = 1``, run for exactly ``iters``
+    rounds (deterministic, SQL-replayable — the oracle unrolls the
+    same CTE chain).  Dangling nodes keep rank but redistribute none
+    (the standard simplification; add a sink edge per dangling node
+    upstream if mass conservation matters).
+
+    Scale shape per iteration: one join of edges to the current rank
+    vector on the src key + one groupBy on dst — both shuffles carry
+    the edge list, never materializing anything denser.  Spark reuses
+    the edge-side shuffle across iterations (same key), so N
+    iterations cost ~N rank-vector shuffles; lineage is kept shallow
+    by the fixed small ``iters`` (for iters >> 5 checkpoint between
+    rounds).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = e.join(outdeg, "src")
+    if cache_static:
+        # the edge and node frames are re-read every round — without
+        # persisting them each iteration replays the distinct/degree
+        # lineage from the scan (pass False for one-shot tiny graphs)
+        nodes = nodes.persist()
+        ew = ew.persist()
+    pr = nodes.withColumn("pr", F.lit(1.0))
+    for _ in range(iters):
+        contrib = (ew.join(pr, ew["src"] == pr["node"])
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("pr") / F.col("deg"))
+                        .alias("c")))
+        pr = (nodes.join(contrib, nodes["node"] == contrib["dst"],
+                         "left")
+              .select("node",
+                      (F.lit(1.0 - damping)
+                       + F.lit(damping) * F.coalesce("c", F.lit(0.0)))
+                      .alias("pr")))
+    return pr.select("node", F.col("pr").alias("pagerank"))

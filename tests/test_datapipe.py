@@ -3058,3 +3058,93 @@ def test_robots_filter_decisions(spark):
         for i, (u, a, want) in enumerate(cases):
             if a == agent:
                 assert out[i] == want, (u, a)
+
+
+def test_extract_links_resolution(spark):
+    """extract_links: absolute kept, protocol-relative gets base
+    scheme, root-relative gets origin, path-relative resolves against
+    the base directory, non-http schemes and fragment-only dropped."""
+    from pypond_spark.datapipe import urls
+
+    html = (' <a class="x" href="https://other.com/abs">a</a>'
+            ' <A HREF=\'//cdn.com/p\'>b</A>'
+            ' <a href="/root/x">c</a>'
+            ' <a href="rel/y">d</a>'
+            ' <a href="mailto:a@b.c">e</a>'
+            ' <a href="javascript:void(0)">f</a>'
+            ' <a href="#frag">g</a>')
+    df = spark.createDataFrame(
+        [(1, "https://Site.Example/dir/page.html", html)],
+        "id long, url string, html string")
+    out = urls.extract_links(df, html_col="html")
+    got = {r["link_url"] for r in out.collect()}
+    assert got == {
+        "https://other.com/abs",
+        "https://cdn.com/p",
+        "https://site.example/root/x",
+        "https://site.example/dir/rel/y",
+    }
+    assert "html" not in out.columns
+
+
+def test_sitemap_and_robots_sitemaps(spark):
+    from pypond_spark.datapipe import urls
+
+    xml = """<?xml version="1.0"?>
+    <urlset><url>
+      <loc> https://a.com/1 </loc><lastmod>2026-01-01</lastmod>
+    </url><url><lastmod>x</lastmod><loc>https://a.com/2</loc></url>
+    </urlset>"""
+    idx = ("<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>"
+           "</sitemap></sitemapindex>")
+    df = spark.createDataFrame([(1, xml), (2, idx)],
+                               "doc_id long, sitemap_xml string")
+    got = {(r["doc_id"], r["loc"], r["is_index"])
+           for r in urls.sitemap_urls(df).collect()}
+    assert got == {(1, "https://a.com/1", False),
+                   (1, "https://a.com/2", False),
+                   (2, "https://a.com/s1.xml", True)}
+
+    robots = spark.createDataFrame(
+        [("H.com", "User-agent: *\nDisallow: /x\n"
+                   "Sitemap: https://h.com/s.xml  # c\n"
+                   "sitemap:https://h.com/s2.xml")],
+        "host string, robots_txt string")
+    sm = {(r["host"], r["sitemap_url"])
+          for r in urls.robots_sitemaps(robots).collect()}
+    assert sm == {("h.com", "https://h.com/s.xml"),
+                  ("h.com", "https://h.com/s2.xml")}
+
+
+def test_link_graph_and_pagerank(spark):
+    """pagerank matches a hand-iterated reference on a small graph;
+    link_graph keys on registered domains and drops self-edges."""
+    from pypond_spark.datapipe import urls
+
+    links = spark.createDataFrame([
+        ("http://a.com/p", "http://b.com/x"),
+        ("http://a.com/q", "http://b.com/y"),
+        ("http://a.com/p", "http://c.com/"),
+        ("http://b.com/x", "http://c.com/"),
+        ("http://www.a.com/r", "http://sub.a.com/s"),  # self at domain
+    ], "url string, link_url string")
+    g = {(r["src_domain"], r["dst_domain"]): r["n_links"]
+         for r in urls.link_graph(links).collect()}
+    assert g == {("a.com", "b.com"): 2, ("a.com", "c.com"): 1,
+                 ("b.com", "c.com"): 1}
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")],
+        "src_domain string, dst_domain string")
+    # hand iteration, pr0 = 1 everywhere, d = 0.85
+    pr = {"a": 1.0, "b": 1.0, "c": 1.0}
+    for _ in range(3):
+        contrib = {"b": pr["a"] / 2, "c": pr["a"] / 2 + pr["b"],
+                   "a": pr["c"]}
+        pr = {n: 0.15 + 0.85 * contrib.get(n, 0.0) for n in pr}
+    got = {r["node"]: r["pagerank"]
+           for r in urls.pagerank(edges, iters=3).collect()}
+    for n in pr:
+        assert abs(got[n] - pr[n]) < 1e-12, n
+    with pytest.raises(ValueError, match="iters"):
+        urls.pagerank(edges, iters=0)
