@@ -4308,6 +4308,35 @@ def q_robots_sitemaps(spark, sf_dir):
     return dp_urls.robots_sitemaps(robots)
 
 
+def q_http_charset(spark, sf_dir):
+    """Declared-charset triage (datapipe/warc.py::http_charset_expr):
+    four block shapes by doc_id — Content-Type HEADER charset winning
+    over a conflicting body meta, meta-only (parametric iso-8859-N),
+    the http-equiv form, and a bare no-declaration block that must
+    come back NULL.  Pure JVM regexp; the oracle predicts each value
+    from doc_id."""
+    from pypond_spark.datapipe import warc as dp_warc
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    block = (
+        F.when(F.pmod(d, 4) == 0,
+               F.lit('HTTP/1.1 200 OK\r\nContent-Type: text/html; '
+                     'charset=UTF-8\r\n\r\n<meta charset="latin-1">x'))
+        .when(F.pmod(d, 4) == 1,
+              F.concat(F.lit("HTTP/1.1 200 OK\r\nContent-Type: "
+                             "text/html\r\n\r\n<html><META "
+                             "CHARSET=iso-8859-"),
+                       F.pmod(d, 9) + 1, F.lit(">x")))
+        .when(F.pmod(d, 4) == 2,
+              F.lit('HTTP/1.1 200 OK\r\nServer: x\r\n\r\n<meta '
+                    'http-equiv="Content-Type" content="text/html; '
+                    'charset=Windows-1252">x'))
+        .otherwise(F.lit("plain WET text, no declarations")))
+    frame = docs.select("doc_id", block.alias("block"))
+    return dp_warc.with_charset(frame).select("doc_id", "charset")
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-registered-domain corpus composition (datapipe/urls.py::
     domain_stats — the domain-mixing/blocklist audit): one groupBy on
@@ -5551,6 +5580,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
         "extract_links": q_extract_links,
+        "http_charset": q_http_charset,
         "pagerank3": q_pagerank3,
         "sitemap_locs": q_sitemap_locs,
         "robots_sitemaps": q_robots_sitemaps,
@@ -11893,6 +11923,16 @@ def oracle_sql() -> dict[str, str]:
                'https://abs' || CAST(doc_id % 8 AS VARCHAR)
                  || '.org/p'
         FROM b
+    """
+    d["http_charset"] = """
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 'utf-8'
+                 WHEN 1 THEN 'iso-8859-' || CAST(doc_id % 9 + 1
+                                                 AS VARCHAR)
+                 WHEN 2 THEN 'windows-1252'
+                 ELSE NULL END AS charset
+        FROM documents
     """
     d["pagerank3"] = """
         -- three unrolled iterations of the identical recurrence

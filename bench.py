@@ -288,6 +288,7 @@ HEADLINE = [
     "pagerank3",
     "sitemap_locs",
     "robots_sitemaps",
+    "http_charset",
     "image_meta_sniff",
     "image_meta_jpeg",
 ]

@@ -142,3 +142,35 @@ def warc_responses(df: DataFrame, warc_col: str = "warc",
     return (recs.where(F.col("warc_type") == "response")
             .withColumn("payload", http_payload_expr("block"))
             .drop("block"))
+
+
+def http_charset_expr(block_col: str = "block") -> Column:
+    """Declared character set of an HTTP response block — the triage
+    key for transcoding a crawl to UTF-8.
+
+    Precedence mirrors browsers: the ``charset=`` parameter of the
+    Content-Type HEADER (searched only in the header zone, before the
+    first blank line) wins; an HTML ``<meta charset=..>`` or
+    ``http-equiv`` declaration in the body is the fallback; NULL when
+    neither declares one.  Lowercased.  Pure JVM regexp expressions —
+    engine-portable, zero Python."""
+    c = F.col(block_col)
+    sep = F.instr(c, "\r\n\r\n")
+    hdr = F.when(c.startswith("HTTP/") & (sep > 0),
+                 F.substring(c, 1, sep - 1)).otherwise(F.lit(""))
+    body = F.when(c.startswith("HTTP/") & (sep > 0),
+                  F.substring(c, sep + 4, F.length(c))).otherwise(c)
+    from_hdr = F.lower(F.regexp_extract(
+        hdr, r"(?i)content-type:[^\r\n]*?charset=\"?([A-Za-z0-9_.:\-]+)",
+        1))
+    from_meta = F.lower(F.regexp_extract(
+        body, r"(?i)<meta[^>]*charset\s*=\s*[\"']?([A-Za-z0-9_.:\-]+)",
+        1))
+    return F.coalesce(F.nullif(from_hdr, F.lit("")),
+                      F.nullif(from_meta, F.lit("")))
+
+
+def with_charset(df: DataFrame, block_col: str = "block",
+                 out_col: str = "charset") -> DataFrame:
+    """Frame form of :func:`http_charset_expr`."""
+    return df.withColumn(out_col, http_charset_expr(block_col))

@@ -3148,3 +3148,30 @@ def test_link_graph_and_pagerank(spark):
         assert abs(got[n] - pr[n]) < 1e-12, n
     with pytest.raises(ValueError, match="iters"):
         urls.pagerank(edges, iters=0)
+
+
+def test_http_charset_expr(spark):
+    """http_charset_expr: header beats body meta, quoted and unquoted
+    values, http-equiv form, NULL when nothing declares, header zone
+    only searched before the blank line."""
+    from pypond_spark.datapipe import warc
+
+    cases = [
+        (0, 'HTTP/1.1 200 OK\r\nContent-Type: text/html; '
+            'charset="UTF-8"\r\n\r\n<meta charset=latin-1>', "utf-8"),
+        (1, "HTTP/1.1 200 OK\r\nX: y\r\n\r\n"
+            "<META CHARSET='Shift_JIS'>", "shift_jis"),
+        (2, 'HTTP/1.1 200 OK\r\nA: b\r\n\r\n<meta http-equiv='
+            '"Content-Type" content="text/x; charset=EUC-KR">',
+         "euc-kr"),
+        (3, "bare text", None),
+        # header-looking text in the BODY must not count as a header
+        (4, "HTTP/1.1 200 OK\r\nA: b\r\n\r\n"
+            "Content-Type: text/html; charset=KOI8-R", None),
+    ]
+    df = spark.createDataFrame([(i, b) for i, b, _ in cases],
+                               "id long, block string")
+    got = {r["id"]: r["charset"]
+           for r in warc.with_charset(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, i
