@@ -26,6 +26,7 @@ from pypond_spark.datapipe import sampling as dp_sample
 from pypond_spark.datapipe import similarity as dp_sim
 from pypond_spark.datapipe import textstats as dp_text
 from pypond_spark.datapipe import urls as dp_urls
+from pypond_spark.datapipe import y4m as dp_y4m
 from pypond_spark.datapipe import sketch as dp_sketch
 from pypond_spark.datapipe import tokenize as dp_tok
 from pypond_spark.operators import merge as merge_ops
@@ -2160,6 +2161,72 @@ def q_image_meta_jpeg(spark, sf_dir):
 
     media = base.mapInPandas(enc, "media_id long, content binary")
     return dp_mm.sniff_image_meta(media, engine="arrow")
+
+
+def _synth_y4m(docs, per_doc_unique: bool = True):
+    """3-frame 8x8 Y4M video per doc (datapipe/y4m.py::encode_y4m):
+    luma byte j of frame f comes from md5(text || '%f#' || j//16) hex
+    (the chained-digest recipe of :func:`_synth_ppm8`, one axis per
+    frame).  With ``per_doc_unique=False`` the recipe keys on
+    ``doc_id % 20`` instead of the text, yielding exactly 20 distinct
+    video byte-streams — the planted-duplicate corpus for the
+    near-dup row."""
+    import hashlib as _hashlib
+
+    import pandas as _pd
+
+    from pypond_spark.datapipe.y4m import encode_y4m
+
+    base = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                       F.col("text"))
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                mid = int(mid)
+                seed = text if per_doc_unique else f"vid{mid % 20}"
+                frames = []
+                for f in range(3):
+                    frames.append((b"".join(
+                        _hashlib.md5(f"{seed}%{f}#{k}".encode())
+                        .digest() for k in range(4)))[:64])
+                rows.append((mid, encode_y4m(8, 8, frames)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return base.mapInPandas(enc, "media_id long, content binary")
+
+
+def q_video_frame_phash(spark, sf_dir):
+    """REAL video frame sampling + per-frame perceptual hashing
+    (datapipe/y4m.py::sample_video_frames -> multimodal.image_phash):
+    each doc's 3-frame Y4M decodes to luma planes, every frame is
+    emitted as a grayscale PPM and hashed on the 4x4 integer grid.
+    Gray = 3*Y (luma replicated to RGB), and every phash comparison
+    is homogeneous of degree one in the pixel values, so the oracle
+    replays the comparisons with the raw LUMA bytes — the factor 3
+    cancels.  Frame key = doc_id*4 + frame_idx."""
+    docs = _read(spark, sf_dir, "documents")
+    frames = dp_y4m.sample_video_frames(_synth_y4m(docs), every_n=1)
+    keyed = frames.select(
+        (F.col("media_id") * 4 + F.col("frame_idx")).alias("media_id"),
+        "content")
+    return dp_mm.image_phash(keyed, grid_w=4, grid_h=4)
+
+
+def q_video_near_dups(spark, sf_dir):
+    """Near-duplicate videos by shared per-frame dHashes
+    (datapipe/y4m.py::video_near_dups — sample, hash, join on exact
+    frame-hash equality, keep pairs sharing the full distinct-hash
+    set): the synthetic corpus keys video content on doc_id % 20
+    (bounded to doc_id < 100), so the expected pairs are exactly the
+    same-residue doc pairs at shared_frac 1.0 — which the oracle
+    states directly, no codec run."""
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    vids = _synth_y4m(docs, per_doc_unique=False)
+    out = dp_y4m.video_near_dups(vids, every_n=1, grid_w=7, grid_h=7,
+                                 min_shared=1.0)
+    return out.select("id_a", "id_b", "shared_frac")
 
 
 # fixed PCM16 mono 8kHz WAV header for exactly 6 samples (12 data bytes)
@@ -5581,6 +5648,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_allowed": q_robots_allowed,
         "extract_links": q_extract_links,
         "http_charset": q_http_charset,
+        "video_frame_phash": q_video_frame_phash,
+        "video_near_dups": q_video_near_dups,
         "pagerank3": q_pagerank3,
         "sitemap_locs": q_sitemap_locs,
         "robots_sitemaps": q_robots_sitemaps,
@@ -11870,6 +11939,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(8 + doc_id % 9 AS INT) AS width,
                CAST(8 + doc_id % 7 AS INT) AS height
         FROM documents
+    """
+    d["video_frame_phash"] = """
+        -- luma byte p of frame f: digest md5(text || '%f#' || p//16),
+        -- hex offset p%16; gray on the Spark side is 3*Y but every
+        -- comparison is homogeneous in the pixels, so Y replays it
+        WITH px AS (
+          SELECT doc_id, f.f AS f, g.p AS p,
+                 ('0x' || substr(md5(text || '%' ||
+                    CAST(f.f AS VARCHAR) || '#' ||
+                    CAST(g.p // 16 AS VARCHAR)),
+                    2 * (g.p % 16) + 1, 2))::BIGINT AS gray
+          FROM documents
+          CROSS JOIN generate_series(0, 2) f(f)
+          CROSS JOIN generate_series(0, 63) g(p)
+        ), cells AS (
+          SELECT doc_id, f, (p % 8) // 2 AS xc, (p // 8) // 2 AS yc,
+                 CAST(sum(gray) AS BIGINT) AS cs
+          FROM px GROUP BY 1, 2, 3, 4
+        ), tot AS (
+          SELECT doc_id, f, CAST(sum(cs) AS BIGINT) AS ts
+          FROM cells GROUP BY 1, 2
+        ), ah AS (
+          SELECT c.doc_id AS doc_id, c.f AS f,
+                 CAST(sum(CASE WHEN c.cs * 64 > t.ts * 4
+                      THEN (CAST(1 AS BIGINT) << (c.yc * 4 + c.xc))
+                      ELSE 0 END) AS BIGINT) AS ahash
+          FROM cells c JOIN tot t ON t.doc_id = c.doc_id AND t.f = c.f
+          GROUP BY 1, 2
+        ), dh AS (
+          SELECT a.doc_id AS doc_id, a.f AS f,
+                 CAST(coalesce(sum(CASE WHEN a.cs * 4 > b.cs * 4
+                      THEN (CAST(1 AS BIGINT) << (a.yc * 3 + a.xc))
+                      ELSE 0 END), 0) AS BIGINT) AS dhash
+          FROM cells a JOIN cells b
+            ON b.doc_id = a.doc_id AND b.f = a.f AND b.yc = a.yc
+           AND b.xc = a.xc + 1
+          GROUP BY 1, 2
+        )
+        SELECT ah.doc_id * 4 + ah.f AS media_id,
+               8 AS width, 8 AS height, ah.ahash AS ahash,
+               dh.dhash AS dhash
+        FROM ah JOIN dh ON dh.doc_id = ah.doc_id AND dh.f = ah.f
+    """
+    d["video_near_dups"] = """
+        -- content keys on doc_id % 20 (doc_id < 100), so near-dup
+        -- pairs are exactly the same-residue pairs, full overlap
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               1.0::DOUBLE AS shared_frac
+        FROM d a JOIN d b
+          ON a.doc_id < b.doc_id AND a.doc_id % 20 = b.doc_id % 20
     """
     d["robots_rules"] = """
         -- the synthesis recipe IS the oracle: 5 lines per doc ->

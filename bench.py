@@ -289,6 +289,8 @@ HEADLINE = [
     "sitemap_locs",
     "robots_sitemaps",
     "http_charset",
+    "video_frame_phash",
+    "video_near_dups",
     "image_meta_sniff",
     "image_meta_jpeg",
 ]

@@ -3175,3 +3175,84 @@ def test_http_charset_expr(spark):
            for r in warc.with_charset(df).collect()}
     for i, _, want in cases:
         assert got[i] == want, i
+
+
+def test_y4m_roundtrip_and_errors():
+    """encode_y4m -> decode_y4m reproduces luma planes exactly for
+    every chroma tagging; header parsing, frame framing and
+    unsupported variants raise correctly."""
+    import hashlib
+
+    from pypond_spark.datapipe import y4m
+
+    frames = [(b"".join(hashlib.md5(f"y4m{f}~{k}".encode()).digest()
+                        for k in range(4)))[:64] for f in range(3)]
+    for chroma in ("420jpeg", "420mpeg2", "422", "444", "mono"):
+        data = y4m.encode_y4m(8, 8, frames, fps=(30, 1), chroma=chroma)
+        vid = y4m.decode_y4m(data)
+        assert (vid["width"], vid["height"], vid["n_frames"],
+                vid["fps_num"], vid["chroma"]) == (8, 8, 3, 30, chroma)
+        for f in range(3):
+            assert vid["frames"][f]["y"] == frames[f], (chroma, f)
+        if chroma == "mono":
+            assert vid["frames"][0]["u"] is None
+        else:
+            assert set(vid["frames"][0]["u"]) == {128}
+
+    with pytest.raises(ValueError, match="magic"):
+        y4m.decode_y4m(b"RIFFxxxx")
+    with pytest.raises(ValueError, match="frame header"):
+        good = y4m.encode_y4m(8, 8, frames)
+        y4m.decode_y4m(good.replace(b"FRAME\n", b"FRAMX\n", 1))
+    with pytest.raises(ValueError, match="truncated"):
+        y4m.decode_y4m(y4m.encode_y4m(8, 8, frames)[:-10])
+    with pytest.raises(NotImplementedError, match="chroma"):
+        y4m.decode_y4m(b"YUV4MPEG2 W8 H8 F25:1 C411\nFRAME\n" + bytes(96))
+    with pytest.raises(ValueError, match="divisible"):
+        y4m.encode_y4m(7, 8, [bytes(56)])
+    with pytest.raises(NotImplementedError, match="MP4"):
+        y4m.decode_video(bytes(4) + b"ftypisom" + bytes(4))
+    with pytest.raises(NotImplementedError, match="WebM"):
+        y4m.decode_video(b"\x1a\x45\xdf\xa3" + bytes(8))
+
+
+def test_sample_video_frames_and_near_dups(spark):
+    """sample_video_frames emits PPM frames that compose with the
+    image tier; video_near_dups pairs a video with its re-encoded /
+    trimmed copy but not with unrelated footage."""
+    import hashlib
+
+    from pypond_spark.datapipe import multimodal, y4m
+
+    def mk(seed, n):
+        return [(b"".join(hashlib.md5(f"{seed}~{f}~{k}".encode())
+                          .digest() for k in range(4)))[:64]
+                for f in range(n)]
+
+    a = mk("vidA", 4)
+    rows = [
+        (1, y4m.encode_y4m(8, 8, a)),                    # original
+        (2, y4m.encode_y4m(8, 8, a[1:], chroma="mono")),  # trimmed
+        (3, y4m.encode_y4m(8, 8, mk("vidB", 4))),        # unrelated
+    ]
+    vids = spark.createDataFrame(rows, "media_id long, content binary")
+
+    frames = y4m.sample_video_frames(vids, every_n=2).collect()
+    by_vid = {}
+    for r in frames:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    assert [r["frame_idx"] for r in sorted(by_vid[1],
+                                           key=lambda r: r["frame_idx"])] \
+        == [0, 2]
+    assert by_vid[1][0]["frame_ts_ms"] == 0
+    img = multimodal.decode_image(bytes(by_vid[1][0]["content"]))
+    assert (img["width"], img["height"]) == (8, 8)
+    assert img["pixels"][::3] == a[0]          # luma replicated to RGB
+
+    pairs = {(r["id_a"], r["id_b"]): r["shared_frac"]
+             for r in y4m.video_near_dups(vids, every_n=1,
+                                          min_shared=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert not any(3 in p for p in pairs)
+    with pytest.raises(ValueError, match="every_n"):
+        y4m.sample_video_frames(vids, every_n=0)
