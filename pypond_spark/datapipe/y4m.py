@@ -220,7 +220,10 @@ def video_near_dups(df: DataFrame, every_n: int = 1,
     ph = (image_phash(keyed, grid_w=grid_w, grid_h=grid_h)
           .select((F.col("media_id") / 100000).cast("long")
                   .alias("vid"), F.col("dhash"))
-          .distinct())
+          .distinct()
+          # the decode+hash pipeline feeds three consumers (both join
+          # sides + the counts); persist so frames decode ONCE
+          .persist())
     counts = ph.groupBy("vid").agg(F.count("*").alias("n_frames"))
     a = ph.alias("a")
     b = ph.alias("b")
