@@ -599,7 +599,16 @@ def _band_pfx(band: Column, prefix_chars: int = 2) -> Column:
     directories (~3% of the index). The cost of larger k is write-side
     file count (16^k x files_per_prefix), which is why it is a knob
     and not a constant; both sides must use the SAME value (it is part
-    of the index layout, like the banding parameters)."""
+    of the index layout, like the banding parameters).
+
+    MEASURED (SCALE.md round-11 stress): at a 100M-char index on a
+    local filesystem k=4 is strictly WORSE than k=2 (build 360.5s vs
+    32.6s, 1k-doc batch 29.9s vs 3.7s) — the 65,536-directory
+    write/list fan-out dominates while pruning saves opens that cost
+    ~nothing locally. k>2 only pays off when the index is large
+    enough that per-prefix files stay chunky (multi-TB band tables)
+    AND the store charges per open/list (S3-class); leave it at 2
+    otherwise."""
     if not 1 <= prefix_chars <= 4:
         raise ValueError(
             f"prefix_chars must be 1..4, got {prefix_chars}")
