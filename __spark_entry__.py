@@ -4404,6 +4404,71 @@ def q_http_charset(spark, sf_dir):
     return dp_warc.with_charset(frame).select("doc_id", "charset")
 
 
+def q_transcode_payload(spark, sf_dir):
+    """Charset transcoding (datapipe/warc.py::transcode_payload — the
+    bytes->UTF-8 step between charset triage and every text op): four
+    variants by doc_id — declared UTF-8, declared ISO-8859-1 (alias
+    to the latin-1 codec), UNDECLARED non-UTF-8 bytes that must fall
+    through the strict-UTF-8 rung to latin-1 with had_errors=true,
+    and declared us-ascii.  Bytes are synthesized in-plan with
+    F.encode; the oracle predicts text/used/errors from the recipe."""
+    from pypond_spark.datapipe import warc as dp_warc
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    suffix = F.pmod(d, 9).cast("string")
+    content = (
+        F.when(F.pmod(d, 4) == 0,
+               F.encode(F.concat(F.lit("héllo"), suffix), "UTF-8"))
+        .when(F.pmod(d, 4) == 1,
+              F.encode(F.concat(F.lit("café"), suffix), "ISO-8859-1"))
+        .when(F.pmod(d, 4) == 2,
+              F.encode(F.concat(F.lit("é!"), suffix), "ISO-8859-1"))
+        .otherwise(F.encode(F.concat(F.lit("plain"), suffix),
+                            "US-ASCII")))
+    charset = (F.when(F.pmod(d, 4) == 0, F.lit("UTF-8"))
+               .when(F.pmod(d, 4) == 1, F.lit("iso-8859-1"))
+               .when(F.pmod(d, 4) == 2, F.lit(None).cast("string"))
+               .otherwise(F.lit("us-ascii")))
+    frame = docs.select("doc_id", content.alias("content"),
+                        charset.alias("charset"))
+    return dp_warc.transcode_payload(frame)
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Composed crawl-frontier pipeline (the discovery half the
+    crawl_ingest row doesn't cover): extract_links over synthetic
+    pages -> normalize_url_expr (tracking-param strip + param sort on
+    the first link) -> robots_filter (the w0.* hosts disallow /r
+    paths) -> allowed-only frontier deduped by canonical URL with
+    reference counts.  Every stage is separately driver-verified; the
+    oracle composes their recipe predictions."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = F.concat(F.lit("https://w"), F.pmod(d, 4), F.lit(".site"),
+                    F.pmod(d, 6), F.lit(".com/dir"), F.pmod(d, 3),
+                    F.lit("/page.html"))
+    html = F.concat(
+        F.lit('<a href="/r'), F.pmod(d, 5),
+        F.lit('?utm_source=x&b=2&a=1">a</a><a href=\'rel'),
+        F.pmod(d, 7),
+        F.lit(".html'>b</a><a href=\"https://abs"), F.pmod(d, 8),
+        F.lit('.org/p">c</a>'))
+    pages = docs.select("doc_id", base.alias("url"),
+                        html.alias("html"))
+    links = dp_urls.extract_links(pages)
+    norm = links.withColumn("url_norm",
+                            dp_urls.normalize_url_expr("link_url"))
+    robots = spark.createDataFrame(
+        [(f"w0.site{k}.com", "User-agent: *\nDisallow: /r")
+         for k in range(6)], "host string, robots_txt string")
+    filt = dp_urls.robots_filter(norm, dp_urls.parse_robots(robots),
+                                 agent="*", url_col="url_norm")
+    return (filt.where(F.col("robots_allowed"))
+            .groupBy("url_norm")
+            .agg(F.count("*").alias("n_refs")))
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-registered-domain corpus composition (datapipe/urls.py::
     domain_stats — the domain-mixing/blocklist audit): one groupBy on
@@ -5649,6 +5714,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "http_charset": q_http_charset,
         "video_frame_phash": q_video_frame_phash,
+        "transcode_payload": q_transcode_payload,
+        "crawl_frontier": q_crawl_frontier,
         "video_near_dups": q_video_near_dups,
         "pagerank3": q_pagerank3,
         "sitemap_locs": q_sitemap_locs,
@@ -11990,6 +12057,45 @@ def oracle_sql() -> dict[str, str]:
                1.0::DOUBLE AS shared_frac
         FROM d a JOIN d b
           ON a.doc_id < b.doc_id AND a.doc_id % 20 = b.doc_id % 20
+    """
+    d["transcode_payload"] = """
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 'héllo' WHEN 1 THEN 'café'
+                 WHEN 2 THEN 'é!' ELSE 'plain' END
+                 || CAST(doc_id % 9 AS VARCHAR) AS text,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'latin-1'
+                 WHEN 2 THEN 'latin-1' ELSE 'ascii' END
+                 AS used_charset,
+               doc_id % 4 = 2 AS had_errors
+        FROM documents
+    """
+    d["crawl_frontier"] = """
+        -- composed from the verified component recipes: link 1 is
+        -- normalized (utm stripped, params sorted) and blocked on the
+        -- w0.* hosts (robots Disallow: /r); links 2 and 3 always pass
+        WITH b AS (
+          SELECT doc_id,
+                 'https://w' || CAST(doc_id % 4 AS VARCHAR) || '.site'
+                   || CAST(doc_id % 6 AS VARCHAR) || '.com' AS origin,
+                 '/dir' || CAST(doc_id % 3 AS VARCHAR) || '/' AS dirp
+          FROM documents
+        ), l AS (
+          SELECT origin || '/r' || CAST(doc_id % 5 AS VARCHAR)
+                   || '?a=1&b=2' AS u
+          FROM b WHERE doc_id % 4 <> 0
+          UNION ALL
+          SELECT origin || dirp || 'rel'
+                   || CAST(doc_id % 7 AS VARCHAR) || '.html'
+          FROM b
+          UNION ALL
+          SELECT 'https://abs' || CAST(doc_id % 8 AS VARCHAR)
+                   || '.org/p'
+          FROM b
+        )
+        SELECT u AS url_norm, count(*) AS n_refs
+        FROM l GROUP BY u
     """
     d["robots_rules"] = """
         -- the synthesis recipe IS the oracle: 5 lines per doc ->

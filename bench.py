@@ -291,6 +291,8 @@ HEADLINE = [
     "http_charset",
     "video_frame_phash",
     "video_near_dups",
+    "transcode_payload",
+    "crawl_frontier",
     "image_meta_sniff",
     "image_meta_jpeg",
 ]

@@ -367,6 +367,47 @@ def main() -> None:
     assert "fox" in got and "Privacy" not in got
     print("jusText-class content extraction: OK")
 
+    # r11 second batch: the crawl-discovery half — robots + links +
+    # PageRank — plus video frames feeding the image tier
+    from pypond_spark.datapipe.urls import (extract_links, link_graph,
+                                            pagerank, parse_robots,
+                                            robots_filter)
+    robots = spark.createDataFrame(
+        [("example.com", "User-agent: *\nDisallow: /private/")],
+        "host string, robots_txt string")
+    pages = spark.createDataFrame(
+        [(1, "https://example.com/a",
+          '<a href="/private/x">s</a><a href="/pub/y">p</a>'
+          '<a href="https://other.org/z">o</a>')],
+        "doc_id long, url string, html string")
+    frontier = robots_filter(extract_links(pages),
+                             parse_robots(robots),
+                             url_col="link_url")
+    kept = {r["link_url"] for r in
+            frontier.where("robots_allowed").collect()}
+    assert kept == {"https://example.com/pub/y",
+                    "https://other.org/z"}
+    print("robots-gated link frontier: OK")
+
+    edges = link_graph(spark.createDataFrame(
+        [("http://a.com/", "http://b.com/"),
+         ("http://b.com/", "http://c.com/"),
+         ("http://c.com/", "http://a.com/")],
+        "url string, link_url string"))
+    pr = pagerank(edges, iters=3).collect()
+    assert len(pr) == 3                      # a ring: equal ranks
+    print("domain PageRank over the link graph: OK")
+
+    from pypond_spark.datapipe.y4m import (encode_y4m,
+                                           sample_video_frames)
+    vid = spark.createDataFrame(
+        [(1, encode_y4m(8, 8, [bytes(range(64))] * 3))],
+        "media_id long, content binary")
+    frames = sample_video_frames(vid, every_n=2)
+    assert frames.count() == 2               # frames 0 and 2
+    assert decode_image(bytes(frames.first()["content"]))["width"] == 8
+    print("Y4M frame sampling into the image tier: OK")
+
     spark.stop()
 
 

@@ -174,3 +174,77 @@ def with_charset(df: DataFrame, block_col: str = "block",
                  out_col: str = "charset") -> DataFrame:
     """Frame form of :func:`http_charset_expr`."""
     return df.withColumn(out_col, http_charset_expr(block_col))
+
+
+TRANSCODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("used_charset", T.StringType(), True),
+    T.StructField("had_errors", T.BooleanType(), True),
+])
+
+#: declared-charset aliases -> Python codec names (the high-frequency
+#: crawl subset; unknown labels fall back to the UTF-8 ladder)
+CHARSET_ALIASES = {
+    "utf8": "utf-8", "utf-8": "utf-8",
+    "latin-1": "latin-1", "latin1": "latin-1",
+    "iso-8859-1": "latin-1", "iso8859-1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "us-ascii": "ascii", "ascii": "ascii",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "euc-jp": "euc_jp", "euc-kr": "euc_kr",
+    "gb2312": "gb2312", "gbk": "gbk", "big5": "big5",
+    "iso-8859-2": "iso8859-2", "iso-8859-15": "iso8859-15",
+    "koi8-r": "koi8-r", "windows-1251": "cp1251",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+}
+
+
+def transcode_payload(df: DataFrame, content_col: str = "content",
+                      charset_col: str = "charset",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Decode raw payload BYTES to UTF-8 text using each row's declared
+    charset — the step between :func:`http_charset_expr` triage and
+    every text operator downstream (quality, dedup, LM scoring all
+    assume one encoding).
+
+    Decode ladder per row: the declared charset (through
+    :data:`CHARSET_ALIASES`), else strict UTF-8, else latin-1 (which
+    cannot fail — the byte-preserving fallback every crawl pipeline
+    ends on).  ``used_charset`` reports which rung decoded the row and
+    ``had_errors`` whether the declared codec raised and the ladder
+    fell through — the audit columns a re-crawl queue filters on.
+
+    Arrow ``mapInPandas``, zero shuffle, scan-parallel — bytes never
+    leave the columnar batch (same plan shape as the media decoders);
+    Python codecs do the decoding because the JVM's charset table and
+    Python's disagree on edge bytes, and ONE implementation must own
+    the result (the normalize_unicode argument).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, content, cs in zip(pdf[id_col], pdf[content_col],
+                                        pdf[charset_col]):
+                if content is None:
+                    rows.append((int(did), None, None, None))
+                    continue
+                raw = bytes(content)
+                codec = CHARSET_ALIASES.get((cs or "").lower())
+                text = used = None
+                had_errors = False
+                for rung in ([codec] if codec else []) + \
+                        ["utf-8", "latin-1"]:
+                    try:
+                        text = raw.decode(rung)
+                        used = rung
+                        break
+                    except (UnicodeDecodeError, LookupError):
+                        had_errors = True
+                rows.append((int(did), text, used, had_errors))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              TRANSCODE_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=TRANSCODE_SCHEMA)

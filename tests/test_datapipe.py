@@ -3256,3 +3256,32 @@ def test_sample_video_frames_and_near_dups(spark):
     assert not any(3 in p for p in pairs)
     with pytest.raises(ValueError, match="every_n"):
         y4m.sample_video_frames(vids, every_n=0)
+
+
+def test_transcode_payload(spark):
+    """transcode_payload: declared codec used when it works, UTF-8 ->
+    latin-1 ladder on failure or unknown labels, audit columns, NULL
+    content passthrough."""
+    from pypond_spark.datapipe import warc
+
+    rows = [
+        (0, "héllo".encode("utf-8"), "UTF-8"),
+        (1, "café".encode("latin-1"), "iso-8859-1"),
+        (2, "日本語".encode("shift_jis"), "Shift_JIS"),
+        (3, b"\xe9!", None),               # not UTF-8 -> latin-1 rung
+        (4, "naïve".encode("utf-8"), "x-unknown-label"),
+        (5, None, "utf-8"),
+        (6, "﻿bom".encode("utf-16-le"), "utf-16le"),
+    ]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, content binary, "
+                               "charset string")
+    got = {r["doc_id"]: (r["text"], r["used_charset"], r["had_errors"])
+           for r in warc.transcode_payload(df).collect()}
+    assert got[0] == ("héllo", "utf-8", False)
+    assert got[1] == ("café", "latin-1", False)
+    assert got[2] == ("日本語", "shift_jis", False)
+    assert got[3] == ("é!", "latin-1", True)
+    assert got[4] == ("naïve", "utf-8", False)
+    assert got[5] == (None, None, None)
+    assert got[6] == ("﻿bom", "utf-16-le", False)
