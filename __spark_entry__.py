@@ -4404,6 +4404,59 @@ def q_http_charset(spark, sf_dir):
     return dp_warc.with_charset(frame).select("doc_id", "charset")
 
 
+def q_audio_meta_sniff(spark, sf_dir):
+    """Header-only audio triage (multimodal.py::sniff_audio_meta):
+    per doc one of three shapes — a WAV whose fmt/data chunks encode
+    rate from doc_id, an MPEG1 Layer III frame (optionally behind an
+    ID3v2 tag) with bitrate/rate/mode indices from doc_id, and an
+    MPEG2 frame with the second bitrate table.  MP3 cannot DECODE in
+    this tier (no codec libs) but triage needs only the 4 header
+    bytes — exactly the 100-TB pre-filter story.  The oracle replays
+    the recipe with the bitrate tables inlined."""
+    import struct as _struct
+
+    import pandas as _pd
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                v = d % 3
+                if v == 0:
+                    rate = 8000 + 8000 * (d % 5 % 3)
+                    content = (b"RIFF"
+                               + _struct.pack("<I", 36 + 256) + b"WAVE"
+                               + b"fmt "
+                               + _struct.pack("<IHHIIHH", 16, 1, 1,
+                                              rate, rate * 2, 2, 16)
+                               + b"data" + _struct.pack("<I", 256)
+                               + bytes(256))
+                elif v == 1:
+                    br, sr = 1 + d % 14, (d % 9) // 3
+                    h = bytes([0xFF, 0xFB, (br << 4) | (sr << 2),
+                               0xC0 if d % 2 else 0x00])
+                    body = h + bytes(996)
+                    if d % 4 == 1:  # ID3v2 tag on some rows
+                        body = (b"ID3" + bytes([4, 0, 0, 0, 0, 0, 20])
+                                + bytes(20) + body)
+                    content = body
+                else:
+                    br, sr = 1 + d % 14, (d % 9) // 3
+                    content = bytes([0xFF, 0xF3,
+                                     (br << 4) | (sr << 2),
+                                     0xC0 if d % 2 else 0x00]) \
+                        + bytes(496)
+                rows.append((d, content))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.select(F.col("doc_id")).mapInPandas(
+        enc, "media_id long, content binary")
+    return dp_mm.sniff_audio_meta(media)
+
+
 def q_transcode_payload(spark, sf_dir):
     """Charset transcoding (datapipe/warc.py::transcode_payload — the
     bytes->UTF-8 step between charset triage and every text op): four
@@ -5716,6 +5769,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_phash": q_video_frame_phash,
         "transcode_payload": q_transcode_payload,
         "crawl_frontier": q_crawl_frontier,
+        "audio_meta_sniff": q_audio_meta_sniff,
         "video_near_dups": q_video_near_dups,
         "pagerank3": q_pagerank3,
         "sitemap_locs": q_sitemap_locs,
@@ -12057,6 +12111,46 @@ def oracle_sql() -> dict[str, str]:
                1.0::DOUBLE AS shared_frac
         FROM d a JOIN d b
           ON a.doc_id < b.doc_id AND a.doc_id % 20 = b.doc_id % 20
+    """
+    d["audio_meta_sniff"] = """
+        -- recipe oracle with the Layer III bitrate tables inlined
+        -- (1-based list_extract; frame sizes 1000 / 500 bytes)
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(doc_id % 3 AS INT) AS v,
+                 1 + doc_id % 14 AS br,
+                 CAST((doc_id % 9) // 3 AS INT) AS sr,
+                 8000 + 8000 * (doc_id % 5 % 3) AS wrate
+          FROM documents
+        )
+        SELECT doc_id AS media_id,
+               CASE WHEN v = 0 THEN 'wav' ELSE 'mp3' END AS format,
+               CAST(CASE WHEN v = 0 THEN 1
+                         WHEN doc_id % 2 = 1 THEN 1
+                         ELSE 2 END AS INT) AS n_channels,
+               CAST(CASE v
+                 WHEN 0 THEN wrate
+                 WHEN 1 THEN list_extract([44100, 48000, 32000],
+                                          sr + 1)
+                 ELSE list_extract([22050, 24000, 16000], sr + 1)
+               END AS INT) AS sample_rate,
+               CAST(CASE v
+                 WHEN 0 THEN wrate * 16 // 1000
+                 WHEN 1 THEN list_extract([32,40,48,56,64,80,96,112,
+                                           128,160,192,224,256,320],
+                                          br)
+                 ELSE list_extract([8,16,24,32,40,48,56,64,80,96,112,
+                                    128,144,160], br)
+               END AS INT) AS bitrate_kbps,
+               CAST(CASE WHEN v = 0 THEN 16 END AS INT) AS bits,
+               CAST(CASE v
+                 WHEN 0 THEN 256000 // (wrate * 2)
+                 WHEN 1 THEN 8000 // list_extract([32,40,48,56,64,80,
+                                 96,112,128,160,192,224,256,320], br)
+                 ELSE 4000 // list_extract([8,16,24,32,40,48,56,64,80,
+                                 96,112,128,144,160], br)
+               END AS BIGINT) AS duration_ms
+        FROM t
     """
     d["transcode_payload"] = """
         SELECT doc_id,

@@ -394,13 +394,14 @@ def decode_image(content: bytes) -> dict:
     if content.startswith(b"BM"):
         from pypond_spark.datapipe.bmp import decode_bmp
         return decode_bmp(content)
-    if not content.startswith(b"P6"):
+    if not (content.startswith(b"P6") or content.startswith(b"P5")):
         raise NotImplementedError(
-            "only binary PPM (P6), PNG, GIF, BMP and baseline JPEG "
-            "decode without an imaging library; use extract_features"
-            "(..., fake=True) for plumbing tests")
-    # header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels;
-    # '#' comments may appear between tokens
+            "only binary PPM/PGM (P6/P5), PNG, GIF, BMP and baseline "
+            "JPEG decode without an imaging library; use "
+            "extract_features(..., fake=True) for plumbing tests")
+    gray = content.startswith(b"P5")
+    # header: magic <ws> width <ws> height <ws> maxval <single ws>
+    # pixels; '#' comments may appear between tokens
     pos, tokens = 2, []
     while len(tokens) < 3:
         while pos < len(content) and content[pos:pos + 1].isspace():
@@ -415,13 +416,16 @@ def decode_image(content: bytes) -> dict:
         tokens.append(int(content[start:pos]))
     pos += 1  # exactly one whitespace byte before pixel data
     width, height, maxval = tokens
-    n = width * height * 3
+    n = width * height * (1 if gray else 3)
     pixels = content[pos:pos + n]
     if len(pixels) != n:
         raise ValueError(
-            f"truncated PPM: expected {n} pixel bytes, got {len(pixels)}")
-    return {"format": "ppm", "width": width, "height": height,
-            "maxval": maxval, "pixels": pixels}
+            f"truncated {'PGM' if gray else 'PPM'}: expected {n} "
+            f"pixel bytes, got {len(pixels)}")
+    if gray:  # P5 grayscale: replicate to the RGB pixel contract
+        pixels = bytes(b for v in pixels for b in (v, v, v))
+    return {"format": "pgm" if gray else "ppm", "width": width,
+            "height": height, "maxval": maxval, "pixels": pixels}
 
 
 def decode_audio(content: bytes) -> dict:
@@ -696,9 +700,9 @@ def _sniff_meta(content: bytes):
     if content.startswith(b"BM") and len(content) >= 26:
         w, h = struct.unpack("<ii", content[18:26])
         return "bmp", w, abs(h)
-    if content.startswith(b"P6"):
+    if content.startswith(b"P6") or content.startswith(b"P5"):
+        fmt = "ppm" if content.startswith(b"P6") else "pgm"
         try:
-            img = None
             pos, tokens = 2, []
             while len(tokens) < 2:
                 while pos < len(content) \
@@ -713,9 +717,9 @@ def _sniff_meta(content: bytes):
                         and not content[pos:pos + 1].isspace():
                     pos += 1
                 tokens.append(int(content[start:pos]))
-            return "ppm", tokens[0], tokens[1]
+            return fmt, tokens[0], tokens[1]
         except (ValueError, IndexError):
-            return "ppm", None, None
+            return fmt, None, None
     if content.startswith(b"\xFF\xD8"):
         # walk marker segments to the first SOFn (T.81 B.2): each
         # non-standalone segment carries a 2-byte length, so the walk
@@ -1043,3 +1047,96 @@ def audio_near_dups(df: DataFrame, frame_size: int = 8,
                     F.col("b.media_id").alias("id_b"),
                     hamming.alias("hamming"))
             .distinct())
+
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("bitrate_kbps", T.IntegerType(), True),
+    T.StructField("bits", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+#: MPEG Layer III bitrate tables (kbps), index 1..14; 0 = free, 15 = bad
+_MP3_BITRATE_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                   224, 256, 320)
+_MP3_BITRATE_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                   144, 160)
+#: sample rates by version bits (3=MPEG1, 2=MPEG2, 0=MPEG2.5)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def _sniff_audio(content: bytes):
+    """(format, n_channels, sample_rate, bitrate_kbps, bits,
+    duration_ms) from HEADER bytes only — the audio twin of
+    :func:`_sniff_meta`.
+
+    WAV: RIFF chunk walk (fmt + data sizes, no sample read).  MP3: the
+    honest-gap triage — the codec cannot DECODE here (no audio libs),
+    but the 4-byte MPEG frame header after an optional ID3v2 tag gives
+    version/layer/bitrate/rate/mode, and a CBR duration estimate
+    (documented as such) falls out of the byte count.  Layer III only;
+    free-format/reserved fields yield NULL details with the format
+    still identified.  Unknown magic -> all NULLs.
+    """
+    none6 = (None, None, None, None, None, None)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        pos = 12
+        nch = rate = bits = byterate = data_size = None
+        while pos + 8 <= len(content):
+            cid = content[pos:pos + 4]
+            (sz,) = struct.unpack("<I", content[pos + 4:pos + 8])
+            if cid == b"fmt " and pos + 24 <= len(content):
+                _tag, nch, rate, byterate = struct.unpack(
+                    "<HHII", content[pos + 8:pos + 20])
+                (bits,) = struct.unpack("<H", content[pos + 22:pos + 24])
+            elif cid == b"data":
+                data_size = sz
+            pos += 8 + sz + (sz & 1)
+        dur = (data_size * 1000 // byterate
+               if data_size is not None and byterate else None)
+        return ("wav", nch, rate,
+                byterate * 8 // 1000 if byterate else None, bits, dur)
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        size = ((content[6] & 0x7F) << 21) | ((content[7] & 0x7F) << 14) \
+            | ((content[8] & 0x7F) << 7) | (content[9] & 0x7F)
+        pos = 10 + size
+    h = content[pos:pos + 4]
+    if len(h) == 4 and h[0] == 0xFF and (h[1] & 0xE0) == 0xE0:
+        version = (h[1] >> 3) & 0x3
+        layer = (h[1] >> 1) & 0x3
+        br_idx, sr_idx = h[2] >> 4, (h[2] >> 2) & 0x3
+        if version == 1 or layer != 1 or br_idx in (0, 15) \
+                or sr_idx == 3:
+            # reserved version / not Layer III / free-format: format
+            # identified, details unknown
+            return ("mp3", None, None, None, None, None)
+        table = _MP3_BITRATE_V1 if version == 3 else _MP3_BITRATE_V2
+        kbps = table[br_idx]
+        nch = 1 if ((h[3] >> 6) & 0x3) == 3 else 2
+        dur = (len(content) - pos) * 8 // kbps   # CBR estimate
+        return ("mp3", nch, _MP3_RATES[version][sr_idx], kbps, None,
+                dur)
+    return none6
+
+
+def sniff_audio_meta(df: DataFrame) -> DataFrame:
+    """Header-only audio metadata probe (the audio twin of
+    :func:`sniff_image_meta`): one Arrow ``mapInPandas`` stage reading
+    O(header) bytes per file — filter a crawl's audio by
+    rate/channels/duration without decoding a sample, including MP3,
+    which this tier cannot decode (triage is still possible and is
+    exactly what a 100-TB pre-filter needs)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rows.append((int(mid), *_sniff_audio(bytes(content))))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_META_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=AUDIO_META_SCHEMA)

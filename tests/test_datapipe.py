@@ -3285,3 +3285,55 @@ def test_transcode_payload(spark):
     assert got[4] == ("naïve", "utf-8", False)
     assert got[5] == (None, None, None)
     assert got[6] == ("﻿bom", "utf-16-le", False)
+
+
+def test_decode_pgm_p5():
+    """P5 grayscale PGM decodes with luma replicated to the RGB pixel
+    contract; sniff reports format pgm with dimensions."""
+    content = b"P5\n# c\n3 2\n255\n" + bytes([0, 50, 100, 150, 200, 250])
+    img = multimodal.decode_image(content)
+    assert (img["format"], img["width"], img["height"]) == ("pgm", 3, 2)
+    assert img["pixels"] == bytes(
+        b for v in [0, 50, 100, 150, 200, 250] for b in (v, v, v))
+    assert multimodal._sniff_meta(content) == ("pgm", 3, 2)
+    with pytest.raises(ValueError, match="truncated PGM"):
+        multimodal.decode_image(b"P5\n3 2\n255\n\x00")
+
+
+def test_sniff_audio_meta(spark):
+    """_sniff_audio: WAV chunk walk, MP3 frame header after ID3v2,
+    MPEG2 table, free-format/reserved degradation, junk -> NULLs."""
+    import struct
+
+    # 8kHz mono 16-bit WAV, 128 samples (the _WAV_HDR_128 shape)
+    wav = (b"RIFF" + struct.pack("<I", 36 + 256) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                   16000, 2, 16)
+           + b"data" + struct.pack("<I", 256) + bytes(256))
+    got = multimodal._sniff_audio(wav)
+    assert got == ("wav", 1, 8000, 128, 16, 16)   # 256B/16000Bps=16ms
+
+    # MPEG1 Layer III 128kbps 44.1kHz stereo, 1000 bytes total
+    mp3 = bytes([0xFF, 0xFB, (9 << 4) | (0 << 2), 0x00]) + bytes(996)
+    assert multimodal._sniff_audio(mp3) == ("mp3", 2, 44100, 128,
+                                            None, 62)
+    # same frame behind an ID3v2 tag with a 20-byte body
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 20]) + bytes(20)
+    assert multimodal._sniff_audio(id3 + mp3) == ("mp3", 2, 44100,
+                                                  128, None, 62)
+    # MPEG2 table + mono
+    mp3v2 = bytes([0xFF, 0xF3, (9 << 4) | (1 << 2), 0xC0]) + bytes(96)
+    assert multimodal._sniff_audio(mp3v2) == ("mp3", 1, 24000, 80, None,
+                                              10)
+    # free-format: identified but detail-less
+    free = bytes([0xFF, 0xFB, 0x00, 0x00]) + bytes(32)
+    assert multimodal._sniff_audio(free) == ("mp3", None, None, None,
+                                             None, None)
+    assert multimodal._sniff_audio(b"junk") == (None,) * 6
+
+    media = spark.createDataFrame([(1, wav), (2, mp3), (3, b"x")],
+                                  "media_id long, content binary")
+    rows = {r["media_id"]: (r["format"], r["sample_rate"])
+            for r in multimodal.sniff_audio_meta(media).collect()}
+    assert rows == {1: ("wav", 8000), 2: ("mp3", 44100),
+                    3: (None, None)}
