@@ -4457,6 +4457,40 @@ def q_audio_meta_sniff(spark, sf_dir):
     return dp_mm.sniff_audio_meta(media)
 
 
+def q_image_orientation(spark, sf_dir):
+    """EXIF orientation triage (multimodal.py::image_orientation —
+    the rotate-before-phash prerequisite for camera imagery): per doc
+    a real baseline JPEG with an APP1/EXIF segment spliced after SOI
+    carrying orientation 1 + d%8, byte order alternating II/MM by
+    parity; every 5th doc carries NO tag and must come back NULL.
+    Header-only marker walk + TIFF IFD0 scan; the oracle replays the
+    recipe."""
+    import pandas as _pd
+
+    from pypond_spark.datapipe.jpeg import encode_jpeg
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def enc(batches):
+        base = encode_jpeg(8, 8, bytes([100] * 64), gray=True)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                if d % 5 == 0:
+                    content = base
+                else:
+                    app1 = dp_mm.exif_app1(
+                        1 + d % 8, "II" if d % 2 == 0 else "MM")
+                    content = base[:2] + app1 + base[2:]
+                rows.append((d, content))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.select(F.col("doc_id")).mapInPandas(
+        enc, "media_id long, content binary")
+    return dp_mm.image_orientation(media)
+
+
 def q_transcode_payload(spark, sf_dir):
     """Charset transcoding (datapipe/warc.py::transcode_payload — the
     bytes->UTF-8 step between charset triage and every text op): four
@@ -5770,6 +5804,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcode_payload": q_transcode_payload,
         "crawl_frontier": q_crawl_frontier,
         "audio_meta_sniff": q_audio_meta_sniff,
+        "image_orientation": q_image_orientation,
         "video_near_dups": q_video_near_dups,
         "pagerank3": q_pagerank3,
         "sitemap_locs": q_sitemap_locs,
@@ -12111,6 +12146,12 @@ def oracle_sql() -> dict[str, str]:
                1.0::DOUBLE AS shared_frac
         FROM d a JOIN d b
           ON a.doc_id < b.doc_id AND a.doc_id % 20 = b.doc_id % 20
+    """
+    d["image_orientation"] = """
+        SELECT doc_id AS media_id,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE 1 + doc_id % 8 END AS INT) AS orientation
+        FROM documents
     """
     d["audio_meta_sniff"] = """
         -- recipe oracle with the Layer III bitrate tables inlined

@@ -293,6 +293,8 @@ HEADLINE = [
     "video_near_dups",
     "transcode_payload",
     "crawl_frontier",
+    "audio_meta_sniff",
+    "image_orientation",
     "image_meta_sniff",
     "image_meta_jpeg",
 ]

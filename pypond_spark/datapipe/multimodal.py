@@ -1140,3 +1140,100 @@ def sniff_audio_meta(df: DataFrame) -> DataFrame:
                                               AUDIO_META_SCHEMA.fields])
 
     return df.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
+def _exif_orientation(content: bytes):
+    """EXIF orientation (tag 0x0112) from a JPEG's APP1 segment —
+    header-only (marker walk + TIFF IFD0 scan, no pixel decode).
+    Returns 1..8 or None when absent/undecodable.  The prerequisite
+    for hashing phone photos: a camera stores the sensor rows as-is
+    and the REAL rotation lives in this tag, so perceptual hashes of
+    an upright re-save and the original only collide after applying
+    it."""
+    if not content.startswith(b"\xFF\xD8"):
+        return None
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            return None
+        while pos < len(content) and content[pos] == 0xFF:
+            pos += 1
+        if pos >= len(content):
+            return None
+        marker = content[pos]
+        pos += 1
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        if marker in (0xD9, 0xDA) or pos + 2 > len(content):
+            return None            # EOI / scan start: no APP1 found
+        (seg_len,) = struct.unpack(">H", content[pos:pos + 2])
+        if marker == 0xE1 and content[pos + 2:pos + 8] == b"Exif\x00\x00":
+            tiff = content[pos + 8:pos + seg_len]
+            if len(tiff) < 8:
+                return None
+            bo = tiff[:2]
+            if bo == b"II":
+                end = "<"
+            elif bo == b"MM":
+                end = ">"
+            else:
+                return None
+            (magic,) = struct.unpack(end + "H", tiff[2:4])
+            if magic != 42:
+                return None
+            (ifd0,) = struct.unpack(end + "I", tiff[4:8])
+            if ifd0 + 2 > len(tiff):
+                return None
+            (n,) = struct.unpack(end + "H", tiff[ifd0:ifd0 + 2])
+            for i in range(n):
+                e = ifd0 + 2 + 12 * i
+                if e + 12 > len(tiff):
+                    return None
+                tag, typ = struct.unpack(end + "HH", tiff[e:e + 4])
+                if tag == 0x0112 and typ == 3:   # SHORT
+                    (val,) = struct.unpack(end + "H",
+                                           tiff[e + 8:e + 10])
+                    return val if 1 <= val <= 8 else None
+            return None
+        pos += seg_len
+    return None
+
+
+def image_orientation(df: DataFrame) -> DataFrame:
+    """(media_id, orientation) via :func:`_exif_orientation` — one
+    Arrow stage, O(header) bytes per file, NULL when the tag is
+    absent (non-JPEG, no APP1, no 0x0112)."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("orientation", T.IntegerType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rows.append((int(mid),
+                             _exif_orientation(bytes(content))))
+            yield pd.DataFrame(rows, columns=["media_id",
+                                              "orientation"])
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def exif_app1(orientation: int, byte_order: str = "II") -> bytes:
+    """Minimal APP1/EXIF segment carrying ONE IFD0 entry (the
+    orientation tag) — the synthesis half of
+    :func:`_exif_orientation`, both byte orders."""
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"orientation must be 1..8, got {orientation}")
+    if byte_order not in ("II", "MM"):
+        raise ValueError(f"byte_order must be II|MM, got {byte_order}")
+    end = "<" if byte_order == "II" else ">"
+    tiff = (byte_order.encode()
+            + struct.pack(end + "HI", 42, 8)
+            + struct.pack(end + "H", 1)
+            + struct.pack(end + "HHI", 0x0112, 3, 1)
+            + struct.pack(end + "H", orientation) + b"\x00\x00"
+            + struct.pack(end + "I", 0))
+    body = b"Exif\x00\x00" + tiff
+    return b"\xFF\xE1" + struct.pack(">H", len(body) + 2) + body

@@ -3337,3 +3337,31 @@ def test_sniff_audio_meta(spark):
             for r in multimodal.sniff_audio_meta(media).collect()}
     assert rows == {1: ("wav", 8000), 2: ("mp3", 44100),
                     3: (None, None)}
+
+
+def test_exif_orientation(spark):
+    """_exif_orientation: both byte orders, tag-absent and non-JPEG
+    NULLs, insertion before real image data (encode_jpeg output)."""
+    from pypond_spark.datapipe.jpeg import encode_jpeg
+
+    real = encode_jpeg(8, 8, bytes([100] * 64), gray=True)
+    # splice the APP1 right after SOI — decoders and our sniffer both
+    # tolerate leading APPn segments
+    for o, bo in ((1, "II"), (3, "MM"), (6, "II"), (8, "MM")):
+        tagged = real[:2] + multimodal.exif_app1(o, bo) + real[2:]
+        assert multimodal._exif_orientation(tagged) == o, (o, bo)
+        # the tagged file still decodes and sniffs
+        assert multimodal.decode_image(tagged)["width"] == 8
+        assert multimodal._sniff_meta(tagged) == ("jpeg", 8, 8)
+    assert multimodal._exif_orientation(real) is None
+    assert multimodal._exif_orientation(b"\x89PNG") is None
+    with pytest.raises(ValueError, match="orientation"):
+        multimodal.exif_app1(9)
+
+    media = spark.createDataFrame(
+        [(1, real[:2] + multimodal.exif_app1(7) + real[2:]),
+         (2, real)],
+        "media_id long, content binary")
+    got = {r["media_id"]: r["orientation"]
+           for r in multimodal.image_orientation(media).collect()}
+    assert got == {1: 7, 2: None}
