@@ -4491,6 +4491,30 @@ def q_image_orientation(spark, sf_dir):
     return dp_mm.image_orientation(media)
 
 
+def q_image_orient(spark, sf_dir):
+    """EXIF orientation APPLICATION (multimodal.py::orient_image —
+    the upright-normalization between orientation triage and any
+    perceptual hash): the 8x8 synthetic PPM is permuted by
+    orientation 1 + doc_id%8 (all eight tag-274 cases across the
+    corpus) and exploded to one row per output byte; the oracle maps
+    each output coordinate back to its source pixel with the same
+    index formulas and reads the byte straight from the md5 recipe —
+    a pure permutation, bit-exact."""
+    docs = _read(spark, sf_dir, "documents")
+    media = _synth_ppm8(docs).withColumn(
+        "orientation", (1 + F.pmod(F.col("media_id"), 8)).cast("int"))
+    out = dp_mm.orient_image(media)
+    n = 192
+    return (out.select("media_id", F.hex("content").alias("hx"))
+            .select("media_id",
+                    F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+                    .alias("p"), "hx")
+            .select("media_id", "p",
+                    F.conv(F.col("hx").substr(
+                        F.lit(23) + F.col("p") * 2, F.lit(2)),
+                        16, 10).cast("long").alias("v")))
+
+
 def q_transcode_payload(spark, sf_dir):
     """Charset transcoding (datapipe/warc.py::transcode_payload — the
     bytes->UTF-8 step between charset triage and every text op): four
@@ -5805,6 +5829,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "audio_meta_sniff": q_audio_meta_sniff,
         "image_orientation": q_image_orientation,
+        "image_orient": q_image_orient,
         "video_near_dups": q_video_near_dups,
         "pagerank3": q_pagerank3,
         "sitemap_locs": q_sitemap_locs,
@@ -12152,6 +12177,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN doc_id % 5 = 0 THEN NULL
                     ELSE 1 + doc_id % 8 END AS INT) AS orientation
         FROM documents
+    """
+    d["image_orient"] = """
+        -- output (x,y) maps back to source (sx,sy) per EXIF tag 274;
+        -- source byte j = 3*(sy*8+sx)+c from the md5 pixel recipe
+        WITH o AS (
+          SELECT doc_id, text, 1 + doc_id % 8 AS o,
+                 g.p AS p, g.p % 3 AS c,
+                 (g.p // 3) % 8 AS x, g.p // 24 AS y
+          FROM documents CROSS JOIN generate_series(0, 191) g(p)
+        ), m AS (
+          SELECT doc_id, text, p,
+                 3 * 8 * (CASE o WHEN 1 THEN y WHEN 2 THEN y
+                          WHEN 3 THEN 7 - y WHEN 4 THEN 7 - y
+                          WHEN 5 THEN x WHEN 6 THEN 7 - x
+                          WHEN 7 THEN 7 - x ELSE x END)
+                 + 3 * (CASE o WHEN 1 THEN x WHEN 2 THEN 7 - x
+                        WHEN 3 THEN 7 - x WHEN 4 THEN x
+                        WHEN 5 THEN y WHEN 6 THEN y
+                        WHEN 7 THEN 7 - y ELSE 7 - y END)
+                 + c AS j
+          FROM o
+        )
+        SELECT doc_id AS media_id, CAST(p AS INT) AS p,
+               ('0x' || substr(md5(text || '#' ||
+                  CAST(j // 16 AS VARCHAR)),
+                  2 * (j % 16) + 1, 2))::BIGINT AS v
+        FROM m
     """
     d["audio_meta_sniff"] = """
         -- recipe oracle with the Layer III bitrate tables inlined

@@ -295,6 +295,7 @@ HEADLINE = [
     "crawl_frontier",
     "audio_meta_sniff",
     "image_orientation",
+    "image_orient",
     "image_meta_sniff",
     "image_meta_jpeg",
 ]

@@ -1237,3 +1237,49 @@ def exif_app1(orientation: int, byte_order: str = "II") -> bytes:
             + struct.pack(end + "I", 0))
     body = b"Exif\x00\x00" + tiff
     return b"\xFF\xE1" + struct.pack(">H", len(body) + 2) + body
+
+
+def orient_image(df: DataFrame,
+                 orientation_col: str = "orientation") -> DataFrame:
+    """Apply an EXIF orientation (1..8) to decoded pixels — the
+    upright-normalization between :func:`image_orientation` triage and
+    any perceptual hash (a rotated re-save only collides with its
+    original AFTER this).  Pure index permutation (numpy views, no
+    arithmetic), so it is trivially lossless and SQL-replayable; NULL
+    or 1 passes through.  Output is binary PPM (dims swap for the
+    transpose family 5..8), composing with the rest of the tier."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        ops = {
+            1: lambda a: a,
+            2: lambda a: a[:, ::-1],
+            3: lambda a: a[::-1, ::-1],
+            4: lambda a: a[::-1],
+            5: lambda a: a.transpose(1, 0, 2),
+            6: lambda a: a.transpose(1, 0, 2)[:, ::-1],
+            7: lambda a: a.transpose(1, 0, 2)[::-1, ::-1],
+            8: lambda a: a.transpose(1, 0, 2)[::-1],
+        }
+        for pdf in batches:
+            rows = []
+            for mid, content, o in zip(pdf["media_id"], pdf["content"],
+                                       pdf[orientation_col]):
+                img = decode_image(bytes(content))
+                W, H = img["width"], img["height"]
+                a = np.frombuffer(img["pixels"],
+                                  np.uint8).reshape(H, W, 3)
+                o = 1 if o is None or (isinstance(o, float)
+                                       and np.isnan(o)) else int(o)
+                if o not in ops:
+                    raise ValueError(f"orientation must be 1..8, "
+                                     f"got {o}")
+                out = ops[o](a)
+                oh, ow = out.shape[0], out.shape[1]
+                header = f"P6\n{ow} {oh}\n255\n".encode()
+                rows.append((int(mid), ow, oh,
+                             header + np.ascontiguousarray(out)
+                             .tobytes()))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              RESIZED_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)

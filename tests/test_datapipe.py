@@ -3365,3 +3365,46 @@ def test_exif_orientation(spark):
     got = {r["media_id"]: r["orientation"]
            for r in multimodal.image_orientation(media).collect()}
     assert got == {1: 7, 2: None}
+
+
+def test_orient_image(spark):
+    """orient_image: all 8 EXIF cases match the index-mapping
+    reference on a non-square image; NULL passes through; composes
+    with decode_image."""
+    import numpy as np
+
+    W, H = 4, 3
+    px = bytes(range(W * H * 3))
+    src = np.frombuffer(px, np.uint8).reshape(H, W, 3)
+    # out[y][x] = src[sy][sx] per EXIF tag 274 semantics
+    maps = {
+        1: lambda x, y, w, h: (x, y),
+        2: lambda x, y, w, h: (w - 1 - x, y),
+        3: lambda x, y, w, h: (w - 1 - x, h - 1 - y),
+        4: lambda x, y, w, h: (x, h - 1 - y),
+        5: lambda x, y, w, h: (y, x),
+        6: lambda x, y, w, h: (y, h - 1 - x),        # out dims swap
+        7: lambda x, y, w, h: (w - 1 - y, h - 1 - x),
+        8: lambda x, y, w, h: (w - 1 - y, x),
+    }
+    media = spark.createDataFrame(
+        [(o, b"P6\n4 3\n255\n" + px, o) for o in range(1, 9)]
+        + [(99, b"P6\n4 3\n255\n" + px, None)],
+        "media_id long, content binary, orientation int")
+    got = {r["media_id"]: r
+           for r in multimodal.orient_image(media).collect()}
+    for o in range(1, 9):
+        r = got[o]
+        ow, oh = (W, H) if o <= 4 else (H, W)
+        assert (r["width"], r["height"]) == (ow, oh), o
+        img = multimodal.decode_image(bytes(r["content"]))
+        out = np.frombuffer(img["pixels"], np.uint8).reshape(oh, ow, 3)
+        for y in range(oh):
+            for x in range(ow):
+                if o <= 4:
+                    sx, sy = maps[o](x, y, W, H)
+                else:
+                    # transpose family: source coords from out coords
+                    sx, sy = maps[o](x, y, W, H)
+                assert (out[y, x] == src[sy, sx]).all(), (o, x, y)
+    assert (got[99]["width"], got[99]["height"]) == (W, H)
