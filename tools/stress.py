@@ -611,6 +611,20 @@ def main() -> None:
         # verify), the cost a production ingest pays per batch
         "neardup_index": lambda: _neardup_index_stress(docs),
         "attribution_chain": lambda: _attribution_chain_stress(ev),
+        # r11: fixed-iteration PageRank — per round one edges->ranks
+        # join + one dst groupBy; edges synthesized from the event
+        # frame (n rows -> ~n edges over ~n/20 nodes, dedup'd)
+        "pagerank": lambda: sink(
+            __import__("pypond_spark.datapipe.urls",
+                       fromlist=["pagerank"])
+            .pagerank(
+                ev.selectExpr(
+                    "concat('d', pmod(xxhash64(user_id), 500000)) "
+                    "AS src_domain",
+                    "concat('d', pmod(xxhash64(value), 500000)) "
+                    "AS dst_domain")
+                .where("src_domain != dst_domain").distinct(),
+                iters=3)),
         "neardup_generations": lambda: _neardup_generations_stress(docs),
         "neardup_small_batch": lambda: _neardup_small_batch_stress(docs),
     }
