@@ -287,6 +287,31 @@ def _attribution_chain_stress(ev) -> float:
         shutil.rmtree(src, ignore_errors=True)
 
 
+def _robots_stress(ev):
+    """n URLs over 1,000 hosts (each with a 5-rule robots.txt, rules
+    exercising wildcard/anchor/allow-override) through the full
+    robots_filter decision: per-host group window, LIKE translation,
+    distinct-(host,path) decision table, join back."""
+    from pyspark.sql import functions as F2
+
+    from pypond_spark.datapipe.urls import parse_robots, robots_filter
+    spark = ev.sparkSession
+    urls = ev.selectExpr(
+        "concat('https://h', pmod(xxhash64(user_id), 1000), "
+        "'.com/p', pmod(xxhash64(value), 40), '/f', "
+        "pmod(xxhash64(time), 50), "
+        "if(pmod(xxhash64(event_type), 2) = 0, '.pdf', '.html')) "
+        "AS url")
+    robots = spark.range(1000).select(
+        F2.concat(F2.lit("h"), F2.col("id"), F2.lit(".com"))
+        .alias("host"),
+        F2.concat(
+            F2.lit("User-agent: *\nDisallow: /p1/\nAllow: /p1/f2*\n"
+                   "Disallow: /*.pdf$\nDisallow: /p"),
+            F2.pmod(F2.col("id"), 7), F2.lit("/")).alias("robots_txt"))
+    return robots_filter(urls, parse_robots(robots), agent="*")
+
+
 def _dedup_audit(docs, dedup_documents, lsh_band_buckets) -> float:
     """Timed full dedup chain + untimed scale diagnostics.
 
@@ -611,6 +636,10 @@ def main() -> None:
         # verify), the cost a production ingest pays per batch
         "neardup_index": lambda: _neardup_index_stress(docs),
         "attribution_chain": lambda: _attribution_chain_stress(ev),
+        # r11: robots decision over an n-row URL corpus (1k hosts x
+        # 5-rule robots each; ~n/10 distinct paths so the
+        # distinct-key design has real duplication to collapse)
+        "robots_filter": lambda: sink(_robots_stress(ev)),
         # r11: fixed-iteration PageRank — per round one edges->ranks
         # join + one dst groupBy; edges synthesized from the event
         # frame (n rows -> ~n edges over ~n/20 nodes, dedup'd)
