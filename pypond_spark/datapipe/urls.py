@@ -348,7 +348,7 @@ def robots_filter(df: DataFrame, rules: DataFrame, agent: str = "*",
 # link extraction, sitemaps, link graph
 # ---------------------------------------------------------------------------
 
-_HREF_RE = r"""(?i)<a[^>]*\shref\s*=\s*["']([^"'#>\s]+)"""
+_HREF_RE = r"""(?i)<a[^>]*\shref\s*=\s*["']?([^"'#>\s]+)"""
 
 
 def extract_links(df: DataFrame, html_col: str = "html",

@@ -3072,7 +3072,8 @@ def test_extract_links_resolution(spark):
             ' <a href="rel/y">d</a>'
             ' <a href="mailto:a@b.c">e</a>'
             ' <a href="javascript:void(0)">f</a>'
-            ' <a href="#frag">g</a>')
+            ' <a href="#frag">g</a>'
+            ' <a id=z href=/unquoted/h>h</a>')
     df = spark.createDataFrame(
         [(1, "https://Site.Example/dir/page.html", html)],
         "id long, url string, html string")
@@ -3083,6 +3084,7 @@ def test_extract_links_resolution(spark):
         "https://cdn.com/p",
         "https://site.example/root/x",
         "https://site.example/dir/rel/y",
+        "https://site.example/unquoted/h",
     }
     assert "html" not in out.columns
 
