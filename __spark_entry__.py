@@ -12390,17 +12390,17 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (SELECT doc_id FROM documents)
         SELECT doc_id,
                'https://m' || CAST(doc_id % 5 AS VARCHAR) || '.com/a'
-                 AS loc, FALSE AS is_index
+                 AS loc, '2026-01-01' AS lastmod, FALSE AS is_index
         FROM d
         UNION ALL
         SELECT doc_id,
                'https://m' || CAST(doc_id % 5 AS VARCHAR) || '.com/b'
-                 || CAST(doc_id % 7 AS VARCHAR), FALSE
+                 || CAST(doc_id % 7 AS VARCHAR), NULL, FALSE
         FROM d
         UNION ALL
         SELECT doc_id,
                'https://m' || CAST(doc_id % 5 AS VARCHAR) || '.com/s'
-                 || CAST(doc_id % 3 AS VARCHAR) || '.xml', TRUE
+                 || CAST(doc_id % 3 AS VARCHAR) || '.xml', NULL, TRUE
         FROM d
     """
     d["robots_sitemaps"] = """

@@ -395,34 +395,36 @@ def extract_links(df: DataFrame, html_col: str = "html",
 
 def sitemap_urls(df: DataFrame, xml_col: str = "sitemap_xml",
                  id_col: str = "doc_id") -> DataFrame:
-    """``<loc>`` entries of a sitemap / sitemap-index document
+    """``<loc>`` (+ optional ``<lastmod>`` — the incremental-crawl
+    change key) entries of a sitemap / sitemap-index document
     (sitemaps.org protocol): one output row per location, with
-    ``is_index`` true when the loc sits inside a ``<sitemap>`` entry
-    (an index pointing at further sitemap files) rather than a
-    ``<url>`` entry.  Regexp extraction + explode — the protocol is
-    rigid enough that the two entry shapes are matched directly,
-    whitespace-tolerantly, with no XML parser dependency."""
-    def locs(tag: str) -> Column:
-        # tempered dot: stay inside this <tag> entry (never cross its
-        # close tag) up to the entry's first <loc>
-        pat = (rf"(?is)<{tag}\b[^>]*>(?:(?!</{tag}>).)*?"
-               rf"<loc>\s*([^<\s][^<]*?)\s*</loc>")
-        return F.regexp_extract_all(F.col(xml_col), F.lit(pat), 1)
+    ``is_index`` true when the entry is a ``<sitemap>`` (an index
+    pointing at further sitemap files) rather than a ``<url>``.
+    Tempered-dot regexp captures each ENTRY body (element content
+    before <loc> cannot break pairing), then per-entry extraction
+    pulls loc and lastmod from the same match — explode + HOFs, no
+    XML parser dependency, zero UDFs."""
+    def parse(tag: str, is_index: bool) -> Column:
+        pat = (rf"(?is)<{tag}\b[^>]*>((?:(?!</{tag}>).)*?)</{tag}>")
+        return F.transform(
+            F.regexp_extract_all(F.col(xml_col), F.lit(pat), 1),
+            lambda e: F.struct(
+                F.regexp_extract(
+                    e, r"(?is)<loc>\s*([^<\s][^<]*?)\s*</loc>", 1)
+                .alias("loc"),
+                F.nullif(F.regexp_extract(
+                    e, r"(?is)<lastmod>\s*([^<]*?)\s*</lastmod>", 1),
+                    F.lit("")).alias("lastmod"),
+                F.lit(is_index).alias("is_index")))
 
     return (df.select(
         F.col(id_col),
-        F.explode(F.concat(
-            F.transform(locs("url"),
-                        lambda u: F.struct(u.alias("loc"),
-                                           F.lit(False)
-                                           .alias("is_index"))),
-            F.transform(locs("sitemap"),
-                        lambda u: F.struct(u.alias("loc"),
-                                           F.lit(True)
-                                           .alias("is_index")))))
-        .alias("e"))
+        F.explode(F.concat(parse("url", False),
+                           parse("sitemap", True))).alias("e"))
         .select(id_col, F.col("e.loc").alias("loc"),
-                F.col("e.is_index").alias("is_index")))
+                F.col("e.lastmod").alias("lastmod"),
+                F.col("e.is_index").alias("is_index"))
+        .where(F.col("loc") != ""))
 
 
 def robots_sitemaps(df: DataFrame, robots_col: str = "robots_txt",

@@ -3101,11 +3101,11 @@ def test_sitemap_and_robots_sitemaps(spark):
            "</sitemap></sitemapindex>")
     df = spark.createDataFrame([(1, xml), (2, idx)],
                                "doc_id long, sitemap_xml string")
-    got = {(r["doc_id"], r["loc"], r["is_index"])
+    got = {(r["doc_id"], r["loc"], r["lastmod"], r["is_index"])
            for r in urls.sitemap_urls(df).collect()}
-    assert got == {(1, "https://a.com/1", False),
-                   (1, "https://a.com/2", False),
-                   (2, "https://a.com/s1.xml", True)}
+    assert got == {(1, "https://a.com/1", "2026-01-01", False),
+                   (1, "https://a.com/2", "x", False),
+                   (2, "https://a.com/s1.xml", None, True)}
 
     robots = spark.createDataFrame(
         [("H.com", "User-agent: *\nDisallow: /x\n"
