@@ -4291,6 +4291,30 @@ def q_robots_allowed(spark, sf_dir):
                       F.col("robots_allowed").alias("allowed"))
 
 
+def q_robots_crawl_delays(spark, sf_dir):
+    """Crawl-delay extraction (datapipe/urls.py::robots_crawl_delays
+    — the politeness budget a frontier scheduler joins against): per
+    doc a two-UA group carrying two delays (largest wins) and a ``*``
+    group whose delay is NON-NUMERIC and must be dropped, leaving
+    exactly two rows per doc.  The oracle predicts both from
+    doc_id."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    txt = F.concat_ws(
+        "\n",
+        F.concat(F.lit("User-agent: bot"), F.pmod(d, 3)),
+        F.lit("User-agent: aux"),
+        F.concat(F.lit("Crawl-delay: "), F.pmod(d, 9) + 1),
+        F.lit("Disallow: /x"),
+        F.concat(F.lit("crawl-delay: "),
+                 (F.pmod(d, 9) + 1) * 2, F.lit(".5")),
+        F.lit("User-agent: *"),
+        F.lit("Crawl-delay: whenever"))
+    robots = docs.select(F.concat(F.lit("h"), d).alias("host"),
+                         txt.alias("robots_txt"))
+    return dp_urls.robots_crawl_delays(robots)
+
+
 def q_extract_links(spark, sf_dir):
     """Link extraction + resolution (datapipe/urls.py::extract_links):
     per doc a synthetic page with a root-relative, a path-relative, an
@@ -5830,6 +5854,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta_sniff": q_audio_meta_sniff,
         "image_orientation": q_image_orientation,
         "image_orient": q_image_orient,
+        "robots_crawl_delays": q_robots_crawl_delays,
         "video_near_dups": q_video_near_dups,
         "pagerank3": q_pagerank3,
         "sitemap_locs": q_sitemap_locs,
@@ -12283,6 +12308,18 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT u AS url_norm, count(*) AS n_refs
         FROM l GROUP BY u
+    """
+    d["robots_crawl_delays"] = """
+        WITH d AS (
+          SELECT doc_id, 'h' || CAST(doc_id AS VARCHAR) AS host,
+                 CAST(2 * (doc_id % 9 + 1) + 0.5 AS DOUBLE) AS cd
+          FROM documents
+        )
+        SELECT host, 'bot' || CAST(doc_id % 3 AS VARCHAR) AS agent,
+               cd AS crawl_delay
+        FROM d
+        UNION ALL
+        SELECT host, 'aux', cd FROM d
     """
     d["robots_rules"] = """
         -- the synthesis recipe IS the oracle: 5 lines per doc ->

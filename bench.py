@@ -296,6 +296,7 @@ HEADLINE = [
     "audio_meta_sniff",
     "image_orientation",
     "image_orient",
+    "robots_crawl_delays",
     "image_meta_sniff",
     "image_meta_jpeg",
 ]

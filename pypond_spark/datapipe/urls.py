@@ -513,3 +513,46 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                        + F.lit(damping) * F.coalesce("c", F.lit(0.0)))
                       .alias("pr")))
     return pr.select("node", F.col("pr").alias("pagerank"))
+
+
+def robots_crawl_delays(df: DataFrame, robots_col: str = "robots_txt",
+                        host_col: str = "host") -> DataFrame:
+    """``Crawl-delay:`` per (host, agent) — the politeness budget a
+    crawl scheduler joins against its frontier.  Same RFC 9309 group
+    machinery as :func:`parse_robots` (consecutive-UA sharing, per-host
+    window); non-numeric values are dropped, several delays in one
+    group keep the largest (the conservative read).  Output: ``host,
+    agent, crawl_delay`` (double, seconds)."""
+    from pyspark.sql import Window
+
+    host = F.lower(F.col(host_col))
+    lines = (df.select(host.alias("host"),
+                       F.posexplode(F.split(F.col(robots_col),
+                                            r"\r?\n"))
+                       .alias("line_no", "line"))
+             .withColumn("clean",
+                         F.trim(F.regexp_replace("line", r"#.*$", "")))
+             .withColumn("key", F.lower(F.regexp_extract(
+                 "clean", r"^([A-Za-z-]+)\s*:", 1)))
+             .withColumn("value", F.trim(F.regexp_replace(
+                 "clean", r"^[A-Za-z-]+\s*:", ""))))
+    sig = lines.where(F.col("key").isin("user-agent", "crawl-delay"))
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = F.col("key") == "user-agent"
+    new_group = is_ua & (~F.coalesce(F.lag(is_ua).over(w),
+                                     F.lit(False)))
+    grouped = sig.withColumn(
+        "group_id",
+        F.sum(new_group.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    agents = (grouped.where(is_ua)
+              .select("host", "group_id",
+                      F.lower(F.col("value")).alias("agent")))
+    delays = (grouped.where(~is_ua)
+              .select("host", "group_id",
+                      F.col("value").try_cast("double")
+                      .alias("crawl_delay"))
+              .where(F.col("crawl_delay").isNotNull()))
+    return (agents.join(delays, ["host", "group_id"])
+            .groupBy("host", "agent")
+            .agg(F.max("crawl_delay").alias("crawl_delay")))

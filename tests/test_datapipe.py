@@ -3410,3 +3410,25 @@ def test_orient_image(spark):
                     sx, sy = maps[o](x, y, W, H)
                 assert (out[y, x] == src[sy, sx]).all(), (o, x, y)
     assert (got[99]["width"], got[99]["height"]) == (W, H)
+
+
+def test_robots_crawl_delays(spark):
+    from pypond_spark.datapipe import urls
+
+    txt = "\n".join([
+        "User-agent: FastBot",
+        "User-agent: OtherBot",
+        "Crawl-delay: 2.5",
+        "Disallow: /x",
+        "Crawl-delay: 4   # largest wins",
+        "User-agent: *",
+        "Crawl-delay: oops",     # non-numeric dropped
+        "User-agent: QuietBot",  # group with no delay: absent
+        "Disallow: /y",
+    ])
+    df = spark.createDataFrame([("H.com", txt)],
+                               "host string, robots_txt string")
+    got = {(r["host"], r["agent"]): r["crawl_delay"]
+           for r in urls.robots_crawl_delays(df).collect()}
+    assert got == {("h.com", "fastbot"): 4.0,
+                   ("h.com", "otherbot"): 4.0}
