@@ -2205,13 +2205,14 @@ def q_video_frame_phash(spark, sf_dir):
     Gray = 3*Y (luma replicated to RGB), and every phash comparison
     is homogeneous of degree one in the pixel values, so the oracle
     replays the comparisons with the raw LUMA bytes — the factor 3
-    cancels.  Frame key = doc_id*4 + frame_idx."""
+    cancels.  Frame identity rides through as image_phash's
+    ``extra_cols`` pass-through (the r12 un-packing fix), so no
+    media_id*K+frame_idx packing anywhere."""
     docs = _read(spark, sf_dir, "documents")
     frames = dp_y4m.sample_video_frames(_synth_y4m(docs), every_n=1)
-    keyed = frames.select(
-        (F.col("media_id") * 4 + F.col("frame_idx")).alias("media_id"),
-        "content")
-    return dp_mm.image_phash(keyed, grid_w=4, grid_h=4)
+    keyed = frames.select("media_id", "frame_idx", "content")
+    return dp_mm.image_phash(keyed, grid_w=4, grid_h=4,
+                             extra_cols=("frame_idx",))
 
 
 def q_video_near_dups(spark, sf_dir):
@@ -4294,10 +4295,12 @@ def q_robots_allowed(spark, sf_dir):
 def q_robots_crawl_delays(spark, sf_dir):
     """Crawl-delay extraction (datapipe/urls.py::robots_crawl_delays
     — the politeness budget a frontier scheduler joins against): per
-    doc a two-UA group carrying two delays (largest wins) and a ``*``
-    group whose delay is NON-NUMERIC and must be dropped, leaving
-    exactly two rows per doc.  The oracle predicts both from
-    doc_id."""
+    doc a two-UA group carrying two delays (largest wins), a ``solo``
+    group whose Disallow TERMINATES the UA run (so the delay that
+    follows the next UA line belongs to ``tail`` only — the r12
+    boundary fix), and a ``*`` group whose delay is NON-NUMERIC and
+    must be dropped, leaving exactly three rows per doc.  The oracle
+    predicts all three from doc_id."""
     docs = _read(spark, sf_dir, "documents")
     d = F.col("doc_id")
     txt = F.concat_ws(
@@ -4308,6 +4311,10 @@ def q_robots_crawl_delays(spark, sf_dir):
         F.lit("Disallow: /x"),
         F.concat(F.lit("crawl-delay: "),
                  (F.pmod(d, 9) + 1) * 2, F.lit(".5")),
+        F.lit("User-agent: solo"),
+        F.lit("Disallow: /admin"),
+        F.lit("User-agent: tail"),
+        F.concat(F.lit("Crawl-delay: "), F.pmod(d, 5) + 1),
         F.lit("User-agent: *"),
         F.lit("Crawl-delay: whenever"))
     robots = docs.select(F.concat(F.lit("h"), d).alias("host"),
@@ -12183,9 +12190,9 @@ def oracle_sql() -> dict[str, str]:
            AND b.xc = a.xc + 1
           GROUP BY 1, 2
         )
-        SELECT ah.doc_id * 4 + ah.f AS media_id,
+        SELECT ah.doc_id AS media_id,
                8 AS width, 8 AS height, ah.ahash AS ahash,
-               dh.dhash AS dhash
+               dh.dhash AS dhash, CAST(ah.f AS INT) AS frame_idx
         FROM ah JOIN dh ON dh.doc_id = ah.doc_id AND dh.f = ah.f
     """
     d["video_near_dups"] = """
@@ -12310,6 +12317,8 @@ def oracle_sql() -> dict[str, str]:
         FROM l GROUP BY u
     """
     d["robots_crawl_delays"] = """
+        -- solo's Disallow ends its UA run, so the following delay
+        -- belongs to tail ONLY (the boundary the r12 fix added)
         WITH d AS (
           SELECT doc_id, 'h' || CAST(doc_id AS VARCHAR) AS host,
                  CAST(2 * (doc_id % 9 + 1) + 0.5 AS DOUBLE) AS cd
@@ -12320,6 +12329,8 @@ def oracle_sql() -> dict[str, str]:
         FROM d
         UNION ALL
         SELECT host, 'aux', cd FROM d
+        UNION ALL
+        SELECT host, 'tail', CAST(doc_id % 5 + 1 AS DOUBLE) FROM d
     """
     d["robots_rules"] = """
         -- the synthesis recipe IS the oracle: 5 lines per doc ->

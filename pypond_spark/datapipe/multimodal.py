@@ -871,7 +871,8 @@ def _phash_of(img: dict, grid_w: int, grid_h: int) -> tuple:
     return ahash, dhash
 
 
-def image_phash(df: DataFrame, grid_w: int = 7, grid_h: int = 7) -> DataFrame:
+def image_phash(df: DataFrame, grid_w: int = 7, grid_h: int = 7,
+                extra_cols: tuple = ()) -> DataFrame:
     """aHash + dHash perceptual hashes over REAL decoded pixels (the
     near-duplicate-image analogue of dedup.py::simhash64): PPM decode in
     an Arrow-batched ``mapInPandas`` (no shuffle, scan-parallel), then
@@ -881,6 +882,11 @@ def image_phash(df: DataFrame, grid_w: int = 7, grid_h: int = 7) -> DataFrame:
     (dHash bits) must stay <= 63 so each hash packs into one
     non-negative BIGINT that any engine can XOR/popcount.  Grids must
     not exceed the image dimensions (a cell must hold >= 1 pixel).
+
+    ``extra_cols`` names input columns copied verbatim onto the output
+    rows (appended after the hash columns, input dtypes kept) — the
+    video tier threads ``frame_idx`` through this instead of packing
+    it into media_id, which would overflow/bleed for long videos.
     """
     if grid_w < 2 or grid_h < 1:
         raise ValueError(f"need grid_w >= 2 and grid_h >= 1, "
@@ -888,11 +894,15 @@ def image_phash(df: DataFrame, grid_w: int = 7, grid_h: int = 7) -> DataFrame:
     if grid_w * grid_h > 63:
         raise ValueError(f"grid {grid_w}x{grid_h} = {grid_w * grid_h} "
                          "bits; one signed BIGINT holds at most 63")
+    out_schema = T.StructType(list(PHASH_SCHEMA.fields)
+                              + [df.schema[c] for c in extra_cols])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
+            extras = [pdf[c] for c in extra_cols]
+            for mid, content, *ex in zip(pdf["media_id"],
+                                         pdf["content"], *extras):
                 img = decode_image(bytes(content))
                 if grid_w > img["width"] or grid_h > img["height"]:
                     raise ValueError(
@@ -900,11 +910,11 @@ def image_phash(df: DataFrame, grid_w: int = 7, grid_h: int = 7) -> DataFrame:
                         f"{img['width']}x{img['height']}")
                 ah, dh = _phash_of(img, grid_w, grid_h)
                 rows.append((int(mid), img["width"], img["height"],
-                             ah, dh))
+                             ah, dh, *ex))
             yield pd.DataFrame(rows, columns=[f.name for f in
-                                              PHASH_SCHEMA.fields])
+                                              out_schema.fields])
 
-    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def image_near_dups(df: DataFrame, grid_w: int = 7, grid_h: int = 7,

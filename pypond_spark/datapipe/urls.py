@@ -374,7 +374,18 @@ def extract_links(df: DataFrame, html_col: str = "html",
     path = F.regexp_extract(after, r"^([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     dirp = F.regexp_replace(path, r"[^/]*$", "")
-    origin = F.concat(scheme, F.lit("://"), host)
+    # an explicit non-default port in the base authority must survive
+    # into resolved relative links (https://h:8080/a + /x ->
+    # https://h:8080/x) — same keep_port rule as normalize_url_expr
+    auth = F.regexp_replace(F.regexp_extract(base, _AUTH, 1),
+                            r"^.*@", "")
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    keep_port = ((port != "")
+                 & ~((scheme == "http") & (port == "80"))
+                 & ~((scheme == "https") & (port == "443")))
+    origin = F.concat(scheme, F.lit("://"), host,
+                      F.when(keep_port, F.concat(F.lit(":"), port))
+                      .otherwise(F.lit("")))
 
     out = df.withColumn(
         "href", F.explode(F.regexp_extract_all(F.col(html_col),
@@ -482,12 +493,18 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     vector on the src key + one groupBy on dst — both shuffles carry
     the edge list, never materializing anything denser.  Spark reuses
     the edge-side shuffle across iterations (same key), so N
-    iterations cost ~N rank-vector shuffles; lineage is kept shallow
-    by the fixed small ``iters`` (for iters >> 5 checkpoint between
-    rounds).
+    iterations cost ~N rank-vector shuffles.  Lineage is kept shallow
+    for ARBITRARY ``iters``: the rank vector is ``localCheckpoint``-ed
+    every ``checkpoint_every`` rounds (truncates the unrolled plan so
+    10 or 50 iterations optimize/run per-round flat instead of
+    re-deriving an ever-deeper tree); the persisted static frames are
+    unpersisted before returning — the final select is checkpointed,
+    so the result does not depend on them and repeated calls in a
+    long session leak no executor storage.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    checkpoint_every = 5
     e = edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst"))
     nodes = (e.select(F.col("src").alias("node"))
@@ -501,7 +518,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         nodes = nodes.persist()
         ew = ew.persist()
     pr = nodes.withColumn("pr", F.lit(1.0))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (ew.join(pr, ew["src"] == pr["node"])
                    .groupBy("dst")
                    .agg(F.sum(F.col("pr") / F.col("deg"))
@@ -512,7 +529,17 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                       (F.lit(1.0 - damping)
                        + F.lit(damping) * F.coalesce("c", F.lit(0.0)))
                       .alias("pr")))
-    return pr.select("node", F.col("pr").alias("pagerank"))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            # truncate lineage mid-run; eager so the cut is real
+            pr = pr.localCheckpoint(eager=True)
+    out = pr.select("node", F.col("pr").alias("pagerank"))
+    if cache_static:
+        # materialize the result off the persisted frames, then drop
+        # them — callers get a plan with no dangling cache deps
+        out = out.localCheckpoint(eager=True)
+        ew.unpersist()
+        nodes.unpersist()
+    return out
 
 
 def robots_crawl_delays(df: DataFrame, robots_col: str = "robots_txt",
@@ -536,7 +563,13 @@ def robots_crawl_delays(df: DataFrame, robots_col: str = "robots_txt",
                  "clean", r"^([A-Za-z-]+)\s*:", 1)))
              .withColumn("value", F.trim(F.regexp_replace(
                  "clean", r"^[A-Za-z-]+\s*:", ""))))
-    sig = lines.where(F.col("key").isin("user-agent", "crawl-delay"))
+    # allow/disallow lines MUST stay in the boundary signal even though
+    # no delay is read from them: a rule line terminates a UA run, so
+    # "UA a / Disallow / UA b / Crawl-delay" puts the delay on b only
+    # (exactly parse_robots's grouping; filtering them out first would
+    # merge a and b and leak the delay onto a)
+    sig = lines.where(F.col("key").isin("user-agent", "allow",
+                                        "disallow", "crawl-delay"))
     w = Window.partitionBy("host").orderBy("line_no")
     is_ua = F.col("key") == "user-agent"
     new_group = is_ua & (~F.coalesce(F.lag(is_ua).over(w),
@@ -548,7 +581,7 @@ def robots_crawl_delays(df: DataFrame, robots_col: str = "robots_txt",
     agents = (grouped.where(is_ua)
               .select("host", "group_id",
                       F.lower(F.col("value")).alias("agent")))
-    delays = (grouped.where(~is_ua)
+    delays = (grouped.where(F.col("key") == "crawl-delay")
               .select("host", "group_id",
                       F.col("value").try_cast("double")
                       .alias("crawl_delay"))

@@ -212,17 +212,16 @@ def video_near_dups(df: DataFrame, every_n: int = 1,
     from pypond_spark.datapipe.multimodal import image_phash
 
     frames = sample_video_frames(df, every_n=every_n)
-    # frame key = media_id * 100000 + frame_idx; integer `div` (not
-    # float division) recovers the video id exactly for any LONG
-    # media_id >= 0 — float division loses precision past 2^53
-    keyed = frames.select(
-        (F.col("media_id") * 100000 + F.col("frame_idx"))
-        .alias("media_id"), "content")
+    # frame identity rides through image_phash as a pass-through
+    # column (extra_cols) — packing media_id*K+frame_idx would bleed
+    # frames across videos past K frames and overflow int64 for huge
+    # media_ids, both silently corrupting the pairing
+    keyed = frames.select("media_id", "frame_idx", "content")
     # distinct hashes per video: repeated still frames must not
     # inflate the shared count quadratically through the join
-    ph = (image_phash(keyed, grid_w=grid_w, grid_h=grid_h)
-          .select(F.expr("media_id div 100000").alias("vid"),
-                  F.col("dhash"))
+    ph = (image_phash(keyed, grid_w=grid_w, grid_h=grid_h,
+                      extra_cols=())
+          .select(F.col("media_id").alias("vid"), F.col("dhash"))
           .distinct()
           # the decode+hash pipeline feeds three consumers (both join
           # sides + the counts); persist so frames decode ONCE

@@ -3088,6 +3088,18 @@ def test_extract_links_resolution(spark):
     }
     assert "html" not in out.columns
 
+    # explicit non-default port survives into resolved links; a
+    # scheme-DEFAULT port is stripped (normalize_url_expr's rule)
+    df2 = spark.createDataFrame(
+        [(1, "https://h.com:8080/a/page.html",
+          '<a href="/x">r</a> <a href="rel.html">p</a>'),
+         (2, "http://h.com:80/a/", '<a href="/y">d</a>')],
+        "id long, url string, html string")
+    got2 = {r["link_url"] for r in urls.extract_links(df2).collect()}
+    assert got2 == {"https://h.com:8080/x",
+                    "https://h.com:8080/a/rel.html",
+                    "http://h.com/y"}
+
 
 def test_sitemap_and_robots_sitemaps(spark):
     from pypond_spark.datapipe import urls
@@ -3150,6 +3162,27 @@ def test_link_graph_and_pagerank(spark):
         assert abs(got[n] - pr[n]) < 1e-12, n
     with pytest.raises(ValueError, match="iters"):
         urls.pagerank(edges, iters=0)
+
+    # arbitrary iters crosses the localCheckpoint boundary (every 5
+    # rounds) — values must match the hand iteration EXACTLY, the
+    # checkpoint is a lineage cut, not a numeric change; and the
+    # static-frame caches must be released on return
+    pr12 = {"a": 1.0, "b": 1.0, "c": 1.0}
+    for _ in range(12):
+        contrib = {"b": pr12["a"] / 2, "c": pr12["a"] / 2 + pr12["b"],
+                   "a": pr12["c"]}
+        pr12 = {n: 0.15 + 0.85 * contrib.get(n, 0.0) for n in pr12}
+    jsc = spark.sparkContext._jsc.sc()
+    n0 = jsc.getPersistentRDDs().size()
+    got12 = {r["node"]: r["pagerank"]
+             for r in urls.pagerank(edges, iters=12).collect()}
+    for n in pr12:
+        assert abs(got12[n] - pr12[n]) < 1e-12, n
+    # the two persist()-ed static frames were unpersisted on return;
+    # only the <=3 localCheckpoint stores (rounds 5, 10, final) may
+    # remain registered until the context cleaner GCs them
+    n1 = jsc.getPersistentRDDs().size()
+    assert n1 - n0 <= 3, (n0, n1)
 
 
 def test_http_charset_expr(spark):
@@ -3425,10 +3458,20 @@ def test_robots_crawl_delays(spark):
         "Crawl-delay: oops",     # non-numeric dropped
         "User-agent: QuietBot",  # group with no delay: absent
         "Disallow: /y",
+        # a RULE line between two UA lines ends the first group —
+        # the delay below belongs to TailBot only, never SoloBot
+        "User-agent: SoloBot",
+        "Disallow: /admin",
+        "User-agent: TailBot",
+        "Crawl-delay: 7",
+        # a disallow VALUE that parses as a number is still a rule
+        "User-agent: NumBot",
+        "Disallow: 10",
     ])
     df = spark.createDataFrame([("H.com", txt)],
                                "host string, robots_txt string")
     got = {(r["host"], r["agent"]): r["crawl_delay"]
            for r in urls.robots_crawl_delays(df).collect()}
     assert got == {("h.com", "fastbot"): 4.0,
-                   ("h.com", "otherbot"): 4.0}
+                   ("h.com", "otherbot"): 4.0,
+                   ("h.com", "tailbot"): 7.0}
