@@ -2011,6 +2011,54 @@ def q_image_phash_jpeg(spark, sf_dir):
     return dp_mm.image_phash(_synth_jpeg32(docs), grid_w=4, grid_h=4)
 
 
+def _synth_jpeg32_progressive(docs):
+    """32x32 grayscale PROGRESSIVE (SOF2) JPEG per doc: the
+    :func:`_synth_jpeg32` block-constant recipe (16 block values from
+    one md5 digest, salt '&jp') encoded through
+    ``jpeg.encode_jpeg_progressive`` — libjpeg's standard 6-scan
+    gray script (DC first at Al=1, spectral bands, successive-
+    approximation refinements) with restart markers, so the decode
+    exercises every progressive scan kind while the DC-only regime
+    keeps pixels EXACT and the oracle digest-replayable."""
+    import numpy as _np
+    import pandas as _pd
+
+    from pypond_spark.datapipe.jpeg import encode_jpeg_progressive
+
+    raw = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      F.unhex(F.md5(F.concat(F.col("text"),
+                                             F.lit("&jp"))))
+                      .alias("content"))
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for mid, dig in zip(pdf["media_id"], pdf["content"]):
+                vals = _np.frombuffer(bytes(dig),
+                                      dtype=_np.uint8).reshape(4, 4)
+                img = _np.repeat(_np.repeat(vals, 8, axis=0), 8, axis=1)
+                rows.append((int(mid),
+                             encode_jpeg_progressive(
+                                 32, 32, img.tobytes(), gray=True,
+                                 qtable=[1] * 64, restart_interval=2)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return raw.mapInPandas(enc, "media_id long, content binary")
+
+
+def q_image_phash_jpeg_progressive(spark, sf_dir):
+    """Perceptual hashes over pixels decoded from REAL progressive
+    (SOF2) JPEG bytes (datapipe/jpeg.py::_progressive_scan — spectral
+    selection, successive approximation DC+AC first/refinement passes,
+    EOB runs, restart markers): same downstream aHash/dHash chain as
+    ``image_phash_jpeg``, same all-ones-quant DC-only exactness, so a
+    driver-green row certifies the progressive entropy decode against
+    an oracle that never runs the codec."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_mm.image_phash(_synth_jpeg32_progressive(docs),
+                             grid_w=4, grid_h=4)
+
+
 def _synth_bmp8(docs):
     """8x8 REAL BMP per doc: the SAME chained-md5 pixel recipe as
     :func:`_synth_ppm8`, encoded by ``datapipe.bmp.encode_bmp``
@@ -5871,6 +5919,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta_sniff": q_image_meta_sniff,
         "image_meta_jpeg": q_image_meta_jpeg,
         "image_phash_jpeg": q_image_phash_jpeg,
+        "image_phash_jpeg_progressive": q_image_phash_jpeg_progressive,
         "image_phash_gif": q_image_phash_gif,
         "url_normalize": q_url_normalize,
         "domain_stats": q_domain_stats,
@@ -9845,6 +9894,39 @@ def oracle_sql() -> dict[str, str]:
             WITH v AS (
               SELECT doc_id, g.i AS i,
                      ('0x' || substr(md5(text || '&j'),
+                                     2 * g.i + 1, 2))::BIGINT AS b
+              FROM documents CROSS JOIN generate_series(0, 15) g(i)
+            ), tot AS (
+              SELECT doc_id, CAST(sum(b) AS BIGINT) AS ts
+              FROM v GROUP BY 1
+            ), ah AS (
+              SELECT v.doc_id AS doc_id,
+                     CAST(sum(CASE WHEN 16 * v.b > t.ts
+                          THEN (CAST(1 AS BIGINT) << v.i)
+                          ELSE 0 END) AS BIGINT) AS ahash
+              FROM v JOIN tot t USING (doc_id) GROUP BY 1
+            ), dh AS (
+              SELECT a.doc_id AS doc_id,
+                     CAST(coalesce(sum(CASE WHEN a.b > c.b
+                          THEN (CAST(1 AS BIGINT)
+                                << ((a.i // 4) * 3 + (a.i % 4)))
+                          ELSE 0 END), 0) AS BIGINT) AS dhash
+              FROM v a JOIN v c
+                ON c.doc_id = a.doc_id AND c.i = a.i + 1
+               AND a.i % 4 < 3
+              GROUP BY 1
+            )
+            SELECT ah.doc_id AS media_id, 32 AS width, 32 AS height,
+                   ah.ahash AS ahash, dh.dhash AS dhash
+            FROM ah JOIN dh ON dh.doc_id = ah.doc_id
+        """,
+        "image_phash_jpeg_progressive": """
+            -- identical oracle shape to image_phash_jpeg (salt '&jp'):
+            -- the PROGRESSIVE stream carries the same DC-only
+            -- coefficients, so decoded pixels replay from the digest
+            WITH v AS (
+              SELECT doc_id, g.i AS i,
+                     ('0x' || substr(md5(text || '&jp'),
                                      2 * g.i + 1, 2))::BIGINT AS b
               FROM documents CROSS JOIN generate_series(0, 15) g(i)
             ), tot AS (

@@ -1,17 +1,21 @@
-"""Baseline-sequential JPEG (JFIF) codec, pure Python + numpy.
+"""Baseline-sequential + progressive JPEG (JFIF) codec, pure Python
++ numpy.
 
 The single most common image format in any real crawl; without it every
 JPEG in a 100-TB ingest is dropped at ``decode_image``.  This module
-implements the baseline DCT process of the public ITU-T T.81 spec —
-marker parse, DQT/DHT/DRI/SOF0/SOS, Huffman entropy decode with byte
-unstuffing and restart markers, dequantization, 8x8 inverse DCT
-(numpy-batched), nearest-neighbor chroma upsampling, and YCbCr->RGB —
-plus a matching encoder so tests and driver rows can synthesize real
+implements the baseline AND progressive DCT processes of the public
+ITU-T T.81 spec — marker parse, DQT/DHT/DRI/SOF0/SOF2/SOS, Huffman
+entropy decode with byte unstuffing and restart markers, progressive
+scan accumulation (spectral selection + successive approximation, DC
+and AC first/refinement passes, EOB runs), dequantization, 8x8 inverse
+DCT (numpy-batched), nearest-neighbor chroma upsampling, and
+YCbCr->RGB — plus matching encoders (baseline and progressive with a
+configurable scan script) so tests and driver rows can synthesize real
 JPEG bytes without any imaging library.
 
 Honest scope limits (each raises, never silently wrong):
 
-- progressive (SOF2), lossless (SOF3/7), differential and
+- lossless (SOF3/7), differential and
   arithmetic-coded (SOF9..15) processes -> ``NotImplementedError``;
 - 12-bit precision and CMYK/4-component scans -> ``NotImplementedError``;
 - structural corruption (truncation, bad marker stream, Huffman
@@ -49,7 +53,6 @@ ZIGZAG = (
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive JPEG (SOF2)",
     0xC3: "lossless JPEG (SOF3)",
     0xC5: "differential sequential JPEG (SOF5)",
     0xC6: "differential progressive JPEG (SOF6)",
@@ -196,14 +199,20 @@ def _decode_block(r: _BitReader, dc_tab: dict, ac_tab: dict,
 
 
 def decode_jpeg(content: bytes) -> dict:
-    """Decode a baseline-sequential JFIF/JPEG to interleaved 8-bit RGB.
+    """Decode a baseline-sequential or progressive JFIF/JPEG to
+    interleaved 8-bit RGB.
 
     Returns the :func:`~pypond_spark.datapipe.multimodal.decode_image`
     dict shape: ``{"format": "jpeg", "width", "height", "maxval": 255,
     "pixels"}`` with grayscale replicated across channels, exactly like
     the PNG path.  Chroma subsampling is handled by nearest-neighbor
-    (replication) upsampling.  Unsupported processes raise
-    ``NotImplementedError``; corrupt structure raises ``ValueError``.
+    (replication) upsampling.  Progressive (SOF2) streams accumulate
+    coefficients across their scans — spectral selection, successive
+    approximation (DC and AC first + refinement passes), EOB runs and
+    restart markers all handled — then run the SAME dequant/IDCT
+    finish as baseline: scan organization never changes the decoded
+    pixels.  Unsupported processes raise ``NotImplementedError``;
+    corrupt structure raises ``ValueError``.
     """
     if content[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG: missing SOI marker")
@@ -211,16 +220,22 @@ def decode_jpeg(content: bytes) -> dict:
     huff: dict[tuple[int, int], dict] = {}   # (class, id) -> decode table
     restart_interval = 0
     frame = None
+    scans_done = 0
     i = 2
     n = len(content)
     while True:
-        if i + 4 > n:
+        if i + 2 > n:
             raise ValueError("truncated JPEG: ran out of markers")
         if content[i] != 0xFF:
             raise ValueError(f"bad JPEG marker stream at byte {i}")
         marker = content[i + 1]
-        if marker == 0xD9:
+        if marker == 0xD9:                      # EOI
+            if frame is not None and frame.get("progressive") \
+                    and scans_done:
+                return _finish_frame(frame, qt)
             raise ValueError("JPEG EOI before any scan")
+        if i + 4 > n:
+            raise ValueError("truncated JPEG: ran out of markers")
         seglen = struct.unpack(">H", content[i + 2:i + 4])[0]
         seg = content[i + 4:i + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -228,7 +243,8 @@ def decode_jpeg(content: bytes) -> dict:
         if marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"{_SOF_UNSUPPORTED[marker]} — only baseline sequential "
-                "Huffman (SOF0/SOF1) is supported")
+                "(SOF0/SOF1) and progressive (SOF2) Huffman processes "
+                "are supported")
         if marker == 0xDB:                      # DQT
             p = 0
             while p < len(seg):
@@ -253,11 +269,11 @@ def decode_jpeg(content: bytes) -> dict:
                 p += 17 + nv
         elif marker == 0xDD:                    # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker in (0xC0, 0xC1):            # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0 / SOF1 / SOF2
             prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(
-                    f"{prec}-bit JPEG precision (only 8-bit baseline)")
+                    f"{prec}-bit JPEG precision (only 8-bit)")
             if nc not in (1, 3):
                 raise NotImplementedError(
                     f"{nc}-component JPEG (only grayscale and YCbCr)")
@@ -266,30 +282,36 @@ def decode_jpeg(content: bytes) -> dict:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"w": width, "h": height, "comps": comps}
+            frame = {"w": width, "h": height, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker == 0xDA:                    # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             sel = {}
+            order = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(content, i + 2 + seglen, frame, sel, qt,
-                                huff, restart_interval)
+                order.append(cs)
+            if not frame["progressive"]:
+                return _decode_scan(content, i + 2 + seglen, frame, sel,
+                                    qt, huff, restart_interval)
+            ss, se, ahl = seg[1 + 2 * ns:4 + 2 * ns]
+            i = _progressive_scan(content, i + 2 + seglen, frame,
+                                  order, sel, huff, restart_interval,
+                                  ss, se, ahl >> 4, ahl & 0x0F)
+            scans_done += 1
+            continue
         # APPn / COM / anything else: skip
         i += 2 + seglen
 
 
 def _decode_scan(content: bytes, start: int, frame: dict, sel: dict,
                  qt: dict, huff: dict, restart_interval: int) -> dict:
-    width, height, comps = frame["w"], frame["h"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1:
-        raise ValueError("JPEG component with zero sampling factor")
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    comps = frame["comps"]
+    _alloc_blocks(frame)
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
     for c in comps:
         if c["id"] not in sel:
             raise NotImplementedError(
@@ -302,10 +324,6 @@ def _decode_scan(content: bytes, start: int, frame: dict, sel: dict,
             raise ValueError("JPEG missing Huffman table for scan")
         c["dc"] = huff[(0, dc_id)]
         c["ac"] = huff[(1, ac_id)]
-        c["q"] = qt[c["tq"]]
-        c["bw"] = mcux * c["h"]          # blocks per row
-        c["bh"] = mcuy * c["v"]
-        c["blocks"] = np.zeros((c["bw"] * c["bh"], 64), dtype=np.int32)
     segs, _ = _entropy_segments(content, start)
     total_mcus = mcux * mcuy
     per_seg = restart_interval if restart_interval else total_mcus
@@ -329,9 +347,46 @@ def _decode_scan(content: bytes, start: int, frame: dict, sel: dict,
     if mcu < total_mcus:
         raise ValueError(
             f"truncated JPEG scan: {mcu}/{total_mcus} MCUs decoded")
+    return _finish_frame(frame, qt)
+
+
+def _alloc_blocks(frame: dict) -> None:
+    """Size per-component coefficient storage on the interleaved MCU grid
+    (shared by the baseline single scan and progressive multi-scan
+    paths) and precompute the single-component (non-interleaved) block
+    grid progressive AC scans iterate over."""
+    width, height, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("JPEG component with zero sampling factor")
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["blocks"] = np.zeros((c["bw"] * c["bh"], 64), dtype=np.int32)
+        # real (unpadded-to-MCU) block grid for non-interleaved scans
+        cw = (width * c["h"] + hmax - 1) // hmax
+        ch = (height * c["v"] + vmax - 1) // vmax
+        c["wb_ni"] = (cw + 7) // 8
+        c["hb_ni"] = (ch + 7) // 8
+
+
+def _finish_frame(frame: dict, qt: dict) -> dict:
+    """Dequantize + inverse DCT + stitch + upsample + color-convert the
+    accumulated coefficient blocks — identical for baseline and
+    progressive frames (scan organization only changes HOW the
+    coefficients arrived, never their values)."""
+    width, height, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
-        deq = (c["blocks"] * c["q"][None, :]).astype(np.float64)
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+        deq = (c["blocks"] * qt[c["tq"]][None, :]).astype(np.float64)
         nat = np.zeros_like(deq)
         nat[:, list(ZIGZAG)] = deq
         sam = _idct_blocks(nat.reshape(-1, 8, 8)) + 128.0
@@ -357,6 +412,186 @@ def _decode_scan(content: bytes, start: int, frame: dict, sel: dict,
             for ch in (r_, g_, b_)], axis=-1)
     return {"format": "jpeg", "width": width, "height": height,
             "maxval": 255, "pixels": rgb.tobytes()}
+
+
+# ----------------------------------------------------- progressive decode
+
+def _scan_units(frame: dict, order: list, sel: dict) -> list:
+    """The data units (blocks) of one progressive scan in transmission
+    order: ``[(comp, block_index), ...]`` grouped per restart unit.
+
+    Interleaved scans (ns > 1) walk MCUs of the frame grid; a
+    single-component scan walks that component's REAL block raster
+    (``wb_ni x hb_ni`` — T.81 A.2.2, no MCU padding), one block per
+    restart-counted unit."""
+    comps = {c["id"]: c for c in frame["comps"]}
+    scomps = []
+    for cid in order:
+        if cid not in comps:
+            raise ValueError(f"JPEG scan names unknown component {cid}")
+        scomps.append(comps[cid])
+    units = []
+    if len(scomps) == 1:
+        c = scomps[0]
+        for row in range(c["hb_ni"]):
+            for col in range(c["wb_ni"]):
+                units.append([(c, row * c["bw"] + col)])
+    else:
+        mcux, mcuy = frame["mcux"], frame["mcuy"]
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            unit = []
+            for c in scomps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        unit.append((c, (my * c["v"] + by) * c["bw"]
+                                     + (mx * c["h"] + bx)))
+            units.append(unit)
+    return units
+
+
+def _progressive_scan(content: bytes, start: int, frame: dict,
+                      order: list, sel: dict, huff: dict,
+                      restart_interval: int, ss: int, se: int,
+                      ah: int, al: int) -> int:
+    """Decode ONE progressive scan into the frame's coefficient
+    arrays and return the position of the terminating marker.
+
+    The four scan kinds of T.81 G.2: DC first (Huffman diffs scaled
+    by ``<< Al``), DC refinement (one raw bit per block appended at
+    bit ``Al``), AC first (run-length + EOB-run, single component
+    only), AC refinement (newly-significant coefficients at
+    ``±1 << Al`` interleaved with correction bits for the already-
+    significant — the jdphuff.c walk re-derived from the spec).
+    Restart markers reset DC predictors AND the EOB run."""
+    if "mcux" not in frame:
+        _alloc_blocks(frame)
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG progressive DC scan must have Se = 0")
+    if ss > 0 and len(order) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-"
+                         "component (T.81 B.2.3)")
+    if not 0 <= ss <= se <= 63 or al > 13:
+        raise ValueError(f"bad JPEG scan band Ss={ss} Se={se} Al={al}")
+    units = _scan_units(frame, order, sel)
+    tabs = {}
+    for cid in order:
+        dc_id, ac_id = sel[cid]
+        if ss == 0 and ah == 0:            # DC first needs a DC table
+            if (0, dc_id) not in huff:
+                raise ValueError("JPEG missing DC Huffman table")
+            tabs[cid] = huff[(0, dc_id)]
+        elif ss > 0:                       # AC scans need an AC table
+            if (1, ac_id) not in huff:
+                raise ValueError("JPEG missing AC Huffman table")
+            tabs[cid] = huff[(1, ac_id)]
+    segs, end = _entropy_segments(content, start)
+    per_seg = restart_interval if restart_interval else len(units)
+    unit_no = 0
+    for seg in segs:
+        if unit_no >= len(units):
+            break
+        r = _BitReader(seg)
+        preds = {cid: 0 for cid in order}
+        eobrun = 0
+        for _ in range(min(per_seg, len(units) - unit_no)):
+            for c, idx in units[unit_no]:
+                zz = c["blocks"][idx]
+                if ss == 0 and ah == 0:
+                    t = _huff_decode(r, tabs[c["id"]])
+                    diff = _extend(r.read_bits(t), t) if t else 0
+                    preds[c["id"]] += diff
+                    zz[0] = preds[c["id"]] << al
+                elif ss == 0:
+                    if r.read_bit():
+                        zz[0] |= (1 << al)
+                elif ah == 0:
+                    eobrun = _ac_first_block(r, tabs[c["id"]], zz,
+                                             ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(r, tabs[c["id"]], zz,
+                                              ss, se, al, eobrun)
+            unit_no += 1
+    if unit_no < len(units):
+        raise ValueError(f"truncated JPEG progressive scan: "
+                         f"{unit_no}/{len(units)} units decoded")
+    return end
+
+
+def _ac_first_block(r: _BitReader, ac_tab: dict, zz: np.ndarray,
+                    ss: int, se: int, al: int, eobrun: int) -> int:
+    """First AC pass of one block: coefficient values ``v << Al``;
+    an (r, 0) symbol with r < 15 starts an EOB run of
+    ``(1 << r) - 1 + extra`` FURTHER blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, ac_tab)
+        rr, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if rr == 15:                  # ZRL
+                k += 16
+                continue
+            return (1 << rr) - 1 + (r.read_bits(rr) if rr else 0)
+        k += rr
+        if k > se:
+            raise ValueError("JPEG AC run past end of band")
+        zz[k] = _extend(r.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(r: _BitReader, ac_tab: dict, zz: np.ndarray,
+                     ss: int, se: int, al: int, eobrun: int) -> int:
+    """Refinement AC pass of one block: each already-significant
+    coefficient reads one correction bit as the walk passes it; a
+    symbol ``(r, 1)`` plants a newly-significant ``±1 << Al`` after r
+    zero-HISTORY positions; inside an EOB run only correction bits
+    are read."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def refine(k: int) -> None:
+        if r.read_bit() and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, ac_tab)
+            rr, s = rs >> 4, rs & 0x0F
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG AC refinement symbol with size != 1")
+                newval = p1 if r.read_bit() else m1
+            else:
+                if rr != 15:
+                    eobrun = ((1 << rr)
+                              + (r.read_bits(rr) if rr else 0))
+                    break
+                newval = 0                # ZRL: skip 16 zero-history
+            while k <= se:
+                if zz[k] != 0:
+                    refine(k)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("JPEG AC refinement run past band")
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                refine(k)
+            k += 1
+        return eobrun - 1
+    return 0
 
 
 # ---------------------------------------------------------------- encoder
@@ -543,20 +778,14 @@ def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
 
 
-def encode_jpeg(width: int, height: int, pixels: bytes,
-                quality: int = 90, gray: bool = False,
-                qtable: np.ndarray | list[int] | None = None,
-                subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Baseline-sequential JFIF encoder (the synthesis half of
-    :func:`decode_jpeg`): forward DCT, quality-scaled (or caller-fixed
-    ``qtable``, NATURAL order, e.g. all ones for the exact DC-only
-    driver-row recipe) quantization, optimal per-image Huffman tables
-    derived with the T.81 Annex K.2 procedure, byte stuffing, optional
-    restart markers.  ``gray=True`` takes ``width*height`` single-
-    channel bytes; otherwise interleaved RGB with ``subsampling`` in
-    {'444', '420'} (4:2:0 box-averages each 2x2 chroma neighborhood).
-    """
+def _prep_components(width: int, height: int, pixels: bytes,
+                     gray: bool, subsampling: str, quality: int,
+                     qtable) -> tuple:
+    """Pixels -> quantized zigzag coefficient blocks per component
+    (shared by the baseline and progressive encoders, which differ
+    ONLY in how they entropy-code the identical coefficients).
+    Returns (comp_zz [(zz int64 (n,64), bw, h, v)], hmax, vmax, mcux,
+    mcuy, qt_l, qt_c)."""
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling must be 444|420, got {subsampling}")
     if width < 1 or height < 1:
@@ -613,6 +842,25 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
         blocks = _component_blocks(padded)
         comp_zz.append((_quantize(_fdct_blocks(blocks), zzq)
                         .astype(np.int64), bw, h, v))
+    return comp_zz, hmax, vmax, mcux, mcuy, qt_l, qt_c
+
+
+def encode_jpeg(width: int, height: int, pixels: bytes,
+                quality: int = 90, gray: bool = False,
+                qtable: np.ndarray | list[int] | None = None,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Baseline-sequential JFIF encoder (the synthesis half of
+    :func:`decode_jpeg`): forward DCT, quality-scaled (or caller-fixed
+    ``qtable``, NATURAL order, e.g. all ones for the exact DC-only
+    driver-row recipe) quantization, optimal per-image Huffman tables
+    derived with the T.81 Annex K.2 procedure, byte stuffing, optional
+    restart markers.  ``gray=True`` takes ``width*height`` single-
+    channel bytes; otherwise interleaved RGB with ``subsampling`` in
+    {'444', '420'} (4:2:0 box-averages each 2x2 chroma neighborhood).
+    """
+    comp_zz, hmax, vmax, mcux, mcuy, qt_l, qt_c = _prep_components(
+        width, height, pixels, gray, subsampling, quality, qtable)
 
     # walk the MCU order once, yielding (component-class, symbol,
     # value, nbits) plus restart boundaries; consumed twice — counting
@@ -702,5 +950,306 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
     sos += bytes([0, 63, 0])
     out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
     out += scan
+    out += b"\xFF\xD9"                                # EOI
+    return bytes(out)
+
+
+# ----------------------------------------------------- progressive encoder
+
+# libjpeg's standard progressive scan scripts (public knowledge): DC
+# first at Al=1, low-frequency luma band early, chroma before luma
+# detail, successive-approximation refinements last.  Every (band, Al)
+# ladder ends at Al=0, so the decoded coefficients equal the baseline
+# encoder's exactly — scan organization is presentation order only.
+_DEFAULT_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+_DEFAULT_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _prog_units(comp_ids: tuple, comp_zz: list, ni: list,
+                mcux: int, mcuy: int) -> list:
+    """Encoder twin of the decoder's ``_scan_units``: the (comp-index,
+    block-index) groups of one scan in transmission order, one group
+    per restart-counted unit."""
+    units = []
+    if len(comp_ids) == 1:
+        ci = comp_ids[0]
+        _, bw, _, _ = comp_zz[ci]
+        wb, hb = ni[ci]
+        for row in range(hb):
+            for col in range(wb):
+                units.append([(ci, row * bw + col)])
+    else:
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            unit = []
+            for ci in comp_ids:
+                _, bw, h, v = comp_zz[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        unit.append((ci, (my * v + by) * bw
+                                     + (mx * h + bx)))
+            units.append(unit)
+    return units
+
+
+def _prog_scan_events(scan: tuple, comp_zz: list, ni: list, mcux: int,
+                      mcuy: int, restart_interval: int) -> list:
+    """Entropy events of ONE progressive scan: ``("s", tid, symbol)``
+    Huffman symbols, ``("b", value, nbits)`` raw/extra bits (negative
+    values get the T.81 adjustment at write time), ``("r",)`` restart
+    boundaries.  Consumed twice — frequency counting, then writing.
+
+    The AC-refinement walk mirrors the decoder (and jcphuff.c's
+    published structure): correction bits for already-significant
+    coefficients buffer up and flush in POSITIONAL order — after each
+    ZRL, after each newly-significant symbol's sign bit, and after a
+    flushed EOB run — exactly where the decoder's walks read them."""
+    comp_ids, ss, se, ah, al = scan
+    units = _prog_units(comp_ids, comp_zz, ni, mcux, mcuy)
+    per_seg = restart_interval if restart_interval else len(units)
+    events: list = []
+
+    if ss == 0 and ah == 0:                       # DC first
+        for seg0 in range(0, len(units), per_seg):
+            if seg0:
+                events.append(("r",))
+            preds = {ci: 0 for ci in comp_ids}
+            for unit in units[seg0:seg0 + per_seg]:
+                for ci, idx in unit:
+                    tid = 0 if ci == 0 else 1
+                    temp = int(comp_zz[ci][0][idx][0]) >> al
+                    diff = temp - preds[ci]
+                    preds[ci] = temp
+                    s = _category(diff)
+                    events.append(("s", tid, s))
+                    if s:
+                        events.append(("b", diff, s))
+        return events
+
+    if ss == 0:                                    # DC refinement
+        for seg0 in range(0, len(units), per_seg):
+            if seg0:
+                events.append(("r",))
+            for unit in units[seg0:seg0 + per_seg]:
+                for ci, idx in unit:
+                    events.append(
+                        ("b", (int(comp_zz[ci][0][idx][0]) >> al) & 1,
+                         1))
+        return events
+
+    ci = comp_ids[0]
+    tid = 0 if ci == 0 else 1
+    zzb = comp_zz[ci][0]
+    eobrun = 0
+    pending: list = []                             # EOB-run correction bits
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            events.append(("s", tid, nbits << 4))
+            if nbits:
+                events.append(("b", eobrun - (1 << nbits), nbits))
+            eobrun = 0
+        for b in pending:
+            events.append(("b", b, 1))
+        pending = []
+
+    if ah == 0:                                    # AC first
+        for seg0 in range(0, len(units), per_seg):
+            if seg0:
+                flush_eob()
+                events.append(("r",))
+            for unit in units[seg0:seg0 + per_seg]:
+                zz = zzb[unit[0][1]]
+                r_ = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    mag = (v if v >= 0 else -v) >> al
+                    if mag == 0:
+                        r_ += 1
+                        continue
+                    while r_ > 15:
+                        flush_eob()
+                        events.append(("s", tid, 0xF0))
+                        r_ -= 16
+                    flush_eob()
+                    s = mag.bit_length()
+                    events.append(("s", tid, (r_ << 4) | s))
+                    events.append(("b", mag if v >= 0 else -mag, s))
+                    r_ = 0
+                if r_ > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return events
+
+    if ah != al + 1:                               # AC refinement
+        raise ValueError(
+            f"successive approximation must step one bit (Ah={ah}, "
+            f"Al={al})")
+    for seg0 in range(0, len(units), per_seg):
+        if seg0:
+            flush_eob()
+            events.append(("r",))
+        for unit in units[seg0:seg0 + per_seg]:
+            zz = zzb[unit[0][1]]
+            mags = [(int(zz[k]) if int(zz[k]) >= 0
+                     else -int(zz[k])) >> al
+                    for k in range(ss, se + 1)]
+            eob_idx = ss - 1
+            for j, m in enumerate(mags):
+                if m == 1:
+                    eob_idx = ss + j
+            r_ = 0
+            br: list = []
+            for k in range(ss, se + 1):
+                mag = mags[k - ss]
+                if mag == 0:
+                    r_ += 1
+                    continue
+                while r_ > 15 and k <= eob_idx:
+                    flush_eob()
+                    events.append(("s", tid, 0xF0))
+                    r_ -= 16
+                    for b in br:
+                        events.append(("b", b, 1))
+                    br = []
+                if mag > 1:
+                    br.append(mag & 1)
+                    continue
+                flush_eob()
+                events.append(("s", tid, (r_ << 4) | 1))
+                events.append(("b", 1 if int(zz[k]) >= 0 else 0, 1))
+                for b in br:
+                    events.append(("b", b, 1))
+                br = []
+                r_ = 0
+            if r_ > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+    return events
+
+
+def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
+                            quality: int = 90, gray: bool = False,
+                            qtable: np.ndarray | list[int] | None = None,
+                            subsampling: str = "444",
+                            restart_interval: int = 0,
+                            scan_script: tuple | None = None) -> bytes:
+    """Progressive (SOF2) JFIF encoder — the synthesis half of the
+    progressive decode path, sharing :func:`_prep_components` with
+    :func:`encode_jpeg` so the QUANTIZED COEFFICIENTS are identical to
+    a baseline encode of the same pixels: decoding either stream gives
+    byte-identical output (the invariant the roundtrip tests pin).
+
+    ``scan_script`` is a tuple of ``(component_indices, Ss, Se, Ah,
+    Al)`` scans (default: libjpeg's standard script).  Each scan gets
+    optimal per-scan Huffman tables (T.81 Annex K.2); DC refinement
+    scans are raw bits and define none.  Every band's approximation
+    ladder must reach Al=0 and cover 1..63 for a faithful image; the
+    default scripts do."""
+    comp_zz, hmax, vmax, mcux, mcuy, qt_l, qt_c = _prep_components(
+        width, height, pixels, gray, subsampling, quality, qtable)
+    nc = 1 if gray else 3
+    if scan_script is None:
+        scan_script = (_DEFAULT_SCRIPT_GRAY if gray
+                       else _DEFAULT_SCRIPT_COLOR)
+    for comp_ids, ss, se, ah, al in scan_script:
+        if any(ci >= nc for ci in comp_ids):
+            raise ValueError(f"scan names component >= {nc}")
+        if ss == 0 and se != 0:
+            raise ValueError("DC scan must have Se = 0")
+        if ss > 0 and len(comp_ids) != 1:
+            raise ValueError("AC scans must be single-component")
+        if not 0 <= ss <= se <= 63 or al > 13 or (ah and ah != al + 1):
+            raise ValueError(f"bad scan ({ss},{se},{ah},{al})")
+
+    ni = []
+    for _, _, h, v in comp_zz:
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        ni.append(((cw + 7) // 8, (ch + 7) // 8))
+
+    out = bytearray(b"\xFF\xD8")                      # SOI
+    out += (b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+            + bytes([0, 0]))                          # APP0
+    out += (b"\xFF\xDB" + struct.pack(">H", 67) + bytes([0x00])
+            + bytes(int(x) for x in qt_l[list(ZIGZAG)]))
+    if not gray:
+        out += (b"\xFF\xDB" + struct.pack(">H", 67) + bytes([0x01])
+                + bytes(int(x) for x in qt_c[list(ZIGZAG)]))
+    sof = struct.pack(">BHHB", 8, height, width, nc)
+    samp = [(hmax, vmax), (1, 1), (1, 1)]
+    for c in range(nc):
+        h, v = samp[c] if not gray else (1, 1)
+        sof += bytes([c + 1, (h << 4) | v, 0 if c == 0 else 1])
+    out += b"\xFF\xC2" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+
+    for scan in scan_script:
+        comp_ids, ss, se, ah, al = scan
+        events = _prog_scan_events(scan, comp_zz, ni, mcux, mcuy,
+                                   restart_interval)
+        freqs: dict[int, dict[int, int]] = {}
+        for ev in events:
+            if ev[0] == "s":
+                t = freqs.setdefault(ev[1], {})
+                t[ev[2]] = t.get(ev[2], 0) + 1
+        cls = 0 if ss == 0 else 1
+        enc = {}
+        for tid in sorted(freqs):
+            bits, vals = _huff_table_from_freqs(freqs[tid])
+            body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+            out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+            enc[tid] = _encode_table(bits, vals)
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            tid = 0 if ci == 0 else 1
+            sos += bytes([ci + 1,
+                          (tid << 4) if ss == 0 else tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+        w = _BitWriter()
+        rst = 0
+        for ev in events:
+            if ev[0] == "r":
+                out += w.flush()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                w = _BitWriter()
+            elif ev[0] == "s":
+                code, length = enc[ev[1]][ev[2]]
+                w.write(code, length)
+            else:
+                _, val, nbits = ev
+                if val < 0:
+                    val += (1 << nbits) - 1
+                w.write(val, nbits)
+        out += w.flush()
     out += b"\xFF\xD9"                                # EOI
     return bytes(out)

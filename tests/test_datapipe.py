@@ -770,8 +770,99 @@ def test_jpeg_decode_accuracy_and_color():
     assert np.abs(px.astype(int) - sm.astype(int)).max() <= 12
 
 
+def test_jpeg_progressive_matches_baseline():
+    """decode(progressive) == decode(baseline) BYTE-FOR-BYTE for the
+    same pixels: both encoders share the quantization pipeline, so the
+    coefficients are identical and any divergence is an entropy-layer
+    bug in the progressive scans.  Covers gray/color, 4:4:4/4:2:0,
+    non-multiple-of-8 dims, restart markers, the default successive-
+    approximation script, spectral-selection-only scripts, and a
+    4-level approximation ladder."""
+    import numpy as np
+
+    from pypond_spark.datapipe import jpeg
+
+    rng = np.random.default_rng(42)
+    for w, h in [(16, 16), (13, 9), (24, 17)]:
+        for gray in (True, False):
+            for sub in (("444",) if gray else ("444", "420")):
+                for ri in (0, 2):
+                    px = rng.integers(
+                        0, 256, size=w * h * (1 if gray else 3),
+                        dtype=np.uint8).tobytes()
+                    base = jpeg.decode_jpeg(jpeg.encode_jpeg(
+                        w, h, px, quality=75, gray=gray,
+                        subsampling=sub, restart_interval=ri))
+                    prog_bytes = jpeg.encode_jpeg_progressive(
+                        w, h, px, quality=75, gray=gray,
+                        subsampling=sub, restart_interval=ri)
+                    prog = jpeg.decode_jpeg(prog_bytes)
+                    assert base == prog, (w, h, gray, sub, ri)
+                    # it really is an SOF2 multi-scan stream
+                    assert b"\xFF\xC2" in prog_bytes
+                    assert prog_bytes.count(b"\xFF\xDA") >= 5
+
+    # spectral-selection only (Ah=Al=0 everywhere) and a deep ladder
+    spectral = (((0, 1, 2), 0, 0, 0, 0), ((0,), 1, 63, 0, 0),
+                ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0))
+    deep = (((0,), 0, 0, 0, 3), ((0,), 0, 0, 3, 2),
+            ((0,), 0, 0, 2, 1), ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 0, 3), ((0,), 1, 63, 3, 2),
+            ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0))
+    px = rng.integers(0, 256, size=24 * 17 * 3, dtype=np.uint8).tobytes()
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(17, 24, px,
+                                             restart_interval=2))
+    assert base == jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(
+        17, 24, px, restart_interval=2, scan_script=spectral))
+    g = rng.integers(0, 256, size=29 * 21, dtype=np.uint8).tobytes()
+    assert jpeg.decode_jpeg(jpeg.encode_jpeg(21, 29, g, gray=True)) \
+        == jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(
+            21, 29, g, gray=True, scan_script=deep))
+
+    # long EOB runs: a flat 128x128 (every AC band empty) and a nearly
+    # flat image whose sparse detail interleaves runs with symbols
+    flat = (np.zeros((128, 128), np.uint8) + 77)
+    sparse = flat.copy()
+    sparse[::17, ::13] = 200
+    for img in (flat, sparse):
+        assert jpeg.decode_jpeg(jpeg.encode_jpeg(
+            128, 128, img.tobytes(), gray=True, quality=50)) \
+            == jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(
+                128, 128, img.tobytes(), gray=True, quality=50))
+
+
+def test_jpeg_progressive_exact_and_errors():
+    """The DC-only exactness regime carries to progressive streams
+    (the driver row's oracle contract), and the progressive error
+    paths are honest: truncated scans and malformed scripts raise."""
+    import hashlib
+
+    import numpy as np
+
+    from pypond_spark.datapipe import jpeg
+
+    dig = hashlib.md5(b"prog").digest()
+    vals = np.frombuffer(dig, dtype=np.uint8).reshape(4, 4)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    data = jpeg.encode_jpeg_progressive(32, 32, img.tobytes(),
+                                        gray=True, qtable=[1] * 64,
+                                        restart_interval=2)
+    out = multimodal.decode_image(data)
+    px = np.frombuffer(out["pixels"], np.uint8).reshape(32, 32, 3)
+    assert (px == img[..., None]).all()
+
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg.decode_jpeg(data[:len(data) * 2 // 3])
+    for bad in [(((0, 1), 1, 63, 0, 0),),       # multi-comp AC scan
+                (((0,), 0, 5, 0, 0),),          # DC band with Se > 0
+                (((0,), 1, 63, 2, 0),)]:        # Ah must be Al + 1
+        with pytest.raises(ValueError):
+            jpeg.encode_jpeg_progressive(32, 32, img.tobytes(),
+                                         gray=True, scan_script=bad)
+
+
 def test_jpeg_unsupported_and_corrupt():
-    """Progressive/arithmetic/12-bit raise NotImplementedError with the
+    """Arithmetic/lossless/12-bit raise NotImplementedError with the
     process named; structural corruption raises ValueError."""
     import numpy as np
 
@@ -780,8 +871,15 @@ def test_jpeg_unsupported_and_corrupt():
     img = (np.zeros((8, 8), dtype=np.uint8) + 100).tobytes()
     d = jpeg.encode_jpeg(8, 8, img, gray=True, qtable=[1] * 64)
     i = d.find(b"\xFF\xC0")
-    for sof, pat in [(0xC2, "progressive"), (0xC9, "arithmetic"),
-                     (0xC3, "lossless")]:
+    # SOF2 (progressive) is SUPPORTED since r12 — a baseline stream
+    # relabeled progressive is structurally invalid (Se=63 DC band),
+    # a ValueError, not a capability gap
+    bad2 = bytearray(d)
+    bad2[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se = 0"):
+        multimodal.decode_image(bytes(bad2))
+    for sof, pat in [(0xCA, "arithmetic-coded progressive"),
+                     (0xC9, "arithmetic"), (0xC3, "lossless")]:
         bad = bytearray(d)
         bad[i + 1] = sof
         with pytest.raises(NotImplementedError, match=pat):
