@@ -2245,6 +2245,57 @@ def _synth_y4m(docs, per_doc_unique: bool = True):
     return base.mapInPandas(enc, "media_id long, content binary")
 
 
+def _synth_avi32(docs):
+    """3-frame 32x32 MJPEG AVI per doc (datapipe/avi.py::
+    encode_avi_mjpeg): frame f's 16 block values (4x4 grid of 8x8
+    blocks) are the bytes of md5(text || '@a' || f), encoded as a
+    grayscale all-ones-qtable baseline JPEG inside a RIFF/AVI movi
+    chunk — the image tier's DC-only exactness regime carried into a
+    COMPRESSED video container."""
+    import hashlib as _hashlib
+
+    import numpy as _np
+    import pandas as _pd
+
+    from pypond_spark.datapipe.avi import encode_avi_mjpeg
+
+    base = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                       F.col("text"))
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                frames = []
+                for f in range(3):
+                    dig = _hashlib.md5(f"{text}@a{f}".encode()).digest()
+                    vals = _np.frombuffer(dig, dtype=_np.uint8) \
+                        .reshape(4, 4)
+                    frames.append(_np.repeat(_np.repeat(vals, 8, 0),
+                                             8, 1).tobytes())
+                rows.append((int(mid),
+                             encode_avi_mjpeg(32, 32, frames,
+                                              qtable=[1] * 64)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return base.mapInPandas(enc, "media_id long, content binary")
+
+
+def q_video_frame_phash_avi(spark, sf_dir):
+    """Frame sampling + per-frame perceptual hashing over a COMPRESSED
+    video container (datapipe/avi.py::decode_avi_mjpeg — RIFF chunk
+    walk, per-frame JPEG entropy decode — feeding the same
+    sample_video_frames -> image_phash chain as Y4M): block-constant
+    frames with an all-ones quant table decode EXACTLY, so the oracle
+    replays every comparison from the per-frame md5 digests without
+    running either codec."""
+    docs = _read(spark, sf_dir, "documents")
+    frames = dp_y4m.sample_video_frames(_synth_avi32(docs), every_n=1)
+    keyed = frames.select("media_id", "frame_idx", "content")
+    return dp_mm.image_phash(keyed, grid_w=4, grid_h=4,
+                             extra_cols=("frame_idx",))
+
+
 def q_video_frame_phash(spark, sf_dir):
     """REAL video frame sampling + per-frame perceptual hashing
     (datapipe/y4m.py::sample_video_frames -> multimodal.image_phash):
@@ -5904,6 +5955,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "http_charset": q_http_charset,
         "video_frame_phash": q_video_frame_phash,
+        "video_frame_phash_avi": q_video_frame_phash_avi,
         "transcode_payload": q_transcode_payload,
         "crawl_frontier": q_crawl_frontier,
         "audio_meta_sniff": q_audio_meta_sniff,
@@ -12234,6 +12286,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(8 + doc_id % 9 AS INT) AS width,
                CAST(8 + doc_id % 7 AS INT) AS height
         FROM documents
+    """
+    d["video_frame_phash_avi"] = """
+        -- block value b_i of frame f = byte i of md5(text||'@a'||f);
+        -- the all-ones-qtable MJPEG frame decodes EXACTLY, gray(cell)
+        -- = 3*64*b_i, and every phash comparison is homogeneous, so
+        -- the comparisons replay on the raw digest bytes
+        WITH v AS (
+          SELECT doc_id, f.f AS f, g.i AS i,
+                 ('0x' || substr(md5(text || '@a' ||
+                                     CAST(f.f AS VARCHAR)),
+                                 2 * g.i + 1, 2))::BIGINT AS b
+          FROM documents
+          CROSS JOIN generate_series(0, 2) f(f)
+          CROSS JOIN generate_series(0, 15) g(i)
+        ), tot AS (
+          SELECT doc_id, f, CAST(sum(b) AS BIGINT) AS ts
+          FROM v GROUP BY 1, 2
+        ), ah AS (
+          SELECT v.doc_id AS doc_id, v.f AS f,
+                 CAST(sum(CASE WHEN 16 * v.b > t.ts
+                      THEN (CAST(1 AS BIGINT) << v.i)
+                      ELSE 0 END) AS BIGINT) AS ahash
+          FROM v JOIN tot t ON t.doc_id = v.doc_id AND t.f = v.f
+          GROUP BY 1, 2
+        ), dh AS (
+          SELECT a.doc_id AS doc_id, a.f AS f,
+                 CAST(coalesce(sum(CASE WHEN a.b > c.b
+                      THEN (CAST(1 AS BIGINT)
+                            << ((a.i // 4) * 3 + (a.i % 4)))
+                      ELSE 0 END), 0) AS BIGINT) AS dhash
+          FROM v a JOIN v c
+            ON c.doc_id = a.doc_id AND c.f = a.f AND c.i = a.i + 1
+           AND a.i % 4 < 3
+          GROUP BY 1, 2
+        )
+        SELECT ah.doc_id AS media_id, 32 AS width, 32 AS height,
+               ah.ahash AS ahash, dh.dhash AS dhash,
+               CAST(ah.f AS INT) AS frame_idx
+        FROM ah JOIN dh ON dh.doc_id = ah.doc_id AND dh.f = ah.f
     """
     d["video_frame_phash"] = """
         -- luma byte p of frame f: digest md5(text || '%f#' || p//16),
