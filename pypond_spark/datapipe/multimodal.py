@@ -41,6 +41,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pypond_spark.datapipe.bmp import decode_bmp
+from pypond_spark.datapipe.gif import decode_gif
+from pypond_spark.datapipe.jpeg import decode_jpeg
+
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("kind", T.StringType(), False),      # image|audio|video
@@ -378,21 +382,24 @@ def decode_image(content: bytes) -> dict:
 
     Returns ``{"format", "width", "height", "maxval", "pixels"}`` where
     pixels are raw interleaved RGB bytes regardless of source format.
-    Baseline-sequential JPEG decodes via
-    :mod:`pypond_spark.datapipe.jpeg` (progressive / arithmetic /
-    12-bit raise ``NotImplementedError`` there); any other format
-    raises ``NotImplementedError``.
+    Baseline-sequential AND progressive JPEG decode via
+    :mod:`pypond_spark.datapipe.jpeg` (arithmetic / 12-bit raise
+    ``NotImplementedError`` there); any other format raises
+    ``NotImplementedError``.
+
+    Per-call cost note (r12, measured in SCALE.md): the magic-byte
+    sniff is ~0.26% of decode work, but the former call-site imports
+    were ~15% on small-image corpora — the codec imports are hoisted
+    to module scope (gif/bmp/jpeg are import-cycle-free), so batching
+    callers by format would now buy nothing.
     """
     if content.startswith(_PNG_SIG):
         return _decode_png(content)
     if content.startswith(b"\xFF\xD8"):
-        from pypond_spark.datapipe.jpeg import decode_jpeg
         return decode_jpeg(content)
     if content.startswith(b"GIF8"):
-        from pypond_spark.datapipe.gif import decode_gif
         return decode_gif(content)
     if content.startswith(b"BM"):
-        from pypond_spark.datapipe.bmp import decode_bmp
         return decode_bmp(content)
     if not (content.startswith(b"P6") or content.startswith(b"P5")):
         raise NotImplementedError(

@@ -1145,13 +1145,22 @@ def stream_ewma_tws(
             got = self._acc.get() if self._acc.exists() else None
             accs = list(got) if got is not None else [None] * len(fields)
             pdf = _whole_group(rows, time_col, tb)
+            if not len(pdf):
+                return
+            # array-based loop (r12): same numpy recipe as the
+            # applyInPandasWithState sibling _ewma_state_fn — the
+            # recurrence rounds at every step so the fold stays scalar,
+            # but iterrows row materialization (the actual cost) goes
+            t_arr = _t_ms(pdf, time_col)
+            v_arrs = [_f64(pdf, f) for f in fields]
+            c_arrs = [pdf[c].to_list() for c in carry]
             outs = []
-            for _, row in pdf.iterrows():
-                rec = (list(key) + [int(row[time_col].value // 10**6)]
-                       + [row[c] for c in carry])
-                for j, f in enumerate(fields):
-                    v = row[f]
-                    if v is not None and not pd.isna(v):
+            for r in range(len(t_arr)):
+                rec = (list(key) + [int(t_arr[r])]
+                       + [c[r] for c in c_arrs])
+                for j in range(len(fields)):
+                    v = v_arrs[j][r]
+                    if not np.isnan(v):
                         accs[j] = float(v) if accs[j] is None \
                             else alpha * float(v) + (1.0 - alpha) * accs[j]
                     rec.append(accs[j])

@@ -287,6 +287,124 @@ def _attribution_chain_stress(ev) -> float:
         shutil.rmtree(src, ignore_errors=True)
 
 
+def _video_neardup_stress(spark) -> float:
+    """r12: video_near_dups under many-still-frame skew.  200 videos
+    (20 distinct contents x 10 copies) where EVERY frame of a video is
+    the same still image — the worst case for a frame-hash join,
+    because without the per-video DISTINCT-hash guard each video would
+    contribute F rows to its hash bucket and the candidate join would
+    grow as (10F)^2 per content key.  Two tiers 10x apart in frames
+    per video; with the guard, wall must track DECODE cost (~linear in
+    frames), the pair count must not move at all."""
+    import hashlib
+    import time as _time
+
+    import pandas as _pd
+
+    from pypond_spark.datapipe.y4m import encode_y4m, video_near_dups
+
+    walls = []
+    for frames_per_video in (12, 120):
+        base = spark.range(200).selectExpr("id AS media_id")
+
+        def enc(batches, fpv=frames_per_video):
+            for pdf in batches:
+                rows = []
+                for mid in pdf["media_id"]:
+                    still = hashlib.md5(
+                        f"still{int(mid) % 20}".encode()).digest() * 4
+                    rows.append((int(mid),
+                                 encode_y4m(8, 8, [still[:64]] * fpv)))
+                yield _pd.DataFrame(rows,
+                                    columns=["media_id", "content"])
+
+        vids = base.mapInPandas(enc, "media_id long, content binary") \
+            .localCheckpoint()
+        t0 = _time.time()
+        n_pairs = video_near_dups(vids, every_n=1, min_shared=0.5).count()
+        walls.append(_time.time() - t0)
+        print(f"    [video_near_dups] {frames_per_video} still frames/"
+              f"video: {walls[-1]:.1f}s, {n_pairs:,} pairs")
+    print(f"    [video_near_dups] 10x frames -> "
+          f"{walls[1] / walls[0]:.2f}x wall")
+    return walls[1]
+
+
+def _extract_content_stress(spark) -> float:
+    """r12: extract_content under pathological block counts — pages of
+    thousands of TINY blocks (the tag-soup worst case for the block
+    explode + per-doc reassembly groupBy).  Fixed 20k docs, two tiers
+    10x apart in blocks per doc (40 -> 400); wall should be ~linear in
+    total blocks, and the collect_list reassembly stays per-doc
+    bounded (no corpus-wide window anywhere)."""
+    import time as _time
+
+    from pyspark.sql import functions as F2
+
+    from pypond_spark.datapipe.textstats import extract_content
+
+    walls = []
+    for bpd in (40, 400):
+        docs = spark.range(20_000).select(
+            F2.col("id").alias("doc_id"),
+            F2.concat(
+                F2.lit("<html><body>"),
+                F2.array_join(F2.transform(
+                    F2.sequence(F2.lit(0), F2.lit(bpd - 1)),
+                    lambda i: F2.concat(
+                        F2.lit("<p>block "), i, F2.lit(" of doc "),
+                        F2.col("id"),
+                        F2.lit(" with just enough words to pass the "
+                               "content gate sometimes maybe</p>"
+                               "<div><a href='/x'>nav</a></div>"))),
+                    ""),
+                F2.lit("</body></html>")).alias("text")) \
+            .localCheckpoint()
+        t0 = _time.time()
+        n = extract_content(docs).where(F2.col("n_content") > 0).count()
+        walls.append(_time.time() - t0)
+        print(f"    [extract_content] {bpd} blocks/doc: "
+              f"{walls[-1]:.1f}s, {n:,} docs with content")
+    print(f"    [extract_content] 10x blocks -> "
+          f"{walls[1] / walls[0]:.2f}x wall")
+    return walls[1]
+
+
+def _transcode_stress(spark, n: int) -> float:
+    """r12: transcode_payload charset-ladder worst case — every row
+    declares a charset whose decode RAISES (utf-8 label on invalid
+    bytes), so each row pays declared-attempt + strict-utf-8 retry and
+    lands on the latin-1 rung.  Two tiers 10x apart in rows; wall must
+    stay linear (the double-exception path is per-row bounded)."""
+    import time as _time
+
+    from pyspark.sql import functions as F2
+
+    from pypond_spark.datapipe.warc import transcode_payload
+
+    walls = []
+    for rows in (n // 10, n):
+        df = spark.range(rows).select(
+            F2.col("id").alias("doc_id"),
+            # 0xE9 + '!' is invalid UTF-8 mid-sequence: the declared
+            # utf-8 rung raises, the strict retry raises, latin-1 wins
+            F2.concat(F2.lit(b"\xe9!bad utf8 payload row "),
+                      F2.encode(F2.col("id").cast("string"), "utf-8"))
+            .alias("content"),
+            F2.lit("utf-8").alias("charset")).localCheckpoint()
+        t0 = _time.time()
+        bad = transcode_payload(df) \
+            .where(F2.col("had_errors") & (F2.col("used_charset")
+                                           == "latin-1")).count()
+        walls.append(_time.time() - t0)
+        assert bad == rows, (bad, rows)
+        print(f"    [transcode_payload] {rows:,} all-failing rows: "
+              f"{walls[-1]:.1f}s")
+    print(f"    [transcode_payload] 10x rows -> "
+          f"{walls[1] / walls[0]:.2f}x wall")
+    return walls[1]
+
+
 def _robots_stress(ev):
     """n URLs over 1,000 hosts (each with a 5-rule robots.txt, rules
     exercising wildcard/anchor/allow-override) through the full
@@ -420,8 +538,10 @@ def main() -> None:
                "longest_match", "bpe_bytes_apply", "kn3_logprob",
                "kn3_logprob_pruned", "neardup_index",
                "neardup_generations", "neardup_small_batch"}
+    self_synth = {"video_near_dups", "extract_content",
+                  "transcode_payload"}   # r12: build their own frames
     ev_needed = not only or bool(
-        only - emb_ops - doc_ops
+        only - emb_ops - doc_ops - self_synth
         - {"dedup_mega_cluster", "dedup_documents"})
     emb_needed = not only or bool(only & emb_ops)
     docs_needed = not only or bool(only & doc_ops)
@@ -656,6 +776,11 @@ def main() -> None:
                 iters=3)),
         "neardup_generations": lambda: _neardup_generations_stress(docs),
         "neardup_small_batch": lambda: _neardup_small_batch_stress(docs),
+        # r12: heavy-tail tiers for the crawl/video additions — each
+        # runs its own two tiers 10x apart and prints the ratio
+        "video_near_dups": lambda: _video_neardup_stress(spark),
+        "extract_content": lambda: _extract_content_stress(spark),
+        "transcode_payload": lambda: _transcode_stress(spark, n),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
