@@ -1925,6 +1925,63 @@ def q_image_phash_png(spark, sf_dir):
     return dp_mm.image_phash(_synth_png8(docs), grid_w=4, grid_h=4)
 
 
+def q_image_phash_png_adam7(spark, sf_dir):
+    """Perceptual hashes over pixels decoded from an Adam7-INTERLACED
+    PNG (multimodal.py::_decode_png interlace method 1 — r12: seven
+    sub-image passes, each its own filter chain, scattered onto the
+    pixel grid): the synthetic stream encodes the same chained-md5
+    pixels interlaced, so the oracle is unchanged — a green row proves
+    interlacing is presentation order only, decoded pixels identical
+    to the sequential row."""
+    import pandas as _pd
+
+    from pypond_spark.datapipe.multimodal import encode_png
+
+    docs = _read(spark, sf_dir, "documents")
+    ppm = _synth_ppm8(docs)
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = bytes(content)[len(b"P6\n8 8\n255\n"):]
+                rows.append((int(mid),
+                             encode_png(8, 8, px, filters=(0, 1, 2, 3, 4),
+                                        interlace=True)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    adam7 = ppm.mapInPandas(enc, "media_id long, content binary")
+    return dp_mm.image_phash(adam7, grid_w=4, grid_h=4)
+
+
+def q_image_phash_bmp_rle8(spark, sf_dir):
+    """Perceptual hashes over pixels decoded from an RLE8-compressed
+    BMP (datapipe/bmp.py::_decode_rle — r12: encoded runs,
+    end-of-line/end-of-bitmap escapes): palette = the same 192
+    chained-md5 pixel bytes as the PPM row, indices 0..63, so the
+    decoded image is pixel-identical to every other lossless-codec row
+    and the oracle replays from the digest hex unchanged."""
+    import pandas as _pd
+
+    from pypond_spark.datapipe.bmp import encode_bmp_rle8
+
+    docs = _read(spark, sf_dir, "documents")
+    ppm = _synth_ppm8(docs)
+
+    def enc(batches):
+        idx = bytes(range(64))
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = bytes(content)[len(b"P6\n8 8\n255\n"):]
+                rows.append((int(mid),
+                             encode_bmp_rle8(8, 8, idx, px)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    rle = ppm.mapInPandas(enc, "media_id long, content binary")
+    return dp_mm.image_phash(rle, grid_w=4, grid_h=4)
+
+
 def _synth_gif8(docs):
     """8x8 REAL GIF per doc: the palette is the SAME 192 chained-md5
     pixel bytes as :func:`_synth_ppm8` (64 RGB triples) and the index
@@ -5989,6 +6046,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_unicode": q_normalize_unicode,
         "strip_html": q_strip_html,
         "image_phash_png": q_image_phash_png,
+        "image_phash_png_adam7": q_image_phash_png_adam7,
+        "image_phash_bmp_rle8": q_image_phash_bmp_rle8,
         "bpe_bytes_tokenize": q_bpe_bytes_tokenize,
         "bpe_bytes_train_merges": q_bpe_bytes_train_merges,
         "wordpiece_train_merges": q_wordpiece_train_merges,
@@ -12233,6 +12292,8 @@ def oracle_sql() -> dict[str, str]:
     # PNG row: same pixels by construction (the encode->decode roundtrip
     # is the thing under test), so the PPM oracle replays it verbatim
     d["image_phash_png"] = d["image_phash"]
+    d["image_phash_png_adam7"] = d["image_phash"]
+    d["image_phash_bmp_rle8"] = d["image_phash"]
     d["image_phash_gif"] = d["image_phash"]
     # palette row: PLTE holds the same pixels, indices are the identity
     d["image_phash_png_palette"] = d["image_phash"]

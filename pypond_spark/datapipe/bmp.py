@@ -1,18 +1,20 @@
 """Pure-Python BMP (Windows DIB) codec — no external libraries.
 
 The fourth real crawl image format behind ``multimodal.decode_image``
-(after PNG, baseline JPEG and GIF): uncompressed (BI_RGB) 24-bit
-truecolor and 8-bit palette bitmaps with the 40-byte
-``BITMAPINFOHEADER`` (and its 52/56/108/124-byte extensions, which
-only append fields), bottom-up or top-down row order, 4-byte row
-padding.  BMP is LOSSLESS, so like PNG/GIF the encode->decode
+(after PNG, baseline JPEG and GIF): uncompressed (BI_RGB) 1/4/8-bpp
+palette, 24-bpp truecolor and 32-bpp BGRA bitmaps, plus the RLE8 and
+RLE4 run-length compressions (r12 — runs, absolute mode with word
+padding, end-of-line / end-of-bitmap / delta escapes; skipped pixels
+take palette entry 0 per the common renderer convention), with the
+40-byte ``BITMAPINFOHEADER`` (and its 52/56/108/124-byte extensions,
+which only append fields), bottom-up or top-down row order, 4-byte
+row padding.  BMP is LOSSLESS, so like PNG/GIF the encode->decode
 roundtrip is bit-exact and the perceptual-hash driver row can reuse
 the chained-md5 PPM oracle verbatim.
 
-Compressed variants (RLE4/RLE8, BI_BITFIELDS beyond the identity
-masks), 1/4/16/32-bpp and the legacy BITMAPCOREHEADER raise
-``NotImplementedError`` — honest gaps, same contract as the other
-codecs in this tier.
+16-bpp, BI_BITFIELDS mask remapping and the legacy BITMAPCOREHEADER
+raise ``NotImplementedError`` — honest gaps, same contract as the
+other codecs in this tier.
 
 Scale: decode runs per image inside Arrow ``mapInPandas`` batches
 (multimodal.py plan shape — zero shuffle, scan-parallel); rows are
@@ -29,8 +31,67 @@ _FILE_HEADER = struct.Struct("<2sIHHI")   # magic, size, res1, res2, offset
 _INFO_HEADER = struct.Struct("<IiiHHIIiiII")
 
 
+def _decode_rle(data: bytes, width: int, height: int,
+                four_bit: bool) -> np.ndarray:
+    """RLE8/RLE4 -> (height, width) palette-index grid, BOTTOM-UP row
+    order as stored (the caller flips).  Escapes per the DIB spec:
+    00 00 = end of line, 00 01 = end of bitmap, 00 02 dx dy = cursor
+    delta, 00 n>=3 = absolute run of n pixels (word-aligned); pixels
+    never written stay 0."""
+    idx = np.zeros((height, width), np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:                               # encoded run
+            if y >= height:
+                raise ValueError("BMP RLE run outside bitmap")
+            end = min(x + cnt, width)
+            if four_bit:
+                pair = (val >> 4, val & 0x0F)
+                for j in range(x, end):
+                    idx[y, j] = pair[(j - x) & 1]
+            else:
+                idx[y, x:end] = val
+            x += cnt
+            continue
+        if val == 0:                              # end of line
+            x, y = 0, y + 1
+        elif val == 1:                            # end of bitmap
+            return idx
+        elif val == 2:                            # delta
+            if i + 2 > n:
+                raise ValueError("truncated BMP RLE delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:                                     # absolute mode
+            if y >= height:
+                raise ValueError("BMP RLE absolute run outside bitmap")
+            nbytes = (val + 1) // 2 if four_bit else val
+            nbytes += nbytes & 1                  # word alignment
+            if i + nbytes > n:
+                raise ValueError("truncated BMP RLE absolute run")
+            end = min(x + val, width)
+            if four_bit:
+                for j in range(x, end):
+                    b = data[i + (j - x) // 2]
+                    idx[y, j] = (b >> 4) if (j - x) % 2 == 0 \
+                        else (b & 0x0F)
+            else:
+                m = end - x
+                idx[y, x:end] = np.frombuffer(
+                    data[i:i + m], np.uint8)
+            x += val
+            i += nbytes
+    raise ValueError("BMP RLE data ended without end-of-bitmap escape")
+
+
 def decode_bmp(content: bytes) -> dict:
-    """Decode an uncompressed 24-bpp truecolor or 8-bpp palette BMP.
+    """Decode a BI_RGB 1/4/8-bpp palette, 24-bpp truecolor or 32-bpp
+    BGRA BMP, or an RLE8/RLE4 compressed palette BMP.
 
     Returns the ``decode_image`` contract: ``{"format": "bmp",
     "width", "height", "maxval": 255, "pixels"}`` with pixels as raw
@@ -42,7 +103,7 @@ def decode_bmp(content: bytes) -> dict:
     magic, _fsize, _r1, _r2, data_off = _FILE_HEADER.unpack_from(content, 0)
     if magic != b"BM":
         raise ValueError(f"not a BMP (magic {magic!r})")
-    (hsize, width, height, planes, bpp, compression, _isize,
+    (hsize, width, height, planes, bpp, compression, isize,
      _xppm, _yppm, clr_used, _clr_imp) = _INFO_HEADER.unpack_from(
         content, _FILE_HEADER.size)
     if hsize < 40:
@@ -51,23 +112,29 @@ def decode_bmp(content: bytes) -> dict:
             f"{hsize}; the 12-byte BITMAPCOREHEADER does not)")
     if planes != 1:
         raise ValueError(f"BMP planes must be 1, got {planes}")
-    # BI_RGB only; BI_BITFIELDS et al. are the compressed/remapped tier
-    if compression != 0:
+    if compression not in (0, 1, 2):
         raise NotImplementedError(
-            f"only uncompressed BI_RGB BMPs decode (compression "
-            f"{compression})")
-    if bpp not in (8, 24):
+            f"only BI_RGB / BI_RLE8 / BI_RLE4 BMPs decode "
+            f"(compression {compression})")
+    if compression == 0 and bpp not in (1, 4, 8, 24, 32):
         raise NotImplementedError(
-            f"only 8-bpp palette and 24-bpp truecolor BMPs decode "
-            f"(bpp {bpp})")
+            f"only 1/4/8-bpp palette, 24-bpp and 32-bpp BI_RGB BMPs "
+            f"decode (bpp {bpp})")
+    if (compression == 1 and bpp != 8) or (compression == 2
+                                           and bpp != 4):
+        raise ValueError(
+            f"BMP RLE{8 if compression == 1 else 4} requires "
+            f"{8 if compression == 1 else 4}-bpp, got {bpp}")
     if width < 1 or height == 0:
         raise ValueError(f"bad BMP dimensions {width}x{height}")
     top_down = height < 0
+    if top_down and compression:
+        raise ValueError("top-down BMPs cannot be RLE-compressed")
     height = abs(height)
 
     palette = None
-    if bpp == 8:
-        n_colors = clr_used or 256
+    if bpp <= 8:
+        n_colors = clr_used or (1 << bpp)
         if not 0 < n_colors <= 256:
             raise ValueError(f"bad BMP palette size {n_colors}")
         pal_off = _FILE_HEADER.size + hsize
@@ -78,7 +145,19 @@ def decode_bmp(content: bytes) -> dict:
         pal = np.frombuffer(raw, np.uint8).reshape(n_colors, 4)
         palette = pal[:, [2, 1, 0]].copy()
 
-    row_bytes = (width * bpp // 8 + 3) & ~3
+    if compression:                               # RLE8 / RLE4
+        end = data_off + isize if isize else len(content)
+        grid = _decode_rle(content[data_off:end], width, height,
+                           four_bit=compression == 2)
+        grid = grid[::-1]                         # stored bottom-up
+        if int(grid.max(initial=0)) >= len(palette):
+            raise ValueError("BMP palette index out of range")
+        rgb = palette[grid]
+        return {"format": "bmp", "width": width, "height": height,
+                "maxval": 255,
+                "pixels": np.ascontiguousarray(rgb).tobytes()}
+
+    row_bytes = ((width * bpp + 7) // 8 + 3) & ~3
     need = row_bytes * height
     data = content[data_off:data_off + need]
     if len(data) != need:
@@ -91,8 +170,20 @@ def decode_bmp(content: bytes) -> dict:
     if bpp == 24:
         bgr = rows[:, :width * 3].reshape(height, width, 3)
         rgb = bgr[:, :, ::-1]
+    elif bpp == 32:
+        bgra = rows[:, :width * 4].reshape(height, width, 4)
+        rgb = bgra[:, :, [2, 1, 0]]               # drop alpha
     else:
-        idx = rows[:, :width]
+        if bpp == 8:
+            idx = rows[:, :width]
+        elif bpp == 4:
+            nib = np.empty((height, row_bytes * 2), np.uint8)
+            nib[:, 0::2] = rows >> 4
+            nib[:, 1::2] = rows & 0x0F
+            idx = nib[:, :width]
+        else:                                     # 1-bpp, MSB first
+            bits = np.unpackbits(rows, axis=1)
+            idx = bits[:, :width]
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("BMP palette index out of range")
         rgb = palette[idx]
@@ -128,3 +219,47 @@ def encode_bmp(width: int, height: int, pixels: bytes,
                              1, 24, 0, len(data), 2835, 2835, 0, 0)
     head = _FILE_HEADER.pack(b"BM", data_off + len(data), 0, 0, data_off)
     return head + info + data
+
+
+def encode_bmp_rle8(width: int, height: int, indices: bytes,
+                    palette_rgb: bytes) -> bytes:
+    """Minimal RLE8 BMP encoder (the synthesis half of the r12 RLE
+    decode path): one palette index per pixel in TOP-DOWN row order
+    plus RGB palette triples in; encoded runs (<= 255) with
+    end-of-line after every stored (bottom-up) row and end-of-bitmap
+    last.  Lossless: ``decode_bmp`` returns exactly
+    ``palette_rgb[indices]``."""
+    if width < 1 or height < 1:
+        raise ValueError(
+            f"image dimensions must be >= 1, got {width}x{height}")
+    if len(indices) != width * height:
+        raise ValueError(f"need {width * height} index bytes, "
+                         f"got {len(indices)}")
+    if len(palette_rgb) % 3 or not 0 < len(palette_rgb) // 3 <= 256:
+        raise ValueError("palette must be 1..256 RGB triples")
+    n_colors = len(palette_rgb) // 3
+    if max(indices) >= n_colors:
+        raise ValueError("palette index out of range")
+    grid = np.frombuffer(indices, np.uint8).reshape(height, width)
+    out = bytearray()
+    for row in grid[::-1]:                        # stored bottom-up
+        x = 0
+        while x < width:
+            v = row[x]
+            run = 1
+            while x + run < width and run < 255 and row[x + run] == v:
+                run += 1
+            out += bytes([run, int(v)])
+            x += run
+        out += b"\x00\x00"                        # end of line
+    out[-2:] = b"\x00\x01"                        # end of bitmap
+    # palette stored BGRA
+    pal = np.frombuffer(palette_rgb, np.uint8).reshape(n_colors, 3)
+    bgra = np.zeros((n_colors, 4), np.uint8)
+    bgra[:, :3] = pal[:, ::-1]
+    data_off = _FILE_HEADER.size + 40 + 4 * n_colors
+    info = _INFO_HEADER.pack(40, width, height, 1, 8, 1, len(out),
+                             2835, 2835, n_colors, 0)
+    head = _FILE_HEADER.pack(b"BM", data_off + len(out), 0, 0,
+                             data_off)
+    return head + info + bgra.tobytes() + bytes(out)

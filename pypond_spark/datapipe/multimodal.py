@@ -149,17 +149,57 @@ def _unpack_indices(line: bytes, width: int, depth: int) -> list[int]:
     return out
 
 
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step), PNG spec
+#: order — pass k holds every (y_start + i*y_step, x_start + j*x_step)
+#: pixel not claimed by an earlier pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _expand_png_line(line: bytes, w: int, color: int, depth: int,
+                     plte, n_pal: int) -> bytes:
+    """One unfiltered scanline -> 3w bytes of interleaved 8-bit RGB
+    (gray replicated, alpha dropped, 16-bit high byte, palette
+    looked up) — shared by the sequential and Adam7 pass loops."""
+    rgb = bytearray(w * 3)
+    if color == 3:                         # palette lookup -> RGB
+        for x, ix in enumerate(_unpack_indices(line, w, depth)):
+            if ix >= n_pal:
+                raise ValueError(
+                    f"palette index {ix} >= PLTE size {n_pal}")
+            rgb[3 * x:3 * x + 3] = plte[3 * ix:3 * ix + 3]
+    elif color == 2:                       # RGB passthrough
+        rgb[:] = line if depth == 8 else line[0::2]
+    elif color == 6:                       # RGBA -> drop alpha
+        step = 4 * (depth // 8)
+        for x in range(w):
+            px = line[step * x:step * x + 3 * (depth // 8)]
+            rgb[3 * x:3 * x + 3] = px if depth == 8 else px[0::2]
+    elif color == 0:                       # gray -> replicate
+        samp = line if depth == 8 else line[0::2]
+        for x in range(w):
+            rgb[3 * x] = rgb[3 * x + 1] = rgb[3 * x + 2] = samp[x]
+    else:                                  # gray+alpha -> replicate gray
+        step = 2 * (depth // 8)
+        for x in range(w):
+            g = line[step * x]
+            rgb[3 * x] = rgb[3 * x + 1] = rgb[3 * x + 2] = g
+    return bytes(rgb)
+
+
 def _decode_png(content: bytes) -> dict:
     """Pure-Python PNG decode (stdlib ``zlib`` only): critical chunks,
-    non-interlaced gray / RGB / gray+alpha / RGBA at depth 8 or 16,
-    palette (color type 3, PLTE) at depth 1/2/4/8, all five scanline
-    filters. Pixels are normalized to interleaved 8-bit RGB (gray
-    replicated across channels, alpha dropped, 16-bit samples take the
-    HIGH byte — the standard 16->8 downsample, exact for the common
-    ``v*257`` widening) so every downstream image operator — stats,
-    aHash/dHash, near-dups — is format-blind. Adam7 interlacing raises
-    ``NotImplementedError``; corrupt structure (bad CRC, truncation,
-    palette without PLTE, out-of-range index) raises ``ValueError``."""
+    gray / RGB / gray+alpha / RGBA at depth 8 or 16, palette (color
+    type 3, PLTE) at depth 1/2/4/8, all five scanline filters, BOTH
+    interlace methods (sequential and Adam7 — r12: the seven passes
+    are decoded as independent sub-images, each with its own filter
+    chain, and scattered onto the pixel grid). Pixels are normalized
+    to interleaved 8-bit RGB (gray replicated across channels, alpha
+    dropped, 16-bit samples take the HIGH byte — the standard 16->8
+    downsample, exact for the common ``v*257`` widening) so every
+    downstream image operator — stats, aHash/dHash, near-dups — is
+    format-blind. Corrupt structure (bad CRC, truncation, palette
+    without PLTE, out-of-range index) raises ``ValueError``."""
     ihdr = None
     idat = []
     plte = None
@@ -174,8 +214,8 @@ def _decode_png(content: bytes) -> dict:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr)
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if comp or filt:
         raise ValueError(f"bad PNG compression/filter method "
                          f"({comp}/{filt})")
@@ -184,61 +224,51 @@ def _decode_png(content: bytes) -> dict:
             raise ValueError(f"palette PNG with bit depth {depth}")
         if plte is None or len(plte) % 3 or not plte:
             raise ValueError("palette PNG missing/odd PLTE chunk")
-        stride = (width * depth + 7) // 8
         bpp = 1
     elif color in _PNG_CHANNELS:
         if depth not in (8, 16):
             raise NotImplementedError(
                 f"PNG color type {color} at depth {depth}")
-        ch = _PNG_CHANNELS[color]
-        bpp = ch * (depth // 8)
-        stride = width * bpp
+        bpp = _PNG_CHANNELS[color] * (depth // 8)
     else:
         raise ValueError(f"unknown PNG color type {color}")
+
+    def p_stride(w: int) -> int:
+        return (w * depth + 7) // 8 if color == 3 else w * bpp
+
+    passes = [(0, 0, 1, 1)] if interlace == 0 else list(_ADAM7)
+    geom = []                    # (x0, y0, dx, dy, pass_w, pass_h)
+    for x0, y0, dx, dy in passes:
+        pw = max(0, (width - x0 + dx - 1) // dx)
+        ph = max(0, (height - y0 + dy - 1) // dy)
+        if pw and ph:
+            geom.append((x0, y0, dx, dy, pw, ph))
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != height * (stride + 1):
+    need = sum(ph * (1 + p_stride(pw))
+               for _, _, _, _, pw, ph in geom)
+    if len(raw) != need:
         raise ValueError(
-            f"PNG pixel data: expected {height * (stride + 1)} bytes, "
-            f"got {len(raw)}")
+            f"PNG pixel data: expected {need} bytes, got {len(raw)}")
     out = bytearray(width * height * 3)
-    prev: bytes = bytes(stride)
     n_pal = len(plte) // 3 if plte is not None else 0
-    for y in range(height):
-        off = y * (stride + 1)
-        line = _unfilter_scanline(raw[off], bytearray(
-            raw[off + 1:off + 1 + stride]), prev, bpp)
-        base = y * width * 3
-        if color == 3:                     # palette lookup -> RGB
-            for x, ix in enumerate(_unpack_indices(line, width, depth)):
-                if ix >= n_pal:
-                    raise ValueError(
-                        f"palette index {ix} >= PLTE size {n_pal}")
-                out[base + 3 * x:base + 3 * x + 3] = \
-                    plte[3 * ix:3 * ix + 3]
-        elif color == 2:                   # RGB passthrough
-            if depth == 8:
-                out[base:base + stride] = line
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in geom:
+        stride = p_stride(pw)
+        prev: bytes = bytes(stride)
+        for i in range(ph):
+            line = _unfilter_scanline(raw[pos], bytearray(
+                raw[pos + 1:pos + 1 + stride]), prev, bpp)
+            pos += 1 + stride
+            rgb = _expand_png_line(line, pw, color, depth, plte, n_pal)
+            y = y0 + i * dy
+            base = y * width * 3
+            if dx == 1 and x0 == 0:
+                out[base:base + pw * 3] = rgb
             else:
-                out[base:base + width * 3] = line[0::2]
-        elif color == 6:                   # RGBA -> drop alpha
-            step = 4 * (depth // 8)
-            for x in range(width):
-                px = line[step * x:step * x + 3 * (depth // 8)]
-                out[base + 3 * x:base + 3 * x + 3] = \
-                    px if depth == 8 else px[0::2]
-        elif color == 0:                   # gray -> replicate
-            samp = line if depth == 8 else line[0::2]
-            for x in range(width):
-                g = samp[x]
-                out[base + 3 * x] = out[base + 3 * x + 1] = \
-                    out[base + 3 * x + 2] = g
-        else:                              # gray+alpha -> replicate gray
-            step = 2 * (depth // 8)
-            for x in range(width):
-                g = line[step * x]
-                out[base + 3 * x] = out[base + 3 * x + 1] = \
-                    out[base + 3 * x + 2] = g
-        prev = bytes(line)
+                for j in range(pw):
+                    o = base + 3 * (x0 + j * dx)
+                    out[o:o + 3] = rgb[3 * j:3 * j + 3]
+            prev = bytes(line)
     return {"format": "png", "width": width, "height": height,
             "maxval": 255, "pixels": bytes(out)}
 
@@ -273,25 +303,43 @@ def _filter_scanline(ftype: int, line: bytes, prev: bytes,
 
 
 def encode_png(width: int, height: int, pixels: bytes,
-               filters: tuple[int, ...] = (0,)) -> bytes:
+               filters: tuple[int, ...] = (0,),
+               interlace: bool = False) -> bytes:
     """Minimal RGB PNG encoder (stdlib ``zlib`` only): 8-bit color type
     2, one IDAT. ``filters`` cycles per scanline (``(0,1,2,3,4)``
     exercises every decoder filter path — any choice decodes to the
-    same pixels; smarter per-line selection only changes size). The
-    synthesis half of the oracle-replayable PNG pipeline: pixels in ==
-    pixels out of :func:`_decode_png`, bit-for-bit."""
+    same pixels; smarter per-line selection only changes size).
+    ``interlace=True`` emits Adam7 (r12): the seven sub-images in pass
+    order, each filtered independently — decoding either form returns
+    the same pixels, which is exactly what the roundtrip tests pin.
+    The synthesis half of the oracle-replayable PNG pipeline: pixels
+    in == pixels out of :func:`_decode_png`, bit-for-bit."""
     if len(pixels) != width * height * 3:
         raise ValueError(f"need {width * height * 3} RGB bytes, "
                          f"got {len(pixels)}")
-    prev: bytes = bytes(width * 3)
     lines = []
-    for y in range(height):
-        line = bytes(pixels[y * width * 3:(y + 1) * width * 3])
-        f = filters[y % len(filters)]
-        lines.append(bytes([f]) + _filter_scanline(f, line, prev, 3))
-        prev = line
+    passes = list(_ADAM7) if interlace else [(0, 0, 1, 1)]
+    fno = 0
+    for x0, y0, dx, dy in passes:
+        pw = max(0, (width - x0 + dx - 1) // dx)
+        ph = max(0, (height - y0 + dy - 1) // dy)
+        if not pw or not ph:
+            continue
+        prev: bytes = bytes(pw * 3)
+        for i in range(ph):
+            y = y0 + i * dy
+            row = pixels[y * width * 3:(y + 1) * width * 3]
+            line = b"".join(row[3 * (x0 + j * dx):
+                                3 * (x0 + j * dx) + 3]
+                            for j in range(pw)) \
+                if (dx != 1 or x0) else bytes(row[:pw * 3])
+            f = filters[fno % len(filters)]
+            fno += 1
+            lines.append(bytes([f]) + _filter_scanline(f, line, prev, 3))
+            prev = line
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0,
+                       1 if interlace else 0)
     # level 9 with a fixed strategy: zlib output is deterministic for a
     # given input+level across CPython builds (same bundled zlib API
     # contract the test suite pins), and the DECODED pixels are what

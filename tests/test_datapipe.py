@@ -508,8 +508,11 @@ def test_png_decode_color_types_and_errors():
     # palette without PLTE is corrupt, not unsupported (r10)
     with pytest.raises(ValueError, match="PLTE"):
         multimodal.decode_image(png(1, 1, 8, 3, 0, bytes(2)))
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        multimodal.decode_image(png(1, 1, 8, 0, 1, bytes(2)))
+    # Adam7 decodes since r12; a 1x1 interlaced image is just pass 1
+    assert multimodal.decode_image(
+        png(1, 1, 8, 0, 1, bytes([0, 7])))["pixels"] == bytes([7] * 3)
+    with pytest.raises(ValueError, match="interlace"):
+        multimodal.decode_image(png(1, 1, 8, 0, 2, bytes(2)))
     # flip a byte inside the IDAT chunk data so its CRC check fails
     good = png(1, 1, 8, 0, 0, bytes([0, 7]))
     idat_pos = good.index(b"IDAT")
@@ -2919,13 +2922,17 @@ def test_bmp_roundtrip_and_errors():
         bmp.decode_bmp(b"XX" + good[2:])
     with pytest.raises(ValueError, match="truncated"):
         bmp.decode_bmp(good[:-3])
+    with pytest.raises(ValueError, match="RLE8 requires"):
+        corrupt = bytearray(good)
+        corrupt[30] = 1  # BI_RLE8 on a 24-bpp file is malformed
+        bmp.decode_bmp(bytes(corrupt))
     with pytest.raises(NotImplementedError, match="compression"):
         corrupt = bytearray(good)
-        corrupt[30] = 1  # BI_RLE8
+        corrupt[30] = 3  # BI_BITFIELDS stays a capability gap
         bmp.decode_bmp(bytes(corrupt))
     with pytest.raises(NotImplementedError, match="bpp"):
         corrupt = bytearray(good)
-        corrupt[28] = 32
+        corrupt[28] = 16  # 16-bpp stays a capability gap
         bmp.decode_bmp(bytes(corrupt))
     with pytest.raises(NotImplementedError, match="CORE"):
         corrupt = bytearray(good)
@@ -2935,6 +2942,156 @@ def test_bmp_roundtrip_and_errors():
         bmp.encode_bmp(2, 2, bytes(5))
     with pytest.raises(ValueError, match=">= 1"):
         bmp.encode_bmp(0, 2, b"")
+
+
+def test_png_adam7_interlace():
+    """Adam7 (r12): decode(interlaced) == decode(sequential) == source
+    pixels for every size class (single-pass-degenerate 1x1 up to
+    multi-pass 33x17) and filter mix; hand-built interlaced palette
+    and gray streams decode exactly too (the pass geometry is color-
+    type independent)."""
+    import hashlib
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    for w, h in [(1, 1), (2, 3), (7, 5), (8, 8), (13, 9), (33, 17)]:
+        n = w * h * 3
+        px = (b"".join(hashlib.md5(f"a7{w}x{h}~{k}".encode()).digest()
+                       for k in range(n // 16 + 1)))[:n]
+        for filters in [(0,), (0, 1, 2, 3, 4)]:
+            il = multimodal.encode_png(w, h, px, filters=filters,
+                                       interlace=True)
+            img = multimodal.decode_image(il)
+            assert img["pixels"] == px, (w, h, filters)
+            # really interlaced: IHDR byte 12 (after w/h/depth/color/
+            # comp/filter) is 1
+            ihdr_off = il.index(b"IHDR") + 4
+            assert il[ihdr_off + 12] == 1
+
+    # hand-built Adam7 palette depth-4 stream (sub-byte packing per
+    # PASS width, not image width)
+    W, H, depth = 9, 6, 4
+    plte = bytes(range(13 * 3))
+    idx = [[(x + y) % 13 for x in range(W)] for y in range(H)]
+    adam7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = bytearray()
+    for x0, y0, dx, dy in adam7:
+        pw = max(0, (W - x0 + dx - 1) // dx)
+        ph = max(0, (H - y0 + dy - 1) // dy)
+        for i in range(ph if pw else 0):
+            y = y0 + i * dy
+            line = bytearray((pw * depth + 7) // 8)
+            for j in range(pw):
+                v = idx[y][x0 + j * dx]
+                line[j // 2] |= v << (4 if j % 2 == 0 else 0)
+            raw += b"\x00" + bytes(line)
+
+    def chunk(t, d):
+        return (_s.pack(">I", len(d)) + t + d
+                + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", _s.pack(">IIBBBBB", W, H, depth, 3, 0, 0, 1))
+           + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", _z.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    out = multimodal.decode_image(png)
+    got = np.frombuffer(out["pixels"], np.uint8).reshape(H, W, 3)
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    assert (got == pal[np.array(idx)]).all()
+
+
+def test_bmp_rle_and_extended_depths():
+    """r12 BMP extensions: RLE8 encode->decode roundtrip is lossless;
+    hand-built RLE8 streams exercise absolute mode (word padding),
+    delta (skipped pixels -> palette 0) and early end-of-bitmap; RLE4
+    alternates nibbles; uncompressed 1/4/32-bpp decode exactly."""
+    import struct
+
+    import numpy as np
+
+    from pypond_spark.datapipe import bmp
+
+    rng = np.random.default_rng(9)
+    W, H = 19, 7
+    idx = np.repeat(rng.integers(0, 5, size=(H, 5), dtype=np.uint8),
+                    4, axis=1)[:, :W]
+    pal = rng.integers(0, 256, size=5 * 3, dtype=np.uint8).tobytes()
+    out = multimodal.decode_image(
+        bmp.encode_bmp_rle8(W, H, idx.tobytes(), pal))
+    palarr = np.frombuffer(pal, np.uint8).reshape(5, 3)
+    got = np.frombuffer(out["pixels"], np.uint8).reshape(H, W, 3)
+    assert (out["format"], out["width"], out["height"]) == ("bmp", W, H)
+    assert (got == palarr[idx]).all()
+
+    # hand-built escapes: run, absolute(3)+pad, EOL, delta, run, EOB
+    pal2 = bytes([10, 20, 30, 0, 40, 50, 60, 0, 70, 80, 90, 0])
+    rle = (bytes([3, 1, 0, 3, 2, 0, 2]) + b"\x00"
+           + bytes([0, 0, 0, 2, 1, 1, 2, 2, 0, 1]))
+    hdr = struct.pack("<2sIHHI", b"BM", 0, 0, 0, 14 + 40 + 12)
+    info = struct.pack("<IiiHHIIiiII", 40, 6, 3, 1, 8, 1, len(rle),
+                       0, 0, 3, 0)
+    g = np.frombuffer(bmp.decode_bmp(hdr + info + pal2 + rle)["pixels"],
+                      np.uint8).reshape(3, 6, 3)
+    palr = np.array([[30, 20, 10], [60, 50, 40], [90, 80, 70]], np.uint8)
+    exp = np.array([[0, 2, 2, 0, 0, 0], [0, 0, 0, 0, 0, 0],
+                    [1, 1, 1, 2, 0, 2]])
+    assert (g == palr[exp]).all()
+
+    # RLE4: run alternates high/low nibbles
+    rle4 = bytes([5, 0x12, 0, 0, 0, 1])
+    info4 = struct.pack("<IiiHHIIiiII", 40, 5, 1, 1, 4, 2, len(rle4),
+                        0, 0, 3, 0)
+    g4 = np.frombuffer(
+        bmp.decode_bmp(hdr + info4 + pal2 + rle4)["pixels"],
+        np.uint8).reshape(1, 5, 3)
+    assert (g4 == palr[np.array([[1, 2, 1, 2, 1]])]).all()
+
+    # uncompressed 4-bpp (nibbles) and 1-bpp (MSB-first bits)
+    info4u = struct.pack("<IiiHHIIiiII", 40, 3, 1, 1, 4, 0, 0, 0, 0,
+                         3, 0)
+    g4u = np.frombuffer(
+        bmp.decode_bmp(hdr + info4u + pal2
+                       + bytes([0x12, 0x10, 0, 0]))["pixels"],
+        np.uint8).reshape(1, 3, 3)
+    assert (g4u == palr[np.array([[1, 2, 1]])]).all()
+    info1 = struct.pack("<IiiHHIIiiII", 40, 3, 1, 1, 1, 0, 0, 0, 0,
+                        2, 0)
+    hdr1 = struct.pack("<2sIHHI", b"BM", 0, 0, 0, 14 + 40 + 8)
+    g1 = np.frombuffer(
+        bmp.decode_bmp(hdr1 + info1 + pal2[:8]
+                       + bytes([0b01000000, 0, 0, 0]))["pixels"],
+        np.uint8).reshape(1, 3, 3)
+    assert (g1 == palr[np.array([[0, 1, 0]])]).all()
+
+    # 32-bpp BGRA: alpha dropped, top-down honored
+    px32 = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    rows = np.zeros((2, 8), np.uint8)
+    for y in range(2):
+        for x in range(2):
+            rows[y, 4 * x:4 * x + 3] = px32[y, x, ::-1]
+    hdr32 = struct.pack("<2sIHHI", b"BM", 0, 0, 0, 14 + 40)
+    info32 = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0, 0, 0, 0,
+                         0, 0)
+    g32 = np.frombuffer(
+        bmp.decode_bmp(hdr32 + info32 + rows.tobytes())["pixels"],
+        np.uint8).reshape(2, 2, 3)
+    assert (g32 == px32).all()
+
+    # error paths: RLE on top-down, truncated RLE, index overflow
+    info_td = struct.pack("<IiiHHIIiiII", 40, 6, -3, 1, 8, 1,
+                          len(rle), 0, 0, 3, 0)
+    with pytest.raises(ValueError, match="top-down"):
+        bmp.decode_bmp(hdr + info_td + pal2 + rle)
+    with pytest.raises(ValueError, match="truncated BMP RLE"):
+        bmp.decode_bmp(hdr + info + pal2 + rle[:4])
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        bmp.decode_bmp(hdr + info + pal2 + bytes([3, 1, 0, 0]))
+    with pytest.raises(ValueError, match="index"):
+        bmp.encode_bmp_rle8(2, 1, bytes([0, 9]), pal)
 
 
 def test_resize_pixels_exact():
