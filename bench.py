@@ -274,6 +274,9 @@ HEADLINE = [
     "normalize_unicode",
     "strip_html",
     "image_phash_jpeg",
+    "image_phash_jpeg_progressive",
+    "image_phash_png_adam7",
+    "image_phash_bmp_rle8",
     "image_phash_gif",
     "extract_content",
     "url_normalize",
@@ -290,6 +293,7 @@ HEADLINE = [
     "robots_sitemaps",
     "http_charset",
     "video_frame_phash",
+    "video_frame_phash_avi",
     "video_near_dups",
     "transcode_payload",
     "crawl_frontier",

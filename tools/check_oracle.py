@@ -80,7 +80,16 @@ def main():
             if a not in ("--bare", "--width-strict")]
     bare = "--bare" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
-    only = set(args[1:])
+    # accept space- AND comma-separated names; "--only" is a no-op
+    # marker some callers pass — drop it rather than let it (or a
+    # comma-joined list) silently match nothing and print a vacuous
+    # ALL OK
+    only = {n for a in args[1:] for n in a.split(",")
+            if n and n != "--only"}
+    unknown = only - set(entry.queries())
+    if unknown:
+        print(f"FAIL  unknown query names: {sorted(unknown)}")
+        sys.exit(2)
     if bare:
         # simulate the real driver: default session, no engine configs
         from pyspark.sql import SparkSession
