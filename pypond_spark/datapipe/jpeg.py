@@ -83,30 +83,44 @@ def _fdct_blocks(samples: np.ndarray) -> np.ndarray:
 
 
 class _BitReader:
-    """MSB-first bit reader over a byte-unstuffed entropy segment."""
+    """MSB-first bit reader over a byte-unstuffed entropy segment.
 
-    __slots__ = ("data", "pos", "bit")
+    Accumulator-based (r12): bytes fold into a small int as needed, so
+    a ``read_bits(n)`` is a few Python ops instead of n per-bit loop
+    iterations — the Huffman walk is the dominant decode cost for both
+    baseline and progressive scans and this is its hot path."""
+
+    __slots__ = ("data", "n", "bytepos", "acc", "nbits")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0
-        self.bit = 0
+        self.n = len(data)
+        self.bytepos = 0
+        self.acc = 0
+        self.nbits = 0
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise ValueError("JPEG entropy data overrun (truncated scan)")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
+        if not self.nbits:
+            if self.bytepos >= self.n:
+                raise ValueError(
+                    "JPEG entropy data overrun (truncated scan)")
+            self.acc = self.data[self.bytepos]
+            self.bytepos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        while self.nbits < n:
+            if self.bytepos >= self.n:
+                raise ValueError(
+                    "JPEG entropy data overrun (truncated scan)")
+            self.acc = ((self.acc << 8) | self.data[self.bytepos]) \
+                & 0xFFFFFFFFFF
+            self.bytepos += 1
+            self.nbits += 8
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
 
 def _build_decode_table(bits: list[int], vals: bytes) -> dict:
@@ -586,10 +600,12 @@ def _ac_refine_block(r: _BitReader, ac_tab: dict, zz: np.ndarray,
                 zz[k] = newval
             k += 1
     if eobrun > 0:
-        while k <= se:
-            if zz[k] != 0:
-                refine(k)
-            k += 1
+        # EOB-run tail: every remaining significant coefficient reads
+        # one correction bit.  flatnonzero replaces the per-position
+        # numpy-scalar walk — the all-zero band (the overwhelmingly
+        # common case) costs one C pass instead of 63 getitems
+        for off in np.flatnonzero(zz[k:se + 1]):
+            refine(k + int(off))
         return eobrun - 1
     return 0
 
