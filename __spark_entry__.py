@@ -2116,6 +2116,46 @@ def q_image_phash_jpeg_progressive(spark, sf_dir):
                              grid_w=4, grid_h=4)
 
 
+def q_image_phash_jpeg_multiscan(spark, sf_dir):
+    """Perceptual hashes over pixels decoded from a MULTI-SCAN
+    sequential JPEG (datapipe/jpeg.py::_sequential_scan — r12: Y, Cb
+    and Cr each in their OWN scan, the layout some hardware encoders
+    emit, formerly a NotImplementedError): pixels are gray-valued RGB
+    (r=g=b=block digest byte), for which the YCbCr transform is exact
+    (Y=v, Cb=Cr=128 after the shared floor(x+0.5) rounding), so the
+    all-ones-quant DC-only regime decodes pixel-exactly and the oracle
+    replays the comparisons from the digest — gray = 3*v stays
+    homogeneous."""
+    import numpy as _np
+    import pandas as _pd
+
+    from pypond_spark.datapipe.jpeg import encode_jpeg_multiscan
+
+    docs = _read(spark, sf_dir, "documents")
+    raw = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      F.unhex(F.md5(F.concat(F.col("text"),
+                                             F.lit("&jms"))))
+                      .alias("content"))
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for mid, dig in zip(pdf["media_id"], pdf["content"]):
+                vals = _np.frombuffer(bytes(dig),
+                                      dtype=_np.uint8).reshape(4, 4)
+                img = _np.repeat(_np.repeat(vals, 8, 0), 8, 1)
+                rgb = _np.repeat(img[..., None], 3, axis=2)
+                rows.append((int(mid),
+                             encode_jpeg_multiscan(
+                                 32, 32, rgb.tobytes(),
+                                 qtable=[1] * 64,
+                                 restart_interval=2)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    ms = raw.mapInPandas(enc, "media_id long, content binary")
+    return dp_mm.image_phash(ms, grid_w=4, grid_h=4)
+
+
 def _synth_bmp8(docs):
     """8x8 REAL BMP per doc: the SAME chained-md5 pixel recipe as
     :func:`_synth_ppm8`, encoded by ``datapipe.bmp.encode_bmp``
@@ -6029,6 +6069,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta_jpeg": q_image_meta_jpeg,
         "image_phash_jpeg": q_image_phash_jpeg,
         "image_phash_jpeg_progressive": q_image_phash_jpeg_progressive,
+        "image_phash_jpeg_multiscan": q_image_phash_jpeg_multiscan,
         "image_phash_gif": q_image_phash_gif,
         "url_normalize": q_url_normalize,
         "domain_stats": q_domain_stats,
@@ -10005,6 +10046,39 @@ def oracle_sql() -> dict[str, str]:
             WITH v AS (
               SELECT doc_id, g.i AS i,
                      ('0x' || substr(md5(text || '&j'),
+                                     2 * g.i + 1, 2))::BIGINT AS b
+              FROM documents CROSS JOIN generate_series(0, 15) g(i)
+            ), tot AS (
+              SELECT doc_id, CAST(sum(b) AS BIGINT) AS ts
+              FROM v GROUP BY 1
+            ), ah AS (
+              SELECT v.doc_id AS doc_id,
+                     CAST(sum(CASE WHEN 16 * v.b > t.ts
+                          THEN (CAST(1 AS BIGINT) << v.i)
+                          ELSE 0 END) AS BIGINT) AS ahash
+              FROM v JOIN tot t USING (doc_id) GROUP BY 1
+            ), dh AS (
+              SELECT a.doc_id AS doc_id,
+                     CAST(coalesce(sum(CASE WHEN a.b > c.b
+                          THEN (CAST(1 AS BIGINT)
+                                << ((a.i // 4) * 3 + (a.i % 4)))
+                          ELSE 0 END), 0) AS BIGINT) AS dhash
+              FROM v a JOIN v c
+                ON c.doc_id = a.doc_id AND c.i = a.i + 1
+               AND a.i % 4 < 3
+              GROUP BY 1
+            )
+            SELECT ah.doc_id AS media_id, 32 AS width, 32 AS height,
+                   ah.ahash AS ahash, dh.dhash AS dhash
+            FROM ah JOIN dh ON dh.doc_id = ah.doc_id
+        """,
+        "image_phash_jpeg_multiscan": """
+            -- same digest-replay shape as image_phash_jpeg (salt
+            -- '&jms'): gray-valued RGB keeps YCbCr exact, so the
+            -- per-component multi-scan stream decodes to (v,v,v)
+            WITH v AS (
+              SELECT doc_id, g.i AS i,
+                     ('0x' || substr(md5(text || '&jms'),
                                      2 * g.i + 1, 2))::BIGINT AS b
               FROM documents CROSS JOIN generate_series(0, 15) g(i)
             ), tot AS (

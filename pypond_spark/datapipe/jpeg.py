@@ -309,8 +309,19 @@ def decode_jpeg(content: bytes) -> dict:
                 sel[cs] = (tt >> 4, tt & 0x0F)
                 order.append(cs)
             if not frame["progressive"]:
-                return _decode_scan(content, i + 2 + seglen, frame, sel,
-                                    qt, huff, restart_interval)
+                if ns == len(frame["comps"]):
+                    # the common single-interleaved-scan file
+                    return _decode_scan(content, i + 2 + seglen, frame,
+                                        sel, qt, huff, restart_interval)
+                # multi-scan sequential (r12): each scan carries a
+                # SUBSET of the components; accumulate until EOI
+                i = _sequential_scan(content, i + 2 + seglen, frame,
+                                     order, sel, huff, restart_interval)
+                seen = frame.setdefault("__seen", set())
+                seen.update(order)
+                if seen == {c["id"] for c in frame["comps"]}:
+                    return _finish_frame(frame, qt)
+                continue
             ss, se, ahl = seg[1 + 2 * ns:4 + 2 * ns]
             i = _progressive_scan(content, i + 2 + seglen, frame,
                                   order, sel, huff, restart_interval,
@@ -328,9 +339,10 @@ def _decode_scan(content: bytes, start: int, frame: dict, sel: dict,
     mcux, mcuy = frame["mcux"], frame["mcuy"]
     for c in comps:
         if c["id"] not in sel:
-            raise NotImplementedError(
-                "non-interleaved multi-scan JPEG (every frame component "
-                "must appear in the single scan)")
+            # ns == n_comps but the ids don't line up with the frame
+            raise ValueError(
+                f"JPEG scan component ids {sorted(sel)} do not match "
+                f"the frame's")
         if c["tq"] not in qt:
             raise ValueError(f"JPEG missing quant table {c['tq']}")
         dc_id, ac_id = sel[c["id"]]
@@ -362,6 +374,45 @@ def _decode_scan(content: bytes, start: int, frame: dict, sel: dict,
         raise ValueError(
             f"truncated JPEG scan: {mcu}/{total_mcus} MCUs decoded")
     return _finish_frame(frame, qt)
+
+
+def _sequential_scan(content: bytes, start: int, frame: dict,
+                     order: list, sel: dict, huff: dict,
+                     restart_interval: int) -> int:
+    """One scan of a MULTI-SCAN sequential (SOF0/SOF1) frame — T.81
+    lets a baseline file carry each component in its own scan (some
+    encoders emit Y, then Cb, then Cr).  Ordinary full-band Huffman
+    block decode over this scan's data units (the same interleaved /
+    single-component geometry as progressive scans); returns the
+    terminating-marker position."""
+    if "mcux" not in frame:
+        _alloc_blocks(frame)
+    units = _scan_units(frame, order, sel)
+    tabs = {}
+    for cid in order:
+        dc_id, ac_id = sel[cid]
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("JPEG missing Huffman table for scan")
+        tabs[cid] = (huff[(0, dc_id)], huff[(1, ac_id)])
+    segs, end = _entropy_segments(content, start)
+    per_seg = restart_interval if restart_interval else len(units)
+    unit_no = 0
+    for seg in segs:
+        if unit_no >= len(units):
+            break
+        r = _BitReader(seg)
+        preds = {cid: 0 for cid in order}
+        for _ in range(min(per_seg, len(units) - unit_no)):
+            for c, idx in units[unit_no]:
+                dc_tab, ac_tab = tabs[c["id"]]
+                zz, preds[c["id"]] = _decode_block(
+                    r, dc_tab, ac_tab, preds[c["id"]])
+                c["blocks"][idx] = zz
+            unit_no += 1
+    if unit_no < len(units):
+        raise ValueError(f"truncated JPEG sequential scan: "
+                         f"{unit_no}/{len(units)} units decoded")
+    return end
 
 
 def _alloc_blocks(frame: dict) -> None:
@@ -1268,4 +1319,95 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
                 w.write(val, nbits)
         out += w.flush()
     out += b"\xFF\xD9"                                # EOI
+    return bytes(out)
+
+
+def encode_jpeg_multiscan(width: int, height: int, pixels: bytes,
+                          quality: int = 90, gray: bool = False,
+                          qtable: np.ndarray | list[int] | None = None,
+                          subsampling: str = "444",
+                          restart_interval: int = 0) -> bytes:
+    """Multi-scan SEQUENTIAL (SOF0) encoder: one scan per component
+    (Y, then Cb, then Cr — the layout some hardware encoders emit),
+    each walking that component's real block raster with full-band
+    Huffman coding and per-scan optimal tables.  Shares
+    :func:`_prep_components` with the other encoders, so decoding this
+    stream equals decoding the interleaved :func:`encode_jpeg` stream
+    byte-for-byte — the r12 multi-scan sequential decode path's test
+    invariant."""
+    comp_zz, hmax, vmax, mcux, mcuy, qt_l, qt_c = _prep_components(
+        width, height, pixels, gray, subsampling, quality, qtable)
+    nc = 1 if gray else 3
+
+    out = bytearray(b"\xFF\xD8")
+    out += (b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+            + bytes([0, 0]))
+    out += (b"\xFF\xDB" + struct.pack(">H", 67) + bytes([0x00])
+            + bytes(int(x) for x in qt_l[list(ZIGZAG)]))
+    if not gray:
+        out += (b"\xFF\xDB" + struct.pack(">H", 67) + bytes([0x01])
+                + bytes(int(x) for x in qt_c[list(ZIGZAG)]))
+    sof = struct.pack(">BHHB", 8, height, width, nc)
+    samp = [(hmax, vmax), (1, 1), (1, 1)]
+    for c in range(nc):
+        h, v = samp[c] if not gray else (1, 1)
+        sof += bytes([c + 1, (h << 4) | v, 0 if c == 0 else 1])
+    out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+
+    for ci in range(nc):
+        zzb, bw, h, v = comp_zz[ci]
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        wb, hb = (cw + 7) // 8, (ch + 7) // 8
+        idxs = [row * bw + col for row in range(hb)
+                for col in range(wb)]
+        per_seg = restart_interval if restart_interval else len(idxs)
+
+        def walk():
+            pred = 0
+            for u, idx in enumerate(idxs):
+                if u and u % per_seg == 0:
+                    yield ("rst",)
+                    pred = 0
+                syms, pred = _block_symbols(zzb[idx], pred)
+                for is_dc, sym, val, nbits in syms:
+                    yield ("sym", is_dc, sym, val, nbits)
+
+        freqs = {True: {}, False: {}}
+        for item in walk():
+            if item[0] == "sym":
+                _, is_dc, sym, _, _ = item
+                t = freqs[is_dc]
+                t[sym] = t.get(sym, 0) + 1
+        tid = 0 if ci == 0 else 1
+        enc = {}
+        for is_dc in (True, False):
+            bits, vals = _huff_table_from_freqs(freqs[is_dc])
+            body = (bytes([((0 if is_dc else 1) << 4) | tid])
+                    + bytes(bits) + bytes(vals))
+            out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+            enc[is_dc] = _encode_table(bits, vals)
+        sos = bytes([1, ci + 1, (tid << 4) | tid, 0, 63, 0])
+        out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+        w = _BitWriter()
+        rst = 0
+        for item in walk():
+            if item[0] == "rst":
+                out += w.flush()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                w = _BitWriter()
+                continue
+            _, is_dc, sym, val, nbits = item
+            code, length = enc[is_dc][sym]
+            w.write(code, length)
+            if nbits:
+                if val < 0:
+                    val += (1 << nbits) - 1
+                w.write(val, nbits)
+        out += w.flush()
+    out += b"\xFF\xD9"
     return bytes(out)

@@ -834,6 +834,49 @@ def test_jpeg_progressive_matches_baseline():
                 128, 128, img.tobytes(), gray=True, quality=50))
 
 
+def test_jpeg_multiscan_sequential():
+    """Multi-scan SEQUENTIAL decode (r12, formerly NotImplementedError):
+    a baseline file carrying Y/Cb/Cr in separate scans decodes
+    byte-identically to the interleaved encode of the same pixels,
+    across subsampling, odd sizes and restart markers; gray-valued RGB
+    through the per-component scans stays pixel-exact in the DC-only
+    regime (the driver row's contract)."""
+    import hashlib
+
+    import numpy as np
+
+    from pypond_spark.datapipe import jpeg
+
+    rng = np.random.default_rng(17)
+    for w, h in [(13, 9), (24, 17), (16, 16)]:
+        for sub in ("444", "420"):
+            for ri in (0, 2):
+                px = rng.integers(0, 256, size=w * h * 3,
+                                  dtype=np.uint8).tobytes()
+                a = jpeg.decode_jpeg(jpeg.encode_jpeg(
+                    w, h, px, subsampling=sub, restart_interval=ri))
+                ms_bytes = jpeg.encode_jpeg_multiscan(
+                    w, h, px, subsampling=sub, restart_interval=ri)
+                assert ms_bytes.count(b"\xFF\xDA") == 3
+                assert a == jpeg.decode_jpeg(ms_bytes), (w, h, sub, ri)
+
+    dig = hashlib.md5(b"msx").digest()
+    img = np.repeat(np.repeat(
+        np.frombuffer(dig, np.uint8).reshape(4, 4), 8, 0), 8, 1)
+    rgb = np.repeat(img[..., None], 3, axis=2)
+    d = jpeg.decode_jpeg(jpeg.encode_jpeg_multiscan(
+        32, 32, rgb.tobytes(), qtable=[1] * 64, restart_interval=2))
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(32, 32, 3)
+    assert (got == rgb).all()
+
+    # a multi-scan stream truncated before its last component raises
+    last_sos = jpeg.encode_jpeg_multiscan(
+        16, 16, bytes(16 * 16 * 3)).rindex(b"\xFF\xDA")
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg.decode_jpeg(jpeg.encode_jpeg_multiscan(
+            16, 16, bytes(16 * 16 * 3))[:last_sos])
+
+
 def test_jpeg_progressive_exact_and_errors():
     """The DC-only exactness regime carries to progressive streams
     (the driver row's oracle contract), and the progressive error
