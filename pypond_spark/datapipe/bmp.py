@@ -12,9 +12,11 @@ row padding.  BMP is LOSSLESS, so like PNG/GIF the encode->decode
 roundtrip is bit-exact and the perceptual-hash driver row can reuse
 the chained-md5 PPM oracle verbatim.
 
-16-bpp, BI_BITFIELDS mask remapping and the legacy BITMAPCOREHEADER
-raise ``NotImplementedError`` — honest gaps, same contract as the
-other codecs in this tier.
+16-bpp RGB555 and BI_BITFIELDS mask remapping (16/32-bpp, any
+contiguous masks — channels scale to 8 bits round-half-up, identical
+to the classic bit replication for 5/6-bit channels) decode too (r12);
+only the legacy BITMAPCOREHEADER still raises ``NotImplementedError``
+— an honest gap, same contract as the other codecs in this tier.
 
 Scale: decode runs per image inside Arrow ``mapInPandas`` batches
 (multimodal.py plan shape — zero shuffle, scan-parallel); rows are
@@ -90,8 +92,9 @@ def _decode_rle(data: bytes, width: int, height: int,
 
 
 def decode_bmp(content: bytes) -> dict:
-    """Decode a BI_RGB 1/4/8-bpp palette, 24-bpp truecolor or 32-bpp
-    BGRA BMP, or an RLE8/RLE4 compressed palette BMP.
+    """Decode a BI_RGB 1/4/8-bpp palette, 16-bpp RGB555, 24-bpp
+    truecolor or 32-bpp BGRA BMP, an RLE8/RLE4 compressed palette BMP,
+    or a BI_BITFIELDS 16/32-bpp mask-remapped BMP.
 
     Returns the ``decode_image`` contract: ``{"format": "bmp",
     "width", "height", "maxval": 255, "pixels"}`` with pixels as raw
@@ -112,23 +115,39 @@ def decode_bmp(content: bytes) -> dict:
             f"{hsize}; the 12-byte BITMAPCOREHEADER does not)")
     if planes != 1:
         raise ValueError(f"BMP planes must be 1, got {planes}")
-    if compression not in (0, 1, 2):
+    if compression not in (0, 1, 2, 3):
         raise NotImplementedError(
-            f"only BI_RGB / BI_RLE8 / BI_RLE4 BMPs decode "
-            f"(compression {compression})")
-    if compression == 0 and bpp not in (1, 4, 8, 24, 32):
+            f"only BI_RGB / BI_RLE8 / BI_RLE4 / BI_BITFIELDS BMPs "
+            f"decode (compression {compression})")
+    if compression == 0 and bpp not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(
-            f"only 1/4/8-bpp palette, 24-bpp and 32-bpp BI_RGB BMPs "
+            f"only 1/4/8-bpp palette, 16/24/32-bpp BI_RGB BMPs "
             f"decode (bpp {bpp})")
     if (compression == 1 and bpp != 8) or (compression == 2
                                            and bpp != 4):
         raise ValueError(
             f"BMP RLE{8 if compression == 1 else 4} requires "
             f"{8 if compression == 1 else 4}-bpp, got {bpp}")
+    masks = None
+    if compression == 3:
+        if bpp not in (16, 32):
+            raise ValueError(
+                f"BMP BI_BITFIELDS requires 16/32-bpp, got {bpp}")
+        # the three channel masks sit right after the 40-byte header
+        # core (inside the header for the 52+-byte extensions, as a
+        # separate block for hsize 40 — same file offset either way)
+        moff = _FILE_HEADER.size + 40
+        if len(content) < moff + 12:
+            raise ValueError("truncated BMP: missing bitfields masks")
+        masks = struct.unpack("<III", content[moff:moff + 12])
+        if any(m == 0 for m in masks):
+            raise ValueError("BMP bitfields mask is zero")
+    elif bpp == 16:
+        masks = (0x7C00, 0x03E0, 0x001F)          # BI_RGB default: 555
     if width < 1 or height == 0:
         raise ValueError(f"bad BMP dimensions {width}x{height}")
     top_down = height < 0
-    if top_down and compression:
+    if top_down and compression in (1, 2):
         raise ValueError("top-down BMPs cannot be RLE-compressed")
     height = abs(height)
 
@@ -145,7 +164,7 @@ def decode_bmp(content: bytes) -> dict:
         pal = np.frombuffer(raw, np.uint8).reshape(n_colors, 4)
         palette = pal[:, [2, 1, 0]].copy()
 
-    if compression:                               # RLE8 / RLE4
+    if compression in (1, 2):                     # RLE8 / RLE4
         end = data_off + isize if isize else len(content)
         grid = _decode_rle(content[data_off:end], width, height,
                            four_bit=compression == 2)
@@ -170,6 +189,23 @@ def decode_bmp(content: bytes) -> dict:
     if bpp == 24:
         bgr = rows[:, :width * 3].reshape(height, width, 3)
         rgb = bgr[:, :, ::-1]
+    elif bpp in (16, 32) and masks is not None:
+        # mask-extracted channels, scaled to 8 bits with round-half-up
+        # (identical to the classic (v<<3)|(v>>2) bit replication for
+        # 5/6-bit channels)
+        step = bpp // 8
+        words = np.ascontiguousarray(rows[:, :width * step]) \
+            .view("<u2" if bpp == 16 else "<u4") \
+            .reshape(height, width).astype(np.int64)
+        chans = []
+        for m in masks:
+            shift = (m & -m).bit_length() - 1
+            maxv = m >> shift
+            ch = (words & m) >> shift
+            if maxv != 255:
+                ch = (ch * 255 + maxv // 2) // maxv
+            chans.append(ch.astype(np.uint8))
+        rgb = np.stack(chans, axis=-1)
     elif bpp == 32:
         bgra = rows[:, :width * 4].reshape(height, width, 4)
         rgb = bgra[:, :, [2, 1, 0]]               # drop alpha

@@ -2969,13 +2969,17 @@ def test_bmp_roundtrip_and_errors():
         corrupt = bytearray(good)
         corrupt[30] = 1  # BI_RLE8 on a 24-bpp file is malformed
         bmp.decode_bmp(bytes(corrupt))
+    with pytest.raises(ValueError, match="BITFIELDS requires"):
+        corrupt = bytearray(good)
+        corrupt[30] = 3  # BI_BITFIELDS on 24-bpp is malformed
+        bmp.decode_bmp(bytes(corrupt))
     with pytest.raises(NotImplementedError, match="compression"):
         corrupt = bytearray(good)
-        corrupt[30] = 3  # BI_BITFIELDS stays a capability gap
+        corrupt[30] = 4  # BI_JPEG stays a capability gap
         bmp.decode_bmp(bytes(corrupt))
     with pytest.raises(NotImplementedError, match="bpp"):
         corrupt = bytearray(good)
-        corrupt[28] = 16  # 16-bpp stays a capability gap
+        corrupt[28] = 2  # 2-bpp is not a DIB depth
         bmp.decode_bmp(bytes(corrupt))
     with pytest.raises(NotImplementedError, match="CORE"):
         corrupt = bytearray(good)
@@ -3123,6 +3127,35 @@ def test_bmp_rle_and_extended_depths():
         bmp.decode_bmp(hdr32 + info32 + rows.tobytes())["pixels"],
         np.uint8).reshape(2, 2, 3)
     assert (g32 == px32).all()
+
+    # 16-bpp RGB555 and BI_BITFIELDS 565 / 32-bpp-identity masks
+    def mk16(bpp, comp, w16, h16, data, masks=None):
+        moff = 14 + 40 + (12 if masks else 0)
+        info16 = struct.pack("<IiiHHIIiiII", 40, w16, h16, 1, bpp,
+                             comp, len(data), 0, 0, 0, 0)
+        head16 = struct.pack("<2sIHHI", b"BM", 0, 0, 0, moff)
+        mb = struct.pack("<III", *masks) if masks else b""
+        return head16 + info16 + mb + data
+
+    v = (31 << 10) | (16 << 5) | 7       # RGB555 (31, 16, 7)
+    out555 = bmp.decode_bmp(mk16(16, 0, 1, 1,
+                                 struct.pack("<H", v) + b"\x00\x00"))
+    assert list(out555["pixels"]) == [255, 132, 58]  # round-half-up
+    v = (31 << 11) | (63 << 5) | 7       # 565 via explicit masks
+    out565 = bmp.decode_bmp(mk16(16, 3, 1, 1,
+                                 struct.pack("<H", v) + b"\x00\x00",
+                                 masks=(0xF800, 0x07E0, 0x001F)))
+    assert list(out565["pixels"]) == [255, 255, 58]
+    px8888 = struct.pack("<I", (200 << 16) | (100 << 8) | 50)
+    out8888 = bmp.decode_bmp(mk16(32, 3, 1, 1, px8888,
+                                  masks=(0xFF0000, 0xFF00, 0xFF)))
+    assert list(out8888["pixels"]) == [200, 100, 50]
+    with pytest.raises(ValueError, match="mask is zero"):
+        bmp.decode_bmp(mk16(16, 3, 1, 1, b"\x00" * 4,
+                            masks=(0, 0x07E0, 0x1F)))
+    with pytest.raises(ValueError, match="BITFIELDS requires"):
+        bmp.decode_bmp(mk16(8, 3, 1, 1, b"\x00" * 4,
+                            masks=(0xF800, 0x07E0, 0x001F)))
 
     # error paths: RLE on top-down, truncated RLE, index overflow
     info_td = struct.pack("<IiiHHIIiiII", 40, 6, -3, 1, 8, 1,
