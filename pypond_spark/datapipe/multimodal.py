@@ -5,15 +5,16 @@ side — schema, partition-friendly layout, Arrow-batched UDF signatures — is
 real and tested. Codecs:
 
 - REAL pure-Python decoders for the formats that need no external library:
-  binary PPM (P6), non-interlaced PNG images (``decode_image`` —
+  binary PPM (P6), PNG images (``decode_image`` —
   PNG via stdlib ``zlib``, all five scanline filters, gray/RGB/alpha
   variants at depth 8 and 16, palette (PLTE) at depth 1/2/4/8, plus
   minimal ``encode_png`` / ``encode_png_indexed`` / ``encode_png16``
-  encoders), baseline-sequential JPEG
+  encoders, sequential AND Adam7-interlaced), baseline-sequential +
+  progressive + multi-scan JPEG
   (:mod:`pypond_spark.datapipe.jpeg` — Huffman + dequant + numpy IDCT +
-  chroma upsampling + YCbCr->RGB, with a matching ``encode_jpeg``;
-  progressive/arithmetic/12-bit raise ``NotImplementedError``),
-  uncompressed 24-bpp / 8-bpp-palette BMP
+  chroma upsampling + YCbCr->RGB, with matching encoders;
+  arithmetic/12-bit raise ``NotImplementedError``),
+  1/4/8-bpp-palette / 16/24/32-bpp / RLE8-RLE4 / bitfields BMP
   (:mod:`pypond_spark.datapipe.bmp`) and PCM16 WAV audio
   (``decode_audio`` via the stdlib ``wave`` module), with per-media stats
   operators (``image_stats`` / ``audio_stats``);
@@ -425,7 +426,7 @@ def encode_png16(width: int, height: int, pixels: bytes,
 
 def decode_image(content: bytes) -> dict:
     """Real image decode, pure Python, no libraries: binary PPM (P6)
-    and non-interlaced PNG (gray/RGB/gray+alpha/RGBA at depth 8/16 and
+    and PNG — sequential or Adam7 — (gray/RGB/gray+alpha/RGBA at depth 8/16 and
     palette at depth 1/2/4/8 — see :func:`_decode_png`).
 
     Returns ``{"format", "width", "height", "maxval", "pixels"}`` where
