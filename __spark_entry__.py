@@ -2156,6 +2156,38 @@ def q_image_phash_jpeg_multiscan(spark, sf_dir):
     return dp_mm.image_phash(ms, grid_w=4, grid_h=4)
 
 
+def q_image_phash_jpeg_lossless(spark, sf_dir):
+    """Perceptual hashes over pixels decoded from a LOSSLESS (SOF3)
+    JPEG (datapipe/jpeg.py::_lossless_scan — r12: Annex-H predictive
+    Huffman coding, no DCT, no color transform): unlike the DC-only
+    rows, lossless roundtrips ANY content bit-for-bit, so the
+    synthetic image is the PPM row's FULL-ENTROPY chained-md5 pixels
+    and the unchanged image_phash oracle replays them — with the
+    predictor selector rotating 1..7 by doc_id so every Annex-H
+    predictor is driver-verified."""
+    import pandas as _pd
+
+    from pypond_spark.datapipe.jpeg import encode_jpeg_lossless
+
+    docs = _read(spark, sf_dir, "documents")
+    ppm = _synth_ppm8(docs)
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = bytes(content)[len(b"P6\n8 8\n255\n"):]
+                rows.append((int(mid),
+                             encode_jpeg_lossless(
+                                 8, 8, px,
+                                 predictor=1 + int(mid) % 7,
+                                 restart_interval=3)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    ll = ppm.mapInPandas(enc, "media_id long, content binary")
+    return dp_mm.image_phash(ll, grid_w=4, grid_h=4)
+
+
 def _synth_bmp8(docs):
     """8x8 REAL BMP per doc: the SAME chained-md5 pixel recipe as
     :func:`_synth_ppm8`, encoded by ``datapipe.bmp.encode_bmp``
@@ -6070,6 +6102,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_jpeg": q_image_phash_jpeg,
         "image_phash_jpeg_progressive": q_image_phash_jpeg_progressive,
         "image_phash_jpeg_multiscan": q_image_phash_jpeg_multiscan,
+        "image_phash_jpeg_lossless": q_image_phash_jpeg_lossless,
         "image_phash_gif": q_image_phash_gif,
         "url_normalize": q_url_normalize,
         "domain_stats": q_domain_stats,
@@ -12367,6 +12400,7 @@ def oracle_sql() -> dict[str, str]:
     # is the thing under test), so the PPM oracle replays it verbatim
     d["image_phash_png"] = d["image_phash"]
     d["image_phash_png_adam7"] = d["image_phash"]
+    d["image_phash_jpeg_lossless"] = d["image_phash"]
     d["image_phash_bmp_rle8"] = d["image_phash"]
     d["image_phash_gif"] = d["image_phash"]
     # palette row: PLTE holds the same pixels, indices are the identity

@@ -276,6 +276,7 @@ HEADLINE = [
     "image_phash_jpeg",
     "image_phash_jpeg_progressive",
     "image_phash_jpeg_multiscan",
+    "image_phash_jpeg_lossless",
     "image_phash_png_adam7",
     "image_phash_bmp_rle8",
     "image_phash_gif",

@@ -13,11 +13,16 @@ YCbCr->RGB — plus matching encoders (baseline and progressive with a
 configurable scan script) so tests and driver rows can synthesize real
 JPEG bytes without any imaging library.
 
+Lossless (SOF3) decodes and encodes too (r12): Annex-H predictive
+Huffman coding — all seven predictors, point transform, restart
+markers, direct-RGB components (no color transform), any precision
+2..16 on decode — bit-exact for ANY content at Pt=0.
+
 Honest scope limits (each raises, never silently wrong):
 
-- lossless (SOF3/7), differential and
-  arithmetic-coded (SOF9..15) processes -> ``NotImplementedError``;
-- 12-bit precision and CMYK/4-component scans -> ``NotImplementedError``;
+- differential (SOF5..7) and arithmetic-coded (SOF9..15) processes ->
+  ``NotImplementedError``;
+- 12-bit DCT precision and CMYK/4-component scans -> ``NotImplementedError``;
 - structural corruption (truncation, bad marker stream, Huffman
   overrun) -> ``ValueError``.
 
@@ -53,7 +58,6 @@ ZIGZAG = (
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
 _SOF_UNSUPPORTED = {
-    0xC3: "lossless JPEG (SOF3)",
     0xC5: "differential sequential JPEG (SOF5)",
     0xC6: "differential progressive JPEG (SOF6)",
     0xC7: "differential lossless JPEG (SOF7)",
@@ -283,21 +287,27 @@ def decode_jpeg(content: bytes) -> dict:
                 p += 17 + nv
         elif marker == 0xDD:                    # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0 / SOF1 / SOF2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2/3
             prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
+            if marker == 0xC3:
+                if not 2 <= prec <= 16:
+                    raise ValueError(
+                        f"lossless JPEG precision {prec} out of range")
+            elif prec != 8:
                 raise NotImplementedError(
-                    f"{prec}-bit JPEG precision (only 8-bit)")
+                    f"{prec}-bit JPEG precision (only 8-bit DCT)")
             if nc not in (1, 3):
                 raise NotImplementedError(
-                    f"{nc}-component JPEG (only grayscale and YCbCr)")
+                    f"{nc}-component JPEG (only grayscale and "
+                    "YCbCr/RGB)")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = {"w": width, "h": height, "comps": comps,
-                     "progressive": marker == 0xC2}
+                     "progressive": marker == 0xC2,
+                     "lossless": marker == 0xC3, "prec": prec}
         elif marker == 0xDA:                    # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -308,6 +318,12 @@ def decode_jpeg(content: bytes) -> dict:
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 0x0F)
                 order.append(cs)
+            if frame.get("lossless"):
+                psv, _se, ahl = seg[1 + 2 * ns:4 + 2 * ns]
+                return _lossless_scan(content, i + 2 + seglen, frame,
+                                      order, sel, huff,
+                                      restart_interval, psv,
+                                      ahl & 0x0F)
             if not frame["progressive"]:
                 if ns == len(frame["comps"]):
                     # the common single-interleaved-scan file
@@ -1409,5 +1425,207 @@ def encode_jpeg_multiscan(width: int, height: int, pixels: bytes,
                     val += (1 << nbits) - 1
                 w.write(val, nbits)
         out += w.flush()
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ------------------------------------------------------------- lossless
+
+def _lossless_predict(plane: np.ndarray, x: int, y: int, psv: int,
+                      default: int) -> int:
+    """T.81 Annex H sample prediction.  First sample (of the scan or
+    of a restart interval) -> ``default`` = 2^(P-Pt-1); rest of the
+    first line -> Ra; first column -> Rb; otherwise predictor
+    ``psv`` in 1..7."""
+    if y == 0:
+        return int(plane[0, x - 1])              # Ra
+    if x == 0:
+        return int(plane[y - 1, 0])              # Rb
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if psv == 1:
+        return ra
+    if psv == 2:
+        return rb
+    if psv == 3:
+        return rc
+    if psv == 4:
+        return ra + rb - rc
+    if psv == 5:
+        return ra + ((rb - rc) >> 1)
+    if psv == 6:
+        return rb + ((ra - rc) >> 1)
+    if psv == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"bad lossless predictor selector {psv}")
+
+
+def _lossless_scan(content: bytes, start: int, frame: dict,
+                   order: list, sel: dict, huff: dict,
+                   restart_interval: int, psv: int, pt: int) -> dict:
+    """Decode a LOSSLESS (SOF3) scan: per-sample Huffman SSSS
+    categories + extra bits give differences from the Annex-H
+    prediction, accumulated modulo 2^16; samples shift back by the
+    point transform.  Components must be unsubsampled (h=v=1 — the
+    universal layout for lossless: no DCT means no chroma planes to
+    shrink); three components are direct RGB (T.81 lossless applies
+    NO color transform).  Output normalized to the decode_image RGB
+    contract (high byte for precision > 8, like 16-bit PNG)."""
+    width, height, comps = frame["w"], frame["h"], frame["comps"]
+    prec = frame["prec"]
+    if not 1 <= psv <= 7:
+        raise ValueError(f"bad lossless predictor selector {psv}")
+    if pt >= prec:
+        raise ValueError(f"point transform {pt} >= precision {prec}")
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError(
+            "subsampled lossless JPEG components")
+    if [c["id"] for c in comps] != order:
+        raise NotImplementedError(
+            "lossless JPEG scans must carry all components in frame "
+            "order (interleaved single scan)")
+    tabs = {}
+    for cid in order:
+        dc_id, _ = sel[cid]
+        if (0, dc_id) not in huff:
+            raise ValueError("JPEG missing Huffman table for scan")
+        tabs[cid] = huff[(0, dc_id)]
+    planes = {cid: np.zeros((height, width), np.int32)
+              for cid in order}
+    default = 1 << (prec - pt - 1)
+    total = width * height
+    per_seg = restart_interval if restart_interval else total
+    segs, _ = _entropy_segments(content, start)
+    sample = 0
+    for seg in segs:
+        if sample >= total:
+            break
+        r = _BitReader(seg)
+        fresh = dict.fromkeys(order, True)   # predictor reset per RST
+        for _ in range(min(per_seg, total - sample)):
+            y, x = divmod(sample, width)
+            for cid in order:
+                s = _huff_decode(r, tabs[cid])
+                if s == 16:
+                    diff = 32768
+                elif s:
+                    diff = _extend(r.read_bits(s), s)
+                else:
+                    diff = 0
+                if fresh[cid]:
+                    pred = default
+                    fresh[cid] = False
+                else:
+                    pred = _lossless_predict(planes[cid], x, y, psv,
+                                             default)
+                planes[cid][y, x] = (pred + diff) & 0xFFFF
+            sample += 1
+    if sample < total:
+        raise ValueError(f"truncated JPEG lossless scan: "
+                         f"{sample}/{total} samples decoded")
+    chans = []
+    for cid in order:
+        v = planes[cid] << pt
+        chans.append((v >> (prec - 8) if prec > 8
+                      else v << (8 - prec) if prec < 8
+                      else v).astype(np.uint8))
+    if len(chans) == 1:
+        rgb = np.stack([chans[0]] * 3, axis=-1)
+    else:
+        rgb = np.stack(chans, axis=-1)
+    return {"format": "jpeg", "width": width, "height": height,
+            "maxval": 255, "pixels": rgb.tobytes()}
+
+
+def encode_jpeg_lossless(width: int, height: int, pixels: bytes,
+                         gray: bool = False, predictor: int = 1,
+                         point_transform: int = 0,
+                         restart_interval: int = 0) -> bytes:
+    """Lossless (SOF3) encoder: 8-bit samples, predictor 1..7,
+    optional point transform (samples code as ``v >> Pt``; decode
+    returns ``(v >> Pt) << Pt`` — exact when Pt=0), per-component
+    optimal SSSS Huffman tables, restart markers.  Gray in ->
+    1-component; RGB in -> 3 DIRECT components (no color transform),
+    so ``decode_jpeg(encode_jpeg_lossless(px)) == px`` bit-for-bit
+    for ANY content at Pt=0 — the property the driver row pins with
+    full-entropy digest pixels."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1..7, got {predictor}")
+    if not 0 <= point_transform <= 7:
+        raise ValueError(
+            f"point transform must be 0..7, got {point_transform}")
+    nc = 1 if gray else 3
+    need = width * height * nc
+    if width < 1 or height < 1:
+        raise ValueError(f"bad JPEG dimensions {width}x{height}")
+    if len(pixels) != need:
+        raise ValueError(f"need {need} pixel bytes, got {len(pixels)}")
+    arr = np.frombuffer(pixels, np.uint8).reshape(height, width, nc) \
+        .astype(np.int32) >> point_transform
+    default = 1 << (8 - point_transform - 1)
+    total = width * height
+    per_seg = restart_interval if restart_interval else total
+
+    def walk(ci):
+        plane = arr[:, :, ci]
+        for sample in range(total):
+            y, x = divmod(sample, width)
+            if sample % per_seg == 0:
+                pred = default
+            else:
+                pred = _lossless_predict(plane, x, y, predictor,
+                                         default)
+            diff = (int(plane[y, x]) - pred) & 0xFFFF
+            if diff > 32767:
+                diff -= 65536
+            s = 16 if diff == 32768 else _category(diff)
+            yield sample, s, diff
+
+    freqs = [{} for _ in range(nc)]
+    for ci in range(nc):
+        for _, s, _ in walk(ci):
+            freqs[ci][s] = freqs[ci].get(s, 0) + 1
+
+    out = bytearray(b"\xFF\xD8")
+    out += (b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+            + bytes([0, 0]))
+    sof = struct.pack(">BHHB", 8, height, width, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xFF\xC3" + struct.pack(">H", 2 + len(sof)) + sof
+    enc = []
+    for ci in range(nc):
+        bits, vals = _huff_table_from_freqs(freqs[ci])
+        body = bytes([ci]) + bytes(bits) + bytes(vals)   # class 0, id ci
+        out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+        enc.append(_encode_table(bits, vals))
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, c << 4])
+    sos += bytes([predictor, 0, point_transform])
+    out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+
+    walks = [walk(ci) for ci in range(nc)]
+    w = _BitWriter()
+    rst = 0
+    for sample in range(total):
+        if sample and sample % per_seg == 0:
+            out += w.flush()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            w = _BitWriter()
+        for ci in range(nc):
+            _, s, diff = next(walks[ci])
+            code, length = enc[ci][s]
+            w.write(code, length)
+            if s and s != 16:
+                if diff < 0:
+                    diff += (1 << s) - 1
+                w.write(diff, s)
+    out += w.flush()
     out += b"\xFF\xD9"
     return bytes(out)

@@ -877,6 +877,53 @@ def test_jpeg_multiscan_sequential():
             16, 16, bytes(16 * 16 * 3))[:last_sos])
 
 
+def test_jpeg_lossless():
+    """Lossless (SOF3) decode+encode (r12, formerly
+    NotImplementedError): Annex-H predictive coding roundtrips ANY
+    content bit-for-bit — every predictor 1..7, gray and direct RGB,
+    restart intervals, odd sizes; the point transform codes v>>Pt and
+    decodes (v>>Pt)<<Pt; malformed parameters raise."""
+    import numpy as np
+
+    from pypond_spark.datapipe import jpeg
+
+    rng = np.random.default_rng(23)
+    for w, h in [(1, 1), (5, 3), (13, 9)]:
+        for gray in (True, False):
+            for psv in range(1, 8):
+                px = rng.integers(0, 256,
+                                  size=w * h * (1 if gray else 3),
+                                  dtype=np.uint8).tobytes()
+                d = jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(
+                    w, h, px, gray=gray, predictor=psv,
+                    restart_interval=7))
+                got = np.frombuffer(d["pixels"],
+                                    np.uint8).reshape(h, w, 3)
+                want = np.frombuffer(px, np.uint8).reshape(
+                    h, w, 1 if gray else 3)
+                if gray:
+                    want = np.repeat(want, 3, axis=2)
+                assert (got == want).all(), (w, h, gray, psv)
+
+    px = rng.integers(0, 256, size=64, dtype=np.uint8)
+    d = jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(
+        8, 8, px.tobytes(), gray=True, predictor=4,
+        point_transform=2))
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(8, 8, 3)[..., 0]
+    assert (got == ((px.reshape(8, 8) >> 2) << 2)).all()
+
+    with pytest.raises(ValueError, match="predictor"):
+        jpeg.encode_jpeg_lossless(2, 2, bytes(12), predictor=8)
+    data = jpeg.encode_jpeg_lossless(8, 8, bytes(range(64)), gray=True)
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg.decode_jpeg(data[:len(data) - 8])
+    # SOF7 (differential lossless) stays a capability gap
+    bad = bytearray(data)
+    bad[bad.index(b"\xFF\xC3") + 1] = 0xC7
+    with pytest.raises(NotImplementedError, match="lossless"):
+        jpeg.decode_jpeg(bytes(bad))
+
+
 def test_jpeg_progressive_exact_and_errors():
     """The DC-only exactness regime carries to progressive streams
     (the driver row's oracle contract), and the progressive error
@@ -924,8 +971,14 @@ def test_jpeg_unsupported_and_corrupt():
     bad2[i + 1] = 0xC2
     with pytest.raises(ValueError, match="Se = 0"):
         multimodal.decode_image(bytes(bad2))
+    # SOF3 (lossless) is SUPPORTED since r12 — a baseline stream
+    # relabeled lossless is malformed (Ss=0 is no Annex-H predictor)
+    bad3 = bytearray(d)
+    bad3[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="predictor"):
+        multimodal.decode_image(bytes(bad3))
     for sof, pat in [(0xCA, "arithmetic-coded progressive"),
-                     (0xC9, "arithmetic"), (0xC3, "lossless")]:
+                     (0xC9, "arithmetic"), (0xC7, "lossless")]:
         bad = bytearray(d)
         bad[i + 1] = sof
         with pytest.raises(NotImplementedError, match=pat):
