@@ -14,9 +14,11 @@ the chained-md5 PPM oracle verbatim.
 
 16-bpp RGB555 and BI_BITFIELDS mask remapping (16/32-bpp, any
 contiguous masks — channels scale to 8 bits round-half-up, identical
-to the classic bit replication for 5/6-bit channels) decode too (r12);
-only the legacy BITMAPCOREHEADER still raises ``NotImplementedError``
-— an honest gap, same contract as the other codecs in this tier.
+to the classic bit replication for 5/6-bit channels) and the legacy
+12-byte OS/2 BITMAPCOREHEADER (RGB-triple palettes) decode too (r12);
+only BI_JPEG/BI_PNG embeddings and unknown header sizes raise
+``NotImplementedError`` — honest gaps, same contract as the other
+codecs in this tier.
 
 Scale: decode runs per image inside Arrow ``mapInPandas`` batches
 (multimodal.py plan shape — zero shuffle, scan-parallel); rows are
@@ -91,6 +93,58 @@ def _decode_rle(data: bytes, width: int, height: int,
     raise ValueError("BMP RLE data ended without end-of-bitmap escape")
 
 
+def _decode_bmp_core(content: bytes, data_off: int) -> dict:
+    """Legacy 12-byte OS/2 BITMAPCOREHEADER (r12): u16 dimensions,
+    always bottom-up, palette entries are RGB TRIPLES (not BGRA
+    quads), 1/4/8-bpp palette or 24-bpp BGR — always BI_RGB."""
+    width, height, planes, bpp = struct.unpack_from(
+        "<HHHH", content, _FILE_HEADER.size + 4)
+    if planes != 1:
+        raise ValueError(f"BMP planes must be 1, got {planes}")
+    if bpp not in (1, 4, 8, 24):
+        raise ValueError(f"BITMAPCOREHEADER bpp must be 1/4/8/24, "
+                         f"got {bpp}")
+    if width < 1 or height < 1:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    palette = None
+    if bpp <= 8:
+        pal_off = _FILE_HEADER.size + 12
+        n_colors = min((data_off - pal_off) // 3, 1 << bpp)
+        if n_colors < 1:
+            raise ValueError("truncated BMP core palette")
+        raw = content[pal_off:pal_off + 3 * n_colors]
+        if len(raw) != 3 * n_colors:
+            raise ValueError("truncated BMP core palette")
+        pal = np.frombuffer(raw, np.uint8).reshape(n_colors, 3)
+        palette = pal[:, ::-1].copy()             # BGR -> RGB
+    row_bytes = ((width * bpp + 7) // 8 + 3) & ~3
+    need = row_bytes * height
+    data = content[data_off:data_off + need]
+    if len(data) != need:
+        raise ValueError(
+            f"truncated BMP pixel data: expected {need} bytes, "
+            f"got {len(data)}")
+    rows = np.frombuffer(data, np.uint8).reshape(height, row_bytes)
+    rows = rows[::-1]                             # always bottom-up
+    if bpp == 24:
+        rgb = rows[:, :width * 3].reshape(height, width, 3)[:, :, ::-1]
+    else:
+        if bpp == 8:
+            idx = rows[:, :width]
+        elif bpp == 4:
+            nib = np.empty((height, row_bytes * 2), np.uint8)
+            nib[:, 0::2] = rows >> 4
+            nib[:, 1::2] = rows & 0x0F
+            idx = nib[:, :width]
+        else:
+            idx = np.unpackbits(rows, axis=1)[:, :width]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("BMP palette index out of range")
+        rgb = palette[idx]
+    return {"format": "bmp", "width": width, "height": height,
+            "maxval": 255, "pixels": np.ascontiguousarray(rgb).tobytes()}
+
+
 def decode_bmp(content: bytes) -> dict:
     """Decode a BI_RGB 1/4/8-bpp palette, 16-bpp RGB555, 24-bpp
     truecolor or 32-bpp BGRA BMP, an RLE8/RLE4 compressed palette BMP,
@@ -101,18 +155,23 @@ def decode_bmp(content: bytes) -> dict:
     interleaved RGB bytes, top-down row order regardless of the file's
     stored orientation.
     """
-    if len(content) < _FILE_HEADER.size + _INFO_HEADER.size:
+    if len(content) < _FILE_HEADER.size + 12:
         raise ValueError("truncated BMP: missing headers")
     magic, _fsize, _r1, _r2, data_off = _FILE_HEADER.unpack_from(content, 0)
     if magic != b"BM":
         raise ValueError(f"not a BMP (magic {magic!r})")
+    (hsize,) = struct.unpack_from("<I", content, _FILE_HEADER.size)
+    if hsize == 12:                               # OS/2 BITMAPCOREHEADER
+        return _decode_bmp_core(content, data_off)
+    if hsize < 40:
+        raise NotImplementedError(
+            f"BMP header size {hsize} is neither BITMAPCOREHEADER (12)"
+            f" nor BITMAPINFOHEADER-family (>= 40)")
+    if len(content) < _FILE_HEADER.size + _INFO_HEADER.size:
+        raise ValueError("truncated BMP: missing headers")
     (hsize, width, height, planes, bpp, compression, isize,
      _xppm, _yppm, clr_used, _clr_imp) = _INFO_HEADER.unpack_from(
         content, _FILE_HEADER.size)
-    if hsize < 40:
-        raise NotImplementedError(
-            f"only BITMAPINFOHEADER-family BMPs decode (header size "
-            f"{hsize}; the 12-byte BITMAPCOREHEADER does not)")
     if planes != 1:
         raise ValueError(f"BMP planes must be 1, got {planes}")
     if compression not in (0, 1, 2, 3):

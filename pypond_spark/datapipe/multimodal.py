@@ -15,7 +15,7 @@ real and tested. Codecs:
   chroma upsampling + YCbCr->RGB, with matching encoders;
   arithmetic/12-bit raise ``NotImplementedError``),
   1/4/8-bpp-palette / 16/24/32-bpp / RLE8-RLE4 / bitfields BMP
-  (:mod:`pypond_spark.datapipe.bmp`) and PCM16 WAV audio
+  (:mod:`pypond_spark.datapipe.bmp`, incl. the OS/2 core header) and 8/16/24/32-bit PCM WAV audio
   (``decode_audio`` via the stdlib ``wave`` module), with per-media stats
   operators (``image_stats`` / ``audio_stats``);
 - everything else (MP3/MP4/...) raises ``NotImplementedError`` — this
@@ -485,11 +485,14 @@ def decode_image(content: bytes) -> dict:
 
 
 def decode_audio(content: bytes) -> dict:
-    """Real audio decode for PCM16 WAV via the stdlib ``wave`` module.
+    """Real audio decode for PCM WAV via the stdlib ``wave`` module —
+    8-bit unsigned, 16/24/32-bit signed little-endian (r12: all four
+    integer PCM widths, not just 16).
 
-    Returns ``{"n_channels", "sample_rate", "n_samples", "samples"}`` with
-    samples as signed ints (interleaved if multi-channel). Other sample
-    widths/codecs raise ``NotImplementedError``.
+    Returns ``{"n_channels", "sample_rate", "n_samples", "samples"}``
+    with samples as signed ints at the FILE's native scale (8-bit
+    recenters the unsigned 0..255 range to -128..127; interleaved if
+    multi-channel).  Compressed codecs raise ``NotImplementedError``.
     """
     try:
         with wave.open(io.BytesIO(content)) as wav:
@@ -500,10 +503,19 @@ def decode_audio(content: bytes) -> dict:
             raw = wav.readframes(nframes)
     except wave.Error as exc:
         raise NotImplementedError(f"not a decodable WAV: {exc}") from exc
-    if width != 2:
+    if width == 2:
+        samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    elif width == 1:
+        samples = [b - 128 for b in raw]
+    elif width == 4:
+        samples = list(struct.unpack(f"<{len(raw) // 4}i", raw))
+    elif width == 3:
+        samples = [int.from_bytes(raw[i:i + 3], "little", signed=True)
+                   for i in range(0, len(raw), 3)]
+    else:
         raise NotImplementedError(
-            f"only PCM16 decodes here (sample width {width})")
-    samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+            f"only 8/16/24/32-bit integer PCM decodes here "
+            f"(sample width {width})")
     return {"n_channels": nch, "sample_rate": rate,
             "n_samples": nframes, "samples": samples}
 

@@ -1088,6 +1088,23 @@ def test_decode_wav():
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"not a wav at all")
 
+    # r12: 8-bit unsigned (recentered), 24-bit and 32-bit signed PCM
+    def wav(width, payload, n):
+        return (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                        8000 * width, width, 8 * width)
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+
+    a8 = multimodal.decode_audio(wav(1, bytes([0, 128, 255]), 3))
+    assert a8["samples"] == [-128, 0, 127]
+    a32 = multimodal.decode_audio(
+        wav(4, struct.pack("<3i", -2**31, 0, 2**31 - 1), 3))
+    assert a32["samples"] == [-2**31, 0, 2**31 - 1]
+    p24 = b"".join(v.to_bytes(3, "little", signed=True)
+                   for v in (-8388608, -1, 8388607))
+    a24 = multimodal.decode_audio(wav(3, p24, 3))
+    assert a24["samples"] == [-8388608, -1, 8388607]
+
 
 def test_image_audio_stats_distributed(spark):
     import math
@@ -3034,10 +3051,31 @@ def test_bmp_roundtrip_and_errors():
         corrupt = bytearray(good)
         corrupt[28] = 2  # 2-bpp is not a DIB depth
         bmp.decode_bmp(bytes(corrupt))
-    with pytest.raises(NotImplementedError, match="CORE"):
-        corrupt = bytearray(good)
-        corrupt[14] = 12  # BITMAPCOREHEADER size
-        bmp.decode_bmp(bytes(corrupt))
+    # OS/2 BITMAPCOREHEADER decodes since r12 (u16 dims, RGB-triple
+    # palette, bottom-up); only non-12/<40 header sizes remain a gap
+    import numpy as np
+    pxc = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)
+    rows = np.zeros((2, 12), np.uint8)
+    for y in range(2):
+        rows[y, :9] = pxc[1 - y, :, ::-1].reshape(9)
+    core = struct.pack("<IHHHH", 12, 3, 2, 1, 24)
+    headc = struct.pack("<2sIHHI", b"BM", 0, 0, 0, 14 + 12)
+    outc = bmp.decode_bmp(headc + core + rows.tobytes())
+    assert np.array_equal(
+        np.frombuffer(outc["pixels"], np.uint8).reshape(2, 3, 3), pxc)
+    palc = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])  # BGR triples
+    core4c = struct.pack("<IHHHH", 12, 3, 1, 1, 4)
+    head4c = struct.pack("<2sIHHI", b"BM", 0, 0, 0, 14 + 12 + 9)
+    out4c = bmp.decode_bmp(head4c + core4c + palc
+                           + bytes([0x12, 0x10, 0, 0]))
+    assert list(out4c["pixels"]) == [60, 50, 40, 90, 80, 70,
+                                     60, 50, 40]
+    with pytest.raises(ValueError, match="1/4/8/24"):
+        bmp.decode_bmp(headc + struct.pack("<IHHHH", 12, 3, 2, 1, 16)
+                       + rows.tobytes())
+    with pytest.raises(NotImplementedError, match="header size 16"):
+        bmp.decode_bmp(headc + struct.pack("<IHHHH", 16, 3, 2, 1, 24)
+                       + rows.tobytes())
     with pytest.raises(ValueError, match="RGB bytes"):
         bmp.encode_bmp(2, 2, bytes(5))
     with pytest.raises(ValueError, match=">= 1"):
