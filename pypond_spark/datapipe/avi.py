@@ -56,11 +56,12 @@ def decode_avi_mjpeg(content: bytes) -> dict:
     Walks ``hdrl`` for the first ``vids`` stream (its index selects
     the ``NNdc``/``NNdb`` movi chunk ids), reads fps from the stream
     header's rate/scale (falling back to ``avih``'s
-    dwMicroSecPerFrame), requires the ``strf`` BITMAPINFOHEADER
-    compression to be MJPG/mjpg, and decodes every frame chunk with
-    :func:`~pypond_spark.datapipe.jpeg.decode_jpeg`.  Non-MJPG video
-    streams raise ``NotImplementedError`` (DIB/H264/... need other
-    codecs); structural corruption raises ``ValueError``.
+    dwMicroSecPerFrame), and decodes every frame chunk: MJPG/mjpg
+    streams through :func:`~pypond_spark.datapipe.jpeg.decode_jpeg`,
+    uncompressed BI_RGB/'DIB ' streams (r12) as bottom-up 4-byte-padded
+    24-bpp BGR rows.  Other fourccs (H264/XVID/...) raise
+    ``NotImplementedError``; structural corruption raises
+    ``ValueError``.
     """
     if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         raise ValueError("not an AVI: missing RIFF....AVI  header")
@@ -71,6 +72,7 @@ def decode_avi_mjpeg(content: bytes) -> dict:
     width = height = None
     vids_index = None
     compression = None
+    bit_count = None
     movi = None
     stream_no = 0
     for fourcc, p, size in _chunks(content, 12, end):
@@ -99,17 +101,27 @@ def decode_avi_mjpeg(content: bytes) -> dict:
                             if scale and rate:
                                 fps_num, fps_den = rate, scale
                     elif f3 == b"strf" and is_vids and s3 >= 20:
-                        width, height, _, _, comp = struct.unpack(
-                            "<iiHH4s", content[p3 + 4:p3 + 20])
+                        width, height, _, bit_count, comp = \
+                            struct.unpack("<iiHH4s",
+                                          content[p3 + 4:p3 + 20])
                         height = abs(height)
                         compression = comp
                 stream_no += 1
     if vids_index is None:
         raise ValueError("AVI has no video ('vids') stream")
-    if compression not in (b"MJPG", b"mjpg"):
+    mjpeg = compression in (b"MJPG", b"mjpg")
+    # BI_RGB (fourcc zero) or 'DIB ' = uncompressed bottom-up BGR
+    # frames — the legacy capture layout (r12); needs no codec at all
+    raw_dib = compression in (b"\x00\x00\x00\x00", b"DIB ", b"RGB ")
+    if not (mjpeg or raw_dib):
         raise NotImplementedError(
-            f"AVI video compression {compression!r} — only MJPG "
-            "decodes without a codec library")
+            f"AVI video compression {compression!r} — only MJPG and "
+            "uncompressed DIB decode without a codec library")
+    if raw_dib and (width is None or height is None):
+        raise ValueError("uncompressed AVI without strf dimensions")
+    if raw_dib and bit_count != 24:
+        raise NotImplementedError(
+            f"uncompressed AVI at {bit_count}-bpp (only 24-bpp BGR)")
     if movi is None:
         raise ValueError("AVI has no movi LIST (no frame data)")
 
@@ -117,6 +129,26 @@ def decode_avi_mjpeg(content: bytes) -> dict:
     frames = []
     for fourcc, p, size in _chunks(content, movi[0], movi[1]):
         if fourcc not in want or size == 0:
+            continue
+        if raw_dib:
+            row_bytes = (width * 3 + 3) & ~3
+            if size < row_bytes * height:
+                raise ValueError(
+                    f"AVI DIB frame {len(frames)}: need "
+                    f"{row_bytes * height} bytes, have {size}")
+            rows = np.frombuffer(content[p:p + row_bytes * height],
+                                 dtype=np.uint8) \
+                .reshape(height, row_bytes)[::-1]     # bottom-up
+            rgb = rows[:, :width * 3].reshape(height, width, 3) \
+                [:, :, ::-1]                          # BGR -> RGB
+            y = np.clip(np.floor(0.299 * rgb[..., 0]
+                                 + 0.587 * rgb[..., 1]
+                                 + 0.114 * rgb[..., 2] + 0.5),
+                        0, 255).astype(np.uint8) \
+                if not ((rgb[..., 0] == rgb[..., 1]).all()
+                        and (rgb[..., 1] == rgb[..., 2]).all()) \
+                else rgb[..., 0].copy()
+            frames.append({"y": y.tobytes(), "u": None, "v": None})
             continue
         img = decode_jpeg(content[p:p + size])
         if width is None:
@@ -187,5 +219,43 @@ def encode_avi_mjpeg(width: int, height: int, frames_y: list[bytes],
     strl = b"strl" + _chunk(b"strh", strh) + _chunk(b"strf", strf)
     hdrl = b"hdrl" + _chunk(b"avih", avih) + _chunk(b"LIST", strl)
     movi = b"movi" + b"".join(_chunk(b"00dc", j) for j in jpegs)
+    body = b"AVI " + _chunk(b"LIST", hdrl) + _chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_avi_dib(width: int, height: int, frames_rgb: list[bytes],
+                   fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Uncompressed (BI_RGB 24-bpp) AVI encoder — the synthesis half
+    of the r12 DIB decode path: interleaved RGB frames in, bottom-up
+    4-byte-padded BGR ``00db`` chunks out.  Lossless, so decode
+    recovers the BT.601 luma of the exact input pixels (or the input
+    verbatim for gray-valued frames)."""
+    if width < 1 or height < 1:
+        raise ValueError(f"dimensions must be >= 1, got {width}x{height}")
+    row_bytes = (width * 3 + 3) & ~3
+    chunks = []
+    for i, px in enumerate(frames_rgb):
+        if len(px) != width * height * 3:
+            raise ValueError(f"frame {i}: need {width * height * 3} "
+                             f"RGB bytes, got {len(px)}")
+        rgb = np.frombuffer(px, np.uint8).reshape(height, width, 3)
+        rows = np.zeros((height, row_bytes), np.uint8)
+        rows[:, :width * 3] = rgb[:, :, ::-1].reshape(height, -1)
+        chunks.append(rows[::-1].tobytes())
+    num, den = fps
+    usec = (1_000_000 * den) // num
+    bufsz = max(len(c) for c in chunks)
+    avih = struct.pack("<14I", usec, 0, 0, 0, len(chunks), 0, 1,
+                       bufsz, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB "
+            + struct.pack("<IHHIIIIIIiI4H", 0, 0, 0, 0, den, num, 0,
+                          len(chunks), bufsz, -1, 0, 0, 0, width,
+                          height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"\x00\x00\x00\x00", row_bytes * height,
+                       0, 0, 0, 0)
+    strl = b"strl" + _chunk(b"strh", strh) + _chunk(b"strf", strf)
+    hdrl = b"hdrl" + _chunk(b"avih", avih) + _chunk(b"LIST", strl)
+    movi = b"movi" + b"".join(_chunk(b"00db", c) for c in chunks)
     body = b"AVI " + _chunk(b"LIST", hdrl) + _chunk(b"LIST", movi)
     return b"RIFF" + struct.pack("<I", len(body)) + body

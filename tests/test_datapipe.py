@@ -3767,6 +3767,34 @@ def test_avi_mjpeg_roundtrip_and_errors():
     spark_free = avi.decode_avi_mjpeg(data)
     assert spark_free["frames"][0]["u"] is None
 
+    # r12: uncompressed DIB streams (BI_RGB / 'DIB ') decode as
+    # bottom-up padded BGR; gray-valued frames recover luma exactly,
+    # color frames reduce to BT.601; non-24-bpp raises
+    rng = np.random.default_rng(31)
+    gray_frames = []
+    for f in range(2):
+        g = rng.integers(0, 256, size=(6, 10), dtype=np.uint8)
+        gray_frames.append(np.repeat(g[..., None], 3, 2).tobytes())
+    dib = avi.encode_avi_dib(10, 6, gray_frames, fps=(15, 1))
+    vdib = y4m.decode_video(dib)
+    assert (vdib["n_frames"], vdib["fps_num"]) == (2, 15)
+    for f in range(2):
+        want = np.frombuffer(gray_frames[f],
+                             np.uint8).reshape(6, 10, 3)[..., 0]
+        assert vdib["frames"][f]["y"] == want.tobytes()
+    c = rng.integers(0, 256, size=(6, 10, 3), dtype=np.uint8)
+    vc = avi.decode_avi_mjpeg(avi.encode_avi_dib(10, 6, [c.tobytes()]))
+    luma = np.clip(np.floor(0.299 * c[..., 0] + 0.587 * c[..., 1]
+                            + 0.114 * c[..., 2] + 0.5),
+                   0, 255).astype(np.uint8)
+    assert vc["frames"][0]["y"] == luma.tobytes()
+    bad32 = bytearray(dib)
+    k = bad32.find(b"strf")
+    import struct as _s
+    bad32[k + 8 + 14:k + 8 + 16] = _s.pack("<H", 32)
+    with pytest.raises(NotImplementedError, match="24-bpp"):
+        avi.decode_avi_mjpeg(bytes(bad32))
+
 
 def test_transcode_payload(spark):
     """transcode_payload: declared codec used when it works, UTF-8 ->
