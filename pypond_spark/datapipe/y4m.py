@@ -10,7 +10,7 @@ oracle-replayable.
 
 Supported chroma taggings: the C420 family (420jpeg/420mpeg2/420paldv
 — same plane sizes, different siting, which does not matter for plane
-extraction), C422, C444 and Cmono.  Interlaced content is accepted
+extraction), C422, C411, C444 and Cmono.  Interlaced content is accepted
 (the ``I`` param only labels field order).  Anything else raises
 ``NotImplementedError`` — the honest-gap contract of the other codecs.
 
@@ -38,7 +38,8 @@ _MAGIC = b"YUV4MPEG2"
 #: chroma planes
 _CHROMA = {
     "420jpeg": (2, 2), "420mpeg2": (2, 2), "420paldv": (2, 2),
-    "420": (2, 2), "422": (2, 1), "444": (1, 1), "mono": None,
+    "420": (2, 2), "422": (2, 1), "411": (4, 1), "444": (1, 1),
+    "mono": None,
 }
 
 
