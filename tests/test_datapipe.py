@@ -3663,8 +3663,13 @@ def test_y4m_roundtrip_and_errors():
         y4m.decode_y4m(good.replace(b"FRAME\n", b"FRAMX\n", 1))
     with pytest.raises(ValueError, match="truncated"):
         y4m.decode_y4m(y4m.encode_y4m(8, 8, frames)[:-10])
+    # C411 decodes since r12 (4:1:1 plane sizes: 64 luma + 2*16 chroma)
+    d411 = y4m.decode_y4m(b"YUV4MPEG2 W8 H8 F25:1 C411\nFRAME\n"
+                          + bytes(96))
+    assert d411["chroma"] == "411" and len(d411["frames"][0]["u"]) == 16
     with pytest.raises(NotImplementedError, match="chroma"):
-        y4m.decode_y4m(b"YUV4MPEG2 W8 H8 F25:1 C411\nFRAME\n" + bytes(96))
+        y4m.decode_y4m(b"YUV4MPEG2 W8 H8 F25:1 C410\nFRAME\n"
+                       + bytes(96))
     with pytest.raises(ValueError, match="divisible"):
         y4m.encode_y4m(7, 8, [bytes(56)])
     with pytest.raises(NotImplementedError, match="MP4"):
