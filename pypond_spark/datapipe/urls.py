@@ -365,15 +365,19 @@ def extract_links(df: DataFrame, html_col: str = "html",
     ``javascript:``/``mailto:``/``data:``/``tel:`` and
     fragment-only hrefs are dropped by the extraction regex or the
     scheme filter.  Pure regexp + explode, zero UDFs, zero shuffles.
+
+    The base-URL derivations (scheme, origin-with-port, directory)
+    are materialized as columns BEFORE the explode — inlined into the
+    resolution ``when`` chain they would re-run their regexps per
+    LINK instead of per page (measured 1.5x on the sf0.1 row when the
+    r12 port rule landed inlined).
     """
     base = F.col(base_col)
     scheme = F.lower(F.regexp_extract(
         base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1))
-    host = _host_expr(base)
     after = F.regexp_replace(base, _AUTH, "")
     path = F.regexp_extract(after, r"^([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    dirp = F.regexp_replace(path, r"[^/]*$", "")
     # an explicit non-default port in the base authority must survive
     # into resolved relative links (https://h:8080/a + /x ->
     # https://h:8080/x) — same keep_port rule as normalize_url_expr
@@ -383,25 +387,30 @@ def extract_links(df: DataFrame, html_col: str = "html",
     keep_port = ((port != "")
                  & ~((scheme == "http") & (port == "80"))
                  & ~((scheme == "https") & (port == "443")))
-    origin = F.concat(scheme, F.lit("://"), host,
+    origin = F.concat(scheme, F.lit("://"), _host_expr(base),
                       F.when(keep_port, F.concat(F.lit(":"), port))
                       .otherwise(F.lit("")))
 
-    out = df.withColumn(
-        "href", F.explode(F.regexp_extract_all(F.col(html_col),
-                                               F.lit(_HREF_RE), 1)))
+    out = (df.withColumn("__scheme", scheme)
+           .withColumn("__origin", origin)
+           .withColumn("__dirp", F.regexp_replace(path, r"[^/]*$", ""))
+           .withColumn("href",
+                       F.explode(F.regexp_extract_all(
+                           F.col(html_col), F.lit(_HREF_RE), 1))))
     href = F.col("href")
     is_abs = href.rlike(r"(?i)^https?://")
     has_scheme = href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
     resolved = (F.when(is_abs, href)
                 .when(has_scheme, F.lit(None))     # mailto:, tel:, ...
                 .when(href.startswith("//"),
-                      F.concat(scheme, F.lit(":"), href))
-                .when(href.startswith("/"), F.concat(origin, href))
-                .otherwise(F.concat(origin, dirp, href)))
+                      F.concat(F.col("__scheme"), F.lit(":"), href))
+                .when(href.startswith("/"),
+                      F.concat(F.col("__origin"), href))
+                .otherwise(F.concat(F.col("__origin"),
+                                    F.col("__dirp"), href)))
     return (out.withColumn("link_url", resolved)
             .where(F.col("link_url").isNotNull())
-            .drop(html_col))
+            .drop(html_col, "__scheme", "__origin", "__dirp"))
 
 
 def sitemap_urls(df: DataFrame, xml_col: str = "sitemap_xml",
