@@ -2425,6 +2425,58 @@ def q_video_frame_phash_avi(spark, sf_dir):
                              extra_cols=("frame_idx",))
 
 
+def _synth_gif_anim8(docs):
+    """3-frame 8x8 animated GIF per doc (datapipe/gif.py::
+    encode_gif_anim): frame f's 64 GRAY values are the chained-digest
+    bytes md5(text||'@g'||f||'#'||k), carried as a LOCAL palette of
+    (v,v,v) triples with identity indices — GIF is lossless and the
+    gray canvas keeps decode_gif_frames' luma EXACT, so the oracle
+    replays the per-frame pixels straight from the digests."""
+    import hashlib as _hashlib
+
+    import pandas as _pd
+
+    from pypond_spark.datapipe.gif import encode_gif_anim
+
+    base = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                       F.col("text"))
+
+    def enc(batches):
+        idx = bytes(range(64))
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                frames = []
+                for f in range(3):
+                    vals = (b"".join(
+                        _hashlib.md5(f"{text}@g{f}#{k}".encode())
+                        .digest() for k in range(4)))[:64]
+                    pal = b"".join(bytes([v, v, v]) for v in vals)
+                    frames.append({"indices": idx, "palette": pal,
+                                   "disposal": 1})
+                rows.append((int(mid),
+                             encode_gif_anim(8, 8, frames,
+                                             delay_cs=4)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return base.mapInPandas(enc, "media_id long, content binary")
+
+
+def q_video_frame_phash_gif(spark, sf_dir):
+    """Frame sampling + per-frame perceptual hashing over an ANIMATED
+    GIF (datapipe/gif.py::decode_gif_frames — r12: GIF89a graphic-
+    control compositing feeding the same sample_video_frames ->
+    image_phash chain as Y4M/AVI): gray-valued local palettes keep
+    the canvas luma exact, so the oracle replays every comparison
+    from the per-frame digests without running the codec."""
+    docs = _read(spark, sf_dir, "documents")
+    frames = dp_y4m.sample_video_frames(_synth_gif_anim8(docs),
+                                        every_n=1)
+    keyed = frames.select("media_id", "frame_idx", "content")
+    return dp_mm.image_phash(keyed, grid_w=4, grid_h=4,
+                             extra_cols=("frame_idx",))
+
+
 def q_video_frame_phash(spark, sf_dir):
     """REAL video frame sampling + per-frame perceptual hashing
     (datapipe/y4m.py::sample_video_frames -> multimodal.image_phash):
@@ -6085,6 +6137,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_charset": q_http_charset,
         "video_frame_phash": q_video_frame_phash,
         "video_frame_phash_avi": q_video_frame_phash_avi,
+        "video_frame_phash_gif": q_video_frame_phash_gif,
         "transcode_payload": q_transcode_payload,
         "crawl_frontier": q_crawl_frontier,
         "audio_meta_sniff": q_audio_meta_sniff,
@@ -12493,6 +12546,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT ah.doc_id AS media_id, 32 AS width, 32 AS height,
                ah.ahash AS ahash, dh.dhash AS dhash,
                CAST(ah.f AS INT) AS frame_idx
+        FROM ah JOIN dh ON dh.doc_id = ah.doc_id AND dh.f = ah.f
+    """
+    d["video_frame_phash_gif"] = """
+        -- gray value of pixel p in frame f: byte of
+        -- md5(text||'@g'||f||'#'||p//16) at hex offset p%16 — the
+        -- gray-valued local palette makes the composited canvas luma
+        -- EXACTLY those bytes; comparisons homogeneous as ever
+        WITH px AS (
+          SELECT doc_id, f.f AS f, g.p AS p,
+                 ('0x' || substr(md5(text || '@g' ||
+                    CAST(f.f AS VARCHAR) || '#' ||
+                    CAST(g.p // 16 AS VARCHAR)),
+                    2 * (g.p % 16) + 1, 2))::BIGINT AS gray
+          FROM documents
+          CROSS JOIN generate_series(0, 2) f(f)
+          CROSS JOIN generate_series(0, 63) g(p)
+        ), cells AS (
+          SELECT doc_id, f, (p % 8) // 2 AS xc, (p // 8) // 2 AS yc,
+                 CAST(sum(gray) AS BIGINT) AS cs
+          FROM px GROUP BY 1, 2, 3, 4
+        ), tot AS (
+          SELECT doc_id, f, CAST(sum(cs) AS BIGINT) AS ts
+          FROM cells GROUP BY 1, 2
+        ), ah AS (
+          SELECT c.doc_id AS doc_id, c.f AS f,
+                 CAST(sum(CASE WHEN c.cs * 64 > t.ts * 4
+                      THEN (CAST(1 AS BIGINT) << (c.yc * 4 + c.xc))
+                      ELSE 0 END) AS BIGINT) AS ahash
+          FROM cells c JOIN tot t ON t.doc_id = c.doc_id AND t.f = c.f
+          GROUP BY 1, 2
+        ), dh AS (
+          SELECT a.doc_id AS doc_id, a.f AS f,
+                 CAST(coalesce(sum(CASE WHEN a.cs * 4 > b.cs * 4
+                      THEN (CAST(1 AS BIGINT) << (a.yc * 3 + a.xc))
+                      ELSE 0 END), 0) AS BIGINT) AS dhash
+          FROM cells a JOIN cells b
+            ON b.doc_id = a.doc_id AND b.f = a.f AND b.yc = a.yc
+           AND b.xc = a.xc + 1
+          GROUP BY 1, 2
+        )
+        SELECT ah.doc_id AS media_id,
+               8 AS width, 8 AS height, ah.ahash AS ahash,
+               dh.dhash AS dhash, CAST(ah.f AS INT) AS frame_idx
         FROM ah JOIN dh ON dh.doc_id = ah.doc_id AND dh.f = ah.f
     """
     d["video_frame_phash"] = """

@@ -296,6 +296,7 @@ HEADLINE = [
     "http_charset",
     "video_frame_phash",
     "video_frame_phash_avi",
+    "video_frame_phash_gif",
     "video_near_dups",
     "transcode_payload",
     "crawl_frontier",

@@ -132,10 +132,9 @@ def encode_y4m(width: int, height: int, frames_y: list[bytes],
 
 
 def decode_video(content: bytes) -> dict:
-    """Video decode dispatch: Y4M and MJPEG-in-AVI decode for real
-    (the RIFF walk + per-frame JPEG codec of
-    :mod:`pypond_spark.datapipe.avi`); container formats whose codecs
-    need external libraries (MP4/ISO-BMFF, WebM/Matroska) raise
+    """Video decode dispatch: Y4M, AVI (MJPEG + uncompressed DIB
+    streams) and animated GIF decode for real; container formats whose
+    codecs need external libraries (MP4/ISO-BMFF, WebM/Matroska) raise
     ``NotImplementedError`` — same honest-gap contract as MP3 in the
     audio tier."""
     if content.startswith(_MAGIC):
@@ -143,6 +142,11 @@ def decode_video(content: bytes) -> dict:
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         from pypond_spark.datapipe.avi import decode_avi_mjpeg
         return decode_avi_mjpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        # animated GIF: the third real web "video" format (r12) —
+        # frames composite per the GIF89a disposal/transparency rules
+        from pypond_spark.datapipe.gif import decode_gif_frames
+        return decode_gif_frames(content)
     if len(content) >= 12 and content[4:8] == b"ftyp":
         raise NotImplementedError(
             "MP4/ISO-BMFF needs an H.264/H.265 codec library; "
@@ -151,8 +155,8 @@ def decode_video(content: bytes) -> dict:
         raise NotImplementedError(
             "WebM/Matroska needs a VP8/VP9/AV1 codec library")
     raise NotImplementedError(
-        "only Y4M (YUV4MPEG2) and MJPEG AVI decode without a codec "
-        "library")
+        "only Y4M (YUV4MPEG2), AVI (MJPEG/DIB) and animated GIF "
+        "decode without a codec library")
 
 
 FRAME_SCHEMA = T.StructType([

@@ -3720,6 +3720,63 @@ def test_sample_video_frames_and_near_dups(spark):
         y4m.sample_video_frames(vids, every_n=0)
 
 
+def test_gif_animation_frames():
+    """decode_gif_frames (r12): GIF89a compositing — sub-rect
+    placement, transparency leaving the canvas unchanged, disposal 1
+    (leave) / 2 (restore-to-background) / 3 (restore-to-previous) —
+    plus fps from the first nonzero delay and the decode_video
+    dispatch; gray palettes keep luma exact."""
+    import numpy as np
+
+    from pypond_spark.datapipe import gif, y4m
+
+    pal1 = bytes([10, 10, 10, 50, 50, 50, 200, 200, 200])
+    f1 = {"indices": bytes([0, 1, 2, 0, 1, 2, 0, 1, 2, 0, 1, 2]),
+          "palette": pal1, "disposal": 1}
+    pal2 = bytes([99, 99, 99, 77, 77, 77])
+    f2 = {"indices": bytes([0, 1]), "palette": pal2, "left": 1,
+          "top": 1, "w": 2, "h": 1, "disposal": 3, "transparent": 1}
+    f3 = {"indices": bytes([1]) * 12, "palette": pal1, "disposal": 2}
+    vid = y4m.decode_video(gif.encode_gif_anim(4, 3, [f1, f2, f3],
+                                               delay_cs=5))
+    assert (vid["format"], vid["n_frames"]) == ("gif-anim", 3)
+    assert (vid["width"], vid["height"]) == (4, 3)
+    assert (vid["fps_num"], vid["fps_den"]) == (100, 5)
+    a = np.frombuffer(vid["frames"][0]["y"], np.uint8).reshape(3, 4)
+    exp1 = np.array([[10, 50, 200, 10], [50, 200, 10, 50],
+                     [200, 10, 50, 200]])
+    assert (a == exp1).all()
+    b = np.frombuffer(vid["frames"][1]["y"], np.uint8).reshape(3, 4)
+    exp2 = exp1.copy()
+    exp2[1, 1] = 99                      # idx 0 drew; idx 1 transparent
+    assert (b == exp2).all()
+    c = np.frombuffer(vid["frames"][2]["y"], np.uint8).reshape(3, 4)
+    assert (c == 50).all()               # disposal-3 restored, then full draw
+
+    # disposal 2 restores the rect to the background (black, no GCT)
+    f4 = {"indices": bytes([2]), "palette": pal1, "left": 0, "top": 0,
+          "w": 1, "h": 1}
+    vid2 = gif.decode_gif_frames(gif.encode_gif_anim(4, 3, [f3, f4]))
+    d = np.frombuffer(vid2["frames"][1]["y"], np.uint8).reshape(3, 4)
+    assert d[0, 0] == 200 and (d.flatten()[1:] == 0).all()
+
+    # a single-frame encode_gif stream is a 1-frame 10 fps "video"
+    sf = gif.encode_gif(2, 2, bytes([0, 1, 2, 3]),
+                        bytes([0, 0, 0, 60, 60, 60, 120, 120, 120,
+                               180, 180, 180]))
+    v1 = gif.decode_gif_frames(sf)
+    assert (v1["n_frames"], v1["fps_num"], v1["fps_den"]) == (1, 10, 1)
+
+    # frames feed the image tier through sample_video_frames like any
+    # other container; error paths stay honest
+    with pytest.raises(ValueError, match="outside"):
+        gif.decode_gif_frames(gif.encode_gif_anim(
+            4, 3, [{"indices": bytes([0]), "palette": pal2,
+                    "left": 4, "top": 0, "w": 1, "h": 1}]))
+    with pytest.raises(ValueError, match="trailer|truncated"):
+        gif.decode_gif_frames(gif.encode_gif_anim(4, 3, [f1])[:-3])
+
+
 def test_avi_mjpeg_roundtrip_and_errors():
     """MJPEG-in-AVI: the RIFF chunk walk + per-frame JPEG decode
     recovers block-constant luma EXACTLY (baseline and progressive
