@@ -2188,6 +2188,145 @@ def q_image_phash_jpeg_lossless(spark, sf_dir):
     return dp_mm.image_phash(ll, grid_w=4, grid_h=4)
 
 
+def _synth_pdf(docs):
+    """Deterministic REAL PDF per doc (datapipe/pdf.py::encode_pdf —
+    externally-valid PDF 1.4, classic xref): 1 + doc_id%3 pages of
+    2 + doc_id%3 lines, line l of page p = md5(text||'&p'||p||'&l'||l)
+    (32 hex chars — every character oracle-replayable in SQL); the
+    writer rotates compression (raw vs FlateDecode by doc_id%2) and
+    the show-string form (literal / hex / split-TJ by doc_id%3) so
+    every encode path feeds the extractor under driver
+    verification."""
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from pypond_spark.datapipe.pdf import encode_pdf
+
+    def enc(batches):
+        for pdf_ in batches:
+            rows = []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(did)
+                pages = ["\n".join(
+                    _hl.md5(f"{text}&p{p}&l{li}".encode("utf-8"))
+                    .hexdigest() for li in range(2 + did % 3))
+                    for p in range(1 + did % 3)]
+                rows.append((did, encode_pdf(
+                    pages, compress=bool(did % 2),
+                    string_form=("literal", "hex", "tj")[did % 3])))
+            yield _pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+            .mapInPandas(enc, "doc_id long, content binary"))
+
+
+def q_pdf_text_extract(spark, sf_dir):
+    """PDF text extraction (datapipe/pdf.py::extract_pdf_text — the
+    r13 extraction-tier addition: brute object scan, FlateDecode via
+    zlib, content-stream Tj/TJ/'/" interpretation, per-page
+    assembly): one row per page of the synthesized corpus; the
+    oracle rebuilds the exact page text from the same md5 recipe, so
+    a green row proves the FULL encode->parse->interpret->assemble
+    chain character-exact across raw + Flate streams and all three
+    show-string forms."""
+    from pypond_spark.datapipe.pdf import extract_pdf_text
+
+    docs = _read(spark, sf_dir, "documents")
+    return extract_pdf_text(_synth_pdf(docs))
+
+
+def _synth_tar(docs):
+    """Deterministic WebDataset-style tar shard per doc
+    (datapipe/tarshard.py::encode_tar_shard — ustar, zeroed
+    metadata): 1 + doc_id%3 samples, each with a ``txt`` member
+    (md5(text||'&t'||s)), a ``json`` member ({"k":"md5(...&j...)"}),
+    and a ``cls`` member only when (doc_id+s)%2 == 0 — so pairing
+    must cope with ragged samples; odd doc_ids gzip the shard so the
+    r:* auto-detect path is driver-verified too."""
+    import pandas as _pd
+
+    from pypond_spark.datapipe.tarshard import encode_tar_shard
+
+    def enc(batches):
+        import hashlib as _hl
+        for pdf_ in batches:
+            rows = []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(did)
+                samples = []
+                for s in range(1 + did % 3):
+                    parts = {
+                        "txt": _hl.md5(f"{text}&t{s}".encode("utf-8"))
+                        .hexdigest().encode(),
+                        "json": (b'{"k":"' + _hl.md5(
+                            f"{text}&j{s}".encode("utf-8"))
+                            .hexdigest().encode() + b'"}'),
+                    }
+                    if (did + s) % 2 == 0:
+                        parts["cls"] = str((did + s) % 10).encode()
+                    samples.append((f"{did}-{s}", parts))
+                rows.append((did, encode_tar_shard(
+                    samples, gzip_level=6 if did % 2 else None)))
+            yield _pd.DataFrame(rows, columns=["shard_id", "content"])
+
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+            .mapInPandas(enc, "shard_id long, content binary"))
+
+
+def q_tar_shard_ingest(spark, sf_dir):
+    """Tar-shard member ingest (datapipe/tarshard.py::
+    read_tar_members — r13): every member of the synthesized shards
+    back as (shard, key, ext, size, content) rows; the oracle
+    rebuilds all three member kinds from the same md5 recipe, so a
+    green row proves tar framing, key/ext splitting, gzip
+    auto-detection, and byte fidelity end-to-end."""
+    from pypond_spark.datapipe.tarshard import read_tar_members
+
+    docs = _read(spark, sf_dir, "documents")
+    return (read_tar_members(_synth_tar(docs))
+            .select(F.col("shard_id").alias("doc_id"), "sample_key",
+                    "ext", "n_bytes",
+                    F.col("data").cast("string").alias("content")))
+
+
+def q_tar_sample_pairing(spark, sf_dir):
+    """WebDataset sample pairing (datapipe/tarshard.py::
+    read_tar_samples — r13): adjacent members group into one sample
+    row WITHOUT a shuffle (batch-local run detection); ragged
+    samples (the rotating cls member) keep their true part counts
+    and the txt payload rides the map intact."""
+    from pypond_spark.datapipe.tarshard import read_tar_samples
+
+    docs = _read(spark, sf_dir, "documents")
+    return (read_tar_samples(_synth_tar(docs))
+            .select(F.col("shard_id").alias("doc_id"), "sample_key",
+                    "n_parts",
+                    F.col("parts")["txt"].cast("string").alias("txt"),
+                    F.map_contains_key(F.col("parts"), F.lit("cls"))
+                    .alias("has_cls")))
+
+
+def q_pdf_page_stats(spark, sf_dir):
+    """Composition over real PDF extraction (the extract_content
+    pattern): per-document page/char/line counts computed FROM the
+    extracted text — the oracle derives them closed-form from the
+    synthesis recipe (n_pages = 1+doc_id%3, n_lines = 2+doc_id%3,
+    32-char lines joined by newline), so any extraction drift
+    (missed page, dropped line, stray whitespace) breaks the row."""
+    from pypond_spark.datapipe.pdf import extract_pdf_text
+
+    docs = _read(spark, sf_dir, "documents")
+    ex = extract_pdf_text(_synth_pdf(docs))
+    return (ex.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.sum(F.length("text")).cast("long").alias("n_chars"),
+                 F.sum(F.size(F.split("text", "\n", -1)))
+                 .cast("long").alias("n_lines")))
+
+
 def _synth_bmp8(docs):
     """8x8 REAL BMP per doc: the SAME chained-md5 pixel recipe as
     :func:`_synth_ppm8`, encoded by ``datapipe.bmp.encode_bmp``
@@ -6131,6 +6270,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reorders never-driver-verified entries to the front automatically from
     the committed CORRECTNESS_r*.json snapshots."""
     return {
+        "pdf_text_extract": q_pdf_text_extract,
+        "pdf_page_stats": q_pdf_page_stats,
+        "tar_shard_ingest": q_tar_shard_ingest,
+        "tar_sample_pairing": q_tar_sample_pairing,
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
         "extract_links": q_extract_links,
@@ -12448,6 +12591,81 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, score,
                arg_max(rate_iso, k) AS rate_calibrated
         FROM j GROUP BY 1, 2
+    """
+    d["pdf_text_extract"] = """
+        -- mirror of _synth_pdf: page p of doc carries lines
+        -- md5(text||'&p'||p||'&l'||l) for l in 0..1+doc_id%3, joined
+        -- by newline; pages p in 0..doc_id%3.  The Spark side round-
+        -- trips these through REAL PDF bytes (raw + Flate streams,
+        -- literal/hex/TJ show forms rotating by doc_id).
+        WITH pg AS (
+          SELECT doc_id, text, CAST(gp.p AS INT) AS page_no
+          FROM documents CROSS JOIN generate_series(0, 2) gp(p)
+          WHERE gp.p <= doc_id % 3
+        ), ln AS (
+          SELECT doc_id, page_no,
+                 string_agg(md5(text || '&p'
+                                || CAST(page_no AS VARCHAR) || '&l'
+                                || CAST(gl.l AS VARCHAR)), chr(10)
+                            ORDER BY gl.l) AS text
+          FROM pg CROSS JOIN generate_series(0, 3) gl(l)
+          WHERE gl.l <= 1 + doc_id % 3
+          GROUP BY doc_id, page_no
+        )
+        SELECT doc_id, page_no, text FROM ln
+    """
+    d["pdf_page_stats"] = """
+        -- closed form of the synthesis recipe: n_pages = 1+doc_id%3
+        -- pages of n_lines = 2+doc_id%3 32-char lines joined by
+        -- newline -> 33*n_lines - 1 chars per page
+        SELECT doc_id,
+               CAST(1 + doc_id % 3 AS BIGINT) AS n_pages,
+               CAST((1 + doc_id % 3)
+                    * (33 * (2 + doc_id % 3) - 1) AS BIGINT)
+                 AS n_chars,
+               CAST((1 + doc_id % 3) * (2 + doc_id % 3) AS BIGINT)
+                 AS n_lines
+        FROM documents
+    """
+    d["tar_shard_ingest"] = """
+        -- mirror of _synth_tar: sample s of doc carries txt =
+        -- md5(text||'&t'||s), json = {"k":"md5(...&j...)"}, and cls
+        -- = (doc_id+s)%10 only when (doc_id+s)%2 = 0
+        WITH s AS (
+          SELECT doc_id, text, CAST(g.s AS INT) AS s
+          FROM documents CROSS JOIN generate_series(0, 2) g(s)
+          WHERE g.s <= doc_id % 3
+        ), m AS (
+          SELECT doc_id, s, 'txt' AS ext,
+                 md5(text || '&t' || CAST(s AS VARCHAR)) AS content
+          FROM s
+          UNION ALL
+          SELECT doc_id, s, 'json',
+                 '{"k":"' || md5(text || '&j' || CAST(s AS VARCHAR))
+                 || '"}'
+          FROM s
+          UNION ALL
+          SELECT doc_id, s, 'cls',
+                 CAST((doc_id + s) % 10 AS VARCHAR)
+          FROM s WHERE (doc_id + s) % 2 = 0
+        )
+        SELECT doc_id,
+               CAST(doc_id AS VARCHAR) || '-' || CAST(s AS VARCHAR)
+                 AS sample_key,
+               ext, CAST(length(content) AS BIGINT) AS n_bytes,
+               content
+        FROM m
+    """
+    d["tar_sample_pairing"] = """
+        SELECT doc_id,
+               CAST(doc_id AS VARCHAR) || '-' || CAST(g.s AS VARCHAR)
+                 AS sample_key,
+               CAST(CASE WHEN (doc_id + g.s) % 2 = 0 THEN 3 ELSE 2
+                    END AS INT) AS n_parts,
+               md5(text || '&t' || CAST(g.s AS VARCHAR)) AS txt,
+               (doc_id + g.s) % 2 = 0 AS has_cls
+        FROM documents CROSS JOIN generate_series(0, 2) g(s)
+        WHERE g.s <= doc_id % 3
     """
     # PNG row: same pixels by construction (the encode->decode roundtrip
     # is the thing under test), so the PPM oracle replays it verbatim

@@ -58,8 +58,9 @@ def decode_avi_mjpeg(content: bytes) -> dict:
     header's rate/scale (falling back to ``avih``'s
     dwMicroSecPerFrame), and decodes every frame chunk: MJPG/mjpg
     streams through :func:`~pypond_spark.datapipe.jpeg.decode_jpeg`,
-    uncompressed BI_RGB/'DIB ' streams (r12) as bottom-up 4-byte-padded
-    24-bpp BGR rows.  Other fourccs (H264/XVID/...) raise
+    uncompressed BI_RGB/'DIB ' streams (r12) as 4-byte-padded 24-bpp
+    BGR rows — bottom-up for positive biHeight, top-down for negative
+    (r13).  Other fourccs (H264/XVID/...) raise
     ``NotImplementedError``; structural corruption raises
     ``ValueError``.
     """
@@ -73,6 +74,7 @@ def decode_avi_mjpeg(content: bytes) -> dict:
     vids_index = None
     compression = None
     bit_count = None
+    top_down = False
     movi = None
     stream_no = 0
     for fourcc, p, size in _chunks(content, 12, end):
@@ -104,6 +106,8 @@ def decode_avi_mjpeg(content: bytes) -> dict:
                         width, height, _, bit_count, comp = \
                             struct.unpack("<iiHH4s",
                                           content[p3 + 4:p3 + 20])
+                        # negative biHeight = top-down DIB rows
+                        top_down = height < 0
                         height = abs(height)
                         compression = comp
                 stream_no += 1
@@ -138,7 +142,9 @@ def decode_avi_mjpeg(content: bytes) -> dict:
                     f"{row_bytes * height} bytes, have {size}")
             rows = np.frombuffer(content[p:p + row_bytes * height],
                                  dtype=np.uint8) \
-                .reshape(height, row_bytes)[::-1]     # bottom-up
+                .reshape(height, row_bytes)
+            if not top_down:
+                rows = rows[::-1]        # bottom-up (biHeight > 0)
             rgb = rows[:, :width * 3].reshape(height, width, 3) \
                 [:, :, ::-1]                          # BGR -> RGB
             y = np.clip(np.floor(0.299 * rgb[..., 0]

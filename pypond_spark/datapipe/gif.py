@@ -417,8 +417,9 @@ def encode_gif_anim(width: int, height: int, frames: list,
             raise ValueError(f"frame {i}: palette must be 1..256 "
                              "RGB triples")
         n_colors = len(pal) // 3
-        if max(idx) >= n_colors and not (trans is not None
-                                         and max(idx) == trans):
+        # every non-transparent index must be < n_colors (the
+        # transparent index alone may sit past the palette)
+        if any(b >= n_colors and b != trans for b in set(idx)):
             raise ValueError(f"frame {i}: palette index out of range")
         gflags = (disposal & 0x07) << 2
         if trans is not None:

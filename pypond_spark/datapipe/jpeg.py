@@ -1433,10 +1433,13 @@ def encode_jpeg_multiscan(width: int, height: int, pixels: bytes,
 
 def _lossless_predict(plane: np.ndarray, x: int, y: int, psv: int,
                       default: int) -> int:
-    """T.81 Annex H sample prediction.  First sample (of the scan or
-    of a restart interval) -> ``default`` = 2^(P-Pt-1); rest of the
-    first line -> Ra; first column -> Rb; otherwise predictor
-    ``psv`` in 1..7."""
+    """T.81 Annex H sample prediction for steady state.  First
+    column -> Rb; otherwise predictor ``psv`` in 1..7.  The H.1.1
+    first-line rule (first sample of the scan OR of a restart
+    interval -> ``default`` = 2^(P-Pt-1); rest of that line -> the
+    1-D Ra predictor) is applied by the callers, which know where
+    restart intervals begin; the y==0 branch here is a safety net
+    for direct calls."""
     if y == 0:
         return int(plane[0, x - 1])              # Ra
     if x == 0:
@@ -1502,7 +1505,13 @@ def _lossless_scan(content: bytes, start: int, frame: dict,
         if sample >= total:
             break
         r = _BitReader(seg)
-        fresh = dict.fromkeys(order, True)   # predictor reset per RST
+        # T.81 H.1.1: at the start of the scan and of each restart
+        # interval, the first sample predicts from ``default`` and
+        # the remainder of that sample line uses the 1-D Ra
+        # predictor; the selected 2-D predictor resumes at the next
+        # line (matches libjpeg-turbo's lossless codec).
+        seg_start = sample
+        line_end = (seg_start // width + 1) * width
         for _ in range(min(per_seg, total - sample)):
             y, x = divmod(sample, width)
             for cid in order:
@@ -1513,9 +1522,10 @@ def _lossless_scan(content: bytes, start: int, frame: dict,
                     diff = _extend(r.read_bits(s), s)
                 else:
                     diff = 0
-                if fresh[cid]:
+                if sample == seg_start:
                     pred = default
-                    fresh[cid] = False
+                elif sample < line_end:
+                    pred = int(planes[cid][y, x - 1])    # Ra
                 else:
                     pred = _lossless_predict(planes[cid], x, y, psv,
                                              default)
@@ -1527,9 +1537,14 @@ def _lossless_scan(content: bytes, start: int, frame: dict,
     chans = []
     for cid in order:
         v = planes[cid] << pt
-        chans.append((v >> (prec - 8) if prec > 8
-                      else v << (8 - prec) if prec < 8
-                      else v).astype(np.uint8))
+        if prec > 8:
+            v = v >> (prec - 8)
+        elif prec < 8:
+            # round-half-up max-scaling (matches the BMP bitfields
+            # channel expansion): full scale maps to 255, not 255>>k
+            maxv = (1 << prec) - 1
+            v = (v * 255 + maxv // 2) // maxv
+        chans.append(v.astype(np.uint8))
     if len(chans) == 1:
         rgb = np.stack([chans[0]] * 3, axis=-1)
     else:
@@ -1571,8 +1586,15 @@ def encode_jpeg_lossless(width: int, height: int, pixels: bytes,
         plane = arr[:, :, ci]
         for sample in range(total):
             y, x = divmod(sample, width)
-            if sample % per_seg == 0:
+            # T.81 H.1.1 (mirrors _lossless_scan): first sample of
+            # each restart interval -> default; remainder of that
+            # line -> Ra; selected predictor from the next line on.
+            seg_start = sample - sample % per_seg
+            line_end = (seg_start // width + 1) * width
+            if sample == seg_start:
                 pred = default
+            elif sample < line_end:
+                pred = int(plane[y, x - 1])          # Ra
             else:
                 pred = _lossless_predict(plane, x, y, predictor,
                                          default)

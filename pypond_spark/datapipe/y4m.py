@@ -223,11 +223,12 @@ def video_near_dups(df: DataFrame, every_n: int = 1,
     from pypond_spark.datapipe.multimodal import image_phash
 
     frames = sample_video_frames(df, every_n=every_n)
-    # frame identity rides through image_phash as a pass-through
-    # column (extra_cols) — packing media_id*K+frame_idx would bleed
-    # frames across videos past K frames and overflow int64 for huge
-    # media_ids, both silently corrupting the pairing
-    keyed = frames.select("media_id", "frame_idx", "content")
+    # only (video, hash) identity matters downstream (the DISTINCT
+    # collapses repeated frames anyway), so frame_idx is dropped
+    # here; media_id stays the untouched video key — packing
+    # media_id*K+frame_idx would bleed frames across videos past K
+    # frames and overflow int64 for huge media_ids
+    keyed = frames.select("media_id", "content")
     # distinct hashes per video: repeated still frames must not
     # inflate the shared count quadratically through the join
     ph = (image_phash(keyed, grid_w=grid_w, grid_h=grid_h,

@@ -4040,3 +4040,184 @@ def test_robots_crawl_delays(spark):
     assert got == {("h.com", "fastbot"): 4.0,
                    ("h.com", "otherbot"): 4.0,
                    ("h.com", "tailbot"): 7.0}
+
+
+# ------------------------------------------------- r13 ADVICE fixes
+
+
+def _spec_lossless_stream(w, h, samples, psv, ri, prec=8):
+    """Test-local T.81 SOF3 encoder with the H.1.1 prediction rule
+    transcribed STRAIGHT FROM THE SPEC TEXT (independent of
+    encode_jpeg_lossless): at the start of the scan and of each
+    restart interval the first sample predicts from 2^(P-1) and the
+    remainder of that line uses the 1-D Ra predictor; afterwards
+    x==0 -> Rb, else the selected predictor.  Gray, Pt=0.  Checks
+    the repo decoder against the STANDARD, not against its own
+    encoder."""
+    import struct
+
+    from pypond_spark.datapipe.jpeg import (_BitWriter, _category,
+                                            _encode_table,
+                                            _huff_table_from_freqs)
+
+    default = 1 << (prec - 1)
+    total = w * h
+    per = ri if ri else total
+    plane = [[0] * w for _ in range(h)]
+    diffs = []
+    for s in range(total):
+        y, x = divmod(s, w)
+        seg = s - s % per
+        if s == seg:
+            pred = default
+        elif s < (seg // w + 1) * w:
+            pred = plane[y][x - 1]                     # H.1.1: Ra
+        elif x == 0:
+            pred = plane[y - 1][0]                     # Rb
+        else:
+            ra, rb, rc = (plane[y][x - 1], plane[y - 1][x],
+                          plane[y - 1][x - 1])
+            pred = {1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                    5: ra + ((rb - rc) >> 1),
+                    6: rb + ((ra - rc) >> 1),
+                    7: (ra + rb) >> 1}[psv]
+        v = samples[s]
+        plane[y][x] = v
+        d = (v - pred) & 0xFFFF
+        if d > 32767:
+            d -= 65536
+        diffs.append(d)
+    freqs = {}
+    for d in diffs:
+        cat = _category(d)
+        freqs[cat] = freqs.get(cat, 0) + 1
+    bits, vals = _huff_table_from_freqs(freqs)
+    enc = _encode_table(bits, vals)
+    out = bytearray(b"\xFF\xD8")
+    sof = struct.pack(">BHHB", prec, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xFF\xC3" + struct.pack(">H", 2 + len(sof)) + sof
+    body = bytes([0x00]) + bytes(bits) + bytes(vals)
+    out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+    if ri:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, ri)
+    sos = bytes([1, 1, 0x00, psv, 0, 0])
+    out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+    bw = _BitWriter()
+    rst = 0
+    for s in range(total):
+        if s and s % per == 0:
+            out += bw.flush()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            bw = _BitWriter()
+        d = diffs[s]
+        cat = _category(d)
+        code, length = enc[cat]
+        bw.write(code, length)
+        if cat:
+            if d < 0:
+                d += (1 << cat) - 1
+            bw.write(d, cat)
+    out += bw.flush()
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def test_jpeg_lossless_restart_spec_conformance():
+    """r13 ADVICE (medium): after an RST marker the WHOLE remainder
+    of that sample line must use the 1-D Ra predictor (T.81 H.1.1),
+    not just the first sample — decode a stream built by an
+    independent spec-rule encoder, with restart intervals that land
+    both mid-row and on row boundaries, 2-D predictors included."""
+    import numpy as np
+
+    from pypond_spark.datapipe import jpeg
+
+    rng = np.random.default_rng(13)
+    for w, h in [(6, 5), (8, 3)]:
+        px = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+        for psv in (1, 4, 5, 7):
+            for ri in (1, 3, w, w + 2, 2 * w):
+                data = _spec_lossless_stream(
+                    w, h, [int(v) for v in px], psv, ri)
+                d = jpeg.decode_jpeg(data)
+                got = np.frombuffer(d["pixels"], np.uint8) \
+                    .reshape(h, w, 3)[..., 0]
+                assert (got == px.reshape(h, w)).all(), (w, h, psv, ri)
+                # and the repo encoder emits the identical stream —
+                # both halves follow the spec rule now
+                ours = jpeg.encode_jpeg_lossless(
+                    w, h, px.tobytes(), gray=True, predictor=psv,
+                    restart_interval=ri)
+                d2 = jpeg.decode_jpeg(ours)
+                assert d2["pixels"] == d["pixels"], (w, h, psv, ri)
+
+
+def test_jpeg_lossless_low_precision_max_scales():
+    """r13 ADVICE: precision < 8 lossless samples must max-scale
+    (full scale -> 255, round-half-up) like the BMP bitfields path,
+    not plain left-shift (which dims full-scale to 255>>k)."""
+    import numpy as np
+
+    from pypond_spark.datapipe import jpeg
+
+    for prec in (2, 4, 7):
+        maxv = (1 << prec) - 1
+        w, h = maxv + 1, 2
+        samples = list(range(w)) * h          # every code point
+        data = _spec_lossless_stream(w, h, samples, 1, 0, prec=prec)
+        d = jpeg.decode_jpeg(data)
+        got = np.frombuffer(d["pixels"], np.uint8) \
+            .reshape(h, w, 3)[..., 0]
+        want = np.array([(v * 255 + maxv // 2) // maxv
+                         for v in range(w)], np.uint8)
+        assert (got == want).all(), prec
+        assert got.max() == 255
+
+
+def test_avi_dib_top_down():
+    """r13 ADVICE: negative biHeight = top-down row order; the
+    decoder must not apply the bottom-up flip to those streams."""
+    import struct
+
+    import numpy as np
+
+    from pypond_spark.datapipe import avi
+
+    rng = np.random.default_rng(7)
+    w, h = 5, 4
+    frame = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+    data = avi.encode_avi_dib(w, h, [frame.tobytes()], fps=(10, 1))
+    want = np.frombuffer(
+        avi.decode_avi_mjpeg(data)["frames"][0]["y"], np.uint8) \
+        .reshape(h, w)
+    # patch biHeight negative: stored rows are bottom-up(frame), a
+    # top-down reading yields the vertically flipped frame
+    i = data.index(b"strf") + 8          # fourcc + size
+    patched = bytearray(data)
+    patched[i + 8:i + 12] = struct.pack("<i", -h)
+    got = np.frombuffer(
+        avi.decode_avi_mjpeg(bytes(patched))["frames"][0]["y"],
+        np.uint8).reshape(h, w)
+    assert (got == want[::-1]).all()
+    assert not (got == want).all()
+
+
+def test_gif_anim_palette_index_validation():
+    """r13 ADVICE: an out-of-range OPAQUE index must raise even when
+    a LARGER transparent index is present; a transparent index just
+    past the palette stays legal and roundtrips."""
+    import pytest as _pytest
+
+    from pypond_spark.datapipe import gif
+
+    pal = bytes(range(12))                   # 4 colors
+    ok = {"indices": bytes([0, 1, 2, 4, 3, 0]), "palette": pal,
+          "w": 3, "h": 2, "transparent": 4}
+    data = gif.encode_gif_anim(3, 2, [ok])
+    fr = gif.decode_gif_frames(data)
+    assert fr["n_frames"] == 1
+    bad = {"indices": bytes([0, 5, 2, 7, 3, 0]), "palette": pal,
+           "w": 3, "h": 2, "transparent": 7}   # 5 is opaque + OOR
+    with _pytest.raises(ValueError, match="index out of range"):
+        gif.encode_gif_anim(3, 2, [bad])
