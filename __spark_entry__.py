@@ -2327,6 +2327,48 @@ def q_pdf_page_stats(spark, sf_dir):
                  .cast("long").alias("n_lines")))
 
 
+def _synth_tiff8(docs):
+    """8x8 REAL TIFF per doc (datapipe/tiff.py::encode_tiff — r13):
+    the SAME chained-md5 pixel recipe as :func:`_synth_ppm8`, with
+    byte order (II/MM by doc_id%2), compression (PackBits when
+    doc_id%3 == 0, else none) and strip layout (RowsPerStrip 3 —
+    multi-strip with a ragged tail — when doc_id%5 < 3, else one
+    strip) all rotating so every decode path is driver-verified.
+    TIFF is lossless, so the PPM oracle replays the decoded pixels
+    verbatim."""
+    import pandas as _pd
+
+    from pypond_spark.datapipe.tiff import encode_tiff
+
+    ppm = _synth_ppm8(docs)
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                px = bytes(content)[len(b"P6\n8 8\n255\n"):]
+                rows.append((mid, encode_tiff(
+                    8, 8, px,
+                    byte_order="II" if mid % 2 else "MM",
+                    compression="packbits" if mid % 3 == 0
+                    else "none",
+                    rows_per_strip=3 if mid % 5 < 3 else None)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return ppm.mapInPandas(enc, "media_id long, content binary")
+
+
+def q_image_phash_tiff(spark, sf_dir):
+    """Perceptual hashes over pixels decoded from REAL TIFF bytes
+    (datapipe/tiff.py::decode_tiff — IFD walk, strip assembly,
+    PackBits, both byte orders; decode_image dispatches on the
+    II*/MM* magic): identical downstream aHash/dHash chain and
+    identical oracle as image_phash, because TIFF is lossless."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_mm.image_phash(_synth_tiff8(docs), grid_w=4, grid_h=4)
+
+
 def _synth_bmp8(docs):
     """8x8 REAL BMP per doc: the SAME chained-md5 pixel recipe as
     :func:`_synth_ppm8`, encoded by ``datapipe.bmp.encode_bmp``
@@ -2686,6 +2728,51 @@ def q_audio_fingerprint(spark, sf_dir):
     fingerprint bit-for-bit."""
     docs = _read(spark, sf_dir, "documents")
     return dp_mm.audio_fingerprint(_synth_wav128(docs), frame_size=8,
+                                   max_frames=16)
+
+
+def _synth_flac128(docs):
+    """The SAME 128 int16 samples as :func:`_synth_wav128`, encoded
+    as REAL FLAC (datapipe/flac.py::encode_flac — r13) instead of
+    WAV: subframe strategy rotates over all seven encoder modes and
+    the block size alternates 32/48 (multi-frame streams with ragged
+    tails) by doc_id.  FLAC is integer-exact lossless, so the
+    unchanged audio_fingerprint oracle replays the decoded samples
+    from the md5 hex verbatim."""
+    import pandas as _pd
+
+    from pypond_spark.datapipe.flac import encode_flac
+
+    wav = _synth_wav128(docs)
+    modes = ("auto", "verbatim", "fixed0", "fixed1", "fixed2",
+             "fixed3", "fixed4")
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                raw = bytes(content)[len(_WAV_HDR_128):]
+                samples = list(_struct.unpack("<128h", raw))
+                rows.append((mid, encode_flac(
+                    8000, 1, 16, [samples],
+                    blocksize=32 if mid % 2 else 48,
+                    subframe=modes[mid % 7])))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return wav.mapInPandas(enc, "media_id long, content binary")
+
+
+def q_audio_fingerprint_flac(spark, sf_dir):
+    """Perceptual audio fingerprint over samples decoded from REAL
+    FLAC bytes (datapipe/flac.py::decode_flac — frame sync, CRC-8/16
+    verification, Rice residuals, fixed predictors; decode_audio
+    dispatches on the fLaC magic): identical downstream energy-delta
+    chain and identical oracle as audio_fingerprint, because FLAC is
+    lossless — a green row certifies the full FLAC encode->decode
+    roundtrip bit-for-bit across all seven subframe strategies."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_mm.audio_fingerprint(_synth_flac128(docs), frame_size=8,
                                    max_frames=16)
 
 
@@ -6274,6 +6361,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_page_stats": q_pdf_page_stats,
         "tar_shard_ingest": q_tar_shard_ingest,
         "tar_sample_pairing": q_tar_sample_pairing,
+        "audio_fingerprint_flac": q_audio_fingerprint_flac,
+        "image_phash_tiff": q_image_phash_tiff,
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
         "extract_links": q_extract_links,
@@ -12569,6 +12658,8 @@ def oracle_sql() -> dict[str, str]:
         FROM ph a JOIN ph b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
     """
+    # FLAC row: lossless, same samples by construction, same oracle
+    d["audio_fingerprint_flac"] = d["audio_fingerprint"]
     d["audio_near_dups"] = f"""
         WITH fp AS ({d["audio_fingerprint"]})
         SELECT a.media_id AS id_a, b.media_id AS id_b,
@@ -12673,6 +12764,7 @@ def oracle_sql() -> dict[str, str]:
     d["image_phash_png_adam7"] = d["image_phash"]
     d["image_phash_jpeg_lossless"] = d["image_phash"]
     d["image_phash_bmp_rle8"] = d["image_phash"]
+    d["image_phash_tiff"] = d["image_phash"]
     d["image_phash_gif"] = d["image_phash"]
     # palette row: PLTE holds the same pixels, indices are the identity
     d["image_phash_png_palette"] = d["image_phash"]

@@ -450,10 +450,13 @@ def decode_image(content: bytes) -> dict:
         return decode_gif(content)
     if content.startswith(b"BM"):
         return decode_bmp(content)
+    if content.startswith(b"II*\x00") or content.startswith(b"MM\x00*"):
+        from pypond_spark.datapipe.tiff import decode_tiff
+        return decode_tiff(content)
     if not (content.startswith(b"P6") or content.startswith(b"P5")):
         raise NotImplementedError(
-            "only binary PPM/PGM (P6/P5), PNG, GIF, BMP and baseline "
-            "JPEG decode without an imaging library; use "
+            "only binary PPM/PGM (P6/P5), PNG, GIF, BMP, TIFF and "
+            "baseline JPEG decode without an imaging library; use "
             "extract_features(..., fake=True) for plumbing tests")
     gray = content.startswith(b"P5")
     # header: magic <ws> width <ws> height <ws> maxval <single ws>
@@ -487,13 +490,27 @@ def decode_image(content: bytes) -> dict:
 def decode_audio(content: bytes) -> dict:
     """Real audio decode for PCM WAV via the stdlib ``wave`` module —
     8-bit unsigned, 16/24/32-bit signed little-endian (r12: all four
-    integer PCM widths, not just 16).
+    integer PCM widths, not just 16) — and, since r13, FLAC via the
+    pure-Python :mod:`pypond_spark.datapipe.flac` codec (integer-
+    exact lossless, so FLAC clips feed the same fingerprint/near-dup
+    chain sample-for-sample).
 
     Returns ``{"n_channels", "sample_rate", "n_samples", "samples"}``
     with samples as signed ints at the FILE's native scale (8-bit
     recenters the unsigned 0..255 range to -128..127; interleaved if
-    multi-channel).  Compressed codecs raise ``NotImplementedError``.
+    multi-channel).  Perceptual codecs (MP3/AAC) still raise
+    ``NotImplementedError`` — float psychoacoustic transforms are
+    neither hash-exactable nor decodable without codec libraries.
     """
+    if content[:4] == b"fLaC":
+        from pypond_spark.datapipe.flac import decode_flac
+        d = decode_flac(content)
+        chans = d["samples"]
+        samples = (list(chans[0]) if d["channels"] == 1
+                   else [v for tup in zip(*chans) for v in tup])
+        return {"n_channels": d["channels"],
+                "sample_rate": d["sample_rate"],
+                "n_samples": d["n_samples"], "samples": samples}
     try:
         with wave.open(io.BytesIO(content)) as wav:
             nch = wav.getnchannels()
@@ -1161,6 +1178,19 @@ def _sniff_audio(content: bytes):
     still identified.  Unknown magic -> all NULLs.
     """
     none6 = (None, None, None, None, None, None)
+    if content[:4] == b"fLaC":
+        # STREAMINFO is always the first metadata block; read the
+        # rate/channels/bps/total fields without touching frames
+        body = content[8:8 + 34]
+        if len(body) < 18:
+            return ("flac", None, None, None, None, None)
+        rate = int.from_bytes(body[10:13], "big") >> 4
+        nch = ((body[12] >> 1) & 0x07) + 1
+        bits = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+        total = ((body[13] & 0x0F) << 32) \
+            | int.from_bytes(body[14:18], "big")
+        dur = total * 1000 // rate if rate and total else None
+        return ("flac", nch, rate, None, bits, dur)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         pos = 12
         nch = rate = bits = byterate = data_size = None
