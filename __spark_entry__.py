@@ -125,6 +125,51 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _cached_media(spark: SparkSession, sf_dir: str, name: str,
+                  version: int, build) -> DataFrame:
+    """Parquet cache for deterministic synthesized media frames (the
+    r12 verdict's bench-hygiene item: ~66s of the sf0.1 bench was
+    re-ENCODING fixture bytes inside the heavy codec queries every
+    run, masking decode-path drift).
+
+    Key = (query recipe name, recipe VERSION, sf dir basename, size+
+    mtime of documents.parquet) — the recipe version MUST be bumped
+    whenever the synthesis changes (e.g. jpeg_lossless is v2 after
+    the r13 T.81 H.1.1 restart fix), and the testdata fingerprint
+    auto-invalidates when the driver regenerates parquet.  Staleness
+    is LOUD, never silent: the cached bytes are encoder OUTPUT, the
+    query still decodes them for real every run, and the DuckDB
+    oracle replays expectations from the live documents table — a
+    stale fixture hash-mismatches instead of passing.
+
+    Concurrent runs race-safely: each builder writes to a unique
+    temp dir and renames into place; the loser discards its copy.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    root = os.environ.get("PYPOND_FIXTURE_DIR") or os.path.join(
+        tempfile.gettempdir(), "pypond_fixtures")
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        fp = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        fp = "nostat"
+    key = (f"{name}_v{version}_"
+           f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}")
+    path = os.path.join(root, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, f".{key}.{uuid.uuid4().hex}")
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+    return spark.read.parquet(path)
+
+
 def _ms(col: str = "time"):
     return F.unix_millis(F.col(col))
 
@@ -2065,7 +2110,9 @@ def q_image_phash_jpeg(spark, sf_dir):
     driver-green row certifies the whole encode->entropy->IDCT path
     against an oracle that never runs the codec."""
     docs = _read(spark, sf_dir, "documents")
-    return dp_mm.image_phash(_synth_jpeg32(docs), grid_w=4, grid_h=4)
+    jm = _cached_media(spark, sf_dir, "jpeg32", 1,
+                       lambda: _synth_jpeg32(docs))
+    return dp_mm.image_phash(jm, grid_w=4, grid_h=4)
 
 
 def _synth_jpeg32_progressive(docs):
@@ -2112,8 +2159,9 @@ def q_image_phash_jpeg_progressive(spark, sf_dir):
     driver-green row certifies the progressive entropy decode against
     an oracle that never runs the codec."""
     docs = _read(spark, sf_dir, "documents")
-    return dp_mm.image_phash(_synth_jpeg32_progressive(docs),
-                             grid_w=4, grid_h=4)
+    jp = _cached_media(spark, sf_dir, "jpeg32_progressive", 1,
+                       lambda: _synth_jpeg32_progressive(docs))
+    return dp_mm.image_phash(jp, grid_w=4, grid_h=4)
 
 
 def q_image_phash_jpeg_multiscan(spark, sf_dir):
@@ -2152,7 +2200,9 @@ def q_image_phash_jpeg_multiscan(spark, sf_dir):
                                  restart_interval=2)))
             yield _pd.DataFrame(rows, columns=["media_id", "content"])
 
-    ms = raw.mapInPandas(enc, "media_id long, content binary")
+    ms = _cached_media(
+        spark, sf_dir, "jpeg32_multiscan", 1,
+        lambda: raw.mapInPandas(enc, "media_id long, content binary"))
     return dp_mm.image_phash(ms, grid_w=4, grid_h=4)
 
 
@@ -2184,7 +2234,11 @@ def q_image_phash_jpeg_lossless(spark, sf_dir):
                                  restart_interval=3)))
             yield _pd.DataFrame(rows, columns=["media_id", "content"])
 
-    ll = ppm.mapInPandas(enc, "media_id long, content binary")
+    # v2: the r13 T.81 H.1.1 restart-rule fix changed the encoder's
+    # emitted stream bytes (decoded pixels are unchanged)
+    ll = _cached_media(
+        spark, sf_dir, "jpeg32_lossless", 2,
+        lambda: ppm.mapInPandas(enc, "media_id long, content binary"))
     return dp_mm.image_phash(ll, grid_w=4, grid_h=4)
 
 
@@ -2600,7 +2654,9 @@ def q_video_frame_phash_avi(spark, sf_dir):
     replays every comparison from the per-frame md5 digests without
     running either codec."""
     docs = _read(spark, sf_dir, "documents")
-    frames = dp_y4m.sample_video_frames(_synth_avi32(docs), every_n=1)
+    avi = _cached_media(spark, sf_dir, "avi32", 1,
+                        lambda: _synth_avi32(docs))
+    frames = dp_y4m.sample_video_frames(avi, every_n=1)
     keyed = frames.select("media_id", "frame_idx", "content")
     return dp_mm.image_phash(keyed, grid_w=4, grid_h=4,
                              extra_cols=("frame_idx",))
