@@ -306,6 +306,12 @@ HEADLINE = [
     "robots_crawl_delays",
     "image_meta_sniff",
     "image_meta_jpeg",
+    "pdf_text_extract",
+    "pdf_page_stats",
+    "tar_shard_ingest",
+    "tar_sample_pairing",
+    "audio_fingerprint_flac",
+    "image_phash_tiff",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the
