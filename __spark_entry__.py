@@ -2363,6 +2363,56 @@ def q_tar_sample_pairing(spark, sf_dir):
                     .alias("has_cls")))
 
 
+def q_tar_multimodal_pipeline(spark, sf_dir):
+    """End-to-end WebDataset multimodal ingest (the actual use case
+    of the tar tier): each doc's shard holds a PAIRED sample — a
+    REAL PNG member (the _synth_ppm8 chained-md5 pixels through
+    encode_png) plus a txt caption member — read_tar_samples pairs
+    the adjacent members without a shuffle, the png part feeds the
+    standard decode->phash chain, and the caption rides alongside;
+    the oracle is the unchanged image_phash replay joined with the
+    caption recipe.  Green = tar framing + pairing + PNG decode +
+    phash all compose, the full image-caption training-data path."""
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from pypond_spark.datapipe.multimodal import encode_png
+    from pypond_spark.datapipe.tarshard import (encode_tar_shard,
+                                                read_tar_samples)
+
+    docs = _read(spark, sf_dir, "documents")
+    ppm = _synth_ppm8(docs).join(
+        docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                    "text"), "media_id")
+
+    def enc(batches):
+        for pdf_ in batches:
+            rows = []
+            for mid, content, text in zip(pdf_["media_id"],
+                                          pdf_["content"],
+                                          pdf_["text"]):
+                mid = int(mid)
+                px = bytes(content)[len(b"P6\n8 8\n255\n"):]
+                parts = {
+                    "png": encode_png(8, 8, px),
+                    "txt": _hl.md5(f"{text}&wt".encode("utf-8"))
+                    .hexdigest().encode(),
+                }
+                rows.append((mid, encode_tar_shard(
+                    [(f"{mid:08d}", parts)])))
+            yield _pd.DataFrame(rows, columns=["shard_id", "content"])
+
+    shards = ppm.mapInPandas(enc, "shard_id long, content binary")
+    samples = (read_tar_samples(shards)
+               .select(F.col("shard_id").alias("media_id"),
+                       F.col("parts")["png"].alias("content"),
+                       F.col("parts")["txt"].cast("string")
+                       .alias("txt")))
+    return dp_mm.image_phash(samples, grid_w=4, grid_h=4,
+                             extra_cols=("txt",))
+
+
 def q_pdf_page_stats(spark, sf_dir):
     """Composition over real PDF extraction (the extract_content
     pattern): per-document page/char/line counts computed FROM the
@@ -6419,6 +6469,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_sample_pairing": q_tar_sample_pairing,
         "audio_fingerprint_flac": q_audio_fingerprint_flac,
         "image_phash_tiff": q_image_phash_tiff,
+        "tar_multimodal_pipeline": q_tar_multimodal_pipeline,
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
         "extract_links": q_extract_links,
@@ -12821,6 +12872,16 @@ def oracle_sql() -> dict[str, str]:
     d["image_phash_jpeg_lossless"] = d["image_phash"]
     d["image_phash_bmp_rle8"] = d["image_phash"]
     d["image_phash_tiff"] = d["image_phash"]
+    d["tar_multimodal_pipeline"] = f"""
+        -- the unchanged phash replay joined with the caption recipe:
+        -- tar framing + pairing + PNG decode are all under test on
+        -- the Spark side, the pixels and caption are not
+        WITH ph AS ({d["image_phash"]})
+        SELECT ph.media_id AS media_id, ph.width AS width,
+               ph.height AS height, ph.ahash AS ahash,
+               ph.dhash AS dhash, md5(d.text || '&wt') AS txt
+        FROM ph JOIN documents d ON d.doc_id = ph.media_id
+    """
     d["image_phash_gif"] = d["image_phash"]
     # palette row: PLTE holds the same pixels, indices are the identity
     d["image_phash_png_palette"] = d["image_phash"]
