@@ -2434,8 +2434,8 @@ def q_pdf_page_stats(spark, sf_dir):
 def _synth_tiff8(docs):
     """8x8 REAL TIFF per doc (datapipe/tiff.py::encode_tiff — r13):
     the SAME chained-md5 pixel recipe as :func:`_synth_ppm8`, with
-    byte order (II/MM by doc_id%2), compression (PackBits when
-    doc_id%3 == 0, else none) and strip layout (RowsPerStrip 3 —
+    byte order (II/MM by doc_id%2), compression (PackBits / none /
+    Deflate by doc_id%3) and strip layout (RowsPerStrip 3 —
     multi-strip with a ragged tail — when doc_id%5 < 3, else one
     strip) all rotating so every decode path is driver-verified.
     TIFF is lossless, so the PPM oracle replays the decoded pixels
@@ -2455,8 +2455,8 @@ def _synth_tiff8(docs):
                 rows.append((mid, encode_tiff(
                     8, 8, px,
                     byte_order="II" if mid % 2 else "MM",
-                    compression="packbits" if mid % 3 == 0
-                    else "none",
+                    compression=("packbits", "none",
+                                 "deflate")[mid % 3],
                     rows_per_strip=3 if mid % 5 < 3 else None)))
             yield _pd.DataFrame(rows, columns=["media_id", "content"])
 

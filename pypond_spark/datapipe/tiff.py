@@ -8,17 +8,18 @@ structure header-only, and this module completes the step to pixels:
 - **decoder**: both byte orders (``II``/``MM``), IFD0 tag walk with
   inline-or-offset values, strip AND tile layouts, chunky and planar
   configurations, compressions 1 (none), 5 (LZW — the same TIFF-
-  variant decoder the PDF filter layer uses), 32773 (PackBits), bits
+  variant decoder the PDF filter layer uses), 8/32946 (Deflate via
+  stdlib zlib), 32773 (PackBits), bits
   per sample 1/4/8/16 (16-bit downsamples to the high byte, the
   PNG-16 contract), photometric WhiteIsZero / BlackIsZero / RGB /
   Palette (16-bit ColorMap scaled >>8), optional alpha stripped, and
   the Orientation tag surfaced (raw pixels are NOT rotated — upright
   normalization composes via ``multimodal.orient_image``, same as
   JPEG/EXIF).  Structural corruption raises ``ValueError``; exotic
-  compressions (JPEG-in-TIFF, CCITT G3/G4, Deflate) raise
+  compressions (JPEG-in-TIFF, CCITT G3/G4) raise
   ``NotImplementedError``.
 - **encoder** (synthesis half): deterministic gray/RGB 8-bit TIFF,
-  none or PackBits compression, strip layout with a chosen
+  none / PackBits / Deflate compression, strip layout with a chosen
   RowsPerStrip, either byte order, optional Orientation tag — so
   driver rows can rotate every decode path under oracle
   verification.
@@ -43,7 +44,9 @@ __all__ = ["decode_tiff", "encode_tiff"]
 
 _COMP_NONE = 1
 _COMP_LZW = 5
+_COMP_DEFLATE = 8
 _COMP_PACKBITS = 32773
+_COMP_DEFLATE_OLD = 32946          # pre-TIFF-6 "Deflate" code
 
 
 def _packbits_decode(data: bytes, expect: int) -> bytes:
@@ -150,14 +153,16 @@ def _read_ifd(content: bytes, end: str, ifd: int) -> dict[int, list]:
 
 
 def _unpack_bits(row: bytes, width: int, bits: int,
-                 spp: int) -> np.ndarray:
+                 spp: int, hi16: int = 0) -> np.ndarray:
     """One padded row -> uint8 samples at native depth (per TIFF 6.0
-    rows pad to whole bytes for sub-byte depths)."""
+    rows pad to whole bytes for sub-byte depths).  ``hi16`` is the
+    byte offset of the HIGH byte within a 16-bit sample (0 for MM,
+    1 for II) — the standard high-byte downsample."""
     if bits == 8:
         return np.frombuffer(row[:width * spp], np.uint8)
     if bits == 16:
         return np.frombuffer(row[:width * spp * 2],
-                             np.uint8)[0::2]  # caller fixed endianness
+                             np.uint8)[hi16::2]
     a = np.frombuffer(row, np.uint8)
     if bits == 1:
         out = np.unpackbits(a)[:width * spp]
@@ -203,21 +208,18 @@ def decode_tiff(content: bytes) -> dict:
     planar = one(284, 1)
     orientation = one(274)
 
-    if comp not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS):
+    if comp not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS,
+                    _COMP_DEFLATE, _COMP_DEFLATE_OLD):
         names = {2: "CCITT G3 1D", 3: "CCITT G3", 4: "CCITT G4",
-                 6: "old JPEG", 7: "JPEG", 8: "Deflate",
-                 32946: "Deflate"}
+                 6: "old JPEG", 7: "JPEG"}
         raise NotImplementedError(
             f"TIFF compression {comp} "
             f"({names.get(comp, 'unknown')}) — only none/LZW/"
-            "PackBits decode without codec libraries")
+            "PackBits/Deflate decode without codec libraries")
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(
             f"TIFF photometric interpretation {photo}")
-    if bits == 16 and end == "<":
-        raise NotImplementedError(
-            "16-bit little-endian TIFF (the high-byte downsample "
-            "below assumes MM sample order)")
+    hi16 = 1 if end == "<" else 0      # high byte of a 16-bit sample
     if photo == 2 and spp < 3:
         raise ValueError("RGB TIFF with fewer than 3 samples")
     if photo == 3 and spp != 1:
@@ -230,6 +232,17 @@ def decode_tiff(content: bytes) -> dict:
     def decode_chunk(raw: bytes, expect: int) -> bytes:
         if comp == _COMP_PACKBITS:
             return _packbits_decode(raw, expect)
+        if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
+            import zlib
+            try:
+                out = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"corrupt TIFF Deflate chunk: {exc}") from exc
+            if len(out) < expect:
+                raise ValueError(
+                    f"short TIFF Deflate chunk: {len(out)}/{expect}")
+            return out[:expect]
         if comp == _COMP_LZW:
             out = _lzw_decode(raw)
             if len(out) < expect:
@@ -273,7 +286,7 @@ def decode_tiff(content: bytes) -> dict:
                         break
                     rowv = _unpack_bits(
                         data[r * trow:(r + 1) * trow], tw,
-                        bits, samples_per_plane)
+                        bits, samples_per_plane, hi16)
                     x0 = tx * tw * samples_per_plane
                     take = min(tw, width - tx * tw) \
                         * samples_per_plane
@@ -301,7 +314,7 @@ def decode_tiff(content: bytes) -> dict:
                 for r in range(nrows):
                     rows.append(_unpack_bits(
                         data[r * rb:(r + 1) * rb], width,
-                        bits, samples_per_plane))
+                        bits, samples_per_plane, hi16))
             planes.append(np.stack(rows).reshape(
                 height, width, samples_per_plane))
 
@@ -311,8 +324,8 @@ def decode_tiff(content: bytes) -> dict:
         img = planes[0]
 
     if bits == 16:
-        # _unpack_bits kept byte 0 of each sample = the high byte
-        # (MM enforced above) — the PNG-16 downsample contract
+        # _unpack_bits kept the high byte of each sample, either
+        # byte order — the PNG-16 downsample contract
         maxnative = 255
     elif bits == 1:
         maxnative = 1
@@ -357,15 +370,16 @@ def encode_tiff(width: int, height: int, pixels: bytes,
                 byte_order: str = "II",
                 orientation: int | None = None) -> bytes:
     """Deterministic 8-bit TIFF writer (the synthesis half): chunky
-    gray/RGB, strip layout, ``none`` or ``packbits`` compression,
-    either byte order, optional Orientation tag.  Lossless, so
+    gray/RGB, strip layout, ``none``/``packbits``/``deflate``
+    compression, either byte order, optional Orientation tag.  Lossless, so
     ``decode_tiff(encode_tiff(px))["pixels"]`` replays the input
     (gray replicates to RGB per the decode contract)."""
     if byte_order not in ("II", "MM"):
         raise ValueError(f"byte_order must be II|MM, got {byte_order}")
-    if compression not in ("none", "packbits"):
+    if compression not in ("none", "packbits", "deflate"):
         raise ValueError(
-            f"compression must be none|packbits, got {compression}")
+            f"compression must be none|packbits|deflate, "
+            f"got {compression}")
     spp = 1 if gray else 3
     need = width * height * spp
     if width < 1 or height < 1:
@@ -377,18 +391,22 @@ def encode_tiff(width: int, height: int, pixels: bytes,
     end = "<" if byte_order == "II" else ">"
     rps = rows_per_strip or height
     rb = width * spp
+    import zlib as _zlib
     strips = []
     for y0 in range(0, height, rps):
         raw = pixels[y0 * rb:min(y0 + rps, height) * rb]
         strips.append(_packbits_encode(raw)
-                      if compression == "packbits" else raw)
+                      if compression == "packbits"
+                      else _zlib.compress(raw, 9)
+                      if compression == "deflate" else raw)
 
     entries = []                             # (tag, type, count, vals)
     entries.append((256, 4, 1, [width]))
     entries.append((257, 4, 1, [height]))
     entries.append((258, 3, spp, [8] * spp))
     entries.append((259, 3, 1,
-                    [32773 if compression == "packbits" else 1]))
+                    [32773 if compression == "packbits"
+                     else 8 if compression == "deflate" else 1]))
     entries.append((262, 3, 1, [2 if not gray else 1]))
     if orientation is not None:
         entries.append((274, 3, 1, [orientation]))

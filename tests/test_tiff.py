@@ -1,6 +1,7 @@
 """TIFF codec (datapipe/tiff.py) — encoder/decoder roundtrips plus
 hand-built streams for decode-only layouts (tiles, planar, palette,
-WhiteIsZero, sub-byte depths, 16-bit MM, LZW strips)."""
+WhiteIsZero, sub-byte depths, 16-bit both byte orders, LZW/Deflate
+strips)."""
 
 import struct
 
@@ -102,11 +103,13 @@ def test_hand_built_sub_byte_and_16bit():
     d = tiff.decode_tiff(data)
     px = np.frombuffer(d["pixels"], np.uint8).reshape(1, 2, 3)
     assert px[0, 0, 0] == 0xAB and px[0, 1, 0] == 0x12
-    # 16-bit II raises (documented)
-    data, _ = _patch_strip(None, "<", w, h, payload[::-1],
+    # 16-bit II (little-endian samples): same high bytes kept
+    payload_le = struct.pack("<2H", 0xABCD, 0x1234)
+    data, _ = _patch_strip(None, "<", w, h, payload_le,
                            [(278, 4, [h])], bits=16)
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        tiff.decode_tiff(data)
+    d = tiff.decode_tiff(data)
+    px = np.frombuffer(d["pixels"], np.uint8).reshape(1, 2, 3)
+    assert px[0, 0, 0] == 0xAB and px[0, 1, 0] == 0x12
 
 
 def _patch_strip(_unused, end, w, h, payload, extra, spp=1, bits=8,
@@ -254,3 +257,28 @@ def test_errors():
     from pypond_spark.datapipe import multimodal as mm
     d = mm.decode_image(good)
     assert d["format"] == "tiff"
+
+
+def test_deflate_compression():
+    """r13 follow-up: compression 8 / 32946 (Deflate) is stdlib zlib —
+    roundtrip via the encoder and decode a hand-patched 32946 stream."""
+    import zlib
+
+    px = _rand_px(6, 4, 3, 11)
+    data = tiff.encode_tiff(6, 4, px, compression="deflate",
+                            rows_per_strip=3)
+    d = tiff.decode_tiff(data)
+    assert np.frombuffer(d["pixels"], np.uint8).tolist() \
+        == list(px)
+    # the legacy 32946 code decodes identically
+    payload = zlib.compress(bytes(range(12)), 9)
+    stream, _ = _patch_strip(None, "<", 4, 3, payload,
+                             [(278, 4, [3])], comp=32946)
+    got = tiff.decode_tiff(stream)
+    assert np.frombuffer(got["pixels"], np.uint8)[0::3].tolist() \
+        == list(range(12))
+    # corrupt deflate is loud
+    stream, _ = _patch_strip(None, "<", 4, 3, b"\x78\x9c\xff\xff",
+                             [(278, 4, [3])], comp=8)
+    with pytest.raises(ValueError, match="Deflate"):
+        tiff.decode_tiff(stream)
