@@ -4781,6 +4781,67 @@ def q_warc_responses(spark, sf_dir):
                       F.md5("payload").alias("payload_digest"))
 
 
+def q_warc_gz_members(spark, sf_dir):
+    """Member-per-record .warc.gz ingest (datapipe/warc.py::
+    parse_warc_gz + split_gzip_members — r13: the layout Common Crawl
+    actually ships): the SAME 3-record WARC as ``warc_responses``,
+    but each record gzipped as its OWN member in-plan; member
+    boundaries must reassemble into identical Content-Length framing,
+    so the unchanged warc_responses oracle certifies the gzip-member
+    walk end-to-end."""
+    import gzip as _gzip
+    import io as _io
+
+    import pandas as _pd
+
+    from pypond_spark.datapipe import warc as dp_warc
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    body_len = F.length("text") + F.lit(44 + 4 + 7)
+    rec2 = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: http://ex"),
+        (d % 7).cast("string"), F.lit(".com/"), d.cast("string"),
+        F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+              "Content-Type: application/http\r\nContent-Length: "),
+        body_len.cast("string"),
+        F.lit("\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+              "\r\n"),
+        F.col("text"), F.lit("\r\n\r\ntrailer"), F.lit("\r\n\r\n"))
+    src = docs.select("doc_id", rec2.alias("r2"))
+
+    def enc(batches):
+        r1 = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+              b"Content-Length: 5\r\n\r\nnote!\r\n\r\n")
+        r3 = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+              b"Content-Length: 2\r\n\r\nxy\r\n\r\n")
+
+        def member(payload: bytes) -> bytes:
+            buf = _io.BytesIO()
+            with _gzip.GzipFile(fileobj=buf, mode="wb",
+                                mtime=0) as gz:
+                gz.write(payload)
+            return buf.getvalue()
+
+        for pdf_ in batches:
+            rows = []
+            for did, r2 in zip(pdf_["doc_id"], pdf_["r2"]):
+                rows.append((int(did),
+                             member(r1) + member(r2.encode("utf-8"))
+                             + member(r3)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "warc_gz"])
+
+    gz = src.mapInPandas(enc, "doc_id long, warc_gz binary")
+    recs = dp_warc.parse_warc_gz(gz)
+    out = (recs.where(F.col("warc_type") == "response")
+           .withColumn("payload", dp_warc.http_payload_expr("block")))
+    return out.select("doc_id",
+                      F.col("record_no").cast("long").alias("record_no"),
+                      "target_uri", "content_length",
+                      F.md5("payload").alias("payload_digest"))
+
+
 def q_crawl_ingest(spark, sf_dir):
     """End-to-end crawl ingest composition (the front half of a real
     pipeline, each stage separately driver-verified): a WARC response
@@ -6470,6 +6531,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_flac": q_audio_fingerprint_flac,
         "image_phash_tiff": q_image_phash_tiff,
         "tar_multimodal_pipeline": q_tar_multimodal_pipeline,
+        "warc_gz_members": q_warc_gz_members,
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
         "extract_links": q_extract_links,
@@ -12872,6 +12934,8 @@ def oracle_sql() -> dict[str, str]:
     d["image_phash_jpeg_lossless"] = d["image_phash"]
     d["image_phash_bmp_rle8"] = d["image_phash"]
     d["image_phash_tiff"] = d["image_phash"]
+    # gzip-member row: identical records by construction, same oracle
+    d["warc_gz_members"] = d["warc_responses"]
     d["tar_multimodal_pipeline"] = f"""
         -- the unchanged phash replay joined with the caption recipe:
         -- tar framing + pairing + PNG decode are all under test on

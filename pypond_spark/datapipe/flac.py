@@ -210,6 +210,8 @@ def _decode_subframe(r: _BitReader, blocksize: int,
         out = [r.read_signed(bps) for _ in range(blocksize)]
     elif 8 <= ftype <= 12:                   # FIXED order 0..4
         order = ftype - 8
+        if order > blocksize:
+            raise ValueError("FLAC predictor order exceeds block")
         out = [r.read_signed(bps) for _ in range(order)]
         resid = _decode_residual(r, blocksize, order)
         coefs = _FIXED_COEFS[order]
@@ -218,6 +220,8 @@ def _decode_subframe(r: _BitReader, blocksize: int,
             out.append(e + pred)
     elif ftype >= 32:                        # LPC order 1..32
         order = ftype - 31
+        if order > blocksize:
+            raise ValueError("FLAC predictor order exceeds block")
         out = [r.read_signed(bps) for _ in range(order)]
         prec = r.read(4)
         if prec == 15:

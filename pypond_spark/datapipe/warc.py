@@ -121,6 +121,59 @@ def parse_warc(df: DataFrame, warc_col: str = "warc",
     return df.mapInPandas(run, schema=WARC_SCHEMA)
 
 
+def split_gzip_members(data: bytes) -> list[bytes]:
+    """Decompress a MULTI-MEMBER gzip stream into its member payloads
+    (r13).  ``.warc.gz`` crawls (Common Crawl's shipped layout) gzip
+    each record as its OWN member so readers can seek to a record
+    boundary and decompress one record; a whole-stream gunzip loses
+    those boundaries.  Each member is decompressed with a fresh
+    ``zlib`` window (wbits=31 — gzip framing) and the next member
+    starts at ``unused_data``.  Truncated or corrupt members raise
+    ``ValueError``."""
+    import zlib
+    out: list[bytes] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error as exc:
+            raise ValueError(
+                f"corrupt gzip member at byte {pos}: {exc}") from exc
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at byte {pos}")
+        out.append(chunk)
+        pos = n - len(d.unused_data)
+    return out
+
+
+def parse_warc_gz(df: DataFrame, gz_col: str = "warc_gz",
+                  id_col: str = "doc_id") -> DataFrame:
+    """:func:`parse_warc` over member-per-record ``.warc.gz`` bytes
+    (r13): each input value is a multi-member gzip stream; members
+    decompress independently and their concatenation parses with the
+    same Content-Length framing, so ``record_no`` matches the
+    uncompressed layout.  Same Arrow batch shape — zero shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for did, data in zip(pdf[id_col], pdf[gz_col]):
+                if data is None:
+                    continue
+                text = b"".join(split_gzip_members(bytes(data))) \
+                    .decode("utf-8", "replace")
+                for rec in parse_warc_text(text):
+                    rows.append((int(did), rec["record_no"],
+                                 rec["warc_type"], rec["target_uri"],
+                                 rec["warc_date"], rec["content_type"],
+                                 rec["content_length"], rec["block"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=WARC_SCHEMA)
+
+
 def http_payload_expr(block_col: str = "block") -> Column:
     """Entity body of an HTTP/1.x response block: everything after the
     first CRLF CRLF when the block starts with ``HTTP/``, the block

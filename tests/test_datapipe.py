@@ -4221,3 +4221,41 @@ def test_gif_anim_palette_index_validation():
            "w": 3, "h": 2, "transparent": 7}   # 5 is opaque + OOR
     with _pytest.raises(ValueError, match="index out of range"):
         gif.encode_gif_anim(3, 2, [bad])
+
+
+def test_split_gzip_members_and_parse_warc_gz(spark):
+    """r13: member-per-record .warc.gz (the Common Crawl layout) —
+    member boundaries reassemble into the exact Content-Length
+    framing; corrupt/truncated members are loud."""
+    import gzip as _gzip
+    import io as _io
+
+    import pytest as _pytest
+
+    from pypond_spark.datapipe import warc as dp_warc
+
+    def member(payload: bytes) -> bytes:
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(payload)
+        return buf.getvalue()
+
+    r1 = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+          b"Content-Length: 5\r\n\r\nnote!\r\n\r\n")
+    body = b"hello\r\n\r\nworld"          # embedded blank line
+    r2 = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+          b"WARC-Target-URI: http://e.com/1\r\nContent-Length: "
+          + str(len(body)).encode() + b"\r\n\r\n" + body + b"\r\n\r\n")
+    data = member(r1) + member(r2)
+    assert dp_warc.split_gzip_members(data) == [r1, r2]
+    with _pytest.raises(ValueError, match="truncated"):
+        dp_warc.split_gzip_members(data[:-5])
+    with _pytest.raises(ValueError, match="corrupt"):
+        dp_warc.split_gzip_members(b"\x1f\x8b\x08\x00junkjunkjunk")
+
+    df = spark.createDataFrame([(1, bytearray(data))],
+                               "doc_id long, warc_gz binary")
+    rows = dp_warc.parse_warc_gz(df).collect()
+    assert [(r["record_no"], r["warc_type"]) for r in rows] \
+        == [(0, "warcinfo"), (1, "response")]
+    assert rows[1]["block"] == body.decode()
