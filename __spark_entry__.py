@@ -12934,8 +12934,6 @@ def oracle_sql() -> dict[str, str]:
     d["image_phash_jpeg_lossless"] = d["image_phash"]
     d["image_phash_bmp_rle8"] = d["image_phash"]
     d["image_phash_tiff"] = d["image_phash"]
-    # gzip-member row: identical records by construction, same oracle
-    d["warc_gz_members"] = d["warc_responses"]
     d["tar_multimodal_pipeline"] = f"""
         -- the unchanged phash replay joined with the caption recipe:
         -- tar framing + pairing + PNG decode are all under test on
@@ -13481,6 +13479,8 @@ def oracle_sql() -> dict[str, str]:
                    || 'trailer') AS payload_digest
         FROM documents
     """
+    # gzip-member row: identical records by construction, same oracle
+    d["warc_gz_members"] = d["warc_responses"]
     d["url_normalize"] = """
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN

@@ -312,6 +312,8 @@ HEADLINE = [
     "tar_sample_pairing",
     "audio_fingerprint_flac",
     "image_phash_tiff",
+    "tar_multimodal_pipeline",
+    "warc_gz_members",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the
