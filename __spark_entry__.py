@@ -2268,12 +2268,28 @@ def _synth_pdf(docs):
                     for p in range(1 + did % 3)]
                 rows.append((did, encode_pdf(
                     pages, compress=bool(did % 2),
-                    string_form=("literal", "hex", "tj")[did % 3])))
+                    string_form=("literal", "hex", "tj")[did % 3],
+                    title=_hl.md5(f"{text}&ti".encode("utf-8"))
+                    .hexdigest(),
+                    author=f"author-{did % 5}")))
             yield _pd.DataFrame(rows, columns=["doc_id", "content"])
 
     return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                         "text")
             .mapInPandas(enc, "doc_id long, content binary"))
+
+
+def q_pdf_info(spark, sf_dir):
+    """Header-only PDF metadata triage (datapipe/pdf.py::
+    extract_pdf_info — the /Info dictionary + pages-walk count, the
+    100-TB pre-filter that never decodes a content stream): title is
+    an md5 recipe, author rotates doc_id%5, and the page count comes
+    from the real pages tree, so the oracle is closed-form."""
+    from pypond_spark.datapipe.pdf import extract_pdf_info
+
+    docs = _read(spark, sf_dir, "documents")
+    return (extract_pdf_info(_synth_pdf(docs))
+            .select("doc_id", "title", "author", "n_pages"))
 
 
 def q_pdf_text_extract(spark, sf_dir):
@@ -6532,6 +6548,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_tiff": q_image_phash_tiff,
         "tar_multimodal_pipeline": q_tar_multimodal_pipeline,
         "warc_gz_members": q_warc_gz_members,
+        "pdf_info": q_pdf_info,
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
         "extract_links": q_extract_links,
@@ -12873,6 +12890,12 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY doc_id, page_no
         )
         SELECT doc_id, page_no, text FROM ln
+    """
+    d["pdf_info"] = """
+        SELECT doc_id, md5(text || '&ti') AS title,
+               'author-' || CAST(doc_id % 5 AS VARCHAR) AS author,
+               CAST(1 + doc_id % 3 AS INT) AS n_pages
+        FROM documents
     """
     d["pdf_page_stats"] = """
         -- closed form of the synthesis recipe: n_pages = 1+doc_id%3

@@ -62,8 +62,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["parse_pdf", "pdf_text_pages", "extract_pdf_text",
-           "encode_pdf", "PDF_PAGE_SCHEMA"]
+__all__ = ["parse_pdf", "pdf_text_pages", "pdf_info",
+           "extract_pdf_text", "extract_pdf_info", "encode_pdf",
+           "PDF_PAGE_SCHEMA", "PDF_INFO_SCHEMA"]
 
 
 class _Ref(NamedTuple):
@@ -890,6 +891,39 @@ def pdf_text_pages(content: bytes) -> list[str]:
     return out
 
 
+def pdf_info(content: bytes) -> dict:
+    """Document metadata: the trailer ``/Info`` dictionary's common
+    text fields (Title/Author/Subject/Producer/CreationDate — UTF-16BE
+    when BOM-prefixed per the spec, else PDFDocEncoding≈Latin-1) plus
+    the real page count from the pages-tree walk.  Missing fields are
+    None; a PDF with no /Info still reports ``n_pages``."""
+    objmap, trailer = parse_pdf(content)
+
+    def resolve(x, _depth=0):
+        while isinstance(x, _Ref):
+            if _depth > 32:
+                raise ValueError("PDF reference cycle")
+            x = objmap.get(x.num)
+            _depth += 1
+        return x
+
+    info = resolve(trailer.get("Info"))
+    info = info if isinstance(info, dict) else {}
+
+    def text(key):
+        v = resolve(info.get(key))
+        if isinstance(v, bytes):
+            if v[:2] == b"\xfe\xff":
+                return v[2:].decode("utf-16-be", "replace")
+            return v.decode("latin-1")
+        return None
+
+    return {"title": text("Title"), "author": text("Author"),
+            "subject": text("Subject"), "producer": text("Producer"),
+            "created": text("CreationDate"),
+            "n_pages": len(_walk_pages(objmap, trailer, resolve))}
+
+
 # --------------------------------------------------------- Spark tier
 
 PDF_PAGE_SCHEMA = T.StructType([
@@ -919,6 +953,38 @@ def extract_pdf_text(df: DataFrame, content_col: str = "content",
     return df.mapInPandas(run, schema=PDF_PAGE_SCHEMA)
 
 
+PDF_INFO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("author", T.StringType()),
+    T.StructField("subject", T.StringType()),
+    T.StructField("producer", T.StringType()),
+    T.StructField("created", T.StringType()),
+    T.StructField("n_pages", T.IntegerType()),
+])
+
+
+def extract_pdf_info(df: DataFrame, content_col: str = "content",
+                     id_col: str = "doc_id") -> DataFrame:
+    """One row per PDF: /Info metadata + page count — the header-only
+    triage twin of :func:`extract_pdf_text` (no content streams are
+    decoded beyond the pages walk)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PDF_INFO_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue
+                d = pdf_info(bytes(content))
+                rows.append((int(did), d["title"], d["author"],
+                             d["subject"], d["producer"],
+                             d["created"], d["n_pages"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=PDF_INFO_SCHEMA)
+
+
 # ----------------------------------------------------- synthesis half
 
 def _escape_literal(s: bytes) -> bytes:
@@ -934,7 +1000,9 @@ def _escape_literal(s: bytes) -> bytes:
 
 
 def encode_pdf(pages: list[str], compress: bool = True,
-               string_form: str = "literal") -> bytes:
+               string_form: str = "literal",
+               title: str | None = None,
+               author: str | None = None) -> bytes:
     """Deterministic, externally-valid PDF 1.4 bytes: one Helvetica
     text column per page, each line a show operator with ``0 -14 Td``
     line advances, classic xref table with correct offsets.
@@ -996,6 +1064,21 @@ def encode_pdf(pages: list[str], compress: bool = True,
         else:
             objs.append(b"<< /Length %d >>\nstream\n" % len(data)
                         + data + b"\nendstream")
+    info_num = None
+    if title is not None or author is not None:
+        fields = b""
+        for key, val in ((b"/Title", title), (b"/Author", author)):
+            if val is None:
+                continue
+            try:
+                raw = val.encode("latin-1")
+            except UnicodeEncodeError as exc:
+                raise ValueError(
+                    "encode_pdf /Info text must be Latin-1-encodable: "
+                    f"{exc}") from exc
+            fields += key + b" (" + _escape_literal(raw) + b") "
+        objs.append(b"<< " + fields + b">>")
+        info_num = len(objs)
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -1007,6 +1090,8 @@ def encode_pdf(pages: list[str], compress: bool = True,
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
-    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\n"
-            b"startxref\n%d\n%%%%EOF\n" % (len(objs) + 1, xref_at))
+    info = b" /Info %d 0 R" % info_num if info_num else b""
+    out += (b"trailer\n<< /Size %d /Root 1 0 R%s >>\n"
+            b"startxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, info, xref_at))
     return bytes(out)

@@ -330,3 +330,21 @@ def test_spark_extract_pdf_text(spark):
     want = {(did, i): t for did, pgs in pages_by_doc.items()
             for i, t in enumerate(pgs)}
     assert got == want
+
+
+def test_pdf_info_and_spark_tier(spark):
+    """r13 follow-up: /Info metadata + page count, header-only."""
+    data = pdf.encode_pdf(["a", "b", "c"], title="T (x)",
+                          author="Au\\thor")
+    info = pdf.pdf_info(data)
+    assert (info["title"], info["author"], info["n_pages"]) \
+        == ("T (x)", "Au\\thor", 3)
+    assert info["subject"] is None
+    assert pdf.pdf_info(pdf.encode_pdf(["x"]))["title"] is None
+    with pytest.raises(ValueError, match="Latin-1"):
+        pdf.encode_pdf(["x"], title="你")
+    df = spark.createDataFrame(
+        [(7, pdf.encode_pdf(["p"], title="t7"))],
+        "doc_id long, content binary")
+    [r] = pdf.extract_pdf_info(df).collect()
+    assert (r["doc_id"], r["title"], r["n_pages"]) == (7, "t7", 1)
