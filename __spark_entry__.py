@@ -2247,10 +2247,10 @@ def _synth_pdf(docs):
     externally-valid PDF 1.4, classic xref): 1 + doc_id%3 pages of
     2 + doc_id%3 lines, line l of page p = md5(text||'&p'||p||'&l'||l)
     (32 hex chars — every character oracle-replayable in SQL); the
-    writer rotates compression (raw vs FlateDecode by doc_id%2) and
-    the show-string form (literal / hex / split-TJ by doc_id%3) so
-    every encode path feeds the extractor under driver
-    verification."""
+    writer rotates the stream filter (raw / FlateDecode / LZWDecode
+    by (doc_id//3)%3) and the show-string form (literal / hex /
+    split-TJ by doc_id%3) so every encode path feeds the extractor
+    under driver verification."""
     import hashlib as _hl
 
     import pandas as _pd
@@ -2267,7 +2267,8 @@ def _synth_pdf(docs):
                     .hexdigest() for li in range(2 + did % 3))
                     for p in range(1 + did % 3)]
                 rows.append((did, encode_pdf(
-                    pages, compress=bool(did % 2),
+                    pages,
+                    compress=(False, True, "lzw")[(did // 3) % 3],
                     string_form=("literal", "hex", "tj")[did % 3],
                     title=_hl.md5(f"{text}&ti".encode("utf-8"))
                     .hexdigest(),
@@ -2451,7 +2452,7 @@ def _synth_tiff8(docs):
     """8x8 REAL TIFF per doc (datapipe/tiff.py::encode_tiff — r13):
     the SAME chained-md5 pixel recipe as :func:`_synth_ppm8`, with
     byte order (II/MM by doc_id%2), compression (PackBits / none /
-    Deflate by doc_id%3) and strip layout (RowsPerStrip 3 —
+    Deflate / LZW by doc_id%4) and strip layout (RowsPerStrip 3 —
     multi-strip with a ragged tail — when doc_id%5 < 3, else one
     strip) all rotating so every decode path is driver-verified.
     TIFF is lossless, so the PPM oracle replays the decoded pixels
@@ -2471,8 +2472,8 @@ def _synth_tiff8(docs):
                 rows.append((mid, encode_tiff(
                     8, 8, px,
                     byte_order="II" if mid % 2 else "MM",
-                    compression=("packbits", "none",
-                                 "deflate")[mid % 3],
+                    compression=("packbits", "none", "deflate",
+                                 "lzw")[mid % 4],
                     rows_per_strip=3 if mid % 5 < 3 else None)))
             yield _pd.DataFrame(rows, columns=["media_id", "content"])
 

@@ -390,6 +390,70 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
     return bytes(out)
 
 
+def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """TIFF-variant LZW encoder (r13) — the synthesis half of
+    :func:`_lzw_decode`, shared by the PDF ``LZWDecode`` filter tests
+    and ``tiff.encode_tiff(compression='lzw')``: MSB-first codes,
+    clear 256 / EOD 257, width 9->12 growing one code early when
+    ``EarlyChange`` = 1 (the default both specs share), and a CLEAR
+    emitted before the table could outgrow 12 bits — byte-exact
+    roundtrip for ANY input."""
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+    table: dict[bytes, int] = {}
+    next_code = 258
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    def reset() -> None:
+        nonlocal table, next_code, width
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+
+    put(256)
+    reset()
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        put(table[w])
+        # mirror the decoder exactly: its table runs ONE ENTRY BEHIND
+        # (it inserts upon the NEXT code), so its post-code size is
+        # next_code - 1 — grow width on that, not on next_code, or the
+        # two sides read the 2^width boundary one code apart
+        table[wc] = next_code
+        next_code += 1
+        if next_code - 1 + early_change >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4093:
+            put(256)
+            reset()
+        w = c
+    if w:
+        put(table[w])
+        # the decoder still inserts+checks when processing this final
+        # code; track it so the EOD below is written at its width
+        next_code += 1
+        if next_code - 1 + early_change >= (1 << width) and width < 12:
+            width += 1
+    put(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _rle_decode(data: bytes) -> bytes:
     """``RunLengthDecode``: length byte L < 128 -> copy L+1 bytes;
     L in 129..255 -> repeat next byte 257-L times; 128 -> EOD."""
@@ -999,13 +1063,16 @@ def _escape_literal(s: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_pdf(pages: list[str], compress: bool = True,
+def encode_pdf(pages: list[str], compress=True,
                string_form: str = "literal",
                title: str | None = None,
                author: str | None = None) -> bytes:
     """Deterministic, externally-valid PDF 1.4 bytes: one Helvetica
     text column per page, each line a show operator with ``0 -14 Td``
     line advances, classic xref table with correct offsets.
+
+    ``compress``: True -> FlateDecode, ``"lzw"`` -> LZWDecode
+    (r13, via :func:`lzw_encode`), False -> raw streams.
 
     ``string_form``: ``literal`` -> escaped ``(..) Tj``; ``hex`` ->
     ``<..> Tj``; ``tj`` -> the line split at its midpoint into a
@@ -1056,7 +1123,12 @@ def encode_pdf(pages: list[str], compress: bool = True,
                     b"[0 0 612 792] /Resources << /Font << /F1 "
                     b"3 0 R >> >> /Contents %d 0 R >>" % (5 + 2 * i))
         data = content_for(page)
-        if compress:
+        if compress == "lzw":
+            comp = lzw_encode(data)
+            objs.append(b"<< /Length %d /Filter /LZWDecode >>"
+                        b"\nstream\n" % len(comp) + comp
+                        + b"\nendstream")
+        elif compress:
             comp = zlib.compress(data, 9)
             objs.append(b"<< /Length %d /Filter /FlateDecode >>"
                         b"\nstream\n" % len(comp) + comp

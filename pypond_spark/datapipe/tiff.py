@@ -19,7 +19,7 @@ structure header-only, and this module completes the step to pixels:
   compressions (JPEG-in-TIFF, CCITT G3/G4) raise
   ``NotImplementedError``.
 - **encoder** (synthesis half): deterministic gray/RGB 8-bit TIFF,
-  none / PackBits / Deflate compression, strip layout with a chosen
+  none / PackBits / Deflate / LZW compression, strip layout with a
   RowsPerStrip, either byte order, optional Orientation tag — so
   driver rows can rotate every decode path under oracle
   verification.
@@ -370,15 +370,16 @@ def encode_tiff(width: int, height: int, pixels: bytes,
                 byte_order: str = "II",
                 orientation: int | None = None) -> bytes:
     """Deterministic 8-bit TIFF writer (the synthesis half): chunky
-    gray/RGB, strip layout, ``none``/``packbits``/``deflate``
-    compression, either byte order, optional Orientation tag.  Lossless, so
+    gray/RGB, strip layout, ``none``/``packbits``/``deflate``/
+    ``lzw`` compression, either byte order, optional Orientation
+    tag.  Lossless, so
     ``decode_tiff(encode_tiff(px))["pixels"]`` replays the input
     (gray replicates to RGB per the decode contract)."""
     if byte_order not in ("II", "MM"):
         raise ValueError(f"byte_order must be II|MM, got {byte_order}")
-    if compression not in ("none", "packbits", "deflate"):
+    if compression not in ("none", "packbits", "deflate", "lzw"):
         raise ValueError(
-            f"compression must be none|packbits|deflate, "
+            f"compression must be none|packbits|deflate|lzw, "
             f"got {compression}")
     spp = 1 if gray else 3
     need = width * height * spp
@@ -392,13 +393,18 @@ def encode_tiff(width: int, height: int, pixels: bytes,
     rps = rows_per_strip or height
     rb = width * spp
     import zlib as _zlib
+
+    from pypond_spark.datapipe.pdf import lzw_encode
+
     strips = []
     for y0 in range(0, height, rps):
         raw = pixels[y0 * rb:min(y0 + rps, height) * rb]
         strips.append(_packbits_encode(raw)
                       if compression == "packbits"
                       else _zlib.compress(raw, 9)
-                      if compression == "deflate" else raw)
+                      if compression == "deflate"
+                      else lzw_encode(raw)
+                      if compression == "lzw" else raw)
 
     entries = []                             # (tag, type, count, vals)
     entries.append((256, 4, 1, [width]))
@@ -406,7 +412,8 @@ def encode_tiff(width: int, height: int, pixels: bytes,
     entries.append((258, 3, spp, [8] * spp))
     entries.append((259, 3, 1,
                     [32773 if compression == "packbits"
-                     else 8 if compression == "deflate" else 1]))
+                     else 8 if compression == "deflate"
+                     else 5 if compression == "lzw" else 1]))
     entries.append((262, 3, 1, [2 if not gray else 1]))
     if orientation is not None:
         entries.append((274, 3, 1, [orientation]))

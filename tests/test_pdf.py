@@ -348,3 +348,24 @@ def test_pdf_info_and_spark_tier(spark):
         "doc_id long, content binary")
     [r] = pdf.extract_pdf_info(df).collect()
     assert (r["doc_id"], r["title"], r["n_pages"]) == (7, "t7", 1)
+
+
+def test_lzw_encoder_and_lzw_streams():
+    """r13 follow-up: a real TIFF-variant LZW ENCODER (width growth
+    one entry behind the decoder's table, CLEAR before 12-bit
+    overflow) upgrades the LZWDecode path from hand-vector-only to
+    roundtrip-tested, and encode_pdf can emit /LZWDecode streams."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    for n in (0, 1, 253, 254, 255, 509, 510, 1021, 5000, 20000):
+        x = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        assert pdf._lzw_decode(pdf.lzw_encode(x)) == x, n
+    rep = b"the same phrase over and over " * 300
+    enc = pdf.lzw_encode(rep)
+    assert pdf._lzw_decode(enc) == rep
+    assert len(enc) < len(rep) // 4
+    pages = ["lzw page\nsecond line", "page two"]
+    data = pdf.encode_pdf(pages, compress="lzw")
+    assert b"/LZWDecode" in data
+    assert pdf.pdf_text_pages(data) == pages

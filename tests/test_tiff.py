@@ -243,7 +243,11 @@ def test_errors():
     with pytest.raises(ValueError, match="pixel bytes"):
         tiff.encode_tiff(2, 2, bytes(5))
     with pytest.raises(ValueError, match="compression"):
-        tiff.encode_tiff(1, 1, bytes(3), compression="lzw")
+        tiff.encode_tiff(1, 1, bytes(3), compression="ccitt")
+    # lzw is a real encoder path now (r13)
+    d = tiff.decode_tiff(tiff.encode_tiff(2, 2, bytes(12),
+                                          compression="lzw"))
+    assert d["pixels"] == bytes(12)
     good = tiff.encode_tiff(4, 4, bytes(48))
     # unsupported compression raises NotImplementedError
     data, _ = _patch_strip(None, "<", 2, 2, bytes(4),
