@@ -2248,9 +2248,11 @@ def _synth_pdf(docs):
     2 + doc_id%3 lines, line l of page p = md5(text||'&p'||p||'&l'||l)
     (32 hex chars — every character oracle-replayable in SQL); the
     writer rotates the stream filter (raw / FlateDecode / LZWDecode
-    by (doc_id//3)%3) and the show-string form (literal / hex /
-    split-TJ by doc_id%3) so every encode path feeds the extractor
-    under driver verification."""
+    by (doc_id//3)%3), the show-string form (literal / hex /
+    split-TJ by doc_id%3), and Form-XObject indirection (the page
+    content is just /Fm0 Do when doc_id%5 == 0 — the template-
+    renderer layout) so every encode path feeds the extractor under
+    driver verification."""
     import hashlib as _hl
 
     import pandas as _pd
@@ -2272,7 +2274,8 @@ def _synth_pdf(docs):
                     string_form=("literal", "hex", "tj")[did % 3],
                     title=_hl.md5(f"{text}&ti".encode("utf-8"))
                     .hexdigest(),
-                    author=f"author-{did % 5}")))
+                    author=f"author-{did % 5}",
+                    via_form=did % 5 == 0)))
             yield _pd.DataFrame(rows, columns=["doc_id", "content"])
 
     return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),

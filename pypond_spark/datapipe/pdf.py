@@ -814,8 +814,38 @@ def _latin1(s: bytes) -> str:
 _TJ_WORD_GAP = 180.0
 
 
-def _content_text(content: bytes, fonts: dict) -> str:
-    """Interpret one page's (concatenated) content stream into text."""
+def _resources_ctx(res, resolve, base_fonts=None, base_xo=None):
+    """(fonts, xobjects) maps from a /Resources dict, layered over an
+    inherited context (own entries win — the PDF resource-lookup
+    rule a Form XObject uses when it carries its own /Resources)."""
+    fonts = dict(base_fonts or {})
+    xobjects = dict(base_xo or {})
+    res = resolve(res) or {}
+    fdict = resolve(res.get("Font")) or {}
+    if isinstance(fdict, dict):
+        for fname, fobj in fdict.items():
+            fobj = resolve(fobj)
+            if not isinstance(fobj, dict):
+                continue
+            tu = resolve(fobj.get("ToUnicode"))
+            if isinstance(tu, _Stream):
+                fonts[fname] = _cmap_decoder(tu.data(resolve))
+    xdict = resolve(res.get("XObject")) or {}
+    if isinstance(xdict, dict):
+        for xname, xobj in xdict.items():
+            xobj = resolve(xobj)
+            if isinstance(xobj, _Stream):
+                xobjects[xname] = xobj
+    return fonts, xobjects
+
+
+def _content_text(content: bytes, fonts: dict, xobjects: dict = {},
+                  resolve=None, depth: int = 0) -> str:
+    """Interpret one page's (concatenated) content stream into text.
+    ``Do`` on a Form XObject recurses into the form's own content
+    stream (with its /Resources layered over the caller's — real
+    PDFs routinely put body text inside forms), emitted inline as a
+    block; image XObjects are skipped.  Recursion is depth-capped."""
     lex = _Lexer(content, 0)
     n = len(content)
     lines: list[str] = []
@@ -907,6 +937,20 @@ def _content_text(content: bytes, fonts: dict) -> str:
                     cur.append(" ")
         elif op == "ET":
             newline()
+        elif op == "Do" and stack and isinstance(stack[-1], str) \
+                and resolve is not None and depth < 16:
+            xo = xobjects.get(stack[-1])
+            if isinstance(xo, _Stream) \
+                    and resolve(xo.dict.get("Subtype")) == "Form":
+                f2, x2 = _resources_ctx(xo.dict.get("Resources"),
+                                        resolve, fonts, xobjects)
+                sub = _content_text(xo.data(resolve), f2, x2,
+                                    resolve, depth + 1)
+                if sub:
+                    for i, seg in enumerate(sub.split("\n")):
+                        if i:
+                            newline()
+                        cur.append(seg)
         stack.clear()
     newline()
     while lines and lines[-1] == "":
@@ -941,17 +985,8 @@ def pdf_text_pages(content: bytes) -> list[str]:
                 if isinstance(c, _Stream):
                     parts.append(c.data(resolve))
         data = b"\n".join(parts)
-        fonts: dict = {}
-        fdict = resolve((res or {}).get("Font")) or {}
-        if isinstance(fdict, dict):
-            for fname, fobj in fdict.items():
-                fobj = resolve(fobj)
-                if not isinstance(fobj, dict):
-                    continue
-                tu = resolve(fobj.get("ToUnicode"))
-                if isinstance(tu, _Stream):
-                    fonts[fname] = _cmap_decoder(tu.data(resolve))
-        out.append(_content_text(data, fonts))
+        fonts, xobjects = _resources_ctx(res, resolve)
+        out.append(_content_text(data, fonts, xobjects, resolve))
     return out
 
 
@@ -1066,7 +1101,8 @@ def _escape_literal(s: bytes) -> bytes:
 def encode_pdf(pages: list[str], compress=True,
                string_form: str = "literal",
                title: str | None = None,
-               author: str | None = None) -> bytes:
+               author: str | None = None,
+               via_form: bool = False) -> bytes:
     """Deterministic, externally-valid PDF 1.4 bytes: one Helvetica
     text column per page, each line a show operator with ``0 -14 Td``
     line advances, classic xref table with correct offsets.
@@ -1081,6 +1117,11 @@ def encode_pdf(pages: list[str], compress=True,
     Text must be Latin-1-encodable (the writer targets simple-font
     WinAnsi; multilingual synthesis belongs to the ToUnicode decode
     tests, not this writer) — anything else raises ``ValueError``.
+
+    ``via_form`` (r13): each page's text lives in a Form XObject and
+    the page content stream is just ``/Fm0 Do`` — the layout
+    generators that render through templates emit, exercising the
+    extractor's ``Do`` recursion with form-local /Resources.
     """
     if string_form not in ("literal", "hex", "tj"):
         raise ValueError(f"bad string_form {string_form!r}")
@@ -1118,24 +1159,42 @@ def encode_pdf(pages: list[str], compress=True,
                 + b"] /Count %d >>" % n_pages)
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont "
                 b"/Helvetica /Encoding /WinAnsiEncoding >>")
-    for i, page in enumerate(pages):
-        objs.append(b"<< /Type /Page /Parent 2 0 R /MediaBox "
-                    b"[0 0 612 792] /Resources << /Font << /F1 "
-                    b"3 0 R >> >> /Contents %d 0 R >>" % (5 + 2 * i))
-        data = content_for(page)
+    def stream_obj(data: bytes, extra: bytes = b"") -> bytes:
         if compress == "lzw":
             comp = lzw_encode(data)
-            objs.append(b"<< /Length %d /Filter /LZWDecode >>"
-                        b"\nstream\n" % len(comp) + comp
-                        + b"\nendstream")
-        elif compress:
+            return (b"<< /Length %d /Filter /LZWDecode%s >>"
+                    b"\nstream\n" % (len(comp), extra) + comp
+                    + b"\nendstream")
+        if compress:
             comp = zlib.compress(data, 9)
-            objs.append(b"<< /Length %d /Filter /FlateDecode >>"
-                        b"\nstream\n" % len(comp) + comp
-                        + b"\nendstream")
+            return (b"<< /Length %d /Filter /FlateDecode%s >>"
+                    b"\nstream\n" % (len(comp), extra) + comp
+                    + b"\nendstream")
+        return (b"<< /Length %d%s >>\nstream\n" % (len(data), extra)
+                + data + b"\nendstream")
+
+    for i, page in enumerate(pages):
+        if via_form:
+            # page content = one Do; the text lives in the form
+            # object at 4 + 2*n_pages + i (form-local /Resources)
+            fnum = 4 + 2 * n_pages + i
+            objs.append(b"<< /Type /Page /Parent 2 0 R /MediaBox "
+                        b"[0 0 612 792] /Resources << /XObject "
+                        b"<< /Fm0 %d 0 R >> >> /Contents %d 0 R >>"
+                        % (fnum, 5 + 2 * i))
+            objs.append(stream_obj(b"/Fm0 Do"))
         else:
-            objs.append(b"<< /Length %d >>\nstream\n" % len(data)
-                        + data + b"\nendstream")
+            objs.append(b"<< /Type /Page /Parent 2 0 R /MediaBox "
+                        b"[0 0 612 792] /Resources << /Font << /F1 "
+                        b"3 0 R >> >> /Contents %d 0 R >>"
+                        % (5 + 2 * i))
+            objs.append(stream_obj(content_for(page)))
+    if via_form:
+        for page in pages:
+            objs.append(stream_obj(
+                content_for(page),
+                b" /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"))
     info_num = None
     if title is not None or author is not None:
         fields = b""

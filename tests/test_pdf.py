@@ -369,3 +369,37 @@ def test_lzw_encoder_and_lzw_streams():
     data = pdf.encode_pdf(pages, compress="lzw")
     assert b"/LZWDecode" in data
     assert pdf.pdf_text_pages(data) == pages
+
+
+def test_form_xobject_extraction():
+    """r13 follow-up: text inside Form XObjects (Do) — the layout
+    template renderers emit; nested forms recurse with layered
+    /Resources, image XObjects and reference cycles are inert."""
+    pages = ["form page\nline two", "second"]
+    for comp in (True, False, "lzw"):
+        data = pdf.encode_pdf(pages, compress=comp, via_form=True)
+        assert pdf.pdf_text_pages(data) == pages, comp
+    # hand-built: page -> form -> nested form with its own font
+    c_outer = b"/FmA Do"
+    c_inner = b"BT /F1 10 Tf 72 720 Td (deep text) Tj ET"
+    data = (b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> "
+            b"endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+            b"<< /XObject << /Fm0 5 0 R >> >> /Contents 4 0 R >> "
+            b"endobj\n"
+            b"4 0 obj << /Length 7 >>\nstream\n/Fm0 Do\nendstream "
+            b"endobj\n"
+            b"5 0 obj << /Type /XObject /Subtype /Form /Resources "
+            b"<< /XObject << /FmA 6 0 R >> >> /Length "
+            + str(len(c_outer)).encode() + b" >>\nstream\n" + c_outer
+            + b"\nendstream endobj\n"
+            b"6 0 obj << /Type /XObject /Subtype /Form /Length "
+            + str(len(c_inner)).encode() + b" >>\nstream\n" + c_inner
+            + b"\nendstream endobj\n"
+            b"trailer << /Size 7 /Root 1 0 R >>\n%%EOF\n")
+    assert pdf.pdf_text_pages(data) == ["deep text"]
+    # a self-referential form terminates via the depth cap
+    cyc = data.replace(b"/FmA 6 0 R", b"/FmA 5 0 R")
+    assert pdf.pdf_text_pages(cyc) == [""]
