@@ -314,6 +314,7 @@ HEADLINE = [
     "image_phash_tiff",
     "tar_multimodal_pipeline",
     "warc_gz_members",
+    "pdf_info",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the
