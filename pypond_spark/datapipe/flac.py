@@ -260,7 +260,8 @@ def decode_flac(content: bytes) -> dict:
         size = int.from_bytes(content[pos + 1:pos + 4], "big")
         body = content[pos + 4:pos + 4 + size]
         if btype == 0:                       # STREAMINFO
-            if size < 34:
+            # check the bytes actually present, not the claimed size
+            if size < 34 or len(body) < 34:
                 raise ValueError("short FLAC STREAMINFO")
             rate = int.from_bytes(body[10:13], "big") >> 4
             channels = ((body[12] >> 1) & 0x07) + 1

@@ -72,6 +72,19 @@ class _Ref(NamedTuple):
     gen: int
 
 
+def _make_resolver(objmap: dict):
+    """Indirect-reference resolver over an object map (cycle-capped);
+    the single definition parse_pdf/pdf_text_pages/pdf_info share."""
+    def resolve(x, _depth=0):
+        while isinstance(x, _Ref):
+            if _depth > 32:
+                raise ValueError("PDF reference cycle")
+            x = objmap.get(x.num)
+            _depth += 1
+        return x
+    return resolve
+
+
 class _Stream:
     """A stream object: its dictionary plus the raw (still-filtered)
     bytes; :meth:`data` applies the filter chain."""
@@ -488,6 +501,10 @@ def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
                               sdict.get("DP")))
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    elif len(parms) < len(filters):
+        # a short DecodeParms array must not truncate the filter
+        # CHAIN (zip would) — pad, never silently skip a filter
+        parms = parms + [None] * (len(filters) - len(parms))
     data = raw
     for f, pm in zip(filters, parms):
         f = resolve(f)
@@ -558,67 +575,77 @@ def parse_pdf(content: bytes) -> tuple[dict, dict]:
         i = content.find(b"%PDF-")
         if i < 0 or i > 1024:
             raise ValueError("not a PDF: no %PDF- header")
-    objmap: dict[int, object] = {}
-    pending: list[tuple[int, dict, int]] = []      # indirect /Length
-    skip_until = 0
-    for m in _OBJ_RE.finditer(content):
-        if m.start() < skip_until:
-            continue
-        num = int(m.group(1))
-        lex = _Lexer(content, m.end())
-        try:
-            val = lex.parse()
-        except ValueError:
-            continue                               # junk match
-        lex.skip_ws()
-        if isinstance(val, dict) \
-                and content.startswith(b"stream", lex.pos):
-            p = lex.pos + 6
-            if content.startswith(b"\r\n", p):
-                p += 2
-            elif content.startswith(b"\n", p) \
-                    or content.startswith(b"\r", p):
-                p += 1
-            length = val.get("Length")
-            end = None
-            if isinstance(length, int):
-                cand = p + length
-                if content[cand:cand + 32].lstrip(
-                        b"\r\n\x00\t\x0c ").startswith(b"endstream"):
-                    end = cand
-            if end is None:
-                # indirect or wrong /Length: scan for the terminator
-                e = content.find(b"endstream", p)
-                if e < 0:
-                    raise ValueError(
-                        f"PDF object {num}: stream never ends")
-                end = e
-                while end > p and content[end - 1] in (0x0A, 0x0D):
-                    end -= 1
-            objmap[num] = _Stream(val, content[p:end])
-            skip_until = content.find(b"endstream", end) + 9
-            if isinstance(length, _Ref):
-                pending.append((num, val, p))
-        else:
-            objmap[num] = val
-            skip_until = lex.pos
 
-    def resolve(x, _depth=0):
-        while isinstance(x, _Ref):
-            if _depth > 32:
-                raise ValueError("PDF reference cycle")
-            x = objmap.get(x.num)
-            _depth += 1
-        return x
+    def ends_ok(cand: int) -> bool:
+        return content[cand:cand + 32].lstrip(
+            b"\r\n\x00\t\x0c ").startswith(b"endstream")
 
-    # re-slice streams whose /Length was an indirect reference
-    for num, sdict, p in pending:
+    def scan(forced: dict[int, int]):
+        """One forward pass; ``forced`` pins the true end for stream
+        payloads whose /Length was indirect and whose first-pass
+        terminator guess was wrong."""
+        objmap: dict[int, object] = {}
+        pending: list[tuple[int, dict, int, int]] = []
+        skip_until = 0
+        for m in _OBJ_RE.finditer(content):
+            if m.start() < skip_until:
+                continue
+            num = int(m.group(1))
+            lex = _Lexer(content, m.end())
+            try:
+                val = lex.parse()
+            except ValueError:
+                continue                           # junk match
+            lex.skip_ws()
+            if isinstance(val, dict) \
+                    and content.startswith(b"stream", lex.pos):
+                p = lex.pos + 6
+                if content.startswith(b"\r\n", p):
+                    p += 2
+                elif content.startswith(b"\n", p) \
+                        or content.startswith(b"\r", p):
+                    p += 1
+                length = val.get("Length")
+                end = None
+                if p in forced:
+                    end = forced[p]
+                elif isinstance(length, int) and ends_ok(p + length):
+                    end = p + length
+                if end is None:
+                    # indirect or wrong /Length: guess the terminator
+                    e = content.find(b"endstream", p)
+                    if e < 0:
+                        raise ValueError(
+                            f"PDF object {num}: stream never ends")
+                    end = e
+                    while end > p and content[end - 1] in (0x0A,
+                                                           0x0D):
+                        end -= 1
+                    if isinstance(length, _Ref):
+                        pending.append((num, val, p, end))
+                objmap[num] = _Stream(val, content[p:end])
+                skip_until = content.find(b"endstream", end) + 9
+            else:
+                objmap[num] = val
+                skip_until = lex.pos
+        return objmap, pending
+
+    objmap, pending = scan({})
+    resolve = _make_resolver(objmap)
+
+    # streams with an indirect /Length whose terminator guess was
+    # wrong: re-scan with the TRUE extents, because junk `N G obj`
+    # matches inside the mis-sliced payload may have overwritten real
+    # objects in the first pass (not just the stream's own bytes)
+    forced: dict[int, int] = {}
+    for num, sdict, p, end_guess in pending:
         length = resolve(sdict.get("Length"))
-        if isinstance(length, int):
-            cand = p + length
-            if content[cand:cand + 32].lstrip(
-                    b"\r\n\x00\t\x0c ").startswith(b"endstream"):
-                objmap[num] = _Stream(sdict, content[p:p + length])
+        if isinstance(length, int) and p + length != end_guess \
+                and ends_ok(p + length):
+            forced[p] = p + length
+    if forced:
+        objmap, _ = scan(forced)
+        resolve = _make_resolver(objmap)
 
     # expand object streams
     for num in list(objmap):
@@ -858,8 +885,6 @@ def _content_text(content: bytes, fonts: dict, xobjects: dict = {},
         if cur:
             lines.append("".join(cur))
             cur.clear()
-        elif lines and lines[-1] != "":
-            pass
 
     def emit(s: bytes):
         cur.append(decoder(s))
@@ -963,14 +988,7 @@ def pdf_text_pages(content: bytes) -> list[str]:
     document order).  See the module docstring for the deterministic
     assembly rules."""
     objmap, trailer = parse_pdf(content)
-
-    def resolve(x, _depth=0):
-        while isinstance(x, _Ref):
-            if _depth > 32:
-                raise ValueError("PDF reference cycle")
-            x = objmap.get(x.num)
-            _depth += 1
-        return x
+    resolve = _make_resolver(objmap)
 
     pages = _walk_pages(objmap, trailer, resolve)
     out = []
@@ -997,14 +1015,7 @@ def pdf_info(content: bytes) -> dict:
     the real page count from the pages-tree walk.  Missing fields are
     None; a PDF with no /Info still reports ``n_pages``."""
     objmap, trailer = parse_pdf(content)
-
-    def resolve(x, _depth=0):
-        while isinstance(x, _Ref):
-            if _depth > 32:
-                raise ValueError("PDF reference cycle")
-            x = objmap.get(x.num)
-            _depth += 1
-        return x
+    resolve = _make_resolver(objmap)
 
     info = resolve(trailer.get("Info"))
     info = info if isinstance(info, dict) else {}

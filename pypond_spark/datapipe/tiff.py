@@ -187,6 +187,8 @@ def decode_tiff(content: bytes) -> dict:
         end = ">"
     else:
         raise ValueError("not a TIFF: bad byte-order/magic header")
+    if len(content) < 8:
+        raise ValueError("truncated TIFF: no IFD offset")
     (ifd0,) = struct.unpack(end + "I", content[4:8])
     tags = _read_ifd(content, end, ifd0)
 

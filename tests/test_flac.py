@@ -219,3 +219,13 @@ def test_decode_audio_dispatch_and_sniff():
     fmt, nch, rate, kbps, bits, dur = mm._sniff_audio(data)
     assert (fmt, nch, rate, bits) == ("flac", 2, 22050, 16)
     assert dur == 300 * 1000 // 22050
+
+
+def test_truncated_streaminfo_is_valueerror():
+    """r13 review finding: a STREAMINFO block whose claimed size
+    exceeds the bytes present must raise ValueError, not IndexError
+    (and never silently parse garbage rate/channel fields)."""
+    data = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") \
+        + bytes(12)
+    with pytest.raises(ValueError, match="STREAMINFO|truncated"):
+        flac.decode_flac(data)

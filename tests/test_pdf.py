@@ -403,3 +403,45 @@ def test_form_xobject_extraction():
     # a self-referential form terminates via the depth cap
     cyc = data.replace(b"/FmA 6 0 R", b"/FmA 5 0 R")
     assert pdf.pdf_text_pages(cyc) == [""]
+
+
+def test_short_decodeparms_array_does_not_truncate_filters():
+    """r13 review finding: a DecodeParms array shorter than the
+    Filter array must pad, not zip-truncate the filter CHAIN."""
+    text = b"BT /F1 12 Tf 72 720 Td (padded) Tj ET"
+    payload = binascii.hexlify(zlib.compress(text, 9)) + b">"
+    data = _one_page_pdf(
+        payload,
+        filters=b" /Filter [/ASCIIHexDecode /FlateDecode] "
+                b"/DecodeParms [null]")
+    assert pdf.pdf_text_pages(data) == ["padded"]
+
+
+def test_indirect_length_payload_cannot_pollute_objmap():
+    """r13 review finding: junk 'N 0 obj' text inside the payload of
+    a stream with an INDIRECT /Length (whose terminator guess lands
+    early on an embedded 'endstream') must not overwrite real
+    objects — the re-scan with the true extent wins."""
+    # the CONTENT stream has an indirect /Length and its payload
+    # embeds both a fake early 'endstream' and a fake catalog
+    # redefinition — the first-pass mis-slice must not stick
+    body = (b"BT /F1 12 Tf 72 720 Td (good) Tj ET\n"
+            b"endstream junk\n"
+            b"1 0 obj << /Type /Catalog /Pages 99 0 R >> endobj\n"
+            b"% trailing filler so the fake catalog parses\n")
+    data = (b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> "
+            b"endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b">> endobj\n"
+            b"4 0 obj << /Length 7 0 R >>\nstream\n" + body
+            + b"\nendstream endobj\n"
+            b"7 0 obj " + str(len(body)).encode() + b" endobj\n"
+            b"trailer << /Size 8 /Root 1 0 R >>\n%%EOF\n")
+    # without the re-scan the fake '1 0 obj' (pointing /Pages at the
+    # missing object 99) overwrites the real catalog and extraction
+    # dies; with it the page decodes from the full stream
+    pages = pdf.pdf_text_pages(data)
+    assert len(pages) == 1
+    assert "good" in pages[0]

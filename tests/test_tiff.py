@@ -286,3 +286,10 @@ def test_deflate_compression():
                              [(278, 4, [3])], comp=8)
     with pytest.raises(ValueError, match="Deflate"):
         tiff.decode_tiff(stream)
+
+
+def test_truncated_header_is_valueerror():
+    """r13 review finding: 4-7 byte files passing the magic check
+    must raise ValueError, not struct.error."""
+    with pytest.raises(ValueError, match="truncated"):
+        tiff.decode_tiff(b"II*\x00\x08")
