@@ -153,7 +153,9 @@ def _cached_media(spark: SparkSession, sf_dir: str, name: str,
         tempfile.gettempdir(), "pypond_fixtures")
     try:
         st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-        fp = f"{st.st_size}_{int(st.st_mtime)}"
+        # nanosecond mtime: same-second regeneration at equal size
+        # must not serve a stale fixture (r13 ADVICE)
+        fp = f"{st.st_size}_{st.st_mtime_ns}"
     except OSError:
         fp = "nostat"
     key = (f"{name}_v{version}_"

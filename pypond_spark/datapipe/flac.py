@@ -281,6 +281,11 @@ def decode_flac(content: bytes) -> dict:
     chans: list[list[int]] = [[] for _ in range(channels)]
     n = len(content)
     while pos < n:
+        if total > 0 and all(len(c) >= total for c in chans):
+            # STREAMINFO's sample count is satisfied: tolerate
+            # trailing padding / appended tags (e.g. ID3v1); the
+            # strict sync raise below stays for mid-stream garbage
+            break
         frame_start = pos
         r = _BitReader(content, pos)
         sync = r.read(14)

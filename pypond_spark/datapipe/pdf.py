@@ -148,6 +148,8 @@ class _Lexer:
                     self.pos += 3
                     continue
                 except ValueError:
+                    # malformed '#xx' name escape: tolerate the
+                    # literal '#' (malformed-input scanner contract)
                     pass
             out.append(c)
             self.pos += 1
@@ -326,7 +328,7 @@ def _png_unpredict(data: bytes, columns: int, colors: int,
         tag = data[r]
         row = bytearray(data[r + 1:r + stride])
         if tag == 0:
-            pass
+            pass                             # PNG None filter: as-is
         elif tag == 1:
             for i in range(bpp, row_len):
                 row[i] = (row[i] + row[i - bpp]) & 0xFF
@@ -516,8 +518,10 @@ def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
                 raise ValueError(
                     f"corrupt FlateDecode stream: {exc}") from exc
         elif f == "LZWDecode" or f == "LZW":
-            data = _lzw_decode(
-                data, int(resolve(pm.get("EarlyChange", 1))))
+            # PDF null for /EarlyChange resolves to None; treat it
+            # like an absent key (corrupt input stays ValueError)
+            ec = resolve(pm.get("EarlyChange", 1))
+            data = _lzw_decode(data, int(1 if ec is None else ec))
         elif f == "ASCIIHexDecode" or f == "AHx":
             hx = bytes(c for c in data
                        if c not in _WHITESPACE).rstrip(b">")

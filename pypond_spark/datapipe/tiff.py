@@ -266,6 +266,9 @@ def decode_tiff(content: bytes) -> dict:
         cnts = tags.get(325, [len(content)] * len(offs))
         if not tw or not th or not offs:
             raise ValueError("TIFF tile tags incomplete")
+        if len(cnts) < len(offs):
+            raise ValueError("TIFF TileByteCounts shorter than "
+                             "TileOffsets")
         tiles_across = (width + tw - 1) // tw
         tiles_down = (height + th - 1) // th
         per_plane = tiles_across * tiles_down
@@ -301,6 +304,9 @@ def decode_tiff(content: bytes) -> dict:
             raise ValueError("TIFF without StripOffsets")
         rps = one(278, height)
         cnts = tags.get(279, [len(content)] * len(offs))
+        if len(cnts) < len(offs):
+            raise ValueError("TIFF StripByteCounts shorter than "
+                             "StripOffsets")
         strips_per_plane = (height + rps - 1) // rps
         if len(offs) < strips_per_plane * planes_needed:
             raise ValueError("TIFF has fewer strips than needed")

@@ -229,3 +229,21 @@ def test_truncated_streaminfo_is_valueerror():
         + bytes(12)
     with pytest.raises(ValueError, match="STREAMINFO|truncated"):
         flac.decode_flac(data)
+
+
+def test_trailing_bytes_after_last_frame_tolerated():
+    """r13 ADVICE: padding or an appended ID3v1 tag AFTER the frame
+    carrying STREAMINFO's final sample must not raise 'bad FLAC frame
+    sync'; mid-stream garbage (total not yet satisfied) stays loud."""
+    samples = _rand(200, 16, 9)
+    good = flac.encode_flac(8000, 1, 16, [samples], blocksize=100)
+    id3v1 = b"TAG" + bytes(125)
+    d = flac.decode_flac(good + id3v1)
+    assert d["samples"] == [samples]
+    d = flac.decode_flac(good + bytes(16))   # zero padding
+    assert d["samples"] == [samples]
+    # mid-stream garbage is still a loud failure: truncate the last
+    # frame and append junk so total is NOT satisfied at the junk
+    head = good[: 4 + 4 + 34 + 40]           # into the first frame
+    with pytest.raises(ValueError):
+        flac.decode_flac(head + b"\x00\x01garbage!")

@@ -445,3 +445,21 @@ def test_indirect_length_payload_cannot_pollute_objmap():
     pages = pdf.pdf_text_pages(data)
     assert len(pages) == 1
     assert "good" in pages[0]
+
+
+def test_lzw_earlychange_null_treated_as_default():
+    """r13 ADVICE: a PDF `null` for /EarlyChange (resolves to None)
+    must fall back to the spec default 1, not raise TypeError; an
+    explicit 0 stays honored as 'no early change'."""
+    text = b"BT /F1 12 Tf 72 700 Td (filtered) Tj ET"
+    data = _one_page_pdf(
+        _lzw_encode_trivial(text),
+        filters=b" /Filter /LZWDecode /DecodeParms "
+                b"<< /EarlyChange null >>")
+    assert pdf.pdf_text_pages(data) == ["filtered"]
+    # explicit 0 uses the late-change table (encoder twin agrees)
+    data = _one_page_pdf(
+        pdf.lzw_encode(text, early_change=0),
+        filters=b" /Filter /LZWDecode /DecodeParms "
+                b"<< /EarlyChange 0 >>")
+    assert pdf.pdf_text_pages(data) == ["filtered"]

@@ -293,3 +293,34 @@ def test_truncated_header_is_valueerror():
     must raise ValueError, not struct.error."""
     with pytest.raises(ValueError, match="truncated"):
         tiff.decode_tiff(b"II*\x00\x08")
+
+
+def test_short_byte_counts_are_valueerror():
+    """r13 ADVICE: StripByteCounts/TileByteCounts present but shorter
+    than the offsets array must raise the module's ValueError for
+    structural corruption, not a raw IndexError."""
+    # two 1-row strips but only one byte count
+    entries = [(256, 4, [2]), (257, 4, [2]), (258, 3, [8]),
+               (259, 3, [1]), (262, 3, [1]), (277, 3, [1]),
+               (278, 4, [1]), (279, 4, [2])]
+    payload = bytes([1, 2, 3, 4])
+    e1 = entries + [(273, 4, [0, 0])]
+    data, at = _stream("<", e1, payload)
+    e2 = entries + [(273, 4, [at, at + 2])]
+    data, at2 = _stream("<", e2, payload)
+    assert at2 == at
+    with pytest.raises(ValueError, match="StripByteCounts shorter"):
+        tiff.decode_tiff(data)
+
+    # tiled: two 2x2 tiles, one byte count
+    entries = [(256, 4, [4]), (257, 4, [2]), (258, 3, [8]),
+               (259, 3, [1]), (262, 3, [1]), (277, 3, [1]),
+               (322, 4, [2]), (323, 4, [2]), (325, 4, [4])]
+    payload = bytes(8)
+    e1 = entries + [(324, 4, [0, 0])]
+    data, at = _stream("<", e1, payload)
+    e2 = entries + [(324, 4, [at, at + 4])]
+    data, at2 = _stream("<", e2, payload)
+    assert at2 == at
+    with pytest.raises(ValueError, match="TileByteCounts shorter"):
+        tiff.decode_tiff(data)
