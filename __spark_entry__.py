@@ -2453,6 +2453,177 @@ def q_pdf_page_stats(spark, sf_dir):
                  .cast("long").alias("n_lines")))
 
 
+def _synth_docx(docs):
+    """Deterministic REAL DOCX per doc (datapipe/zipdoc.py::
+    encode_docx — minimal OPC zip: [Content_Types].xml, _rels/.rels,
+    word/document.xml): base paragraphs p in 0..1+doc_id%3 with text
+    md5(text||'&dx'||p); doc_id%4==0 appends a TAB-carrying paragraph
+    md5(..&tab) TAB md5(..&tab2) (w:tab run); doc_id%4==1 appends a
+    line-break paragraph md5(..&br) NL md5(..&br2) (w:br run);
+    doc_id%5==0 appends a one-row TABLE with cell paragraphs
+    md5(..&tc0) / md5(..&tc1) — so plain runs, tabs, breaks and
+    table-cell paragraphs are all under driver verification."""
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from pypond_spark.datapipe.zipdoc import encode_docx
+
+    def enc(batches):
+        for pdf_ in batches:
+            rows = []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(did)
+
+                def h(tag):
+                    return _hl.md5(f"{text}&{tag}".encode("utf-8")) \
+                        .hexdigest()
+
+                paras = [h(f"dx{p}") for p in range(2 + did % 3)]
+                if did % 4 == 0:
+                    paras.append(h("tab") + "\t" + h("tab2"))
+                elif did % 4 == 1:
+                    paras.append(h("br") + "\n" + h("br2"))
+                cells = ([h("tc0"), h("tc1")] if did % 5 == 0
+                         else None)
+                rows.append((did, encode_docx(paras,
+                                              table_cells=cells)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+            .mapInPandas(enc, "doc_id long, content binary"))
+
+
+def q_docx_text_extract(spark, sf_dir):
+    """DOCX text extraction (datapipe/zipdoc.py::extract_docx_text —
+    the r14 ZIP-container extraction tier: OPC zip -> word/
+    document.xml -> w:p/w:r/w:t walk with w:tab/w:br mapping and
+    table-cell paragraphs in document order): one row per document;
+    the oracle rebuilds the exact paragraph text from the same md5
+    recipe, so a green row proves the FULL encode->unzip->XML->
+    assemble chain character-exact."""
+    from pypond_spark.datapipe.zipdoc import extract_docx_text
+
+    docs = _read(spark, sf_dir, "documents")
+    return extract_docx_text(_synth_docx(docs))
+
+
+def q_docx_quality_pipeline(spark, sf_dir):
+    """Composition row: REAL DOCX bytes -> text extraction -> the
+    Gopher quality rules (Rae et al. 2021 §A1.1) — the actual
+    corpus-build path where extracted documents feed quality
+    filtering directly.  The oracle replays the extraction recipe
+    into a CTE and applies the same metric SQL the standing
+    gopher_quality row uses, so extraction drift OR metric drift
+    breaks the row."""
+    docs = _read(spark, sf_dir, "documents")
+    ex = q_docx_text_extract(spark, sf_dir).drop("n_paragraphs")
+    return dp_text.gopher_quality(ex)
+
+
+def _synth_epub(docs):
+    """Deterministic REAL EPUB per doc (datapipe/zipdoc.py::
+    encode_epub — OCF container: STORED mimetype first, container.xml
+    -> OPF -> spine): chapters c in 0..doc_id%2, chapter c =
+    <h1>md5(text||'&et'||c)</h1> + two <p>md5(text||'&ec'||c||'&'||k)
+    paragraphs; two-chapter docs (odd doc_id) store the XHTML members
+    in REVERSE zip order while the spine stays forward, so a green
+    row proves spine-order extraction, not storage-order luck."""
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from pypond_spark.datapipe.zipdoc import encode_epub
+
+    def enc(batches):
+        for pdf_ in batches:
+            rows = []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(did)
+
+                def h(tag):
+                    return _hl.md5(f"{text}&{tag}".encode("utf-8")) \
+                        .hexdigest()
+
+                chapters = [
+                    (h(f"et{c}"), [h(f"ec{c}&0"), h(f"ec{c}&1")])
+                    for c in range(1 + did % 2)]
+                rows.append((did, encode_epub(
+                    chapters, reverse_storage=did % 2 == 1)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+            .mapInPandas(enc, "doc_id long, content binary"))
+
+
+def q_epub_text_extract(spark, sf_dir):
+    """EPUB chapter extraction (datapipe/zipdoc.py::
+    extract_epub_text — container.xml -> OPF manifest/spine -> XHTML
+    members in SPINE order -> block-aware text): one row per spine
+    chapter; the oracle rebuilds title + paragraphs from the md5
+    recipe with chapter_no following the spine, which the synthesis
+    deliberately stores reversed for two-chapter docs."""
+    from pypond_spark.datapipe.zipdoc import extract_epub_text
+
+    docs = _read(spark, sf_dir, "documents")
+    return extract_epub_text(_synth_epub(docs))
+
+
+def _synth_zipshard(docs):
+    """The _synth_tar sample recipe over ZIP containers
+    (datapipe/tarshard.py::encode_zip_shard): identical members (txt
+    / json / rotating cls per sample) so the tar oracle replays
+    unchanged; odd doc_ids deflate, even doc_ids store — both zip
+    codecs under driver verification."""
+    import pandas as _pd
+
+    from pypond_spark.datapipe.tarshard import encode_zip_shard
+
+    def enc(batches):
+        import hashlib as _hl
+        for pdf_ in batches:
+            rows = []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(did)
+                samples = []
+                for s in range(1 + did % 3):
+                    parts = {
+                        "txt": _hl.md5(f"{text}&t{s}".encode("utf-8"))
+                        .hexdigest().encode(),
+                        "json": (b'{"k":"' + _hl.md5(
+                            f"{text}&j{s}".encode("utf-8"))
+                            .hexdigest().encode() + b'"}'),
+                    }
+                    if (did + s) % 2 == 0:
+                        parts["cls"] = str((did + s) % 10).encode()
+                    samples.append((f"{did}-{s}", parts))
+                rows.append((did, encode_zip_shard(
+                    samples, compress=did % 2 == 1)))
+            yield _pd.DataFrame(rows, columns=["shard_id", "content"])
+
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+            .mapInPandas(enc, "shard_id long, content binary"))
+
+
+def q_zip_shard_ingest(spark, sf_dir):
+    """Zip-shard member ingest (datapipe/tarshard.py::
+    read_zip_members — r14, the zip twin of tar_shard_ingest with
+    the same member/key/ext contract): every member back as (shard,
+    key, ext, size, content) rows against the unchanged tar oracle,
+    proving zip framing, stored+deflated codecs, key/ext splitting
+    and byte fidelity."""
+    from pypond_spark.datapipe.tarshard import read_zip_members
+
+    docs = _read(spark, sf_dir, "documents")
+    return (read_zip_members(_synth_zipshard(docs))
+            .select(F.col("shard_id").alias("doc_id"), "sample_key",
+                    "ext", "n_bytes",
+                    F.col("data").cast("string").alias("content")))
+
+
 def _synth_tiff8(docs):
     """8x8 REAL TIFF per doc (datapipe/tiff.py::encode_tiff — r13):
     the SAME chained-md5 pixel recipe as :func:`_synth_ppm8`, with
@@ -6546,6 +6717,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reorders never-driver-verified entries to the front automatically from
     the committed CORRECTNESS_r*.json snapshots."""
     return {
+        "docx_text_extract": q_docx_text_extract,
+        "docx_quality_pipeline": q_docx_quality_pipeline,
+        "epub_text_extract": q_epub_text_extract,
+        "zip_shard_ingest": q_zip_shard_ingest,
         "pdf_text_extract": q_pdf_text_extract,
         "pdf_page_stats": q_pdf_page_stats,
         "tar_shard_ingest": q_tar_shard_ingest,
@@ -12897,6 +13072,122 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, page_no, text FROM ln
     """
+    d["docx_text_extract"] = """
+        -- mirror of _synth_docx: base paragraphs md5(text||'&dx'||p)
+        -- for p in 0..1+doc_id%3 joined by newline, then the rotating
+        -- TAB / line-break paragraph (doc_id%4), then the two table
+        -- cells (doc_id%5=0).  The Spark side round-trips these
+        -- through REAL OPC zip + WordprocessingML XML.
+        WITH base AS (
+          SELECT doc_id, text,
+                 string_agg(md5(text || '&dx'
+                                || CAST(g.p AS VARCHAR)), chr(10)
+                            ORDER BY g.p) AS t,
+                 CAST(2 + doc_id % 3 AS INT) AS nb
+          FROM documents CROSS JOIN generate_series(0, 3) g(p)
+          WHERE g.p <= 1 + doc_id % 3
+          GROUP BY doc_id, text
+        )
+        SELECT doc_id,
+               t || CASE
+                 WHEN doc_id % 4 = 0 THEN chr(10) || md5(text||'&tab')
+                      || chr(9) || md5(text||'&tab2')
+                 WHEN doc_id % 4 = 1 THEN chr(10) || md5(text||'&br')
+                      || chr(10) || md5(text||'&br2')
+                 ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN
+                      chr(10) || md5(text||'&tc0')
+                      || chr(10) || md5(text||'&tc1')
+                    ELSE '' END AS text,
+               CAST(nb
+                    + CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END
+                    + CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END
+                    AS INT) AS n_paragraphs
+        FROM base
+    """
+    d["docx_quality_pipeline"] = """
+        -- the docx_text_extract recipe feeding the UNCHANGED gopher
+        -- metric SQL (same expressions as the gopher_quality row)
+        WITH base AS (
+          SELECT doc_id, text,
+                 string_agg(md5(text || '&dx'
+                                || CAST(g.p AS VARCHAR)), chr(10)
+                            ORDER BY g.p) AS t
+          FROM documents CROSS JOIN generate_series(0, 3) g(p)
+          WHERE g.p <= 1 + doc_id % 3
+          GROUP BY doc_id, text
+        ), dx AS (
+          SELECT doc_id,
+                 t || CASE
+                   WHEN doc_id % 4 = 0 THEN chr(10)
+                        || md5(text||'&tab') || chr(9)
+                        || md5(text||'&tab2')
+                   WHEN doc_id % 4 = 1 THEN chr(10)
+                        || md5(text||'&br') || chr(10)
+                        || md5(text||'&br2')
+                   ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN
+                        chr(10) || md5(text||'&tc0')
+                        || chr(10) || md5(text||'&tc1')
+                      ELSE '' END AS text
+          FROM base
+        ), t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x != '') AS w,
+                 string_split(text, chr(10)) AS ls
+          FROM dx
+        ), m AS (
+          SELECT doc_id, len(w) AS n_words,
+            length(regexp_replace(text, '\\s+', '', 'g'))
+              / greatest(len(w), 1) AS awl,
+            CAST(len(regexp_extract_all(text, '#'))
+                 + len(regexp_extract_all(text, '…|\\.\\.\\.'))
+                 AS DOUBLE) / greatest(len(w), 1) AS symr,
+            CAST(len(list_filter(w,
+                 x -> regexp_matches(x, '[A-Za-z]')))
+                 AS DOUBLE) / greatest(len(w), 1) AS alphaf,
+            len(list_filter(list_transform(w,
+                 x -> regexp_replace(lower(x),
+                     '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                 x -> x IN ('the','be','to','of','and','that',
+                            'have','with'))) AS stop_hits,
+            CAST(len(list_filter(ls,
+                 l -> regexp_matches(trim(l), '^[-*•‣▪]')))
+                 AS DOUBLE) / greatest(len(ls), 1) AS bulletf,
+            CAST(len(list_filter(ls,
+                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                 AS DOUBLE) / greatest(len(ls), 1) AS ellf
+          FROM t
+        )
+        SELECT doc_id, n_words,
+               round(awl, 6) AS avg_word_len,
+               round(symr, 6) AS symbol_ratio,
+               round(alphaf, 6) AS alpha_word_frac,
+               stop_hits AS stopword_hits,
+               round(bulletf, 6) AS bullet_line_frac,
+               round(ellf, 6) AS ellipsis_line_frac,
+               (n_words BETWEEN 50 AND 100000)
+                 AND awl BETWEEN 3.0 AND 10.0
+                 AND symr < 0.1 AND alphaf > 0.8
+                 AND stop_hits >= 2 AND bulletf < 0.9
+                 AND ellf < 0.3 AS gopher_pass
+        FROM m
+    """
+    d["epub_text_extract"] = """
+        -- mirror of _synth_epub in SPINE order: chapter c = title
+        -- md5(text||'&et'||c) + paragraphs md5(text||'&ec'||c||'&'||k)
+        -- joined by newline; two-chapter docs are stored REVERSED in
+        -- the zip, so matching chapter_no proves spine ordering
+        SELECT doc_id, CAST(g.c AS INT) AS chapter_no,
+               md5(text || '&et' || CAST(g.c AS VARCHAR)) || chr(10)
+               || md5(text || '&ec' || CAST(g.c AS VARCHAR) || '&0')
+               || chr(10)
+               || md5(text || '&ec' || CAST(g.c AS VARCHAR) || '&1')
+                 AS text
+        FROM documents CROSS JOIN generate_series(0, 1) g(c)
+        WHERE g.c <= doc_id % 2
+    """
     d["pdf_info"] = """
         SELECT doc_id, md5(text || '&ti') AS title,
                'author-' || CAST(doc_id % 5 AS VARCHAR) AS author,
@@ -12945,6 +13236,9 @@ def oracle_sql() -> dict[str, str]:
                content
         FROM m
     """
+    # zip twin: _synth_zipshard writes the SAME member recipe into a
+    # zip container, so the tar oracle replays unchanged
+    d["zip_shard_ingest"] = d["tar_shard_ingest"]
     d["tar_sample_pairing"] = """
         SELECT doc_id,
                CAST(doc_id AS VARCHAR) || '-' || CAST(g.s AS VARCHAR)

@@ -315,6 +315,10 @@ HEADLINE = [
     "tar_multimodal_pipeline",
     "warc_gz_members",
     "pdf_info",
+    "docx_text_extract",
+    "docx_quality_pipeline",
+    "epub_text_extract",
+    "zip_shard_ingest",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

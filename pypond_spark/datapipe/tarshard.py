@@ -47,6 +47,8 @@ from pyspark.sql import types as T
 
 __all__ = ["parse_tar_members", "read_tar_members",
            "read_tar_samples", "encode_tar_shard",
+           "parse_zip_members", "read_zip_members",
+           "encode_zip_shard", "zip_bytes",
            "TAR_MEMBER_SCHEMA", "TAR_SAMPLE_SCHEMA"]
 
 
@@ -177,3 +179,91 @@ def encode_tar_shard(samples: list[tuple[str, dict[str, bytes]]],
                         compresslevel=gzip_level, mtime=0) as gz:
         gz.write(raw)
     return out.getvalue()
+
+
+# ------------------------------------------------------- zip shards
+#
+# The same member/key/ext contract over ZIP containers (r14): zip is
+# the other container format shard stores actually ship (scrape dumps,
+# Kaggle-style exports) and the one OPC document formats (DOCX, EPUB,
+# ODT) are built on — datapipe/zipdoc.py layers those extractors over
+# these primitives.  Plan shape is identical to the tar half: one zip
+# = one input row, members parse partition-local inside Arrow
+# mapInPandas, zero shuffle.
+
+def parse_zip_members(content: bytes) -> list[tuple[str, bytes]]:
+    """``[(member_name, data)]`` for regular-file zip members in
+    central-directory order; directories skipped; corrupt archives
+    raise ``ValueError``."""
+    import zipfile
+    try:
+        with zipfile.ZipFile(_io.BytesIO(content)) as zf:
+            out = []
+            for info in zf.infolist():
+                if info.is_dir():
+                    continue
+                out.append((info.filename, zf.read(info)))
+            return out
+    except (zipfile.BadZipFile, NotImplementedError,
+            EOFError, OSError) as exc:
+        raise ValueError(f"corrupt zip shard: {exc}") from exc
+    except zipfile.LargeZipFile as exc:      # pragma: no cover
+        raise ValueError(f"zip64 limit: {exc}") from exc
+
+
+def read_zip_members(df: DataFrame, content_col: str = "content",
+                     id_col: str = "shard_id") -> DataFrame:
+    """One row per zip member with the WebDataset key/ext split —
+    the zip twin of :func:`read_tar_members` (same schema, same
+    zero-shuffle Arrow plan)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TAR_MEMBER_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for sid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue
+                for name, data in parse_zip_members(bytes(content)):
+                    key, ext = _split_key(name)
+                    rows.append((int(sid), name, key, ext,
+                                 len(data), data))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=TAR_MEMBER_SCHEMA)
+
+
+def encode_zip_shard(samples: list[tuple[str, dict[str, bytes]]],
+                     compress: bool = True) -> bytes:
+    """Deterministic zip bytes from the same ``[(key, {ext: data})]``
+    shape :func:`encode_tar_shard` takes: members emitted as
+    ``key.ext`` in sample order with exts sorted, DOS timestamp
+    pinned to the 1980 epoch, fixed permissions — byte-stable for
+    identical input (zlib deflate is deterministic per level)."""
+    members = []
+    for key, parts in samples:
+        for ext in sorted(parts):
+            members.append((f"{key}.{ext}" if ext else key,
+                            parts[ext]))
+    return zip_bytes(members, compress=compress)
+
+
+def zip_bytes(members: list[tuple[str, bytes]],
+              compress: bool = True) -> bytes:
+    """Low-level deterministic zip writer: ``[(name, data)]`` in
+    given order.  ``compress=False`` stores every member; a per-
+    member override rides a 3-tuple ``(name, data, False)`` (OPC
+    formats require e.g. the EPUB ``mimetype`` member STORED
+    first)."""
+    import zipfile
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for m in members:
+            name, data = m[0], m[1]
+            comp = (m[2] if len(m) > 2 else compress)
+            info = zipfile.ZipInfo(name,
+                                   date_time=(1980, 1, 1, 0, 0, 0))
+            info.external_attr = 0o644 << 16
+            info.compress_type = (zipfile.ZIP_DEFLATED if comp
+                                  else zipfile.ZIP_STORED)
+            zf.writestr(info, data)
+    return buf.getvalue()
