@@ -2453,6 +2453,43 @@ def q_pdf_page_stats(spark, sf_dir):
                  .cast("long").alias("n_lines")))
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-k retrieval (datapipe/retrieval.py::bm25_topk —
+    r14: vocab-restricted postings, one doc_id exchange shared by the
+    tf and score aggregations, driver-coordinated idf literals, one
+    top-k window): every 20th document's first 3 normalized tokens
+    form a query; the oracle replays tokenization, df/idf, the exact
+    tf-normalization expression shape, round-6 scores and the doc-id
+    tiebreak rank."""
+    from pypond_spark.datapipe.retrieval import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    queries = (docs.where(F.col("doc_id") % 20 == 0)
+               .select(F.col("doc_id").cast("long").alias("query_id"),
+                       F.concat_ws(" ", F.slice(F.filter(
+                           dp_text._match_tokens("text"),
+                           lambda t: t != F.lit("")), 1, 3))
+                       .alias("query")))
+    return bm25_topk(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "text"),
+        queries, k=10)
+
+
+def q_hard_negatives_bm25(spark, sf_dir):
+    """Lexical hard-negative mining (datapipe/retrieval.py::
+    hard_negatives_bm25 — the BM25 twin of the embedding-based
+    hard_negatives row): anchors are every 20th doc, negatives are
+    the 5 highest-BM25 docs with a DIFFERENT lang; self-pairs and
+    same-label pairs never rank."""
+    from pypond_spark.datapipe.retrieval import hard_negatives_bm25
+
+    docs = _read(spark, sf_dir, "documents")
+    return hard_negatives_bm25(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "text", "lang"), k=5)
+
+
 def _synth_docx(docs):
     """Deterministic REAL DOCX per doc (datapipe/zipdoc.py::
     encode_docx — minimal OPC zip: [Content_Types].xml, _rels/.rels,
@@ -6717,6 +6754,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reorders never-driver-verified entries to the front automatically from
     the committed CORRECTNESS_r*.json snapshots."""
     return {
+        "bm25_topk": q_bm25_topk,
+        "hard_negatives_bm25": q_hard_negatives_bm25,
         "docx_text_extract": q_docx_text_extract,
         "docx_quality_pipeline": q_docx_quality_pipeline,
         "epub_text_extract": q_epub_text_extract,
@@ -13071,6 +13110,111 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY doc_id, page_no
         )
         SELECT doc_id, page_no, text FROM ln
+    """
+    d["bm25_topk"] = """
+        -- full BM25 replay: same token law as tfidf_top_terms, the
+        -- Lucene non-negative idf, the exact expression shape of the
+        -- Spark tf-normalization ((tf*2.2)/(tf + 1.2*(0.25 +
+        -- 0.75*(dl/avgdl)))), round-6 scores, doc-id tiebreak
+        WITH tk0 AS (
+          SELECT doc_id, list_filter(list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x != ''),
+                   x -> regexp_replace(lower(x),
+                       '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                 x -> x != '') AS tks
+          FROM documents
+        ), st AS (
+          SELECT count(*) AS n,
+                 sum(len(tks))::DOUBLE / count(*) AS avgdl
+          FROM tk0
+        ), tf AS (
+          SELECT doc_id, len(tks) AS dl, x AS tok, count(*) AS tf
+          FROM (SELECT doc_id, tks, unnest(tks) AS x FROM tk0)
+          GROUP BY doc_id, len(tks), x
+        ), qt AS (
+          SELECT doc_id AS query_id,
+                 unnest(list_distinct(tks[1:3])) AS term
+          FROM tk0 WHERE doc_id % 20 = 0
+        ), dfreq AS (
+          SELECT tok, count(*) AS df FROM tf
+          WHERE tok IN (SELECT DISTINCT term FROM qt)
+          GROUP BY tok
+        ), sc AS (
+          SELECT qt.query_id AS query_id, tf.doc_id AS doc_id,
+                 round(sum(
+                   ln(1 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * ((tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (0.25
+                                        + 0.75 * (tf.dl / st.avgdl))))
+                 ), 6) AS bm25,
+                 CAST(count(*) AS INT) AS n_matched
+          FROM qt
+          JOIN tf ON tf.tok = qt.term
+          JOIN dfreq ON dfreq.tok = tf.tok
+          CROSS JOIN st
+          GROUP BY qt.query_id, tf.doc_id
+        )
+        SELECT query_id,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY bm25 DESC, doc_id) AS INT) AS rank,
+               doc_id, bm25, n_matched
+        FROM sc
+        QUALIFY rank <= 10
+    """
+    d["hard_negatives_bm25"] = """
+        -- the bm25_topk replay with label exclusion: candidates with
+        -- the anchor's lang (or the anchor itself) never rank
+        WITH tk0 AS (
+          SELECT doc_id, lang, list_filter(list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x != ''),
+                   x -> regexp_replace(lower(x),
+                       '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g')),
+                 x -> x != '') AS tks
+          FROM documents
+        ), st AS (
+          SELECT count(*) AS n,
+                 sum(len(tks))::DOUBLE / count(*) AS avgdl
+          FROM tk0
+        ), tf AS (
+          SELECT doc_id, lang, len(tks) AS dl, x AS tok,
+                 count(*) AS tf
+          FROM (SELECT doc_id, lang, tks, unnest(tks) AS x FROM tk0)
+          GROUP BY doc_id, lang, len(tks), x
+        ), qt AS (
+          SELECT doc_id AS query_id, lang AS qlang,
+                 unnest(list_distinct(tks[1:3])) AS term
+          FROM tk0 WHERE doc_id % 20 = 0
+        ), dfreq AS (
+          SELECT tok, count(*) AS df FROM tf
+          WHERE tok IN (SELECT DISTINCT term FROM qt)
+          GROUP BY tok
+        ), sc AS (
+          SELECT qt.query_id AS anchor_id, tf.doc_id AS neg_id,
+                 round(sum(
+                   ln(1 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * ((tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (0.25
+                                        + 0.75 * (tf.dl / st.avgdl))))
+                 ), 6) AS bm25,
+                 CAST(count(*) AS INT) AS n_matched
+          FROM qt
+          JOIN tf ON tf.tok = qt.term
+                 AND tf.lang != qt.qlang
+                 AND tf.doc_id != qt.query_id
+          JOIN dfreq ON dfreq.tok = tf.tok
+          CROSS JOIN st
+          GROUP BY qt.query_id, tf.doc_id
+        )
+        SELECT anchor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY anchor_id
+                 ORDER BY bm25 DESC, neg_id) AS INT) AS neg_rank,
+               neg_id, bm25, n_matched
+        FROM sc
+        QUALIFY neg_rank <= 5
     """
     d["docx_text_extract"] = """
         -- mirror of _synth_docx: base paragraphs md5(text||'&dx'||p)

@@ -315,6 +315,8 @@ HEADLINE = [
     "tar_multimodal_pipeline",
     "warc_gz_members",
     "pdf_info",
+    "bm25_topk",
+    "hard_negatives_bm25",
     "docx_text_extract",
     "docx_quality_pipeline",
     "epub_text_extract",
