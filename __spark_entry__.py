@@ -2453,6 +2453,83 @@ def q_pdf_page_stats(spark, sf_dir):
                  .cast("long").alias("n_lines")))
 
 
+def q_pdf_triage(spark, sf_dir):
+    """Encrypted-PDF triage (datapipe/pdf.py::pdf_info — r14: the
+    /Encrypt flag path that counts pages from the plaintext document
+    structure instead of raising): docs with doc_id%4 == 0 are
+    synthesized with a standard-security-handler /Encrypt dictionary;
+    their title reports NULL (strings would be ciphertext in a real
+    file) while n_pages still counts — the cheap flag-don't-except
+    stat a real corpus wants before routing to a decryption tier."""
+    from pypond_spark.datapipe.pdf import (encode_pdf,
+                                           extract_pdf_info)
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def enc(batches):
+        for pdf_ in batches:
+            rows = []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(did)
+                pages = ["x"] * (1 + did % 3)
+                rows.append((did, encode_pdf(
+                    pages,
+                    title=_hl.md5(f"{text}&ti".encode("utf-8"))
+                    .hexdigest(),
+                    encrypt=did % 4 == 0)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    pdfs = (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+            .mapInPandas(enc, "doc_id long, content binary"))
+    return (extract_pdf_info(pdfs)
+            .select("doc_id", "encrypted", "title", "n_pages"))
+
+
+def q_audio_id3_tags(spark, sf_dir):
+    """ID3v2 tag triage (datapipe/id3.py — r14: the header-only MP3
+    metadata tier beside pdf_info and sniff_audio_meta): versions
+    2.2/2.3/2.4 rotate by doc_id%3, text encodings latin1/utf16
+    (+utf8 on 2.4) rotate within each version, a fake MPEG frame
+    follows the tag so the syncsafe size walk is what finds the
+    frames; title/artist/album/length are md5/closed-form recipes."""
+    from pypond_spark.datapipe.id3 import encode_id3v2, audio_id3_tags
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def enc(batches):
+        for pdf_ in batches:
+            rows = []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(did)
+                version = 2 + did % 3
+                encs = ("latin1", "utf16", "utf8") if version == 4 \
+                    else ("latin1", "utf16")
+                tag = encode_id3v2(
+                    {"title": _hl.md5(f"{text}&it".encode("utf-8"))
+                     .hexdigest(),
+                     "artist": f"artist-{did % 7}",
+                     "album": _hl.md5(f"{text}&ia".encode("utf-8"))
+                     .hexdigest()[:16],
+                     "length_ms": 1000 + did % 977},
+                    version=version,
+                    encoding=encs[(did // 3) % len(encs)],
+                    padding=did % 5)
+                rows.append((did, tag + b"\xff\xfb\x90\x00" + b"\x55" * 32))
+            yield _pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                         "text")
+             .mapInPandas(enc, "doc_id long, content binary"))
+    return audio_id3_tags(blobs)
+
+
 def q_bm25_topk(spark, sf_dir):
     """Okapi BM25 top-k retrieval (datapipe/retrieval.py::bm25_topk —
     r14: vocab-restricted postings, one doc_id exchange shared by the
@@ -6754,6 +6831,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reorders never-driver-verified entries to the front automatically from
     the committed CORRECTNESS_r*.json snapshots."""
     return {
+        "pdf_triage": q_pdf_triage,
+        "audio_id3_tags": q_audio_id3_tags,
         "bm25_topk": q_bm25_topk,
         "hard_negatives_bm25": q_hard_negatives_bm25,
         "docx_text_extract": q_docx_text_extract,
@@ -13110,6 +13189,24 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY doc_id, page_no
         )
         SELECT doc_id, page_no, text FROM ln
+    """
+    d["pdf_triage"] = """
+        -- encrypted docs (doc_id%4=0) flag true with NULL title;
+        -- n_pages counts from the plaintext pages tree either way
+        SELECT doc_id, doc_id % 4 = 0 AS encrypted,
+               CASE WHEN doc_id % 4 = 0 THEN NULL
+                    ELSE md5(text || '&ti') END AS title,
+               CAST(1 + doc_id % 3 AS INT) AS n_pages
+        FROM documents
+    """
+    d["audio_id3_tags"] = """
+        SELECT doc_id,
+               '2.' || CAST(2 + doc_id % 3 AS VARCHAR) AS version,
+               md5(text || '&it') AS title,
+               'artist-' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+               substr(md5(text || '&ia'), 1, 16) AS album,
+               CAST(1000 + doc_id % 977 AS BIGINT) AS length_ms
+        FROM documents
     """
     d["bm25_topk"] = """
         -- full BM25 replay: same token law as tfidf_top_terms, the

@@ -315,6 +315,8 @@ HEADLINE = [
     "tar_multimodal_pipeline",
     "warc_gz_members",
     "pdf_info",
+    "pdf_triage",
+    "audio_id3_tags",
     "bm25_topk",
     "hard_negatives_bm25",
     "docx_text_extract",

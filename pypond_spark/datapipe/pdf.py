@@ -563,7 +563,8 @@ _OBJ_RE = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)"
 _TRAILER_RE = re.compile(rb"trailer\b")
 
 
-def parse_pdf(content: bytes) -> tuple[dict, dict]:
+def parse_pdf(content: bytes,
+              allow_encrypted: bool = False) -> tuple[dict, dict]:
     """Scan a PDF byte stream into ``({obj_num: value}, trailer)``.
 
     Brute forward scan over ``N G obj`` headers (matches inside
@@ -573,7 +574,10 @@ def parse_pdf(content: bytes) -> tuple[dict, dict]:
     expanded so PDF 1.5+ compressed-object files work without an
     xref stream walk.  Later definitions of the same object number
     win (incremental updates).  Raises ``ValueError`` for structural
-    corruption and ``NotImplementedError`` for encryption.
+    corruption and ``NotImplementedError`` for encryption —
+    unless ``allow_encrypted`` (the r14 triage path: the document
+    STRUCTURE of an encrypted PDF is plaintext, only strings and
+    streams are enciphered, so page counting still works).
     """
     if not content.startswith(b"%PDF-"):
         i = content.find(b"%PDF-")
@@ -688,7 +692,7 @@ def parse_pdf(content: bytes) -> tuple[dict, dict]:
             if isinstance(obj, _Stream) \
                     and resolve(obj.dict.get("Type")) == "XRef":
                 trailer.update(obj.dict)
-    if trailer.get("Encrypt") is not None:
+    if not allow_encrypted and trailer.get("Encrypt") is not None:
         raise NotImplementedError(
             "encrypted PDF (RC4/AES document security)")
     return objmap, trailer
@@ -1017,14 +1021,27 @@ def pdf_info(content: bytes) -> dict:
     text fields (Title/Author/Subject/Producer/CreationDate — UTF-16BE
     when BOM-prefixed per the spec, else PDFDocEncoding≈Latin-1) plus
     the real page count from the pages-tree walk.  Missing fields are
-    None; a PDF with no /Info still reports ``n_pages``."""
-    objmap, trailer = parse_pdf(content)
+    None; a PDF with no /Info still reports ``n_pages``.
+
+    Encrypted documents triage instead of raising (r14): the
+    ``encrypted`` flag flips True, string fields report None (their
+    bytes are RC4/AES ciphertext — never surface ciphertext as
+    text), and ``n_pages`` still counts from the pages tree, which
+    the spec keeps plaintext.  (An encrypted PDF whose page objects
+    hide inside /ObjStm still raises — the object stream payload
+    itself is enciphered; classic-xref encrypted files, the common
+    case, triage fine.)  Full decryption stays the documented
+    ``extract_pdf_text`` NotImplementedError."""
+    objmap, trailer = parse_pdf(content, allow_encrypted=True)
     resolve = _make_resolver(objmap)
+    encrypted = trailer.get("Encrypt") is not None
 
     info = resolve(trailer.get("Info"))
     info = info if isinstance(info, dict) else {}
 
     def text(key):
+        if encrypted:
+            return None
         v = resolve(info.get(key))
         if isinstance(v, bytes):
             if v[:2] == b"\xfe\xff":
@@ -1035,6 +1052,7 @@ def pdf_info(content: bytes) -> dict:
     return {"title": text("Title"), "author": text("Author"),
             "subject": text("Subject"), "producer": text("Producer"),
             "created": text("CreationDate"),
+            "encrypted": encrypted,
             "n_pages": len(_walk_pages(objmap, trailer, resolve))}
 
 
@@ -1074,6 +1092,7 @@ PDF_INFO_SCHEMA = T.StructType([
     T.StructField("subject", T.StringType()),
     T.StructField("producer", T.StringType()),
     T.StructField("created", T.StringType()),
+    T.StructField("encrypted", T.BooleanType()),
     T.StructField("n_pages", T.IntegerType()),
 ])
 
@@ -1093,7 +1112,8 @@ def extract_pdf_info(df: DataFrame, content_col: str = "content",
                 d = pdf_info(bytes(content))
                 rows.append((int(did), d["title"], d["author"],
                              d["subject"], d["producer"],
-                             d["created"], d["n_pages"]))
+                             d["created"], d["encrypted"],
+                             d["n_pages"]))
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, schema=PDF_INFO_SCHEMA)
@@ -1117,7 +1137,8 @@ def encode_pdf(pages: list[str], compress=True,
                string_form: str = "literal",
                title: str | None = None,
                author: str | None = None,
-               via_form: bool = False) -> bytes:
+               via_form: bool = False,
+               encrypt: bool = False) -> bytes:
     """Deterministic, externally-valid PDF 1.4 bytes: one Helvetica
     text column per page, each line a show operator with ``0 -14 Td``
     line advances, classic xref table with correct offsets.
@@ -1137,6 +1158,13 @@ def encode_pdf(pages: list[str], compress=True,
     the page content stream is just ``/Fm0 Do`` — the layout
     generators that render through templates emit, exercising the
     extractor's ``Do`` recursion with form-local /Resources.
+
+    ``encrypt`` (r14): writes a standard-security-handler /Encrypt
+    dictionary and references it from the trailer — the TRIAGE
+    fixture for :func:`pdf_info`'s encrypted path.  Streams and
+    strings stay plaintext (this writer implements no RC4/AES); the
+    flag exists to exercise detection, page counting under
+    /Encrypt, and the text-extractor's honest raise.
     """
     if string_form not in ("literal", "hex", "tj"):
         raise ValueError(f"bad string_form {string_form!r}")
@@ -1225,6 +1253,13 @@ def encode_pdf(pages: list[str], compress=True,
             fields += key + b" (" + _escape_literal(raw) + b") "
         objs.append(b"<< " + fields + b">>")
         info_num = len(objs)
+    enc_num = None
+    if encrypt:
+        # standard security handler, RC4 40-bit shape (V 1 / R 2):
+        # fixed 32-byte /O and /U entries keep the writer deterministic
+        objs.append(b"<< /Filter /Standard /V 1 /R 2 /P -44 /O <"
+                    + b"aa" * 32 + b"> /U <" + b"bb" * 32 + b"> >>")
+        enc_num = len(objs)
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -1237,7 +1272,8 @@ def encode_pdf(pages: list[str], compress=True,
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
     info = b" /Info %d 0 R" % info_num if info_num else b""
-    out += (b"trailer\n<< /Size %d /Root 1 0 R%s >>\n"
+    enc = b" /Encrypt %d 0 R" % enc_num if enc_num else b""
+    out += (b"trailer\n<< /Size %d /Root 1 0 R%s%s >>\n"
             b"startxref\n%d\n%%%%EOF\n"
-            % (len(objs) + 1, info, xref_at))
+            % (len(objs) + 1, info, enc, xref_at))
     return bytes(out)
