@@ -5088,6 +5088,79 @@ def q_warc_responses(spark, sf_dir):
                       F.md5("payload").alias("payload_digest"))
 
 
+def q_stream_tar_ingest(spark, sf_dir):
+    """Streaming multimodal shard ingest (r14, the streaming twin of
+    tar_shard_ingest): readStream binaryFile over a directory of
+    REAL tar shards (the _synth_tar recipe, one shard file per doc,
+    odd docs gzipped) -> read_tar_members parses partition-local
+    inside the micro-batch (mapInPandas composes with Structured
+    Streaming unchanged) -> stream_first_seen dedup gate keyed on
+    member-content digest.  The rotating single-char cls members
+    collide across shards BY CONSTRUCTION, so the gate suppresses
+    real duplicates (~40%% of cls rows); the batch twin is min-order
+    per distinct content.  maxFilesPerTrigger is pinned above the
+    shard count so one availableNow batch sees every file — the
+    min-order tie-break is then deterministic."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pypond_spark.datapipe.tarshard import read_tar_members
+    from pypond_spark.streaming.stream import stream_first_seen
+
+    docs = _read(spark, sf_dir, "documents")
+
+    # file-fixture cache, same key law as _cached_media
+    root = os.environ.get("PYPOND_FIXTURE_DIR") or os.path.join(
+        tempfile.gettempdir(), "pypond_fixtures")
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        fp = f"{st.st_size}_{st.st_mtime_ns}"
+    except OSError:
+        fp = "nostat"
+    key = (f"streamtar_v1_"
+           f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}")
+    path = os.path.join(root, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, f".{key}.{uuid.uuid4().hex}")
+        os.makedirs(tmp, exist_ok=True)
+        for r in _synth_tar(docs).collect():
+            with open(os.path.join(tmp, f"{r['shard_id']:08d}.tar"),
+                      "wb") as f:
+                f.write(bytes(r["content"]))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    sdf = (spark.readStream.format("binaryFile")
+           .schema("path string, modificationTime timestamp, "
+                   "length long, content binary")
+           .option("pathGlobFilter", "*.tar")
+           .option("maxFilesPerTrigger", 1000000)
+           .load(path))
+    sid = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1),
+        r"(\d+)", 1).cast("long")
+    members = read_tar_members(
+        sdf.select(sid.alias("shard_id"), "content"))
+    keyed = members.select(
+        F.md5("data").alias("digest"),
+        (F.col("shard_id") * 3
+         + F.element_at(F.split("sample_key", "-"), 2).cast("long"))
+        .alias("ord"),
+        "ext", "n_bytes",
+        F.col("data").cast("string").alias("content"))
+    out = stream_first_seen(
+        keyed, key_col="digest",
+        payload_cols=("ord", "ext", "n_bytes", "content"),
+        order_col="ord")
+    return _run_stream_32(spark, out, "append")
+
+
 def q_warc_gz_members(spark, sf_dir):
     """Member-per-record .warc.gz ingest (datapipe/warc.py::
     parse_warc_gz + split_gzip_members — r13: the layout Common Crawl
@@ -6831,6 +6904,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reorders never-driver-verified entries to the front automatically from
     the committed CORRECTNESS_r*.json snapshots."""
     return {
+        "stream_tar_ingest": q_stream_tar_ingest,
         "pdf_triage": q_pdf_triage,
         "audio_id3_tags": q_audio_id3_tags,
         "bm25_topk": q_bm25_topk,
@@ -13189,6 +13263,36 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY doc_id, page_no
         )
         SELECT doc_id, page_no, text FROM ln
+    """
+    d["stream_tar_ingest"] = """
+        -- batch twin of the streaming gate: the _synth_tar member
+        -- recipe, min-order winner per distinct member content (the
+        -- single-char cls members are the planted cross-shard dupes)
+        WITH s AS (
+          SELECT doc_id, text, CAST(g.s AS INT) AS s
+          FROM documents CROSS JOIN generate_series(0, 2) g(s)
+          WHERE g.s <= doc_id % 3
+        ), m AS (
+          SELECT doc_id, s, 'txt' AS ext,
+                 md5(text || '&t' || CAST(s AS VARCHAR)) AS content
+          FROM s
+          UNION ALL
+          SELECT doc_id, s, 'json',
+                 '{"k":"' || md5(text || '&j' || CAST(s AS VARCHAR))
+                 || '"}'
+          FROM s
+          UNION ALL
+          SELECT doc_id, s, 'cls',
+                 CAST((doc_id + s) % 10 AS VARCHAR)
+          FROM s WHERE (doc_id + s) % 2 = 0
+        )
+        SELECT md5(content) AS digest,
+               min(doc_id * 3 + s) AS ord,
+               arg_min(ext, doc_id * 3 + s) AS ext,
+               CAST(arg_min(length(content), doc_id * 3 + s)
+                    AS BIGINT) AS n_bytes,
+               arg_min(content, doc_id * 3 + s) AS content
+        FROM m GROUP BY 1
     """
     d["pdf_triage"] = """
         -- encrypted docs (doc_id%4=0) flag true with NULL title;
