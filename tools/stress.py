@@ -523,6 +523,79 @@ def _mega_audit(mega_docs, cluster_size, lsh_candidate_pairs,
     return wall
 
 
+def _pdf_extract_stress(spark, n: int) -> float:
+    """r14: PDF extraction heavy-tail tier — two corpus sizes 10x
+    apart, every document DAMAGED in the ways the parser advertises
+    surviving (rotating by doc id): garbaged xref table, injected
+    junk objects, and a short /DecodeParms array next to an array
+    /Filter.  Synthesis is localCheckpointed before the clock; the
+    timed pass is extract_pdf_text + a page-count assertion, so a
+    silently-dropped page fails the stress run rather than skewing
+    the throughput number."""
+    import time as _time
+
+    from pyspark.sql import functions as F2
+
+    walls = []
+    for docs_n in (max(n // 20000, 100), max(n // 2000, 1000)):
+        def synth(batches, docs_n=docs_n):
+            import re as _re
+
+            import pandas as _pd
+
+            from pypond_spark.datapipe.pdf import encode_pdf
+            for pdf_ in batches:
+                rows = []
+                for did in pdf_["id"]:
+                    did = int(did)
+                    pages = ["\n".join(
+                        f"line-{did}-{p}-{li} lorem ipsum dolor"
+                        for li in range(3))
+                        for p in range(1 + did % 3)]
+                    data = encode_pdf(
+                        pages,
+                        compress=(False, True, "lzw")[did % 3])
+                    if did % 3 == 0:
+                        # xref garbage: brute scan must not care
+                        data = _re.sub(
+                            rb"xref\n.*?trailer",
+                            b"xref\n0 0\n%% damaged table\ntrailer",
+                            data, flags=_re.S)
+                    elif did % 3 == 1:
+                        # junk object mid-file: parse() must skip it
+                        data = data.replace(
+                            b"\n2 0 obj",
+                            b"\n99 0 obj\n<<< not a dict ((\nendobj"
+                            b"\n2 0 obj", 1)
+                    else:
+                        # array filter + SHORT DecodeParms array
+                        data = data.replace(
+                            b"/Filter /LZWDecode",
+                            b"/Filter [/LZWDecode] /DecodeParms []")
+                    rows.append((did, 1 + did % 3, data))
+                yield _pd.DataFrame(
+                    rows, columns=["doc_id", "n_pages", "content"])
+
+        pdfs = (spark.range(docs_n)
+                .repartition(spark.sparkContext.defaultParallelism)
+                .mapInPandas(synth, "doc_id long, n_pages int, "
+                                    "content binary")
+                .localCheckpoint())
+        want_pages = pdfs.agg(F2.sum("n_pages")).first()[0]
+
+        from pypond_spark.datapipe.pdf import extract_pdf_text
+        t0 = _time.time()
+        got = extract_pdf_text(pdfs).count()
+        walls.append(_time.time() - t0)
+        assert got == want_pages, (got, want_pages)
+        print(f"    [pdf_extract] {docs_n:,} damaged docs "
+              f"({got:,} pages): {walls[-1]:.1f}s "
+              f"({walls[-1] / docs_n * 1000:.2f} ms/doc)")
+    print(f"    [pdf_extract] 10x docs -> "
+          f"{walls[1] / walls[0]:.2f}x wall")
+    return walls[1]
+
+
 def main() -> None:
     mrows = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
     only = set(sys.argv[2:])
@@ -539,7 +612,8 @@ def main() -> None:
                "kn3_logprob_pruned", "neardup_index",
                "neardup_generations", "neardup_small_batch"}
     self_synth = {"video_near_dups", "extract_content",
-                  "transcode_payload"}   # r12: build their own frames
+                  "transcode_payload",
+                  "pdf_extract"}         # r12/r14: build their own frames
     ev_needed = not only or bool(
         only - emb_ops - doc_ops - self_synth
         - {"dedup_mega_cluster", "dedup_documents"})
@@ -781,6 +855,8 @@ def main() -> None:
         "video_near_dups": lambda: _video_neardup_stress(spark),
         "extract_content": lambda: _extract_content_stress(spark),
         "transcode_payload": lambda: _transcode_stress(spark, n),
+        # r14: extraction-tier heavy tail — damaged-PDF corpus
+        "pdf_extract": lambda: _pdf_extract_stress(spark, n),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
