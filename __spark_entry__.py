@@ -2636,6 +2636,58 @@ def q_docx_quality_pipeline(spark, sf_dir):
     return dp_text.gopher_quality(ex)
 
 
+def _synth_odt(docs):
+    """Deterministic REAL ODT per doc (datapipe/zipdoc.py::
+    encode_odt — ODF package, STORED mimetype first, content.xml):
+    a text:h heading md5(text||'&oh'), paragraphs p in 0..1+doc_id%3
+    with text md5(text||'&op'||p), then a rotating structural extra:
+    doc_id%4==0 a double-space paragraph (the ODF text:s
+    whitespace-compression rule), ==1 a text:tab paragraph, ==2 a
+    text:line-break paragraph."""
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from pypond_spark.datapipe.zipdoc import encode_odt
+
+    def enc(batches):
+        for pdf_ in batches:
+            rows = []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(did)
+
+                def h(tag):
+                    return _hl.md5(f"{text}&{tag}".encode("utf-8")) \
+                        .hexdigest()
+
+                paras = [h(f"op{p}") for p in range(2 + did % 3)]
+                if did % 4 == 0:
+                    paras.append(h("os1") + "  " + h("os2"))
+                elif did % 4 == 1:
+                    paras.append(h("ot1") + "\t" + h("ot2"))
+                elif did % 4 == 2:
+                    paras.append(h("ob1") + "\n" + h("ob2"))
+                rows.append((did, encode_odt(paras,
+                                             heading=h("oh"))))
+            yield _pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+            .mapInPandas(enc, "doc_id long, content binary"))
+
+
+def q_odt_text_extract(spark, sf_dir):
+    """ODT text extraction (datapipe/zipdoc.py::extract_odt_text —
+    the third leg of the r14 zip-document family: ODF content.xml
+    text:p/text:h walk with text:tab / text:line-break / text:s
+    whitespace expansion): one row per document against the md5
+    recipe oracle."""
+    from pypond_spark.datapipe.zipdoc import extract_odt_text
+
+    docs = _read(spark, sf_dir, "documents")
+    return extract_odt_text(_synth_odt(docs))
+
+
 def _synth_epub(docs):
     """Deterministic REAL EPUB per doc (datapipe/zipdoc.py::
     encode_epub — OCF container: STORED mimetype first, container.xml
@@ -6912,6 +6964,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_text_extract": q_docx_text_extract,
         "docx_quality_pipeline": q_docx_quality_pipeline,
         "epub_text_extract": q_epub_text_extract,
+        "odt_text_extract": q_odt_text_extract,
         "zip_shard_ingest": q_zip_shard_ingest,
         "pdf_text_extract": q_pdf_text_extract,
         "pdf_page_stats": q_pdf_page_stats,
@@ -13518,6 +13571,33 @@ def oracle_sql() -> dict[str, str]:
                  AND stop_hits >= 2 AND bulletf < 0.9
                  AND ellf < 0.3 AS gopher_pass
         FROM m
+    """
+    d["odt_text_extract"] = """
+        -- mirror of _synth_odt: heading md5(text||'&oh'), paragraphs
+        -- md5(text||'&op'||p) for p in 0..1+doc_id%3, then the
+        -- rotating double-space / tab / line-break paragraph
+        WITH base AS (
+          SELECT doc_id, text,
+                 string_agg(md5(text || '&op'
+                                || CAST(g.p AS VARCHAR)), chr(10)
+                            ORDER BY g.p) AS t,
+                 CAST(3 + doc_id % 3 AS INT) AS nb
+          FROM documents CROSS JOIN generate_series(0, 3) g(p)
+          WHERE g.p <= 1 + doc_id % 3
+          GROUP BY doc_id, text
+        )
+        SELECT doc_id,
+               md5(text || '&oh') || chr(10) || t || CASE
+                 WHEN doc_id % 4 = 0 THEN chr(10) || md5(text||'&os1')
+                      || '  ' || md5(text||'&os2')
+                 WHEN doc_id % 4 = 1 THEN chr(10) || md5(text||'&ot1')
+                      || chr(9) || md5(text||'&ot2')
+                 WHEN doc_id % 4 = 2 THEN chr(10) || md5(text||'&ob1')
+                      || chr(10) || md5(text||'&ob2')
+                 ELSE '' END AS text,
+               CAST(nb + CASE WHEN doc_id % 4 < 3 THEN 1 ELSE 0 END
+                    AS INT) AS n_paragraphs
+        FROM base
     """
     d["epub_text_extract"] = """
         -- mirror of _synth_epub in SPINE order: chapter c = title

@@ -322,6 +322,7 @@ HEADLINE = [
     "docx_text_extract",
     "docx_quality_pipeline",
     "epub_text_extract",
+    "odt_text_extract",
     "zip_shard_ingest",
 ]
 

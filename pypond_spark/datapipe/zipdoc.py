@@ -56,6 +56,7 @@ from .tarshard import parse_zip_members, zip_bytes
 
 __all__ = ["docx_text", "extract_docx_text", "encode_docx",
            "epub_chapters", "extract_epub_text", "encode_epub",
+           "odt_text", "extract_odt_text", "encode_odt",
            "DOCX_TEXT_SCHEMA", "EPUB_CHAPTER_SCHEMA"]
 
 _W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
@@ -356,3 +357,105 @@ def encode_epub(chapters: list[tuple[str, list[str]]],
         [("mimetype", b"application/epub+zip", False),
          ("META-INF/container.xml", _EPUB_CONTAINER),
          ("OEBPS/content.opf", opf)] + files)
+
+
+# -------------------------------------------------------------- ODT
+
+_ODT_TEXT_NS = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_ODT_OFFICE_NS = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+
+
+def odt_text(content: bytes) -> tuple[str, int]:
+    """``(text, n_paragraphs)`` from ODT bytes (OASIS ODF 1.2
+    ``content.xml``): every ``text:p`` and ``text:h`` in document
+    order (table cells hold ordinary paragraphs, so they ride the
+    same walk), ``text:tab`` -> TAB, ``text:line-break`` -> newline,
+    ``text:s`` -> its ``text:c`` count of spaces (ODF whitespace
+    compression).  Same join/raise contract as :func:`docx_text`."""
+    members = _zip_map(content)
+    doc = members.get("content.xml")
+    if doc is None:
+        raise ValueError("ODT without content.xml")
+    root = _parse_xml(doc, "content.xml")
+    t = "{%s}" % _ODT_TEXT_NS
+    paras = []
+    for p in root.iter():
+        if p.tag not in (t + "p", t + "h"):
+            continue
+        buf = []
+        if p.text:
+            buf.append(p.text)
+        for node in p.iter():
+            if node is p:
+                continue
+            if node.tag == t + "tab":
+                buf.append("\t")
+            elif node.tag == t + "line-break":
+                buf.append("\n")
+            elif node.tag == t + "s":
+                buf.append(" " * int(node.get(t + "c", "1") or "1"))
+            elif node.text and node.tag != t + "note":
+                buf.append(node.text)
+            if node.tail:
+                buf.append(node.tail)
+        paras.append("".join(buf))
+    return "\n".join(paras), len(paras)
+
+
+def extract_odt_text(df: DataFrame, content_col: str = "content",
+                     id_col: str = "doc_id") -> DataFrame:
+    """One row per document: ``(doc_id, text, n_paragraphs)`` — the
+    ODT twin of :func:`extract_docx_text` (same schema, same
+    zero-shuffle Arrow plan)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DOCX_TEXT_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue
+                text, npar = odt_text(bytes(content))
+                rows.append((int(did), text, npar))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=DOCX_TEXT_SCHEMA)
+
+
+def _odt_spans(text: str) -> str:
+    """Paragraph text -> ODF inline XML: TAB -> ``text:tab``,
+    newline -> ``text:line-break``, runs of 2+ spaces -> one space +
+    ``text:s text:c=...`` (the ODF whitespace-compression rule)."""
+    out = []
+    for piece in _re.split(r"([\t\n]| {2,})", text):
+        if piece == "\t":
+            out.append("<text:tab/>")
+        elif piece == "\n":
+            out.append("<text:line-break/>")
+        elif piece.startswith("  "):
+            out.append(f' <text:s text:c="{len(piece) - 1}"/>')
+        elif piece:
+            out.append(_xml_escape(piece))
+    return "".join(out)
+
+
+def encode_odt(paragraphs: list[str],
+               heading: str | None = None) -> bytes:
+    """Deterministic ODT bytes: optional ``text:h`` heading then the
+    paragraphs; mimetype member STORED first per the ODF package
+    spec."""
+    body = []
+    if heading is not None:
+        body.append(f"<text:h>{_odt_spans(heading)}</text:h>")
+    body += [f"<text:p>{_odt_spans(p)}</text:p>" for p in paragraphs]
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{_ODT_OFFICE_NS}" '
+        f'xmlns:text="{_ODT_TEXT_NS}"><office:body><office:text>'
+        + "".join(body)
+        + "</office:text></office:body></office:document-content>"
+    ).encode()
+    return zip_bytes([
+        ("mimetype",
+         b"application/vnd.oasis.opendocument.text", False),
+        ("content.xml", content),
+    ])

@@ -174,3 +174,44 @@ def test_docx_feeds_quality_pipeline(spark):
     row = textstats.gopher_quality(ex).collect()[0]
     assert row.n_words == 64
     assert row.gopher_pass
+
+
+# -------------------------------------------------------------- ODT
+
+def test_odt_roundtrip_tabs_breaks_spaces_heading():
+    paras = ["hello world", "a\tb", "x\ny", "two  spaces",
+             "tri   ple", "end space "]
+    data = zipdoc.encode_odt(paras, heading="Head & <Title>")
+    text, n = zipdoc.odt_text(data)
+    assert text == ("Head & <Title>\nhello world\na\tb\nx\ny\n"
+                    "two  spaces\ntri   ple\nend space ")
+    assert n == 7
+    assert data == zipdoc.encode_odt(paras, heading="Head & <Title>")
+    # mimetype member is FIRST and STORED (ODF package rule)
+    import zipfile, io
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    first = zf.infolist()[0]
+    assert first.filename == "mimetype"
+    assert first.compress_type == zipfile.ZIP_STORED
+
+
+def test_odt_malformed_raises():
+    with pytest.raises(ValueError, match="corrupt zip"):
+        zipdoc.odt_text(b"PK\x03\x04junk")
+    with pytest.raises(ValueError, match="without content.xml"):
+        zipdoc.odt_text(tarshard.zip_bytes([("styles.xml", b"<x/>")]))
+    with pytest.raises(ValueError, match="malformed"):
+        zipdoc.odt_text(tarshard.zip_bytes(
+            [("content.xml", b"<office:document-content>")]))
+
+
+def test_odt_spark(spark):
+    docs = spark.createDataFrame(
+        [(1, zipdoc.encode_odt(["p one", "p two"])),
+         (2, zipdoc.encode_odt(["solo"], heading="H")),
+         (3, None)],
+        "doc_id long, content binary")
+    rows = (zipdoc.extract_odt_text(docs)
+            .orderBy("doc_id").collect())
+    assert [(r.doc_id, r.text, r.n_paragraphs) for r in rows] == [
+        (1, "p one\np two", 2), (2, "H\nsolo", 2)]
