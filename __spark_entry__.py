@@ -2567,6 +2567,29 @@ def q_hard_negatives_bm25(spark, sf_dir):
                     "text", "lang"), k=5)
 
 
+def q_decontam_retrieval(spark, sf_dir):
+    """Decontamination-by-retrieval (datapipe/retrieval.py::
+    decontam_retrieval — the ranked lexical variant beside the n-gram
+    decontam rows): every 20th doc's first-3-token query stands in
+    for an eval item; training docs ranking top-10 with bm25 >= 1.0
+    are flagged with their hit count and strongest query.  The
+    oracle wraps the bm25_topk replay with the same threshold,
+    grouping and strongest-hit tiebreak."""
+    from pypond_spark.datapipe.retrieval import decontam_retrieval
+
+    docs = _read(spark, sf_dir, "documents")
+    queries = (docs.where(F.col("doc_id") % 20 == 0)
+               .select(F.col("doc_id").cast("long").alias("query_id"),
+                       F.concat_ws(" ", F.slice(F.filter(
+                           dp_text._match_tokens("text"),
+                           lambda t: t != F.lit("")), 1, 3))
+                       .alias("query")))
+    return decontam_retrieval(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "text"),
+        queries, k=10, min_score=1.0)
+
+
 def _synth_docx(docs):
     """Deterministic REAL DOCX per doc (datapipe/zipdoc.py::
     encode_docx — minimal OPC zip: [Content_Types].xml, _rels/.rels,
@@ -6961,6 +6984,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_id3_tags": q_audio_id3_tags,
         "bm25_topk": q_bm25_topk,
         "hard_negatives_bm25": q_hard_negatives_bm25,
+        "decontam_retrieval": q_decontam_retrieval,
         "docx_text_extract": q_docx_text_extract,
         "docx_quality_pipeline": q_docx_quality_pipeline,
         "epub_text_extract": q_epub_text_extract,
@@ -13469,6 +13493,27 @@ def oracle_sql() -> dict[str, str]:
                neg_id, bm25, n_matched
         FROM sc
         QUALIFY neg_rank <= 5
+    """
+    d["decontam_retrieval"] = f"""
+        -- the bm25_topk replay thresholded at 1.0, grouped per
+        -- training doc with the strongest-hit tiebreak (max bm25,
+        -- ties -> smaller query_id)
+        WITH hits AS MATERIALIZED ({d["bm25_topk"]}),
+        f AS (SELECT * FROM hits WHERE bm25 >= 1.0),
+        g AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_queries_hit,
+                 max(bm25) AS max_bm25
+          FROM f GROUP BY doc_id
+        ), r AS (
+          SELECT doc_id, query_id,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY bm25 DESC, query_id) AS rn
+          FROM f
+        )
+        SELECT g.doc_id AS doc_id, g.n_queries_hit AS n_queries_hit,
+               g.max_bm25 AS max_bm25, r.query_id AS top_query_id
+        FROM g JOIN r ON r.doc_id = g.doc_id AND r.rn = 1
     """
     d["docx_text_extract"] = """
         -- mirror of _synth_docx: base paragraphs md5(text||'&dx'||p)

@@ -319,6 +319,7 @@ HEADLINE = [
     "audio_id3_tags",
     "bm25_topk",
     "hard_negatives_bm25",
+    "decontam_retrieval",
     "docx_text_extract",
     "docx_quality_pipeline",
     "epub_text_extract",

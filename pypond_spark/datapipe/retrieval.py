@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 from ._util import spread
 from .textstats import _match_tokens
 
-__all__ = ["bm25_topk", "hard_negatives_bm25"]
+__all__ = ["bm25_topk", "hard_negatives_bm25", "decontam_retrieval"]
 
 
 def _tok_arr(text_col: str) -> Column:
@@ -191,3 +191,40 @@ def hard_negatives_bm25(docs: DataFrame, k: int = 5,
                       F.col("rank").alias("neg_rank"),
                       F.col(id_col).alias("neg_id"),
                       "bm25", "n_matched")
+
+
+def decontam_retrieval(docs: DataFrame, queries: DataFrame,
+                       k: int = 10, min_score: float = 0.0,
+                       k1: float = 1.2, b: float = 0.75,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       query_col: str = "query",
+                       qid_col: str = "query_id",
+                       max_df_ratio: float | None = None,
+                       round_to: int = 6) -> DataFrame:
+    """Decontamination-by-retrieval (the GPT-3/PaLM appendix recipe
+    restated as ranking: run every EVAL item as a BM25 query over the
+    training corpus and drop whatever ranks): one row per CONTAMINATED
+    training document — any doc in some query's top-``k`` with
+    ``bm25 >= min_score`` — with how many eval items hit it and the
+    strongest hit.  The complement of this frame is the clean corpus;
+    the n-gram-overlap duals live in ``datapipe/decontam.py`` (this
+    is the ranked lexical variant that catches paraphrase-level
+    contamination n-gram matching misses at equal cost).
+
+    Output: ``(doc_id, n_queries_hit, max_bm25, top_query_id)`` with
+    ``top_query_id`` = the qid of the strongest hit (ties -> smaller
+    qid).  Scale shape: bm25_topk's envelope plus one doc_id groupBy
+    over top-k-bounded rows.
+    """
+    hits = bm25_topk(docs, queries, k=k, k1=k1, b=b,
+                     text_col=text_col, id_col=id_col,
+                     query_col=query_col, qid_col=qid_col,
+                     max_df_ratio=max_df_ratio, round_to=round_to)
+    hits = hits.where(F.col("bm25") >= min_score)
+    return (hits.groupBy(id_col)
+            .agg(F.count("*").cast("int").alias("n_queries_hit"),
+                 F.max("bm25").alias("max_bm25"),
+                 F.min_by(qid_col, F.struct(
+                     (-F.col("bm25")).alias("s"),
+                     F.col(qid_col).alias("q")))
+                 .alias("top_query_id")))

@@ -97,3 +97,22 @@ def test_bm25_empty_corpus_raises(spark):
                                "query_id long, query string")
     with pytest.raises(ValueError, match="empty corpus"):
         bm25_topk(docs, qs)
+
+
+def test_decontam_retrieval_threshold_and_grouping(corpus, spark):
+    from pypond_spark.datapipe.retrieval import decontam_retrieval
+
+    qs = spark.createDataFrame([(100, "cat mat"), (101, "cat fur")],
+                               "query_id long, query string")
+    rows = {r.doc_id: r for r in
+            decontam_retrieval(corpus, qs, k=3).collect()}
+    # doc 3 matches both queries; its strongest hit is 101 (fur+cat+mat)
+    assert rows[3].n_queries_hit == 2
+    assert rows[3].top_query_id == 101
+    assert rows[3].max_bm25 > rows[0].max_bm25
+    # doc 4 never ranks
+    assert 4 not in rows
+    # a threshold above every score empties the frame, silently
+    # (decontam semantics: nothing contaminated is a fine answer)
+    assert decontam_retrieval(corpus, qs, k=3,
+                              min_score=99.0).count() == 0
