@@ -2453,6 +2453,22 @@ def q_pdf_page_stats(spark, sf_dir):
                  .cast("long").alias("n_lines")))
 
 
+def q_zip_sample_pairing(spark, sf_dir):
+    """Zip-shard sample pairing (datapipe/tarshard.py::
+    read_zip_samples — the zip twin of tar_sample_pairing, same
+    batch-local adjacent-member pairing, same oracle): ragged samples
+    keep their part counts and the txt payload rides the map."""
+    from pypond_spark.datapipe.tarshard import read_zip_samples
+
+    docs = _read(spark, sf_dir, "documents")
+    return (read_zip_samples(_synth_zipshard(docs))
+            .select(F.col("shard_id").alias("doc_id"), "sample_key",
+                    "n_parts",
+                    F.col("parts")["txt"].cast("string").alias("txt"),
+                    F.map_contains_key(F.col("parts"), F.lit("cls"))
+                    .alias("has_cls")))
+
+
 def q_pdf_triage(spark, sf_dir):
     """Encrypted-PDF triage (datapipe/pdf.py::pdf_info — r14: the
     /Encrypt flag path that counts pages from the plaintext document
@@ -6990,6 +7006,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epub_text_extract": q_epub_text_extract,
         "odt_text_extract": q_odt_text_extract,
         "zip_shard_ingest": q_zip_shard_ingest,
+        "zip_sample_pairing": q_zip_sample_pairing,
         "pdf_text_extract": q_pdf_text_extract,
         "pdf_page_stats": q_pdf_page_stats,
         "tar_shard_ingest": q_tar_shard_ingest,
@@ -13720,6 +13737,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents CROSS JOIN generate_series(0, 2) g(s)
         WHERE g.s <= doc_id % 3
     """
+    d["zip_sample_pairing"] = d["tar_sample_pairing"]
     # PNG row: same pixels by construction (the encode->decode roundtrip
     # is the thing under test), so the PPM oracle replays it verbatim
     d["image_phash_png"] = d["image_phash"]

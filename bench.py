@@ -325,6 +325,7 @@ HEADLINE = [
     "epub_text_extract",
     "odt_text_extract",
     "zip_shard_ingest",
+    "zip_sample_pairing",
 ]
 
 # Streaming micro-bench tier (r6 verdict item 3): each entry drains the

@@ -48,6 +48,7 @@ from pyspark.sql import types as T
 __all__ = ["parse_tar_members", "read_tar_members",
            "read_tar_samples", "encode_tar_shard",
            "parse_zip_members", "read_zip_members",
+           "read_zip_samples",
            "encode_zip_shard", "zip_bytes",
            "TAR_MEMBER_SCHEMA", "TAR_SAMPLE_SCHEMA"]
 
@@ -267,3 +268,35 @@ def zip_bytes(members: list[tuple[str, bytes]],
                                   else zipfile.ZIP_STORED)
             zf.writestr(info, data)
     return buf.getvalue()
+
+
+def read_zip_samples(df: DataFrame, content_col: str = "content",
+                     id_col: str = "shard_id") -> DataFrame:
+    """Adjacent-member sample pairing over ZIP shards — the zip twin
+    of :func:`read_tar_samples` (same schema, same batch-local
+    zero-shuffle pairing, last-ext-wins within a sample)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TAR_SAMPLE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for sid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue
+                cur_key = None
+                parts: dict[str, bytes] = {}
+
+                def flush():
+                    if cur_key is not None:
+                        rows.append((int(sid), cur_key, len(parts),
+                                     dict(parts)))
+
+                for name, data in parse_zip_members(bytes(content)):
+                    key, ext = _split_key(name)
+                    if key != cur_key:
+                        flush()
+                        cur_key, parts = key, {}
+                    parts[ext] = data
+                flush()
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=TAR_SAMPLE_SCHEMA)

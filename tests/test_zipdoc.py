@@ -215,3 +215,14 @@ def test_odt_spark(spark):
             .orderBy("doc_id").collect())
     assert [(r.doc_id, r.text, r.n_paragraphs) for r in rows] == [
         (1, "p one\np two", 2), (2, "H\nsolo", 2)]
+
+
+def test_zip_samples_pairing_spark(spark):
+    shards = spark.createDataFrame(
+        [(1, tarshard.encode_zip_shard(SAMPLES))],
+        "shard_id long, content binary")
+    rows = (tarshard.read_zip_samples(shards)
+            .orderBy("sample_key").collect())
+    assert [(r.sample_key, r.n_parts) for r in rows] == [
+        ("00000001", 3), ("00000002", 1), ("sub/dir/00000003", 2)]
+    assert bytes(rows[0].parts["img.bin"]) == b"\x00\x01\xff"
