@@ -2461,7 +2461,9 @@ def q_zip_sample_pairing(spark, sf_dir):
     from pypond_spark.datapipe.tarshard import read_zip_samples
 
     docs = _read(spark, sf_dir, "documents")
-    return (read_zip_samples(_synth_zipshard(docs))
+    zs = _cached_media(spark, sf_dir, "zipshard", 1,
+                       lambda: _synth_zipshard(docs))
+    return (read_zip_samples(zs, id_col="shard_id")
             .select(F.col("shard_id").alias("doc_id"), "sample_key",
                     "n_parts",
                     F.col("parts")["txt"].cast("string").alias("txt"),
@@ -2498,9 +2500,11 @@ def q_pdf_triage(spark, sf_dir):
                     encrypt=did % 4 == 0)))
             yield _pd.DataFrame(rows, columns=["doc_id", "content"])
 
-    pdfs = (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                        "text")
-            .mapInPandas(enc, "doc_id long, content binary"))
+    pdfs = _cached_media(
+        spark, sf_dir, "pdf_triage", 1,
+        lambda: docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .mapInPandas(enc, "doc_id long, content binary"))
     return (extract_pdf_info(pdfs)
             .select("doc_id", "encrypted", "title", "n_pages"))
 
@@ -2540,9 +2544,11 @@ def q_audio_id3_tags(spark, sf_dir):
                 rows.append((did, tag + b"\xff\xfb\x90\x00" + b"\x55" * 32))
             yield _pd.DataFrame(rows, columns=["doc_id", "content"])
 
-    blobs = (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                         "text")
-             .mapInPandas(enc, "doc_id long, content binary"))
+    blobs = _cached_media(
+        spark, sf_dir, "id3", 1,
+        lambda: docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .mapInPandas(enc, "doc_id long, content binary"))
     return audio_id3_tags(blobs)
 
 
@@ -2659,7 +2665,9 @@ def q_docx_text_extract(spark, sf_dir):
     from pypond_spark.datapipe.zipdoc import extract_docx_text
 
     docs = _read(spark, sf_dir, "documents")
-    return extract_docx_text(_synth_docx(docs))
+    dx = _cached_media(spark, sf_dir, "docx", 1,
+                       lambda: _synth_docx(docs))
+    return extract_docx_text(dx)
 
 
 def q_docx_quality_pipeline(spark, sf_dir):
@@ -2724,7 +2732,9 @@ def q_odt_text_extract(spark, sf_dir):
     from pypond_spark.datapipe.zipdoc import extract_odt_text
 
     docs = _read(spark, sf_dir, "documents")
-    return extract_odt_text(_synth_odt(docs))
+    od = _cached_media(spark, sf_dir, "odt", 1,
+                       lambda: _synth_odt(docs))
+    return extract_odt_text(od)
 
 
 def _synth_epub(docs):
@@ -2773,7 +2783,9 @@ def q_epub_text_extract(spark, sf_dir):
     from pypond_spark.datapipe.zipdoc import extract_epub_text
 
     docs = _read(spark, sf_dir, "documents")
-    return extract_epub_text(_synth_epub(docs))
+    ep = _cached_media(spark, sf_dir, "epub", 1,
+                       lambda: _synth_epub(docs))
+    return extract_epub_text(ep)
 
 
 def _synth_zipshard(docs):
@@ -2823,7 +2835,9 @@ def q_zip_shard_ingest(spark, sf_dir):
     from pypond_spark.datapipe.tarshard import read_zip_members
 
     docs = _read(spark, sf_dir, "documents")
-    return (read_zip_members(_synth_zipshard(docs))
+    zs = _cached_media(spark, sf_dir, "zipshard", 1,
+                       lambda: _synth_zipshard(docs))
+    return (read_zip_members(zs, id_col="shard_id")
             .select(F.col("shard_id").alias("doc_id"), "sample_key",
                     "ext", "n_bytes",
                     F.col("data").cast("string").alias("content")))
