@@ -2737,6 +2737,61 @@ def q_odt_text_extract(spark, sf_dir):
     return extract_odt_text(od)
 
 
+def _synth_rtf(docs):
+    """Deterministic REAL RTF per doc (datapipe/rtf.py::encode_rtf —
+    cp1252 + \\uN escapes, uc1 fallback, font/color/info/ignorable
+    chrome groups that must strip to nothing): paragraphs p in
+    0..1+doc_id%3 with text md5(text||'&rp'||p), then a rotating
+    structural extra by doc_id%4: a \\tab paragraph, a \\line
+    paragraph, an e-acute (\\'e9) paragraph, a euro-sign (\\u8364)
+    paragraph — so byte escapes, unicode escapes and both break
+    words are all under driver verification."""
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from pypond_spark.datapipe.rtf import encode_rtf
+
+    def enc(batches):
+        for pdf_ in batches:
+            rows = []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(did)
+
+                def h(tag):
+                    return _hl.md5(f"{text}&{tag}".encode("utf-8")) \
+                        .hexdigest()
+
+                paras = [h(f"rp{p}") for p in range(2 + did % 3)]
+                if did % 4 == 0:
+                    paras.append(h("rt1") + "\t" + h("rt2"))
+                elif did % 4 == 1:
+                    paras.append(h("rb1") + "\n" + h("rb2"))
+                elif did % 4 == 2:
+                    paras.append("é" + h("re"))
+                else:
+                    paras.append("€" + h("ru"))
+                rows.append((did, encode_rtf(paras)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+            .mapInPandas(enc, "doc_id long, content binary"))
+
+
+def q_rtf_text_extract(spark, sf_dir):
+    """RTF text extraction (datapipe/rtf.py::extract_rtf_text — the
+    legacy-format leg of the document tier: group-scoped \\ucN state,
+    destination skipping, cp1252 \\'hh and \\uN escapes): one row per
+    document against the md5 recipe oracle."""
+    from pypond_spark.datapipe.rtf import extract_rtf_text
+
+    docs = _read(spark, sf_dir, "documents")
+    rt = _cached_media(spark, sf_dir, "rtf", 1,
+                       lambda: _synth_rtf(docs))
+    return extract_rtf_text(rt)
+
+
 def _synth_epub(docs):
     """Deterministic REAL EPUB per doc (datapipe/zipdoc.py::
     encode_epub — OCF container: STORED mimetype first, container.xml
@@ -7019,6 +7074,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_quality_pipeline": q_docx_quality_pipeline,
         "epub_text_extract": q_epub_text_extract,
         "odt_text_extract": q_odt_text_extract,
+        "rtf_text_extract": q_rtf_text_extract,
         "zip_shard_ingest": q_zip_shard_ingest,
         "zip_sample_pairing": q_zip_sample_pairing,
         "pdf_text_extract": q_pdf_text_extract,
@@ -13672,6 +13728,34 @@ def oracle_sql() -> dict[str, str]:
                       || chr(10) || md5(text||'&ob2')
                  ELSE '' END AS text,
                CAST(nb + CASE WHEN doc_id % 4 < 3 THEN 1 ELSE 0 END
+                    AS INT) AS n_paragraphs
+        FROM base
+    """
+    d["rtf_text_extract"] = """
+        -- mirror of _synth_rtf: paragraphs md5(text||'&rp'||p) for
+        -- p in 0..1+doc_id%3, then the rotating tab / line-break /
+        -- e-acute / euro paragraph; the \\line variant's internal
+        -- newline makes it count as two paragraphs under the
+        -- newline-segment law
+        WITH base AS (
+          SELECT doc_id, text,
+                 string_agg(md5(text || '&rp'
+                                || CAST(g.p AS VARCHAR)), chr(10)
+                            ORDER BY g.p) AS t,
+                 CAST(2 + doc_id % 3 AS INT) AS nb
+          FROM documents CROSS JOIN generate_series(0, 3) g(p)
+          WHERE g.p <= 1 + doc_id % 3
+          GROUP BY doc_id, text
+        )
+        SELECT doc_id,
+               t || chr(10) || CASE
+                 WHEN doc_id % 4 = 0 THEN md5(text||'&rt1')
+                      || chr(9) || md5(text||'&rt2')
+                 WHEN doc_id % 4 = 1 THEN md5(text||'&rb1')
+                      || chr(10) || md5(text||'&rb2')
+                 WHEN doc_id % 4 = 2 THEN chr(233) || md5(text||'&re')
+                 ELSE chr(8364) || md5(text||'&ru') END AS text,
+               CAST(nb + CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END
                     AS INT) AS n_paragraphs
         FROM base
     """

@@ -324,6 +324,7 @@ HEADLINE = [
     "docx_quality_pipeline",
     "epub_text_extract",
     "odt_text_extract",
+    "rtf_text_extract",
     "zip_shard_ingest",
     "zip_sample_pairing",
 ]
