@@ -5156,6 +5156,41 @@ def q_strip_html(spark, sf_dir):
                       F.length("text").alias("n_chars"))
 
 
+def q_strip_markdown(spark, sf_dir):
+    """Markdown -> text (textstats.py::strip_markdown — r14, the
+    GitHub/README slice of a crawl corpus): each doc is wrapped
+    in-plan in a markdown scaffold exercising every rule (ATX
+    header, bold/italic/inline-code/strike, fenced block, quote,
+    bullet + ordered list, inline/image/reference links + link def,
+    table with separator row, horizontal rule), then stripped by the
+    pure regexp_replace chain — JVM codegen, no UDF, every pattern
+    RE2-and-Java compatible so the oracle replays the chain with \\1
+    replacements."""
+    docs = _read(spark, sf_dir, "documents")
+
+    def h(tag):
+        return F.md5(F.concat(F.col("text"), F.lit(tag)))
+
+    nl = F.lit("\n")
+    wrapped = docs.select("doc_id", F.concat(
+        F.lit("# Title "), F.substring("text", 1, 20), nl, nl,
+        F.lit("**"), h("&mb"), F.lit("** and *"), h("&mi"),
+        F.lit("* and `"), h("&mc"), F.lit("` and ~~"), h("&ms"),
+        F.lit("~~"), nl, nl,
+        F.lit("```py\ncode "), h("&mf"), F.lit("\n```"), nl, nl,
+        F.lit("> quoted "), h("&mq"), nl, nl,
+        F.lit("- li1\n12. li2"), nl, nl,
+        F.lit("[a "), h("&ml"),
+        F.lit("](http://x) ![alt](i.png) [r][1]"), nl,
+        F.lit("[1]: http://example.com"), nl, nl,
+        F.lit("| c1 | "), h("&mt"), F.lit(" |\n|---|---|\n"
+                                          "| v1 | v2 |"), nl, nl,
+        F.lit("---\ntail "), F.col("text")).alias("text"))
+    out = dp_text.strip_markdown(wrapped)
+    return out.select("doc_id", F.md5("text").alias("text_digest"),
+                      F.length("text").alias("n_chars"))
+
+
 def q_extract_content(spark, sf_dir):
     """Main-content extraction beyond tag-stripping
     (textstats.py::extract_content — the jusText-class block scorer):
@@ -7127,6 +7162,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_attribution_first_touch": q_stream_attribution_first_touch,
         "normalize_unicode": q_normalize_unicode,
         "strip_html": q_strip_html,
+        "strip_markdown": q_strip_markdown,
         "image_phash_png": q_image_phash_png,
         "image_phash_png_adam7": q_image_phash_png_adam7,
         "image_phash_bmp_rle8": q_image_phash_bmp_rle8,
@@ -14372,6 +14408,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(text) AS text_digest,
                length(text) AS n_chars
         FROM s
+    """
+    d["strip_markdown"] = r"""
+        -- the q_strip_markdown scaffold + the strip_markdown_expr
+        -- chain replayed rule-for-rule as a linear CTE ladder (RE2
+        -- reads the same \t/\n pattern escapes Java does; the only
+        -- dialect delta is \1 vs $1 in replacements)
+        WITH wrapped AS (
+          SELECT doc_id,
+                 '# Title ' || substr(text, 1, 20) || chr(10)
+                 || chr(10) || '**' || md5(text||'&mb') || '** and *'
+                 || md5(text||'&mi') || '* and `' || md5(text||'&mc')
+                 || '` and ~~' || md5(text||'&ms') || '~~' || chr(10)
+                 || chr(10) || '```py' || chr(10) || 'code '
+                 || md5(text||'&mf') || chr(10) || '```' || chr(10)
+                 || chr(10) || '> quoted ' || md5(text||'&mq')
+                 || chr(10) || chr(10) || '- li1' || chr(10)
+                 || '12. li2' || chr(10) || chr(10) || '[a '
+                 || md5(text||'&ml')
+                 || '](http://x) ![alt](i.png) [r][1]' || chr(10)
+                 || '[1]: http://example.com' || chr(10) || chr(10)
+                 || '| c1 | ' || md5(text||'&mt') || ' |' || chr(10)
+                 || '|---|---|' || chr(10) || '| v1 | v2 |'
+                 || chr(10) || chr(10) || '---' || chr(10)
+                 || 'tail ' || text AS t
+          FROM documents
+        ),
+        s01 AS (SELECT doc_id, regexp_replace(t,
+                '(?s)```[^\n]*\n(.*?)```', '\1', 'g') AS t
+                FROM wrapped),
+        s02 AS (SELECT doc_id, regexp_replace(t,
+                '`([^`\n]+)`', '\1', 'g') AS t FROM s01),
+        s03 AS (SELECT doc_id, regexp_replace(t,
+                '!\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s02),
+        s04 AS (SELECT doc_id, regexp_replace(t,
+                '\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s03),
+        s05 AS (SELECT doc_id, regexp_replace(t,
+                '\[([^\]]*)\]\[[^\]]*\]', '\1', 'g') AS t FROM s04),
+        s06 AS (SELECT doc_id, regexp_replace(t,
+                '(?m)^[ \t]{0,3}\[[^\]]+\]:[ \t]*\S.*$', '', 'g')
+                AS t FROM s05),
+        s07 AS (SELECT doc_id, regexp_replace(t,
+                '(?m)^[ \t]{0,3}#{1,6}[ \t]+', '', 'g') AS t
+                FROM s06),
+        s08 AS (SELECT doc_id, regexp_replace(t,
+                '(?m)^[ \t]{0,3}(={3,}|-{3,})[ \t]*$', '', 'g') AS t
+                FROM s07),
+        s09 AS (SELECT doc_id, regexp_replace(t,
+                '(?m)^[ \t]{0,3}(>[ \t]?)+', '', 'g') AS t FROM s08),
+        s10 AS (SELECT doc_id, regexp_replace(t,
+                '(?m)^[ \t]{0,3}([*_-][ \t]*){3,}$', '', 'g') AS t
+                FROM s09),
+        s11 AS (SELECT doc_id, regexp_replace(t,
+                '\*\*([^*\n]+)\*\*', '\1', 'g') AS t FROM s10),
+        s12 AS (SELECT doc_id, regexp_replace(t,
+                '__([^_\n]+)__', '\1', 'g') AS t FROM s11),
+        s13 AS (SELECT doc_id, regexp_replace(t,
+                '\*([^*\n]+)\*', '\1', 'g') AS t FROM s12),
+        s14 AS (SELECT doc_id, regexp_replace(t,
+                '~~([^~\n]+)~~', '\1', 'g') AS t FROM s13),
+        s15 AS (SELECT doc_id, regexp_replace(t,
+                '(?m)^[ \t]*\|[-:| ]+\|?[ \t]*$', '', 'g') AS t
+                FROM s14),
+        s16 AS (SELECT doc_id, regexp_replace(t,
+                '(?m)^[ \t]*\||\|[ \t]*$', '', 'g') AS t FROM s15),
+        s17 AS (SELECT doc_id, regexp_replace(t,
+                '[ \t]*\|[ \t]*', ' ', 'g') AS t FROM s16),
+        s18 AS (SELECT doc_id, regexp_replace(t,
+                '(?m)^[ \t]{0,3}([-*+]|[0-9]+\.)[ \t]+', '', 'g')
+                AS t FROM s17),
+        s19 AS (SELECT doc_id, regexp_replace(t,
+                '[ \t\r]+', ' ', 'g') AS t FROM s18),
+        s20 AS (SELECT doc_id, regexp_replace(t,
+                ' ?\n[ \n]*', chr(10), 'g') AS t FROM s19),
+        s21 AS (SELECT doc_id, regexp_replace(t,
+                '^[\n ]+|[\n ]+$', '', 'g') AS t FROM s20)
+        SELECT doc_id, md5(t) AS text_digest,
+               length(t) AS n_chars
+        FROM s21
     """
     # url rows: the oracle rebuilds input AND canonical form from
     # doc_id with plain string functions — the rules are string

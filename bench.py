@@ -273,6 +273,7 @@ HEADLINE = [
     "langid_ngram_confusion",
     "normalize_unicode",
     "strip_html",
+    "strip_markdown",
     "image_phash_jpeg",
     "image_phash_jpeg_progressive",
     "image_phash_jpeg_multiscan",

@@ -160,6 +160,51 @@ def strip_html(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(text_col, strip_html_expr(text_col))
 
 
+def strip_markdown_expr(text_col: str = "text") -> Column:
+    """Markdown -> text as a pure JVM expression chain (r14) — the
+    GitHub/README/docs slice of a crawl corpus, same contract as
+    :func:`strip_html_expr`: keep the human-readable content, drop
+    the markup.  Rules, in order: fenced code blocks keep their body,
+    inline code keeps its body, images and inline/reference links
+    keep their alt/anchor text, link definitions drop, ATX ``#``
+    prefixes and setext ``===``/``---`` underlines drop, blockquote
+    ``>`` prefixes drop, horizontal rules drop, ``**``/``*``/``__``/
+    ``~~`` emphasis keeps its body, table separator rows drop and
+    pipe borders become single spaces, list markers drop, blank runs
+    collapse.  Every pattern is RE2-and-Java compatible (no
+    lookaround — the single-underscore italic form is a documented
+    scope cut, it is intra-word too often in real corpora anyway);
+    the oracle replays the chain with ``\\1`` in place of ``$1``."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"(?s)```[^\n]*\n(.*?)```", r"$1")
+    c = F.regexp_replace(c, r"`([^`\n]+)`", r"$1")
+    c = F.regexp_replace(c, r"!\[([^\]]*)\]\([^)]*\)", r"$1")
+    c = F.regexp_replace(c, r"\[([^\]]*)\]\([^)]*\)", r"$1")
+    c = F.regexp_replace(c, r"\[([^\]]*)\]\[[^\]]*\]", r"$1")
+    c = F.regexp_replace(c, r"(?m)^[ \t]{0,3}\[[^\]]+\]:[ \t]*\S.*$", "")
+    c = F.regexp_replace(c, r"(?m)^[ \t]{0,3}#{1,6}[ \t]+", "")
+    c = F.regexp_replace(c, r"(?m)^[ \t]{0,3}(={3,}|-{3,})[ \t]*$", "")
+    c = F.regexp_replace(c, r"(?m)^[ \t]{0,3}(>[ \t]?)+", "")
+    c = F.regexp_replace(c, r"(?m)^[ \t]{0,3}([*_-][ \t]*){3,}$", "")
+    c = F.regexp_replace(c, r"\*\*([^*\n]+)\*\*", r"$1")
+    c = F.regexp_replace(c, r"__([^_\n]+)__", r"$1")
+    c = F.regexp_replace(c, r"\*([^*\n]+)\*", r"$1")
+    c = F.regexp_replace(c, r"~~([^~\n]+)~~", r"$1")
+    c = F.regexp_replace(c, r"(?m)^[ \t]*\|[-:| ]+\|?[ \t]*$", "")
+    c = F.regexp_replace(c, r"(?m)^[ \t]*\||\|[ \t]*$", "")
+    c = F.regexp_replace(c, r"[ \t]*\|[ \t]*", " ")
+    c = F.regexp_replace(c, r"(?m)^[ \t]{0,3}([-*+]|[0-9]+\.)[ \t]+", "")
+    c = F.regexp_replace(c, r"[ \t\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n[ \n]*", "\n")
+    return F.regexp_replace(c, r"^[\n ]+|[\n ]+$", "")
+
+
+def strip_markdown(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frame form of :func:`strip_markdown_expr` — scan-level, zero
+    shuffle, zero Python."""
+    return df.withColumn(text_col, strip_markdown_expr(text_col))
+
+
 #: block-level HTML elements whose open OR close tag starts a new text
 #: block for :func:`html_blocks` (the jusText/trafilatura block split)
 BLOCK_TAGS = ("p|div|li|tr|td|th|h[1-6]|section|article|main|header"

@@ -4259,3 +4259,27 @@ def test_split_gzip_members_and_parse_warc_gz(spark):
     assert [(r["record_no"], r["warc_type"]) for r in rows] \
         == [(0, "warcinfo"), (1, "response")]
     assert rows[1]["block"] == body.decode()
+
+
+def test_strip_markdown(spark):
+    """r14: markdown -> text as a pure JVM regexp chain — every rule
+    on one document, then the edge cases the chain must NOT glue."""
+    from pypond_spark.datapipe.textstats import strip_markdown
+
+    md = ("# Title\n\nSome **bold** and *ital* and `code` and "
+          "~~gone~~.\n\n```python\nx = 1\n```\n\n> quoted\n> more\n\n"
+          "- item one\n12. item two\n\n[anchor](http://x) and "
+          "![alt text](img.png) and [ref][1]\n\n[1]: http://e.com\n\n"
+          "| a | b |\n|---|---|\n| c | d |\n\n---\n\nEnd === inline")
+    df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+    got = strip_markdown(df).collect()[0].text
+    assert got == ("Title\nSome bold and ital and code and gone.\n"
+                   "x = 1\nquoted\nmore\nitem one\nitem two\n"
+                   "anchor and alt text and ref\na b\nc d\n"
+                   "End === inline")
+    # table rows must NOT glue (the [ \t]-not-\s regression), setext
+    # underline drops, intra-word underscores survive
+    md2 = "Header\n===\n\nsnake_case_name and 3 - 4 - 5"
+    got2 = strip_markdown(spark.createDataFrame(
+        [(1, md2)], "doc_id long, text string")).collect()[0].text
+    assert got2 == "Header\nsnake_case_name and 3 - 4 - 5"
