@@ -2737,6 +2737,65 @@ def q_odt_text_extract(spark, sf_dir):
     return extract_odt_text(od)
 
 
+def q_document_router(spark, sf_dir):
+    """Mixed-format document routing (datapipe/document.py::
+    extract_documents — r14, the front door of the extraction tier):
+    each doc synthesizes as a DIFFERENT format by doc_id%7 — real
+    PDF / DOCX / EPUB / ODT / RTF bytes (the tier's own writers),
+    raw HTML, plain text — plus undecodable binary junk, and the
+    router must label and extract every one by CONTENT sniffing
+    alone.  Green = all seven dispatch paths and the junk-tolerance
+    contract verified in one row."""
+    from pypond_spark.datapipe.document import extract_documents
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def enc(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        from pypond_spark.datapipe.pdf import encode_pdf
+        from pypond_spark.datapipe.rtf import encode_rtf
+        from pypond_spark.datapipe.zipdoc import (encode_docx,
+                                                  encode_epub,
+                                                  encode_odt)
+        for pdf_ in batches:
+            rows = []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(did)
+
+                def h(tag):
+                    return _hl.md5(f"{text}&{tag}".encode("utf-8")) \
+                        .hexdigest()
+
+                k = did % 7
+                if k == 0:
+                    blob = encode_pdf([h("dr")])
+                elif k == 1:
+                    blob = encode_docx([h("dr")])
+                elif k == 2:
+                    blob = encode_epub([(h("drt"), [h("drp")])])
+                elif k == 3:
+                    blob = encode_odt([h("dr")])
+                elif k == 4:
+                    blob = encode_rtf([h("dr")])
+                elif k == 5:
+                    blob = (f"<html><body>{h('dr')}</body></html>"
+                            .encode())
+                else:
+                    blob = b"\x00\xff\xfe" + h("dr").encode()
+                rows.append((did, blob))
+            yield _pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = _cached_media(
+        spark, sf_dir, "docroute", 1,
+        lambda: docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .mapInPandas(enc, "doc_id long, content binary"))
+    return extract_documents(blobs)
+
+
 def _synth_rtf(docs):
     """Deterministic REAL RTF per doc (datapipe/rtf.py::encode_rtf —
     cp1252 + \\uN escapes, uc1 fallback, font/color/info/ignorable
@@ -7110,6 +7169,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epub_text_extract": q_epub_text_extract,
         "odt_text_extract": q_odt_text_extract,
         "rtf_text_extract": q_rtf_text_extract,
+        "document_router": q_document_router,
         "zip_shard_ingest": q_zip_shard_ingest,
         "zip_sample_pairing": q_zip_sample_pairing,
         "pdf_text_extract": q_pdf_text_extract,
@@ -13766,6 +13826,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(nb + CASE WHEN doc_id % 4 < 3 THEN 1 ELSE 0 END
                     AS INT) AS n_paragraphs
         FROM base
+    """
+    d["document_router"] = """
+        -- closed form of the 7-way rotation: formats by doc_id%7,
+        -- text per the format's synthesis recipe; the html branch
+        -- returns the RAW page (stripping is a downstream stage),
+        -- binary junk labels unknown with NULL text
+        SELECT doc_id,
+               CASE doc_id % 7
+                 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+                 WHEN 2 THEN 'epub' WHEN 3 THEN 'odt'
+                 WHEN 4 THEN 'rtf' WHEN 5 THEN 'html'
+                 ELSE 'unknown' END AS format,
+               CASE doc_id % 7
+                 WHEN 2 THEN md5(text||'&drt') || chr(10)
+                             || md5(text||'&drp')
+                 WHEN 5 THEN '<html><body>' || md5(text||'&dr')
+                             || '</body></html>'
+                 WHEN 6 THEN NULL
+                 ELSE md5(text||'&dr') END AS text,
+               CAST(CASE WHEN doc_id % 7 = 6 THEN 0 ELSE 1 END
+                    AS INT) AS n_units
+        FROM documents
     """
     d["rtf_text_extract"] = """
         -- mirror of _synth_rtf: paragraphs md5(text||'&rp'||p) for

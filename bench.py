@@ -326,6 +326,7 @@ HEADLINE = [
     "epub_text_extract",
     "odt_text_extract",
     "rtf_text_extract",
+    "document_router",
     "zip_shard_ingest",
     "zip_sample_pairing",
 ]
