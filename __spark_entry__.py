@@ -5250,6 +5250,46 @@ def q_strip_markdown(spark, sf_dir):
                       F.length("text").alias("n_chars"))
 
 
+def q_strip_latex(spark, sf_dir):
+    """LaTeX -> text (textstats.py::strip_latex — r14, the arXiv
+    slice of a pretraining corpus): each doc is wrapped in-plan in a
+    LaTeX scaffold exercising every rule (preamble, nested
+    title/emph/textbf, % comment, \\%-class escapes, accent forms,
+    tilde, inline + $$ + \\[..\\] + equation* math, cite/href,
+    itemize with plain and optional-arg items, \\\\ line break,
+    verbatim body, literal \\{..\\}), then stripped by the pure
+    regexp_replace chain — JVM codegen, no UDF, every pattern
+    RE2-and-Java compatible (no lookaround, no pattern backrefs) so
+    the oracle replays the chain with \\1 replacements."""
+    docs = _read(spark, sf_dir, "documents")
+
+    def h(tag):
+        return F.md5(F.concat(F.col("text"), F.lit(tag)))
+
+    wrapped = docs.select("doc_id", F.concat(
+        F.lit("\\documentclass[11pt]{article}\n"
+              "\\usepackage{amsmath}\n"
+              "\\title{T \\emph{\\textbf{"), h("&lt"),
+        F.lit("}}}\n% comment "), h("&lc"),
+        F.lit("\n\\begin{document}\n\\maketitle\n"
+              "\\section*{S "), h("&ls"),
+        F.lit("}\nM\\\"uller and \\'e and tilde~space and 100\\% "
+              "and A\\&B and \\_u\\_ and \\$9 and \\{lit\\}.\n"
+              "Inline $x^2$ and $$"), h("&ld"),
+        F.lit("$$ and \\["), h("&lm"),
+        F.lit("\\] and\n\\begin{equation*}"), h("&le"),
+        F.lit("\\end{equation*}\n\\cite{k"), h("&lr"),
+        F.lit("} \\href{http://x}{anchor "), h("&lh"),
+        F.lit("}\n\\begin{itemize}\n\\item item "), h("&li"),
+        F.lit("\n\\item[*] starred\n\\end{itemize}\n"
+              "broken \\\\ line\n\\begin{verbatim}\nverb "), h("&lv"),
+        F.lit("\n\\end{verbatim}\ntail "), F.col("text"),
+        F.lit("\n\\end{document}")).alias("text"))
+    out = dp_text.strip_latex(wrapped)
+    return out.select("doc_id", F.md5("text").alias("text_digest"),
+                      F.length("text").alias("n_chars"))
+
+
 def q_extract_content(spark, sf_dir):
     """Main-content extraction beyond tag-stripping
     (textstats.py::extract_content — the jusText-class block scorer):
@@ -7223,6 +7263,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_unicode": q_normalize_unicode,
         "strip_html": q_strip_html,
         "strip_markdown": q_strip_markdown,
+        "strip_latex": q_strip_latex,
         "image_phash_png": q_image_phash_png,
         "image_phash_png_adam7": q_image_phash_png_adam7,
         "image_phash_bmp_rle8": q_image_phash_bmp_rle8,
@@ -14568,6 +14609,140 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(t) AS text_digest,
                length(t) AS n_chars
         FROM s21
+    """
+    d["strip_latex"] = r"""
+        -- the q_strip_latex scaffold + the strip_latex_expr chain
+        -- replayed rule-for-rule as a linear CTE ladder (RE2 reads
+        -- the same escapes Java does; \1 vs $1 in replacements;
+        -- escaped $ { } ride chr(1)/chr(2)/chr(3) placeholders in
+        -- BOTH engines)
+        WITH wrapped AS (
+          SELECT doc_id,
+                 '\documentclass[11pt]{article}' || chr(10)
+                 || '\usepackage{amsmath}' || chr(10)
+                 || '\title{T \emph{\textbf{' || md5(text||'&lt')
+                 || '}}}' || chr(10)
+                 || '% comment ' || md5(text||'&lc') || chr(10)
+                 || '\begin{document}' || chr(10) || '\maketitle'
+                 || chr(10)
+                 || '\section*{S ' || md5(text||'&ls') || '}'
+                 || chr(10)
+                 || 'M\"uller and \''e and tilde~space and 100\% '
+                 || 'and A\&B and \_u\_ and \$9 and \{lit\}.'
+                 || chr(10)
+                 || 'Inline $x^2$ and $$' || md5(text||'&ld')
+                 || '$$ and \[' || md5(text||'&lm') || '\] and'
+                 || chr(10)
+                 || '\begin{equation*}' || md5(text||'&le')
+                 || '\end{equation*}' || chr(10)
+                 || '\cite{k' || md5(text||'&lr')
+                 || '} \href{http://x}{anchor ' || md5(text||'&lh')
+                 || '}' || chr(10)
+                 || '\begin{itemize}' || chr(10)
+                 || '\item item ' || md5(text||'&li') || chr(10)
+                 || '\item[*] starred' || chr(10) || '\end{itemize}'
+                 || chr(10) || 'broken \\ line' || chr(10)
+                 || '\begin{verbatim}' || chr(10)
+                 || 'verb ' || md5(text||'&lv') || chr(10)
+                 || '\end{verbatim}' || chr(10) || 'tail ' || text
+                 || chr(10) || '\end{document}' AS t
+          FROM documents
+        ),
+        l01 AS (SELECT doc_id, regexp_replace(t,
+                '(?s)\\begin\{verbatim\}\n?(.*?)\\end\{verbatim\}',
+                '\1', 'g') AS t FROM wrapped),
+        l02 AS (SELECT doc_id, replace(t, '\$', chr(1)) AS t
+                FROM l01),
+        l03 AS (SELECT doc_id, replace(t, '\{', chr(2)) AS t
+                FROM l02),
+        l04 AS (SELECT doc_id, replace(t, '\}', chr(3)) AS t
+                FROM l03),
+        l05 AS (SELECT doc_id, regexp_replace(t,
+                '(?m)(^|[^\\])%[^\n]*$', '\1', 'g') AS t FROM l04),
+        l06 AS (SELECT doc_id, regexp_replace(t,
+                '(?s)\$\$.*?\$\$', '', 'g') AS t FROM l05),
+        l07 AS (SELECT doc_id, regexp_replace(t,
+                '(?s)\\\[.*?\\\]', '', 'g') AS t FROM l06),
+        l08 AS (SELECT doc_id, regexp_replace(t,
+                '(?s)\\\(.*?\\\)', '', 'g') AS t FROM l07),
+        l09 AS (SELECT doc_id, regexp_replace(t,
+                '(?s)\\begin\{(?:equation|align|alignat|gather'
+                || '|eqnarray|multline|math|displaymath)\*?\}.*?'
+                || '\\end\{(?:equation|align|alignat|gather'
+                || '|eqnarray|multline|math|displaymath)\*?\}',
+                '', 'g') AS t FROM l08),
+        l10 AS (SELECT doc_id, regexp_replace(t,
+                '\$[^$\n]*\$', '', 'g') AS t FROM l09),
+        l11 AS (SELECT doc_id, regexp_replace(t,
+                '\\href\{[^{}]*\}\{([^{}]*)\}', '\1', 'g') AS t
+                FROM l10),
+        l12 AS (SELECT doc_id, regexp_replace(t,
+                '\\(?:section|subsection|subsubsection|chapter|part'
+                || '|paragraph|subparagraph|title|author|date|thanks'
+                || '|textbf|textit|texttt|textsc|textsf|textrm'
+                || '|textmd|textup|textsl|emph|underline|caption'
+                || '|footnote|mbox|hbox|text|textsuperscript'
+                || '|textsubscript)\*?\{([^{}]*)\}', '\1', 'g') AS t
+                FROM l11),
+        l13 AS (SELECT doc_id, regexp_replace(t,
+                '\\(?:section|subsection|subsubsection|chapter|part'
+                || '|paragraph|subparagraph|title|author|date|thanks'
+                || '|textbf|textit|texttt|textsc|textsf|textrm'
+                || '|textmd|textup|textsl|emph|underline|caption'
+                || '|footnote|mbox|hbox|text|textsuperscript'
+                || '|textsubscript)\*?\{([^{}]*)\}', '\1', 'g') AS t
+                FROM l12),
+        l14 AS (SELECT doc_id, regexp_replace(t,
+                '\\(?:section|subsection|subsubsection|chapter|part'
+                || '|paragraph|subparagraph|title|author|date|thanks'
+                || '|textbf|textit|texttt|textsc|textsf|textrm'
+                || '|textmd|textup|textsl|emph|underline|caption'
+                || '|footnote|mbox|hbox|text|textsuperscript'
+                || '|textsubscript)\*?\{([^{}]*)\}', '\1', 'g') AS t
+                FROM l13),
+        l15 AS (SELECT doc_id, regexp_replace(t,
+                '\\(?:cite|citet|citep|citeauthor|citeyear|ref'
+                || '|eqref|pageref|autoref|cref|label|url|input'
+                || '|include|includegraphics|usepackage'
+                || '|documentclass|bibliography|bibliographystyle'
+                || '|vspace|hspace|setlength|newcommand'
+                || '|renewcommand|pagestyle|thispagestyle)\*?'
+                || '(?:\[[^\]]*\])?\{[^{}]*\}', '', 'g') AS t
+                FROM l14),
+        l16 AS (SELECT doc_id, regexp_replace(t,
+                '\\(?:begin|end)\{[^{}]*\}(?:\[[^\]]*\])?'
+                || '(?:\{[^{}]*\})*', '', 'g') AS t FROM l15),
+        l17 AS (SELECT doc_id, regexp_replace(t,
+                '\\item(?:\[[^\]]*\])?[ \t]*', '', 'g') AS t
+                FROM l16),
+        l18 AS (SELECT doc_id, regexp_replace(t,
+                '\\\\\*?(?:\[[^\]]*\])?', chr(10), 'g') AS t
+                FROM l17),
+        l19 AS (SELECT doc_id, regexp_replace(t,
+                '\\[''`^"]\{?([A-Za-z])\}?', '\1', 'g') AS t
+                FROM l18),
+        l20 AS (SELECT doc_id, regexp_replace(t,
+                '\\([&%_#])', '\1', 'g') AS t FROM l19),
+        l21 AS (SELECT doc_id, regexp_replace(t,
+                '~', ' ', 'g') AS t FROM l20),
+        l22 AS (SELECT doc_id, regexp_replace(t,
+                '\\[A-Za-z]+\*?', '', 'g') AS t FROM l21),
+        l23 AS (SELECT doc_id, regexp_replace(t,
+                '\\[ ,;!]', ' ', 'g') AS t FROM l22),
+        l24 AS (SELECT doc_id, regexp_replace(t,
+                '[{}]', '', 'g') AS t FROM l23),
+        l25 AS (SELECT doc_id, regexp_replace(t,
+                '[ \t\r]+', ' ', 'g') AS t FROM l24),
+        l26 AS (SELECT doc_id, regexp_replace(t,
+                ' ?\n[ \n]*', chr(10), 'g') AS t FROM l25),
+        l27 AS (SELECT doc_id, regexp_replace(t,
+                '^[\n ]+|[\n ]+$', '', 'g') AS t FROM l26),
+        l28 AS (SELECT doc_id,
+                replace(replace(replace(t, chr(1), '$'),
+                        chr(2), '{'), chr(3), '}') AS t FROM l27)
+        SELECT doc_id, md5(t) AS text_digest,
+               length(t) AS n_chars
+        FROM l28
     """
     # url rows: the oracle rebuilds input AND canonical form from
     # doc_id with plain string functions — the rules are string

@@ -274,6 +274,7 @@ HEADLINE = [
     "normalize_unicode",
     "strip_html",
     "strip_markdown",
+    "strip_latex",
     "image_phash_jpeg",
     "image_phash_jpeg_progressive",
     "image_phash_jpeg_multiscan",

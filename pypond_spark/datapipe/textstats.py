@@ -205,6 +205,102 @@ def strip_markdown(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(text_col, strip_markdown_expr(text_col))
 
 
+#: macros whose brace argument IS readable text — the keep-arg rule
+#: unwraps ``\emph{x}`` -> ``x``; applied three times so three levels
+#: of nesting resolve before the generic command drop
+LATEX_KEEP_ARG = ("section|subsection|subsubsection|chapter|part"
+                  "|paragraph|subparagraph|title|author|date|thanks"
+                  "|textbf|textit|texttt|textsc|textsf|textrm|textmd"
+                  "|textup|textsl|emph|underline|caption|footnote"
+                  "|mbox|hbox|text|textsuperscript|textsubscript")
+
+#: macros whose brace argument is machinery, not text — dropped whole
+#: (with an optional ``[...]`` argument)
+LATEX_DROP_ARG = ("cite|citet|citep|citeauthor|citeyear|ref|eqref"
+                  "|pageref|autoref|cref|label|url|input|include"
+                  "|includegraphics|usepackage|documentclass"
+                  "|bibliography|bibliographystyle|vspace|hspace"
+                  "|setlength|newcommand|renewcommand|pagestyle"
+                  "|thispagestyle")
+
+#: math environments stripped whole (starred variants included); both
+#: ends use the same non-capturing alternation because RE2 — the
+#: oracle's engine — has no pattern backreferences
+LATEX_MATH_ENVS = ("equation|align|alignat|gather|eqnarray|multline"
+                   "|math|displaymath")
+
+
+def strip_latex_expr(text_col: str = "text") -> Column:
+    """LaTeX -> text as a pure JVM expression chain (r14) — the arXiv
+    slice of a pretraining corpus, same contract as
+    :func:`strip_markdown_expr`: keep the human-readable prose, drop
+    the markup and the math.  Rules, in order: ``verbatim`` bodies are
+    inlined (and then flow through the rest of the chain, the same
+    treatment markdown gives fenced code); escaped ``\\$`` ``\\{``
+    ``\\}`` are protected behind control-char placeholders so the math
+    and brace rules cannot eat them; ``%`` comments drop (``\\%`` is
+    guarded by a ``[^\\\\]`` class, not lookbehind — RE2 has none);
+    display math (``$$..$$``, ``\\[..\\]``, ``\\(..\\)``, the
+    :data:`LATEX_MATH_ENVS` environments) and inline ``$..$`` drop
+    whole; ``\\href{u}{t}`` keeps ``t``; :data:`LATEX_KEEP_ARG` macros
+    unwrap their argument (three passes, so three nesting levels);
+    :data:`LATEX_DROP_ARG` macros drop with their arguments;
+    ``\\begin``/``\\end`` drop with env name + args; ``\\item``
+    markers drop; ``\\\\`` line breaks become newlines; ``\\'e``-style
+    accents keep the letter; ``\\&``-style escapes unescape; ``~``
+    becomes a space; every remaining ``\\command`` drops bare (its
+    brace args' text survives the brace cleanup); braces drop;
+    whitespace collapses exactly like the markdown chain.  Every
+    pattern is RE2-and-Java compatible (no lookaround, no pattern
+    backreferences) so the DuckDB oracle replays the chain verbatim
+    with ``\\1`` replacements."""
+    c = F.col(text_col)
+    c = F.regexp_replace(
+        c, r"(?s)\\begin\{verbatim\}\n?(.*?)\\end\{verbatim\}", r"$1")
+    # protect escaped $ { } behind placeholders (restored at the end)
+    c = F.replace(c, F.lit("\\$"), F.lit("\x01"))
+    c = F.replace(c, F.lit("\\{"), F.lit("\x02"))
+    c = F.replace(c, F.lit("\\}"), F.lit("\x03"))
+    c = F.regexp_replace(c, r"(?m)(^|[^\\])%[^\n]*$", r"$1")
+    c = F.regexp_replace(c, r"(?s)\$\$.*?\$\$", "")
+    c = F.regexp_replace(c, r"(?s)\\\[.*?\\\]", "")
+    c = F.regexp_replace(c, r"(?s)\\\(.*?\\\)", "")
+    c = F.regexp_replace(
+        c, r"(?s)\\begin\{(?:" + LATEX_MATH_ENVS + r")\*?\}.*?"
+        r"\\end\{(?:" + LATEX_MATH_ENVS + r")\*?\}", "")
+    c = F.regexp_replace(c, r"\$[^$\n]*\$", "")
+    c = F.regexp_replace(c, r"\\href\{[^{}]*\}\{([^{}]*)\}", r"$1")
+    keep = r"\\(?:" + LATEX_KEEP_ARG + r")\*?\{([^{}]*)\}"
+    for _ in range(3):
+        c = F.regexp_replace(c, keep, r"$1")
+    c = F.regexp_replace(
+        c, r"\\(?:" + LATEX_DROP_ARG + r")\*?(?:\[[^\]]*\])?"
+        r"\{[^{}]*\}", "")
+    c = F.regexp_replace(
+        c, r"\\(?:begin|end)\{[^{}]*\}(?:\[[^\]]*\])?(?:\{[^{}]*\})*",
+        "")
+    c = F.regexp_replace(c, r"\\item(?:\[[^\]]*\])?[ \t]*", "")
+    c = F.regexp_replace(c, r"\\\\\*?(?:\[[^\]]*\])?", "\n")
+    c = F.regexp_replace(c, "\\\\['`^\"]\\{?([A-Za-z])\\}?", r"$1")
+    c = F.regexp_replace(c, r"\\([&%_#])", r"$1")
+    c = F.regexp_replace(c, r"~", " ")
+    c = F.regexp_replace(c, r"\\[A-Za-z]+\*?", "")
+    c = F.regexp_replace(c, r"\\[ ,;!]", " ")
+    c = F.regexp_replace(c, r"[{}]", "")
+    c = F.regexp_replace(c, r"[ \t\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n[ \n]*", "\n")
+    c = F.regexp_replace(c, r"^[\n ]+|[\n ]+$", "")
+    c = F.replace(c, F.lit("\x01"), F.lit("$"))
+    c = F.replace(c, F.lit("\x02"), F.lit("{"))
+    return F.replace(c, F.lit("\x03"), F.lit("}"))
+
+
+def strip_latex(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frame form of :func:`strip_latex_expr` — scan-level, zero
+    shuffle, zero Python."""
+    return df.withColumn(text_col, strip_latex_expr(text_col))
+
+
 #: block-level HTML elements whose open OR close tag starts a new text
 #: block for :func:`html_blocks` (the jusText/trafilatura block split)
 BLOCK_TAGS = ("p|div|li|tr|td|th|h[1-6]|section|article|main|header"

@@ -4283,3 +4283,41 @@ def test_strip_markdown(spark):
     got2 = strip_markdown(spark.createDataFrame(
         [(1, md2)], "doc_id long, text string")).collect()[0].text
     assert got2 == "Header\nsnake_case_name and 3 - 4 - 5"
+
+
+def test_strip_latex(spark):
+    """r14: LaTeX -> text as a pure JVM regexp chain — every rule on
+    one document, then the escape/protection edge cases."""
+    from pypond_spark.datapipe.textstats import strip_latex
+
+    tex = ("\\documentclass[11pt]{article}\n"
+           "\\title{On \\emph{Nested \\textbf{Bold}} Things}\n"
+           "\\author{J.~M\\\"uller and \\'E. Dupont}\n"
+           "\\begin{document}\n\\maketitle\n"
+           "% a full-line comment\n"
+           "Intro with 100\\% effort and A\\&B and \\_u\\_ "
+           "and cost \\$5.\n"
+           "Inline $x^2 + y^2$ gone. Display:\n"
+           "$$\\int_0^1 f$$\n\\[ e^{i\\pi} \\]\n"
+           "\\begin{equation*}\na = b\n\\end{equation*}\n"
+           "\\section{First}\n"
+           "See~\\cite{knuth84} and \\href{http://x}{the site}.\n"
+           "\\begin{itemize}\n\\item one % trailing comment\n"
+           "\\item[*] two\n\\end{itemize}\n"
+           "x \\\\ y\n"
+           "\\begin{verbatim}\nraw   verbatim\n\\end{verbatim}\n"
+           "Literal \\{kept\\} braces.\n\\end{document}")
+    df = spark.createDataFrame([(1, tex)], "doc_id long, text string")
+    got = strip_latex(df).collect()[0].text
+    assert got == ("On Nested Bold Things\nJ. Muller and E. Dupont\n"
+                   "Intro with 100% effort and A&B and _u_ "
+                   "and cost $5.\nInline gone. Display:\nFirst\n"
+                   "See and the site.\none\ntwo\nx\ny\n"
+                   "raw verbatim\nLiteral {kept} braces.")
+    # line-start comment drops via the non-participating ^ branch;
+    # \% never starts a comment; inline math cannot eat across a
+    # protected \$
+    tex2 = "%lead\nkeep 50\\% here\npay \\$2 $m$ and \\$3"
+    got2 = strip_latex(spark.createDataFrame(
+        [(1, tex2)], "doc_id long, text string")).collect()[0].text
+    assert got2 == "keep 50% here\npay $2 and $3"
