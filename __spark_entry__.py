@@ -25,6 +25,7 @@ from pypond_spark.datapipe import privacy as dp_priv
 from pypond_spark.datapipe import sampling as dp_sample
 from pypond_spark.datapipe import similarity as dp_sim
 from pypond_spark.datapipe import textstats as dp_text
+from pypond_spark.datapipe import notebook as dp_nb
 from pypond_spark.datapipe import urls as dp_urls
 from pypond_spark.datapipe import y4m as dp_y4m
 from pypond_spark.datapipe import sketch as dp_sketch
@@ -5290,6 +5291,58 @@ def q_strip_latex(spark, sf_dir):
                       F.length("text").alias("n_chars"))
 
 
+def _ipynb_scaffold(docs):
+    """Per-doc nbformat-4 JSON exercising both ``source`` spellings
+    (list-of-lines AND plain string), a raw cell, stream outputs, and
+    kernelspec metadata.  Built by string concat — NOT ``to_json`` —
+    so the DuckDB oracle can price every byte symbolically without a
+    JSON engine of its own."""
+    def h(tag):
+        return F.md5(F.concat(F.col("text"), F.lit(tag)))
+
+    return docs.select("doc_id", F.concat(
+        F.lit('{"cells":[{"cell_type":"markdown","source":["# T '),
+        h("&n1"), F.lit('\\n","body '), h("&n2"),
+        F.lit('"]},{"cell_type":"code","execution_count":1,'
+              '"source":["x = 1\\n","print(\''), h("&n3"),
+        F.lit('\')"],"outputs":[{"output_type":"stream","text":'
+              '["out\\n"]}]},{"cell_type":"raw","source":"raw '),
+        h("&n4"),
+        F.lit('"},{"cell_type":"code","metadata":{},"source":'
+              '"y = '), F.col("doc_id").cast("string"),
+        F.lit('"}],"metadata":{"kernelspec":{"name":"python3",'
+              '"language":"python"}},"nbformat":4,'
+              '"nbformat_minor":5}')).alias("content"))
+
+
+def q_ipynb_cells(spark, sf_dir):
+    """Notebook -> one row per cell (notebook.py::ipynb_cells — r14,
+    the code-corpus slice): each doc becomes an nbformat-4 JSON blob
+    in-plan (markdown cell with list-of-lines source, code cell with
+    outputs, raw cell and a second code cell both using the PLAIN
+    STRING source spelling), then parse_json lifts it to VARIANT and
+    posexplode yields document-ordered cells — pure JVM, zero Python,
+    zero shuffle.  The oracle never parses JSON: it rebuilds each
+    expected cell from the same scaffold identities."""
+    nb = _ipynb_scaffold(_read(spark, sf_dir, "documents"))
+    out = dp_nb.ipynb_cells(nb)
+    return out.select("doc_id", "cell_idx", "cell_type",
+                      F.md5("source").alias("src_digest"), "n_chars")
+
+
+def q_ipynb_text_extract(spark, sf_dir):
+    """Notebook -> one text row (notebook.py::ipynb_text — r14):
+    markdown + code sources in document order joined by blank lines
+    (raw cells excluded by the nbconvert convention), plus cell-type
+    counts and kernelspec language — all higher-order array functions
+    over the VARIANT, no explode, no shuffle."""
+    nb = _ipynb_scaffold(_read(spark, sf_dir, "documents"))
+    out = dp_nb.ipynb_text(nb)
+    return out.select("doc_id", F.md5("text").alias("text_digest"),
+                      F.length("text").alias("n_chars"), "n_cells",
+                      "n_code", "n_markdown", "language", "nbformat")
+
+
 def q_extract_content(spark, sf_dir):
     """Main-content extraction beyond tag-stripping
     (textstats.py::extract_content — the jusText-class block scorer):
@@ -7264,6 +7317,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_html": q_strip_html,
         "strip_markdown": q_strip_markdown,
         "strip_latex": q_strip_latex,
+        "ipynb_cells": q_ipynb_cells,
+        "ipynb_text_extract": q_ipynb_text_extract,
         "image_phash_png": q_image_phash_png,
         "image_phash_png_adam7": q_image_phash_png_adam7,
         "image_phash_bmp_rle8": q_image_phash_bmp_rle8,
@@ -14743,6 +14798,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(t) AS text_digest,
                length(t) AS n_chars
         FROM l28
+    """
+    # the ipynb rows: Spark PARSES the nbformat JSON via VARIANT;
+    # the oracle never parses — it rebuilds each expected cell from
+    # the same scaffold identities (the url-row law: string
+    # identities on synthesized shapes)
+    _IPYNB_CELLS = """
+        SELECT doc_id,
+               '# T ' || md5(text||'&n1') || chr(10) || 'body '
+                      || md5(text||'&n2')                  AS c0,
+               'x = 1' || chr(10) || 'print(''' || md5(text||'&n3')
+                       || ''')'                            AS c1,
+               'raw ' || md5(text||'&n4')                  AS c2,
+               'y = ' || CAST(doc_id AS VARCHAR)           AS c3
+        FROM documents
+    """
+    d["ipynb_cells"] = f"""
+        WITH c AS ({_IPYNB_CELLS})
+        SELECT doc_id, 0 AS cell_idx, 'markdown' AS cell_type,
+               md5(c0) AS src_digest, length(c0) AS n_chars FROM c
+        UNION ALL
+        SELECT doc_id, 1, 'code', md5(c1), length(c1) FROM c
+        UNION ALL
+        SELECT doc_id, 2, 'raw', md5(c2), length(c2) FROM c
+        UNION ALL
+        SELECT doc_id, 3, 'code', md5(c3), length(c3) FROM c
+    """
+    d["ipynb_text_extract"] = f"""
+        WITH c AS ({_IPYNB_CELLS})
+        SELECT doc_id,
+               md5(c0 || chr(10) || chr(10) || c1 || chr(10)
+                      || chr(10) || c3) AS text_digest,
+               length(c0 || chr(10) || chr(10) || c1 || chr(10)
+                      || chr(10) || c3) AS n_chars,
+               4 AS n_cells, 2 AS n_code, 1 AS n_markdown,
+               'python' AS language, 4 AS nbformat
+        FROM c
     """
     # url rows: the oracle rebuilds input AND canonical form from
     # doc_id with plain string functions — the rules are string

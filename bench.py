@@ -275,6 +275,8 @@ HEADLINE = [
     "strip_html",
     "strip_markdown",
     "strip_latex",
+    "ipynb_cells",
+    "ipynb_text_extract",
     "image_phash_jpeg",
     "image_phash_jpeg_progressive",
     "image_phash_jpeg_multiscan",

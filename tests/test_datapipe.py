@@ -4321,3 +4321,35 @@ def test_strip_latex(spark):
     got2 = strip_latex(spark.createDataFrame(
         [(1, tex2)], "doc_id long, text string")).collect()[0].text
     assert got2 == "keep 50% here\npay $2 and $3"
+
+
+def test_ipynb_cells_and_text(spark):
+    """r14: nbformat-4 parsing via VARIANT — both source spellings
+    (list-of-lines and plain string), raw-cell exclusion from text,
+    counts/language/nbformat, and junk-blob triage."""
+    from pypond_spark.datapipe.notebook import ipynb_cells, ipynb_text
+
+    nb = ('{"cells":['
+          '{"cell_type":"markdown","source":["# T\\n","body"]},'
+          '{"cell_type":"code","execution_count":1,'
+          '"source":["x = 1\\n","print(2)"],"outputs":[]},'
+          '{"cell_type":"raw","source":"raw stuff"},'
+          '{"cell_type":"code","source":"y = 3"}'
+          '],"metadata":{"kernelspec":{"language":"python"}},'
+          '"nbformat":4}')
+    df = spark.createDataFrame([(1, nb), (2, "not json {")],
+                               "doc_id long, content string")
+    cells = {(r.cell_idx, r.cell_type): r.source
+             for r in ipynb_cells(df).collect()}
+    assert cells == {(0, "markdown"): "# T\nbody",
+                     (1, "code"): "x = 1\nprint(2)",
+                     (2, "raw"): "raw stuff",
+                     (3, "code"): "y = 3"}
+    rows = {r.doc_id: r for r in ipynb_text(df).collect()}
+    good = rows[1]
+    assert good.text == "# T\nbody\n\nx = 1\nprint(2)\n\ny = 3"
+    assert (good.n_cells, good.n_code, good.n_markdown) == (4, 2, 1)
+    assert (good.language, good.nbformat) == ("python", 4)
+    junk = rows[2]
+    assert junk.text is None and junk.n_cells == -1
+    assert junk.n_code == -1 and junk.language is None
