@@ -25,6 +25,7 @@ from pypond_spark.datapipe import privacy as dp_priv
 from pypond_spark.datapipe import sampling as dp_sample
 from pypond_spark.datapipe import similarity as dp_sim
 from pypond_spark.datapipe import textstats as dp_text
+from pypond_spark.datapipe import code as dp_code
 from pypond_spark.datapipe import notebook as dp_nb
 from pypond_spark.datapipe import urls as dp_urls
 from pypond_spark.datapipe import y4m as dp_y4m
@@ -5343,6 +5344,72 @@ def q_ipynb_text_extract(spark, sf_dir):
                       "n_code", "n_markdown", "language", "nbformat")
 
 
+def q_code_stats(spark, sf_dir):
+    """Per-file code-shape statistics (code.py::code_stats — r14,
+    the StarCoder/The-Stack filter family): each doc is prefixed
+    in-plan with a code scaffold exercising every counter (shebang,
+    # and // and block comments, a blank line, a 64-char base64 run,
+    an @generated marker), then the scan-level counters run — all
+    exact integers, one project over the scan, zero Python.  The
+    oracle replays every higher-order reduction with DuckDB list
+    functions over the same composed text."""
+    docs = _read(spark, sf_dir, "documents")
+
+    def h(tag):
+        return F.md5(F.concat(F.col("text"), F.lit(tag)))
+
+    wrapped = docs.select("doc_id", F.concat(
+        F.lit("#!/usr/bin/env python\n# header "), h("&c1"),
+        F.lit("\n// c-style\n/* block */\n \t\nblob "), h("&c2"),
+        h("&c3"),
+        F.lit("\n<!-- xml comment -->\n"
+              "x = 1  # @generated marker\ntail "),
+        F.col("text")).alias("text"))
+    out = dp_code.code_stats(wrapped)
+    return out.select("doc_id", "n_lines", "n_blank_lines",
+                      "n_comment_lines", "max_line_len",
+                      "total_line_len", "n_chars", "n_alnum",
+                      "n_blob_runs", "has_autogen")
+
+
+def q_license_detect(spark, sf_dir):
+    """License triage (code.py::license_detect — r14): doc_id picks
+    one of ten headers (two SPDX tags, seven classic phrases, one
+    bare) prepended in-plan; detection scans the composed head, SPDX
+    tag winning over phrases.  The oracle replays the same
+    extract-then-CASE over the same composed text — NOT the symbolic
+    answer key — so a phrase that happens to occur in the underlying
+    document body is priced identically on both sides."""
+    docs = _read(spark, sf_dir, "documents")
+    hdr = (F.when(F.col("doc_id") % 10 == 0,
+                  "SPDX-License-Identifier: MIT\n")
+           .when(F.col("doc_id") % 10 == 1,
+                 "SPDX-License-Identifier: GPL-3.0-only\n")
+           .when(F.col("doc_id") % 10 == 2,
+                 "Apache License\n   Version 2.0\n")
+           .when(F.col("doc_id") % 10 == 3, "MIT License\n")
+           .when(F.col("doc_id") % 10 == 4,
+                 "GNU General Public License\n")
+           .when(F.col("doc_id") % 10 == 5,
+                 "Mozilla Public License\n")
+           .when(F.col("doc_id") % 10 == 6,
+                 "Redistribution and use in source and binary "
+                 "forms\n")
+           .when(F.col("doc_id") % 10 == 7,
+                 "This is free and unencumbered software\n")
+           .when(F.col("doc_id") % 10 == 8,
+                 "GNU Lesser General Public License\n")
+           .otherwise(""))
+    wrapped = docs.select(
+        "doc_id", F.concat(hdr, F.col("text")).alias("text"))
+    out = dp_code.license_detect(wrapped)
+    # tri-state permissive flattens to false-when-unknown here only
+    # because the driver compare treats NULL booleans as NaN floats
+    return out.select("doc_id", "license",
+                      F.coalesce("permissive", F.lit(False))
+                       .alias("permissive"))
+
+
 def q_extract_content(spark, sf_dir):
     """Main-content extraction beyond tag-stripping
     (textstats.py::extract_content — the jusText-class block scorer):
@@ -7319,6 +7386,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_latex": q_strip_latex,
         "ipynb_cells": q_ipynb_cells,
         "ipynb_text_extract": q_ipynb_text_extract,
+        "code_stats": q_code_stats,
+        "license_detect": q_license_detect,
         "image_phash_png": q_image_phash_png,
         "image_phash_png_adam7": q_image_phash_png_adam7,
         "image_phash_bmp_rle8": q_image_phash_bmp_rle8,
@@ -14834,6 +14903,118 @@ def oracle_sql() -> dict[str, str]:
                4 AS n_cells, 2 AS n_code, 1 AS n_markdown,
                'python' AS language, 4 AS nbformat
         FROM c
+    """
+    d["code_stats"] = r"""
+        -- every higher-order reduction of code.py::code_stats
+        -- replayed with DuckDB list functions over the SAME composed
+        -- text (scaffold prefix + raw doc body)
+        WITH w AS (
+          SELECT doc_id,
+                 '#!/usr/bin/env python' || chr(10) || '# header '
+                 || md5(text||'&c1') || chr(10) || '// c-style'
+                 || chr(10) || '/* block */' || chr(10) || ' '
+                 || chr(9) || chr(10) || 'blob ' || md5(text||'&c2')
+                 || md5(text||'&c3') || chr(10)
+                 || '<!-- xml comment -->' || chr(10)
+                 || 'x = 1  # @generated marker' || chr(10)
+                 || 'tail ' || text AS t
+          FROM documents
+        ),
+        l AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls
+              FROM w)
+        SELECT doc_id,
+               len(ls) AS n_lines,
+               len(list_filter(ls, x -> regexp_matches(x,
+                   '^[ \t]*$'))) AS n_blank_lines,
+               len(list_filter(ls, x -> regexp_matches(x,
+                   '(?m)^[ \t]*(#|//|/\*|\*[ \t*]|--[ \t]|;;|<!--)'
+                   ))) AS n_comment_lines,
+               coalesce(list_max(list_transform(ls,
+                   x -> length(x))), 0) AS max_line_len,
+               CAST(list_sum(list_transform(ls, x -> length(x)))
+                    AS BIGINT) AS total_line_len,
+               length(t) AS n_chars,
+               length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))
+                   AS n_alnum,
+               len(regexp_extract_all(t, '[A-Za-z0-9+/=]{64,}'))
+                   AS n_blob_runs,
+               regexp_matches(t, '(?i)auto[- ]?generated'
+                   || '|do not edit|generated by|@generated'
+                   || '|autogenerated') AS has_autogen
+        FROM l
+    """
+    d["license_detect"] = r"""
+        -- the same extract-then-CASE detection replayed over the
+        -- same composed text (NOT a symbolic answer key — a phrase
+        -- occurring in the raw doc body prices identically)
+        WITH w AS (
+          SELECT doc_id,
+                 CASE doc_id % 10
+                   WHEN 0 THEN 'SPDX-License-Identifier: MIT'
+                               || chr(10)
+                   WHEN 1 THEN
+                     'SPDX-License-Identifier: GPL-3.0-only'
+                     || chr(10)
+                   WHEN 2 THEN 'Apache License' || chr(10)
+                               || '   Version 2.0' || chr(10)
+                   WHEN 3 THEN 'MIT License' || chr(10)
+                   WHEN 4 THEN 'GNU General Public License'
+                               || chr(10)
+                   WHEN 5 THEN 'Mozilla Public License' || chr(10)
+                   WHEN 6 THEN 'Redistribution and use in source '
+                               || 'and binary forms' || chr(10)
+                   WHEN 7 THEN 'This is free and unencumbered '
+                               || 'software' || chr(10)
+                   WHEN 8 THEN 'GNU Lesser General Public License'
+                               || chr(10)
+                   ELSE '' END || text AS t
+          FROM documents
+        ),
+        x AS (
+          SELECT doc_id,
+                 regexp_extract(substr(t, 1, 4096),
+                   'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)',
+                   1) AS spdx,
+                 substr(t, 1, 4096) AS head
+          FROM w
+        ),
+        fin AS (
+          SELECT doc_id,
+                 CASE WHEN spdx <> '' THEN spdx ELSE
+                   CASE
+                     WHEN contains(head, 'Apache License')
+                          AND contains(head, 'Version 2.0')
+                       THEN 'Apache-2.0'
+                     WHEN contains(head, 'MIT License') OR
+                          contains(head, 'Permission is hereby '
+                            || 'granted, free of charge')
+                       THEN 'MIT'
+                     WHEN contains(head,
+                         'GNU Affero General Public License')
+                       THEN 'AGPL-3.0'
+                     WHEN contains(head,
+                         'GNU Lesser General Public License')
+                       THEN 'LGPL-3.0'
+                     WHEN contains(head,
+                         'GNU General Public License')
+                       THEN 'GPL-3.0'
+                     WHEN contains(head, 'Mozilla Public License')
+                       THEN 'MPL-2.0'
+                     WHEN contains(head, 'Redistribution and use '
+                         || 'in source and binary forms')
+                       THEN 'BSD-3-Clause'
+                     WHEN contains(head, 'This is free and '
+                         || 'unencumbered software')
+                       THEN 'Unlicense'
+                   END
+                 END AS license
+          FROM x
+        )
+        SELECT doc_id, license,
+               coalesce(license IN ('MIT','Apache-2.0',
+                 'BSD-2-Clause','BSD-3-Clause','ISC','Unlicense',
+                 '0BSD','Zlib','CC0-1.0'), false) AS permissive
+        FROM fin
     """
     # url rows: the oracle rebuilds input AND canonical form from
     # doc_id with plain string functions — the rules are string

@@ -277,6 +277,8 @@ HEADLINE = [
     "strip_latex",
     "ipynb_cells",
     "ipynb_text_extract",
+    "code_stats",
+    "license_detect",
     "image_phash_jpeg",
     "image_phash_jpeg_progressive",
     "image_phash_jpeg_multiscan",

@@ -4353,3 +4353,41 @@ def test_ipynb_cells_and_text(spark):
     junk = rows[2]
     assert junk.text is None and junk.n_cells == -1
     assert junk.n_code == -1 and junk.language is None
+
+
+def test_code_stats_and_license_detect(spark):
+    """r14: StarCoder-style per-file shape counters (exact integers)
+    and SPDX-first license triage."""
+    from pypond_spark.datapipe.code import code_stats, license_detect
+
+    src = ("#!/usr/bin/env python\n"
+           "# a comment\n"
+           "  // indented c-style\n"
+           "\t\n"
+           "x = 1\n"
+           "data = '" + "A" * 70 + "'\n"
+           "# Auto-Generated file, do not edit\n")
+    df = spark.createDataFrame([(1, src)], "doc_id long, text string")
+    r = code_stats(df).collect()[0]
+    assert r.n_lines == 8            # trailing \n makes empty 8th
+    assert r.n_blank_lines == 2      # "\t" line + trailing empty
+    assert r.n_comment_lines == 4    # shebang + two # lines + //
+    assert r.max_line_len == 79      # the data line
+    assert r.total_line_len == r.n_chars - 7   # 7 newlines
+    assert r.n_blob_runs == 1 and r.has_autogen
+    assert r.n_alnum == len([c for c in src if c.isalnum()])
+
+    heads = [
+        (0, "SPDX-License-Identifier: BSD-3-Clause\ncode", "BSD-3-Clause", True),
+        (1, "Licensed under the Apache License, Version 2.0\n", "Apache-2.0", True),
+        (2, "Permission is hereby granted, free of charge\n", "MIT", True),
+        (3, "GNU General Public License v3\n", "GPL-3.0", False),
+        (4, "GNU Lesser General Public License\n", "LGPL-3.0", False),
+        (5, "no license here\n", None, None),
+    ]
+    df2 = spark.createDataFrame([(i, t) for i, t, _, _ in heads],
+                                "doc_id long, text string")
+    got = {r.doc_id: (r.license, r.permissive)
+           for r in license_detect(df2).collect()}
+    for i, _, lic, perm in heads:
+        assert got[i] == (lic, perm), (i, got[i])
