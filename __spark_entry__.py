@@ -25,6 +25,7 @@ from pypond_spark.datapipe import privacy as dp_priv
 from pypond_spark.datapipe import sampling as dp_sample
 from pypond_spark.datapipe import similarity as dp_sim
 from pypond_spark.datapipe import textstats as dp_text
+from pypond_spark.datapipe import chat as dp_chat
 from pypond_spark.datapipe import code as dp_code
 from pypond_spark.datapipe import notebook as dp_nb
 from pypond_spark.datapipe import urls as dp_urls
@@ -5410,6 +5411,72 @@ def q_license_detect(spark, sf_dir):
                        .alias("permissive"))
 
 
+def _chat_scaffold(docs):
+    """Per-doc messages-shape JSON in one of four shapes keyed by
+    ``doc_id % 4`` — (0) no system turn, (1) system + clean
+    alternation, (2) system + a doubled assistant turn (alternation
+    broken), (3) a dangling trailing user turn (ends on the wrong
+    side).  Built by string concat so the oracle prices every byte
+    symbolically."""
+    m = F.col("doc_id") % 4
+
+    def h(tag):
+        return F.md5(F.concat(F.col("text"), F.lit(tag)))
+
+    sys_part = F.when(m.isin(1, 2), F.concat(
+        F.lit('{"role":"system","content":"sys '), h("&s0"),
+        F.lit('"},'))).otherwise(F.lit(""))
+    extra = (F.when(m == 2, F.concat(
+                F.lit(',{"role":"assistant","content":"extra '),
+                h("&x5"), F.lit('"}')))
+             .when(m == 3, F.concat(
+                F.lit(',{"role":"user","content":"tail '),
+                h("&x5"), F.lit('"}')))
+             .otherwise(F.lit("")))
+    body = F.concat(
+        F.lit('{"messages":['), sys_part,
+        F.lit('{"role":"user","content":"q1 '), h("&u1"),
+        F.lit('"},{"role":"assistant","content":"a1 '), h("&a1"),
+        F.lit('"},{"role":"user","content":"q2 '), h("&u2"),
+        F.lit('"},{"role":"assistant","content":"a2 '), h("&a2"),
+        F.lit('"}'), extra, F.lit(']}'))
+    return docs.select("doc_id", body.alias("content"))
+
+
+def q_chat_turns(spark, sf_dir):
+    """Conversation -> one row per message (chat.py::chat_turns —
+    r14, the SFT-corpus slice): Spark parses the messages JSON via
+    VARIANT and posexplode preserves turn order; the oracle never
+    parses — it rebuilds each expected turn from the scaffold shape
+    key."""
+    t = dp_chat.chat_turns(
+        _chat_scaffold(_read(spark, sf_dir, "documents")))
+    return t.select("doc_id", "turn_idx", "role",
+                    F.md5("content").alias("content_digest"),
+                    "n_chars")
+
+
+def q_chat_stats(spark, sf_dir):
+    """Per-conversation SFT shape filters (chat.py::chat_stats —
+    r14): turn counts, leading-system flag, strict user/assistant
+    alternation after the optional system turn, ends-on-assistant,
+    per-side content volume — all higher-order array functions over
+    the VARIANT, no explode, no shuffle."""
+    return dp_chat.chat_stats(
+        _chat_scaffold(_read(spark, sf_dir, "documents")))
+
+
+def q_chat_render(spark, sf_dir):
+    """Conversation -> ChatML training string (chat.py::chat_render
+    — r14): transform + array_join over the VARIANT; the template is
+    a string identity so the oracle rebuilds the exact rendered
+    bytes per shape key."""
+    r = dp_chat.chat_render(
+        _chat_scaffold(_read(spark, sf_dir, "documents")))
+    return r.select("doc_id", F.md5("text").alias("text_digest"),
+                    F.length("text").alias("n_chars"))
+
+
 def q_extract_content(spark, sf_dir):
     """Main-content extraction beyond tag-stripping
     (textstats.py::extract_content — the jusText-class block scorer):
@@ -7388,6 +7455,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipynb_text_extract": q_ipynb_text_extract,
         "code_stats": q_code_stats,
         "license_detect": q_license_detect,
+        "chat_turns": q_chat_turns,
+        "chat_stats": q_chat_stats,
+        "chat_render": q_chat_render,
         "image_phash_png": q_image_phash_png,
         "image_phash_png_adam7": q_image_phash_png_adam7,
         "image_phash_bmp_rle8": q_image_phash_bmp_rle8,
@@ -15015,6 +15085,85 @@ def oracle_sql() -> dict[str, str]:
                  'BSD-2-Clause','BSD-3-Clause','ISC','Unlicense',
                  '0BSD','Zlib','CC0-1.0'), false) AS permissive
         FROM fin
+    """
+    # chat rows: Spark PARSES the messages JSON via VARIANT; the
+    # oracle rebuilds every expected turn / stat / rendered byte
+    # from the doc_id%4 shape key (contents are fixed-width md5
+    # salts, so every length is a constant per shape)
+    _CHAT_B = ("SELECT doc_id, doc_id % 4 AS m, text "
+               "FROM documents")
+    d["chat_turns"] = f"""
+        WITH b AS ({_CHAT_B})
+        SELECT doc_id, 0 AS turn_idx, 'system' AS role,
+               md5('sys ' || md5(text||'&s0')) AS content_digest,
+               36 AS n_chars
+        FROM b WHERE m IN (1,2)
+        UNION ALL
+        SELECT doc_id, CASE WHEN m IN (1,2) THEN 1 ELSE 0 END,
+               'user', md5('q1 ' || md5(text||'&u1')), 35 FROM b
+        UNION ALL
+        SELECT doc_id, CASE WHEN m IN (1,2) THEN 2 ELSE 1 END,
+               'assistant', md5('a1 ' || md5(text||'&a1')), 35
+        FROM b
+        UNION ALL
+        SELECT doc_id, CASE WHEN m IN (1,2) THEN 3 ELSE 2 END,
+               'user', md5('q2 ' || md5(text||'&u2')), 35 FROM b
+        UNION ALL
+        SELECT doc_id, CASE WHEN m IN (1,2) THEN 4 ELSE 3 END,
+               'assistant', md5('a2 ' || md5(text||'&a2')), 35
+        FROM b
+        UNION ALL
+        SELECT doc_id, 5, 'assistant',
+               md5('extra ' || md5(text||'&x5')), 38
+        FROM b WHERE m = 2
+        UNION ALL
+        SELECT doc_id, 4, 'user',
+               md5('tail ' || md5(text||'&x5')), 37
+        FROM b WHERE m = 3
+    """
+    d["chat_stats"] = f"""
+        WITH b AS ({_CHAT_B})
+        SELECT doc_id,
+               CASE m WHEN 0 THEN 4 WHEN 1 THEN 5 WHEN 2 THEN 6
+                      ELSE 5 END AS n_turns,
+               CASE m WHEN 3 THEN 3 ELSE 2 END AS n_user,
+               CASE m WHEN 2 THEN 3 ELSE 2 END AS n_assistant,
+               m IN (1,2) AS has_system,
+               m <> 2 AS alternates,
+               m <> 3 AS ends_assistant,
+               CAST(CASE m WHEN 3 THEN 107 ELSE 70 END AS BIGINT)
+                   AS user_chars,
+               CAST(CASE m WHEN 2 THEN 108 ELSE 70 END AS BIGINT)
+                   AS assistant_chars
+        FROM b
+    """
+    d["chat_render"] = f"""
+        WITH b AS ({_CHAT_B}),
+        r AS (
+          SELECT doc_id,
+                 CASE WHEN m IN (1,2) THEN '<|im_start|>system'
+                   || chr(10) || 'sys ' || md5(text||'&s0')
+                   || '<|im_end|>' || chr(10) ELSE '' END
+                 || '<|im_start|>user' || chr(10) || 'q1 '
+                 || md5(text||'&u1') || '<|im_end|>' || chr(10)
+                 || '<|im_start|>assistant' || chr(10) || 'a1 '
+                 || md5(text||'&a1') || '<|im_end|>' || chr(10)
+                 || '<|im_start|>user' || chr(10) || 'q2 '
+                 || md5(text||'&u2') || '<|im_end|>' || chr(10)
+                 || '<|im_start|>assistant' || chr(10) || 'a2 '
+                 || md5(text||'&a2') || '<|im_end|>'
+                 || CASE WHEN m = 2 THEN chr(10)
+                      || '<|im_start|>assistant' || chr(10)
+                      || 'extra ' || md5(text||'&x5')
+                      || '<|im_end|>'
+                    WHEN m = 3 THEN chr(10) || '<|im_start|>user'
+                      || chr(10) || 'tail ' || md5(text||'&x5')
+                      || '<|im_end|>'
+                    ELSE '' END AS t
+          FROM b)
+        SELECT doc_id, md5(t) AS text_digest,
+               length(t) AS n_chars
+        FROM r
     """
     # url rows: the oracle rebuilds input AND canonical form from
     # doc_id with plain string functions — the rules are string

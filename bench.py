@@ -279,6 +279,9 @@ HEADLINE = [
     "ipynb_text_extract",
     "code_stats",
     "license_detect",
+    "chat_turns",
+    "chat_stats",
+    "chat_render",
     "image_phash_jpeg",
     "image_phash_jpeg_progressive",
     "image_phash_jpeg_multiscan",

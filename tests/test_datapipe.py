@@ -4391,3 +4391,43 @@ def test_code_stats_and_license_detect(spark):
            for r in license_detect(df2).collect()}
     for i, _, lic, perm in heads:
         assert got[i] == (lic, perm), (i, got[i])
+
+
+def test_chat_turns_stats_render(spark):
+    """r14: messages-shape conversations via VARIANT — per-turn
+    explode, SFT shape filters, ChatML rendering, junk triage."""
+    from pypond_spark.datapipe.chat import (chat_turns, chat_stats,
+                                            chat_render)
+
+    good = ('{"messages":[{"role":"system","content":"be nice"},'
+            '{"role":"user","content":"hi"},'
+            '{"role":"assistant","content":"hello!"},'
+            '{"role":"user","content":"bye"},'
+            '{"role":"assistant","content":"ciao"}]}')
+    doubled = ('{"messages":[{"role":"user","content":"a"},'
+               '{"role":"user","content":"b"}]}')
+    df = spark.createDataFrame(
+        [(1, good), (2, doubled), (3, '{"messages":[]}'),
+         (4, "junk {")], "doc_id long, content string")
+
+    turns = {(r.doc_id, r.turn_idx): (r.role, r.content)
+             for r in chat_turns(df).collect()}
+    assert turns[(1, 0)] == ("system", "be nice")
+    assert turns[(1, 4)] == ("assistant", "ciao")
+    assert turns[(2, 1)] == ("user", "b")
+    assert len(turns) == 7  # empty + junk contribute nothing
+
+    st = {r.doc_id: r for r in chat_stats(df).collect()}
+    g = st[1]
+    assert (g.n_turns, g.n_user, g.n_assistant) == (5, 2, 2)
+    assert g.has_system and g.alternates and g.ends_assistant
+    assert (g.user_chars, g.assistant_chars) == (5, 10)
+    assert not st[2].alternates and not st[2].has_system
+    assert st[3].n_turns == 0 and not st[3].alternates
+    assert st[4].n_turns == -1 and st[4].user_chars == -1
+
+    rd = {r.doc_id: r.text for r in chat_render(df).collect()}
+    assert rd[1].startswith("<|im_start|>system\nbe nice<|im_end|>\n"
+                            "<|im_start|>user\nhi<|im_end|>")
+    assert rd[1].endswith("<|im_start|>assistant\nciao<|im_end|>")
+    assert rd[3] == "" and rd[4] is None
