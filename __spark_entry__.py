@@ -3411,6 +3411,63 @@ def q_audio_fingerprint_flac(spark, sf_dir):
                                    max_frames=16)
 
 
+def _synth_aiff128(spark, sf_dir):
+    """The SAME 128 int16 samples as :func:`_synth_wav128`, encoded
+    as REAL AIFF (datapipe/aiff.py — r14), rotating the container
+    variants by doc_id: plain AIFF big-endian, AIFC 'NONE', AIFC
+    'sowt' little-endian, and 24-bit AIFF with a uniform <<8 gain
+    (the energy-delta-SIGN fingerprint is gain-invariant, so the
+    unchanged WAV oracle still replays bit-for-bit).  Routed through
+    the fixture cache from birth (r13 bench-hygiene rule)."""
+    def build():
+        import pandas as _pd
+
+        from pypond_spark.datapipe.aiff import encode_aiff
+
+        wav = _synth_wav128(_read(spark, sf_dir, "documents"))
+
+        def enc(batches):
+            for pdf in batches:
+                rows = []
+                for mid, content in zip(pdf["media_id"],
+                                        pdf["content"]):
+                    mid = int(mid)
+                    raw = bytes(content)[len(_WAV_HDR_128):]
+                    samples = list(_struct.unpack("<128h", raw))
+                    m = mid % 4
+                    if m == 0:
+                        b = encode_aiff(8000, 1, 16, samples)
+                    elif m == 1:
+                        b = encode_aiff(8000, 1, 16, samples,
+                                        "NONE")
+                    elif m == 2:
+                        b = encode_aiff(8000, 1, 16, samples,
+                                        "sowt")
+                    else:
+                        b = encode_aiff(8000, 1, 24,
+                                        [v << 8 for v in samples])
+                    rows.append((mid, b))
+                yield _pd.DataFrame(rows,
+                                    columns=["media_id", "content"])
+
+        return wav.mapInPandas(enc, "media_id long, content binary")
+
+    return _cached_media(spark, sf_dir, "aiff128", 1, build)
+
+
+def q_audio_fingerprint_aiff(spark, sf_dir):
+    """Perceptual audio fingerprint over samples decoded from REAL
+    AIFF/AIFF-C bytes (datapipe/aiff.py::decode_aiff — FORM chunk
+    walk, 80-bit extended-float rate, BE/sowt byte orders,
+    8/16/24/32-bit PCM; decode_audio dispatches on the FORM magic):
+    identical downstream energy-delta chain and identical oracle as
+    audio_fingerprint because PCM is lossless and the fingerprint is
+    gain-invariant — a green row certifies the AIFF encode->decode
+    roundtrip across all four container variants."""
+    return dp_mm.audio_fingerprint(_synth_aiff128(spark, sf_dir),
+                                   frame_size=8, max_frames=16)
+
+
 def q_audio_near_dups(spark, sf_dir):
     """Near-duplicate audio by Hamming distance on the energy-delta
     fingerprint (multimodal.py::audio_near_dups): the pigeonhole chunk
@@ -7404,6 +7461,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_shard_ingest": q_tar_shard_ingest,
         "tar_sample_pairing": q_tar_sample_pairing,
         "audio_fingerprint_flac": q_audio_fingerprint_flac,
+        "audio_fingerprint_aiff": q_audio_fingerprint_aiff,
         "image_phash_tiff": q_image_phash_tiff,
         "tar_multimodal_pipeline": q_tar_multimodal_pipeline,
         "warc_gz_members": q_warc_gz_members,
@@ -13714,6 +13772,10 @@ def oracle_sql() -> dict[str, str]:
     """
     # FLAC row: lossless, same samples by construction, same oracle
     d["audio_fingerprint_flac"] = d["audio_fingerprint"]
+    # AIFF is PCM (and the 24-bit variant a uniform <<8 gain, which
+    # the energy-delta-SIGN fingerprint is invariant to), so the
+    # unchanged WAV oracle replays it bit-for-bit
+    d["audio_fingerprint_aiff"] = d["audio_fingerprint"]
     d["audio_near_dups"] = f"""
         WITH fp AS ({d["audio_fingerprint"]})
         SELECT a.media_id AS id_a, b.media_id AS id_b,

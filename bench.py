@@ -282,6 +282,7 @@ HEADLINE = [
     "chat_turns",
     "chat_stats",
     "chat_render",
+    "audio_fingerprint_aiff",
     "image_phash_jpeg",
     "image_phash_jpeg_progressive",
     "image_phash_jpeg_multiscan",

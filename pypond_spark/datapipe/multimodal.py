@@ -502,6 +502,13 @@ def decode_audio(content: bytes) -> dict:
     ``NotImplementedError`` — float psychoacoustic transforms are
     neither hash-exactable nor decodable without codec libraries.
     """
+    if content[:4] == b"FORM" and content[8:12] in (b"AIFF",
+                                                    b"AIFC"):
+        from pypond_spark.datapipe.aiff import decode_aiff
+        d = decode_aiff(content)
+        return {"n_channels": d["channels"],
+                "sample_rate": d["sample_rate"],
+                "n_samples": d["n_frames"], "samples": d["samples"]}
     if content[:4] == b"fLaC":
         from pypond_spark.datapipe.flac import decode_flac
         d = decode_flac(content)
@@ -1191,6 +1198,26 @@ def _sniff_audio(content: bytes):
             | int.from_bytes(body[14:18], "big")
         dur = total * 1000 // rate if rate and total else None
         return ("flac", nch, rate, None, bits, dur)
+    if content[:4] == b"FORM" and content[8:12] in (b"AIFF",
+                                                    b"AIFC"):
+        # COMM chunk walk — the big-endian sibling of the RIFF path
+        from pypond_spark.datapipe.aiff import _read_ext80
+        pos = 12
+        while pos + 8 <= len(content):
+            cid = content[pos:pos + 4]
+            (sz,) = struct.unpack(">I", content[pos + 4:pos + 8])
+            if cid == b"COMM" and pos + 26 <= len(content):
+                nch, nframes, bits = struct.unpack(
+                    ">HIH", content[pos + 8:pos + 16])
+                try:
+                    rate = _read_ext80(content[pos + 16:pos + 26])
+                except ValueError:
+                    rate = None
+                dur = (nframes * 1000 // rate
+                       if rate and nframes else None)
+                return ("aiff", nch, rate, None, bits, dur)
+            pos += 8 + sz + (sz & 1)
+        return ("aiff", None, None, None, None, None)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         pos = 12
         nch = rate = bits = byterate = data_size = None

@@ -4431,3 +4431,44 @@ def test_chat_turns_stats_render(spark):
                             "<|im_start|>user\nhi<|im_end|>")
     assert rd[1].endswith("<|im_start|>assistant\nciao<|im_end|>")
     assert rd[3] == "" and rd[4] is None
+
+
+def test_aiff_codec_roundtrip():
+    """r14: AIFF/AIFF-C decode+encode — all four container variants,
+    the 80-bit extended-float rate, and the honest raises."""
+    import pytest
+    from pypond_spark.datapipe.aiff import (decode_aiff, encode_aiff,
+                                            _read_ext80, _write_ext80)
+
+    for rate in (8000, 11025, 22050, 44100, 48000, 96000, 1):
+        assert _read_ext80(_write_ext80(rate)) == rate
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321, 7] * 16
+    for comp in (None, "NONE", "sowt"):
+        d = decode_aiff(encode_aiff(44100, 2, 16, samples, comp))
+        assert d["samples"] == samples
+        assert (d["channels"], d["sample_rate"], d["sample_size"],
+                d["n_frames"]) == (2, 44100, 16, 64)
+    for bits, probe in ((8, 127), (24, 1 << 22), (32, 1 << 30)):
+        s = [0, probe, -probe - 1, 5]
+        d = decode_aiff(encode_aiff(8000, 1, bits, s))
+        assert d["samples"] == s and d["sample_size"] == bits
+
+    # decode_audio dispatch + sniff
+    from pypond_spark.datapipe.multimodal import (decode_audio,
+                                                  _sniff_audio)
+    blob = encode_aiff(8000, 1, 16, samples[:32], "sowt")
+    a = decode_audio(blob)
+    assert a["samples"] == samples[:32] and a["n_samples"] == 32
+    assert _sniff_audio(blob) == ("aiff", 1, 8000, None, 16, 4)
+
+    with pytest.raises(NotImplementedError):
+        decode_aiff(encode_aiff(8000, 1, 16, samples, "NONE")
+                    .replace(b"NONE", b"ulaw"))
+    with pytest.raises(NotImplementedError):
+        encode_aiff(8000, 1, 12, samples)
+    with pytest.raises(ValueError):
+        decode_aiff(b"FORM\x00\x00\x00\x04WAVE")
+    trunc = encode_aiff(8000, 1, 16, samples)[:40]
+    with pytest.raises(ValueError):
+        decode_aiff(trunc)
