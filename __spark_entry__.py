@@ -2740,6 +2740,41 @@ def q_odt_text_extract(spark, sf_dir):
     return extract_odt_text(od)
 
 
+def q_document_router_text(spark, sf_dir):
+    """Text-format routing branches of route_document (r14 — the
+    UTF-8 tail of the magic-byte dispatcher): doc_id%4 synthesizes
+    LaTeX (\\documentclass preamble), a notebook JSON (nbformat +
+    cells), markdown (ATX heading + fence), and plain prose; the
+    router must LABEL each by content and return the raw text
+    verbatim (stripping is the downstream scan stage).  The oracle
+    rebuilds label + bytes symbolically."""
+    from pypond_spark.datapipe.document import extract_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+
+    def h(tag):
+        return F.md5(F.concat(F.col("text"), F.lit(tag)))
+
+    blob = (F.when(m == 0, F.concat(
+                F.lit("\\documentclass{article}\n"
+                      "\\begin{document}\nbody "), h("&rt0"),
+                F.lit("\n\\end{document}")))
+            .when(m == 1, F.concat(
+                F.lit('{"cells":[{"cell_type":"raw","source":'
+                      '"src '), h("&rt1"),
+                F.lit('"}],"nbformat":4}')))
+            .when(m == 2, F.concat(
+                F.lit("# Title "), h("&rt2"),
+                F.lit("\n\n```py\nx\n```\nbody")))
+            .otherwise(F.concat(F.lit("plain prose "), h("&rt3"))))
+    routed = extract_documents(docs.select(
+        "doc_id", F.encode(blob, "utf-8").alias("content")))
+    return routed.select("doc_id", "format",
+                         F.md5("text").alias("text_digest"),
+                         "n_units")
+
+
 def q_document_router(spark, sf_dir):
     """Mixed-format document routing (datapipe/document.py::
     extract_documents — r14, the front door of the extraction tier):
@@ -7462,6 +7497,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_sample_pairing": q_tar_sample_pairing,
         "audio_fingerprint_flac": q_audio_fingerprint_flac,
         "audio_fingerprint_aiff": q_audio_fingerprint_aiff,
+        "document_router_text": q_document_router_text,
         "image_phash_tiff": q_image_phash_tiff,
         "tar_multimodal_pipeline": q_tar_multimodal_pipeline,
         "warc_gz_members": q_warc_gz_members,
@@ -13776,6 +13812,34 @@ def oracle_sql() -> dict[str, str]:
     # the energy-delta-SIGN fingerprint is invariant to), so the
     # unchanged WAV oracle replays it bit-for-bit
     d["audio_fingerprint_aiff"] = d["audio_fingerprint"]
+    d["document_router_text"] = r"""
+        -- label + raw bytes of the four UTF-8 routing branches,
+        -- rebuilt symbolically from the doc_id%4 scaffold
+        WITH b AS (SELECT doc_id, doc_id % 4 AS m, text
+                   FROM documents),
+        t AS (
+          SELECT doc_id, m,
+                 CASE m
+                   WHEN 0 THEN '\documentclass{article}' || chr(10)
+                     || '\begin{document}' || chr(10) || 'body '
+                     || md5(text||'&rt0') || chr(10)
+                     || '\end{document}'
+                   WHEN 1 THEN
+                     '{"cells":[{"cell_type":"raw","source":"src '
+                     || md5(text||'&rt1') || '"}],"nbformat":4}'
+                   WHEN 2 THEN '# Title ' || md5(text||'&rt2')
+                     || chr(10) || chr(10) || '```py' || chr(10)
+                     || 'x' || chr(10) || '```' || chr(10) || 'body'
+                   ELSE 'plain prose ' || md5(text||'&rt3')
+                 END AS txt
+          FROM b)
+        SELECT doc_id,
+               CASE m WHEN 0 THEN 'latex' WHEN 1 THEN 'ipynb'
+                      WHEN 2 THEN 'markdown' ELSE 'text' END
+                   AS format,
+               md5(txt) AS text_digest, 1 AS n_units
+        FROM t
+    """
     d["audio_near_dups"] = f"""
         WITH fp AS ({d["audio_fingerprint"]})
         SELECT a.media_id AS id_a, b.media_id AS id_b,

@@ -283,6 +283,7 @@ HEADLINE = [
     "chat_stats",
     "chat_render",
     "audio_fingerprint_aiff",
+    "document_router_text",
     "image_phash_jpeg",
     "image_phash_jpeg_progressive",
     "image_phash_jpeg_multiscan",

@@ -11,11 +11,14 @@ decode-by-sniff law as ``multimodal.decode_image``:
 - zip + ``META-INF/container.xml`` -> :func:`zipdoc.epub_chapters`
 - zip + ``content.xml``          -> :func:`zipdoc.odt_text`
 - ``{\\rtf``                     -> :func:`rtf.rtf_text`
-- anything else that decodes as UTF-8 -> ``html`` when it contains a
-  tag, else ``text`` verbatim (the HTML branch returns the RAW
-  string — tag stripping is the downstream scan-level
-  ``textstats.strip_html`` stage, kept out of here so the router
-  stays a pure dispatcher);
+- anything else that decodes as UTF-8 is LABELED (raw string
+  returned verbatim, r14): ``latex`` on ``\\documentclass`` /
+  ``\\begin{document}``, ``ipynb`` on JSON carrying ``"nbformat"``
+  + ``"cells"``, ``html`` on a tag, ``markdown`` on ATX / fence /
+  inline-link markers, else ``text`` — stripping/parsing is the
+  downstream scan-level stage (``textstats.strip_html`` /
+  ``strip_latex`` / ``strip_markdown``, ``notebook.ipynb_text``),
+  kept out of here so the router stays a pure dispatcher;
 - undecodable binary -> ``format='unknown'``, NULL text (triage row,
   never an exception — a mixed corpus ALWAYS contains junk, and the
   router's job is to label it, not die on it; per-format structural
@@ -28,11 +31,19 @@ shuffle — the router adds dispatch, not plan complexity.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+#: markdown is a HEURISTIC label (there is no magic byte): an ATX
+#: heading at line start, a fenced code block, or an inline link —
+#: any one in the head is decisive enough for routing; plain prose
+#: with none of them stays ``text``
+_MD_MARKER = re.compile(
+    r"(?m)^#{1,6} |^```|\]\(https?://", re.ASCII)
 
 __all__ = ["route_document", "extract_documents", "DOC_ROUTE_SCHEMA"]
 
@@ -67,9 +78,22 @@ def route_document(content: bytes) -> tuple[str, str | None, int]:
         text = content.decode("utf-8")
     except UnicodeDecodeError:
         return "unknown", None, 0
-    low = text[:4096].lower()
+    head = text[:4096]
+    low = head.lower()
+    # the text formats are LABELED here, raw text returned verbatim
+    # — stripping/parsing is the downstream scan-level stage
+    # (strip_latex / strip_markdown / notebook.ipynb_text), same law
+    # as the html branch below
+    if head.lstrip().startswith("\\documentclass") \
+            or "\\begin{document}" in head:
+        return "latex", text, 1
+    if head.lstrip().startswith("{") and '"nbformat"' in head \
+            and '"cells"' in head:
+        return "ipynb", text, 1
     if "<html" in low or "<!doctype html" in low or "<body" in low:
         return "html", text, 1
+    if _MD_MARKER.search(head):
+        return "markdown", text, 1
     return "text", text, 1
 
 

@@ -4472,3 +4472,26 @@ def test_aiff_codec_roundtrip():
     trunc = encode_aiff(8000, 1, 16, samples)[:40]
     with pytest.raises(ValueError):
         decode_aiff(trunc)
+
+
+def test_route_document_text_formats():
+    """r14: the UTF-8 routing tail — latex/ipynb/markdown labels
+    return raw text verbatim; plain prose stays text."""
+    from pypond_spark.datapipe.document import route_document
+
+    tex = "\\documentclass{article}\n\\begin{document}\nhi\\end{document}"
+    assert route_document(tex.encode()) == ("latex", tex, 1)
+    frag = "intro\n\\begin{document}\nbody"
+    assert route_document(frag.encode())[0] == "latex"
+    nb = '{"cells":[],"nbformat":4}'
+    assert route_document(nb.encode()) == ("ipynb", nb, 1)
+    md = "# Head\n\nbody [x](https://e.com)"
+    assert route_document(md.encode()) == ("markdown", md, 1)
+    # heading marker must be line-anchored, fences decisive
+    assert route_document(b"a # not heading")[0] == "text"
+    assert route_document(b"pre\n```\ncode\n```")[0] == "markdown"
+    assert route_document(b"just prose, 100% plain.") \
+        == ("text", "just prose, 100% plain.", 1)
+    # html still wins over markdown markers inside tags
+    html = "<html><body># x</body></html>"
+    assert route_document(html.encode())[0] == "html"
