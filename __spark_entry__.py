@@ -3163,29 +3163,32 @@ def q_image_meta_jpeg(spark, sf_dir):
     SOFn and reads the frame dimensions.  Per-doc dims derive from
     doc_id (w = 8+id%9, h = 8+id%7, grayscale baseline encode), so
     the oracle predicts the full result without running a codec."""
-    docs = _read(spark, sf_dir, "documents")
-    import pandas as _pd
+    def build():
+        import pandas as _pd
 
-    from pypond_spark.datapipe.jpeg import encode_jpeg
+        from pypond_spark.datapipe.jpeg import encode_jpeg
 
-    base = docs.select(
-        F.col("doc_id").cast("long").alias("media_id"),
-        F.concat(*[F.unhex(F.md5(F.concat(F.col("text"),
-                                          F.lit(f"@j{k}"))))
-                   for k in range(14)]).alias("raw"))
+        docs = _read(spark, sf_dir, "documents")
+        base = docs.select(
+            F.col("doc_id").cast("long").alias("media_id"),
+            F.concat(*[F.unhex(F.md5(F.concat(F.col("text"),
+                                              F.lit(f"@j{k}"))))
+                       for k in range(14)]).alias("raw"))
 
-    def enc(batches):
-        for pdf in batches:
-            rows = []
-            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
-                mid = int(mid)
-                w, h = 8 + mid % 9, 8 + mid % 7
-                rows.append((mid, encode_jpeg(w, h,
-                                              bytes(raw)[:w * h],
-                                              gray=True)))
-            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+        def enc(batches):
+            for pdf in batches:
+                rows = []
+                for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                    mid = int(mid)
+                    w, h = 8 + mid % 9, 8 + mid % 7
+                    rows.append((mid, encode_jpeg(
+                        w, h, bytes(raw)[:w * h], gray=True)))
+                yield _pd.DataFrame(rows,
+                                    columns=["media_id", "content"])
 
-    media = base.mapInPandas(enc, "media_id long, content binary")
+        return base.mapInPandas(enc, "media_id long, content binary")
+
+    media = _cached_media(spark, sf_dir, "jpeg_meta", 1, build)
     return dp_mm.sniff_image_meta(media, engine="arrow")
 
 
@@ -3401,36 +3404,42 @@ def q_audio_fingerprint(spark, sf_dir):
                                    max_frames=16)
 
 
-def _synth_flac128(docs):
+def _synth_flac128(spark, sf_dir):
     """The SAME 128 int16 samples as :func:`_synth_wav128`, encoded
     as REAL FLAC (datapipe/flac.py::encode_flac — r13) instead of
     WAV: subframe strategy rotates over all seven encoder modes and
     the block size alternates 32/48 (multi-frame streams with ragged
     tails) by doc_id.  FLAC is integer-exact lossless, so the
     unchanged audio_fingerprint oracle replays the decoded samples
-    from the md5 hex verbatim."""
-    import pandas as _pd
+    from the md5 hex verbatim.  Fixture-cached since r14 so the
+    bench row tracks FLAC DECODE, not re-encoding the fixtures."""
+    def build():
+        import pandas as _pd
 
-    from pypond_spark.datapipe.flac import encode_flac
+        from pypond_spark.datapipe.flac import encode_flac
 
-    wav = _synth_wav128(docs)
-    modes = ("auto", "verbatim", "fixed0", "fixed1", "fixed2",
-             "fixed3", "fixed4")
+        wav = _synth_wav128(_read(spark, sf_dir, "documents"))
+        modes = ("auto", "verbatim", "fixed0", "fixed1", "fixed2",
+                 "fixed3", "fixed4")
 
-    def enc(batches):
-        for pdf in batches:
-            rows = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                mid = int(mid)
-                raw = bytes(content)[len(_WAV_HDR_128):]
-                samples = list(_struct.unpack("<128h", raw))
-                rows.append((mid, encode_flac(
-                    8000, 1, 16, [samples],
-                    blocksize=32 if mid % 2 else 48,
-                    subframe=modes[mid % 7])))
-            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+        def enc(batches):
+            for pdf in batches:
+                rows = []
+                for mid, content in zip(pdf["media_id"],
+                                        pdf["content"]):
+                    mid = int(mid)
+                    raw = bytes(content)[len(_WAV_HDR_128):]
+                    samples = list(_struct.unpack("<128h", raw))
+                    rows.append((mid, encode_flac(
+                        8000, 1, 16, [samples],
+                        blocksize=32 if mid % 2 else 48,
+                        subframe=modes[mid % 7])))
+                yield _pd.DataFrame(rows,
+                                    columns=["media_id", "content"])
 
-    return wav.mapInPandas(enc, "media_id long, content binary")
+        return wav.mapInPandas(enc, "media_id long, content binary")
+
+    return _cached_media(spark, sf_dir, "flac128", 1, build)
 
 
 def q_audio_fingerprint_flac(spark, sf_dir):
@@ -3441,9 +3450,8 @@ def q_audio_fingerprint_flac(spark, sf_dir):
     chain and identical oracle as audio_fingerprint, because FLAC is
     lossless — a green row certifies the full FLAC encode->decode
     roundtrip bit-for-bit across all seven subframe strategies."""
-    docs = _read(spark, sf_dir, "documents")
-    return dp_mm.audio_fingerprint(_synth_flac128(docs), frame_size=8,
-                                   max_frames=16)
+    return dp_mm.audio_fingerprint(_synth_flac128(spark, sf_dir),
+                                   frame_size=8, max_frames=16)
 
 
 def _synth_aiff128(spark, sf_dir):
