@@ -26,6 +26,7 @@ from pypond_spark.datapipe import sampling as dp_sample
 from pypond_spark.datapipe import similarity as dp_sim
 from pypond_spark.datapipe import textstats as dp_text
 from pypond_spark.datapipe import chat as dp_chat
+from pypond_spark.datapipe import feeds as dp_feeds
 from pypond_spark.datapipe import code as dp_code
 from pypond_spark.datapipe import notebook as dp_nb
 from pypond_spark.datapipe import urls as dp_urls
@@ -2738,6 +2739,51 @@ def q_odt_text_extract(spark, sf_dir):
     od = _cached_media(spark, sf_dir, "odt", 1,
                        lambda: _synth_odt(docs))
     return extract_odt_text(od)
+
+
+def q_feed_entries(spark, sf_dir):
+    """RSS/Atom feed extraction (feeds.py::feed_entries — r14, the
+    news-discovery slice): doc_id%3 synthesizes an RSS 2.0 channel
+    with two items (one full, one sparse), an Atom feed with two
+    entries (link as ATTRIBUTE — the _href parser spelling), or
+    non-feed junk (zero rows).  Spark parses with the built-in
+    from_xml under BOTH schemas and the materialized entry array
+    wins; the oracle rebuilds every normalized entry symbolically."""
+    docs = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+
+    def h(tag):
+        return F.md5(F.concat(F.col("text"), F.lit(tag)))
+
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>F '), h("&ft"),
+        F.lit('</title><link>http://ex.com</link>'
+              '<item><title>t1 '), h("&f1"),
+        F.lit('</title><link>http://ex.com/1</link>'
+              '<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>'
+              '<guid>g '), h("&f2"),
+        F.lit('</guid><description>d '), h("&f3"),
+        F.lit('</description></item><item><title>t2 '), h("&f4"),
+        F.lit('</title><link>http://ex.com/2</link></item>'
+              '</channel></rss>'))
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+              '<title>AF '), h("&ft"),
+        F.lit('</title><entry><title>e1 '), h("&f1"),
+        F.lit('</title><link href="http://a.com/1"/>'
+              '<updated>2024-01-01T00:00:00Z</updated><id>i '),
+        h("&f2"),
+        F.lit('</id><summary>s '), h("&f3"),
+        F.lit('</summary></entry><entry><title>e2 '), h("&f4"),
+        F.lit('</title><link href="http://a.com/2"/></entry>'
+              '</feed>'))
+    blob = (F.when(m == 0, rss).when(m == 1, atom)
+            .otherwise(F.concat(F.lit("not a feed "), h("&fj"))))
+    out = dp_feeds.feed_entries(
+        docs.select("doc_id", blob.alias("content")))
+    return out.select("doc_id", "feed_type", "feed_title",
+                      "entry_idx", "title", "link", "published",
+                      "entry_id", "summary")
 
 
 def q_document_router_text(spark, sf_dir):
@@ -7506,6 +7552,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_flac": q_audio_fingerprint_flac,
         "audio_fingerprint_aiff": q_audio_fingerprint_aiff,
         "document_router_text": q_document_router_text,
+        "feed_entries": q_feed_entries,
         "image_phash_tiff": q_image_phash_tiff,
         "tar_multimodal_pipeline": q_tar_multimodal_pipeline,
         "warc_gz_members": q_warc_gz_members,
@@ -13820,6 +13867,36 @@ def oracle_sql() -> dict[str, str]:
     # the energy-delta-SIGN fingerprint is invariant to), so the
     # unchanged WAV oracle replays it bit-for-bit
     d["audio_fingerprint_aiff"] = d["audio_fingerprint"]
+    d["feed_entries"] = r"""
+        -- both wire formats' normalized entries rebuilt symbolically
+        -- from the doc_id%3 scaffold (junk contributes zero rows)
+        WITH b AS (SELECT doc_id, doc_id % 3 AS m, text
+                   FROM documents)
+        SELECT doc_id, 'rss' AS feed_type,
+               'F ' || md5(text||'&ft') AS feed_title,
+               0 AS entry_idx, 't1 ' || md5(text||'&f1') AS title,
+               'http://ex.com/1' AS link,
+               'Mon, 01 Jan 2024 00:00:00 GMT' AS published,
+               'g ' || md5(text||'&f2') AS entry_id,
+               'd ' || md5(text||'&f3') AS summary
+        FROM b WHERE m = 0
+        UNION ALL
+        SELECT doc_id, 'rss', 'F ' || md5(text||'&ft'), 1,
+               't2 ' || md5(text||'&f4'), 'http://ex.com/2',
+               NULL, NULL, NULL
+        FROM b WHERE m = 0
+        UNION ALL
+        SELECT doc_id, 'atom', 'AF ' || md5(text||'&ft'), 0,
+               'e1 ' || md5(text||'&f1'), 'http://a.com/1',
+               '2024-01-01T00:00:00Z', 'i ' || md5(text||'&f2'),
+               's ' || md5(text||'&f3')
+        FROM b WHERE m = 1
+        UNION ALL
+        SELECT doc_id, 'atom', 'AF ' || md5(text||'&ft'), 1,
+               'e2 ' || md5(text||'&f4'), 'http://a.com/2',
+               NULL, NULL, NULL
+        FROM b WHERE m = 1
+    """
     d["document_router_text"] = r"""
         -- label + raw bytes of the four UTF-8 routing branches,
         -- rebuilt symbolically from the doc_id%4 scaffold

@@ -284,6 +284,7 @@ HEADLINE = [
     "chat_render",
     "audio_fingerprint_aiff",
     "document_router_text",
+    "feed_entries",
     "image_phash_jpeg",
     "image_phash_jpeg_progressive",
     "image_phash_jpeg_multiscan",

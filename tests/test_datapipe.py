@@ -4495,3 +4495,39 @@ def test_route_document_text_formats():
     # html still wins over markdown markers inside tags
     html = "<html><body># x</body></html>"
     assert route_document(html.encode())[0] == "html"
+
+
+def test_feed_entries(spark):
+    """r14: RSS/Atom extraction via built-in from_xml — both wire
+    formats normalized, attribute links, junk triage."""
+    from pypond_spark.datapipe.feeds import feed_entries
+
+    rss = ('<rss version="2.0"><channel><title>Feed T</title>'
+           '<link>http://ex.com</link>'
+           '<item><title>A1</title><link>http://ex.com/1</link>'
+           '<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>'
+           '<guid>g1</guid><description>d1</description></item>'
+           '<item><title>A2</title><link>http://ex.com/2</link>'
+           '</item></channel></rss>')
+    atom = ('<feed xmlns="http://www.w3.org/2005/Atom">'
+            '<title>AFeed</title>'
+            '<entry><title>E1</title><link href="http://a.com/1"/>'
+            '<updated>2024-01-01T00:00:00Z</updated><id>i1</id>'
+            '<summary>s1</summary></entry>'
+            '<entry><title>E2</title>'
+            '<link href="http://a.com/2"/></entry></feed>')
+    df = spark.createDataFrame(
+        [(1, rss), (2, atom), (3, "junk"), (4, "<html/>")],
+        "doc_id long, content string")
+    rows = {(r.doc_id, r.entry_idx): r
+            for r in feed_entries(df).collect()}
+    assert len(rows) == 4  # junk + html contribute nothing
+    r10 = rows[(1, 0)]
+    assert (r10.feed_type, r10.feed_title, r10.title, r10.link,
+            r10.entry_id) == ("rss", "Feed T", "A1",
+                              "http://ex.com/1", "g1")
+    assert rows[(1, 1)].published is None
+    a0 = rows[(2, 0)]
+    assert (a0.feed_type, a0.link, a0.published) == (
+        "atom", "http://a.com/1", "2024-01-01T00:00:00Z")
+    assert rows[(2, 1)].summary is None
