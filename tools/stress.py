@@ -596,6 +596,70 @@ def _pdf_extract_stress(spark, n: int) -> float:
     return walls[1]
 
 
+def _variant_extract_stress(spark, n: int) -> float:
+    """r14: the VARIANT/from_xml extraction tier — notebook, chat
+    and RSS parsing at two corpus sizes 10x apart.  Synthesis is
+    pure column concat (no Python), localCheckpointed before the
+    clock; the timed pass parses all three formats and asserts
+    exact output counts, so a dropped cell/turn/entry fails the
+    stress run instead of flattering the throughput number."""
+    import time as _time
+
+    from pyspark.sql import functions as F2
+
+    from pypond_spark.datapipe.chat import chat_stats
+    from pypond_spark.datapipe.feeds import feed_entries
+    from pypond_spark.datapipe.notebook import ipynb_text
+
+    walls = []
+    for docs_n in (max(n // 20000, 100), max(n // 2000, 1000)):
+        def h(tag):
+            return F2.md5(F2.concat(F2.col("id").cast("string"),
+                                    F2.lit(tag)))
+        base = (spark.range(docs_n)
+                .repartition(spark.sparkContext.defaultParallelism)
+                .select(
+                    F2.col("id").alias("doc_id"),
+                    F2.concat(
+                        F2.lit('{"cells":[{"cell_type":"markdown",'
+                               '"source":["# '), h("n1"),
+                        F2.lit('"]},{"cell_type":"code","source":'
+                               '"x = 1 # '), h("n2"),
+                        F2.lit('"}],"metadata":{"kernelspec":'
+                               '{"language":"python"}},'
+                               '"nbformat":4}')).alias("nb"),
+                    F2.concat(
+                        F2.lit('{"messages":[{"role":"user",'
+                               '"content":"q '), h("c1"),
+                        F2.lit('"},{"role":"assistant",'
+                               '"content":"a '), h("c2"),
+                        F2.lit('"}]}')).alias("chat"),
+                    F2.concat(
+                        F2.lit('<rss version="2.0"><channel>'
+                               '<title>T</title><item><title>t '),
+                        h("f1"),
+                        F2.lit('</title><link>http://x/1</link>'
+                               '</item><item><title>u '), h("f2"),
+                        F2.lit('</title></item></channel></rss>'))
+                    .alias("feed"))
+                .localCheckpoint())
+        t0 = _time.time()
+        nb_n = ipynb_text(base, content_col="nb") \
+            .where(F2.col("n_code") == 1).count()
+        ch_n = chat_stats(base, content_col="chat") \
+            .where(F2.col("alternates")).count()
+        fe_n = feed_entries(base, content_col="feed").count()
+        walls.append(_time.time() - t0)
+        assert nb_n == docs_n and ch_n == docs_n \
+            and fe_n == 2 * docs_n, (nb_n, ch_n, fe_n, docs_n)
+        print(f"    [variant_extract] {docs_n:,} docs x 3 formats: "
+              f"{walls[-1]:.1f}s "
+              f"({walls[-1] / docs_n * 1000:.3f} ms/doc)")
+    print(f"    [variant_extract] 10x docs -> "
+          f"{walls[1] / walls[0]:.2f}x wall")
+    return walls[1]
+
+
 def main() -> None:
     mrows = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
     only = set(sys.argv[2:])
@@ -612,8 +676,8 @@ def main() -> None:
                "kn3_logprob_pruned", "neardup_index",
                "neardup_generations", "neardup_small_batch"}
     self_synth = {"video_near_dups", "extract_content",
-                  "transcode_payload",
-                  "pdf_extract"}         # r12/r14: build their own frames
+                  "transcode_payload", "pdf_extract",
+                  "variant_extract"}     # r12/r14: build their own frames
     ev_needed = not only or bool(
         only - emb_ops - doc_ops - self_synth
         - {"dedup_mega_cluster", "dedup_documents"})
@@ -857,6 +921,7 @@ def main() -> None:
         "transcode_payload": lambda: _transcode_stress(spark, n),
         # r14: extraction-tier heavy tail — damaged-PDF corpus
         "pdf_extract": lambda: _pdf_extract_stress(spark, n),
+        "variant_extract": lambda: _variant_extract_stress(spark, n),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
