@@ -2786,6 +2786,41 @@ def q_feed_entries(spark, sf_dir):
                       "entry_id", "summary")
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap parsing (feeds.py::sitemap_urls — r14, the
+    crawl-frontier seed surface): doc_id%3 synthesizes a urlset
+    with two entries (one carrying lastmod/changefreq/priority, one
+    loc-only), a sitemapindex with two shard locs, or junk (zero
+    rows); from_xml under both sitemaps.org schemas, materialized
+    array wins.  Oracle rebuilds every entry symbolically."""
+    docs = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+
+    def h(tag):
+        return F.md5(F.concat(F.col("text"), F.lit(tag)))
+
+    urlset = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9"><url><loc>http://ex.com/p/'), h("&s1"),
+        F.lit('</loc><lastmod>2024-02-03</lastmod>'
+              '<changefreq>daily</changefreq>'
+              '<priority>0.8</priority></url>'
+              '<url><loc>http://ex.com/p/'), h("&s2"),
+        F.lit('</loc></url></urlset>'))
+    index = F.concat(
+        F.lit('<sitemapindex><sitemap><loc>http://ex.com/sm/'),
+        h("&s1"),
+        F.lit('.xml</loc><lastmod>2024-01-02</lastmod></sitemap>'
+              '<sitemap><loc>http://ex.com/sm/'), h("&s2"),
+        F.lit('.xml</loc></sitemap></sitemapindex>'))
+    blob = (F.when(m == 0, urlset).when(m == 1, index)
+            .otherwise(F.concat(F.lit("no sitemap "), h("&sj"))))
+    out = dp_feeds.sitemap_urls(
+        docs.select("doc_id", blob.alias("content")))
+    return out.select("doc_id", "kind", "entry_idx", "loc",
+                      "lastmod", "changefreq", "priority")
+
+
 def q_document_router_text(spark, sf_dir):
     """Text-format routing branches of route_document (r14 — the
     UTF-8 tail of the magic-byte dispatcher): doc_id%4 synthesizes
@@ -7553,6 +7588,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_aiff": q_audio_fingerprint_aiff,
         "document_router_text": q_document_router_text,
         "feed_entries": q_feed_entries,
+        "sitemap_urls": q_sitemap_urls,
         "image_phash_tiff": q_image_phash_tiff,
         "tar_multimodal_pipeline": q_tar_multimodal_pipeline,
         "warc_gz_members": q_warc_gz_members,
@@ -13894,6 +13930,30 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, 'atom', 'AF ' || md5(text||'&ft'), 1,
                'e2 ' || md5(text||'&f4'), 'http://a.com/2',
+               NULL, NULL, NULL
+        FROM b WHERE m = 1
+    """
+    d["sitemap_urls"] = r"""
+        WITH b AS (SELECT doc_id, doc_id % 3 AS m, text
+                   FROM documents)
+        SELECT doc_id, 'urlset' AS kind, 0 AS entry_idx,
+               'http://ex.com/p/' || md5(text||'&s1') AS loc,
+               '2024-02-03' AS lastmod, 'daily' AS changefreq,
+               '0.8' AS priority
+        FROM b WHERE m = 0
+        UNION ALL
+        SELECT doc_id, 'urlset', 1,
+               'http://ex.com/p/' || md5(text||'&s2'),
+               NULL, NULL, NULL
+        FROM b WHERE m = 0
+        UNION ALL
+        SELECT doc_id, 'index', 0,
+               'http://ex.com/sm/' || md5(text||'&s1') || '.xml',
+               '2024-01-02', NULL, NULL
+        FROM b WHERE m = 1
+        UNION ALL
+        SELECT doc_id, 'index', 1,
+               'http://ex.com/sm/' || md5(text||'&s2') || '.xml',
                NULL, NULL, NULL
         FROM b WHERE m = 1
     """

@@ -285,6 +285,7 @@ HEADLINE = [
     "audio_fingerprint_aiff",
     "document_router_text",
     "feed_entries",
+    "sitemap_urls",
     "image_phash_jpeg",
     "image_phash_jpeg_progressive",
     "image_phash_jpeg_multiscan",

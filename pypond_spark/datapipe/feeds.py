@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["feed_entries", "RSS_SCHEMA", "ATOM_SCHEMA"]
+__all__ = ["feed_entries", "sitemap_urls", "RSS_SCHEMA",
+           "ATOM_SCHEMA", "SITEMAP_SCHEMA", "SITEMAP_INDEX_SCHEMA"]
 
 #: spark DDL schema for the RSS 2.0 subset (channel + items)
 RSS_SCHEMA = ("struct<channel: struct<title: string, link: string, "
@@ -42,6 +43,57 @@ RSS_SCHEMA = ("struct<channel: struct<title: string, link: string, "
 ATOM_SCHEMA = ("struct<title: string, entry: array<struct<"
                "title: string, link: struct<_href: string>, "
                "updated: string, id: string, summary: string>>>")
+
+
+#: sitemaps.org urlset — the page-level sitemap
+SITEMAP_SCHEMA = ("struct<url: array<struct<loc: string, "
+                  "lastmod: string, changefreq: string, "
+                  "priority: string>>>")
+
+#: sitemaps.org sitemapindex — the shard-of-sitemaps layer big sites
+#: publish (the crawler recurses one level through it)
+SITEMAP_INDEX_SCHEMA = ("struct<sitemap: array<struct<loc: string, "
+                        "lastmod: string>>>")
+
+
+def sitemap_urls(df: DataFrame, content_col: str = "content",
+                 id_col: str = "doc_id") -> DataFrame:
+    """One row per sitemap entry: ``(id, kind, entry_idx, loc,
+    lastmod, changefreq, priority)`` — the crawl-frontier seed
+    surface (sitemaps.org protocol).  ``kind`` is ``urlset`` for
+    page sitemaps and ``index`` for sitemap-index shards (whose
+    ``loc`` values are themselves sitemaps — the crawler recurses);
+    the dispatch law is the same parse-both-and-the-materialized-
+    array-wins as :func:`feed_entries`."""
+    u = F.from_xml(F.col(content_col), SITEMAP_SCHEMA)
+    i = F.from_xml(F.col(content_col), SITEMAP_INDEX_SCHEMA)
+    urls = u["url"]
+    shards = i["sitemap"]
+    norm = (
+        F.when(urls.isNotNull(), F.transform(urls, lambda e: F.struct(
+            e["loc"].alias("loc"),
+            e["lastmod"].alias("lastmod"),
+            e["changefreq"].alias("changefreq"),
+            e["priority"].alias("priority"))))
+        .when(shards.isNotNull(), F.transform(
+            shards, lambda e: F.struct(
+                e["loc"].alias("loc"),
+                e["lastmod"].alias("lastmod"),
+                F.lit(None).cast("string").alias("changefreq"),
+                F.lit(None).cast("string").alias("priority")))))
+    base = df.select(
+        F.col(id_col),
+        F.when(urls.isNotNull(), F.lit("urlset"))
+         .when(shards.isNotNull(), F.lit("index")).alias("kind"),
+        norm.alias("entries"))
+    ex = base.select(id_col, "kind",
+                     F.posexplode("entries").alias("entry_idx", "e"))
+    return ex.select(
+        id_col, "kind", "entry_idx",
+        F.col("e")["loc"].alias("loc"),
+        F.col("e")["lastmod"].alias("lastmod"),
+        F.col("e")["changefreq"].alias("changefreq"),
+        F.col("e")["priority"].alias("priority"))
 
 
 def feed_entries(df: DataFrame, content_col: str = "content",

@@ -4531,3 +4531,33 @@ def test_feed_entries(spark):
     assert (a0.feed_type, a0.link, a0.published) == (
         "atom", "http://a.com/1", "2024-01-01T00:00:00Z")
     assert rows[(2, 1)].summary is None
+
+
+def test_sitemap_urls(spark):
+    """r14: sitemaps.org parsing — urlset vs sitemapindex dispatch,
+    optional fields, junk triage."""
+    from pypond_spark.datapipe.feeds import sitemap_urls
+
+    us = ('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap'
+          '/0.9"><url><loc>http://e.com/a</loc>'
+          '<lastmod>2024-02-03</lastmod>'
+          '<changefreq>daily</changefreq><priority>0.8</priority>'
+          '</url><url><loc>http://e.com/b</loc></url></urlset>')
+    ix = ('<sitemapindex><sitemap><loc>http://e.com/s1.xml</loc>'
+          '<lastmod>2024-01-02</lastmod></sitemap>'
+          '<sitemap><loc>http://e.com/s2.xml</loc></sitemap>'
+          '</sitemapindex>')
+    df = spark.createDataFrame([(1, us), (2, ix), (3, "junk")],
+                               "doc_id long, content string")
+    rows = {(r.doc_id, r.entry_idx): r
+            for r in sitemap_urls(df).collect()}
+    assert len(rows) == 4
+    u0 = rows[(1, 0)]
+    assert (u0.kind, u0.loc, u0.lastmod, u0.changefreq,
+            u0.priority) == ("urlset", "http://e.com/a",
+                             "2024-02-03", "daily", "0.8")
+    assert rows[(1, 1)].priority is None
+    i0 = rows[(2, 0)]
+    assert (i0.kind, i0.loc, i0.lastmod) == (
+        "index", "http://e.com/s1.xml", "2024-01-02")
+    assert rows[(2, 1)].lastmod is None
