@@ -32,6 +32,7 @@ from pypond_spark.datapipe import notebook as dp_nb
 from pypond_spark.datapipe import urls as dp_urls
 from pypond_spark.datapipe import y4m as dp_y4m
 from pypond_spark.datapipe import sketch as dp_sketch
+from pypond_spark.datapipe import subtitles as dp_subs
 from pypond_spark.datapipe import tokenize as dp_tok
 from pypond_spark.operators import merge as merge_ops
 from pypond_spark.operators.take import take as take_op
@@ -2819,6 +2820,44 @@ def q_sitemap_urls(spark, sf_dir):
         docs.select("doc_id", blob.alias("content")))
     return out.select("doc_id", "kind", "entry_idx", "loc",
                       "lastmod", "changefreq", "priority")
+
+
+def q_subtitle_cues(spark, sf_dir):
+    """SRT/WebVTT cue extraction (subtitles.py::subtitle_cues —
+    r14, the video-transcript slice): doc_id%3 synthesizes an SRT
+    with two numbered cues (multi-line text, comma millis,
+    doc-varying seconds via lpad), a WebVTT with header + NOTE
+    block + cue ids + settings + inline <v>/<i> tags + the no-hours
+    timestamp form, or junk (zero rows).  One scan, zero Python;
+    the oracle rebuilds every cue — integer millis included —
+    symbolically."""
+    docs = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    ss = F.lpad((F.col("doc_id") % 50).cast("string"), 2, "0")
+    tt = F.lpad((F.col("doc_id") % 50 + 5).cast("string"), 2, "0")
+
+    def h(tag):
+        return F.md5(F.concat(F.col("text"), F.lit(tag)))
+
+    srt = F.concat(
+        F.lit("1\n00:01:"), ss, F.lit(",250 --> 00:01:"), tt,
+        F.lit(",750\ncue a "), h("&v1"), F.lit("\nline2 "),
+        h("&v2"),
+        F.lit("\n\n2\n10:00:00,000 --> 10:00:02,000\ncue b "),
+        h("&v3"), F.lit("\n"))
+    vtt = F.concat(
+        F.lit("WEBVTT\n\nNOTE meta "), h("&v0"),
+        F.lit("\n\nid1\n01:"), ss, F.lit(".100 --> 01:"), tt,
+        F.lit(".900 align:start\n<v Bob>va "), h("&v4"),
+        F.lit("</v>\n\nstray\n00:00:07.000 --> 00:00:09.000\n"
+              "<i>vb "), h("&v5"), F.lit("</i> tail\n"))
+    blob = (F.when(m == 0, srt).when(m == 1, vtt)
+            .otherwise(F.concat(F.lit("no cues "), h("&vj"))))
+    out = dp_subs.subtitle_cues(
+        docs.select("doc_id", blob.alias("content")))
+    return out.select("doc_id", "fmt", "cue_idx", "start_ms",
+                      "end_ms", F.md5("text").alias("text_digest"),
+                      F.length("text").alias("n_chars"))
 
 
 def q_document_router_text(spark, sf_dir):
@@ -7589,6 +7628,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_router_text": q_document_router_text,
         "feed_entries": q_feed_entries,
         "sitemap_urls": q_sitemap_urls,
+        "subtitle_cues": q_subtitle_cues,
         "image_phash_tiff": q_image_phash_tiff,
         "tar_multimodal_pipeline": q_tar_multimodal_pipeline,
         "warc_gz_members": q_warc_gz_members,
@@ -13931,6 +13971,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 'atom', 'AF ' || md5(text||'&ft'), 1,
                'e2 ' || md5(text||'&f4'), 'http://a.com/2',
                NULL, NULL, NULL
+        FROM b WHERE m = 1
+    """
+    d["subtitle_cues"] = r"""
+        -- every cue rebuilt symbolically: text bytes from the md5
+        -- salts, start/end as INTEGER millis from the same doc_id
+        -- arithmetic the scaffold used for its lpad'ed seconds
+        WITH b AS (SELECT doc_id, doc_id % 3 AS m,
+                          doc_id % 50 AS sec, text
+                   FROM documents)
+        SELECT doc_id, 'srt' AS fmt, 0 AS cue_idx,
+               60000 + sec * 1000 + 250 AS start_ms,
+               60000 + (sec + 5) * 1000 + 750 AS end_ms,
+               md5('cue a ' || md5(text||'&v1') || chr(10)
+                   || 'line2 ' || md5(text||'&v2'))
+                   AS text_digest,
+               77 AS n_chars
+        FROM b WHERE m = 0
+        UNION ALL
+        SELECT doc_id, 'srt', 1, 36000000, 36002000,
+               md5('cue b ' || md5(text||'&v3')), 38
+        FROM b WHERE m = 0
+        UNION ALL
+        SELECT doc_id, 'vtt', 0,
+               60000 + sec * 1000 + 100,
+               60000 + (sec + 5) * 1000 + 900,
+               md5('va ' || md5(text||'&v4')), 35
+        FROM b WHERE m = 1
+        UNION ALL
+        SELECT doc_id, 'vtt', 1, 7000, 9000,
+               md5('vb ' || md5(text||'&v5') || ' tail'), 40
         FROM b WHERE m = 1
     """
     d["sitemap_urls"] = r"""

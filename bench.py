@@ -286,6 +286,7 @@ HEADLINE = [
     "document_router_text",
     "feed_entries",
     "sitemap_urls",
+    "subtitle_cues",
     "image_phash_jpeg",
     "image_phash_jpeg_progressive",
     "image_phash_jpeg_multiscan",

@@ -4561,3 +4561,38 @@ def test_sitemap_urls(spark):
     assert (i0.kind, i0.loc, i0.lastmod) == (
         "index", "http://e.com/s1.xml", "2024-01-02")
     assert rows[(2, 1)].lastmod is None
+
+
+def test_subtitle_cues(spark):
+    """r14: SRT/WebVTT cue extraction — numbered cues, header/NOTE
+    skip, cue ids + settings, tag stripping, no-hours timestamps,
+    integer millis, junk triage."""
+    from pypond_spark.datapipe.subtitles import subtitle_cues
+
+    srt = ("1\n00:00:01,000 --> 00:00:04,000\nline one\nline two\n"
+           "\n2\n00:01:05,250 --> 00:01:07,500\nnext cue\n")
+    vtt = ("WEBVTT\n\nNOTE a comment\nspanning lines\n\n"
+           "intro\n00:01.000 --> 00:04.000 align:start\n"
+           "<v Roger>Hi there</v>\n\n"
+           "00:00:05.000 --> 00:00:07.500\n<i>soft</i> words\n")
+    df = spark.createDataFrame(
+        [(1, srt), (2, vtt), (3, "no cues here")],
+        "doc_id long, content string")
+    rows = {(r.doc_id, r.cue_idx): r
+            for r in subtitle_cues(df).collect()}
+    assert len(rows) == 4
+    assert rows[(1, 0)].text == "line one\nline two"
+    assert (rows[(1, 0)].start_ms, rows[(1, 0)].end_ms) == (1000,
+                                                            4000)
+    assert (rows[(1, 1)].start_ms, rows[(1, 1)].end_ms) == (65250,
+                                                            67500)
+    assert rows[(2, 0)].fmt == "vtt"
+    assert rows[(2, 0)].text == "Hi there"
+    assert (rows[(2, 0)].start_ms, rows[(2, 0)].end_ms) == (1000,
+                                                            4000)
+    assert rows[(2, 1)].text == "soft words"
+    # windows newlines normalize
+    win = srt.replace("\n", "\r\n")
+    got = subtitle_cues(spark.createDataFrame(
+        [(9, win)], "doc_id long, content string")).collect()
+    assert len(got) == 2 and got[0].text == "line one\nline two"
