@@ -2860,6 +2860,44 @@ def q_subtitle_cues(spark, sf_dir):
                       F.length("text").alias("n_chars"))
 
 
+def q_image_exif(spark, sf_dir):
+    """Full EXIF triage (multimodal.py::image_exif — r14, the
+    photo-metadata slice beyond the r11 orientation-only row): per
+    doc a JPEG carrying a REAL APP1 Exif payload (little-endian
+    TIFF, IFD0 make/model/orientation/datetime + Exif subIFD
+    exposure/ISO/focal rationals via the writer twin
+    encode_app1_exif), read back header-only through the shared
+    TIFF IFD reader.  Rationals divide to IEEE doubles identically
+    in both engines, so the oracle is exact."""
+    docs = _read(spark, sf_dir, "documents")
+
+    def synth(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        from pypond_spark.datapipe.multimodal import encode_app1_exif
+        for pdf_ in batches:
+            rows = []
+            for did, text in zip(pdf_["doc_id"], pdf_["text"]):
+                did = int(did)
+                mk = "Cam " + _hl.md5(
+                    f"{text}&ex".encode()).hexdigest()
+                app1 = encode_app1_exif(
+                    mk, f"M{did % 5}", did % 8 + 1,
+                    "2024:01:02 03:04:05",
+                    exposure=(1, 50 + did % 200),
+                    iso=100 + (did % 16) * 25,
+                    focal=(did % 90 + 10, 2))
+                rows.append((did, b"\xFF\xD8" + app1 + b"\xFF\xD9"))
+            yield _pd.DataFrame(rows, columns=["media_id",
+                                               "content"])
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        synth, "media_id long, content binary")
+    return dp_mm.image_exif(media)
+
+
 def q_document_router_text(spark, sf_dir):
     """Text-format routing branches of route_document (r14 — the
     UTF-8 tail of the magic-byte dispatcher): doc_id%4 synthesizes
@@ -7629,6 +7667,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": q_feed_entries,
         "sitemap_urls": q_sitemap_urls,
         "subtitle_cues": q_subtitle_cues,
+        "image_exif": q_image_exif,
         "image_phash_tiff": q_image_phash_tiff,
         "tar_multimodal_pipeline": q_tar_multimodal_pipeline,
         "warc_gz_members": q_warc_gz_members,
@@ -13972,6 +14011,20 @@ def oracle_sql() -> dict[str, str]:
                'e2 ' || md5(text||'&f4'), 'http://a.com/2',
                NULL, NULL, NULL
         FROM b WHERE m = 1
+    """
+    d["image_exif"] = r"""
+        -- the writer-twin scaffold is fully determined by
+        -- (doc_id, text): rebuild every tag, rationals dividing to
+        -- IEEE doubles identically in both engines
+        SELECT doc_id AS media_id,
+               'Cam ' || md5(text||'&ex') AS make,
+               'M' || CAST(doc_id % 5 AS VARCHAR) AS model,
+               CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+               '2024:01:02 03:04:05' AS datetime,
+               1.0 / (50 + doc_id % 200) AS exposure_time,
+               CAST(100 + (doc_id % 16) * 25 AS INTEGER) AS iso,
+               (doc_id % 90 + 10) / 2.0 AS focal_length
+        FROM documents
     """
     d["subtitle_cues"] = r"""
         -- every cue rebuilt symbolically: text bytes from the md5

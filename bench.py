@@ -287,6 +287,7 @@ HEADLINE = [
     "feed_entries",
     "sitemap_urls",
     "subtitle_cues",
+    "image_exif",
     "image_phash_jpeg",
     "image_phash_jpeg_progressive",
     "image_phash_jpeg_multiscan",

@@ -1334,6 +1334,179 @@ def _exif_orientation(content: bytes):
     return None
 
 
+def _app1_tiff(content: bytes):
+    """Locate the JPEG APP1 Exif payload.  Returns ``(tiff_bytes,
+    endianness_char)`` with offsets valid relative to the blob start
+    (the EXIF TIFF is self-contained), or ``(None, None)``."""
+    if not content.startswith(b"\xFF\xD8"):
+        return None, None
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            return None, None
+        while pos < len(content) and content[pos] == 0xFF:
+            pos += 1
+        if pos >= len(content):
+            return None, None
+        marker = content[pos]
+        pos += 1
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        if marker in (0xD9, 0xDA) or pos + 2 > len(content):
+            return None, None
+        (seg_len,) = struct.unpack(">H", content[pos:pos + 2])
+        if marker == 0xE1 \
+                and content[pos + 2:pos + 8] == b"Exif\x00\x00":
+            tiff = content[pos + 8:pos + seg_len]
+            if len(tiff) >= 8 and tiff[:2] in (b"II", b"MM"):
+                end = "<" if tiff[:2] == b"II" else ">"
+                (magic,) = struct.unpack(end + "H", tiff[2:4])
+                if magic == 42:
+                    return tiff, end
+            return None, None
+        pos += seg_len
+    return None, None
+
+
+#: the high-frequency IFD0 tags a corpus triage wants (strings keep
+#: their raw bytes up to the NUL; orientation stays 1..8)
+EXIF_IFD0_TAGS = {0x010F: "make", 0x0110: "model",
+                  0x0112: "orientation", 0x0131: "software",
+                  0x0132: "datetime"}
+
+#: the Exif-subIFD (pointer tag 0x8769) exposure tags
+EXIF_SUB_TAGS = {0x829A: "exposure_time", 0x829D: "f_number",
+                 0x8827: "iso", 0x9003: "datetime_original",
+                 0x920A: "focal_length"}
+
+
+def exif_tags(content: bytes) -> dict | None:
+    """Full EXIF triage from a JPEG's APP1 — header-only, reusing
+    the TIFF IFD reader (:func:`tiff._read_ifd`; the EXIF payload IS
+    a TIFF, byte order and all).  Returns the recognized
+    :data:`EXIF_IFD0_TAGS` + :data:`EXIF_SUB_TAGS` that are present
+    (ASCII tags NUL-trimmed, rationals as floats), or ``None`` when
+    there is no decodable APP1.  Malformed IFDs degrade to None —
+    triage never raises."""
+    from pypond_spark.datapipe.tiff import _read_ifd
+
+    tiff, end = _app1_tiff(content)
+    if tiff is None:
+        return None
+    try:
+        (ifd0,) = struct.unpack(end + "I", tiff[4:8])
+        tags = _read_ifd(tiff, end, ifd0)
+        sub_ptr = tags.get(0x8769)
+        if sub_ptr:
+            tags.update(_read_ifd(tiff, end, int(sub_ptr[0])))
+    except (ValueError, struct.error):
+        return None
+
+    def clean(vals):
+        if isinstance(vals[0], bytes):       # ASCII: NUL-trimmed
+            return vals[0].split(b"\x00")[0].decode(
+                "ascii", "replace")
+        return vals[0]
+
+    out = {}
+    for num, name in {**EXIF_IFD0_TAGS, **EXIF_SUB_TAGS}.items():
+        if num in tags and tags[num]:
+            out[name] = clean(tags[num])
+    return out or None
+
+
+def encode_app1_exif(make: str, model: str, orientation: int,
+                     datetime_str: str,
+                     exposure: tuple[int, int] = (1, 50),
+                     iso: int = 100,
+                     focal: tuple[int, int] = (50, 1)) -> bytes:
+    """Deterministic writer twin of :func:`exif_tags`: one APP1
+    segment (marker + length + ``Exif\\0\\0`` + little-endian TIFF)
+    carrying IFD0 make/model/orientation/datetime plus an Exif
+    subIFD with exposure/ISO/focal — splice it right after a JPEG's
+    SOI to synthesize tagged photos."""
+    def entry(tag, typ, count, value_bytes, heap, heap_base):
+        if len(value_bytes) <= 4:
+            return struct.pack("<HHI", tag, typ, count) \
+                + value_bytes.ljust(4, b"\x00")
+        off = heap_base + len(heap[0])
+        heap[0] += value_bytes
+        return struct.pack("<HHII", tag, typ, count, off)
+
+    def ascii_v(s):
+        return s.encode("ascii") + b"\x00"
+
+    mk, md, dt = ascii_v(make), ascii_v(model), ascii_v(datetime_str)
+    # IFD0: 5 entries + next-IFD pointer; subIFD follows its heap
+    n0 = 5
+    ifd0_off = 8
+    ifd0_size = 2 + 12 * n0 + 4
+    heap0_base = ifd0_off + ifd0_size
+    heap0 = [b""]
+    e0 = b""
+    e0 += entry(0x010F, 2, len(mk), mk, heap0, heap0_base)
+    e0 += entry(0x0110, 2, len(md), md, heap0, heap0_base)
+    e0 += entry(0x0112, 3, 1, struct.pack("<H", orientation),
+                heap0, heap0_base)
+    e0 += entry(0x0132, 2, len(dt), dt, heap0, heap0_base)
+    # subIFD sits right after whatever actually spilled to the heap
+    # (short strings inline into the entry and never reach it)
+    sub_off = heap0_base + len(heap0[0])
+    e0 += entry(0x8769, 4, 1, struct.pack("<I", sub_off),
+                heap0, heap0_base)
+    n1 = 3
+    sub_size = 2 + 12 * n1 + 4
+    heap1_base = sub_off + sub_size
+    heap1 = [b""]
+    e1 = b""
+    e1 += entry(0x829A, 5, 1, struct.pack("<II", *exposure),
+                heap1, heap1_base)
+    e1 += entry(0x8827, 3, 1, struct.pack("<H", iso),
+                heap1, heap1_base)
+    e1 += entry(0x920A, 5, 1, struct.pack("<II", *focal),
+                heap1, heap1_base)
+    tiff = (b"II" + struct.pack("<H", 42)
+            + struct.pack("<I", ifd0_off)
+            + struct.pack("<H", n0) + e0 + struct.pack("<I", 0)
+            + heap0[0]
+            + struct.pack("<H", n1) + e1 + struct.pack("<I", 0)
+            + heap1[0])
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xFF\xE1" + struct.pack(">H", len(payload) + 2) \
+        + payload
+
+
+def image_exif(df: DataFrame) -> DataFrame:
+    """Per-image EXIF triage frame: ``(media_id, make, model,
+    orientation, datetime, exposure_time, iso, focal_length)`` via
+    :func:`exif_tags` — one Arrow stage, O(header) bytes per file,
+    NULLs when absent."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("make", T.StringType(), True),
+        T.StructField("model", T.StringType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("datetime", T.StringType(), True),
+        T.StructField("exposure_time", T.DoubleType(), True),
+        T.StructField("iso", T.IntegerType(), True),
+        T.StructField("focal_length", T.DoubleType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                t = exif_tags(bytes(content)) or {}
+                rows.append((int(mid), t.get("make"), t.get("model"),
+                             t.get("orientation"), t.get("datetime"),
+                             t.get("exposure_time"), t.get("iso"),
+                             t.get("focal_length")))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def image_orientation(df: DataFrame) -> DataFrame:
     """(media_id, orientation) via :func:`_exif_orientation` — one
     Arrow stage, O(header) bytes per file, NULL when the tag is

@@ -4596,3 +4596,30 @@ def test_subtitle_cues(spark):
     got = subtitle_cues(spark.createDataFrame(
         [(9, win)], "doc_id long, content string")).collect()
     assert len(got) == 2 and got[0].text == "line one\nline two"
+
+
+def test_exif_tags_roundtrip():
+    """r14: EXIF reader/writer twins — full-tag roundtrip, inline
+    short strings, big-endian payloads, triage on junk."""
+    from pypond_spark.datapipe.multimodal import (encode_app1_exif,
+                                                  exif_tags)
+
+    app1 = encode_app1_exif("CamCo", "ZX-9", 6,
+                            "2024:01:02 03:04:05",
+                            exposure=(1, 125), iso=320,
+                            focal=(85, 2))
+    got = exif_tags(b"\xFF\xD8" + app1 + b"\xFF\xD9")
+    assert got == {"make": "CamCo", "model": "ZX-9",
+                   "orientation": 6,
+                   "datetime": "2024:01:02 03:04:05",
+                   "exposure_time": 1 / 125, "iso": 320,
+                   "focal_length": 42.5}
+    # short strings inline into the 4-byte value slot
+    app2 = encode_app1_exif("A", "B", 1, "t")
+    t2 = exif_tags(b"\xFF\xD8" + app2 + b"\xFF\xD9")
+    assert (t2["make"], t2["model"], t2["datetime"]) == ("A", "B",
+                                                         "t")
+    # no APP1 / not a JPEG / truncated IFD -> None, never a raise
+    assert exif_tags(b"\xFF\xD8\xFF\xD9") is None
+    assert exif_tags(b"plain") is None
+    assert exif_tags(b"\xFF\xD8" + app1[:20]) is None
