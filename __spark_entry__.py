@@ -2898,6 +2898,40 @@ def q_image_exif(spark, sf_dir):
     return dp_mm.image_exif(media)
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join (datapipe/io.py::write_bucketed /
+    bucketed_join — r14, the pay-the-shuffle-once storage answer
+    for 100-TB repeated joins): customer and orders are written as
+    8-bucket one-file-per-bucket sorted tables on custkey, then
+    joined — the executed join is a SortMergeJoin with ZERO
+    exchanges and ZERO sorts (asserted in the test suite; the one
+    exchange in this row's plan is the downstream per-segment
+    rollup, not the join).  Revenue sums ride DECIMAL(18,2) so both
+    engines add exactly."""
+    import tempfile
+
+    from pypond_spark.datapipe.io import bucketed_join, write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) \
+        .replace(".", "_")
+    root = os.path.join(tempfile.gettempdir(), "pypond_buckets", tag)
+    cust = _read(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_mktsegment")
+    orders = _read(spark, sf_dir, "orders") \
+        .select(F.col("o_custkey").alias("c_custkey"),
+                "o_totalprice")
+    write_bucketed(cust, f"bk_cust_{tag}", "c_custkey", 8,
+                   path=os.path.join(root, "cust"))
+    write_bucketed(orders, f"bk_ord_{tag}", "c_custkey", 8,
+                   path=os.path.join(root, "ord"))
+    j = bucketed_join(spark, f"bk_cust_{tag}", f"bk_ord_{tag}",
+                      "c_custkey")
+    return (j.groupBy("c_mktsegment")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("revenue"),
+                 F.count("*").alias("n_orders")))
+
+
 def q_document_router_text(spark, sf_dir):
     """Text-format routing branches of route_document (r14 — the
     UTF-8 tail of the magic-byte dispatcher): doc_id%4 synthesizes
@@ -7668,6 +7702,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "subtitle_cues": q_subtitle_cues,
         "image_exif": q_image_exif,
+        "bucketed_join": q_bucketed_join,
         "image_phash_tiff": q_image_phash_tiff,
         "tar_multimodal_pipeline": q_tar_multimodal_pipeline,
         "warc_gz_members": q_warc_gz_members,
@@ -14011,6 +14046,18 @@ def oracle_sql() -> dict[str, str]:
                'e2 ' || md5(text||'&f4'), 'http://a.com/2',
                NULL, NULL, NULL
         FROM b WHERE m = 1
+    """
+    d["bucketed_join"] = r"""
+        -- the bucketed layout is a physical-plan property, not a
+        -- semantic one: the oracle is the plain join, revenue on
+        -- DECIMAL(18,2) so both engines add exactly
+        SELECT c.c_mktsegment,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
     """
     d["image_exif"] = r"""
         -- the writer-twin scaffold is fully determined by

@@ -288,6 +288,7 @@ HEADLINE = [
     "sitemap_urls",
     "subtitle_cues",
     "image_exif",
+    "bucketed_join",
     "image_phash_jpeg",
     "image_phash_jpeg_progressive",
     "image_phash_jpeg_multiscan",

@@ -4623,3 +4623,43 @@ def test_exif_tags_roundtrip():
     assert exif_tags(b"\xFF\xD8\xFF\xD9") is None
     assert exif_tags(b"plain") is None
     assert exif_tags(b"\xFF\xD8" + app1[:20]) is None
+
+
+def test_write_bucketed_colocated_join(spark, tmp_path):
+    """r14: bucketed co-location — a join of two same-bucketed
+    tables runs with ZERO exchanges and ZERO sorts (the pay-the-
+    shuffle-once-at-write-time storage answer), and a groupBy on the
+    bucket key is exchange-free too."""
+    from pyspark.sql import functions as F
+    from pypond_spark.datapipe.io import (bucketed_join, plan_shape,
+                                          write_bucketed)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(20000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+        right = spark.range(20000).select(
+            F.col("id").alias("k"), (F.col("id") % 31).alias("w"))
+        write_bucketed(left, "bk_test_l", "k", 4,
+                       path=str(tmp_path / "l"))
+        write_bucketed(right, "bk_test_r", "k", 4,
+                       path=str(tmp_path / "r"))
+        # one file per bucket — the sort-elision precondition
+        files = [p for p in (tmp_path / "l").iterdir()
+                 if p.name.endswith(".parquet")]
+        assert len(files) == 4
+
+        j = bucketed_join(spark, "bk_test_l", "bk_test_r", "k")
+        shape = plan_shape(j)
+        assert shape["exchanges"] == 0, shape
+        assert shape["sorts"] == 0, shape
+        assert shape["smj"] == 1, shape
+        assert j.count() == 20000
+
+        agg = spark.table("bk_test_l").groupBy("k").agg(F.sum("v"))
+        assert plan_shape(agg)["exchanges"] == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_test_l")
+        spark.sql("DROP TABLE IF EXISTS bk_test_r")
