@@ -2932,6 +2932,55 @@ def q_bucketed_join(spark, sf_dir):
                  F.count("*").alias("n_orders")))
 
 
+def q_code_corpus_pipeline(spark, sf_dir):
+    """End-to-end code-corpus composition (r14 — the The-Stack
+    recipe from raw files to a training set summary): per doc a
+    license header (doc_id%10, the license_detect scaffold) + a code
+    body (shebang, comments, a conditional @generated marker on
+    doc_id%7==0, doc text tail), then license_detect -> keep
+    permissive only, code_stats -> drop generated files, and a
+    per-license rollup of exact integer counters.  Every stage is an
+    already-verified operator; the oracle replays the whole chain —
+    detection CASE, list reductions, filters, GROUP BY — over the
+    same composed text."""
+    docs = _read(spark, sf_dir, "documents")
+    mm = F.col("doc_id") % 10
+
+    def h(tag):
+        return F.md5(F.concat(F.col("text"), F.lit(tag)))
+
+    hdr = (F.when(mm == 0, "SPDX-License-Identifier: MIT\n")
+           .when(mm == 1,
+                 "SPDX-License-Identifier: GPL-3.0-only\n")
+           .when(mm == 2, "Apache License\n   Version 2.0\n")
+           .when(mm == 3, "MIT License\n")
+           .when(mm == 4, "GNU General Public License\n")
+           .when(mm == 5, "Mozilla Public License\n")
+           .when(mm == 6,
+                 "Redistribution and use in source and binary "
+                 "forms\n")
+           .when(mm == 7,
+                 "This is free and unencumbered software\n")
+           .when(mm == 8, "GNU Lesser General Public License\n")
+           .otherwise(""))
+    marker = F.when(F.col("doc_id") % 7 == 0,
+                    F.lit(" @generated")).otherwise(F.lit(""))
+    body = F.concat(
+        hdr, F.lit("#!/usr/bin/env python\n# mod "), h("&cp1"),
+        marker, F.lit("\nx = 1\n// note "), h("&cp2"),
+        F.lit("\ntail "), F.col("text"))
+    wrapped = docs.select("doc_id", body.alias("text"))
+    staged = dp_code.code_stats(dp_code.license_detect(wrapped))
+    kept = staged.where(
+        F.coalesce("permissive", F.lit(False))
+        & ~F.col("has_autogen"))
+    return (kept.groupBy("license")
+            .agg(F.count("*").alias("n_files"),
+                 F.sum("n_lines").alias("total_lines"),
+                 F.sum("n_comment_lines").alias("total_comments"),
+                 F.sum("n_blob_runs").alias("total_blobs")))
+
+
 def q_document_router_text(spark, sf_dir):
     """Text-format routing branches of route_document (r14 — the
     UTF-8 tail of the magic-byte dispatcher): doc_id%4 synthesizes
@@ -7703,6 +7752,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtitle_cues": q_subtitle_cues,
         "image_exif": q_image_exif,
         "bucketed_join": q_bucketed_join,
+        "code_corpus_pipeline": q_code_corpus_pipeline,
         "image_phash_tiff": q_image_phash_tiff,
         "tar_multimodal_pipeline": q_tar_multimodal_pipeline,
         "warc_gz_members": q_warc_gz_members,
@@ -14046,6 +14096,104 @@ def oracle_sql() -> dict[str, str]:
                'e2 ' || md5(text||'&f4'), 'http://a.com/2',
                NULL, NULL, NULL
         FROM b WHERE m = 1
+    """
+    d["code_corpus_pipeline"] = r"""
+        -- the whole chain replayed over the same composed text:
+        -- detection CASE -> permissive filter -> list reductions ->
+        -- autogen drop -> per-license rollup
+        WITH w AS (
+          SELECT doc_id,
+                 CASE doc_id % 10
+                   WHEN 0 THEN 'SPDX-License-Identifier: MIT'
+                               || chr(10)
+                   WHEN 1 THEN
+                     'SPDX-License-Identifier: GPL-3.0-only'
+                     || chr(10)
+                   WHEN 2 THEN 'Apache License' || chr(10)
+                               || '   Version 2.0' || chr(10)
+                   WHEN 3 THEN 'MIT License' || chr(10)
+                   WHEN 4 THEN 'GNU General Public License'
+                               || chr(10)
+                   WHEN 5 THEN 'Mozilla Public License' || chr(10)
+                   WHEN 6 THEN 'Redistribution and use in source '
+                               || 'and binary forms' || chr(10)
+                   WHEN 7 THEN 'This is free and unencumbered '
+                               || 'software' || chr(10)
+                   WHEN 8 THEN 'GNU Lesser General Public License'
+                               || chr(10)
+                   ELSE '' END
+                 || '#!/usr/bin/env python' || chr(10) || '# mod '
+                 || md5(text||'&cp1')
+                 || CASE WHEN doc_id % 7 = 0 THEN ' @generated'
+                         ELSE '' END
+                 || chr(10) || 'x = 1' || chr(10) || '// note '
+                 || md5(text||'&cp2') || chr(10) || 'tail ' || text
+                 AS t
+          FROM documents
+        ),
+        x AS (
+          SELECT doc_id, t,
+                 regexp_extract(substr(t, 1, 4096),
+                   'SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)',
+                   1) AS spdx,
+                 substr(t, 1, 4096) AS head
+          FROM w
+        ),
+        lic AS (
+          SELECT doc_id, t,
+                 CASE WHEN spdx <> '' THEN spdx ELSE
+                   CASE
+                     WHEN contains(head, 'Apache License')
+                          AND contains(head, 'Version 2.0')
+                       THEN 'Apache-2.0'
+                     WHEN contains(head, 'MIT License') OR
+                          contains(head, 'Permission is hereby '
+                            || 'granted, free of charge')
+                       THEN 'MIT'
+                     WHEN contains(head,
+                         'GNU Affero General Public License')
+                       THEN 'AGPL-3.0'
+                     WHEN contains(head,
+                         'GNU Lesser General Public License')
+                       THEN 'LGPL-3.0'
+                     WHEN contains(head,
+                         'GNU General Public License')
+                       THEN 'GPL-3.0'
+                     WHEN contains(head, 'Mozilla Public License')
+                       THEN 'MPL-2.0'
+                     WHEN contains(head, 'Redistribution and use '
+                         || 'in source and binary forms')
+                       THEN 'BSD-3-Clause'
+                     WHEN contains(head, 'This is free and '
+                         || 'unencumbered software')
+                       THEN 'Unlicense'
+                   END
+                 END AS license
+          FROM x
+        ),
+        f AS (
+          SELECT license,
+                 len(string_split(t, chr(10))) AS n_lines,
+                 len(list_filter(string_split(t, chr(10)),
+                     x -> regexp_matches(x, '(?m)^[ \t]*'
+                       || '(#|//|/\*|\*[ \t*]|--[ \t]|;;|<!--)')))
+                     AS n_comments,
+                 len(regexp_extract_all(t,
+                     '[A-Za-z0-9+/=]{64,}')) AS n_blobs,
+                 regexp_matches(t, '(?i)auto[- ]?generated'
+                   || '|do not edit|generated by|@generated'
+                   || '|autogenerated') AS autogen
+          FROM lic
+          WHERE coalesce(license IN ('MIT','Apache-2.0',
+                  'BSD-2-Clause','BSD-3-Clause','ISC','Unlicense',
+                  '0BSD','Zlib','CC0-1.0'), false)
+        )
+        SELECT license, COUNT(*) AS n_files,
+               CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+               CAST(SUM(n_comments) AS BIGINT) AS total_comments,
+               CAST(SUM(n_blobs) AS BIGINT) AS total_blobs
+        FROM f WHERE NOT autogen
+        GROUP BY license
     """
     d["bucketed_join"] = r"""
         -- the bucketed layout is a physical-plan property, not a

@@ -289,6 +289,7 @@ HEADLINE = [
     "subtitle_cues",
     "image_exif",
     "bucketed_join",
+    "code_corpus_pipeline",
     "image_phash_jpeg",
     "image_phash_jpeg_progressive",
     "image_phash_jpeg_multiscan",
