@@ -5983,6 +5983,86 @@ def q_stream_tar_ingest(spark, sf_dir):
     return _run_stream_32(spark, out, "append")
 
 
+def q_stream_chat_ingest(spark, sf_dir):
+    """Streaming SFT-conversation ingest (r14, the streaming twin of
+    the chat tier): readStream binaryFile over one JSON conversation
+    file per doc — content keyed on doc_id%50, so conversations
+    COLLIDE across files by construction — parsed by the same
+    VARIANT chat operators (stateless selects compose with
+    Structured Streaming unchanged), then the stream_first_seen
+    dedup gate keyed on the conversation digest keeps the earliest
+    file per distinct conversation.  The batch twin is min(doc_id)
+    per class with the class's stats rebuilt symbolically."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pypond_spark.streaming.stream import stream_first_seen
+
+    docs = _read(spark, sf_dir, "documents")
+
+    root = os.environ.get("PYPOND_FIXTURE_DIR") or os.path.join(
+        tempfile.gettempdir(), "pypond_fixtures")
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        fp = f"{st.st_size}_{st.st_mtime_ns}"
+    except OSError:
+        fp = "nostat"
+    key = (f"streamchat_v1_"
+           f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}")
+    path = os.path.join(root, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import hashlib as _hl
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, f".{key}.{uuid.uuid4().hex}")
+        os.makedirs(tmp, exist_ok=True)
+        for (did,) in docs.select("doc_id").collect():
+            k = int(did) % 50
+
+            def ch(tag):
+                return _hl.md5(f"cls{k}&{tag}".encode()).hexdigest()
+
+            conv = ('{"messages":[{"role":"user","content":"q '
+                    + ch("u") + '"},{"role":"assistant",'
+                    '"content":"a ' + ch("a") + '"}]}')
+            with open(os.path.join(tmp, f"{int(did):08d}.json"),
+                      "w") as f:
+                f.write(conv)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    sdf = (spark.readStream.format("binaryFile")
+           .schema("path string, modificationTime timestamp, "
+                   "length long, content binary")
+           .option("pathGlobFilter", "*.json")
+           .option("maxFilesPerTrigger", 1000000)
+           .load(path))
+    did = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1),
+        r"(\d+)", 1).cast("long")
+    conv = sdf.select(did.alias("ord"),
+                      F.col("content").cast("string")
+                      .alias("content"),
+                      F.md5(F.col("content").cast("string"))
+                      .alias("digest"))
+    rendered = dp_chat.chat_render(
+        conv, id_col="ord", extra_cols=("digest", "content"))
+    staged = dp_chat.chat_stats(
+        rendered, id_col="ord", extra_cols=("digest", "text"))
+    keyed = staged.select(
+        "digest", "ord", "n_turns", "n_user", "n_assistant",
+        "alternates", F.md5("text").alias("render_digest"))
+    out = stream_first_seen(
+        keyed, key_col="digest",
+        payload_cols=("ord", "n_turns", "n_user", "n_assistant",
+                      "alternates", "render_digest"),
+        order_col="ord")
+    return _run_stream_32(spark, out, "append")
+
+
 def q_warc_gz_members(spark, sf_dir):
     """Member-per-record .warc.gz ingest (datapipe/warc.py::
     parse_warc_gz + split_gzip_members — r13: the layout Common Crawl
@@ -7727,6 +7807,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the committed CORRECTNESS_r*.json snapshots."""
     return {
         "stream_tar_ingest": q_stream_tar_ingest,
+        "stream_chat_ingest": q_stream_chat_ingest,
         "pdf_triage": q_pdf_triage,
         "audio_id3_tags": q_audio_id3_tags,
         "bm25_topk": q_bm25_topk,
@@ -14347,6 +14428,33 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY doc_id, page_no
         )
         SELECT doc_id, page_no, text FROM ln
+    """
+    d["stream_chat_ingest"] = """
+        -- batch twin of the streaming chat gate: one conversation
+        -- class per doc_id%50, min-doc_id winner per class, the
+        -- class JSON and its ChatML rendering rebuilt symbolically
+        WITH cls AS (
+          SELECT doc_id % 50 AS k, MIN(doc_id) AS ord
+          FROM documents GROUP BY 1
+        ), j AS (
+          SELECT k, ord,
+                 '{"messages":[{"role":"user","content":"q '
+                 || md5('cls' || CAST(k AS VARCHAR) || '&u')
+                 || '"},{"role":"assistant","content":"a '
+                 || md5('cls' || CAST(k AS VARCHAR) || '&a')
+                 || '"}]}' AS conv,
+                 '<|im_start|>user' || chr(10) || 'q '
+                 || md5('cls' || CAST(k AS VARCHAR) || '&u')
+                 || '<|im_end|>' || chr(10)
+                 || '<|im_start|>assistant' || chr(10) || 'a '
+                 || md5('cls' || CAST(k AS VARCHAR) || '&a')
+                 || '<|im_end|>' AS rendered
+          FROM cls
+        )
+        SELECT md5(conv) AS digest, ord, 2 AS n_turns,
+               1 AS n_user, 1 AS n_assistant, true AS alternates,
+               md5(rendered) AS render_digest
+        FROM j
     """
     d["stream_tar_ingest"] = """
         -- batch twin of the streaming gate: the _synth_tar member

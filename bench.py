@@ -376,6 +376,7 @@ STREAM = [
     "stream_bloom",
     "stream_first_seen",
     "stream_tar_ingest",
+    "stream_chat_ingest",
     "stream_cusum",
     "stream_simhash_dedup",
     "stream_minhash_dedup",

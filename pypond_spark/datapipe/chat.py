@@ -51,7 +51,8 @@ def chat_turns(df: DataFrame, content_col: str = "content",
 
 
 def chat_stats(df: DataFrame, content_col: str = "content",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               extra_cols: tuple = ()) -> DataFrame:
     """Per-conversation shape scores, the standard SFT filters:
 
     - ``n_turns`` / ``n_user`` / ``n_assistant`` (``-1`` = junk blob)
@@ -63,6 +64,11 @@ def chat_stats(df: DataFrame, content_col: str = "content",
       example must end on the supervised turn)
     - ``user_chars`` / ``assistant_chars`` — per-side content volume
       (length ratios are a downstream one-liner)
+
+    ``extra_cols`` pass through unchanged — a real pipeline keeps
+    its shard key / digest columns alongside the scores, and a
+    linear select (rather than a re-join) is what keeps the
+    streaming twin a single-pass plan.
     """
     msgs = _messages(content_col)
     roles = F.transform(msgs, _role)
@@ -104,13 +110,15 @@ def chat_stats(df: DataFrame, content_col: str = "content",
                    == F.lit("assistant"),
                    F.lit(False)).alias("ends_assistant"),
         role_chars("user").alias("user_chars"),
-        role_chars("assistant").alias("assistant_chars"))
+        role_chars("assistant").alias("assistant_chars"),
+        *extra_cols)
 
 
 def chat_render(df: DataFrame, content_col: str = "content",
                 id_col: str = "doc_id",
                 start: str = "<|im_start|>", end: str = "<|im_end|>",
-                sep: str = "\n") -> DataFrame:
+                sep: str = "\n",
+                extra_cols: tuple = ()) -> DataFrame:
     """Render to the training string (ChatML-style by default):
     ``<|im_start|>role\\ncontent<|im_end|>`` per turn, joined by
     ``sep``.  A pure ``transform`` + ``array_join`` — the template is
@@ -122,4 +130,5 @@ def chat_render(df: DataFrame, content_col: str = "content",
             F.lit(end))), sep)
     return df.select(
         F.col(id_col),
-        F.when(msgs.isNotNull(), rendered).alias("text"))
+        F.when(msgs.isNotNull(), rendered).alias("text"),
+        *extra_cols)
