@@ -5610,6 +5610,17 @@ def q_strip_latex(spark, sf_dir):
     def h(tag):
         return F.md5(F.concat(F.col("text"), F.lit(tag)))
 
+    return _latex_stripped(docs).select(
+        "doc_id", F.md5("text").alias("text_digest"),
+        F.length("text").alias("n_chars"))
+
+
+def _latex_stripped(docs):
+    """The q_strip_latex scaffold stripped to text — shared by the
+    digest row and the quality composition."""
+    def h(tag):
+        return F.md5(F.concat(F.col("text"), F.lit(tag)))
+
     wrapped = docs.select("doc_id", F.concat(
         F.lit("\\documentclass[11pt]{article}\n"
               "\\usepackage{amsmath}\n"
@@ -5629,9 +5640,18 @@ def q_strip_latex(spark, sf_dir):
               "broken \\\\ line\n\\begin{verbatim}\nverb "), h("&lv"),
         F.lit("\n\\end{verbatim}\ntail "), F.col("text"),
         F.lit("\n\\end{document}")).alias("text"))
-    out = dp_text.strip_latex(wrapped)
-    return out.select("doc_id", F.md5("text").alias("text_digest"),
-                      F.length("text").alias("n_chars"))
+    return dp_text.strip_latex(wrapped)
+
+
+def q_latex_quality_pipeline(spark, sf_dir):
+    """Composition row (r14): the arXiv corpus-build path — LaTeX
+    markup stripped by the pure-JVM chain, feeding the Gopher
+    quality rules directly.  The oracle replays the 30-step ladder
+    into a CTE and applies the same metric SQL the standing
+    gopher_quality row uses, so extraction drift OR metric drift
+    breaks the row."""
+    docs = _read(spark, sf_dir, "documents")
+    return dp_text.gopher_quality(_latex_stripped(docs))
 
 
 def _ipynb_scaffold(docs):
@@ -7881,6 +7901,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_html": q_strip_html,
         "strip_markdown": q_strip_markdown,
         "strip_latex": q_strip_latex,
+        "latex_quality_pipeline": q_latex_quality_pipeline,
         "ipynb_cells": q_ipynb_cells,
         "ipynb_text_extract": q_ipynb_text_extract,
         "code_stats": q_code_stats,
@@ -15501,12 +15522,12 @@ def oracle_sql() -> dict[str, str]:
                length(t) AS n_chars
         FROM s21
     """
-    d["strip_latex"] = r"""
-        -- the q_strip_latex scaffold + the strip_latex_expr chain
-        -- replayed rule-for-rule as a linear CTE ladder (RE2 reads
-        -- the same escapes Java does; \1 vs $1 in replacements;
-        -- escaped $ { } ride chr(1)/chr(2)/chr(3) placeholders in
-        -- BOTH engines)
+    # the q_strip_latex scaffold + the strip_latex_expr chain
+    # replayed rule-for-rule as a linear CTE ladder (RE2 reads the
+    # same escapes Java does; \1 vs $1 in replacements; escaped
+    # $ { } ride chr(1)/chr(2)/chr(3) placeholders in BOTH engines);
+    # shared between the digest row and the quality composition
+    _latex_ladder = r"""
         WITH wrapped AS (
           SELECT doc_id,
                  '\documentclass[11pt]{article}' || chr(10)
@@ -15631,9 +15652,23 @@ def oracle_sql() -> dict[str, str]:
         l28 AS (SELECT doc_id,
                 replace(replace(replace(t, chr(1), '$'),
                         chr(2), '{'), chr(3), '}') AS t FROM l27)
+    """
+    d["strip_latex"] = _latex_ladder + """
         SELECT doc_id, md5(t) AS text_digest,
                length(t) AS n_chars
         FROM l28
+    """
+    d["latex_quality_pipeline"] = f"""
+        -- the strip_latex ladder feeding the UNCHANGED gopher
+        -- metric SQL (the arXiv corpus-build path: extraction ->
+        -- quality filtering in one verified chain)
+        WITH lx AS (
+          SELECT doc_id, t AS text
+          FROM ({_latex_ladder} SELECT doc_id, t FROM l28) s
+        )
+        SELECT * FROM (
+          {d["gopher_quality"].replace("FROM documents", "FROM lx")}
+        ) q
     """
     # the ipynb rows: Spark PARSES the nbformat JSON via VARIANT;
     # the oracle never parses — it rebuilds each expected cell from

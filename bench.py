@@ -275,6 +275,7 @@ HEADLINE = [
     "strip_html",
     "strip_markdown",
     "strip_latex",
+    "latex_quality_pipeline",
     "ipynb_cells",
     "ipynb_text_extract",
     "code_stats",
