@@ -4663,3 +4663,24 @@ def test_write_bucketed_colocated_join(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_test_l")
         spark.sql("DROP TABLE IF EXISTS bk_test_r")
+
+
+def test_code_stats_trailing_newline_boundary(spark):
+    """r14 regexp_count spelling: the trailing empty line after a
+    final newline must still count as blank (Java (?m)^ refuses
+    that position; the correction term restores split semantics)."""
+    from pypond_spark.datapipe.code import code_stats
+
+    cases = {1: ("a\nb", 0), 2: ("a\nb\n", 1), 3: ("a\n\nb\n", 2),
+             4: ("", 1), 5: ("\n", 2), 6: (" \t\n x\n", 2)}
+    df = spark.createDataFrame(
+        [(k, t) for k, (t, _) in cases.items()],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_blank_lines, r.total_line_len,
+                      r.n_lines) for r in code_stats(df).collect()}
+    for k, (t, want) in cases.items():
+        parts = t.split("\n")
+        assert got[k][0] == want, (k, got[k])
+        # the total_line_len identity must equal the split sum
+        assert got[k][1] == sum(len(p) for p in parts)
+        assert got[k][2] == len(parts)

@@ -660,6 +660,54 @@ def _variant_extract_stress(spark, n: int) -> float:
     return walls[1]
 
 
+def _textchain_stress(spark, n: int) -> float:
+    """r14: the scan-level text-transform tier — the strip_latex
+    30-rule and strip_markdown 21-rule regexp chains, the code_stats
+    list reductions, and the subtitle cue parse, each timed
+    separately over the SAME ~600-char doc frame at two sizes 10x
+    apart.  Regexp chains are the one scan-level pattern whose cost
+    is easy to underestimate (30 sequential Java-regex passes per
+    value), so this tier gets its own per-op ms/doc numbers."""
+    import time as _time
+
+    from pyspark.sql import functions as F2
+
+    from pypond_spark.datapipe.code import code_stats
+    from pypond_spark.datapipe.subtitles import subtitle_cues
+    from pypond_spark.datapipe.textstats import (strip_latex,
+                                                 strip_markdown)
+
+    walls = []
+    for docs_n in (max(n // 20000, 100), max(n // 2000, 1000)):
+        docs = (documents(spark, docs_n)
+                .withColumnRenamed("doc_id", "doc_id")
+                .localCheckpoint())
+        srt = docs.select("doc_id", F2.concat(
+            F2.lit("1\n00:00:01,000 --> 00:00:02,000\n"),
+            F2.substring("text", 1, 80),
+            F2.lit("\n\n2\n00:00:03,000 --> 00:00:04,000\n"),
+            F2.substring("text", 81, 80)).alias("content"))
+        t0 = _time.time()
+        per = {}
+        for name, job in (
+                ("strip_latex", lambda: sink(strip_latex(docs))),
+                ("strip_markdown",
+                 lambda: sink(strip_markdown(docs))),
+                ("code_stats", lambda: sink(code_stats(docs))),
+                ("subtitle_cues",
+                 lambda: sink(subtitle_cues(srt)))):
+            s = _time.time()
+            job()
+            per[name] = _time.time() - s
+        walls.append(_time.time() - t0)
+        per_s = " ".join(f"{k}={v:.1f}s" for k, v in per.items())
+        print(f"    [textchain] {docs_n:,} docs: {walls[-1]:.1f}s "
+              f"({walls[-1] / docs_n * 1000:.3f} ms/doc) [{per_s}]")
+    print(f"    [textchain] 10x docs -> "
+          f"{walls[1] / walls[0]:.2f}x wall")
+    return walls[1]
+
+
 def main() -> None:
     mrows = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
     only = set(sys.argv[2:])
@@ -677,7 +725,8 @@ def main() -> None:
                "neardup_generations", "neardup_small_batch"}
     self_synth = {"video_near_dups", "extract_content",
                   "transcode_payload", "pdf_extract",
-                  "variant_extract"}     # r12/r14: build their own frames
+                  "variant_extract",
+                  "textchain"}           # r12/r14: build their own frames
     ev_needed = not only or bool(
         only - emb_ops - doc_ops - self_synth
         - {"dedup_mega_cluster", "dedup_documents"})
@@ -922,6 +971,7 @@ def main() -> None:
         # r14: extraction-tier heavy tail — damaged-PDF corpus
         "pdf_extract": lambda: _pdf_extract_stress(spark, n),
         "variant_extract": lambda: _variant_extract_stress(spark, n),
+        "textchain": lambda: _textchain_stress(spark, n),
     }
     print(f"rows={n:,}  (embeddings {max(n // 10, 1):,} x 64)")
     print(f"{'op':24s} {'wall':>8s} {'rows/s':>12s}")
