@@ -33,6 +33,7 @@ from pypond_spark.datapipe import urls as dp_urls
 from pypond_spark.datapipe import y4m as dp_y4m
 from pypond_spark.datapipe import sketch as dp_sketch
 from pypond_spark.datapipe import subtitles as dp_subs
+from pypond_spark.datapipe import tables as dp_tables
 from pypond_spark.datapipe import tokenize as dp_tok
 from pypond_spark.operators import merge as merge_ops
 from pypond_spark.operators.take import take as take_op
@@ -2979,6 +2980,32 @@ def q_code_corpus_pipeline(spark, sf_dir):
                  F.sum("n_lines").alias("total_lines"),
                  F.sum("n_comment_lines").alias("total_comments"),
                  F.sum("n_blob_runs").alias("total_blobs")))
+
+
+def q_csv_table_extract(spark, sf_dir):
+    """Embedded CSV table extraction (tables.py::csv_rows — r14,
+    the tabular-attachment slice): per doc a 4-line CSV with
+    header, RFC 4180 quoting (embedded comma, doubled quotes), a
+    blank line, and a record with a type error (PERMISSIVE -> that
+    field NULL, never an exception); parsed by the built-in
+    from_csv (JVM Univocity).  The oracle rebuilds every decoded
+    record symbolically."""
+    docs = _read(spark, sf_dir, "documents")
+
+    def h(tag):
+        return F.md5(F.concat(F.col("text"), F.lit(tag)))
+
+    blob = F.concat(
+        F.lit("name,qty,price,note\nr0,"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(',1.5,"h, '), h("&t1"),
+        F.lit('"\nr1,7,2.25,"a ""'), h("&t2"),
+        F.lit('"" z"\n\nbad,NOT_INT,0.5,plain\n'))
+    out = dp_tables.csv_rows(
+        docs.select("doc_id", blob.alias("content")),
+        "name string, qty int, price double, note string")
+    return out.select("doc_id", "row_idx", "name", "qty", "price",
+                      "note")
 
 
 def q_document_router_text(spark, sf_dir):
@@ -7852,6 +7879,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "subtitle_cues": q_subtitle_cues,
         "image_exif": q_image_exif,
+        "csv_table_extract": q_csv_table_extract,
         "bucketed_join": q_bucketed_join,
         "code_corpus_pipeline": q_code_corpus_pipeline,
         "image_phash_tiff": q_image_phash_tiff,
@@ -14308,6 +14336,23 @@ def oracle_sql() -> dict[str, str]:
         FROM customer c
         JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
+    """
+    d["csv_table_extract"] = r"""
+        -- every decoded record rebuilt symbolically: the quoted
+        -- fields decode to known bytes, the blank line drops, the
+        -- NOT_INT field is NULL under PERMISSIVE
+        SELECT doc_id, 0 AS row_idx, 'r0' AS name,
+               CAST(doc_id % 100 AS INTEGER) AS qty,
+               1.5 AS price,
+               'h, ' || md5(text||'&t1') AS note
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 1, 'r1', 7, 2.25,
+               'a "' || md5(text||'&t2') || '" z'
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 2, 'bad', NULL, 0.5, 'plain'
+        FROM documents
     """
     d["image_exif"] = r"""
         -- the writer-twin scaffold is fully determined by

@@ -289,6 +289,7 @@ HEADLINE = [
     "sitemap_urls",
     "subtitle_cues",
     "image_exif",
+    "csv_table_extract",
     "bucketed_join",
     "code_corpus_pipeline",
     "image_phash_jpeg",

@@ -4684,3 +4684,33 @@ def test_code_stats_trailing_newline_boundary(spark):
         # the total_line_len identity must equal the split sum
         assert got[k][1] == sum(len(p) for p in parts)
         assert got[k][2] == len(parts)
+
+
+def test_csv_rows(spark):
+    """r14: embedded CSV/TSV extraction via built-in from_csv —
+    RFC 4180 quoting, blank-line drop, header skip, PERMISSIVE
+    type errors, TSV separator."""
+    from pypond_spark.datapipe.tables import csv_rows
+
+    csv = ('name,qty,price,note\n'
+           'alpha,3,1.5,"has, comma"\n'
+           'beta,7,2.25,"a ""q"" mark"\n'
+           '\n'
+           'gamma,not_int,0.5,plain\n')
+    df = spark.createDataFrame([(1, csv)],
+                               "doc_id long, content string")
+    rows = {r.row_idx: r for r in csv_rows(
+        df, "name string, qty int, price double, note string")
+        .collect()}
+    assert len(rows) == 3
+    assert (rows[0].name, rows[0].qty, rows[0].note) == (
+        "alpha", 3, "has, comma")
+    assert rows[1].note == 'a "q" mark'
+    assert rows[2].qty is None and rows[2].price == 0.5
+    # TSV, no header, CRLF
+    tsv = "a\t1\r\nb\t2\r\n"
+    got = csv_rows(spark.createDataFrame(
+        [(2, tsv)], "doc_id long, content string"),
+        "k string, v int", sep="\t", header=False).collect()
+    assert [(r.row_idx, r.k, r.v) for r in got] == [(0, "a", 1),
+                                                    (1, "b", 2)]
