@@ -4714,3 +4714,25 @@ def test_csv_rows(spark):
         "k string, v int", sep="\t", header=False).collect()
     assert [(r.row_idx, r.k, r.v) for r in got] == [(0, "a", 1),
                                                     (1, "b", 2)]
+
+
+def test_feed_entries_cdata_and_entities(spark):
+    """r14: real-world feed bytes — CDATA sections decode to their
+    literal content (entities INSIDE CDATA stay raw, per XML), and
+    entities outside CDATA decode."""
+    from pypond_spark.datapipe.feeds import feed_entries
+
+    rss = ('<rss version="2.0"><channel>'
+           '<title><![CDATA[T & Co]]></title>'
+           '<item><title><![CDATA[A <b>1</b>]]></title>'
+           '<link>http://ex.com/1</link>'
+           '<description><![CDATA[d &amp; e]]></description></item>'
+           '<item><title>plain &amp; entity</title></item>'
+           '</channel></rss>')
+    df = spark.createDataFrame([(1, rss)],
+                               "doc_id long, content string")
+    rows = {r.entry_idx: r for r in feed_entries(df).collect()}
+    assert rows[0].feed_title == "T & Co"
+    assert rows[0].title == "A <b>1</b>"
+    assert rows[0].summary == "d &amp; e"   # raw inside CDATA
+    assert rows[1].title == "plain & entity"
