@@ -524,3 +524,69 @@ def test_wire_codec_full_lattice_fixed_point(spark):
         # encode->decode->encode fixed point (w1 is codec-normalized)
         w2 = TimeSeries.from_wire(spark, w1).to_wire()
         assert w2 == w1, f"series {s}: not a fixed point\n{w1}\n{w2}"
+
+
+# --------------------------------------------------------------------------
+# r14 codec/parser properties (no Spark: pure-Python roundtrips)
+# --------------------------------------------------------------------------
+
+
+@given(rate=st.integers(min_value=1, max_value=10_000_000))
+@settings(max_examples=300, deadline=None)
+def test_aiff_ext80_roundtrip(rate):
+    """Every integer sample rate survives the 80-bit extended-float
+    encode/decode exactly (integer-shift arithmetic, no float)."""
+    from pypond_spark.datapipe.aiff import _read_ext80, _write_ext80
+    assert _read_ext80(_write_ext80(rate)) == rate
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=2,
+                     max_size=64).filter(lambda s: len(s) % 2 == 0),
+    comp=st.sampled_from([None, "NONE", "sowt"]),
+    rate=st.sampled_from([8000, 22050, 44100, 96000]))
+@settings(max_examples=120, deadline=None)
+def test_aiff_pcm16_roundtrip(samples, comp, rate):
+    """encode_aiff -> decode_aiff is the identity for 16-bit PCM in
+    every container variant, stereo interleaving preserved."""
+    from pypond_spark.datapipe.aiff import decode_aiff, encode_aiff
+    d = decode_aiff(encode_aiff(rate, 2, 16, samples, comp))
+    assert d["samples"] == samples
+    assert d["sample_rate"] == rate
+    assert d["n_frames"] == len(samples) // 2
+
+
+@given(bits=st.sampled_from([8, 24, 32]),
+       samples=st.lists(st.integers(-128, 127), min_size=1,
+                        max_size=32))
+@settings(max_examples=100, deadline=None)
+def test_aiff_width_roundtrip(bits, samples):
+    """8/24/32-bit widths roundtrip (values drawn within the 8-bit
+    envelope so one pool serves all widths)."""
+    from pypond_spark.datapipe.aiff import decode_aiff, encode_aiff
+    d = decode_aiff(encode_aiff(8000, 1, bits, samples))
+    assert d["samples"] == samples and d["sample_size"] == bits
+
+
+@given(make=st.text(alphabet=st.characters(min_codepoint=32,
+                                           max_codepoint=126),
+                    min_size=0, max_size=20),
+       orientation=st.integers(1, 8),
+       num=st.integers(1, 10_000), den=st.integers(1, 10_000),
+       iso=st.integers(0, 65535))
+@settings(max_examples=120, deadline=None)
+def test_exif_roundtrip_property(make, orientation, num, den, iso):
+    """encode_app1_exif -> exif_tags is the identity over the full
+    printable-ASCII string space (inline AND heap value placement),
+    the 1..8 orientation range, arbitrary rationals and SHORT ISO."""
+    from pypond_spark.datapipe.multimodal import (encode_app1_exif,
+                                                  exif_tags)
+    app1 = encode_app1_exif(make, "M", orientation, "2024:01:01",
+                            exposure=(num, den), iso=iso,
+                            focal=(den, num))
+    t = exif_tags(b"\xFF\xD8" + app1 + b"\xFF\xD9")
+    assert t["make"] == make or (make == "" and "make" not in t)
+    assert t["orientation"] == orientation
+    assert t["exposure_time"] == num / den
+    assert t["focal_length"] == den / num
+    assert t["iso"] == iso
