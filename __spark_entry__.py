@@ -35,6 +35,7 @@ from pypond_spark.datapipe import sketch as dp_sketch
 from pypond_spark.datapipe import subtitles as dp_subs
 from pypond_spark.datapipe import tables as dp_tables
 from pypond_spark.datapipe import tokenize as dp_tok
+from pypond_spark.datapipe._util import spread as _spread
 from pypond_spark.operators import merge as merge_ops
 from pypond_spark.operators.take import take as take_op
 
@@ -57,6 +58,12 @@ def _ensure_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # bounded distributed file listing (see session.py): without it every
+    # stream-ingest micro-batch over a 5000-file shard dir pays a
+    # 5000-task listing job (~10s/drain measured at sf0.1)
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.parallelism",
+        os.environ.get("SPARK_GRAFT_LISTING_PARALLELISM", "64"))
     _ship_package(spark)
 
 
@@ -1872,7 +1879,7 @@ def _synth_ppm8(docs):
     fully oracle-replayable."""
     parts = [F.unhex(F.md5(F.concat(F.col("text"), F.lit(f"#{k}"))))
              for k in range(12)]
-    return docs.select(F.col("doc_id").cast("long").alias("media_id"),
+    return _spread(docs).select(F.col("doc_id").cast("long").alias("media_id"),
                        F.concat(F.lit(b"P6\n8 8\n255\n"), *parts)
                        .alias("content"))
 
@@ -2087,7 +2094,7 @@ def _synth_jpeg32(docs):
 
     from pypond_spark.datapipe.jpeg import encode_jpeg
 
-    raw = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+    raw = _spread(docs).select(F.col("doc_id").cast("long").alias("media_id"),
                       F.unhex(F.md5(F.concat(F.col("text"),
                                              F.lit("&j"))))
                       .alias("content"))
@@ -2137,7 +2144,7 @@ def _synth_jpeg32_progressive(docs):
 
     from pypond_spark.datapipe.jpeg import encode_jpeg_progressive
 
-    raw = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+    raw = _spread(docs).select(F.col("doc_id").cast("long").alias("media_id"),
                       F.unhex(F.md5(F.concat(F.col("text"),
                                              F.lit("&jp"))))
                       .alias("content"))
@@ -2286,7 +2293,7 @@ def _synth_pdf(docs):
                     via_form=did % 5 == 0)))
             yield _pd.DataFrame(rows, columns=["doc_id", "content"])
 
-    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+    return (_spread(docs).select(F.col("doc_id").cast("long").alias("doc_id"),
                         "text")
             .mapInPandas(enc, "doc_id long, content binary"))
 
@@ -2353,7 +2360,7 @@ def _synth_tar(docs):
                     samples, gzip_level=6 if did % 2 else None)))
             yield _pd.DataFrame(rows, columns=["shard_id", "content"])
 
-    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+    return (_spread(docs).select(F.col("doc_id").cast("long").alias("doc_id"),
                         "text")
             .mapInPandas(enc, "shard_id long, content binary"))
 
@@ -2655,7 +2662,7 @@ def _synth_docx(docs):
                                               table_cells=cells)))
             yield _pd.DataFrame(rows, columns=["doc_id", "content"])
 
-    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+    return (_spread(docs).select(F.col("doc_id").cast("long").alias("doc_id"),
                         "text")
             .mapInPandas(enc, "doc_id long, content binary"))
 
@@ -2724,7 +2731,7 @@ def _synth_odt(docs):
                                              heading=h("oh"))))
             yield _pd.DataFrame(rows, columns=["doc_id", "content"])
 
-    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+    return (_spread(docs).select(F.col("doc_id").cast("long").alias("doc_id"),
                         "text")
             .mapInPandas(enc, "doc_id long, content binary"))
 
@@ -3139,7 +3146,7 @@ def _synth_rtf(docs):
                 rows.append((did, encode_rtf(paras)))
             yield _pd.DataFrame(rows, columns=["doc_id", "content"])
 
-    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+    return (_spread(docs).select(F.col("doc_id").cast("long").alias("doc_id"),
                         "text")
             .mapInPandas(enc, "doc_id long, content binary"))
 
@@ -3188,7 +3195,7 @@ def _synth_epub(docs):
                     chapters, reverse_storage=did % 2 == 1)))
             yield _pd.DataFrame(rows, columns=["doc_id", "content"])
 
-    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+    return (_spread(docs).select(F.col("doc_id").cast("long").alias("doc_id"),
                         "text")
             .mapInPandas(enc, "doc_id long, content binary"))
 
@@ -3240,7 +3247,7 @@ def _synth_zipshard(docs):
                     samples, compress=did % 2 == 1)))
             yield _pd.DataFrame(rows, columns=["shard_id", "content"])
 
-    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+    return (_spread(docs).select(F.col("doc_id").cast("long").alias("doc_id"),
                         "text")
             .mapInPandas(enc, "shard_id long, content binary"))
 
@@ -3382,7 +3389,7 @@ def _synth_meta_mix(docs):
     from pypond_spark.datapipe.gif import encode_gif
     from pypond_spark.datapipe.multimodal import encode_png
 
-    base = docs.select(
+    base = _spread(docs).select(
         F.col("doc_id").cast("long").alias("media_id"),
         F.concat(*[F.unhex(F.md5(F.concat(F.col("text"),
                                           F.lit(f"@m{k}"))))
@@ -3474,7 +3481,7 @@ def _synth_y4m(docs, per_doc_unique: bool = True):
 
     from pypond_spark.datapipe.y4m import encode_y4m
 
-    base = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+    base = _spread(docs).select(F.col("doc_id").cast("long").alias("media_id"),
                        F.col("text"))
 
     def enc(batches):
@@ -3508,7 +3515,7 @@ def _synth_avi32(docs):
 
     from pypond_spark.datapipe.avi import encode_avi_mjpeg
 
-    base = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+    base = _spread(docs).select(F.col("doc_id").cast("long").alias("media_id"),
                        F.col("text"))
 
     def enc(batches):
@@ -3560,7 +3567,7 @@ def _synth_gif_anim8(docs):
 
     from pypond_spark.datapipe.gif import encode_gif_anim
 
-    base = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+    base = _spread(docs).select(F.col("doc_id").cast("long").alias("media_id"),
                        F.col("text"))
 
     def enc(batches):
@@ -3655,7 +3662,7 @@ def _synth_wav128(docs):
     oracle-replayable."""
     parts = [F.unhex(F.md5(F.concat(F.col("text"), F.lit(f"~{k}"))))
              for k in range(16)]
-    return docs.select(F.col("doc_id").cast("long").alias("media_id"),
+    return _spread(docs).select(F.col("doc_id").cast("long").alias("media_id"),
                        F.concat(F.lit(_WAV_HDR_128), *parts)
                        .alias("content"))
 
@@ -5915,7 +5922,7 @@ def _synth_urls(docs):
             F.lit("https://Blog.Ex"), (d % 7).cast("string"),
             F.lit(".com:443/q/"), d.cast("string"),
             F.lit("?gclid=9")))
-    return docs.select("doc_id", url.alias("url"))
+    return _spread(docs).select("doc_id", url.alias("url"))
 
 
 def q_warc_responses(spark, sf_dir):

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pypond_spark.datapipe._util import spread
 from pypond_spark.datapipe.dedup import word_shingles
 
 
@@ -169,6 +170,10 @@ def longest_match(docs: DataFrame, bench: DataFrame, k: int = 5,
         docs = docs.withColumn(text_col, normalize_text(text_col))
         bench = bench.withColumn(bench_text_col,
                                  normalize_text(bench_text_col))
+    # corpus-side gram explode is map-side below the first exchange: fan
+    # a single-file scan out first (no-op at warehouse scale; the small
+    # broadcast bench side needs no fan-out)
+    docs = spread(docs)
 
     def grams(df, tcol, icol, pos_name, out_id):
         toks = F.filter(F.split(F.trim(F.col(tcol)), r"\s+"),

@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ._util import spread
+
 #: markdown is a HEURISTIC label (there is no magic byte): an ATX
 #: heading at line start, a fenced code block, or an inline link —
 #: any one in the head is decisive enough for routing; plain prose
@@ -121,4 +123,4 @@ def extract_documents(df: DataFrame, content_col: str = "content",
                 rows.append((int(did), fmt, text, n))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=DOC_ROUTE_SCHEMA)
+    return spread(df).mapInPandas(run, schema=DOC_ROUTE_SCHEMA)

@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ._util import spread
+
 __all__ = ["parse_id3v2", "encode_id3v2", "audio_id3_tags",
            "ID3_SCHEMA"]
 
@@ -229,4 +231,4 @@ def audio_id3_tags(df: DataFrame, content_col: str = "content",
                              d["length_ms"]))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=ID3_SCHEMA)
+    return spread(df).mapInPandas(run, schema=ID3_SCHEMA)

@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ._util import spread
+
 from pypond_spark.datapipe.bmp import decode_bmp
 from pypond_spark.datapipe.gif import decode_gif
 from pypond_spark.datapipe.jpeg import decode_jpeg
@@ -615,7 +617,7 @@ def extract_features(df: DataFrame, fake: bool = False,
                 "features": feats,
             })
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return spread(df).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 IMAGE_STATS_SCHEMA = T.StructType([
@@ -652,7 +654,7 @@ def image_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               IMAGE_STATS_SCHEMA.fields])
 
-    return df.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+    return spread(df).mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
 
 
 def audio_stats(df: DataFrame) -> DataFrame:
@@ -668,7 +670,7 @@ def audio_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               AUDIO_STATS_SCHEMA.fields])
 
-    return df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+    return spread(df).mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -765,7 +767,7 @@ def resize_image(df: DataFrame, out_w: int, out_h: int,
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               RESIZED_SCHEMA.fields])
 
-    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+    return spread(df).mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 IMAGE_META_SCHEMA = T.StructType([
@@ -867,7 +869,7 @@ def sniff_image_meta(df: DataFrame, engine: str = "arrow") -> DataFrame:
                 yield pd.DataFrame(rows, columns=[f.name for f in
                                                   IMAGE_META_SCHEMA.fields])
 
-        return df.mapInPandas(run, schema=IMAGE_META_SCHEMA)
+        return spread(df).mapInPandas(run, schema=IMAGE_META_SCHEMA)
     if engine != "expr":
         raise ValueError(f"engine must be arrow|expr, got {engine!r}")
 
@@ -1006,7 +1008,7 @@ def image_phash(df: DataFrame, grid_w: int = 7, grid_h: int = 7,
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               out_schema.fields])
 
-    return df.mapInPandas(run, schema=out_schema)
+    return spread(df).mapInPandas(run, schema=out_schema)
 
 
 def image_near_dups(df: DataFrame, grid_w: int = 7, grid_h: int = 7,
@@ -1107,7 +1109,7 @@ def audio_fingerprint(df: DataFrame, frame_size: int = 8,
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               AUDIO_FP_SCHEMA.fields])
 
-    return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+    return spread(df).mapInPandas(run, schema=AUDIO_FP_SCHEMA)
 
 
 def audio_near_dups(df: DataFrame, frame_size: int = 8,
@@ -1274,7 +1276,7 @@ def sniff_audio_meta(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               AUDIO_META_SCHEMA.fields])
 
-    return df.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+    return spread(df).mapInPandas(run, schema=AUDIO_META_SCHEMA)
 
 
 def _exif_orientation(content: bytes):
@@ -1504,7 +1506,7 @@ def image_exif(df: DataFrame) -> DataFrame:
                              t.get("focal_length")))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=schema)
+    return spread(df).mapInPandas(run, schema=schema)
 
 
 def image_orientation(df: DataFrame) -> DataFrame:
@@ -1525,7 +1527,7 @@ def image_orientation(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id",
                                               "orientation"])
 
-    return df.mapInPandas(run, schema=schema)
+    return spread(df).mapInPandas(run, schema=schema)
 
 
 def exif_app1(orientation: int, byte_order: str = "II") -> bytes:
@@ -1590,4 +1592,4 @@ def orient_image(df: DataFrame,
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               RESIZED_SCHEMA.fields])
 
-    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+    return spread(df).mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -62,6 +62,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ._util import spread
+
 __all__ = ["parse_pdf", "pdf_text_pages", "pdf_info",
            "extract_pdf_text", "extract_pdf_info", "encode_pdf",
            "PDF_PAGE_SCHEMA", "PDF_INFO_SCHEMA"]
@@ -1082,7 +1084,7 @@ def extract_pdf_text(df: DataFrame, content_col: str = "content",
                     rows.append((int(did), pno, text))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=PDF_PAGE_SCHEMA)
+    return spread(df).mapInPandas(run, schema=PDF_PAGE_SCHEMA)
 
 
 PDF_INFO_SCHEMA = T.StructType([
@@ -1116,7 +1118,7 @@ def extract_pdf_info(df: DataFrame, content_col: str = "content",
                              d["n_pages"]))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=PDF_INFO_SCHEMA)
+    return spread(df).mapInPandas(run, schema=PDF_INFO_SCHEMA)
 
 
 # ----------------------------------------------------- synthesis half

@@ -43,6 +43,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ._util import spread
+
 __all__ = ["rtf_text", "extract_rtf_text", "encode_rtf",
            "RTF_TEXT_SCHEMA"]
 
@@ -222,7 +224,7 @@ def extract_rtf_text(df: DataFrame, content_col: str = "content",
                 rows.append((int(did), text, npar))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=RTF_TEXT_SCHEMA)
+    return spread(df).mapInPandas(run, schema=RTF_TEXT_SCHEMA)
 
 
 def _rtf_escape(text: str) -> str:

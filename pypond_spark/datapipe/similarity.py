@@ -134,6 +134,11 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     2k x 2k pairs).  Identical values either way: both forms are the same
     left-to-right double summation over components.
     """
+    # fan the scan out first: the self-join streams one side through a
+    # BroadcastNestedLoop, so its parallelism is the scan's partition
+    # count — a single-file corpus would run the whole O(n^2) pair scan
+    # on one core (no-op at warehouse scale, where the scan is split)
+    df = spread(df)
     if dim is not None:
         norm_sql = (f"sqrt(aggregate(transform(`{vec_col}`, x -> "
                     f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "

@@ -45,6 +45,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ._util import spread
+
 __all__ = ["parse_tar_members", "read_tar_members",
            "read_tar_samples", "encode_tar_shard",
            "parse_zip_members", "read_zip_members",
@@ -114,7 +116,7 @@ def read_tar_members(df: DataFrame, content_col: str = "content",
                                  len(data), data))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=TAR_MEMBER_SCHEMA)
+    return spread(df).mapInPandas(run, schema=TAR_MEMBER_SCHEMA)
 
 
 def read_tar_samples(df: DataFrame, content_col: str = "content",
@@ -147,7 +149,7 @@ def read_tar_samples(df: DataFrame, content_col: str = "content",
                 flush()
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=TAR_SAMPLE_SCHEMA)
+    return spread(df).mapInPandas(run, schema=TAR_SAMPLE_SCHEMA)
 
 
 def encode_tar_shard(samples: list[tuple[str, dict[str, bytes]]],
@@ -230,7 +232,7 @@ def read_zip_members(df: DataFrame, content_col: str = "content",
                                  len(data), data))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=TAR_MEMBER_SCHEMA)
+    return spread(df).mapInPandas(run, schema=TAR_MEMBER_SCHEMA)
 
 
 def encode_zip_shard(samples: list[tuple[str, dict[str, bytes]]],
@@ -299,4 +301,4 @@ def read_zip_samples(df: DataFrame, content_col: str = "content",
                 flush()
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=TAR_SAMPLE_SCHEMA)
+    return spread(df).mapInPandas(run, schema=TAR_SAMPLE_SCHEMA)

@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ._util import spread
+
 WARC_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("record_no", T.IntegerType()),
@@ -118,7 +120,7 @@ def parse_warc(df: DataFrame, warc_col: str = "warc",
                                  rec["content_length"], rec["block"]))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=WARC_SCHEMA)
+    return spread(df).mapInPandas(run, schema=WARC_SCHEMA)
 
 
 def split_gzip_members(data: bytes) -> list[bytes]:
@@ -171,7 +173,7 @@ def parse_warc_gz(df: DataFrame, gz_col: str = "warc_gz",
                                  rec["content_length"], rec["block"]))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=WARC_SCHEMA)
+    return spread(df).mapInPandas(run, schema=WARC_SCHEMA)
 
 
 def http_payload_expr(block_col: str = "block") -> Column:
@@ -300,4 +302,4 @@ def transcode_payload(df: DataFrame, content_col: str = "content",
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               TRANSCODE_SCHEMA.fields])
 
-    return df.mapInPandas(run, schema=TRANSCODE_SCHEMA)
+    return spread(df).mapInPandas(run, schema=TRANSCODE_SCHEMA)

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ._util import spread
+
 _MAGIC = b"YUV4MPEG2"
 
 #: chroma tag -> (u/v plane width divisor, height divisor); None = no
@@ -202,7 +204,7 @@ def sample_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               FRAME_SCHEMA.fields])
 
-    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+    return spread(df).mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 def video_near_dups(df: DataFrame, every_n: int = 1,

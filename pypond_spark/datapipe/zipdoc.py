@@ -52,6 +52,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ._util import spread
+
 from .tarshard import parse_zip_members, zip_bytes
 
 __all__ = ["docx_text", "extract_docx_text", "encode_docx",
@@ -127,7 +129,7 @@ def extract_docx_text(df: DataFrame, content_col: str = "content",
                 rows.append((int(did), text, npar))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=DOCX_TEXT_SCHEMA)
+    return spread(df).mapInPandas(run, schema=DOCX_TEXT_SCHEMA)
 
 
 _DOCX_CONTENT_TYPES = (
@@ -310,7 +312,7 @@ def extract_epub_text(df: DataFrame, content_col: str = "content",
                     rows.append((int(did), no, text))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=EPUB_CHAPTER_SCHEMA)
+    return spread(df).mapInPandas(run, schema=EPUB_CHAPTER_SCHEMA)
 
 
 _EPUB_CONTAINER = (
@@ -418,7 +420,7 @@ def extract_odt_text(df: DataFrame, content_col: str = "content",
                 rows.append((int(did), text, npar))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, schema=DOCX_TEXT_SCHEMA)
+    return spread(df).mapInPandas(run, schema=DOCX_TEXT_SCHEMA)
 
 
 def _odt_spans(text: str) -> str:

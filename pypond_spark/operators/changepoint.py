@@ -98,9 +98,14 @@ def cusum_changepoints(
                 s["__v"].alias("m"))
         ).alias("__s"))
     if target is None:
-        # n-scaled exact residual: r = n*m - sum(m); thresholds scale by n
+        # n-scaled exact residual: r = n*m - sum(m); thresholds scale by n.
+        # sum(m) is hoisted into a column: inlining the aggregate(...) in
+        # `resid` re-sums the whole bucket array per fold step (and per
+        # mention in sp1/sn1/hit), turning the per-series fold O(n^2)
+        per_key = per_key.withColumn(
+            "__tot", F.expr("aggregate(__s, 0L, (a, e) -> a + e.m)"))
         scale = "size(__s)"
-        resid = f"size(__s) * x.m - aggregate(__s, 0L, (a, e) -> a + e.m)"
+        resid = "size(__s) * x.m - __tot"
     else:
         t_mic = int(round(float(target) * 1e6))
         scale = "1"

@@ -34,6 +34,14 @@ def get_spark(app_name: str = "pypond_spark",
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions
                     or os.environ.get("SPARK_GRAFT_SHUFFLE", "32")))
+        # distributed file-listing width: the default (10000) launches one
+        # task per file when a directory source exceeds the discovery
+        # threshold — a 5000-file shard dir costs a 5000-task listing job
+        # PER micro-batch (measured ~10s of every stream-ingest drain).
+        # 64 listing tasks scan millions of files fine; raise via env for
+        # object-store deployments with deeper namespaces.
+        .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
+                os.environ.get("SPARK_GRAFT_LISTING_PARALLELISM", "64"))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -866,3 +866,57 @@ def test_control_chart_rules(spark):
         control_chart_rules(df, sigma=0.0)
     with pytest.raises(ValueError, match="bucket"):
         control_chart_rules(df, bucket="monthly")
+
+
+def test_cusum_changepoints_long_series_hoisted_total(spark):
+    """r14 optimization guard: the self-referenced (target=None) fold
+    hoists sum(m) out of the per-element recurrence (O(n) per series,
+    was O(n^2) via an inlined aggregate()).  Pin exact equivalence to
+    the Python reference over a LONG drifting series with several
+    restarts, so a regression in the hoist (stale/duplicated total,
+    off-by-one scaling) cannot hide in a 12-bucket fixture."""
+    import datetime as dt
+
+    from pypond_spark.operators.changepoint import cusum_changepoints
+
+    # deterministic pseudo-random walk with two level shifts; 500
+    # hourly buckets, one event per bucket
+    vals = []
+    x = 0
+    for i in range(500):
+        x = (x * 1103515245 + 12345) % (2 ** 31)
+        base = 10.0 if i < 200 else (25.0 if i < 350 else 5.0)
+        vals.append(round(base + (x % 1000) / 250.0, 6))
+    t0 = dt.datetime(2021, 1, 1)
+    rows = [("u", t0 + dt.timedelta(hours=h), v)
+            for h, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["user_id", "time", "value"])
+    out = cusum_changepoints(df, bucket="1h", partition_by=("user_id",),
+                             k=2.0, h=40.0).collect()
+
+    def ref(seq, k, h):
+        n = len(seq)
+        m = [int(round(v * 1e6)) for v in seq]
+        tot = sum(m)
+        sp = sn = 0
+        alarms = []
+        for i, mi in enumerate(m):
+            r = n * mi - tot
+            sp1 = max(0, sp + r - int(k * 1e6) * n)
+            sn1 = max(0, sn - r - int(k * 1e6) * n)
+            if sp1 > int(h * 1e6) * n or sn1 > int(h * 1e6) * n:
+                s = max(sp1, sn1)
+                alarms.append((i, "up" if sp1 >= sn1 else "down",
+                               round((2 * s + n) // (2 * n) / 1e6, 6)))
+                sp = sn = 0
+            else:
+                sp, sn = sp1, sn1
+        return alarms
+
+    base_h = int(t0.replace(tzinfo=dt.timezone.utc)
+                 .timestamp()) // 3600
+    expect = ref(vals, 2.0, 40.0)
+    got = sorted((r["t_ms"] // 3600000 - base_h, r["direction"],
+                  r["stat"]) for r in out)
+    assert len(expect) >= 3, "fixture must restart several times"
+    assert got == expect
