@@ -613,7 +613,11 @@ def q_dedup_against_neardup(spark, sf_dir):
     # driver/bench runs overwrite + read the same index concurrently
     path = tempfile.mkdtemp(prefix="pypond_neardup_idx_")
     try:
-        dp_dedup.write_neardup_index(corpus, path)
+        # layout="auto": flat few-file index below ~256 MB of corpus,
+        # the 256-dir partitioned layout above (measured: the
+        # partitioned write of a 66 KB band table cost 5-10 s in
+        # 256-file creation alone at bench scale)
+        dp_dedup.write_neardup_index(corpus, path, layout="auto")
         hits = dp_dedup.dedup_against_neardup(
             new, path, threshold=0.8, keep_scores=True).localCheckpoint()
     finally:
@@ -1174,7 +1178,8 @@ def q_stream_minhash_dedup_indexed(spark, sf_dir):
         .where(F.col("doc_id") % 2 == 0)
     path = tempfile.mkdtemp(prefix="pypond_ndidx_stream_")
     try:
-        dp_dedup.write_neardup_index(corpus, path)
+        # layout="auto": see q_dedup_against_neardup
+        dp_dedup.write_neardup_index(corpus, path, layout="auto")
         sdf = _docs_stream(spark, sf_dir)
         odd = (sdf.where(F.col("doc_id") % 2 == 1)
                .select("doc_id", "text"))

@@ -616,51 +616,167 @@ def _band_pfx(band: Column, prefix_chars: int = 2) -> Column:
                     F.substring(F.md5(band), 1, int(prefix_chars)))
 
 
+#: name of the index-layout metadata file at the index root
+_ND_META = "_layout.json"
+
+#: "auto" layout switches flat -> partitioned at this estimated input
+#: size (bytes). 256 MB of corpus text yields a band+shingle table far
+#: below anything 256 directories help with; past it, per-prefix files
+#: stay chunky and pruning starts paying for the directory fan-out.
+_ND_FLAT_THRESHOLD = 256 * 1024 * 1024
+
+
+def _nd_fs(spark, base: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(base).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _nd_write_meta(spark, base: str, meta: dict) -> None:
+    """Write ``_layout.json`` at the index root (Hadoop FS so the same
+    code serves local, HDFS and object-store paths)."""
+    import json
+
+    fs, hpath = _nd_fs(spark, base)
+    out = fs.create(hpath(base + "/" + _ND_META), True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _nd_read_meta(spark, base: str) -> dict | None:
+    import json
+
+    fs, hpath = _nd_fs(spark, base)
+    p = hpath(base + "/" + _ND_META)
+    if not fs.exists(p):
+        return None
+    inp = fs.open(p)
+    try:
+        # py4j can't round-trip a mutated byte[] out of readFully;
+        # commons-io (on Spark's classpath) returns the bytes
+        raw = bytes(spark._jvm.org.apache.commons.io.IOUtils
+                    .toByteArray(inp))
+    finally:
+        inp.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df`` (no job is run): parquet
+    footer sizes propagated through the plan. The same estimate the
+    broadcast planner uses — coarse, but monotonic in input size, which
+    is all the layout switch needs."""
+    sz = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    # py4j returns small BigInts as python ints, large ones as objects.
+    # Non-file sources (createDataFrame, RDD-backed frames) report
+    # spark.sql.defaultSizeInBytes = Long.MaxValue — "auto" then falls
+    # back to the conservative partitioned layout, which is the safe
+    # direction for an input of unknown size.
+    return sz if isinstance(sz, int) else int(sz.toString())
+
+
 def write_neardup_index(df: DataFrame, path: str, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 8,
                         band_size: int = 4, shingle_n: int = 3,
                         hash_fn: str = "md5",
                         mode: str = "overwrite",
                         files_per_prefix: int = 4,
-                        prefix_chars: int = 2) -> None:
+                        prefix_chars: int = 2,
+                        layout: str = "partitioned") -> None:
     """Persist the corpus's MinHash band table (plus the shingle sets
     the Jaccard verify needs) so incremental ingest can ask "is this
     new document a near-duplicate of ANYTHING already in the corpus"
     without recomputing the corpus side — the near-dup twin of
     persisting the digest set for :func:`dedup_against`.
 
-    Layout (the :func:`~pypond_spark.datapipe.similarity.write_ann_index`
-    pattern):
+    Two layouts, recorded in ``path/_layout.json`` so the read side can
+    validate (and so ``mode="append"`` generations can never fork the
+    layout):
 
-    - ``path/bands/band_pfx=<xx>/...`` — the (id, band-bucket) rows,
-      PARTITION-pruned on a 2-hex-char re-hash prefix of the band key
-      (256 directories, uniform for every hash_fn): a query batch touching a handful of prefixes scans
-      a handful of directories, never the corpus-wide table.
-    - ``path/shingles/...`` — one shingle-set row per corpus doc, read
-      only for candidate ids (semi-join bound).
+    - ``layout="partitioned"`` (default, the 100-TB shape; the
+      :func:`~pypond_spark.datapipe.similarity.write_ann_index`
+      pattern): ``path/bands/band_pfx=<xx>/...`` — the (id,
+      band-bucket) rows, PARTITION-pruned on a ``prefix_chars``-hex-char
+      re-hash prefix of the band key (256 directories at the default,
+      uniform for every hash_fn): a query batch touching a handful of
+      prefixes scans a handful of directories, never the corpus-wide
+      table.
+    - ``layout="flat"``: the same rows with ``band_pfx`` as a plain
+      DATA column, written as a handful of files with no partition
+      directories.  Below roughly a gigabyte of corpus the partitioned
+      write is all overhead (measured at bench scale: 5-10 s creating
+      256 one-row files whose whole band table is 66 KB, vs ~0.5 s
+      flat) and prunes nothing a single parquet footer read wouldn't.
+      The prefix column is kept so the read side is layout-agnostic.
+    - ``layout="auto"``: flat below ~256 MB of estimated input
+      (Catalyst size estimate — no extra job), partitioned above.
+      This is the scale-adaptive default callers should prefer; the
+      literal layouts exist for tests and migration.
+
+    ``path/shingles/...`` — one shingle-set row per corpus doc, read
+    only for candidate ids (semi-join bound); file count derived from
+    the same size estimate.
 
     Write once per crawl generation; each
     :func:`dedup_against_neardup` batch then reads
     O(new-batch band prefixes) of the index.
     """
+    if layout not in ("partitioned", "flat", "auto"):
+        raise ValueError(
+            f"layout must be partitioned|flat|auto, got {layout!r}")
+    spark = df.sparkSession
+    base = path.rstrip("/")
+    est = _estimated_bytes(df)
+    if layout == "auto":
+        layout = "flat" if est < _ND_FLAT_THRESHOLD else "partitioned"
+    prior = _nd_read_meta(spark, base) if mode == "append" else None
+    if prior is not None:
+        # appending generations may never fork the layout; an explicit
+        # conflicting prefix_chars is the same layout-contract breach
+        # the read side raises for
+        if int(prior.get("prefix_chars", prefix_chars)) != prefix_chars:
+            raise ValueError(
+                f"index at {path} was written with prefix_chars="
+                f"{prior.get('prefix_chars')}, append requested "
+                f"{prefix_chars} — prefix_chars is part of the layout")
+        layout = prior.get("layout", layout)
     buckets = lsh_band_buckets(df, text_col, id_col, num_hashes,
                                band_size, shingle_n, hash_fn)
-    # repartition on (prefix, salt) first: a bare write lets every
-    # shuffle task spray into every prefix directory (up to tasks x 256
-    # small files — measured as the dominant scan cost of the per-batch
-    # path), while repartition("band_pfx") alone caps the WRITE at 256
-    # tasks and funnels each prefix's whole slice (corpus/256 at the
-    # 100 TB design point) through one writer. The salt keeps write
-    # parallelism at 256 x files_per_prefix with files-per-directory
-    # bounded at files_per_prefix.
-    salt = F.pmod(F.xxhash64("band"), F.lit(int(files_per_prefix)))
-    (buckets.withColumn("band_pfx",
-                        _band_pfx(F.col("band"), prefix_chars))
-     .repartition(F.col("band_pfx"), salt)
-     .write.mode(mode).partitionBy("band_pfx")
-     .parquet(path.rstrip("/") + "/bands"))
-    (_doc_shingle_sets(df, text_col, id_col, shingle_n)
-     .write.mode(mode).parquet(path.rstrip("/") + "/shingles"))
+    bands = buckets.withColumn("band_pfx",
+                               _band_pfx(F.col("band"), prefix_chars))
+    if layout == "partitioned":
+        # repartition on (prefix, salt) first: a bare write lets every
+        # shuffle task spray into every prefix directory (up to tasks x
+        # 256 small files — measured as the dominant scan cost of the
+        # per-batch path), while repartition("band_pfx") alone caps the
+        # WRITE at 256 tasks and funnels each prefix's whole slice
+        # (corpus/256 at the 100 TB design point) through one writer.
+        # The salt keeps write parallelism at 256 x files_per_prefix
+        # with files-per-directory bounded at files_per_prefix.
+        salt = F.pmod(F.xxhash64("band"), F.lit(int(files_per_prefix)))
+        (bands.repartition(F.col("band_pfx"), salt)
+         .write.mode(mode).partitionBy("band_pfx")
+         .parquet(base + "/bands"))
+    else:
+        # flat: a couple of files sized off the input estimate; the
+        # tiny repartition shuffle keeps the band COMPUTE at full
+        # parallelism (coalesce would drag the upstream stage narrow)
+        n_files = max(1, min(64, est // (128 * 1024 * 1024) + 1))
+        (bands.repartition(int(n_files))
+         .write.mode(mode).parquet(base + "/bands"))
+    n_sh = max(1, min(256, est // (128 * 1024 * 1024) + 1)) \
+        if layout == "flat" else None
+    sh = _doc_shingle_sets(df, text_col, id_col, shingle_n)
+    if n_sh is not None:
+        sh = sh.repartition(int(n_sh))
+    sh.write.mode(mode).parquet(base + "/shingles")
+    if prior is None:
+        _nd_write_meta(spark, base, {
+            "layout": layout, "prefix_chars": int(prefix_chars),
+            "files_per_prefix": int(files_per_prefix)})
 
 
 def dedup_against_neardup(df: DataFrame, index_path: str,
@@ -699,21 +815,31 @@ def dedup_against_neardup(df: DataFrame, index_path: str,
             f"max_candidates must be >= 1, got {max_candidates}")
     spark = df.sparkSession
     base = index_path.rstrip("/")
-    # layout guard: one first-level listing (O(dirs), driver-side)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(base).getFileSystem(spark._jsc.hadoopConfiguration())
-    for st in fs.listStatus(hpath(base + "/bands")):
-        name = st.getPath().getName()
-        if name.startswith("band_pfx="):
-            got = len(name) - len("band_pfx=") - 1   # minus sentinel
-            if got != prefix_chars:
-                raise ValueError(
-                    f"index at {index_path} was written with "
-                    f"prefix_chars={got}, queried with "
-                    f"{prefix_chars} — the partition filter would be "
-                    f"empty and every duplicate would pass")
-            break
+    # layout guard: prefer the _layout.json metadata (one tiny read);
+    # legacy indexes without it fall back to a first-level listing
+    # (O(dirs), driver-side)
+    meta = _nd_read_meta(spark, base)
+    if meta is not None:
+        got = int(meta.get("prefix_chars", prefix_chars))
+        if got != prefix_chars:
+            raise ValueError(
+                f"index at {index_path} was written with "
+                f"prefix_chars={got}, queried with "
+                f"{prefix_chars} — the partition filter would be "
+                f"empty and every duplicate would pass")
+    else:
+        fs, hpath = _nd_fs(spark, base)
+        for st in fs.listStatus(hpath(base + "/bands")):
+            name = st.getPath().getName()
+            if name.startswith("band_pfx="):
+                got = len(name) - len("band_pfx=") - 1   # minus sentinel
+                if got != prefix_chars:
+                    raise ValueError(
+                        f"index at {index_path} was written with "
+                        f"prefix_chars={got}, queried with "
+                        f"{prefix_chars} — the partition filter would "
+                        f"be empty and every duplicate would pass")
+                break
     nb = lsh_band_buckets(df, text_col, id_col, num_hashes, band_size,
                           shingle_n, hash_fn) \
         .withColumnRenamed(id_col, "__new_id").localCheckpoint()
@@ -821,10 +947,18 @@ def compact_neardup_index(spark, path: str,
     bands = base + "/bands"
     staged = base + "/bands.compacting"
     stats["bands_files_before"] = _n_parquet_files(bands)
-    salt = F.pmod(F.xxhash64("band"), F.lit(int(files_per_prefix)))
-    (spark.read.parquet(bands)
-     .repartition(F.col("band_pfx"), salt)
-     .write.mode("overwrite").partitionBy("band_pfx").parquet(staged))
+    meta = _nd_read_meta(spark, base)
+    if meta is not None and meta.get("layout") == "flat":
+        # flat layout: band_pfx is a data column, no directories —
+        # compaction is a plain file-count rewrite
+        (spark.read.parquet(bands)
+         .repartition(int(files_per_prefix))
+         .write.mode("overwrite").parquet(staged))
+    else:
+        salt = F.pmod(F.xxhash64("band"), F.lit(int(files_per_prefix)))
+        (spark.read.parquet(bands)
+         .repartition(F.col("band_pfx"), salt)
+         .write.mode("overwrite").partitionBy("band_pfx").parquet(staged))
     _swap(bands, staged)
     stats["bands_files_after"] = _n_parquet_files(bands)
 

@@ -1730,6 +1730,70 @@ def test_compact_neardup_index(spark, tmp_path):
         dedup.compact_neardup_index(spark, path, files_per_prefix=0)
 
 
+def test_neardup_index_flat_layout(spark, tmp_path):
+    """r14 optimization guard: layout='auto' picks the FLAT few-file
+    layout below the size threshold (no band_pfx= directories, a
+    _layout.json at the root), dedup results are identical to the
+    partitioned layout, the prefix_chars mismatch guard still raises
+    off the metadata, appends inherit the flat layout, and compaction
+    rewrites it without inventing partition directories."""
+    import glob
+    import json
+
+    from pypond_spark.datapipe import dedup
+    base_txt = ("the quick brown fox jumps over the lazy dog again and "
+                "again every single day without fail in the morning")
+    # parquet-backed input: "auto" decides off the Catalyst size
+    # estimate, which is real for file sources and Long.MaxValue
+    # (-> conservative partitioned) for createDataFrame frames
+    src = str(tmp_path / "corpus_src")
+    spark.createDataFrame(
+        [(2, base_txt), (4, "completely unrelated corpus text about "
+                            "spark partitions and shuffle boundaries")],
+        "doc_id long, text string").write.parquet(src)
+    corpus = spark.read.parquet(src)
+    new = spark.createDataFrame(
+        [(1, base_txt + " tonight"),
+         (3, "a totally novel document with fresh content nobody has "
+             "ever indexed before in any crawl generation")],
+        "doc_id long, text string")
+    pp = str(tmp_path / "part_idx")
+    fp = str(tmp_path / "flat_idx")
+    dedup.write_neardup_index(corpus, pp)            # partitioned
+    dedup.write_neardup_index(corpus, fp, layout="auto")   # tiny -> flat
+    assert glob.glob(f"{pp}/bands/band_pfx=*")
+    assert not glob.glob(f"{fp}/bands/band_pfx=*")
+    meta = json.load(open(f"{fp}/{dedup._ND_META}"))
+    assert meta["layout"] == "flat" and meta["prefix_chars"] == 2
+    want = sorted(r["doc_id"] for r in dedup.dedup_against_neardup(
+        new, pp, threshold=0.5).collect())
+    got = sorted(r["doc_id"] for r in dedup.dedup_against_neardup(
+        new, fp, threshold=0.5).collect())
+    assert got == want == [3]
+    # the metadata-backed width guard still protects the contract
+    with pytest.raises(ValueError, match="prefix_chars"):
+        dedup.dedup_against_neardup(new, fp, threshold=0.5,
+                                    prefix_chars=3)
+    with pytest.raises(ValueError, match="prefix_chars"):
+        dedup.write_neardup_index(corpus, fp, mode="append",
+                                  prefix_chars=3)
+    # appends inherit the flat layout even when asked for partitioned
+    kept = dedup.dedup_against_neardup(new, fp, threshold=0.5)
+    dedup.write_neardup_index(kept, fp, mode="append")
+    assert not glob.glob(f"{fp}/bands/band_pfx=*")
+    resent = spark.createDataFrame(
+        [(5, "a totally novel document with fresh content nobody has "
+             "ever indexed before in any crawl generation resent")],
+        "doc_id long, text string")
+    assert [r["doc_id"] for r in dedup.dedup_against_neardup(
+        resent, fp, threshold=0.5).collect()] == []
+    stats = dedup.compact_neardup_index(spark, fp, files_per_prefix=1)
+    assert stats["bands_files_after"] == 1
+    assert not glob.glob(f"{fp}/bands/band_pfx=*")
+    assert [r["doc_id"] for r in dedup.dedup_against_neardup(
+        resent, fp, threshold=0.5).collect()] == []
+
+
 def test_take_per_group(spark, docs):
     from pypond_spark.datapipe import sampling
     out = sampling.take_per_group(docs, k=3, group_col="source")
