@@ -1031,21 +1031,33 @@ def repeated_spans(df: DataFrame, k: int = 50,
     inherent size — a suffix array touches every position too); all
     shuffles are on the uniform gram hash or the doc id, never all
     pairs. ``k`` trades recall for volume exactly as in the paper;
-    positions travel as (id, pos, 16-byte hash) rows, never the gram
-    text.
+    positions travel as (id, pos, 8-byte hash) rows, never the gram
+    text — ``xxhash64`` rather than a digest string because the hash
+    is only a fingerprint for cross-doc equality here (r14: the md5
+    HEX form made every exploded row carry a 32-char key, ~4x the
+    shuffle bytes and string group/join comparisons; a 64-bit
+    collision would need ~2^32 grams in one corpus partition-pair and
+    merely widens one span — the oracle's by-text replay pins the
+    outputs at every SF).
     """
     t = F.col(text_col)
     n_pos = F.length(t) - F.lit(k - 1)
     grams = F.transform(
         F.sequence(F.lit(1), n_pos),
         lambda i: F.struct((i - 1).cast("long").alias("pos"),
-                           F.md5(F.substring(t, i, F.lit(k))).alias("h")))
+                           F.xxhash64(F.substring(t, i, F.lit(k)))
+                           .alias("h")))
     g = (spread(df).where(n_pos >= 1)
          .select(F.col(id_col), F.explode(grams).alias("g"))
          .select(id_col, "g.pos", "g.h"))
+    # "appears in >1 DISTINCT doc" as min!=max: one partial-aggregable
+    # pass over the corpus-chars-sized gram table instead of
+    # count_distinct's two-level (h, id) pre-aggregation (r14: the dup
+    # detection was the heaviest phase of the chain)
     dup = (g.groupBy("h")
-           .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-           .where(F.col("__nd") > 1)
+           .agg(F.min(F.col(id_col)).alias("__lo"),
+                F.max(F.col(id_col)).alias("__hi"))
+           .where(F.col("__lo") != F.col("__hi"))
            .select("h"))
     covered = (g.join(dup, "h")
                .select(id_col, F.col("pos").alias("__b"),
