@@ -42,6 +42,23 @@ def get_spark(app_name: str = "pypond_spark",
         # object-store deployments with deeper namespaces.
         .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
                 os.environ.get("SPARK_GRAFT_LISTING_PARALLELISM", "64"))
+        # Spark 4.1 writes + verifies a checksum twin for EVERY checkpoint
+        # file (spark.sql.streaming.checkpoint.fileChecksum.enabled is on
+        # by default): each state-store commit pays a second blocking file
+        # create/write/close (measured: stream-stream join drains 2x
+        # slower; every stateful drain 20-30% slower).  It detects file
+        # corruption, nothing else — results are identical without it.
+        # Off by default here; set SPARK_GRAFT_CHECKPOINT_CHECKSUM=true on
+        # deployments whose checkpoint store warrants it.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+                os.environ.get("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"))
+        # Unload state-store providers of terminated queries promptly: the
+        # maintenance tick (default 60s) is also the unload cadence, so a
+        # burst of short availableNow drains keeps every predecessor's
+        # state maps in heap for up to a minute (measured: the second
+        # drain pass ran 20-50% slower from the accumulation).
+        .config("spark.sql.streaming.stateStore.maintenanceInterval",
+                os.environ.get("SPARK_GRAFT_STATE_MAINTENANCE", "10s"))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
