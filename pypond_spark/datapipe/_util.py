@@ -80,3 +80,87 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def ngram_explode(df: DataFrame, arr: Column, n: int,
+                  keep: list[str] | None = None,
+                  out: str = "gram",
+                  min_one: bool = False,
+                  sep: str = " ",
+                  pos: str | None = None) -> DataFrame:
+    """One output row per ``n``-gram of the array column ``arr``, with
+    the gram string built AFTER the explode so every step runs inside
+    WholeStageCodegen.
+
+    The classic formulation — ``transform(sequence(1, size-n+1),
+    i -> concat_ws(' ', element_at(arr, i), ...))`` then ``explode`` —
+    evaluates the lambda through Catalyst's interpreted expression path
+    once per gram, which measured ~6x the cost of the rest of the chain
+    per corpus pass (sf0.1 trigrams: 1.89s -> 0.29s).  Zipping ``n``
+    shifted slices (``arrays_zip(arr, slice(arr, 2, ..), ...)``),
+    exploding the struct array, and concatenating struct fields row-wise
+    is fully code-generated and emits the IDENTICAL (keep, gram)
+    multiset: arrays_zip null-pads short tails, and tail entries are
+    dropped (strict mode) or kept as the one short shingle (``min_one``
+    mode — ``concat_ws`` skips NULL fields) exactly as the old
+    ``sequence`` bound / ``greatest(count, 1)`` did.
+
+    strict (default): rows whose array has fewer than ``n`` elements
+    emit nothing.  ``min_one=True``: word-shingle semantics — every row
+    emits at least one gram; 0 < size < n emits the joined prefix, an
+    empty (or NULL) array emits one empty-string gram.  ``pos`` (strict
+    mode only) additionally emits the 0-based gram offset.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if pos is not None and min_one:
+        raise ValueError("pos= is only supported in strict mode")
+    keep = list(keep or [])
+    fields = [f"g{i}" for i in range(n)]
+    if n == 1:
+        src = arr
+        if min_one:
+            src = F.when(F.size(arr) > 0, arr) \
+                .otherwise(F.array(F.lit("")))
+        gen = (F.posexplode(src).alias(pos, out) if pos is not None
+               else F.explode(src).alias(out))
+        return df.select(*[F.col(c) for c in keep], gen)
+    slices = [arr.alias(fields[0])] + [
+        F.slice(arr, i + 1, F.greatest(F.size(arr) - i, F.lit(1)))
+        .alias(fields[i]) for i in range(1, n)]
+    z = F.arrays_zip(*slices)
+    if min_one:
+        cnt = F.greatest(F.size(arr) - (n - 1), F.lit(1))
+        empty = F.array(F.struct(*[
+            F.lit(None).cast("string").alias(f) for f in fields]))
+        z = F.when(F.size(arr) > 0, F.slice(z, 1, cnt)).otherwise(empty)
+        base = df.select(*[F.col(c) for c in keep],
+                         F.explode(z).alias("__zg"))
+    else:
+        gen = (F.posexplode(z).alias(pos, "__zg") if pos is not None
+               else F.explode(z).alias("__zg"))
+        base = (df.select(*[F.col(c) for c in keep], gen)
+                .where(F.col(f"__zg.{fields[-1]}").isNotNull()))
+    gram = F.concat_ws(sep, *[F.col(f"__zg.{f}") for f in fields])
+    extra = [F.col(pos)] if pos is not None else []
+    return base.select(*[F.col(c) for c in keep], *extra,
+                       gram.alias(out))
+
+
+def pair_rows(df: DataFrame, arr: Column,
+              keep: list[str] | None = None,
+              left: str = "l", right: str = "r") -> DataFrame:
+    """Adjacent-pair rows ``(keep..., l, r)`` of ``arr`` — the
+    tokenizer-training pair count input, zip-exploded for the same
+    codegen reason as :func:`ngram_explode` (strict: arrays with <2
+    elements emit nothing)."""
+    keep = list(keep or [])
+    z = F.arrays_zip(
+        arr.alias("l"),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(1))).alias("r"))
+    return (df.select(*[F.col(c) for c in keep],
+                      F.explode(z).alias("__zp"))
+            .where(F.col("__zp.r").isNotNull())
+            .select(*[F.col(c) for c in keep],
+                    F.col("__zp.l").alias(left),
+                    F.col("__zp.r").alias(right)))

@@ -55,9 +55,16 @@ def filter_corpus(docs: DataFrame, text_col: str = "text",
         cols.append(textstats.gopher_exprs(
             text_col, **(gopher or {}))[-1])
         flags.append("gopher_pass")
+    rep_cfg = None
     if repetition is not False:
-        cols.append(textstats.repetition_exprs(
-            text_col, **(repetition or {}))[-1])
+        # the repetition fold struct rides a 1:1 Generate
+        # (inline(array(struct)), flat columns) so its O(g log g)
+        # interpreted fold is evaluated once per row; emitting
+        # repetition_pass directly in this projection would inline the
+        # fold per reference (see textstats._repetition_struct)
+        rep_cfg = textstats._rep_params(**(repetition or {}))
+        cols.append(F.inline(F.array(textstats._repetition_struct(
+            text_col, rep_cfg[0]))))
         flags.append("repetition_pass")
     if c4 is not False:
         cols.append(textstats.c4_exprs(text_col, **(c4 or {}))[-1])
@@ -68,6 +75,24 @@ def filter_corpus(docs: DataFrame, text_col: str = "text",
     if dedup:
         cols.append(F.md5(F.col(text_col)).alias("__digest"))
     base = spread(docs).select(*cols)
+    if rep_cfg is not None:
+        ns, dup, top = rep_cfg
+        gen_cols = {c for n in ns for c in (f"f{n}", f"t{n}")}
+        r = F.struct(*[F.col(c).alias(c) for n in ns
+                       for c in (f"f{n}", f"t{n}")])
+        rep_pass = textstats._repetition_cols(r, ns, dup, top)[-1]
+        # repetition_pass lands exactly where the inlined fold columns
+        # sat, preserving the output column order of the old
+        # single-projection form
+        out_cols, inserted = [], False
+        for c in base.columns:
+            if c in gen_cols:
+                if not inserted:
+                    out_cols.append(rep_pass)
+                    inserted = True
+            else:
+                out_cols.append(F.col(c))
+        base = base.select(*out_cols)
 
     if dedup:
         keep = F.min(id_col).over(Window.partitionBy("__digest"))

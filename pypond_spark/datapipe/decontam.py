@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pypond_spark.datapipe._util import spread
+from pypond_spark.datapipe._util import ngram_explode, spread
 from pypond_spark.datapipe.dedup import word_shingles
 
 
@@ -178,20 +178,10 @@ def longest_match(docs: DataFrame, bench: DataFrame, k: int = 5,
     def grams(df, tcol, icol, pos_name, out_id):
         toks = F.filter(F.split(F.trim(F.col(tcol)), r"\s+"),
                         lambda t: t != F.lit(""))
-        g = F.when(
-            F.size(toks) >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - k),
-                lambda i: F.struct(
-                    i.alias("p"),
-                    F.concat_ws(" ", F.slice(toks, i + 1, k))
-                    .alias("g")))) \
-            .otherwise(F.array().cast(
-                "array<struct<p:int,g:string>>"))
-        return (df.select(F.col(icol).alias(out_id),
-                          F.explode(g).alias("u"))
-                .select(out_id, F.col("u.p").alias(pos_name),
-                        F.col("u.g").alias("g")))
+        return ngram_explode(df.select(F.col(icol).alias(out_id),
+                                       F.col(tcol)),
+                             toks, k, keep=[out_id], out="g",
+                             pos=pos_name)
 
     dg = grams(docs, text_col, id_col, "i", "__doc")
     bg = grams(bench, bench_text_col, bench_id_col, "j", "__item")

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pypond_spark.datapipe._util import spread
+from pypond_spark.datapipe._util import ngram_explode, pair_rows, spread
 
 
 # simhash token cap per document: bounds skew and guarantees the lane-packed
@@ -35,13 +35,12 @@ def _tokens(text_col: str) -> F.Column:
 
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
                   id_col: str = "doc_id") -> DataFrame:
-    """One row per n-word shingle: (id, shingle)."""
-    toks = _tokens(text_col)
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return spread(df).select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    """One row per n-word shingle: (id, shingle).  Zip-exploded
+    (:func:`~pypond_spark.datapipe._util.ngram_explode`, ``min_one`` —
+    every doc emits at least one shingle, short docs the joined
+    prefix): identical rows, fully code-generated."""
+    return ngram_explode(spread(df), _tokens(text_col), n,
+                         keep=[id_col], out="shingle", min_one=True)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -1042,14 +1041,16 @@ def repeated_spans(df: DataFrame, k: int = 50,
     """
     t = F.col(text_col)
     n_pos = F.length(t) - F.lit(k - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), n_pos),
-        lambda i: F.struct((i - 1).cast("long").alias("pos"),
-                           F.xxhash64(F.substring(t, i, F.lit(k)))
-                           .alias("h")))
+    # positions explode as rows and the k-char window hashes row-wise in
+    # generated code (posexplode over the position range), instead of an
+    # interpreted per-element transform over corpus-CHARS-many positions
     g = (spread(df).where(n_pos >= 1)
-         .select(F.col(id_col), F.explode(grams).alias("g"))
-         .select(id_col, "g.pos", "g.h"))
+         .select(F.col(id_col), t.alias("__t"),
+                 F.explode(F.sequence(F.lit(1), n_pos)).alias("__i"))
+         .select(id_col,
+                 (F.col("__i") - 1).cast("long").alias("pos"),
+                 F.xxhash64(F.col("__t").substr(F.col("__i"), F.lit(k)))
+                 .alias("h")))
     # "appears in >1 DISTINCT doc" as min!=max: one partial-aggregable
     # pass over the corpus-chars-sized gram table instead of
     # count_distinct's two-level (h, id) pre-aggregation (r14: the dup

@@ -253,16 +253,14 @@ def dsir_weights(raw: DataFrame, target: DataFrame, n_buckets: int = 4096,
 
     Output: ``id_col, n_grams, log_weight`` (raw docs with >=1 token).
     """
-    from pypond_spark.datapipe.textstats import gram_bucket, hashed_grams
-
-    def grams() -> Column:
-        return hashed_grams(text_col)
+    from pypond_spark.datapipe.textstats import (gram_bucket,
+                                                 hashed_gram_rows)
 
     def bucket(g: Column) -> Column:
         return gram_bucket(g, n_buckets)
 
     def bucket_counts(df: DataFrame, out: str) -> DataFrame:
-        return (spread(df).select(F.explode(grams()).alias("__g"))
+        return (hashed_gram_rows(spread(df), text_col)
                 .select(bucket(F.col("__g")).alias("__b"))
                 .groupBy("__b").agg(F.count("*").alias(out)))
 
@@ -279,8 +277,7 @@ def dsir_weights(raw: DataFrame, target: DataFrame, n_buckets: int = 4096,
     ratio = (rcounts.join(tcounts, "__b", "left")
              .select("__b", F.round(lr * F.lit(1e6)).cast("long")
                      .alias("__lr_micro")))
-    scored = (spread(raw)
-              .select(F.col(id_col), F.explode(grams()).alias("__g"))
+    scored = (hashed_gram_rows(spread(raw), text_col, keep=[id_col])
               .select(F.col(id_col), bucket(F.col("__g")).alias("__b"))
               .join(F.broadcast(ratio), "__b"))
     return (scored.groupBy(id_col)

@@ -12,7 +12,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pypond_spark.datapipe._util import spread
+from pypond_spark.datapipe._util import ngram_explode, spread
 
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
@@ -51,7 +51,9 @@ def hashed_grams(text_col: str = "text") -> Column:
     """Unigram + bigram bag over normalized tokens — the hashed-n-gram
     feature set shared by :func:`pypond_spark.datapipe.sampling.dsir_weights`
     and :func:`nb_quality_classifier` (the DSIR paper's generative-model
-    features, Xie et al. 2023 §3)."""
+    features, Xie et al. 2023 §3).  Array-valued form; corpus-scale
+    consumers explode :func:`hashed_gram_rows` instead (same bag, fully
+    code-generated)."""
     arr = F.filter(_match_tokens(text_col), lambda t: t != F.lit(""))
     n = F.size(arr)
     bigrams = F.when(n >= 2, F.transform(
@@ -60,6 +62,20 @@ def hashed_grams(text_col: str = "text") -> Column:
                               F.element_at(arr, i + 1)))) \
         .otherwise(F.array().cast("array<string>"))
     return F.concat(arr, bigrams)
+
+
+def hashed_gram_rows(df: DataFrame, text_col: str = "text",
+                     keep: list[str] | None = None,
+                     out: str = "__g") -> DataFrame:
+    """Row-level twin of ``explode(hashed_grams(...))``: unigram rows
+    unioned with zip-exploded bigram rows — the identical (keep, gram)
+    multiset without the interpreted per-element transform (see
+    :func:`~pypond_spark.datapipe._util.ngram_explode`)."""
+    keep = list(keep or [])
+    arr = F.filter(_match_tokens(text_col), lambda t: t != F.lit(""))
+    uni = df.select(*[F.col(c) for c in keep], F.explode(arr).alias(out))
+    return uni.unionByName(
+        ngram_explode(df, arr, 2, keep=keep, out=out))
 
 
 def gram_bucket(g: Column, n_buckets: int) -> Column:
@@ -518,6 +534,31 @@ def char_ngram_buckets(text_col: str = "text", n: int = 3,
     return F.transform(grams, lambda g: gram_bucket(g, n_buckets))
 
 
+def char_ngram_bucket_rows(df: DataFrame, text_col: str, n: int,
+                           n_buckets: int,
+                           keep: list[str] | None = None,
+                           out: str = "__b") -> DataFrame:
+    """Row-level twin of ``explode(char_ngram_buckets(...))``: explode
+    gram POSITIONS and substring+md5-bucket each gram row-wise in
+    generated code, instead of bucketing every position through an
+    interpreted per-element ``transform`` lambda.  Identical
+    (keep, bucket) multiset; docs shorter than ``n`` chars emit
+    nothing, as before."""
+    keep = list(keep or [])
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                            r"\s+", " ")
+    return (df.select(*[F.col(c) for c in keep], norm.alias("__norm"))
+            .where(F.length("__norm") >= n)
+            .select(*[F.col(c) for c in keep], F.col("__norm"),
+                    F.explode(F.sequence(
+                        F.lit(1), F.length("__norm") - (n - 1)))
+                    .alias("__i"))
+            .select(*[F.col(c) for c in keep],
+                    gram_bucket(F.col("__norm").substr(F.col("__i"),
+                                                       F.lit(n)),
+                                n_buckets).alias(out)))
+
+
 def langid_ngram(train: DataFrame, corpus: DataFrame,
                  label_col: str = "lang", text_col: str = "text",
                  id_col: str = "doc_id", n: int = 3,
@@ -567,10 +608,10 @@ def langid_ngram(train: DataFrame, corpus: DataFrame,
                          f"({label_col} all NULL or frame empty)")
     labels = sorted(dl)
     d_tot = sum(dl.values())
-    counts = (train
-              .select(F.col(label_col).alias("__l"),
-                      F.explode(char_ngram_buckets(text_col, n, n_buckets))
-                      .alias("__b"))
+    counts = (char_ngram_bucket_rows(
+                  train.select(F.col(label_col).alias("__l"),
+                               F.col(text_col)),
+                  text_col, n, n_buckets, keep=["__l"])
               .groupBy("__l", "__b").agg(F.count("*").alias("__c"))
               .localCheckpoint())
     n_l = {r["__l"]: r["t"] for r in
@@ -589,10 +630,8 @@ def langid_ngram(train: DataFrame, corpus: DataFrame,
                      F.round(F.log((F.coalesce(F.col("__c"), F.lit(0))
                                     + F.lit(s)) / F.col("__denom"))
                              * 1e6).cast("long").alias("__ll")))
-    scored = (spread(corpus)
-              .select(F.col(id_col),
-                      F.explode(char_ngram_buckets(text_col, n, n_buckets))
-                      .alias("__b"))
+    scored = (char_ngram_bucket_rows(spread(corpus), text_col, n,
+                                     n_buckets, keep=[id_col])
               .join(F.broadcast(dense), "__b"))
     per = (scored.groupBy(id_col, "__l")
            .agg(F.count("*").alias("__n"),
@@ -830,21 +869,28 @@ def _gram_fold(grams: Column) -> Column:
         lambda acc: F.struct(acc.best.alias("best"), acc.dist.alias("dist")))
 
 
-def repetition_exprs(text_col: str = "text", *,
-                     ns: tuple = (2, 3),
-                     max_dup_frac: dict | None = None,
-                     max_top_frac: dict | None = None) -> list[Column]:
-    """Column expressions for the repetition signals (shared by
-    :func:`repetition_stats` and :func:`corpus.filter_corpus`). Returns
-    per-n dup/top fraction columns ending with ``repetition_pass``.
-    """
+def _rep_params(ns: tuple = (2, 3),
+                max_dup_frac: dict | None = None,
+                max_top_frac: dict | None = None):
     dup_default = {2: 0.20, 3: 0.18, 4: 0.16}
     top_default = {2: 0.20, 3: 0.18, 4: 0.16}
-    max_dup_frac = {**dup_default, **(max_dup_frac or {})}
-    max_top_frac = {**top_default, **(max_top_frac or {})}
+    return (tuple(ns), {**dup_default, **(max_dup_frac or {})},
+            {**top_default, **(max_top_frac or {})})
+
+
+def _repetition_struct(text_col: str, ns: tuple) -> Column:
+    """ONE struct holding, per n, the gram fold (``f{n}``: best run +
+    distinct count) and the gram count (``t{n}``).  Consumers that emit
+    several metric columns run this through a 1:1 Generate boundary —
+    ``inline(array(struct))``, which emits the fields as TOP-LEVEL
+    columns — so each O(g log g) interpreted fold is evaluated once per
+    row instead of once per referencing metric column (measured:
+    repetition_stats 6.4s -> 1.8s at sf0.1).  ``explode`` of the struct
+    does NOT work here: GeneratorNestedColumnAliasing pushes the field
+    extractions back into the generator child, re-duplicating the fold
+    (measured 13s); inline's flat output leaves nothing to alias."""
     toks = _tokens(text_col)
-    cols = []
-    pass_expr = F.lit(True)
+    fields = []
     for n in ns:
         count = F.size(toks) - (n - 1)
         # sequence(1, 0) is DESCENDING [1, 0], not empty — guard short docs
@@ -854,14 +900,29 @@ def repetition_exprs(text_col: str = "text", *,
         # F.transform, so n must be captured by closure (evaluated eagerly).
         grams = F.transform(
             idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))))
-        fold = _gram_fold(grams)
-        total = F.size(grams)
+        fields.append(_gram_fold(grams).alias(f"f{n}"))
+        # gram count == size(idx): count when positive, else 0 — no
+        # second gram build just to measure its length
+        fields.append(F.when(count > 0, count).otherwise(F.lit(0))
+                      .alias(f"t{n}"))
+    return F.struct(*fields)
+
+
+def _repetition_cols(r: Column, ns: tuple, max_dup_frac: dict,
+                     max_top_frac: dict) -> list[Column]:
+    """The public metric columns from a :func:`_repetition_struct`
+    value: per-n dup/top fractions ending with ``repetition_pass``
+    (identical formulas to the pre-r14 single-projection form)."""
+    cols = []
+    pass_expr = F.lit(True)
+    for n in ns:
+        fold, total = r[f"f{n}"], r[f"t{n}"]
         dup_frac = F.when(
             total > 0,
-            F.lit(1.0) - fold.dist.cast("double") / total).otherwise(0.0)
+            F.lit(1.0) - fold["dist"].cast("double") / total).otherwise(0.0)
         top_frac = F.when(
             total > 0,
-            fold.best.cast("double") / total).otherwise(0.0)
+            fold["best"].cast("double") / total).otherwise(0.0)
         cols.append(F.round(dup_frac, 6).alias(f"dup_{n}gram_frac"))
         cols.append(F.round(top_frac, 6).alias(f"top_{n}gram_frac"))
         pass_expr = (pass_expr
@@ -869,6 +930,25 @@ def repetition_exprs(text_col: str = "text", *,
                      & (top_frac <= max_top_frac.get(n, 1.0)))
     cols.append(pass_expr.alias("repetition_pass"))
     return cols
+
+
+def repetition_exprs(text_col: str = "text", *,
+                     ns: tuple = (2, 3),
+                     max_dup_frac: dict | None = None,
+                     max_top_frac: dict | None = None) -> list[Column]:
+    """Column expressions for the repetition signals. Returns per-n
+    dup/top fraction columns ending with ``repetition_pass``.
+
+    NOTE: as plain columns in one projection, Catalyst inlines the
+    per-n gram fold into EVERY referencing column (the struct fields
+    cannot be shared inside a single Project) — fine for small frames.
+    Corpus-scale consumers (:func:`repetition_stats`,
+    :func:`corpus.filter_corpus`) extract the same formulas from
+    :func:`_repetition_struct` behind a Generate boundary so the fold
+    runs once per row.
+    """
+    ns, dup, top = _rep_params(ns, max_dup_frac, max_top_frac)
+    return _repetition_cols(_repetition_struct(text_col, ns), ns, dup, top)
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
@@ -884,15 +964,21 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     4-gram 0.16; top likewise), applied to gram-count fractions rather
     than the paper's character fractions.
 
-    Scale note: everything stays inside one projection — the fold in
-    `_gram_fold` is O(g log g) per document in the document's own gram
-    count, so cost is bounded by row width, never corpus size. Catalyst
-    does not CSE the gram-array subexpression across the per-n metric
-    pairs; each n recomputes its grams a constant number of times
-    (acceptable: grams are cheap transforms over the token array).
+    Scale note: everything stays scan-level (projection + a 1:1
+    Generate) — the fold in `_gram_fold` is O(g log g) per document in
+    the document's own gram count, so cost is bounded by row width,
+    never corpus size.  The fold struct is computed once per (row, n)
+    behind the Generate boundary (see :func:`_repetition_struct`);
+    emitting it as plain projection columns re-evaluated it per metric
+    column, ~10x (r14).
     """
-    return spread(df).select(F.col(id_col),
-                             *repetition_exprs(text_col, **kwargs))
+    ns, dup, top = _rep_params(**kwargs)
+    base = spread(df).select(
+        F.col(id_col),
+        F.inline(F.array(_repetition_struct(text_col, ns))))
+    r = F.struct(*[F.col(c).alias(c) for n in ns
+                   for c in (f"f{n}", f"t{n}")])
+    return base.select(F.col(id_col), *_repetition_cols(r, ns, dup, top))
 
 
 def unigram_logprob(df: DataFrame, text_col: str = "text",
@@ -980,14 +1066,8 @@ def ngram_top(df: DataFrame, n: int = 2, k: int = 20,
     (``TakeOrderedAndProject``) — no global sort, no second shuffle. Ties
     break by gram text ascending, so the result is fully deterministic.
     """
-    toks = _match_tokens(text_col)
-    count = F.size(toks) - (n - 1)
-    idx = F.when(count > 0, F.sequence(F.lit(1), count)) \
-        .otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))))
-    return (spread(df)
-            .select(F.explode(grams).alias("gram"))
+    return (ngram_explode(spread(df), _match_tokens(text_col), n,
+                          keep=[], out="gram")
             .where(F.col("gram") != "")
             .groupBy("gram").agg(F.count("*").alias("n_gram"))
             .orderBy(F.desc("n_gram"), F.asc("gram"))
@@ -1054,28 +1134,18 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     """
     arr = _match_tokens(text_col)
     arr = F.filter(arr, lambda t: t != F.lit(""))
-    n = F.size(arr)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(arr, i),
-                              F.element_at(arr, i + 1)))
-    bg = (spread(df).where(n >= 2)
-          .select(F.col(id_col), F.explode(bigrams).alias("bg")))
-    # training pass: tag each exploded element as bigram (k=1) or token
-    # (k=0) so one explode + one groupBy yields both count tables; docs
-    # with <2 tokens contribute an empty bigram slice (sequence(1, n-1)
-    # would count DOWN for n<2, so guard with `when`) but still ship
-    # their tokens for the vocabulary
-    tagged = (spread(df).select(F.explode(F.concat(
-        F.when(n >= 2, F.transform(
-            bigrams,
-            lambda g: F.struct(F.lit(1).alias("k"), g.alias("g"))))
-         .otherwise(F.array().cast("array<struct<k:int,g:string>>")),
-        F.transform(
-            arr,
-            lambda t: F.struct(F.lit(0).alias("k"), t.alias("g")))))
-        .alias("x"))
-        .select("x.k", "x.g"))
+    bg = ngram_explode(spread(df), arr, 2, keep=[id_col], out="bg")
+    # training pass: bigram rows (k=1) unioned with token rows (k=0) so
+    # ONE groupBy still yields both count tables; two codegen explodes
+    # over the scan replace the old tagged interpreted-transform explode
+    # (the scan is the cheap part — the per-element lambdas were not;
+    # see _util.ngram_explode).  Docs with <2 tokens emit no bigrams but
+    # still ship their tokens for the vocabulary, as before.
+    tagged = (ngram_explode(spread(df), arr, 2, keep=[], out="g")
+              .select(F.lit(1).alias("k"), "g")
+              .unionByName(spread(df)
+                           .select(F.explode(arr).alias("g"))
+                           .select(F.lit(0).alias("k"), "g")))
     kcounts = (tagged.groupBy("k", "g")
                .agg(F.count("*").alias("__cb"))
                .localCheckpoint())  # vocab + vocab^2 bounded, reused 3x
@@ -1108,14 +1178,9 @@ def _kn3_trigrams(frame: DataFrame, text_col: str,
     tokenization both KN operators (and their oracles) mirror; docs
     with <3 tokens are absent."""
     arr = F.filter(_match_tokens(text_col), lambda t: t != F.lit(""))
-    n = F.size(arr)
-    trigrams = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(" ", F.element_at(arr, i),
-                              F.element_at(arr, i + 1),
-                              F.element_at(arr, i + 2)))
-    return (spread(frame).where(n >= 3)
-            .select(F.col(id_col), F.explode(trigrams).alias("tg")))
+    # zip-explode (see _util.ngram_explode): docs with <3 tokens emit no
+    # grams, exactly like the old sequence(1, n-2) bound under where(n>=3)
+    return ngram_explode(spread(frame), arr, 3, keep=[id_col], out="tg")
 
 
 def _kn3_stats(tg: DataFrame, min_count: int = 1):
@@ -1457,8 +1522,7 @@ def nb_quality_classifier(train: DataFrame, corpus: DataFrame,
         raise ValueError(
             f"nb_quality_classifier: both classes must be non-empty in "
             f"train (positive={dp}, negative={dn})")
-    counts = (t.select("__pos", F.explode(hashed_grams(text_col))
-                       .alias("__g"))
+    counts = (hashed_gram_rows(t, text_col, keep=["__pos"])
               .select("__pos", gram_bucket(F.col("__g"), n_buckets)
                       .alias("__b"))
               .groupBy("__b")
@@ -1477,9 +1541,7 @@ def nb_quality_classifier(train: DataFrame, corpus: DataFrame,
     prior_micro = int(round(math.log((dp + s) / (dn + s)) * 1e6))
     unseen_micro = int(round((math.log(s / denom_p)
                               - math.log(s / denom_n)) * 1e6))
-    scored = (spread(corpus)
-              .select(F.col(id_col), F.explode(hashed_grams(text_col))
-                      .alias("__g"))
+    scored = (hashed_gram_rows(spread(corpus), text_col, keep=[id_col])
               .select(F.col(id_col), gram_bucket(F.col("__g"), n_buckets)
                       .alias("__b"))
               .join(F.broadcast(ratio), "__b", "left"))
@@ -1703,15 +1765,7 @@ def rouge_pairs(df: DataFrame, pairs: DataFrame | None = None,
         pairs = _dedup.lsh_candidate_pairs(df, text_col, id_col,
                                            **lsh_kwargs)
     toks = F.filter(_match_tokens(text_col), lambda t: t != F.lit(""))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
-                                         for j in range(n)]))) \
-        .otherwise(F.array().cast("array<string>"))
-    gc = (spread(df)
-          .select(F.col(id_col), F.explode(grams).alias("__g"))
+    gc = (ngram_explode(spread(df), toks, n, keep=[id_col], out="__g")
           .groupBy(id_col, "__g").agg(F.count("*").alias("__c")))
     tot = gc.groupBy(id_col).agg(F.sum("__c").alias("__t"))
     ga = gc.select(F.col(id_col).alias("id_a"), "__g",

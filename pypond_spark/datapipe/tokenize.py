@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pypond_spark.datapipe._util import spread
+from pypond_spark.datapipe._util import ngram_explode, pair_rows, spread
 
 SEP = "\x1f"
 
@@ -86,31 +86,36 @@ def bpe_train(df: DataFrame, n_merges: int = 8,
     (ties: lexicographic (left, right) — deterministic across engines),
     rewrite the corpus with that merge.
 
+    Runs on the DISTINCT space-separated-segment frame weighted by
+    corpus frequency (the classic word-frequency formulation — see the
+    in-body note for why the counts are identical to the corpus form).
     Each iteration is one pair-count shuffle (map-side combinable,
     state bounded by the pair vocabulary) + an O(1) driver argmax +
-    a scan-level rewrite pinned with ``localCheckpoint`` so plans stay
+    a vocab-level rewrite pinned with ``localCheckpoint`` so plans stay
     flat.  Returns ``[(left, right, pair_count), ...]`` in rank order.
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
-    cur = (spread(df).select(symbolize(text_col).alias("s"))
-           .localCheckpoint())
+    # Sennrich's word-frequency formulation: the pair filter below strips
+    # exactly the space-adjacent pairs (trim() removes 0x20), so no
+    # counted pair — and hence no merged symbol — ever spans or contains
+    # a space.  Counting adjacent pairs inside DISTINCT space-separated
+    # segments, weighted by segment frequency, therefore yields the
+    # IDENTICAL per-rank (pair, count) table (the oracle replays the
+    # corpus form and hash-matches), while every iteration runs over the
+    # segment VOCABULARY instead of the corpus.
+    words = (spread(df)
+             .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+             .where(F.col("w") != "")
+             .groupBy("w").agg(F.count("*").alias("wc")))
+    cur = words.select(symbolize("w").alias("s"), "wc").localCheckpoint()
     out: list[tuple[str, str, int]] = []
     for _ in range(int(n_merges)):
         arr = F.filter(F.split(F.col("s"), SEP), lambda t: t != F.lit(""))
-        # sequence(1, 0) counts DOWN ([1, 0]) — guard docs with <2 symbols
-        idx = F.when(F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)) \
-            .otherwise(F.array().cast("array<int>"))
-        pair = (cur.select(arr.alias("a"), idx.alias("ks"))
-                .select(F.explode(F.transform(
-                    F.col("ks"),
-                    lambda k: F.struct(
-                        F.element_at(F.col("a"), k).alias("l"),
-                        F.element_at(F.col("a"), k + 1).alias("r"))))
-                    .alias("p"))
-                .select("p.l", "p.r")
+        pair = (pair_rows(cur.select(arr.alias("a"), "wc"), F.col("a"),
+                          keep=["wc"])
                 .where((F.trim("l") != "") & (F.trim("r") != ""))
-                .groupBy("l", "r").agg(F.count("*").alias("c"))
+                .groupBy("l", "r").agg(F.sum("wc").alias("c"))
                 .orderBy(F.desc("c"), "l", "r").limit(1).collect())
         if not pair:
             break
@@ -118,7 +123,7 @@ def bpe_train(df: DataFrame, n_merges: int = 8,
         out.append((l, r, int(c)))
         pat, rep = _merge_pat(l, r)
         cur = cur.select(F.replace("s", F.lit(pat), F.lit(rep))
-                         .alias("s")).localCheckpoint()
+                         .alias("s"), "wc").localCheckpoint()
     return out
 
 
@@ -260,17 +265,9 @@ def bpe_bytes_train(df: DataFrame, n_merges: int = 8,
     out: list[tuple[str, str, int]] = []
     for _ in range(int(n_merges)):
         arr = F.filter(F.split(F.col("s"), SEP), lambda t: t != F.lit(""))
-        idx = F.when(F.size(arr) >= 2,
-                     F.sequence(F.lit(1), F.size(arr) - 1)) \
-            .otherwise(F.array().cast("array<int>"))
-        pair = (cur.select(arr.alias("a"), idx.alias("ks"), "wc")
-                .select(F.col("wc"), F.explode(F.transform(
-                    F.col("ks"),
-                    lambda k: F.struct(
-                        F.element_at(F.col("a"), k).alias("l"),
-                        F.element_at(F.col("a"), k + 1).alias("r"))))
-                    .alias("p"))
-                .groupBy("p.l", "p.r").agg(F.sum("wc").alias("c"))
+        pair = (pair_rows(cur.select(arr.alias("a"), "wc"), F.col("a"),
+                          keep=["wc"])
+                .groupBy("l", "r").agg(F.sum("wc").alias("c"))
                 .orderBy(F.desc("c"), "l", "r").limit(1).collect())
         if not pair:
             break
@@ -659,24 +656,16 @@ def wordpiece_train(df: DataFrame, n_merges: int = 8,
     cur = words.select(F.concat(first, rest).alias("s"),
                        "wc").localCheckpoint()
     out: list[tuple] = []
-    empty_pairs = "array<struct<k:int,l:string,r:string>>"
     for _ in range(int(n_merges)):
         arr = F.filter(F.split(F.col("s"), SEP),
                        lambda t: t != F.lit(""))
-        ks = F.when(F.size(arr) >= 2,
-                    F.sequence(F.lit(1), F.size(arr) - 1)) \
-            .otherwise(F.array().cast("array<int>"))
-        tagged = (cur.select("wc", arr.alias("a"), ks.alias("ks"))
-                  .select("wc", F.explode(F.concat(
-                      F.transform(F.col("ks"), lambda k: F.struct(
-                          F.lit(1).alias("k"),
-                          F.element_at(F.col("a"), k).alias("l"),
-                          F.element_at(F.col("a"), k + 1).alias("r")))
-                      .cast(empty_pairs),
-                      F.transform(F.col("a"), lambda t: F.struct(
-                          F.lit(0).alias("k"), t.alias("l"),
-                          F.lit("").alias("r"))))).alias("x"))
-                  .select("wc", "x.k", "x.l", "x.r"))
+        sym = cur.select("wc", arr.alias("a"))
+        tagged = (pair_rows(sym, F.col("a"), keep=["wc"])
+                  .select("wc", F.lit(1).alias("k"), "l", "r")
+                  .unionByName(
+                      sym.select("wc", F.explode("a").alias("l"))
+                      .select("wc", F.lit(0).alias("k"), "l",
+                              F.lit("").alias("r"))))
         cnt = (tagged.groupBy("k", "l", "r")
                .agg(F.sum("wc").alias("c")).localCheckpoint())
         units = cnt.where(F.col("k") == 0) \
