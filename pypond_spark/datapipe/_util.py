@@ -147,6 +147,21 @@ def ngram_explode(df: DataFrame, arr: Column, n: int,
                        gram.alias(out))
 
 
+def overlap(*thunks):
+    """Run independent driver-coordinated actions CONCURRENTLY (guide
+    §2.6 "overlap independent jobs"): Spark's scheduler happily runs
+    several jobs at once inside one application — actions are only
+    sequential because driver code calls them sequentially.  Two
+    independent corpus passes (e.g. a scalar stats aggregate and a
+    count-table build) back-fill each other's stragglers instead of
+    running back to back.  Returns the thunk results in order; the
+    first raising thunk's exception propagates."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def pair_rows(df: DataFrame, arr: Column,
               keep: list[str] | None = None,
               left: str = "l", right: str = "r") -> DataFrame:

@@ -51,7 +51,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ._util import spread
+from ._util import overlap, spread
 from .textstats import _match_tokens
 
 __all__ = ["bm25_topk", "hard_negatives_bm25", "decontam_retrieval"]
@@ -84,14 +84,6 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
         doc_cols.append(F.col(exclude_label[0]).alias("__dlabel"))
     base = docs.select(*doc_cols)
 
-    # corpus-global scalars: one scan-level aggregate (exact-integer
-    # token total, so avgdl is the correctly-rounded rational)
-    n_docs, total_toks = base.agg(
-        F.count("*"), F.sum(F.size("__toks"))).first()
-    if not n_docs:
-        raise ValueError("bm25_topk over an empty corpus")
-    avgdl = (total_toks or 0) / n_docs
-
     q_cols = [F.col(qid_col),
               F.explode(F.array_distinct(_tok_arr(query_col)))
               .alias("__term")]
@@ -111,10 +103,21 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
         tf_aggs.append(F.first("__dlabel").alias("__dlabel"))
     posts = (base.select(*post_cols)
              .join(F.broadcast(vocab), "__term"))
-    tf = (posts.repartition(F.col(id_col))
-          .groupBy(id_col, "__term")
-          .agg(*tf_aggs)
-          .localCheckpoint())
+
+    # the corpus-global scalar pass (exact-integer token total, so
+    # avgdl is the correctly-rounded rational) and the tf build are
+    # independent corpus passes — run them concurrently (guide §2.6)
+    (scal_row,), tf = overlap(
+        lambda: base.agg(F.count("*"),
+                         F.sum(F.size("__toks"))).collect(),
+        lambda: (posts.repartition(F.col(id_col))
+                 .groupBy(id_col, "__term")
+                 .agg(*tf_aggs)
+                 .localCheckpoint()))
+    n_docs, total_toks = scal_row
+    if not n_docs:
+        raise ValueError("bm25_topk over an empty corpus")
+    avgdl = (total_toks or 0) / n_docs
 
     # vocab-sized driver round trip -> literal idf map (glibc log on
     # the driver; the oracle's ln is the same libm)

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pypond_spark.datapipe._util import global_prefix_sums, spread
+from pypond_spark.datapipe._util import global_prefix_sums, overlap, spread
 
 _HASH_DENOM = 4294967296.0  # 2^32; first 8 md5 hex chars -> uniform [0,1)
 
@@ -264,8 +264,11 @@ def dsir_weights(raw: DataFrame, target: DataFrame, n_buckets: int = 4096,
                 .select(bucket(F.col("__g")).alias("__b"))
                 .groupBy("__b").agg(F.count("*").alias(out)))
 
-    tcounts = bucket_counts(target, "__ct").localCheckpoint()
-    rcounts = bucket_counts(raw, "__cr").localCheckpoint()
+    # the two "training" passes are independent corpus scans — run them
+    # concurrently (guide §2.6 overlap)
+    tcounts, rcounts = overlap(
+        lambda: bucket_counts(target, "__ct").localCheckpoint(),
+        lambda: bucket_counts(raw, "__cr").localCheckpoint())
     n_t = tcounts.agg(F.sum("__ct")).first()[0] or 0
     n_r = rcounts.agg(F.sum("__cr")).first()[0] or 0
     s = float(smoothing)

@@ -12,7 +12,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pypond_spark.datapipe._util import ngram_explode, spread
+from pypond_spark.datapipe._util import ngram_explode, overlap, spread
 
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
@@ -600,20 +600,23 @@ def langid_ngram(train: DataFrame, corpus: DataFrame,
     # (a None in the label set would crash sorted() and silently train
     # a ghost class — r10 review finding)
     train = spread(train).where(F.col(label_col).isNotNull())
-    dl = {r["l"]: r["c"] for r in
-          train.groupBy(F.col(label_col).alias("l"))
-          .agg(F.count("*").alias("c")).collect()}
+    # per-label doc priors and the gram-count table are independent
+    # training passes — run them concurrently (guide §2.6)
+    dl_rows, counts = overlap(
+        lambda: train.groupBy(F.col(label_col).alias("l"))
+        .agg(F.count("*").alias("c")).collect(),
+        lambda: (char_ngram_bucket_rows(
+                     train.select(F.col(label_col).alias("__l"),
+                                  F.col(text_col)),
+                     text_col, n, n_buckets, keep=["__l"])
+                 .groupBy("__l", "__b").agg(F.count("*").alias("__c"))
+                 .localCheckpoint()))
+    dl = {r["l"]: r["c"] for r in dl_rows}
     if not dl:
         raise ValueError("langid_ngram: no labeled training rows "
                          f"({label_col} all NULL or frame empty)")
     labels = sorted(dl)
     d_tot = sum(dl.values())
-    counts = (char_ngram_bucket_rows(
-                  train.select(F.col(label_col).alias("__l"),
-                               F.col(text_col)),
-                  text_col, n, n_buckets, keep=["__l"])
-              .groupBy("__l", "__b").agg(F.count("*").alias("__c"))
-              .localCheckpoint())
     n_l = {r["__l"]: r["t"] for r in
            counts.groupBy("__l").agg(F.sum("__c").alias("t")).collect()}
     lab_df = spark.createDataFrame(
@@ -1330,16 +1333,19 @@ def kn3_score(df: DataFrame, train_df: DataFrame,
     dd = float(discount)
 
     tg_train = _kn3_trigrams(train_df, text_col, id_col)
-    c3, ctx12, mid, mid2, end3, ntypes, n_end = _kn3_stats(tg_train,
-                                                           min_count)
+    # the KN stat build and the vocabulary count are independent passes
+    # over the training corpus — run them concurrently (guide §2.6)
+    stats, vocab = overlap(
+        lambda: _kn3_stats(tg_train, min_count),
+        lambda: (spread(train_df)
+                 .select(F.explode(F.filter(_match_tokens(text_col),
+                                            lambda t: t != F.lit("")))
+                         .alias("t"))
+                 .agg(F.countDistinct("t")).collect()[0][0]))
+    c3, ctx12, mid, mid2, end3, ntypes, n_end = stats
     if ntypes == 0:
         raise ValueError("train_df yields no trigrams (need docs with "
                          ">= 3 tokens)")
-    vocab = (spread(train_df)
-             .select(F.explode(F.filter(_match_tokens(text_col),
-                                        lambda t: t != F.lit("")))
-                     .alias("t"))
-             .agg(F.countDistinct("t")).collect()[0][0])
     # continuation unigram with OOV mass: discounted seen types +
     # uniform interpolation over V+1 — identical shape in the oracle
     pc = (F.greatest(F.coalesce(F.col("__nend3"), F.lit(0))
@@ -1514,21 +1520,27 @@ def nb_quality_classifier(train: DataFrame, corpus: DataFrame,
 
     pos = positive if isinstance(positive, Column) else F.expr(positive)
     t = spread(train).withColumn("__pos", pos.cast("boolean"))
-    row = t.agg(
-        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("dp"),
-        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("dn")).first()
+    # class sizes and the bucket-count table are independent training
+    # passes — run them concurrently (guide §2.6)
+    row, counts = overlap(
+        lambda: t.agg(
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("dp"),
+            F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("dn"))
+        .first(),
+        lambda: (hashed_gram_rows(t, text_col, keep=["__pos"])
+                 .select("__pos", gram_bucket(F.col("__g"), n_buckets)
+                         .alias("__b"))
+                 .groupBy("__b")
+                 .agg(F.sum(F.when(F.col("__pos"), 1).otherwise(0))
+                      .alias("cp"),
+                      F.sum(F.when(F.col("__pos"), 0).otherwise(1))
+                      .alias("cn"))
+                 .localCheckpoint()))
     dp, dn = row["dp"] or 0, row["dn"] or 0
     if not dp or not dn:
         raise ValueError(
             f"nb_quality_classifier: both classes must be non-empty in "
             f"train (positive={dp}, negative={dn})")
-    counts = (hashed_gram_rows(t, text_col, keep=["__pos"])
-              .select("__pos", gram_bucket(F.col("__g"), n_buckets)
-                      .alias("__b"))
-              .groupBy("__b")
-              .agg(F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("cp"),
-                   F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("cn"))
-              .localCheckpoint())
     tot = counts.agg(F.sum("cp"), F.sum("cn")).first()
     n_p, n_n = tot[0] or 0, tot[1] or 0
     s = float(smoothing)
