@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pypond_spark.datapipe._util import ngram_explode, pair_rows, spread
+from pypond_spark.datapipe._util import (ngram_explode, overlap, pair_rows,
+                                          spread)
 
 
 # simhash token cap per document: bounds skew and guarantees the lane-packed
@@ -300,18 +301,27 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        # candidate label for each node: min over neighbors' labels + own
+        # candidate label for each node: min over neighbors' labels + own.
+        # The own row is tagged so the round's aggregate ALSO carries the
+        # previous label — the convergence check then reads the already-
+        # checkpointed frame instead of re-joining new labels against old
+        # (one fewer join job per round; r14).
         neighbor = (edges.join(labels, edges.dst == labels.id)
                     .select(F.col("src").alias("id"),
-                            F.col("cluster_id")))
-        new_labels = (labels.select("id", "cluster_id").union(neighbor)
-                      .groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                            F.col("cluster_id"),
+                            F.lit(0).alias("__own")))
+        merged = (labels.select("id", "cluster_id",
+                                F.lit(1).alias("__own"))
+                  .union(neighbor)
+                  .groupBy("id")
+                  .agg(F.min("cluster_id").alias("cluster_id"),
+                       F.max(F.when(F.col("__own") == 1,
+                                    F.col("cluster_id"))).alias("__old"))
+                  .localCheckpoint())
+        changed = (merged
+                   .where(F.col("cluster_id") != F.col("__old"))
                    .limit(1).count())
-        labels = new_labels
+        labels = merged.select("id", "cluster_id")
         if changed == 0:
             break
     if stats is not None:
@@ -746,32 +756,44 @@ def write_neardup_index(df: DataFrame, path: str, text_col: str = "text",
                                band_size, shingle_n, hash_fn)
     bands = buckets.withColumn("band_pfx",
                                _band_pfx(F.col("band"), prefix_chars))
-    if layout == "partitioned":
-        # repartition on (prefix, salt) first: a bare write lets every
-        # shuffle task spray into every prefix directory (up to tasks x
-        # 256 small files — measured as the dominant scan cost of the
-        # per-batch path), while repartition("band_pfx") alone caps the
-        # WRITE at 256 tasks and funnels each prefix's whole slice
-        # (corpus/256 at the 100 TB design point) through one writer.
-        # The salt keeps write parallelism at 256 x files_per_prefix
-        # with files-per-directory bounded at files_per_prefix.
-        salt = F.pmod(F.xxhash64("band"), F.lit(int(files_per_prefix)))
-        (bands.repartition(F.col("band_pfx"), salt)
-         .write.mode(mode).partitionBy("band_pfx")
-         .parquet(base + "/bands"))
-    else:
-        # flat: a couple of files sized off the input estimate; the
-        # tiny repartition shuffle keeps the band COMPUTE at full
-        # parallelism (coalesce would drag the upstream stage narrow)
-        n_files = max(1, min(64, est // (128 * 1024 * 1024) + 1))
-        (bands.repartition(int(n_files))
-         .write.mode(mode).parquet(base + "/bands"))
-    n_sh = max(1, min(256, est // (128 * 1024 * 1024) + 1)) \
-        if layout == "flat" else None
-    sh = _doc_shingle_sets(df, text_col, id_col, shingle_n)
-    if n_sh is not None:
-        sh = sh.repartition(int(n_sh))
-    sh.write.mode(mode).parquet(base + "/shingles")
+
+    def _write_bands() -> None:
+        if layout == "partitioned":
+            # repartition on (prefix, salt) first: a bare write lets
+            # every shuffle task spray into every prefix directory (up
+            # to tasks x 256 small files — measured as the dominant
+            # scan cost of the per-batch path), while
+            # repartition("band_pfx") alone caps the WRITE at 256 tasks
+            # and funnels each prefix's whole slice (corpus/256 at the
+            # 100 TB design point) through one writer.  The salt keeps
+            # write parallelism at 256 x files_per_prefix with
+            # files-per-directory bounded at files_per_prefix.
+            salt = F.pmod(F.xxhash64("band"),
+                          F.lit(int(files_per_prefix)))
+            (bands.repartition(F.col("band_pfx"), salt)
+             .write.mode(mode).partitionBy("band_pfx")
+             .parquet(base + "/bands"))
+        else:
+            # flat: a couple of files sized off the input estimate; the
+            # tiny repartition shuffle keeps the band COMPUTE at full
+            # parallelism (coalesce would drag the upstream stage
+            # narrow)
+            n_files = max(1, min(64, est // (128 * 1024 * 1024) + 1))
+            (bands.repartition(int(n_files))
+             .write.mode(mode).parquet(base + "/bands"))
+
+    def _write_shingles() -> None:
+        n_sh = max(1, min(256, est // (128 * 1024 * 1024) + 1)) \
+            if layout == "flat" else None
+        sh = _doc_shingle_sets(df, text_col, id_col, shingle_n)
+        if n_sh is not None:
+            sh = sh.repartition(int(n_sh))
+        sh.write.mode(mode).parquet(base + "/shingles")
+
+    # the band table and the shingle sets land in different
+    # subdirectories and share no lineage beyond the scan — write them
+    # concurrently (guide §2.6 overlap)
+    overlap(_write_bands, _write_shingles)
     if prior is None:
         _nd_write_meta(spark, base, {
             "layout": layout, "prefix_chars": int(prefix_chars),
