@@ -112,10 +112,21 @@ def language_id(df: DataFrame, text_col: str = "text",
     """Marker-word language heuristic: count marker hits per language,
     argmax wins (ties resolved in LANG_MARKERS order, 'und' if all zero)."""
     toks = _match_tokens(text_col)
-    scores = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
-        for lang, markers in LANG_MARKERS.items()
-    }
+    # each per-language score is a full interpreted token-filter pass,
+    # and the argmax when-chain references score_i O(N^2) times total —
+    # compute the scores ONCE per row behind a 1:1 inline(array(struct))
+    # Generate (the _repetition_struct trick) so the chain reads plain
+    # attributes instead of re-running the filter per reference
+    def _score(markers):
+        # factory closure, NOT a default-arg lambda: F.filter binds a
+        # second lambda parameter to the array index
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    fields = [_score(markers).alias(f"__s_{lang}")
+              for lang, markers in LANG_MARKERS.items()]
+    base = df.select(F.col(id_col),
+                     F.inline(F.array(F.struct(*fields))))
+    scores = {lang: F.col(f"__s_{lang}") for lang in LANG_MARKERS}
     langs = list(LANG_MARKERS)
     # earlier languages win ties: lang_i is picked iff its score is >= every
     # later language's score and > 0
@@ -129,8 +140,8 @@ def language_id(df: DataFrame, text_col: str = "text",
                            else scores[lang] >= later[0])
         best = F.when(cond, F.lit(lang)).otherwise(best)
     best_score = F.greatest(*scores.values())
-    return df.select(F.col(id_col), best.alias("lang_pred"),
-                     best_score.alias("lang_score"))
+    return base.select(F.col(id_col), best.alias("lang_pred"),
+                       best_score.alias("lang_score"))
 
 
 #: named HTML entities :func:`strip_html` decodes (the high-frequency
