@@ -215,15 +215,24 @@ def preprocess_corpus(docs: DataFrame, bench: DataFrame,
     if extract_html:
         docs = tx.extract_content(docs, id_col=id_col)
 
+    # language gate, Gopher verdict and the exact-dedup digest are all
+    # scan-level expressions over the same text column: compute the
+    # three in ONE pass (digest + gopher_pass ride the language
+    # Generate's child projection) instead of three scans joined back
+    # on the id (guide §2.4 — two joins and two corpus scans removed;
+    # per-stage outputs are bit-identical to the standalone operators)
+    lang_pred, _ = tx._language_id_pred()
+    flags = (spread(docs)
+             .select(F.col(id_col), F.md5("text").alias("__digest"),
+                     tx.gopher_exprs("text")[-1].alias("quality_ok"),
+                     F.inline(F.array(F.struct(
+                         *tx._language_id_fields("text")))))
+             .select(id_col, "__digest", "quality_ok",
+                     (lang_pred == lang).alias("lang_ok")))
     w = Window.partitionBy("__digest")
-    exact = (spread(docs)
-             .select(F.col(id_col), F.md5("text").alias("__digest"))
-             .select(id_col, (F.col(id_col) == F.min(id_col).over(w))
-                     .alias("exact_keeper")))
-    lang_f = tx.language_id(docs, id_col=id_col).select(
-        id_col, (F.col("lang_pred") == lang).alias("lang_ok"))
-    qual = tx.gopher_quality(docs, id_col=id_col).select(
-        id_col, F.col("gopher_pass").alias("quality_ok"))
+    exact = (flags.select(
+        id_col, "lang_ok", "quality_ok",
+        (F.col(id_col) == F.min(id_col).over(w)).alias("exact_keeper")))
     near = dd.dedup_documents(
         docs, jaccard_threshold=jaccard_threshold, id_col=id_col).select(
         id_col, F.col("is_keeper").alias("near_keeper"))
@@ -231,8 +240,7 @@ def preprocess_corpus(docs: DataFrame, bench: DataFrame,
     decon = dc.decontaminate(docs, grams, n=decontam_n,
                              min_hits=decontam_min_hits).select(
         id_col, "contaminated")
-    out = (lang_f.join(qual, id_col).join(exact, id_col)
-           .join(near, id_col).join(decon, id_col))
+    out = exact.join(near, id_col).join(decon, id_col)
     kept = (F.col("lang_ok") & F.col("quality_ok")
             & F.col("exact_keeper") & F.col("near_keeper")
             & ~F.col("contaminated"))

@@ -107,25 +107,26 @@ def quality_stats(df: DataFrame, text_col: str = "text",
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Marker-word language heuristic: count marker hits per language,
-    argmax wins (ties resolved in LANG_MARKERS order, 'und' if all zero)."""
+def _language_id_fields(text_col: str = "text") -> list[Column]:
+    """Per-language marker-score struct fields (each a full interpreted
+    token-filter pass) — computed ONCE per row behind a 1:1
+    inline(array(struct)) Generate (the _repetition_struct trick) so
+    the argmax chain reads plain attributes instead of re-running the
+    filter per reference."""
     toks = _match_tokens(text_col)
-    # each per-language score is a full interpreted token-filter pass,
-    # and the argmax when-chain references score_i O(N^2) times total —
-    # compute the scores ONCE per row behind a 1:1 inline(array(struct))
-    # Generate (the _repetition_struct trick) so the chain reads plain
-    # attributes instead of re-running the filter per reference
+
     def _score(markers):
         # factory closure, NOT a default-arg lambda: F.filter binds a
         # second lambda parameter to the array index
         return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
-    fields = [_score(markers).alias(f"__s_{lang}")
-              for lang, markers in LANG_MARKERS.items()]
-    base = df.select(F.col(id_col),
-                     F.inline(F.array(F.struct(*fields))))
+    return [_score(markers).alias(f"__s_{lang}")
+            for lang, markers in LANG_MARKERS.items()]
+
+
+def _language_id_pred() -> tuple[Column, Column]:
+    """(lang_pred, lang_score) argmax chain over the ``__s_<lang>``
+    attributes emitted by :func:`_language_id_fields`'s Generate."""
     scores = {lang: F.col(f"__s_{lang}") for lang in LANG_MARKERS}
     langs = list(LANG_MARKERS)
     # earlier languages win ties: lang_i is picked iff its score is >= every
@@ -139,7 +140,17 @@ def language_id(df: DataFrame, text_col: str = "text",
             cond = cond & (scores[lang] >= F.greatest(*later) if len(later) > 1
                            else scores[lang] >= later[0])
         best = F.when(cond, F.lit(lang)).otherwise(best)
-    best_score = F.greatest(*scores.values())
+    return best, F.greatest(*scores.values())
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language heuristic: count marker hits per language,
+    argmax wins (ties resolved in LANG_MARKERS order, 'und' if all zero)."""
+    base = df.select(F.col(id_col),
+                     F.inline(F.array(F.struct(
+                         *_language_id_fields(text_col)))))
+    best, best_score = _language_id_pred()
     return base.select(F.col(id_col), best.alias("lang_pred"),
                        best_score.alias("lang_score"))
 
@@ -630,33 +641,43 @@ def langid_ngram(train: DataFrame, corpus: DataFrame,
     d_tot = sum(dl.values())
     n_l = {r["__l"]: r["t"] for r in
            counts.groupBy("__l").agg(F.sum("__c").alias("t")).collect()}
-    lab_df = spark.createDataFrame(
-        [(lab,
-          int(round(math.log((dl[lab] + s) / (d_tot + s * len(labels)))
-                    * 1e6)),
-          float(n_l.get(lab, 0) + s * n_buckets))
-         for lab in labels],
-        "__l string, __prior long, __denom double")
+    priors = {lab: int(round(math.log((dl[lab] + s)
+                                      / (d_tot + s * len(labels))) * 1e6))
+              for lab in labels}
+    denoms = {lab: float(n_l.get(lab, 0) + s * n_buckets) for lab in labels}
+    # dense table as ONE row per bucket carrying the per-label
+    # micro-nat array (labels in sorted order): the broadcast join then
+    # emits ONE row per gram instead of |labels| rows, and the per-doc
+    # aggregate is |labels| long-sums over gram rows instead of a
+    # (doc x label)-keyed aggregate over |labels|x the gram table —
+    # same integers, ~|labels|x fewer aggregated rows (guide §2.3)
+    pivoted = counts.groupBy("__b").agg(
+        *[F.max(F.when(F.col("__l") == lab, F.col("__c")))
+          .alias(f"__c_{i}") for i, lab in enumerate(labels)])
     dense = (spark.range(n_buckets).select(F.col("id").alias("__b"))
-             .crossJoin(lab_df)
-             .join(counts, ["__l", "__b"], "left")
-             .select("__b", "__l", "__prior",
-                     F.round(F.log((F.coalesce(F.col("__c"), F.lit(0))
-                                    + F.lit(s)) / F.col("__denom"))
-                             * 1e6).cast("long").alias("__ll")))
+             .join(pivoted, "__b", "left")
+             .select("__b", F.array(
+                 *[F.round(F.log((F.coalesce(F.col(f"__c_{i}"), F.lit(0))
+                                  + F.lit(s)) / F.lit(denoms[lab]))
+                           * 1e6).cast("long")
+                   for i, lab in enumerate(labels)]).alias("__lls")))
     scored = (char_ngram_bucket_rows(spread(corpus), text_col, n,
                                      n_buckets, keep=[id_col])
               .join(F.broadcast(dense), "__b"))
-    per = (scored.groupBy(id_col, "__l")
-           .agg(F.count("*").alias("__n"),
-                (F.first("__prior") + F.sum("__ll")).alias("__sc")))
-    best = F.min(F.struct((-F.col("__sc")).alias("neg"),
-                          F.col("__l").alias("l"),
-                          F.col("__n").alias("n")))
-    return (per.groupBy(id_col).agg(best.alias("__best"))
-            .select(F.col(id_col), F.col("__best.l").alias("lang_pred"),
-                    F.col("__best.n").alias("n_grams"),
-                    (-F.col("__best.neg") / F.lit(1e6)).alias("score")))
+    per = scored.groupBy(id_col).agg(
+        F.count("*").alias("__n"),
+        *[(F.lit(priors[lab])
+           + F.sum(F.element_at("__lls", i + 1))).alias(f"__sc_{i}")
+          for i, lab in enumerate(labels)])
+    scs = [F.col(f"__sc_{i}") for i in range(len(labels))]
+    best_sc = F.greatest(*scs) if len(scs) > 1 else scs[0]
+    # first label (sorted order) reaching the max == the old
+    # min(struct(-sc, label)) tie-break to the smallest label
+    pred = F.coalesce(*[F.when(scs[i] == best_sc, F.lit(lab))
+                        for i, lab in enumerate(labels)])
+    return per.select(F.col(id_col), pred.alias("lang_pred"),
+                      F.col("__n").alias("n_grams"),
+                      (best_sc / F.lit(1e6)).alias("score"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",

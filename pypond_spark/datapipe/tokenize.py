@@ -122,6 +122,10 @@ def bpe_train(df: DataFrame, n_merges: int = 8,
         l, r, c = pair[0]["l"], pair[0]["r"], pair[0]["c"]
         out.append((l, r, int(c)))
         pat, rep = _merge_pat(l, r)
+        # checkpoint every rank: the count job references the symbol
+        # array 3x (the zip-explode slices), and CollapseProject
+        # inlines a lazy replace chain into every reference — measured
+        # 3x slower lazily at 8 ranks, so materializing here is cheaper
         cur = cur.select(F.replace("s", F.lit(pat), F.lit(rep))
                          .alias("s"), "wc").localCheckpoint()
     return out
@@ -274,6 +278,8 @@ def bpe_bytes_train(df: DataFrame, n_merges: int = 8,
         l, r, c = pair[0]["l"], pair[0]["r"], pair[0]["c"]
         out.append((l, r, int(c)))
         pat, rep = _merge_pat(l, r)
+        # checkpoint every rank (see bpe_train: lazy replace chains
+        # re-inline into every zip-explode slice reference)
         cur = cur.select(F.replace("s", F.lit(pat), F.lit(rep))
                          .alias("s"), "wc").localCheckpoint()
     return out
@@ -653,6 +659,8 @@ def wordpiece_train(df: DataFrame, n_merges: int = 8,
         idx, lambda i: F.concat(F.lit(SEP + "##"),
                                 F.col("w").substr(i, F.lit(1)),
                                 F.lit(SEP))))
+    from pyspark.sql import Window
+
     cur = words.select(F.concat(first, rest).alias("s"),
                        "wc").localCheckpoint()
     out: list[tuple] = []
@@ -660,23 +668,24 @@ def wordpiece_train(df: DataFrame, n_merges: int = 8,
         arr = F.filter(F.split(F.col("s"), SEP),
                        lambda t: t != F.lit(""))
         sym = cur.select("wc", arr.alias("a"))
+        # unit rows carry the symbol in BOTH l and r so the unit count
+        # attaches to pair rows through two windows on the count frame
+        # — one collect job per rank instead of a checkpoint + two
+        # broadcast-build jobs + the collect (guide §1.2: driver-job
+        # latency dominates vocab-sized rounds)
         tagged = (pair_rows(sym, F.col("a"), keep=["wc"])
                   .select("wc", F.lit(1).alias("k"), "l", "r")
                   .unionByName(
                       sym.select("wc", F.explode("a").alias("l"))
                       .select("wc", F.lit(0).alias("k"), "l",
-                              F.lit("").alias("r"))))
+                              F.col("l").alias("r"))))
         cnt = (tagged.groupBy("k", "l", "r")
-               .agg(F.sum("wc").alias("c")).localCheckpoint())
-        units = cnt.where(F.col("k") == 0) \
-            .select(F.col("l").alias("u"), F.col("c").alias("cu"))
-        pick = (cnt.where(F.col("k") == 1)
-                .join(F.broadcast(units.withColumnRenamed("u", "__ul")
-                                  .withColumnRenamed("cu", "cl")),
-                      F.col("l") == F.col("__ul"))
-                .join(F.broadcast(units.withColumnRenamed("u", "__ur")
-                                  .withColumnRenamed("cu", "cr")),
-                      F.col("r") == F.col("__ur"))
+               .agg(F.sum("wc").alias("c")))
+        unit_c = F.max(F.when(F.col("k") == 0, F.col("c")))
+        pick = (cnt
+                .withColumn("cl", unit_c.over(Window.partitionBy("l")))
+                .withColumn("cr", unit_c.over(Window.partitionBy("r")))
+                .where(F.col("k") == 1)
                 .select("l", "r", F.col("c").alias("cp"), "cl", "cr",
                         # cast BOTH unit counts to double BEFORE the
                         # product: a BIGINT*BIGINT wraps silently in
@@ -696,6 +705,8 @@ def wordpiece_train(df: DataFrame, n_merges: int = 8,
         out.append((l, r, merged, int(row["cp"]), int(row["cl"]),
                     int(row["cr"])))
         pat = SEP + l + SEP + SEP + r + SEP
+        # checkpoint every rank (see bpe_train: lazy replace chains
+        # re-inline into every zip-explode slice reference)
         cur = cur.select(F.replace("s", F.lit(pat),
                                    F.lit(SEP + merged + SEP))
                          .alias("s"), "wc").localCheckpoint()

@@ -154,8 +154,6 @@ def theil_sen(df: DataFrame, field: str = "value",
 
     Output: ``(*keys, ts_slope, ts_intercept, n_pairs, n_buckets)``.
     """
-    from pyspark.sql import Window
-
     b_ms = window_duration_ms(bucket)
     if b_ms is None:
         raise ValueError(f"bucket needs a fixed window spec, got {bucket!r}")
@@ -163,50 +161,68 @@ def theil_sen(df: DataFrame, field: str = "value",
     col = F.col(field).cast("double")
     valid = col.isNotNull() & ~F.isnan(col)
     bpos = F.floor(F.unix_millis(F.col(time_col)) / F.lit(b_ms))
-    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    # ONE bucket aggregate whose keys-exchange is REUSED three ways
+    # (pair-join left, pair-join right, array collect) — replaces the
+    # old localCheckpoint + window + join-back (4 sequential exchanges
+    # and an extra materialize job).  The O(B^2) pair term stays a
+    # codegen sort-merge self-join (an interpreted array-lambda build
+    # measured ~30% slower, an exploded-pairs-carrying-the-array
+    # variant 7x slower); the intercept median moves onto the
+    # collected array so the bucket rows are never re-shuffled.
+    # localCheckpoint: three consumers (pair-join left/right, the
+    # array collect) read the bucket frame — materializing it once
+    # beats both re-aggregating the scan per consumer (3 scans; AQE
+    # does not reuse the exchanges across the broadcast-join branches)
+    # and deriving pairs from the collected array (measured slower:
+    # the explode re-runs the collect per branch)
     buckets = (df.where(valid)
                .groupBy(*keys, bpos.alias("__p"))
                .agg(F.avg(col).alias("__v"))
-               .withColumn("__x", (F.col("__p") - F.min("__p").over(w))
-                           .cast("double"))
-               .drop("__p")
                .localCheckpoint())
-    a = buckets.select(*keys, F.col("__x").alias("__xa"),
+    arr = (buckets.groupBy(*keys)
+           .agg(F.sort_array(F.collect_list(
+               F.struct(F.col("__p"), F.col("__v")))).alias("__a")))
+    a = buckets.select(*keys, F.col("__p").alias("__pa"),
                        F.col("__v").alias("__va"))
     b = buckets.select(
         *[F.col(k).alias(f"__r_{k}") for k in keys],
-        F.col("__x").alias("__xb"), F.col("__v").alias("__vb"))
-    cond = F.col("__xb") > F.col("__xa")
+        F.col("__p").alias("__pb"), F.col("__v").alias("__vb"))
+    # x positions are bucket positions shifted to the series' start;
+    # the shift cancels in slope differences, so pairs compare __p
+    # directly — same doubles as the old (xb - xa) divisor
+    cond = F.col("__pb") > F.col("__pa")
     for k in keys:
         cond = cond & (F.col(k) == F.col(f"__r_{k}"))
     slopes = (a.join(b, cond)
               .groupBy(*keys)
               .agg(F.median((F.col("__vb") - F.col("__va"))
-                            / (F.col("__xb") - F.col("__xa")))
-                   .alias("ts_slope"),
-                   F.count("*").alias("n_pairs")))
-    sl = slopes.select(
-        *[F.col(k).alias(f"__s_{k}") for k in keys], "ts_slope", "n_pairs")
-    # plain shuffle join on the keys: the slopes frame is keys-sized, so
-    # broadcasting it would scale with partition_by cardinality and blow
-    # the broadcast limit at per-user scale (review fix, advice r4); both
-    # sides are already key-partitioned aggregates, and AQE still elects
-    # a broadcast at runtime when the frame really is small. The keyless
-    # variant is a single global series — one row — so broadcast is
-    # bounded there by construction.
-    cond2 = F.lit(True)
-    for k in keys:
-        cond2 = cond2 & (F.col(k) == F.col(f"__s_{k}"))
-    joined = (buckets.join(sl, cond2) if keys
-              else buckets.crossJoin(F.broadcast(sl)))
-    return (joined
-            .groupBy(*keys)
-            .agg(F.first("ts_slope").alias("ts_slope"),
-                 F.median(F.col("__v")
-                          - F.col("ts_slope") * F.col("__x"))
-                 .alias("ts_intercept"),
-                 F.first("n_pairs").alias("n_pairs"),
-                 F.count("*").alias("n_buckets")))
+                            / (F.col("__pb") - F.col("__pa"))
+                            .cast("double")).alias("ts_slope"),
+                   F.count("*").alias("__n_pairs")))
+    # both sides are key-partitioned aggregates of the same exchange,
+    # so this join adds no shuffle; the keyless variant is one global
+    # row — broadcast is bounded there by construction
+    joined = (arr.join(slopes, keys) if keys
+              else arr.crossJoin(F.broadcast(slopes)))
+    ea = F.element_at
+    n = F.size("__a")
+    x0 = ea(F.col("__a"), 1)["__p"]
+    resid = F.array_sort(F.transform(
+        "__a", lambda e: e["__v"] - F.col("ts_slope")
+        * (e["__p"] - x0).cast("double")))
+    # Percentile's exact interpolation (lower + d * (upper - lower),
+    # d = 0.5 at even counts): bit-identical to the old F.median
+    # aggregate over the same residuals
+    m = F.size(resid) - 1
+    lo = ea(resid, F.floor(m / 2).cast("int") + 1)
+    hi = ea(resid, F.ceil(m / 2).cast("int") + 1)
+    intercept = F.when(m >= 0, lo + F.lit(0.5) * (hi - lo))
+    # n_pairs keeps the old aggregate's edge values: NULL for the
+    # keyless global row over an empty frame, 0 for a single bucket
+    n_pairs = F.when(n >= 1, F.col("__n_pairs"))
+    return joined.select(
+        *keys, "ts_slope", intercept.alias("ts_intercept"),
+        n_pairs.alias("n_pairs"), n.cast("long").alias("n_buckets"))
 
 
 def rolling_correlation(
