@@ -755,21 +755,10 @@ def _lines(text_col: str) -> Column:
     return F.split(F.col(text_col), "\n")
 
 
-def gopher_exprs(text_col: str = "text", *,
-                 min_words: int = 50, max_words: int = 100_000,
-                 min_avg_word_len: float = 3.0,
-                 max_avg_word_len: float = 10.0,
-                 max_symbol_ratio: float = 0.1,
-                 min_alpha_word_frac: float = 0.80,
-                 min_stopword_hits: int = 2,
-                 max_bullet_frac: float = 0.90,
-                 max_ellipsis_frac: float = 0.30) -> list[Column]:
-    """Column expressions for the Gopher rules (shared by
-    :func:`gopher_quality` and :func:`corpus.filter_corpus` so composed
-    pipelines stay a single projection instead of joining metric tables).
-
-    Returns aliased metric columns ending with ``gopher_pass``.
-    """
+def _gopher_raw(text_col: str) -> dict[str, Column]:
+    """The UNROUNDED Gopher metric expressions (shared by the
+    single-projection :func:`gopher_exprs` and the Generate-staged
+    :func:`gopher_quality`)."""
     toks = _tokens(text_col)
     n_words = F.size(toks)
     denom_w = F.greatest(n_words, F.lit(1))
@@ -792,22 +781,63 @@ def gopher_exprs(text_col: str = "text", *,
         F.size(F.filter(lines,
                         lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$")))
         .cast("double") / n_lines)
-    gopher_pass = (
-        n_words.between(min_words, max_words)
-        & avg_word_len.between(min_avg_word_len, max_avg_word_len)
-        & (symbol_ratio < max_symbol_ratio)
-        & (alpha_word_frac > min_alpha_word_frac)
-        & (stopword_hits >= min_stopword_hits)
-        & (bullet_frac < max_bullet_frac)
-        & (ellipsis_frac < max_ellipsis_frac))
+    return {"n_words": n_words, "avg_word_len": avg_word_len,
+            "symbol_ratio": symbol_ratio,
+            "alpha_word_frac": alpha_word_frac,
+            "stopword_hits": stopword_hits, "bullet_frac": bullet_frac,
+            "ellipsis_frac": ellipsis_frac}
+
+
+def _gopher_pass(m: dict[str, Column], *, min_words: int,
+                 max_words: int, min_avg_word_len: float,
+                 max_avg_word_len: float, max_symbol_ratio: float,
+                 min_alpha_word_frac: float, min_stopword_hits: int,
+                 max_bullet_frac: float,
+                 max_ellipsis_frac: float) -> Column:
+    """The Gopher verdict over UNROUNDED metric expressions/attributes."""
+    return (
+        m["n_words"].between(min_words, max_words)
+        & m["avg_word_len"].between(min_avg_word_len, max_avg_word_len)
+        & (m["symbol_ratio"] < max_symbol_ratio)
+        & (m["alpha_word_frac"] > min_alpha_word_frac)
+        & (m["stopword_hits"] >= min_stopword_hits)
+        & (m["bullet_frac"] < max_bullet_frac)
+        & (m["ellipsis_frac"] < max_ellipsis_frac))
+
+
+def gopher_exprs(text_col: str = "text", *,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_avg_word_len: float = 3.0,
+                 max_avg_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_word_frac: float = 0.80,
+                 min_stopword_hits: int = 2,
+                 max_bullet_frac: float = 0.90,
+                 max_ellipsis_frac: float = 0.30) -> list[Column]:
+    """Column expressions for the Gopher rules (shared by
+    :func:`gopher_quality` and :func:`corpus.filter_corpus` so composed
+    pipelines stay a single projection instead of joining metric tables).
+
+    Returns aliased metric columns ending with ``gopher_pass``.
+    """
+    m = _gopher_raw(text_col)
+    gopher_pass = _gopher_pass(
+        m, min_words=min_words, max_words=max_words,
+        min_avg_word_len=min_avg_word_len,
+        max_avg_word_len=max_avg_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_stopword_hits=min_stopword_hits,
+        max_bullet_frac=max_bullet_frac,
+        max_ellipsis_frac=max_ellipsis_frac)
     return [
-        n_words.alias("n_words"),
-        F.round(avg_word_len, 6).alias("avg_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
-        F.round(alpha_word_frac, 6).alias("alpha_word_frac"),
-        stopword_hits.alias("stopword_hits"),
-        F.round(bullet_frac, 6).alias("bullet_line_frac"),
-        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        m["n_words"].alias("n_words"),
+        F.round(m["avg_word_len"], 6).alias("avg_word_len"),
+        F.round(m["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(m["alpha_word_frac"], 6).alias("alpha_word_frac"),
+        m["stopword_hits"].alias("stopword_hits"),
+        F.round(m["bullet_frac"], 6).alias("bullet_line_frac"),
+        F.round(m["ellipsis_frac"], 6).alias("ellipsis_line_frac"),
         gopher_pass.alias("gopher_pass"),
     ]
 
@@ -824,9 +854,36 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
     above min_alpha_word_frac; at least min_stopword_hits occurrences of
     GOPHER_STOPWORDS; bullet-start and ellipsis-end line fractions below
     their maxima. Threshold keywords are those of :func:`gopher_exprs`.
+
+    Each interpreted token/line-filter metric is referenced by its
+    output column AND by ``gopher_pass``, so the single-projection form
+    evaluated every filter twice per row; here the UNROUNDED metrics
+    ride a 1:1 inline(array(struct)) Generate (the _repetition_struct
+    trick) and both consumers read plain attributes — the verdict
+    still compares the raw values, rounding happens only in the output
+    projection.  Column-level composition (:func:`corpus.filter_corpus`
+    takes only the pass flag, evaluated once) keeps using
+    :func:`gopher_exprs`.
     """
-    return spread(df).select(F.col(id_col),
-                             *gopher_exprs(text_col, **thresholds))
+    kw = dict(min_words=50, max_words=100_000, min_avg_word_len=3.0,
+              max_avg_word_len=10.0, max_symbol_ratio=0.1,
+              min_alpha_word_frac=0.80, min_stopword_hits=2,
+              max_bullet_frac=0.90, max_ellipsis_frac=0.30)
+    kw.update(thresholds)
+    m = _gopher_raw(text_col)
+    base = spread(df).select(F.col(id_col), F.inline(F.array(F.struct(
+        *[m[k].alias(f"__{k}") for k in m]))))
+    attrs = {k: F.col(f"__{k}") for k in m}
+    return base.select(
+        F.col(id_col),
+        attrs["n_words"].alias("n_words"),
+        F.round(attrs["avg_word_len"], 6).alias("avg_word_len"),
+        F.round(attrs["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(attrs["alpha_word_frac"], 6).alias("alpha_word_frac"),
+        attrs["stopword_hits"].alias("stopword_hits"),
+        F.round(attrs["bullet_frac"], 6).alias("bullet_line_frac"),
+        F.round(attrs["ellipsis_frac"], 6).alias("ellipsis_line_frac"),
+        _gopher_pass(attrs, **kw).alias("gopher_pass"))
 
 
 def c4_exprs(text_col: str = "text", *,

@@ -329,14 +329,17 @@ def robots_filter(df: DataFrame, rules: DataFrame, agent: str = "*",
         sel = F.broadcast(sel)
     keys = (df.select(host.alias("__host"), mpath.alias("__mpath"))
             .where(F.col("__host").isNotNull()).distinct())
+    # longest-pattern-wins with allow breaking ties, encoded as ONE
+    # long (length*2 + allow) so the aggregate is a plain max: a
+    # struct-keyed max_by is immutable-buffered and forces the whole
+    # corpus-keyed aggregate into SortAggregate (sort per exchange
+    # side) where max(long) hash-aggregates with map-side combine
+    rank = (F.length("pattern").cast("long") * 2
+            + (F.col("rule") == "allow").cast("long"))
     hits = (keys.join(sel, keys["__host"] == sel["__rhost"])
             .where(F.expr("__mpath LIKE __like ESCAPE '!'"))
             .groupBy("__host", "__mpath")
-            .agg(F.max_by(F.col("rule") == "allow",
-                          F.struct(F.length("pattern"),
-                                   (F.col("rule") == "allow")
-                                   .alias("a")))
-                 .alias("__allowed")))
+            .agg((F.max(rank) % 2 == 1).alias("__allowed")))
     out = (df.withColumn("__host", host).withColumn("__mpath", mpath)
            .join(hits, ["__host", "__mpath"], "left")
            .withColumn(out_col, F.coalesce("__allowed", F.lit(True)))
