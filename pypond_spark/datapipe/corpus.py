@@ -51,9 +51,25 @@ def filter_corpus(docs: DataFrame, text_col: str = "text",
 
     flags: list[str] = []
     cols = [F.col(id_col)]
+    src = spread(docs)
     if gopher is not False:
-        cols.append(textstats.gopher_exprs(
-            text_col, **(gopher or {}))[-1])
+        # stage the token/line arrays (plus the whitespace-stripped
+        # length, which the verdict's `between` references twice)
+        # behind a 1:1 Generate so the Gopher verdict's ~10 metric
+        # references cost ONE split of each kind per row instead of
+        # one per reference (see textstats._staged_arrays)
+        src = src.select(
+            F.col(id_col), F.col(text_col),
+            F.inline(F.array(F.struct(
+                *textstats._staged_arrays(text_col),
+                F.length(F.regexp_replace(text_col, r"\s+", ""))
+                .alias("__nospace_len")))))
+        gm = textstats._gopher_metrics(
+            text_col, F.col("__toks"), F.col("__mtoks"),
+            F.col("__lines"), nospace_len=F.col("__nospace_len"))
+        cols.append(textstats._gopher_pass(
+            gm, **{**textstats.GOPHER_DEFAULTS, **(gopher or {})})
+            .alias("gopher_pass"))
         flags.append("gopher_pass")
     rep_cfg = None
     if repetition is not False:
@@ -74,7 +90,7 @@ def filter_corpus(docs: DataFrame, text_col: str = "text",
         flags.append("pii_pass")
     if dedup:
         cols.append(F.md5(F.col(text_col)).alias("__digest"))
-    base = spread(docs).select(*cols)
+    base = src.select(*cols)
     if rep_cfg is not None:
         ns, dup, top = rep_cfg
         gen_cols = {c for n in ns for c in (f"f{n}", f"t{n}")}
@@ -217,17 +233,30 @@ def preprocess_corpus(docs: DataFrame, bench: DataFrame,
 
     # language gate, Gopher verdict and the exact-dedup digest are all
     # scan-level expressions over the same text column: compute the
-    # three in ONE pass (digest + gopher_pass ride the language
-    # Generate's child projection) instead of three scans joined back
-    # on the id (guide §2.4 — two joins and two corpus scans removed;
-    # per-stage outputs are bit-identical to the standalone operators)
+    # three in ONE pass instead of three scans joined back on the id
+    # (guide §2.4 — two joins and two corpus scans removed; per-stage
+    # outputs are bit-identical to the standalone operators).  The
+    # token/line ARRAYS stage behind the first Generate (one split per
+    # row; the digest rides its child projection), then the Gopher
+    # verdict and the per-language scores read the materialized arrays
+    # behind the second (the verdict references each metric once, the
+    # argmax chain reads staged score attributes).
     lang_pred, _ = tx._language_id_pred()
+    gm = tx._gopher_metrics("text", F.col("__toks"), F.col("__mtoks"),
+                            F.col("__lines"))
+    gattrs = {k: F.col(f"__{k}") for k in gm}
     flags = (spread(docs)
-             .select(F.col(id_col), F.md5("text").alias("__digest"),
-                     tx.gopher_exprs("text")[-1].alias("quality_ok"),
+             .select(F.col(id_col), F.col("text"),
+                     F.md5("text").alias("__digest"),
                      F.inline(F.array(F.struct(
-                         *tx._language_id_fields("text")))))
-             .select(id_col, "__digest", "quality_ok",
+                         *tx._staged_arrays("text")))))
+             .select(F.col(id_col), F.col("__digest"),
+                     F.inline(F.array(F.struct(
+                         *[gm[k].alias(f"__{k}") for k in gm],
+                         *tx._language_id_fields(F.col("__mtoks"))))))
+             .select(id_col, "__digest",
+                     tx._gopher_pass(gattrs, **tx.GOPHER_DEFAULTS)
+                     .alias("quality_ok"),
                      (lang_pred == lang).alias("lang_ok")))
     w = Window.partitionBy("__digest")
     exact = (flags.select(

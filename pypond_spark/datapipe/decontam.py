@@ -97,10 +97,15 @@ def split_leakage(df: DataFrame, splits: dict[str, float],
 
     The split is recomputed on the shingle frame from the same pure
     id-hash ``assign_splits`` uses — a function of the id, so NO join is
-    needed to attach it. The comparison is two distinct-shingle frames
-    joined on the uniform shingle key: one shuffle for each distinct,
-    one for the join; nothing quadratic, and the test side is tiny by
-    construction (it's the held-out fraction).
+    needed to attach it. The corpus gram pass runs ONCE: train rows
+    collapse to a NULL-id role row per shingle inside the same distinct
+    the test rows use, and "this shingle occurs in training" is a
+    per-shingle window max over that one frame — the former
+    two-distinct-frames-plus-join shape tokenized and exploded the
+    corpus twice (each side its own gram pass), paying the dominant
+    100-TB cost a second time for rows that differ only in role.
+    Nothing quadratic, and the test side is tiny by construction (it's
+    the held-out fraction).
 
     Output: ``(id, n_shingles, n_leaked, leak_share)`` per test doc —
     leak_share ~1.0 means the eval doc effectively exists in training.
@@ -109,15 +114,31 @@ def split_leakage(df: DataFrame, splits: dict[str, float],
 
     sh = assign_splits(word_shingles(df, text_col, shingle_n, id_col),
                        splits, id_col, seed)
-    train_sh = (sh.where(F.col("split") == train_split)
-                .select("shingle").distinct()
-                .withColumn("__hit", F.lit(1)))
-    test_sh = (sh.where(F.col("split") == test_split)
-               .select(id_col, "shingle").distinct())
-    return (test_sh.join(train_sh, "shingle", "left")
+    if train_split == test_split:
+        # degenerate probe: the "training" side is the test split itself,
+        # so every distinct test shingle leaks by definition
+        test_sh = (sh.where(F.col("split") == test_split)
+                   .select(id_col, "shingle").distinct())
+        return (test_sh.groupBy(id_col)
+                .agg(F.count("*").alias("n_shingles"),
+                     F.count("*").alias("n_leaked"))
+                .withColumn("leak_share",
+                            F.round(F.try_divide(
+                                F.col("n_leaked").cast("double"),
+                                F.col("n_shingles").cast("double")), 6)))
+    u = (sh.where(F.col("split").isin(train_split, test_split))
+         .select("shingle",
+                 F.when(F.col("split") == test_split,
+                        F.col(id_col)).alias("__tid"))
+         .distinct())
+    in_train = F.max(F.col("__tid").isNull().cast("int")) \
+        .over(Window.partitionBy("shingle"))
+    return (u.withColumn("__in_train", in_train)
+            .where(F.col("__tid").isNotNull())
+            .select(F.col("__tid").alias(id_col), "__in_train")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_shingles"),
-                 F.count("__hit").alias("n_leaked"))
+                 F.sum("__in_train").alias("n_leaked"))
             .withColumn("leak_share",
                         F.round(F.try_divide(
                             F.col("n_leaked").cast("double"),

@@ -473,9 +473,8 @@ def rrf_fusion(df: DataFrame, score_cols: list[str], k: int = 60,
     """
     if not score_cols:
         raise ValueError("rrf_fusion needs at least one score column")
-    out = df
-    terms: list[Column] = []
-    for s in score_cols:
+
+    def _ranked(s: str) -> DataFrame:
         col = F.col(s).cast("double")
         if quantize is not None:
             col = F.round(col, quantize)
@@ -486,10 +485,22 @@ def rrf_fusion(df: DataFrame, score_cols: list[str], k: int = 60,
         # competition rank = exclusive prefix count + 1, computed with
         # the distributed two-pass prefix-sum (no single-task window
         # even when the distinct-value frame is corpus-sized)
-        ranked = (global_prefix_sums(vc, [order], ["__c"])
-                  .select(F.col("__v").alias(f"__v_{s}"),
-                          (F.col("__pre___c") + 1)
-                          .alias(f"__rank_{s}")))
+        return (global_prefix_sums(vc, [order], ["__c"])
+                .select(F.col("__v").alias(f"__v_{s}"),
+                        (F.col("__pre___c") + 1)
+                        .alias(f"__rank_{s}")))
+
+    # each signal's rank build runs two eager driver actions (the
+    # prefix-sum's localCheckpoint + per-partition-totals collect);
+    # the signals are independent, so submit them concurrently (guide
+    # §2.6) instead of paying the two small jobs once per signal
+    # back to back — results are identical, only the driver-side
+    # sequencing changes
+    rank_dfs = (overlap(*[lambda s=s: _ranked(s) for s in score_cols])
+                if len(score_cols) > 1 else [_ranked(score_cols[0])])
+    out = df
+    terms: list[Column] = []
+    for s, ranked in zip(score_cols, rank_dfs):
         join_key = F.col(s).cast("double")
         if quantize is not None:
             join_key = F.round(join_key, quantize)

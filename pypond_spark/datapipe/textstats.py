@@ -87,38 +87,60 @@ def gram_bucket(g: Column, n_buckets: int) -> Column:
 
 def quality_stats(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """Per-document quality features: length, words, punct & stopword ratios."""
-    toks = _tokens(text_col)
+    """Per-document quality features: length, words, punct & stopword ratios.
+
+    The token split is referenced by three output columns (word count
+    and two ratio denominators) and the stopword pass re-splits for its
+    own normalized-token filter; a single projection re-evaluates each
+    per reference (Catalyst inlines shared subtrees), so the TOKEN
+    ARRAY itself rides a 1:1 inline(array(struct)) Generate (the
+    :func:`_repetition_struct` trick) beside the scalar counts: one
+    split per row, the stopword pass normalizes the materialized array,
+    and ``size`` on it is O(1) wherever a denominator needs it."""
+    raw = {
+        "n_chars": F.length(text_col),
+        "toks": _tokens(text_col),
+        "n_tokens": token_count(text_col),
+        "nospace_len": F.length(
+            F.regexp_replace(text_col, r"\s+", "")),
+        "n_punct": F.regexp_count(F.col(text_col),
+                                  F.lit("[^A-Za-z0-9\\s]")),
+    }
+    base = spread(df).select(F.col(id_col), F.inline(F.array(F.struct(
+        *[raw[k].alias(f"__{k}") for k in raw]))))
+    toks = F.col("__toks")
     n_words = F.size(toks)
-    stop_hits = F.size(F.filter(_match_tokens(text_col),
-                                lambda t: t.isin(*STOPWORDS)))
-    n_punct = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9\\s]"))
-    return spread(df).select(
+    denom_w = F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(F.filter(
+        F.transform(toks,
+                    lambda t: F.regexp_replace(
+                        F.lower(t), "(^[^a-z0-9]+)|([^a-z0-9]+$)", "")),
+        lambda t: t.isin(*STOPWORDS)))
+    return base.select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars"),
+        F.col("__n_chars").alias("n_chars"),
         n_words.alias("n_words"),
-        token_count(text_col).alias("n_tokens"),
-        (F.length(F.regexp_replace(text_col, r"\s+", "")) /
-         F.greatest(n_words, F.lit(1))).alias("avg_word_len"),
-        (n_punct.cast("double") /
-         F.greatest(F.length(text_col), F.lit(1))).alias("punct_ratio"),
-        (stop_hits.cast("double") /
-         F.greatest(n_words, F.lit(1))).alias("stopword_ratio"),
+        F.col("__n_tokens").alias("n_tokens"),
+        (F.col("__nospace_len") / denom_w).alias("avg_word_len"),
+        (F.col("__n_punct").cast("double") /
+         F.greatest(F.col("__n_chars"), F.lit(1))).alias("punct_ratio"),
+        (stop_hits.cast("double") / denom_w).alias("stopword_ratio"),
     )
 
 
-def _language_id_fields(text_col: str = "text") -> list[Column]:
-    """Per-language marker-score struct fields (each a full interpreted
-    token-filter pass) — computed ONCE per row behind a 1:1
-    inline(array(struct)) Generate (the _repetition_struct trick) so
-    the argmax chain reads plain attributes instead of re-running the
-    filter per reference."""
-    toks = _match_tokens(text_col)
-
+def _language_id_fields(mtoks: Column) -> list[Column]:
+    """Per-language marker-score struct fields (each an interpreted
+    token-filter pass over the staged normalized-token array) —
+    computed ONCE per row behind a 1:1 inline(array(struct)) Generate
+    (the _repetition_struct trick) so the argmax chain reads plain
+    attributes instead of re-running the filter per reference.  The
+    caller stages ``mtoks`` itself (``__mtoks`` of
+    :func:`_staged_arrays`) behind an earlier Generate so the
+    normalize+split pass also runs once, not once per language."""
     def _score(markers):
         # factory closure, NOT a default-arg lambda: F.filter binds a
         # second lambda parameter to the array index
-        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        return F.size(F.filter(mtoks, lambda t: t.isin(*markers)))
 
     return [_score(markers).alias(f"__s_{lang}")
             for lang, markers in LANG_MARKERS.items()]
@@ -146,10 +168,17 @@ def _language_id_pred() -> tuple[Column, Column]:
 def language_id(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Marker-word language heuristic: count marker hits per language,
-    argmax wins (ties resolved in LANG_MARKERS order, 'und' if all zero)."""
-    base = df.select(F.col(id_col),
-                     F.inline(F.array(F.struct(
-                         *_language_id_fields(text_col)))))
+    argmax wins (ties resolved in LANG_MARKERS order, 'und' if all zero).
+
+    Two staged Generates: the normalized-token array first (one
+    split+normalize per row instead of one per language), then the
+    per-language scores (one filter pass each instead of one per argmax
+    reference)."""
+    mtoks = df.select(F.col(id_col), F.inline(F.array(F.struct(
+        _match_tokens(text_col).alias("__mtoks")))))
+    base = mtoks.select(F.col(id_col),
+                        F.inline(F.array(F.struct(
+                            *_language_id_fields(F.col("__mtoks"))))))
     best, best_score = _language_id_pred()
     return base.select(F.col(id_col), best.alias("lang_pred"),
                        best_score.alias("lang_score"))
@@ -755,24 +784,40 @@ def _lines(text_col: str) -> Column:
     return F.split(F.col(text_col), "\n")
 
 
-def _gopher_raw(text_col: str) -> dict[str, Column]:
-    """The UNROUNDED Gopher metric expressions (shared by the
-    single-projection :func:`gopher_exprs` and the Generate-staged
-    :func:`gopher_quality`)."""
-    toks = _tokens(text_col)
+def _staged_arrays(text_col: str) -> list[Column]:
+    """The heavy per-row text intermediates (token split, normalized
+    tokens, line split), aliased for staging behind a 1:1
+    inline(array(struct)) Generate so downstream metric projections
+    read the MATERIALIZED arrays instead of re-splitting per
+    reference (``size`` on a materialized array is O(1))."""
+    return [_tokens(text_col).alias("__toks"),
+            _match_tokens(text_col).alias("__mtoks"),
+            _lines(text_col).alias("__lines")]
+
+
+def _gopher_metrics(text_col: str, toks: Column, mtoks: Column,
+                    lines: Column,
+                    nospace_len: Column | None = None) -> dict[str, Column]:
+    """The UNROUNDED Gopher metric expressions over caller-supplied
+    token/line arrays — staged attributes (:func:`gopher_quality`,
+    ``corpus.preprocess_corpus``) or inline splits
+    (:func:`_gopher_raw`); identical arithmetic either way.
+    ``nospace_len`` optionally substitutes a staged whitespace-stripped
+    length for the inline regexp (same value) where the consumer
+    references ``avg_word_len`` more than once."""
     n_words = F.size(toks)
     denom_w = F.greatest(n_words, F.lit(1))
-    avg_word_len = (F.length(F.regexp_replace(text_col, r"\s+", "")) /
-                    denom_w)
+    if nospace_len is None:
+        nospace_len = F.length(F.regexp_replace(text_col, r"\s+", ""))
+    avg_word_len = nospace_len / denom_w
     n_symbols = (F.regexp_count(F.col(text_col), F.lit("#")) +
                  F.regexp_count(F.col(text_col), F.lit("…|\\.\\.\\.")))
     symbol_ratio = n_symbols.cast("double") / denom_w
     alpha_word_frac = (
         F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
         / denom_w)
-    stopword_hits = F.size(F.filter(_match_tokens(text_col),
+    stopword_hits = F.size(F.filter(mtoks,
                                     lambda t: t.isin(*GOPHER_STOPWORDS)))
-    lines = _lines(text_col)
     n_lines = F.greatest(F.size(lines), F.lit(1))
     bullet_frac = (
         F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*•‣▪]")))
@@ -786,6 +831,23 @@ def _gopher_raw(text_col: str) -> dict[str, Column]:
             "alpha_word_frac": alpha_word_frac,
             "stopword_hits": stopword_hits, "bullet_frac": bullet_frac,
             "ellipsis_frac": ellipsis_frac}
+
+
+def _gopher_raw(text_col: str) -> dict[str, Column]:
+    """The Gopher metrics with inline (per-reference) splits — the
+    single-projection form :func:`gopher_exprs` composes from."""
+    return _gopher_metrics(text_col, _tokens(text_col),
+                           _match_tokens(text_col), _lines(text_col))
+
+
+#: the Rae et al. 2021 §A1.1 thresholds — single source for
+#: :func:`gopher_exprs`, :func:`gopher_quality` and
+#: ``corpus.preprocess_corpus``
+GOPHER_DEFAULTS = dict(min_words=50, max_words=100_000,
+                       min_avg_word_len=3.0, max_avg_word_len=10.0,
+                       max_symbol_ratio=0.1, min_alpha_word_frac=0.80,
+                       min_stopword_hits=2, max_bullet_frac=0.90,
+                       max_ellipsis_frac=0.30)
 
 
 def _gopher_pass(m: dict[str, Column], *, min_words: int,
@@ -865,13 +927,18 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
     takes only the pass flag, evaluated once) keeps using
     :func:`gopher_exprs`.
     """
-    kw = dict(min_words=50, max_words=100_000, min_avg_word_len=3.0,
-              max_avg_word_len=10.0, max_symbol_ratio=0.1,
-              min_alpha_word_frac=0.80, min_stopword_hits=2,
-              max_bullet_frac=0.90, max_ellipsis_frac=0.30)
+    kw = dict(GOPHER_DEFAULTS)
     kw.update(thresholds)
-    m = _gopher_raw(text_col)
-    base = spread(df).select(F.col(id_col), F.inline(F.array(F.struct(
+    # level 1: stage the token/line ARRAYS (one split each per row —
+    # the metric projection would otherwise re-split per reference);
+    # level 2: stage the scalar metrics the verdict AND the output
+    # columns both read.  Each Generate is a CollapseProject boundary.
+    arrays = spread(df).select(F.col(id_col), F.col(text_col),
+                               F.inline(F.array(F.struct(
+                                   *_staged_arrays(text_col)))))
+    m = _gopher_metrics(text_col, F.col("__toks"), F.col("__mtoks"),
+                        F.col("__lines"))
+    base = arrays.select(F.col(id_col), F.inline(F.array(F.struct(
         *[m[k].alias(f"__{k}") for k in m]))))
     attrs = {k: F.col(f"__{k}") for k in m}
     return base.select(
@@ -886,43 +953,62 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
         _gopher_pass(attrs, **kw).alias("gopher_pass"))
 
 
+def _c4_raw(text_col: str, min_line_words: int) -> dict[str, Column]:
+    """RAW C4 signals (un-rounded, un-divided), each evaluated exactly
+    once per row when staged behind a Generate (see :func:`c4_stats`)."""
+    lines = _lines(text_col)
+    lowered = F.lower(F.col(text_col))
+    return {
+        "n_sentences": F.regexp_count(F.col(text_col),
+                                      F.lit("[.!?]+(\\s|$)")),
+        "n_lines": F.size(lines),
+        "short_cnt": F.size(F.filter(
+            lines,
+            lambda l: F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                                      lambda t: t != F.lit(""))) <
+            F.lit(min_line_words))),
+        "term_cnt": F.size(F.filter(
+            lines, lambda l: F.rtrim(l).rlike("[.!?\"']$"))),
+        "has_curly": F.col(text_col).contains("{"),
+        "has_lorem": lowered.contains("lorem ipsum"),
+        "has_javascript": lowered.contains("javascript"),
+    }
+
+
+def _c4_cols(m: dict[str, Column], min_sentences: int) -> list[Column]:
+    """Output projection over the raw C4 signals (attribute references
+    when ``m`` comes off a Generate, inline expressions otherwise) —
+    identical arithmetic either way."""
+    n_lines = F.greatest(m["n_lines"], F.lit(1))
+    c4_pass = ((m["n_sentences"] >= min_sentences)
+               & ~m["has_curly"] & ~m["has_lorem"]
+               & ~m["has_javascript"])
+    return [
+        m["n_sentences"].alias("n_sentences"),
+        m["n_lines"].alias("n_lines"),
+        F.round(m["short_cnt"].cast("double") / n_lines,
+                6).alias("short_line_frac"),
+        F.round(m["term_cnt"].cast("double") / n_lines,
+                6).alias("terminal_line_frac"),
+        m["has_curly"].alias("has_curly"),
+        m["has_lorem"].alias("has_lorem"),
+        m["has_javascript"].alias("has_javascript"),
+        c4_pass.alias("c4_pass"),
+    ]
+
+
 def c4_exprs(text_col: str = "text", *,
              min_sentences: int = 3,
              min_line_words: int = 5) -> list[Column]:
     """Column expressions for the C4 signals (shared by :func:`c4_stats`
     and :func:`corpus.filter_corpus`). Returns metric/flag columns ending
     with ``c4_pass``.
+
+    Single-projection form for column-level composition — consumers that
+    emit every metric column should prefer :func:`c4_stats`'s staged
+    form, which evaluates each line/regex pass once per row.
     """
-    lines = _lines(text_col)
-    n_lines = F.greatest(F.size(lines), F.lit(1))
-    n_sentences = F.regexp_count(F.col(text_col),
-                                 F.lit("[.!?]+(\\s|$)"))
-    short_line_frac = (
-        F.size(F.filter(
-            lines,
-            lambda l: F.size(F.filter(F.split(F.trim(l), r"\s+"),
-                                      lambda t: t != F.lit(""))) <
-            F.lit(min_line_words))).cast("double") / n_lines)
-    terminal_line_frac = (
-        F.size(F.filter(lines,
-                        lambda l: F.rtrim(l).rlike("[.!?\"']$")))
-        .cast("double") / n_lines)
-    lowered = F.lower(F.col(text_col))
-    has_curly = F.col(text_col).contains("{")
-    has_lorem = lowered.contains("lorem ipsum")
-    has_javascript = lowered.contains("javascript")
-    c4_pass = ((n_sentences >= min_sentences)
-               & ~has_curly & ~has_lorem & ~has_javascript)
-    return [
-        n_sentences.alias("n_sentences"),
-        F.size(lines).alias("n_lines"),
-        F.round(short_line_frac, 6).alias("short_line_frac"),
-        F.round(terminal_line_frac, 6).alias("terminal_line_frac"),
-        has_curly.alias("has_curly"),
-        has_lorem.alias("has_lorem"),
-        has_javascript.alias("has_javascript"),
-        c4_pass.alias("c4_pass"),
-    ]
+    return _c4_cols(_c4_raw(text_col, min_line_words), min_sentences)
 
 
 def c4_stats(df: DataFrame, text_col: str = "text",
@@ -935,9 +1021,46 @@ def c4_stats(df: DataFrame, text_col: str = "text",
     'lorem ipsum', 'javascript'), and ``c4_pass``: at least min_sentences
     sentences and no blocklist trigger (Raffel et al. 2020 §2.2).
     Threshold keywords are those of :func:`c4_exprs`.
+
+    The line-split and lowered-text passes are referenced by several
+    output columns AND by ``c4_pass``; a single projection re-evaluates
+    them per reference (Catalyst inlines shared subtrees), so the heavy
+    intermediates ride a 1:1 inline(array(struct)) Generate (the
+    :func:`_repetition_struct` trick): the LINE ARRAY itself is staged
+    (one split per row — the three line metrics read the materialized
+    array; ``size`` on it is O(1)), alongside the scalar signals that
+    two output columns reference (sentence regex, blocklist flags).
     """
-    return spread(df).select(F.col(id_col),
-                             *c4_exprs(text_col, **thresholds))
+    kw = dict(min_sentences=3, min_line_words=5)
+    kw.update(thresholds)
+    lowered = F.lower(F.col(text_col))
+    staged = {
+        "n_sentences": F.regexp_count(F.col(text_col),
+                                      F.lit("[.!?]+(\\s|$)")),
+        "lines": _lines(text_col),
+        "has_curly": F.col(text_col).contains("{"),
+        "has_lorem": lowered.contains("lorem ipsum"),
+        "has_javascript": lowered.contains("javascript"),
+    }
+    base = spread(df).select(F.col(id_col), F.inline(F.array(F.struct(
+        *[staged[k].alias(f"__{k}") for k in staged]))))
+    lines = F.col("__lines")
+    m = {
+        "n_sentences": F.col("__n_sentences"),
+        "n_lines": F.size(lines),
+        "short_cnt": F.size(F.filter(
+            lines,
+            lambda l: F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                                      lambda t: t != F.lit(""))) <
+            F.lit(kw["min_line_words"]))),
+        "term_cnt": F.size(F.filter(
+            lines, lambda l: F.rtrim(l).rlike("[.!?\"']$"))),
+        "has_curly": F.col("__has_curly"),
+        "has_lorem": F.col("__has_lorem"),
+        "has_javascript": F.col("__has_javascript"),
+    }
+    return base.select(F.col(id_col),
+                       *_c4_cols(m, kw["min_sentences"]))
 
 
 def _gram_fold(grams: Column) -> Column:

@@ -4800,3 +4800,81 @@ def test_feed_entries_cdata_and_entities(spark):
     assert rows[0].title == "A <b>1</b>"
     assert rows[0].summary == "d &amp; e"   # raw inside CDATA
     assert rows[1].title == "plain & entity"
+
+
+def test_split_leakage_one_pass_semantics(spark):
+    """The r14 one-gram-pass split_leakage reformulation (NULL-id train
+    role rows + per-shingle window) must reproduce the old
+    two-distinct-frames-plus-join semantics exactly: per test doc, the
+    share of its DISTINCT shingles that occur anywhere in training."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(40)]
+        + [(100, "alpha beta gamma delta unique tail here"),
+           (101, "nothing shared with anything else at all")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decontam.split_leakage(
+        docs, {"train": 0.5, "test": 0.5}, train_split="train",
+        test_split="test", shingle_n=3).collect()}
+    # brute-force reference: same hash split, python shingles
+    from pypond_spark.datapipe.sampling import assign_splits
+    from pypond_spark.datapipe.dedup import word_shingles
+    ref_rows = assign_splits(
+        word_shingles(docs, "text", 3, "doc_id"),
+        {"train": 0.5, "test": 0.5}, "doc_id", 0).collect()
+    train_sh = {r["shingle"] for r in ref_rows if r["split"] == "train"}
+    per_doc: dict[int, set] = {}
+    for r in ref_rows:
+        if r["split"] == "test":
+            per_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+    assert set(out) == set(per_doc)
+    for d, sh in per_doc.items():
+        leaked = len(sh & train_sh)
+        assert out[d]["n_shingles"] == len(sh)
+        assert out[d]["n_leaked"] == leaked
+        assert out[d]["leak_share"] == round(leaked / len(sh), 6)
+    # docs assigned to neither split never appear
+    three_way = decontam.split_leakage(
+        docs, {"train": 0.4, "val": 0.3, "test": 0.3}).collect()
+    assert all(r["n_shingles"] >= 1 for r in three_way)
+    # degenerate probe: train and test are the SAME split -> every
+    # distinct test shingle leaks by definition (leak_share 1.0)
+    same = decontam.split_leakage(
+        docs, {"train": 0.5, "test": 0.5}, train_split="test",
+        test_split="test", shingle_n=3).collect()
+    assert same and all(r["leak_share"] == 1.0 and
+                        r["n_leaked"] == r["n_shingles"] for r in same)
+
+
+def test_staged_quality_metrics_match_single_projection(spark):
+    """The r14 array-staging Generates (quality_stats, c4_stats,
+    gopher_quality, language_id) must emit values identical to the
+    single-projection expression forms on every edge shape: empty text,
+    whitespace-only, no words, unicode, and ordinary prose."""
+    docs = spark.createDataFrame(
+        [(1, "The quick brown fox. Jumps over! The lazy dog? "
+             "the and of a to in is it lorem"),
+         (2, ""), (3, "   \n\n  "), (4, "{code} javascript lorem ipsum"),
+         (5, "— …unicode… line one\n- bullet line\nends with dots...\n"),
+         (6, "der die und das le la et les el los que y the and of")],
+        "doc_id long, text string")
+    # c4: staged vs expression form
+    staged = {r["doc_id"]: r for r in textstats.c4_stats(docs).collect()}
+    exprs = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *textstats.c4_exprs("text")).collect()}
+    assert staged == exprs
+    # gopher: staged vs expression form
+    g_staged = {r["doc_id"]: r
+                for r in textstats.gopher_quality(docs).collect()}
+    g_exprs = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *textstats.gopher_exprs("text")).collect()}
+    assert g_staged == g_exprs
+    # language_id over the staged normalized-token array
+    lang = {r["doc_id"]: r["lang_pred"]
+            for r in textstats.language_id(docs).collect()}
+    assert lang[1] == "en" and lang[6] == "de"
+    assert lang[2] == "und" and lang[3] == "und"
+    # quality_stats ratios from the staged token array
+    q = {r["doc_id"]: r for r in textstats.quality_stats(docs).collect()}
+    assert q[1]["n_words"] == 18 and q[1]["stopword_ratio"] == pytest.approx(10 / 18)
+    assert q[2]["n_words"] == 0 and q[2]["stopword_ratio"] == 0.0
+    assert q[3]["n_words"] == 0 and q[3]["avg_word_len"] == 0.0
