@@ -35,7 +35,15 @@ from pypond_spark.datapipe import sketch as dp_sketch
 from pypond_spark.datapipe import subtitles as dp_subs
 from pypond_spark.datapipe import tables as dp_tables
 from pypond_spark.datapipe import tokenize as dp_tok
+# _spread stays UNCONDITIONAL for synthesis sites: most synth frames
+# feed per-rep heavy Python encoders (png/gif/tiff LZW+zlib, pdf
+# streams, tar gzip) that run AT THE SYNTH FRAME'S PARTITIONING, so
+# gating the synth spread serializes the encode (measured: phash_png
+# 1.0 -> 1.8 s, phash_tiff 1.0 -> 2.6 s).  _spread_io (byte-cost
+# gate, r15) is used only where the WHOLE downstream chain is
+# O(bytes)-light — see _synth_meta_mix.
 from pypond_spark.datapipe._util import spread as _spread
+from pypond_spark.datapipe._util import spread_io as _spread_io
 from pypond_spark.operators import merge as merge_ops
 from pypond_spark.operators.take import take as take_op
 
@@ -3401,7 +3409,7 @@ def _synth_meta_mix(docs):
     from pypond_spark.datapipe.gif import encode_gif
     from pypond_spark.datapipe.multimodal import encode_png
 
-    base = _spread(docs).select(
+    base = _spread_io(docs).select(
         F.col("doc_id").cast("long").alias("media_id"),
         F.concat(*[F.unhex(F.md5(F.concat(F.col("text"),
                                           F.lit(f"@m{k}"))))

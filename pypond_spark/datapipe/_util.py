@@ -59,7 +59,24 @@ def global_prefix_sums(df: DataFrame, order_exprs: list[Column],
     return out.drop("__gps_pid")
 
 
-def spread(df: DataFrame) -> DataFrame:
+#: Per-task input floor for cost-gated :func:`spread` calls (bytes).
+#: A round-robin exchange costs a stage boundary plus ~10-20 ms of
+#: scheduling per task; per-row media work (header sniffs, lossless
+#: decodes, fixture parses) processes tens of MB/s/core, so a task fed
+#: less than ~2 MiB finishes faster than its own launch.  Gated sites
+#: therefore skip the exchange when the WHOLE estimated input is below
+#: ``min_task_bytes * defaultParallelism`` — scale-adaptive by
+#: construction: a warehouse-scale scan is far above the floor (and
+#: already arrives in enough file-splits that spread() is a no-op
+#: anyway), while a bench/sample-scale frame stays partition-local.
+#: Env-overridable for cluster tuning; 0 restores unconditional spread.
+import os as _os
+
+SPREAD_MIN_TASK_BYTES = int(
+    _os.environ.get("PYPOND_SPREAD_MIN_TASK_BYTES", str(2 << 20)))
+
+
+def spread(df: DataFrame, min_task_bytes: int | None = None) -> DataFrame:
     """Fan a too-coarse scan out to the cluster's parallelism.
 
     Shingle/token explodes multiply rows ~50x and per-row hash work runs
@@ -70,6 +87,19 @@ def spread(df: DataFrame) -> DataFrame:
     up (round-robin; one extra shuffle of the raw text, measured 2-3x
     end-to-end win at bench scale). At warehouse scale the scan already
     yields thousands of file-splits and this is a no-op — no shuffle added.
+
+    ``min_task_bytes`` (r15): cost gate for per-row operators whose work
+    scales with input BYTES (media sniff/decode entries — contrast the
+    explode sites above, whose downstream work is many times the input).
+    When set, the Catalyst size estimate of ``df`` must be at least
+    ``min_task_bytes * defaultParallelism`` for the exchange to pay for
+    itself; below that the frame passes through untouched (measured:
+    the 8 sub-second sniff rows r14 regressed 10-45% recover fully, and
+    post-fixture-cache even the decode rows lose nothing at bench scale).
+    The early return also skips the ``.rdd`` partition-count probe — no
+    physical planning on the hot construction path for gated small
+    frames.  Unknown/unavailable estimates fall through to the old
+    unconditional behavior (spreading is the conservative default).
     """
     if df.isStreaming:
         # .rdd is illegal on streaming DataFrames; micro-batch parallelism
@@ -77,9 +107,24 @@ def spread(df: DataFrame) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    if min_task_bytes is not None and min_task_bytes > 0:
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+        except Exception:
+            est = None
+        if est is not None and 0 <= est < min_task_bytes * max(target, 1):
+            return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def spread_io(df: DataFrame) -> DataFrame:
+    """:func:`spread` with the byte-cost gate — the entry-point form for
+    per-row media/extraction operators (work proportional to input
+    bytes).  See ``SPREAD_MIN_TASK_BYTES`` for the threshold law."""
+    return spread(df, min_task_bytes=SPREAD_MIN_TASK_BYTES)
 
 
 def ngram_explode(df: DataFrame, arr: Column, n: int,

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ._util import spread
+from ._util import spread, spread_io
 
 from pypond_spark.datapipe.bmp import decode_bmp
 from pypond_spark.datapipe.gif import decode_gif
@@ -869,7 +869,7 @@ def sniff_image_meta(df: DataFrame, engine: str = "arrow") -> DataFrame:
                 yield pd.DataFrame(rows, columns=[f.name for f in
                                                   IMAGE_META_SCHEMA.fields])
 
-        return spread(df).mapInPandas(run, schema=IMAGE_META_SCHEMA)
+        return spread_io(df).mapInPandas(run, schema=IMAGE_META_SCHEMA)
     if engine != "expr":
         raise ValueError(f"engine must be arrow|expr, got {engine!r}")
 
@@ -1276,7 +1276,7 @@ def sniff_audio_meta(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               AUDIO_META_SCHEMA.fields])
 
-    return spread(df).mapInPandas(run, schema=AUDIO_META_SCHEMA)
+    return spread_io(df).mapInPandas(run, schema=AUDIO_META_SCHEMA)
 
 
 def _exif_orientation(content: bytes):
@@ -1506,7 +1506,7 @@ def image_exif(df: DataFrame) -> DataFrame:
                              t.get("focal_length")))
             yield pd.DataFrame(rows, columns=cols)
 
-    return spread(df).mapInPandas(run, schema=schema)
+    return spread_io(df).mapInPandas(run, schema=schema)
 
 
 def image_orientation(df: DataFrame) -> DataFrame:
@@ -1527,7 +1527,7 @@ def image_orientation(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id",
                                               "orientation"])
 
-    return spread(df).mapInPandas(run, schema=schema)
+    return spread_io(df).mapInPandas(run, schema=schema)
 
 
 def exif_app1(orientation: int, byte_order: str = "II") -> bytes:

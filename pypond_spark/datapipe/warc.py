@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ._util import spread
+from ._util import spread, spread_io
 
 WARC_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
@@ -302,4 +302,4 @@ def transcode_payload(df: DataFrame, content_col: str = "content",
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               TRANSCODE_SCHEMA.fields])
 
-    return spread(df).mapInPandas(run, schema=TRANSCODE_SCHEMA)
+    return spread_io(df).mapInPandas(run, schema=TRANSCODE_SCHEMA)
