@@ -253,7 +253,7 @@ def preprocess_corpus(docs: DataFrame, bench: DataFrame,
              .select(F.col(id_col), F.col("__digest"),
                      F.inline(F.array(F.struct(
                          *[gm[k].alias(f"__{k}") for k in gm],
-                         *tx._language_id_fields(F.col("__mtoks"))))))
+                         *tx._language_id_fields("text")))))
              .select(id_col, "__digest",
                      tx._gopher_pass(gattrs, **tx.GOPHER_DEFAULTS)
                      .alias("quality_ok"),

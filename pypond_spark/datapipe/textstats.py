@@ -8,6 +8,8 @@ DuckDB oracle can verify them value-for-value.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -45,6 +47,81 @@ def _match_tokens(text_col: str) -> Column:
 def token_count(text_col: str = "text") -> Column:
     """BPE-ish token count: letter runs, digit runs, and single symbols."""
     return F.regexp_count(F.col(text_col), F.lit(TOKEN_RE))
+
+
+#: Java regex \s — the ASCII class the tokenizer's split uses.  Spelled
+#: out because the codegen'd counting rewrites below must use EXACTLY
+#: the split's whitespace law (Python/\p{Space} variants differ).
+_ASCII_WS = " \\t\\n\\x0B\\f\\r"
+
+
+def _word_count_expr(text_col: str) -> Column:
+    """``size(_tokens(text_col))`` as ONE compiled regex scan: every
+    maximal non-whitespace run is one token of the split/filter law
+    (r15 — the interpreted HOF filter evaluated per token; see
+    SCALE.md 'interpreted lambdas are the scan-level cost to fear')."""
+    return F.regexp_count(F.col(text_col), F.lit(r"\S+"))
+
+
+def _alpha_word_count_expr(text_col: str) -> Column:
+    """``size(filter(_tokens(c), t -> t rlike '[A-Za-z]'))`` as one
+    compiled scan: a maximal non-whitespace run matches exactly once
+    iff it contains a letter (leftmost match anchors at the run start,
+    greedy ``\\S*`` consumes the rest of the run)."""
+    return F.regexp_count(F.col(text_col), F.lit(r"\S*[A-Za-z]\S*"))
+
+
+def _marker_hits_expr(text_col: str, markers: Sequence[str]) -> Column:
+    """``size(filter(_match_tokens(c), t -> t.isin(*markers)))`` as one
+    compiled case-insensitive scan.  A normalized token equals a marker
+    iff the whitespace-delimited run is junk* marker junk* where junk =
+    non-whitespace non-alphanumeric (the edge-strip law: internal junk
+    is KEPT by the normalizer, so it must not appear inside the match;
+    the run boundary is start-of-string or the ASCII whitespace class).
+    Markers must be plain ``[a-z]+`` words (they are: stopword/marker
+    tables) — no regex metachars to escape."""
+    alt = "|".join(markers)
+    junk = f"[^{_ASCII_WS}a-zA-Z0-9]*"
+    pat = (f"(?i)(^|(?<=[{_ASCII_WS}]))"
+           f"{junk}(?:{alt}){junk}(?=[{_ASCII_WS}]|$)")
+    return F.regexp_count(F.col(text_col), F.lit(pat))
+
+
+def _nospace_len_expr(text_col: str) -> Column:
+    """``length(regexp_replace(text, r'\\s+', ''))`` without building
+    the stripped copy: char length minus the count of single
+    whitespace chars (both count CHARACTERS, so the difference is
+    exact)."""
+    return (F.length(text_col)
+            - F.regexp_count(F.col(text_col), F.lit(r"\s")))
+
+
+def _line_count_expr(text_col: str) -> Column:
+    """``size(split(text, '\\n'))``: one more than the newline count
+    (split always yields n+1 elements; '' -> ['']  -> 1)."""
+    return F.regexp_count(F.col(text_col), F.lit("\n")) + F.lit(1)
+
+
+def _bullet_line_count_expr(text_col: str) -> Column:
+    """``size(filter(lines, l -> trim(l) rlike '^[-*•‣▪]'))`` as one
+    compiled scan.  Spark ``trim`` strips SPACES only (not tabs/CR),
+    so a line counts iff its first non-space char is a bullet; the
+    anchor is start-of-string or just-after-newline (NOT ``(?m)^``,
+    whose Java line-terminator rules differ around ``\\r``)."""
+    return F.regexp_count(
+        F.col(text_col), F.lit("(^|(?<=\n)) *[-*•‣▪]"))
+
+
+def _ellipsis_line_count_expr(text_col: str) -> Column:
+    """``size(filter(lines, l -> rtrim(l) rlike '(\\\\.\\\\.\\\\.|…)$'))``
+    as one compiled scan.  The replayed law: ``rtrim`` strips trailing
+    SPACES only, then Java ``$`` accepts one final ``\\r`` terminator —
+    so a line counts iff it ends ellipsis, then at most one ``\\r``,
+    then spaces.  ``(?=\\n|\\z)`` (absolute end) avoids Java ``$``'s
+    match before the ``\\r`` of ``\\r\\n``, which would wrongly accept
+    'ellipsis SPACE \\r'."""
+    return F.regexp_count(
+        F.col(text_col), F.lit("(\\.\\.\\.|…)\r? *(?=\n|\\z)"))
 
 
 def hashed_grams(text_col: str = "text") -> Column:
@@ -89,33 +166,28 @@ def quality_stats(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Per-document quality features: length, words, punct & stopword ratios.
 
-    The token split is referenced by three output columns (word count
-    and two ratio denominators) and the stopword pass re-splits for its
-    own normalized-token filter; a single projection re-evaluates each
-    per reference (Catalyst inlines shared subtrees), so the TOKEN
-    ARRAY itself rides a 1:1 inline(array(struct)) Generate (the
-    :func:`_repetition_struct` trick) beside the scalar counts: one
-    split per row, the stopword pass normalizes the materialized array,
-    and ``size`` on it is O(1) wherever a denominator needs it."""
+    The word count is referenced by three output columns (itself and
+    two ratio denominators), so the scalar counts ride a 1:1
+    inline(array(struct)) Generate (the :func:`_repetition_struct`
+    trick) and every reference reads a materialized attribute.  r15:
+    the token split + per-token normalize/filter HOF passes are gone —
+    word count and stopword hits are each ONE compiled regex scan
+    (:func:`_word_count_expr` / :func:`_marker_hits_expr`, identical
+    values by the token-law replay in their docstrings)."""
     raw = {
         "n_chars": F.length(text_col),
-        "toks": _tokens(text_col),
+        "n_words": _word_count_expr(text_col),
         "n_tokens": token_count(text_col),
         "nospace_len": F.length(
             F.regexp_replace(text_col, r"\s+", "")),
         "n_punct": F.regexp_count(F.col(text_col),
                                   F.lit("[^A-Za-z0-9\\s]")),
+        "stop_hits": _marker_hits_expr(text_col, STOPWORDS),
     }
     base = spread(df).select(F.col(id_col), F.inline(F.array(F.struct(
         *[raw[k].alias(f"__{k}") for k in raw]))))
-    toks = F.col("__toks")
-    n_words = F.size(toks)
+    n_words = F.col("__n_words")
     denom_w = F.greatest(n_words, F.lit(1))
-    stop_hits = F.size(F.filter(
-        F.transform(toks,
-                    lambda t: F.regexp_replace(
-                        F.lower(t), "(^[^a-z0-9]+)|([^a-z0-9]+$)", "")),
-        lambda t: t.isin(*STOPWORDS)))
     return base.select(
         F.col(id_col),
         F.col("__n_chars").alias("n_chars"),
@@ -124,25 +196,20 @@ def quality_stats(df: DataFrame, text_col: str = "text",
         (F.col("__nospace_len") / denom_w).alias("avg_word_len"),
         (F.col("__n_punct").cast("double") /
          F.greatest(F.col("__n_chars"), F.lit(1))).alias("punct_ratio"),
-        (stop_hits.cast("double") / denom_w).alias("stopword_ratio"),
+        (F.col("__stop_hits").cast("double") / denom_w)
+        .alias("stopword_ratio"),
     )
 
 
-def _language_id_fields(mtoks: Column) -> list[Column]:
-    """Per-language marker-score struct fields (each an interpreted
-    token-filter pass over the staged normalized-token array) —
-    computed ONCE per row behind a 1:1 inline(array(struct)) Generate
-    (the _repetition_struct trick) so the argmax chain reads plain
-    attributes instead of re-running the filter per reference.  The
-    caller stages ``mtoks`` itself (``__mtoks`` of
-    :func:`_staged_arrays`) behind an earlier Generate so the
-    normalize+split pass also runs once, not once per language."""
-    def _score(markers):
-        # factory closure, NOT a default-arg lambda: F.filter binds a
-        # second lambda parameter to the array index
-        return F.size(F.filter(mtoks, lambda t: t.isin(*markers)))
-
-    return [_score(markers).alias(f"__s_{lang}")
+def _language_id_fields(text_col: str) -> list[Column]:
+    """Per-language marker-score struct fields, each ONE compiled
+    regex scan over the raw text (:func:`_marker_hits_expr` — r15;
+    previously an interpreted token-filter pass per language over a
+    staged normalized-token array, which also forced the split+
+    normalize staging itself).  Still staged behind a 1:1
+    inline(array(struct)) Generate by the callers so the argmax
+    chain's ~2 references per score read plain attributes."""
+    return [_marker_hits_expr(text_col, markers).alias(f"__s_{lang}")
             for lang, markers in LANG_MARKERS.items()]
 
 
@@ -170,15 +237,13 @@ def language_id(df: DataFrame, text_col: str = "text",
     """Marker-word language heuristic: count marker hits per language,
     argmax wins (ties resolved in LANG_MARKERS order, 'und' if all zero).
 
-    Two staged Generates: the normalized-token array first (one
-    split+normalize per row instead of one per language), then the
-    per-language scores (one filter pass each instead of one per argmax
-    reference)."""
-    mtoks = df.select(F.col(id_col), F.inline(F.array(F.struct(
-        _match_tokens(text_col).alias("__mtoks")))))
-    base = mtoks.select(F.col(id_col),
-                        F.inline(F.array(F.struct(
-                            *_language_id_fields(F.col("__mtoks"))))))
+    One staged Generate (r15 — down from two: the normalized-token
+    array no longer exists, each score is a compiled regex scan over
+    the raw text): the per-language scores, so the argmax chain reads
+    attributes instead of re-running the scan per reference."""
+    base = df.select(F.col(id_col),
+                     F.inline(F.array(F.struct(
+                         *_language_id_fields(text_col)))))
     best, best_score = _language_id_pred()
     return base.select(F.col(id_col), best.alias("lang_pred"),
                        best_score.alias("lang_score"))

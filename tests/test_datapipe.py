@@ -4878,3 +4878,79 @@ def test_staged_quality_metrics_match_single_projection(spark):
     assert q[1]["n_words"] == 18 and q[1]["stopword_ratio"] == pytest.approx(10 / 18)
     assert q[2]["n_words"] == 0 and q[2]["stopword_ratio"] == 0.0
     assert q[3]["n_words"] == 0 and q[3]["avg_word_len"] == 0.0
+
+
+def test_marker_count_regex_matches_token_filter_law(spark):
+    """r15: the compiled-regex word/alpha/marker counters must equal the
+    interpreted token-filter law they replaced, including the nasty
+    edges: punctuation-wrapped markers, internal junk (kept by the
+    normalizer, so NOT a hit), digits glued to markers, non-ASCII junk
+    and NBSP (not Java whitespace), uppercase, empty/whitespace docs."""
+    from pyspark.sql import functions as F
+    from pypond_spark.datapipe.textstats import (
+        GOPHER_STOPWORDS, _alpha_word_count_expr, _marker_hits_expr,
+        _match_tokens, _tokens, _word_count_expr)
+
+    texts = [
+        "The the, THE. tHe; ((the)) .-the-. the5 5the x-the the-the",
+        "of OF of. ...of... of© ©of© ofof o-f",
+        "and\tthat\nhave with.  be? to! of:",
+        "", "   ", "\t\n", "a the b", "é the é", "ß ß ß",
+        "the", ".the.", "the.", ".the", "- the -", "--", "the  the",
+        "word " * 40 + "the...",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    toks, mtoks = _tokens("text"), _match_tokens("text")
+    old = df.select(
+        "doc_id",
+        F.size(toks).alias("nw"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        .alias("alpha"),
+        F.size(F.filter(mtoks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+        .alias("stop")).collect()
+    new = df.select(
+        "doc_id",
+        _word_count_expr("text").alias("nw"),
+        _alpha_word_count_expr("text").alias("alpha"),
+        _marker_hits_expr("text", GOPHER_STOPWORDS).alias("stop")).collect()
+    assert sorted(map(tuple, old)) == sorted(map(tuple, new))
+
+
+def test_line_count_regexes_match_line_filter_law(spark):
+    """r15: the compiled line counters must equal the interpreted
+    line-filter law (trim/rtrim + rlike per line), including CR, tab,
+    control-char and empty-line edges the Java $/(?m) terminator rules
+    make treacherous."""
+    from pyspark.sql import functions as F
+    from pypond_spark.datapipe.textstats import (
+        _bullet_line_count_expr, _ellipsis_line_count_expr,
+        _line_count_expr, _lines, _nospace_len_expr)
+
+    texts = [
+        "", " ", "\n", "a\nb", "- one\n  * two\n\t\u2022 three\nx -",
+        "...\nok...\nno... x\n...  \n... \r\n...\r\n...\r \n...\r\r\n",
+        "\u2026\nend\u2026", "...\t\n...x", "......\n.. .",
+        " \n\n- b\n \x0b- c", "-", "...", "...\r", "... \r", "...\r ",
+        "a - b\nc ... d", "* \n\u2023x\n\u25aa",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    lines = _lines("text")
+    old = df.select(
+        "doc_id",
+        F.size(lines).alias("nl"),
+        F.size(F.filter(lines, lambda l: F.trim(l)
+                        .rlike("^[-*\u2022\u2023\u25aa]"))).alias("bl"),
+        F.size(F.filter(lines, lambda l: F.rtrim(l)
+                        .rlike("(\\.\\.\\.|\u2026)$"))).alias("el"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("ns"),
+    ).collect()
+    new = df.select(
+        "doc_id",
+        _line_count_expr("text").alias("nl"),
+        _bullet_line_count_expr("text").alias("bl"),
+        _ellipsis_line_count_expr("text").alias("el"),
+        _nospace_len_expr("text").alias("ns"),
+    ).collect()
+    assert sorted(map(tuple, old)) == sorted(map(tuple, new))
