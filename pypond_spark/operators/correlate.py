@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
 from ..index import window_duration_ms
@@ -132,6 +133,89 @@ def autocorrelation(
                  F.count("*").alias("n_pairs")))
 
 
+def _theil_sen_grouped(df: DataFrame, keys: list[str], valid,
+                       bpos, col) -> DataFrame:
+    """Keyed Theil–Sen as ONE corpus aggregate + a per-key vectorized
+    Arrow stage (r15, guide §4.2/§8): the old shape materialized every
+    O(B²) pair as JVM join rows and fed 3M+ slopes through the
+    Percentile aggregate's per-group counts-map (measured: the median
+    aggregate alone was ~2.3 s of the 3.6 s row; the pair JOIN was
+    0.5 s).  Here only the BUCKET rows (B per key, the small proxy)
+    cross to Python; the pairwise slope matrix, both exact medians and
+    the residual intercept run in numpy per key.  Bit-identical by
+    construction: same (vb-va)/double(pb-pa) slope doubles, and both
+    medians replay Percentile's exact interpolation
+    ``lo + 0.5 * (hi - lo)`` (NOT ``(lo+hi)/2`` — different rounding)
+    over the same sorted doubles.  Scale shape: the corpus-sized pass
+    is the partial-aggregable bucket groupBy (unchanged); the Arrow
+    stage's groups are bucket-frames of ≤ ~1e3 rows each (the
+    documented coarsening lever), so per-group memory is O(B²) doubles
+    exactly like the old join's per-group aggregate buffer."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    # bucket agg keeps its own exchange (partial map-side aggregation
+    # shuffles partially-agged buckets, never raw events — §2.3); the
+    # explicit key repartition of the BUCKET frame then satisfies the
+    # apply's clustering AND — because user repartitions are exempt
+    # from AQE coalescing — pins the apply stage's width.  AQE
+    # otherwise coalesces the tiny bucket shuffle to ONE partition and
+    # the per-group Python protocol (~2 ms/group, measured) runs
+    # serial: 1500 groups took 3.5 s in one task vs spread over the
+    # session width.
+    buckets = (df.where(valid)
+               .groupBy(*keys, bpos.alias("__p"))
+               .agg(F.avg(col).alias("__v"))
+               .repartition(n_parts, *[F.col(k) for k in keys]))
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = T.StructType(key_fields + [
+        T.StructField("ts_slope", T.DoubleType()),
+        T.StructField("ts_intercept", T.DoubleType()),
+        T.StructField("n_pairs", T.LongType()),
+        T.StructField("n_buckets", T.LongType()),
+    ])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__p")
+        n = len(pdf)
+        if n < 2:
+            # single-bucket series drop from the output (the old inner
+            # join against the pair frame had no row to match)
+            return pdf.iloc[:0][keys].assign(
+                ts_slope=np.float64(0), ts_intercept=np.float64(0),
+                n_pairs=np.int64(0), n_buckets=np.int64(0))
+        p = pdf["__p"].to_numpy(dtype=np.int64)
+        v = pdf["__v"].to_numpy(dtype=np.float64)
+        iu, il = np.triu_indices(n, 1)
+        # (vb - va) / double(pb - pa): integer delta then cast, the
+        # join formula's exact op order
+        slopes = ((v[il] - v[iu])
+                  / (p[il] - p[iu]).astype(np.float64))
+        s = np.sort(slopes)
+        m = len(s) - 1
+        lo, hi = s[m // 2], s[(m + 1) // 2]
+        # Percentile's interpolation is the WEIGHTED form
+        # (higher-pos)*lo + (pos-lower)*hi — one ulp off from
+        # lo + d*(hi-lo) on real data, measured — while the intercept
+        # below replays the old ARRAY formula lo + 0.5*(hi-lo): each
+        # must match its own predecessor bit-for-bit
+        slope = lo if m % 2 == 0 else 0.5 * lo + 0.5 * hi
+        resid = np.sort(v - slope * (p - p[0]).astype(np.float64))
+        mm = n - 1
+        rlo, rhi = resid[mm // 2], resid[(mm + 1) // 2]
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out["ts_slope"] = [slope]
+        out["ts_intercept"] = [rlo + 0.5 * (rhi - rlo)]
+        out["n_pairs"] = [np.int64(len(slopes))]
+        out["n_buckets"] = [np.int64(n)]
+        return pd.DataFrame(out)
+
+    return buckets.groupBy(*keys).applyInPandas(fn, out_schema)
+
+
 def theil_sen(df: DataFrame, field: str = "value",
               bucket: str = "1h",
               partition_by: Sequence[str] = (),
@@ -161,6 +245,8 @@ def theil_sen(df: DataFrame, field: str = "value",
     col = F.col(field).cast("double")
     valid = col.isNotNull() & ~F.isnan(col)
     bpos = F.floor(F.unix_millis(F.col(time_col)) / F.lit(b_ms))
+    if keys:
+        return _theil_sen_grouped(df, keys, valid, bpos, col)
     # ONE bucket aggregate whose keys-exchange is REUSED three ways
     # (pair-join left, pair-join right, array collect) — replaces the
     # old localCheckpoint + window + join-back (4 sequential exchanges
