@@ -1056,10 +1056,24 @@ def repeated_spans(df: DataFrame, k: int = 50,
     text — ``xxhash64`` rather than a digest string because the hash
     is only a fingerprint for cross-doc equality here (r14: the md5
     HEX form made every exploded row carry a 32-char key, ~4x the
-    shuffle bytes and string group/join comparisons; a 64-bit
-    collision would need ~2^32 grams in one corpus partition-pair and
-    merely widens one span — the oracle's by-text replay pins the
-    outputs at every SF).
+    shuffle bytes and string group/join comparisons).
+
+    Precision trade, stated honestly (r15, correcting the r14 note —
+    fingerprint collisions are GLOBAL across the gram table, not
+    per partition-pair): by the birthday bound, n gram positions
+    yield ~n²/2^65 colliding 64-bit pairs, so at the 100-TB design
+    point (~10^13–10^14 positions) expect ~10^6–10^8 false
+    "repeated" grams — ~1e-6 of positions — each at worst marking
+    one spurious k-char span (or widening a real one) in each of two
+    documents.  The operator was fingerprint-based under md5 too
+    (same failure mode at negligible odds); substring dedup is
+    itself a recall/precision heuristic and a ~1e-6 false-span rate
+    sits far below the noise of the ``k`` choice.  Precision-critical
+    runs can widen the key with a second independent seed
+    (``xxhash64(gram)``, ``xxhash64(lit(1), gram)`` → 128 bits at 16
+    bytes/row, still half the hex form).  A ``(hash, length)``
+    composite is a no-op here: every gram has length exactly ``k``.
+    The oracle's by-text replay pins the outputs at every test SF.
     """
     t = F.col(text_col)
     n_pos = F.length(t) - F.lit(k - 1)

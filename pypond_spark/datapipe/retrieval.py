@@ -106,10 +106,18 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
 
     # the corpus-global scalar pass (exact-integer token total, so
     # avgdl is the correctly-rounded rational) and the tf build are
-    # independent corpus passes — run them concurrently (guide §2.6)
+    # independent corpus passes — run them concurrently (guide §2.6).
+    # r15: the scalar pass needs only the COUNT of normalized non-empty
+    # tokens, which equals the count of whitespace-delimited runs
+    # containing an alphanumeric (the edge-strip normalizer empties a
+    # token iff it has no [A-Za-z0-9]) — one compiled regex scan of the
+    # raw text instead of re-running the interpreted tokenize chain
+    # (verified: identical totals; textstats._marker_hits_expr has the
+    # law notes)
+    n_toks = F.regexp_count(F.col(text_col),
+                            F.lit(r"\S*[A-Za-z0-9]\S*"))
     (scal_row,), tf = overlap(
-        lambda: base.agg(F.count("*"),
-                         F.sum(F.size("__toks"))).collect(),
+        lambda: docs.agg(F.count("*"), F.sum(n_toks)).collect(),
         lambda: (posts.repartition(F.col(id_col))
                  .groupBy(id_col, "__term")
                  .agg(*tf_aggs)
@@ -131,14 +139,20 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
             raise ValueError("max_df_ratio dropped every query term")
     idf = {t: math.log(1.0 + (n_docs - n + 0.5) / (n + 0.5))
            for t, n in dfreq.items()}
-    idf_map = F.create_map(
-        *[F.lit(x) for t in sorted(idf) for x in (t, idf[t])])
-
+    # vocab-sized idf table as a BROADCAST relation, not a create_map
+    # literal (r15): a query workload of a few hundred terms made the
+    # literal a ~1500-entry codegen map whose generated method paid
+    # the janino/JIT tax on every fresh session (SCALE.md pitfall #3),
+    # and at a real query workload's vocab size a map literal embeds
+    # the whole vocabulary in the PLAN.  The broadcast join drops
+    # non-vocab terms exactly like the old isNotNull filter (inner
+    # join), same driver-computed idf doubles.
+    idf_df = docs.sparkSession.createDataFrame(
+        sorted(idf.items()), "__term string, __idf double")
     tff = (F.col("__tf") * (k1 + 1.0)) / (
         F.col("__tf")
         + k1 * (1.0 - b + b * (F.col("__dl") / F.lit(float(avgdl)))))
-    scored = (tf.withColumn("__idf", idf_map[F.col("__term")])
-              .where(F.col("__idf").isNotNull())
+    scored = (tf.join(F.broadcast(idf_df), "__term")
               .join(F.broadcast(qterms), "__term"))
     if exclude_label:
         # NULL labels never pair (plain != is NULL -> filtered),
