@@ -16,8 +16,11 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pypond_spark.datapipe._util import (ngram_explode, overlap, pair_rows,
                                           spread)
@@ -293,6 +296,66 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                                  F.col(id_a).alias("dst")))
              .distinct()
              .localCheckpoint())
+    # Scale-adaptive driver fast path (r15, guide §1.2 job-count
+    # latency): each propagation round is 3+ driver-coordinated jobs
+    # (join, checkpoint, convergence count) of pure stage latency when
+    # the dup-pair set is small — which it almost always is relative
+    # to the corpus (only near-dup PAIRS appear here).  Below the
+    # edge cap, collect the (already checkpointed, bounded) edge list
+    # and run exact BFS components on the driver; same (id, min-id)
+    # labels by construction, and the distributed path's max_iter
+    # contract is preserved exactly: min-label propagation moves one
+    # hop per round, so it converges with `rounds = R+1` (R = max
+    # distance from a component's min node) and fails max_iter <= R.
+    # `on_nonconverged='ignore'` keeps the distributed path — its
+    # documented partial labels ARE the r-hop propagation state.
+    cap = int(os.environ.get("PYPOND_DRIVER_CC_MAX_EDGES", "500000"))
+    if on_nonconverged == "raise" and edges.count() <= cap:
+        adj: dict = {}
+        for r in edges.collect():
+            adj.setdefault(r["src"], []).append(r["dst"])
+        seen: set = set()
+        labels_out = []
+        max_dist = 0
+        for start in adj:
+            if start in seen:
+                continue
+            comp = [start]
+            seen.add(start)
+            for node in comp:  # grow the component (order-agnostic)
+                for nb in adj[node]:
+                    if nb not in seen:
+                        seen.add(nb)
+                        comp.append(nb)
+            root = min(comp)
+            # BFS from the min node: propagation rounds to converge
+            dist = {root: 0}
+            frontier = [root]
+            d = 0
+            while frontier:
+                d += 1
+                nxt = []
+                for node in frontier:
+                    for nb in adj[node]:
+                        if nb not in dist:
+                            dist[nb] = d
+                            nxt.append(nb)
+                frontier = nxt
+            max_dist = max(max_dist, max(dist.values(), default=0))
+            labels_out.extend((n, root) for n in comp)
+        if stats is not None:
+            stats["rounds"] = min(max_dist + 1, max_iter)
+        if max_dist >= max_iter:
+            raise RuntimeError(
+                f"dup_clusters did not converge in max_iter={max_iter} "
+                "rounds (a duplicate component has diameter > max_iter); "
+                "raise max_iter or pass on_nonconverged='ignore' for "
+                "partial labels")
+        id_type = pairs.schema[id_a].dataType
+        schema = T.StructType([T.StructField("id", id_type),
+                               T.StructField("cluster_id", id_type)])
+        return pairs.sparkSession.createDataFrame(
+            sorted(labels_out), schema)
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("cluster_id", F.col("id"))

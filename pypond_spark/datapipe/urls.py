@@ -224,16 +224,34 @@ def parse_robots(df: DataFrame, robots_col: str = "robots_txt",
         "group_id",
         F.sum(new_group.cast("int")).over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
-    agents = (grouped.where(is_ua)
-              .select("host", "group_id",
-                      F.lower(F.col("value")).alias("agent")))
-    rules = (grouped.where(~is_ua & (F.col("value") != ""))
-             .select("host", "group_id",
-                     F.col("key").alias("rule"),
-                     F.col("value").alias("pattern"), "line_no"))
-    # LEFT join keeps empty groups as (agent, NULL rule) rows
-    return (agents.join(rules, ["host", "group_id"], "left")
-            .select("host", "agent", "rule", "pattern", "line_no"))
+    # agent×rule expansion WITHOUT the old agents⋈rules self-join
+    # (r15): the join re-exchanged both sides of an already
+    # host-partitioned frame by (host, group_id) — two extra
+    # exchanges of stage latency per consumer for a per-host frame.
+    # A whole-group window (clustering (host, group_id) is satisfied
+    # by the host partitioning — no new exchange) collects the
+    # group's agent list once; each rule row then explodes it, and a
+    # UA row of a RULELESS group explodes just itself with NULL
+    # rule/pattern/line_no — exactly the old LEFT join's row multiset
+    # (duplicate UA lines kept by collect_list, list order
+    # irrelevant: the output is one row per (UA line × rule)).
+    wg = Window.partitionBy("host", "group_id")
+    is_rule = ~is_ua & (F.col("value") != "")
+    aug = grouped.select(
+        "host", "key", "value", "line_no", is_rule.alias("__is_rule"),
+        F.collect_list(F.when(is_ua, F.lower(F.col("value"))))
+        .over(wg).alias("__agents"),
+        F.count(F.when(is_rule, 1)).over(wg).alias("__n_rules"))
+    arr = (F.when(F.col("__is_rule"), F.col("__agents"))
+           .when(is_ua & (F.col("__n_rules") == 0),
+                 F.array(F.lower(F.col("value"))))
+           .otherwise(F.array().cast("array<string>")))
+    keep = F.col("__is_rule")
+    return (aug.select(
+        "host", F.explode(arr).alias("agent"),
+        F.when(keep, F.col("key")).alias("rule"),
+        F.when(keep, F.col("value")).alias("pattern"),
+        F.when(keep, F.col("line_no")).alias("line_no")))
 
 
 def _rep_like_pattern(pattern: Column) -> Column:
