@@ -51,29 +51,41 @@ def align(
 
     w = Window.partitionBy(*keys).orderBy(time_col)
     ms = F.unix_millis(F.col(time_col))
-    prev_ms = F.lag(ms).over(w)
-    pos = F.floor(ms / dur)
+    # ONE lag of a struct instead of 1 + len(fields) scalar lags (r15:
+    # the old form's prev_ms was referenced 4x in the bounds expression
+    # and Catalyst materialized 4 duplicate lag window columns, and the
+    # pre-explode size() filter re-inlined the whole bounds sequence()
+    # 3x per row — plan-verified).  The lag struct stages once; the
+    # bounds array stages behind a 1:1 inline Generate so the size and
+    # the explode both read the materialized array.
+    prev_struct = F.lag(F.struct(
+        ms.alias("ms"),
+        *[F.col(f).try_cast("double").alias(f) for f in fields])).over(w)
+    lev1 = df.select(
+        *[F.col(c) for c in keys], ms.alias("__ms"),
+        *[F.col(f).try_cast("double").alias(f"__cur_{f}") for f in fields],
+        prev_struct.alias("__prev"))
+    prev_ms = F.col("__prev").getField("ms")
+    pos = F.floor(F.col("__ms") / dur)
     prev_pos = F.floor(prev_ms / dur)
-
     # boundary bucket positions crossed by (prev, cur]; for the first event,
     # its own position iff exactly aligned
     bounds = (
         F.when(prev_ms.isNull(),
-               F.when(ms % dur == 0, F.array(pos)).otherwise(F.array().cast("array<bigint>")))
+               F.when(F.col("__ms") % dur == 0, F.array(pos))
+               .otherwise(F.array().cast("array<bigint>")))
         .when(pos > prev_pos, F.sequence(prev_pos + 1, pos))
         .otherwise(F.array().cast("array<bigint>"))
     )
+    staged = lev1.select(
+        *keys, "__ms", prev_ms.alias("__prev_ms"),
+        *[F.col(f"__cur_{f}") for f in fields],
+        *[F.col("__prev").getField(f).alias(f"__prev_{f}")
+          for f in fields],
+        F.inline(F.array(F.struct(bounds.alias("__bounds")))))
 
-    cols = [F.col(c) for c in keys] + [ms.alias("__ms"), prev_ms.alias("__prev_ms"),
-                                       bounds.alias("__bounds")]
-    for f in fields:
-        cols += [F.col(f).try_cast("double").alias(f"__cur_{f}"),
-                 F.lag(F.col(f).try_cast("double")).over(w).alias(f"__prev_{f}")]
-    staged = df.select(*cols).where(F.size("__bounds") > 0)
-
-    fill_count = F.size("__bounds")
     exploded = staged.select(
-        *keys, "__ms", "__prev_ms", fill_count.alias("__n"),
+        *keys, "__ms", "__prev_ms", F.size("__bounds").alias("__n"),
         *[f"__cur_{f}" for f in fields], *[f"__prev_{f}" for f in fields],
         F.explode("__bounds").alias("__bpos"))
 
